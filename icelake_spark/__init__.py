@@ -1,0 +1,36 @@
+"""icelake_spark: a PySpark-native Apache Iceberg table engine.
+
+A from-scratch rebuild of the capabilities of icelake-io/icelake
+(reference at /root/reference, studied for behavior only) on top of
+Spark DataFrames: table-format metadata/manifests, snapshot-pinned
+scans, transactional appends, merge-on-read deletes, CDC upsert,
+partition transforms, maintenance — plus large-scale data-pipeline
+operators (dedup, similarity search, text analysis, multimodal).
+"""
+
+from .catalog.storage import StorageCatalog  # noqa: F401
+from .table import IcebergTable, TableScan  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def default_session(app_name: str = "icelake_spark", cpus: str | int = "*",
+                    shuffle_partitions: int = 32):
+    """Build a SparkSession tuned for this engine (UTC, AQE, Arrow)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", cpus)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )

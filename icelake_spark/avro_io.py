@@ -1,0 +1,300 @@
+"""Minimal Apache Avro container-file codec (pure Python, public spec).
+
+Iceberg stores manifests and manifest lists as Avro object-container
+files. fastavro is not available in this environment, so this module
+implements the subset of the Avro 1.11 spec those files need: records,
+unions, arrays, maps, fixed, enums, all primitives, and the `null` /
+`deflate` block codecs. Schema-driven, resolves by writer schema only
+(Iceberg readers project by field-id at a higher layer).
+
+Parity target: the reference serializes manifests with field-id
+annotated Avro record schemas (/root/reference/icelake/src/types/
+to_avro.rs:21-73, on_disk/manifest_file.rs, on_disk/manifest_list.rs).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any
+
+MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------- decoding
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        # zigzag varint
+        b = self.buf
+        pos = self.pos
+        shift = 0
+        acc = 0
+        while True:
+            byte = b[pos]
+            pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+    def read_value(self, schema: Any) -> Any:
+        if isinstance(schema, str):
+            t = schema
+        elif isinstance(schema, list):  # union: long index then value
+            return self.read_value(schema[self.read_long()])
+        else:
+            t = schema["type"]
+
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self.read(1) == b"\x01"
+        if t in ("int", "long"):
+            return self.read_long()
+        if t == "float":
+            return struct.unpack("<f", self.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self.read(8))[0]
+        if t == "bytes":
+            return self.read_bytes()
+        if t == "string":
+            return self.read_bytes().decode("utf-8")
+        if t == "record":
+            return {f["name"]: self.read_value(f["type"]) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = self.read_long()
+                if n == 0:
+                    break
+                if n < 0:  # block with byte size prefix
+                    n = -n
+                    self.read_long()
+                for _ in range(n):
+                    out.append(self.read_value(schema["items"]))
+            return out
+        if t == "map":
+            out = {}
+            while True:
+                n = self.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    self.read_long()
+                for _ in range(n):
+                    k = self.read_bytes().decode("utf-8")
+                    out[k] = self.read_value(schema["values"])
+            return out
+        if t == "fixed":
+            return self.read(schema["size"])
+        if t == "enum":
+            return schema["symbols"][self.read_long()]
+        raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def _resolve_named(schema: Any, names: dict[str, Any] | None = None) -> Any:
+    """Inline named-type references so the decoder never needs a registry."""
+    if names is None:
+        names = {}
+    if isinstance(schema, str):
+        return names.get(schema, schema)
+    if isinstance(schema, list):
+        return [_resolve_named(s, names) for s in schema]
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "fixed", "enum") and "name" in schema:
+            names[schema["name"]] = schema
+        out = dict(schema)
+        if t == "record":
+            out["fields"] = [
+                {**f, "type": _resolve_named(f["type"], names)} for f in schema["fields"]
+            ]
+        elif t == "array":
+            out["items"] = _resolve_named(schema["items"], names)
+        elif t == "map":
+            out["values"] = _resolve_named(schema["values"], names)
+        elif isinstance(t, (dict, list)):
+            out["type"] = _resolve_named(t, names)
+        return out
+    return schema
+
+
+def read_avro(path: str) -> tuple[dict, list[dict]]:
+    """Read an Avro container file → (writer schema JSON, records)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro container file")
+    meta = r.read_value({"type": "map", "values": "bytes"})
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = r.read(16)
+    resolved = _resolve_named(schema)
+    records: list[dict] = []
+    while r.pos < len(data):
+        count = r.read_long()
+        size = r.read_long()
+        block = r.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec}")
+        br = _Reader(block)
+        for _ in range(count):
+            records.append(br.read_value(resolved))
+        if r.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return schema, records
+
+
+# ---------------------------------------------------------------- encoding
+
+
+class _Writer:
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = io.BytesIO()
+
+    def write(self, b: bytes) -> None:
+        self.out.write(b)
+
+    def write_long(self, v: int) -> None:
+        v = (v << 1) ^ (v >> 63)  # zigzag
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.write(bytes((b | 0x80,)))
+            else:
+                self.out.write(bytes((b,)))
+                break
+
+    def write_bytes(self, b: bytes) -> None:
+        self.write_long(len(b))
+        self.out.write(b)
+
+    def write_value(self, schema: Any, value: Any) -> None:
+        if isinstance(schema, str):
+            t = schema
+        elif isinstance(schema, list):
+            idx = _union_branch(schema, value)
+            self.write_long(idx)
+            self.write_value(schema[idx], value)
+            return
+        else:
+            t = schema["type"]
+
+        if t == "null":
+            return
+        if t == "boolean":
+            self.out.write(b"\x01" if value else b"\x00")
+        elif t in ("int", "long"):
+            self.write_long(int(value))
+        elif t == "float":
+            self.out.write(struct.pack("<f", value))
+        elif t == "double":
+            self.out.write(struct.pack("<d", value))
+        elif t == "bytes":
+            self.write_bytes(bytes(value))
+        elif t == "string":
+            self.write_bytes(value.encode("utf-8"))
+        elif t == "record":
+            for f in schema["fields"]:
+                try:
+                    self.write_value(f["type"], value.get(f["name"]))
+                except Exception as e:  # annotate path for debuggability
+                    raise ValueError(f"field {schema['name']}.{f['name']}: {e}") from e
+        elif t == "array":
+            if value:
+                self.write_long(len(value))
+                for item in value:
+                    self.write_value(schema["items"], item)
+            self.write_long(0)
+        elif t == "map":
+            if value:
+                self.write_long(len(value))
+                for k, v in value.items():
+                    self.write_bytes(str(k).encode("utf-8"))
+                    self.write_value(schema["values"], v)
+            self.write_long(0)
+        elif t == "fixed":
+            assert len(value) == schema["size"]
+            self.out.write(bytes(value))
+        elif t == "enum":
+            self.write_long(schema["symbols"].index(value))
+        else:
+            raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def _union_branch(schemas: list, value: Any) -> int:
+    def kind(s: Any) -> str:
+        return s if isinstance(s, str) else s["type"]
+
+    if value is None:
+        for i, s in enumerate(schemas):
+            if kind(s) == "null":
+                return i
+        raise ValueError("null not allowed by union")
+    for i, s in enumerate(schemas):
+        if kind(s) != "null":
+            return i  # Iceberg unions are always [null, X] or [X, null]
+    raise ValueError("no non-null branch in union")
+
+
+def write_avro(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    metadata: dict[str, str] | None = None,
+    codec: str = "deflate",
+) -> None:
+    """Write records to an Avro container file (atomic: tmp + rename)."""
+    w = _Writer()
+    w.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    for k, v in (metadata or {}).items():
+        meta[k] = v.encode() if isinstance(v, str) else v
+    w.write_value({"type": "map", "values": "bytes"}, meta)
+    sync = os.urandom(16)
+    w.write(sync)
+    if records:
+        resolved = _resolve_named(schema)
+        bw = _Writer()
+        for rec in records:
+            bw.write_value(resolved, rec)
+        block = bw.out.getvalue()
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            block = co.compress(block) + co.flush()
+        w.write_long(len(records))
+        w.write_long(len(block))
+        w.write(block)
+        w.write(sync)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(w.out.getvalue())
+    os.replace(tmp, path)

@@ -1,0 +1,464 @@
+"""IcebergTable: snapshot-pinned reads into Spark DataFrames, metadata
+inspection tables, and time travel.
+
+Read lifecycle parity (/root/reference/icelake/src/table.rs:247-304,
+io/scan.rs:60-194): catalog resolve → snapshot → manifest list →
+manifests → live DataFiles → pruned, projected Parquet scan. Planning is
+driver-side Python (manifests are small); the scan itself is Spark's
+vectorized Parquet reader — the only distributed boundary.
+
+Merge-on-read (SURVEY §2.2 P5, §2.3 J3/J4): position deletes are applied
+with an anti-join on (file_path, _metadata.row_index); equality deletes
+with an anti-join on the equality-id columns gated by sequence number.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .types.datatypes import PrimitiveType, Schema
+from .types.manifest import (
+    CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    DataFile,
+    ManifestEntry,
+    read_manifest,
+    read_manifest_list,
+)
+from .types.metadata import MAIN_BRANCH, Snapshot, TableMetadata
+from .types.transforms import apply_transform_py
+
+if TYPE_CHECKING:
+    from .catalog.storage import StorageCatalog
+
+
+def _local(path: str) -> str:
+    """Normalize file URIs and reference-era absolute paths to local paths.
+
+    Golden tables carry paths from the environment that wrote them (e.g.
+    /opt/bitnami/spark/warehouse/...); we re-root them at the table dir.
+    """
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+@dataclass
+class FileScanTask:
+    data_file: DataFile
+    sequence_number: int
+    spec_id: int
+
+
+@dataclass
+class DeleteFileTask:
+    delete_file: DataFile
+    sequence_number: int
+
+
+class IcebergTable:
+    def __init__(self, path: str, metadata: TableMetadata, current_version: int = 1,
+                 catalog: "StorageCatalog | None" = None, identifier: str = ""):
+        self.path = path
+        self.metadata = metadata
+        self.current_version = current_version
+        self.catalog = catalog
+        self.identifier = identifier
+
+    # ---------------------------------------------------------- loading
+
+    @classmethod
+    def load(cls, path: str) -> "IcebergTable":
+        from .catalog.storage import load_metadata
+
+        metadata, version = load_metadata(path)
+        return cls(path, metadata, current_version=version)
+
+    def refresh(self) -> "IcebergTable":
+        from .catalog.storage import load_metadata
+
+        self.metadata, self.current_version = load_metadata(self.path)
+        return self
+
+    def schema(self) -> Schema:
+        return self.metadata.current_schema()
+
+    # ------------------------------------------------------ path fixups
+
+    def _resolve(self, path: str) -> str:
+        """Map a metadata-recorded absolute path into this table's dir."""
+        p = _local(path)
+        if os.path.exists(p):
+            return p
+        # re-root: .../<something>/{data|metadata}/... → table_path/...
+        for marker in ("/data/", "/metadata/"):
+            i = p.rfind(marker)
+            if i >= 0:
+                candidate = os.path.join(self.path, p[i + 1 :])
+                if os.path.exists(candidate):
+                    return candidate
+        return p
+
+    # ------------------------------------------------------- snapshots
+
+    def current_snapshot(self) -> Snapshot | None:
+        return self.metadata.current_snapshot()
+
+    def snapshot(self, snapshot_id: int | None = None, as_of_ms: int | None = None,
+                 ref: str | None = None) -> Snapshot | None:
+        if snapshot_id is not None:
+            return self.metadata.snapshot_by_id(snapshot_id)
+        if as_of_ms is not None:
+            return self.metadata.snapshot_as_of(as_of_ms)
+        if ref is not None:
+            s = self.metadata.snapshot_by_ref(ref)
+            if s is None:
+                raise KeyError(f"ref {ref!r} not found")
+            return s
+        return self.current_snapshot()
+
+    # ---------------------------------------------------------- planning
+
+    def _manifest_entries(self, snapshot: Snapshot) -> tuple[list[FileScanTask], list[DeleteFileTask], list[DeleteFileTask]]:
+        """snapshot → (data tasks, position-delete tasks, equality-delete
+        tasks), skipping status=Deleted entries.
+
+        Mirrors Table::data_files_of_snapshot (table.rs:281-304) extended
+        with delete manifests (content=deletes).
+        """
+        data: list[FileScanTask] = []
+        pos_deletes: list[DeleteFileTask] = []
+        eq_deletes: list[DeleteFileTask] = []
+        if snapshot is None:
+            return data, pos_deletes, eq_deletes
+        ml_path = self._resolve(snapshot.manifest_list)
+        for mle in read_manifest_list(ml_path):
+            m_path = self._resolve(mle.manifest_path)
+            _, entries = read_manifest(m_path)
+            for e in entries:
+                if not e.is_alive:
+                    continue
+                # v2 sequence-number inheritance: null seq on an ADDED entry
+                # inherits the manifest-list entry's sequence number
+                seq = e.sequence_number
+                if seq is None:
+                    seq = mle.sequence_number
+                df = e.data_file
+                df.file_path = self._resolve(df.file_path)
+                if df.content == CONTENT_DATA:
+                    data.append(FileScanTask(df, seq, mle.partition_spec_id))
+                elif df.content == CONTENT_POSITION_DELETES:
+                    pos_deletes.append(DeleteFileTask(df, seq))
+                elif df.content == CONTENT_EQUALITY_DELETES:
+                    eq_deletes.append(DeleteFileTask(df, seq))
+        return data, pos_deletes, eq_deletes
+
+    def new_scan(self, **kwargs) -> "TableScan":
+        return TableScan(self, **kwargs)
+
+    def to_df(self, spark: SparkSession, columns: list[str] | None = None,
+              **scan_kwargs) -> DataFrame:
+        return self.new_scan(columns=columns, **scan_kwargs).to_df(spark)
+
+    # ------------------------------------------------- inspection tables
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (s.snapshot_id, s.parent_snapshot_id, s.timestamp_ms, s.sequence_number,
+             s.summary.get("operation", "append"), s.manifest_list)
+            for s in self.metadata.snapshots
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, committed_at_ms long, "
+                  "sequence_number long, operation string, manifest_list string")
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(h["timestamp-ms"], h["snapshot-id"]) for h in self.metadata.snapshot_log]
+        return spark.createDataFrame(rows, "made_current_at_ms long, snapshot_id long")
+
+    def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        data, pos, eq = self._manifest_entries(snap) if snap else ([], [], [])
+        rows = []
+        for t in data + pos + eq:  # type: ignore[operator]
+            df = t.data_file if isinstance(t, FileScanTask) else t.delete_file
+            rows.append((df.content, df.file_path, df.file_format,
+                         str(df.partition), df.record_count, df.file_size_in_bytes))
+        return spark.createDataFrame(
+            rows, "content int, file_path string, file_format string, "
+                  "partition string, record_count long, file_size_in_bytes long")
+
+    def partitions_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        data, _, _ = self._manifest_entries(snap) if snap else ([], [], [])
+        agg: dict[str, list[int]] = {}
+        for t in data:
+            key = str(sorted(t.data_file.partition.items()))
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += t.data_file.record_count
+            cur[1] += 1
+        rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
+        return spark.createDataFrame(rows, "partition string, record_count long, file_count long")
+
+    def manifests_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        rows = []
+        if snap:
+            for mle in read_manifest_list(self._resolve(snap.manifest_list)):
+                rows.append((mle.manifest_path, mle.manifest_length, mle.partition_spec_id,
+                             mle.content, mle.added_snapshot_id, mle.added_files_count,
+                             mle.existing_files_count, mle.deleted_files_count))
+        return spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int, content int, "
+                  "added_snapshot_id long, added_data_files_count int, "
+                  "existing_data_files_count int, deleted_data_files_count int")
+
+    # ------------------------------------------------------------ write
+
+    def append(self, df: DataFrame, **kwargs) -> None:
+        from .write import append as _append
+
+        _append(self, df, **kwargs)
+
+    def overwrite_all(self, df: DataFrame, **kwargs) -> None:
+        from .write import overwrite_all as _ow
+
+        _ow(self, df, **kwargs)
+
+    def delete_where(self, spark: SparkSession, condition: str) -> None:
+        from .maintenance import delete_where as _dw
+
+        _dw(self, spark, condition)
+
+    def upsert(self, df: DataFrame, **kwargs) -> None:
+        from .delta import upsert as _upsert
+
+        _upsert(self, df, **kwargs)
+
+    def merge_delta(self, df: DataFrame, op_col: str = "_op", **kwargs) -> None:
+        from .delta import merge_delta as _md
+
+        _md(self, df, op_col=op_col, **kwargs)
+
+
+class TableScan:
+    """Snapshot-pinned scan with projection, partition pruning, and
+    min/max stats pruning (TableScanBuilder parity, io/scan.rs:29-141).
+    """
+
+    def __init__(self, table: IcebergTable, columns: list[str] | None = None,
+                 snapshot_id: int | None = None, as_of_ms: int | None = None,
+                 ref: str | None = None,
+                 partition_filter: dict[str, Any] | None = None,
+                 filter: str | None = None,
+                 apply_deletes: bool = True):
+        self.table = table
+        self.columns = columns
+        self.snapshot_id = snapshot_id
+        self.as_of_ms = as_of_ms
+        self.ref = ref
+        self.partition_filter = partition_filter
+        self.filter = filter
+        self.apply_deletes = apply_deletes
+
+    # ----------------------------------------------------------- planning
+
+    def plan_files(self) -> tuple[list[FileScanTask], list[DeleteFileTask], list[DeleteFileTask]]:
+        snap = self.table.snapshot(self.snapshot_id, self.as_of_ms, self.ref)
+        data, pos, eq = self.table._manifest_entries(snap)
+        if self.partition_filter:
+            data = [t for t in data if self._partition_match(t)]
+        if self.filter:
+            data = self._prune_by_stats(data)
+        return data, pos, eq
+
+    def _partition_match(self, task: FileScanTask) -> bool:
+        """Exact partition-tuple filter (io/scan.rs:120-122), with source-
+        value convenience: filter values are transformed before compare."""
+        spec = self.table.metadata.spec_by_id(task.spec_id)
+        schema = self.table.schema()
+        for pf in spec.fields:
+            if pf.name in self.partition_filter:
+                want = self.partition_filter[pf.name]
+                got = task.data_file.partition.get(pf.name)
+                if got != want:
+                    return False
+            else:
+                src = schema.field_by_id(pf.source_column_id)
+                if src and src.name in self.partition_filter:
+                    src_t = src.field_type
+                    want = apply_transform_py(pf.transform,
+                                              self.partition_filter[src.name], src_t)
+                    if task.data_file.partition.get(pf.name) != want:
+                        return False
+        return True
+
+    _OPS = ("<=", ">=", "!=", "=", "<", ">")
+
+    def _prune_by_stats(self, tasks: list[FileScanTask]) -> list[FileScanTask]:
+        """File skipping on lower/upper bounds for simple `col OP literal`
+        conjuncts of the filter (zone-map pruning, SURVEY §4). Anything we
+        cannot parse is ignored — Catalyst still applies the full filter
+        in-file, so pruning here is purely an optimization."""
+        import re as _re
+
+        schema = self.table.schema()
+        conjuncts = [c.strip() for c in _re.split(r"(?i)\s+and\s+", self.filter or "")]
+        preds = []
+        for c in conjuncts:
+            m = _re.match(r"^(\w+)\s*(<=|>=|!=|=|==|<|>)\s*(.+)$", c)
+            if not m:
+                continue
+            col, op, lit = m.group(1), m.group(2).replace("==", "="), m.group(3).strip()
+            f = schema.field_by_name(col)
+            if f is None or not isinstance(f.field_type, PrimitiveType):
+                continue
+            val = _parse_literal(lit, f.field_type)
+            if val is None:
+                continue
+            preds.append((f.field_id, op, val, f.field_type))
+        if not preds:
+            return tasks
+        out = []
+        for t in tasks:
+            lo = t.data_file.decoded_bounds(schema, "lower")
+            hi = t.data_file.decoded_bounds(schema, "upper")
+            keep = True
+            for fid, op, val, _ft in preds:
+                lo_v, hi_v = lo.get(fid), hi.get(fid)
+                if lo_v is None or hi_v is None:
+                    continue
+                if op in ("=",) and (val < lo_v or val > hi_v):
+                    keep = False
+                elif op == "<" and lo_v >= val:
+                    keep = False
+                elif op == "<=" and lo_v > val:
+                    keep = False
+                elif op == ">" and hi_v <= val:
+                    keep = False
+                elif op == ">=" and hi_v < val:
+                    keep = False
+                if not keep:
+                    break
+            if keep:
+                out.append(t)
+        return out
+
+    # ---------------------------------------------------------- execution
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        data, pos, eq = self.plan_files()
+        schema = self.table.schema()
+        spark_schema = schema.to_spark()
+        if not data:
+            df = spark.createDataFrame([], spark_schema)
+            return df.select(*self.columns) if self.columns else df
+
+        need_mor = self.apply_deletes and (pos or eq)
+        paths = [t.data_file.file_path for t in data]
+        reader = spark.read.schema(spark_schema)
+        df = reader.parquet(*paths)
+
+        if need_mor:
+            df = self._apply_deletes(spark, df, data, pos, eq)
+
+        if self.filter:
+            df = df.where(self.filter)
+        if self.columns:
+            df = df.select(*self.columns)
+        return df
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       data: list[FileScanTask], pos: list[DeleteFileTask],
+                       eq: list[DeleteFileTask]) -> DataFrame:
+        """MoR: anti-join out deleted rows.
+
+        - position deletes (J4): (file_path, pos) pairs, applied to data
+          files with data_seq <= delete_seq;
+        - equality deletes (J3): key tuples, applied to data files with
+          data_seq < delete_seq (strictly older data).
+        Row position uses _metadata.row_index (stable, no per-file sort).
+        Both delete sides are broadcast — delete files are small relative
+        to data by construction.
+        """
+        norm = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
+        df = df.withColumn("__file", norm).withColumn("__pos", F.col("_metadata.row_index"))
+
+        # data-file sequence numbers via a tiny broadcast map
+        seq_rows = [(t.data_file.file_path, t.sequence_number) for t in data]
+        seq_df = spark.createDataFrame(seq_rows, "__file string, __data_seq long")
+        df = df.join(F.broadcast(seq_df), on="__file", how="left")
+
+        if pos:
+            pd_paths = [t.delete_file.file_path for t in pos]
+            # delete-file seq per source parquet file
+            pseq = spark.createDataFrame(
+                [(t.delete_file.file_path, t.sequence_number) for t in pos],
+                "__src string, __del_seq long")
+            pos_df = (spark.read.parquet(*pd_paths)
+                      .withColumn("__src", F.regexp_replace(
+                          F.col("_metadata.file_path"), r"^file:/*", "/"))
+                      .select(F.regexp_replace(F.col("file_path"), r"^file:/*", "/")
+                              .alias("__del_file"),
+                              F.col("pos").alias("__del_pos"), "__src")
+                      .join(F.broadcast(pseq), on="__src", how="left")
+                      .select("__del_file", "__del_pos", "__del_seq"))
+            cond = ((df["__file"] == pos_df["__del_file"])
+                    & (df["__pos"] == pos_df["__del_pos"])
+                    & (df["__data_seq"] <= pos_df["__del_seq"]))
+            df = df.join(F.broadcast(pos_df), on=cond, how="left_anti")
+
+        for task in eq:
+            eq_ids = task.delete_file.equality_ids or []
+            schema = self.table.schema()
+            key_cols = [schema.name_by_id(fid) for fid in eq_ids]
+            if not key_cols or any(c is None for c in key_cols):
+                continue
+            del_df = (spark.read.parquet(task.delete_file.file_path)
+                      .select(*key_cols).dropDuplicates(key_cols))
+            renamed = del_df.select(*[F.col(c).alias(f"__eq_{c}") for c in key_cols])
+            cond = None
+            for c in key_cols:
+                clause = df[c].eqNullSafe(renamed[f"__eq_{c}"])
+                cond = clause if cond is None else (cond & clause)
+            cond = cond & (df["__data_seq"] < F.lit(task.sequence_number))
+            df = df.join(F.broadcast(renamed), on=cond, how="left_anti")
+
+        return df.drop("__file", "__pos", "__data_seq")
+
+
+def _parse_literal(lit: str, t: PrimitiveType) -> Any:
+    import datetime as dt
+    from decimal import Decimal as _D
+
+    lit = lit.strip().strip("'\"")
+    try:
+        n = t.name
+        if n in ("int", "long"):
+            return int(lit)
+        if n in ("float", "double"):
+            return float(lit)
+        if n == "decimal":
+            return _D(lit)
+        if n == "string":
+            return lit
+        if n == "date":
+            return dt.date.fromisoformat(lit)
+        if n in ("timestamp", "timestamptz"):
+            v = dt.datetime.fromisoformat(lit)
+            if n == "timestamptz" and v.tzinfo is None:
+                v = v.replace(tzinfo=dt.timezone.utc)
+            return v
+        if n == "boolean":
+            return lit.lower() == "true"
+    except (ValueError, ArithmeticError):
+        return None
+    return None
