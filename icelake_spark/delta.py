@@ -1,0 +1,169 @@
+"""CDC merge / upsert: batch formulation of the reference's equality-
+delta writer, plus position/equality delete-file writers.
+
+Parity targets:
+- EqualityDeltaWriter (W7): /root/reference/icelake/src/io_v2/
+  functional_writer/equality_delta_writer.rs:95-263 — INSERT records a
+  key, duplicate key supersedes the prior row, DELETE of an in-batch key
+  removes it, DELETE of an older key emits an equality-delete row;
+- UpsertWriter (W8): io/functional_writer/upsert_writer.rs:25-220 —
+  ops column (1=INSERT, 2=DELETE);
+- PositionDeleteWriter (W2) sorted flush: io/file_writer/
+  position_delete_writer.rs:14-178 (spec: sorted by file, pos);
+- EqualityDeleteWriter (W3): io_v2/base_writer/equality_delete_writer.rs.
+
+Spark formulation (SURVEY §2.3 J2/J3): instead of a per-writer in-memory
+key→(file,pos) map (unbounded at scale), in-batch last-wins is a window
+over a monotonic `_seq`; the final state is identical — superseded rows
+are simply never written, rather than written-then-position-deleted.
+Cross-snapshot deletes become equality-delete files applied at read time
+by sequence number. This keeps the whole merge distributed: one shuffle
+by key, no driver state.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .types.datatypes import Schema
+from .types.manifest import (
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    DataFile,
+)
+
+OP_INSERT = 1
+OP_DELETE = 2
+
+
+def _write_small_parquet(table, df: DataFrame, content: int,
+                         equality_ids: list[int] | None = None,
+                         sort_cols: list[str] | None = None) -> list[DataFile]:
+    """Write a delete-file DataFrame under data/ and build its DataFile."""
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(table.path, "data", f"del-{uuid.uuid4().hex[:16]}")
+    if sort_cols:
+        # spec: position deletes must be sorted by (file_path, pos)
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.parquet(stage)
+    files = []
+    for root, _d, names in os.walk(stage):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                md = pq.read_metadata(p)
+                if md.num_rows == 0:
+                    continue
+                files.append(DataFile(
+                    file_path=os.path.abspath(p),
+                    partition={},
+                    record_count=md.num_rows,
+                    file_size_in_bytes=os.path.getsize(p),
+                    content=content,
+                    equality_ids=equality_ids,
+                ))
+    return files
+
+
+def write_position_delete_files(table, deletes: DataFrame) -> list[DataFile]:
+    """deletes: DataFrame(file_path string, pos long). Sorted per spec."""
+    df = deletes.select(
+        F.col("file_path").cast("string"), F.col("pos").cast("long"))
+    # global sort by (file, pos) mirrors SortedPositionDeleteWriter (O1)
+    df = df.repartition("file_path").sortWithinPartitions("file_path", "pos")
+    return _write_small_parquet(table, df, CONTENT_POSITION_DELETES)
+
+
+def write_equality_delete_files(table, keys: DataFrame,
+                                key_cols: list[str]) -> list[DataFile]:
+    schema = table.schema()
+    eq_ids = [schema.field_by_name(c).field_id for c in key_cols]
+    df = keys.select(*key_cols).dropDuplicates(key_cols)
+    return _write_small_parquet(table, df, CONTENT_EQUALITY_DELETES,
+                                equality_ids=eq_ids)
+
+
+def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
+                op_col: str = "_op", **write_kwargs) -> None:
+    """One CDC batch: rows tagged OP_INSERT/OP_DELETE in `op_col`, applied
+    in row order (a monotonic _seq breaks ties within the batch).
+
+    Equivalent to DeltaWriter::write(ops, batch) + commit
+    (/root/reference/icelake/src/io_v2/input_wrapper.rs:12-97 and
+    tests/delta_test_v2.rs:209-226).
+    """
+    from .transaction import Transaction
+    from .write import write_data_files
+
+    schema = table.schema()
+    if key_cols is None:
+        key_cols = [schema.name_by_id(fid) for fid in schema.identifier_field_ids]
+    if not key_cols:
+        raise ValueError("merge_delta requires key columns "
+                         "(identifier_field_ids or key_cols=)")
+
+    df = df.withColumn("__seq", F.monotonically_increasing_id())
+    w_key = Window.partitionBy(*key_cols)
+
+    # last event per key within the batch decides survival
+    last = df.withColumn("__rn", F.row_number().over(
+        w_key.orderBy(F.desc("__seq")))).where(F.col("__rn") == 1)
+    inserts = (last.where(F.col(op_col) == OP_INSERT)
+               .drop("__seq", "__rn", op_col))
+
+    # every key that saw a DELETE needs an equality delete against
+    # prior snapshots (J3; same-sequence data is unaffected by spec rule
+    # data_seq < delete_seq, so this cannot cancel this batch's inserts)
+    deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
+                    .select(*key_cols).dropDuplicates(key_cols))
+    # keys being re-inserted also supersede prior snapshots' rows
+    upserted_keys = inserts.select(*key_cols).dropDuplicates(key_cols)
+    eq_keys = deleted_keys.unionByName(upserted_keys).dropDuplicates(key_cols)
+
+    tx = Transaction(table)
+    n_inserts = inserts.take(1)
+    if n_inserts:
+        tx.add_data_files(write_data_files(table, inserts, **write_kwargs))
+    if eq_keys.take(1):
+        tx.add_delete_files(write_equality_delete_files(table, eq_keys, key_cols))
+    tx.commit("overwrite" if table.current_snapshot() else "append")
+
+
+def upsert(table, df: DataFrame, key_cols: list[str] | None = None,
+           **write_kwargs) -> None:
+    """INSERT-or-REPLACE by key: all rows are upserts (W8 with all-INSERT
+    ops); prior rows with matching keys are equality-deleted."""
+    merge_delta(table, df.withColumn("_op", F.lit(OP_INSERT)),
+                key_cols=key_cols, op_col="_op", **write_kwargs)
+
+
+def delete_rows(table, spark, condition: str) -> None:
+    """Row-level MoR DELETE WHERE: emit position-delete files for matching
+    rows (J4 write side); no data files rewritten."""
+    from .transaction import Transaction
+
+    scan = table.new_scan(apply_deletes=True)
+    df = scan.to_df(spark)
+    # recompute file/pos on the raw scan (to_df drops the internals)
+    data, _pos, _eq = scan.plan_files()
+    if not data:
+        return
+    spark_schema = table.schema().to_spark()
+    raw = spark.read.schema(spark_schema).parquet(
+        *[t.data_file.file_path for t in data])
+    matches = (raw.where(condition)
+               .select(F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
+                       .alias("file_path"),
+                       F.col("_metadata.row_index").alias("pos")))
+    if not matches.take(1):
+        return
+    files = write_position_delete_files(table, matches)
+    tx = Transaction(table)
+    tx.add_delete_files(files)
+    tx.commit("delete")

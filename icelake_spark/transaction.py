@@ -1,0 +1,232 @@
+"""Transactional commits: buffer file operations, write manifests +
+manifest list, produce a new snapshot, atomically swap metadata.
+
+Parity target: /root/reference/icelake/src/transaction.rs
+- op buffering :17-65, commit :66-104, manifest production :127-200,
+  manifest-list union :229-246, next ids :164-169, snapshot :264-288;
+- snapshot summary arithmetic: SnapshotSummaryBuilder,
+  /root/reference/icelake/src/types/in_memory.rs:2162-2339;
+- operation classification (append/overwrite/delete/replace):
+  in_memory.rs:2219-2240.
+All driver-side: manifests are KB-scale Avro; no Spark job involved.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from .types.manifest import (
+    CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    DataFile,
+    MANIFEST_CONTENT_DATA,
+    MANIFEST_CONTENT_DELETES,
+    ManifestEntry,
+    STATUS_ADDED,
+    STATUS_DELETED,
+    STATUS_EXISTING,
+    read_manifest,
+    read_manifest_list,
+    write_manifest,
+    write_manifest_list,
+)
+from .types.metadata import Snapshot
+
+
+class Transaction:
+    def __init__(self, table):
+        self.table = table
+        self._added_data: list[DataFile] = []
+        self._added_deletes: list[DataFile] = []
+        self._removed_paths: set[str] = set()
+        self._remove_all = False
+
+    # ------------------------------------------------------------- ops
+
+    def add_data_files(self, files: list[DataFile]) -> "Transaction":
+        self._added_data.extend(files)
+        return self
+
+    def add_delete_files(self, files: list[DataFile]) -> "Transaction":
+        """Position- or equality-delete files (content already stamped)."""
+        self._added_deletes.extend(files)
+        return self
+
+    def remove_data_files(self, paths: list[str]) -> "Transaction":
+        self._removed_paths.update(os.path.abspath(p) for p in paths)
+        return self
+
+    def remove_all_existing(self) -> "Transaction":
+        self._remove_all = True
+        return self
+
+    # ---------------------------------------------------------- commit
+
+    def commit(self, operation: str | None = None) -> Snapshot:
+        table = self.table
+        metadata = table.metadata
+        meta_dir = os.path.join(table.path, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+
+        parent = metadata.current_snapshot()
+        snapshot_id = (parent.snapshot_id + 1) if parent else 1  # transaction.rs:164-169
+        seq = metadata.last_sequence_number + 1
+        schema = metadata.current_schema()
+        spec = metadata.default_spec()
+        commit_uuid = str(uuid.uuid4())
+
+        if operation is None:
+            operation = self._classify()
+
+        new_list_entries = []
+        removed_count = removed_rows = removed_size = 0
+        rewrite = self._remove_all or bool(self._removed_paths)
+
+        # carry forward previous manifests; rewrite them when removing files
+        prev_entries = []
+        if parent:
+            prev_entries = read_manifest_list(table._resolve(parent.manifest_list))
+        if not rewrite:
+            new_list_entries.extend(prev_entries)
+        else:
+            survivors: list[ManifestEntry] = []
+            delete_manifests_kept = []
+            for mle in prev_entries:
+                if mle.content == MANIFEST_CONTENT_DELETES:
+                    # a full rewrite (replace/overwrite-all) materializes
+                    # all deletes into the new files — drop the manifests
+                    if not self._remove_all:
+                        delete_manifests_kept.append(mle)
+                    continue
+                _, entries = read_manifest(table._resolve(mle.manifest_path))
+                for e in entries:
+                    if not e.is_alive:
+                        continue
+                    e.data_file.file_path = table._resolve(e.data_file.file_path)
+                    dropped = self._remove_all or (
+                        os.path.abspath(e.data_file.file_path) in self._removed_paths)
+                    if dropped:
+                        removed_count += 1
+                        removed_rows += e.data_file.record_count
+                        removed_size += e.data_file.file_size_in_bytes
+                    else:
+                        seq_keep = e.sequence_number if e.sequence_number is not None else mle.sequence_number
+                        survivors.append(ManifestEntry(
+                            status=STATUS_EXISTING, data_file=e.data_file,
+                            snapshot_id=e.snapshot_id, sequence_number=seq_keep,
+                            file_sequence_number=e.file_sequence_number))
+            new_list_entries.extend(delete_manifests_kept)
+            if survivors:
+                m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+                mle = write_manifest(m_path, survivors, spec, schema, snapshot_id,
+                                     metadata.format_version, MANIFEST_CONTENT_DATA)
+                mle.sequence_number = seq
+                mle.min_sequence_number = min(
+                    (e.sequence_number or seq for e in survivors), default=seq)
+                new_list_entries.append(mle)
+
+        # new data manifest
+        if self._added_data:
+            entries = [ManifestEntry(STATUS_ADDED, f, snapshot_id, seq)
+                       for f in self._added_data]
+            m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+            mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
+                                 metadata.format_version, MANIFEST_CONTENT_DATA)
+            mle.sequence_number = seq
+            mle.min_sequence_number = seq
+            new_list_entries.append(mle)
+
+        # new delete manifest (position + equality files together)
+        if self._added_deletes:
+            entries = [ManifestEntry(STATUS_ADDED, f, snapshot_id, seq)
+                       for f in self._added_deletes]
+            m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+            mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
+                                 metadata.format_version, MANIFEST_CONTENT_DELETES)
+            mle.sequence_number = seq
+            mle.min_sequence_number = seq
+            new_list_entries.append(mle)
+
+        # manifest list
+        ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+        write_manifest_list(ml_path, new_list_entries, snapshot_id,
+                            parent.snapshot_id if parent else None, seq,
+                            metadata.format_version)
+
+        summary = self._summary(operation, parent, removed_count, removed_rows, removed_size)
+        snapshot = Snapshot(
+            snapshot_id=snapshot_id,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            sequence_number=seq,
+            timestamp_ms=int(time.time() * 1000),
+            manifest_list=ml_path,
+            summary=summary,
+            schema_id=schema.schema_id,
+        )
+        new_metadata = metadata.with_snapshot(snapshot)
+
+        if table.catalog is not None:
+            version = table.catalog.update_table(table.path, table.current_version,
+                                                 new_metadata)
+        else:
+            from .catalog.storage import commit_metadata
+
+            version = commit_metadata(table.path, new_metadata,
+                                      table.current_version + 1)
+        table.metadata = new_metadata
+        table.current_version = version
+        return snapshot
+
+    # --------------------------------------------------------- internal
+
+    def _classify(self) -> str:
+        has_adds = bool(self._added_data or self._added_deletes)
+        has_removes = self._remove_all or bool(self._removed_paths)
+        if has_adds and has_removes:
+            return "overwrite"
+        if has_removes:
+            return "delete"
+        return "append"
+
+    def _summary(self, operation: str, parent: Snapshot | None,
+                 removed_count: int, removed_rows: int, removed_size: int) -> dict[str, str]:
+        prev = parent.summary if parent else {}
+
+        def prev_i(key: str) -> int:
+            try:
+                return int(prev.get(key, 0))
+            except (TypeError, ValueError):
+                return 0
+
+        add_data = [f for f in self._added_data]
+        add_pos = [f for f in self._added_deletes if f.content == CONTENT_POSITION_DELETES]
+        add_eq = [f for f in self._added_deletes if f.content == CONTENT_EQUALITY_DELETES]
+        added_records = sum(f.record_count for f in add_data)
+        added_size = sum(f.file_size_in_bytes for f in add_data) + sum(
+            f.file_size_in_bytes for f in self._added_deletes)
+        s = {
+            "operation": operation,
+            "added-data-files": str(len(add_data)),
+            "added-records": str(added_records),
+            "added-files-size": str(added_size),
+            "total-data-files": str(prev_i("total-data-files") + len(add_data) - removed_count),
+            "total-records": str(prev_i("total-records") + added_records - removed_rows),
+            "total-files-size": str(prev_i("total-files-size") + added_size - removed_size),
+            "total-delete-files": str(prev_i("total-delete-files") + len(self._added_deletes)),
+            "total-position-deletes": str(
+                prev_i("total-position-deletes") + sum(f.record_count for f in add_pos)),
+            "total-equality-deletes": str(
+                prev_i("total-equality-deletes") + sum(f.record_count for f in add_eq)),
+        }
+        if self._added_deletes:
+            s["added-delete-files"] = str(len(self._added_deletes))
+            s["added-position-deletes"] = str(sum(f.record_count for f in add_pos))
+            s["added-equality-deletes"] = str(sum(f.record_count for f in add_eq))
+        if removed_count:
+            s["deleted-data-files"] = str(removed_count)
+            s["deleted-records"] = str(removed_rows)
+            s["removed-files-size"] = str(removed_size)
+        return s

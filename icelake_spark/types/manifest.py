@@ -16,7 +16,7 @@ from typing import Any
 
 from .. import avro_io
 from .datatypes import PrimitiveType, Schema, decode_bound, type_to_json
-from .metadata import PartitionSpec
+from .metadata import PartitionField, PartitionSpec
 
 # manifest entry status
 STATUS_EXISTING = 0
@@ -266,6 +266,74 @@ def manifest_list_avro_schema(format_version: int = 2) -> dict:
     return {"type": "record", "name": "manifest_file", "fields": fields}
 
 
+# ---------------------------------------------- partition value conversion
+
+
+def _pv_to_avro(v: Any, t: PrimitiveType) -> Any:
+    """python-native partition value → avro-encodable primitive."""
+    import datetime as dt
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    n = t.name
+    if n == "date":
+        return (v - dt.date(1970, 1, 1)).days if isinstance(v, dt.date) else int(v)
+    if n in ("timestamp", "timestamptz"):
+        if isinstance(v, dt.datetime):
+            epoch = (dt.datetime(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo
+                     else dt.datetime(1970, 1, 1))
+            return round((v - epoch).total_seconds() * 1_000_000)
+        return int(v)
+    if n == "decimal":
+        unscaled = int(Decimal(v).scaleb(t.scale).to_integral_value())
+        size = (t.precision // 2) + 1
+        return unscaled.to_bytes(size, "big", signed=True)
+    if n == "time":
+        if isinstance(v, dt.time):
+            return (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond
+        return int(v)
+    if n == "uuid":
+        import uuid as _u
+
+        return _u.UUID(str(v)).bytes if not isinstance(v, bytes) else v
+    return v
+
+
+def _pv_from_avro(v: Any, t: PrimitiveType) -> Any:
+    import datetime as dt
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    n = t.name
+    if n == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+    if n == "timestamp":
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
+    if n == "timestamptz":
+        return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(microseconds=v)
+    if n == "decimal":
+        return Decimal(int.from_bytes(v, "big", signed=True)).scaleb(-t.scale)
+    if n == "uuid":
+        import uuid as _u
+
+        return str(_u.UUID(bytes=bytes(v)))
+    if n in ("float",):
+        return float(v)
+    return v
+
+
+def _partition_result_types(spec: PartitionSpec, schema: Schema) -> dict[str, PrimitiveType]:
+    from .transforms import transform_result_type
+
+    out = {}
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_column_id)
+        out[pf.name] = transform_result_type(pf.transform, src.field_type if src else None)
+    return out
+
+
 # ------------------------------------------------------------------- read
 
 
@@ -316,14 +384,29 @@ def read_manifest(path: str) -> tuple[dict, list[ManifestEntry]]:
     meta_raw = r.read_value({"type": "map", "values": "bytes"})
     meta = {k: v.decode("utf-8", "replace") for k, v in meta_raw.items()
             if not k.startswith("avro.")}
+    # partition result types from the header's spec + schema JSON, so
+    # avro-primitive partition values decode back to python-native ones
+    ptypes: dict[str, PrimitiveType] = {}
+    try:
+        if "partition-spec" in meta and "schema" in meta:
+            spec_fields = json.loads(meta["partition-spec"])
+            hdr_schema = Schema.from_json_dict(json.loads(meta["schema"]))
+            spec = PartitionSpec(0, tuple(
+                PartitionField.from_json(f) for f in spec_fields))
+            ptypes = _partition_result_types(spec, hdr_schema)
+    except Exception:
+        ptypes = {}
     _, records = avro_io.read_avro(path)
     entries = []
     for rec in records:
         dfj = rec["data_file"]
+        raw_part = dfj.get("partition") or {}
+        part = {k: (_pv_from_avro(v, ptypes[k]) if k in ptypes else v)
+                for k, v in raw_part.items()}
         df = DataFile(
             file_path=dfj["file_path"],
             file_format=dfj.get("file_format", "PARQUET"),
-            partition=dfj.get("partition") or {},
+            partition=part,
             record_count=dfj.get("record_count", 0),
             file_size_in_bytes=dfj.get("file_size_in_bytes", 0),
             content=dfj.get("content", CONTENT_DATA) or 0,
@@ -372,12 +455,15 @@ def write_manifest(
     on_disk/manifest_file.rs) including the iceberg header metadata keys.
     """
     ptype = partition_avro_type(spec, schema)
+    ptypes = _partition_result_types(spec, schema)
     avro_schema = manifest_entry_avro_schema(ptype, format_version)
     records = []
     counts = {STATUS_ADDED: [0, 0], STATUS_EXISTING: [0, 0], STATUS_DELETED: [0, 0]}
     min_seq = None
     for e in entries:
         df = e.data_file
+        avro_part = {k: (_pv_to_avro(v, ptypes[k]) if k in ptypes else v)
+                     for k, v in (df.partition or {}).items()}
         rec: dict[str, Any] = {
             "status": e.status,
             "snapshot_id": e.snapshot_id,
@@ -385,7 +471,7 @@ def write_manifest(
                 "content": df.content,
                 "file_path": df.file_path,
                 "file_format": df.file_format,
-                "partition": df.partition,
+                "partition": avro_part,
                 "record_count": df.record_count,
                 "file_size_in_bytes": df.file_size_in_bytes,
                 "block_size_in_bytes": 67108864,

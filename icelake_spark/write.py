@@ -1,0 +1,270 @@
+"""Append write path: transform columns → shuffle by partition →
+parquet fan-out → per-file stats → DataFile entries.
+
+Parity targets:
+- writer tree semantics: /root/reference/icelake/src/io_v2/ (SURVEY §2.5)
+  — Spark's shuffle + partitionBy replaces FanoutPartitionedWriter's
+  in-process hashmap (partition_writer.rs:26-122);
+- rolling file split: rolling_writer.rs:59-244 → maxRecordsPerFile;
+- per-file column stats from parquet footers: in_memory.rs:1631-1716
+  (DataFileBuilder) — we read footers with pyarrow in a thread pool;
+- file naming/layout: location_generator.rs — paths are recorded in
+  manifests so the exact names are free; we keep Spark task output names
+  under data/<uuid>/ (hive-style partition dirs when partitioned).
+
+Scale notes: the write itself is fully distributed (one Spark job, no
+driver data movement); only footer reads (~KB each) happen driver-side,
+parallelized over threads. At very large file counts these can move into
+a Spark job over the file list (planner returns a DataFrame) — see
+SURVEY §7 risk 8.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import urllib.parse
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .types.datatypes import PrimitiveType, Schema, encode_bound
+from .types.manifest import CONTENT_DATA, DataFile
+from .types.metadata import PartitionSpec
+from .types.transforms import transform_column, transform_result_type
+
+_PART_PREFIX = "__p_"
+
+
+def partition_columns(spec: PartitionSpec, schema: Schema) -> list:
+    """Build the transform Column expressions for a partition spec."""
+    cols = []
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_column_id)
+        if src is None:
+            raise KeyError(f"partition source field id {pf.source_column_id} not in schema")
+        col = transform_column(pf.transform, F.col(src.name), src.field_type)
+        cols.append(col.alias(_PART_PREFIX + pf.name))
+    return cols
+
+
+def write_data_files(
+    table,
+    df: DataFrame,
+    max_records_per_file: int | None = None,
+    distribution_partitions: int | None = None,
+) -> list[DataFile]:
+    """Distributed write of df as new parquet data files; returns DataFile
+    entries with stats. Does NOT commit — pair with Transaction.
+    """
+    metadata = table.metadata
+    spec = metadata.default_spec()
+    schema = metadata.current_schema()
+    stage = os.path.join(table.path, "data", uuid.uuid4().hex[:16])
+
+    # align column order/types with the table schema
+    df = df.select(*[F.col(f.name) for f in schema.fields])
+
+    writer_df = df
+    pnames: list[str] = []
+    if not spec.is_unpartitioned:
+        pcols = partition_columns(spec, schema)
+        pnames = [_PART_PREFIX + pf.name for pf in spec.fields]
+        writer_df = df.withColumns(dict(zip(pnames, pcols)))
+        # co-locate each partition in one task: hash-shuffle on the
+        # transform values (J1 parity — partition_splitter.rs:145-212).
+        # AQE coalesces small shuffle partitions; pass
+        # distribution_partitions to widen for skew.
+        if distribution_partitions:
+            writer_df = writer_df.repartition(distribution_partitions, *pnames)
+        else:
+            writer_df = writer_df.repartition(*pnames)
+
+    w = writer_df.write.mode("errorifexists")
+    if pnames:
+        w = w.partitionBy(*pnames)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(stage)
+
+    # inventory written files
+    paths = []
+    for root, _dirs, files in os.walk(stage):
+        for name in files:
+            if name.endswith(".parquet"):
+                paths.append(os.path.join(root, name))
+    result_types = {
+        _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
+    }
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        out = list(pool.map(
+            lambda p: _build_data_file(p, stage, schema, result_types), paths))
+    return out
+
+
+def _result_type(pf, schema: Schema) -> PrimitiveType:
+    src = schema.field_by_id(pf.source_column_id)
+    return transform_result_type(pf.transform, src.field_type if src else None)
+
+
+def _parse_hive_value(raw: str, t: PrimitiveType) -> Any:
+    """Parse a hive-style partition-dir value into a python value."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    s = urllib.parse.unquote(raw)
+    n = t.name
+    if n in ("int", "long"):
+        return int(s)
+    if n in ("float", "double"):
+        return float(s)
+    if n == "decimal":
+        return Decimal(s)
+    if n == "boolean":
+        return s.lower() == "true"
+    if n == "date":
+        return dt.date.fromisoformat(s)
+    if n == "timestamp":
+        return dt.datetime.fromisoformat(s)
+    if n == "timestamptz":
+        v = dt.datetime.fromisoformat(s)
+        return v if v.tzinfo else v.replace(tzinfo=dt.timezone.utc)
+    return s  # string / uuid
+
+
+def _build_data_file(path: str, stage: str, schema: Schema,
+                     result_types: dict[str, tuple[str, PrimitiveType]]) -> DataFile:
+    import pyarrow.parquet as pq
+
+    # partition tuple from hive dirs between stage and the file
+    partition: dict[str, Any] = {}
+    rel = os.path.relpath(os.path.dirname(path), stage)
+    if rel != ".":
+        for comp in rel.split(os.sep):
+            if "=" not in comp:
+                continue
+            k, _, v = comp.partition("=")
+            if k in result_types:
+                name, t = result_types[k]
+                partition[name] = _parse_hive_value(v, t)
+
+    md = pq.read_metadata(path)
+    ids_by_name = {f.name: f.field_id for f in schema.fields}
+    types_by_name = {f.name: f.field_type for f in schema.fields}
+    col_sizes: dict[int, int] = {}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    mins: dict[int, Any] = {}
+    maxs: dict[int, Any] = {}
+    have_stats: dict[int, bool] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema.split(".")[0]
+            fid = ids_by_name.get(name)
+            if fid is None:
+                continue
+            col_sizes[fid] = col_sizes.get(fid, 0) + col.total_compressed_size
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                have_stats[fid] = False
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max and "." not in col.path_in_schema:
+                lo, hi = st.min, st.max
+                if fid not in mins or _lt(lo, mins[fid]):
+                    mins[fid] = lo
+                if fid not in maxs or _lt(maxs[fid], hi):
+                    maxs[fid] = hi
+                have_stats.setdefault(fid, True)
+            else:
+                have_stats[fid] = False
+
+    lower: dict[int, bytes] = {}
+    upper: dict[int, bytes] = {}
+    for fid, ok in have_stats.items():
+        if not ok or fid not in mins:
+            continue
+        f = schema.field_by_id(fid)
+        if f is None or not isinstance(f.field_type, PrimitiveType):
+            continue
+        try:
+            lo_v, hi_v = _truncate_bounds(f.field_type, mins[fid], maxs[fid])
+            lower[fid] = encode_bound(f.field_type, lo_v)
+            upper[fid] = encode_bound(f.field_type, hi_v)
+        except (ValueError, TypeError):
+            continue
+
+    return DataFile(
+        file_path=os.path.abspath(path),
+        file_format="PARQUET",
+        partition=partition,
+        record_count=md.num_rows,
+        file_size_in_bytes=os.path.getsize(path),
+        content=CONTENT_DATA,
+        column_sizes=col_sizes or None,
+        value_counts=value_counts or None,
+        null_value_counts=null_counts or None,
+        lower_bounds=lower or None,
+        upper_bounds=upper or None,
+        sort_order_id=None,
+    )
+
+
+def _lt(a: Any, b: Any) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+_BOUND_TRUNC = 16
+
+
+def _truncate_bounds(t: PrimitiveType, lo: Any, hi: Any) -> tuple[Any, Any]:
+    """Truncate long string bounds (lower: prefix; upper: prefix with last
+    char incremented so it stays an upper bound)."""
+    if t.name != "string" or not isinstance(lo, str):
+        return lo, hi
+    lo_t = lo[:_BOUND_TRUNC]
+    if len(hi) > _BOUND_TRUNC:
+        prefix = hi[:_BOUND_TRUNC]
+        for i in range(len(prefix) - 1, -1, -1):
+            cp = ord(prefix[i])
+            if cp < 0x10FFFF:
+                hi = prefix[:i] + chr(cp + 1)
+                break
+        else:
+            hi = hi  # pathological; keep full value
+    return lo_t, hi
+
+
+# ------------------------------------------------------------- public API
+
+
+def append(table, df: DataFrame, max_records_per_file: int | None = None,
+           distribution_partitions: int | None = None) -> None:
+    """INSERT INTO semantics (AppendOnlyWriter, W9)."""
+    from .transaction import Transaction
+
+    files = write_data_files(table, df, max_records_per_file, distribution_partitions)
+    tx = Transaction(table)
+    tx.add_data_files(files)
+    tx.commit("append")
+
+
+def overwrite_all(table, df: DataFrame, **kwargs) -> None:
+    """Replace the whole table contents (dynamic overwrite of everything)."""
+    from .transaction import Transaction
+
+    files = write_data_files(table, df, **kwargs)
+    tx = Transaction(table)
+    tx.remove_all_existing()
+    tx.add_data_files(files)
+    tx.commit("overwrite")

@@ -1,0 +1,142 @@
+"""Kernel unit tests: murmur3 + transforms against the Iceberg-spec
+vectors the reference uses (bucket.rs:152-230, truncate.rs:83-157)."""
+
+import datetime as dt
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+from icelake_spark import murmur3 as m
+from icelake_spark.types import datatypes as dty
+from icelake_spark.types.transforms import apply_transform_py, parse_transform
+
+
+def test_murmur3_spec_vectors():
+    assert m.hash_int(34) == 2017239379
+    assert m.hash_long(34) == 2017239379
+    assert m.hash_decimal(1420) == -500754589
+    days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert m.hash_long(days) == -653330422
+    micros_time = (22 * 3600 + 31 * 60 + 8) * 1_000_000
+    assert m.hash_long(micros_time) == -662762989
+    ts = int((dt.datetime(2017, 11, 16, 22, 31, 8)
+              - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    assert m.hash_long(ts) == -2047944441
+    assert m.hash_str("iceberg") == 1210000089
+    uuid_bytes = bytes([0xF7, 0x9C, 0x3E, 0x09, 0x67, 0x7C, 0x4B, 0xBD,
+                        0xA4, 0x79, 0x3F, 0x34, 0x9C, 0xB7, 0x85, 0xE7])
+    assert m.hash_bytes(uuid_bytes) == 1488055340
+    assert m.hash_bytes(bytes([0, 1, 2, 3])) == -188683207
+
+
+def test_murmur3_vectorized_matches_scalar():
+    rng = np.random.default_rng(42)
+    vals = rng.integers(-(2**62), 2**62, size=1000, dtype=np.int64)
+    vec = m.hash_long_vec(vals)
+    for i in range(0, 1000, 97):
+        assert int(vec[i]) == m.hash_long(int(vals[i]))
+
+
+def test_parse_transform():
+    assert parse_transform("bucket[16]") == ("bucket", 16)
+    assert parse_transform("truncate[4]") == ("truncate", 4)
+    assert parse_transform("year") == ("year", None)
+    with pytest.raises(ValueError):
+        parse_transform("bucket[]")
+
+
+def test_truncate_py_reference_cases():
+    # truncate.rs:83-157 cases
+    assert apply_transform_py("truncate[10]", 1, dty.INT) == 0
+    assert apply_transform_py("truncate[10]", -1, dty.INT) == -10
+    assert apply_transform_py("truncate[10]", 9, dty.INT) == 0
+    assert apply_transform_py("truncate[10]", 10, dty.INT) == 10
+    assert apply_transform_py("truncate[10]", 11, dty.INT) == 10
+    assert apply_transform_py("truncate[10]", -12, dty.LONG) == -20
+    d = dty.decimal_type(9, 2)
+    assert apply_transform_py("truncate[50]", Decimal("10.65"), d) == Decimal("10.50")
+    assert apply_transform_py("truncate[3]", "iceberg", dty.STRING) == "ice"
+
+
+def test_temporal_py():
+    d = dt.date(2017, 11, 16)
+    assert apply_transform_py("year", d, dty.DATE) == 47
+    assert apply_transform_py("month", d, dty.DATE) == 47 * 12 + 10
+    assert apply_transform_py("day", d, dty.DATE) == (d - dt.date(1970, 1, 1)).days
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert apply_transform_py("hour", ts, dty.TIMESTAMP) == \
+        (d - dt.date(1970, 1, 1)).days * 24 + 22
+    # pre-1970 exactness (the reference's float bug regression)
+    old = dt.datetime(1969, 12, 31, 23, 0, 0)
+    assert apply_transform_py("hour", old, dty.TIMESTAMP) == -1
+    assert apply_transform_py("day", dt.date(1969, 12, 31), dty.DATE) == -1
+
+
+def test_bucket_py_spec_values():
+    assert apply_transform_py("bucket[100]", 34, dty.INT) == 2017239379 % 100
+    assert apply_transform_py("bucket[100]", "iceberg", dty.STRING) == 1210000089 % 100
+    d = dty.decimal_type(9, 2)
+    assert apply_transform_py("bucket[100]", Decimal("14.20"), d) == (-500754589 & 0x7FFFFFFF) % 100
+
+
+def test_spark_transform_columns(spark):
+    """Spark Column transforms agree with the python kernels row-by-row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from icelake_spark.types.transforms import transform_column
+
+    rows = [(34, 34, "iceberg", dt.date(2017, 11, 16),
+             dt.datetime(2017, 11, 16, 22, 31, 8), Decimal("14.20")),
+            (0, -12, "spark", dt.date(1969, 12, 31),
+             dt.datetime(1969, 12, 31, 23, 0, 0), Decimal("-10.65")),
+            (None, None, None, None, None, None)]
+    df = spark.createDataFrame(
+        rows, "i int, l long, s string, d date, ts timestamp_ntz, dec decimal(9,2)")
+    dec_t = dty.decimal_type(9, 2)
+    out = df.select(
+        transform_column("bucket[16]", F.col("i"), dty.INT).alias("b_i"),
+        transform_column("bucket[16]", F.col("l"), dty.LONG).alias("b_l"),
+        transform_column("bucket[16]", F.col("s"), dty.STRING).alias("b_s"),
+        transform_column("bucket[16]", F.col("d"), dty.DATE).alias("b_d"),
+        transform_column("bucket[16]", F.col("ts"), dty.TIMESTAMP).alias("b_ts"),
+        transform_column("bucket[16]", F.col("dec"), dec_t).alias("b_dec"),
+        transform_column("truncate[10]", F.col("l"), dty.LONG).alias("t_l"),
+        transform_column("truncate[3]", F.col("s"), dty.STRING).alias("t_s"),
+        transform_column("truncate[50]", F.col("dec"), dec_t).alias("t_dec"),
+        transform_column("year", F.col("d"), dty.DATE).alias("y"),
+        transform_column("month", F.col("d"), dty.DATE).alias("mo"),
+        transform_column("day", F.col("ts"), dty.TIMESTAMP).alias("dd"),
+        transform_column("hour", F.col("ts"), dty.TIMESTAMP).alias("hh"),
+        transform_column("void", F.col("i"), dty.INT).alias("v"),
+    ).collect()
+    for row, src in zip(out, rows):
+        i, l, s, d, ts, dec = src
+        assert row.b_i == apply_transform_py("bucket[16]", i, dty.INT)
+        assert row.b_l == apply_transform_py("bucket[16]", l, dty.LONG)
+        assert row.b_s == apply_transform_py("bucket[16]", s, dty.STRING)
+        assert row.b_d == apply_transform_py("bucket[16]", d, dty.DATE)
+        assert row.b_ts == apply_transform_py("bucket[16]", ts, dty.TIMESTAMP)
+        assert row.b_dec == apply_transform_py("bucket[16]", dec, dec_t)
+        assert row.t_l == apply_transform_py("truncate[10]", l, dty.LONG)
+        assert row.t_s == apply_transform_py("truncate[3]", s, dty.STRING)
+        assert row.t_dec == apply_transform_py("truncate[50]", dec, dec_t)
+        assert row.y == apply_transform_py("year", d, dty.DATE)
+        assert row.mo == apply_transform_py("month", d, dty.DATE)
+        assert row.dd == apply_transform_py("day", ts, dty.TIMESTAMP)
+        assert row.hh == apply_transform_py("hour", ts, dty.TIMESTAMP)
+        assert row.v is None
+
+
+def test_bounds_roundtrip():
+    cases = [
+        (dty.INT, 42), (dty.LONG, -(2**40)), (dty.FLOAT, 1.5), (dty.DOUBLE, -2.25),
+        (dty.STRING, "héllo"), (dty.BOOLEAN, True),
+        (dty.DATE, dt.date(2024, 2, 29)),
+        (dty.TIMESTAMP, dt.datetime(2024, 2, 29, 12, 30, 45, 123456)),
+        (dty.decimal_type(10, 3), Decimal("-1234.567")),
+        (dty.BINARY, b"\x00\x01"),
+    ]
+    for t, v in cases:
+        assert dty.decode_bound(t, dty.encode_bound(t, v)) == v

@@ -1,0 +1,177 @@
+"""End-to-end write→read parity over the reference's 8-scenario test
+matrix (/root/reference/testdata/toml/*.toml, FIXTURES.md F1/F2),
+checked with exceptAll symmetric difference — the same oracle the
+reference uses (/root/reference/testdata/python/check.py:19-26)."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from icelake_spark import IcebergTable
+from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+
+def _fid(schema, name):
+    return schema.field_by_name(name).field_id
+
+
+# the 8 partition scenarios (insert_tests_v2.rs:280-289)
+SCENARIOS = {
+    "no_partition": lambda s: (),
+    "partition_identity": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, "identity", c)
+        for i, c in enumerate(["v_int", "v_long", "v_varchar", "v_bool",
+                               "v_date", "v_timestamp", "v_decimal", "v_ts_ntz"])),
+    "partition_year": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, "year", f"y_{c}")
+        for i, c in enumerate(["v_date", "v_timestamp", "v_ts_ntz"])),
+    "partition_month": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, "month", f"m_{c}")
+        for i, c in enumerate(["v_date", "v_timestamp", "v_ts_ntz"])),
+    "partition_day": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, "day", f"d_{c}")
+        for i, c in enumerate(["v_date", "v_timestamp", "v_ts_ntz"])),
+    "partition_hour": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, "hour", f"h_{c}")
+        for i, c in enumerate(["v_timestamp", "v_ts_ntz"])),
+    "partition_hash": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, f"bucket[{n}]", f"b_{c}")
+        for i, (c, n) in enumerate([("v_int", 10), ("v_long", 20), ("v_varchar", 50),
+                                    ("v_date", 70), ("v_timestamp", 80),
+                                    ("v_decimal", 90), ("v_ts_ntz", 100)])),
+    "partition_truncate": lambda s: tuple(
+        PartitionField(_fid(s, c), 1000 + i, f"truncate[{w}]", f"t_{c}")
+        for i, (c, w) in enumerate([("v_int", 10), ("v_long", 100),
+                                    ("v_decimal", 1000), ("v_varchar", 2)])),
+}
+
+
+def _same(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.mark.parametrize("scenario", list(SCENARIOS))
+def test_partition_scenarios(spark, warehouse, wide_df, scenario):
+    schema = Schema.from_spark(wide_df.schema)
+    spec = PartitionSpec(0, SCENARIOS[scenario](schema))
+    t = warehouse.create_table(f"db.{scenario}", schema, spec=spec)
+    t.append(wide_df)
+    back = t.to_df(spark)
+    assert _same(back, wide_df)
+    # second commit (like the TOML flows: multiple inserts)
+    t.append(wide_df)
+    assert t.to_df(spark).count() == 10
+    # partitions metadata table exists and groups correctly
+    parts = t.partitions_df(spark).collect()
+    if spec.fields:
+        assert all(p.record_count >= 1 for p in parts)
+
+
+def test_cdc_delta_scenario(spark, warehouse):
+    """F2 cdc_kv port (delta_test_v2.rs:101-352): mixed insert/delete
+    batches; same-batch duplicates last-win; cross-snapshot deletes
+    equality-delete prior rows."""
+    from icelake_spark.delta import OP_DELETE, OP_INSERT, merge_delta
+
+    schema_df = spark.createDataFrame([], "id long, key long, value long")
+    schema = Schema.from_spark(schema_df.schema)
+    t = warehouse.create_table("db.cdc", schema)
+
+    b1 = spark.createDataFrame(
+        [(1, 1, 100, OP_INSERT), (1, 2, 200, OP_INSERT), (1, 2, 201, OP_INSERT)],
+        "id long, key long, value long, _op int")
+    merge_delta(t, b1, key_cols=["id", "key"])
+    rows = {(r.id, r.key): r.value for r in t.to_df(spark).collect()}
+    assert rows == {(1, 1): 100, (1, 2): 201}  # same-batch last-wins
+
+    b2 = spark.createDataFrame(
+        [(1, 1, 0, OP_DELETE), (1, 3, 300, OP_INSERT), (1, 2, 202, OP_INSERT)],
+        "id long, key long, value long, _op int")
+    merge_delta(t, b2, key_cols=["id", "key"])
+    rows = {(r.id, r.key): r.value for r in t.to_df(spark).collect()}
+    assert rows == {(1, 3): 300, (1, 2): 202}  # delete + cross-snapshot upsert
+
+    # delete of a never-inserted key is a no-op
+    b3 = spark.createDataFrame([(9, 9, 0, OP_DELETE)],
+                               "id long, key long, value long, _op int")
+    merge_delta(t, b3, key_cols=["id", "key"])
+    assert t.to_df(spark).count() == 2
+
+
+def test_upsert(spark, warehouse):
+    from icelake_spark.delta import upsert
+
+    src = spark.createDataFrame([(i, i % 3, i * 10) for i in range(9)],
+                                "id long, key long, value long")
+    schema = Schema.from_spark(src.schema)
+    t = warehouse.create_table("db.ups", schema)
+    t.append(src)
+    upsert(t, spark.createDataFrame([(100, 0, 1)], "id long, key long, value long"),
+           key_cols=["key"])
+    rows = sorted((r.id, r.key) for r in t.to_df(spark).collect())
+    assert (100, 0) in rows
+    assert not any(k == 0 and i != 100 for i, k in rows)
+    assert len(rows) == 7  # 6 survivors (keys 1,2) + 1 upserted
+
+
+def test_delete_where_and_compaction(spark, warehouse, wide_df):
+    from icelake_spark.maintenance import expire_snapshots, rewrite_data_files
+
+    schema = Schema.from_spark(wide_df.schema)
+    t = warehouse.create_table("db.dw", schema)
+    t.append(wide_df)
+    t.append(wide_df)
+    t.delete_where(spark, "id <= 2")
+    assert t.to_df(spark).count() == 6
+    n = rewrite_data_files(t, spark)
+    assert n >= 1
+    assert t.to_df(spark).count() == 6
+    data, pos, eq = t.new_scan().plan_files()
+    assert not pos and not eq
+    expired = expire_snapshots(t, retain_last=1)
+    assert expired == 3
+    assert t.to_df(spark).count() == 6
+    # reload from disk: metadata durable
+    t2 = IcebergTable.load(t.path)
+    assert t2.to_df(spark).count() == 6
+
+
+def test_time_travel_and_refs(spark, warehouse, wide_df):
+    schema = Schema.from_spark(wide_df.schema)
+    t = warehouse.create_table("db.tt", schema)
+    t.append(wide_df)
+    s1 = t.current_snapshot().snapshot_id
+    ts1 = t.current_snapshot().timestamp_ms
+    t.append(wide_df)
+    assert t.to_df(spark).count() == 10
+    assert t.to_df(spark, snapshot_id=s1).count() == 5
+    assert t.to_df(spark, as_of_ms=ts1).count() == 5
+    assert t.to_df(spark, ref="main").count() == 10
+    assert t.snapshots_df(spark).count() == 2
+    assert t.history_df(spark).count() == 2
+
+
+def test_overwrite_all(spark, warehouse, wide_df):
+    schema = Schema.from_spark(wide_df.schema)
+    t = warehouse.create_table("db.ow", schema)
+    t.append(wide_df)
+    small = wide_df.where("id = 1")
+    t.overwrite_all(small)
+    assert t.to_df(spark).count() == 1
+    assert t.current_snapshot().summary["operation"] == "overwrite"
+
+
+def test_stats_pruning_scan(spark, warehouse):
+    src = spark.range(0, 100000).selectExpr("id", "id % 100 as g",
+                                            "cast(id as double) as v")
+    schema = Schema.from_spark(src.schema)
+    t = warehouse.create_table("db.prune", schema)
+    # several files so bounds differ: write sorted ranges
+    for lo in range(0, 100000, 25000):
+        t.append(src.where(f"id >= {lo} and id < {lo + 25000}"))
+    scan = t.new_scan(filter="id >= 75000")
+    data, _, _ = scan.plan_files()
+    alldata, _, _ = t.new_scan().plan_files()
+    assert len(data) < len(alldata)
+    assert scan.to_df(spark).count() == 25000
