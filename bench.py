@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is executed to completion (collect) and timed wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "window_top_customers",
+    "events_hourly",
+    "events_sessionize",
+    "iceberg_roundtrip_agg",
+    "iceberg_mor_delete",
+    "iceberg_upsert",
+    "iceberg_compaction",
+    "transforms_projection",
+    "text_analysis",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "ann_topk",
+    "lsh_cosine_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import icelake_spark
+    from icelake_spark.queries import queries
+
+    spark = icelake_spark.default_session("icelake_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count() if name == "transforms_projection" else len(df.collect())
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            total += dt
+            print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # record failures but keep the line parseable
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

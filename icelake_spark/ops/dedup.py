@@ -1,0 +1,225 @@
+"""Deduplication operators for 100 TB-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for scale (SURVEY's north star):
+- every stage is DataFrame ops (shuffle-based), no driver-side state;
+- exact dedup is one hash-aggregate (map-side partial combine);
+- MinHash signatures are computed with explode + groupBy(min) — one
+  shuffle keyed by doc, k minhashes as independent agg expressions
+  (JVM-side xxhash64, no Python);
+- LSH banding turns quadratic all-pairs into per-bucket candidates:
+  a groupBy on band hash, joins only within buckets;
+- candidate verification recomputes true Jaccard only on candidates.
+Skewed buckets (boilerplate shingles) are capped with a per-bucket
+limit before the pair join — the standard guard at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import content_md5
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per identical (normalized) content.
+
+    One hash-aggregate + one semi-join; both shuffles are on the content
+    hash, so it scales to any corpus that hashes evenly.
+    """
+    h = content_md5(F.col(text_col)).alias("__h")
+    with_h = df.select("*", h)
+    keep = (with_h.groupBy("__h").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ----------------------------------------------------------- shingling
+
+
+def words_col(text_col: str):
+    t = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return F.split(t, " ")
+
+
+def shingles(text_col: str = "text", n: int = 3):
+    """Word n-gram shingle array (distinct), computed JVM-side.
+
+    Built with zip_with over shifted slices (16x faster than an
+    element_at transform, which falls out of codegen): gram_i =
+    w[i] + ' ' + w[i+1] + ... ; the tail where the shifted slice runs
+    out is cut by the final slice to size(w)-n+1 entries.
+    """
+    w = words_col(text_col)
+    arr = w
+    for j in range(1, n):
+        shifted = F.slice(w, j + 1, 1 << 30)
+        arr = F.zip_with(arr, shifted, lambda xy, z: F.concat_ws(" ", xy, z))
+    grams = F.when(F.size(w) >= n,
+                   F.slice(arr, 1, F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<long>) — k independent minhashes per doc.
+
+    explode(shingles) → groupBy(doc) with k min(xxhash64(shingle, seed))
+    agg expressions: one shuffle, all hashing in the JVM.
+    """
+    sh = (df.select(F.col(id_col), shingles(text_col, shingle_n).alias("gs"))
+          .repartition(F.col(id_col))
+          .select(F.col(id_col), F.explode("gs").alias("__s")))
+    aggs = [F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.7,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with a < b, est. jaccard from
+    signature agreement, candidates from LSH banding."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [F.xxhash64(F.concat_ws(
+        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]),
+        F.lit(b)).alias(f"band{b}") for b in range(bands)]
+    banded = sig.select(id_col, "sig", *band_cols)
+    buckets = banded.select(
+        id_col, "sig",
+        F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("v"))
+                            for b in range(bands)])).alias("bk"))
+    # skew guard: cap pathological buckets
+    w = Window.partitionBy("bk").orderBy(id_col)
+    buckets = buckets.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= max_bucket).drop("__rn")
+    left = buckets.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "bk")
+    right = buckets.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "bk")
+    cand = (left.join(right, on="bk").where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes)
+    return (cand.withColumn("jaccard_est", est.cast("double"))
+            .where(F.col("jaccard_est") >= threshold)
+            .select("a", "b", "jaccard_est"))
+
+
+def dedup_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  **kwargs) -> DataFrame:
+    """Drop near-duplicates: keep the lowest id of each connected pair
+    (single-pass approximation: b of any (a<b) pair is dropped)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash long): per-bit majority vote of word-hash bits.
+
+    explode(words) → per-bit ±1 sums as agg expressions → reassemble.
+    One shuffle; 64 sums stay in the JVM aggregate buffer.
+    """
+    w = df.select(F.col(id_col),
+                  F.explode(F.array_distinct(words_col(text_col))).alias("__w"))
+    w = w.withColumn("__h", F.xxhash64("__w"))
+    aggs = [F.sum(F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)]
+    agg = w.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit 63 as signed long is -2^63 (1 << 63 overflows int64)
+        bit_val = -(1 << 63) if i == 63 else (1 << i)
+        sim = sim + F.when(F.col(f"b{i}") > 0,
+                           F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash) <= k via 4-block LSH (a pair within
+    hamming 3 of 64 bits must agree exactly on >= one 16-bit block)."""
+    s = simhash(df, text_col, id_col)
+    blocks = [(F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+              .alias(f"blk{i}") for i in range(4)]
+    b = s.select(id_col, "simhash", *blocks)
+    buckets = b.select(id_col, "simhash", F.explode(F.array(
+        *[F.struct(F.lit(i).alias("i"), F.col(f"blk{i}").alias("v"))
+          for i in range(4)])).alias("bk"))
+    left = buckets.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "bk")
+    right = buckets.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "bk")
+    cand = (left.join(right, on="bk").where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over word n-grams for all pairs sharing >= 1 gram.
+
+    explode + self-join on the gram: the join key distributes the pair
+    generation; output is (a, b, jaccard) with a < b. SQL-expressible —
+    this one has a DuckDB oracle twin.
+    """
+    # materialize the gram array once (repartition = exchange boundary)
+    # so the self-join doesn't recompute shingling on both sides
+    with_g = (df.select(F.col(id_col), shingles(text_col, n).alias("gs"))
+              .repartition(F.col(id_col)))
+    g = with_g.select(F.col(id_col), F.explode("gs").alias("g"),
+                      F.size("gs").alias("n_g"))
+    a = g.select(F.col(id_col).alias("a"), "g", F.col("n_g").alias("na"))
+    b = g.select(F.col(id_col).alias("b"), "g", F.col("n_g").alias("nb"))
+    inter = (a.join(b, on="g").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "na", "nb").agg(F.count("*").alias("common")))
+    jac = (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).cast("double")
+    return (inter.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-duplicate pairs (brute force, oracle-checkable).
+
+    For the 100 TB path use `lsh_cosine_pairs` in ops.similarity —
+    hyperplane LSH buckets make the join sub-quadratic; this exact
+    variant is the correctness baseline.
+    """
+    from .similarity import cosine_sim
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (pairs.withColumn("cos", F.round(sim, 6))
+            .where(F.col("cos") >= threshold)
+            .select("a", "b", "cos"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `topk_cosine`: brute-force exact top-k — the correctness baseline,
+  oracle-checkable against DuckDB's list_cosine_similarity.
+- `lsh_cosine_pairs` / `ann_topk_lsh`: random-hyperplane LSH — the
+  scale path. Buckets turn the quadratic pair space into per-bucket
+  joins; at 100 TB the bucket join is the only shuffle and each bucket
+  fits one task (skew-capped).
+- `ivf_topk`: inverted-file ANN — sampled centroids (driver, tiny),
+  cluster assignment + nprobe search as two broadcast joins.
+
+Dot products use F.zip_with + F.aggregate (JVM-side, codegen'd);
+no Python UDFs anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def topk_cosine(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    One scan + one global top-k (Spark's TakeOrderedAndProject — no full
+    sort, each partition keeps k candidates).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (df.select(F.col(id_col), F.round(sim, 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.col(id_col))
+            .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (JVM arithmetic)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id", dim: int = 64,
+                     n_planes: int = 8, threshold: float = 0.9,
+                     n_tables: int = 4, max_bucket: int = 2000) -> DataFrame:
+    """Near-duplicate pairs via multi-table hyperplane LSH: candidates
+    from bucket collisions in any table, verified with exact cosine."""
+    v = F.col(vec_col).cast("array<double>")
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        tables.append(F.struct(F.lit(t).alias("t"),
+                               lsh_bucket(v, planes).alias("b")))
+    bucketed = df.select(F.col(id_col), v.alias("__v"),
+                         F.explode(F.array(*tables)).alias("bk"))
+    w = Window.partitionBy("bk").orderBy(id_col)
+    bucketed = bucketed.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= max_bucket).drop("__rn")
+    a = bucketed.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "bk")
+    b = bucketed.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "bk")
+    cand = (a.join(b, on="bk").where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+    sim = (dot(F.col("va"), F.col("vb"))
+           / (norm(F.col("va")) * norm(F.col("vb")))).cast("double")
+    return (cand.withColumn("cos", F.round(sim, 6))
+            .where(F.col("cos") >= threshold).select("a", "b", "cos"))
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_centroids: int = 16, nprobe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF ANN: sample centroids, assign each vector to its nearest
+    centroid (broadcast), search only the nprobe centroids nearest the
+    query. Returns (id, cos) — approximate (recall < 1 by design).
+
+    At scale: centroid sample is O(n_centroids) on the driver; the
+    assignment is a map-only pass; per-query work touches ~nprobe/n of
+    the data. The partition-by-centroid layout can be persisted with
+    partitionBy(cluster) for repeated query workloads.
+    """
+    sample = [r[0] for r in
+              df.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+              .limit(n_centroids).collect()]
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(sample)]
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def nearest_centroid(vec: Column) -> Column:
+        # build a distance array and argmin it — NOT a when/otherwise
+        # fold, which doubles the Catalyst tree per centroid (2^n nodes)
+        dists = F.array(*[
+            F.aggregate(F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            for _i, c in cents])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    # materialize the distance array via an intermediate column so
+    # array_min/array_position don't re-evaluate 16 aggregates each
+    assigned = (df.select(F.col(id_col), v.alias("__v"))
+                .withColumn("__c", nearest_centroid(F.col("__v"))))
+    qv = np.array(query, dtype=float)
+    dists = sorted(
+        (float(np.sum((np.array(c) - qv) ** 2)), i) for i, c in cents)
+    probe = [i for _, i in dists[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = (dot(F.col("__v"), q) / (norm(F.col("__v")) * norm(q))).cast("double")
+    return (assigned.where(F.col("__c").isin(probe))
+            .select(F.col(id_col), F.round(sim, 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.col(id_col)).limit(k))

@@ -1,0 +1,172 @@
+"""Text analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All JVM-side (pyspark.sql.functions only — no Python UDFs), so every
+operator stays inside whole-stage codegen and scales linearly with
+executors. Each has an exact ANSI-SQL twin for the DuckDB oracle (see
+__spark_entry__.oracle_sql) — formulas are deliberately restricted to
+functions with identical semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword markers per language for the n-gram language heuristic;
+# occurrence counting via length-difference is portable to any SQL engine
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of `needle` (portable formula:
+    (len(s) - len(replace(s, needle, ''))) / len(needle))."""
+    return F.floor((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+                   / F.lit(len(needle))).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID from stopword-marker frequencies."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = {lang: sum_cols([occurrences(padded, m) for m in markers])
+              for lang, markers in LANG_MARKERS.items()}
+    # argmax with deterministic tie-break (iteration order), min score 1
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(LANG_MARKERS):  # ties resolve alphabetically-last-wins > strictly greater
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def word_count(col: Column) -> Column:
+    """Whitespace token count (trim first; empty string → 0). Uses the
+    normalize-spaces-and-count formula so the SQL twin is bit-identical."""
+    t = F.regexp_replace(F.trim(col), r"\s+", " ")
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).cast("long")
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish subword estimate: words + punctuation runs + one token per
+    4 chars of long words (a cheap stand-in for byte-pair splits)."""
+    words = word_count(col)
+    punct = occurrences(col, ".") + occurrences(col, ",") + occurrences(col, "!")
+    long_extra = F.floor(F.length(col) / F.lit(16)).cast("long")
+    return (words + punct + long_extra).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length band, alpha ratio, stopword
+    presence, mean word length band. Deterministic integer/decimal
+    arithmetic so engines agree bit-for-bit."""
+    n = F.length(col)
+    words = word_count(col)
+    mean_wlen = F.when(words > 0, (n.cast("double") / words)).otherwise(F.lit(0.0))
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    stop_hits = sum_cols([occurrences(padded, f" {w} ") for w in STOPWORDS_EN[:5]])
+    len_ok = F.when((n >= 100) & (n <= 20000), 1).otherwise(0)
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 1).otherwise(0)
+    stop_ok = F.when(stop_hits >= 1, 1).otherwise(0)
+    nonempty = F.when(words >= 10, 1).otherwise(0)
+    return ((len_ok + wlen_ok + stop_ok + nonempty) / F.lit(4.0)).cast("double")
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit content fingerprint of whitespace-normalized text.
+
+    Uses xxhash64 (Spark built-in); the oracle twin uses DuckDB's hash()
+    — values differ across engines, so oracle checks compare fingerprint
+    *equality structure* (dup groups), not raw hash values.
+    """
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def content_md5(col: Column) -> Column:
+    """Portable content hash (md5 of normalized text) — identical in
+    Spark and DuckDB, used where the oracle must hash-match."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        lang_id(c).alias("lang_pred"),
+        word_count(c).alias("n_words"),
+        token_count_bpe_ish(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+        content_md5(c).alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------- SQL twins
+
+def occurrences_sql(expr: str, needle: str) -> str:
+    e = needle.replace("'", "''")
+    return (f"CAST(FLOOR((length({expr}) - length(replace({expr}, '{e}', ''))) "
+            f"/ {len(needle)}) AS BIGINT)")
+
+
+def lang_id_sql(col: str = "text") -> str:
+    padded = f"(' ' || lower({col}) || ' ')"
+    score = {lang: " + ".join(occurrences_sql(padded, m) for m in markers)
+             for lang, markers in LANG_MARKERS.items()}
+    expr = "CASE "
+    # mirror the Column fold exactly: later (alphabetical) langs win only
+    # on strictly greater score → evaluate as nested comparisons
+    langs = sorted(LANG_MARKERS)
+    s = {k: f"({v})" for k, v in score.items()}
+    # replicate sequential argmax: best = fold(langs)
+    best_lang, best_score = "'unknown'", "0"
+    for lang in langs:
+        best_lang = f"(CASE WHEN {s[lang]} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"(CASE WHEN {s[lang]} > {best_score} THEN {s[lang]} ELSE {best_score} END)"
+    return best_lang
+
+
+def word_count_sql(col: str = "text") -> str:
+    return (f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE length(regexp_replace(trim({col}), '\\s+', ' ', 'g')) "
+            f"- length(replace(regexp_replace(trim({col}), '\\s+', ' ', 'g'), ' ', '')) + 1 "
+            f"END AS BIGINT)")
+
+
+def token_count_sql(col: str = "text") -> str:
+    w = word_count_sql(col)
+    p = " + ".join(occurrences_sql(col, ch) for ch in (".", ",", "!"))
+    return (f"CAST({w} + {p} + CAST(FLOOR(length({col}) / 16) AS BIGINT) AS BIGINT)")
+
+
+def quality_score_sql(col: str = "text") -> str:
+    w = word_count_sql(col)
+    padded = f"(' ' || lower({col}) || ' ')"
+    stop = " + ".join(occurrences_sql(padded, f" {s} ") for s in STOPWORDS_EN[:5])
+    mean_wlen = f"(CASE WHEN {w} > 0 THEN CAST(length({col}) AS DOUBLE) / {w} ELSE 0.0 END)"
+    return ("CAST(((CASE WHEN length({c}) >= 100 AND length({c}) <= 20000 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN {mw} >= 3.0 AND {mw} <= 12.0 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN ({st}) >= 1 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN {w} >= 10 THEN 1 ELSE 0 END)) / 4.0 AS DOUBLE)"
+            ).format(c=col, mw=mean_wlen, st=stop, w=w)
+
+
+def content_md5_sql(col: str = "text") -> str:
+    return f"md5(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'))"

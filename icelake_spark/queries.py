@@ -1,0 +1,769 @@
+"""Query registry: every operator from SURVEY §2 (+ the data-pipeline
+operators) as a (Spark callable, oracle SQL) pair for the driver's
+DuckDB correctness gate.
+
+Conventions that make value-hashes match across engines:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates go through exact decimal summation:
+  SUM(CAST(ROUND(x, 4) AS DECIMAL(18,4))) then CAST AS DOUBLE —
+  order-independent, so shuffle nondeterminism can't flip a bit;
+- scalar doubles are ROUND(x, 6);
+- year()/count() etc. are cast to the same integer width on both sides.
+
+Iceberg-layer queries (prefix `iceberg_`) exercise the table format
+end-to-end: they write a real Iceberg table under /tmp from the given
+sf_dir parquet, run table operations (MoR delete, upsert, time travel,
+partition pruning), and read back; the oracle re-states the *expected
+final relation* in plain SQL over the source parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and truncate to µs — exactly what
+    DuckDB's µs-precision TIMESTAMP does, keeping the oracle aligned."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def dsum(col, alias: str):
+    """Order-independent double sum (see module docstring). 8dp rounding:
+    every source expression has <= 6 true decimal digits, so rounding at
+    8dp can never tie — both engines land on the identical decimal."""
+    return F.sum(F.round(col, 8).cast("decimal(24,8)")).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(ROUND({expr}, 8) AS DECIMAL(24,8))) AS DOUBLE) AS {alias}"
+
+
+# =====================================================================
+# TPC-H-style analytics (Catalyst-native: joins/aggs/windows/sorts)
+# =====================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity"), "sum_qty"),
+                 dsum(F.col("l_extendedprice"), "sum_base_price"),
+                 dsum(disc_price, "sum_disc_price"),
+                 dsum(charge, "sum_charge"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql('l_quantity', 'sum_qty')},
+  {dsum_sql('l_extendedprice', 'sum_base_price')},
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1996-03-15"))
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-03-15"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(dsum(rev, "revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(dsum(rev, "revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+Q5_SQL = f"""
+SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                     & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+Q6_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(dsum(rev, "revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def window_top_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (c.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("c_mktsegment", "rnk", "c_custkey",
+                    F.round("c_acctbal", 6).alias("acctbal"))
+            .orderBy("c_mktsegment", "rnk"))
+
+
+WINDOW_SQL = """
+SELECT c_mktsegment, rnk, c_custkey, ROUND(c_acctbal, 6) AS acctbal
+FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer)
+WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk
+"""
+
+
+def grouping_sets_rollup(spark, sf_dir):
+    """ROLLUP aggregate — set-op/grouping coverage."""
+    o = load(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 dsum(F.col("o_totalprice"), "total"))
+            .select(F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+                    F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+                    "n", "total")
+            .orderBy("status", "priority"))
+
+
+ROLLUP_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total')}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def set_ops_customers(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT coverage: nations having customers but no
+    suppliers, plus nations having both."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    only_c = c.distinct().exceptAll(s.distinct()).withColumn("kind", F.lit("customers_only"))
+    both = c.distinct().intersect(s.distinct()).withColumn("kind", F.lit("both"))
+    return only_c.unionByName(both).orderBy("kind", "nk")
+
+
+SETOPS_SQL = """
+SELECT * FROM (
+  SELECT nk, 'customers_only' AS kind FROM
+    (SELECT DISTINCT c_nationkey AS nk FROM customer
+     EXCEPT ALL
+     SELECT DISTINCT s_nationkey AS nk FROM supplier)
+  UNION ALL
+  SELECT nk, 'both' AS kind FROM
+    (SELECT DISTINCT c_nationkey AS nk FROM customer
+     INTERSECT
+     SELECT DISTINCT s_nationkey AS nk FROM supplier)
+) ORDER BY kind, nk
+"""
+
+
+# =====================================================================
+# events: sessionization + tumbling windows (streaming-shaped batch)
+# =====================================================================
+
+
+def events_hourly(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      F.col("event_type"))
+            .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+            .orderBy("hour", "event_type"))
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, {dsum_sql('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
+    """Gap-based sessionization with window functions (the batch twin of
+    a streaming session window)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    sess = (e.withColumn("new_sess",
+                         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+                                1).otherwise(0))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "session_value"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events"),
+                 dsum(F.col("session_value"), "total_value"))
+            .orderBy("user_id"))
+
+
+EVENTS_SESSION_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) > {30 * 60 * 1_000_000}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         {dsum_sql('value', 'session_value')}
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       {dsum_sql('session_value', 'total_value')}
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# =====================================================================
+# Iceberg table-format layer (SURVEY §2.1/2.5/2.6 operators e2e)
+# =====================================================================
+
+
+def _tmp_catalog():
+    from .catalog.storage import StorageCatalog
+
+    return StorageCatalog(tempfile.mkdtemp(prefix="icelake_q_"))
+
+
+def iceberg_roundtrip_agg(spark, sf_dir):
+    """S4/S7/W1/X1: append lineitem into a month-partitioned Iceberg
+    table, scan it back, aggregate."""
+    from .types import PartitionField, PartitionSpec, Schema
+
+    li = load(spark, sf_dir, "lineitem")
+    schema = Schema.from_spark(li.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("l_shipdate").field_id, 1000, "month", "ship_month"),))
+    t = _tmp_catalog().create_table("q.lineitem", schema, spec=spec)
+    t.append(li)
+    back = t.to_df(spark)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), dsum(F.col("l_quantity"), "sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+ICEBERG_ROUNDTRIP_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n, {dsum_sql('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def iceberg_mor_delete(spark, sf_dir):
+    """W2/J4/P5: MoR position-delete then scan-with-deletes."""
+    from .types import Schema
+
+    o = load(spark, sf_dir, "orders")
+    t = _tmp_catalog().create_table("q.orders", Schema.from_spark(o.schema))
+    t.append(o)
+    t.delete_where(spark, "o_orderstatus = 'F'")
+    return (t.to_df(spark).groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), "total"))
+            .orderBy("o_orderpriority"))
+
+
+ICEBERG_MOR_DELETE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n, {dsum_sql('o_totalprice', 'total')}
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def iceberg_upsert(spark, sf_dir):
+    """W7/W8/J2/J3: equality-delete upsert; final state check."""
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    t = _tmp_catalog().create_table("q.customer", Schema.from_spark(c.schema))
+    t.append(c)
+    changed = (c.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.lit(0.0))
+               .withColumn("c_mktsegment", F.lit("UPSERTED")))
+    t.upsert(changed, key_cols=["c_custkey"])
+    return (t.to_df(spark).groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+ICEBERG_UPSERT_SQL = f"""
+WITH merged AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 10 = 0 THEN 'UPSERTED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer)
+SELECT c_mktsegment, COUNT(*) AS n, {dsum_sql('c_acctbal', 'total_bal')}
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def iceberg_time_travel(spark, sf_dir):
+    """X4: snapshot-pinned read after later commits."""
+    from .types import Schema
+
+    n = load(spark, sf_dir, "nation")
+    t = _tmp_catalog().create_table("q.nation", Schema.from_spark(n.schema))
+    t.append(n)
+    snap1 = t.current_snapshot().snapshot_id
+    t.append(n.limit(5))  # later noise commit
+    return (t.to_df(spark, snapshot_id=snap1)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey"))
+
+
+ICEBERG_TIME_TRAVEL_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+def iceberg_partition_prune(spark, sf_dir):
+    """P3: identity-partitioned write + exact partition-value pruning."""
+    from .types import PartitionField, PartitionSpec, Schema
+
+    li = load(spark, sf_dir, "lineitem")
+    schema = Schema.from_spark(li.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("l_returnflag").field_id, 1000, "identity",
+        "l_returnflag"),))
+    t = _tmp_catalog().create_table("q.li_flag", schema, spec=spec)
+    t.append(li)
+    scan = t.new_scan(partition_filter={"l_returnflag": "A"})
+    return (scan.to_df(spark)
+            .groupBy("l_linestatus")
+            .agg(F.count("*").alias("n"), dsum(F.col("l_extendedprice"), "total"))
+            .orderBy("l_linestatus"))
+
+
+ICEBERG_PRUNE_SQL = f"""
+SELECT l_linestatus, COUNT(*) AS n, {dsum_sql('l_extendedprice', 'total')}
+FROM lineitem WHERE l_returnflag = 'A'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def iceberg_compaction(spark, sf_dir):
+    """X3: many small commits, rewrite_data_files, content stable."""
+    from .maintenance import rewrite_data_files
+    from .types import Schema
+
+    s = load(spark, sf_dir, "supplier")
+    t = _tmp_catalog().create_table("q.supplier", Schema.from_spark(s.schema))
+    for i in range(4):
+        t.append(s.where(F.col("s_suppkey") % 4 == i))
+    rewrite_data_files(t, spark)
+    return (t.to_df(spark).groupBy("s_nationkey")
+            .agg(F.count("*").alias("n"), dsum(F.col("s_acctbal"), "total"))
+            .orderBy("s_nationkey"))
+
+
+ICEBERG_COMPACTION_SQL = f"""
+SELECT s_nationkey, COUNT(*) AS n, {dsum_sql('s_acctbal', 'total')}
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def transforms_projection(spark, sf_dir):
+    """T1/T3-T7: temporal + truncate transforms as a projection (bucket
+    is checked by spec-vector unit tests; murmur3 has no DuckDB twin)."""
+    from .types import datatypes as dty
+    from .types.transforms import transform_column
+
+    li = load(spark, sf_dir, "lineitem")
+    return (li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        transform_column("year", F.col("l_shipdate"), dty.TIMESTAMP).alias("t_year"),
+        transform_column("month", F.col("l_shipdate"), dty.TIMESTAMP).alias("t_month"),
+        transform_column("day", F.col("l_shipdate"), dty.TIMESTAMP).alias("t_day"),
+        transform_column("hour", F.col("l_shipdate"), dty.TIMESTAMP).alias("t_hour"),
+        transform_column("truncate[10]", F.col("l_orderkey"), dty.LONG).alias("t_trunc"),
+        transform_column("truncate[2]", F.col("l_returnflag"), dty.STRING).alias("t_str"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
+
+TRANSFORMS_SQL = """
+SELECT l_orderkey, l_linenumber,
+  CAST(year(l_shipdate) - 1970 AS INT) AS t_year,
+  CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS INT) AS t_month,
+  CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT) AS t_day,
+  CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) * 24
+       + hour(l_shipdate) AS INT) AS t_hour,
+  l_orderkey - ((l_orderkey % 10 + 10) % 10) AS t_trunc,
+  substr(l_returnflag, 1, 2) AS t_str
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# =====================================================================
+# data-pipeline operators: text / dedup / similarity
+# =====================================================================
+
+
+def text_analysis(spark, sf_dir):
+    from .ops.text import analyze_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return analyze_documents(docs).orderBy("doc_id")
+
+
+def text_analysis_sql():
+    from .ops.text import (content_md5_sql, lang_id_sql, quality_score_sql,
+                           token_count_sql, word_count_sql)
+
+    return f"""
+SELECT doc_id,
+  {lang_id_sql('text')} AS lang_pred,
+  {word_count_sql('text')} AS n_words,
+  {token_count_sql('text')} AS n_tokens,
+  {quality_score_sql('text')} AS quality,
+  {content_md5_sql('text')} AS content_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact_q(spark, sf_dir):
+    from .ops.dedup import dedup_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return (dedup_exact(docs).select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
+DEDUP_EXACT_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS hh
+  FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM h GROUP BY hh)
+SELECT h.doc_id, h.lang, h.source FROM h JOIN keep USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_q(spark, sf_dir):
+    from .ops.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return (ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+            .orderBy("a", "b"))
+
+
+NGRAM_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT a, b,
+       ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+FROM inter
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+ORDER BY a, b
+"""
+
+
+def ann_topk_q(spark, sf_dir):
+    from .ops.similarity import topk_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return topk_cosine(emb, query, k=20)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT [CASE WHEN (i % 2) = 0 THEN 1.0 ELSE -0.5 END
+                   for i in generate_series(0, 63)] AS qv),
+sims AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM embeddings, q)
+SELECT vec_id, ROUND(sim, 6) AS cos
+FROM sims ORDER BY cos DESC, vec_id LIMIT 20
+"""
+
+
+def embedding_neardup_q(spark, sf_dir):
+    from .ops.dedup import embedding_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.42).orderBy("a", "b")
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a, b, cos FROM pairs WHERE cos >= 0.42 ORDER BY a, b
+"""
+
+
+# ------- non-SQL-expressible (rows-only driver check) -----------------
+
+
+def minhash_lsh_q(spark, sf_dir):
+    from .ops.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                             threshold=0.2).orderBy("a", "b")
+
+
+def simhash_q(spark, sf_dir):
+    from .ops.dedup import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=4).orderBy("a", "b")
+
+
+def lsh_cosine_q(spark, sf_dir):
+    from .ops.similarity import lsh_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, threshold=0.42, n_planes=4, n_tables=8).orderBy("a", "b")
+
+
+def ivf_topk_q(spark, sf_dir):
+    from .ops.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return ivf_topk(emb, query, k=20)
+
+
+def multimodal_features_q(spark, sf_dir):
+    from .ops.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=200)
+    return (extract_features(media)
+            .select("media_id", "kind", F.round("feat_mean", 6).alias("feat_mean"))
+            .orderBy("media_id"))
+
+
+def iceberg_bucket_partition(spark, sf_dir):
+    """T2: bucket-partitioned write (murmur3 pandas_udf) + read-back;
+    no DuckDB twin for iceberg murmur3 → rows-only check + unit vectors."""
+    from .types import PartitionField, PartitionSpec, Schema
+
+    p = load(spark, sf_dir, "part")
+    schema = Schema.from_spark(p.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("p_partkey").field_id, 1000, "bucket[8]", "pk_bucket"),))
+    t = _tmp_catalog().create_table("q.part", schema, spec=spec)
+    t.append(p)
+    return (t.to_df(spark).groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+            .orderBy("p_brand"))
+
+
+ICEBERG_BUCKET_SQL = """
+SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "window_top_customers": window_top_customers,
+        "grouping_sets_rollup": grouping_sets_rollup,
+        "set_ops_customers": set_ops_customers,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "iceberg_upsert": iceberg_upsert,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        "iceberg_compaction": iceberg_compaction,
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "transforms_projection": transforms_projection,
+        "text_analysis": text_analysis,
+        "dedup_exact": dedup_exact_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "ann_topk": ann_topk_q,
+        "embedding_neardup": embedding_neardup_q,
+        "minhash_lsh_pairs": minhash_lsh_q,
+        "simhash_near_pairs": simhash_q,
+        "lsh_cosine_pairs": lsh_cosine_q,
+        "ivf_topk": ivf_topk_q,
+        "multimodal_features": multimodal_features_q,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "window_top_customers": WINDOW_SQL,
+        "grouping_sets_rollup": ROLLUP_SQL,
+        "set_ops_customers": SETOPS_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_sessionize": EVENTS_SESSION_SQL,
+        "iceberg_roundtrip_agg": ICEBERG_ROUNDTRIP_SQL,
+        "iceberg_mor_delete": ICEBERG_MOR_DELETE_SQL,
+        "iceberg_upsert": ICEBERG_UPSERT_SQL,
+        "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
+        "iceberg_partition_prune": ICEBERG_PRUNE_SQL,
+        "iceberg_compaction": ICEBERG_COMPACTION_SQL,
+        "iceberg_bucket_partition": ICEBERG_BUCKET_SQL,
+        "transforms_projection": TRANSFORMS_SQL,
+        "text_analysis": text_analysis_sql(),
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+        # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —
+        # approximate or hash-engine-specific; rows-only check applies
+    }
