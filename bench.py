@@ -48,6 +48,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
+    # JVM/codegen warmup (no benchmark data touched)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

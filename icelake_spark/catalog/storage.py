@@ -107,7 +107,7 @@ class StorageCatalog:
     # ------------------------------------------------------------- commit
 
     def update_table(self, table_path: str, base_version: int,
-                     new_metadata: TableMetadata) -> int:
+                     new_metadata: TableMetadata, identifier: str = "") -> int:
         """Optimistic swap: fail if someone committed past base_version.
 
         Mirrors storage.rs:323-352 (re-check + write + hint update).

@@ -108,7 +108,8 @@ def expire_snapshots(table, older_than_ms: int | None = None,
         last_updated_ms=int(time.time() * 1000),
     )
     if table.catalog is not None:
-        version = table.catalog.update_table(table.path, table.current_version, new_metadata)
+        version = table.catalog.update_table(table.path, table.current_version,
+                                             new_metadata, identifier=table.identifier)
     else:
         version = commit_metadata(table.path, new_metadata, table.current_version + 1)
     table.metadata = new_metadata

@@ -660,7 +660,7 @@ def lsh_cosine_q(spark, sf_dir):
     from .ops.similarity import lsh_cosine_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, threshold=0.42, n_planes=4, n_tables=8).orderBy("a", "b")
+    return lsh_cosine_pairs(emb, threshold=0.9).orderBy("a", "b")
 
 
 def ivf_topk_q(spark, sf_dir):

@@ -1,0 +1,130 @@
+"""Structured Streaming ingest into Iceberg tables.
+
+The reference is a batch library; its delta/upsert writers are the
+natural `foreachBatch` sink for Spark Structured Streaming (SURVEY
+§2.7) — this module is that idiomatic slot: each micro-batch commits
+one Iceberg snapshot (append, upsert, or CDC merge), giving exactly-once
+table state per epoch via the streaming checkpoint + the table's
+optimistic commit.
+
+Also provides event-time helpers (watermarked tumbling/session windows)
+that pair with the ingest path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_stream(
+    table,
+    stream_df: DataFrame,
+    checkpoint: str,
+    mode: str = "append",          # append | upsert | merge
+    key_cols: list[str] | None = None,
+    op_col: str = "_op",
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+    **write_kwargs,
+) -> StreamingQuery:
+    """Stream into an Iceberg table, one snapshot per micro-batch.
+
+    - append: plain INSERT of each batch (AppendOnlyWriter, W9)
+    - upsert: last-wins by key within + across batches (UpsertWriter, W8)
+    - merge:  CDC batches carrying op_col 1=INSERT / 2=DELETE (W7)
+    """
+    from .delta import merge_delta, upsert as _upsert
+    from .write import append as _append
+
+    if mode not in ("append", "upsert", "merge"):
+        raise ValueError(f"unknown mode {mode!r} (append|upsert|merge)")
+    if mode in ("upsert", "merge") and not key_cols:
+        ident = table.schema().identifier_field_ids
+        if not ident:
+            raise ValueError(f"mode={mode!r} requires key_cols")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.refresh()
+        if mode == "append":
+            _append(table, batch_df, **write_kwargs)
+        elif mode == "upsert":
+            _upsert(table, batch_df, key_cols=key_cols, **write_kwargs)
+        elif mode == "merge":
+            merge_delta(table, batch_df, key_cols=key_cols, op_col=op_col,
+                        **write_kwargs)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the
+    watermark are dropped by Spark's state store."""
+    g = [F.window(F.col(ts_col), window).alias("win")] + [
+        F.col(c) for c in (group_cols or [])]
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(*g)
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    *(group_cols or []), "n"))
+
+
+def session_windows(stream_df: DataFrame, ts_col: str = "ts",
+                    gap: str = "30 minutes", watermark: str = "2 hours",
+                    key_col: str = "user_id") -> DataFrame:
+    """Event-time session windows (F.session_window) — the streaming twin
+    of queries.events_sessionize."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                     F.col(key_col))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    key_col, "n_events"))
+
+
+def stream_from_table(spark, table, poll_interval: str = "10 seconds",
+                      snapshot_id: int | None = None) -> DataFrame:
+    """Incremental read helper: a batch DataFrame of rows added AFTER the
+    given snapshot (append-only tables) — the building block for
+    table-to-table streaming pipelines until a DSv2 streaming source is
+    warranted."""
+    from .types.manifest import STATUS_ADDED
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return spark.createDataFrame([], table.schema().to_spark())
+    baseline = snapshot_id
+    new_files: list[str] = []
+    for s in sorted(table.metadata.snapshots, key=lambda s: s.sequence_number):
+        if baseline is not None and s.sequence_number <= \
+                table.metadata.snapshot_by_id(baseline).sequence_number:
+            continue
+        from .types.manifest import read_manifest, read_manifest_list
+
+        for mle in read_manifest_list(table._resolve(s.manifest_list)):
+            if mle.added_snapshot_id != s.snapshot_id:
+                continue
+            _, entries = read_manifest(table._resolve(mle.manifest_path))
+            for e in entries:
+                if e.status == STATUS_ADDED and e.data_file.content == 0:
+                    new_files.append(table._resolve(e.data_file.file_path))
+    if not new_files:
+        return spark.createDataFrame([], table.schema().to_spark())
+    return spark.read.schema(table.schema().to_spark()).parquet(*new_files)

@@ -221,6 +221,85 @@ class IcebergTable:
                   "added_snapshot_id long, added_data_files_count int, "
                   "existing_data_files_count int, deleted_data_files_count int")
 
+    # ----------------------------------------------------- refs / evolve
+
+    def _commit_metadata(self, new_metadata: TableMetadata) -> None:
+        if self.catalog is not None:
+            version = self.catalog.update_table(self.path, self.current_version,
+                                                new_metadata,
+                                                identifier=self.identifier)
+        else:
+            from .catalog.storage import commit_metadata
+
+            version = commit_metadata(self.path, new_metadata,
+                                      self.current_version + 1)
+        self.metadata = new_metadata
+        self.current_version = version
+
+    def create_ref(self, name: str, ref_type: str = "branch",
+                   snapshot_id: int | None = None) -> None:
+        """Create a branch or tag pointing at a snapshot (refs map,
+        in_memory.rs:2360-2410)."""
+        from dataclasses import replace as dc_replace
+
+        from .types.metadata import SnapshotReference
+
+        sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        self.metadata.snapshot_by_id(sid)  # validate
+        refs = dict(self.metadata.refs)
+        refs[name] = SnapshotReference(sid, ref_type)
+        self._commit_metadata(dc_replace(self.metadata, refs=refs))
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        self.create_ref(name, "branch", snapshot_id)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        self.create_ref(name, "tag", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        from dataclasses import replace as dc_replace
+
+        if name == MAIN_BRANCH:
+            raise ValueError("cannot drop the main branch")
+        refs = dict(self.metadata.refs)
+        refs.pop(name, None)
+        self._commit_metadata(dc_replace(self.metadata, refs=refs))
+
+    def add_column(self, name: str, type_str: str, doc: str | None = None) -> None:
+        """Schema evolution: append a nullable column with a fresh field
+        id (id-based evolution, in_memory.rs:436-453). Existing files are
+        read with the new column as null."""
+        from dataclasses import replace as dc_replace
+
+        from .types.datatypes import NestedField, Schema, StructType, type_from_json
+
+        cur = self.metadata.current_schema()
+        if cur.field_by_name(name) is not None:
+            raise ValueError(f"column {name!r} already exists")
+        fid = self.metadata.last_column_id + 1
+        new_field = NestedField(fid, name, type_from_json(type_str),
+                                required=False, doc=doc)
+        new_schema = Schema(
+            struct=StructType(cur.fields + (new_field,)),
+            schema_id=max(s.schema_id for s in self.metadata.schemas) + 1,
+            identifier_field_ids=cur.identifier_field_ids,
+        )
+        self._commit_metadata(dc_replace(
+            self.metadata,
+            schemas=self.metadata.schemas + (new_schema,),
+            current_schema_id=new_schema.schema_id,
+            last_column_id=fid,
+        ))
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        from dataclasses import replace as dc_replace
+
+        merged = dict(self.metadata.properties)
+        merged.update(props)
+        self._commit_metadata(dc_replace(self.metadata, properties=merged))
+
     # ------------------------------------------------------------ write
 
     def append(self, df: DataFrame, **kwargs) -> None:
@@ -356,7 +435,19 @@ class TableScan:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         data, pos, eq = self.plan_files()
+        # schema evolution: explicit time-travel reads use the schema the
+        # snapshot was written under (io/scan.rs:60-80); current reads use
+        # the current schema (old files project new columns as null)
         schema = self.table.schema()
+        time_travel = (self.snapshot_id is not None or self.as_of_ms is not None
+                       or (self.ref is not None and self.ref != MAIN_BRANCH))
+        if time_travel:
+            snap = self.table.snapshot(self.snapshot_id, self.as_of_ms, self.ref)
+            if snap is not None and snap.schema_id is not None:
+                try:
+                    schema = self.table.metadata.schema_by_id(snap.schema_id)
+                except KeyError:
+                    pass
         spark_schema = schema.to_spark()
         if not data:
             df = spark.createDataFrame([], spark_schema)

@@ -170,7 +170,8 @@ class Transaction:
 
         if table.catalog is not None:
             version = table.catalog.update_table(table.path, table.current_version,
-                                                 new_metadata)
+                                                 new_metadata,
+                                                 identifier=table.identifier)
         else:
             from .catalog.storage import commit_metadata
 
