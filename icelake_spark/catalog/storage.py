@@ -52,6 +52,21 @@ class StorageCatalog:
                 dirs.clear()
         return sorted(out)
 
+    def create_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, *namespace.split(".")),
+                    exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        out = []
+        for root, dirs, _files in os.walk(self.warehouse):
+            if os.path.isdir(os.path.join(root, "metadata")):
+                dirs.clear()
+                parent = os.path.dirname(root)
+                if parent != self.warehouse:
+                    out.append(os.path.relpath(parent, self.warehouse)
+                               .replace(os.sep, "."))
+        return sorted(set(out))
+
     def load_table(self, identifier: str):
         from ..table import IcebergTable
 

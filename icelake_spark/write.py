@@ -52,11 +52,58 @@ def partition_columns(spec: PartitionSpec, schema: Schema) -> list:
     return cols
 
 
+def _sort_columns(metadata, schema: Schema) -> tuple[list, int | None]:
+    """Table-declared sort order → sortWithinPartitions columns (O3,
+    in_memory.rs:1059-1152 — the reference records but never executes
+    sort orders; we execute them at write time)."""
+    order = None
+    for so in metadata.sort_orders:
+        if so.order_id == metadata.default_sort_order_id and so.fields:
+            order = so
+    if order is None:
+        return [], None
+    cols = []
+    for sf in order.fields:
+        src = schema.field_by_id(sf.source_column_id)
+        if src is None:
+            continue
+        c = transform_column(sf.transform, F.col(src.name), src.field_type)
+        if sf.direction == "desc":
+            c = c.desc_nulls_first() if sf.null_order == "nulls-first" else c.desc_nulls_last()
+        else:
+            c = c.asc_nulls_first() if sf.null_order == "nulls-first" else c.asc_nulls_last()
+        cols.append(c)
+    return cols, order.order_id
+
+
+# table properties controlling the parquet sink, mirroring the
+# reference's config surface (/root/reference/icelake/src/config.rs:59-285)
+PROP_COMPRESSION = "write.parquet.compression-codec"   # snappy|zstd|gzip|...
+PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
+PROP_ROWS_PER_FILE = "write.rows-per-file"
+PROP_BLOOM_PREFIX = "write.parquet.bloom-filter-enabled.column."
+
+
+def _estimate_rows_per_file(df: DataFrame, target_bytes: int) -> int:
+    """Byte-based rolling (S8, rolling_writer.rs:103-128): Spark's
+    maxRecordsPerFile is row-based, so convert the byte target using the
+    schema's estimated row width (cheap; no data scan)."""
+    width = 0
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        width += {"bigint": 8, "double": 8, "int": 4, "float": 4,
+                  "boolean": 1, "date": 4}.get(t, 24)
+    # assume ~3x parquet compression over in-memory width
+    est_file_row_bytes = max(2, width // 3)
+    return max(1000, target_bytes // est_file_row_bytes)
+
+
 def write_data_files(
     table,
     df: DataFrame,
     max_records_per_file: int | None = None,
     distribution_partitions: int | None = None,
+    target_file_size: int | None = None,
 ) -> list[DataFile]:
     """Distributed write of df as new parquet data files; returns DataFile
     entries with stats. Does NOT commit — pair with Transaction.
@@ -64,6 +111,7 @@ def write_data_files(
     metadata = table.metadata
     spec = metadata.default_spec()
     schema = metadata.current_schema()
+    props = metadata.properties
     stage = os.path.join(table.path, "data", uuid.uuid4().hex[:16])
 
     # align column order/types with the table schema
@@ -84,11 +132,28 @@ def write_data_files(
         else:
             writer_df = writer_df.repartition(*pnames)
 
+    # table-declared sort order executed within each output task (O3)
+    sort_cols, sort_order_id = _sort_columns(metadata, schema)
+    if sort_cols:
+        writer_df = writer_df.sortWithinPartitions(*sort_cols)
+
     w = writer_df.write.mode("errorifexists")
     if pnames:
         w = w.partitionBy(*pnames)
+    if max_records_per_file is None and PROP_ROWS_PER_FILE in props:
+        max_records_per_file = int(props[PROP_ROWS_PER_FILE])
+    if target_file_size is None and PROP_TARGET_FILE_SIZE in props:
+        target_file_size = int(props[PROP_TARGET_FILE_SIZE])
+    if max_records_per_file is None and target_file_size:
+        max_records_per_file = _estimate_rows_per_file(df, target_file_size)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if PROP_COMPRESSION in props:
+        w = w.option("compression", props[PROP_COMPRESSION])
+    for k, v in props.items():  # parquet bloom filters (config.rs:74-93)
+        if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true":
+            col = k[len(PROP_BLOOM_PREFIX):]
+            w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
     w.parquet(stage)
 
     # inventory written files
@@ -102,7 +167,8 @@ def write_data_files(
     }
     with ThreadPoolExecutor(max_workers=16) as pool:
         out = list(pool.map(
-            lambda p: _build_data_file(p, stage, schema, result_types), paths))
+            lambda p: _build_data_file(p, stage, schema, result_types,
+                                       sort_order_id), paths))
     return out
 
 
@@ -136,7 +202,8 @@ def _parse_hive_value(raw: str, t: PrimitiveType) -> Any:
 
 
 def _build_data_file(path: str, stage: str, schema: Schema,
-                     result_types: dict[str, tuple[str, PrimitiveType]]) -> DataFile:
+                     result_types: dict[str, tuple[str, PrimitiveType]],
+                     sort_order_id: int | None = None) -> DataFile:
     import pyarrow.parquet as pq
 
     # partition tuple from hive dirs between stage and the file
@@ -213,7 +280,7 @@ def _build_data_file(path: str, stage: str, schema: Schema,
         null_value_counts=null_counts or None,
         lower_bounds=lower or None,
         upper_bounds=upper or None,
-        sort_order_id=None,
+        sort_order_id=sort_order_id,
     )
 
 

@@ -1,0 +1,86 @@
+"""Write-path configuration parity: sort orders executed at write, byte
+/row rolling targets, compression property, catalog namespaces."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from icelake_spark.types import Schema, SortField, SortOrder
+
+
+def _data_files(t):
+    data, _, _ = t.new_scan().plan_files()
+    return [x.data_file for x in data]
+
+
+def test_sort_order_executed_and_recorded(spark, warehouse):
+    src = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        F.reverse(F.col("id").cast("string")).alias("s"))
+    schema = Schema.from_spark(src.schema)
+    so = SortOrder(1, (SortField(schema.field_by_name("s").field_id,
+                                 "identity", "asc", "nulls-first"),))
+    t = warehouse.create_table("db.sorted", schema, sort_order=so)
+    t.append(src)
+    files = _data_files(t)
+    assert all(f.sort_order_id == 1 for f in files)
+    # rows inside each file are sorted by s
+    for f in files:
+        vals = pq.read_table(f.file_path, columns=["s"])["s"].to_pylist()
+        assert vals == sorted(vals)
+    # read back still complete
+    assert t.to_df(spark).count() == 1000
+
+
+def test_rows_per_file_property(spark, warehouse):
+    src = spark.range(5000).select("id")
+    schema = Schema.from_spark(src.schema)
+    t = warehouse.create_table("db.rolled", schema,
+                               properties={"write.rows-per-file": "1000"})
+    t.append(src.coalesce(1))
+    files = _data_files(t)
+    assert len(files) >= 5
+    assert all(f.record_count <= 1000 for f in files)
+
+
+def test_target_file_size_property(spark, warehouse):
+    src = spark.range(200000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload"))
+    schema = Schema.from_spark(src.schema)
+    t = warehouse.create_table(
+        "db.sized", schema,
+        properties={"write.target-file-size-bytes": str(256 * 1024)})
+    t.append(src.coalesce(1))
+    files = _data_files(t)
+    assert len(files) >= 2  # split by estimated byte target
+    for f in files:
+        assert f.file_size_in_bytes < 4 * 256 * 1024  # loose upper bound
+
+
+def test_compression_property(spark, warehouse):
+    src = spark.range(100).select(F.col("id"))
+    schema = Schema.from_spark(src.schema)
+    t = warehouse.create_table(
+        "db.zstd", schema,
+        properties={"write.parquet.compression-codec": "zstd"})
+    t.append(src)
+    f = _data_files(t)[0]
+    md = pq.read_metadata(f.file_path)
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_namespaces(warehouse, spark):
+    warehouse.create_namespace("analytics.raw")
+    src = spark.range(1).select("id")
+    warehouse.create_table("analytics.raw.t1", Schema.from_spark(src.schema))
+    warehouse.create_table("analytics.raw.t2", Schema.from_spark(src.schema))
+    assert warehouse.list_tables() == ["analytics.raw.t1", "analytics.raw.t2"]
+    assert warehouse.list_namespaces() == ["analytics.raw"]
+    assert warehouse.table_exists("analytics.raw.t1")
+    assert not warehouse.table_exists("analytics.raw.nope")
+    warehouse.rename_table("analytics.raw.t2", "analytics.raw.t3")
+    assert warehouse.table_exists("analytics.raw.t3")
+    warehouse.drop_table("analytics.raw.t3")
+    assert not warehouse.table_exists("analytics.raw.t3")
