@@ -273,6 +273,96 @@ SELECT * FROM (
 """
 
 
+def semi_anti_join_customers(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI coverage: customers with orders vs without."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+                   .withColumn("kind", F.lit("with_orders")))
+    without = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+               .withColumn("kind", F.lit("no_orders")))
+    return (with_orders.unionByName(without)
+            .groupBy("kind", "c_mktsegment")
+            .agg(F.count("*").alias("n"))
+            .orderBy("kind", "c_mktsegment"))
+
+
+SEMI_ANTI_SQL = """
+SELECT kind, c_mktsegment, COUNT(*) AS n FROM (
+  SELECT c_mktsegment, 'with_orders' AS kind FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT c_mktsegment, 'no_orders' AS kind FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+) GROUP BY kind, c_mktsegment ORDER BY kind, c_mktsegment
+"""
+
+
+def correlated_subquery_q(spark, sf_dir):
+    """Correlated scalar subquery (q17-shape): lineitems below 50%% of
+    their part's average quantity — Catalyst decorrelates to a join."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem")
+    return spark.sql(f"""
+        SELECT l_partkey,
+               COUNT(*) AS n_small,
+               {dsum_sql('l_extendedprice', 'small_revenue').replace('AS small_revenue', 'AS small_revenue')}
+        FROM v_lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                            FROM v_lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        HAVING COUNT(*) >= 2
+        ORDER BY l_partkey
+        LIMIT 100
+    """)
+
+
+CORRELATED_SQL = f"""
+SELECT l_partkey, COUNT(*) AS n_small,
+       {dsum_sql('l_extendedprice', 'small_revenue')}
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+HAVING COUNT(*) >= 2
+ORDER BY l_partkey
+LIMIT 100
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """q18-shape: orders whose total quantity exceeds a threshold
+    (group-filter semi join)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 300))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey",
+                    F.round("total_qty", 6).alias("total_qty"),
+                    F.round("o_totalprice", 6).alias("o_totalprice"))
+            .orderBy(F.desc("total_qty"), "o_orderkey")
+            .limit(50))
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, ROUND(total_qty, 6) AS total_qty,
+       ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -716,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_customers": window_top_customers,
         "grouping_sets_rollup": grouping_sets_rollup,
         "set_ops_customers": set_ops_customers,
+        "semi_anti_join_customers": semi_anti_join_customers,
+        "correlated_subquery": correlated_subquery_q,
+        "q18_large_orders": q18_large_orders,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
@@ -749,6 +842,9 @@ def oracle_sql() -> dict[str, str]:
         "window_top_customers": WINDOW_SQL,
         "grouping_sets_rollup": ROLLUP_SQL,
         "set_ops_customers": SETOPS_SQL,
+        "semi_anti_join_customers": SEMI_ANTI_SQL,
+        "correlated_subquery": CORRELATED_SQL,
+        "q18_large_orders": Q18_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "iceberg_roundtrip_agg": ICEBERG_ROUNDTRIP_SQL,

@@ -221,6 +221,21 @@ class IcebergTable:
                   "added_snapshot_id long, added_data_files_count int, "
                   "existing_data_files_count int, deleted_data_files_count int")
 
+    # --------------------------------------------------------------- sql
+
+    def create_or_replace_view(self, spark: SparkSession, name: str,
+                               **scan_kwargs) -> str:
+        """Register the table's current (or time-travel) state as a temp
+        view so the full Spark SQL surface applies to it."""
+        self.to_df(spark, **scan_kwargs).createOrReplaceTempView(name)
+        return name
+
+    def sql(self, spark: SparkSession, query: str, view_name: str = "t",
+            **scan_kwargs) -> DataFrame:
+        """Run a SQL query with this table registered as `view_name`."""
+        self.create_or_replace_view(spark, view_name, **scan_kwargs)
+        return spark.sql(query)
+
     # ----------------------------------------------------- refs / evolve
 
     def _commit_metadata(self, new_metadata: TableMetadata) -> None:

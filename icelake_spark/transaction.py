@@ -65,7 +65,27 @@ class Transaction:
 
     # ---------------------------------------------------------- commit
 
-    def commit(self, operation: str | None = None) -> Snapshot:
+    def commit(self, operation: str | None = None, retries: int = 3) -> Snapshot:
+        """Commit with optimistic-conflict retry: on CommitConflict the
+        table is refreshed and the ops re-applied against the new base
+        (safe for append/delete-file ops — data files are immutable; a
+        rewrite that raced a concurrent commit is NOT retried, matching
+        the single-committer assumption of transaction.rs:164-169 while
+        making the common append path multi-writer-safe)."""
+        from .catalog.storage import CommitConflict
+
+        attempt = 0
+        while True:
+            try:
+                return self._commit_once(operation)
+            except CommitConflict:
+                attempt += 1
+                rewrite = self._remove_all or bool(self._removed_paths)
+                if rewrite or attempt > retries:
+                    raise
+                self.table.refresh()
+
+    def _commit_once(self, operation: str | None = None) -> Snapshot:
         table = self.table
         metadata = table.metadata
         meta_dir = os.path.join(table.path, "metadata")
