@@ -728,6 +728,57 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.42 ORDER BY a, b
 """
 
 
+def pipeline_curation(spark, sf_dir):
+    """End-to-end training-data curation pipeline: documents → quality
+    filter → exact dedup → language tag → curated Iceberg table
+    (partitioned by predicted lang) → read back → per-lang stats.
+    Exercises the ops layer AND the table layer in one flow."""
+    from .ops.dedup import dedup_exact
+    from .ops.text import lang_id, quality_score, word_count
+    from .types import PartitionField, PartitionSpec, Schema
+
+    docs = load(spark, sf_dir, "documents")
+    curated = (dedup_exact(docs)
+               .withColumn("quality", quality_score(F.col("text")))
+               .where(F.col("quality") >= 0.5)
+               .withColumn("lang_pred", lang_id(F.col("text")))
+               .withColumn("n_words", word_count(F.col("text")))
+               .select("doc_id", "text", "lang_pred", "quality", "n_words"))
+    schema = Schema.from_spark(curated.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("lang_pred").field_id, 1000, "identity",
+        "lang_pred"),))
+    t = _tmp_catalog().create_table("q.curated", schema, spec=spec)
+    t.append(curated)
+    return (t.to_df(spark).groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 dsum(F.col("quality"), "total_quality"),
+                 F.sum("n_words").alias("total_words"))
+            .orderBy("lang_pred"))
+
+
+def pipeline_curation_sql():
+    from .ops.text import (content_md5_sql, lang_id_sql, quality_score_sql,
+                           word_count_sql)
+
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, text, {content_md5_sql('text')} AS hh FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY hh),
+deduped AS (SELECT h.doc_id, h.text FROM hashed h JOIN keep USING (doc_id)),
+curated AS (
+  SELECT doc_id, {lang_id_sql('text')} AS lang_pred,
+         {quality_score_sql('text')} AS quality,
+         {word_count_sql('text')} AS n_words
+  FROM deduped
+  WHERE {quality_score_sql('text')} >= 0.5)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       {dsum_sql('quality', 'total_quality')},
+       SUM(n_words) AS total_words
+FROM curated GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
 # ------- non-SQL-expressible (rows-only driver check) -----------------
 
 
@@ -819,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compaction": iceberg_compaction,
         "iceberg_bucket_partition": iceberg_bucket_partition,
         "transforms_projection": transforms_projection,
+        "pipeline_curation": pipeline_curation,
         "text_analysis": text_analysis,
         "dedup_exact": dedup_exact_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
@@ -855,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_compaction": ICEBERG_COMPACTION_SQL,
         "iceberg_bucket_partition": ICEBERG_BUCKET_SQL,
         "transforms_projection": TRANSFORMS_SQL,
+        "pipeline_curation": pipeline_curation_sql(),
         "text_analysis": text_analysis_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -1,0 +1,82 @@
+"""Plan-quality regression guards: the properties that matter at 100 TB
+must be visible in the physical plan — filter/projection pushdown into
+the parquet scan, broadcast of small dimensions, zone-map file skipping,
+and no Python evaluation in JVM-expressible operators."""
+
+from pyspark.sql import functions as F
+
+from icelake_spark.types import Schema
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark, warehouse):
+    src = spark.range(10000).selectExpr("id", "id % 10 as g",
+                                        "cast(id as string) as s")
+    t = warehouse.create_table("db.push", Schema.from_spark(src.schema))
+    t.append(src)
+    df = t.new_scan(columns=["id"], filter="id > 100").to_df(spark)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,100)" in plan
+    assert "ReadSchema: struct<id:bigint>" in plan
+
+
+def test_join_broadcasts_small_dimension(spark):
+    from icelake_spark.queries import q5_local_supplier
+
+    plan = _plan(q5_local_supplier(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    # the fact table is never broadcast
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_zone_map_file_skipping(spark, warehouse):
+    src = spark.range(40000).select("id")
+    t = warehouse.create_table("db.zone", Schema.from_spark(src.schema))
+    for lo in range(0, 40000, 10000):
+        t.append(src.where(f"id >= {lo} and id < {lo + 10000}"))
+    pruned, _, _ = t.new_scan(filter="id >= 30000").plan_files()
+    full, _, _ = t.new_scan().plan_files()
+    assert len(full) >= 4 and len(pruned) < len(full)
+
+
+def test_mor_delete_join_is_broadcast(spark, warehouse):
+    src = spark.range(5000).selectExpr("id", "id % 5 as g")
+    t = warehouse.create_table("db.morp", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "g = 0")
+    plan = _plan(t.to_df(spark))
+    # position-delete anti join builds on the (small) delete side
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_no_python_eval_in_sql_operators(spark):
+    """Text/dedup/analytic operators must stay JVM-side (no BatchEvalPython
+    / ArrowEvalPython nodes) — only the murmur3 bucket transform and
+    multimodal decode are allowed Python."""
+    from icelake_spark.ops.dedup import dedup_exact, minhash_signatures
+    from icelake_spark.ops.text import analyze_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (analyze_documents(docs), dedup_exact(docs),
+               minhash_signatures(docs, num_hashes=8)):
+        plan = _plan(df)
+        assert "EvalPython" not in plan, plan[:500]
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    from icelake_spark.queries import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    df.collect()  # materialize AQE's final plan
+    plan = _plan(df)
+    # '*(n)' prefixes = whole-stage-codegen'd spans in AQE's compact form
+    assert "*(1)" in plan and "*(2)" in plan
+    # map-side partial aggregation before the shuffle
+    assert "partial_sum" in plan
