@@ -165,11 +165,54 @@ def write_data_files(
     result_types = {
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
     }
+    if len(paths) > DISTRIBUTED_STATS_THRESHOLD:
+        return _build_data_files_distributed(
+            table, paths, stage, schema, result_types, sort_order_id)
     with ThreadPoolExecutor(max_workers=16) as pool:
         out = list(pool.map(
             lambda p: _build_data_file(p, stage, schema, result_types,
                                        sort_order_id), paths))
     return out
+
+
+# above this file count, footer-stat collection becomes a Spark job
+# (SURVEY §7 risk 8: planning state must not be bounded by the driver)
+DISTRIBUTED_STATS_THRESHOLD = 512
+
+
+def _build_data_files_distributed(table, paths, stage, schema, result_types,
+                                  sort_order_id) -> list[DataFile]:
+    """Footer-stat collection as a Spark job: executors read parquet
+    footers with pyarrow and return pickled DataFile entries. Keeps the
+    driver's work at O(#files) metadata assembly only."""
+    import pickle
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        # no session to distribute over; fall back to driver threads
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return list(pool.map(
+                lambda p: _build_data_file(p, stage, schema, result_types,
+                                           sort_order_id), paths))
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                df_entry = _build_data_file(p, stage, schema, result_types,
+                                            sort_order_id)
+                out.append(pickle.dumps(df_entry))
+            yield pd.DataFrame({"blob": out})
+
+    n_parts = max(1, min(len(paths) // 64, 256))
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(n_parts)
+    blobs = files_df.mapInPandas(run, schema="blob binary").collect()
+    return [pickle.loads(bytes(r.blob)) for r in blobs]
 
 
 def _result_type(pf, schema: Schema) -> PrimitiveType:
