@@ -1,0 +1,71 @@
+"""Python DataSource (`spark.read.format("icelake")`): schema inference,
+MoR application, time travel, filter-based file pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from icelake_spark.datasource import register
+
+    register(spark)
+
+
+def test_format_read_with_mor(spark, warehouse):
+    src = spark.range(1000).selectExpr("id", "id % 7 as g")
+    t = warehouse.create_table("db.ds1", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "g = 0")
+    df = spark.read.format("icelake").option("path", t.path).load()
+    assert df.columns == ["id", "g"]
+    assert df.count() == src.where("g != 0").count()
+    assert df.where("g = 0").count() == 0
+
+
+def test_format_time_travel(spark, warehouse):
+    src = spark.range(100).select("id")
+    t = warehouse.create_table("db.ds2", Schema.from_spark(src.schema))
+    t.append(src)
+    s1 = t.current_snapshot().snapshot_id
+    t.append(src)
+    cur = spark.read.format("icelake").option("path", t.path).load()
+    old = (spark.read.format("icelake").option("path", t.path)
+           .option("snapshot_id", str(s1)).load())
+    assert cur.count() == 200 and old.count() == 100
+
+
+def test_format_partitioned_with_eq_deletes(spark, warehouse):
+    from icelake_spark.delta import upsert
+
+    src = spark.createDataFrame([(i, i % 3, i * 10) for i in range(30)],
+                                "id long, key long, v long")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("key").field_id, 1000, "identity", "key"),))
+    t = warehouse.create_table("db.ds3", schema, spec=spec)
+    t.append(src)
+    upsert(t, spark.createDataFrame([(100, 0, 999)], "id long, key long, v long"),
+           key_cols=["key"])
+    df = spark.read.format("icelake").option("path", t.path).load()
+    rows = {(r.id, r.key) for r in df.collect()}
+    assert (100, 0) in rows
+    assert not any(k == 0 and i != 100 for i, k in rows)
+    # matches the native scan exactly
+    native = {(r.id, r.key) for r in t.to_df(spark).collect()}
+    assert rows == native
+
+
+def test_format_filter_pushdown_prunes(spark, warehouse):
+    src = spark.range(40000).select("id")
+    t = warehouse.create_table("db.ds4", Schema.from_spark(src.schema))
+    for lo in range(0, 40000, 10000):
+        t.append(src.where(f"id >= {lo} and id < {lo + 10000}"))
+    df = (spark.read.format("icelake").option("path", t.path).load()
+          .where("id >= 30000"))
+    assert df.count() == 10000
+    # pruning effect: fewer input partitions than total files
+    full, _, _ = t.new_scan().plan_files()
+    assert df.rdd.getNumPartitions() < len(full)
