@@ -48,8 +48,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    # JVM/codegen warmup (no benchmark data touched)
+    # JVM/codegen + parquet-reader warmup (region = 5 rows, not a
+    # measured table)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -16,6 +16,7 @@ no Python UDFs anywhere on the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,6 +62,36 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_buckets_udf(all_planes: list[list[list[float]]]):
+    """All tables' bucket ids in one Arrow-batched matmul.
+
+    n_tables × n_planes hyperplane projections as catalyst expressions
+    would be (tables·planes·dim) multiply-adds of expression tree per
+    row (compile-heavy and interpreted); a single numpy (rows×dim) @
+    (dim×total_planes) GEMM per Arrow batch replaces all of it.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    mats = [np.array(p, dtype=np.float64).T for p in all_planes]  # dim×planes
+    full = np.concatenate(mats, axis=1)  # dim × (tables*planes)
+    n_tables = len(all_planes)
+    n_planes = all_planes[0].__len__() if n_tables else 0
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # rows × dim
+        proj = mat @ full > 0  # rows × (tables*planes) sign bits
+        out = []
+        for r in proj:
+            bits = r.reshape(n_tables, n_planes)
+            out.append((bits @ weights).tolist())
+        return pd.Series(out)
+
+    return buckets
+
+
 def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                      id_col: str = "vec_id", dim: int = 64,
                      n_planes: int = 8, threshold: float = 0.9,
@@ -68,13 +99,14 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     """Near-duplicate pairs via multi-table hyperplane LSH: candidates
     from bucket collisions in any table, verified with exact cosine."""
     v = F.col(vec_col).cast("array<double>")
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=42 + t)
-        tables.append(F.struct(F.lit(t).alias("t"),
-                               lsh_bucket(v, planes).alias("b")))
-    bucketed = df.select(F.col(id_col), v.alias("__v"),
-                         F.explode(F.array(*tables)).alias("bk"))
+    all_planes = [_hyperplanes(dim, n_planes, seed=42 + t)
+                  for t in range(n_tables)]
+    udf = _lsh_buckets_udf(all_planes)
+    with_b = df.select(F.col(id_col), v.alias("__v"), udf(v).alias("__bs"))
+    bucketed = with_b.select(
+        F.col(id_col), F.col("__v"),
+        F.explode(F.expr(
+            "transform(__bs, (b, i) -> struct(i as t, b as b))")).alias("bk"))
     w = Window.partitionBy("bk").orderBy(id_col)
     bucketed = bucketed.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") <= max_bucket).drop("__rn")
