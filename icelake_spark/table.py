@@ -522,20 +522,35 @@ class TableScan:
                     & (df["__data_seq"] <= pos_df["__del_seq"]))
             df = df.join(F.broadcast(pos_df), on=cond, how="left_anti")
 
+        # group equality-delete files by key-set: ONE anti-join per
+        # distinct equality_ids instead of one per delete file (a table
+        # with N upsert commits would otherwise chain N joins)
+        schema = self.table.schema()
+        groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
         for task in eq:
-            eq_ids = task.delete_file.equality_ids or []
-            schema = self.table.schema()
+            groups.setdefault(tuple(task.delete_file.equality_ids or ()), []).append(task)
+        for eq_ids, tasks in groups.items():
             key_cols = [schema.name_by_id(fid) for fid in eq_ids]
             if not key_cols or any(c is None for c in key_cols):
                 continue
-            del_df = (spark.read.parquet(task.delete_file.file_path)
-                      .select(*key_cols).dropDuplicates(key_cols))
-            renamed = del_df.select(*[F.col(c).alias(f"__eq_{c}") for c in key_cols])
+            seq_map = spark.createDataFrame(
+                [(t.delete_file.file_path, t.sequence_number) for t in tasks],
+                "__src string, __del_seq long")
+            # a key deleted at seq S covers all data with seq < S; keep
+            # the max seq per key so one row per key suffices
+            del_df = (spark.read.parquet(*[t.delete_file.file_path for t in tasks])
+                      .withColumn("__src", F.regexp_replace(
+                          F.col("_metadata.file_path"), r"^file:/*", "/"))
+                      .join(F.broadcast(seq_map), on="__src", how="left")
+                      .groupBy(*key_cols)
+                      .agg(F.max("__del_seq").alias("__del_seq")))
+            renamed = del_df.select(
+                *[F.col(c).alias(f"__eq_{c}") for c in key_cols], "__del_seq")
             cond = None
             for c in key_cols:
                 clause = df[c].eqNullSafe(renamed[f"__eq_{c}"])
                 cond = clause if cond is None else (cond & clause)
-            cond = cond & (df["__data_seq"] < F.lit(task.sequence_number))
+            cond = cond & (df["__data_seq"] < renamed["__del_seq"])
             df = df.join(F.broadcast(renamed), on=cond, how="left_anti")
 
         return df.drop("__file", "__pos", "__data_seq")
