@@ -144,22 +144,45 @@ def upsert(table, df: DataFrame, key_cols: list[str] | None = None,
 
 
 def delete_rows(table, spark, condition: str) -> None:
-    """Row-level MoR DELETE WHERE: emit position-delete files for matching
-    rows (J4 write side); no data files rewritten."""
+    """Row-level DELETE WHERE.
+
+    format v2: merge-on-read — emit position-delete files (J4 write
+    side); no data files rewritten.
+    format v1: copy-on-write — the Iceberg v1 spec has no delete files,
+    so the files containing matches are rewritten without the matching
+    rows (untouched files are carried over as-is).
+    """
     from .transaction import Transaction
 
     scan = table.new_scan(apply_deletes=True)
-    df = scan.to_df(spark)
-    # recompute file/pos on the raw scan (to_df drops the internals)
     data, _pos, _eq = scan.plan_files()
     if not data:
         return
     spark_schema = table.schema().to_spark()
     raw = spark.read.schema(spark_schema).parquet(
         *[t.data_file.file_path for t in data])
+    norm = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
+
+    if table.metadata.format_version == 1:
+        # copy-on-write: find affected files, rewrite them minus matches
+        affected = [r.f for r in (raw.where(condition)
+                                  .select(norm.alias("f")).distinct().collect())]
+        if not affected:
+            return
+        from .write import write_data_files
+
+        survivors = (spark.read.schema(spark_schema).parquet(*affected)
+                     .where(f"NOT ({condition})")
+                     .repartition(max(1, len(affected))))  # keep file granularity
+        new_files = write_data_files(table, survivors)
+        tx = Transaction(table)
+        tx.remove_data_files(affected)
+        tx.add_data_files(new_files)
+        tx.commit("overwrite")
+        return
+
     matches = (raw.where(condition)
-               .select(F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
-                       .alias("file_path"),
+               .select(norm.alias("file_path"),
                        F.col("_metadata.row_index").alias("pos")))
     if not matches.take(1):
         return

@@ -308,6 +308,47 @@ class IcebergTable:
             last_column_id=fid,
         ))
 
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: drop a column (id-based — data files keep the
+        column; reads simply stop projecting it). Renames are not
+        supported in v1 of this engine: our reader projects parquet by
+        name, and a rename would need per-file id→name remapping."""
+        from dataclasses import replace as dc_replace
+
+        from .types.datatypes import Schema, StructType
+
+        cur = self.metadata.current_schema()
+        if cur.field_by_name(name) is None:
+            raise KeyError(f"column {name!r} not found")
+        if len(cur.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        new_schema = Schema(
+            struct=StructType(tuple(f for f in cur.fields if f.name != name)),
+            schema_id=max(s.schema_id for s in self.metadata.schemas) + 1,
+            identifier_field_ids=cur.identifier_field_ids,
+        )
+        self._commit_metadata(dc_replace(
+            self.metadata,
+            schemas=self.metadata.schemas + (new_schema,),
+            current_schema_id=new_schema.schema_id,
+        ))
+
+    def stats(self) -> dict:
+        """Quick table-level stats from the current snapshot's summary +
+        manifest planning (file/row/byte counts, snapshot count)."""
+        snap = self.current_snapshot()
+        data, pos, eq = self._manifest_entries(snap) if snap else ([], [], [])
+        return {
+            "snapshots": len(self.metadata.snapshots),
+            "data_files": len(data),
+            "position_delete_files": len(pos),
+            "equality_delete_files": len(eq),
+            "total_records": sum(t.data_file.record_count for t in data),
+            "total_bytes": sum(t.data_file.file_size_in_bytes for t in data),
+            "format_version": self.metadata.format_version,
+            "partition_spec": [f.to_json() for f in self.metadata.default_spec().fields],
+        }
+
     def set_properties(self, props: dict[str, str]) -> None:
         from dataclasses import replace as dc_replace
 

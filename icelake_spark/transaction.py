@@ -51,7 +51,13 @@ class Transaction:
         return self
 
     def add_delete_files(self, files: list[DataFile]) -> "Transaction":
-        """Position- or equality-delete files (content already stamped)."""
+        """Position- or equality-delete files (content already stamped).
+
+        Delete files are a format-v2 feature (v1 manifests cannot even
+        encode them); v1 row-level deletes must go copy-on-write."""
+        if self.table.metadata.format_version < 2 and files:
+            raise ValueError("delete files require format-version 2 "
+                             "(v1 tables use copy-on-write deletes)")
         self._added_deletes.extend(files)
         return self
 
