@@ -146,11 +146,12 @@ def upsert(table, df: DataFrame, key_cols: list[str] | None = None,
 def delete_rows(table, spark, condition: str) -> None:
     """Row-level DELETE WHERE.
 
-    format v2: merge-on-read — emit position-delete files (J4 write
-    side); no data files rewritten.
-    format v1: copy-on-write — the Iceberg v1 spec has no delete files,
-    so the files containing matches are rewritten without the matching
-    rows (untouched files are carried over as-is).
+    Mode selection follows the `write.delete.mode` table property (the
+    same property the reference's Spark-side tests set,
+    delta_test_v2.rs:116): `merge-on-read` (v2 default) emits
+    position-delete files (J4 write side) with no data rewritten;
+    `copy-on-write` (v1 always — its manifests cannot encode delete
+    files) rewrites the files containing matches without those rows.
     """
     from .transaction import Transaction
 
@@ -163,7 +164,8 @@ def delete_rows(table, spark, condition: str) -> None:
         *[t.data_file.file_path for t in data])
     norm = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
 
-    if table.metadata.format_version == 1:
+    mode = table.metadata.properties.get("write.delete.mode", "merge-on-read")
+    if table.metadata.format_version == 1 or mode == "copy-on-write":
         # copy-on-write: find affected files, rewrite them minus matches
         affected = [r.f for r in (raw.where(condition)
                                   .select(norm.alias("f")).distinct().collect())]

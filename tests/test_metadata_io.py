@@ -76,6 +76,25 @@ def test_manifest_roundtrip_golden():
         assert records2 == records
 
 
+def test_load_partition_table_golden(spark):
+    """Third golden table: Spark-written partitioned Iceberg table."""
+    t = IcebergTable.load("/root/reference/testdata/partition_table")
+    assert t.current_snapshot() is not None
+    spec = t.metadata.default_spec()
+    assert spec.fields  # actually partitioned
+    data, _, _ = t.new_scan().plan_files()
+    assert data
+    # partition values decoded for every planned file
+    assert all(task.data_file.partition for task in data)
+    df = t.to_df(spark)
+    assert df.count() == sum(task.data_file.record_count for task in data)
+    # partition pruning by the first partition field's first value
+    pf = spec.fields[0]
+    val = data[0].data_file.partition[pf.name]
+    pruned, _, _ = t.new_scan(partition_filter={pf.name: val}).plan_files()
+    assert 0 < len(pruned) <= len(data)
+
+
 def test_schema_spark_conversion_roundtrip():
     t = IcebergTable.load(SIMPLE)
     st = t.schema().to_spark()

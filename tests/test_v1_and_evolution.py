@@ -40,6 +40,22 @@ def test_v1_mor_delete(spark, warehouse):
     assert t.to_df(spark).count() == 75
 
 
+def test_v2_copy_on_write_mode(spark, warehouse):
+    """write.delete.mode=copy-on-write on a v2 table rewrites files
+    instead of emitting position deletes (the property the reference's
+    Spark tests drive, delta_test_v2.rs:116)."""
+    src = spark.range(100).selectExpr("id", "id % 4 as g")
+    t = warehouse.create_table(
+        "db.cow2", Schema.from_spark(src.schema),
+        properties={"write.delete.mode": "copy-on-write"})
+    t.append(src)
+    t.delete_where(spark, "g = 2")
+    assert t.to_df(spark).count() == 75
+    s = t.stats()
+    assert s["position_delete_files"] == 0 and s["equality_delete_files"] == 0
+    assert t.current_snapshot().summary["operation"] == "overwrite"
+
+
 def test_drop_column(spark, warehouse):
     src = spark.range(10).selectExpr("id", "id * 2 as v", "'x' as s")
     t = warehouse.create_table("db.dropc", Schema.from_spark(src.schema))
