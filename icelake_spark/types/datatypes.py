@@ -369,6 +369,18 @@ class Schema:
     def to_spark(self) -> T.StructType:
         return to_spark_type(self.struct)
 
+    def with_identifier_fields(self, *names: str) -> "Schema":
+        """Return a copy with identifier-field-ids set from column names
+        (the row-identity key used by CDC upsert/merge when no explicit
+        key_cols are passed)."""
+        ids = []
+        for n in names:
+            f = self.field_by_name(n)
+            if f is None:
+                raise KeyError(f"column {n!r} not found")
+            ids.append(f.field_id)
+        return Schema(self.struct, self.schema_id, tuple(ids))
+
     @classmethod
     def from_spark(cls, st: T.StructType, schema_id: int = 0) -> "Schema":
         counter = iter(range(1, 1 << 31))

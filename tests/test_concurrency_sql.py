@@ -110,3 +110,16 @@ def test_prop_bound_roundtrip(tv):
     t = {"long": LONG, "string": STRING, "double": DOUBLE, "date": DATE,
          "decimal": decimal_type(22, 3)}[kind]
     assert decode_bound(t, encode_bound(t, v)) == v
+
+
+def test_identifier_fields_default_upsert_keys(spark, warehouse):
+    from icelake_spark.delta import upsert
+
+    src = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    schema = Schema.from_spark(src.schema).with_identifier_fields("k")
+    t = warehouse.create_table("db.idf", schema)
+    t.append(src)
+    upsert(t, spark.createDataFrame([(2, 99)], "k long, v long"))
+    assert {r.k: r.v for r in t.to_df(spark).collect()} == {1: 10, 2: 99}
+    with pytest.raises(KeyError):
+        Schema.from_spark(src.schema).with_identifier_fields("nope")
