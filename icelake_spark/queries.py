@@ -728,6 +728,33 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.42 ORDER BY a, b
 """
 
 
+def corpus_term_freq(spark, sf_dir):
+    """Vocabulary building: corpus-wide term frequencies + document
+    frequencies, top 50 terms (explode → two-level aggregation; the
+    shuffle is keyed by term, map-side combined)."""
+    from .ops.dedup import words_col
+
+    docs = load(spark, sf_dir, "documents")
+    w = (docs.select("doc_id", F.explode(words_col("text")).alias("term"))
+         .where(F.length("term") > 0))
+    return (w.groupBy("term")
+            .agg(F.count("*").alias("tf"),
+                 F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("tf"), "term")
+            .limit(50))
+
+
+CORPUS_TF_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents)
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM w WHERE length(term) > 0
+GROUP BY term ORDER BY tf DESC, term LIMIT 50
+"""
+
+
 def pipeline_curation(spark, sf_dir):
     """End-to-end training-data curation pipeline: documents → quality
     filter → exact dedup → language tag → curated Iceberg table
@@ -871,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_bucket_partition": iceberg_bucket_partition,
         "transforms_projection": transforms_projection,
         "pipeline_curation": pipeline_curation,
+        "corpus_term_freq": corpus_term_freq,
         "text_analysis": text_analysis,
         "dedup_exact": dedup_exact_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
@@ -908,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_bucket_partition": ICEBERG_BUCKET_SQL,
         "transforms_projection": TRANSFORMS_SQL,
         "pipeline_curation": pipeline_curation_sql(),
+        "corpus_term_freq": CORPUS_TF_SQL,
         "text_analysis": text_analysis_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
