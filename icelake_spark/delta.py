@@ -155,40 +155,56 @@ def delete_rows(table, spark, condition: str) -> None:
     """
     from .transaction import Transaction
 
+    from .table import read_data_files
+
     scan = table.new_scan(apply_deletes=True)
     data, _pos, _eq = scan.plan_files()
     if not data:
         return
     spark_schema = table.schema().to_spark()
-    raw = spark.read.schema(spark_schema).parquet(
-        *[t.data_file.file_path for t in data])
-    norm = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
+    raw = read_data_files(spark, spark_schema, data, with_position=True)
+
+    from .table import FileScanTask, read_data_files as _rdf
+
+    def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
+        """Rewrite `affected` files without the matching rows."""
+        from .write import write_data_files
+
+        tasks = [t for t in data
+                 if os.path.abspath(t.data_file.file_path) in
+                 {os.path.abspath(a) for a in affected}]
+        survivors = (_rdf(spark, spark_schema, tasks)
+                     .where(f"NOT ({condition})")
+                     .repartition(max(1, len(affected))))
+        tx.remove_data_files(affected)
+        tx.add_data_files(write_data_files(table, survivors))
 
     mode = table.metadata.properties.get("write.delete.mode", "merge-on-read")
     if table.metadata.format_version == 1 or mode == "copy-on-write":
-        # copy-on-write: find affected files, rewrite them minus matches
         affected = [r.f for r in (raw.where(condition)
-                                  .select(norm.alias("f")).distinct().collect())]
+                                  .select(F.col("__file").alias("f"))
+                                  .distinct().collect())]
         if not affected:
             return
-        from .write import write_data_files
-
-        survivors = (spark.read.schema(spark_schema).parquet(*affected)
-                     .where(f"NOT ({condition})")
-                     .repartition(max(1, len(affected))))  # keep file granularity
-        new_files = write_data_files(table, survivors)
         tx = Transaction(table)
-        tx.remove_data_files(affected)
-        tx.add_data_files(new_files)
+        _cow_rewrite(tx, affected)
         tx.commit("overwrite")
         return
 
-    matches = (raw.where(condition)
-               .select(norm.alias("file_path"),
-                       F.col("_metadata.row_index").alias("pos")))
-    if not matches.take(1):
-        return
-    files = write_position_delete_files(table, matches)
+    # merge-on-read: position deletes for parquet files; non-parquet
+    # files (no row_index in Spark) fall back to copy-on-write in the
+    # SAME commit
+    matched = raw.where(condition).select(F.col("__file").alias("file_path"),
+                                          F.col("__pos").alias("pos"))
+    pq_matches = matched.where(F.col("pos").isNotNull())
+    non_pq_files = [r.file_path for r in matched.where(F.col("pos").isNull())
+                    .select("file_path").distinct().collect()]
     tx = Transaction(table)
-    tx.add_delete_files(files)
-    tx.commit("delete")
+    has_pos = bool(pq_matches.take(1))
+    if has_pos:
+        tx.add_delete_files(write_position_delete_files(table, pq_matches))
+    if non_pq_files:
+        _cow_rewrite(tx, non_pq_files)
+    if not has_pos and not non_pq_files:
+        return
+    tx.commit("overwrite" if non_pq_files else "delete")

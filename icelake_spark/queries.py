@@ -576,6 +576,35 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def streaming_ingest(spark, sf_dir):
+    """§2.7 e2e in the gate: stream the events table through a real
+    Structured Streaming query (availableNow micro-batches) into an
+    Iceberg table, then aggregate the table — the oracle aggregates the
+    source directly, so exactly-once ingest is what's being checked."""
+    from .streaming import write_stream
+    from .types import Schema
+
+    e = load(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="icelake_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="icelake_stream_ckpt_")
+    e.write.mode("overwrite").parquet(src_dir)
+    t = _tmp_catalog().create_table("q.events_stream", Schema.from_spark(e.schema))
+    stream = spark.readStream.schema(e.schema).parquet(src_dir)
+    q = write_stream(t, stream, checkpoint=ckpt)
+    q.awaitTermination(300)
+    t.refresh()
+    return (t.to_df(spark)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+            .orderBy("event_type"))
+
+
+STREAMING_INGEST_SQL = f"""
+SELECT event_type, COUNT(*) AS n, {dsum_sql('value', 'total_value')}
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def transforms_projection(spark, sf_dir):
     """T1/T3-T7: temporal + truncate transforms as a projection (bucket
     is checked by spec-vector unit tests; murmur3 has no DuckDB twin)."""
@@ -896,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_compaction": iceberg_compaction,
         "iceberg_bucket_partition": iceberg_bucket_partition,
+        "streaming_ingest": streaming_ingest,
         "transforms_projection": transforms_projection,
         "pipeline_curation": pipeline_curation,
         "corpus_term_freq": corpus_term_freq,
@@ -934,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partition_prune": ICEBERG_PRUNE_SQL,
         "iceberg_compaction": ICEBERG_COMPACTION_SQL,
         "iceberg_bucket_partition": ICEBERG_BUCKET_SQL,
+        "streaming_ingest": STREAMING_INGEST_SQL,
         "transforms_projection": TRANSFORMS_SQL,
         "pipeline_curation": pipeline_curation_sql(),
         "corpus_term_freq": CORPUS_TF_SQL,

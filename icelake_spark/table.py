@@ -363,6 +363,44 @@ class IcebergTable:
 
         _append(self, df, **kwargs)
 
+    def add_files(self, paths: list[str], file_format: str = "PARQUET",
+                  partition: dict | None = None) -> None:
+        """Register existing data files into the table without rewriting
+        them (Iceberg's `add_files` procedure). Stats come from the
+        footers (parquet) or file size only (orc/avro)."""
+        from .transaction import Transaction
+        from .types.manifest import DataFile
+
+        entries = []
+        for p in paths:
+            p = os.path.abspath(p)
+            if file_format.upper() == "PARQUET":
+                from .write import _build_data_file
+
+                df_entry = _build_data_file(p, os.path.dirname(p),
+                                            self.schema(), {})
+            else:
+                df_entry = DataFile(file_path=p, file_format=file_format.upper(),
+                                    partition=partition or {},
+                                    record_count=-1,
+                                    file_size_in_bytes=os.path.getsize(p))
+                # record_count unknown without a format-specific footer
+                # reader; use Spark to count once (driver-side, small)
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    fmt = file_format.lower()
+                    cnt = (spark.read.format("avro").load(p) if fmt == "avro"
+                           else spark.read.orc(p)).count()
+                    df_entry.record_count = cnt
+            if partition:
+                df_entry.partition = dict(partition)
+            entries.append(df_entry)
+        tx = Transaction(self)
+        tx.add_data_files(entries)
+        tx.commit("append")
+
     def overwrite_all(self, df: DataFrame, **kwargs) -> None:
         from .write import overwrite_all as _ow
 
@@ -510,9 +548,8 @@ class TableScan:
             return df.select(*self.columns) if self.columns else df
 
         need_mor = self.apply_deletes and (pos or eq)
-        paths = [t.data_file.file_path for t in data]
-        reader = spark.read.schema(spark_schema)
-        df = reader.parquet(*paths)
+        df = read_data_files(spark, spark_schema, data,
+                             with_position=need_mor)
 
         if need_mor:
             df = self._apply_deletes(spark, df, data, pos, eq)
@@ -536,9 +573,7 @@ class TableScan:
         Both delete sides are broadcast — delete files are small relative
         to data by construction.
         """
-        norm = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/")
-        df = df.withColumn("__file", norm).withColumn("__pos", F.col("_metadata.row_index"))
-
+        # __file/__pos were attached per-format-branch by read_data_files
         # data-file sequence numbers via a tiny broadcast map
         seq_rows = [(t.data_file.file_path, t.sequence_number) for t in data]
         seq_df = spark.createDataFrame(seq_rows, "__file string, __data_seq long")
@@ -595,6 +630,48 @@ class TableScan:
             df = df.join(F.broadcast(renamed), on=cond, how="left_anti")
 
         return df.drop("__file", "__pos", "__data_seq")
+
+
+def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask],
+                    with_position: bool = False) -> DataFrame:
+    """Format-aware read of planned data files (S12): group by format —
+    Spark reads parquet/orc/avro natively — and union the groups.
+
+    with_position adds `__file`/`__pos` columns; the `_metadata`
+    pseudo-column must be projected inside each format branch because it
+    does not survive a union.
+    """
+    by_fmt: dict[str, list[str]] = {}
+    for t in tasks:
+        by_fmt.setdefault((t.data_file.file_format or "PARQUET").upper(),
+                          []).append(t.data_file.file_path)
+    parts = []
+    for fmt, paths in by_fmt.items():
+        reader = spark.read.schema(spark_schema)
+        if fmt == "PARQUET":
+            part = reader.parquet(*paths)
+        elif fmt == "ORC":
+            part = reader.orc(*paths)
+        elif fmt == "AVRO":
+            part = reader.format("avro").load(paths)
+        else:
+            raise ValueError(f"unsupported data file format {fmt}")
+        if with_position:
+            # row_index exists only for parquet; non-parquet rows get a
+            # null position (position deletes are never written for them
+            # — delete_where rewrites those files copy-on-write instead)
+            pos_col = (F.col("_metadata.row_index") if fmt == "PARQUET"
+                       else F.lit(None).cast("long"))
+            part = part.withColumns({
+                "__file": F.regexp_replace(F.col("_metadata.file_path"),
+                                           r"^file:/*", "/"),
+                "__pos": pos_col,
+            })
+        parts.append(part)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def _parse_literal(lit: str, t: PrimitiveType) -> Any:
