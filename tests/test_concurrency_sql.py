@@ -123,3 +123,41 @@ def test_identifier_fields_default_upsert_keys(spark, warehouse):
     assert {r.k: r.v for r in t.to_df(spark).collect()} == {1: 10, 2: 99}
     with pytest.raises(KeyError):
         Schema.from_spark(src.schema).with_identifier_fields("nope")
+
+
+def test_concurrent_upserts_two_processes(spark, warehouse, tmp_path):
+    """Two OS processes upsert different keys concurrently; the loser of
+    the optimistic race rebases via commit retry."""
+    import subprocess
+    import sys
+
+    src = spark.createDataFrame([(i, i, 0) for i in range(10)],
+                                "id long, k long, v long")
+    t = warehouse.create_table("db.ccu", Schema.from_spark(src.schema))
+    t.append(src)
+
+    code = f'''
+import sys; sys.path.insert(0, "/root/repo")
+import icelake_spark
+from icelake_spark import StorageCatalog
+from icelake_spark.delta import upsert
+spark = icelake_spark.default_session("w2")
+spark.sparkContext.setLogLevel("ERROR")
+t = StorageCatalog({str(warehouse.warehouse)!r}).load_table("db.ccu")
+upsert(t, spark.createDataFrame([(100, 1, 111)], "id long, k long, v long"),
+       key_cols=["k"])
+print("W2OK")
+spark.stop()
+'''
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert "W2OK" in p.stdout, p.stderr[-500:]
+    # our (now stale) handle upserts a different key — retry rebases
+    from icelake_spark.delta import upsert
+
+    upsert(t, spark.createDataFrame([(200, 2, 222)], "id long, k long, v long"),
+           key_cols=["k"])
+    t.refresh()
+    rows = {r.k: (r.id, r.v) for r in t.to_df(spark).collect()}
+    assert rows[1] == (100, 111) and rows[2] == (200, 222)
+    assert len(rows) == 10
