@@ -99,6 +99,45 @@ def session_windows(stream_df: DataFrame, ts_col: str = "ts",
                     key_col, "n_events"))
 
 
+def stateful_dedup(stream_df: DataFrame, key_cols: list[str],
+                   state_timeout_hours: int = 24) -> DataFrame:
+    """Cross-batch streaming dedup: emit only the FIRST row seen per key
+    across the whole stream (exactly-once ingest guard for at-least-once
+    sources). Custom stateful operator via applyInPandasWithState —
+    per-key GroupState holds one flag, expiring after the timeout so
+    state stays bounded.
+
+    NOTE: with ProcessingTimeTimeout the query does not self-terminate
+    under trigger(availableNow=True) — it stays up to expire state. Call
+    `q.stop()` after `q.awaitTermination(timeout)` when batch-draining.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_emit = not state.exists
+        if first_emit:
+            state.update((True,))
+            state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
+            for pdf in batches:
+                if len(pdf) > 0:
+                    yield pdf.head(1)
+                    return
+        else:
+            for _ in batches:  # drain; emit nothing for already-seen keys
+                pass
+
+    return (stream_df.groupBy(*key_cols)
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def stream_from_table(spark, table, poll_interval: str = "10 seconds",
                       snapshot_id: int | None = None) -> DataFrame:
     """Incremental read helper: a batch DataFrame of rows added AFTER the
