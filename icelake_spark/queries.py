@@ -757,6 +757,68 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.42 ORDER BY a, b
 """
 
 
+def asof_join_q(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native ASOF): each
+    'click' event picks up the most recent prior 'view' value per user.
+    Oracle: DuckDB's native ASOF JOIN."""
+    from .ops.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("click_value"))
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 6).alias("view_value"))
+    out = asof_join(clicks, views, on="ts", by=["user_id"])
+    return (out.select("event_id", "user_id", "click_value",
+                       F.col("r_view_value").alias("view_value"))
+            .orderBy("event_id"))
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, ROUND(value, 6) AS click_value
+  FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts, ROUND(value, 6) AS view_value
+  FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.click_value, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY event_id
+"""
+
+
+def range_join_q(spark, sf_dir):
+    """Banded range join: error events paired with clicks within a window
+    for the same user (30 min). Oracle: plain inequality join."""
+    from .ops.temporal import range_join
+
+    e = load(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").cast("timestamp").alias("ts"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("click_id"))
+    pairs = range_join(errors, clicks, on="ts", by=["user_id"],
+                       window_seconds=1800)
+    return (pairs.groupBy("err_id")
+            .agg(F.count("*").alias("n_nearby_clicks"))
+            .orderBy("err_id"))
+
+
+RANGE_SQL = """
+SELECT e.event_id AS err_id, COUNT(*) AS n_nearby_clicks
+FROM events e JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 1800 * 1000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY err_id
+"""
+
+
 def corpus_term_freq(spark, sf_dir):
     """Vocabulary building: corpus-wide term frequencies + document
     frequencies, top 50 terms (explode → two-level aggregation; the
@@ -918,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "asof_join": asof_join_q,
+        "range_join": range_join_q,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
         "iceberg_mor_delete": iceberg_mor_delete,
         "iceberg_upsert": iceberg_upsert,
@@ -957,6 +1021,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": Q18_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
+        "asof_join": ASOF_SQL,
+        "range_join": RANGE_SQL,
         "iceberg_roundtrip_agg": ICEBERG_ROUNDTRIP_SQL,
         "iceberg_mor_delete": ICEBERG_MOR_DELETE_SQL,
         "iceberg_upsert": ICEBERG_UPSERT_SQL,
