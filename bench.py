@@ -23,6 +23,8 @@ HEADLINE = [
     "window_top_customers",
     "events_hourly",
     "events_sessionize",
+    "asof_join",
+    "range_join",
     "iceberg_roundtrip_agg",
     "iceberg_mor_delete",
     "iceberg_upsert",
