@@ -363,6 +363,211 @@ LIMIT 50
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """q7-shape: bilateral trade volume between two nations by year.
+    Supplier nation and customer nation resolved through two broadcast
+    joins of the 25-row nation dim (aliased to avoid ambiguity)."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n1), s.s_nationkey == n1.sn_key)
+            .join(F.broadcast(n2), c.c_nationkey == n2.cn_key)
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """q8-shape: a supplier nation's share of ECONOMY-part revenue sold to
+    customers in region AMERICA, per order year. The share is a ratio of
+    two conditional sums over the same joined relation."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n_c = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n_s = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(p, li.l_partkey == p.p_partkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n_c), c.c_nationkey == n_c.cn_key)
+              .join(F.broadcast(n_s), s.s_nationkey == n_s.sn_key)
+              .join(F.broadcast(r), n_c.cr_key == r.r_regionkey))
+    return (joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(dsum(nation_rev, "nation_revenue"), dsum(rev, "total_revenue"))
+            .select("o_year", "nation_revenue", "total_revenue",
+                    F.round(F.col("nation_revenue") / F.col("total_revenue"), 6)
+                    .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+Q8_SQL = f"""
+WITH j AS (
+  SELECT YEAR(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS rev,
+         CASE WHEN n2.n_name = 'NATION_3'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS nrev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+SELECT CAST(o_year AS INT) AS o_year,
+       {dsum_sql('nrev', 'nation_revenue')},
+       {dsum_sql('rev', 'total_revenue')},
+       ROUND(CAST(SUM(CAST(ROUND(nrev, 8) AS DECIMAL(24,8))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(rev, 8) AS DECIMAL(24,8))) AS DOUBLE), 6) AS mkt_share
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q14_promo_effect(spark, sf_dir):
+    """q14-shape: revenue share of PROMO parts per month of 1997 — a
+    conditional-aggregate ratio after a fact/dim join."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    # part scales with SF (not broadcastable at 100 TB) — AQE picks the
+    # join strategy at runtime from actual sizes.
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+            .agg(dsum(promo, "promo_revenue"), dsum(rev, "total_revenue"))
+            .select("ship_month", "promo_revenue", "total_revenue",
+                    F.round(F.lit(100.0) * F.col("promo_revenue")
+                            / F.col("total_revenue"), 6).alias("promo_pct"))
+            .orderBy("ship_month"))
+
+
+Q14_SQL = f"""
+WITH j AS (
+  SELECT MONTH(l_shipdate) AS ship_month,
+         l_extendedprice * (1 - l_discount) AS rev,
+         CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS prev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+SELECT CAST(ship_month AS INT) AS ship_month,
+       {dsum_sql('prev', 'promo_revenue')},
+       {dsum_sql('rev', 'total_revenue')},
+       ROUND(100.0 * CAST(SUM(CAST(ROUND(prev, 8) AS DECIMAL(24,8))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(rev, 8) AS DECIMAL(24,8))) AS DOUBLE), 6) AS promo_pct
+FROM j
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """q19-shape: disjunctive multi-attribute predicate (brand × size ×
+    quantity bands) across a fact/dim join — Catalyst pushes the part
+    filter below the join and the OR-of-ANDs into the scan."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+             & (F.col("l_quantity").between(1, 20)))
+            | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+               & (F.col("l_quantity").between(10, 30)))
+            | ((F.col("p_brand") == "Brand#9") & (F.col("p_size").between(1, 35))
+               & (F.col("l_quantity").between(20, 40))))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines")))
+
+
+Q19_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """q22-shape: customers with above-average positive balance and no
+    single large order — uncorrelated scalar subquery (broadcast 1-row
+    aggregate, no driver collect) + anti join, grouped by nation."""
+    c = load(spark, sf_dir, "customer")
+    o = (load(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 300000).select("o_custkey"))
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("_avg_bal")))
+    return (c.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("_avg_bal"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+            .agg(F.count("*").alias("n_custs"),
+                 dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("nationkey"))
+
+
+Q22_SQL = f"""
+SELECT CAST(c_nationkey AS INT) AS nationkey,
+       COUNT(*) AS n_custs,
+       {dsum_sql('c_acctbal', 'total_bal')}
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -978,6 +1183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join_customers": semi_anti_join_customers,
         "correlated_subquery": correlated_subquery_q,
         "q18_large_orders": q18_large_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q14_promo_effect": q14_promo_effect,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "asof_join": asof_join_q,
@@ -1019,6 +1229,11 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join_customers": SEMI_ANTI_SQL,
         "correlated_subquery": CORRELATED_SQL,
         "q18_large_orders": Q18_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q14_promo_effect": Q14_SQL,
+        "q19_discounted_revenue": Q19_SQL,
+        "q22_idle_customers": Q22_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "asof_join": ASOF_SQL,
