@@ -568,6 +568,261 @@ ORDER BY nationkey
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """q2-shape: for each STANDARD size-15 part, the EUROPE supplier(s)
+    with the minimum account balance among that part's suppliers. The
+    part→supplier relation is derived from distinct lineitem pairs (no
+    partsupp table in this schema); the correlated MIN becomes a window
+    min over the candidate set — one shuffle, no self-join."""
+    ps = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    p = (load(spark, sf_dir, "part")
+         .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+         .select("p_partkey", "p_brand"))
+    eur = (load(spark, sf_dir, "nation")
+           .join(F.broadcast(load(spark, sf_dir, "region")
+                             .where(F.col("r_name") == "EUROPE")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    s = (load(spark, sf_dir, "supplier")
+         .join(F.broadcast(eur), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cand = (ps.join(p, ps.l_partkey == p.p_partkey)
+            .join(s, ps.l_suppkey == s.s_suppkey))
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
+            .where(F.col("s_acctbal") == F.col("_min_bal"))
+            .select(F.round("s_acctbal", 6).alias("s_acctbal"),
+                    "s_name", "n_name", "p_partkey", "p_brand")
+            .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name"))
+
+
+Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')
+SELECT ROUND(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cand
+WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = cand.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+"""
+
+
+def q4_priority_late_orders(spark, sf_dir):
+    """q4-shape: orders placed in 1996H1 with at least one line shipped
+    more than 60 days after the order date, counted per priority — the
+    EXISTS becomes a left-semi join with a cross-table predicate."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01")))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+           (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (o.join(li, late, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """q9-shape: per supplier-nation, per order-year profit on widget
+    parts, where profit = discounted revenue minus a retail-price-based
+    cost proxy (this schema has no ps_supplycost). The 25-row nation dim
+    broadcasts; the three fact/dim joins are left to AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (load(spark, sf_dir, "part")
+         .where(F.col("p_name").contains("widget"))
+         .select("p_partkey", "p_retailprice"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(dsum(amount, "sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity',
+                 'sum_profit')}
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """q11-shape: parts whose NATION_7-supplied revenue exceeds a fixed
+    fraction of the national total. The global total is a 1-row exact
+    decimal aggregate broadcast back over the per-part values (no driver
+    collect), so the threshold comparison is bit-identical on both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (load(spark, sf_dir, "nation")
+         .where(F.col("n_name") == "NATION_7").select("n_nationkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    val = (li.join(s, li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .groupBy("l_partkey")
+           .agg(dsum(rev, "value")))
+    tot = val.agg(F.sum(F.round("value", 8).cast("decimal(28,8)"))
+                  .cast("double").alias("_tot"))
+    return (val.join(F.broadcast(tot))
+            .where(F.col("value") > F.col("_tot") * 0.0001)
+            .select("l_partkey", "value")
+            .orderBy(F.desc("value"), "l_partkey"))
+
+
+Q11_SQL = f"""
+WITH val AS (
+  SELECT l_partkey, {dsum_sql('l_extendedprice * (1 - l_discount)', 'value')}
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey)
+SELECT l_partkey, value
+FROM val
+WHERE value > (SELECT CAST(SUM(CAST(ROUND(value, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               FROM val) * 0.0001
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """q13-shape: distribution of per-customer order counts, keeping
+    zero-order customers via a left outer join (COUNT of a nullable key),
+    then a second aggregation over the counts."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (load(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def rollup_pricing(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotals and a grand total
+    in one pass — Spark plans a single expand + hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity"), "sum_qty"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 'sum_qty')}, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def cube_order_stats(spark, sf_dir):
+    """CUBE over (order year, status): all four grouping combinations of
+    the two dimensions, one expand+aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return (o.cube(F.year("o_orderdate").cast("int").alias("o_year"),
+                   F.col("o_orderstatus"))
+            .agg(F.count("*").alias("n_orders"),
+                 dsum(F.col("o_totalprice"), "total_price"))
+            .orderBy("o_year", "o_orderstatus"))
+
+
+CUBE_SQL = f"""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderstatus,
+       COUNT(*) AS n_orders, {dsum_sql('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY CUBE(1, o_orderstatus)
+ORDER BY o_year, o_orderstatus
+"""
+
+
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION between BUILDING-segment customers and
+    big-spender customers, reduced to one row of counts (the engine
+    set-op implementations are what's under test)."""
+    c = (load(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey").alias("custkey")))
+    o = (load(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 200000)
+         .select(F.col("o_custkey").alias("custkey")))
+    return (c.intersect(o).agg(F.count("*").alias("n_intersect"))
+            .crossJoin(c.subtract(o).agg(F.count("*").alias("n_except")))
+            .crossJoin(c.union(o).distinct()
+                       .agg(F.count("*").alias("n_union"))))
+
+
+SET_OPS_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t1) AS n_intersect,
+  (SELECT COUNT(*) FROM (
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t2) AS n_except,
+  (SELECT COUNT(*) FROM (
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     UNION
+     SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t3) AS n_union
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -1188,6 +1443,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "q19_discounted_revenue": q19_discounted_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_late_orders": q4_priority_late_orders,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q11_important_parts": q11_important_parts,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "rollup_pricing": rollup_pricing,
+        "cube_order_stats": cube_order_stats,
+        "set_ops_customers": set_ops_customers,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "asof_join": asof_join_q,
@@ -1234,6 +1497,14 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_effect": Q14_SQL,
         "q19_discounted_revenue": Q19_SQL,
         "q22_idle_customers": Q22_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q4_priority_late_orders": Q4_SQL,
+        "q9_product_type_profit": Q9_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q13_order_count_distribution": Q13_SQL,
+        "rollup_pricing": ROLLUP_SQL,
+        "cube_order_stats": CUBE_SQL,
+        "set_ops_customers": SET_OPS_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "asof_join": ASOF_SQL,
