@@ -823,6 +823,225 @@ SELECT
 """
 
 
+def q12_priority_shipping(spark, sf_dir):
+    """q12-shape: per ship-year, how many late-shipped lines (>90 days
+    after order) belong to high- vs low-priority orders — conditional
+    counts after a fact join."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("ship_year"))
+
+
+Q12_SQL = """
+SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY ship_year
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """q15-shape: the supplier(s) with maximum revenue in 1997Q1. The
+    scalar MAX is a broadcast 1-row aggregate joined back — no driver
+    collect; revenue is computed with exact decimal summation on both
+    engines so the equality can't be order-sensitive."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(dsum(rev, "total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (per_supp.join(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("_mx"))
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_relationship(spark, sf_dir):
+    """q16-shape: distinct supplier counts per (brand, type, size) over
+    the lineitem-derived part↔supplier relation, excluding blacklisted
+    (negative-balance) suppliers via an anti join."""
+    ps = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    p = (load(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#5")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (load(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (ps.join(p, ps.l_partkey == p.p_partkey)
+            .join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """q17-shape: revenue from unusually small orders of Brand#3 parts
+    (quantity under half the part's average). The correlated AVG becomes
+    a per-part aggregate joined back; quantities are whole numbers so the
+    average is exact in double on both engines."""
+    p3 = (load(spark, sf_dir, "part")
+          .where(F.col("p_brand") == "Brand#3").select("p_partkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(p3, F.col("l_partkey") == p3.p_partkey))
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty"))
+    return (li.join(avg_q, F.col("l_partkey") == F.col("_pk"))
+            .where(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+            .agg(dsum(F.col("l_extendedprice"), "_s"),
+                 F.count("*").alias("n_lines"))
+            .select(F.round(F.col("_s") / 7.0, 6).alias("avg_yearly"),
+                    "n_lines"))
+
+
+Q17_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'),
+avg_q AS (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+          FROM li GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 8) AS DECIMAL(24,8))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM li JOIN avg_q ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q20_promo_part_suppliers(spark, sf_dir):
+    """q20-shape: NATION_5 suppliers that moved more than 300 units of
+    PROMO parts during 1997 — nested semi joins; the HAVING threshold
+    compares an exact integer-valued sum."""
+    promo = (load(spark, sf_dir, "part")
+             .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    heavy = (li.join(promo, F.col("l_partkey") == promo.p_partkey)
+             .groupBy("l_suppkey")
+             .agg(F.sum("l_quantity").alias("_qty"))
+             .where(F.col("_qty") > 300)
+             .select("l_suppkey"))
+    n5 = (load(spark, sf_dir, "nation")
+          .where(F.col("n_name") == "NATION_5").select("n_nationkey"))
+    s = (load(spark, sf_dir, "supplier")
+         .join(F.broadcast(n5), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name",
+                    F.round("s_acctbal", 6).alias("s_acctbal"))
+            .orderBy("s_suppkey"))
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 6) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 300)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """q21-shape: for finished ('F') multi-supplier orders, count per
+    supplier the orders where that supplier alone shipped last. The
+    EXISTS / NOT-EXISTS pair becomes one window pass over the per-
+    (order, supplier) max-shipdate relation: strict max ⇔ ship == max
+    AND only one supplier attains the max."""
+    o_f = (load(spark, sf_dir, "orders")
+           .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = (li.join(o_f, li.l_orderkey == o_f.o_orderkey, "left_semi")
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max("l_shipdate").alias("ship")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (base
+               .withColumn("_n_supp", F.count("*").over(w))
+               .withColumn("_max_ship", F.max("ship").over(w))
+               .withColumn("_n_at_max", F.sum(
+                   F.when(F.col("ship") == F.col("_max_ship"), 1).otherwise(0)).over(w)))
+    late = flagged.where((F.col("_n_supp") > 1)
+                         & (F.col("ship") == F.col("_max_ship"))
+                         & (F.col("_n_at_max") == 1))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (late.join(s, late.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name"))
+
+
+Q21_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ship
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey, l_suppkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM base b1 JOIN supplier ON b1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM base b2
+              WHERE b2.l_orderkey = b1.l_orderkey
+                AND b2.l_suppkey <> b1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base b3
+                  WHERE b3.l_orderkey = b1.l_orderkey
+                    AND b3.l_suppkey <> b1.l_suppkey
+                    AND b3.ship >= b1.ship)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -1451,6 +1670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": rollup_pricing,
         "cube_order_stats": cube_order_stats,
         "set_ops_customers": set_ops_customers,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_relationship": q16_supplier_relationship,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_promo_part_suppliers": q20_promo_part_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "asof_join": asof_join_q,
@@ -1505,6 +1730,12 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": ROLLUP_SQL,
         "cube_order_stats": CUBE_SQL,
         "set_ops_customers": SET_OPS_SQL,
+        "q12_priority_shipping": Q12_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q16_supplier_relationship": Q16_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q20_promo_part_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "asof_join": ASOF_SQL,
