@@ -1042,6 +1042,102 @@ ORDER BY numwait DESC, s_name
 """
 
 
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregate coverage: sample stddev/variance and
+    Pearson correlation per order status. Rounded to 4dp — the moment
+    sums are mathematically order-sensitive in floating point, and 4dp
+    leaves ~10 digits of headroom over the partial-aggregation jitter."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+                 F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+                 F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("corr_pc"))
+            .orderBy("o_orderstatus"))
+
+
+STATS_AGG_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+       ROUND(var_samp(o_totalprice), 2) AS var_price,
+       ROUND(corr(o_totalprice, o_custkey), 4) AS corr_pc
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def percentiles_by_status(spark, sf_dir):
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics)
+    per order status — quartiles of the order value distribution."""
+    o = load(spark, sf_dir, "orders")
+    pcts = (F.percentile("o_totalprice", F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))))
+    return (o.groupBy("o_orderstatus")
+            .agg(F.transform(pcts, lambda x: F.round(x, 6)).alias("quartiles"))
+            .orderBy("o_orderstatus"))
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       [ROUND(quantile_cont(o_totalprice, 0.25), 6),
+        ROUND(quantile_cont(o_totalprice, 0.50), 6),
+        ROUND(quantile_cont(o_totalprice, 0.75), 6),
+        ROUND(quantile_cont(o_totalprice, 0.95), 6)] AS quartiles
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def pivot_returnflag(spark, sf_dir):
+    """PIVOT coverage: per ship-year quantity by return flag, as one
+    groupBy().pivot() with the value set declared up front (no extra
+    distinct-scan job; the oracle twin is conditional aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+            .pivot("l_returnflag", ["A", "N", "R"])
+            .agg(dsum(F.col("l_quantity"), "q"))
+            .select("ship_year",
+                    F.col("A").alias("qty_a"), F.col("N").alias("qty_n"),
+                    F.col("R").alias("qty_r"))
+            .orderBy("ship_year"))
+
+
+PIVOT_SQL = f"""
+SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+  {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_quantity END", 'qty_a')},
+  {dsum_sql("CASE WHEN l_returnflag = 'N' THEN l_quantity END", 'qty_n')},
+  {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity END", 'qty_r')}
+FROM lineitem
+GROUP BY 1
+ORDER BY ship_year
+"""
+
+
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram of order values via integer bucketing
+    (floor-division — width_bucket isn't portable to the oracle)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (o.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 6).alias("lo"),
+                 F.round(F.max("o_totalprice"), 6).alias("hi"))
+            .orderBy("bucket"))
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 6) AS lo,
+       ROUND(MAX(o_totalprice), 6) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -1676,6 +1772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q20_promo_part_suppliers": q20_promo_part_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "stats_aggregates": stats_aggregates,
+        "percentiles_by_status": percentiles_by_status,
+        "pivot_returnflag": pivot_returnflag,
+        "histogram_totalprice": histogram_totalprice,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "asof_join": asof_join_q,
@@ -1736,6 +1836,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": Q17_SQL,
         "q20_promo_part_suppliers": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
+        "stats_aggregates": STATS_AGG_SQL,
+        "percentiles_by_status": PERCENTILES_SQL,
+        "pivot_returnflag": PIVOT_SQL,
+        "histogram_totalprice": HISTOGRAM_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "asof_join": ASOF_SQL,
