@@ -80,3 +80,39 @@ def test_whole_stage_codegen_covers_agg(spark):
     assert "*(1)" in plan and "*(2)" in plan
     # map-side partial aggregation before the shuffle
     assert "partial_sum" in plan
+
+
+def test_new_shapes_plan_properties(spark):
+    """The TPC-H shapes added after round 1 keep their intended physical
+    properties: dims broadcast, EXISTS becomes a semi join, rollup/cube
+    is a single Expand, and disjunctive predicates reach the scan."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # q2: window min, EUROPE dims broadcast
+    p2 = _plan(Q.q2_min_cost_supplier(spark, sf))
+    assert "BroadcastHashJoin" in p2 and "Window" in p2
+    # q4/q20: EXISTS → left semi
+    assert "LeftSemi" in _plan(Q.q4_priority_late_orders(spark, sf))
+    assert "LeftSemi" in _plan(Q.q20_promo_part_suppliers(spark, sf))
+    # q16: blacklist NOT IN → left anti
+    assert "LeftAnti" in _plan(Q.q16_supplier_relationship(spark, sf))
+    # rollup/cube plan exactly one Expand node
+    assert _plan(Q.rollup_pricing(spark, sf)).count("Expand") == 1
+    assert _plan(Q.cube_order_stats(spark, sf)).count("Expand") == 1
+    # q19: OR-of-ANDs predicate pushed to the lineitem scan
+    p19 = _plan(Q.q19_discounted_revenue(spark, sf))
+    assert "PushedFilters" in p19 and "Or(" in p19
+    # q11/q15/q22: scalar aggregate joined back without a driver collect
+    for fn in (Q.q11_important_parts, Q.q15_top_supplier):
+        plan = _plan(fn(spark, sf))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_set_ops_and_pivot_stay_jvm(spark):
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (Q.set_ops_customers, Q.pivot_returnflag,
+               Q.percentiles_by_status, Q.stats_aggregates):
+        assert "EvalPython" not in _plan(fn(spark, sf))
