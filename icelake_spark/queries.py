@@ -1138,6 +1138,52 @@ ORDER BY bucket
 """
 
 
+def skew_salted_join(spark, sf_dir):
+    """Skew-safe fact/dim join: lineitem (probe) salted 8 ways, orders
+    (build) replicated 8× — a hot order key lands on 8 reducers instead
+    of one. The oracle is the plain join: salting must be semantically
+    invisible."""
+    from .ops.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = salted_join(li.withColumn("o_orderkey", F.col("l_orderkey")),
+                         o, on=["o_orderkey"], salts=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines"))
+            .orderBy("o_orderpriority"))
+
+
+SKEW_SALTED_SQL = f"""
+SELECT o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def skew_distinct_parts(spark, sf_dir):
+    """Skew-safe exact distinct count: distinct parts per returnflag via
+    the two-stage (dedup-then-count) plan — no hot key ever collects its
+    full value set on one reducer."""
+    from .ops.skew import count_distinct_skewed
+
+    li = load(spark, sf_dir, "lineitem")
+    return (count_distinct_skewed(li, ["l_returnflag"], "l_partkey")
+            .orderBy("l_returnflag"))
+
+
+SKEW_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -1776,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_status": percentiles_by_status,
         "pivot_returnflag": pivot_returnflag,
         "histogram_totalprice": histogram_totalprice,
+        "skew_salted_join": skew_salted_join,
+        "skew_distinct_parts": skew_distinct_parts,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "asof_join": asof_join_q,
@@ -1840,6 +1888,8 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_by_status": PERCENTILES_SQL,
         "pivot_returnflag": PIVOT_SQL,
         "histogram_totalprice": HISTOGRAM_SQL,
+        "skew_salted_join": SKEW_SALTED_SQL,
+        "skew_distinct_parts": SKEW_DISTINCT_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "asof_join": ASOF_SQL,
