@@ -1251,6 +1251,64 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_sliding_windows(spark, sf_dir):
+    """Sliding windows (1h length, 30min slide) via Spark's native
+    window() — each event lands in exactly two windows. The oracle
+    replicates each event to its two 30-min-aligned window starts."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+            .select(F.col("w.start").alias("wstart"), "n", "total_value")
+            .orderBy("wstart"))
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH spread AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - o.o * INTERVAL 30 MINUTE AS wstart,
+         value
+  FROM events, (SELECT UNNEST([0, 1]) AS o) o)
+SELECT wstart, COUNT(*) AS n, {dsum_sql('value', 'total_value')}
+FROM spread
+GROUP BY wstart
+ORDER BY wstart
+"""
+
+
+def events_session_window_builtin(spark, sf_dir):
+    """Sessionization via Spark's built-in session_window (the same
+    operator Structured Streaming uses stateful); the oracle is the
+    classic gaps-and-islands SQL. Session end = last event + gap."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+EVENTS_SESSION_BUILTIN_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x),
+per_sess AS (SELECT user_id, sid, COUNT(*) AS n_events
+             FROM y GROUP BY user_id, sid)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # =====================================================================
 # Iceberg table-format layer (SURVEY §2.1/2.5/2.6 operators e2e)
 # =====================================================================
@@ -1826,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_distinct_parts": skew_distinct_parts,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "events_sliding_windows": events_sliding_windows,
+        "events_session_window_builtin": events_session_window_builtin,
         "asof_join": asof_join_q,
         "range_join": range_join_q,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
@@ -1892,6 +1952,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_distinct_parts": SKEW_DISTINCT_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
+        "events_sliding_windows": EVENTS_SLIDING_SQL,
+        "events_session_window_builtin": EVENTS_SESSION_BUILTIN_SQL,
         "asof_join": ASOF_SQL,
         "range_join": RANGE_SQL,
         "iceberg_roundtrip_agg": ICEBERG_ROUNDTRIP_SQL,
