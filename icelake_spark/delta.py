@@ -208,3 +208,90 @@ def delete_rows(table, spark, condition: str) -> None:
     if not has_pos and not non_pq_files:
         return
     tx.commit("overwrite" if non_pq_files else "delete")
+
+
+def update_rows(table, spark, condition: str,
+                assignments: dict[str, str]) -> None:
+    """Row-level UPDATE ... SET — the write-side composition the
+    reference leaves to the engine (its Spark tests run UPDATE through
+    Spark SQL; icelake only supplies the delete/data writers W1-W3).
+
+    Assignments are SQL expressions evaluated against the OLD row
+    (standard UPDATE semantics; results cast to the column's declared
+    type). Mode follows `write.update.mode`: `merge-on-read` (default)
+    position-deletes the matched rows and appends their updated copies
+    in one commit; `copy-on-write` (and always v1, whose manifests
+    cannot encode delete files) rewrites affected files in place.
+    """
+    from .table import read_data_files as _rdf
+    from .transaction import Transaction
+    from .write import write_data_files
+
+    bad = set(assignments) - {f.name for f in table.schema().fields}
+    if bad:
+        raise ValueError(f"unknown columns in SET: {sorted(bad)}")
+
+    scan = table.new_scan(apply_deletes=True)
+    data, _pos, _eq = scan.plan_files()
+    if not data:
+        return
+    spark_schema = table.schema().to_spark()
+    types = {f.name: f.dataType for f in spark_schema.fields}
+
+    def _apply_set(df: DataFrame, only_matching: bool) -> DataFrame:
+        """Project the SET expressions over old values; when rewriting a
+        whole file, non-matching rows pass through via CASE WHEN."""
+        cols = []
+        for f in spark_schema.fields:
+            if f.name in assignments:
+                new = F.expr(assignments[f.name]).cast(types[f.name])
+                cols.append((new if only_matching else
+                             F.when(F.expr(condition), new)
+                             .otherwise(F.col(f.name))).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    raw = _rdf(spark, spark_schema, data, with_position=True)
+
+    def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
+        keys = {os.path.abspath(a) for a in affected}
+        tasks = [t for t in data
+                 if os.path.abspath(t.data_file.file_path) in keys]
+        rewritten = _apply_set(_rdf(spark, spark_schema, tasks),
+                               only_matching=False) \
+            .repartition(max(1, len(affected)))
+        tx.remove_data_files(affected)
+        tx.add_data_files(write_data_files(table, rewritten))
+
+    mode = table.metadata.properties.get("write.update.mode", "merge-on-read")
+    if table.metadata.format_version == 1 or mode == "copy-on-write":
+        affected = [r.f for r in (raw.where(condition)
+                                  .select(F.col("__file").alias("f"))
+                                  .distinct().collect())]
+        if not affected:
+            return
+        tx = Transaction(table)
+        _cow_rewrite(tx, affected)
+        tx.commit("overwrite")
+        return
+
+    matched = raw.where(condition)
+    pq_matches = matched.where(F.col("__pos").isNotNull())
+    non_pq_files = [r.file_path for r in matched.where(F.col("__pos").isNull())
+                    .select(F.col("__file").alias("file_path"))
+                    .distinct().collect()]
+    tx = Transaction(table)
+    has_pos = bool(pq_matches.take(1))
+    if has_pos:
+        tx.add_delete_files(write_position_delete_files(
+            table, pq_matches.select(F.col("__file").alias("file_path"),
+                                     F.col("__pos").alias("pos"))))
+        updated = _apply_set(pq_matches.drop("__file", "__pos"),
+                             only_matching=True)
+        tx.add_data_files(write_data_files(table, updated))
+    if non_pq_files:
+        _cow_rewrite(tx, non_pq_files)
+    if not has_pos and not non_pq_files:
+        return
+    tx.commit("overwrite")

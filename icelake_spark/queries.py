@@ -1363,6 +1363,32 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def iceberg_update(spark, sf_dir):
+    """Row-level UPDATE (MoR): pos-delete matched rows + append updated
+    copies in one commit; scan applies both. SET expressions evaluate
+    against old values."""
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    t = _tmp_catalog().create_table("q.cust_upd", Schema.from_spark(c.schema))
+    t.append(c)
+    t.update_where(spark, "c_acctbal < 0",
+                   {"c_acctbal": "0.0", "c_mktsegment": "'RESET'"})
+    return (t.to_df(spark).groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+ICEBERG_UPDATE_SQL = f"""
+WITH upd AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_acctbal < 0 THEN 'RESET' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer)
+SELECT c_mktsegment, COUNT(*) AS n, {dsum_sql('c_acctbal', 'total_bal')}
+FROM upd GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def iceberg_upsert(spark, sf_dir):
     """W7/W8/J2/J3: equality-delete upsert; final state check."""
     from .types import Schema
@@ -1890,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": range_join_q,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
         "iceberg_mor_delete": iceberg_mor_delete,
+        "iceberg_update": iceberg_update,
         "iceberg_upsert": iceberg_upsert,
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_partition_prune": iceberg_partition_prune,
@@ -1958,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": RANGE_SQL,
         "iceberg_roundtrip_agg": ICEBERG_ROUNDTRIP_SQL,
         "iceberg_mor_delete": ICEBERG_MOR_DELETE_SQL,
+        "iceberg_update": ICEBERG_UPDATE_SQL,
         "iceberg_upsert": ICEBERG_UPSERT_SQL,
         "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
         "iceberg_partition_prune": ICEBERG_PRUNE_SQL,

@@ -411,6 +411,54 @@ class IcebergTable:
 
         _dw(self, spark, condition)
 
+    def update_where(self, spark: SparkSession, condition: str,
+                     assignments: dict[str, str]) -> None:
+        """Row-level UPDATE ... SET (MoR or CoW per `write.update.mode`)."""
+        from .delta import update_rows
+
+        update_rows(self, spark, condition, assignments)
+
+    def update_spec(self, *parts: str) -> None:
+        """Partition evolution: install a new default partition spec
+        without rewriting data (partition_specs list + default_spec_id,
+        in_memory.rs:2454-2538). Each part is `"col"` (identity),
+        `"year(col)" / "month(col)" / "day(col)" / "hour(col)"`,
+        `"bucket[N](col)"`, `"truncate[W](col)"`, or `"void(col)"`.
+        Existing files keep their original spec — the scan resolves the
+        spec per manifest entry — so only new writes use the new layout.
+        """
+        from dataclasses import replace as dc_replace
+        from re import match as re_match
+
+        from .types.metadata import PartitionField, PartitionSpec
+
+        schema = self.schema()
+        fields = []
+        next_fid = self.metadata.last_partition_id
+        for part in parts:
+            m = re_match(r"^(\w+(?:\[\d+\])?)\((\w+)\)$", part.strip())
+            transform, col = (m.group(1), m.group(2)) if m else ("identity",
+                                                                 part.strip())
+            src = schema.field_by_name(col)
+            if src is None:
+                raise KeyError(f"partition source column {col!r} not found")
+            base = transform.split("[")[0]
+            next_fid += 1
+            fields.append(PartitionField(
+                source_column_id=src.field_id,
+                partition_field_id=next_fid,
+                transform=transform,
+                name=col if base == "identity" else f"{col}_{base}"))
+        new_spec = PartitionSpec(
+            spec_id=max(s.spec_id for s in self.metadata.partition_specs) + 1,
+            fields=tuple(fields))
+        self._commit_metadata(dc_replace(
+            self.metadata,
+            partition_specs=self.metadata.partition_specs + (new_spec,),
+            default_spec_id=new_spec.spec_id,
+            last_partition_id=next_fid,
+        ))
+
     def upsert(self, df: DataFrame, **kwargs) -> None:
         from .delta import upsert as _upsert
 

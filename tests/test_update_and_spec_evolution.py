@@ -1,0 +1,92 @@
+"""Row-level UPDATE (MoR + CoW) and partition-spec evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icelake_spark.types import Schema
+
+
+def _make(spark, warehouse, name, props=None, version=2):
+    src = spark.range(1000).selectExpr(
+        "id", "id % 10 as g", "cast(id * 1.5 as double) as v")
+    t = warehouse.create_table(f"db.{name}", Schema.from_spark(src.schema),
+                               properties=props or {},
+                               format_version=version)
+    t.append(src)
+    return t, src
+
+
+@pytest.mark.parametrize("props,version", [
+    ({}, 2),                                      # MoR default
+    ({"write.update.mode": "copy-on-write"}, 2),  # explicit CoW
+    ({}, 1),                                      # v1 forces CoW
+])
+def test_update_where_matches_sql_semantics(spark, warehouse, props, version):
+    name = f"upd_{version}_{'cow' in str(props)}"
+    t, src = _make(spark, warehouse, name, props, version)
+    t.update_where(spark, "g = 3", {"v": "v * 10", "g": "g + 100"})
+    got = sorted(tuple(r) for r in t.refresh().to_df(spark).collect())
+    want = sorted(tuple(r) for r in src.selectExpr(
+        "id",
+        "case when g = 3 then g + 100 else g end as g_new",
+        "case when g = 3 then v * 10 else v end as v_new",
+    ).selectExpr("id", "g_new as g", "v_new as v").collect())
+    assert got == want
+
+
+def test_update_where_set_evaluates_old_values(spark, warehouse):
+    # v := g and g := v must swap, not chain
+    t, _ = _make(spark, warehouse, "upd_swap")
+    t.update_where(spark, "id < 5", {"g": "cast(v as long)", "v": "cast(g as double)"})
+    rows = {r.id: r for r in t.refresh().to_df(spark).where("id < 5").collect()}
+    assert rows[4].g == 6 and rows[4].v == 4.0  # old v=6.0, old g=4
+
+
+def test_update_where_unknown_column_rejected(spark, warehouse):
+    t, _ = _make(spark, warehouse, "upd_bad")
+    with pytest.raises(ValueError):
+        t.update_where(spark, "g = 1", {"nope": "1"})
+
+
+def test_update_where_mor_emits_position_deletes(spark, warehouse):
+    t, _ = _make(spark, warehouse, "upd_mor_files")
+    t.update_where(spark, "g = 7", {"v": "0.0"})
+    t = t.refresh()
+    snap = t.current_snapshot()
+    assert snap.summary.get("operation") == "overwrite"
+    _, pos, _ = t.new_scan().plan_files()
+    assert pos, "merge-on-read update must write position deletes"
+
+
+def test_partition_spec_evolution(spark, warehouse):
+    src = spark.range(200).selectExpr(
+        "id", "timestamp'2024-03-05 10:00:00' + make_interval(0,0,0,0,0,0,id*3600) as ts")
+    t = warehouse.create_table("db.evo", Schema.from_spark(src.schema))
+    t.append(src)                      # unpartitioned spec 0
+    t = t.refresh()
+    t.update_spec("day(ts)", "bucket[4](id)")
+    t = t.refresh()
+    assert t.metadata.default_spec_id == 1
+    assert [f.transform for f in t.metadata.default_spec().fields] == \
+        ["day", "bucket[4]"]
+    # ids continue from last_partition_id (reserved range >= 1000)
+    fids = [f.partition_field_id for f in t.metadata.default_spec().fields]
+    assert fids == sorted(fids) and fids[0] >= 1000
+    # new writes land under the new spec; old files keep spec 0
+    t.append(src.selectExpr("id + 1000 as id", "ts"))
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files()
+    assert {task.spec_id for task in data} == {0, 1}
+    new_files = [task for task in data if task.spec_id == 1]
+    assert all(task.data_file.partition for task in new_files)
+    # full scan still returns everything exactly once
+    assert t.to_df(spark).count() == 400
+    # partition pruning applies to new-spec files only; old files survive
+    pruned, _, _ = t.new_scan(filter="id >= 1000").plan_files()
+    assert len(pruned) <= len(data)
+
+
+def test_update_spec_unknown_column(spark, warehouse):
+    t, _ = _make(spark, warehouse, "evo_bad")
+    with pytest.raises(KeyError):
+        t.update_spec("month(nope)")
