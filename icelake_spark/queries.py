@@ -761,7 +761,7 @@ def rollup_pricing(spark, sf_dir):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
-ROLLUP_SQL = f"""
+ROLLUP_PRICING_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {dsum_sql('l_quantity', 'sum_qty')}, COUNT(*) AS n_rows
 FROM lineitem
@@ -790,7 +790,7 @@ ORDER BY o_year, o_orderstatus
 """
 
 
-def set_ops_customers(spark, sf_dir):
+def set_ops_order_value(spark, sf_dir):
     """INTERSECT / EXCEPT / UNION between BUILDING-segment customers and
     big-spender customers, reduced to one row of counts (the engine
     set-op implementations are what's under test)."""
@@ -806,7 +806,7 @@ def set_ops_customers(spark, sf_dir):
                        .agg(F.count("*").alias("n_union"))))
 
 
-SET_OPS_SQL = """
+SET_OPS_ORDER_SQL = """
 SELECT
   (SELECT COUNT(*) FROM (
      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1895,7 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": q13_order_count_distribution,
         "rollup_pricing": rollup_pricing,
         "cube_order_stats": cube_order_stats,
-        "set_ops_customers": set_ops_customers,
+        "set_ops_order_value": set_ops_order_value,
         "q12_priority_shipping": q12_priority_shipping,
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_relationship": q16_supplier_relationship,
@@ -1962,9 +1962,9 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_type_profit": Q9_SQL,
         "q11_important_parts": Q11_SQL,
         "q13_order_count_distribution": Q13_SQL,
-        "rollup_pricing": ROLLUP_SQL,
+        "rollup_pricing": ROLLUP_PRICING_SQL,
         "cube_order_stats": CUBE_SQL,
-        "set_ops_customers": SET_OPS_SQL,
+        "set_ops_order_value": SET_OPS_ORDER_SQL,
         "q12_priority_shipping": Q12_SQL,
         "q15_top_supplier": Q15_SQL,
         "q16_supplier_relationship": Q16_SQL,
