@@ -143,3 +143,109 @@ def remove_orphan_files(table, older_than_ms: int | None = None) -> int:
                 except OSError:
                     pass
     return removed
+
+
+def rollback_to(table, snapshot_id: int) -> None:
+    """Roll the table back to an earlier snapshot (metadata-only: point
+    current + the main branch at it; no snapshot is deleted, so the
+    rolled-past history stays time-travelable until expire_snapshots).
+    Mirrors Iceberg's rollback_to_snapshot table update (the reference
+    exposes the refs map and current id, in_memory.rs:2360-2410)."""
+    import time as _time
+    from dataclasses import replace as dc_replace
+
+    from .types.metadata import MAIN_BRANCH, SnapshotReference
+
+    md = table.metadata
+    md.snapshot_by_id(snapshot_id)  # raises KeyError if unknown
+    refs = dict(md.refs)
+    refs[MAIN_BRANCH] = SnapshotReference(snapshot_id, "branch")
+    now = int(_time.time() * 1000)
+    table._commit_metadata(dc_replace(
+        md, current_snapshot_id=snapshot_id, refs=refs, last_updated_ms=now,
+        snapshot_log=md.snapshot_log + (
+            {"snapshot-id": snapshot_id, "timestamp-ms": now},)))
+
+
+def rewrite_manifests(table) -> int:
+    """Compact the metadata tree: merge all live data-manifest entries
+    into one manifest per partition-spec (delete manifests carry over
+    untouched) and commit a replace snapshot. Planning cost is
+    O(#manifests) driver-side Avro; data files are untouched. Returns
+    the number of manifests before compaction."""
+    import uuid as _uuid
+
+    from .types.manifest import (
+        MANIFEST_CONTENT_DATA,
+        MANIFEST_CONTENT_DELETES,
+        STATUS_EXISTING,
+        ManifestEntry,
+        read_manifest,
+        read_manifest_list,
+        write_manifest,
+        write_manifest_list,
+    )
+    from .types.metadata import Snapshot
+
+    md = table.metadata
+    parent = md.current_snapshot()
+    if parent is None:
+        return 0
+    prev = read_manifest_list(table._resolve(parent.manifest_list))
+    n_before = len(prev)
+    if n_before <= 1:
+        return n_before
+
+    meta_dir = os.path.join(table.path, "metadata")
+    commit_uuid = str(_uuid.uuid4())
+    snapshot_id = parent.snapshot_id + 1
+    seq = md.last_sequence_number + 1
+    schema = md.current_schema()
+
+    by_spec: dict[int, list[ManifestEntry]] = {}
+    new_list_entries = []
+    total_files = total_rows = 0
+    for mle in prev:
+        if mle.content == MANIFEST_CONTENT_DELETES:
+            new_list_entries.append(mle)
+            continue
+        _, entries = read_manifest(table._resolve(mle.manifest_path))
+        for e in entries:
+            if not e.is_alive:
+                continue
+            e.data_file.file_path = table._resolve(e.data_file.file_path)
+            keep_seq = (e.sequence_number if e.sequence_number is not None
+                        else mle.sequence_number)
+            by_spec.setdefault(mle.partition_spec_id, []).append(ManifestEntry(
+                status=STATUS_EXISTING, data_file=e.data_file,
+                snapshot_id=e.snapshot_id, sequence_number=keep_seq,
+                file_sequence_number=e.file_sequence_number))
+            total_files += 1
+            total_rows += e.data_file.record_count
+    for spec_id, survivors in sorted(by_spec.items()):
+        m_path = os.path.join(
+            meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+        mle = write_manifest(m_path, survivors, md.spec_by_id(spec_id),
+                             schema, snapshot_id, md.format_version,
+                             MANIFEST_CONTENT_DATA)
+        mle.sequence_number = seq
+        mle.min_sequence_number = min(
+            (e.sequence_number or seq for e in survivors), default=seq)
+        new_list_entries.append(mle)
+
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    write_manifest_list(ml_path, new_list_entries, snapshot_id,
+                        parent.snapshot_id, seq, md.format_version)
+    snapshot = Snapshot(
+        snapshot_id=snapshot_id, parent_snapshot_id=parent.snapshot_id,
+        sequence_number=seq, timestamp_ms=int(time.time() * 1000),
+        manifest_list=ml_path,
+        summary={"operation": "replace",
+                 "manifests-replaced": str(n_before),
+                 "manifests-created": str(len(new_list_entries)),
+                 "total-data-files": str(total_files),
+                 "total-records": str(total_rows)},
+        schema_id=schema.schema_id,
+    )
+    table._commit_metadata(md.with_snapshot(snapshot))
+    return n_before

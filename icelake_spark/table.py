@@ -411,6 +411,18 @@ class IcebergTable:
 
         _dw(self, spark, condition)
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Point current + main back at an earlier snapshot (metadata-only)."""
+        from .maintenance import rollback_to as _rb
+
+        _rb(self, snapshot_id)
+
+    def rewrite_manifests(self) -> int:
+        """Compact the manifest tree into one manifest per spec."""
+        from .maintenance import rewrite_manifests as _rm
+
+        return _rm(self)
+
     def update_where(self, spark: SparkSession, condition: str,
                      assignments: dict[str, str]) -> None:
         """Row-level UPDATE ... SET (MoR or CoW per `write.update.mode`)."""

@@ -98,7 +98,11 @@ class Transaction:
         os.makedirs(meta_dir, exist_ok=True)
 
         parent = metadata.current_snapshot()
-        snapshot_id = (parent.snapshot_id + 1) if parent else 1  # transaction.rs:164-169
+        # reference increments the parent id (transaction.rs:164-169); we
+        # allocate past ALL known ids so a post-rollback commit can never
+        # collide with a rolled-past snapshot
+        snapshot_id = max((s.snapshot_id for s in metadata.snapshots),
+                          default=0) + 1
         seq = metadata.last_sequence_number + 1
         schema = metadata.current_schema()
         spec = metadata.default_spec()

@@ -1,0 +1,82 @@
+"""Snapshot rollback and manifest compaction (metadata-only maintenance)."""
+
+import pytest
+from icelake_spark.types import Schema
+from icelake_spark.types.manifest import read_manifest_list
+
+
+def _counts(t, spark):
+    return t.to_df(spark).count()
+
+
+def test_rollback_to_restores_earlier_state(spark, warehouse):
+    src = spark.range(300).selectExpr("id", "id % 3 as g")
+    t = warehouse.create_table("db.rb", Schema.from_spark(src.schema))
+    t.append(src.where("id < 100"))
+    t = t.refresh()
+    first = t.current_snapshot().snapshot_id
+    t.append(src.where("id >= 100"))
+    t = t.refresh()
+    assert _counts(t, spark) == 300
+    t.rollback_to(first)
+    t = t.refresh()
+    assert t.current_snapshot().snapshot_id == first
+    assert _counts(t, spark) == 100
+    # rolled-past snapshot still time-travelable
+    assert t.to_df(spark, snapshot_id=first + 1).count() == 300
+    # writing after rollback forks history from the restored snapshot
+    t.append(src.where("id >= 200"))
+    t = t.refresh()
+    assert _counts(t, spark) == 200
+    assert t.current_snapshot().parent_snapshot_id == first
+
+
+def test_rollback_unknown_snapshot(spark, warehouse):
+    src = spark.range(10).selectExpr("id")
+    t = warehouse.create_table("db.rb2", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    with pytest.raises(KeyError):
+        t.rollback_to(999999)
+
+
+def test_rewrite_manifests_compacts_tree(spark, warehouse):
+    src = spark.range(1000).selectExpr("id", "id % 4 as g")
+    t = warehouse.create_table("db.rm", Schema.from_spark(src.schema))
+    for lo in range(0, 1000, 200):
+        t.append(src.where(f"id >= {lo} and id < {lo + 200}"))
+        t = t.refresh()
+    before = read_manifest_list(
+        t._resolve(t.current_snapshot().manifest_list))
+    assert len(before) == 5
+    files_before, _, _ = t.new_scan().plan_files()
+    n = t.rewrite_manifests()
+    assert n == 5
+    t = t.refresh()
+    after = read_manifest_list(
+        t._resolve(t.current_snapshot().manifest_list))
+    assert len(after) == 1
+    assert t.current_snapshot().summary["operation"] == "replace"
+    # same data files, same rows, still prunable by stats
+    full, _, _ = t.new_scan().plan_files()
+    assert len(full) == len(files_before)
+    assert _counts(t, spark) == 1000
+    pruned, _, _ = t.new_scan(filter="id >= 800").plan_files()
+    assert len(pruned) < len(full)
+
+
+def test_rewrite_manifests_keeps_deletes(spark, warehouse):
+    src = spark.range(500).selectExpr("id", "id % 5 as g")
+    t = warehouse.create_table("db.rmd", Schema.from_spark(src.schema))
+    t.append(src.where("id < 250"))
+    t = t.refresh()
+    t.append(src.where("id >= 250"))
+    t = t.refresh()
+    t.delete_where(spark, "g = 0")
+    t = t.refresh()
+    t.rewrite_manifests()
+    t = t.refresh()
+    # MoR deletes still applied after manifest compaction
+    assert _counts(t, spark) == 400
+    _, pos, _ = t.new_scan().plan_files()
+    assert pos
