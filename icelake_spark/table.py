@@ -411,6 +411,24 @@ class IcebergTable:
 
         _dw(self, spark, condition)
 
+    def fast_forward(self, ref: str, to_ref: str) -> None:
+        """Publish: point `ref` at `to_ref`'s head (write-audit-publish
+        final step). Fast-forwarding main also moves the current
+        snapshot."""
+        from dataclasses import replace as dc_replace
+
+        from .types.metadata import SnapshotReference
+
+        src = self.metadata.refs.get(to_ref)
+        if src is None:
+            raise KeyError(f"ref {to_ref!r} not found")
+        refs = dict(self.metadata.refs)
+        refs[ref] = SnapshotReference(src.snapshot_id, "branch")
+        new_md = dc_replace(self.metadata, refs=refs)
+        if ref == MAIN_BRANCH:
+            new_md = dc_replace(new_md, current_snapshot_id=src.snapshot_id)
+        self._commit_metadata(new_md)
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Point current + main back at an earlier snapshot (metadata-only)."""
         from .maintenance import rollback_to as _rb

@@ -37,8 +37,16 @@ from .types.metadata import Snapshot
 
 
 class Transaction:
-    def __init__(self, table):
+    def __init__(self, table, branch: str | None = None):
+        """branch: commit target ref. Default is the main branch; any
+        other name commits a snapshot whose parent is that branch's head
+        and moves only that ref — main and the current snapshot are
+        untouched (write-audit-publish staging; publish with
+        IcebergTable.fast_forward)."""
+        from .types.metadata import MAIN_BRANCH
+
         self.table = table
+        self.branch = branch or MAIN_BRANCH
         self._added_data: list[DataFile] = []
         self._added_deletes: list[DataFile] = []
         self._removed_paths: set[str] = set()
@@ -97,7 +105,15 @@ class Transaction:
         meta_dir = os.path.join(table.path, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
 
-        parent = metadata.current_snapshot()
+        from .types.metadata import MAIN_BRANCH
+
+        if self.branch == MAIN_BRANCH:
+            parent = metadata.current_snapshot()
+        else:
+            ref = metadata.refs.get(self.branch)
+            # a new branch forks from the current snapshot
+            parent = (metadata.snapshot_by_id(ref.snapshot_id) if ref
+                      else metadata.current_snapshot())
         # reference increments the parent id (transaction.rs:164-169); we
         # allocate past ALL known ids so a post-rollback commit can never
         # collide with a rolled-past snapshot
@@ -196,7 +212,10 @@ class Transaction:
             summary=summary,
             schema_id=schema.schema_id,
         )
-        new_metadata = metadata.with_snapshot(snapshot)
+        if self.branch == MAIN_BRANCH:
+            new_metadata = metadata.with_snapshot(snapshot)
+        else:
+            new_metadata = metadata.with_branch_snapshot(snapshot, self.branch)
 
         if table.catalog is not None:
             version = table.catalog.update_table(table.path, table.current_version,

@@ -331,3 +331,18 @@ class TableMetadata:
                 {"snapshot-id": snapshot.snapshot_id, "timestamp-ms": snapshot.timestamp_ms},),
             refs=refs,
         )
+
+    def with_branch_snapshot(self, snapshot: Snapshot,
+                             ref_name: str) -> "TableMetadata":
+        """Append a snapshot and move ONLY `ref_name` — the current
+        snapshot and the main branch stay where they are (staging commits
+        for write-audit-publish)."""
+        refs = dict(self.refs)
+        refs[ref_name] = SnapshotReference(snapshot.snapshot_id, "branch")
+        return replace(
+            self,
+            snapshots=self.snapshots + (snapshot,),
+            last_updated_ms=snapshot.timestamp_ms,
+            last_sequence_number=max(self.last_sequence_number, snapshot.sequence_number),
+            refs=refs,
+        )

@@ -359,12 +359,14 @@ def _truncate_bounds(t: PrimitiveType, lo: Any, hi: Any) -> tuple[Any, Any]:
 
 
 def append(table, df: DataFrame, max_records_per_file: int | None = None,
-           distribution_partitions: int | None = None) -> None:
-    """INSERT INTO semantics (AppendOnlyWriter, W9)."""
+           distribution_partitions: int | None = None,
+           branch: str | None = None) -> None:
+    """INSERT INTO semantics (AppendOnlyWriter, W9). `branch` stages the
+    commit on a named ref instead of main (write-audit-publish)."""
     from .transaction import Transaction
 
     files = write_data_files(table, df, max_records_per_file, distribution_partitions)
-    tx = Transaction(table)
+    tx = Transaction(table, branch=branch)
     tx.add_data_files(files)
     tx.commit("append")
 

@@ -205,3 +205,48 @@ def test_rest_catalog_roundtrip_fake_http(spark, tmp_path):
     t2 = cat.load_table("db.remote")
     assert t2.current_snapshot() is not None
     assert t2.to_df(spark).count() == 7
+
+
+def test_write_audit_publish(spark, warehouse):
+    """WAP: stage commits on a branch, audit them, fast-forward main."""
+    from icelake_spark.types import Schema
+
+    src = spark.range(200).selectExpr("id", "id % 2 as g")
+    t = warehouse.create_table("db.wap", Schema.from_spark(src.schema))
+    t.append(src.where("id < 100"))
+    t = t.refresh()
+    main_head = t.current_snapshot().snapshot_id
+
+    t.append(src.where("id >= 100"), branch="audit")
+    t = t.refresh()
+    # main unmoved; audit sees staged data
+    assert t.current_snapshot().snapshot_id == main_head
+    assert t.to_df(spark).count() == 100
+    assert t.to_df(spark, ref="audit").count() == 200
+    # staged snapshot's parent is the fork point
+    staged = t.snapshot(ref="audit")
+    assert staged.parent_snapshot_id == main_head
+
+    # audit passed -> publish
+    t.fast_forward("main", "audit")
+    t = t.refresh()
+    assert t.to_df(spark).count() == 200
+    assert t.current_snapshot().snapshot_id == staged.snapshot_id
+
+    # stacking a second staged commit on the same branch
+    t.append(src.selectExpr("id + 1000 as id", "g"), branch="audit")
+    t = t.refresh()
+    assert t.to_df(spark, ref="audit").count() == 400
+    assert t.to_df(spark).count() == 200
+
+
+def test_fast_forward_unknown_ref(spark, warehouse):
+    from icelake_spark.types import Schema
+
+    src = spark.range(10).selectExpr("id")
+    t = warehouse.create_table("db.wap2", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        t.fast_forward("main", "nope")
