@@ -574,11 +574,16 @@ def q2_min_cost_supplier(spark, sf_dir):
     part→supplier relation is derived from distinct lineitem pairs (no
     partsupp table in this schema); the correlated MIN becomes a window
     min over the candidate set — one shuffle, no self-join."""
-    ps = (load(spark, sf_dir, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct())
     p = (load(spark, sf_dir, "part")
          .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
          .select("p_partkey", "p_brand"))
+    # join the selective part filter BEFORE distinct: the pair-dedup
+    # shuffle then carries ~1/300th of lineitem instead of all of it
+    ps = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey")
+          .join(p, F.col("l_partkey") == p.p_partkey)
+          .select("l_partkey", "l_suppkey", "p_partkey", "p_brand")
+          .distinct())
     eur = (load(spark, sf_dir, "nation")
            .join(F.broadcast(load(spark, sf_dir, "region")
                              .where(F.col("r_name") == "EUROPE")),
@@ -587,8 +592,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     s = (load(spark, sf_dir, "supplier")
          .join(F.broadcast(eur), F.col("s_nationkey") == F.col("n_nationkey"))
          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-    cand = (ps.join(p, ps.l_partkey == p.p_partkey)
-            .join(s, ps.l_suppkey == s.s_suppkey))
+    cand = ps.join(s, ps.l_suppkey == s.s_suppkey)
     w = Window.partitionBy("p_partkey")
     return (cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
             .where(F.col("s_acctbal") == F.col("_min_bal"))
@@ -889,16 +893,19 @@ def q16_supplier_relationship(spark, sf_dir):
     """q16-shape: distinct supplier counts per (brand, type, size) over
     the lineitem-derived part↔supplier relation, excluding blacklisted
     (negative-balance) suppliers via an anti join."""
-    ps = (load(spark, sf_dir, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct())
     p = (load(spark, sf_dir, "part")
          .where((F.col("p_brand") != "Brand#5")
                 & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
          .select("p_partkey", "p_brand", "p_type", "p_size"))
+    # filter via the part join BEFORE the pair-dedup shuffle (~1/7 of
+    # lineitem survives the size/brand predicate)
+    ps = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey")
+          .join(p, F.col("l_partkey") == p.p_partkey)
+          .distinct())
     bad = (load(spark, sf_dir, "supplier")
            .where(F.col("s_acctbal") < 0).select("s_suppkey"))
-    return (ps.join(p, ps.l_partkey == p.p_partkey)
-            .join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+    return (ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
             .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
