@@ -20,6 +20,10 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q9_product_type_profit",
+    "q16_supplier_relationship",
+    "q21_waiting_suppliers",
+    "skew_salted_join",
     "window_top_customers",
     "events_hourly",
     "events_sessionize",
