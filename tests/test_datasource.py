@@ -69,3 +69,69 @@ def test_format_filter_pushdown_prunes(spark, warehouse):
     # pruning effect: fewer input partitions than total files
     full, _, _ = t.new_scan().plan_files()
     assert df.rdd.getNumPartitions() < len(full)
+
+
+def test_stream_read_picks_up_new_snapshots(spark, warehouse, tmp_path):
+    """spark.readStream.format('icelake'): each micro-batch reads the
+    append snapshots committed since the last offset; non-append
+    snapshots are skipped."""
+    from icelake_spark import datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(100).selectExpr("id", "id % 5 as g")
+    t = warehouse.create_table("db.streamsrc", Schema.from_spark(src.schema))
+    t.append(src.where("id < 40"))
+    t = t.refresh()
+
+    q = (spark.readStream.format("icelake")
+         .option("path", t.path).load()
+         .writeStream.format("memory").queryName("icestream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    assert spark.sql("select count(*) n from icestream").collect()[0].n == 40
+
+    # two more appends + one non-append snapshot (must be skipped)
+    t.append(src.where("id >= 40 and id < 70")); t = t.refresh()
+    t.append(src.where("id >= 70")); t = t.refresh()
+    t.delete_where(spark, "g = 0"); t = t.refresh()
+
+    q.processAllAvailable()
+    q.stop()
+    # the live query picked up exactly the two appends; the MoR delete
+    # snapshot contributes no stream rows
+    assert spark.sql("select count(*) n from icestream").collect()[0].n == 100
+
+
+def test_stream_read_restart_from_checkpoint(spark, warehouse, tmp_path):
+    """A restarted query resumes from the committed offset (file sink +
+    shared checkpoint): only snapshots committed after the first run's
+    offset are read — no duplicates, no gaps."""
+    from icelake_spark import datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(100).selectExpr("id", "id % 5 as g")
+    t = warehouse.create_table("db.streamsrc2", Schema.from_spark(src.schema))
+    t.append(src.where("id < 30"))
+    t = t.refresh()
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (spark.readStream.format("icelake")
+             .option("path", t.path).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 30
+    t.append(src.where("id >= 30"))
+    t = t.refresh()
+    run_once()
+    df = spark.read.parquet(out)
+    assert df.count() == 100
+    assert df.select("id").distinct().count() == 100
