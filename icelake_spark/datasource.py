@@ -29,9 +29,11 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 try:  # pushdown filter classes vary by minor version
@@ -71,6 +73,9 @@ class IcelakeDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "IcelakeStreamReader":  # noqa: N802
         return IcelakeStreamReader(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> "IcelakeStreamWriter":  # noqa: N802
+        return IcelakeStreamWriter(self.options, schema)
 
 
 class IcelakeReader(DataSourceReader):
@@ -247,6 +252,94 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+PROP_LAST_BATCH = "streaming.last-committed-batch-id"
+
+
+class IcelakeStreamWriter(DataSourceStreamWriter):
+    """`df.writeStream.format("icelake")`: transactional Iceberg sink.
+
+    Each executor task writes its rows as one parquet file into a staged
+    path under the table's data dir and reports it as a commit message;
+    the driver's commit() turns the files into DataFile entries (footer
+    stats included) and appends them in ONE snapshot per epoch.
+    Exactly-once: the committed batch id is recorded in the table
+    properties in the same metadata swap, and a replayed epoch with
+    batchId <= the recorded one is dropped on the floor; abort() deletes
+    the staged files."""
+
+    def __init__(self, options: dict, schema):
+        self.options = options
+        self.spark_schema = schema
+        self.path = options["path"]
+        import uuid as _uuid
+
+        self.stage = f"stream-{_uuid.uuid4()}"
+
+    def write(self, iterator) -> _WrittenFile:
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.spark_schema)
+        names = [f.name for f in self.spark_schema.fields]
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return _WrittenFile(path="", rows=0)
+        out_dir = _os.path.join(self.path, "data", self.stage)
+        _os.makedirs(out_dir, exist_ok=True)
+        out = _os.path.join(out_dir, f"{_uuid.uuid4()}.parquet")
+        table = pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in rows], schema=arrow_schema)
+        pq.write_table(table, out)
+        return _WrittenFile(path=out, rows=len(rows))
+
+    def commit(self, messages, batchId) -> None:  # noqa: N802
+        import os as _os
+
+        from .table import IcebergTable
+        from .transaction import Transaction
+        from .write import _build_data_file
+
+        t = IcebergTable.load(self.path)
+        last = int(t.metadata.properties.get(PROP_LAST_BATCH, -1))
+        files = [m for m in messages if m is not None and m.rows > 0]
+        if batchId <= last or not files:
+            for m in files:  # replayed epoch: staged output is discarded
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+            return
+        schema = t.schema()
+        entries = [_build_data_file(m.path, _os.path.dirname(m.path),
+                                    schema, {}, None) for m in files]
+        tx = Transaction(t)
+        tx.add_data_files(entries)
+        # record the epoch in the same commit so replay-after-crash
+        # cannot double-append
+        t.metadata.properties[PROP_LAST_BATCH] = str(batchId)
+        tx.commit("append")
+
+    def abort(self, messages, batchId) -> None:  # noqa: N802
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
 
 
 def _norm(p: str) -> str:

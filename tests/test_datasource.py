@@ -135,3 +135,37 @@ def test_stream_read_restart_from_checkpoint(spark, warehouse, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 100
     assert df.select("id").distinct().count() == 100
+
+
+def test_stream_write_sink_commits_snapshots(spark, warehouse, tmp_path):
+    """writeStream.format('icelake'): one transactional append snapshot
+    per epoch; a full round trip through the streaming source and sink."""
+    from icelake_spark import IcebergTable, datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(80).selectExpr("id", "id % 4 as g")
+    source_t = warehouse.create_table("db.sink_src", Schema.from_spark(src.schema))
+    sink_t = warehouse.create_table("db.sink_dst", Schema.from_spark(src.schema))
+    source_t.append(src.where("id < 50"))
+    source_t = source_t.refresh()
+
+    q = (spark.readStream.format("icelake").option("path", source_t.path).load()
+         .writeStream.format("icelake").option("path", sink_t.path)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    sink_t = sink_t.refresh()
+    assert sink_t.to_df(spark).count() == 50
+    assert sink_t.current_snapshot().summary["operation"] == "append"
+
+    source_t.append(src.where("id >= 50"))
+    source_t = source_t.refresh()
+    q.processAllAvailable()
+    q.stop()
+    sink_t = sink_t.refresh()
+    got = sink_t.to_df(spark)
+    assert got.count() == 80
+    assert got.select("id").distinct().count() == 80
+    # one committed batch id recorded for idempotent replay
+    assert int(sink_t.metadata.properties["streaming.last-committed-batch-id"]) >= 1
