@@ -1191,6 +1191,75 @@ ORDER BY l_returnflag
 """
 
 
+def window_functions_suite(spark, sf_dir):
+    """Window-function coverage in one pass: lag/lead, rank/dense_rank,
+    ntile, cume_dist over each customer's order history (ORDER BY
+    includes the unique key so every rank is deterministic)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+WINDOW_SUITE_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       RANK()       OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4)     OVER w AS quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def string_date_functions(spark, sf_dir):
+    """Scalar string/date function coverage with portable semantics:
+    substring, upper, length, regexp_extract, concat, year/month/
+    day-of-year extraction, quarter arithmetic."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .select(
+                "c_custkey",
+                F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+                F.length("c_name").cast("int").alias("name_len"),
+                F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_num"),
+                F.concat_ws("-", "c_mktsegment",
+                            F.year("o_orderdate").cast("string")).alias("seg_year"),
+                F.year("o_orderdate").cast("int").alias("y"),
+                F.month("o_orderdate").cast("int").alias("m"),
+                F.dayofyear("o_orderdate").cast("int").alias("doy"),
+                F.quarter("o_orderdate").cast("int").alias("q"))
+            .orderBy("c_custkey", "y", "doy"))
+
+
+STRING_DATE_SQL = """
+SELECT c_custkey,
+       UPPER(SUBSTRING(c_name, 1, 8)) AS name_prefix,
+       CAST(LENGTH(c_name) AS INT) AS name_len,
+       COALESCE(regexp_extract(c_name, '(\\d+)$', 1), '') AS name_num,
+       c_mktsegment || '-' || CAST(YEAR(o_orderdate) AS VARCHAR) AS seg_year,
+       CAST(YEAR(o_orderdate) AS INT) AS y,
+       CAST(MONTH(o_orderdate) AS INT) AS m,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(QUARTER(o_orderdate) AS INT) AS q
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_custkey < 500
+ORDER BY c_custkey, y, doy
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -1915,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": histogram_totalprice,
         "skew_salted_join": skew_salted_join,
         "skew_distinct_parts": skew_distinct_parts,
+        "window_functions_suite": window_functions_suite,
+        "string_date_functions": string_date_functions,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_sliding_windows": events_sliding_windows,
@@ -1984,6 +2055,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram_totalprice": HISTOGRAM_SQL,
         "skew_salted_join": SKEW_SALTED_SQL,
         "skew_distinct_parts": SKEW_DISTINCT_SQL,
+        "window_functions_suite": WINDOW_SUITE_SQL,
+        "string_date_functions": STRING_DATE_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "events_sliding_windows": EVENTS_SLIDING_SQL,
