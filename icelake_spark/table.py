@@ -140,9 +140,21 @@ class IcebergTable:
         if snapshot is None:
             return data, pos_deletes, eq_deletes
         ml_path = self._resolve(snapshot.manifest_list)
-        for mle in read_manifest_list(ml_path):
-            m_path = self._resolve(mle.manifest_path)
-            _, entries = read_manifest(m_path)
+        mles = read_manifest_list(ml_path)
+        # manifests are independent KB-scale Avro files — read them
+        # concurrently (I/O-bound) instead of serially; order is
+        # preserved so planning stays deterministic
+        if len(mles) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(mles))) as pool:
+                parsed = list(pool.map(
+                    lambda m: read_manifest(self._resolve(m.manifest_path)),
+                    mles))
+        else:
+            parsed = [read_manifest(self._resolve(m.manifest_path))
+                      for m in mles]
+        for mle, (_, entries) in zip(mles, parsed):
             for e in entries:
                 if not e.is_alive:
                     continue
