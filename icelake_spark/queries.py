@@ -1260,6 +1260,35 @@ ORDER BY c_custkey, y, doy
 """
 
 
+def train_test_split(spark, sf_dir):
+    """Content-addressed train/eval split over documents: the split key
+    is an md5 prefix so assignment is stable under corpus growth,
+    repartitioning, and engine changes — the oracle computes the same
+    buckets byte-for-byte."""
+    from .ops.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id", 0.8)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("split", "lang"))
+
+
+TRAIN_TEST_SQL = """
+WITH s AS (
+  SELECT lang, text,
+         CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INT) < CAST(65536 * 0.8 AS INT)
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars
+FROM s
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (streaming-shaped batch)
 # =====================================================================
@@ -1986,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_distinct_parts": skew_distinct_parts,
         "window_functions_suite": window_functions_suite,
         "string_date_functions": string_date_functions,
+        "train_test_split": train_test_split,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_sliding_windows": events_sliding_windows,
@@ -2057,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_distinct_parts": SKEW_DISTINCT_SQL,
         "window_functions_suite": WINDOW_SUITE_SQL,
         "string_date_functions": STRING_DATE_SQL,
+        "train_test_split": TRAIN_TEST_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "events_sliding_windows": EVENTS_SLIDING_SQL,

@@ -163,3 +163,40 @@ def test_ngram_jaccard_exact_value(spark):
     # 3-grams: {abc,bcd,cde} vs {abc,bcd,cdx} → common 2, union 4 → 0.5
     rows = ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
     assert len(rows) == 1 and abs(rows[0].jaccard - 0.5) < 1e-9
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from icelake_spark.ops.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", 0.8).collect()}
+    # repartitioned input gives identical assignment
+    b = {r.doc_id: r.split
+         for r in hash_split(docs.repartition(13), "doc_id", 0.8).collect()}
+    assert a == b
+    # a grown corpus keeps old rows in their old split
+    grown = docs.unionByName(
+        docs.selectExpr("doc_id + 1000000 as doc_id", "text", "lang",
+                        "source", "n_chars"))
+    c = {r.doc_id: r.split for r in hash_split(grown, "doc_id", 0.8).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9
+
+
+def test_sample_stratified_bounds(spark):
+    from icelake_spark.ops.sampling import sample_stratified
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    s = sample_stratified(li, "l_returnflag",
+                          {"A": 0.1, "N": 0.5, "R": 0.9}, seed=7)
+    by = {r.l_returnflag: r.n for r in
+          s.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    tot = {r.l_returnflag: r.n for r in
+           li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    for k, f in {"A": 0.1, "N": 0.5, "R": 0.9}.items():
+        assert abs(by.get(k, 0) / tot[k] - f) < 0.05
+    # seeded: reproducible
+    again = sample_stratified(li, "l_returnflag",
+                              {"A": 0.1, "N": 0.5, "R": 0.9}, seed=7).count()
+    assert again == s.count()
