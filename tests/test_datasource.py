@@ -169,3 +169,39 @@ def test_stream_write_sink_commits_snapshots(spark, warehouse, tmp_path):
     assert got.select("id").distinct().count() == 80
     # one committed batch id recorded for idempotent replay
     assert int(sink_t.metadata.properties["streaming.last-committed-batch-id"]) >= 1
+
+
+def test_stream_sink_replayed_epoch_is_dropped(spark, warehouse):
+    """commit() with a batchId at or below the recorded one must drop the
+    staged files instead of double-appending (crash-replay safety)."""
+    import os
+
+    from icelake_spark.datasource import IcelakeStreamWriter, _WrittenFile
+    from icelake_spark.types import Schema
+
+    src = spark.range(10).selectExpr("id", "id % 2 as g")
+    t = warehouse.create_table("db.replay", Schema.from_spark(src.schema))
+    w = IcelakeStreamWriter({"path": t.path}, src.schema)
+
+    def staged_batch():
+        msgs = [w.write(iter(r for r in batch.collect()))
+                for batch in [src.where("id < 5"), src.where("id >= 5")]]
+        return msgs
+
+    w.commit(staged_batch(), batchId=0)
+    t = t.refresh()
+    assert t.to_df(spark).count() == 10
+
+    # replay of epoch 0: staged files discarded, no new snapshot
+    replay = staged_batch()
+    before = t.current_snapshot().snapshot_id
+    w.commit(replay, batchId=0)
+    t = t.refresh()
+    assert t.current_snapshot().snapshot_id == before
+    assert t.to_df(spark).count() == 10
+    assert all(not os.path.exists(m.path) for m in replay if m.rows)
+
+    # next epoch commits normally
+    w.commit(staged_batch(), batchId=1)
+    t = t.refresh()
+    assert t.to_df(spark).count() == 20
