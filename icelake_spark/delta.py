@@ -158,7 +158,7 @@ def delete_rows(table, spark, condition: str) -> None:
     from .table import read_data_files
 
     scan = table.new_scan(apply_deletes=True)
-    data, _pos, _eq = scan.plan_files()
+    data, _pos, _eq = scan.plan_files(spark)
     if not data:
         return
     spark_schema = table.schema().to_spark()
@@ -232,7 +232,7 @@ def update_rows(table, spark, condition: str,
         raise ValueError(f"unknown columns in SET: {sorted(bad)}")
 
     scan = table.new_scan(apply_deletes=True)
-    data, _pos, _eq = scan.plan_files()
+    data, _pos, _eq = scan.plan_files(spark)
     if not data:
         return
     spark_schema = table.schema().to_spark()

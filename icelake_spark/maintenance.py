@@ -32,7 +32,7 @@ def rewrite_data_files(table, spark: SparkSession,
     right-sized files; commit as a `replace` snapshot. Returns the new
     data-file count."""
     scan = table.new_scan(apply_deletes=True)
-    data, _, _ = scan.plan_files()
+    data, _, _ = scan.plan_files(spark)
     if not data:
         return 0
     df = scan.to_df(spark)

@@ -1,0 +1,305 @@
+"""Scan planning kernels — shared between driver-side and distributed
+(Spark-job) planning.
+
+SURVEY §7 risk 8: at 100 TB a snapshot can reference tens of thousands
+of manifest Avro files. Decoding them all on the driver serializes
+planning and bounds table size by driver memory. This module provides:
+
+- manifest-level pruning from manifest-list FieldSummaries (skip whole
+  manifests without opening them — mirrors the bounds idea of
+  FieldSummary in /root/reference/icelake/src/types/in_memory.rs:1348-1372);
+- file-level partition + zone-map pruning as pure functions usable on
+  either the driver or an executor;
+- `plan_distributed`: planning as a Spark job — manifest paths are
+  parallelized, executors decode their manifests with the pure-Python
+  Avro reader and prune locally, and only SURVIVING tasks are pickled
+  back to the driver. The driver's state is O(#surviving files), never
+  O(#manifest bytes).
+
+On a real cluster the package ships to executors via --py-files /
+spark.submit.pyFiles; in local mode workers import it from the repo.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from typing import Any
+
+from .types import (
+    CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    PrimitiveType,
+    Schema,
+    decode_bound,
+)
+from .types.manifest import (
+    MANIFEST_CONTENT_DATA,
+    ManifestListEntry,
+    read_manifest,
+)
+from .types.metadata import TableMetadata
+from .types.transforms import apply_transform_py, transform_result_type
+
+# above this manifest count, planning becomes a Spark job when a session
+# is available (overridable via table property read.plan.distributed-threshold)
+DISTRIBUTED_PLANNING_THRESHOLD = 64
+
+
+def resolve_path(table_path: str, path: str) -> str:
+    """Map a metadata-recorded absolute path into the table's dir
+    (pure twin of IcebergTable._resolve, safe to run on executors)."""
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+        if not p.startswith("/"):
+            p = "/" + p
+    if os.path.exists(p):
+        return p
+    for marker in ("/data/", "/metadata/"):
+        i = p.rfind(marker)
+        if i >= 0:
+            candidate = os.path.join(table_path, p[i + 1:])
+            if os.path.exists(candidate):
+                return candidate
+    return p
+
+
+# ------------------------------------------------------------- predicates
+
+
+_OP_RE = re.compile(r"^(\w+)\s*(<=|>=|!=|=|==|<|>)\s*(.+)$")
+
+
+def parse_stats_preds(filter_str: str | None, schema: Schema,
+                      parse_literal) -> list[tuple[int, str, Any, PrimitiveType]]:
+    """Parse simple `col OP literal` conjuncts into (field_id, op, value,
+    type) tuples for zone-map pruning. Unparseable conjuncts are dropped
+    — Catalyst still applies the full filter in-file, so pruning stays a
+    pure optimization."""
+    if not filter_str:
+        return []
+    preds = []
+    for c in re.split(r"(?i)\s+and\s+", filter_str):
+        m = _OP_RE.match(c.strip())
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2).replace("==", "="), m.group(3).strip()
+        f = schema.field_by_name(col)
+        if f is None or not isinstance(f.field_type, PrimitiveType):
+            continue
+        val = parse_literal(lit, f.field_type)
+        if val is None:
+            continue
+        preds.append((f.field_id, op, val, f.field_type))
+    return preds
+
+
+def stats_keep(data_file, schema: Schema, preds) -> bool:
+    """Zone-map check: can this file contain rows matching every pred?"""
+    if not preds:
+        return True
+    lo = data_file.decoded_bounds(schema, "lower")
+    hi = data_file.decoded_bounds(schema, "upper")
+    for fid, op, val, _ft in preds:
+        lo_v, hi_v = lo.get(fid), hi.get(fid)
+        if lo_v is None or hi_v is None:
+            continue
+        if op == "=" and (val < lo_v or val > hi_v):
+            return False
+        if op == "<" and lo_v >= val:
+            return False
+        if op == "<=" and lo_v > val:
+            return False
+        if op == ">" and hi_v <= val:
+            return False
+        if op == ">=" and hi_v < val:
+            return False
+    return True
+
+
+def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] | None,
+                     ) -> dict[int, dict[str, Any]]:
+    """Per-spec expected partition tuple values from a filter keyed by
+    partition-field name OR source-column name (transformed here once,
+    instead of per file)."""
+    if not partition_filter:
+        return {}
+    schema = metadata.current_schema()
+    out: dict[int, dict[str, Any]] = {}
+    for spec in metadata.partition_specs:
+        want: dict[str, Any] = {}
+        for pf in spec.fields:
+            if pf.name in partition_filter:
+                want[pf.name] = partition_filter[pf.name]
+            else:
+                src = schema.field_by_id(pf.source_column_id)
+                if src and src.name in partition_filter:
+                    want[pf.name] = apply_transform_py(
+                        pf.transform, partition_filter[src.name], src.field_type)
+        out[spec.spec_id] = want
+    return out
+
+
+def partition_keep(data_file, wanted_for_spec: dict[str, Any]) -> bool:
+    for name, want in wanted_for_spec.items():
+        if data_file.partition.get(name) != want:
+            return False
+    return True
+
+
+def prune_manifests(mles: list[ManifestListEntry], metadata: TableMetadata,
+                    wanted: dict[int, dict[str, Any]]) -> list[ManifestListEntry]:
+    """Drop data manifests whose FieldSummary bounds prove no file can
+    match the partition filter — without opening the manifest. Delete
+    manifests and manifests lacking summaries are always kept."""
+    if not wanted:
+        return mles
+    schema = metadata.current_schema()
+    out = []
+    for mle in mles:
+        if mle.content != MANIFEST_CONTENT_DATA or not mle.partitions:
+            out.append(mle)
+            continue
+        try:
+            spec = metadata.spec_by_id(mle.partition_spec_id)
+        except KeyError:
+            spec = None
+        want = wanted.get(mle.partition_spec_id, {})
+        if spec is None or not want:
+            out.append(mle)
+            continue
+        keep = True
+        for i, pf in enumerate(spec.fields):
+            if pf.name not in want or i >= len(mle.partitions):
+                continue
+            s = mle.partitions[i] or {}
+            v = want[pf.name]
+            if v is None:
+                if s.get("contains_null") is False:
+                    keep = False
+                    break
+                continue
+            lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
+            if lo_b is None or hi_b is None:
+                continue
+            src = schema.field_by_id(pf.source_column_id)
+            t = transform_result_type(pf.transform,
+                                      src.field_type if src else None)
+            if not isinstance(t, PrimitiveType):
+                continue
+            try:
+                lo, hi = decode_bound(t, bytes(lo_b)), decode_bound(t, bytes(hi_b))
+            except Exception:
+                continue
+            if v < lo or v > hi:
+                keep = False
+                break
+        if keep:
+            out.append(mle)
+    return out
+
+
+# ---------------------------------------------------------------- assembly
+
+
+def assemble_manifest(table_path: str, metadata: TableMetadata,
+                      mle: ManifestListEntry, entries,
+                      wanted: dict[int, dict[str, Any]], preds,
+                      ) -> list[tuple[int, Any, int, int]]:
+    """(manifest entries) → pruned [(content, DataFile, seq, spec_id)].
+
+    Shared by the serial and distributed planners so both produce
+    byte-identical plans. v2 sequence-number inheritance: a null seq on
+    an entry inherits the manifest-list entry's sequence number."""
+    schema = metadata.current_schema()
+    want = wanted.get(mle.partition_spec_id, {}) if wanted else {}
+    out = []
+    for e in entries:
+        if not e.is_alive:
+            continue
+        seq = e.sequence_number
+        if seq is None:
+            seq = mle.sequence_number
+        df = e.data_file
+        df.file_path = resolve_path(table_path, df.file_path)
+        if df.content == CONTENT_DATA:
+            if want and not partition_keep(df, want):
+                continue
+            if preds and not stats_keep(df, schema, preds):
+                continue
+        out.append((df.content, df, seq, mle.partition_spec_id))
+    return out
+
+
+def plan_distributed(spark, table_path: str, metadata: TableMetadata,
+                     mles: list[ManifestListEntry],
+                     wanted: dict[int, dict[str, Any]] | None = None,
+                     preds=None) -> list[tuple[int, Any, int, int]]:
+    """Planning as a Spark job: one row per manifest in, pickled
+    surviving (content, DataFile, seq, spec_id) tuples out. Result order
+    is deterministic (sorted by manifest-list position)."""
+    import pandas as pd
+
+    wanted = wanted or {}
+    preds = preds or []
+    blobs = [(i, pickle.dumps((mle, table_path, metadata, wanted, preds)))
+             for i, mle in enumerate(mles)]
+
+    def run(batches):
+        for pdf in batches:
+            idx, out = [], []
+            for i, blob in zip(pdf["i"], pdf["task"]):
+                mle, tpath, meta, want, prs = pickle.loads(bytes(blob))
+                _, entries = read_manifest(resolve_path(tpath, mle.manifest_path))
+                tasks = assemble_manifest(tpath, meta, mle, entries, want, prs)
+                idx.append(int(i))
+                out.append(pickle.dumps(tasks))
+            yield pd.DataFrame({"i": idx, "blob": out})
+
+    n_parts = max(1, min(len(blobs), 256))
+    df = spark.createDataFrame(blobs, "i int, task binary").repartition(n_parts)
+    rows = df.mapInPandas(run, schema="i int, blob binary").collect()
+    tasks: list[tuple[int, Any, int, int]] = []
+    for _, chunk in sorted((r.i, pickle.loads(bytes(r.blob))) for r in rows):
+        tasks.extend(chunk)
+    return tasks
+
+
+def plan_serial(table_path: str, metadata: TableMetadata,
+                mles: list[ManifestListEntry],
+                wanted: dict[int, dict[str, Any]] | None = None,
+                preds=None) -> list[tuple[int, Any, int, int]]:
+    """Driver-side twin of plan_distributed (thread-pooled I/O)."""
+    wanted = wanted or {}
+    preds = preds or []
+    if len(mles) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(mles))) as pool:
+            parsed = list(pool.map(
+                lambda m: read_manifest(resolve_path(table_path, m.manifest_path)),
+                mles))
+    else:
+        parsed = [read_manifest(resolve_path(table_path, m.manifest_path))
+                  for m in mles]
+    tasks: list[tuple[int, Any, int, int]] = []
+    for mle, (_, entries) in zip(mles, parsed):
+        tasks.extend(assemble_manifest(table_path, metadata, mle, entries,
+                                       wanted, preds))
+    return tasks
+
+
+def split_tasks(tasks, file_scan_task, delete_file_task):
+    """[(content, df, seq, spec_id)] → (data, pos_deletes, eq_deletes)."""
+    data, pos, eq = [], [], []
+    for content, df, seq, spec_id in tasks:
+        if content == CONTENT_DATA:
+            data.append(file_scan_task(df, seq, spec_id))
+        elif content == CONTENT_POSITION_DELETES:
+            pos.append(delete_file_task(df, seq))
+        elif content == CONTENT_EQUALITY_DELETES:
+            eq.append(delete_file_task(df, seq))
+    return data, pos, eq

@@ -4,8 +4,10 @@ inspection tables, and time travel.
 Read lifecycle parity (/root/reference/icelake/src/table.rs:247-304,
 io/scan.rs:60-194): catalog resolve → snapshot → manifest list →
 manifests → live DataFiles → pruned, projected Parquet scan. Planning is
-driver-side Python (manifests are small); the scan itself is Spark's
-vectorized Parquet reader — the only distributed boundary.
+driver-side Python while manifests are few; above
+`read.plan.distributed-threshold` manifests (default 64) planning itself
+becomes a Spark job (see planning.py) so huge tables never bottleneck on
+the driver. The scan itself is Spark's vectorized Parquet reader.
 
 Merge-on-read (SURVEY §2.2 P5, §2.3 J3/J4): position deletes are applied
 with an anti-join on (file_path, _metadata.row_index); equality deletes
@@ -22,17 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .types.datatypes import PrimitiveType, Schema
-from .types.manifest import (
-    CONTENT_DATA,
-    CONTENT_EQUALITY_DELETES,
-    CONTENT_POSITION_DELETES,
-    DataFile,
-    ManifestEntry,
-    read_manifest,
-    read_manifest_list,
-)
+from .types.manifest import DataFile, read_manifest_list
 from .types.metadata import MAIN_BRANCH, Snapshot, TableMetadata
-from .types.transforms import apply_transform_py
 
 if TYPE_CHECKING:
     from .catalog.storage import StorageCatalog
@@ -134,44 +127,13 @@ class IcebergTable:
         Mirrors Table::data_files_of_snapshot (table.rs:281-304) extended
         with delete manifests (content=deletes).
         """
-        data: list[FileScanTask] = []
-        pos_deletes: list[DeleteFileTask] = []
-        eq_deletes: list[DeleteFileTask] = []
-        if snapshot is None:
-            return data, pos_deletes, eq_deletes
-        ml_path = self._resolve(snapshot.manifest_list)
-        mles = read_manifest_list(ml_path)
-        # manifests are independent KB-scale Avro files — read them
-        # concurrently (I/O-bound) instead of serially; order is
-        # preserved so planning stays deterministic
-        if len(mles) > 4:
-            from concurrent.futures import ThreadPoolExecutor
+        from . import planning
 
-            with ThreadPoolExecutor(max_workers=min(16, len(mles))) as pool:
-                parsed = list(pool.map(
-                    lambda m: read_manifest(self._resolve(m.manifest_path)),
-                    mles))
-        else:
-            parsed = [read_manifest(self._resolve(m.manifest_path))
-                      for m in mles]
-        for mle, (_, entries) in zip(mles, parsed):
-            for e in entries:
-                if not e.is_alive:
-                    continue
-                # v2 sequence-number inheritance: null seq on an ADDED entry
-                # inherits the manifest-list entry's sequence number
-                seq = e.sequence_number
-                if seq is None:
-                    seq = mle.sequence_number
-                df = e.data_file
-                df.file_path = self._resolve(df.file_path)
-                if df.content == CONTENT_DATA:
-                    data.append(FileScanTask(df, seq, mle.partition_spec_id))
-                elif df.content == CONTENT_POSITION_DELETES:
-                    pos_deletes.append(DeleteFileTask(df, seq))
-                elif df.content == CONTENT_EQUALITY_DELETES:
-                    eq_deletes.append(DeleteFileTask(df, seq))
-        return data, pos_deletes, eq_deletes
+        if snapshot is None:
+            return [], [], []
+        mles = read_manifest_list(self._resolve(snapshot.manifest_list))
+        tasks = planning.plan_serial(self.path, self.metadata, mles)
+        return planning.split_tasks(tasks, FileScanTask, DeleteFileTask)
 
     def new_scan(self, **kwargs) -> "TableScan":
         return TableScan(self, **kwargs)
@@ -522,7 +484,8 @@ class TableScan:
                  ref: str | None = None,
                  partition_filter: dict[str, Any] | None = None,
                  filter: str | None = None,
-                 apply_deletes: bool = True):
+                 apply_deletes: bool = True,
+                 distributed_planning: bool | None = None):
         self.table = table
         self.columns = columns
         self.snapshot_id = snapshot_id
@@ -531,94 +494,49 @@ class TableScan:
         self.partition_filter = partition_filter
         self.filter = filter
         self.apply_deletes = apply_deletes
+        self.distributed_planning = distributed_planning
 
     # ----------------------------------------------------------- planning
 
-    def plan_files(self) -> tuple[list[FileScanTask], list[DeleteFileTask], list[DeleteFileTask]]:
+    def plan_files(self, spark: SparkSession | None = None,
+                   ) -> tuple[list[FileScanTask], list[DeleteFileTask], list[DeleteFileTask]]:
+        """snapshot → pruned (data, pos-delete, eq-delete) tasks.
+
+        Pruning happens at three levels, cheapest first: whole manifests
+        via manifest-list FieldSummaries, then per-file partition-tuple
+        match (io/scan.rs:120-122), then per-file zone maps (min/max
+        bounds). With a session and ≥ read.plan.distributed-threshold
+        manifests, manifest decode + file pruning run as a Spark job so
+        driver memory never bounds table size (SURVEY §7 risk 8)."""
+        from . import planning
+
         snap = self.table.snapshot(self.snapshot_id, self.as_of_ms, self.ref)
-        data, pos, eq = self.table._manifest_entries(snap)
-        if self.partition_filter:
-            data = [t for t in data if self._partition_match(t)]
-        if self.filter:
-            data = self._prune_by_stats(data)
-        return data, pos, eq
-
-    def _partition_match(self, task: FileScanTask) -> bool:
-        """Exact partition-tuple filter (io/scan.rs:120-122), with source-
-        value convenience: filter values are transformed before compare."""
-        spec = self.table.metadata.spec_by_id(task.spec_id)
+        if snap is None:
+            return [], [], []
+        meta = self.table.metadata
         schema = self.table.schema()
-        for pf in spec.fields:
-            if pf.name in self.partition_filter:
-                want = self.partition_filter[pf.name]
-                got = task.data_file.partition.get(pf.name)
-                if got != want:
-                    return False
-            else:
-                src = schema.field_by_id(pf.source_column_id)
-                if src and src.name in self.partition_filter:
-                    src_t = src.field_type
-                    want = apply_transform_py(pf.transform,
-                                              self.partition_filter[src.name], src_t)
-                    if task.data_file.partition.get(pf.name) != want:
-                        return False
-        return True
-
-    _OPS = ("<=", ">=", "!=", "=", "<", ">")
-
-    def _prune_by_stats(self, tasks: list[FileScanTask]) -> list[FileScanTask]:
-        """File skipping on lower/upper bounds for simple `col OP literal`
-        conjuncts of the filter (zone-map pruning, SURVEY §4). Anything we
-        cannot parse is ignored — Catalyst still applies the full filter
-        in-file, so pruning here is purely an optimization."""
-        import re as _re
-
-        schema = self.table.schema()
-        conjuncts = [c.strip() for c in _re.split(r"(?i)\s+and\s+", self.filter or "")]
-        preds = []
-        for c in conjuncts:
-            m = _re.match(r"^(\w+)\s*(<=|>=|!=|=|==|<|>)\s*(.+)$", c)
-            if not m:
-                continue
-            col, op, lit = m.group(1), m.group(2).replace("==", "="), m.group(3).strip()
-            f = schema.field_by_name(col)
-            if f is None or not isinstance(f.field_type, PrimitiveType):
-                continue
-            val = _parse_literal(lit, f.field_type)
-            if val is None:
-                continue
-            preds.append((f.field_id, op, val, f.field_type))
-        if not preds:
-            return tasks
-        out = []
-        for t in tasks:
-            lo = t.data_file.decoded_bounds(schema, "lower")
-            hi = t.data_file.decoded_bounds(schema, "upper")
-            keep = True
-            for fid, op, val, _ft in preds:
-                lo_v, hi_v = lo.get(fid), hi.get(fid)
-                if lo_v is None or hi_v is None:
-                    continue
-                if op in ("=",) and (val < lo_v or val > hi_v):
-                    keep = False
-                elif op == "<" and lo_v >= val:
-                    keep = False
-                elif op == "<=" and lo_v > val:
-                    keep = False
-                elif op == ">" and hi_v <= val:
-                    keep = False
-                elif op == ">=" and hi_v < val:
-                    keep = False
-                if not keep:
-                    break
-            if keep:
-                out.append(t)
-        return out
+        mles = read_manifest_list(self.table._resolve(snap.manifest_list))
+        wanted = planning.partition_wanted(meta, self.partition_filter)
+        preds = planning.parse_stats_preds(self.filter, schema, _parse_literal)
+        mles = planning.prune_manifests(mles, meta, wanted)
+        use_dist = self.distributed_planning
+        if use_dist is None:
+            thr = int(meta.properties.get(
+                "read.plan.distributed-threshold",
+                planning.DISTRIBUTED_PLANNING_THRESHOLD))
+            use_dist = spark is not None and len(mles) >= thr
+        if use_dist and spark is not None:
+            tasks = planning.plan_distributed(spark, self.table.path, meta,
+                                              mles, wanted, preds)
+        else:
+            tasks = planning.plan_serial(self.table.path, meta, mles,
+                                         wanted, preds)
+        return planning.split_tasks(tasks, FileScanTask, DeleteFileTask)
 
     # ---------------------------------------------------------- execution
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        data, pos, eq = self.plan_files()
+        data, pos, eq = self.plan_files(spark)
         # schema evolution: explicit time-travel reads use the schema the
         # snapshot was written under (io/scan.rs:60-80); current reads use
         # the current schema (old files project new columns as null)

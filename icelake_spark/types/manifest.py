@@ -15,7 +15,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .. import avro_io
-from .datatypes import PrimitiveType, Schema, decode_bound, type_to_json
+from .datatypes import (PrimitiveType, Schema, decode_bound, encode_bound,
+                        type_to_json)
 from .metadata import PartitionField, PartitionSpec
 
 # manifest entry status
@@ -495,6 +496,7 @@ def write_manifest(
         counts[e.status][1] += df.record_count
         if e.sequence_number is not None:
             min_seq = e.sequence_number if min_seq is None else min(min_seq, e.sequence_number)
+    summaries = _field_summaries(entries, spec, ptypes)
     meta = {
         "schema": json.dumps(schema.to_json_dict()),
         "schema-id": str(schema.schema_id),
@@ -519,7 +521,45 @@ def write_manifest(
         added_rows_count=counts[STATUS_ADDED][1],
         existing_rows_count=counts[STATUS_EXISTING][1],
         deleted_rows_count=counts[STATUS_DELETED][1],
+        partitions=summaries,
     )
+
+
+def _field_summaries(entries: list[ManifestEntry], spec: PartitionSpec,
+                     ptypes: dict[str, PrimitiveType]) -> list[dict] | None:
+    """Per-partition-field summaries (spec field 507, r508) over the
+    manifest's LIVE entries: contains_null / contains_nan and encoded
+    lower/upper bounds. These let a scan skip whole manifests from the
+    manifest list alone — at 100 TB that is the difference between
+    opening 10k manifest files and opening the handful that can match.
+    """
+    if not spec.fields:
+        return None
+    live = [e for e in entries if e.is_alive]
+    if not live:
+        return None
+    out: list[dict] = []
+    for pf in spec.fields:
+        t = ptypes.get(pf.name)
+        vals = [e.data_file.partition.get(pf.name) for e in live]
+        non_null = [v for v in vals if v is not None]
+        is_float = t is not None and getattr(t, "name", "") in ("float", "double")
+        summary: dict[str, Any] = {
+            "contains_null": len(non_null) < len(vals),
+            "contains_nan": any(v != v for v in non_null) if is_float else None,
+        }
+        if is_float:
+            non_null = [v for v in non_null if v == v]
+        if non_null and t is not None:
+            try:
+                summary["lower_bound"] = encode_bound(t, min(non_null))
+                summary["upper_bound"] = encode_bound(t, max(non_null))
+            except Exception:
+                summary["lower_bound"] = summary["upper_bound"] = None
+        else:
+            summary["lower_bound"] = summary["upper_bound"] = None
+        out.append(summary)
+    return out
 
 
 def write_manifest_list(

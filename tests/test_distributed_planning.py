@@ -1,0 +1,106 @@
+"""Distributed scan planning (SURVEY §7 risk 8) and manifest-list
+FieldSummary pruning.
+
+The distributed planner must be a byte-identical twin of the serial
+one: same surviving files, same sequence numbers, same order. Field
+summaries written at commit time must let a partition-filtered scan
+skip whole manifests without opening them.
+"""
+
+import pytest
+
+from icelake_spark import planning
+from icelake_spark.types import PartitionField, PartitionSpec, Schema
+from icelake_spark.types.manifest import read_manifest_list
+
+
+def _plan_key(plan):
+    data, pos, eq = plan
+    return ([(t.data_file.file_path, t.sequence_number, t.spec_id) for t in data],
+            [(t.delete_file.file_path, t.sequence_number) for t in pos],
+            [(t.delete_file.file_path, t.sequence_number) for t in eq])
+
+
+@pytest.fixture()
+def multi_manifest_table(spark, warehouse):
+    """Partitioned table with several commits → several manifests."""
+    schema = Schema.from_spark(
+        spark.createDataFrame([], "id long, bucket int, v string").schema)
+    fid = schema.field_by_name("bucket").field_id
+    spec = PartitionSpec(0, (PartitionField(fid, 1000, "identity", "bucket"),))
+    t = warehouse.create_table("db.many_manifests", schema, spec=spec)
+    for commit in range(5):
+        df = spark.createDataFrame(
+            [(commit * 100 + i, commit, f"r{commit}-{i}") for i in range(10)],
+            "id long, bucket int, v string")
+        t.append(df)
+    return t.refresh()
+
+
+def test_distributed_plan_equals_serial(spark, multi_manifest_table):
+    t = multi_manifest_table
+    serial = t.new_scan(distributed_planning=False).plan_files()
+    dist = t.new_scan(distributed_planning=True).plan_files(spark)
+    assert _plan_key(serial) == _plan_key(dist)
+    assert len(serial[0]) >= 5  # one data file per commit at minimum
+
+
+def test_distributed_plan_with_filters_equals_serial(spark, multi_manifest_table):
+    t = multi_manifest_table
+    kwargs = dict(partition_filter={"bucket": 2}, filter="id >= 200")
+    serial = t.new_scan(distributed_planning=False, **kwargs).plan_files()
+    dist = t.new_scan(distributed_planning=True, **kwargs).plan_files(spark)
+    assert _plan_key(serial) == _plan_key(dist)
+    assert 0 < len(serial[0]) < 5
+
+
+def test_distributed_scan_reads_same_rows(spark, multi_manifest_table):
+    t = multi_manifest_table
+    a = t.new_scan(distributed_planning=False).to_df(spark)
+    b = t.new_scan(distributed_planning=True).to_df(spark)
+    assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+
+
+def test_field_summaries_written_and_prune(spark, multi_manifest_table):
+    t = multi_manifest_table
+    snap = t.current_snapshot()
+    mles = read_manifest_list(t._resolve(snap.manifest_list))
+    data_mles = [m for m in mles if m.partitions]
+    assert data_mles, "commit should write FieldSummaries for data manifests"
+    # each commit wrote a single-partition manifest: bounds are tight
+    wanted = planning.partition_wanted(t.metadata, {"bucket": 2})
+    pruned = planning.prune_manifests(mles, t.metadata, wanted)
+    assert len(pruned) < len(mles)
+    # pruning must never drop a manifest that can match
+    assert any(m.partitions and m.partitions[0]["lower_bound"] for m in pruned)
+    data, _, _ = t.new_scan(partition_filter={"bucket": 2}).plan_files()
+    rows = t.new_scan(partition_filter={"bucket": 2}).to_df(spark).collect()
+    assert {r.bucket for r in rows} == {2} and len(rows) == 10
+
+
+def test_summary_pruned_plan_equals_unpruned(spark, multi_manifest_table):
+    """Summary pruning is an optimization: same plan with and without."""
+    t = multi_manifest_table
+    snap = t.current_snapshot()
+    mles = read_manifest_list(t._resolve(snap.manifest_list))
+    wanted = planning.partition_wanted(t.metadata, {"bucket": 3})
+    pruned = planning.prune_manifests(mles, t.metadata, wanted)
+    full_plan = planning.plan_serial(t.path, t.metadata, mles, wanted)
+    pruned_plan = planning.plan_serial(t.path, t.metadata, pruned, wanted)
+    assert ([x[1].file_path for x in full_plan]
+            == [x[1].file_path for x in pruned_plan])
+
+
+def test_threshold_auto_switch(spark, warehouse):
+    """Auto mode flips to distributed at the property threshold."""
+    schema = Schema.from_spark(spark.createDataFrame([], "id long").schema)
+    t = warehouse.create_table(
+        "db.thr", schema,
+        properties={"read.plan.distributed-threshold": "2"})
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    t = t.refresh()
+    auto = t.new_scan().plan_files(spark)  # 3 manifests >= 2 → distributed
+    serial = t.new_scan(distributed_planning=False).plan_files()
+    assert _plan_key(auto) == _plan_key(serial)
+    assert len(auto[0]) >= 3
