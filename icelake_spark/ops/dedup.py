@@ -43,8 +43,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 
 def words_col(text_col: str):
-    t = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return F.split(t, " ")
+    # split directly on the whitespace-run regex: one regex pass instead
+    # of regexp_replace + split (identical output for every input)
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
 def shingles(text_col: str = "text", n: int = 3):
@@ -72,15 +73,21 @@ def shingles(text_col: str = "text", n: int = 3):
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:
-    """(id, sig array<long>) — k independent minhashes per doc.
+    """(id, sig array<long>) — k minhashes per doc.
 
-    explode(shingles) → groupBy(doc) with k min(xxhash64(shingle, seed))
-    agg expressions: one shuffle, all hashing in the JVM.
+    explode(shingles) → groupBy(doc) with k min() agg expressions: one
+    shuffle, all hashing in the JVM. The shingle STRING is hashed once
+    (xxhash64); each of the k lanes re-hashes that 8-byte long with its
+    lane index as seed — string bytes are scanned once, not k times,
+    and the lanes stay decorrelated (a derived h1+i*h2 family is NOT:
+    under ANSI the required mod-2^64 wraparound is unavailable, and
+    masked variants make every lane argmin on the same shingle).
     """
     sh = (df.select(F.col(id_col), shingles(text_col, shingle_n).alias("gs"))
           .repartition(F.col(id_col))
           .select(F.col(id_col), F.explode("gs").alias("__s")))
-    aggs = [F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"h{i}")
+    sh = sh.select(id_col, F.xxhash64("__s").alias("__h"))
+    aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -94,8 +101,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     signature agreement, candidates from LSH banding."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [F.xxhash64(F.concat_ws(
-        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]),
+    # hash the band's long lanes directly (no string concat in codegen)
+    band_cols = [F.xxhash64(
+        *[F.col("sig")[b * rows + r] for r in range(rows)],
         F.lit(b)).alias(f"band{b}") for b in range(bands)]
     banded = sig.select(id_col, "sig", *band_cols)
     buckets = banded.select(
