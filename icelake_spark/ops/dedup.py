@@ -231,3 +231,64 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     return (pairs.withColumn("cos", F.round(sim, 6))
             .where(F.col("cos") >= threshold)
             .select("a", "b", "cos"))
+
+
+# ------------------------------------------- duplicate-cluster resolution
+
+
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in the edge set; component = the
+    min node id reachable through the undirected pair graph.
+
+    This is the cluster-resolution step a near-dup pipeline needs after
+    pair generation (pairwise drop-the-larger under-deletes transitive
+    groups). Min-label propagation: each round every node takes the min
+    of its own and its neighbours' labels — one shuffle join per round,
+    converging in graph-diameter rounds (near-dup clusters are
+    shallow). Each round also follows one label→label indirection
+    (pointer jumping), so chains collapse geometrically rather than one
+    hop per round. Every round ends in an eager localCheckpoint: an
+    iterative DataFrame algorithm that merely cache()s grows its
+    Catalyst plan geometrically and OOMs the driver JVM around round
+    20 — checkpointing truncates lineage so each round's plan is
+    constant-size. Driver only ever sees a changed-row COUNT.
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    labels = (e.select("u").distinct()
+              .select("u", F.col("u").alias("label")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (e.join(labels.withColumnRenamed("u", "v"), on="v")
+                   .groupBy("u").agg(F.min("label").alias("nbr")))
+        stepped = (labels.join(nbr_min, on="u", how="left")
+                   .select("u", F.least("label", F.coalesce("nbr", "label"))
+                           .alias("label")))
+        # pointer jumping: follow one indirection so a chain halves
+        # every round instead of shrinking by one
+        ptr = stepped.select(F.col("u").alias("label"),
+                             F.col("label").alias("root"))
+        new_labels = (stepped.join(ptr, on="label", how="left")
+                      .select("u", F.coalesce("root", "label").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   on="u")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   ) -> DataFrame:
+    """(id, cluster_id) for EVERY row of df: transitive closure of the
+    near-dup pairs; singletons are their own cluster. Keeping
+    `cluster_id = min(id)` rows implements corpus-level fuzzy dedup."""
+    comp = connected_components(pairs, "a", "b")
+    return (df.select(F.col(id_col))
+            .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("component", F.col(id_col)).alias("cluster_id")))

@@ -1725,6 +1725,50 @@ ORDER BY a, b
 """
 
 
+def dedup_clusters_q(spark, sf_dir):
+    """Corpus-level fuzzy dedup: transitive closure of the n-gram
+    Jaccard near-dup pairs; every document gets the min doc_id of its
+    duplicate cluster (singletons keep their own id)."""
+    from .ops.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+# same edge set as NGRAM_JACCARD_SQL, closed transitively with a
+# recursive CTE (min reachable id == connected component)
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT a, b FROM inter
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def ann_topk_q(spark, sf_dir):
     from .ops.similarity import topk_cosine
 
@@ -2037,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": text_analysis,
         "dedup_exact": dedup_exact_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
+        "dedup_clusters": dedup_clusters_q,
         "ann_topk": ann_topk_q,
         "embedding_neardup": embedding_neardup_q,
         "minhash_lsh_pairs": minhash_lsh_q,
@@ -2109,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": text_analysis_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —

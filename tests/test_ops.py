@@ -200,3 +200,31 @@ def test_sample_stratified_bounds(spark):
     again = sample_stratified(li, "l_returnflag",
                               {"A": 0.1, "N": 0.5, "R": 0.9}, seed=7).count()
     assert again == s.count()
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    from icelake_spark.ops.dedup import connected_components, dedup_clusters
+
+    # chain 1-2-3-4-5, cycle 10-11-12-10, pair 20-21; 30 is a singleton
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (12, 10), (20, 21)], "a long, b long")
+    comp = {r.node: r.component
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 30]],
+                                 "doc_id long")
+    clusters = {r.doc_id: r.cluster_id
+                for r in dedup_clusters(docs, edges, "doc_id").collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 30: 30}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from icelake_spark.ops.dedup import connected_components
+
+    # 60-node path needs pointer contraction to converge in 25 rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                  "a long, b long")
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
