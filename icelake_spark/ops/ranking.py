@@ -1,0 +1,154 @@
+"""Full-text relevance ranking for training-data curation: BM25
+scoring and inverted-index (posting list) construction.
+
+The reference (icelake-io/icelake) has no text surface at all — this is
+part of the beyond-reference training-pipeline layer, built the same
+Spark-first way as ops/text.py: pure pyspark.sql.functions (JVM-side,
+whole-stage codegen), shuffles only on groupBy(term)/groupBy(doc), and
+exact ANSI-SQL twins so the DuckDB oracle hash-matches.
+
+Scale notes (100 TB corpus):
+- Tokenize + explode is map-side; the only shuffles are the
+  (doc_id, term) and (term) aggregations, both pre-aggregated
+  map-side by Spark (partial_count) before exchange.
+- BM25 filters to the query's terms BEFORE the doc-frequency join, so
+  the joined relation is |query_terms| rows — broadcast, not shuffle.
+- Posting lists bound their payload with `max_postings` (positional
+  truncation, largest docs kept) so one hot token can't build a
+  multi-GB array in a single task.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# identical normalization in Spark and the DuckDB twin: lowercase, strip
+# non [a-z0-9 ], collapse whitespace
+_NORM_RE = r"[^a-z0-9 ]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (array<string>, no empties)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(col), _NORM_RE, " "), r"\s+", " ")
+    return F.filter(F.split(F.trim(norm), " "), lambda t: F.length(t) > 0)
+
+
+def tokens_sql(col: str = "text") -> str:
+    return ("list_filter(string_split(trim(regexp_replace(regexp_replace("
+            f"lower({col}), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),"
+            " t -> length(t) > 0)")
+
+
+def doc_terms(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf) term frequencies — one explode + one groupBy."""
+    return (df.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+
+
+def bm25(df: DataFrame, query_terms: list[str], k: int = 10,
+         k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+         id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents for a bag-of-words query by BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape: the term-frequency aggregation filters to the query's
+    terms first, so doc-frequency is an aggregate of a tiny relation and
+    the per-term scores join back broadcast. Cross-engine determinism:
+    per-term scores rounded to 8dp and summed as DECIMAL(24,8) (exact,
+    order-independent), final score rounded to 6dp.
+    """
+    qterms = sorted(set(query_terms))
+    n_docs = df.count()
+    dl = df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+
+    tf = (doc_terms(df, text_col, id_col)
+          .where(F.col("term").isin(qterms)))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    per_term = (tf.join(F.broadcast(df_t), on="term")
+                .join(dl, on=id_col)
+                .select(F.col(id_col),
+                        (idf * (F.col("tf") * (k1 + 1.0))
+                         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                                / F.lit(float(avgdl)))))
+                        .alias("s")))
+    score = (F.sum(F.round(F.col("s"), 8).cast("decimal(24,8)"))
+             .cast("double"))
+    return (per_term.groupBy(id_col)
+            .agg(F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k))
+
+
+def bm25_sql(query_terms: list[str], k: int = 10, k1: float = 1.2,
+             b: float = 0.75) -> str:
+    """DuckDB twin of bm25() — same staging, same rounding."""
+    qlist = ", ".join("'" + t.replace("'", "''") + "'"
+                      for t in sorted(set(query_terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+dl AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS dl FROM documents),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({qlist}) GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+         * (tf.tf * ({k1} + 1.0))
+         / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats)
+SELECT doc_id,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(s, 8) AS DECIMAL(24,8))) AS DOUBLE), 6)
+            AS DOUBLE) AS score
+FROM per_term GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2,
+                   max_postings: int = 10000) -> DataFrame:
+    """(term, df_t, postings) posting lists: sorted doc ids per term.
+
+    `min_df` drops hapax terms (index bloat, no retrieval value);
+    `max_postings` caps a posting list (keeps the lowest doc ids) so a
+    stopword's list can't exceed one task's memory at corpus scale —
+    truncation is recorded in nothing: df_t stays the TRUE document
+    frequency so scoring stays correct even when the list is capped.
+    """
+    postings = (df.select(F.col(id_col),
+                          F.explode(tokens(F.col(text_col))).alias("term"))
+                .groupBy("term")
+                .agg(F.count_distinct(F.col(id_col)).alias("df_t"),
+                     F.slice(F.sort_array(F.collect_set(F.col(id_col))),
+                             1, max_postings).alias("postings")))
+    return (postings.where(F.col("df_t") >= min_df)
+            .orderBy("term"))
+
+
+def inverted_index_sql(min_df: int = 2, max_postings: int = 10000) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+idx AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_t,
+         list_sort(list_distinct(list(doc_id)))[1:{max_postings}] AS postings
+  FROM toks GROUP BY term)
+SELECT term, df_t, postings FROM idx WHERE df_t >= {min_df} ORDER BY term
+"""

@@ -120,10 +120,56 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             .where(F.col("cos") >= threshold).select("a", "b", "cos"))
 
 
+def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmin over squared distances, built as a distance ARRAY +
+    array_min/array_position — NOT a when/otherwise fold, which doubles
+    the Catalyst tree per centroid (2^n nodes → JVM OOM)."""
+    dists = F.array(*[
+        F.aggregate(F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        for _i, c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def train_kmeans(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", k: int = 16, n_iter: int = 3,
+                 seed: int = 42) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column; returns k centroids.
+
+    This is the IVF training step (a sampled-centroid index has poor
+    recall when the sample misses a mode). Per iteration: one map-only
+    assignment pass (distance-array argmin, JVM-side) and one
+    posexplode+groupBy mean — a shuffle of (cluster, dim) pre-aggregated
+    map-side to k·dim groups, so the driver only ever collects k·dim
+    doubles. Empty clusters keep their previous centroid. Deterministic:
+    init is a hash-ordered sample, means are exact sums / counts.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = [[float(x) for x in r[0]] for r in
+             df.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+             .limit(k).collect()]
+    base = df.select(v.alias("__v")).localCheckpoint()
+    for _ in range(n_iter):
+        assigned = base.withColumn(
+            "__c", _nearest_centroid(F.col("__v"), list(enumerate(cents))))
+        means = (assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+                 .groupBy("__c", "__d").agg(F.avg("__x").alias("m"))
+                 .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["__c"], {})[r["__d"]] = r["m"]
+        cents = [
+            [by_cluster[c][d] for d in range(len(cents[c]))]
+            if c in by_cluster else cents[c]
+            for c in range(len(cents))]
+    return cents
+
+
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_centroids: int = 16, nprobe: int = 4,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, train_iters: int = 0) -> DataFrame:
     """IVF ANN: sample centroids, assign each vector to its nearest
     centroid (broadcast), search only the nprobe centroids nearest the
     query. Returns (id, cos) — approximate (recall < 1 by design).
@@ -133,27 +179,22 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     the data. The partition-by-centroid layout can be persisted with
     partitionBy(cluster) for repeated query workloads.
     """
-    sample = [r[0] for r in
-              df.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-              .limit(n_centroids).collect()]
-    cents = [(i, [float(x) for x in c]) for i, c in enumerate(sample)]
+    if train_iters > 0:
+        trained = train_kmeans(df, vec_col, id_col, k=n_centroids,
+                               n_iter=train_iters, seed=seed)
+        cents = list(enumerate(trained))
+    else:
+        sample = [r[0] for r in
+                  df.select(vec_col)
+                  .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+                  .limit(n_centroids).collect()]
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(sample)]
 
     v = F.col(vec_col).cast("array<double>")
-
-    def nearest_centroid(vec: Column) -> Column:
-        # build a distance array and argmin it — NOT a when/otherwise
-        # fold, which doubles the Catalyst tree per centroid (2^n nodes)
-        dists = F.array(*[
-            F.aggregate(F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
-                                   lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0), lambda acc, x: acc + x)
-            for _i, c in cents])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
     # materialize the distance array via an intermediate column so
     # array_min/array_position don't re-evaluate 16 aggregates each
     assigned = (df.select(F.col(id_col), v.alias("__v"))
-                .withColumn("__c", nearest_centroid(F.col("__v"))))
+                .withColumn("__c", _nearest_centroid(F.col("__v"), cents)))
     qv = np.array(query, dtype=float)
     dists = sorted(
         (float(np.sum((np.array(c) - qv) ** 2)), i) for i, c in cents)

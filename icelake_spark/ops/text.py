@@ -154,6 +154,93 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - dup_word_frac: 1 − distinct_words/words (how much of the doc is
+      repeated vocabulary)
+    - top_word_frac: count of the most frequent word / words
+    - top_bigram_frac: count of the most frequent bigram / n_bigrams
+    - keep: the Gopher-rule style accept decision on those thresholds
+
+    Repetition filters are the standard first-line quality gate for web
+    corpora (Gopher §A.1-style rules). Plan shape: two explode+groupBy
+    aggregations (words, bigrams) — both map-side combined — joined back
+    on doc_id; no window over the full corpus and no Python. At 100 TB
+    each aggregation shuffles (doc_id, token) pairs pre-reduced per
+    partition, and the join keys are doc_id on both sides so AQE plans a
+    plain shuffle join keyed the same way as the inputs.
+    """
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    w = F.split(norm, " ")
+    base = df.select(F.col(id_col), w.alias("__w"),
+                     F.size(w).alias("n_words"))
+    # per-(doc, word) counts -> per-doc distinct/top aggregates
+    wc = (base.select(id_col, F.explode("__w").alias("word"))
+          .groupBy(id_col, "word").agg(F.count("*").alias("c"))
+          .groupBy(id_col).agg(F.count("*").alias("n_distinct"),
+                               F.max("c").alias("top_word")))
+    bigrams = F.zip_with(F.slice(F.col("__w"), 1, F.size(F.col("__w")) - 1),
+                         F.slice(F.col("__w"), 2, F.size(F.col("__w")) - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    bc = (base.where(F.size(F.col("__w")) >= 2)
+          .select(id_col, F.explode(bigrams).alias("bg"))
+          .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+          .groupBy(id_col).agg(F.max("c").alias("top_bigram"),
+                               F.sum("c").alias("n_bigrams")))
+    dup_word = F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+    top_word = F.round(F.col("top_word") / F.col("n_words"), 6)
+    top_bigram = F.round(
+        F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6)
+    keep = ((top_word <= 0.10) & (top_bigram <= 0.05) & (dup_word <= 0.80))
+    return (base.join(wc, on=id_col).join(bc, on=id_col, how="left")
+            .select(F.col(id_col), F.col("n_words"),
+                    dup_word.alias("dup_word_frac"),
+                    top_word.alias("top_word_frac"),
+                    top_bigram.alias("top_bigram_frac"),
+                    keep.alias("keep"))
+            .orderBy(id_col))
+
+
+def repetition_metrics_sql(col: str = "text") -> str:
+    """DuckDB twin of repetition_metrics (same tokenization, rounding,
+    and thresholds)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+words AS (SELECT doc_id, len(w) AS n_words, w FROM base),
+wc AS (
+  SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS top_word
+  FROM (SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS word FROM words)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+  FROM (SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1]
+                             for i in generate_series(1, len(w) - 1)]) AS bg
+              FROM words WHERE len(w) >= 2)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT words.doc_id, n_words,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       ROUND(CAST(top_word AS DOUBLE) / n_words, 6) AS top_word_frac,
+       ROUND(COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac,
+       (ROUND(CAST(top_word AS DOUBLE) / n_words, 6) <= 0.10
+        AND ROUND(COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0), 6) <= 0.05
+        AND ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) <= 0.80) AS keep
+FROM words JOIN wc ON words.doc_id = wc.doc_id
+LEFT JOIN bc ON words.doc_id = bc.doc_id
+ORDER BY words.doc_id
+"""
+
+
 # ---------------------------------------------------------- SQL twins
 
 def occurrences_sql(expr: str, needle: str) -> str:

@@ -1769,6 +1769,49 @@ ORDER BY doc_id
 """
 
 
+BM25_TERMS = ["spark", "hash", "merge", "window", "scan"]
+
+
+def bm25_topk_q(spark, sf_dir):
+    """BM25 relevance: top-20 documents for a bag-of-words query
+    (ops/ranking.py; k1=1.2, b=0.75)."""
+    from .ops.ranking import bm25
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25(docs, BM25_TERMS, k=20)
+
+
+def inverted_index_q(spark, sf_dir):
+    """Posting-list construction: term → (true doc frequency, sorted
+    doc-id list), hapax terms dropped."""
+    from .ops.ranking import inverted_index
+
+    docs = load(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2)
+
+
+def repetition_metrics_q(spark, sf_dir):
+    """Gopher-style repetition quality gate: dup-word / top-word /
+    top-bigram fractions and the keep decision, per document."""
+    from .ops.text import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+def ivf_kmeans_topk_q(spark, sf_dir):
+    """IVF ANN with Lloyd-trained centroids (2 iterations) instead of a
+    raw sample — the index-build path. Approximate by design: no SQL
+    oracle (iterative algorithm); planted-cluster recovery is unit-
+    tested in tests/test_ops.py."""
+    from .ops.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return ivf_topk(emb, query, k=20, n_centroids=8, nprobe=3,
+                    train_iters=2)
+
+
 def ann_topk_q(spark, sf_dir):
     from .ops.similarity import topk_cosine
 
@@ -2082,6 +2125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "dedup_clusters": dedup_clusters_q,
+        "bm25_topk": bm25_topk_q,
+        "inverted_index": inverted_index_q,
+        "repetition_metrics": repetition_metrics_q,
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "ann_topk": ann_topk_q,
         "embedding_neardup": embedding_neardup_q,
         "minhash_lsh_pairs": minhash_lsh_q,
@@ -2093,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .ops import ranking as _ranking
+    from .ops import text as _text
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
@@ -2155,6 +2204,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "bm25_topk": _ranking.bm25_sql(BM25_TERMS, k=20),
+        "inverted_index": _ranking.inverted_index_sql(min_df=2),
+        "repetition_metrics": _text.repetition_metrics_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —

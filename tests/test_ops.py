@@ -228,3 +228,55 @@ def test_connected_components_long_chain_converges(spark):
                                   "a long, b long")
     comp = connected_components(edges)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_bm25_ranks_term_density(spark):
+    from icelake_spark.ops.ranking import bm25
+
+    rows = [
+        (1, "spark hash merge window scan spark hash merge"),
+        (2, "spark table row batch line sort value part key agg"),
+        (3, "table row batch line sort value part key agg fast"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25(df, ["spark", "hash", "merge"], k=3).collect()
+    assert [r.doc_id for r in out][:2] == [1, 2]  # density order
+    assert out[0].score > out[1].score
+    assert all(r.doc_id != 3 for r in out)  # no query terms -> absent
+
+
+def test_inverted_index_caps_postings_not_df(spark):
+    from icelake_spark.ops.ranking import inverted_index
+
+    rows = [(i, "common word here") for i in range(5)] + [(9, "rare unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {r.term: r for r in
+           inverted_index(df, min_df=2, max_postings=3).collect()}
+    assert set(idx) == {"common", "word", "here"}  # hapax dropped
+    assert idx["common"].df_t == 5          # TRUE doc frequency kept
+    assert idx["common"].postings == [0, 1, 2]  # capped, sorted, lowest ids
+
+
+def test_repetition_metrics_flags_repeats(spark):
+    from icelake_spark.ops.text import repetition_metrics
+
+    rows = [(1, "spam spam spam spam spam spam spam spam"),
+            (2, " ".join(f"w{i}" for i in range(50)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert m[1].top_word_frac == 1.0 and m[1].dup_word_frac > 0.8
+    assert not m[1].keep
+    assert m[2].dup_word_frac == 0.0 and m[2].keep
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from icelake_spark.ops.similarity import train_kmeans
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(loc=5.0, scale=0.1, size=(40, 8))
+    b = rng.normal(loc=-5.0, scale=0.1, size=(40, 8))
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_kmeans(df, k=2, n_iter=4, seed=1)
+    means = sorted(float(np.mean(c)) for c in cents)
+    assert abs(means[0] + 5.0) < 0.5 and abs(means[1] - 5.0) < 0.5
