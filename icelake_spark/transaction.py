@@ -93,6 +93,9 @@ class Transaction:
             try:
                 return self._commit_once(operation)
             except CommitConflict:
+                from .metrics import record_conflict_retry
+
+                record_conflict_retry(self._table_name())
                 attempt += 1
                 rewrite = self._remove_all or bool(self._removed_paths)
                 if rewrite or attempt > retries:
@@ -228,9 +231,18 @@ class Transaction:
                                       table.current_version + 1)
         table.metadata = new_metadata
         table.current_version = version
+
+        from .metrics import record_commit
+
+        record_commit(self._table_name(), operation, self._added_data,
+                      self._added_deletes, removed_count)
         return snapshot
 
     # --------------------------------------------------------- internal
+
+    def _table_name(self) -> str:
+        ident = getattr(self.table, "identifier", None)
+        return str(ident) if ident else os.path.basename(self.table.path)
 
     def _classify(self) -> str:
         has_adds = bool(self._added_data or self._added_deletes)

@@ -366,6 +366,12 @@ def append(table, df: DataFrame, max_records_per_file: int | None = None,
     from .transaction import Transaction
 
     files = write_data_files(table, df, max_records_per_file, distribution_partitions)
+    if files and files[0].partition:
+        from .metrics import record_partition_writers
+
+        record_partition_writers(
+            os.path.basename(table.path),
+            len({tuple(sorted(f.partition.items())) for f in files}))
     tx = Transaction(table, branch=branch)
     tx.add_data_files(files)
     tx.commit("append")

@@ -84,3 +84,24 @@ def test_namespaces(warehouse, spark):
     assert warehouse.table_exists("analytics.raw.t3")
     warehouse.drop_table("analytics.raw.t3")
     assert not warehouse.table_exists("analytics.raw.t3")
+
+
+def test_metrics_tally_commits_and_deletes(spark, tmp_path):
+    from icelake_spark.catalog import StorageCatalog
+    from icelake_spark.metrics import REGISTRY
+    from icelake_spark.types import Schema
+
+    REGISTRY.reset()
+    src = spark.range(100).selectExpr("id", "cast(id % 5 as string) k")
+    cat = StorageCatalog(str(tmp_path))
+    t = cat.create_table("db.m", Schema.from_spark(src.schema))
+    t.append(src)
+    t.append(src)
+    t.delete_where(spark, "id < 10")  # MoR position deletes by default
+    snap = REGISTRY.snapshot()
+    name = "db.m"
+    assert snap["iceberg_commit_total"][f"operation=append,table={name}"] == 2
+    assert snap["iceberg_eq_delta_inserted_row_num"][f"table={name}"] == 200
+    # id < 10 matches 10 rows in EACH of the two appended file sets
+    assert snap["iceberg_pos_delete_qps"][f"table={name}"] == 20
+    assert snap["iceberg_pos_delete_flush_qps"][f"table={name}"] >= 1
