@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import content_md5
+from .util import fanout
 
 
 # ------------------------------------------------------------ exact dedup
@@ -83,8 +84,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     under ANSI the required mod-2^64 wraparound is unavailable, and
     masked variants make every lane argmin on the same shingle).
     """
-    sh = (df.select(F.col(id_col), shingles(text_col, shingle_n).alias("gs"))
-          .repartition(F.col(id_col))
+    # repartition the RAW docs first: a projection under the exchange
+    # would run inside the (often single-file, single-task) scan stage,
+    # serializing the shingling; above the exchange it fans out to every
+    # core
+    sh = (fanout(df, F.col(id_col))
+          .select(F.col(id_col), shingles(text_col, shingle_n).alias("gs"))
           .select(F.col(id_col), F.explode("gs").alias("__s")))
     sh = sh.select(id_col, F.xxhash64("__s").alias("__h"))
     aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
@@ -145,8 +150,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     explode(words) → per-bit ±1 sums as agg expressions → reassemble.
     One shuffle; 64 sums stay in the JVM aggregate buffer.
     """
-    w = df.select(F.col(id_col),
-                  F.explode(F.array_distinct(words_col(text_col))).alias("__w"))
+    # repartition raw docs first: tokenization below the exchange would
+    # run inside the single-task scan stage
+    w = fanout(df, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_col(text_col))).alias("__w"))
     w = w.withColumn("__h", F.xxhash64("__w"))
     aggs = [F.sum(F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
                          1).otherwise(-1)).alias(f"b{i}")
@@ -194,15 +202,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     generation; output is (a, b, jaccard) with a < b. SQL-expressible —
     this one has a DuckDB oracle twin.
     """
-    # materialize the gram array once (repartition = exchange boundary)
-    # so the self-join doesn't recompute shingling on both sides
-    with_g = (df.select(F.col(id_col), shingles(text_col, n).alias("gs"))
-              .repartition(F.col(id_col)))
-    g = with_g.select(F.col(id_col), F.explode("gs").alias("g"),
-                      F.size("gs").alias("n_g"))
+    # repartition the RAW docs first so shingling runs on every core
+    # (below the exchange it would execute inside the single-task scan
+    # stage); both join sides then recompute the gram projection from
+    # the reused exchange — in parallel, which beats materializing it
+    # serially
+    with_g = (fanout(df, F.col(id_col))
+              .select(F.col(id_col), shingles(text_col, n).alias("gs")))
+    # join on a 64-bit gram hash, not the gram string: the exploded
+    # relation shuffles ~len(text) bytes/row as a string key but 8
+    # bytes as a long (collision odds over a corpus vocabulary are
+    # ~|grams|²/2⁶⁵ — vanishing)
+    g = (with_g.select(F.col(id_col), F.explode("gs").alias("__g"),
+                       F.size("gs").alias("n_g"))
+         .select(F.col(id_col), F.xxhash64("__g").alias("g"), "n_g"))
     a = g.select(F.col(id_col).alias("a"), "g", F.col("n_g").alias("na"))
     b = g.select(F.col(id_col).alias("b"), "g", F.col("n_g").alias("nb"))
+    # provable prune BEFORE the aggregation: common ≤ min(na,nb), so
+    # jaccard ≤ min/max — any pair failing min ≥ t·max can't reach the
+    # threshold. Cuts the post-join row count long before groupBy.
     inter = (a.join(b, on="g").where(F.col("a") < F.col("b"))
+             .where(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
              .groupBy("a", "b", "na", "nb").agg(F.count("*").alias("common")))
     jac = (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).cast("double")
     return (inter.withColumn("jaccard", jac)

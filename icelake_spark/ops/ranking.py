@@ -25,6 +25,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fanout
+
 # identical normalization in Spark and the DuckDB twin: lowercase, strip
 # non [a-z0-9 ], collapse whitespace
 _NORM_RE = r"[^a-z0-9 ]"
@@ -67,11 +69,18 @@ def bm25(df: DataFrame, query_terms: list[str], k: int = 10,
     """
     qterms = sorted(set(query_terms))
     n_docs = df.count()
-    dl = df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
+    # repartition the raw docs before tokenizing: below the exchange the
+    # regex tokenizer would run inside the (often single-file,
+    # single-task) scan stage; above it, every core tokenizes. Both dl
+    # and tf branches read the same reused exchange.
+    tk = (fanout(df, F.col(id_col))
+          .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
+    dl = tk.select(F.col(id_col), F.size("__tk").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
 
-    tf = (doc_terms(df, text_col, id_col)
-          .where(F.col("term").isin(qterms)))
+    tf = (tk.select(F.col(id_col), F.explode("__tk").alias("term"))
+          .where(F.col("term").isin(qterms))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
                 / (F.col("df_t") + 0.5))
@@ -132,8 +141,9 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     truncation is recorded in nothing: df_t stays the TRUE document
     frequency so scoring stays correct even when the list is capped.
     """
-    postings = (df.select(F.col(id_col),
-                          F.explode(tokens(F.col(text_col))).alias("term"))
+    postings = (fanout(df, F.col(id_col))
+                .select(F.col(id_col),
+                        F.explode(tokens(F.col(text_col))).alias("term"))
                 .groupBy("term")
                 .agg(F.count_distinct(F.col(id_col)).alias("df_t"),
                      F.slice(F.sort_array(F.collect_set(F.col(id_col))),

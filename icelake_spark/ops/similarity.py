@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fanout
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -102,7 +104,10 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     all_planes = [_hyperplanes(dim, n_planes, seed=42 + t)
                   for t in range(n_tables)]
     udf = _lsh_buckets_udf(all_planes)
-    with_b = df.select(F.col(id_col), v.alias("__v"), udf(v).alias("__bs"))
+    # repartition raw vectors first: below the exchange the bucket GEMM
+    # would run inside the single-task scan stage of a one-file table
+    with_b = (fanout(df, F.col(id_col))
+              .select(F.col(id_col), v.alias("__v"), udf(v).alias("__bs")))
     bucketed = with_b.select(
         F.col(id_col), F.col("__v"),
         F.explode(F.expr(
@@ -149,7 +154,9 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     cents = [[float(x) for x in r[0]] for r in
              df.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
              .limit(k).collect()]
-    base = df.select(v.alias("__v")).localCheckpoint()
+    # spread the (often single-file) scan across cores BEFORE
+    # checkpointing — every assignment pass iterates on these partitions
+    base = fanout(df).select(v.alias("__v")).localCheckpoint()
     for _ in range(n_iter):
         assigned = base.withColumn(
             "__c", _nearest_centroid(F.col("__v"), list(enumerate(cents))))
@@ -192,8 +199,10 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
 
     v = F.col(vec_col).cast("array<double>")
     # materialize the distance array via an intermediate column so
-    # array_min/array_position don't re-evaluate 16 aggregates each
-    assigned = (df.select(F.col(id_col), v.alias("__v"))
+    # array_min/array_position don't re-evaluate 16 aggregates each;
+    # repartition first so assignment doesn't run in the one-task scan
+    assigned = (fanout(df, F.col(id_col))
+                .select(F.col(id_col), v.alias("__v"))
                 .withColumn("__c", _nearest_centroid(F.col("__v"), cents)))
     qv = np.array(query, dtype=float)
     dists = sorted(

@@ -175,8 +175,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
     w = F.split(norm, " ")
-    base = df.select(F.col(id_col), w.alias("__w"),
-                     F.size(w).alias("n_words"))
+    # repartition raw docs first so tokenization fans out to every core
+    # instead of running inside the single-task scan stage
+    from .util import fanout
+    base = fanout(df, F.col(id_col)).select(
+        F.col(id_col), w.alias("__w"), F.size(w).alias("n_words"))
     # per-(doc, word) counts -> per-doc distinct/top aggregates
     wc = (base.select(id_col, F.explode("__w").alias("word"))
           .groupBy(id_col, "word").agg(F.count("*").alias("c"))

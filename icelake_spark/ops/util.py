@@ -1,0 +1,24 @@
+"""Shared helpers for the ops layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:
+    """Repartition with an EXPLICIT partition count to spread
+    compute-bound work across every core.
+
+    `repartition(col)` alone lets AQE coalesce by shuffle BYTES — a few
+    MB of documents collapse to one partition even when each row costs
+    milliseconds of regex/hash work downstream (AQE can't see compute
+    cost). An explicit count pins the fan-out. factor=2 over the
+    cluster's default parallelism keeps tasks small enough for stragglers
+    to balance without drowning the scheduler; on a real cluster
+    defaultParallelism scales with executors, so this stays proportional
+    at any size.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    if cols:
+        return df.repartition(n, *cols)
+    return df.repartition(n)
