@@ -312,3 +312,25 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
             .select(F.col(id_col),
                     F.coalesce("component", F.col(id_col)).alias("cluster_id")))
+
+
+# ------------------------------------------- cross-corpus deduplication
+
+
+def dedup_against(df: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rows of df whose (normalized) content does NOT appear in the
+    reference corpus — decontamination of a training set against an
+    eval/benchmark corpus, or incremental dedup of a new crawl against
+    the corpus already ingested.
+
+    One anti-join keyed on the content hash: the reference side reduces
+    to distinct hashes first (its doc text never moves over the wire),
+    so at 100 TB the shuffle carries 16-byte keys, and a small reference
+    (the common eval-set case) broadcasts.
+    """
+    ref_h = (reference.select(content_md5(F.col(text_col)).alias("__h"))
+             .distinct())
+    return (df.withColumn("__h", content_md5(F.col(text_col)))
+            .join(ref_h, on="__h", how="left_anti")
+            .drop("__h"))

@@ -162,3 +162,81 @@ idx AS (
   FROM toks GROUP BY term)
 SELECT term, df_t, postings FROM idx WHERE df_t >= {min_df} ORDER BY term
 """
+
+
+# ------------------------------------------------- vocabulary encoding
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", size: int = 1024,
+                min_count: int = 1) -> DataFrame:
+    """(term, token_id, count): the `size` most frequent terms, ids
+    assigned 1..size by (count desc, term asc) — deterministic across
+    engines and runs. Id 0 is reserved for out-of-vocabulary terms.
+
+    One explode + one groupBy(term); the ranking is a global sort of at
+    most |vocab| surviving terms (top-k via orderBy+limit, which Spark
+    executes as TakeOrdered — no full sort at scale).
+    """
+    from pyspark.sql import Window
+
+    counts = (fanout(df, F.col(id_col))
+              .select(F.explode(tokens(F.col(text_col))).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("count"))
+              .where(F.col("count") >= min_count)
+              .orderBy(F.desc("count"), F.col("term")).limit(size))
+    w = Window.orderBy(F.desc("count"), F.col("term"))
+    return counts.select("term", F.row_number().over(w).alias("token_id"),
+                         "count")
+
+
+def encode_documents(df: DataFrame, vocab: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ids array<int>, n_oov): each document as its token-id
+    sequence in original word order; out-of-vocabulary terms encode as 0.
+
+    The tokens→ids map is a broadcast join on term (vocab is small by
+    construction); order is restored with posexplode position, and the
+    sequence reassembled with a sort-by-position aggregation — the only
+    per-doc shuffle is the final groupBy(doc_id).
+    """
+    pos = (fanout(df, F.col(id_col))
+           .select(F.col(id_col),
+                   F.posexplode(tokens(F.col(text_col))).alias("pos", "term")))
+    joined = (pos.join(F.broadcast(vocab.select("term", "token_id")),
+                       on="term", how="left")
+              .select(id_col, "pos",
+                      F.coalesce("token_id", F.lit(0)).alias("tid")))
+    return (joined.groupBy(id_col)
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                     lambda s: s["tid"]).alias("ids"),
+                 F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"))
+            .orderBy(id_col))
+
+
+def encode_documents_sql(vocab_size: int = 1024, min_count: int = 1) -> str:
+    """DuckDB twin: same vocab ranking and same order-preserving
+    reassembly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'term': tk[i]}}
+                 for i in generate_series(1, len(tk))], recursive := true)
+  FROM (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents)),
+counts AS (
+  SELECT term, COUNT(*) AS count FROM toks GROUP BY term
+  HAVING COUNT(*) >= {min_count}
+  ORDER BY count DESC, term LIMIT {vocab_size}),
+vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY count DESC, term) AS token_id
+  FROM counts),
+enc AS (
+  SELECT toks.doc_id, toks.pos, COALESCE(vocab.token_id, 0) AS tid
+  FROM toks LEFT JOIN vocab USING (term))
+SELECT doc_id,
+       list(tid ORDER BY pos) AS ids,
+       SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""

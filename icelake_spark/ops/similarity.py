@@ -213,3 +213,51 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     return (assigned.where(F.col("__c").isin(probe))
             .select(F.col(id_col), F.round(sim, 6).alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
+# -------------------------------------------- embedding quantization
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", lo: float = -4.0,
+                        hi: float = 4.0) -> DataFrame:
+    """(id, q array<int in [0,255]>, recon_err double): symmetric scalar
+    int8 quantization with a fixed [lo, hi] range — 4x memory cut for
+    ANN candidate scans (a 64-dim float32 vector becomes 64 bytes).
+
+    code = clamp(floor((x - lo) / (hi - lo) * 256), 0, 255); the
+    reconstruction x' = lo + (code + 0.5)·step is the bucket midpoint.
+    recon_err is the per-vector max |x - x'| — always ≤ step/2 for
+    in-range values, so it doubles as an input-range audit. All
+    per-element math is one F.transform (JVM-side, no shuffle at all);
+    FLOOR before the int cast keeps Spark and DuckDB identical (their
+    float→int casts round differently).
+    """
+    step = (hi - lo) / 256.0
+    v = F.col(vec_col).cast("array<double>")
+    q = F.transform(F.col("__v"), lambda x: F.least(
+        F.lit(255), F.greatest(F.lit(0), F.floor((x - lo) / step).cast("int"))))
+    recon = F.transform(F.col("q"),
+                        lambda c: c.cast("double") * step + (lo + step / 2.0))
+    err = F.round(F.array_max(F.zip_with(
+        F.col("__v"), recon, lambda x, r: F.abs(x - r))), 6)
+    return (df.select(F.col(id_col), v.alias("__v"))
+            .withColumn("q", q)
+            .select(F.col(id_col), "q", err.alias("recon_err"))
+            .orderBy(id_col))
+
+
+def quantize_embeddings_sql(lo: float = -4.0, hi: float = 4.0) -> str:
+    step = (hi - lo) / 256.0
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT vec_id, e,
+         [LEAST(255, GREATEST(0, CAST(FLOOR((x - ({lo})) / {step}) AS INT)))
+          for x in e] AS q
+  FROM v)
+SELECT vec_id, q,
+       ROUND(list_max([ABS(e[i] - (q[i] * {step} + ({lo} + {step} / 2)))
+                       for i in generate_series(1, len(e))]), 6) AS recon_err
+FROM q ORDER BY vec_id
+"""

@@ -1769,6 +1769,49 @@ ORDER BY doc_id
 """
 
 
+def dedup_against_q(spark, sf_dir):
+    """Decontamination: drop documents whose normalized content appears
+    in a reference corpus (here: every 10th doc stands in for an eval
+    set; the anti-join is on content hash, so only 16-byte keys move)."""
+    from .ops.dedup import dedup_against
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return (dedup_against(docs, ref)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+DEDUP_AGAINST_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ch
+  FROM documents),
+ref AS (SELECT DISTINCT ch FROM h WHERE doc_id % 10 = 0)
+SELECT doc_id, lang, source FROM h
+WHERE ch NOT IN (SELECT ch FROM ref)
+ORDER BY doc_id
+"""
+
+
+def encode_documents_q(spark, sf_dir):
+    """Text → token-id sequences against a corpus-derived vocabulary
+    (top-64 terms by frequency; OOV = 0), order-preserving."""
+    from .ops.ranking import build_vocab, encode_documents
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, size=64)
+    return encode_documents(docs, vocab)
+
+
+def quantize_embeddings_q(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column with per-vector
+    max reconstruction error."""
+    from .ops.similarity import quantize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
 BM25_TERMS = ["spark", "hash", "merge", "window", "scan"]
 
 
@@ -2126,6 +2169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "dedup_clusters": dedup_clusters_q,
         "bm25_topk": bm25_topk_q,
+        "dedup_against": dedup_against_q,
+        "encode_documents": encode_documents_q,
+        "quantize_embeddings": quantize_embeddings_q,
         "inverted_index": inverted_index_q,
         "repetition_metrics": repetition_metrics_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
@@ -2141,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from .ops import ranking as _ranking
+    from .ops import similarity as _similarity
     from .ops import text as _text
     return {
         "q1_pricing_summary": Q1_SQL,
@@ -2205,6 +2252,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "bm25_topk": _ranking.bm25_sql(BM25_TERMS, k=20),
+        "dedup_against": DEDUP_AGAINST_SQL,
+        "encode_documents": _ranking.encode_documents_sql(64),
+        "quantize_embeddings": _similarity.quantize_embeddings_sql(),
         "inverted_index": _ranking.inverted_index_sql(min_df=2),
         "repetition_metrics": _text.repetition_metrics_sql(),
         "ann_topk": ANN_TOPK_SQL,

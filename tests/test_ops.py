@@ -280,3 +280,45 @@ def test_kmeans_recovers_planted_clusters(spark):
     cents = train_kmeans(df, k=2, n_iter=4, seed=1)
     means = sorted(float(np.mean(c)) for c in cents)
     assert abs(means[0] + 5.0) < 0.5 and abs(means[1] - 5.0) < 0.5
+
+
+def test_dedup_against_removes_contaminated(spark):
+    from icelake_spark.ops.dedup import dedup_against
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "unique content here"),
+         (3, "  ALPHA beta   gamma ")],  # normalizes equal to doc 1
+        "doc_id long, text string")
+    ref = spark.createDataFrame([(99, "alpha beta gamma")],
+                                "doc_id long, text string")
+    kept = {r.doc_id for r in dedup_against(train, ref).collect()}
+    assert kept == {2}
+
+
+def test_encode_documents_order_and_oov(spark):
+    from icelake_spark.ops.ranking import build_vocab, encode_documents
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird zebra")],
+        "doc_id long, text string")
+    vocab = build_vocab(docs, size=3)  # cat(2) dog(2) -> ids by count,term
+    v = {r.term: r.token_id for r in vocab.collect()}
+    assert v["cat"] == 1 and v["dog"] == 2 and v["bird"] == 3
+    enc = {r.doc_id: (r.ids, r.n_oov)
+           for r in encode_documents(docs, vocab).collect()}
+    assert enc[1] == ([1, 2, 1], 0)           # order preserved
+    assert enc[2] == ([2, 3, 0], 1)           # zebra -> OOV id 0
+
+
+def test_quantize_embeddings_bounds(spark):
+    from icelake_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 3.999, -4.0, 10.0])],  # last is out of range -> clamped
+        "vec_id long, embedding array<double>")
+    r = quantize_embeddings(df).collect()[0]
+    assert all(0 <= c <= 255 for c in r.q)
+    assert r.q[3] == 255                      # clamp
+    step = 8.0 / 256
+    # in-range elements reconstruct within half a step
+    assert r.recon_err > step / 2             # the clamped element dominates
