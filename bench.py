@@ -35,6 +35,10 @@ HEADLINE = [
     "iceberg_compaction",
     "transforms_projection",
     "text_analysis",
+    "repetition_metrics",
+    "bm25_topk",
+    "encode_documents",
+    "quantize_embeddings",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

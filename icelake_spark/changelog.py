@@ -1,0 +1,214 @@
+"""Changelog (CDC) read: the row-level changes between two snapshots.
+
+The reference writes CDC (its delta writers emit data + delete files,
+`/root/reference/icelake/src/io/functional_writer/equality_delta_writer.rs`)
+but has no read-side changelog; engines are expected to reconstruct
+changes from the files each snapshot added/removed. This module is that
+read side, Spark-first: every per-snapshot diff is one or two
+broadcast-joined DataFrame reads, unioned lazily — nothing is
+materialized on the driver except file lists.
+
+Semantics (matching Iceberg's changelog-table behavior):
+- append snapshot        → its added data files' rows as `insert`
+  (rows pos-deleted in the SAME commit — in-batch upsert churn — are
+  excluded: they were never visible to any reader)
+- MoR delete / upsert    → added pos/eq delete files select the deleted
+  rows out of the PRE-snapshot data (semi-join, sequence-gated exactly
+  like the anti-join on the normal read path); upsert commits also emit
+  their added files as `insert`
+- CoW delete / overwrite → removed files' surviving rows as `delete`,
+  added files' rows as `insert` (net-change, like Iceberg)
+- replace (compaction / manifest rewrite) → no logical change, skipped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import (DeleteFileTask, FileScanTask, IcebergTable, TableScan,
+                    read_data_files)
+from .types.manifest import (MANIFEST_CONTENT_DELETES, STATUS_ADDED,
+                             read_manifest, read_manifest_list)
+
+CHANGE_TYPE = "_change_type"
+COMMIT_SNAPSHOT = "_commit_snapshot_id"
+COMMIT_ORDER = "_commit_order"
+
+
+def _added_in(table: IcebergTable, snap):
+    """(data_tasks, pos_tasks, eq_tasks) newly added by this snapshot."""
+    data, pos, eq = [], [], []
+    for mle in read_manifest_list(table._resolve(snap.manifest_list)):
+        if mle.added_snapshot_id != snap.snapshot_id:
+            continue
+        _, entries = read_manifest(table._resolve(mle.manifest_path))
+        for e in entries:
+            if e.status != STATUS_ADDED:
+                continue
+            e.data_file.file_path = table._resolve(e.data_file.file_path)
+            seq = e.sequence_number if e.sequence_number is not None \
+                else mle.sequence_number
+            if mle.content == MANIFEST_CONTENT_DELETES or e.data_file.content != 0:
+                (pos if e.data_file.content == 1 else eq).append(
+                    DeleteFileTask(e.data_file, seq))
+            else:
+                data.append(FileScanTask(e.data_file, seq, mle.partition_spec_id))
+    return data, pos, eq
+
+
+def _with_meta(df: DataFrame, change: str, snap, order: int,
+               cols: list[str]) -> DataFrame:
+    return df.select(*cols,
+                     F.lit(change).alias(CHANGE_TYPE),
+                     F.lit(snap.snapshot_id).alias(COMMIT_SNAPSHOT),
+                     F.lit(order).alias(COMMIT_ORDER))
+
+
+def changes(table: IcebergTable, spark: SparkSession,
+            from_snapshot_id: int | None = None,
+            to_snapshot_id: int | None = None) -> DataFrame:
+    """DataFrame of row-level changes in (from_snapshot, to_snapshot]:
+    table columns + _change_type ('insert'/'delete') +
+    _commit_snapshot_id + _commit_order (per-changelog commit index).
+    from_snapshot_id=None starts before the first snapshot."""
+    meta = table.metadata
+    spark_schema = table.schema().to_spark()
+    cols = [f.name for f in spark_schema.fields]
+    empty = spark.createDataFrame([], spark_schema) \
+        .select("*", F.lit("x").alias(CHANGE_TYPE),
+                F.lit(0).cast("long").alias(COMMIT_SNAPSHOT),
+                F.lit(0).cast("int").alias(COMMIT_ORDER)).limit(0)
+
+    snaps = sorted(meta.snapshots, key=lambda s: s.sequence_number)
+    from_seq = -1
+    if from_snapshot_id is not None:
+        from_seq = meta.snapshot_by_id(from_snapshot_id).sequence_number
+    to_seq = None
+    if to_snapshot_id is not None:
+        to_seq = meta.snapshot_by_id(to_snapshot_id).sequence_number
+    current = table.current_snapshot()
+    if current is not None and to_seq is None:
+        to_seq = current.sequence_number
+
+    parts: list[DataFrame] = []
+    order = 0
+    for snap in snaps:
+        if snap.sequence_number <= from_seq or snap.sequence_number > to_seq:
+            continue
+        op = (snap.summary or {}).get("operation", "append")
+        if op == "replace":
+            continue
+        added_data, added_pos, added_eq = _added_in(table, snap)
+        parent_scan = TableScan(table, snapshot_id=snap.parent_snapshot_id) \
+            if snap.parent_snapshot_id is not None else None
+
+        # inserts: added files, minus rows pos-deleted by the SAME commit
+        if added_data:
+            ins = read_data_files(spark, spark_schema, added_data,
+                                  with_position=bool(added_pos))
+            if added_pos:
+                scan = TableScan(table, snapshot_id=snap.snapshot_id)
+                ins = scan._apply_deletes(spark, ins, added_data,
+                                          added_pos, [])
+            parts.append(_with_meta(ins, "insert", snap, order, cols))
+
+        # deletes via added delete files, applied to pre-snapshot data.
+        # Parent-era deletes are anti-joined out FIRST so a row deleted
+        # by an earlier snapshot can never re-surface as a new delete.
+        if (added_pos or added_eq) and parent_scan is not None:
+            pdata, ppos, peq = parent_scan.plan_files(spark)
+            if added_pos:
+                srcs = {r[0] for t in added_pos
+                        for r in spark.read.parquet(t.delete_file.file_path)
+                        .select(F.regexp_replace("file_path", r"^file:/*", "/"))
+                        .distinct().collect()}
+                hit = [t for t in pdata if t.data_file.file_path in srcs]
+                if hit:
+                    d = read_data_files(spark, spark_schema, hit,
+                                        with_position=True)
+                    if ppos or peq:
+                        d = parent_scan._apply_deletes(spark, d, hit, ppos, peq,
+                                                       drop_helpers=False)
+                    deleted = _semi_join_pos(spark, d, hit, added_pos)
+                    parts.append(_with_meta(deleted, "delete", snap, order, cols))
+            if added_eq:
+                d = read_data_files(spark, spark_schema, pdata,
+                                    with_position=True)
+                if ppos or peq:
+                    d = parent_scan._apply_deletes(spark, d, pdata, ppos, peq,
+                                                   drop_helpers=False)
+                deleted = _semi_join_eq(spark, d, pdata, added_eq)
+                parts.append(_with_meta(deleted, "delete", snap, order, cols))
+
+        # CoW: files removed by this snapshot -> their surviving rows
+        if parent_scan is not None and op in ("delete", "overwrite"):
+            pdata, ppos, peq = parent_scan.plan_files(spark)
+            live_now = {t.data_file.file_path
+                        for t in TableScan(table, snapshot_id=snap.snapshot_id)
+                        .plan_files(spark)[0]}
+            removed = [t for t in pdata
+                       if t.data_file.file_path not in live_now]
+            if removed:
+                d = read_data_files(spark, spark_schema, removed,
+                                    with_position=bool(ppos or peq))
+                if ppos or peq:
+                    d = parent_scan._apply_deletes(spark, d, removed, ppos, peq)
+                parts.append(_with_meta(d, "delete", snap, order, cols))
+        order += 1
+
+    if not parts:
+        return empty
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
+                   pos: list[DeleteFileTask]) -> DataFrame:
+    """Rows of df matched by the position-delete files (the inverse of
+    TableScan._apply_deletes' anti-join, same sequence gate)."""
+    if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
+        seq_df = spark.createDataFrame(
+            [(t.data_file.file_path, t.sequence_number) for t in data],
+            "__file string, __data_seq long")
+        df = df.join(F.broadcast(seq_df), on="__file", how="left")
+    pseq = spark.createDataFrame(
+        [(t.delete_file.file_path, t.sequence_number) for t in pos],
+        "__src string, __del_seq long")
+    pos_df = (spark.read.parquet(*[t.delete_file.file_path for t in pos])
+              .withColumn("__src", F.regexp_replace(
+                  F.col("_metadata.file_path"), r"^file:/*", "/"))
+              .select(F.regexp_replace(F.col("file_path"), r"^file:/*", "/")
+                      .alias("__del_file"),
+                      F.col("pos").alias("__del_pos"), "__src")
+              .join(F.broadcast(pseq), on="__src", how="left"))
+    cond = ((df["__file"] == pos_df["__del_file"])
+            & (df["__pos"] == pos_df["__del_pos"])
+            & (df["__data_seq"] <= pos_df["__del_seq"]))
+    return df.join(F.broadcast(pos_df), on=cond, how="left_semi")
+
+
+def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
+                  eq: list[DeleteFileTask]) -> DataFrame:
+    """Rows of df matched by equality-delete files (strictly-older gate,
+    grouped by key-set: one semi-join per distinct equality_ids)."""
+    if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
+        seq_df = spark.createDataFrame(
+            [(t.data_file.file_path, t.sequence_number) for t in data],
+            "__file string, __data_seq long")
+        df = df.join(F.broadcast(seq_df), on="__file", how="left")
+    out = None
+    groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
+    for t in eq:
+        groups.setdefault(tuple(t.delete_file.equality_ids or ()), []).append(t)
+    for _ids, tasks in groups.items():
+        keys = spark.read.parquet(*[t.delete_file.file_path for t in tasks])
+        key_cols = keys.columns
+        min_seq = min(t.sequence_number for t in tasks)
+        matched = (df.where(F.col("__data_seq") < F.lit(min_seq))
+                   .join(F.broadcast(keys.distinct()), on=key_cols,
+                         how="left_semi"))
+        out = matched if out is None else out.unionByName(matched)
+    return out if out is not None else df.limit(0)

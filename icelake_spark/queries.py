@@ -1521,6 +1521,43 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def iceberg_changelog(spark, sf_dir):
+    """Changelog (CDC) read: append → MoR delete → upsert, then
+    reconstruct every row-level change between table versions
+    (changelog.py; the read-side counterpart of the reference's delta
+    writers, equality_delta_writer.rs:44-224)."""
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    t = _tmp_catalog().create_table("q.cust_cl", Schema.from_spark(c.schema))
+    t.append(c)
+    t.delete_where(spark, "c_acctbal < 0")
+    changed = (c.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.lit(0.0)))
+    t.upsert(changed, key_cols=["c_custkey"])
+    ch = t.changes(spark)
+    return (ch.groupBy("_change_type", "_commit_order")
+            .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("_commit_order", "_change_type"))
+
+
+ICEBERG_CHANGELOG_SQL = f"""
+WITH ch AS (
+  SELECT 'insert' AS _change_type, 0 AS _commit_order, c_acctbal FROM customer
+  UNION ALL
+  SELECT 'delete', 1, c_acctbal FROM customer WHERE c_acctbal < 0
+  UNION ALL
+  SELECT 'delete', 2, c_acctbal FROM customer
+  WHERE c_custkey % 10 = 0 AND c_acctbal >= 0
+  UNION ALL
+  SELECT 'insert', 2, 0.0 FROM customer WHERE c_custkey % 10 = 0)
+SELECT _change_type, _commit_order, COUNT(*) AS n,
+       {dsum_sql('c_acctbal', 'total_bal')}
+FROM ch GROUP BY _change_type, _commit_order
+ORDER BY _commit_order, _change_type
+"""
+
+
 def iceberg_time_travel(spark, sf_dir):
     """X4: snapshot-pinned read after later commits."""
     from .types import Schema
@@ -2156,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_mor_delete": iceberg_mor_delete,
         "iceberg_update": iceberg_update,
         "iceberg_upsert": iceberg_upsert,
+        "iceberg_changelog": iceberg_changelog,
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_compaction": iceberg_compaction,
@@ -2239,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_mor_delete": ICEBERG_MOR_DELETE_SQL,
         "iceberg_update": ICEBERG_UPDATE_SQL,
         "iceberg_upsert": ICEBERG_UPSERT_SQL,
+        "iceberg_changelog": ICEBERG_CHANGELOG_SQL,
         "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
         "iceberg_partition_prune": ICEBERG_PRUNE_SQL,
         "iceberg_compaction": ICEBERG_COMPACTION_SQL,

@@ -468,6 +468,15 @@ class IcebergTable:
 
         _upsert(self, df, **kwargs)
 
+    def changes(self, spark: SparkSession,
+                from_snapshot_id: int | None = None,
+                to_snapshot_id: int | None = None) -> DataFrame:
+        """Row-level changelog (CDC read) in (from, to]: table columns +
+        _change_type/_commit_snapshot_id/_commit_order. See changelog.py."""
+        from .changelog import changes as _changes
+
+        return _changes(self, spark, from_snapshot_id, to_snapshot_id)
+
     def merge_delta(self, df: DataFrame, op_col: str = "_op", **kwargs) -> None:
         from .delta import merge_delta as _md
 
@@ -570,7 +579,8 @@ class TableScan:
 
     def _apply_deletes(self, spark: SparkSession, df: DataFrame,
                        data: list[FileScanTask], pos: list[DeleteFileTask],
-                       eq: list[DeleteFileTask]) -> DataFrame:
+                       eq: list[DeleteFileTask],
+                       drop_helpers: bool = True) -> DataFrame:
         """MoR: anti-join out deleted rows.
 
         - position deletes (J4): (file_path, pos) pairs, applied to data
@@ -637,7 +647,9 @@ class TableScan:
             cond = cond & (df["__data_seq"] < renamed["__del_seq"])
             df = df.join(F.broadcast(renamed), on=cond, how="left_anti")
 
-        return df.drop("__file", "__pos", "__data_seq")
+        if drop_helpers:
+            return df.drop("__file", "__pos", "__data_seq")
+        return df  # changelog semi-joins still need __file/__pos/__data_seq
 
 
 def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask],

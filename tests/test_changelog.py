@@ -1,0 +1,88 @@
+"""Changelog (CDC read) semantics: insert/delete reconstruction across
+append, MoR delete, upsert, CoW delete, and compaction snapshots."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icelake_spark.catalog import StorageCatalog
+from icelake_spark.types import Schema
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return StorageCatalog(str(tmp_path))
+
+
+def _rows(df):
+    return sorted((r.id, r.v, r._change_type, r._commit_order)
+                  for r in df.collect())
+
+
+def test_changelog_append_mor_delete_upsert(spark, warehouse):
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                "id long, v string")
+    t = warehouse.create_table("db.cl", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "id < 3")
+    up = spark.createDataFrame([(5, "NEW5"), (100, "v100")],
+                               "id long, v string")
+    t.upsert(up, key_cols=["id"])
+
+    got = _rows(t.changes(spark))
+    want = sorted(
+        [(i, f"v{i}", "insert", 0) for i in range(10)]
+        + [(i, f"v{i}", "delete", 1) for i in range(3)]
+        + [(5, "v5", "delete", 2), (5, "NEW5", "insert", 2),
+           (100, "v100", "insert", 2)])
+    assert got == want
+
+
+def test_changelog_incremental_window_and_replace_skip(spark, warehouse):
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(6)],
+                                "id long, v string")
+    t = warehouse.create_table("db.cl2", Schema.from_spark(src.schema))
+    t.append(src)
+    snap1 = t.current_snapshot().snapshot_id
+    t.delete_where(spark, "id = 0")
+    from icelake_spark.maintenance import rewrite_data_files
+    rewrite_data_files(t, spark)  # replace snapshot: no logical change
+    t.append(spark.createDataFrame([(50, "v50")], "id long, v string"))
+
+    got = _rows(t.changes(spark, from_snapshot_id=snap1))
+    # only the delete and the post-compaction append; compaction silent
+    assert got == [(0, "v0", "delete", 0), (50, "v50", "insert", 1)]
+
+
+def test_changelog_cow_delete_single_file_net_change(spark, warehouse):
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(8)],
+                                "id long, v string").coalesce(1)
+    t = warehouse.create_table(
+        "db.cl3", Schema.from_spark(src.schema),
+        properties={"write.delete.mode": "copy-on-write"})
+    t.append(src)  # ONE data file
+    t.delete_where(spark, "id >= 6")  # CoW rewrites that file
+
+    ch = [r for r in t.changes(spark).collect() if r._commit_order == 1]
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    ins = sorted(r.id for r in ch if r._change_type == "insert")
+    # net change: the whole old file deleted, survivors re-inserted
+    assert dels == list(range(8))
+    assert ins == list(range(6))
+
+
+def test_changelog_cow_delete_multi_file_is_minimal(spark, warehouse):
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(8)],
+                                "id long, v string")  # one file per row
+    t = warehouse.create_table(
+        "db.cl4", Schema.from_spark(src.schema),
+        properties={"write.delete.mode": "copy-on-write"})
+    t.append(src)
+    t.delete_where(spark, "id >= 6")  # only the 2 hit files rewritten
+
+    ch = [r for r in t.changes(spark).collect() if r._commit_order == 1]
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    ins = sorted(r.id for r in ch if r._change_type == "insert")
+    # untouched files never enter the changelog; fully-deleted files
+    # leave no survivors to re-insert
+    assert dels == [6, 7]
+    assert ins == []
