@@ -671,7 +671,9 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
         if fmt == "PARQUET":
             part = reader.parquet(*paths)
         elif fmt == "ORC":
-            part = reader.orc(*paths)
+            # .orc(*paths) stops at 6 varargs in Spark 4's typed
+            # signature; .load takes the whole list
+            part = reader.format("orc").load(paths)
         elif fmt == "AVRO":
             part = reader.format("avro").load(paths)
         else:

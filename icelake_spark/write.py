@@ -79,6 +79,7 @@ def _sort_columns(metadata, schema: Schema) -> tuple[list, int | None]:
 # table properties controlling the parquet sink, mirroring the
 # reference's config surface (/root/reference/icelake/src/config.rs:59-285)
 PROP_COMPRESSION = "write.parquet.compression-codec"   # snappy|zstd|gzip|...
+PROP_FORMAT = "write.format.default"                   # parquet (default) | orc
 PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
 PROP_ROWS_PER_FILE = "write.rows-per-file"
 PROP_BLOOM_PREFIX = "write.parquet.bloom-filter-enabled.column."
@@ -150,17 +151,31 @@ def write_data_files(
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     if PROP_COMPRESSION in props:
         w = w.option("compression", props[PROP_COMPRESSION])
-    for k, v in props.items():  # parquet bloom filters (config.rs:74-93)
-        if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true":
-            col = k[len(PROP_BLOOM_PREFIX):]
-            w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
-    w.parquet(stage)
+    # write.format.default (DataFileFormat parity, in_memory.rs:2057-91):
+    # Spark writes ORC natively; Avro needs the spark-avro module, so it
+    # stays read-only (add_files) until that dependency exists.
+    file_format = props.get(PROP_FORMAT, "parquet").lower()
+    if file_format == "orc":
+        blooms = [k[len(PROP_BLOOM_PREFIX):] for k, v in props.items()
+                  if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true"]
+        if blooms:
+            w = w.option("orc.bloom.filter.columns", ",".join(blooms))
+        w.orc(stage)
+    elif file_format == "parquet":
+        for k, v in props.items():  # parquet bloom filters (config.rs:74-93)
+            if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true":
+                col = k[len(PROP_BLOOM_PREFIX):]
+                w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w.parquet(stage)
+    else:
+        raise ValueError(f"unsupported {PROP_FORMAT}={file_format} "
+                         "(parquet|orc; avro is read-only via add_files)")
 
     # inventory written files
     paths = []
     for root, _dirs, files in os.walk(stage):
         for name in files:
-            if name.endswith(".parquet"):
+            if name.endswith((".parquet", ".orc")):
                 paths.append(os.path.join(root, name))
     result_types = {
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
@@ -260,6 +275,23 @@ def _build_data_file(path: str, stage: str, schema: Schema,
             if k in result_types:
                 name, t = result_types[k]
                 partition[name] = _parse_hive_value(v, t)
+
+    if path.endswith(".orc"):
+        # ORC: pyarrow exposes row count but not per-column min/max, so
+        # the DataFile records counts/size only (scan-level zone-map
+        # pruning simply can't skip ORC files; correctness unaffected)
+        from pyarrow import orc as _orc
+
+        nrows = _orc.ORCFile(path).nrows
+        return DataFile(
+            file_path=os.path.abspath(path),
+            file_format="ORC",
+            partition=partition,
+            record_count=nrows,
+            file_size_in_bytes=os.path.getsize(path),
+            content=CONTENT_DATA,
+            sort_order_id=sort_order_id,
+        )
 
     md = pq.read_metadata(path)
     ids_by_name = {f.name: f.field_id for f in schema.fields}

@@ -105,3 +105,25 @@ def test_metrics_tally_commits_and_deletes(spark, tmp_path):
     # id < 10 matches 10 rows in EACH of the two appended file sets
     assert snap["iceberg_pos_delete_qps"][f"table={name}"] == 20
     assert snap["iceberg_pos_delete_flush_qps"][f"table={name}"] >= 1
+
+
+def test_orc_native_write_roundtrip_and_delete(spark, tmp_path):
+    from icelake_spark.catalog import StorageCatalog
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    src = spark.range(50).selectExpr("id", "cast(id % 7 as string) k")
+    cat = StorageCatalog(str(tmp_path))
+    t = cat.create_table("db.orc", Schema.from_spark(src.schema),
+                         properties={"write.format.default": "orc"})
+    t.append(src)
+    files = [f.data_file for f in t.new_scan().plan_files()[0]]
+    assert files and all(f.file_format == "ORC" for f in files)
+    assert all(f.file_path.endswith(".orc") for f in files)
+    back = IcebergTable.load(str(tmp_path / "db" / "orc")).to_df(spark)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # row-level delete on ORC must take the copy-on-write path
+    t.delete_where(spark, "id < 10")
+    assert t.to_df(spark).count() == 40
+    _, pos, eq = t.new_scan().plan_files()
+    assert not pos and not eq  # no delete files: files were rewritten
