@@ -249,3 +249,64 @@ def rewrite_manifests(table) -> int:
     )
     table._commit_metadata(md.with_snapshot(snapshot))
     return n_before
+
+
+def rewrite_zorder(table, spark: SparkSession, cols: list[str],
+                   target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+                   bits: int = 16) -> int:
+    """Z-order compaction: rewrite all live data clustered on the
+    interleaved bit representation of `cols`, so per-file min/max bounds
+    tighten on EVERY listed column and zone-map pruning works for
+    predicates on any of them (a plain sort only helps its leading
+    column). The Spark-native equivalent of
+    `CALL system.rewrite_data_files(strategy => 'sort',
+    sort_order => 'zorder(a, b)')`.
+
+    Plan: one min/max agg (driver gets 2·k doubles) → per-row z-value as
+    a pure-expression bit interleave of `bits`-bit normalized ranks →
+    repartitionByRange(z) (range exchange = the only shuffle; sampled
+    bounds keep output files balanced) → sortWithinPartitions(z) →
+    replace commit. Returns the new data-file count.
+    """
+    from pyspark.sql import functions as F
+
+    scan = table.new_scan(apply_deletes=True)
+    data, _, _ = scan.plan_files(spark)
+    if not data:
+        return 0
+    df = scan.to_df(spark)
+    stats = df.agg(*[F.min(c).alias(f"lo_{c}") for c in cols],
+                   *[F.max(c).alias(f"hi_{c}") for c in cols]).collect()[0]
+
+    def scaled(c: str):
+        lo = float(stats[f"lo_{c}"])
+        hi = float(stats[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        x = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        v = F.least(F.lit((1 << bits) - 1),
+                    F.greatest(F.lit(0),
+                               F.floor(x * ((1 << bits) - 1)).cast("long")))
+        return F.coalesce(v, F.lit(0).cast("long"))  # nulls cluster low
+
+    # interleave: output bit (i*k + j) = bit i of column j
+    k = len(cols)
+    svals = [scaled(c) for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, sv in enumerate(svals):
+            z = z + F.shiftleft(F.shiftright(sv, i).bitwiseAND(F.lit(1)),
+                                i * k + j).cast("long")
+
+    total_bytes = sum(t.data_file.file_size_in_bytes for t in data)
+    n_parts = int(max(1, (total_bytes + target_file_size - 1)
+                      // target_file_size))
+    zdf = (df.withColumn("__z", z)
+           .repartitionByRange(n_parts, F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z"))
+    files = write_data_files(table, zdf)
+    tx = Transaction(table)
+    tx.remove_all_existing()
+    tx.add_data_files(files)
+    tx.commit("replace")
+    return len(files)

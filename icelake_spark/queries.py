@@ -1558,6 +1558,30 @@ ORDER BY _commit_order, _change_type
 """
 
 
+def iceberg_zorder(spark, sf_dir):
+    """Z-order compaction: rewrite clustered on interleaved (o_custkey,
+    o_totalprice) bits so zone-map pruning works on both columns
+    (maintenance.rewrite_zorder); content must be unchanged."""
+    from .types import Schema
+
+    o = load(spark, sf_dir, "orders")
+    t = _tmp_catalog().create_table("q.orders_zo", Schema.from_spark(o.schema))
+    t.append(o)
+    from .maintenance import rewrite_zorder
+
+    rewrite_zorder(t, spark, ["o_custkey", "o_totalprice"],
+                   target_file_size=4 * 1024 * 1024)
+    return (t.to_df(spark).groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), "total"))
+            .orderBy("o_orderstatus"))
+
+
+ICEBERG_ZORDER_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql('o_totalprice', 'total')}
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def iceberg_time_travel(spark, sf_dir):
     """X4: snapshot-pinned read after later commits."""
     from .types import Schema
@@ -2194,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_update": iceberg_update,
         "iceberg_upsert": iceberg_upsert,
         "iceberg_changelog": iceberg_changelog,
+        "iceberg_zorder": iceberg_zorder,
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_compaction": iceberg_compaction,
@@ -2278,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_update": ICEBERG_UPDATE_SQL,
         "iceberg_upsert": ICEBERG_UPSERT_SQL,
         "iceberg_changelog": ICEBERG_CHANGELOG_SQL,
+        "iceberg_zorder": ICEBERG_ZORDER_SQL,
         "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
         "iceberg_partition_prune": ICEBERG_PRUNE_SQL,
         "iceberg_compaction": ICEBERG_COMPACTION_SQL,

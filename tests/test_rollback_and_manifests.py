@@ -80,3 +80,37 @@ def test_rewrite_manifests_keeps_deletes(spark, warehouse):
     assert _counts(t, spark) == 400
     _, pos, _ = t.new_scan().plan_files()
     assert pos
+
+
+def test_rewrite_zorder_prunes_on_both_columns(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from icelake_spark.maintenance import rewrite_zorder
+    from icelake_spark.types import Schema
+
+    # two independent uniform columns, written in random row order so
+    # every file's (a, b) bounds span nearly the full domain
+    src = (spark.range(40000)
+           .select(F.col("id"),
+                   (F.xxhash64("id") % 1000).alias("a"),
+                   (F.xxhash64("id", F.lit(1)) % 1000).alias("b"))
+           .repartition(8))
+    t = warehouse.create_table("db.zo", Schema.from_spark(src.schema))
+    t.append(src)
+
+    def files_hit(pred):
+        return len(t.new_scan(filter=pred).plan_files()[0])
+
+    total_before = len(t.new_scan().plan_files()[0])
+    assert files_hit("a >= -900 AND a < -800") == total_before  # no layout
+
+    n_files = rewrite_zorder(t, spark, ["a", "b"],
+                             target_file_size=64 * 1024)
+    assert n_files >= 4
+    total = len(t.new_scan().plan_files()[0])
+    hit_a = files_hit("a >= -900 AND a < -800")
+    hit_b = files_hit("b >= -900 AND b < -800")
+    # z-order tightens per-file bounds on BOTH columns
+    assert hit_a < total and hit_b < total
+    # and the data survives intact
+    assert t.to_df(spark).count() == 40000
