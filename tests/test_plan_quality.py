@@ -116,3 +116,41 @@ def test_set_ops_and_pivot_stay_jvm(spark):
     for fn in (Q.set_ops_customers, Q.pivot_returnflag,
                Q.percentiles_by_status, Q.stats_aggregates):
         assert "EvalPython" not in _plan(fn(spark, sf))
+
+
+def test_session3_operators_plan_properties(spark):
+    """The curation operators added in this pass keep their intended
+    physical shape: no Python eval, broadcasts where the small side is
+    bounded, and compute-bound doc stages fanned out past one task."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # bm25: doc-frequency and vocab joins broadcast; all-JVM
+    pb = _plan(Q.bm25_topk_q(spark, sf))
+    assert "BroadcastHashJoin" in pb and "EvalPython" not in pb
+    # vocab encoding: broadcast vocab join, order restored JVM-side
+    pe = _plan(Q.encode_documents_q(spark, sf))
+    assert "BroadcastHashJoin" in pe and "EvalPython" not in pe
+    # quantization: pure projection — no shuffle except the final sort
+    pq_ = _plan(Q.quantize_embeddings_q(spark, sf))
+    assert "EvalPython" not in pq_ and "Join" not in pq_
+    # repetition metrics / ngram: the tokenize stage runs on an exchange
+    # with an explicit partition count, not inside the one-task scan
+    from icelake_spark.ops.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pr = _plan(repetition_metrics(docs))
+    assert "REPARTITION_BY_NUM" in pr or "RoundRobinPartitioning" in pr \
+        or "hashpartitioning" in pr.lower()
+
+
+def test_changelog_plan_broadcasts_delete_sides(spark, warehouse):
+    src = spark.range(2000).selectExpr("id", "cast(id as string) v")
+    t = warehouse.create_table("db.clp", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "id < 100")
+    ch = t.changes(spark)
+    plan = _plan(ch)
+    # delete reconstruction joins build on the small delete side
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
