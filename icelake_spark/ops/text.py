@@ -296,3 +296,79 @@ def quality_score_sql(col: str = "text") -> str:
 
 def content_md5_sql(col: str = "text") -> str:
     return f"md5(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------- redaction / entropy
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column) -> tuple[Column, Column]:
+    """(redacted_text, n_redactions): email/phone/IPv4 spans replaced
+    with <TYPE> tags. Pure regexp_replace chain (JVM, codegen); the
+    count is derived from occurrence counting of the tags afterward so
+    no per-row Python runs. Patterns are restricted to the Java-regex ∩
+    RE2 subset so the DuckDB twin behaves identically."""
+    out = col
+    for tag, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{tag.upper()}>")
+    n = sum_cols([occurrences(out, f"<{t.upper()}>")
+                  for t in PII_PATTERNS])
+    return out, n
+
+
+def redact_pii_sql(col: str = "text") -> tuple[str, str]:
+    out = col
+    for tag, pat in PII_PATTERNS.items():
+        # plain single-quoted DuckDB strings do NOT process backslash
+        # escapes — pass the regex through verbatim, quotes doubled only
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '<{tag.upper()}>', 'g')"
+    n = " + ".join(occurrences_sql(out, f"<{t.upper()}>")
+                   for t in PII_PATTERNS)
+    return out, f"({n})"
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the a–z character distribution — low
+    entropy flags repetitive/degenerate text, high entropy flags noise.
+    Computed per row with array expressions only: counts per letter via
+    length-difference, -Σ p·log2 p summed exactly (8dp decimal terms)
+    then rounded to 6dp for cross-engine hash equality."""
+    s = F.lower(col)
+    total = F.length(F.regexp_replace(s, "[^a-z]", ""))
+    terms = []
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        c = F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))
+        p = c / total
+        # decimal(12,8), NOT (24,8): Spark promotes precision by one per
+        # chained +, and 26 adds on (24,8) blow past 38 — with
+        # allowPrecisionLoss that silently DROPS SCALE mid-chain and the
+        # sum comes back rounded to 6dp. (12,8) reaches only (37,8).
+        terms.append(F.when((c > 0) & (total > 0),
+                            F.round(-p * F.log2(p), 8).cast("decimal(12,8)"))
+                     .otherwise(F.lit(0).cast("decimal(12,8)")))
+    # final 6dp rounding happens in EXACT decimal space via ROUND —
+    # HALF_UP in both engines (a decimal→decimal CAST truncates in
+    # DuckDB; a double round flips on .5 boundaries)
+    return F.round(sum_cols(terms), 6).cast("double")
+
+
+def char_entropy_sql(col: str = "text") -> str:
+    s = f"lower({col})"
+    total = f"length(regexp_replace({s}, '[^a-z]', '', 'g'))"
+    terms = []
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        c = f"(length({s}) - length(replace({s}, '{ch}', '')))"
+        p = f"(CAST({c} AS DOUBLE) / {total})"
+        terms.append(
+            f"(CASE WHEN {c} > 0 AND {total} > 0 THEN "
+            f"CAST(ROUND(-{p} * log2({p}), 8) AS DECIMAL(12,8)) "
+            f"ELSE CAST(0 AS DECIMAL(12,8)) END)")
+    return (f"CAST(ROUND(({' + '.join(terms)}), 6) AS DOUBLE)")

@@ -1873,6 +1873,59 @@ def quantize_embeddings_q(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+def redact_pii_q(spark, sf_dir):
+    """PII scrubbing: plant deterministic emails/phones/IPs on every 5th
+    document, then redact with the Java-regex ∩ RE2 pattern set and
+    count replaced spans. Output hashes the redacted text so the oracle
+    compares full content without shipping long strings."""
+    from .ops.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-123-4567 at 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string"))).otherwise(F.col("text"))
+    red, n = redact_pii(planted)
+    return (docs.select(F.col("doc_id"), F.md5(red).alias("redacted_hash"),
+                        n.alias("n_redactions"))
+            .orderBy("doc_id"))
+
+
+def _redact_pii_sql() -> str:
+    from .ops.text import redact_pii_sql
+
+    planted = ("(CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || "
+               "CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 "
+               "at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) "
+               "ELSE text END)")
+    red, n = redact_pii_sql(planted)
+    return (f"SELECT doc_id, md5({red}) AS redacted_hash, "
+            f"CAST({n} AS BIGINT) AS n_redactions "
+            f"FROM documents ORDER BY doc_id")
+
+
+def char_entropy_q(spark, sf_dir):
+    """Character-distribution entropy quality signal with a keep band."""
+    from .ops.text import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    ent = char_entropy(F.col("text"))
+    return (docs.select(F.col("doc_id"), ent.alias("entropy"),
+                        ((ent >= 3.0) & (ent <= 4.6)).alias("keep"))
+            .orderBy("doc_id"))
+
+
+def _char_entropy_sql() -> str:
+    from .ops.text import char_entropy_sql
+
+    e = char_entropy_sql("text")
+    return (f"SELECT doc_id, {e} AS entropy, "
+            f"({e} >= 3.0 AND {e} <= 4.6) AS keep "
+            f"FROM documents ORDER BY doc_id")
+
+
 BM25_TERMS = ["spark", "hash", "merge", "window", "scan"]
 
 
@@ -2237,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings_q,
         "inverted_index": inverted_index_q,
         "repetition_metrics": repetition_metrics_q,
+        "redact_pii": redact_pii_q,
+        "char_entropy": char_entropy_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "ann_topk": ann_topk_q,
         "embedding_neardup": embedding_neardup_q,
@@ -2322,6 +2377,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _similarity.quantize_embeddings_sql(),
         "inverted_index": _ranking.inverted_index_sql(min_df=2),
         "repetition_metrics": _text.repetition_metrics_sql(),
+        "redact_pii": _redact_pii_sql(),
+        "char_entropy": _char_entropy_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —

@@ -322,3 +322,34 @@ def test_quantize_embeddings_bounds(spark):
     step = 8.0 / 256
     # in-range elements reconstruct within half a step
     assert r.recon_err > step / 2             # the clamped element dominates
+
+
+def test_redact_pii_patterns(spark):
+    from icelake_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or 555-123-4567"),
+         (2, "server at 192.168.0.1 end"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string")
+    red, n = redact_pii(F.col("text"))
+    out = {r.doc_id: (r.red, r.n) for r in
+           df.select("doc_id", red.alias("red"), n.alias("n")).collect()}
+    assert out[1] == ("mail me at <EMAIL> or <PHONE>", 2)
+    assert out[2] == ("server at <IPV4> end", 1)
+    assert out[3] == ("nothing sensitive here", 0)
+
+
+def test_char_entropy_extremes(spark):
+    from icelake_spark.ops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"),                    # degenerate: 0 bits
+         (2, "abcdefghijklmnopqrstuvwxyz"),  # uniform: log2(26) bits
+         (3, "1234 5678 !!")],               # no letters: 0
+        "doc_id long, text string")
+    e = {r.doc_id: r.e for r in
+         df.select("doc_id", char_entropy(F.col("text")).alias("e")).collect()}
+    assert e[1] == 0.0
+    assert abs(e[2] - 4.70044) < 1e-4
+    assert e[3] == 0.0
