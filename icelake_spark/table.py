@@ -27,6 +27,10 @@ from .types.datatypes import PrimitiveType, Schema
 from .types.manifest import DataFile, read_manifest_list
 from .types.metadata import MAIN_BRANCH, Snapshot, TableMetadata
 
+# field_id -> [former names]; lets the name-based reader resolve columns
+# in files written before a rename_column (see IcebergTable.rename_column)
+PROP_NAME_MAPPING = "schema.name-mapping"
+
 if TYPE_CHECKING:
     from .catalog.storage import StorageCatalog
 
@@ -282,11 +286,51 @@ class IcebergTable:
             last_column_id=fid,
         ))
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution: rename a top-level column, keeping its field
+        id (id-based evolution — data files are untouched). Because this
+        reader projects parquet by NAME, the old name is recorded in the
+        `schema.name-mapping` table property and the scan reads BOTH
+        names and coalesces — files written before the rename resolve
+        through the old name, files after through the new (the
+        name-based analogue of Iceberg's name-mapping spec)."""
+        import json as _json
+        from dataclasses import replace as dc_replace
+
+        from .types.datatypes import NestedField, Schema, StructType
+
+        cur = self.metadata.current_schema()
+        f = cur.field_by_name(old)
+        if f is None:
+            raise KeyError(f"column {old!r} not found")
+        if cur.field_by_name(new) is not None:
+            raise ValueError(f"column {new!r} already exists")
+        fields = tuple(
+            NestedField(x.field_id, new, x.field_type, x.required, x.doc)
+            if x.field_id == f.field_id else x
+            for x in cur.fields)
+        new_schema = Schema(
+            struct=StructType(fields),
+            schema_id=max(s.schema_id for s in self.metadata.schemas) + 1,
+            identifier_field_ids=cur.identifier_field_ids,
+        )
+        mapping = _json.loads(
+            self.metadata.properties.get(PROP_NAME_MAPPING, "{}"))
+        prior = mapping.get(str(f.field_id), [])
+        # the new name may itself be renamed later; keep every past name
+        mapping[str(f.field_id)] = sorted(set(prior) | {old})
+        props = dict(self.metadata.properties)
+        props[PROP_NAME_MAPPING] = _json.dumps(mapping, sort_keys=True)
+        self._commit_metadata(dc_replace(
+            self.metadata,
+            schemas=self.metadata.schemas + (new_schema,),
+            current_schema_id=new_schema.schema_id,
+            properties=props,
+        ))
+
     def drop_column(self, name: str) -> None:
         """Schema evolution: drop a column (id-based — data files keep the
-        column; reads simply stop projecting it). Renames are not
-        supported in v1 of this engine: our reader projects parquet by
-        name, and a rename would need per-file id→name remapping."""
+        column; reads simply stop projecting it)."""
         from dataclasses import replace as dc_replace
 
         from .types.datatypes import Schema, StructType
@@ -565,8 +609,17 @@ class TableScan:
             return df.select(*self.columns) if self.columns else df
 
         need_mor = self.apply_deletes and (pos or eq)
-        df = read_data_files(spark, spark_schema, data,
+        read_schema, coalesce_map = self._with_name_mapping(schema, spark_schema)
+        df = read_data_files(spark, read_schema, data,
                              with_position=need_mor)
+        if coalesce_map:
+            keep = [c for c in df.columns
+                    if c in {f.name for f in spark_schema.fields}
+                    or c.startswith("__")]
+            df = df.select(*[
+                F.coalesce(c, *coalesce_map[c]).alias(c)
+                if c in coalesce_map else F.col(c)
+                for c in keep])
 
         if need_mor:
             df = self._apply_deletes(spark, df, data, pos, eq)
@@ -576,6 +629,36 @@ class TableScan:
         if self.columns:
             df = df.select(*self.columns)
         return df
+
+    def _with_name_mapping(self, schema: Schema, spark_schema):
+        """(read_schema, {current_name: [old names]}) honoring the
+        rename name-mapping: the read schema also requests every former
+        name of a renamed column (typed identically, nullable) so files
+        written before the rename still resolve; the scan coalesces
+        new-name-first afterwards."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        raw = self.table.metadata.properties.get(PROP_NAME_MAPPING)
+        if not raw:
+            return spark_schema, {}
+        mapping = _json.loads(raw)
+        current = {f.name for f in spark_schema.fields}
+        extra_fields, coalesce_map = [], {}
+        for f in schema.fields:
+            olds = [n for n in mapping.get(str(f.field_id), [])
+                    if n not in current]
+            if not olds:
+                continue
+            sf = next(x for x in spark_schema.fields if x.name == f.name)
+            for n in olds:
+                extra_fields.append(T.StructField(n, sf.dataType, True))
+            coalesce_map[f.name] = olds
+        if not coalesce_map:
+            return spark_schema, {}
+        return T.StructType(list(spark_schema.fields) + extra_fields), \
+            coalesce_map
 
     def _apply_deletes(self, spark: SparkSession, df: DataFrame,
                        data: list[FileScanTask], pos: list[DeleteFileTask],

@@ -81,3 +81,31 @@ def test_stats(spark, warehouse, wide_df):
     assert s["position_delete_files"] == 1
     assert s["total_records"] == 5  # record_count is physical (pre-MoR)
     assert s["format_version"] == 2
+
+
+def test_rename_column_reads_old_and_new_files(spark, warehouse):
+    from icelake_spark.types import Schema
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.ren", Schema.from_spark(src.schema))
+    t.append(src)                       # file with column name 'v'
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame([(3, "c")], "id long, val string"))
+    got = sorted(map(tuple, t.to_df(spark).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.to_df(spark).columns == ["id", "val"]
+    # filters on the new name see pre-rename data
+    assert t.to_df(spark).where("val = 'a'").count() == 1
+    # rename again: both former names stay resolvable
+    t.rename_column("val", "value")
+    t.append(spark.createDataFrame([(4, "d")], "id long, value string"))
+    got = sorted(map(tuple, t.to_df(spark).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # reload from disk: mapping survives in table properties
+    from icelake_spark.table import IcebergTable
+    t2 = IcebergTable.load(t.path)
+    assert sorted(map(tuple, t2.to_df(spark).collect())) == got
+    with pytest.raises(KeyError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("id", "value")
