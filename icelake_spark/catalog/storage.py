@@ -185,3 +185,17 @@ def commit_metadata(table_path: str, metadata: TableMetadata, new_version: int) 
         f.write(str(new_version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return new_version
+
+
+def register_views(catalog: "StorageCatalog", spark, namespace: str = "",
+                   replace_dots: str = "_") -> list[str]:
+    """Expose every table of the warehouse to spark.sql as a temp view
+    (`db.t` → view `db_t`). Views are lazy DataFrames over the current
+    snapshot — re-register after commits that should become visible.
+    Returns the created view names."""
+    created = []
+    for ident in catalog.list_tables(namespace):
+        view = ident.replace(".", replace_dots)
+        catalog.load_table(ident).to_df(spark).createOrReplaceTempView(view)
+        created.append(view)
+    return created

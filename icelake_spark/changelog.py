@@ -212,3 +212,49 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
                          how="left_semi"))
         out = matched if out is None else out.unionByName(matched)
     return out if out is not None else df.limit(0)
+
+
+# ------------------------------------------------------- CDC replication
+
+
+SYNC_PROP_PREFIX = "cdc.synced-snapshot-id."
+
+
+def apply_changes(source: IcebergTable, target: IcebergTable,
+                  spark: SparkSession, key_cols: list[str],
+                  sync_id: str = "default") -> int:
+    """Incremental table-to-table CDC replication: read the source's
+    changelog since the last sync point and apply it to the target as
+    one merge-delta commit (inserts upsert by key, deletes remove by
+    key). The sync point persists as a target table property, so the
+    pipeline is restartable and each call ships only new commits.
+    Returns the number of change rows applied.
+
+    The batch MERGE semantics require changes ordered by commit:
+    _commit_order breaks ties so a delete+reinsert of the same key in
+    different commits lands in the right final state.
+    """
+    from .delta import OP_DELETE, OP_INSERT, merge_delta
+
+    last_raw = target.metadata.properties.get(SYNC_PROP_PREFIX + sync_id)
+    last = int(last_raw) if last_raw else None
+    current = source.current_snapshot()
+    if current is None or (last is not None
+                           and current.snapshot_id == last):
+        return 0
+    ch = changes(source, spark, from_snapshot_id=last)
+    cols = [f.name for f in source.schema().to_spark().fields]
+    # within one commit the delete of a key precedes its re-insert
+    # (upsert = delete old + insert new); order deletes first so the
+    # batch's last-wins semantics land on the inserted row
+    batch = (ch.orderBy(COMMIT_ORDER,
+                        F.when(F.col(CHANGE_TYPE) == "delete", 0).otherwise(1))
+             .select(*cols,
+                     F.when(F.col(CHANGE_TYPE) == "insert", OP_INSERT)
+                     .otherwise(OP_DELETE).alias("_op")))
+    n = batch.count()
+    if n:
+        merge_delta(target, batch, key_cols=key_cols, op_col="_op")
+    target.set_properties(
+        {SYNC_PROP_PREFIX + sync_id: str(current.snapshot_id)})
+    return n

@@ -86,3 +86,28 @@ def test_changelog_cow_delete_multi_file_is_minimal(spark, warehouse):
     # leave no survivors to re-insert
     assert dels == [6, 7]
     assert ins == []
+
+
+def test_apply_changes_replicates_source(spark, warehouse):
+    from icelake_spark.changelog import apply_changes
+
+    src_df = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                   "id long, v string")
+    s = warehouse.create_table("db.src", Schema.from_spark(src_df.schema))
+    tgt = warehouse.create_table("db.tgt", Schema.from_spark(src_df.schema))
+    s.append(src_df)
+    s.delete_where(spark, "id < 2")
+
+    n = apply_changes(s, tgt, spark, key_cols=["id"])
+    assert n == 12  # 10 inserts + 2 deletes
+    assert sorted(map(tuple, tgt.to_df(spark).collect())) == \
+        sorted(map(tuple, s.to_df(spark).collect()))
+
+    # incremental: only the new commit ships; no-op afterwards
+    s.upsert(spark.createDataFrame([(5, "NEW"), (77, "v77")],
+                                   "id long, v string"), key_cols=["id"])
+    n2 = apply_changes(s, tgt, spark, key_cols=["id"])
+    assert n2 == 3  # delete old 5 + insert NEW + insert 77
+    assert sorted(map(tuple, tgt.to_df(spark).collect())) == \
+        sorted(map(tuple, s.to_df(spark).collect()))
+    assert apply_changes(s, tgt, spark, key_cols=["id"]) == 0

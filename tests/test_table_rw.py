@@ -175,3 +175,16 @@ def test_stats_pruning_scan(spark, warehouse):
     alldata, _, _ = t.new_scan().plan_files()
     assert len(data) < len(alldata)
     assert scan.to_df(spark).count() == 25000
+
+
+def test_register_views_spark_sql(spark, warehouse):
+    from icelake_spark.catalog.storage import register_views
+    from icelake_spark.types import Schema
+
+    src = spark.range(20).selectExpr("id", "id % 3 as g")
+    warehouse.create_table("db.sqlt", Schema.from_spark(src.schema)).append(src)
+    views = register_views(warehouse, spark)
+    assert "db_sqlt" in views
+    got = spark.sql(
+        "SELECT g, COUNT(*) AS n FROM db_sqlt GROUP BY g ORDER BY g").collect()
+    assert [(r.g, r.n) for r in got] == [(0, 7), (1, 7), (2, 6)]
