@@ -65,8 +65,13 @@ class IcelakeDataSource(DataSource):
         # output to nullable, and the streaming runner asserts the Arrow
         # batches it prefetches round-trip to EXACTLY this schema — field
         # metadata (our Iceberg column ids) would not survive Arrow
-        return StructType([StructField(f.name, f.dataType, True)
-                           for f in t.schema().to_spark().fields])
+        fields = [StructField(f.name, f.dataType, True)
+                  for f in t.schema().to_spark().fields]
+        if self.options.get("changelog", "").lower() in ("true", "1"):
+            from pyspark.sql.types import StringType
+
+            fields.append(StructField("_change_type", StringType(), True))
+        return StructType(fields)
 
     def reader(self, schema) -> "IcelakeReader":
         return IcelakeReader(self.options, schema)
@@ -235,6 +240,10 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                         pa.Table.from_arrays(cols, names=names).to_pylist())
         return rows
 
+    @property
+    def _changelog(self) -> bool:
+        return self.options.get("changelog", "").lower() in ("true", "1")
+
     def read(self, start: dict):
         table = self._table()
         end_seq = table.metadata.last_sequence_number
@@ -242,16 +251,165 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         if end_seq <= start_seq:
             # must be a true iterator: the no-advance path probes next()
             return iter(()), start
+        if self._changelog:
+            return (self._change_rows(table, start_seq, end_seq),
+                    {"seq": end_seq})
         files = self._files_between(table, start_seq, end_seq)
         return self._rows(files), {"seq": end_seq}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        files = self._files_between(self._table(), int(start["seq"]),
+        table = self._table()
+        if self._changelog:
+            return self._change_rows(table, int(start["seq"]),
+                                     int(end["seq"]))
+        files = self._files_between(table, int(start["seq"]),
                                     int(end["seq"]))
         return self._rows(files)
 
     def commit(self, end: dict) -> None:
         pass
+
+    # --------------------------------------------------- changelog mode
+
+    def _change_rows(self, table, start_seq: int, end_seq: int) -> list[tuple]:
+        """CDC micro-batch: rows + _change_type for every snapshot in
+        (start_seq, end_seq]. Driver-side pyarrow (the simple-reader
+        contract caches each batch on the driver anyway):
+
+        - append snapshots → added files' rows as inserts
+        - added pos-delete files → referenced rows (pyarrow take) as
+          deletes, skipping positions already deleted earlier
+        - added eq-delete files → key-matched rows of strictly-older
+          data files as deletes
+        CoW rewrites are not decoded by the STREAMING reader (batch
+        `IcebergTable.changes` covers them); tables streamed as CDC
+        should keep `write.delete.mode=merge-on-read` (the default).
+        """
+        import pyarrow.parquet as pq
+
+        from .types.manifest import (MANIFEST_CONTENT_DELETES, STATUS_ADDED,
+                                     read_manifest, read_manifest_list)
+
+        names = [f.name for f in self.spark_schema.fields
+                 if f.name != "_change_type"]
+
+        # (file,pos) pairs deleted by snapshots at/below a sequence
+        def pos_deletes_before(seq: int) -> set[tuple[str, int]]:
+            dead: set[tuple[str, int]] = set()
+            for s in table.metadata.snapshots:
+                if s.sequence_number >= seq:
+                    continue
+                for mle in read_manifest_list(table._resolve(s.manifest_list)):
+                    if (mle.added_snapshot_id != s.snapshot_id
+                            or mle.content != MANIFEST_CONTENT_DELETES):
+                        continue
+                    _, entries = read_manifest(table._resolve(mle.manifest_path))
+                    for e in entries:
+                        if e.data_file.content != 1:
+                            continue
+                        t = pq.read_table(table._resolve(e.data_file.file_path))
+                        for src, pos in zip(t["file_path"].to_pylist(),
+                                            t["pos"].to_pylist()):
+                            dead.add((_norm(src), pos))
+            return dead
+
+        def file_rows(path, positions=None, skip: set | None = None):
+            t = pq.read_table(path, columns=names)
+            idx = (range(t.num_rows) if positions is None else positions)
+            out = []
+            for i in idx:
+                if skip and (_norm(path), i) in skip:
+                    continue
+                out.append(tuple(t[n][i].as_py() for n in names))
+            return out
+
+        rows: list[tuple] = []
+        snaps = sorted(table.metadata.snapshots,
+                       key=lambda s: s.sequence_number)
+        for s in snaps:
+            if not (start_seq < s.sequence_number <= end_seq):
+                continue
+            op = (s.summary or {}).get("operation", "append")
+            if op == "replace":
+                continue
+            added_data, added_pos, added_eq = [], [], []
+            for mle in read_manifest_list(table._resolve(s.manifest_list)):
+                if mle.added_snapshot_id != s.snapshot_id:
+                    continue
+                _, entries = read_manifest(table._resolve(mle.manifest_path))
+                for e in entries:
+                    if e.status != STATUS_ADDED:
+                        continue
+                    p = table._resolve(e.data_file.file_path)
+                    seq = (e.sequence_number if e.sequence_number is not None
+                           else mle.sequence_number)
+                    if e.data_file.content == 0:
+                        added_data.append((p, seq))
+                    elif e.data_file.content == 1:
+                        added_pos.append((p, seq))
+                    else:
+                        added_eq.append((p, seq))
+
+            same_commit_deleted: set[tuple[str, int]] = set()
+            for p, _seq in added_pos:
+                t = pq.read_table(p)
+                for src, pos in zip(t["file_path"].to_pylist(),
+                                    t["pos"].to_pylist()):
+                    same_commit_deleted.add((_norm(src), pos))
+
+            for p, _seq in added_data:
+                for r in file_rows(p, skip=same_commit_deleted):
+                    rows.append(r + ("insert",))
+
+            if added_pos or added_eq:
+                prior_dead = pos_deletes_before(s.sequence_number)
+                # data files alive before this snapshot, with their seqs
+                older: dict[str, int] = {}
+                parent = next((x for x in snaps
+                               if x.snapshot_id == s.parent_snapshot_id), None)
+                if parent is not None:
+                    for mle in read_manifest_list(
+                            table._resolve(parent.manifest_list)):
+                        if mle.content == MANIFEST_CONTENT_DELETES:
+                            continue
+                        _, entries = read_manifest(
+                            table._resolve(mle.manifest_path))
+                        for e in entries:
+                            if not e.is_alive or e.data_file.content != 0:
+                                continue
+                            seq = (e.sequence_number
+                                   if e.sequence_number is not None
+                                   else mle.sequence_number)
+                            older[table._resolve(e.data_file.file_path)] = seq
+
+                for p, _seq in added_pos:
+                    t = pq.read_table(p)
+                    by_src: dict[str, list[int]] = {}
+                    for src, pos in zip(t["file_path"].to_pylist(),
+                                        t["pos"].to_pylist()):
+                        by_src.setdefault(_norm(src), []).append(pos)
+                    for src, positions in by_src.items():
+                        if src not in older:
+                            continue  # same-commit churn already excluded
+                        for r in file_rows(src, sorted(positions),
+                                           skip=prior_dead):
+                            rows.append(r + ("delete",))
+
+                for p, del_seq in added_eq:
+                    kt = pq.read_table(p)
+                    key_cols = kt.column_names
+                    keys = {tuple(kt[c][i].as_py() for c in key_cols)
+                            for i in range(kt.num_rows)}
+                    ki = [names.index(c) for c in key_cols]
+                    for src, dseq in older.items():
+                        if dseq >= del_seq:
+                            continue
+                        for i, r in enumerate(file_rows(src)):
+                            if (_norm(src), i) in prior_dead:
+                                continue
+                            if tuple(r[j] for j in ki) in keys:
+                                rows.append(r + ("delete",))
+        return rows
 
 
 @dataclass

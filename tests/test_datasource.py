@@ -205,3 +205,42 @@ def test_stream_sink_replayed_epoch_is_dropped(spark, warehouse):
     w.commit(staged_batch(), batchId=1)
     t = t.refresh()
     assert t.to_df(spark).count() == 20
+
+
+def test_stream_changelog_emits_cdc_events(spark, warehouse, tmp_path):
+    """readStream.format('icelake').option('changelog', 'true'): each
+    micro-batch carries insert AND delete events; the accumulated stream
+    equals the batch changelog (IcebergTable.changes)."""
+    from icelake_spark import datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                                "id long, v string")
+    t = warehouse.create_table("db.cdcstream", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+
+    q = (spark.readStream.format("icelake")
+         .option("path", t.path).option("changelog", "true").load()
+         .writeStream.format("memory").queryName("cdcev")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    assert spark.sql(
+        "select count(*) n from cdcev where _change_type='insert'"
+    ).collect()[0].n == 20
+
+    t.delete_where(spark, "id < 3")
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(5, "NEW"), (99, "v99")],
+                                   "id long, v string"), key_cols=["id"])
+    t = t.refresh()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.id, r.v, r._change_type)
+                 for r in spark.sql("select * from cdcev").collect())
+    want = sorted((r.id, r.v, r._change_type)
+                  for r in t.changes(spark).collect())
+    assert got == want
