@@ -57,6 +57,24 @@ def _added_in(table: IcebergTable, snap):
     return data, pos, eq
 
 
+def _read(spark, table, spark_schema, tasks, with_position=False) -> DataFrame:
+    """read_data_files honoring the rename name-mapping (files written
+    before a rename_column resolve through their former column name)."""
+    scan = TableScan(table)
+    read_schema, coalesce_map = scan._with_name_mapping(table.schema(),
+                                                        spark_schema)
+    df = read_data_files(spark, read_schema, tasks,
+                         with_position=with_position)
+    if coalesce_map:
+        keep = [c for c in df.columns
+                if c in {f.name for f in spark_schema.fields}
+                or c.startswith("__")]
+        df = df.select(*[
+            F.coalesce(c, *coalesce_map[c]).alias(c)
+            if c in coalesce_map else F.col(c) for c in keep])
+    return df
+
+
 def _with_meta(df: DataFrame, change: str, snap, order: int,
                cols: list[str]) -> DataFrame:
     return df.select(*cols,
@@ -105,8 +123,8 @@ def changes(table: IcebergTable, spark: SparkSession,
 
         # inserts: added files, minus rows pos-deleted by the SAME commit
         if added_data:
-            ins = read_data_files(spark, spark_schema, added_data,
-                                  with_position=bool(added_pos))
+            ins = _read(spark, table, spark_schema, added_data,
+                        with_position=bool(added_pos))
             if added_pos:
                 scan = TableScan(table, snapshot_id=snap.snapshot_id)
                 ins = scan._apply_deletes(spark, ins, added_data,
@@ -125,16 +143,16 @@ def changes(table: IcebergTable, spark: SparkSession,
                         .distinct().collect()}
                 hit = [t for t in pdata if t.data_file.file_path in srcs]
                 if hit:
-                    d = read_data_files(spark, spark_schema, hit,
-                                        with_position=True)
+                    d = _read(spark, table, spark_schema, hit,
+                              with_position=True)
                     if ppos or peq:
                         d = parent_scan._apply_deletes(spark, d, hit, ppos, peq,
                                                        drop_helpers=False)
                     deleted = _semi_join_pos(spark, d, hit, added_pos)
                     parts.append(_with_meta(deleted, "delete", snap, order, cols))
             if added_eq:
-                d = read_data_files(spark, spark_schema, pdata,
-                                    with_position=True)
+                d = _read(spark, table, spark_schema, pdata,
+                          with_position=True)
                 if ppos or peq:
                     d = parent_scan._apply_deletes(spark, d, pdata, ppos, peq,
                                                    drop_helpers=False)
@@ -150,8 +168,8 @@ def changes(table: IcebergTable, spark: SparkSession,
             removed = [t for t in pdata
                        if t.data_file.file_path not in live_now]
             if removed:
-                d = read_data_files(spark, spark_schema, removed,
-                                    with_position=bool(ppos or peq))
+                d = _read(spark, table, spark_schema, removed,
+                          with_position=bool(ppos or peq))
                 if ppos or peq:
                     d = parent_scan._apply_deletes(spark, d, removed, ppos, peq)
                 parts.append(_with_meta(d, "delete", snap, order, cols))

@@ -111,3 +111,16 @@ def test_apply_changes_replicates_source(spark, warehouse):
     assert sorted(map(tuple, tgt.to_df(spark).collect())) == \
         sorted(map(tuple, s.to_df(spark).collect()))
     assert apply_changes(s, tgt, spark, key_cols=["id"]) == 0
+
+
+def test_changelog_after_rename_resolves_old_files(spark, warehouse):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.clren", Schema.from_spark(src.schema))
+    t.append(src)
+    t.rename_column("v", "val")
+    t.delete_where(spark, "id = 1")
+    got = sorted((r.id, r.val, r._change_type)
+                 for r in t.changes(spark).collect())
+    # pre-rename file contents resolve through the name mapping
+    assert got == [(1, "a", "delete"), (1, "a", "insert"),
+                   (2, "b", "insert")]
