@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import content_md5
+from .text import content_md5, sum_cols
 from .util import fanout
 
 
@@ -156,16 +156,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array_distinct(words_col(text_col))).alias("__w"))
     w = w.withColumn("__h", F.xxhash64("__w"))
-    aggs = [F.sum(F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
-                         1).otherwise(-1)).alias(f"b{i}")
+    # branch-free forms keep the 64-agg codegen tree small: ±1 vote is
+    # (bit*2 - 1); reassembly shifts the vote sign bit directly (shifting
+    # 1L by 63 yields -2^63, the correct two's-complement bit value)
+    aggs = [F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+                  * 2 - 1).alias(f"b{i}")
             for i in range(bits)]
     agg = w.groupBy(id_col).agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        # bit 63 as signed long is -2^63 (1 << 63 overflows int64)
-        bit_val = -(1 << 63) if i == 63 else (1 << i)
-        sim = sim + F.when(F.col(f"b{i}") > 0,
-                           F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    sim = sum_cols([
+        F.shiftleft((F.col(f"b{i}") > 0).cast("long"), i)
+        for i in range(bits)]).cast("long")
     return agg.select(id_col, sim.alias("simhash"))
 
 
