@@ -39,6 +39,7 @@ HEADLINE = [
     "bm25_topk",
     "encode_documents",
     "quantize_embeddings",
+    "curation_pipeline",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

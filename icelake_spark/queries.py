@@ -1926,6 +1926,108 @@ def _char_entropy_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def curation_pipeline_q(spark, sf_dir):
+    """End-to-end corpus curation, composed from the individual
+    operators: quality gate (composite score + repetition keep) →
+    exact dedup (min-id per content hash) → fuzzy dedup (n-gram Jaccard
+    pairs closed into clusters, keep the min id) → content-addressed
+    train/eval split → per-split summary. One declarative plan; every
+    stage is the same oracle-checked operator exposed standalone."""
+    from .ops.dedup import dedup_clusters, dedup_exact, ngram_jaccard_pairs
+    from .ops.sampling import hash_split
+    from .ops.text import analyze_documents, repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    quality = analyze_documents(docs).select("doc_id", "quality", "n_words")
+    rep = repetition_metrics(docs).select("doc_id", "keep")
+    exact = dedup_exact(docs).select("doc_id")
+    clusters = dedup_clusters(
+        docs, ngram_jaccard_pairs(docs, n=3, threshold=0.2))
+    survivors = (docs.select("doc_id", "text")
+                 .join(quality, "doc_id").join(rep, "doc_id")
+                 .join(exact, "doc_id", "left_semi")
+                 .join(clusters.where(F.col("doc_id") == F.col("cluster_id"))
+                       .select("doc_id"), "doc_id", "left_semi")
+                 .where((F.col("quality") >= 0.5) & F.col("keep")))
+    out = hash_split(survivors, "doc_id", train_frac=0.8)
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("total_words"))
+            .orderBy("split"))
+
+
+def _curation_pipeline_sql() -> str:
+    from .ops.sampling import split_bucket_sql
+    from .ops.text import quality_score_sql, word_count_sql
+
+    # the fuzzy-dedup CTE chain is DEDUP_CLUSTERS_SQL's body
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT a, b FROM inter
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+fuzzy_keep AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
+  WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+wc AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+rep AS (
+  SELECT words.doc_id,
+         (ROUND(CAST(top_word AS DOUBLE) / n_words, 6) <= 0.10
+          AND ROUND(COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0), 6) <= 0.05
+          AND ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) <= 0.80) AS keep
+  FROM (SELECT doc_id, len(w) AS n_words, w FROM wc) words
+  JOIN (SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS top_word
+        FROM (SELECT doc_id, word, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM wc)
+              GROUP BY doc_id, word)
+        GROUP BY doc_id) wcagg ON words.doc_id = wcagg.doc_id
+  LEFT JOIN (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+             FROM (SELECT doc_id, bg, COUNT(*) AS c
+                   FROM (SELECT doc_id,
+                                unnest([w[i] || ' ' || w[i+1]
+                                        for i in generate_series(1, len(w) - 1)]) AS bg
+                         FROM wc WHERE len(w) >= 2)
+                   GROUP BY doc_id, bg)
+             GROUP BY doc_id) bc ON words.doc_id = bc.doc_id),
+survivors AS (
+  SELECT d.doc_id, {word_count_sql('d.text')} AS n_words
+  FROM documents d
+  JOIN rep ON rep.doc_id = d.doc_id AND rep.keep
+  WHERE {quality_score_sql('d.text')} >= 0.5
+    AND d.doc_id IN (SELECT doc_id FROM exact_keep)
+    AND d.doc_id IN (SELECT doc_id FROM fuzzy_keep))
+SELECT CASE WHEN {split_bucket_sql('doc_id')} < 52428
+            THEN 'train' ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs, SUM(n_words) AS total_words
+FROM survivors GROUP BY 1 ORDER BY split
+"""
+
+
 BM25_TERMS = ["spark", "hash", "merge", "window", "scan"]
 
 
@@ -2292,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": repetition_metrics_q,
         "redact_pii": redact_pii_q,
         "char_entropy": char_entropy_q,
+        "curation_pipeline": curation_pipeline_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "ann_topk": ann_topk_q,
         "embedding_neardup": embedding_neardup_q,
@@ -2379,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _text.repetition_metrics_sql(),
         "redact_pii": _redact_pii_sql(),
         "char_entropy": _char_entropy_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —

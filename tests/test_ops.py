@@ -353,3 +353,16 @@ def test_char_entropy_extremes(spark):
     assert e[1] == 0.0
     assert abs(e[2] - 4.70044) < 1e-4
     assert e[3] == 0.0
+
+
+def test_curation_pipeline_summary(spark):
+    from icelake_spark.queries import curation_pipeline_q
+
+    rows = {r.split: (r.n_docs, r.total_words)
+            for r in curation_pipeline_q(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) <= {"train", "eval"} and rows
+    # the gate keeps a nontrivial fraction and the split is ~80/20
+    total = sum(n for n, _ in rows.values())
+    assert total > 50
+    if "train" in rows and "eval" in rows:
+        assert rows["train"][0] > rows["eval"][0]
