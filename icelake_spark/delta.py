@@ -295,3 +295,43 @@ def update_rows(table, spark, condition: str,
     if not has_pos and not non_pq_files:
         return
     tx.commit("overwrite")
+
+
+def merge(table, spark, source: DataFrame, on: list[str],
+          when_matched: str | None = "update",
+          matched_condition: str | None = None,
+          when_not_matched: str | None = "insert") -> None:
+    """MERGE INTO semantics over the delta writer (the SQL-DML face of
+    W7/W8): source rows whose keys exist in the target are updated
+    (replace: eq-delete old + insert new) or deleted per `when_matched`
+    (optionally gated by `matched_condition`, evaluated against the
+    SOURCE row); keys absent from the target insert per
+    `when_not_matched`. One transactional commit.
+
+    The matched/not-matched split is a broadcast semi/anti join against
+    the target's distinct keys — the only target-side data read is the
+    key projection, so a small merge into a huge table never scans
+    non-key columns.
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError("when_matched must be update|delete|None")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be insert|None")
+    existing = table.to_df(spark).select(*on).distinct()
+    matched = source.join(existing, on=on, how="left_semi")
+    if matched_condition:
+        matched = matched.where(matched_condition)
+    parts = []
+    if when_matched == "update":
+        parts.append(matched.withColumn("_op", F.lit(OP_INSERT)))
+    elif when_matched == "delete":
+        parts.append(matched.withColumn("_op", F.lit(OP_DELETE)))
+    if when_not_matched == "insert":
+        not_matched = source.join(existing, on=on, how="left_anti")
+        parts.append(not_matched.withColumn("_op", F.lit(OP_INSERT)))
+    if not parts:
+        return
+    batch = parts[0]
+    for p in parts[1:]:
+        batch = batch.unionByName(p)
+    merge_delta(table, batch, key_cols=on, op_col="_op")

@@ -1582,6 +1582,35 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def iceberg_snapshots_meta(spark, sf_dir):
+    """X4 metadata tables: the snapshot history (sequence, operation
+    classification, running record totals) after append → MoR delete →
+    compaction. Values are deterministic (nation is a fixed 25 rows at
+    every SF), so the history itself is oracle-checked."""
+    from .maintenance import rewrite_data_files
+    from .types import Schema
+
+    n = load(spark, sf_dir, "nation")
+    t = _tmp_catalog().create_table("q.nation_meta", Schema.from_spark(n.schema))
+    t.append(n)
+    t.delete_where(spark, "n_nationkey < 5")
+    rewrite_data_files(t, spark)
+    rows = [(s.sequence_number, s.summary["operation"],
+             int(s.summary["total-records"]))
+            for s in sorted(t.metadata.snapshots,
+                            key=lambda s: s.sequence_number)]
+    return spark.createDataFrame(
+        rows, "sequence_number long, operation string, total_records long")
+
+
+ICEBERG_SNAPSHOTS_META_SQL = """
+SELECT * FROM (VALUES (1, 'append', 25), (2, 'delete', 25),
+                      (3, 'replace', 20))
+       AS t(sequence_number, operation, total_records)
+ORDER BY sequence_number
+"""
+
+
 def iceberg_time_travel(spark, sf_dir):
     """X4: snapshot-pinned read after later commits."""
     from .types import Schema
@@ -2374,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert": iceberg_upsert,
         "iceberg_changelog": iceberg_changelog,
         "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_compaction": iceberg_compaction,
@@ -2462,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_upsert": ICEBERG_UPSERT_SQL,
         "iceberg_changelog": ICEBERG_CHANGELOG_SQL,
         "iceberg_zorder": ICEBERG_ZORDER_SQL,
+        "iceberg_snapshots_meta": ICEBERG_SNAPSHOTS_META_SQL,
         "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
         "iceberg_partition_prune": ICEBERG_PRUNE_SQL,
         "iceberg_compaction": ICEBERG_COMPACTION_SQL,

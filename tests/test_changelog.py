@@ -124,3 +124,29 @@ def test_changelog_after_rename_resolves_old_files(spark, warehouse):
     # pre-rename file contents resolve through the name mapping
     assert got == [(1, "a", "delete"), (1, "a", "insert"),
                    (2, "b", "insert")]
+
+
+def test_merge_into_semantics(spark, warehouse):
+    from icelake_spark.delta import merge
+
+    src0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, v string, qty long")
+    t = warehouse.create_table("db.mrg", Schema.from_spark(src0.schema))
+    t.append(src0)
+
+    incoming = spark.createDataFrame(
+        [(2, "B2", 99), (3, "C2", 5), (4, "d", 40)],
+        "id long, v string, qty long")
+    # update matched rows only when qty > 10; insert unmatched
+    merge(t, spark, incoming, on=["id"],
+          when_matched="update", matched_condition="qty > 10",
+          when_not_matched="insert")
+    got = sorted(map(tuple, t.to_df(spark).collect()))
+    assert got == [(1, "a", 10), (2, "B2", 99), (3, "c", 30), (4, "d", 40)]
+
+    # matched-delete mode removes keys present in the source
+    merge(t, spark, incoming.where("id = 2"), on=["id"],
+          when_matched="delete", when_not_matched=None)
+    got = sorted(r.id for r in t.to_df(spark).collect())
+    assert got == [1, 3, 4]
