@@ -42,7 +42,8 @@ def rewrite_data_files(table, spark: SparkSession,
     if spec.is_unpartitioned:
         df = df.repartition(int(n_parts))
     files = write_data_files(table, df,
-                             max_records_per_file=target_records_per_file)
+                             max_records_per_file=target_records_per_file,
+                             target_file_size=target_file_size)
     tx = Transaction(table)
     tx.remove_all_existing()
     tx.add_data_files(files)
@@ -304,7 +305,7 @@ def rewrite_zorder(table, spark: SparkSession, cols: list[str],
            .repartitionByRange(n_parts, F.col("__z"))
            .sortWithinPartitions("__z")
            .drop("__z"))
-    files = write_data_files(table, zdf)
+    files = write_data_files(table, zdf, target_file_size=target_file_size)
     tx = Transaction(table)
     tx.remove_all_existing()
     tx.add_data_files(files)

@@ -120,6 +120,8 @@ def write_data_files(
 
     writer_df = df
     pnames: list[str] = []
+    if spec.is_unpartitioned:
+        writer_df = _coalesce_to_target(writer_df, props, target_file_size)
     if not spec.is_unpartitioned:
         pcols = partition_columns(spec, schema)
         pnames = [_PART_PREFIX + pf.name for pf in spec.fields]
@@ -193,6 +195,36 @@ def write_data_files(
 # above this file count, footer-stat collection becomes a Spark job
 # (SURVEY §7 risk 8: planning state must not be bounded by the driver)
 DISTRIBUTED_STATS_THRESHOLD = 512
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
+# Catalyst's sizeInBytes is an in-memory row estimate; parquet encodes
+# roughly this much smaller
+_PARQUET_RATIO = 3
+
+
+def _coalesce_to_target(df: DataFrame, props, target_file_size):
+    """Right-size an unpartitioned write: a source with many small
+    partitions would emit one tiny file per partition (the small-files
+    problem the reference's rolling writer bounds from the other side).
+    Estimate output bytes from Catalyst stats and coalesce DOWN — never
+    up, never a shuffle — when the input is fragmented ≥2× beyond the
+    byte target. Partitioned writes are already sized by their
+    repartition on the transform columns."""
+    tfs = target_file_size
+    if tfs is None and PROP_TARGET_FILE_SIZE in props:
+        tfs = int(props[PROP_TARGET_FILE_SIZE])
+    if tfs is None:
+        tfs = DEFAULT_TARGET_FILE_SIZE
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    want = max(1, (est + tfs * _PARQUET_RATIO - 1) // (tfs * _PARQUET_RATIO))
+    if cur > want * 2:
+        return df.coalesce(int(want))
+    return df
 
 
 def _build_data_files_distributed(table, paths, stage, schema, result_types,

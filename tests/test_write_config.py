@@ -127,3 +127,26 @@ def test_orc_native_write_roundtrip_and_delete(spark, tmp_path):
     assert t.to_df(spark).count() == 40
     _, pos, eq = t.new_scan().plan_files()
     assert not pos and not eq  # no delete files: files were rewritten
+
+
+def test_unpartitioned_write_coalesces_small_files(spark, tmp_path):
+    from icelake_spark.catalog import StorageCatalog
+    from icelake_spark.types import Schema
+
+    cat = StorageCatalog(str(tmp_path))
+    # tiny data across 32 source partitions -> ONE file, not 32
+    src = spark.range(100).selectExpr("id", "cast(id as string) v")
+    t = cat.create_table("db.co", Schema.from_spark(src.schema))
+    t.append(src)
+    files = [f.data_file for f in t.new_scan().plan_files()[0]]
+    assert len(files) == 1 and files[0].record_count == 100
+    # a small byte target still splits big data (coalesce never merges
+    # below what the target demands)
+    big = spark.range(200000).selectExpr(
+        "id", "md5(cast(id as string)) payload")
+    t2 = cat.create_table(
+        "db.co2", Schema.from_spark(big.schema),
+        properties={"write.target-file-size-bytes": str(64 * 1024)})
+    t2.append(big)
+    files2 = t2.new_scan().plan_files()[0]
+    assert len(files2) > 4
