@@ -257,7 +257,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 
 
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """(node, component) for every node in the edge set; component = the
     min node id reachable through the undirected pair graph.
 
@@ -278,6 +279,39 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                      F.col(dst).cast("long").alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # near-dup pair sets are usually a tiny fraction of the corpus; below
+    # the threshold a driver-side union-find replaces 3+ rounds of
+    # join/checkpoint fixed overhead (each ~1 s of scheduling even on 256
+    # edges). The distributed loop below remains the big-graph path.
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        pairs = e.collect()
+        for r in pairs:
+            parent.setdefault(r.u, r.u)
+            parent.setdefault(r.v, r.v)
+            ru, rv = find(r.u), find(r.v)
+            if ru != rv:
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        if not rows:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            return spark.createDataFrame(
+                [], StructType([StructField("node", LongType()),
+                                StructField("component", LongType())]))
+        return spark.createDataFrame(rows, "node long, component long")
     labels = (e.select("u").distinct()
               .select("u", F.col("u").alias("label")).localCheckpoint())
     for _ in range(max_iter):

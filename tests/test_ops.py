@@ -209,10 +209,14 @@ def test_connected_components_chain_cycle_singleton(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5),
          (10, 11), (11, 12), (12, 10), (20, 21)], "a long, b long")
-    comp = {r.node: r.component
-            for r in connected_components(edges).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # both paths must agree: driver union-find (small graphs) and the
+    # distributed label-propagation loop (driver_threshold=0 forces it)
+    for thr in (1_000_000, 0):
+        comp = {r.node: r.component
+                for r in connected_components(edges,
+                                              driver_threshold=thr).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                        10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 30]],
                                  "doc_id long")
     clusters = {r.doc_id: r.cluster_id
@@ -226,7 +230,7 @@ def test_connected_components_long_chain_converges(spark):
     # 60-node path needs pointer contraction to converge in 25 rounds
     edges = spark.createDataFrame([(i, i + 1) for i in range(60)],
                                   "a long, b long")
-    comp = connected_components(edges)
+    comp = connected_components(edges, driver_threshold=0)
     assert comp.select("component").distinct().count() == 1
 
 
