@@ -47,3 +47,64 @@ def sample_stratified(df: DataFrame, strata_col: str,
     Spark; not engine-portable — validated by statistical bounds, not an
     oracle)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def pack_documents(df: DataFrame, budget: int = 2048,
+                   token_col: str | None = None, n_shards: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Concatenate-then-chunk sequence packing (GPT-style pretraining
+    batching): each document gets its start position in a per-shard
+    token stream; bin_id/offset locate it in fixed `budget`-token
+    training sequences (long documents span bins). Output:
+    (doc_id, shard, bin_id, offset, n_tokens).
+
+    A single global concatenation order is inherently sequential, so the
+    corpus is sharded deterministically (doc_id % n_shards) and the
+    running token sum windows PARTITION BY shard — every cumulative sum
+    is an independent partition-local scan, no global single-task
+    window. Deterministic for any engine: shard and order derive only
+    from doc_id.
+    """
+    from pyspark.sql import Window
+
+    from .text import word_count
+
+    tokens = (F.col(token_col) if token_col
+              else word_count(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), tokens.alias("n_tokens"),
+                     (F.col(id_col) % n_shards).alias("shard"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    packed = base.select(
+        id_col, "shard", "n_tokens",
+        (cum - F.col("n_tokens")).alias("__start"))
+    return (packed.select(
+        F.col(id_col), F.col("shard"),
+        F.floor(F.col("__start") / budget).cast("long").alias("bin_id"),
+        (F.col("__start") % budget).alias("offset"),
+        F.col("n_tokens"))
+        .orderBy(id_col))
+
+
+def pack_documents_sql(budget: int = 2048, n_shards: int = 64) -> str:
+    from .text import word_count_sql
+
+    wc = word_count_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({wc} AS BIGINT) AS n_tokens,
+         doc_id % {n_shards} AS shard
+  FROM documents),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS start
+  FROM base)
+SELECT doc_id, shard,
+       CAST(FLOOR(CAST(start AS DOUBLE) / {budget}) AS BIGINT) AS bin_id,
+       start % {budget} AS offset, n_tokens
+FROM packed ORDER BY doc_id
+"""

@@ -2057,6 +2057,21 @@ FROM survivors GROUP BY 1 ORDER BY split
 """
 
 
+def pack_documents_q(spark, sf_dir):
+    """Sequence packing for pretraining: per-shard concatenate-then-
+    chunk positions (bin, offset) at a 2048-token budget."""
+    from .ops.sampling import pack_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=2048, n_shards=64)
+
+
+def _pack_documents_sql() -> str:
+    from .ops.sampling import pack_documents_sql
+
+    return pack_documents_sql(budget=2048, n_shards=64)
+
+
 BM25_TERMS = ["spark", "hash", "merge", "window", "scan"]
 
 
@@ -2425,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": redact_pii_q,
         "char_entropy": char_entropy_q,
         "curation_pipeline": curation_pipeline_q,
+        "pack_documents": pack_documents_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "ann_topk": ann_topk_q,
         "embedding_neardup": embedding_neardup_q,
@@ -2514,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "char_entropy": _char_entropy_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "pack_documents": _pack_documents_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —

@@ -370,3 +370,18 @@ def test_curation_pipeline_summary(spark):
     assert total > 50
     if "train" in rows and "eval" in rows:
         assert rows["train"][0] > rows["eval"][0]
+
+
+def test_pack_documents_stream_positions(spark):
+    from icelake_spark.ops.sampling import pack_documents
+
+    rows = [(i, " ".join(["w"] * n))
+            for i, n in [(0, 100), (64, 120), (128, 90), (1, 50)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           pack_documents(df, budget=128, n_shards=64).collect()}
+    # shard 0 stream: doc0 (100 tokens) then doc64 then doc128
+    assert (out[0].shard, out[0].bin_id, out[0].offset) == (0, 0, 0)
+    assert (out[64].bin_id, out[64].offset) == (0, 100)   # spans bins 0-1
+    assert (out[128].bin_id, out[128].offset) == (1, 92)  # 220 % 128
+    assert (out[1].shard, out[1].bin_id, out[1].offset) == (1, 0, 0)
