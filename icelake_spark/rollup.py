@@ -47,10 +47,13 @@ def create_rollup(catalog, source_table, identifier: str, spark: SparkSession,
 
 
 def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
-    """Incremental refresh: aggregate only rows appended to the source
-    since the last refresh, upsert affected buckets. Returns the number
-    of bucket rows refreshed."""
-    from .streaming import stream_from_table
+    """Incremental refresh: detect the time buckets touched by any
+    change since the last refresh — inserts AND deletes, via the
+    changelog — recompute only those buckets from the source, upsert
+    them, and delete rollup rows whose bucket vanished entirely.
+    Returns the number of bucket rows written (refreshed + deleted)."""
+    from .changelog import changes
+    from .delta import OP_DELETE, OP_INSERT, merge_delta
 
     props = rollup_table.metadata.properties
     last = int(props.get(PROP_SOURCE_SNAPSHOT, "0")) or None
@@ -59,20 +62,27 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
     group_cols = [c for c in props.get("rollup.group-cols", "").split(",") if c]
     value_col = props.get("rollup.value-col") or None
 
-    inc = stream_from_table(spark, source_table, snapshot_id=last)
+    inc = changes(source_table, spark, from_snapshot_id=last)
     if not inc.take(1):
         return 0
     # affected buckets need FULL recomputation (a bucket may span old +
     # new data) — recompute only those buckets from the source
-    new_buckets = (_aggregate(inc, ts_col, bucket, group_cols, value_col)
-                   .select("bucket_start").distinct())
+    touched = (_aggregate(inc, ts_col, bucket, group_cols, value_col)
+               .select("bucket_start").distinct())
     full = _aggregate(source_table.to_df(spark), ts_col, bucket,
                       group_cols, value_col)
-    refreshed = full.join(F.broadcast(new_buckets), on="bucket_start",
+    refreshed = full.join(F.broadcast(touched), on="bucket_start",
                           how="left_semi")
-    n = refreshed.count()
-    rollup_table.upsert(refreshed,
-                        key_cols=["bucket_start"] + group_cols)
+    keys = ["bucket_start"] + group_cols
+    # rollup rows in a touched bucket whose (bucket, keys) no longer
+    # exist in the source — e.g. every row of the group was deleted
+    vanished = (rollup_table.to_df(spark)
+                .join(F.broadcast(touched), on="bucket_start", how="left_semi")
+                .join(refreshed.select(*keys), on=keys, how="left_anti"))
+    batch = (refreshed.withColumn("_op", F.lit(OP_INSERT))
+             .unionByName(vanished.withColumn("_op", F.lit(OP_DELETE))))
+    n = batch.count()
+    merge_delta(rollup_table, batch, key_cols=keys, op_col="_op")
     rollup_table.set_properties({
         PROP_SOURCE_SNAPSHOT: str(source_table.current_snapshot().snapshot_id)})
     return n

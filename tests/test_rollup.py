@@ -35,3 +35,29 @@ def test_rollup_incremental_refresh(spark, warehouse):
     # idempotent: nothing new → no work, state unchanged
     assert refresh_rollup(roll, src, spark) == 0
     assert roll.to_df(spark).count() == expect.count()
+
+
+def test_refresh_applies_source_deletes(spark, warehouse):
+    import datetime as dt
+
+    from icelake_spark.rollup import create_rollup, refresh_rollup
+    from icelake_spark.types import Schema
+
+    rows = [(dt.datetime(2024, 1, 1, h, m), f"u{m % 2}", float(h))
+            for h in range(3) for m in range(10)]
+    src_df = spark.createDataFrame(rows, "ts timestamp, user string, value double")
+    src = warehouse.create_table("db.ev_del", Schema.from_spark(src_df.schema))
+    src.append(src_df)
+    r = create_rollup(warehouse, src, "db.ev_del_rollup", spark,
+                      ts_col="ts", bucket="1 hour", group_cols=["user"],
+                      value_col="value")
+    # delete hour 1 completely and half of hour 2
+    src.delete_where(spark, "hour(ts) = 1")
+    src.delete_where(spark, "hour(ts) = 2 AND user = 'u0'")
+    refresh_rollup(r, src, spark)
+    got = {(row.bucket_start.hour, row.user): row.n
+           for row in r.to_df(spark).collect()}
+    # hour 0 untouched; hour 1 rows fully gone; hour 2 only u1 remains
+    assert got == {(0, "u0"): 5, (0, "u1"): 5, (2, "u1"): 5}
+    # idempotent: nothing to do on a second refresh
+    assert refresh_rollup(r, src, spark) == 0
