@@ -1311,6 +1311,45 @@ ORDER BY hour, event_type
 """
 
 
+def continuous_aggregate(spark, sf_dir):
+    """Hypertable-style continuous aggregate with delete-aware
+    incremental refresh (rollup.py): materialize hourly buckets of
+    events into a rollup Iceberg table, MoR-delete a slice of the
+    source, refresh incrementally (changelog detects affected buckets),
+    return the final rollup — which must equal a fresh aggregation of
+    the remaining source rows (the oracle)."""
+    from .rollup import create_rollup, refresh_rollup
+    from .types import Schema  # noqa: F401 (rollup builds its own schema)
+
+    e = (load(spark, sf_dir, "events")
+         .where(F.col("ts") < "2024-01-08")  # one-week slice keeps the gate fast
+         .select("event_id", "ts", "event_type", "value"))
+    cat = _tmp_catalog()
+    src = cat.create_table("q.ev_src", Schema.from_spark(e.schema))
+    src.append(e)
+    r = create_rollup(cat, src, "q.ev_rollup", spark, ts_col="ts",
+                      bucket="1 hour", group_cols=["event_type"],
+                      value_col="value")
+    src.delete_where(spark, "event_type = 'view' AND hour(ts) < 12")
+    refresh_rollup(r, src, spark)
+    return (r.to_df(spark)
+            .select(F.col("bucket_start"), F.col("event_type"),
+                    F.col("n"),
+                    F.round(F.col("sum_value"), 4).alias("sum_value"))
+            .orderBy("bucket_start", "event_type"))
+
+
+CONTINUOUS_AGGREGATE_SQL = """
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-08'
+  AND NOT (event_type = 'view' AND EXTRACT(hour FROM ts) < 12)
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     """Gap-based sessionization with window functions (the batch twin of
     a streaming session window)."""
@@ -2407,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_date_functions": string_date_functions,
         "train_test_split": train_test_split,
         "events_hourly": events_hourly,
+        "continuous_aggregate": continuous_aggregate,
         "events_sessionize": events_sessionize,
         "events_sliding_windows": events_sliding_windows,
         "events_session_window_builtin": events_session_window_builtin,
@@ -2497,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
         "string_date_functions": STRING_DATE_SQL,
         "train_test_split": TRAIN_TEST_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "continuous_aggregate": CONTINUOUS_AGGREGATE_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
         "events_sliding_windows": EVENTS_SLIDING_SQL,
         "events_session_window_builtin": EVENTS_SESSION_BUILTIN_SQL,
