@@ -845,10 +845,10 @@ def q12_priority_shipping(spark, sf_dir):
 
 Q12_SQL = """
 SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
 GROUP BY 1
@@ -1080,17 +1080,25 @@ def percentiles_by_status(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     pcts = (F.percentile("o_totalprice", F.array(
         F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))))
+    # One percentile aggregate computes all four; flattened to scalar
+    # columns (q25..q95) because array-typed result columns are not
+    # hashable by the driver's pandas canonicalizer.
     return (o.groupBy("o_orderstatus")
-            .agg(F.transform(pcts, lambda x: F.round(x, 6)).alias("quartiles"))
+            .agg(pcts.alias("_p"))
+            .select("o_orderstatus",
+                    F.round(F.col("_p")[0], 6).alias("q25"),
+                    F.round(F.col("_p")[1], 6).alias("q50"),
+                    F.round(F.col("_p")[2], 6).alias("q75"),
+                    F.round(F.col("_p")[3], 6).alias("q95"))
             .orderBy("o_orderstatus"))
 
 
 PERCENTILES_SQL = """
 SELECT o_orderstatus,
-       [ROUND(quantile_cont(o_totalprice, 0.25), 6),
-        ROUND(quantile_cont(o_totalprice, 0.50), 6),
-        ROUND(quantile_cont(o_totalprice, 0.75), 6),
-        ROUND(quantile_cont(o_totalprice, 0.95), 6)] AS quartiles
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS q50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 6) AS q95
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -1279,10 +1287,11 @@ TRAIN_TEST_SQL = """
 WITH s AS (
   SELECT lang, text,
          CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                   AS INT) < CAST(65536 * 0.8 AS INT)
+                   AS INT) < CAST(FLOOR(65536 * 0.8) AS INT)
               THEN 'train' ELSE 'eval' END AS split
   FROM documents)
-SELECT split, lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM s
 GROUP BY split, lang
 ORDER BY split, lang
