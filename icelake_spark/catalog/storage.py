@@ -176,10 +176,15 @@ def commit_metadata(table_path: str, metadata: TableMetadata, new_version: int) 
     tmp = os.path.join(meta_dir, f"{_uuid.uuid4()}.metadata.json.tmp")
     with open(tmp, "w") as f:
         f.write(metadata.to_json())
-    if os.path.exists(final):
+    try:
+        # os.link fails with EEXIST if `final` exists — a true atomic
+        # create-exclusive, unlike exists()+replace() which lets two
+        # concurrent committers both "win" the same version (TOCTOU)
+        os.link(tmp, final)
+    except FileExistsError:
         os.remove(tmp)
         raise CommitConflict(f"{final} already exists")
-    os.replace(tmp, final)
+    os.remove(tmp)
     hint_tmp = os.path.join(meta_dir, f"version-hint.text.tmp-{_uuid.uuid4()}")
     with open(hint_tmp, "w") as f:
         f.write(str(new_version))

@@ -183,6 +183,17 @@ def changes(table: IcebergTable, spark: SparkSession,
     return out
 
 
+_BCAST_DELETE_LIMIT = 32 * 1024 * 1024
+
+
+def _maybe_broadcast(side_df: DataFrame, tasks) -> DataFrame:
+    """Broadcast a delete side only while its planned file bytes stay
+    under the limit (same gate as TableScan._apply_deletes): a bulk
+    delete can exceed broadcast limits, where shuffle is the right plan."""
+    total = sum(t.delete_file.file_size_in_bytes or 0 for t in tasks)
+    return F.broadcast(side_df) if total <= _BCAST_DELETE_LIMIT else side_df
+
+
 def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
                    pos: list[DeleteFileTask]) -> DataFrame:
     """Rows of df matched by the position-delete files (the inverse of
@@ -205,7 +216,7 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
     cond = ((df["__file"] == pos_df["__del_file"])
             & (df["__pos"] == pos_df["__del_pos"])
             & (df["__data_seq"] <= pos_df["__del_seq"]))
-    return df.join(F.broadcast(pos_df), on=cond, how="left_semi")
+    return df.join(_maybe_broadcast(pos_df, pos), on=cond, how="left_semi")
 
 
 def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
@@ -226,8 +237,8 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
         key_cols = keys.columns
         min_seq = min(t.sequence_number for t in tasks)
         matched = (df.where(F.col("__data_seq") < F.lit(min_seq))
-                   .join(F.broadcast(keys.distinct()), on=key_cols,
-                         how="left_semi"))
+                   .join(_maybe_broadcast(keys.distinct(), tasks),
+                         on=key_cols, how="left_semi"))
         out = matched if out is None else out.unionByName(matched)
     return out if out is not None else df.limit(0)
 

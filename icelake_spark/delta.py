@@ -155,16 +155,27 @@ def delete_rows(table, spark, condition: str) -> None:
     """
     from .transaction import Transaction
 
-    from .table import read_data_files
+    from .table import read_data_files as _rdf
 
     scan = table.new_scan(apply_deletes=True)
-    data, _pos, _eq = scan.plan_files(spark)
+    data, pos_t, eq_t = scan.plan_files(spark)
     if not data:
         return
     spark_schema = table.schema().to_spark()
-    raw = read_data_files(spark, spark_schema, data, with_position=True)
 
-    from .table import FileScanTask, read_data_files as _rdf
+    def _live(tasks_, keep_helpers: bool) -> DataFrame:
+        """Read data files with existing pos/eq deletes APPLIED — matching
+        against raw files would resurrect rows already deleted or
+        superseded by an upsert (equality-delete) in a prior snapshot."""
+        df_ = _rdf(spark, spark_schema, tasks_, with_position=True)
+        if pos_t or eq_t:
+            df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
+                                      drop_helpers=not keep_helpers)
+        elif not keep_helpers:
+            df_ = df_.drop("__file", "__pos")
+        return df_
+
+    raw = _live(data, keep_helpers=True)
 
     def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
         """Rewrite `affected` files without the matching rows."""
@@ -173,7 +184,7 @@ def delete_rows(table, spark, condition: str) -> None:
         tasks = [t for t in data
                  if os.path.abspath(t.data_file.file_path) in
                  {os.path.abspath(a) for a in affected}]
-        survivors = (_rdf(spark, spark_schema, tasks)
+        survivors = (_live(tasks, keep_helpers=False)
                      .where(f"NOT ({condition})")
                      .repartition(max(1, len(affected))))
         tx.remove_data_files(affected)
@@ -232,11 +243,23 @@ def update_rows(table, spark, condition: str,
         raise ValueError(f"unknown columns in SET: {sorted(bad)}")
 
     scan = table.new_scan(apply_deletes=True)
-    data, _pos, _eq = scan.plan_files(spark)
+    data, pos_t, eq_t = scan.plan_files(spark)
     if not data:
         return
     spark_schema = table.schema().to_spark()
     types = {f.name: f.dataType for f in spark_schema.fields}
+
+    def _live(tasks_, keep_helpers: bool) -> DataFrame:
+        """Read with existing pos/eq deletes applied (see delete_rows):
+        matching raw files would update rows that are already deleted or
+        superseded, re-appending them at a new sequence number."""
+        df_ = _rdf(spark, spark_schema, tasks_, with_position=True)
+        if pos_t or eq_t:
+            df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
+                                      drop_helpers=not keep_helpers)
+        elif not keep_helpers:
+            df_ = df_.drop("__file", "__pos")
+        return df_
 
     def _apply_set(df: DataFrame, only_matching: bool) -> DataFrame:
         """Project the SET expressions over old values; when rewriting a
@@ -252,13 +275,13 @@ def update_rows(table, spark, condition: str,
                 cols.append(F.col(f.name))
         return df.select(*cols)
 
-    raw = _rdf(spark, spark_schema, data, with_position=True)
+    raw = _live(data, keep_helpers=True)
 
     def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
         keys = {os.path.abspath(a) for a in affected}
         tasks = [t for t in data
                  if os.path.abspath(t.data_file.file_path) in keys]
-        rewritten = _apply_set(_rdf(spark, spark_schema, tasks),
+        rewritten = _apply_set(_live(tasks, keep_helpers=False),
                                only_matching=False) \
             .repartition(max(1, len(affected)))
         tx.remove_data_files(affected)

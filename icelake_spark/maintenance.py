@@ -199,7 +199,10 @@ def rewrite_manifests(table) -> int:
 
     meta_dir = os.path.join(table.path, "metadata")
     commit_uuid = str(_uuid.uuid4())
-    snapshot_id = parent.snapshot_id + 1
+    # max over ALL snapshots, not parent+1: after rollback_to an earlier
+    # snapshot, parent+1 collides with an existing id and snapshot_by_id
+    # would resolve the OLD snapshot (same fix as transaction.py commit)
+    snapshot_id = max((s.snapshot_id for s in md.snapshots), default=0) + 1
     seq = md.last_sequence_number + 1
     schema = md.current_schema()
 

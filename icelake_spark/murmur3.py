@@ -76,7 +76,14 @@ def hash_decimal(unscaled: int) -> int:
     16-byte BE encoding; for negative values Java's BigInteger minimal
     encoding keeps leading 0xFF bytes down to the minimal length).
     """
-    nbytes = max(1, (unscaled.bit_length() + 8) // 8)  # +8 keeps sign bit
+    # minimal two's-complement length, as Java BigInteger.toByteArray():
+    # for v >= 0, bit_length+1 bits (sign) rounded up; for v < 0 the
+    # exact boundary values (-128, -32768, ...) need no extra sign byte,
+    # so measure (|v|-1) = ~v's bit length instead — max(1,...) covers 0
+    if unscaled >= 0:
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+    else:
+        nbytes = max(1, ((~unscaled).bit_length() + 8) // 8)
     data = unscaled.to_bytes(nbytes, "big", signed=True)
     return hash_bytes(data)
 

@@ -160,7 +160,8 @@ idx AS (
   SELECT term, COUNT(DISTINCT doc_id) AS df_t,
          list_sort(list_distinct(list(doc_id)))[1:{max_postings}] AS postings
   FROM toks GROUP BY term)
-SELECT term, df_t, postings FROM idx WHERE df_t >= {min_df} ORDER BY term
+SELECT term, df_t, array_to_string(postings, ',') AS postings_csv
+FROM idx WHERE df_t >= {min_df} ORDER BY term
 """
 
 
@@ -236,7 +237,7 @@ enc AS (
   SELECT toks.doc_id, toks.pos, COALESCE(vocab.token_id, 0) AS tid
   FROM toks LEFT JOIN vocab USING (term))
 SELECT doc_id,
-       list(tid ORDER BY pos) AS ids,
-       SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+       array_to_string(list(tid ORDER BY pos), ',') AS ids_csv,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """

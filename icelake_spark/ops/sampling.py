@@ -105,6 +105,6 @@ packed AS (
   FROM base)
 SELECT doc_id, shard,
        CAST(FLOOR(CAST(start AS DOUBLE) / {budget}) AS BIGINT) AS bin_id,
-       start % {budget} AS offset, n_tokens
+       CAST(start % {budget} AS BIGINT) AS offset, n_tokens
 FROM packed ORDER BY doc_id
 """

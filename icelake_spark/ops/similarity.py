@@ -256,7 +256,7 @@ q AS (
          [LEAST(255, GREATEST(0, CAST(FLOOR((x - ({lo})) / {step}) AS INT)))
           for x in e] AS q
   FROM v)
-SELECT vec_id, q,
+SELECT vec_id, array_to_string(q, ',') AS q_csv,
        ROUND(list_max([ABS(e[i] - (q[i] * {step} + ({lo} + {step} / 2)))
                        for i in generate_series(1, len(e))]), 6) AS recon_err
 FROM q ORDER BY vec_id

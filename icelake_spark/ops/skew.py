@@ -60,6 +60,57 @@ def salted_join(probe: DataFrame, build: DataFrame, on: list[str],
     return out.drop(_SALT)
 
 
+def skew_aware_join(probe: DataFrame, build: DataFrame, on: list[str],
+                    how: str = "inner", salts: int = 8,
+                    sample_fraction: float = 0.02,
+                    hot_share: float = 0.01,
+                    max_hot: int = 100) -> DataFrame:
+    """Equi-join that salts ONLY detected hot keys.
+
+    Static salting (salted_join) pays a `salts`× build replication on
+    every row whether or not the data is skewed — a pure cost on uniform
+    keys. Here a cheap sample pass finds keys holding ≥ `hot_share` of
+    probe rows (bounded: at most `max_hot` keys collected to the
+    driver); only those keys get spread over `salts` sub-partitions and
+    replicated on the build side — everything else joins at salt 0 with
+    no replication, in the same single join. With no hot keys the plain
+    join is returned untouched, leaving broadcast/AQE
+    (spark.sql.adaptive.skewJoin) to do their normal work.
+    """
+    if how.lower() not in _SALTABLE:
+        raise ValueError(f"skew_aware_join cannot preserve '{how}'; "
+                         f"use one of {sorted(_SALTABLE)}")
+    sample = probe.select(*on).sample(fraction=sample_fraction, seed=42)
+    total = sample.count()
+    floor_n = max(20.0, hot_share * total)
+    hot_rows = (sample.groupBy(*on).agg(F.count("*").alias("__n"))
+                .where(F.col("__n") >= floor_n)
+                .orderBy(F.desc("__n")).limit(max_hot).collect()
+                ) if total else []
+    if not hot_rows:
+        return probe.join(build, on, how)
+
+    def _is_hot(side: DataFrame):
+        cond = None
+        for r in hot_rows:
+            clause = None
+            for c in on:
+                eq = side[c].eqNullSafe(F.lit(r[c]))
+                clause = eq if clause is None else (clause & eq)
+            cond = clause if cond is None else (cond | clause)
+        return cond
+
+    p = probe.withColumn(_SALT, F.when(
+        _is_hot(probe),
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
+               F.lit(salts)).cast("int")).otherwise(F.lit(0)))
+    b = build.withColumn(_SALT, F.explode(F.when(
+        _is_hot(build),
+        F.array(*[F.lit(i) for i in range(salts)]))
+        .otherwise(F.array(F.lit(0)))))
+    return p.join(b, on + [_SALT], how).drop(_SALT)
+
+
 def count_distinct_skewed(df: DataFrame, key_cols: list[str],
                           value_col: str) -> DataFrame:
     """Exact per-key distinct count that never funnels a hot key's

@@ -37,13 +37,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and truncate to µs — exactly what
-    DuckDB's µs-precision TIMESTAMP does, keeping the oracle aligned."""
+    """Some testdata generations store events.ts as TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects: read nanos as long and
+    truncate to µs — exactly what DuckDB's µs-precision TIMESTAMP does,
+    keeping the oracle aligned. Newer generations store µs directly, in
+    which case the column already reads as a timestamp."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def dsum(col, alias: str):
@@ -1938,7 +1944,11 @@ def encode_documents_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     vocab = build_vocab(docs, size=64)
-    return encode_documents(docs, vocab)
+    # ids stringified: array result columns crash the driver canonicalizer.
+    return (encode_documents(docs, vocab)
+            .select("doc_id",
+                    F.concat_ws(",", F.col("ids")).alias("ids_csv"),
+                    "n_oov"))
 
 
 def quantize_embeddings_q(spark, sf_dir):
@@ -1947,7 +1957,11 @@ def quantize_embeddings_q(spark, sf_dir):
     from .ops.similarity import quantize_embeddings
 
     emb = load(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    # q stringified: array result columns crash the driver canonicalizer
+    return (quantize_embeddings(emb)
+            .select("vec_id",
+                    F.concat_ws(",", F.col("q")).alias("q_csv"),
+                    "recon_err"))
 
 
 def redact_pii_q(spark, sf_dir):
@@ -2100,7 +2114,7 @@ survivors AS (
     AND d.doc_id IN (SELECT doc_id FROM fuzzy_keep))
 SELECT CASE WHEN {split_bucket_sql('doc_id')} < 52428
             THEN 'train' ELSE 'eval' END AS split,
-       COUNT(*) AS n_docs, SUM(n_words) AS total_words
+       COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words
 FROM survivors GROUP BY 1 ORDER BY split
 """
 
@@ -2138,7 +2152,11 @@ def inverted_index_q(spark, sf_dir):
     from .ops.ranking import inverted_index
 
     docs = load(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=2)
+    # postings stringified: the driver's pandas canonicalizer can't hash
+    # array-typed result columns.
+    return (inverted_index(docs, min_df=2)
+            .select("term", "df_t",
+                    F.concat_ws(",", F.col("postings")).alias("postings_csv")))
 
 
 def repetition_metrics_q(spark, sf_dir):
@@ -2340,7 +2358,7 @@ curated AS (
   WHERE {quality_score_sql('text')} >= 0.5)
 SELECT lang_pred, COUNT(*) AS n_docs,
        {dsum_sql('quality', 'total_quality')},
-       SUM(n_words) AS total_words
+       CAST(SUM(n_words) AS BIGINT) AS total_words
 FROM curated GROUP BY lang_pred ORDER BY lang_pred
 """
 
@@ -2417,48 +2435,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "window_top_customers": window_top_customers,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q18_large_orders": q18_large_orders,
+        "q12_priority_shipping": q12_priority_shipping,
+        "percentiles_by_status": percentiles_by_status,
+        "train_test_split": train_test_split,
+        "window_functions_suite": window_functions_suite,
         "grouping_sets_rollup": grouping_sets_rollup,
-        "set_ops_customers": set_ops_customers,
         "semi_anti_join_customers": semi_anti_join_customers,
         "correlated_subquery": correlated_subquery_q,
-        "q18_large_orders": q18_large_orders,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q14_promo_effect": q14_promo_effect,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_priority_late_orders": q4_priority_late_orders,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q11_important_parts": q11_important_parts,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "rollup_pricing": rollup_pricing,
-        "cube_order_stats": cube_order_stats,
-        "set_ops_order_value": set_ops_order_value,
-        "q12_priority_shipping": q12_priority_shipping,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_relationship": q16_supplier_relationship,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q20_promo_part_suppliers": q20_promo_part_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "stats_aggregates": stats_aggregates,
-        "percentiles_by_status": percentiles_by_status,
-        "pivot_returnflag": pivot_returnflag,
-        "histogram_totalprice": histogram_totalprice,
         "skew_salted_join": skew_salted_join,
-        "skew_distinct_parts": skew_distinct_parts,
-        "window_functions_suite": window_functions_suite,
-        "string_date_functions": string_date_functions,
-        "train_test_split": train_test_split,
-        "events_hourly": events_hourly,
-        "continuous_aggregate": continuous_aggregate,
         "events_sessionize": events_sessionize,
-        "events_sliding_windows": events_sliding_windows,
-        "events_session_window_builtin": events_session_window_builtin,
+        "continuous_aggregate": continuous_aggregate,
         "asof_join": asof_join_q,
         "range_join": range_join_q,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
@@ -2494,10 +2482,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk_q,
         "embedding_neardup": embedding_neardup_q,
         "minhash_lsh_pairs": minhash_lsh_q,
+        "multimodal_features": multimodal_features_q,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "window_top_customers": window_top_customers,
+        "set_ops_customers": set_ops_customers,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q14_promo_effect": q14_promo_effect,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_late_orders": q4_priority_late_orders,
+        "q11_important_parts": q11_important_parts,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "rollup_pricing": rollup_pricing,
+        "cube_order_stats": cube_order_stats,
+        "set_ops_order_value": set_ops_order_value,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_relationship": q16_supplier_relationship,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_promo_part_suppliers": q20_promo_part_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "stats_aggregates": stats_aggregates,
+        "pivot_returnflag": pivot_returnflag,
+        "histogram_totalprice": histogram_totalprice,
+        "skew_distinct_parts": skew_distinct_parts,
+        "string_date_functions": string_date_functions,
+        "events_hourly": events_hourly,
+        "events_sliding_windows": events_sliding_windows,
+        "events_session_window_builtin": events_session_window_builtin,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
         "ivf_topk": ivf_topk_q,
-        "multimodal_features": multimodal_features_q,
     }
 
 
@@ -2508,48 +2526,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
-        "q5_local_supplier": Q5_SQL,
-        "q6_forecast_revenue": Q6_SQL,
-        "q10_returned_items": Q10_SQL,
-        "window_top_customers": WINDOW_SQL,
+        "q9_product_type_profit": Q9_SQL,
+        "q18_large_orders": Q18_SQL,
+        "q12_priority_shipping": Q12_SQL,
+        "percentiles_by_status": PERCENTILES_SQL,
+        "train_test_split": TRAIN_TEST_SQL,
+        "window_functions_suite": WINDOW_SUITE_SQL,
         "grouping_sets_rollup": ROLLUP_SQL,
-        "set_ops_customers": SETOPS_SQL,
         "semi_anti_join_customers": SEMI_ANTI_SQL,
         "correlated_subquery": CORRELATED_SQL,
-        "q18_large_orders": Q18_SQL,
-        "q7_volume_shipping": Q7_SQL,
-        "q8_market_share": Q8_SQL,
-        "q14_promo_effect": Q14_SQL,
-        "q19_discounted_revenue": Q19_SQL,
-        "q22_idle_customers": Q22_SQL,
-        "q2_min_cost_supplier": Q2_SQL,
-        "q4_priority_late_orders": Q4_SQL,
-        "q9_product_type_profit": Q9_SQL,
-        "q11_important_parts": Q11_SQL,
-        "q13_order_count_distribution": Q13_SQL,
-        "rollup_pricing": ROLLUP_PRICING_SQL,
-        "cube_order_stats": CUBE_SQL,
-        "set_ops_order_value": SET_OPS_ORDER_SQL,
-        "q12_priority_shipping": Q12_SQL,
-        "q15_top_supplier": Q15_SQL,
-        "q16_supplier_relationship": Q16_SQL,
-        "q17_small_quantity_revenue": Q17_SQL,
-        "q20_promo_part_suppliers": Q20_SQL,
-        "q21_waiting_suppliers": Q21_SQL,
-        "stats_aggregates": STATS_AGG_SQL,
-        "percentiles_by_status": PERCENTILES_SQL,
-        "pivot_returnflag": PIVOT_SQL,
-        "histogram_totalprice": HISTOGRAM_SQL,
         "skew_salted_join": SKEW_SALTED_SQL,
-        "skew_distinct_parts": SKEW_DISTINCT_SQL,
-        "window_functions_suite": WINDOW_SUITE_SQL,
-        "string_date_functions": STRING_DATE_SQL,
-        "train_test_split": TRAIN_TEST_SQL,
-        "events_hourly": EVENTS_HOURLY_SQL,
-        "continuous_aggregate": CONTINUOUS_AGGREGATE_SQL,
         "events_sessionize": EVENTS_SESSION_SQL,
-        "events_sliding_windows": EVENTS_SLIDING_SQL,
-        "events_session_window_builtin": EVENTS_SESSION_BUILTIN_SQL,
+        "continuous_aggregate": CONTINUOUS_AGGREGATE_SQL,
         "asof_join": ASOF_SQL,
         "range_join": RANGE_SQL,
         "iceberg_roundtrip_agg": ICEBERG_ROUNDTRIP_SQL,
@@ -2583,6 +2571,34 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": _pack_documents_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
-        # minhash/simhash/lsh/ivf/multimodal: intentionally no oracle —
-        # approximate or hash-engine-specific; rows-only check applies
+        "q5_local_supplier": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "window_top_customers": WINDOW_SQL,
+        "set_ops_customers": SETOPS_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q14_promo_effect": Q14_SQL,
+        "q19_discounted_revenue": Q19_SQL,
+        "q22_idle_customers": Q22_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q4_priority_late_orders": Q4_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q13_order_count_distribution": Q13_SQL,
+        "rollup_pricing": ROLLUP_PRICING_SQL,
+        "cube_order_stats": CUBE_SQL,
+        "set_ops_order_value": SET_OPS_ORDER_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q16_supplier_relationship": Q16_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q20_promo_part_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
+        "stats_aggregates": STATS_AGG_SQL,
+        "pivot_returnflag": PIVOT_SQL,
+        "histogram_totalprice": HISTOGRAM_SQL,
+        "skew_distinct_parts": SKEW_DISTINCT_SQL,
+        "string_date_functions": STRING_DATE_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_sliding_windows": EVENTS_SLIDING_SQL,
+        "events_session_window_builtin": EVENTS_SESSION_BUILTIN_SQL,
     }

@@ -671,9 +671,19 @@ class TableScan:
         - equality deletes (J3): key tuples, applied to data files with
           data_seq < delete_seq (strictly older data).
         Row position uses _metadata.row_index (stable, no per-file sort).
-        Both delete sides are broadcast — delete files are small relative
-        to data by construction.
+        A delete side is broadcast only while its planned
+        file_size_in_bytes total is under
+        `read.delete.broadcast-threshold-bytes` (default 32 MiB) — a
+        bulk delete_where or a large upsert batch can produce delete
+        sets beyond broadcast limits, where a shuffle anti-join (left
+        to AQE) is the correct plan.
         """
+        bcast_limit = int(self.table.metadata.properties.get(
+            "read.delete.broadcast-threshold-bytes", 32 * 1024 * 1024))
+
+        def _maybe_broadcast(side_df, tasks_):
+            total = sum(t.delete_file.file_size_in_bytes or 0 for t in tasks_)
+            return F.broadcast(side_df) if total <= bcast_limit else side_df
         # __file/__pos were attached per-format-branch by read_data_files
         # data-file sequence numbers via a tiny broadcast map
         seq_rows = [(t.data_file.file_path, t.sequence_number) for t in data]
@@ -697,7 +707,8 @@ class TableScan:
             cond = ((df["__file"] == pos_df["__del_file"])
                     & (df["__pos"] == pos_df["__del_pos"])
                     & (df["__data_seq"] <= pos_df["__del_seq"]))
-            df = df.join(F.broadcast(pos_df), on=cond, how="left_anti")
+            df = df.join(_maybe_broadcast(pos_df, pos), on=cond,
+                         how="left_anti")
 
         # group equality-delete files by key-set: ONE anti-join per
         # distinct equality_ids instead of one per delete file (a table
@@ -728,7 +739,8 @@ class TableScan:
                 clause = df[c].eqNullSafe(renamed[f"__eq_{c}"])
                 cond = clause if cond is None else (cond & clause)
             cond = cond & (df["__data_seq"] < renamed["__del_seq"])
-            df = df.join(F.broadcast(renamed), on=cond, how="left_anti")
+            df = df.join(_maybe_broadcast(renamed, tasks), on=cond,
+                         how="left_anti")
 
         if drop_helpers:
             return df.drop("__file", "__pos", "__data_seq")

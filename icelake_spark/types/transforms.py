@@ -96,6 +96,23 @@ def _bucket_str_udf(n: int):
     return bucket
 
 
+def _bucket_uuid_udf(n: int):
+    @pandas_udf(T.IntegerType())
+    def bucket(s: pd.Series) -> pd.Series:
+        import uuid as _uuid
+
+        def one(v):
+            if v is None:
+                return None
+            # spec Appendix B: uuid hashes as its 16-byte big-endian
+            # form, not the hyphenated string (bucket.rs uuid arm)
+            return (hash_bytes(_uuid.UUID(str(v)).bytes) & 0x7FFFFFFF) % n
+
+        return s.map(one).astype("Int32")
+
+    return bucket
+
+
 def _bucket_bytes_udf(n: int):
     @pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
@@ -139,8 +156,10 @@ def bucket_column(col: Column, source_type: PrimitiveType, n: int) -> Column:
         else:
             micros = F.unix_micros(F.to_utc_timestamp(col, "UTC"))
         return _bucket_int64_udf(n)(micros)
-    if name in ("string", "uuid"):
+    if name == "string":
         return _bucket_str_udf(n)(col.cast("string"))
+    if name == "uuid":
+        return _bucket_uuid_udf(n)(col.cast("string"))
     if name in ("binary", "fixed"):
         return _bucket_bytes_udf(n)(col)
     if name == "decimal":
@@ -233,8 +252,13 @@ def apply_transform_py(transform: str, value: Any, source_type: PrimitiveType) -
                 epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo) if value.tzinfo else dt.datetime(1970, 1, 1)
                 value = round((value - epoch).total_seconds() * 1_000_000)
             h = hash_long_vec(np.array([int(value)], dtype=np.int64))[0]
-        elif tname in ("string", "uuid"):
+        elif tname == "string":
             h = hash_str(str(value))
+        elif tname == "uuid":
+            import uuid as _uuid
+
+            # spec Appendix B: 16-byte big-endian form, not the string
+            h = hash_bytes(_uuid.UUID(str(value)).bytes)
         elif tname in ("binary", "fixed"):
             h = hash_bytes(bytes(value))
         elif tname == "decimal":

@@ -140,3 +140,24 @@ def test_bounds_roundtrip():
     ]
     for t, v in cases:
         assert dty.decode_bound(t, dty.encode_bound(t, v)) == v
+
+
+def test_bucket_uuid_hashes_16_byte_form():
+    # spec Appendix B: uuid f79c3e09-677c-4bbd-a479-3f349cb785e7 hashes
+    # as its 16-byte big-endian representation → 1488055340 (not the
+    # hyphenated-string UTF-8 bytes)
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    assert apply_transform_py("bucket[100]", u, dty.UUID) == 1488055340 % 100
+
+
+def test_hash_decimal_minimal_twos_complement_boundaries():
+    # Java BigInteger.toByteArray() minimal encoding: exact negative
+    # boundaries need no extra sign byte (advice r1, murmur3.py)
+    assert m.hash_decimal(-128) == m.hash_bytes(b"\x80")
+    assert m.hash_decimal(-32768) == m.hash_bytes(b"\x80\x00")
+    assert m.hash_decimal(-129) == m.hash_bytes(b"\xff\x7f")
+    assert m.hash_decimal(-1) == m.hash_bytes(b"\xff")
+    assert m.hash_decimal(0) == m.hash_bytes(b"\x00")
+    assert m.hash_decimal(127) == m.hash_bytes(b"\x7f")
+    assert m.hash_decimal(128) == m.hash_bytes(b"\x00\x80")
+    assert m.hash_decimal(255) == m.hash_bytes(b"\x00\xff")

@@ -56,6 +56,24 @@ def test_mor_delete_join_is_broadcast(spark, warehouse):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_mor_large_delete_side_not_broadcast(spark, warehouse):
+    """A delete set beyond read.delete.broadcast-threshold-bytes must
+    fall back to a shuffle anti-join — broadcasting an unbounded bulk
+    delete_where result OOMs the driver at scale."""
+    src = spark.range(5000).selectExpr("id", "id % 5 as g")
+    t = warehouse.create_table("db.morbig", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "g = 0")
+    # force every planned delete file over the gate
+    t.set_properties({"read.delete.broadcast-threshold-bytes": "1"})
+    plan = _plan(t.to_df(spark))
+    assert "LeftAnti" in plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" not in ln for ln in anti), anti
+    # rows still correct without the broadcast
+    assert t.to_df(spark).count() == 4000
+
+
 def test_no_python_eval_in_sql_operators(spark):
     """Text/dedup/analytic operators must stay JVM-side (no BatchEvalPython
     / ArrowEvalPython nodes) — only the murmur3 bucket transform and

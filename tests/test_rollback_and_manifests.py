@@ -114,3 +114,27 @@ def test_rewrite_zorder_prunes_on_both_columns(spark, warehouse):
     assert hit_a < total and hit_b < total
     # and the data survives intact
     assert t.to_df(spark).count() == 40000
+
+
+def test_rewrite_manifests_after_rollback_gets_fresh_id(spark, warehouse):
+    """snapshot ids must be max(all)+1, not parent+1: after rollback_to
+    an earlier snapshot, parent+1 collides with an existing id and reads
+    silently resolve the OLD snapshot (advice r1, maintenance.py)."""
+    from icelake_spark.types import Schema
+
+    src = spark.range(10).selectExpr("id", "id % 2 as g")
+    t = warehouse.create_table("db.rwm_rb", Schema.from_spark(src.schema))
+    t.append(src.where("id < 5"))
+    first = t.refresh().current_snapshot().snapshot_id
+    t.append(src.where("id >= 5"))
+    t = t.refresh()
+    t.rollback_to(first)
+    t = t.refresh()
+    t.append(src.where("id >= 5"))  # creates 2+ manifests again
+    t = t.refresh()
+    existing = {s.snapshot_id for s in t.metadata.snapshots}
+    t.rewrite_manifests()
+    t = t.refresh()
+    new_id = t.current_snapshot().snapshot_id
+    assert new_id not in existing, (new_id, existing)
+    assert t.to_df(spark).count() == 10

@@ -90,3 +90,50 @@ def test_update_spec_unknown_column(spark, warehouse):
     t, _ = _make(spark, warehouse, "evo_bad")
     with pytest.raises(KeyError):
         t.update_spec("month(nope)")
+
+
+def test_update_after_upsert_does_not_resurrect(spark, warehouse):
+    """update_where must apply existing equality deletes before matching:
+    an upsert supersedes the original row via an equality delete, so a
+    later UPDATE of that key must produce exactly one row, not re-append
+    the superseded copy (advice r1: delta.py update path read raw files)."""
+    src = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    t = warehouse.create_table("db.upd_upsert", Schema.from_spark(src.schema))
+    t.append(src)
+    t.upsert(spark.createDataFrame([(1, 20.0)], "id long, v double"),
+             key_cols=["id"])
+    t = t.refresh()
+    t.update_where(spark, "id = 1", {"v": "v + 1"})
+    rows = t.refresh().to_df(spark).collect()
+    assert len(rows) == 1 and rows[0].v == 21.0, rows
+
+
+def test_update_after_mor_delete_does_not_resurrect(spark, warehouse):
+    """update_where must apply existing position deletes: a deleted row
+    must not be matched by a later UPDATE and re-appended."""
+    src = spark.range(10).selectExpr("id", "cast(id as double) as v")
+    t = warehouse.create_table("db.upd_del", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "id < 5")
+    t = t.refresh()
+    t.update_where(spark, "id >= 0", {"v": "v + 100"})
+    got = sorted(r.id for r in t.refresh().to_df(spark).collect())
+    assert got == [5, 6, 7, 8, 9], got
+
+
+def test_cow_delete_after_upsert_does_not_resurrect(spark, warehouse):
+    """copy-on-write rewrite keeps only LIVE rows of affected files —
+    survivors of a rewrite must not include rows superseded by an
+    earlier upsert's equality delete."""
+    src = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    t = warehouse.create_table(
+        "db.cow_upsert", Schema.from_spark(src.schema),
+        properties={"write.delete.mode": "copy-on-write"})
+    t.append(src)
+    t.upsert(spark.createDataFrame([(1, 9.0)], "id long, v double"),
+             key_cols=["id"])
+    t = t.refresh()
+    # CoW rewrite of the file containing id=2 (and the superseded id=1)
+    t.delete_where(spark, "id = 2")
+    rows = sorted(tuple(r) for r in t.refresh().to_df(spark).collect())
+    assert rows == [(1, 9.0)], rows

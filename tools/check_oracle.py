@@ -90,6 +90,39 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # --- driver-mimic lint (continues below after basic checks): the driver canonicalizes via pandas, so
+        # (a) DuckDB HUGEINT columns become float64 and hash-mismatch
+        #     Spark bigints even when values are identical;
+        # (b) list/array-typed output columns crash its sort_values
+        #     canonicalizer (unhashable type: 'list').
+        # fetchall() above hides both, so flag them explicitly.
+        try:
+            import pandas as _pd
+            odf = con.execute(oracles[name]).df()
+            for cn in odf.columns:
+                i = ocols.index(cn)
+                vals = [r[i] for r in orows]
+                # nullable ints become float64 on BOTH sides (pandas), so
+                # only flag all-int no-null columns — those stay int64
+                # unless DuckDB returned HUGEINT
+                if (odf[cn].dtype == "float64" and vals
+                        and all(isinstance(v, int) and not isinstance(v, bool)
+                                for v in vals)):
+                    problems.append(
+                        f"driver-lint: oracle col {cn} is int via fetchall but "
+                        f"float64 via pandas (DuckDB HUGEINT?) — CAST AS BIGINT")
+            for rows_, cols_, side in ((srows, scols, "spark"),
+                                       (orows, ocols, "oracle")):
+                for r in rows_[:5]:
+                    for cn, v in zip(cols_, r):
+                        if isinstance(v, (list, tuple)):
+                            problems.append(
+                                f"driver-lint: {side} col {cn} is array-typed — "
+                                f"flatten/stringify for the driver canonicalizer")
+                    break
+        except Exception as e:  # lint must never mask the real check
+            problems.append(f"driver-lint error: {str(e)[:120]}")
+        problems = list(dict.fromkeys(problems))
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
