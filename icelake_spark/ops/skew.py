@@ -63,30 +63,32 @@ def salted_join(probe: DataFrame, build: DataFrame, on: list[str],
 def skew_aware_join(probe: DataFrame, build: DataFrame, on: list[str],
                     how: str = "inner", salts: int = 8,
                     sample_fraction: float = 0.02,
-                    hot_share: float = 0.01,
+                    hot_min: int = 100,
                     max_hot: int = 100) -> DataFrame:
     """Equi-join that salts ONLY detected hot keys.
 
     Static salting (salted_join) pays a `salts`× build replication on
     every row whether or not the data is skewed — a pure cost on uniform
-    keys. Here a cheap sample pass finds keys holding ≥ `hot_share` of
-    probe rows (bounded: at most `max_hot` keys collected to the
-    driver); only those keys get spread over `salts` sub-partitions and
-    replicated on the build side — everything else joins at salt 0 with
-    no replication, in the same single join. With no hot keys the plain
-    join is returned untouched, leaving broadcast/AQE
-    (spark.sql.adaptive.skewJoin) to do their normal work.
+    keys. Here ONE cheap job over a key-column sample finds keys with
+    ≥ `hot_min` sampled occurrences (≈ hot_min/sample_fraction probe
+    rows — "too big for one reducer" is an absolute row count, so the
+    threshold doesn't scale with table size); at most `max_hot` keys are
+    collected to the driver. Only those keys get spread over `salts`
+    sub-partitions and replicated on the build side — everything else
+    joins at salt 0 with no replication, in the same single join. With
+    no hot keys the plain join is returned untouched, leaving
+    broadcast/AQE (spark.sql.adaptive.skewJoin) to do their normal
+    work — at scale AQE's runtime skew split is the first line of
+    defense; this operator is for skew AQE can't fix (hot key inside
+    one shuffle block, non-sort-merge contexts).
     """
     if how.lower() not in _SALTABLE:
         raise ValueError(f"skew_aware_join cannot preserve '{how}'; "
                          f"use one of {sorted(_SALTABLE)}")
-    sample = probe.select(*on).sample(fraction=sample_fraction, seed=42)
-    total = sample.count()
-    floor_n = max(20.0, hot_share * total)
-    hot_rows = (sample.groupBy(*on).agg(F.count("*").alias("__n"))
-                .where(F.col("__n") >= floor_n)
-                .orderBy(F.desc("__n")).limit(max_hot).collect()
-                ) if total else []
+    hot_rows = (probe.select(*on).sample(fraction=sample_fraction, seed=42)
+                .groupBy(*on).agg(F.count("*").alias("__n"))
+                .where(F.col("__n") >= hot_min)
+                .orderBy(F.desc("__n")).limit(max_hot).collect())
     if not hot_rows:
         return probe.join(build, on, how)
 

@@ -1160,17 +1160,20 @@ ORDER BY bucket
 
 
 def skew_salted_join(spark, sf_dir):
-    """Skew-safe fact/dim join: lineitem (probe) salted 8 ways, orders
-    (build) replicated 8× — a hot order key lands on 8 reducers instead
-    of one. The oracle is the plain join: salting must be semantically
-    invisible."""
-    from .ops.skew import salted_join
+    """Skew-AWARE fact/dim join: a cheap sample pass detects hot order
+    keys; only those are salted 8 ways (build rows for hot keys
+    replicated 8×), everything else joins plain. On uniform TPC-H keys
+    the sample finds nothing hot and the query runs as the ordinary
+    broadcast/AQE join — static always-on salting paid an 8× build
+    replication for no benefit. The oracle is the plain join: skew
+    handling must be semantically invisible."""
+    from .ops.skew import skew_aware_join
 
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = salted_join(li.withColumn("o_orderkey", F.col("l_orderkey")),
-                         o, on=["o_orderkey"], salts=8)
+    joined = skew_aware_join(li.withColumn("o_orderkey", F.col("l_orderkey")),
+                             o, on=["o_orderkey"], salts=8)
     return (joined.groupBy("o_orderpriority")
             .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines"))
             .orderBy("o_orderpriority"))
@@ -2019,27 +2022,38 @@ def _char_entropy_sql() -> str:
 
 def curation_pipeline_q(spark, sf_dir):
     """End-to-end corpus curation, composed from the individual
-    operators: quality gate (composite score + repetition keep) →
-    exact dedup (min-id per content hash) → fuzzy dedup (n-gram Jaccard
-    pairs closed into clusters, keep the min id) → content-addressed
-    train/eval split → per-split summary. One declarative plan; every
-    stage is the same oracle-checked operator exposed standalone."""
+    operators, cheap gates first: quality gate (composite score +
+    repetition keep) → exact dedup (min-id per content hash among gated
+    docs) → fuzzy dedup over the SURVIVORS ONLY (n-gram Jaccard pairs
+    closed into clusters, keep the min id) → content-addressed
+    train/eval split → per-split summary. The n-gram self-join is the
+    expensive stage, so it runs over the gated+deduped subset — at
+    100 TB that is the difference between shingling the whole crawl and
+    shingling what the cheap filters let through. Every stage is the
+    same oracle-checked operator exposed standalone."""
     from .ops.dedup import dedup_clusters, dedup_exact, ngram_jaccard_pairs
     from .ops.sampling import hash_split
     from .ops.text import analyze_documents, repetition_metrics
+    from .ops.util import fanout
 
-    docs = load(spark, sf_dir, "documents")
+    # materialize the fanned-out corpus ONCE: quality, repetition, and
+    # the gating join all start from the same rows; without this each
+    # stage re-scans and re-tokenizes the corpus. localCheckpoint also
+    # cuts the lineage so the final plan stays shallow.
+    docs = fanout(load(spark, sf_dir, "documents")).localCheckpoint()
     quality = analyze_documents(docs).select("doc_id", "quality", "n_words")
     rep = repetition_metrics(docs).select("doc_id", "keep")
-    exact = dedup_exact(docs).select("doc_id")
+    gated = (docs.select("doc_id", "text")
+             .join(quality.where(F.col("quality") >= 0.5)
+                   .select("doc_id", "n_words"), "doc_id")
+             .join(rep.where(F.col("keep")).select("doc_id"), "doc_id"))
+    exact = dedup_exact(gated).select("doc_id")
+    deduped = gated.join(exact, "doc_id", "left_semi").localCheckpoint()
     clusters = dedup_clusters(
-        docs, ngram_jaccard_pairs(docs, n=3, threshold=0.2))
-    survivors = (docs.select("doc_id", "text")
-                 .join(quality, "doc_id").join(rep, "doc_id")
-                 .join(exact, "doc_id", "left_semi")
-                 .join(clusters.where(F.col("doc_id") == F.col("cluster_id"))
-                       .select("doc_id"), "doc_id", "left_semi")
-                 .where((F.col("quality") >= 0.5) & F.col("keep")))
+        deduped, ngram_jaccard_pairs(deduped, n=3, threshold=0.2))
+    survivors = deduped.join(
+        clusters.where(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id"), "doc_id", "left_semi")
     out = hash_split(survivors, "doc_id", train_frac=0.8)
     return (out.groupBy("split")
             .agg(F.count("*").alias("n_docs"),
@@ -2051,39 +2065,10 @@ def _curation_pipeline_sql() -> str:
     from .ops.sampling import split_bucket_sql
     from .ops.text import quality_score_sql, word_count_sql
 
-    # the fuzzy-dedup CTE chain is DEDUP_CLUSTERS_SQL's body
+    # the fuzzy-dedup CTE chain is DEDUP_CLUSTERS_SQL's body, applied —
+    # like the Spark plan — to the gated+exact-deduped subset only
     return f"""
-WITH RECURSIVE words AS (
-  SELECT doc_id,
-         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-  FROM documents),
-grams AS (
-  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 for i in generate_series(1, len(w) - 2)]) AS gs
-  FROM words WHERE len(w) >= 3),
-g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
-inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
-         COUNT(*) AS common
-  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4),
-pairs AS (
-  SELECT a, b FROM inter
-  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2),
-edges AS (SELECT a AS u, b AS v FROM pairs
-          UNION SELECT b AS u, a AS v FROM pairs),
-reach(u, r) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
-comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
-fuzzy_keep AS (
-  SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
-  WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id),
-exact_keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents
-  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
-wc AS (
+WITH RECURSIVE wc AS (
   SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents),
 rep AS (
@@ -2105,13 +2090,44 @@ rep AS (
                          FROM wc WHERE len(w) >= 2)
                    GROUP BY doc_id, bg)
              GROUP BY doc_id) bc ON words.doc_id = bc.doc_id),
-survivors AS (
-  SELECT d.doc_id, {word_count_sql('d.text')} AS n_words
+gated AS (
+  SELECT d.doc_id, d.text, {word_count_sql('d.text')} AS n_words
   FROM documents d
   JOIN rep ON rep.doc_id = d.doc_id AND rep.keep
-  WHERE {quality_score_sql('d.text')} >= 0.5
-    AND d.doc_id IN (SELECT doc_id FROM exact_keep)
-    AND d.doc_id IN (SELECT doc_id FROM fuzzy_keep))
+  WHERE {quality_score_sql('d.text')} >= 0.5),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated
+  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+deduped AS (
+  SELECT g.doc_id, g.text, g.n_words FROM gated g
+  WHERE g.doc_id IN (SELECT doc_id FROM exact_keep)),
+words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM deduped),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT a, b FROM inter
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+survivors AS (
+  SELECT d.doc_id, d.n_words FROM deduped d LEFT JOIN comp c USING (doc_id)
+  WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id)
 SELECT CASE WHEN {split_bucket_sql('doc_id')} < 52428
             THEN 'train' ELSE 'eval' END AS split,
        COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words

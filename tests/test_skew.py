@@ -64,3 +64,31 @@ def test_count_distinct_skewed_exact(spark, li):
     want = _sorted_rows(li.groupBy("l_returnflag")
                         .agg(F.count_distinct("l_partkey").alias("n_distinct")))
     assert got == want
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_skew_aware_join_matches_plain_join_skewed(spark, how):
+    from icelake_spark.ops.skew import skew_aware_join
+
+    # one key owns 90% of probe rows — must be detected and salted
+    hot = spark.range(9000).selectExpr("1 as k", "id as v")
+    cold = spark.range(1000).selectExpr("2 + id % 50 as k", "id as v")
+    probe = hot.union(cold)
+    build = spark.range(60).selectExpr("id as k", "id * 10 as w")
+    got = skew_aware_join(probe, build, ["k"], how=how, salts=4,
+                          sample_fraction=0.2)
+    want = probe.join(build, ["k"], how)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_skew_aware_join_uniform_keys_stays_plain(spark, li, orders):
+    """Uniform keys → no hot keys detected → the returned plan is the
+    plain join (no salt column materialized, no build replication)."""
+    from icelake_spark.ops.skew import skew_aware_join
+
+    probe = li.withColumn("o_orderkey", F.col("l_orderkey"))
+    build = orders.select("o_orderkey", "o_orderpriority")
+    got = skew_aware_join(probe, build, ["o_orderkey"], salts=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan
+    assert got.count() == probe.join(build, ["o_orderkey"]).count()
