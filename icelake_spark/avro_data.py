@@ -1,0 +1,252 @@
+"""Avro DATA-file support via the pure-Python avro_io codec.
+
+The reference's `DataFileFormat` enumerates Avro alongside Parquet/ORC
+(/root/reference/icelake/src/types/in_memory.rs:2057-2091). Spark's
+avro data source is an external module that is not on this
+environment's classpath, so table scans and writes fall back to this
+module: schema-driven encode/decode with `avro_io`, distributed with
+`mapInPandas` — one task per file on read, one file per partition on
+write, both shared-filesystem patterns identical to how Spark tasks
+write parquet.
+
+Field-id annotations ride on the Avro schema (`field-id`), matching the
+reference's to_avro.rs:21-73 so files interop with other Iceberg
+readers.
+
+Scale notes: writes stream one Arrow batch at a time into the encoder
+(no full-partition materialization beyond the output buffer); reads are
+one file per task, so parallelism = file count, same as any
+non-splittable container format (Avro blocks are splittable in
+principle — not needed while files are written to
+write.target-file-size-bytes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import os
+import uuid as _uuidlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import avro_io
+from .types.datatypes import ListType, PrimitiveType, Schema, StructType
+
+_PRIMITIVE_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "time": {"type": "long", "logicalType": "time-micros"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros",
+                    "adjust-to-utc": True},
+    "uuid": {"type": "string", "logicalType": "uuid"},
+}
+
+
+def _avro_type(t: Any) -> Any:
+    if isinstance(t, PrimitiveType):
+        if t.name == "decimal":
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": t.precision, "scale": t.scale}
+        if t.name == "fixed":
+            return {"type": "fixed", "name": f"fixed_{t.length}",
+                    "size": t.length}
+        try:
+            return _PRIMITIVE_AVRO[t.name]
+        except KeyError:
+            raise NotImplementedError(f"avro data files: type {t}")
+    if isinstance(t, ListType):
+        return {"type": "array", "items": _avro_type(t.element_type)}
+    raise NotImplementedError(f"avro data files: nested type {t!r}")
+
+
+def table_avro_schema(schema: Schema, name: str = "table") -> dict:
+    """Iceberg table schema -> field-id-annotated Avro record schema."""
+    fields = []
+    for f in schema.fields:
+        at = _avro_type(f.field_type)
+        fields.append({
+            "name": f.name,
+            "type": at if f.required else ["null", at],
+            "field-id": f.field_id,
+            **({} if f.required else {"default": None}),
+        })
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ----------------------------------------------------- value conversion
+
+
+def _to_avro_value(v: Any, t: PrimitiveType) -> Any:
+    if v is None:
+        return None
+    n = t.name
+    if n == "date":
+        if isinstance(v, dt.date):
+            return (v - dt.date(1970, 1, 1)).days
+        return int(v)
+    if n in ("timestamp", "timestamptz"):
+        if isinstance(v, dt.datetime):
+            epoch = (dt.datetime(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo
+                     else dt.datetime(1970, 1, 1))
+            return round((v - epoch).total_seconds() * 1_000_000)
+        return int(v)
+    if n == "decimal":
+        unscaled = int(decimal.Decimal(v).scaleb(t.scale).to_integral_value())
+        if unscaled >= 0:
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        else:
+            nbytes = max(1, ((~unscaled).bit_length() + 8) // 8)
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    if n == "binary":
+        return bytes(v)
+    if n in ("int", "long", "time"):
+        return int(v)
+    if n in ("float", "double"):
+        return float(v)
+    if n == "uuid":
+        return str(v)
+    return v
+
+
+def _from_avro_value(v: Any, t: PrimitiveType) -> Any:
+    if v is None:
+        return None
+    n = t.name
+    if n == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+    if n in ("timestamp", "timestamptz"):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
+    if n == "decimal":
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-t.scale)
+    if n == "uuid":
+        return str(_uuidlib.UUID(str(v)))
+    return v
+
+
+def _converters(schema: Schema):
+    prims = []
+    for f in schema.fields:
+        t = f.field_type
+        if isinstance(t, ListType):
+            el = t.element_type
+            prims.append((f.name, lambda v, el=el: None if v is None else
+                          [_to_avro_value(x, el) for x in v],
+                          lambda v, el=el: None if v is None else
+                          [_from_avro_value(x, el) for x in v]))
+        else:
+            prims.append((f.name,
+                          lambda v, t=t: _to_avro_value(v, t),
+                          lambda v, t=t: _from_avro_value(v, t)))
+    return prims
+
+
+# --------------------------------------------------------------- write
+
+
+def _hive_value(v: Any) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
+
+
+def write_avro_data(df: DataFrame, stage: str, schema: Schema,
+                    partition_cols: list[str] | None = None,
+                    max_records_per_file: int | None = None) -> None:
+    """Write df as Avro container files under `stage` (one file per
+    task per partition value, written by the executor — the same
+    shared-storage pattern as Spark's own file sinks). `partition_cols`
+    are hive-dir columns (not written into the files, mirroring
+    DataFrameWriter.partitionBy); `max_records_per_file` rolls output
+    files like Spark's maxRecordsPerFile."""
+    import pandas as pd
+
+    avro_schema = table_avro_schema(schema)
+    conv = _converters(schema)
+    names = [c[0] for c in conv]
+    pcols = partition_cols or []
+    roll = max_records_per_file or (1 << 62)
+    os.makedirs(stage, exist_ok=True)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        buckets: dict[str, list[dict]] = {}
+        n_out = 0
+
+        def flush(subdir: str) -> None:
+            nonlocal n_out
+            records = buckets.pop(subdir, [])
+            if not records:
+                return
+            d = os.path.join(stage, subdir) if subdir else stage
+            os.makedirs(d, exist_ok=True)
+            avro_io.write_avro(
+                d + f"/part-{_uuidlib.uuid4().hex}.avro", avro_schema, records)
+            n_out += len(records)
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                vals = dict(zip(pdf.columns, row))
+                rec = {}
+                for name, enc, _dec in conv:
+                    v = vals[name]
+                    if v is not None and v != v:  # NaN -> null
+                        v = None
+                    rec[name] = enc(v)
+                subdir = "/".join(f"{c}={_hive_value(vals[c])}" for c in pcols)
+                buckets.setdefault(subdir, []).append(rec)
+                if len(buckets[subdir]) >= roll:
+                    flush(subdir)
+        for subdir in list(buckets):
+            flush(subdir)
+        yield pd.DataFrame({"n": [n_out]})
+
+    df.mapInPandas(run, schema="n long").collect()
+
+
+# ---------------------------------------------------------------- read
+
+
+def read_avro_data(spark: SparkSession, spark_schema,
+                   paths: list[str]) -> DataFrame:
+    """Distributed read of Avro container files: one task per file,
+    decoded with avro_io and yielded as Arrow batches. Emits a `__file`
+    column for the MoR position plumbing (always-null positions — Avro
+    rows have no stable row_index, so deletes against them go
+    copy-on-write, same as ORC)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    conv = _converters(Schema.from_spark(spark_schema))
+    names = [f.name for f in spark_schema.fields]
+    out_schema = T.StructType(
+        list(spark_schema.fields) + [T.StructField("__file", T.StringType())])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for p in pdf["p"]:
+                _schema, records = avro_io.read_avro(p)
+                cols: dict[str, list] = {n: [] for n in names}
+                for rec in records:
+                    for name, _enc, dec in conv:
+                        cols[name].append(dec(rec.get(name)))
+                cols["__file"] = [os.path.abspath(p)] * len(records)
+                yield pd.DataFrame(cols, columns=names + ["__file"])
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "p string") \
+        .repartition(max(1, len(paths)))
+    return pdf.mapInPandas(run, schema=out_schema)
+
+
+def count_avro_records(path: str) -> int:
+    """Record count for add_files stats when spark-avro is unavailable."""
+    _schema, records = avro_io.read_avro(path)
+    return len(records)

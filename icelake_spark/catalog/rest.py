@@ -77,6 +77,26 @@ def commit_table_body(identifier: str, updates: list[dict],
     }
 
 
+def rename_table_body(source: str, destination: str) -> dict:
+    """POST /v1/tables/rename body (rest.rs rename_table shape)."""
+
+    def ident(identifier: str) -> dict:
+        ns, _, name = identifier.rpartition(".")
+        return {"namespace": ns.split(".") if ns else [], "name": name}
+
+    return {"source": ident(source), "destination": ident(destination)}
+
+
+class CommitFailedError(Exception):
+    """A commit requirement was rejected by the catalog (HTTP 409): the
+    table changed underneath us. Retryable by re-reading + re-applying
+    (Transaction.commit's optimistic loop)."""
+
+    def __init__(self, message: str, details: dict | None = None):
+        super().__init__(message)
+        self.details = details or {}
+
+
 # ------------------------------------------------------------- client
 
 
@@ -150,6 +170,16 @@ class RestCatalog:
         r = self.http.post(
             self._url(f"namespaces/{namespace_path(ns)}/tables/{name}"),
             json={"updates": updates, "requirements": requirements})
+        if r.status_code == 409:
+            # requirement failure: surface as a typed, retryable error
+            # instead of a bare HTTPError (rest.rs maps 409 the same way)
+            try:
+                details = r.json()
+            except ValueError:
+                details = {}
+            raise CommitFailedError(
+                details.get("error", {}).get(
+                    "message", "commit requirements failed"), details)
         r.raise_for_status()
         return base_version + 1
 
@@ -164,3 +194,30 @@ class RestCatalog:
         r.raise_for_status()
         return [f"{'.'.join(t['namespace'])}.{t['name']}"
                 for t in r.json().get("identifiers", [])]
+
+    def rename_table(self, source: str, destination: str) -> None:
+        """POST /v1/tables/rename (rest.rs:rename_table)."""
+        r = self.http.post(self._url("tables/rename"),
+                           json=rename_table_body(source, destination))
+        r.raise_for_status()
+
+    def create_namespace(self, namespace: str,
+                         properties: dict[str, str] | None = None) -> None:
+        """POST /v1/namespaces (rest.rs:create_namespace)."""
+        r = self.http.post(self._url("namespaces"),
+                           json={"namespace": namespace.split("."),
+                                 "properties": properties or {}})
+        r.raise_for_status()
+
+    def drop_namespace(self, namespace: str) -> None:
+        """DELETE /v1/namespaces/{ns} (rest.rs:drop_namespace)."""
+        r = self.http.delete(
+            self._url(f"namespaces/{namespace_path(namespace)}"))
+        r.raise_for_status()
+
+    def list_namespaces(self, parent: str | None = None) -> list[str]:
+        """GET /v1/namespaces[?parent=] (rest.rs:list_namespaces)."""
+        params = {"parent": namespace_path(parent)} if parent else None
+        r = self.http.get(self._url("namespaces"), params=params)
+        r.raise_for_status()
+        return [".".join(ns) for ns in r.json().get("namespaces", [])]

@@ -72,9 +72,20 @@ def _write_small_parquet(table, df: DataFrame, content: int,
 
 
 def write_position_delete_files(table, deletes: DataFrame) -> list[DataFile]:
-    """deletes: DataFrame(file_path string, pos long). Sorted per spec."""
-    df = deletes.select(
-        F.col("file_path").cast("string"), F.col("pos").cast("long"))
+    """deletes: DataFrame(file_path string, pos long[, row struct]).
+    Sorted per spec.
+
+    The optional `row` column carries the deleted row's content — the
+    spec's optional payload (reserved field-ids 2147483546=file_path,
+    2147483545=pos, 2147483544=row; position_delete_writer.rs:90-178) —
+    written when the caller provides it (see delete_rows /
+    `write.position-delete.include-row`). Readers that don't need it
+    (our MoR scan) simply never project it.
+    """
+    cols = [F.col("file_path").cast("string"), F.col("pos").cast("long")]
+    if "row" in deletes.columns:
+        cols.append(F.col("row"))
+    df = deletes.select(*cols)
     # global sort by (file, pos) mirrors SortedPositionDeleteWriter (O1)
     df = df.repartition("file_path").sortWithinPartitions("file_path", "pos")
     return _write_small_parquet(table, df, CONTENT_POSITION_DELETES)
@@ -205,8 +216,13 @@ def delete_rows(table, spark, condition: str) -> None:
     # merge-on-read: position deletes for parquet files; non-parquet
     # files (no row_index in Spark) fall back to copy-on-write in the
     # SAME commit
-    matched = raw.where(condition).select(F.col("__file").alias("file_path"),
-                                          F.col("__pos").alias("pos"))
+    sel = [F.col("__file").alias("file_path"), F.col("__pos").alias("pos")]
+    if table.metadata.properties.get(
+            "write.position-delete.include-row", "false") == "true":
+        # spec's optional row payload (CDC replay / audit readers)
+        sel.append(F.struct(
+            *[f.name for f in spark_schema.fields]).alias("row"))
+    matched = raw.where(condition).select(*sel)
     pq_matches = matched.where(F.col("pos").isNotNull())
     non_pq_files = [r.file_path for r in matched.where(F.col("pos").isNull())
                     .select("file_path").distinct().collect()]

@@ -54,24 +54,63 @@ def rewrite_data_files(table, spark: SparkSession,
 def expire_snapshots(table, older_than_ms: int | None = None,
                      retain_last: int = 1, delete_files: bool = True) -> int:
     """Drop snapshots older than the cutoff (keeping `retain_last` most
-    recent and everything referenced by refs); optionally delete files no
-    longer reachable. Returns number of snapshots expired."""
+    recent and everything refs retain); optionally delete files no
+    longer reachable. Returns number of snapshots expired.
+
+    Ref-aware retention (SnapshotReference knobs, in_memory.rs
+    ref model :2360-2410):
+    - a non-main ref whose head is older than its `max_ref_age_ms` is
+      itself removed;
+    - a surviving branch keeps its head plus ancestors within the
+      branch's `max_snapshot_age_ms` and at least
+      `min_snapshots_to_keep` most-recent ancestors;
+    - a tag keeps exactly its head.
+    """
     from dataclasses import replace as dc_replace
 
     from .catalog.storage import commit_metadata
     from .types.manifest import read_manifest, read_manifest_list
 
     metadata = table.metadata
+    now_ms = int(time.time() * 1000)
     if older_than_ms is None:
-        older_than_ms = int(time.time() * 1000)
+        older_than_ms = now_ms
+    by_id = {s.snapshot_id: s for s in metadata.snapshots}
+
+    # 1. expire refs past their own max age (main never expires)
+    refs = {}
+    for name, r in metadata.refs.items():
+        head = by_id.get(r.snapshot_id)
+        if (name != "main" and r.max_ref_age_ms is not None and head is not None
+                and now_ms - head.timestamp_ms > r.max_ref_age_ms):
+            continue
+        refs[name] = r
+
     by_time = sorted(metadata.snapshots, key=lambda s: s.timestamp_ms, reverse=True)
     keep_ids = {s.snapshot_id for s in by_time[:retain_last]}
-    keep_ids.update(r.snapshot_id for r in metadata.refs.values())
     if metadata.current_snapshot_id is not None:
         keep_ids.add(metadata.current_snapshot_id)
+
+    # 2. per-ref retention along each surviving ref's ancestry
+    for r in refs.values():
+        keep_ids.add(r.snapshot_id)
+        if r.type != "branch":
+            continue  # tags retain only their head
+        min_keep = r.min_snapshots_to_keep if r.min_snapshots_to_keep else 1
+        sid, idx = r.snapshot_id, 0
+        while sid is not None and sid in by_id:
+            s = by_id[sid]
+            within_age = (r.max_snapshot_age_ms is not None
+                          and now_ms - s.timestamp_ms <= r.max_snapshot_age_ms)
+            if idx < min_keep or within_age:
+                keep_ids.add(sid)
+            elif r.max_snapshot_age_ms is not None:
+                break  # older ancestors are older still
+            sid, idx = s.parent_snapshot_id, idx + 1
+
     expired = [s for s in metadata.snapshots
                if s.snapshot_id not in keep_ids and s.timestamp_ms < older_than_ms]
-    if not expired:
+    if not expired and refs.keys() == metadata.refs.keys():
         return 0
     kept = tuple(s for s in metadata.snapshots if s not in expired)
 
@@ -104,6 +143,7 @@ def expire_snapshots(table, older_than_ms: int | None = None,
     new_metadata = dc_replace(
         metadata,
         snapshots=kept,
+        refs=refs,
         snapshot_log=tuple(h for h in metadata.snapshot_log
                            if h["snapshot-id"] in {s.snapshot_id for s in kept}),
         last_updated_ms=int(time.time() * 1000),

@@ -81,8 +81,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                     feats.append((row["media_id"], row["kind"], None, None, None))
                     continue
                 flat = arr.astype(np.float32).ravel()
+                # stats in float64: float32 accumulation drifts in the
+                # 6th decimal, which an exact oracle can't reproduce
+                f64 = flat.astype(np.float64)
                 feats.append((row["media_id"], row["kind"],
-                              float(flat.mean()), float(flat.std()),
+                              float(f64.mean()), float(f64.std()),
                               flat[:64].tolist()))
             yield pd.DataFrame(feats, columns=["media_id", "kind", "feat_mean",
                                                "feat_std", "feat_vec"])
@@ -128,7 +131,10 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{seed}-{i}".encode()).digest() * 4
+        # ASCII-hex payload: still opaque bytes to Spark, but an
+        # SQL-only oracle can regenerate it (DuckDB sha256 takes VARCHAR)
+        payload = (hashlib.sha256(f"media-{seed}-{i}".encode())
+                   .hexdigest() * 4).encode()
         rows.append((i, kind, bytearray(payload), f"x-fake/{kind}",
                      64 if kind != "audio" else None,
                      64 if kind != "audio" else None,

@@ -2421,6 +2421,24 @@ def multimodal_features_q(spark, sf_dir):
             .orderBy("media_id"))
 
 
+# the deterministic fake decoder (ops/multimodal.py) is sha256-derived,
+# so pure SQL can recompute the expected features: payload is the ASCII
+# hex digest of "media-42-<i>" repeated 4x, the fake "image" is the
+# 32-byte sha256 of that payload tiled to 64 bytes, and feat_mean is
+# therefore the mean of the 32 digest bytes
+MULTIMODAL_SQL = """
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, 199) t(i)),
+m AS (SELECT media_id,
+       ['image','audio','video'][CAST(media_id % 3 AS INT) + 1] AS kind,
+       sha256(repeat(sha256('media-42-' || media_id), 4)) AS d2
+      FROM ids)
+SELECT media_id, kind,
+       ROUND(list_sum([CAST('0x' || substring(d2, 2*j-1, 2) AS INT)
+                       for j in generate_series(1, 32)]) / 32.0, 6) AS feat_mean
+FROM m ORDER BY media_id
+"""
+
+
 def iceberg_bucket_partition(spark, sf_dir):
     """T2: bucket-partitioned write (murmur3 pandas_udf) + read-back;
     no DuckDB twin for iceberg murmur3 → rows-only check + unit vectors."""
@@ -2587,6 +2605,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": _pack_documents_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+        "multimodal_features": MULTIMODAL_SQL,
         "q5_local_supplier": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "q10_returned_items": Q10_SQL,

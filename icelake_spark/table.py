@@ -230,9 +230,13 @@ class IcebergTable:
         self.current_version = version
 
     def create_ref(self, name: str, ref_type: str = "branch",
-                   snapshot_id: int | None = None) -> None:
+                   snapshot_id: int | None = None,
+                   min_snapshots_to_keep: int | None = None,
+                   max_snapshot_age_ms: int | None = None,
+                   max_ref_age_ms: int | None = None) -> None:
         """Create a branch or tag pointing at a snapshot (refs map,
-        in_memory.rs:2360-2410)."""
+        in_memory.rs:2360-2410). The retention knobs drive ref-aware
+        expire_snapshots: per-branch ancestor retention and ref expiry."""
         from dataclasses import replace as dc_replace
 
         from .types.metadata import SnapshotReference
@@ -242,7 +246,10 @@ class IcebergTable:
             raise ValueError("table has no snapshot to reference")
         self.metadata.snapshot_by_id(sid)  # validate
         refs = dict(self.metadata.refs)
-        refs[name] = SnapshotReference(sid, ref_type)
+        refs[name] = SnapshotReference(
+            sid, ref_type, min_snapshots_to_keep=min_snapshots_to_keep,
+            max_snapshot_age_ms=max_snapshot_age_ms,
+            max_ref_age_ms=max_ref_age_ms)
         self._commit_metadata(dc_replace(self.metadata, refs=refs))
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
@@ -407,11 +414,14 @@ class IcebergTable:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()
-                if spark is not None:
-                    fmt = file_format.lower()
-                    cnt = (spark.read.format("avro").load(p) if fmt == "avro"
-                           else spark.read.orc(p)).count()
-                    df_entry.record_count = cnt
+                fmt = file_format.lower()
+                if fmt == "avro":
+                    # avro_io count works with or without spark-avro
+                    from .avro_data import count_avro_records
+
+                    df_entry.record_count = count_avro_records(p)
+                elif spark is not None:
+                    df_entry.record_count = spark.read.orc(p).count()
             if partition:
                 df_entry.partition = dict(partition)
             entries.append(df_entry)
@@ -763,6 +773,7 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
     parts = []
     for fmt, paths in by_fmt.items():
         reader = spark.read.schema(spark_schema)
+        file_col = None  # non-None when the branch attaches __file itself
         if fmt == "PARQUET":
             part = reader.parquet(*paths)
         elif fmt == "ORC":
@@ -770,7 +781,15 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
             # signature; .load takes the whole list
             part = reader.format("orc").load(paths)
         elif fmt == "AVRO":
-            part = reader.format("avro").load(paths)
+            try:
+                part = reader.format("avro").load(paths)
+            except Exception:
+                # spark-avro module absent: pure-Python avro_io reader,
+                # one task per file (avro_data.py); it attaches __file
+                from .avro_data import read_avro_data
+
+                part = read_avro_data(spark, spark_schema, paths)
+                file_col = F.col("__file")
         else:
             raise ValueError(f"unsupported data file format {fmt}")
         if with_position:
@@ -780,10 +799,13 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
             pos_col = (F.col("_metadata.row_index") if fmt == "PARQUET"
                        else F.lit(None).cast("long"))
             part = part.withColumns({
-                "__file": F.regexp_replace(F.col("_metadata.file_path"),
-                                           r"^file:/*", "/"),
+                "__file": file_col if file_col is not None else
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 r"^file:/*", "/"),
                 "__pos": pos_col,
             })
+        elif file_col is not None:
+            part = part.drop("__file")
         parts.append(part)
     df = parts[0]
     for p in parts[1:]:

@@ -154,10 +154,16 @@ def write_data_files(
     if PROP_COMPRESSION in props:
         w = w.option("compression", props[PROP_COMPRESSION])
     # write.format.default (DataFileFormat parity, in_memory.rs:2057-91):
-    # Spark writes ORC natively; Avro needs the spark-avro module, so it
-    # stays read-only (add_files) until that dependency exists.
+    # Spark writes ORC natively; Avro goes through the pure-Python
+    # avro_io codec (avro_data.py) since the spark-avro module is not on
+    # this environment's classpath.
     file_format = props.get(PROP_FORMAT, "parquet").lower()
-    if file_format == "orc":
+    if file_format == "avro":
+        from .avro_data import write_avro_data
+
+        write_avro_data(writer_df, stage, schema, partition_cols=pnames,
+                        max_records_per_file=max_records_per_file)
+    elif file_format == "orc":
         blooms = [k[len(PROP_BLOOM_PREFIX):] for k, v in props.items()
                   if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true"]
         if blooms:
@@ -171,13 +177,13 @@ def write_data_files(
         w.parquet(stage)
     else:
         raise ValueError(f"unsupported {PROP_FORMAT}={file_format} "
-                         "(parquet|orc; avro is read-only via add_files)")
+                         "(parquet|orc|avro)")
 
     # inventory written files
     paths = []
     for root, _dirs, files in os.walk(stage):
         for name in files:
-            if name.endswith((".parquet", ".orc")):
+            if name.endswith((".parquet", ".orc", ".avro")):
                 paths.append(os.path.join(root, name))
     result_types = {
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
@@ -308,16 +314,23 @@ def _build_data_file(path: str, stage: str, schema: Schema,
                 name, t = result_types[k]
                 partition[name] = _parse_hive_value(v, t)
 
-    if path.endswith(".orc"):
-        # ORC: pyarrow exposes row count but not per-column min/max, so
-        # the DataFile records counts/size only (scan-level zone-map
-        # pruning simply can't skip ORC files; correctness unaffected)
-        from pyarrow import orc as _orc
+    if path.endswith((".orc", ".avro")):
+        # ORC/Avro: row count but no per-column min/max, so the DataFile
+        # records counts/size only (scan-level zone-map pruning simply
+        # can't skip these files; correctness unaffected)
+        if path.endswith(".orc"):
+            from pyarrow import orc as _orc
 
-        nrows = _orc.ORCFile(path).nrows
+            nrows = _orc.ORCFile(path).nrows
+            fmt = "ORC"
+        else:
+            from .avro_data import count_avro_records
+
+            nrows = count_avro_records(path)
+            fmt = "AVRO"
         return DataFile(
             file_path=os.path.abspath(path),
-            file_format="ORC",
+            file_format=fmt,
             partition=partition,
             record_count=nrows,
             file_size_in_bytes=os.path.getsize(path),

@@ -54,3 +54,53 @@ def test_add_files_bad_format(spark, warehouse):
     tx.commit("append")
     with pytest.raises(ValueError, match="unsupported data file format"):
         t.to_df(spark).count()
+
+
+def test_avro_write_read_roundtrip(spark, warehouse):
+    """write.format.default=avro: data files written with the pure-
+    Python avro_io codec and read back without spark-avro, including
+    dates/timestamps/decimals and MoR (CoW fallback for avro files)."""
+    src = spark.range(100).selectExpr(
+        "id", "cast(id as double) as v",
+        "cast(id as string) as s",
+        "date_add(date'2024-01-01', cast(id as int)) as d",
+        "cast(cast(id as string) || '.25' as decimal(10,2)) as m")
+    t = warehouse.create_table(
+        "db.avrw", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.append(src)
+    t = t.refresh()
+    d = t.new_scan().plan_files()[0][0].data_file
+    assert d.file_format == "AVRO" and d.file_path.endswith(".avro")
+    assert d.record_count > 0
+    got = t.to_df(spark)
+    assert got.count() == 100
+    row = {r.id: r for r in got.collect()}[7]
+    import datetime as dt
+    from decimal import Decimal
+    assert (row.v, row.s, row.d, row.m) == (
+        7.0, "7", dt.date(2024, 1, 8), Decimal("7.25"))
+    # deletes against avro files go copy-on-write in the same commit
+    t.delete_where(spark, "id < 10")
+    t = t.refresh()
+    assert t.to_df(spark).count() == 90
+    assert sorted(r.id for r in t.to_df(spark).collect())[0] == 10
+
+
+def test_avro_partitioned_write(spark, warehouse):
+    src = spark.range(60).selectExpr("id", "id % 3 as g")
+    t = warehouse.create_table(
+        "db.avrp", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.update_spec("g")
+    t = t.refresh()
+    t.append(src)
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files()
+    assert all(d.data_file.file_format == "AVRO" for d in data)
+    assert {tuple(d.data_file.partition.items()) for d in data} == {
+        (("g", 0),), (("g", 1),), (("g", 2),)}
+    assert t.to_df(spark).groupBy("g").count().count() == 3
+    # partition pruning on the avro table
+    pruned, _, _ = t.new_scan(partition_filter={"g": 1}).plan_files()
+    assert len(pruned) < len(data)

@@ -250,3 +250,79 @@ def test_fast_forward_unknown_ref(spark, warehouse):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         t.fast_forward("main", "nope")
+
+
+def test_rest_namespace_rename_and_conflict():
+    """Mocked-server coverage for the remaining REST surface: namespace
+    create/list/drop, table rename, and 409→CommitFailedError."""
+    from icelake_spark.catalog.rest import (CommitFailedError, RestCatalog,
+                                            rename_table_body)
+
+    calls = []
+
+    class FakeResponse:
+        def __init__(self, body=None, status=200):
+            self._body, self.status_code = body or {}, status
+
+        def json(self):
+            return self._body
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise RuntimeError(f"http {self.status_code}")
+
+    class FakeSession:
+        headers: dict = {}
+
+        def get(self, url, params=None):
+            calls.append(("GET", url, params))
+            if url.endswith("/namespaces"):
+                return FakeResponse({"namespaces": [["db"], ["db", "x"]]})
+            return FakeResponse({})
+
+        def post(self, url, json=None):
+            calls.append(("POST", url, json))
+            if url.endswith("/tables/t_conflict"):
+                return FakeResponse(
+                    {"error": {"message": "Requirement failed: branch main "
+                               "has changed"}}, 409)
+            return FakeResponse({})
+
+        def delete(self, url):
+            calls.append(("DELETE", url, None))
+            return FakeResponse({})
+
+    cat = RestCatalog("http://fake:8181", session=FakeSession())
+
+    cat.create_namespace("db.x", {"owner": "me"})
+    m, url, body = calls[-1]
+    assert (m, body) == ("POST", {"namespace": ["db", "x"],
+                                  "properties": {"owner": "me"}})
+    assert url.endswith("/v1/namespaces")
+
+    assert cat.list_namespaces() == ["db", "db.x"]
+
+    cat.drop_namespace("db.x")
+    assert calls[-1][0] == "DELETE" and calls[-1][1].endswith(
+        "/v1/namespaces/db\x1fx")
+
+    cat.rename_table("db.a", "db2.b")
+    m, url, body = calls[-1]
+    assert url.endswith("/v1/tables/rename")
+    assert body == {"source": {"namespace": ["db"], "name": "a"},
+                    "destination": {"namespace": ["db2"], "name": "b"}}
+    assert rename_table_body("t", "db.t")["source"]["namespace"] == []
+
+    # requirement failure surfaces as the typed retryable error
+    import pytest as _pytest
+    from icelake_spark.types.metadata import Snapshot, TableMetadata
+    from icelake_spark.types import Schema
+    from icelake_spark.types.datatypes import LONG, NestedField, StructType
+
+    md = TableMetadata.new("/w/db/t_conflict",
+                           Schema(StructType((NestedField(1, "id", LONG, True),))))
+    md = md.with_snapshot(Snapshot(1, 1, "/ml.avro", {"operation": "append"},
+                                   sequence_number=1))
+    with _pytest.raises(CommitFailedError) as ei:
+        cat.update_table("/w/db/t_conflict", 0, md, identifier="db.t_conflict")
+    assert "Requirement failed" in str(ei.value)

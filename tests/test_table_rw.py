@@ -188,3 +188,68 @@ def test_register_views_spark_sql(spark, warehouse):
     got = spark.sql(
         "SELECT g, COUNT(*) AS n FROM db_sqlt GROUP BY g ORDER BY g").collect()
     assert [(r.g, r.n) for r in got] == [(0, 7), (1, 7), (2, 6)]
+
+
+def test_position_delete_row_payload(spark, warehouse):
+    """With write.position-delete.include-row, delete files carry the
+    deleted rows' content (spec optional payload) and MoR reads are
+    unaffected (the scan never projects it)."""
+    from icelake_spark.types import Schema
+
+    src = spark.range(20).selectExpr("id", "cast(id * 2 as double) as v")
+    t = warehouse.create_table(
+        "db.posrow", Schema.from_spark(src.schema),
+        properties={"write.position-delete.include-row": "true"})
+    t.append(src)
+    t.delete_where(spark, "id < 5")
+    t = t.refresh()
+    _, pos, _ = t.new_scan().plan_files()
+    assert pos
+    del_df = spark.read.parquet(*[p.delete_file.file_path for p in pos])
+    assert set(del_df.columns) == {"file_path", "pos", "row"}
+    payload = sorted((r.row.id, r.row.v) for r in del_df.collect())
+    assert payload == [(i, i * 2.0) for i in range(5)]
+    assert sorted(r.id for r in t.to_df(spark).collect()) == list(range(5, 20))
+
+
+def test_expire_snapshots_ref_aware(spark, warehouse):
+    """Per-ref retention: a tagged snapshot survives expiry while
+    unreferenced ones go; a branch keeps min_snapshots_to_keep
+    ancestors; a ref past its max_ref_age_ms is itself dropped."""
+    from icelake_spark.maintenance import expire_snapshots
+
+    src = spark.range(4).selectExpr("id")
+    t = warehouse.create_table("db.exp_refs", Schema.from_spark(src.schema))
+    snaps = []
+    for i in range(4):
+        t.append(src.where(f"id = {i}"))
+        t = t.refresh()
+        snaps.append(t.current_snapshot().snapshot_id)
+
+    # tag the OLDEST snapshot; branch at 3rd with min 2 ancestors kept;
+    # an aged-out ref on the 2nd
+    t.create_tag("v1", snapshot_id=snaps[0])
+    t.create_ref("dev", "branch", snapshot_id=snaps[2],
+                 min_snapshots_to_keep=2)
+    t.create_ref("stale", "branch", snapshot_id=snaps[1],
+                 max_ref_age_ms=0)  # head is already older than 0ms
+    t = t.refresh()
+
+    expired = expire_snapshots(t, retain_last=1)
+    t = t.refresh()
+    kept = {s.snapshot_id for s in t.metadata.snapshots}
+    assert snaps[0] in kept          # tag head survives
+    assert snaps[2] in kept and snaps[1] in kept  # branch head + 1 ancestor
+    assert snaps[3] in kept          # current/main
+    assert "stale" not in t.metadata.refs  # aged-out ref removed
+    assert expired == 0              # everything was retained by some rule
+
+    # drop the tag → its snapshot becomes expirable
+    t.drop_ref("v1")
+    t = t.refresh()
+    expired = expire_snapshots(t, retain_last=1)
+    t = t.refresh()
+    assert expired >= 1
+    assert snaps[0] not in {s.snapshot_id for s in t.metadata.snapshots}
+    # the table still reads fine
+    assert t.to_df(spark).count() == 4
