@@ -170,9 +170,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int = 1000) -> DataFrame:
     """Pairs with hamming(simhash) <= k via 4-block LSH (a pair within
-    hamming 3 of 64 bits must agree exactly on >= one 16-bit block)."""
+    hamming 3 of 64 bits must agree exactly on >= one 16-bit block).
+
+    `max_bucket` caps a pathological block value (same skew guard as
+    minhash_lsh_pairs): near-identical corpora put thousands of docs in
+    one 16-bit block bucket, and the per-bucket join is quadratic —
+    uncapped, one hot bucket serializes a reducer at corpus scale.
+    """
     s = simhash(df, text_col, id_col)
     blocks = [(F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
               .alias(f"blk{i}") for i in range(4)]
@@ -180,13 +187,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     buckets = b.select(id_col, "simhash", F.explode(F.array(
         *[F.struct(F.lit(i).alias("i"), F.col(f"blk{i}").alias("v"))
           for i in range(4)])).alias("bk"))
+    w = Window.partitionBy("bk").orderBy(id_col)
+    buckets = buckets.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= max_bucket).drop("__rn")
     left = buckets.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "bk")
     right = buckets.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "bk")
-    cand = (left.join(right, on="bk").where(F.col("a") < F.col("b"))
-            .dropDuplicates(["a", "b"]))
+    cand = (left.join(right, on="bk").where(F.col("a") < F.col("b")))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.withColumn("hamming", hamming.cast("int"))
             .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["a", "b"])
             .select("a", "b", "hamming"))
 
 
@@ -195,7 +205,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        fanout_input: bool = True) -> DataFrame:
     """Exact Jaccard over word n-grams for all pairs sharing >= 1 gram.
 
     explode + self-join on the gram: the join key distributes the pair
@@ -207,8 +218,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # stage); both join sides then recompute the gram projection from
     # the reused exchange — in parallel, which beats materializing it
     # serially
-    with_g = (fanout(df, F.col(id_col))
-              .select(F.col(id_col), shingles(text_col, n).alias("gs")))
+    src = fanout(df, F.col(id_col)) if fanout_input else df
+    with_g = src.select(F.col(id_col), shingles(text_col, n).alias("gs"))
     # join on a 64-bit gram hash, not the gram string: the exploded
     # relation shuffles ~len(text) bytes/row as a string key but 8
     # bytes as a long (collision odds over a corpus vocabulary are

@@ -155,7 +155,8 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       fanout_input: bool = True) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 
     - dup_word_frac: 1 − distinct_words/words (how much of the doc is
@@ -177,28 +178,41 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     w = F.split(norm, " ")
     # repartition raw docs first so tokenization fans out to every core
     # instead of running inside the single-task scan stage
+    # (fanout_input=False skips this when the caller already shuffled)
     from .util import fanout
-    base = fanout(df, F.col(id_col)).select(
+    src = fanout(df, F.col(id_col)) if fanout_input else df
+    base = src.select(
         F.col(id_col), w.alias("__w"), F.size(w).alias("n_words"))
-    # per-(doc, word) counts -> per-doc distinct/top aggregates
-    wc = (base.select(id_col, F.explode("__w").alias("word"))
-          .groupBy(id_col, "word").agg(F.count("*").alias("c"))
-          .groupBy(id_col).agg(F.count("*").alias("n_distinct"),
-                               F.max("c").alias("top_word")))
+    # ONE explode for words AND bigrams (tagged by kind), then one
+    # token-level and one doc-level aggregation — instead of two
+    # explode→groupBy→groupBy chains joined at the end. Halves the
+    # shuffle count; both aggregations map-side combine.
     bigrams = F.zip_with(F.slice(F.col("__w"), 1, F.size(F.col("__w")) - 1),
                          F.slice(F.col("__w"), 2, F.size(F.col("__w")) - 1),
                          lambda a, b: F.concat(a, F.lit(" "), b))
-    bc = (base.where(F.size(F.col("__w")) >= 2)
-          .select(id_col, F.explode(bigrams).alias("bg"))
-          .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
-          .groupBy(id_col).agg(F.max("c").alias("top_bigram"),
-                               F.sum("c").alias("n_bigrams")))
+    tokens = F.concat(
+        F.transform(F.col("__w"),
+                    lambda x: F.struct(F.lit("w").alias("kind"),
+                                       x.alias("tok"))),
+        F.transform(bigrams,
+                    lambda b: F.struct(F.lit("b").alias("kind"),
+                                       b.alias("tok"))))
+    is_w = F.col("kind") == "w"
+    counts = (base.select(id_col, F.explode(tokens).alias("kt"))
+              .select(id_col, F.col("kt.kind").alias("kind"),
+                      F.col("kt.tok").alias("tok"))
+              .groupBy(id_col, "kind", "tok").agg(F.count("*").alias("c"))
+              .groupBy(id_col).agg(
+                  F.count(F.when(is_w, 1)).alias("n_distinct"),
+                  F.max(F.when(is_w, F.col("c"))).alias("top_word"),
+                  F.max(F.when(~is_w, F.col("c"))).alias("top_bigram"),
+                  F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams")))
     dup_word = F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
     top_word = F.round(F.col("top_word") / F.col("n_words"), 6)
     top_bigram = F.round(
         F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6)
     keep = ((top_word <= 0.10) & (top_bigram <= 0.05) & (dup_word <= 0.80))
-    return (base.join(wc, on=id_col).join(bc, on=id_col, how="left")
+    return (base.join(counts, on=id_col)
             .select(F.col(id_col), F.col("n_words"),
                     dup_word.alias("dup_word_frac"),
                     top_word.alias("top_word_frac"),

@@ -2031,33 +2031,39 @@ def curation_pipeline_q(spark, sf_dir):
     100 TB that is the difference between shingling the whole crawl and
     shingling what the cheap filters let through. Every stage is the
     same oracle-checked operator exposed standalone."""
-    from .ops.dedup import dedup_clusters, dedup_exact, ngram_jaccard_pairs
+    from .ops.dedup import (connected_components, dedup_exact,
+                            ngram_jaccard_pairs)
     from .ops.sampling import hash_split
-    from .ops.text import analyze_documents, repetition_metrics
+    from .ops.text import quality_score, repetition_metrics, word_count
     from .ops.util import fanout
 
-    # materialize the fanned-out corpus ONCE: quality, repetition, and
-    # the gating join all start from the same rows; without this each
-    # stage re-scans and re-tokenizes the corpus. localCheckpoint also
-    # cuts the lineage so the final plan stays shallow.
+    # materialize the fanned-out corpus ONCE: every stage starts from
+    # the same rows; without this each stage re-scans and re-tokenizes
+    # the corpus. localCheckpoint also cuts the lineage so the final
+    # plan stays shallow.
     docs = fanout(load(spark, sf_dir, "documents")).localCheckpoint()
-    quality = analyze_documents(docs).select("doc_id", "quality", "n_words")
-    rep = repetition_metrics(docs).select("doc_id", "keep")
-    gated = (docs.select("doc_id", "text")
-             .join(quality.where(F.col("quality") >= 0.5)
-                   .select("doc_id", "n_words"), "doc_id")
-             .join(rep.where(F.col("keep")).select("doc_id"), "doc_id"))
-    exact = dedup_exact(gated).select("doc_id")
-    deduped = gated.join(exact, "doc_id", "left_semi").localCheckpoint()
-    clusters = dedup_clusters(
-        deduped, ngram_jaccard_pairs(deduped, n=3, threshold=0.2))
-    survivors = deduped.join(
-        clusters.where(F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id"), "doc_id", "left_semi")
+    # the quality gate is a pure projection predicate — applied as a
+    # narrow filter (no join, no shuffle), and BEFORE repetition so its
+    # explode-aggregations only tokenize quality-passing docs
+    q_ok = docs.select("doc_id", "text").where(
+        quality_score(F.col("text")) >= 0.5)
+    rep = repetition_metrics(q_ok, fanout_input=False)
+    gated = q_ok.join(rep.where(F.col("keep")).select("doc_id"),
+                      "doc_id", "left_semi")
+    deduped = dedup_exact(gated).localCheckpoint()
+    pairs = ngram_jaccard_pairs(deduped, n=3, threshold=0.2,
+                                fanout_input=False)
+    # fuzzy dedup = drop non-root members of each near-dup cluster: one
+    # anti-join against the (small) pairs-graph components instead of
+    # labeling the whole corpus (docs in no pair are trivially roots)
+    comp = connected_components(pairs, "a", "b")
+    non_roots = (comp.where(F.col("node") != F.col("component"))
+                 .select(F.col("node").alias("doc_id")))
+    survivors = deduped.join(non_roots, "doc_id", "left_anti")
     out = hash_split(survivors, "doc_id", train_frac=0.8)
     return (out.groupBy("split")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_words").alias("total_words"))
+                 F.sum(word_count(F.col("text"))).alias("total_words"))
             .orderBy("split"))
 
 
