@@ -13,8 +13,9 @@ Field-id annotations ride on the Avro schema (`field-id`), matching the
 reference's to_avro.rs:21-73 so files interop with other Iceberg
 readers.
 
-Scale notes: writes stream one Arrow batch at a time into the encoder
-(no full-partition materialization beyond the output buffer); reads are
+Scale notes: writes buffer at most `max_records_per_file` records
+(default 1M) per partition value before flushing a container file;
+reads are
 one file per task, so parallelism = file count, same as any
 non-splittable container format (Avro blocks are splittable in
 principle — not needed while files are written to
@@ -95,9 +96,12 @@ def _to_avro_value(v: Any, t: PrimitiveType) -> Any:
         return int(v)
     if n in ("timestamp", "timestamptz"):
         if isinstance(v, dt.datetime):
-            epoch = (dt.datetime(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo
-                     else dt.datetime(1970, 1, 1))
-            return round((v - epoch).total_seconds() * 1_000_000)
+            if v.tzinfo is not None:
+                # aware: true epoch micros (anchoring the epoch at the
+                # value's OWN offset would shift the instant by it)
+                return round(v.timestamp() * 1_000_000)
+            return round((v - dt.datetime(1970, 1, 1)).total_seconds()
+                         * 1_000_000)
         return int(v)
     if n == "decimal":
         unscaled = int(decimal.Decimal(v).scaleb(t.scale).to_integral_value())
@@ -156,7 +160,12 @@ def _converters(schema: Schema):
 def _hive_value(v: Any) -> str:
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
-    return str(v)
+    # percent-escape like Spark's hive layout: '/', '%', '=' etc. in a
+    # value would otherwise corrupt the dir structure, and the stats
+    # builder unconditionally unquotes
+    from urllib.parse import quote
+
+    return quote(str(v), safe="")
 
 
 def write_avro_data(df: DataFrame, stage: str, schema: Schema,
@@ -174,7 +183,10 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
     conv = _converters(schema)
     names = [c[0] for c in conv]
     pcols = partition_cols or []
-    roll = max_records_per_file or (1 << 62)
+    # default roll caps the Python-side record buffer even when the
+    # caller sets no file size: rows buffer as dicts (several times
+    # their Arrow footprint), so an unbounded bucket OOMs the worker
+    roll = max_records_per_file or 1_000_000
     os.makedirs(stage, exist_ok=True)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -198,7 +210,9 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
                 rec = {}
                 for name, enc, _dec in conv:
                     v = vals[name]
-                    if v is not None and v != v:  # NaN -> null
+                    # NaN -> null; guard only scalars (an elementwise
+                    # comparison on a list/ndarray cell is ambiguous)
+                    if isinstance(v, float) and v != v:
                         v = None
                     rec[name] = enc(v)
                 subdir = "/".join(f"{c}={_hive_value(vals[c])}" for c in pcols)

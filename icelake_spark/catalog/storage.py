@@ -184,7 +184,18 @@ def commit_metadata(table_path: str, metadata: TableMetadata, new_version: int) 
     except FileExistsError:
         os.remove(tmp)
         raise CommitConflict(f"{final} already exists")
-    os.remove(tmp)
+    except OSError:
+        # filesystem without hard links (some network/FUSE mounts):
+        # fall back to check+rename — weaker under concurrency, but the
+        # only portable option there (reference has the same caveat,
+        # storage.rs:175-231)
+        if os.path.exists(final):
+            os.remove(tmp)
+            raise CommitConflict(f"{final} already exists")
+        os.replace(tmp, final)
+        tmp = None
+    if tmp is not None:
+        os.remove(tmp)
     hint_tmp = os.path.join(meta_dir, f"version-hint.text.tmp-{_uuid.uuid4()}")
     with open(hint_tmp, "w") as f:
         f.write(str(new_version))

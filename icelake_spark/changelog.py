@@ -148,7 +148,8 @@ def changes(table: IcebergTable, spark: SparkSession,
                     if ppos or peq:
                         d = parent_scan._apply_deletes(spark, d, hit, ppos, peq,
                                                        drop_helpers=False)
-                    deleted = _semi_join_pos(spark, d, hit, added_pos)
+                    deleted = _semi_join_pos(spark, d, hit, added_pos,
+                                             _bcast_limit(table))
                     parts.append(_with_meta(deleted, "delete", snap, order, cols))
             if added_eq:
                 d = _read(spark, table, spark_schema, pdata,
@@ -156,7 +157,8 @@ def changes(table: IcebergTable, spark: SparkSession,
                 if ppos or peq:
                     d = parent_scan._apply_deletes(spark, d, pdata, ppos, peq,
                                                    drop_helpers=False)
-                deleted = _semi_join_eq(spark, d, pdata, added_eq)
+                deleted = _semi_join_eq(spark, d, pdata, added_eq,
+                                        _bcast_limit(table))
                 parts.append(_with_meta(deleted, "delete", snap, order, cols))
 
         # CoW: files removed by this snapshot -> their surviving rows
@@ -183,19 +185,22 @@ def changes(table: IcebergTable, spark: SparkSession,
     return out
 
 
-_BCAST_DELETE_LIMIT = 32 * 1024 * 1024
+def _bcast_limit(table) -> int:
+    return int(table.metadata.properties.get(
+        "read.delete.broadcast-threshold-bytes", 32 * 1024 * 1024))
 
 
-def _maybe_broadcast(side_df: DataFrame, tasks) -> DataFrame:
+def _maybe_broadcast(side_df: DataFrame, tasks, limit: int) -> DataFrame:
     """Broadcast a delete side only while its planned file bytes stay
-    under the limit (same gate as TableScan._apply_deletes): a bulk
-    delete can exceed broadcast limits, where shuffle is the right plan."""
+    under the limit (same gate and table property as
+    TableScan._apply_deletes): a bulk delete can exceed broadcast
+    limits, where shuffle is the right plan."""
     total = sum(t.delete_file.file_size_in_bytes or 0 for t in tasks)
-    return F.broadcast(side_df) if total <= _BCAST_DELETE_LIMIT else side_df
+    return F.broadcast(side_df) if total <= limit else side_df
 
 
 def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
-                   pos: list[DeleteFileTask]) -> DataFrame:
+                   pos: list[DeleteFileTask], limit: int) -> DataFrame:
     """Rows of df matched by the position-delete files (the inverse of
     TableScan._apply_deletes' anti-join, same sequence gate)."""
     if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
@@ -216,11 +221,12 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
     cond = ((df["__file"] == pos_df["__del_file"])
             & (df["__pos"] == pos_df["__del_pos"])
             & (df["__data_seq"] <= pos_df["__del_seq"]))
-    return df.join(_maybe_broadcast(pos_df, pos), on=cond, how="left_semi")
+    return df.join(_maybe_broadcast(pos_df, pos, limit), on=cond,
+                   how="left_semi")
 
 
 def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
-                  eq: list[DeleteFileTask]) -> DataFrame:
+                  eq: list[DeleteFileTask], limit: int) -> DataFrame:
     """Rows of df matched by equality-delete files (strictly-older gate,
     grouped by key-set: one semi-join per distinct equality_ids)."""
     if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
@@ -237,7 +243,7 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
         key_cols = keys.columns
         min_seq = min(t.sequence_number for t in tasks)
         matched = (df.where(F.col("__data_seq") < F.lit(min_seq))
-                   .join(_maybe_broadcast(keys.distinct(), tasks),
+                   .join(_maybe_broadcast(keys.distinct(), tasks, limit),
                          on=key_cols, how="left_semi"))
         out = matched if out is None else out.unionByName(matched)
     return out if out is not None else df.limit(0)

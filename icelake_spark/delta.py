@@ -195,8 +195,11 @@ def delete_rows(table, spark, condition: str) -> None:
         tasks = [t for t in data
                  if os.path.abspath(t.data_file.file_path) in
                  {os.path.abspath(a) for a in affected}]
+        # SQL DELETE keeps rows where the condition is NULL, so the
+        # survivor filter must be NOT(coalesce(cond, false)) — a bare
+        # NOT(cond) silently drops NULL-condition rows (data loss)
         survivors = (_live(tasks, keep_helpers=False)
-                     .where(f"NOT ({condition})")
+                     .where(f"NOT coalesce(({condition}), false)")
                      .repartition(max(1, len(affected))))
         tx.remove_data_files(affected)
         tx.add_data_files(write_data_files(table, survivors))

@@ -783,9 +783,14 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
         elif fmt == "AVRO":
             try:
                 part = reader.format("avro").load(paths)
-            except Exception:
-                # spark-avro module absent: pure-Python avro_io reader,
-                # one task per file (avro_data.py); it attaches __file
+            except Exception as e:
+                # fall back ONLY when the spark-avro module is absent;
+                # any other load failure (corrupt file, bad path) must
+                # surface, not be rerouted to a second reader
+                if "Failed to find data source" not in str(e):
+                    raise
+                # pure-Python avro_io reader, one task per file
+                # (avro_data.py); it attaches __file itself
                 from .avro_data import read_avro_data
 
                 part = read_avro_data(spark, spark_schema, paths)

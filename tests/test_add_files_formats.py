@@ -104,3 +104,41 @@ def test_avro_partitioned_write(spark, warehouse):
     # partition pruning on the avro table
     pruned, _, _ = t.new_scan(partition_filter={"g": 1}).plan_files()
     assert len(pruned) < len(data)
+
+
+def test_avro_list_column_and_hive_escaping(spark, warehouse):
+    """Avro writes must survive array-typed columns (NaN guard is
+    scalar-only) and partition values containing '/', '=', '%'."""
+    src = spark.createDataFrame(
+        [(1, [1.0, 2.0], "a/b"), (2, [3.0], "c=d%2F")],
+        "id long, vec array<double>, g string")
+    t = warehouse.create_table(
+        "db.avlist", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.update_spec("g")
+    t = t.refresh()
+    t.append(src)
+    t = t.refresh()
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert rows[1].vec == [1.0, 2.0] and rows[1].g == "a/b"
+    assert rows[2].vec == [3.0] and rows[2].g == "c=d%2F"
+    data, _, _ = t.new_scan().plan_files()
+    assert sorted(d.data_file.partition["g"] for d in data) == ["a/b", "c=d%2F"]
+    pruned, _, _ = t.new_scan(partition_filter={"g": "a/b"}).plan_files()
+    assert len(pruned) == 1
+
+
+def test_avro_timestamp_roundtrip(spark, warehouse):
+    """Naive (timestamp_ntz-style) and session-tz timestamps written to
+    avro must read back as the same instants."""
+    import datetime as dt
+
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1, 12, 30, 0, 250000))],
+        "id long, ts timestamp")
+    t = warehouse.create_table(
+        "db.avts", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.append(src)
+    got = t.refresh().to_df(spark).collect()[0]
+    assert got.ts == dt.datetime(2024, 3, 1, 12, 30, 0, 250000)

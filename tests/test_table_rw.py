@@ -253,3 +253,17 @@ def test_expire_snapshots_ref_aware(spark, warehouse):
     assert snaps[0] not in {s.snapshot_id for s in t.metadata.snapshots}
     # the table still reads fine
     assert t.to_df(spark).count() == 4
+
+
+def test_cow_delete_keeps_null_condition_rows(spark, warehouse):
+    """SQL DELETE keeps rows where the condition is NULL — the CoW
+    rewrite must not silently drop them (review r2 finding)."""
+    src = spark.createDataFrame([(1, 10.0), (2, None), (3, 2.0)],
+                                "id long, v double")
+    t = warehouse.create_table(
+        "db.nullcond", Schema.from_spark(src.schema),
+        properties={"write.delete.mode": "copy-on-write"})
+    t.append(src)
+    t.delete_where(spark, "v > 5")
+    rows = sorted((r.id, r.v) for r in t.refresh().to_df(spark).collect())
+    assert rows == [(2, None), (3, 2.0)], rows

@@ -98,7 +98,10 @@ def main() -> int:
         # fetchall() above hides both, so flag them explicitly.
         try:
             import pandas as _pd
-            odf = con.execute(oracles[name]).df()
+            # LIMIT 0 still carries DuckDB's type→pandas dtype mapping
+            # (HUGEINT→float64), without re-running the heavy query
+            odf = con.execute(
+                f"SELECT * FROM ({oracles[name]}) __lint LIMIT 0").df()
             for cn in odf.columns:
                 i = ocols.index(cn)
                 vals = [r[i] for r in orows]
@@ -119,7 +122,6 @@ def main() -> int:
                             problems.append(
                                 f"driver-lint: {side} col {cn} is array-typed — "
                                 f"flatten/stringify for the driver canonicalizer")
-                    break
         except Exception as e:  # lint must never mask the real check
             problems.append(f"driver-lint error: {str(e)[:120]}")
         problems = list(dict.fromkeys(problems))
