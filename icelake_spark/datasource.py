@@ -48,6 +48,10 @@ class _FileTask(InputPartition):
     sequence_number: int
     pos_deletes: list[tuple[str, int]]  # (delete file, delete seq)
     eq_deletes: list[tuple[str, tuple[str, ...], int]]  # (file, key cols, seq)
+    # driver-resolved (pos, delete_seq) list for THIS file, when the
+    # delete set was small enough to group once on the driver — avoids
+    # every task re-reading every delete file (N tasks × M files)
+    resolved_pos: list[tuple[int, int]] | None = None
 
 
 class IcelakeDataSource(DataSource):
@@ -125,8 +129,28 @@ class IcelakeReader(DataSourceReader):
                          for fid in (e.delete_file.equality_ids or ()))
             if cols and all(cols):
                 eq_list.append((e.delete_file.file_path, cols, e.sequence_number))
+        # small delete sets: group (pos, seq) by target file ONCE on the
+        # driver so each task ships/reads only its own deletes; big sets
+        # keep the lazy per-task path (driver memory stays bounded)
+        pos_map: dict[str, list[tuple[int, int]]] | None = None
+        total_del = sum(p.delete_file.file_size_in_bytes or 0 for p in pos)
+        if pos and total_del <= 32 * 1024 * 1024:
+            import pyarrow.parquet as pq
+
+            pos_map = {}
+            for p in pos:
+                dt = pq.read_table(p.delete_file.file_path,
+                                   columns=["file_path", "pos"])
+                for src, ps in zip(dt["file_path"].to_pylist(),
+                                   dt["pos"].to_pylist()):
+                    pos_map.setdefault(_norm(src), []).append(
+                        (ps, p.sequence_number))
         return [_FileTask(d.data_file.file_path, d.sequence_number,
-                          pos_list, eq_list) for d in data]
+                          [] if pos_map is not None else pos_list, eq_list,
+                          resolved_pos=(pos_map.get(
+                              _norm(d.data_file.file_path), [])
+                              if pos_map is not None else None))
+                for d in data]
 
     def read(self, partition: _FileTask) -> Iterator:
         """Read one data file with pyarrow, apply MoR deletes, yield
@@ -138,29 +162,39 @@ class IcelakeReader(DataSourceReader):
 
         # position deletes targeting this file, seq-gated
         drop_rows: set[int] = set()
-        for dpath, dseq in partition.pos_deletes:
-            if partition.sequence_number > dseq:
-                continue
-            dt = pq.read_table(dpath, columns=["file_path", "pos"])
-            fp = dt["file_path"].to_pylist()
-            pos = dt["pos"].to_pylist()
-            for f, p in zip(fp, pos):
-                if _norm(f) == _norm(partition.file_path):
-                    drop_rows.add(p)
+        if partition.resolved_pos is not None:
+            drop_rows = {p for p, dseq in partition.resolved_pos
+                         if partition.sequence_number <= dseq}
+        else:
+            for dpath, dseq in partition.pos_deletes:
+                if partition.sequence_number > dseq:
+                    continue
+                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                fp = dt["file_path"].to_pylist()
+                pos = dt["pos"].to_pylist()
+                for f, p in zip(fp, pos):
+                    if _norm(f) == _norm(partition.file_path):
+                        drop_rows.add(p)
         if drop_rows:
             mask = pa.array(i not in drop_rows for i in range(table.num_rows))
             table = table.filter(mask)
 
-        # equality deletes: data_seq < delete_seq
+        # equality deletes: data_seq < delete_seq. A key column missing
+        # from an old file reads as NULL — it must MATCH AS NULL, not be
+        # dropped from the key (narrowing the key over-deletes: every
+        # row sharing the present columns would match).
         for dpath, cols, dseq in partition.eq_deletes:
             if not partition.sequence_number < dseq:
                 continue
-            cols = [c for c in cols if c in table.column_names]
-            if not cols:
-                continue
-            dt = pq.read_table(dpath, columns=list(cols))
-            deleted = set(zip(*[dt[c].to_pylist() for c in cols]))
-            keys = zip(*[table[c].to_pylist() for c in cols])
+            cols = list(cols)
+            present = [c for c in cols if c in table.column_names]
+            dt = pq.read_table(dpath)  # delete files hold only key cols
+            del_cols = {c: (dt[c].to_pylist() if c in dt.column_names
+                            else [None] * dt.num_rows) for c in cols}
+            deleted = set(zip(*[del_cols[c] for c in cols]))
+            key_cols = {c: (table[c].to_pylist() if c in present
+                            else [None] * table.num_rows) for c in cols}
+            keys = zip(*[key_cols[c] for c in cols])
             mask = pa.array(k not in deleted for k in keys)
             table = table.filter(mask)
 
@@ -203,8 +237,11 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
 
         out: list[str] = []
+        main_ids = table.metadata.ancestry_ids()
         for s in sorted(table.metadata.snapshots,
                         key=lambda s: s.sequence_number):
+            if s.snapshot_id not in main_ids:
+                continue  # WAP branch-staged snapshot: not published
             if not (start_seq < s.sequence_number <= end_seq):
                 continue
             if s.summary.get("operation", "append") != "append":
@@ -293,24 +330,24 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         names = [f.name for f in self.spark_schema.fields
                  if f.name != "_change_type"]
 
-        # (file,pos) pairs deleted by snapshots at/below a sequence
-        def pos_deletes_before(seq: int) -> set[tuple[str, int]]:
+        # (file,pos) pairs pos-deleted by one snapshot (for the running
+        # dead-set accumulated while walking snapshots in seq order —
+        # re-deriving "all deletes before seq" per snapshot would rescan
+        # every prior snapshot's manifests each time: quadratic I/O)
+        def snap_pos_deletes(s) -> set[tuple[str, int]]:
             dead: set[tuple[str, int]] = set()
-            for s in table.metadata.snapshots:
-                if s.sequence_number >= seq:
+            for mle in read_manifest_list(table._resolve(s.manifest_list)):
+                if (mle.added_snapshot_id != s.snapshot_id
+                        or mle.content != MANIFEST_CONTENT_DELETES):
                     continue
-                for mle in read_manifest_list(table._resolve(s.manifest_list)):
-                    if (mle.added_snapshot_id != s.snapshot_id
-                            or mle.content != MANIFEST_CONTENT_DELETES):
+                _, entries = read_manifest(table._resolve(mle.manifest_path))
+                for e in entries:
+                    if e.data_file.content != 1:
                         continue
-                    _, entries = read_manifest(table._resolve(mle.manifest_path))
-                    for e in entries:
-                        if e.data_file.content != 1:
-                            continue
-                        t = pq.read_table(table._resolve(e.data_file.file_path))
-                        for src, pos in zip(t["file_path"].to_pylist(),
-                                            t["pos"].to_pylist()):
-                            dead.add((_norm(src), pos))
+                    t = pq.read_table(table._resolve(e.data_file.file_path))
+                    for src, pos in zip(t["file_path"].to_pylist(),
+                                        t["pos"].to_pylist()):
+                        dead.add((_norm(src), pos))
             return dead
 
         def file_rows(path, positions=None, skip: set | None = None):
@@ -326,11 +363,17 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         snaps = sorted(table.metadata.snapshots,
                        key=lambda s: s.sequence_number)
+        main_ids = table.metadata.ancestry_ids()
+        dead_acc: set[tuple[str, int]] = set()  # pos deletes seen so far
         for s in snaps:
-            if not (start_seq < s.sequence_number <= end_seq):
-                continue
+            if s.snapshot_id not in main_ids:
+                continue  # WAP branch-staged snapshot: not published
+            in_range = start_seq < s.sequence_number <= end_seq
             op = (s.summary or {}).get("operation", "append")
-            if op == "replace":
+            if not in_range or op == "replace":
+                # still fold this snapshot's pos deletes into the
+                # running dead-set for later snapshots in the range
+                dead_acc |= snap_pos_deletes(s)
                 continue
             added_data, added_pos, added_eq = [], [], []
             for mle in read_manifest_list(table._resolve(s.manifest_list)):
@@ -362,7 +405,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                     rows.append(r + ("insert",))
 
             if added_pos or added_eq:
-                prior_dead = pos_deletes_before(s.sequence_number)
+                prior_dead = dead_acc
                 # data files alive before this snapshot, with their seqs
                 older: dict[str, int] = {}
                 parent = next((x for x in snaps
@@ -409,6 +452,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                                 continue
                             if tuple(r[j] for j in ki) in keys:
                                 rows.append(r + ("delete",))
+            dead_acc = dead_acc | same_commit_deleted
         return rows
 
 
@@ -484,9 +528,11 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
                                     schema, {}, None) for m in files]
         tx = Transaction(t)
         tx.add_data_files(entries)
-        # record the epoch in the same commit so replay-after-crash
-        # cannot double-append
-        t.metadata.properties[PROP_LAST_BATCH] = str(batchId)
+        # record the epoch IN the same commit so replay-after-crash
+        # cannot double-append; via Transaction.set_properties so a
+        # conflict-retry (which refreshes the table, discarding any
+        # direct metadata mutation) still carries the batch id
+        tx.set_properties({PROP_LAST_BATCH: str(batchId)})
         tx.commit("append")
 
     def abort(self, messages, batchId) -> None:  # noqa: N802

@@ -85,12 +85,20 @@ def parse_stats_preds(filter_str: str | None, schema: Schema,
     pure optimization."""
     if not filter_str:
         return []
+    # a disjunction (or parens) makes AND-splitting unsound: a conjunct
+    # like "name = 'x' OR id = 2" would otherwise parse as
+    # col=name, lit="'x' OR id = 2" and prune files that match the OR's
+    # other branch — silent data loss. Pruning is optional; bail out.
+    if re.search(r"(?i)\bor\b", filter_str) or "(" in filter_str:
+        return []
     preds = []
     for c in re.split(r"(?i)\s+and\s+", filter_str):
         m = _OP_RE.match(c.strip())
         if not m:
             continue
         col, op, lit = m.group(1), m.group(2).replace("==", "="), m.group(3).strip()
+        if re.search(r"\s", lit.strip("'\"")) and not lit.startswith(("'", '"')):
+            continue  # trailing junk after the literal — not a simple conjunct
         f = schema.field_by_name(col)
         if f is None or not isinstance(f.field_type, PrimitiveType):
             continue

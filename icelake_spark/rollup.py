@@ -62,15 +62,23 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
     group_cols = [c for c in props.get("rollup.group-cols", "").split(",") if c]
     value_col = props.get("rollup.value-col") or None
 
-    inc = changes(source_table, spark, from_snapshot_id=last)
-    if not inc.take(1):
-        return 0
-    # affected buckets need FULL recomputation (a bucket may span old +
-    # new data) — recompute only those buckets from the source
-    touched = (_aggregate(inc, ts_col, bucket, group_cols, value_col)
-               .select("bucket_start").distinct())
     full = _aggregate(source_table.to_df(spark), ts_col, bucket,
                       group_cols, value_col)
+    known = {s.snapshot_id for s in source_table.metadata.snapshots}
+    if last is not None and last not in known:
+        # the recorded sync point was expired from the source
+        # (expire_snapshots): the changelog can no longer be computed
+        # from there — fall back to refreshing every bucket rather than
+        # wedging permanently on snapshot_by_id(last)
+        touched = full.select("bucket_start").distinct()
+    else:
+        inc = changes(source_table, spark, from_snapshot_id=last)
+        if not inc.take(1):
+            return 0
+        # affected buckets need FULL recomputation (a bucket may span
+        # old + new data) — recompute only those buckets from the source
+        touched = (_aggregate(inc, ts_col, bucket, group_cols, value_col)
+                   .select("bucket_start").distinct())
     refreshed = full.join(F.broadcast(touched), on="bucket_start",
                           how="left_semi")
     keys = ["bucket_start"] + group_cols

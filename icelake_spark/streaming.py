@@ -144,19 +144,25 @@ def stream_from_table(spark, table, poll_interval: str = "10 seconds",
     given snapshot (append-only tables) — the building block for
     table-to-table streaming pipelines until a DSv2 streaming source is
     warranted."""
-    from .types.manifest import STATUS_ADDED
+    from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
 
     snap = table.current_snapshot()
     if snap is None:
         return spark.createDataFrame([], table.schema().to_spark())
-    baseline = snapshot_id
+    base_seq = (table.metadata.snapshot_by_id(snapshot_id).sequence_number
+                if snapshot_id is not None else -1)
+    main_ids = table.metadata.ancestry_ids()
     new_files: list[str] = []
     for s in sorted(table.metadata.snapshots, key=lambda s: s.sequence_number):
-        if baseline is not None and s.sequence_number <= \
-                table.metadata.snapshot_by_id(baseline).sequence_number:
+        if s.sequence_number <= base_seq:
             continue
-        from .types.manifest import read_manifest, read_manifest_list
-
+        if s.snapshot_id not in main_ids:
+            continue  # WAP branch-staged snapshot: not published to main
+        if (s.summary or {}).get("operation", "append") != "append":
+            # replace/overwrite re-adds rewritten copies of existing
+            # rows — emitting them would duplicate the whole table after
+            # every compaction (same filter as the DSv2 stream reader)
+            continue
         for mle in read_manifest_list(table._resolve(s.manifest_list)):
             if mle.added_snapshot_id != s.snapshot_id:
                 continue

@@ -51,6 +51,7 @@ class Transaction:
         self._added_deletes: list[DataFile] = []
         self._removed_paths: set[str] = set()
         self._remove_all = False
+        self._set_props: dict[str, str] = {}
 
     # ------------------------------------------------------------- ops
 
@@ -75,6 +76,15 @@ class Transaction:
 
     def remove_all_existing(self) -> "Transaction":
         self._remove_all = True
+        return self
+
+    def set_properties(self, props: dict[str, str]) -> "Transaction":
+        """Table properties committed ATOMICALLY with the snapshot —
+        applied to the (possibly refreshed) metadata inside each commit
+        attempt, so a conflict-retry cannot drop them. Mutating
+        table.metadata.properties before commit() is NOT retry-safe:
+        Transaction refreshes the table on conflict, wiping the edit."""
+        self._set_props.update(props)
         return self
 
     # ---------------------------------------------------------- commit
@@ -174,7 +184,8 @@ class Transaction:
                                      metadata.format_version, MANIFEST_CONTENT_DATA)
                 mle.sequence_number = seq
                 mle.min_sequence_number = min(
-                    (e.sequence_number or seq for e in survivors), default=seq)
+                    (seq if e.sequence_number is None else e.sequence_number
+                     for e in survivors), default=seq)  # 0 is a valid seq
                 new_list_entries.append(mle)
 
         # new data manifest
@@ -219,6 +230,12 @@ class Transaction:
             new_metadata = metadata.with_snapshot(snapshot)
         else:
             new_metadata = metadata.with_branch_snapshot(snapshot, self.branch)
+        if self._set_props:
+            from dataclasses import replace as dc_replace
+
+            new_metadata = dc_replace(
+                new_metadata,
+                properties={**new_metadata.properties, **self._set_props})
 
         if table.catalog is not None:
             version = table.catalog.update_table(table.path, table.current_version,
@@ -277,11 +294,19 @@ class Transaction:
             "total-data-files": str(prev_i("total-data-files") + len(add_data) - removed_count),
             "total-records": str(prev_i("total-records") + added_records - removed_rows),
             "total-files-size": str(prev_i("total-files-size") + added_size - removed_size),
-            "total-delete-files": str(prev_i("total-delete-files") + len(self._added_deletes)),
+            # remove_all_existing (replace/overwrite-all) drops every
+            # delete manifest, so totals restart from the added deletes
+            # — inheriting the parent's counts would claim delete files
+            # the new manifest list no longer contains
+            "total-delete-files": str(
+                (0 if self._remove_all else prev_i("total-delete-files"))
+                + len(self._added_deletes)),
             "total-position-deletes": str(
-                prev_i("total-position-deletes") + sum(f.record_count for f in add_pos)),
+                (0 if self._remove_all else prev_i("total-position-deletes"))
+                + sum(f.record_count for f in add_pos)),
             "total-equality-deletes": str(
-                prev_i("total-equality-deletes") + sum(f.record_count for f in add_eq)),
+                (0 if self._remove_all else prev_i("total-equality-deletes"))
+                + sum(f.record_count for f in add_eq)),
         }
         if self._added_deletes:
             s["added-delete-files"] = str(len(self._added_deletes))

@@ -201,6 +201,21 @@ class TableMetadata:
         ref = self.refs.get(ref_name)
         return self.snapshot_by_id(ref.snapshot_id) if ref else None
 
+    def ancestry_ids(self, head_id: int | None = None) -> set:
+        """Snapshot ids on the parent chain of `head_id` (default: the
+        current main head). Snapshots staged on other branches
+        (write-audit-publish) live in `snapshots` but are NOT ancestors —
+        incremental/streaming readers must filter to this set or leak
+        unpublished commits."""
+        if head_id is None:
+            head_id = self.current_snapshot_id
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        ids: set = set()
+        while head_id is not None and head_id in by_id and head_id not in ids:
+            ids.add(head_id)
+            head_id = by_id[head_id].parent_snapshot_id
+        return ids
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
         """Latest snapshot whose commit time <= timestamp_ms (time travel)."""
         best = None

@@ -172,3 +172,20 @@ def test_changelog_plan_broadcasts_delete_sides(spark, warehouse):
     # delete reconstruction joins build on the small delete side
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_or_filter_disables_stats_pruning(spark, warehouse):
+    """An OR filter must NOT zone-map-prune (review r2: the conjunct
+    parser fed 'x' OR id = 2 as a literal and pruned matching files)."""
+    src = spark.range(40000).selectExpr("id", "cast(id as string) as name")
+    t = warehouse.create_table("db.orf", Schema.from_spark(src.schema))
+    for lo in range(0, 40000, 10000):
+        t.append(src.where(f"id >= {lo} and id < {lo + 10000}"))
+    full, _, _ = t.new_scan().plan_files()
+    pruned, _, _ = t.new_scan(filter="name = 'x' OR id = 2").plan_files()
+    assert len(pruned) == len(full)  # pruning bails out, Catalyst filters
+    rows = t.new_scan(filter="name = 'x' OR id = 2").to_df(spark).collect()
+    assert [r.id for r in rows] == [2]
+    # plain conjuncts still prune
+    pr2, _, _ = t.new_scan(filter="id >= 30000").plan_files()
+    assert len(pr2) < len(full)

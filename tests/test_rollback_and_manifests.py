@@ -138,3 +138,23 @@ def test_rewrite_manifests_after_rollback_gets_fresh_id(spark, warehouse):
     new_id = t.current_snapshot().snapshot_id
     assert new_id not in existing, (new_id, existing)
     assert t.to_df(spark).count() == 10
+
+
+def test_summary_delete_totals_reset_on_compaction(spark, warehouse):
+    """replace/overwrite-all drops every delete manifest; the snapshot
+    summary must not keep claiming the old delete-file totals."""
+    from icelake_spark.maintenance import rewrite_data_files
+    from icelake_spark.types import Schema
+
+    src = spark.range(100).selectExpr("id")
+    t = warehouse.create_table("db.sumdel", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "id < 10")
+    t = t.refresh()
+    assert int(t.current_snapshot().summary["total-delete-files"]) >= 1
+    rewrite_data_files(t, spark)
+    t = t.refresh()
+    s = t.current_snapshot().summary
+    assert s["total-delete-files"] == "0"
+    assert s["total-position-deletes"] == "0"
+    assert t.to_df(spark).count() == 90

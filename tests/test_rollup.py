@@ -61,3 +61,31 @@ def test_refresh_applies_source_deletes(spark, warehouse):
     assert got == {(0, "u0"): 5, (0, "u1"): 5, (2, "u1"): 5}
     # idempotent: nothing to do on a second refresh
     assert refresh_rollup(r, src, spark) == 0
+
+
+def test_refresh_survives_expired_source_snapshot(spark, warehouse):
+    """If the recorded source sync point was expired, refresh falls back
+    to a full-bucket recompute instead of raising KeyError forever."""
+    from icelake_spark.maintenance import expire_snapshots
+    from icelake_spark.rollup import create_rollup, refresh_rollup
+    from icelake_spark.types import Schema
+
+    src_df = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 5}:00:00", float(i)) for i in range(20)],
+        "event_id long, ts string, value double").selectExpr(
+        "event_id", "cast(ts as timestamp) as ts", "value")
+    s = warehouse.create_table("db.rexp_src", Schema.from_spark(src_df.schema))
+    s.append(src_df)
+    r = create_rollup(warehouse, s, "db.rexp_roll", spark, ts_col="ts",
+                      bucket="1 hour", group_cols=[], value_col="value")
+    s = s.refresh()
+    s.append(src_df.selectExpr("event_id + 100 as event_id", "ts", "value"))
+    s = s.refresh()
+    s.append(src_df.selectExpr("event_id + 200 as event_id", "ts", "value"))
+    s = s.refresh()
+    expire_snapshots(s, retain_last=1)
+    s = s.refresh()
+    n = refresh_rollup(r, s, spark)
+    assert n > 0
+    got = {row.bucket_start.hour: row.n for row in r.refresh().to_df(spark).collect()}
+    assert got[0] == 12  # 4 per batch x 3 batches for hour 0

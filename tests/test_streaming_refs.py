@@ -326,3 +326,31 @@ def test_rest_namespace_rename_and_conflict():
     with _pytest.raises(CommitFailedError) as ei:
         cat.update_table("/w/db/t_conflict", 0, md, identifier="db.t_conflict")
     assert "Requirement failed" in str(ei.value)
+
+
+def test_stream_from_table_skips_compaction_and_branches(spark, warehouse):
+    """Incremental read must not re-emit compaction rewrites or leak
+    WAP branch-staged snapshots (review r2)."""
+    from icelake_spark.maintenance import rewrite_data_files
+    from icelake_spark.streaming import stream_from_table
+    from icelake_spark.types import Schema
+
+    src = spark.range(100).selectExpr("id")
+    t = warehouse.create_table("db.sft", Schema.from_spark(src.schema))
+    t.append(src.where("id < 50"))
+    t = t.refresh()
+    s1 = t.current_snapshot().snapshot_id
+    t.append(src.where("id >= 50"))
+    t = t.refresh()
+    assert stream_from_table(spark, t, snapshot_id=s1).count() == 50
+    rewrite_data_files(t, spark)
+    t = t.refresh()
+    # compaction rewrote all files; incremental read must stay at 50
+    assert stream_from_table(spark, t, snapshot_id=s1).count() == 50
+    # branch-staged rows must not leak before fast-forward
+    t.append(src.selectExpr("id + 1000 as id"), branch="audit")
+    t = t.refresh()
+    assert stream_from_table(spark, t, snapshot_id=s1).count() == 50
+    t.fast_forward("main", "audit")
+    t = t.refresh()
+    assert stream_from_table(spark, t, snapshot_id=s1).count() == 150
