@@ -138,13 +138,34 @@ class StorageCatalog:
 
 
 def load_metadata(table_path: str) -> tuple[TableMetadata, int]:
-    """Resolve current metadata: version-hint.text first, else max v*/N-uuid
-    metadata file (storage.rs:87-158)."""
+    """Resolve current metadata: max(version-hint.text, highest v*/N-uuid
+    metadata file) — storage.rs:87-158, hardened against a STALE hint.
+
+    The hint is written after the metadata file, so a crash between the
+    two (or two racing committers' hint writes landing out of order)
+    leaves hint < actual max. Trusting the stale hint would make every
+    new commit collide with the existing next version file — a permanent
+    CommitConflict livelock. A corrupt hint likewise falls back to the
+    scan instead of crashing int()."""
     meta_dir = os.path.join(table_path, "metadata")
     hint_file = os.path.join(meta_dir, "version-hint.text")
+    hint_version = -1
     if os.path.isfile(hint_file):
-        with open(hint_file) as f:
-            version = int(f.read().strip())
+        try:
+            with open(hint_file) as f:
+                hint_version = int(f.read().strip())
+        except (ValueError, OSError):
+            hint_version = -1
+    # scan for the highest-versioned metadata file
+    best_version, best_path = -1, None
+    if not os.path.isdir(meta_dir):
+        raise FileNotFoundError(meta_dir)
+    for name in os.listdir(meta_dir):
+        m = _VERSIONED_RE.match(name) or _HASHED_RE.match(name)
+        if m and int(m.group(1)) > best_version:
+            best_version, best_path = int(m.group(1)), os.path.join(meta_dir, name)
+    if hint_version >= best_version:
+        version = hint_version
         path = os.path.join(meta_dir, f"v{version}.metadata.json")
         if not os.path.isfile(path):
             candidates = glob.glob(os.path.join(meta_dir, f"{version:05d}-*.metadata.json"))
@@ -153,14 +174,6 @@ def load_metadata(table_path: str) -> tuple[TableMetadata, int]:
             path = candidates[0]
         with open(path, "rb") as f:
             return TableMetadata.from_json(f.read()), version
-    # no hint: scan for the highest-versioned metadata file
-    best_version, best_path = -1, None
-    if not os.path.isdir(meta_dir):
-        raise FileNotFoundError(meta_dir)
-    for name in os.listdir(meta_dir):
-        m = _VERSIONED_RE.match(name) or _HASHED_RE.match(name)
-        if m and int(m.group(1)) > best_version:
-            best_version, best_path = int(m.group(1)), os.path.join(meta_dir, name)
     if best_path is None:
         raise FileNotFoundError(f"no metadata files in {meta_dir}")
     with open(best_path, "rb") as f:

@@ -68,7 +68,6 @@ def expire_snapshots(table, older_than_ms: int | None = None,
     """
     from dataclasses import replace as dc_replace
 
-    from .catalog.storage import commit_metadata
     from .types.manifest import read_manifest, read_manifest_list
 
     metadata = table.metadata
@@ -148,18 +147,19 @@ def expire_snapshots(table, older_than_ms: int | None = None,
                            if h["snapshot-id"] in {s.snapshot_id for s in kept}),
         last_updated_ms=int(time.time() * 1000),
     )
-    if table.catalog is not None:
-        version = table.catalog.update_table(table.path, table.current_version,
-                                             new_metadata, identifier=table.identifier)
-    else:
-        version = commit_metadata(table.path, new_metadata, table.current_version + 1)
-    table.metadata = new_metadata
-    table.current_version = version
+    table._commit_metadata(new_metadata)
     return len(expired)
 
 
+ORPHAN_DEFAULT_AGE_MS = 3 * 24 * 3600 * 1000  # Iceberg's 3-day default
+
+
 def remove_orphan_files(table, older_than_ms: int | None = None) -> int:
-    """Delete files under data/ not referenced by any snapshot."""
+    """Delete files under data/ not referenced by any snapshot and older
+    than the cutoff (default: 3 days ago, Iceberg's default — a cutoff
+    of "now" would delete files STAGED by in-flight writes whose commit
+    hasn't published the referencing manifest yet, corrupting the
+    table)."""
     from .types.manifest import read_manifest, read_manifest_list
 
     referenced: set[str] = set()
@@ -171,13 +171,17 @@ def remove_orphan_files(table, older_than_ms: int | None = None) -> int:
                     referenced.add(os.path.abspath(table._resolve(e.data_file.file_path)))
         except FileNotFoundError:
             continue
-    cutoff = (older_than_ms / 1000) if older_than_ms else time.time() + 1
+    if older_than_ms is None:
+        cutoff = time.time() - ORPHAN_DEFAULT_AGE_MS / 1000
+    else:
+        cutoff = older_than_ms / 1000
     removed = 0
     data_dir = os.path.join(table.path, "data")
     for root, _d, names in os.walk(data_dir):
         for n in names:
             p = os.path.abspath(os.path.join(root, n))
-            if p.endswith(".parquet") and p not in referenced and os.path.getmtime(p) < cutoff:
+            if (p.endswith((".parquet", ".orc", ".avro"))
+                    and p not in referenced and os.path.getmtime(p) < cutoff):
                 try:
                     os.remove(p)
                     removed += 1
@@ -313,20 +317,44 @@ def rewrite_zorder(table, spark: SparkSession, cols: list[str],
     replace commit. Returns the new data-file count.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     scan = table.new_scan(apply_deletes=True)
     data, _, _ = scan.plan_files(spark)
     if not data:
         return 0
     df = scan.to_df(spark)
-    stats = df.agg(*[F.min(c).alias(f"lo_{c}") for c in cols],
-                   *[F.max(c).alias(f"hi_{c}") for c in cols]).collect()[0]
+
+    # a 64-bit z-value fits at most 63 interleaved bits: clamp per-column
+    # bits so shifts never exceed 63 (Java shiftleft masks the amount to
+    # 6 bits — an overflowing shift silently corrupts the interleave)
+    bits = max(1, min(bits, 63 // len(cols)))
+
+    def _numeric(c: str):
+        """Column as double for rank-scaling; temporal types map to
+        epoch numbers (ordering preserved). Unsupported types fail fast
+        instead of crashing in float() below."""
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DateType,)):
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if isinstance(dt, T.NumericType) or isinstance(dt, T.BooleanType):
+            return F.col(c).cast("double")
+        raise ValueError(f"zorder does not support column {c!r} of type "
+                         f"{dt.simpleString()} (numeric/date/timestamp only)")
+
+    num = {c: _numeric(c) for c in cols}
+    stats = df.agg(*[F.min(num[c]).alias(f"lo_{c}") for c in cols],
+                   *[F.max(num[c]).alias(f"hi_{c}") for c in cols]).collect()[0]
 
     def scaled(c: str):
-        lo = float(stats[f"lo_{c}"])
-        hi = float(stats[f"hi_{c}"])
+        lo_raw, hi_raw = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if lo_raw is None or hi_raw is None:  # all-null column
+            return F.lit(0).cast("long")
+        lo, hi = float(lo_raw), float(hi_raw)
         span = (hi - lo) or 1.0
-        x = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        x = (num[c] - F.lit(lo)) / F.lit(span)
         v = F.least(F.lit((1 << bits) - 1),
                     F.greatest(F.lit(0),
                                F.floor(x * ((1 << bits) - 1)).cast("long")))

@@ -56,8 +56,13 @@ def resolve_path(table_path: str, path: str) -> str:
     """Map a metadata-recorded absolute path into the table's dir
     (pure twin of IcebergTable._resolve, safe to run on executors)."""
     p = path
-    if p.startswith("file://"):
-        p = p[len("file://"):]
+    if p.startswith("file:"):
+        # both file:///x and the single-slash file:/x form resolve, so
+        # this twin cannot disagree with IcebergTable._resolve on
+        # reference-era paths
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
         if not p.startswith("/"):
             p = "/" + p
     if os.path.exists(p):

@@ -114,7 +114,16 @@ class IcebergTable:
         if snapshot_id is not None:
             return self.metadata.snapshot_by_id(snapshot_id)
         if as_of_ms is not None:
-            return self.metadata.snapshot_as_of(as_of_ms)
+            # restrict to main ancestry: snapshots staged on WAP branches
+            # live in metadata.snapshots but are unpublished — a
+            # timestamp read must not resolve to them
+            main_ids = self.metadata.ancestry_ids()
+            best = None
+            for s in self.metadata.snapshots:
+                if (s.snapshot_id in main_ids and s.timestamp_ms <= as_of_ms
+                        and (best is None or s.timestamp_ms > best.timestamp_ms)):
+                    best = s
+            return best
         if ref is not None:
             s = self.metadata.snapshot_by_ref(ref)
             if s is None:
@@ -422,6 +431,12 @@ class IcebergTable:
                     df_entry.record_count = count_avro_records(p)
                 elif spark is not None:
                     df_entry.record_count = spark.read.orc(p).count()
+                else:
+                    # never persist the -1 sentinel: it poisons summary
+                    # totals and stats() forever
+                    from pyarrow import orc as _orc
+
+                    df_entry.record_count = _orc.ORCFile(p).nrows
             if partition:
                 df_entry.partition = dict(partition)
             entries.append(df_entry)
@@ -451,7 +466,24 @@ class IcebergTable:
         if src is None:
             raise KeyError(f"ref {to_ref!r} not found")
         refs = dict(self.metadata.refs)
-        refs[ref] = SnapshotReference(src.snapshot_id, "branch")
+        existing = refs.get(ref)
+        if existing is not None and existing.type == "tag":
+            raise ValueError(f"cannot fast-forward tag {ref!r} (tags are "
+                             "immutable; use create_tag for a new one)")
+        if (existing is not None
+                and existing.snapshot_id not in
+                self.metadata.ancestry_ids(src.snapshot_id)):
+            raise ValueError(
+                f"{ref!r} is not an ancestor of {to_ref!r}'s head — "
+                "not a fast-forward")
+        # preserve the target ref's retention knobs across the publish
+        refs[ref] = SnapshotReference(
+            src.snapshot_id, "branch",
+            min_snapshots_to_keep=(existing.min_snapshots_to_keep
+                                   if existing else None),
+            max_snapshot_age_ms=(existing.max_snapshot_age_ms
+                                 if existing else None),
+            max_ref_age_ms=existing.max_ref_age_ms if existing else None)
         new_md = dc_replace(self.metadata, refs=refs)
         if ref == MAIN_BRANCH:
             new_md = dc_replace(new_md, current_snapshot_id=src.snapshot_id)
@@ -570,7 +602,13 @@ class TableScan:
         match (io/scan.rs:120-122), then per-file zone maps (min/max
         bounds). With a session and ≥ read.plan.distributed-threshold
         manifests, manifest decode + file pruning run as a Spark job so
-        driver memory never bounds table size (SURVEY §7 risk 8)."""
+        driver memory never bounds table size (SURVEY §7 risk 8).
+
+        The result is memoized per scan instance (snapshot-pinned, so
+        deterministic): callers like compaction that plan for sizing and
+        then to_df() the same scan decode the manifest tree once."""
+        if getattr(self, "_plan_cache", None) is not None:
+            return self._plan_cache
         from . import planning
 
         snap = self.table.snapshot(self.snapshot_id, self.as_of_ms, self.ref)
@@ -594,7 +632,9 @@ class TableScan:
         else:
             tasks = planning.plan_serial(self.table.path, meta, mles,
                                          wanted, preds)
-        return planning.split_tasks(tasks, FileScanTask, DeleteFileTask)
+        self._plan_cache = planning.split_tasks(
+            tasks, FileScanTask, DeleteFileTask)
+        return self._plan_cache
 
     # ---------------------------------------------------------- execution
 

@@ -158,3 +158,81 @@ def test_summary_delete_totals_reset_on_compaction(spark, warehouse):
     assert s["total-delete-files"] == "0"
     assert s["total-position-deletes"] == "0"
     assert t.to_df(spark).count() == 90
+
+
+def test_orphan_cleanup_spares_fresh_staged_files(spark, warehouse, tmp_path):
+    """Default orphan cutoff must NOT delete just-written unreferenced
+    files — an in-flight write stages data before its commit publishes
+    the manifest (review r2: cutoff was now+1)."""
+    import os
+    import time
+
+    from icelake_spark.maintenance import remove_orphan_files
+    from icelake_spark.types import Schema
+
+    src = spark.range(10).selectExpr("id")
+    t = warehouse.create_table("db.orph", Schema.from_spark(src.schema))
+    t.append(src)
+    staged = os.path.join(t.path, "data", "inflight", "part-x.parquet")
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    src.limit(1).toPandas().to_parquet(staged)
+    assert remove_orphan_files(t) == 0  # default 3-day cutoff spares it
+    assert os.path.exists(staged)
+    # explicit future cutoff removes it (and would remove .orc/.avro too)
+    assert remove_orphan_files(t, older_than_ms=int(
+        (time.time() + 60) * 1000)) == 1
+    assert not os.path.exists(staged)
+    assert t.to_df(spark).count() == 10
+
+
+def test_stale_version_hint_recovers(spark, warehouse):
+    """A hint older than the max metadata file (crash between link and
+    hint write) must not livelock commits (review r2)."""
+    import os
+
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    src = spark.range(5).selectExpr("id")
+    t = warehouse.create_table("db.stale", Schema.from_spark(src.schema))
+    t.append(src)
+    t.append(src.selectExpr("id + 10 as id"))
+    hint = os.path.join(t.path, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("1")  # stale: v2+ exists
+    t2 = IcebergTable.load(t.path)
+    assert t2.to_df(spark).count() == 10  # resolves the max, not the hint
+    t2.append(src.selectExpr("id + 20 as id"))  # commits without conflict
+    assert t2.refresh().to_df(spark).count() == 15
+    # corrupt hint also falls back instead of crashing
+    with open(hint, "w") as f:
+        f.write("not-a-number")
+    assert IcebergTable.load(t.path).to_df(spark).count() == 15
+
+
+def test_zorder_temporal_and_bit_clamp(spark, warehouse):
+    """zorder accepts date/timestamp columns and clamps interleaved bits
+    to 64 (review r2: float(date) crashed; >64-bit shifts corrupted)."""
+    from icelake_spark.maintenance import rewrite_zorder
+    from icelake_spark.types import Schema
+
+    src = spark.range(2000).selectExpr(
+        "id", "date_add(date'2024-01-01', cast(id % 365 as int)) as d",
+        "id % 7 as a", "id % 11 as b", "id % 13 as c", "id % 17 as e")
+    t = warehouse.create_table("db.zdt", Schema.from_spark(src.schema))
+    t.append(src)
+    n = rewrite_zorder(t, spark, ["d", "id"], target_file_size=64 * 1024)
+    assert n >= 1
+    assert t.refresh().to_df(spark).count() == 2000
+    # 5 cluster columns would need 80 bits at bits=16 — must still work
+    n = rewrite_zorder(t, spark, ["id", "a", "b", "c", "e"],
+                       target_file_size=64 * 1024)
+    assert n >= 1 and t.refresh().to_df(spark).count() == 2000
+    # string cluster columns fail fast with a clear error
+    import pytest as _p
+
+    src2 = spark.range(10).selectExpr("id", "cast(id as string) as s")
+    t2 = warehouse.create_table("db.zstr", Schema.from_spark(src2.schema))
+    t2.append(src2)
+    with _p.raises(ValueError, match="zorder does not support"):
+        rewrite_zorder(t2, spark, ["s"])

@@ -354,3 +354,34 @@ def test_stream_from_table_skips_compaction_and_branches(spark, warehouse):
     t.fast_forward("main", "audit")
     t = t.refresh()
     assert stream_from_table(spark, t, snapshot_id=s1).count() == 150
+
+
+def test_as_of_ms_and_fast_forward_respect_wap(spark, warehouse):
+    """Timestamp time travel must not resolve branch-staged snapshots;
+    fast_forward preserves retention knobs and rejects tags."""
+    import time
+
+    import pytest as _p
+
+    from icelake_spark.types import Schema
+
+    src = spark.range(50).selectExpr("id")
+    t = warehouse.create_table("db.wap2", Schema.from_spark(src.schema))
+    t.append(src.where("id < 25"))
+    t = t.refresh()
+    # main with retention knobs
+    t.create_ref("main", "branch", min_snapshots_to_keep=5)
+    t = t.refresh()
+    t.append(src.where("id >= 25"), branch="audit")
+    t = t.refresh()
+    now_ms = int(time.time() * 1000) + 1000
+    # as-of "now" must see main's 25 rows, not the staged 50
+    assert t.to_df(spark, as_of_ms=now_ms).count() == 25
+    t.create_tag("v1")
+    t = t.refresh()
+    with _p.raises(ValueError, match="tag"):
+        t.fast_forward("v1", "audit")
+    t.fast_forward("main", "audit")
+    t = t.refresh()
+    assert t.metadata.refs["main"].min_snapshots_to_keep == 5
+    assert t.to_df(spark, as_of_ms=int(time.time() * 1000) + 1000).count() == 50
