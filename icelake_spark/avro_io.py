@@ -124,13 +124,16 @@ def _resolve_named(schema: Any, names: dict[str, Any] | None = None) -> Any:
         return [_resolve_named(s, names) for s in schema]
     if isinstance(schema, dict):
         t = schema.get("type")
-        if t in ("record", "fixed", "enum") and "name" in schema:
-            names[schema["name"]] = schema
         out = dict(schema)
+        if t in ("record", "fixed", "enum") and "name" in schema:
+            # register the RESOLVED dict (filled in place below) so a
+            # later name reference decodes; registering before child
+            # resolution keeps self-referential records working
+            names[schema["name"]] = out
         if t == "record":
             out["fields"] = [
-                {**f, "type": _resolve_named(f["type"], names)} for f in schema["fields"]
-            ]
+                {**f, "type": _resolve_named(f["type"], names)}
+                for f in schema["fields"]]
         elif t == "array":
             out["items"] = _resolve_named(schema["items"], names)
         elif t == "map":

@@ -286,8 +286,9 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     20 — checkpointing truncates lineage so each round's plan is
     constant-size. Driver only ever sees a changed-row COUNT.
     """
-    e = edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"))
+    # keep the ids' own type: casting to long would null out string doc
+    # ids and silently drop every edge (dedup becomes a no-op)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     # near-dup pair sets are usually a tiny fraction of the corpus; below

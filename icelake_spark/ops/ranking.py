@@ -77,6 +77,8 @@ def bm25(df: DataFrame, query_terms: list[str], k: int = 10,
           .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
     dl = tk.select(F.col(id_col), F.size("__tk").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    if not avgdl:  # empty corpus / all-empty docs: no scorable terms
+        avgdl = 1.0
 
     tf = (tk.select(F.col(id_col), F.explode("__tk").alias("term"))
           .where(F.col("term").isin(qterms))

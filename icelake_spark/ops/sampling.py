@@ -69,10 +69,19 @@ def pack_documents(df: DataFrame, budget: int = 2048,
 
     from .text import word_count
 
+    from pyspark.sql import types as T
+
     tokens = (F.col(token_col) if token_col
               else word_count(F.col(text_col))).cast("long")
+    # numeric ids shard by modulo (matches the SQL oracle); string ids
+    # hash first — a bare `% n` on strings casts to null and collapses
+    # every row into one window partition
+    if isinstance(df.schema[id_col].dataType, T.NumericType):
+        shard = F.col(id_col) % n_shards
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     base = df.select(F.col(id_col), tokens.alias("n_tokens"),
-                     (F.col(id_col) % n_shards).alias("shard"))
+                     shard.alias("shard"))
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = F.sum("n_tokens").over(w)

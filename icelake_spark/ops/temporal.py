@@ -96,7 +96,9 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
     joined = l2.join(r2, on=by + ["__b"])
     dt = (F.col(on).cast("double")
           - F.col(f"{right_prefix}{on}").cast("double"))
-    return (joined.where(F.abs(dt) <= win)
-            .drop("__b")
-            .dropDuplicates(left.columns + [f"{right_prefix}{c}"
-                                            for c in r_payload]))
+    # no dedup needed: the non-exploded side has ONE bucket and the
+    # exploded side's three buckets are distinct, so an (l, r) pair can
+    # match at most once — a dropDuplicates here would only collapse
+    # genuinely duplicate input rows (wrong) while paying a full-width
+    # shuffle
+    return joined.where(F.abs(dt) <= win).drop("__b")

@@ -127,6 +127,13 @@ def partition_avro_type(spec: PartitionSpec, schema: Schema) -> dict:
     for pf in spec.fields:
         src = schema.field_by_id(pf.source_column_id)
         rt = transform_result_type(pf.transform, src.field_type if src else None)
+        if rt is None:
+            # source column dropped after the spec was written (old-spec
+            # manifests being rewritten): values are nulls — encode as an
+            # optional string rather than crashing the maintenance commit
+            from .datatypes import STRING
+
+            rt = STRING
         fields.append({
             "name": pf.name,
             "type": _opt(_iceberg_prim_to_avro(rt)),
