@@ -140,17 +140,32 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     `min_df` drops hapax terms (index bloat, no retrieval value);
     `max_postings` caps a posting list (keeps the lowest doc ids) so a
     stopword's list can't exceed one task's memory at corpus scale —
-    truncation is recorded in nothing: df_t stays the TRUE document
-    frequency so scoring stays correct even when the list is capped.
+    df_t stays the TRUE document frequency so scoring stays correct even
+    when the list is capped.
+
+    The cap is applied BEFORE the list materializes: a per-term
+    row_number window (sort-based, spills to disk) filters to the lowest
+    `max_postings` ids, and only then does collect_list build the
+    (bounded) array — collect_set-then-slice would buffer a stopword's
+    entire posting list in one aggregation buffer first, the exact OOM
+    the cap exists to prevent.
     """
-    postings = (fanout(df, F.col(id_col))
-                .select(F.col(id_col),
-                        F.explode(tokens(F.col(text_col))).alias("term"))
-                .groupBy("term")
-                .agg(F.count_distinct(F.col(id_col)).alias("df_t"),
-                     F.slice(F.sort_array(F.collect_set(F.col(id_col))),
-                             1, max_postings).alias("postings")))
-    return (postings.where(F.col("df_t") >= min_df)
+    from pyspark.sql import Window
+
+    pairs = (fanout(df, F.col(id_col))
+             .select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+             .dropDuplicates(["term", id_col]))
+    counts = pairs.groupBy("term").agg(F.count("*").alias("df_t"))
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
+    capped = (pairs.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= max_postings))
+    postings = (capped.groupBy("term")
+                .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                     .alias("postings")))
+    return (counts.join(postings, on="term")
+            .where(F.col("df_t") >= min_df)
+            .select("term", "df_t", "postings")
             .orderBy("term"))
 
 
