@@ -23,6 +23,22 @@ from .text import content_md5, sum_cols
 from .util import fanout
 
 
+def portable_hash60(col) -> "F.Column":
+    """60-bit positive hash identical in Spark and DuckDB.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10) :: long
+    DuckDB: CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+    15 hex chars = 60 bits, so the value always fits a signed 64-bit
+    int and stays non-negative (no sign-extension divergence). Used by
+    the oracle-checkable (`portable=True`) variants of minhash/simhash;
+    the production default stays xxhash64 (JVM, no hex round-trip).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH60_SQL = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
+
+
 # ------------------------------------------------------------ exact dedup
 
 
@@ -73,7 +89,7 @@ def shingles(text_col: str = "text", n: int = 3):
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3, portable: bool = False) -> DataFrame:
     """(id, sig array<long>) — k minhashes per doc.
 
     explode(shingles) → groupBy(doc) with k min() agg expressions: one
@@ -83,6 +99,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     and the lanes stay decorrelated (a derived h1+i*h2 family is NOT:
     under ANSI the required mod-2^64 wraparound is unavailable, and
     masked variants make every lane argmin on the same shingle).
+
+    portable=True swaps the lane family for the md5-derived
+    `portable_hash60` (gram digest re-hashed with the lane index), so a
+    DuckDB oracle can recompute identical signatures; same plan shape,
+    ~2x the hashing cost — the xxhash64 default stays the scale path.
     """
     # repartition the RAW docs first: a projection under the exchange
     # would run inside the (often single-file, single-task) scan stage,
@@ -91,9 +112,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sh = (fanout(df, F.col(id_col))
           .select(F.col(id_col), shingles(text_col, shingle_n).alias("gs"))
           .select(F.col(id_col), F.explode("gs").alias("__s")))
-    sh = sh.select(id_col, F.xxhash64("__s").alias("__h"))
-    aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
+    if portable:
+        # one md5 over the gram string, then one fixed-width md5 per
+        # lane over (digest ':' lane) — both recomputable in ANSI SQL
+        sh = sh.select(id_col, F.md5("__s").alias("__h"))
+        aggs = [F.min(portable_hash60(
+            F.concat_ws(":", F.col("__h"), F.lit(i)))).alias(f"h{i}")
             for i in range(num_hashes)]
+    else:
+        sh = sh.select(id_col, F.xxhash64("__s").alias("__h"))
+        aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -101,15 +130,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.7,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000, portable: bool = False) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with a < b, est. jaccard from
-    signature agreement, candidates from LSH banding."""
+    signature agreement, candidates from LSH banding.
+
+    portable=True makes both the lanes and the band keys exactly
+    recomputable in DuckDB (md5 lanes; band key = the lane values
+    themselves, not their xxhash64), giving the query a value-level
+    oracle; default mode hashes band lanes JVM-side for 8-byte keys.
+    """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # hash the band's long lanes directly (no string concat in codegen)
-    band_cols = [F.xxhash64(
-        *[F.col("sig")[b * rows + r] for r in range(rows)],
-        F.lit(b)).alias(f"band{b}") for b in range(bands)]
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                             portable=portable)
+    if portable:
+        # band key = the lane values joined as a string: no engine-
+        # specific hashing anywhere in the candidate generation
+        band_cols = [F.concat_ws(",", *[F.col("sig")[b * rows + r]
+                                        for r in range(rows)]).alias(f"band{b}")
+                     for b in range(bands)]
+    else:
+        # hash the band's long lanes directly (no string concat in codegen)
+        band_cols = [F.xxhash64(
+            *[F.col("sig")[b * rows + r] for r in range(rows)],
+            F.lit(b)).alias(f"band{b}") for b in range(bands)]
     banded = sig.select(id_col, "sig", *band_cols)
     buckets = banded.select(
         id_col, "sig",
@@ -144,18 +187,25 @@ def dedup_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, portable: bool = False) -> DataFrame:
     """(id, simhash long): per-bit majority vote of word-hash bits.
 
     explode(words) → per-bit ±1 sums as agg expressions → reassemble.
     One shuffle; 64 sums stay in the JVM aggregate buffer.
+
+    portable=True swaps the word hash for the 60-bit md5-derived
+    `portable_hash60` (callers should pass bits=60), making the sketch
+    exactly recomputable in DuckDB for the oracle.
     """
     # repartition raw docs first: tokenization below the exchange would
     # run inside the single-task scan stage
     w = fanout(df, F.col(id_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(words_col(text_col))).alias("__w"))
-    w = w.withColumn("__h", F.xxhash64("__w"))
+    if portable:
+        w = w.withColumn("__h", portable_hash60(F.col("__w")))
+    else:
+        w = w.withColumn("__h", F.xxhash64("__w"))
     # branch-free forms keep the 64-agg codegen tree small: ±1 vote is
     # (bit*2 - 1); reassembly shifts the vote sign bit directly (shifting
     # 1L by 63 yields -2^63, the correct two's-complement bit value)
@@ -171,7 +221,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3,
-                       max_bucket: int = 1000) -> DataFrame:
+                       max_bucket: int = 1000, portable: bool = False) -> DataFrame:
     """Pairs with hamming(simhash) <= k via 4-block LSH (a pair within
     hamming 3 of 64 bits must agree exactly on >= one 16-bit block).
 
@@ -179,10 +229,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     minhash_lsh_pairs): near-identical corpora put thousands of docs in
     one 16-bit block bucket, and the per-bucket join is quadratic —
     uncapped, one hot bucket serializes a reducer at corpus scale.
+
+    portable=True uses the 60-bit md5 word hash (4 blocks of 15 bits)
+    so a DuckDB oracle recomputes identical sketches and pairs.
     """
-    s = simhash(df, text_col, id_col)
-    blocks = [(F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
-              .alias(f"blk{i}") for i in range(4)]
+    if portable:
+        s = simhash(df, text_col, id_col, bits=60, portable=True)
+        blocks = [(F.shiftright(F.col("simhash"), 15 * i)
+                   .bitwiseAND(F.lit(0x7FFF))).alias(f"blk{i}")
+                  for i in range(4)]
+    else:
+        s = simhash(df, text_col, id_col)
+        blocks = [(F.shiftright(F.col("simhash"), 16 * i)
+                   .bitwiseAND(F.lit(0xFFFF))).alias(f"blk{i}")
+                  for i in range(4)]
     b = s.select(id_col, "simhash", *blocks)
     buckets = b.select(id_col, "simhash", F.explode(F.array(
         *[F.struct(F.lit(i).alias("i"), F.col(f"blk{i}").alias("v"))

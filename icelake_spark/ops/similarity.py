@@ -191,9 +191,13 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
                                n_iter=train_iters, seed=seed)
         cents = list(enumerate(trained))
     else:
+        # sample ordering via md5 hex (portable_hash ordering): identical
+        # in DuckDB, so the sampled-centroid index is oracle-checkable —
+        # xxhash64 would be equally good but engine-specific
         sample = [r[0] for r in
                   df.select(vec_col)
-                  .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+                  .orderBy(F.md5(F.concat_ws(
+                      ":", F.col(id_col).cast("string"), F.lit(seed))))
                   .limit(n_centroids).collect()]
         cents = [(i, [float(x) for x in c]) for i, c in enumerate(sample)]
 

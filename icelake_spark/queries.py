@@ -2385,37 +2385,217 @@ FROM curated GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
-# ------- non-SQL-expressible (rows-only driver check) -----------------
+# ------- sketch/ANN queries (md5-portable modes → exact oracles) ------
 
 
 def minhash_lsh_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs in portable mode: lanes are md5-derived
+    (ops/dedup.portable_hash60) and band keys are the lane values
+    themselves, so MINHASH_LSH_SQL recomputes identical signatures,
+    candidates, and estimates — a value-level oracle for the sketch."""
     from .ops.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=32, bands=8,
-                             threshold=0.2).orderBy("a", "b")
+                             threshold=0.2, portable=True).orderBy("a", "b")
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
+                     threshold: float = 0.2, max_bucket: int = 1000) -> str:
+    """DuckDB twin of minhash_lsh_q: same md5 lane family, same banding,
+    same per-bucket cap, same signature-agreement estimate."""
+    rows = num_hashes // bands
+    lanes = ",\n         ".join(
+        f"MIN(CAST('0x' || substring(md5(gh || ':{i}'), 1, 15) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes))
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    band_exprs = ",\n         ".join(
+        "concat_ws(','," + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + f") AS bv{b}" for b in range(bands))
+    band_union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS b, bv{b} AS bv FROM sigl"
+        for b in range(bands))
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM grams),
+sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM g GROUP BY doc_id),
+sigl AS (
+  SELECT doc_id, {sig_list} AS sig,
+         {band_exprs}
+  FROM sig),
+buckets AS (
+  SELECT doc_id, sig, b, bv FROM (
+    {band_union})
+  QUALIFY row_number() OVER (PARTITION BY b, bv ORDER BY doc_id) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+est AS (
+  SELECT c.a, c.b,
+         CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+                        for i in generate_series(1, {num_hashes})]) AS DOUBLE)
+         / {num_hashes} AS jaccard_est
+  FROM cand c JOIN sigl sa ON sa.doc_id = c.a JOIN sigl sb ON sb.doc_id = c.b)
+SELECT a, b, jaccard_est FROM est
+WHERE jaccard_est >= {threshold} ORDER BY a, b
+"""
 
 
 def simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs in portable mode: 60-bit md5 word hashes,
+    4×15-bit LSH blocks — SIMHASH_SQL recomputes identical sketches."""
     from .ops.dedup import simhash_near_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=4).orderBy("a", "b")
+    return simhash_near_pairs(docs, max_hamming=4,
+                              portable=True).orderBy("a", "b")
+
+
+def _simhash_sql(max_hamming: int = 4, max_bucket: int = 1000) -> str:
+    """DuckDB twin of simhash_q: same word hash, votes, block buckets."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+wh AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(unnest(list_distinct(w))), 1, 15) AS BIGINT) AS h
+  FROM words),
+votes AS (
+  SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS v
+  FROM wh, generate_series(0, 59) t(i)
+  GROUP BY doc_id, i),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+blk AS (
+  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
+  FROM sh, generate_series(0, 3) t(b)),
+capped AS (
+  SELECT * FROM blk
+  QUALIFY row_number() OVER (PARTITION BY b, bv ORDER BY doc_id) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM capped x JOIN capped y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM cand
+WHERE hamming <= {max_hamming} ORDER BY a, b
+"""
 
 
 def lsh_cosine_q(spark, sf_dir):
+    """Hyperplane-LSH cosine pairs: planes are deterministic literals
+    (seeded rng), so the DuckDB twin re-derives the same buckets from
+    the same plane values embedded as SQL literals."""
     from .ops.similarity import lsh_cosine_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, threshold=0.9).orderBy("a", "b")
+    return lsh_cosine_pairs(emb, threshold=0.4).orderBy("a", "b")
+
+
+def _lsh_cosine_sql(dim: int = 64, n_planes: int = 8, threshold: float = 0.9,
+                    n_tables: int = 4, max_bucket: int = 2000) -> str:
+    from .ops.similarity import _hyperplanes
+
+    all_planes = [_hyperplanes(dim, n_planes, seed=42 + t)
+                  for t in range(n_tables)]
+    bucket_exprs = []
+    for t, planes in enumerate(all_planes):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, ["
+            + ", ".join(repr(float(x)) for x in p)
+            + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        bucket_exprs.append(f"({bits}) AS bv{t}")
+    bucket_cols = ",\n         ".join(bucket_exprs)
+    bucket_union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bv{t} AS bv FROM b" for t in range(n_tables))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+         {bucket_cols}
+  FROM v),
+buckets AS (
+  SELECT vec_id, t, bv FROM (
+    {bucket_union})
+  QUALIFY row_number() OVER (PARTITION BY t, bv ORDER BY vec_id) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.t = y.t AND x.bv = y.bv AND x.vec_id < y.vec_id),
+sims AS (
+  SELECT c.a, c.b,
+         ROUND(list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e))
+                  * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+  FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b)
+SELECT a, b, cos FROM sims WHERE cos >= {threshold} ORDER BY a, b
+"""
 
 
 def ivf_topk_q(spark, sf_dir):
+    """IVF ANN with a deterministic md5-ordered centroid sample: the
+    oracle re-derives the same 16 centroids, assignments, probe set, and
+    top-k from the parquet data itself."""
     from .ops.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
     return ivf_topk(emb, query, k=20)
+
+
+def _ivf_topk_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 4,
+                  seed: int = 42) -> str:
+    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
+                         for i in range(64)) + "]")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT {q} AS qv),
+cents AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) - 1 AS c,
+         e AS ce
+  FROM v
+  QUALIFY row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) <= {n_centroids}),
+assigned AS (
+  SELECT vec_id, e, c FROM (
+    SELECT v.vec_id, v.e, cents.c,
+           list_sum([(v.e[i] - cents.ce[i]) * (v.e[i] - cents.ce[i])
+                     for i in generate_series(1, len(v.e))]) AS d
+    FROM v CROSS JOIN cents)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+probe AS (
+  SELECT c FROM (
+    SELECT cents.c,
+           list_sum([(q.qv[i] - cents.ce[i]) * (q.qv[i] - cents.ce[i])
+                     for i in generate_series(1, len(cents.ce))]) AS d
+    FROM cents CROSS JOIN q)
+  QUALIFY row_number() OVER (ORDER BY d, c) <= {nprobe}),
+sims AS (
+  SELECT a.vec_id,
+         ROUND(list_dot_product(a.e, q.qv)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM assigned a JOIN probe USING (c) CROSS JOIN q)
+SELECT vec_id, cos FROM sims ORDER BY cos DESC, vec_id LIMIT {k}
+"""
 
 
 def multimodal_features_q(spark, sf_dir):
@@ -2612,6 +2792,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ANN_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "multimodal_features": MULTIMODAL_SQL,
+        "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=8,
+                                              threshold=0.2),
+        "simhash_near_pairs": _simhash_sql(max_hamming=4),
+        "lsh_cosine_pairs": _lsh_cosine_sql(threshold=0.4),
+        "ivf_topk": _ivf_topk_sql(k=20),
         "q5_local_supplier": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "q10_returned_items": Q10_SQL,
