@@ -2646,63 +2646,111 @@ SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def iceberg_avro_roundtrip(spark, sf_dir):
+    """S12: Avro data-file path end-to-end — write supplier with
+    write.format.default=avro (pure-Python writer, avro_data.py), scan
+    it back through the same table reader, aggregate. Format parity
+    target: /root/reference/icelake/src/types/in_memory.rs:2057-2091."""
+    from .types import Schema
+
+    s = load(spark, sf_dir, "supplier")
+    t = _tmp_catalog().create_table(
+        "q.supplier_avro", Schema.from_spark(s.schema),
+        properties={"write.format.default": "avro"})
+    t.append(s)
+    return (t.to_df(spark).groupBy("s_nationkey")
+            .agg(F.count("*").alias("n"), dsum(F.col("s_acctbal"), "total_bal"))
+            .orderBy("s_nationkey"))
+
+
+ICEBERG_AVRO_SQL = f"""
+SELECT s_nationkey, COUNT(*) AS n, {dsum_sql('s_acctbal', 'total_bal')}
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def iceberg_merge(spark, sf_dir):
+    """MERGE INTO SQL entry (sql.py over delta.merge, W7/W8): updates
+    matched customers above a balance gate, deletes nothing, inserts
+    new synthetic keys — one transactional commit; final-state check.
+    Reference anchor: tests/delta_test_v2.rs:101-226 (MERGE driven
+    through Spark SQL against the equality-delta writer)."""
+    from .sql import merge_into
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    cat = _tmp_catalog()
+    t = cat.create_table("q.cust_merge", Schema.from_spark(c.schema))
+    t.append(c)
+    source = (c.where(F.col("c_custkey") % 7 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+              .withColumn("c_mktsegment", F.lit("MERGED"))
+              .unionByName(
+                  c.where(F.col("c_custkey") % 11 == 0)
+                  .withColumn("c_custkey", F.col("c_custkey") + 10_000_000)
+                  .withColumn("c_mktsegment", F.lit("NEWROW"))))
+    source.createOrReplaceTempView("merge_src")
+    merge_into(spark, """
+        MERGE INTO q.cust_merge AS t USING merge_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.c_acctbal > 0 THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """, catalog=cat)
+    t2 = cat.load_table("q.cust_merge")
+    return (t2.to_df(spark).groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+# matched rows update only when the POST-UPDATE source balance clears the
+# gate (the WHEN MATCHED condition evaluates against the source row);
+# %11 rows get brand-new keys, so they always insert
+ICEBERG_MERGE_SQL = f"""
+WITH src_new AS (
+  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+         c_acctbal, 'NEWROW' AS c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0),
+merged AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 AND c_acctbal + 1000.0 > 0
+              THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 7 = 0 AND c_acctbal + 1000.0 > 0
+              THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT * FROM src_new)
+SELECT c_mktsegment, COUNT(*) AS n, {dsum_sql('c_acctbal', 'total_bal')}
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the driver's correctness window (first 50).
+
+    Round-3 rotation: (1) the five queries that had never had a green
+    driver row — the four sketch/ANN queries (now with exact md5-
+    portable oracles) plus the new avro roundtrip and MERGE INTO
+    entries — then (2) the 30 queries whose only green row is from
+    round 1 (regression re-check), then (3) a 14-query sample of the
+    round-2 greens spanning every operator family. Queries 51+ were all
+    hash-green in round 2 (ivf_kmeans_topk stays rows-only by design:
+    float-iterative k-means has no portable SQL twin; its evidence is
+    ann_topk + ivf_topk greens and tests/test_ops.py).
+    """
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q18_large_orders": q18_large_orders,
-        "q12_priority_shipping": q12_priority_shipping,
-        "percentiles_by_status": percentiles_by_status,
-        "train_test_split": train_test_split,
-        "window_functions_suite": window_functions_suite,
-        "grouping_sets_rollup": grouping_sets_rollup,
-        "semi_anti_join_customers": semi_anti_join_customers,
-        "correlated_subquery": correlated_subquery_q,
-        "skew_salted_join": skew_salted_join,
-        "events_sessionize": events_sessionize,
-        "continuous_aggregate": continuous_aggregate,
-        "asof_join": asof_join_q,
-        "range_join": range_join_q,
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "iceberg_update": iceberg_update,
-        "iceberg_upsert": iceberg_upsert,
-        "iceberg_changelog": iceberg_changelog,
-        "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_partition_prune": iceberg_partition_prune,
-        "iceberg_compaction": iceberg_compaction,
-        "iceberg_bucket_partition": iceberg_bucket_partition,
-        "streaming_ingest": streaming_ingest,
-        "transforms_projection": transforms_projection,
-        "pipeline_curation": pipeline_curation,
-        "corpus_term_freq": corpus_term_freq,
-        "text_analysis": text_analysis,
-        "dedup_exact": dedup_exact_q,
-        "ngram_jaccard_pairs": ngram_jaccard_q,
-        "dedup_clusters": dedup_clusters_q,
-        "bm25_topk": bm25_topk_q,
-        "dedup_against": dedup_against_q,
-        "encode_documents": encode_documents_q,
-        "quantize_embeddings": quantize_embeddings_q,
-        "inverted_index": inverted_index_q,
-        "repetition_metrics": repetition_metrics_q,
-        "redact_pii": redact_pii_q,
-        "char_entropy": char_entropy_q,
-        "curation_pipeline": curation_pipeline_q,
-        "pack_documents": pack_documents_q,
-        "ivf_kmeans_topk": ivf_kmeans_topk_q,
-        "ann_topk": ann_topk_q,
-        "embedding_neardup": embedding_neardup_q,
+        # -- never green before round 3 ------------------------------
         "minhash_lsh_pairs": minhash_lsh_q,
-        "multimodal_features": multimodal_features_q,
+        "simhash_near_pairs": simhash_q,
+        "lsh_cosine_pairs": lsh_cosine_q,
+        "ivf_topk": ivf_topk_q,
+        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
+        "iceberg_merge": iceberg_merge,
+        # -- green only in round 1 (regression re-check) -------------
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
@@ -2733,9 +2781,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sliding_windows": events_sliding_windows,
         "events_session_window_builtin": events_session_window_builtin,
-        "simhash_near_pairs": simhash_q,
-        "lsh_cosine_pairs": lsh_cosine_q,
-        "ivf_topk": ivf_topk_q,
+        # -- round-2 green sample (one per operator family) ----------
+        "q1_pricing_summary": q1_pricing_summary,
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "iceberg_upsert": iceberg_upsert,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        "streaming_ingest": streaming_ingest,
+        "dedup_exact": dedup_exact_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "dedup_clusters": dedup_clusters_q,
+        "bm25_topk": bm25_topk_q,
+        "curation_pipeline": curation_pipeline_q,
+        "asof_join": asof_join_q,
+        "pack_documents": pack_documents_q,
+        "multimodal_features": multimodal_features_q,
+        # ---- beyond the 50-row window: all hash-green in round 2 ----
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q18_large_orders": q18_large_orders,
+        "q12_priority_shipping": q12_priority_shipping,
+        "percentiles_by_status": percentiles_by_status,
+        "train_test_split": train_test_split,
+        "window_functions_suite": window_functions_suite,
+        "grouping_sets_rollup": grouping_sets_rollup,
+        "semi_anti_join_customers": semi_anti_join_customers,
+        "correlated_subquery": correlated_subquery_q,
+        "skew_salted_join": skew_salted_join,
+        "events_sessionize": events_sessionize,
+        "continuous_aggregate": continuous_aggregate,
+        "range_join": range_join_q,
+        "iceberg_update": iceberg_update,
+        "iceberg_changelog": iceberg_changelog,
+        "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_compaction": iceberg_compaction,
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "transforms_projection": transforms_projection,
+        "pipeline_curation": pipeline_curation,
+        "corpus_term_freq": corpus_term_freq,
+        "text_analysis": text_analysis,
+        "dedup_against": dedup_against_q,
+        "encode_documents": encode_documents_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "inverted_index": inverted_index_q,
+        "repetition_metrics": repetition_metrics_q,
+        "redact_pii": redact_pii_q,
+        "char_entropy": char_entropy_q,
+        "embedding_neardup": embedding_neardup_q,
+        "ann_topk": ann_topk_q,
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
     }
 
 
@@ -2797,6 +2893,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _simhash_sql(max_hamming=4),
         "lsh_cosine_pairs": _lsh_cosine_sql(threshold=0.4),
         "ivf_topk": _ivf_topk_sql(k=20),
+        "iceberg_avro_roundtrip": ICEBERG_AVRO_SQL,
+        "iceberg_merge": ICEBERG_MERGE_SQL,
         "q5_local_supplier": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "q10_returned_items": Q10_SQL,

@@ -1,0 +1,134 @@
+"""SQL-statement entry points for DML the DataFrame API already
+implements — currently MERGE INTO over delta.merge (W7/W8).
+
+Parity target: the reference drives its equality-delta writer from
+Spark SQL in integration tests (/root/reference/icelake/tests/
+delta_test_v2.rs:101-226: MERGE INTO t1 USING t2 ... WHEN MATCHED THEN
+UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT); this module gives the
+PySpark engine the same SQL face without a full SQL-DML parser: the
+supported (and validated) grammar is the whole-row subset the delta
+writer implements —
+
+    MERGE INTO <target_ident> [AS t] USING <source_view> [AS s]
+    ON <key equalities: t.k = s.k [AND ...]>
+    [WHEN MATCHED [AND <condition>] THEN UPDATE SET * | DELETE]
+    [WHEN NOT MATCHED THEN INSERT *]
+
+`UPDATE SET *` / `INSERT *` (whole-row replace/insert) mirror
+merge-on-read CDC semantics: an update is an equality delete of the old
+row plus an insert of the source row, one transactional commit.
+Anything outside the grammar raises ValueError naming the unsupported
+clause instead of silently mis-executing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import delta
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.$/]+)(?:\s+AS\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>[\w.]+)(?:\s+AS\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.*)?$",
+    re.IGNORECASE | re.DOTALL)
+
+_MATCHED_RE = re.compile(
+    r"WHEN\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+\*|DELETE)",
+    re.IGNORECASE | re.DOTALL)
+
+_NOT_MATCHED_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+(?P<action>INSERT\s+\*)",
+    re.IGNORECASE)
+
+_ON_EQ_RE = re.compile(
+    r"^\s*(?:(?P<q1>[\w.]+)\.)?(?P<c1>\w+)\s*=\s*(?:(?P<q2>[\w.]+)\.)?(?P<c2>\w+)\s*$")
+
+
+def _parse_on(on_text: str, talias: str, salias: str) -> list[str]:
+    """ON must be a conjunction of target.col = source.col equalities on
+    the SAME column name (equality-delete keys)."""
+    keys = []
+    for term in re.split(r"\s+AND\s+", on_text.strip(), flags=re.IGNORECASE):
+        m = _ON_EQ_RE.match(term)
+        if not m:
+            raise ValueError(f"unsupported ON term (need t.col = s.col): {term!r}")
+        c1, c2 = m.group("c1"), m.group("c2")
+        if c1 != c2:
+            raise ValueError(
+                f"ON must join the same column name on both sides "
+                f"(equality-delete key), got {term!r}")
+        q1, q2 = m.group("q1"), m.group("q2")
+        for q in (q1, q2):
+            if q and q not in (talias, salias):
+                raise ValueError(f"unknown qualifier {q!r} in ON term {term!r}")
+        keys.append(c1)
+    if not keys:
+        raise ValueError("empty ON clause")
+    return keys
+
+
+def merge_into(spark: SparkSession, statement: str,
+               catalog=None, source_df: DataFrame | None = None):
+    """Execute a MERGE INTO statement against an icelake table.
+
+    - `target` resolves via `catalog.load_table(ident)` when a catalog
+      is passed, else as a filesystem table path (IcebergTable.load).
+    - `source` is a registered Spark temp view name, unless `source_df`
+      is given (then the USING name is only documentation).
+
+    Returns the target table (reloaded state is visible via .to_df).
+    """
+    m = _MERGE_RE.match(statement)
+    if not m:
+        raise ValueError("unsupported MERGE syntax; expected "
+                         "MERGE INTO t USING s ON ... WHEN ...")
+    talias = m.group("talias") or m.group("target")
+    salias = m.group("salias") or m.group("source")
+    keys = _parse_on(m.group("on"), talias, salias)
+
+    clauses = m.group("clauses") or ""
+    when_matched = None
+    matched_condition = None
+    when_not_matched = None
+    matched_m = _MATCHED_RE.search(clauses)
+    if matched_m:
+        action = re.sub(r"\s+", " ", matched_m.group("action")).upper()
+        when_matched = "update" if action == "UPDATE SET *" else "delete"
+        matched_condition = matched_m.group("cond")
+        if matched_condition:
+            # the condition evaluates against the SOURCE row (delta.merge
+            # contract); allow the source alias as a qualifier, reject the
+            # target's (target non-key columns are never read)
+            if re.search(rf"\b{re.escape(talias)}\.", matched_condition):
+                raise ValueError("WHEN MATCHED AND may only reference "
+                                 "source columns")
+            matched_condition = re.sub(rf"\b{re.escape(salias)}\.", "",
+                                       matched_condition).strip()
+    if _NOT_MATCHED_RE.search(clauses):
+        when_not_matched = "insert"
+    # reject clause text neither recognizer consumed (e.g. UPDATE SET col=..,
+    # INSERT (cols) VALUES ..., WHEN NOT MATCHED BY SOURCE)
+    residue = _NOT_MATCHED_RE.sub("", _MATCHED_RE.sub("", clauses)).strip()
+    if residue:
+        raise ValueError(f"unsupported MERGE clause: {residue[:80]!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("MERGE needs at least one WHEN clause")
+
+    from .table import IcebergTable
+
+    ident = m.group("target")
+    if catalog is not None:
+        table = catalog.load_table(ident)
+    else:
+        table = IcebergTable.load(ident)
+    source = source_df if source_df is not None else spark.table(m.group("source"))
+    delta.merge(table, spark, source, on=keys,
+                when_matched=when_matched,
+                matched_condition=matched_condition,
+                when_not_matched=when_not_matched)
+    return table

@@ -1,0 +1,137 @@
+"""MERGE INTO SQL entry (icelake_spark/sql.py) over delta.merge.
+
+Mirrors the reference's SQL-driven delta-writer integration semantics
+(/root/reference/icelake/tests/delta_test_v2.rs:101-226): MERGE with
+WHEN MATCHED UPDATE / DELETE and WHEN NOT MATCHED INSERT against an
+equality-delta (merge-on-read) table, verified by final table state.
+"""
+
+import pytest
+
+from icelake_spark.sql import _parse_on, merge_into
+from icelake_spark.types import Schema
+
+
+def _mk(catalog, spark, name="s1.t1"):
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300)], "id long, key long, value long")
+    t = catalog.create_table(name, Schema.from_spark(df.schema))
+    t.append(df)
+    return t
+
+
+def _state(t, spark):
+    return sorted(tuple(r) for r in t.to_df(spark).collect())
+
+
+def test_merge_update_and_insert(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark)
+    src = spark.createDataFrame(
+        [(2, 21, 201), (4, 40, 400)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src")
+    merge_into(spark, """
+        MERGE INTO s1.t1 AS t USING m_src AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.t1"), spark) == [
+        (1, 10, 100), (2, 21, 201), (3, 30, 300), (4, 40, 400)]
+
+
+def test_merge_delete(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark)
+    src = spark.createDataFrame([(1, 0, 0), (9, 0, 0)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_del")
+    merge_into(spark, """
+        MERGE INTO s1.t1 USING m_src_del AS s
+        ON s1.t1.id = s.id
+        WHEN MATCHED THEN DELETE
+    """, catalog=cat)
+    # id=1 deleted; id=9 matched nothing and there is no INSERT clause
+    assert _state(cat.load_table("s1.t1"), spark) == [
+        (2, 20, 200), (3, 30, 300)]
+
+
+def test_merge_matched_condition_gates_update(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark)
+    src = spark.createDataFrame(
+        [(1, 11, -1), (2, 22, 5)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_cond")
+    merge_into(spark, """
+        MERGE INTO s1.t1 AS t USING m_src_cond AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.value > 0 THEN UPDATE SET *
+    """, catalog=cat)
+    # id=1 fails the gate (value=-1) and keeps its old row
+    assert _state(cat.load_table("s1.t1"), spark) == [
+        (1, 10, 100), (2, 22, 5), (3, 30, 300)]
+
+
+def test_merge_insert_only(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark)
+    src = spark.createDataFrame(
+        [(3, 99, 99), (5, 50, 500)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_ins")
+    merge_into(spark, """
+        MERGE INTO s1.t1 AS t USING m_src_ins AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """, catalog=cat)
+    # matched id=3 untouched (no WHEN MATCHED clause)
+    assert _state(cat.load_table("s1.t1"), spark) == [
+        (1, 10, 100), (2, 20, 200), (3, 30, 300), (5, 50, 500)]
+
+
+def test_merge_source_df_bypasses_view(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark)
+    src = spark.createDataFrame([(6, 60, 600)], "id long, key long, value long")
+    merge_into(spark, """
+        MERGE INTO s1.t1 AS t USING whatever AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """, catalog=cat, source_df=src)
+    assert (6, 60, 600) in _state(cat.load_table("s1.t1"), spark)
+
+
+def test_merge_multi_key_on(warehouse, spark):
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200)], "id long, key long, value long")
+    t = cat.create_table("s1.t2", Schema.from_spark(df.schema))
+    t.append(df)
+    src = spark.createDataFrame([(1, 20, 999)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_mk")
+    merge_into(spark, """
+        MERGE INTO s1.t2 AS t USING m_src_mk AS s
+        ON t.id = s.id AND t.key = s.key
+        WHEN MATCHED THEN UPDATE SET *
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.t2"), spark) == [(1, 10, 100), (1, 20, 999)]
+
+
+@pytest.mark.parametrize("stmt,msg", [
+    ("MERGE INTO t USING s ON t.a = s.b WHEN MATCHED THEN UPDATE SET *",
+     "same column name"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN MATCHED THEN UPDATE SET value = 1", "unsupported MERGE clause"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN NOT MATCHED THEN INSERT (id) VALUES (1)", "unsupported MERGE clause"),
+    ("MERGE INTO t USING s ON t.id > s.id WHEN MATCHED THEN DELETE",
+     "unsupported ON term"),
+    ("MERGE INTO t USING s ON t.id = s.id", "at least one WHEN"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN MATCHED AND t.value > 0 THEN UPDATE SET *", "source columns"),
+])
+def test_merge_rejects_unsupported(stmt, msg, spark):
+    with pytest.raises(ValueError, match=msg):
+        merge_into(spark, stmt)
+
+
+def test_parse_on_strips_qualifiers():
+    assert _parse_on("t.id = s.id AND key = s.key", "t", "s") == ["id", "key"]
