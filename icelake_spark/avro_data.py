@@ -86,7 +86,7 @@ def table_avro_schema(schema: Schema, name: str = "table") -> dict:
 # ----------------------------------------------------- value conversion
 
 
-def _to_avro_value(v: Any, t: PrimitiveType) -> Any:
+def _to_avro_value(v: Any, t: PrimitiveType, tz: dt.tzinfo | None = None) -> Any:
     if v is None:
         return None
     n = t.name
@@ -100,6 +100,13 @@ def _to_avro_value(v: Any, t: PrimitiveType) -> Any:
                 # aware: true epoch micros (anchoring the epoch at the
                 # value's OWN offset would shift the instant by it)
                 return round(v.timestamp() * 1_000_000)
+            if n == "timestamptz" and tz is not None:
+                # mapInPandas hands timestamptz values over as SESSION-
+                # timezone-naive stamps; the iceberg spec stores UTC
+                # micros, so localize to the session zone first (treating
+                # naive as UTC silently shifts every instant when
+                # spark.sql.session.timeZone != UTC)
+                return round(v.replace(tzinfo=tz).timestamp() * 1_000_000)
             return round((v - dt.datetime(1970, 1, 1)).total_seconds()
                          * 1_000_000)
         return int(v)
@@ -121,12 +128,19 @@ def _to_avro_value(v: Any, t: PrimitiveType) -> Any:
     return v
 
 
-def _from_avro_value(v: Any, t: PrimitiveType) -> Any:
+def _from_avro_value(v: Any, t: PrimitiveType, tz: dt.tzinfo | None = None) -> Any:
     if v is None:
         return None
     n = t.name
     if n == "date":
         return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+    if n == "timestamptz" and tz is not None:
+        # stored UTC micros -> session-timezone-naive (the inverse of
+        # the write-side localization; mapInPandas expects naive stamps
+        # in the session zone)
+        utc = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            microseconds=v)
+        return utc.astimezone(tz).replace(tzinfo=None)
     if n in ("timestamp", "timestamptz"):
         return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
     if n == "decimal":
@@ -137,20 +151,32 @@ def _from_avro_value(v: Any, t: PrimitiveType) -> Any:
     return v
 
 
-def _converters(schema: Schema):
+def _session_tz(spark: SparkSession) -> dt.tzinfo:
+    """The Spark session timezone as a tzinfo (mapInPandas timestamps
+    are naive in this zone)."""
+    from zoneinfo import ZoneInfo
+
+    name = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        return ZoneInfo(name)
+    except Exception:
+        return dt.timezone.utc
+
+
+def _converters(schema: Schema, tz: dt.tzinfo | None = None):
     prims = []
     for f in schema.fields:
         t = f.field_type
         if isinstance(t, ListType):
             el = t.element_type
             prims.append((f.name, lambda v, el=el: None if v is None else
-                          [_to_avro_value(x, el) for x in v],
+                          [_to_avro_value(x, el, tz) for x in v],
                           lambda v, el=el: None if v is None else
-                          [_from_avro_value(x, el) for x in v]))
+                          [_from_avro_value(x, el, tz) for x in v]))
         else:
             prims.append((f.name,
-                          lambda v, t=t: _to_avro_value(v, t),
-                          lambda v, t=t: _from_avro_value(v, t)))
+                          lambda v, t=t: _to_avro_value(v, t, tz),
+                          lambda v, t=t: _from_avro_value(v, t, tz)))
     return prims
 
 
@@ -170,17 +196,27 @@ def _hive_value(v: Any) -> str:
 
 def write_avro_data(df: DataFrame, stage: str, schema: Schema,
                     partition_cols: list[str] | None = None,
-                    max_records_per_file: int | None = None) -> None:
-    """Write df as Avro container files under `stage` (one file per
-    task per partition value, written by the executor — the same
-    shared-storage pattern as Spark's own file sinks). `partition_cols`
-    are hive-dir columns (not written into the files, mirroring
-    DataFrameWriter.partitionBy); `max_records_per_file` rolls output
-    files like Spark's maxRecordsPerFile."""
+                    max_records_per_file: int | None = None) -> list[str]:
+    """Write df as Avro container files under `stage`, one file per task
+    per partition value, and return the COMMITTED file paths.
+
+    Task-commit protocol: unlike Spark's built-in sinks (which stage
+    through a FileOutputCommitter), executor tasks here write straight
+    into `stage` — so a failed-then-retried or speculative task can
+    leave partial/duplicate part files on disk. Committing is therefore
+    done by PATH LIST, not by directory walk: each task yields the paths
+    it finished (write_avro itself is tmp+rename, so a listed path is
+    always a complete file), and `collect()` keeps exactly one winning
+    attempt per partition — losers' orphan files stay in the temp stage
+    dir but are never registered as table data.
+
+    `partition_cols` are hive-dir columns (not written into the files,
+    mirroring DataFrameWriter.partitionBy); `max_records_per_file`
+    rolls output files like Spark's maxRecordsPerFile."""
     import pandas as pd
 
     avro_schema = table_avro_schema(schema)
-    conv = _converters(schema)
+    conv = _converters(schema, _session_tz(df.sparkSession))
     names = [c[0] for c in conv]
     pcols = partition_cols or []
     # default roll caps the Python-side record buffer even when the
@@ -191,18 +227,17 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         buckets: dict[str, list[dict]] = {}
-        n_out = 0
+        written: list[str] = []
 
         def flush(subdir: str) -> None:
-            nonlocal n_out
             records = buckets.pop(subdir, [])
             if not records:
                 return
             d = os.path.join(stage, subdir) if subdir else stage
             os.makedirs(d, exist_ok=True)
-            avro_io.write_avro(
-                d + f"/part-{_uuidlib.uuid4().hex}.avro", avro_schema, records)
-            n_out += len(records)
+            path = d + f"/part-{_uuidlib.uuid4().hex}.avro"
+            avro_io.write_avro(path, avro_schema, records)
+            written.append(path)
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
@@ -221,9 +256,10 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
                     flush(subdir)
         for subdir in list(buckets):
             flush(subdir)
-        yield pd.DataFrame({"n": [n_out]})
+        yield pd.DataFrame({"path": written}, columns=["path"])
 
-    df.mapInPandas(run, schema="n long").collect()
+    return [r.path for r in
+            df.mapInPandas(run, schema="path string").collect()]
 
 
 # ---------------------------------------------------------------- read
@@ -239,7 +275,7 @@ def read_avro_data(spark: SparkSession, spark_schema,
     import pandas as pd
     from pyspark.sql import types as T
 
-    conv = _converters(Schema.from_spark(spark_schema))
+    conv = _converters(Schema.from_spark(spark_schema), _session_tz(spark))
     names = [f.name for f in spark_schema.fields]
     out_schema = T.StructType(
         list(spark_schema.fields) + [T.StructField("__file", T.StringType())])

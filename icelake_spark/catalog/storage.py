@@ -169,11 +169,13 @@ def load_metadata(table_path: str) -> tuple[TableMetadata, int]:
         path = os.path.join(meta_dir, f"v{version}.metadata.json")
         if not os.path.isfile(path):
             candidates = glob.glob(os.path.join(meta_dir, f"{version:05d}-*.metadata.json"))
-            if not candidates:
-                raise FileNotFoundError(path)
-            path = candidates[0]
-        with open(path, "rb") as f:
-            return TableMetadata.from_json(f.read()), version
+            path = candidates[0] if candidates else None
+        if path is not None and os.path.isfile(path):
+            with open(path, "rb") as f:
+                return TableMetadata.from_json(f.read()), version
+        # hint parses but points at a metadata file that doesn't exist
+        # (truncated hint content, or cleaned-up metadata): honor the
+        # docstring and fall back to the scan instead of raising
     if best_path is None:
         raise FileNotFoundError(f"no metadata files in {meta_dir}")
     with open(best_path, "rb") as f:

@@ -131,10 +131,14 @@ class IcelakeReader(DataSourceReader):
                 eq_list.append((e.delete_file.file_path, cols, e.sequence_number))
         # small delete sets: group (pos, seq) by target file ONCE on the
         # driver so each task ships/reads only its own deletes; big sets
-        # keep the lazy per-task path (driver memory stays bounded)
+        # keep the lazy per-task path (driver memory stays bounded).
+        # cutoff reads the SAME table property as TableScan._apply_deletes
+        # and the changelog reader so tuning it governs every read path
         pos_map: dict[str, list[tuple[int, int]]] | None = None
+        threshold = int(t.metadata.properties.get(
+            "read.delete.broadcast-threshold-bytes", 32 * 1024 * 1024))
         total_del = sum(p.delete_file.file_size_in_bytes or 0 for p in pos)
-        if pos and total_del <= 32 * 1024 * 1024:
+        if pos and total_del <= threshold:
             import pyarrow.parquet as pq
 
             pos_map = {}

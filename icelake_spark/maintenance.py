@@ -275,10 +275,7 @@ def rewrite_manifests(table) -> int:
             meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
         mle = write_manifest(m_path, survivors, md.spec_by_id(spec_id),
                              schema, snapshot_id, md.format_version,
-                             MANIFEST_CONTENT_DATA)
-        mle.sequence_number = seq
-        mle.min_sequence_number = min(
-            (e.sequence_number or seq for e in survivors), default=seq)
+                             MANIFEST_CONTENT_DATA, sequence_number=seq)
         new_list_entries.append(mle)
 
     ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")

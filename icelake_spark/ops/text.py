@@ -175,7 +175,10 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     """
     t = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
-    w = F.split(norm, " ")
+    # split('') yields [''] — treat a whitespace-only doc as ZERO words,
+    # not one empty word (the SQL twin mirrors this)
+    w = F.when(F.length(norm) == 0,
+               F.array().cast("array<string>")).otherwise(F.split(norm, " "))
     # repartition raw docs first so tokenization fans out to every core
     # instead of running inside the single-task scan stage
     # (fanout_input=False skips this when the caller already shuffled)
@@ -187,9 +190,12 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     # token-level and one doc-level aggregation — instead of two
     # explode→groupBy→groupBy chains joined at the end. Halves the
     # shuffle count; both aggregations map-side combine.
-    bigrams = F.zip_with(F.slice(F.col("__w"), 1, F.size(F.col("__w")) - 1),
-                         F.slice(F.col("__w"), 2, F.size(F.col("__w")) - 1),
-                         lambda a, b: F.concat(a, F.lit(" "), b))
+    bigrams = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.zip_with(F.slice(F.col("__w"), 1, F.size(F.col("__w")) - 1),
+                   F.slice(F.col("__w"), 2, F.size(F.col("__w")) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
     tokens = F.concat(
         F.transform(F.col("__w"),
                     lambda x: F.struct(F.lit("w").alias("kind"),
@@ -207,12 +213,18 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                   F.max(F.when(is_w, F.col("c"))).alias("top_word"),
                   F.max(F.when(~is_w, F.col("c"))).alias("top_bigram"),
                   F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams")))
-    dup_word = F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
-    top_word = F.round(F.col("top_word") / F.col("n_words"), 6)
+    # empty docs produce no tokens (no counts row): LEFT join + zero
+    # defaults, and keep=false (a 0-word doc never passes a Gopher gate)
+    has_words = F.col("n_words") > 0
+    dup_word = F.when(has_words, F.round(
+        1.0 - F.col("n_distinct") / F.col("n_words"), 6)).otherwise(F.lit(0.0))
+    top_word = F.when(has_words, F.round(
+        F.col("top_word") / F.col("n_words"), 6)).otherwise(F.lit(0.0))
     top_bigram = F.round(
         F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6)
-    keep = ((top_word <= 0.10) & (top_bigram <= 0.05) & (dup_word <= 0.80))
-    return (base.join(counts, on=id_col)
+    keep = (has_words & (top_word <= 0.10) & (top_bigram <= 0.05)
+            & (dup_word <= 0.80))
+    return (base.join(counts, on=id_col, how="left")
             .select(F.col(id_col), F.col("n_words"),
                     dup_word.alias("dup_word_frac"),
                     top_word.alias("top_word_frac"),
@@ -227,7 +239,10 @@ def repetition_metrics_sql(col: str = "text") -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'), ' ') AS w
+         CASE WHEN length(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'), ' ')
+         END AS w
   FROM documents),
 words AS (SELECT doc_id, len(w) AS n_words, w FROM base),
 wc AS (
@@ -246,13 +261,18 @@ bc AS (
         GROUP BY doc_id, bg)
   GROUP BY doc_id)
 SELECT words.doc_id, n_words,
-       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
-       ROUND(CAST(top_word AS DOUBLE) / n_words, 6) AS top_word_frac,
+       CASE WHEN n_words > 0
+            THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN n_words > 0
+            THEN ROUND(CAST(top_word AS DOUBLE) / n_words, 6)
+            ELSE 0.0 END AS top_word_frac,
        ROUND(COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac,
-       (ROUND(CAST(top_word AS DOUBLE) / n_words, 6) <= 0.10
+       (n_words > 0
+        AND ROUND(CAST(top_word AS DOUBLE) / n_words, 6) <= 0.10
         AND ROUND(COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0), 6) <= 0.05
         AND ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) <= 0.80) AS keep
-FROM words JOIN wc ON words.doc_id = wc.doc_id
+FROM words LEFT JOIN wc ON words.doc_id = wc.doc_id
 LEFT JOIN bc ON words.doc_id = bc.doc_id
 ORDER BY words.doc_id
 """

@@ -181,11 +181,8 @@ class Transaction:
             if survivors:
                 m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
                 mle = write_manifest(m_path, survivors, spec, schema, snapshot_id,
-                                     metadata.format_version, MANIFEST_CONTENT_DATA)
-                mle.sequence_number = seq
-                mle.min_sequence_number = min(
-                    (seq if e.sequence_number is None else e.sequence_number
-                     for e in survivors), default=seq)  # 0 is a valid seq
+                                     metadata.format_version, MANIFEST_CONTENT_DATA,
+                                     sequence_number=seq)
                 new_list_entries.append(mle)
 
         # new data manifest
@@ -194,9 +191,8 @@ class Transaction:
                        for f in self._added_data]
             m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
             mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
-                                 metadata.format_version, MANIFEST_CONTENT_DATA)
-            mle.sequence_number = seq
-            mle.min_sequence_number = seq
+                                 metadata.format_version, MANIFEST_CONTENT_DATA,
+                                 sequence_number=seq)
             new_list_entries.append(mle)
 
         # new delete manifest (position + equality files together)
@@ -205,9 +201,8 @@ class Transaction:
                        for f in self._added_deletes]
             m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
             mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
-                                 metadata.format_version, MANIFEST_CONTENT_DELETES)
-            mle.sequence_number = seq
-            mle.min_sequence_number = seq
+                                 metadata.format_version, MANIFEST_CONTENT_DELETES,
+                                 sequence_number=seq)
             new_list_entries.append(mle)
 
         # manifest list

@@ -384,14 +384,8 @@ def read_manifest(path: str) -> tuple[dict, list[ManifestEntry]]:
     Inherits are NOT applied here (sequence-number inheritance is done by
     the scan planner, which knows the owning manifest-list entry).
     """
-    with open(path, "rb") as f:
-        raw = f.read()
-    # re-read header metadata for iceberg keys
-    r = avro_io._Reader(raw)
-    r.read(4)
-    meta_raw = r.read_value({"type": "map", "values": "bytes"})
-    meta = {k: v.decode("utf-8", "replace") for k, v in meta_raw.items()
-            if not k.startswith("avro.")}
+    # single read: header metadata (iceberg keys) + records in one pass
+    meta, _, records = avro_io.read_avro_full(path)
     # partition result types from the header's spec + schema JSON, so
     # avro-primitive partition values decode back to python-native ones
     ptypes: dict[str, PrimitiveType] = {}
@@ -404,7 +398,6 @@ def read_manifest(path: str) -> tuple[dict, list[ManifestEntry]]:
             ptypes = _partition_result_types(spec, hdr_schema)
     except Exception:
         ptypes = {}
-    _, records = avro_io.read_avro(path)
     entries = []
     for rec in records:
         dfj = rec["data_file"]
@@ -456,8 +449,15 @@ def write_manifest(
     snapshot_id: int,
     format_version: int = 2,
     content: int = MANIFEST_CONTENT_DATA,
+    sequence_number: int | None = None,
 ) -> ManifestListEntry:
     """Write manifest Avro; return its manifest-list entry (counts filled).
+
+    Pass the commit's `sequence_number` to have the returned entry carry
+    both `sequence_number` and `min_sequence_number` (entries with a
+    None sequence inherit the commit's) — callers must NOT re-derive
+    min_sequence_number themselves: a forgotten caller patch would
+    leave the default 0 and break MoR delete sequencing.
 
     Mirrors ManifestWriter::write (/root/reference/icelake/src/types/
     on_disk/manifest_file.rs) including the iceberg header metadata keys.
@@ -516,11 +516,19 @@ def write_manifest(
     avro_io.write_avro(path, avro_schema, records, metadata=meta)
     import os
 
+    if sequence_number is not None and (
+            min_seq is None or any(e.sequence_number is None for e in entries)):
+        # None-seq entries inherit the commit's sequence number
+        min_seq = sequence_number if min_seq is None else min(min_seq,
+                                                              sequence_number)
     return ManifestListEntry(
         manifest_path=path,
         manifest_length=os.path.getsize(path),
         partition_spec_id=spec.spec_id,
         content=content,
+        sequence_number=sequence_number if sequence_number is not None else 0,
+        min_sequence_number=(min_seq if min_seq is not None else
+                             (sequence_number or 0)),
         added_snapshot_id=snapshot_id,
         added_files_count=counts[STATUS_ADDED][0],
         existing_files_count=counts[STATUS_EXISTING][0],

@@ -158,11 +158,16 @@ def write_data_files(
     # avro_io codec (avro_data.py) since the spark-avro module is not on
     # this environment's classpath.
     file_format = props.get(PROP_FORMAT, "parquet").lower()
+    avro_paths: list[str] | None = None
     if file_format == "avro":
         from .avro_data import write_avro_data
 
-        write_avro_data(writer_df, stage, schema, partition_cols=pnames,
-                        max_records_per_file=max_records_per_file)
+        # avro tasks have no output committer: inventory ONLY the paths
+        # the winning task attempts returned, never the stage dir walk
+        # (a retried/speculative attempt may leave orphan part files)
+        avro_paths = write_avro_data(writer_df, stage, schema,
+                                     partition_cols=pnames,
+                                     max_records_per_file=max_records_per_file)
     elif file_format == "orc":
         blooms = [k[len(PROP_BLOOM_PREFIX):] for k, v in props.items()
                   if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true"]
@@ -179,12 +184,17 @@ def write_data_files(
         raise ValueError(f"unsupported {PROP_FORMAT}={file_format} "
                          "(parquet|orc|avro)")
 
-    # inventory written files
-    paths = []
-    for root, _dirs, files in os.walk(stage):
-        for name in files:
-            if name.endswith((".parquet", ".orc", ".avro")):
-                paths.append(os.path.join(root, name))
+    # inventory written files (parquet/orc commit via Spark's committer,
+    # so the stage walk only ever sees complete files; avro uses the
+    # task-returned path list instead)
+    if avro_paths is not None:
+        paths = list(avro_paths)
+    else:
+        paths = []
+        for root, _dirs, files in os.walk(stage):
+            for name in files:
+                if name.endswith((".parquet", ".orc")):
+                    paths.append(os.path.join(root, name))
     result_types = {
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
     }

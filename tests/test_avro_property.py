@@ -65,3 +65,52 @@ def test_zigzag_long_roundtrip(v):
     w = _Writer()
     w.write_long(v)
     assert _Reader(w.out.getvalue()).read_long() == v
+
+
+def test_timestamptz_session_tz_roundtrip_and_utc_storage():
+    """timestamptz values arrive session-timezone-naive from mapInPandas;
+    the stored micros must be TRUE UTC instants (iceberg spec), and the
+    read side must return them session-naive again (advice r2)."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from icelake_spark.avro_data import _from_avro_value, _to_avro_value
+    from icelake_spark.types.datatypes import PrimitiveType
+
+    tstz = PrimitiveType("timestamptz")
+    ny = ZoneInfo("America/New_York")
+    naive = dt.datetime(2023, 6, 1, 12, 0, 0)  # noon EDT == 16:00 UTC
+    micros = _to_avro_value(naive, tstz, ny)
+    assert micros == int(dt.datetime(2023, 6, 1, 16, 0,
+                                     tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert _from_avro_value(micros, tstz, ny) == naive
+    # no tz (UTC session / legacy behavior): naive treated as UTC
+    utc_micros = _to_avro_value(naive, tstz, None)
+    assert utc_micros == micros - 4 * 3600 * 1_000_000
+    # aware inputs are true instants regardless of session zone
+    aware = naive.replace(tzinfo=ny)
+    assert _to_avro_value(aware, tstz, None) == micros
+
+
+def test_write_avro_data_returns_committed_paths(spark_session_for_avro=None):
+    """write_avro_data inventories by task-returned path list; stray
+    files in the stage dir (e.g. from a failed attempt) are not
+    registered (advice r2)."""
+    import icelake_spark
+    from icelake_spark.avro_data import read_avro_data, write_avro_data
+    from icelake_spark.types.datatypes import Schema
+
+    spark = icelake_spark.default_session("icelake_spark_tests")
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    with tempfile.TemporaryDirectory() as d:
+        stage = os.path.join(d, "stage")
+        os.makedirs(stage)
+        # a stray partial file from a hypothetical dead task attempt
+        stray = os.path.join(stage, "part-deadbeef.avro")
+        with open(stray, "wb") as f:
+            f.write(b"Obj\x01garbage")
+        paths = write_avro_data(df, stage, Schema.from_spark(df.schema))
+        assert paths and stray not in paths
+        assert all(os.path.isfile(p) for p in paths)
+        back = read_avro_data(spark, df.schema, paths)
+        assert sorted(r.id for r in back.collect()) == list(range(10))

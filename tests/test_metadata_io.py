@@ -76,6 +76,48 @@ def test_manifest_roundtrip_golden():
         assert records2 == records
 
 
+def test_write_manifest_populates_min_sequence_number():
+    """write_manifest(sequence_number=seq) must return the manifest-list
+    entry with sequence_number AND min_sequence_number filled (no
+    caller-side patching): min over entry seqs, None entries inheriting
+    the commit seq."""
+    import tempfile
+
+    from icelake_spark.types import Schema
+    from icelake_spark.types.datatypes import (NestedField, PrimitiveType,
+                                               StructType)
+    from icelake_spark.types.manifest import (DataFile, ManifestEntry,
+                                              PartitionSpec, write_manifest)
+
+    schema = Schema(StructType(
+        (NestedField(1, "id", PrimitiveType("long"), True),)), 0)
+    spec = PartitionSpec(0, ())
+
+    def df(path):
+        return DataFile(file_path=path, file_format="PARQUET", partition={},
+                        record_count=1, file_size_in_bytes=10)
+
+    with tempfile.TemporaryDirectory() as d:
+        # explicit seqs only: min of them
+        mle = write_manifest(
+            os.path.join(d, "m1.avro"),
+            [ManifestEntry(1, df("a"), 7, 5), ManifestEntry(1, df("b"), 7, 3)],
+            spec, schema, snapshot_id=7, sequence_number=9)
+        assert mle.sequence_number == 9 and mle.min_sequence_number == 3
+        # a None-seq entry inherits the commit seq (here lower than 5)
+        mle = write_manifest(
+            os.path.join(d, "m2.avro"),
+            [ManifestEntry(1, df("a"), 7, 5), ManifestEntry(1, df("b"), 7, None)],
+            spec, schema, snapshot_id=7, sequence_number=2)
+        assert mle.min_sequence_number == 2
+        # seq 0 is valid and must not be coalesced away
+        mle = write_manifest(
+            os.path.join(d, "m3.avro"),
+            [ManifestEntry(1, df("a"), 7, 0)],
+            spec, schema, snapshot_id=7, sequence_number=4)
+        assert mle.sequence_number == 4 and mle.min_sequence_number == 0
+
+
 def test_load_partition_table_golden(spark):
     """Third golden table: Spark-written partitioned Iceberg table."""
     t = IcebergTable.load("/root/reference/testdata/partition_table")

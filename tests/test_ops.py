@@ -273,6 +273,31 @@ def test_repetition_metrics_flags_repeats(spark):
     assert m[2].dup_word_frac == 0.0 and m[2].keep
 
 
+def test_repetition_metrics_empty_doc(spark):
+    """Empty / whitespace-only docs report ZERO words (not the
+    split-of-'' one-empty-word artifact) and never pass the keep gate;
+    the DuckDB twin must agree cell-for-cell."""
+    import duckdb
+
+    from icelake_spark.ops.text import repetition_metrics, repetition_metrics_sql
+
+    rows = [(1, ""), (2, "   "), (3, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert got[1].n_words == 0 and got[2].n_words == 0
+    assert got[1].dup_word_frac == 0.0 and got[1].top_word_frac == 0.0
+    assert not got[1].keep and not got[2].keep
+    assert got[3].n_words == 4
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for o in con.execute(repetition_metrics_sql()).fetchall():
+        s = got[o[0]]
+        assert (s.n_words, s.dup_word_frac, s.top_word_frac,
+                s.top_bigram_frac, s.keep) == o[1:], o
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     from icelake_spark.ops.similarity import train_kmeans
 

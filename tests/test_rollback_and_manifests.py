@@ -208,6 +208,11 @@ def test_stale_version_hint_recovers(spark, warehouse):
     with open(hint, "w") as f:
         f.write("not-a-number")
     assert IcebergTable.load(t.path).to_df(spark).count() == 15
+    # hint AHEAD of every metadata file (parses fine, file absent):
+    # must fall back to the scan, not raise (advice r2)
+    with open(hint, "w") as f:
+        f.write("999")
+    assert IcebergTable.load(t.path).to_df(spark).count() == 15
 
 
 def test_zorder_temporal_and_bit_clamp(spark, warehouse):
