@@ -65,15 +65,15 @@ def words_col(text_col: str):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def shingles(text_col: str = "text", n: int = 3):
-    """Word n-gram shingle array (distinct), computed JVM-side.
-
-    Built with zip_with over shifted slices (16x faster than an
-    element_at transform, which falls out of codegen): gram_i =
+def shingles_from_words(w, n: int = 3):
+    """Word n-gram shingle array (distinct) from an ARRAY column —
+    reusable when the caller already tokenized (fused pipelines
+    tokenize once and derive both Gopher metrics and shingles from the
+    same array). Built with zip_with over shifted slices (16x faster
+    than an element_at transform, which falls out of codegen): gram_i =
     w[i] + ' ' + w[i+1] + ... ; the tail where the shifted slice runs
     out is cut by the final slice to size(w)-n+1 entries.
     """
-    w = words_col(text_col)
     arr = w
     for j in range(1, n):
         shifted = F.slice(w, j + 1, 1 << 30)
@@ -82,6 +82,11 @@ def shingles(text_col: str = "text", n: int = 3):
                    F.slice(arr, 1, F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles(text_col: str = "text", n: int = 3):
+    """Word n-gram shingle array (distinct) from a text column."""
+    return shingles_from_words(words_col(text_col), n)
 
 
 # --------------------------------------------------------- MinHash + LSH
@@ -266,12 +271,17 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        fanout_input: bool = True) -> DataFrame:
+                        fanout_input: bool = True,
+                        words_col_name: str | None = None) -> DataFrame:
     """Exact Jaccard over word n-grams for all pairs sharing >= 1 gram.
 
     explode + self-join on the gram: the join key distributes the pair
     generation; output is (a, b, jaccard) with a < b. SQL-expressible —
     this one has a DuckDB oracle twin.
+
+    `words_col_name`: reuse an existing tokenized array column instead
+    of re-splitting `text_col` (the fused-curation path tokenizes the
+    corpus once for quality metrics AND shingles).
     """
     # repartition the RAW docs first so shingling runs on every core
     # (below the exchange it would execute inside the single-task scan
@@ -279,7 +289,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # the reused exchange — in parallel, which beats materializing it
     # serially
     src = fanout(df, F.col(id_col)) if fanout_input else df
-    with_g = src.select(F.col(id_col), shingles(text_col, n).alias("gs"))
+    gs = (shingles_from_words(F.col(words_col_name), n)
+          if words_col_name else shingles(text_col, n))
+    with_g = src.select(F.col(id_col), gs.alias("gs"))
     # join on a 64-bit gram hash, not the gram string: the exploded
     # relation shuffles ~len(text) bytes/row as a string key but 8
     # bytes as a long (collision odds over a corpus vocabulary are

@@ -156,7 +156,8 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       fanout_input: bool = True) -> DataFrame:
+                       fanout_input: bool = True,
+                       words_col_name: str | None = None) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 
     - dup_word_frac: 1 − distinct_words/words (how much of the doc is
@@ -173,12 +174,17 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     partition, and the join keys are doc_id on both sides so AQE plans a
     plain shuffle join keyed the same way as the inputs.
     """
-    t = F.col(text_col)
-    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
-    # split('') yields [''] — treat a whitespace-only doc as ZERO words,
-    # not one empty word (the SQL twin mirrors this)
-    w = F.when(F.length(norm) == 0,
-               F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+    if words_col_name:
+        # fused path: the caller already tokenized (same normalize+split)
+        w = F.col(words_col_name)
+    else:
+        t = F.col(text_col)
+        norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+        # split('') yields [''] — treat a whitespace-only doc as ZERO
+        # words, not one empty word (the SQL twin mirrors this)
+        w = F.when(F.length(norm) == 0,
+                   F.array().cast("array<string>")).otherwise(
+            F.split(norm, " "))
     # repartition raw docs first so tokenization fans out to every core
     # instead of running inside the single-task scan stage
     # (fanout_input=False skips this when the caller already shuffled)

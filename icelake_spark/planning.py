@@ -255,36 +255,73 @@ def plan_distributed(spark, table_path: str, metadata: TableMetadata,
                      mles: list[ManifestListEntry],
                      wanted: dict[int, dict[str, Any]] | None = None,
                      preds=None) -> list[tuple[int, Any, int, int]]:
-    """Planning as a Spark job: one row per manifest in, pickled
-    surviving (content, DataFile, seq, spec_id) tuples out. Result order
-    is deterministic (sorted by manifest-list position)."""
+    """Planning as a Spark job: the list-returning face of
+    `plan_files_df`. The plan DataFrame is STREAMED to the driver
+    (toLocalIterator, one Arrow partition in memory at a time) instead
+    of collect()ed, so peak driver memory is the final task list alone,
+    not list + pickled blob buffers. Result order is deterministic
+    (manifest-list position, then entry order)."""
+    pdf = plan_files_df(spark, table_path, metadata, mles, wanted, preds)
+    return [(r.content, pickle.loads(bytes(r.task)), r.seq, r.spec_id)
+            for r in pdf.orderBy("mi", "fi").toLocalIterator()]
+
+
+PLAN_DF_SCHEMA = ("mi int, fi int, content int, file_path string, seq long, "
+                  "spec_id int, record_count long, file_size long, "
+                  "task binary")
+
+
+def plan_files_df(spark, table_path: str, metadata: TableMetadata,
+                  mles: list[ManifestListEntry],
+                  wanted: dict[int, dict[str, Any]] | None = None,
+                  preds=None):
+    """Planning that RETURNS A DATAFRAME — the lifted form of SURVEY §7
+    risk 8 (the reference plans purely driver-side, table.rs:281-304):
+    one row per surviving file with light columns (content, file_path,
+    seq, spec_id, record_count, file_size) plus the pickled DataFile
+    for consumers that need stats/bounds. Nothing is collected here, so
+    a million-file table's plan lives on executors; downstream can
+    aggregate (compaction sizing, snapshot stats), filter, or stream it
+    with toLocalIterator — the driver never holds every DataFile at
+    once. `mi` is the manifest-list position for deterministic ordering.
+    """
     import pandas as pd
 
     wanted = wanted or {}
     preds = preds or []
     blobs = [(i, pickle.dumps(mle)) for i, mle in enumerate(mles)]
-    # shared planning context rides the task closure ONCE, not per row
     ctx = pickle.dumps((table_path, metadata, wanted, preds))
 
     def run(batches):
         tpath, meta, want, prs = pickle.loads(ctx)
         for pdf in batches:
-            idx, out = [], []
+            cols: dict[str, list] = {k: [] for k in (
+                "mi", "fi", "content", "file_path", "seq", "spec_id",
+                "record_count", "file_size", "task")}
             for i, blob in zip(pdf["i"], pdf["task"]):
                 mle = pickle.loads(bytes(blob))
-                _, entries = read_manifest(resolve_path(tpath, mle.manifest_path))
-                tasks = assemble_manifest(tpath, meta, mle, entries, want, prs)
-                idx.append(int(i))
-                out.append(pickle.dumps(tasks))
-            yield pd.DataFrame({"i": idx, "blob": out})
+                _, entries = read_manifest(
+                    resolve_path(tpath, mle.manifest_path))
+                for fi, (content, dfile, seq, spec_id) in enumerate(
+                        assemble_manifest(
+                            tpath, meta, mle, entries, want, prs)):
+                    cols["mi"].append(int(i))
+                    cols["fi"].append(fi)
+                    cols["content"].append(int(content))
+                    cols["file_path"].append(dfile.file_path)
+                    cols["seq"].append(int(seq) if seq is not None else 0)
+                    cols["spec_id"].append(int(spec_id))
+                    cols["record_count"].append(int(dfile.record_count or 0))
+                    cols["file_size"].append(
+                        int(dfile.file_size_in_bytes or 0))
+                    cols["task"].append(pickle.dumps(dfile))
+            yield pd.DataFrame(cols)
 
+    if not blobs:
+        return spark.createDataFrame([], PLAN_DF_SCHEMA)
     n_parts = max(1, min(len(blobs), 256))
-    df = spark.createDataFrame(blobs, "i int, task binary").repartition(n_parts)
-    rows = df.mapInPandas(run, schema="i int, blob binary").collect()
-    tasks: list[tuple[int, Any, int, int]] = []
-    for _, chunk in sorted((r.i, pickle.loads(bytes(r.blob))) for r in rows):
-        tasks.extend(chunk)
-    return tasks
+    src = spark.createDataFrame(blobs, "i int, task binary").repartition(n_parts)
+    return src.mapInPandas(run, schema=PLAN_DF_SCHEMA)
 
 
 def plan_serial(table_path: str, metadata: TableMetadata,
@@ -312,7 +349,14 @@ def plan_serial(table_path: str, metadata: TableMetadata,
 
 
 def split_tasks(tasks, file_scan_task, delete_file_task):
-    """[(content, df, seq, spec_id)] → (data, pos_deletes, eq_deletes)."""
+    """[(content, df, seq, spec_id)] → (data, pos_deletes, eq_deletes).
+
+    Also accepts a `plan_files_df` DataFrame: rows stream in through
+    toLocalIterator (bounded driver memory) in deterministic order.
+    """
+    if hasattr(tasks, "toLocalIterator"):  # a plan_files_df DataFrame
+        tasks = ((r.content, pickle.loads(bytes(r.task)), r.seq, r.spec_id)
+                 for r in tasks.orderBy("mi", "fi").toLocalIterator())
     data, pos, eq = [], [], []
     for content, df, seq, spec_id in tasks:
         if content == CONTENT_DATA:

@@ -2031,28 +2031,44 @@ def curation_pipeline_q(spark, sf_dir):
     100 TB that is the difference between shingling the whole crawl and
     shingling what the cheap filters let through. Every stage is the
     same oracle-checked operator exposed standalone."""
-    from .ops.dedup import (connected_components, dedup_exact,
-                            ngram_jaccard_pairs)
+    from .ops.dedup import connected_components, ngram_jaccard_pairs
     from .ops.sampling import hash_split
-    from .ops.text import quality_score, repetition_metrics, word_count
+    from .ops.text import quality_score, repetition_metrics
     from .ops.util import fanout
 
-    # materialize the fanned-out corpus ONCE: every stage starts from
-    # the same rows; without this each stage re-scans and re-tokenizes
-    # the corpus. localCheckpoint also cuts the lineage so the final
-    # plan stays shallow.
-    docs = fanout(load(spark, sf_dir, "documents")).localCheckpoint()
     # the quality gate is a pure projection predicate — applied as a
-    # narrow filter (no join, no shuffle), and BEFORE repetition so its
-    # explode-aggregations only tokenize quality-passing docs
-    q_ok = docs.select("doc_id", "text").where(
-        quality_score(F.col("text")) >= 0.5)
-    rep = repetition_metrics(q_ok, fanout_input=False)
-    gated = q_ok.join(rep.where(F.col("keep")).select("doc_id"),
-                      "doc_id", "left_semi")
-    deduped = dedup_exact(gated).localCheckpoint()
+    # narrow filter (no join, no shuffle) BEFORE any tokenization, so
+    # downstream stages only ever see quality-passing docs
+    q_ok = (fanout(load(spark, sf_dir, "documents"))
+            .select("doc_id", "text")
+            .where(quality_score(F.col("text")) >= 0.5))
+    # tokenize the survivors ONCE and checkpoint: the Gopher repetition
+    # metrics, the exact-dedup content hash, the n-gram shingles, and
+    # the final word totals all derive from this one pass — round 2
+    # tokenized the same docs twice (repetition's split + the shingle
+    # split), which at 100 TB doubles the most expensive narrow stage.
+    # The raw text column is DROPPED here (its md5 content hash is
+    # precomputed in the same projection), so no downstream shuffle or
+    # checkpoint ever carries document bytes again. localCheckpoint also
+    # cuts lineage so every stage starts from a shallow plan.
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = F.when(F.length(norm) == 0,
+                   F.array().cast("array<string>")).otherwise(
+        F.split(norm, " "))
+    tok = (q_ok.select("doc_id", F.md5(norm).alias("__ch"),
+                       words.alias("__w"))
+           .localCheckpoint())
+    rep = repetition_metrics(tok, fanout_input=False, words_col_name="__w")
+    gated = tok.join(rep.where(F.col("keep")).select("doc_id"),
+                     "doc_id", "left_semi")
+    # exact dedup on the precomputed hash (same min-id-per-content rule
+    # as dedup_exact, which would otherwise re-derive md5 from text)
+    keep_ids = (gated.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    deduped = (gated.join(keep_ids, "doc_id", "left_semi")
+               .localCheckpoint())
     pairs = ngram_jaccard_pairs(deduped, n=3, threshold=0.2,
-                                fanout_input=False)
+                                fanout_input=False, words_col_name="__w")
     # fuzzy dedup = drop non-root members of each near-dup cluster: one
     # anti-join against the (small) pairs-graph components instead of
     # labeling the whole corpus (docs in no pair are trivially roots)
@@ -2061,9 +2077,11 @@ def curation_pipeline_q(spark, sf_dir):
                  .select(F.col("node").alias("doc_id")))
     survivors = deduped.join(non_roots, "doc_id", "left_anti")
     out = hash_split(survivors, "doc_id", train_frac=0.8)
+    # total_words = size of the SAME token array (== word_count(text)
+    # given the zero-word handling above) — no third text pass
     return (out.groupBy("split")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum(word_count(F.col("text"))).alias("total_words"))
+                 F.sum(F.size("__w")).alias("total_words"))
             .orderBy("split"))
 
 

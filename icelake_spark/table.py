@@ -636,6 +636,33 @@ class TableScan:
             tasks, FileScanTask, DeleteFileTask)
         return self._plan_cache
 
+    def plan_files_df(self, spark: SparkSession) -> DataFrame:
+        """The scan plan as a DATAFRAME that is never collected: one row
+        per surviving file (mi, fi, content, file_path, seq, spec_id,
+        record_count, file_size, task=pickled DataFile). This is the
+        scale path SURVEY §7 risk 8 calls for — the reference's planner
+        is driver-side (/root/reference/icelake/src/table.rs:281-304),
+        so at millions of files the file list itself bounds the driver;
+        here sizing/aggregation consumers (compaction pickers, stats,
+        file-level audits) operate on the plan distributively and only
+        ever collect aggregates. `split_tasks` accepts this DataFrame
+        directly, streaming rows when a materialized task list is
+        genuinely needed (e.g. to hand Spark's parquet reader its path
+        list)."""
+        from . import planning
+
+        snap = self.table.snapshot(self.snapshot_id, self.as_of_ms, self.ref)
+        if snap is None:
+            return spark.createDataFrame([], planning.PLAN_DF_SCHEMA)
+        meta = self.table.metadata
+        schema = self.table.schema()
+        mles = read_manifest_list(self.table._resolve(snap.manifest_list))
+        wanted = planning.partition_wanted(meta, self.partition_filter)
+        preds = planning.parse_stats_preds(self.filter, schema, _parse_literal)
+        mles = planning.prune_manifests(mles, meta, wanted)
+        return planning.plan_files_df(spark, self.table.path, meta, mles,
+                                      wanted, preds)
+
     # ---------------------------------------------------------- execution
 
     def to_df(self, spark: SparkSession) -> DataFrame:

@@ -104,3 +104,68 @@ def test_threshold_auto_switch(spark, warehouse):
     serial = t.new_scan(distributed_planning=False).plan_files()
     assert _plan_key(auto) == _plan_key(serial)
     assert len(auto[0]) >= 3
+
+
+def test_plan_files_df_matches_serial_and_aggregates(spark, multi_manifest_table):
+    """plan_files_df: same files as the serial planner, consumable as a
+    DataFrame (aggregation without collecting any DataFile), and
+    split_tasks accepts it directly."""
+    from pyspark.sql import functions as F
+
+    from icelake_spark.table import DeleteFileTask, FileScanTask
+
+    t = multi_manifest_table
+    serial = t.new_scan(distributed_planning=False).plan_files()
+    pdf = t.new_scan().plan_files_df(spark)
+    # aggregate-only consumption: totals match without driver DataFiles
+    agg = pdf.groupBy("content").agg(
+        F.count("*").alias("n"), F.sum("record_count").alias("rows")).collect()
+    by_content = {r.content: (r.n, r.rows) for r in agg}
+    assert by_content[0][0] == len(serial[0])
+    assert by_content[0][1] == sum(x.data_file.record_count for x in serial[0])
+    # split_tasks consumes the DataFrame via streaming, same plan out
+    streamed = planning.split_tasks(
+        t.new_scan().plan_files_df(spark), FileScanTask, DeleteFileTask)
+    assert _plan_key(streamed) == _plan_key(serial)
+
+
+def test_plan_files_df_many_manifests(spark, warehouse, tmp_path):
+    """Synthetic 600-manifest snapshot (beyond the distributed
+    threshold) plans through the DataFrame path; the driver only ever
+    sees the aggregate. Manifests are written directly (not via 600
+    commits) to keep the test fast."""
+    import os
+
+    from icelake_spark.types.manifest import (MANIFEST_CONTENT_DATA, DataFile,
+                                              ManifestEntry, write_manifest,
+                                              write_manifest_list)
+
+    src = spark.range(3).selectExpr("id")
+    t = warehouse.create_table("db.manymani", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    snap = t.current_snapshot()
+    meta_dir = os.path.join(t.path, "metadata")
+    schema = t.schema()
+    spec = t.metadata.default_spec()
+    # synthesize 600 single-file manifests pointing at the real data file
+    real = t.new_scan().plan_files()[0][0].data_file
+    mles = []
+    for i in range(600):
+        p = os.path.join(meta_dir, f"syn-{i}.avro")
+        mles.append(write_manifest(
+            p, [ManifestEntry(1, DataFile(
+                file_path=real.file_path, file_format="PARQUET",
+                record_count=3, file_size_in_bytes=real.file_size_in_bytes)),
+                ], spec, schema, snap.snapshot_id, 2, MANIFEST_CONTENT_DATA,
+            sequence_number=i + 1))
+    ml = os.path.join(meta_dir, "syn-list.avro")
+    write_manifest_list(ml, mles, snap.snapshot_id, None, 600, 2)
+    pdf = planning.plan_files_df(
+        spark, t.path, t.metadata,
+        read_manifest_list(ml))
+    got = pdf.groupBy().agg(
+        {"record_count": "sum", "seq": "max"}).collect()[0]
+    assert got["sum(record_count)"] == 1800
+    assert got["max(seq)"] == 600
+    assert pdf.count() == 600
