@@ -83,8 +83,12 @@ def record_commit(table_name: str, operation: str,
     REGISTRY.inc("iceberg_commit_total", table=t, operation=operation)
     REGISTRY.inc("iceberg_data_file_total", len(data_files), table=t)
     REGISTRY.inc("iceberg_removed_file_total", removed_paths, table=t)
-    rows = sum(f.record_count for f in data_files)
-    REGISTRY.inc("iceberg_eq_delta_inserted_row_num", rows, table=t)
+    # the reference's counter tracks rows the equality-delta writer
+    # INSERTED — a compaction/replace commit re-adds rewritten copies of
+    # existing rows and must not register as a phantom full-table insert
+    if operation != "replace":
+        rows = sum(f.record_count for f in data_files)
+        REGISTRY.inc("iceberg_eq_delta_inserted_row_num", rows, table=t)
     for f in delete_files:
         if f.content == 1:
             REGISTRY.inc("iceberg_pos_delete_qps", f.record_count, table=t)

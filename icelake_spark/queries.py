@@ -41,11 +41,26 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Spark's vectorized reader rejects: read nanos as long and
     truncate to µs — exactly what DuckDB's µs-precision TIMESTAMP does,
     keeping the oracle aligned. Newer generations store µs directly, in
-    which case the column already reads as a timestamp."""
+    which case the column already reads as a timestamp.
+
+    The nanosAsLong conf is session-wide and cannot be set/restored
+    around a LAZY read (execution happens later), so it is only touched
+    when the footer actually declares nanos — µs-era testdata leaves
+    the session untouched.
+    """
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        ts_field = pq.read_schema(path).field("ts")
+        is_nanos = str(ts_field.type).startswith("timestamp[ns")
+    except Exception:
+        is_nanos = True  # can't inspect: keep the permissive legacy path
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
@@ -312,7 +327,7 @@ def correlated_subquery_q(spark, sf_dir):
     return spark.sql(f"""
         SELECT l_partkey,
                COUNT(*) AS n_small,
-               {dsum_sql('l_extendedprice', 'small_revenue').replace('AS small_revenue', 'AS small_revenue')}
+               {dsum_sql('l_extendedprice', 'small_revenue')}
         FROM v_lineitem l1
         WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
                             FROM v_lineitem l2
@@ -1476,10 +1491,31 @@ ORDER BY user_id
 # =====================================================================
 
 
+_TMP_WAREHOUSES: list[str] = []
+
+
+def _cleanup_tmp_warehouses() -> None:
+    import shutil
+
+    for d in _TMP_WAREHOUSES:
+        shutil.rmtree(d, ignore_errors=True)
+    _TMP_WAREHOUSES.clear()
+
+
 def _tmp_catalog():
+    """Throwaway warehouse for the iceberg_* queries. Every invocation
+    writes a full copy of its source table, so the dirs are removed at
+    process exit — repeated bench/gate rounds in one machine session
+    must not fill /tmp with dead table data."""
+    import atexit
+
     from .catalog.storage import StorageCatalog
 
-    return StorageCatalog(tempfile.mkdtemp(prefix="icelake_q_"))
+    d = tempfile.mkdtemp(prefix="icelake_q_")
+    if not _TMP_WAREHOUSES:
+        atexit.register(_cleanup_tmp_warehouses)
+    _TMP_WAREHOUSES.append(d)
+    return StorageCatalog(d)
 
 
 def iceberg_roundtrip_agg(spark, sf_dir):
@@ -1748,7 +1784,13 @@ def streaming_ingest(spark, sf_dir):
     t = _tmp_catalog().create_table("q.events_stream", Schema.from_spark(e.schema))
     stream = spark.readStream.schema(e.schema).parquet(src_dir)
     q = write_stream(t, stream, checkpoint=ckpt)
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # surface the stall instead of aggregating a half-ingested
+        # table while the query keeps committing underneath the read
+        q.stop()
+        raise TimeoutError("streaming_ingest: availableNow stream did "
+                           "not drain within 300s")
     t.refresh()
     return (t.to_df(spark)
             .groupBy("event_type")

@@ -47,12 +47,28 @@ def write_stream(
         if not ident:
             raise ValueError(f"mode={mode!r} requires key_cols")
 
+    # foreachBatch is at-least-once: a crash between the Iceberg commit
+    # and the streaming commit log replays the same batch_id. Upsert and
+    # merge re-apply to the same final state, but a replayed APPEND would
+    # double its rows — so append records the committed epoch in the
+    # table properties IN the same commit (the same guard as the DSv2
+    # IcelakeStreamWriter) under a checkpoint-scoped key, and skips
+    # batch ids at or below it.
+    import hashlib
+
+    epoch_prop = ("streaming.last-committed-batch."
+                  + hashlib.md5(checkpoint.encode()).hexdigest()[:12])
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         table.refresh()
         if mode == "append":
-            _append(table, batch_df, **write_kwargs)
+            last = int(table.metadata.properties.get(epoch_prop, -1))
+            if batch_id <= last:
+                return  # replayed epoch already committed
+            _append(table, batch_df,
+                    properties={epoch_prop: str(batch_id)}, **write_kwargs)
         elif mode == "upsert":
             _upsert(table, batch_df, key_cols=key_cols, **write_kwargs)
         elif mode == "merge":
@@ -130,6 +146,12 @@ def stateful_dedup(stream_df: DataFrame, key_cols: list[str],
                     yield pdf.head(1)
                     return
         else:
+            # GroupState cancels the timeout on EVERY invocation for a
+            # key — without re-arming here, any key that ever sees a
+            # duplicate would keep its state row forever (unbounded
+            # state store). Re-arming makes the TTL sliding: state
+            # expires after `state_timeout_hours` of silence.
+            state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
             for _ in batches:  # drain; emit nothing for already-seen keys
                 pass
 
@@ -138,12 +160,13 @@ def stateful_dedup(stream_df: DataFrame, key_cols: list[str],
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
-def stream_from_table(spark, table, poll_interval: str = "10 seconds",
+def stream_from_table(spark, table,
                       snapshot_id: int | None = None) -> DataFrame:
     """Incremental read helper: a batch DataFrame of rows added AFTER the
     given snapshot (append-only tables) — the building block for
     table-to-table streaming pipelines until a DSv2 streaming source is
-    warranted."""
+    warranted. (For a continuous source use
+    spark.readStream.format("icelake") — datasource.py.)"""
     from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
 
     snap = table.current_snapshot()

@@ -447,9 +447,12 @@ def _truncate_bounds(t: PrimitiveType, lo: Any, hi: Any) -> tuple[Any, Any]:
 
 def append(table, df: DataFrame, max_records_per_file: int | None = None,
            distribution_partitions: int | None = None,
-           branch: str | None = None) -> None:
+           branch: str | None = None,
+           properties: dict[str, str] | None = None) -> None:
     """INSERT INTO semantics (AppendOnlyWriter, W9). `branch` stages the
-    commit on a named ref instead of main (write-audit-publish)."""
+    commit on a named ref instead of main (write-audit-publish).
+    `properties` are set IN the same commit (e.g. a streaming epoch
+    marker, so replay-after-crash can detect the committed batch)."""
     from .transaction import Transaction
 
     files = write_data_files(table, df, max_records_per_file, distribution_partitions)
@@ -457,11 +460,20 @@ def append(table, df: DataFrame, max_records_per_file: int | None = None,
         from .metrics import record_partition_writers
 
         record_partition_writers(
-            os.path.basename(table.path),
+            _table_label(table),
             len({tuple(sorted(f.partition.items())) for f in files}))
     tx = Transaction(table, branch=branch)
     tx.add_data_files(files)
+    if properties:
+        tx.set_properties(properties)
     tx.commit("append")
+
+
+def _table_label(table) -> str:
+    """Metric label for a table — same value Transaction._table_name
+    uses, so the writer gauge and commit counters correlate."""
+    ident = getattr(table, "identifier", None)
+    return str(ident) if ident else os.path.basename(table.path)
 
 
 def overwrite_all(table, df: DataFrame, **kwargs) -> None:

@@ -35,6 +35,39 @@ def test_stream_append_into_table(spark, warehouse, tmp_path):
     assert len(t.metadata.snapshots) == 2
 
 
+def test_stream_append_replay_is_idempotent(spark, warehouse, tmp_path):
+    """Crash-replay simulation: wipe the streaming checkpoint after a
+    drained run and re-run the same source through the same checkpoint
+    path — Spark re-delivers batch 0, and the epoch marker recorded in
+    the table properties must make the replayed append a no-op
+    (foreachBatch is at-least-once; without the guard the table doubles).
+    """
+    import shutil
+
+    from icelake_spark.streaming import write_stream
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    base = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+
+    t = warehouse.create_table("db.replayed", Schema.from_spark(base.schema))
+    ckpt = str(tmp_path / "ckpt")
+    q = write_stream(t, spark.readStream.schema(base.schema).parquet(src_dir),
+                     checkpoint=ckpt)
+    assert q.awaitTermination(120)
+    t.refresh()
+    assert t.to_df(spark).count() == 50
+
+    shutil.rmtree(ckpt)  # lose the streaming commit log -> full replay
+    q2 = write_stream(t, spark.readStream.schema(base.schema).parquet(src_dir),
+                      checkpoint=ckpt)
+    assert q2.awaitTermination(120)
+    t.refresh()
+    assert t.to_df(spark).count() == 50  # replayed epoch skipped
+    assert len(t.metadata.snapshots) == 1
+
+
 def test_stream_upsert_mode(spark, warehouse, tmp_path):
     from icelake_spark.streaming import write_stream
 
