@@ -119,11 +119,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col), F.explode("gs").alias("__s")))
     if portable:
         # one md5 over the gram string, then one fixed-width md5 per
-        # lane over (digest ':' lane) — both recomputable in ANSI SQL
+        # PAIR of lanes (an md5 digest is 32 hex chars = two independent
+        # 60-bit values at offsets 1 and 17) — both recomputable in
+        # ANSI SQL, at half the digest cost of one-md5-per-lane. The
+        # digests are projected as columns BEFORE the aggregation so
+        # codegen provably computes each once per row.
+        n_dig = (num_hashes + 1) // 2
         sh = sh.select(id_col, F.md5("__s").alias("__h"))
-        aggs = [F.min(portable_hash60(
-            F.concat_ws(":", F.col("__h"), F.lit(i)))).alias(f"h{i}")
-            for i in range(num_hashes)]
+        sh = sh.select(
+            id_col, *[F.md5(F.concat_ws(":", F.col("__h"), F.lit(j)))
+                      .alias(f"d{j}") for j in range(n_dig)])
+        aggs = []
+        for i in range(num_hashes):
+            start = 1 if i % 2 == 0 else 17
+            aggs.append(F.min(
+                F.conv(F.substring(F.col(f"d{i // 2}"), start, 15), 16, 10)
+                .cast("long")).alias(f"h{i}"))
     else:
         sh = sh.select(id_col, F.xxhash64("__s").alias("__h"))
         aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")

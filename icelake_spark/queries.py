@@ -2462,11 +2462,13 @@ def minhash_lsh_q(spark, sf_dir):
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
                      threshold: float = 0.2, max_bucket: int = 1000) -> str:
-    """DuckDB twin of minhash_lsh_q: same md5 lane family, same banding,
-    same per-bucket cap, same signature-agreement estimate."""
+    """DuckDB twin of minhash_lsh_q: same md5 lane family (two 60-bit
+    lanes per digest, offsets 1 and 17), same banding, same per-bucket
+    cap, same signature-agreement estimate."""
     rows = num_hashes // bands
     lanes = ",\n         ".join(
-        f"MIN(CAST('0x' || substring(md5(gh || ':{i}'), 1, 15) AS BIGINT)) AS h{i}"
+        f"MIN(CAST('0x' || substring(md5(gh || ':{i // 2}'), "
+        f"{1 if i % 2 == 0 else 17}, 15) AS BIGINT)) AS h{i}"
         for i in range(num_hashes))
     sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
     band_exprs = ",\n         ".join(
