@@ -268,7 +268,14 @@ def plan_distributed(spark, table_path: str, metadata: TableMetadata,
 
 PLAN_DF_SCHEMA = ("mi int, fi int, content int, file_path string, seq long, "
                   "spec_id int, record_count long, file_size long, "
-                  "task binary")
+                  "file_format string, partition string, task binary")
+
+
+def canonical_partition(partition: dict | None) -> str:
+    """Stable string form of a partition tuple (sorted by field name) —
+    groupable/joinable in the plan DataFrame without a struct schema
+    that varies per spec."""
+    return str(sorted((partition or {}).items()))
 
 
 def plan_files_df(spark, table_path: str, metadata: TableMetadata,
@@ -297,7 +304,8 @@ def plan_files_df(spark, table_path: str, metadata: TableMetadata,
         for pdf in batches:
             cols: dict[str, list] = {k: [] for k in (
                 "mi", "fi", "content", "file_path", "seq", "spec_id",
-                "record_count", "file_size", "task")}
+                "record_count", "file_size", "file_format", "partition",
+                "task")}
             for i, blob in zip(pdf["i"], pdf["task"]):
                 mle = pickle.loads(bytes(blob))
                 _, entries = read_manifest(
@@ -314,6 +322,9 @@ def plan_files_df(spark, table_path: str, metadata: TableMetadata,
                     cols["record_count"].append(int(dfile.record_count or 0))
                     cols["file_size"].append(
                         int(dfile.file_size_in_bytes or 0))
+                    cols["file_format"].append(dfile.file_format or "PARQUET")
+                    cols["partition"].append(
+                        canonical_partition(dfile.partition))
                     cols["task"].append(pickle.dumps(dfile))
             yield pd.DataFrame(cols)
 

@@ -2731,6 +2731,35 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def iceberg_files_meta(spark, sf_dir):
+    """X4/metadata tables over the DataFrame planner: write lineitem
+    month-partitioned, read the `partitions` metadata table (a
+    distributed groupBy over plan_files_df — nothing collected), check
+    per-partition record counts against the source."""
+    from .types import PartitionField, PartitionSpec, Schema
+
+    li = load(spark, sf_dir, "lineitem")
+    schema = Schema.from_spark(li.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("l_shipdate").field_id, 1000, "month", "ship_month"),))
+    t = _tmp_catalog().create_table("q.li_meta", schema, spec=spec)
+    t.append(li)
+    return (t.partitions_df(spark)
+            .select("partition", "record_count")
+            .orderBy("partition"))
+
+
+# month transform = months since 1970-01; partition string is the
+# canonical sorted-items repr planning.canonical_partition produces
+ICEBERG_FILES_META_SQL = """
+SELECT '[(''ship_month'', '
+       || CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS VARCHAR)
+       || ')]' AS partition,
+       COUNT(*) AS record_count
+FROM lineitem GROUP BY 1 ORDER BY partition
+"""
+
+
 def iceberg_merge(spark, sf_dir):
     """MERGE INTO SQL entry (sql.py over delta.merge, W7/W8): updates
     matched customers above a balance gate, deletes nothing, inserts
@@ -2812,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": ivf_topk_q,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_merge": iceberg_merge,
+        "iceberg_files_meta": iceberg_files_meta,
         # -- green only in round 1 (regression re-check) -------------
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2847,7 +2877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
         "iceberg_mor_delete": iceberg_mor_delete,
-        "iceberg_upsert": iceberg_upsert,
         "iceberg_partition_prune": iceberg_partition_prune,
         "streaming_ingest": streaming_ingest,
         "dedup_exact": dedup_exact_q,
@@ -2873,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "continuous_aggregate": continuous_aggregate,
         "range_join": range_join_q,
+        "iceberg_upsert": iceberg_upsert,
         "iceberg_update": iceberg_update,
         "iceberg_changelog": iceberg_changelog,
         "iceberg_zorder": iceberg_zorder,
@@ -2957,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(k=20),
         "iceberg_avro_roundtrip": ICEBERG_AVRO_SQL,
         "iceberg_merge": ICEBERG_MERGE_SQL,
+        "iceberg_files_meta": ICEBERG_FILES_META_SQL,
         "q5_local_supplier": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "q10_returned_items": Q10_SQL,

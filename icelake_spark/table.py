@@ -172,28 +172,39 @@ class IcebergTable:
         return spark.createDataFrame(rows, "made_current_at_ms long, snapshot_id long")
 
     def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        snap = self.snapshot(snapshot_id)
-        data, pos, eq = self._manifest_entries(snap) if snap else ([], [], [])
-        rows = []
-        for t in data + pos + eq:  # type: ignore[operator]
-            df = t.data_file if isinstance(t, FileScanTask) else t.delete_file
-            rows.append((df.content, df.file_path, df.file_format,
-                         str(df.partition), df.record_count, df.file_size_in_bytes))
-        return spark.createDataFrame(
-            rows, "content int, file_path string, file_format string, "
-                  "partition string, record_count long, file_size_in_bytes long")
+        """`files` metadata table as a DISTRIBUTED projection of the plan
+        DataFrame (planning.plan_files_df): at a million files nothing
+        is ever collected to the driver — callers aggregate or filter
+        the result like any other DataFrame."""
+        pdf = self.new_scan(snapshot_id=snapshot_id).plan_files_df(spark)
+        return pdf.select(
+            "content", "file_path", "file_format", "partition",
+            "record_count", F.col("file_size").alias("file_size_in_bytes"))
 
     def partitions_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        snap = self.snapshot(snapshot_id)
-        data, _, _ = self._manifest_entries(snap) if snap else ([], [], [])
-        agg: dict[str, list[int]] = {}
-        for t in data:
-            key = str(sorted(t.data_file.partition.items()))
-            cur = agg.setdefault(key, [0, 0, 0])
-            cur[0] += t.data_file.record_count
-            cur[1] += 1
-        rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
-        return spark.createDataFrame(rows, "partition string, record_count long, file_count long")
+        """`partitions` metadata table: per-partition record/file counts,
+        aggregated distributively from the plan DataFrame (a groupBy over
+        planning.plan_files_df, no driver-side dict)."""
+        pdf = self.new_scan(snapshot_id=snapshot_id).plan_files_df(spark)
+        return (pdf.where(F.col("content") == 0)
+                .groupBy("partition")
+                .agg(F.sum("record_count").alias("record_count"),
+                     F.count("*").alias("file_count"))
+                .orderBy("partition"))
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """`refs` metadata table: branches and tags with their retention
+        policy (the inspection face of the ref-aware expiry in
+        maintenance.expire_snapshots)."""
+        rows = [
+            (name, r.type, r.snapshot_id, r.min_snapshots_to_keep,
+             r.max_snapshot_age_ms, r.max_ref_age_ms)
+            for name, r in sorted(self.metadata.refs.items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long, "
+                  "min_snapshots_to_keep int, max_snapshot_age_ms long, "
+                  "max_ref_age_ms long")
 
     def manifests_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         snap = self.snapshot(snapshot_id)
