@@ -108,18 +108,34 @@ def changes(table: IcebergTable, spark: SparkSession,
     current = table.current_snapshot()
     if current is not None and to_seq is None:
         to_seq = current.sequence_number
+    if to_seq is None:
+        # snapshots exist but none is published to the requested head
+        # (e.g. only WAP branch commits): no visible changes
+        return empty
+    # the changelog walks the `to` head's ANCESTRY, not all snapshots:
+    # rolled-back commits and snapshots staged on other branches live in
+    # metadata.snapshots but are not part of this lineage — emitting
+    # them would replicate phantom rows (see ancestry_ids docstring)
+    lineage = meta.ancestry_ids(to_snapshot_id)  # None -> current head
+    known_ids = {s.snapshot_id for s in meta.snapshots}
 
     parts: list[DataFrame] = []
     order = 0
     for snap in snaps:
         if snap.sequence_number <= from_seq or snap.sequence_number > to_seq:
             continue
+        if snap.snapshot_id not in lineage:
+            continue
         op = (snap.summary or {}).get("operation", "append")
         if op == "replace":
             continue
         added_data, added_pos, added_eq = _added_in(table, snap)
-        parent_scan = TableScan(table, snapshot_id=snap.parent_snapshot_id) \
-            if snap.parent_snapshot_id is not None else None
+        # an expired parent (oldest surviving snapshot) can't be scanned:
+        # its deletes/CoW removals are unreconstructable — emit this
+        # snapshot's adds only (the retained-history boundary)
+        parent_scan = (TableScan(table, snapshot_id=snap.parent_snapshot_id)
+                       if snap.parent_snapshot_id is not None
+                       and snap.parent_snapshot_id in known_ids else None)
 
         # inserts: added files, minus rows pos-deleted by the SAME commit
         if added_data:
@@ -277,8 +293,33 @@ def apply_changes(source: IcebergTable, target: IcebergTable,
     if current is None or (last is not None
                            and current.snapshot_id == last):
         return 0
-    ch = changes(source, spark, from_snapshot_id=last)
     cols = [f.name for f in source.schema().to_spark().fields]
+    known = {s.snapshot_id for s in source.metadata.snapshots}
+    if last is not None and last not in known:
+        # the recorded sync point was expired from the source
+        # (expire_snapshots): the changelog from there is gone. Full
+        # resync instead of wedging forever on snapshot_by_id(last):
+        # upsert every current source row, delete target keys that no
+        # longer exist in the source (null-safe key comparison, same as
+        # the rollup's vanished-row rule).
+        src = source.to_df(spark)
+        tgt = target.to_df(spark).alias("__t")
+        src_k = src.select(*key_cols).alias("__s")
+        cond = None
+        for k in key_cols:
+            term = F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+            cond = term if cond is None else (cond & term)
+        vanished = (tgt.join(src_k, on=cond, how="left_anti")
+                    .select(*cols))
+        batch = (src.select(*cols).withColumn("_op", F.lit(OP_INSERT))
+                 .unionByName(vanished.withColumn("_op", F.lit(OP_DELETE))))
+        n = batch.count()
+        if n:
+            merge_delta(target, batch, key_cols=key_cols, op_col="_op")
+        target.set_properties(
+            {SYNC_PROP_PREFIX + sync_id: str(current.snapshot_id)})
+        return n
+    ch = changes(source, spark, from_snapshot_id=last)
     # within one commit the delete of a key precedes its re-insert
     # (upsert = delete old + insert new); order deletes first so the
     # batch's last-wins semantics land on the inserted row

@@ -113,6 +113,13 @@ def expire_snapshots(table, older_than_ms: int | None = None,
         return 0
     kept = tuple(s for s in metadata.snapshots if s not in expired)
 
+    # inventory dead files BEFORE the commit, but DELETE them only after
+    # it succeeds (Iceberg's order): a conflicting concurrent commit
+    # aborts the metadata swap, and deleting first would leave the still-
+    # live metadata pointing at removed manifests/data — unrecoverable.
+    # A crash between commit and deletion merely leaves orphans, which
+    # remove_orphan_files reclaims.
+    to_delete: set[str] = set()
     if delete_files:
         def reachable(snaps) -> tuple[set, set]:
             manifests, datafiles = set(), set()
@@ -133,11 +140,7 @@ def expire_snapshots(table, older_than_ms: int | None = None,
 
         live_m, live_d = reachable(kept)
         dead_m, dead_d = reachable(expired)
-        for p in (dead_m - live_m) | (dead_d - live_d):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+        to_delete = (dead_m - live_m) | (dead_d - live_d)
 
     new_metadata = dc_replace(
         metadata,
@@ -148,6 +151,11 @@ def expire_snapshots(table, older_than_ms: int | None = None,
         last_updated_ms=int(time.time() * 1000),
     )
     table._commit_metadata(new_metadata)
+    for p in to_delete:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     return len(expired)
 
 
@@ -204,7 +212,13 @@ def rollback_to(table, snapshot_id: int) -> None:
     md = table.metadata
     md.snapshot_by_id(snapshot_id)  # raises KeyError if unknown
     refs = dict(md.refs)
-    refs[MAIN_BRANCH] = SnapshotReference(snapshot_id, "branch")
+    prev = refs.get(MAIN_BRANCH)
+    # keep the branch's retention knobs (min_snapshots_to_keep etc.) —
+    # a bare replacement would silently reset them and let the next
+    # expire_snapshots drop history the user configured to retain
+    refs[MAIN_BRANCH] = (dc_replace(prev, snapshot_id=snapshot_id)
+                         if prev is not None
+                         else SnapshotReference(snapshot_id, "branch"))
     now = int(_time.time() * 1000)
     table._commit_metadata(dc_replace(
         md, current_snapshot_id=snapshot_id, refs=refs, last_updated_ms=now,
@@ -316,6 +330,8 @@ def rewrite_zorder(table, spark: SparkSession, cols: list[str],
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if not cols:
+        raise ValueError("rewrite_zorder needs at least one column")
     scan = table.new_scan(apply_deletes=True)
     data, _, _ = scan.plan_files(spark)
     if not data:
@@ -373,7 +389,11 @@ def rewrite_zorder(table, spark: SparkSession, cols: list[str],
            .repartitionByRange(n_parts, F.col("__z"))
            .sortWithinPartitions("__z")
            .drop("__z"))
-    files = write_data_files(table, zdf, target_file_size=target_file_size)
+    # preserve_distribution: the range exchange + sort above IS the
+    # clustering — the writer's default hash shuffle on partition
+    # columns would scramble row order and void every per-file bound
+    files = write_data_files(table, zdf, target_file_size=target_file_size,
+                             preserve_distribution=True)
     tx = Transaction(table)
     tx.remove_all_existing()
     tx.add_data_files(files)

@@ -69,8 +69,13 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
         # the recorded sync point was expired from the source
         # (expire_snapshots): the changelog can no longer be computed
         # from there — fall back to refreshing every bucket rather than
-        # wedging permanently on snapshot_by_id(last)
-        touched = full.select("bucket_start").distinct()
+        # wedging permanently on snapshot_by_id(last). The touched set
+        # must include the ROLLUP's own buckets too: a bucket whose
+        # source rows were all deleted is absent from `full`, and
+        # skipping it would leave its stale rollup row alive forever.
+        touched = (full.select("bucket_start")
+                   .union(rollup_table.to_df(spark).select("bucket_start"))
+                   .distinct())
     else:
         inc = changes(source_table, spark, from_snapshot_id=last)
         if not inc.take(1):
@@ -83,10 +88,22 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
                           how="left_semi")
     keys = ["bucket_start"] + group_cols
     # rollup rows in a touched bucket whose (bucket, keys) no longer
-    # exist in the source — e.g. every row of the group was deleted
-    vanished = (rollup_table.to_df(spark)
+    # exist in the source — e.g. every row of the group was deleted.
+    # The anti-join must be NULL-SAFE on the group keys: with a plain
+    # equality join a NULL-keyed rollup row never matches its refreshed
+    # twin, gets classified vanished, and the delete then suppresses the
+    # re-insert (last-wins) — the NULL-key bucket row would oscillate.
+    existing = (rollup_table.to_df(spark)
                 .join(F.broadcast(touched), on="bucket_start", how="left_semi")
-                .join(refreshed.select(*keys), on=keys, how="left_anti"))
+                .alias("__ex"))
+    refreshed_k = refreshed.select(*keys).alias("__rk")
+    null_safe = None
+    for k in keys:
+        term = F.col(f"__ex.{k}").eqNullSafe(F.col(f"__rk.{k}"))
+        null_safe = term if null_safe is None else (null_safe & term)
+    vanished = existing.join(refreshed_k, on=null_safe,
+                             how="left_anti").select(*[
+                                 F.col(f"__ex.{c}") for c in existing.columns])
     batch = (refreshed.withColumn("_op", F.lit(OP_INSERT))
              .unionByName(vanished.withColumn("_op", F.lit(OP_DELETE))))
     n = batch.count()

@@ -105,9 +105,16 @@ def write_data_files(
     max_records_per_file: int | None = None,
     distribution_partitions: int | None = None,
     target_file_size: int | None = None,
+    preserve_distribution: bool = False,
 ) -> list[DataFile]:
     """Distributed write of df as new parquet data files; returns DataFile
     entries with stats. Does NOT commit — pair with Transaction.
+
+    `preserve_distribution=True` keeps the caller's partitioning and
+    row order (no repartition/coalesce, no table-sort-order re-sort):
+    used by clustering rewrites like z-order, whose range exchange +
+    sort IS the layout — the default hash shuffle on partition columns
+    would scramble it and silently void the rewrite's pruning benefit.
     """
     metadata = table.metadata
     spec = metadata.default_spec()
@@ -120,7 +127,7 @@ def write_data_files(
 
     writer_df = df
     pnames: list[str] = []
-    if spec.is_unpartitioned:
+    if spec.is_unpartitioned and not preserve_distribution:
         writer_df = _coalesce_to_target(writer_df, props, target_file_size)
     if not spec.is_unpartitioned:
         pcols = partition_columns(spec, schema)
@@ -130,14 +137,17 @@ def write_data_files(
         # transform values (J1 parity — partition_splitter.rs:145-212).
         # AQE coalesces small shuffle partitions; pass
         # distribution_partitions to widen for skew.
-        if distribution_partitions:
-            writer_df = writer_df.repartition(distribution_partitions, *pnames)
-        else:
-            writer_df = writer_df.repartition(*pnames)
+        if not preserve_distribution:
+            if distribution_partitions:
+                writer_df = writer_df.repartition(distribution_partitions,
+                                                  *pnames)
+            else:
+                writer_df = writer_df.repartition(*pnames)
 
-    # table-declared sort order executed within each output task (O3)
+    # table-declared sort order executed within each output task (O3);
+    # a distribution-preserving caller's own sort wins instead
     sort_cols, sort_order_id = _sort_columns(metadata, schema)
-    if sort_cols:
+    if sort_cols and not preserve_distribution:
         writer_df = writer_df.sortWithinPartitions(*sort_cols)
 
     w = writer_df.write.mode("errorifexists")

@@ -150,3 +150,81 @@ def test_merge_into_semantics(spark, warehouse):
           when_matched="delete", when_not_matched=None)
     got = sorted(r.id for r in t.to_df(spark).collect())
     assert got == [1, 3, 4]
+
+
+def test_changelog_skips_rolled_back_snapshots(spark, warehouse):
+    """A rolled-back commit stays in metadata.snapshots (time travel)
+    but is NOT in the current head's ancestry — the changelog must not
+    replicate its rows (review r3)."""
+    from icelake_spark.changelog import changes
+    from icelake_spark.maintenance import rollback_to
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = warehouse.create_table("db.cl_rb", Schema.from_spark(df1.schema))
+    t.append(df1)
+    s1 = t.refresh().current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(2, "phantom")], "id long, v string"))
+    t = t.refresh()
+    rollback_to(t, s1)
+    t = IcebergTable.load(t.path)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t = t.refresh()
+    ch = changes(t, spark).collect()
+    vals = sorted(r.v for r in ch)
+    assert vals == ["a", "c"]  # the rolled-back 'phantom' row is absent
+
+
+def test_changelog_survives_expired_parent(spark, warehouse):
+    """After expire_snapshots removes the oldest history, changes() must
+    still work from the retained boundary instead of raising KeyError on
+    the expired parent (review r3)."""
+    from icelake_spark.changelog import changes
+    from icelake_spark.maintenance import expire_snapshots
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    df1 = spark.createDataFrame([(i, "x") for i in range(5)], "id long, v string")
+    t = warehouse.create_table("db.cl_exp", Schema.from_spark(df1.schema))
+    t.append(df1)
+    t = t.refresh()
+    t.delete_where(spark, "id >= 3")  # snapshot 2: MoR delete
+    t = t.refresh()
+    expire_snapshots(t, retain_last=1)
+    t = IcebergTable.load(t.path)
+    assert len(t.metadata.snapshots) == 1
+    ch = changes(t, spark)  # must not raise
+    # the delete against expired history is unreconstructable; no crash
+    assert ch.count() >= 0
+
+
+def test_apply_changes_full_resync_after_expired_sync_point(spark, warehouse):
+    """If the recorded sync snapshot was expired from the source, the
+    replication must full-resync (upsert current + delete vanished keys)
+    instead of wedging on KeyError forever (review r3)."""
+    from icelake_spark.changelog import apply_changes
+    from icelake_spark.maintenance import expire_snapshots
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    src_df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    src = warehouse.create_table("db.cdc_src2", Schema.from_spark(src_df.schema))
+    tgt = warehouse.create_table("db.cdc_tgt2", Schema.from_spark(src_df.schema))
+    src.append(src_df)
+    src = src.refresh()
+    apply_changes(src, tgt, spark, key_cols=["id"])
+    tgt = IcebergTable.load(tgt.path)
+    assert sorted(r.id for r in tgt.to_df(spark).collect()) == [1, 2]
+
+    # source evolves: delete id=1, add id=3; then its history is expired
+    src.delete_where(spark, "id = 1")
+    src = src.refresh()
+    src.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    src = src.refresh()
+    expire_snapshots(src, retain_last=1)
+    src = IcebergTable.load(src.path)
+    n = apply_changes(src, tgt, spark, key_cols=["id"])
+    assert n > 0
+    tgt = IcebergTable.load(tgt.path)
+    assert sorted(r.id for r in tgt.to_df(spark).collect()) == [2, 3]

@@ -241,3 +241,97 @@ def test_zorder_temporal_and_bit_clamp(spark, warehouse):
     t2.append(src2)
     with _p.raises(ValueError, match="zorder does not support"):
         rewrite_zorder(t2, spark, ["s"])
+
+
+def test_zorder_preserves_clustering_on_partitioned_table(spark, warehouse):
+    """On a PARTITIONED table the z-order rewrite must keep its range
+    clustering: the writer's default hash shuffle on partition columns
+    would scramble row order and leave every file with near-global
+    min/max bounds (review r3)."""
+    from icelake_spark.maintenance import rewrite_zorder
+    from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+    src = spark.range(20000).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS bucket", "CAST(id AS DOUBLE) AS x")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("bucket").field_id, 1000, "identity", "bucket"),))
+    t = warehouse.create_table("db.zpart", schema, spec=spec)
+    # several small appends -> several files per partition
+    for i in range(4):
+        t.append(src.where(f"id % 4 = {i}"))
+    t = t.refresh()
+    n = rewrite_zorder(t, spark, ["x"], target_file_size=64 * 1024)
+    assert n > 1
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files()
+    schema_now = t.schema()
+    fid = schema_now.field_by_name("x").field_id
+    spans = []
+    for task in data:
+        lo = task.data_file.decoded_bounds(schema_now, "lower").get(fid)
+        hi = task.data_file.decoded_bounds(schema_now, "upper").get(fid)
+        assert lo is not None and hi is not None
+        spans.append(hi - lo)
+    # clustered files cover narrow, mostly-disjoint x ranges; a scrambled
+    # write gives every file a ~full-range span (~20000)
+    assert len(spans) > 1
+    assert sorted(spans)[len(spans) // 2] < 20000 / 2
+
+
+def test_rollback_preserves_main_ref_retention(spark, warehouse):
+    """rollback_to must carry the main branch's retention knobs over to
+    the new ref instead of resetting them (review r3)."""
+    from dataclasses import replace as dc_replace
+
+    from icelake_spark.maintenance import rollback_to
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    src = spark.range(5).selectExpr("id")
+    t = warehouse.create_table("db.rbref", Schema.from_spark(src.schema))
+    t.append(src)
+    s1 = t.refresh().current_snapshot().snapshot_id
+    t.append(src.selectExpr("id + 10 AS id"))
+    t = t.refresh()
+    # configure retention on main
+    md = t.metadata
+    refs = dict(md.refs)
+    refs["main"] = dc_replace(refs["main"], min_snapshots_to_keep=7)
+    t._commit_metadata(dc_replace(md, refs=refs))
+    t = IcebergTable.load(t.path)
+    rollback_to(t, s1)
+    t = IcebergTable.load(t.path)
+    assert t.metadata.refs["main"].snapshot_id == s1
+    assert t.metadata.refs["main"].min_snapshots_to_keep == 7
+
+
+def test_expire_snapshots_deletes_only_after_commit(spark, warehouse, monkeypatch):
+    """A failed metadata commit must leave every file intact: expire
+    inventories dead files before the commit but deletes them only
+    after it succeeds (review r3)."""
+    import glob as _glob
+    import os
+
+    from icelake_spark.maintenance import expire_snapshots
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    src = spark.range(10).selectExpr("id")
+    t = warehouse.create_table("db.expfail", Schema.from_spark(src.schema))
+    t.append(src)
+    t.append(src.selectExpr("id + 10 AS id"))
+    t = t.refresh()
+    before = set(_glob.glob(os.path.join(t.path, "**", "*"), recursive=True))
+
+    def boom(md):
+        raise RuntimeError("simulated commit conflict")
+
+    monkeypatch.setattr(t, "_commit_metadata", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        expire_snapshots(t, retain_last=1)
+    after = set(_glob.glob(os.path.join(t.path, "**", "*"), recursive=True))
+    assert before == after  # nothing deleted on a failed commit
+    # and the table still reads fine
+    assert IcebergTable.load(t.path).to_df(spark).count() == 20

@@ -89,3 +89,39 @@ def test_refresh_survives_expired_source_snapshot(spark, warehouse):
     assert n > 0
     got = {row.bucket_start.hour: row.n for row in r.refresh().to_df(spark).collect()}
     assert got[0] == 12  # 4 per batch x 3 batches for hour 0
+
+
+def test_refresh_null_group_key_is_stable(spark, warehouse):
+    """A NULL group key must survive repeated refreshes: the vanished-row
+    anti-join is null-safe, so the (bucket, NULL) row is neither deleted
+    nor duplicated when nothing changed (review r3)."""
+    import datetime as dt
+
+    from icelake_spark.rollup import create_rollup, refresh_rollup
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    rows = [(dt.datetime(2023, 1, 1, 0, 5), None, 1.0),
+            (dt.datetime(2023, 1, 1, 0, 10), "us", 2.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, country string, value double")
+    src = warehouse.create_table("db.null_src", Schema.from_spark(df.schema))
+    src.append(df)
+    src = src.refresh()
+    roll = create_rollup(warehouse, src, "db.null_roll", spark,
+                         group_cols=["country"], value_col="value")
+    base = sorted((str(r.country), r.n) for r in roll.to_df(spark).collect())
+    assert ("None", 1) in base
+    # touch the bucket so the NULL row enters the vanished-check path
+    src.append(spark.createDataFrame(
+        [(dt.datetime(2023, 1, 1, 0, 20), "us", 5.0)],
+        "ts timestamp, country string, value double"))
+    src = src.refresh()
+    refresh_rollup(roll, src, spark)
+    roll = IcebergTable.load(roll.path)
+    got = sorted((str(r.country), r.n) for r in roll.to_df(spark).collect())
+    assert ("None", 1) in got and ("us", 2) in got
+    # refresh again with no changes: still exactly one NULL-key row
+    refresh_rollup(IcebergTable.load(roll.path), src, spark)
+    roll = IcebergTable.load(roll.path)
+    nulls = [r for r in roll.to_df(spark).collect() if r.country is None]
+    assert len(nulls) == 1
