@@ -16,6 +16,7 @@ import json
 from typing import Any
 
 from ..types.metadata import Snapshot, TableMetadata
+from .storage import CommitConflict
 
 try:  # pragma: no cover - environment-dependent
     import requests as _requests
@@ -67,6 +68,80 @@ def assert_uuid_requirement(table_uuid: str) -> dict:
     return {"type": "assert-table-uuid", "uuid": table_uuid}
 
 
+def build_commit_updates(base: TableMetadata | None,
+                         new: TableMetadata) -> tuple[list[dict], list[dict]]:
+    """Diff two metadata states into MetadataUpdate/UpdateRequirement
+    lists (public REST commit protocol; parity: the reference's
+    MetadataUpdate enum, catalog/mod.rs:141-308).
+
+    Covers the commit kinds this engine produces: new snapshots, ref
+    moves (incl. rollback), property set/remove, schema evolution, new
+    partition specs, sort orders. The main-ref requirement asserts the
+    BASE's actual head (not max-of-ids — snapshot ids can be random per
+    the spec, and after a rollback the newest id is not the head).
+    """
+    updates: list[dict] = []
+    b_props = base.properties if base else {}
+    if new.properties != b_props:
+        changed = {k: v for k, v in new.properties.items()
+                   if b_props.get(k) != v}
+        removed = [k for k in b_props if k not in new.properties]
+        if changed:
+            updates.append(set_properties_update(changed))
+        if removed:
+            updates.append({"action": "remove-properties",
+                            "removals": removed})
+    b_schema_ids = {s.schema_id for s in base.schemas} if base else set()
+    for s in new.schemas:
+        if s.schema_id not in b_schema_ids:
+            updates.append({"action": "add-schema",
+                            "schema": s.to_json_dict(),
+                            "last-column-id": new.last_column_id})
+    if base is None or new.current_schema_id != base.current_schema_id:
+        updates.append({"action": "set-current-schema",
+                        "schema-id": new.current_schema_id})
+    b_spec_ids = {p.spec_id for p in base.partition_specs} if base else set()
+    for p in new.partition_specs:
+        if p.spec_id not in b_spec_ids:
+            updates.append({"action": "add-spec", "spec": p.to_json()})
+    if base is None or new.default_spec_id != base.default_spec_id:
+        updates.append({"action": "set-default-spec",
+                        "spec-id": new.default_spec_id})
+    b_sort_ids = {o.order_id for o in base.sort_orders} if base else set()
+    for o in new.sort_orders:
+        if o.order_id not in b_sort_ids:
+            updates.append({"action": "add-sort-order",
+                            "sort-order": o.to_json()})
+    if base is None or new.default_sort_order_id != base.default_sort_order_id:
+        updates.append({"action": "set-default-sort-order",
+                        "sort-order-id": new.default_sort_order_id})
+    b_snap_ids = {s.snapshot_id for s in base.snapshots} if base else set()
+    for s in new.snapshots:
+        if s.snapshot_id not in b_snap_ids:
+            updates.append(add_snapshot_update(s))
+    removed_snaps = [sid for sid in b_snap_ids
+                     if sid not in {s.snapshot_id for s in new.snapshots}]
+    if removed_snaps:
+        updates.append({"action": "remove-snapshots",
+                        "snapshot-ids": sorted(removed_snaps)})
+    b_refs = base.refs if base else {}
+    for name, r in new.refs.items():
+        old = b_refs.get(name)
+        if old is None or old.snapshot_id != r.snapshot_id or old.type != r.type:
+            updates.append(set_ref_update(name, r.snapshot_id, r.type))
+    for name in b_refs:
+        if name not in new.refs:
+            updates.append({"action": "remove-snapshot-ref",
+                            "ref-name": name})
+
+    requirements = [assert_uuid_requirement(new.table_uuid)]
+    if base is not None:
+        main = base.refs.get("main")
+        requirements.append(assert_ref_requirement(
+            "main", main.snapshot_id if main else base.current_snapshot_id))
+    return updates, requirements
+
+
 def commit_table_body(identifier: str, updates: list[dict],
                       requirements: list[dict]) -> dict:
     ns, _, name = identifier.rpartition(".")
@@ -87,10 +162,12 @@ def rename_table_body(source: str, destination: str) -> dict:
     return {"source": ident(source), "destination": ident(destination)}
 
 
-class CommitFailedError(Exception):
+class CommitFailedError(CommitConflict):
     """A commit requirement was rejected by the catalog (HTTP 409): the
-    table changed underneath us. Retryable by re-reading + re-applying
-    (Transaction.commit's optimistic loop)."""
+    table changed underneath us. Subclasses storage.CommitConflict so
+    Transaction.commit's optimistic `except CommitConflict` loop
+    actually retries it (review r3: as a bare Exception it propagated
+    straight to the caller and a transient conflict was a hard fail)."""
 
     def __init__(self, message: str, details: dict | None = None):
         super().__init__(message)
@@ -153,19 +230,17 @@ class RestCatalog:
                             identifier=identifier)
 
     def update_table(self, table_path: str, base_version: int,
-                     new_metadata: TableMetadata, identifier: str = "") -> int:
+                     new_metadata: TableMetadata, identifier: str = "",
+                     base_metadata: TableMetadata | None = None) -> int:
         """Commit via the updates/requirements protocol. Matches the
         StorageCatalog.update_table signature so IcebergTable commits
-        work against either catalog."""
-        snap = new_metadata.current_snapshot()
-        updates = [add_snapshot_update(snap),
-                   set_ref_update("main", snap.snapshot_id)]
-        prev_ids = [s.snapshot_id for s in new_metadata.snapshots
-                    if s.snapshot_id != snap.snapshot_id]
-        requirements = [
-            assert_uuid_requirement(new_metadata.table_uuid),
-            assert_ref_requirement("main", max(prev_ids) if prev_ids else None),
-        ]
+        work against either catalog. The update list is a DIFF of base
+        vs new metadata (build_commit_updates), so metadata-only commits
+        (set_properties, schema evolution, rollback) transmit their
+        actual change instead of a bogus add-snapshot; without a base
+        the requirement degrades to the uuid assertion alone."""
+        updates, requirements = build_commit_updates(base_metadata,
+                                                     new_metadata)
         ns, _, name = identifier.rpartition(".")
         r = self.http.post(
             self._url(f"namespaces/{namespace_path(ns)}/tables/{name}"),

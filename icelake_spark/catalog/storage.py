@@ -122,8 +122,11 @@ class StorageCatalog:
     # ------------------------------------------------------------- commit
 
     def update_table(self, table_path: str, base_version: int,
-                     new_metadata: TableMetadata, identifier: str = "") -> int:
+                     new_metadata: TableMetadata, identifier: str = "",
+                     base_metadata: TableMetadata | None = None) -> int:
         """Optimistic swap: fail if someone committed past base_version.
+        (`base_metadata` is accepted for REST-catalog signature parity;
+        the storage swap's version check subsumes it.)
 
         Mirrors storage.rs:323-352 (re-check + write + hint update).
         """

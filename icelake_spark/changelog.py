@@ -153,11 +153,14 @@ def changes(table: IcebergTable, spark: SparkSession,
         if (added_pos or added_eq) and parent_scan is not None:
             pdata, ppos, peq = parent_scan.plan_files(spark)
             if added_pos:
+                from .planning import canon_data_path
+
                 srcs = {r[0] for t in added_pos
                         for r in spark.read.parquet(t.delete_file.file_path)
-                        .select(F.regexp_replace("file_path", r"^file:/*", "/"))
+                        .select(_canon_col(F.col("file_path")))
                         .distinct().collect()}
-                hit = [t for t in pdata if t.data_file.file_path in srcs]
+                hit = [t for t in pdata
+                       if canon_data_path(t.data_file.file_path) in srcs]
                 if hit:
                     d = _read(spark, table, spark_schema, hit,
                               with_position=True)
@@ -201,6 +204,12 @@ def changes(table: IcebergTable, spark: SparkSession,
     return out
 
 
+def _canon_col(c):
+    from .planning import canon_data_path_col
+
+    return canon_data_path_col(c)
+
+
 def _bcast_limit(table) -> int:
     return int(table.metadata.properties.get(
         "read.delete.broadcast-threshold-bytes", 32 * 1024 * 1024))
@@ -219,22 +228,25 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
                    pos: list[DeleteFileTask], limit: int) -> DataFrame:
     """Rows of df matched by the position-delete files (the inverse of
     TableScan._apply_deletes' anti-join, same sequence gate)."""
+    from .planning import canon_data_path
+
     if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
         seq_df = spark.createDataFrame(
-            [(t.data_file.file_path, t.sequence_number) for t in data],
-            "__file string, __data_seq long")
-        df = df.join(F.broadcast(seq_df), on="__file", how="left")
+            [(canon_data_path(t.data_file.file_path), t.sequence_number)
+             for t in data],
+            "__file_c string, __data_seq long")
+        df = df.withColumn("__file_c", _canon_col(F.col("__file"))) \
+               .join(F.broadcast(seq_df), on="__file_c", how="left")
     pseq = spark.createDataFrame(
-        [(t.delete_file.file_path, t.sequence_number) for t in pos],
+        [(canon_data_path(t.delete_file.file_path), t.sequence_number)
+         for t in pos],
         "__src string, __del_seq long")
     pos_df = (spark.read.parquet(*[t.delete_file.file_path for t in pos])
-              .withColumn("__src", F.regexp_replace(
-                  F.col("_metadata.file_path"), r"^file:/*", "/"))
-              .select(F.regexp_replace(F.col("file_path"), r"^file:/*", "/")
-                      .alias("__del_file"),
+              .withColumn("__src", _canon_col(F.col("_metadata.file_path")))
+              .select(_canon_col(F.col("file_path")).alias("__del_file"),
                       F.col("pos").alias("__del_pos"), "__src")
               .join(F.broadcast(pseq), on="__src", how="left"))
-    cond = ((df["__file"] == pos_df["__del_file"])
+    cond = ((df["__file_c"] == pos_df["__del_file"])
             & (df["__pos"] == pos_df["__del_pos"])
             & (df["__data_seq"] <= pos_df["__del_seq"]))
     return df.join(_maybe_broadcast(pos_df, pos, limit), on=cond,
@@ -245,11 +257,15 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
                   eq: list[DeleteFileTask], limit: int) -> DataFrame:
     """Rows of df matched by equality-delete files (strictly-older gate,
     grouped by key-set: one semi-join per distinct equality_ids)."""
+    from .planning import canon_data_path
+
     if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
         seq_df = spark.createDataFrame(
-            [(t.data_file.file_path, t.sequence_number) for t in data],
-            "__file string, __data_seq long")
-        df = df.join(F.broadcast(seq_df), on="__file", how="left")
+            [(canon_data_path(t.data_file.file_path), t.sequence_number)
+             for t in data],
+            "__file_c string, __data_seq long")
+        df = df.withColumn("__file_c", _canon_col(F.col("__file"))) \
+               .join(F.broadcast(seq_df), on="__file_c", how="left")
     out = None
     groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
     for t in eq:

@@ -52,6 +52,7 @@ class _FileTask(InputPartition):
     # delete set was small enough to group once on the driver — avoids
     # every task re-reading every delete file (N tasks × M files)
     resolved_pos: list[tuple[int, int]] | None = None
+    file_format: str = "PARQUET"  # PARQUET | ORC | AVRO (add_files)
 
 
 class IcelakeDataSource(DataSource):
@@ -153,16 +154,47 @@ class IcelakeReader(DataSourceReader):
                           [] if pos_map is not None else pos_list, eq_list,
                           resolved_pos=(pos_map.get(
                               _norm(d.data_file.file_path), [])
-                              if pos_map is not None else None))
+                              if pos_map is not None else None),
+                          file_format=(d.data_file.file_format
+                                       or "PARQUET").upper())
                 for d in data]
 
     def read(self, partition: _FileTask) -> Iterator:
-        """Read one data file with pyarrow, apply MoR deletes, yield
-        Arrow record batches (Spark converts via Arrow)."""
+        """Read one data file with pyarrow (format-dispatched: the table
+        layer legitimately holds ORC/AVRO files via add_files and
+        write.format.default), apply MoR deletes, yield Arrow record
+        batches (Spark converts via Arrow)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file_path)
+        fmt = (partition.file_format or "PARQUET").upper()
+        if fmt == "ORC":
+            from pyarrow import orc as pa_orc
+
+            table = pa_orc.ORCFile(partition.file_path).read()
+        elif fmt == "AVRO":
+            from pyspark.sql import types as T
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from . import avro_io
+            from .avro_data import _converters
+            from .types.datatypes import Schema as _IceSchema
+
+            plain = T.StructType([f for f in self.spark_schema.fields
+                                  if f.name != "_change_type"])
+            arrow_schema = to_arrow_schema(plain)
+            decoders = {name: dec for name, _enc, dec
+                        in _converters(_IceSchema.from_spark(plain))}
+            _schema, records = avro_io.read_avro(partition.file_path)
+            present = [n for n in arrow_schema.names
+                       if records and n in records[0]]
+            table = pa.table({
+                n: pa.array([decoders[n](rec.get(n)) for rec in records],
+                            type=arrow_schema.field(n).type)
+                for n in present} if present else
+                {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
+        else:
+            table = pq.read_table(partition.file_path)
 
         # position deletes targeting this file, seq-gated
         drop_rows: set[int] = set()
@@ -237,6 +269,23 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
         return IcebergTable.load(self.path)
 
+    @staticmethod
+    def _offset_of(table, s) -> int:
+        """Monotone offset for a snapshot: sequence number on format v2;
+        commit timestamp on v1 (every v1 snapshot has seq 0, so seq
+        offsets would never advance and the stream would sit empty
+        forever — review r3)."""
+        if table.metadata.format_version >= 2:
+            return s.sequence_number
+        return s.timestamp_ms
+
+    def _end_offset(self, table) -> int:
+        if table.metadata.format_version >= 2:
+            return table.metadata.last_sequence_number
+        main_ids = table.metadata.ancestry_ids()
+        return max((s.timestamp_ms for s in table.metadata.snapshots
+                    if s.snapshot_id in main_ids), default=0)
+
     def _files_between(self, table, start_seq: int, end_seq: int) -> list[str]:
         from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
 
@@ -246,7 +295,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                         key=lambda s: s.sequence_number):
             if s.snapshot_id not in main_ids:
                 continue  # WAP branch-staged snapshot: not published
-            if not (start_seq < s.sequence_number <= end_seq):
+            if not (start_seq < self._offset_of(table, s) <= end_seq):
                 continue
             if s.summary.get("operation", "append") != "append":
                 continue
@@ -287,7 +336,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         table = self._table()
-        end_seq = table.metadata.last_sequence_number
+        end_seq = self._end_offset(table)
         start_seq = int(start["seq"])
         if end_seq <= start_seq:
             # must be a true iterator: the no-advance path probes next()
@@ -355,13 +404,21 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
             return dead
 
         def file_rows(path, positions=None, skip: set | None = None):
-            t = pq.read_table(path, columns=names)
+            # read only the requested columns PRESENT in the file: a file
+            # written before an add_column lacks the new column, which
+            # pads as None (the sibling _rows path does the same)
+            present = [n for n in names
+                       if n in set(pq.read_schema(path).names)]
+            t = pq.read_table(path, columns=present)
+            cols = {n: (t[n].to_pylist() if n in present
+                        else [None] * t.num_rows) for n in names}
+            key = _norm(path)
             idx = (range(t.num_rows) if positions is None else positions)
             out = []
             for i in idx:
-                if skip and (_norm(path), i) in skip:
+                if skip and (key, i) in skip:
                     continue
-                out.append(tuple(t[n][i].as_py() for n in names))
+                out.append(tuple(cols[n][i] for n in names))
             return out
 
         rows: list[tuple] = []
@@ -372,7 +429,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         for s in snaps:
             if s.snapshot_id not in main_ids:
                 continue  # WAP branch-staged snapshot: not published
-            in_range = start_seq < s.sequence_number <= end_seq
+            in_range = start_seq < self._offset_of(table, s) <= end_seq
             op = (s.summary or {}).get("operation", "append")
             if not in_range or op == "replace":
                 # still fold this snapshot's pos deletes into the
@@ -408,10 +465,17 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                 for r in file_rows(p, skip=same_commit_deleted):
                     rows.append(r + ("insert",))
 
+            # rows this snapshot's eq deletes remove — folded into the
+            # running dead-set so a LATER eq delete of the same key can't
+            # re-emit the same dead row as a phantom delete event
+            eq_dead: set[tuple[str, int]] = set()
             if added_pos or added_eq:
                 prior_dead = dead_acc
-                # data files alive before this snapshot, with their seqs
-                older: dict[str, int] = {}
+                # data files alive before this snapshot: canon key →
+                # (readable path, seq). The canon key matches _norm of
+                # delete-file content; the real path is what pyarrow
+                # opens (the canon form is not a filesystem path).
+                older: dict[str, tuple[str, int]] = {}
                 parent = next((x for x in snaps
                                if x.snapshot_id == s.parent_snapshot_id), None)
                 if parent is not None:
@@ -427,7 +491,8 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                             seq = (e.sequence_number
                                    if e.sequence_number is not None
                                    else mle.sequence_number)
-                            older[table._resolve(e.data_file.file_path)] = seq
+                            real = table._resolve(e.data_file.file_path)
+                            older[_norm(real)] = (real, seq)
 
                 for p, _seq in added_pos:
                     t = pq.read_table(p)
@@ -438,7 +503,8 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                     for src, positions in by_src.items():
                         if src not in older:
                             continue  # same-commit churn already excluded
-                        for r in file_rows(src, sorted(positions),
+                        real, _dseq = older[src]
+                        for r in file_rows(real, sorted(positions),
                                            skip=prior_dead):
                             rows.append(r + ("delete",))
 
@@ -448,15 +514,16 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                     keys = {tuple(kt[c][i].as_py() for c in key_cols)
                             for i in range(kt.num_rows)}
                     ki = [names.index(c) for c in key_cols]
-                    for src, dseq in older.items():
+                    for ckey, (real, dseq) in older.items():
                         if dseq >= del_seq:
                             continue
-                        for i, r in enumerate(file_rows(src)):
-                            if (_norm(src), i) in prior_dead:
+                        for i, r in enumerate(file_rows(real)):
+                            if (ckey, i) in prior_dead or (ckey, i) in eq_dead:
                                 continue
                             if tuple(r[j] for j in ki) in keys:
                                 rows.append(r + ("delete",))
-            dead_acc = dead_acc | same_commit_deleted
+                                eq_dead.add((ckey, i))
+            dead_acc = dead_acc | same_commit_deleted | eq_dead
         return rows
 
 
@@ -551,11 +618,14 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
 
 
 def _norm(p: str) -> str:
-    if p.startswith("file:"):
-        p = p[5:]
-    while p.startswith("//"):
-        p = p[1:]
-    return p
+    """Canonical data-path form for delete matching — every _norm site
+    compares a delete-file CONTENT path (writer-era absolute) against a
+    planned (re-rooted) path, so both go through the location-
+    independent form (review r3: a relocated table silently stopped
+    applying position deletes)."""
+    from .planning import canon_data_path
+
+    return canon_data_path(p)
 
 
 def register(spark) -> None:

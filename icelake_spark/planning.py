@@ -271,6 +271,36 @@ PLAN_DF_SCHEMA = ("mi int, fi int, content int, file_path string, seq long, "
                   "file_format string, partition string, task binary")
 
 
+def canon_data_path(p: str) -> str:
+    """Location-independent canonical form of a data-file path: the part
+    after the LAST '/data/' segment (falling back to the normalized
+    absolute path when no data/ dir is present, e.g. add_files imports).
+
+    Position/equality-delete file CONTENT records the writer-era
+    absolute `file_path`; a relocated table (golden fixtures, restored
+    backups) resolves its PLANNED paths to the new root, so comparing
+    raw absolute paths silently stops applying deletes. Both sides of
+    every delete match must go through this form (Spark twin:
+    `canon_data_path_col`)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        if not p.startswith("/"):
+            p = "/" + p
+    i = p.rfind("/data/")
+    return p[i + len("/data/"):] if i >= 0 else p
+
+
+def canon_data_path_col(c):
+    """Spark Column twin of canon_data_path (greedy ^.*/data/ strips
+    through the LAST /data/; no-op when absent)."""
+    from pyspark.sql import functions as F
+
+    normalized = F.regexp_replace(c, r"^file:/*", "/")
+    return F.regexp_replace(normalized, r"^.*/data/", "")
+
+
 def canonical_partition(partition: dict | None) -> str:
     """Stable string form of a partition tuple (sorted by field name) —
     groupable/joinable in the plan DataFrame without a struct schema

@@ -35,19 +35,6 @@ if TYPE_CHECKING:
     from .catalog.storage import StorageCatalog
 
 
-def _local(path: str) -> str:
-    """Normalize file URIs and reference-era absolute paths to local paths.
-
-    Golden tables carry paths from the environment that wrote them (e.g.
-    /opt/bitnami/spark/warehouse/...); we re-root them at the table dir.
-    """
-    if path.startswith("file:"):
-        path = path[5:]
-        while path.startswith("//"):
-            path = path[1:]
-    return path
-
-
 @dataclass
 class FileScanTask:
     data_file: DataFile
@@ -91,18 +78,13 @@ class IcebergTable:
     # ------------------------------------------------------ path fixups
 
     def _resolve(self, path: str) -> str:
-        """Map a metadata-recorded absolute path into this table's dir."""
-        p = _local(path)
-        if os.path.exists(p):
-            return p
-        # re-root: .../<something>/{data|metadata}/... → table_path/...
-        for marker in ("/data/", "/metadata/"):
-            i = p.rfind(marker)
-            if i >= 0:
-                candidate = os.path.join(self.path, p[i + 1 :])
-                if os.path.exists(candidate):
-                    return candidate
-        return p
+        """Map a metadata-recorded absolute path into this table's dir.
+        Delegates to planning.resolve_path — the ONE implementation of
+        path re-rooting (driver and executors must agree; review r3
+        found three drifting copies)."""
+        from .planning import resolve_path
+
+        return resolve_path(self.path, path)
 
     # ------------------------------------------------------- snapshots
 
@@ -240,7 +222,8 @@ class IcebergTable:
         if self.catalog is not None:
             version = self.catalog.update_table(self.path, self.current_version,
                                                 new_metadata,
-                                                identifier=self.identifier)
+                                                identifier=self.identifier,
+                                                base_metadata=self.metadata)
         else:
             from .catalog.storage import commit_metadata
 
@@ -735,6 +718,20 @@ class TableScan:
         current = {f.name for f in spark_schema.fields}
         extra_fields, coalesce_map = [], {}
         for f in schema.fields:
+            # a former name that was later REUSED by a different column
+            # cannot be resolved by this name-based projection: old
+            # files' physical column would bind to the new field while
+            # the renamed field reads null — silent wrong results. Fail
+            # loudly instead (per-file field-id projection would be the
+            # full fix; the DSv2 reader is the upgrade path).
+            clashes = [n for n in mapping.get(str(f.field_id), [])
+                       if n in current and n != f.name]
+            if clashes:
+                raise ValueError(
+                    f"column {f.name!r} was renamed from {clashes} but a "
+                    f"current column reuses that name; reads via the "
+                    f"name-mapping cannot disambiguate old files — avoid "
+                    f"re-adding a previously used column name")
             olds = [n for n in mapping.get(str(f.field_id), [])
                     if n not in current]
             if not olds:
@@ -772,27 +769,38 @@ class TableScan:
         def _maybe_broadcast(side_df, tasks_):
             total = sum(t.delete_file.file_size_in_bytes or 0 for t in tasks_)
             return F.broadcast(side_df) if total <= bcast_limit else side_df
-        # __file/__pos were attached per-format-branch by read_data_files
+        from .planning import canon_data_path, canon_data_path_col
+
+        # __file/__pos were attached per-format-branch by read_data_files.
+        # Every file-path comparison below runs on the location-
+        # independent canon form __file_c: delete-file CONTENT records
+        # writer-era absolute paths, and a relocated table (golden
+        # fixture, restored backup) would otherwise never match them —
+        # deletes silently unapplied (review r3). __file keeps the REAL
+        # path: CoW rewrites and new position-delete content need it.
+        df = df.withColumn("__file_c", canon_data_path_col(F.col("__file")))
         # data-file sequence numbers via a tiny broadcast map
-        seq_rows = [(t.data_file.file_path, t.sequence_number) for t in data]
-        seq_df = spark.createDataFrame(seq_rows, "__file string, __data_seq long")
-        df = df.join(F.broadcast(seq_df), on="__file", how="left")
+        seq_rows = [(canon_data_path(t.data_file.file_path),
+                     t.sequence_number) for t in data]
+        seq_df = spark.createDataFrame(seq_rows, "__file_c string, __data_seq long")
+        df = df.join(F.broadcast(seq_df), on="__file_c", how="left")
 
         if pos:
             pd_paths = [t.delete_file.file_path for t in pos]
             # delete-file seq per source parquet file
             pseq = spark.createDataFrame(
-                [(t.delete_file.file_path, t.sequence_number) for t in pos],
+                [(canon_data_path(t.delete_file.file_path), t.sequence_number)
+                 for t in pos],
                 "__src string, __del_seq long")
             pos_df = (spark.read.parquet(*pd_paths)
-                      .withColumn("__src", F.regexp_replace(
-                          F.col("_metadata.file_path"), r"^file:/*", "/"))
-                      .select(F.regexp_replace(F.col("file_path"), r"^file:/*", "/")
+                      .withColumn("__src", canon_data_path_col(
+                          F.col("_metadata.file_path")))
+                      .select(canon_data_path_col(F.col("file_path"))
                               .alias("__del_file"),
                               F.col("pos").alias("__del_pos"), "__src")
                       .join(F.broadcast(pseq), on="__src", how="left")
                       .select("__del_file", "__del_pos", "__del_seq"))
-            cond = ((df["__file"] == pos_df["__del_file"])
+            cond = ((df["__file_c"] == pos_df["__del_file"])
                     & (df["__pos"] == pos_df["__del_pos"])
                     & (df["__data_seq"] <= pos_df["__del_seq"]))
             df = df.join(_maybe_broadcast(pos_df, pos), on=cond,
@@ -810,13 +818,14 @@ class TableScan:
             if not key_cols or any(c is None for c in key_cols):
                 continue
             seq_map = spark.createDataFrame(
-                [(t.delete_file.file_path, t.sequence_number) for t in tasks],
+                [(canon_data_path(t.delete_file.file_path), t.sequence_number)
+                 for t in tasks],
                 "__src string, __del_seq long")
             # a key deleted at seq S covers all data with seq < S; keep
             # the max seq per key so one row per key suffices
             del_df = (spark.read.parquet(*[t.delete_file.file_path for t in tasks])
-                      .withColumn("__src", F.regexp_replace(
-                          F.col("_metadata.file_path"), r"^file:/*", "/"))
+                      .withColumn("__src", canon_data_path_col(
+                          F.col("_metadata.file_path")))
                       .join(F.broadcast(seq_map), on="__src", how="left")
                       .groupBy(*key_cols)
                       .agg(F.max("__del_seq").alias("__del_seq")))
@@ -831,8 +840,8 @@ class TableScan:
                          how="left_anti")
 
         if drop_helpers:
-            return df.drop("__file", "__pos", "__data_seq")
-        return df  # changelog semi-joins still need __file/__pos/__data_seq
+            return df.drop("__file", "__pos", "__data_seq", "__file_c")
+        return df  # changelog semi-joins still need __file*/__pos/__data_seq
 
 
 def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask],

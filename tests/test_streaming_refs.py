@@ -418,3 +418,62 @@ def test_as_of_ms_and_fast_forward_respect_wap(spark, warehouse):
     t = t.refresh()
     assert t.metadata.refs["main"].min_snapshots_to_keep == 5
     assert t.to_df(spark, as_of_ms=int(time.time() * 1000) + 1000).count() == 50
+
+
+def test_build_commit_updates_diffs_metadata():
+    """update_table bodies are a DIFF of base vs new metadata: a
+    property-only commit sends set-properties (not a bogus
+    add-snapshot), schema evolution sends add-schema, a rollback moves
+    the ref, and the main-ref requirement asserts the BASE's actual
+    head — not max-of-snapshot-ids (review r3)."""
+    from dataclasses import replace as dc_replace
+
+    from icelake_spark.catalog import rest
+    from icelake_spark.types import Schema
+    from icelake_spark.types.datatypes import LONG, NestedField, StructType
+    from icelake_spark.types.metadata import (Snapshot, SnapshotReference,
+                                              TableMetadata)
+
+    schema = Schema(StructType((NestedField(1, "id", LONG, True),)))
+    base = TableMetadata.new("/w/t", schema)
+    base = base.with_snapshot(Snapshot(11, None, "/ml1.avro",
+                                       {"operation": "append"},
+                                       sequence_number=1))
+    base = base.with_snapshot(Snapshot(7, 11, "/ml2.avro",
+                                       {"operation": "append"},
+                                       sequence_number=2))
+
+    # property-only commit
+    new = dc_replace(base, properties={**base.properties, "k": "v"})
+    ups, reqs = rest.build_commit_updates(base, new)
+    actions = [u["action"] for u in ups]
+    assert actions == ["set-properties"]
+    # requirement asserts the base's CURRENT head (7), not max(ids)=11
+    ref_req = next(r for r in reqs if r["type"] == "assert-ref-snapshot-id")
+    assert ref_req["snapshot-id"] == 7
+
+    # new snapshot commit
+    new2 = base.with_snapshot(Snapshot(3, 7, "/ml3.avro",
+                                       {"operation": "append"},
+                                       sequence_number=3))
+    ups2, _ = rest.build_commit_updates(base, new2)
+    a2 = [u["action"] for u in ups2]
+    assert "add-snapshot" in a2 and "set-snapshot-ref" in a2
+    assert all(u["snapshot"]["snapshot-id"] == 3 for u in ups2
+               if u["action"] == "add-snapshot")
+
+    # rollback: ref moves, no snapshot added
+    rolled = dc_replace(base, current_snapshot_id=11, refs={
+        **base.refs, "main": SnapshotReference(11, "branch")})
+    ups3, _ = rest.build_commit_updates(base, rolled)
+    a3 = [u["action"] for u in ups3]
+    assert "set-snapshot-ref" in a3 and "add-snapshot" not in a3
+
+    # schema evolution
+    s2 = Schema(StructType((NestedField(1, "id", LONG, True),
+                            NestedField(2, "v", LONG, False))), 1)
+    evolved = dc_replace(base, schemas=base.schemas + (s2,),
+                         current_schema_id=1, last_column_id=2)
+    ups4, _ = rest.build_commit_updates(base, evolved)
+    a4 = [u["action"] for u in ups4]
+    assert "add-schema" in a4 and "set-current-schema" in a4

@@ -267,3 +267,37 @@ def test_cow_delete_keeps_null_condition_rows(spark, warehouse):
     t.delete_where(spark, "v > 5")
     rows = sorted((r.id, r.v) for r in t.refresh().to_df(spark).collect())
     assert rows == [(2, None), (3, 2.0)], rows
+
+
+def test_relocated_table_still_applies_deletes(spark, warehouse, tmp_path):
+    """Copy a MoR table to a NEW directory and read it from there: the
+    delete-file CONTENT records writer-era absolute paths, so the
+    position-delete match must be location-independent — a relocated
+    table used to silently resurrect deleted rows (review r3)."""
+    import shutil
+
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    src = spark.range(100).selectExpr("id")
+    t = warehouse.create_table("db.reloc", Schema.from_spark(src.schema))
+    t.append(src)
+    t.delete_where(spark, "id < 30")
+    t = t.refresh()
+    assert t.to_df(spark).count() == 70
+
+    moved = str(tmp_path / "relocated_copy")
+    shutil.copytree(t.path, moved)
+    t2 = IcebergTable.load(moved)
+    assert t2.to_df(spark).count() == 70  # deletes still applied
+    # the DSv2 reader path agrees
+    import icelake_spark.datasource as ds
+    ds.register(spark)
+    got = (spark.read.format("icelake").option("path", moved).load().count())
+    assert got == 70
+    # upsert (equality deletes) also survives relocation
+    t2.upsert(spark.range(5).selectExpr("id + 1000 as id"), key_cols=["id"])
+    t2 = IcebergTable.load(moved)
+    moved2 = str(tmp_path / "relocated_twice")
+    shutil.copytree(moved, moved2)
+    assert IcebergTable.load(moved2).to_df(spark).count() == 75

@@ -150,3 +150,57 @@ def test_unpartitioned_write_coalesces_small_files(spark, tmp_path):
     t2.append(big)
     files2 = t2.new_scan().plan_files()[0]
     assert len(files2) > 4
+
+
+def test_distribution_mode_range_tiles_sorted_files(spark, warehouse):
+    """write.distribution-mode=range on a sorted table produces globally
+    clustered files: per-file [min,max] bounds on the sort column tile
+    the domain (mostly disjoint), unlike hash + within-task sort where
+    every file spans nearly the full range."""
+    src = (spark.range(40000)
+           .select(F.col("id"), (F.xxhash64("id") % 10000).alias("k"))
+           .repartition(8))  # random row order going in
+    schema = Schema.from_spark(src.schema)
+    so = SortOrder(1, (SortField(schema.field_by_name("k").field_id,
+                                 "identity", "asc", "nulls-first"),))
+
+    def spans(t):
+        fid = t.schema().field_by_name("k").field_id
+        out = []
+        for f in _data_files(t):
+            lo = f.decoded_bounds(t.schema(), "lower")[fid]
+            hi = f.decoded_bounds(t.schema(), "upper")[fid]
+            out.append(hi - lo)
+        return out
+
+    # small byte target keeps multiple write tasks alive in hash mode
+    # (one coalesced task would globally sort and tile by accident)
+    th = warehouse.create_table(
+        "db.dist_hash", schema, sort_order=so,
+        properties={"write.target-file-size-bytes": "65536"})
+    th.append(src)
+    tr = warehouse.create_table(
+        "db.dist_range", schema, sort_order=so,
+        properties={"write.target-file-size-bytes": "65536",
+                    "write.distribution-mode": "range"})
+    tr.append(src)
+    assert tr.to_df(spark).count() == 40000
+    h_spans, r_spans = spans(th), spans(tr)
+    assert len(r_spans) > 1
+    # range files tile the domain: median span far below the hash layout
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    assert med(r_spans) < med(h_spans) / 2
+    # and zone-map pruning actually skips files on the sorted column
+    pruned, _, _ = tr.new_scan(filter="k >= 0").plan_files()
+    assert len(pruned) < len(_data_files(tr))
+
+
+def test_distribution_mode_none_trusts_caller(spark, warehouse):
+    src = spark.range(1000).selectExpr("id").repartition(6)
+    schema = Schema.from_spark(src.schema)
+    t = warehouse.create_table("db.dist_none", schema,
+                               properties={"write.distribution-mode": "none"})
+    t.append(src)
+    # one file per input partition (no coalesce, no shuffle)
+    assert len(_data_files(t)) == 6
+    assert t.to_df(spark).count() == 1000
