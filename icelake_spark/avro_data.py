@@ -52,20 +52,25 @@ _PRIMITIVE_AVRO = {
 }
 
 
-def _avro_type(t: Any) -> Any:
+def _avro_type(t: Any, name_hint: str = "") -> Any:
     if isinstance(t, PrimitiveType):
         if t.name == "decimal":
             return {"type": "bytes", "logicalType": "decimal",
                     "precision": t.precision, "scale": t.scale}
         if t.name == "fixed":
-            return {"type": "fixed", "name": f"fixed_{t.length}",
+            # named types must be UNIQUE within a schema: two fixed[16]
+            # columns with the same name are a duplicate definition that
+            # spec-compliant parsers reject — suffix with the field name
+            suffix = f"_{name_hint}" if name_hint else ""
+            return {"type": "fixed", "name": f"fixed_{t.length}{suffix}",
                     "size": t.length}
         try:
             return _PRIMITIVE_AVRO[t.name]
         except KeyError:
             raise NotImplementedError(f"avro data files: type {t}")
     if isinstance(t, ListType):
-        return {"type": "array", "items": _avro_type(t.element_type)}
+        return {"type": "array",
+                "items": _avro_type(t.element_type, name_hint)}
     raise NotImplementedError(f"avro data files: nested type {t!r}")
 
 
@@ -73,7 +78,7 @@ def table_avro_schema(schema: Schema, name: str = "table") -> dict:
     """Iceberg table schema -> field-id-annotated Avro record schema."""
     fields = []
     for f in schema.fields:
-        at = _avro_type(f.field_type)
+        at = _avro_type(f.field_type, name_hint=f.name)
         fields.append({
             "name": f.name,
             "type": at if f.required else ["null", at],
@@ -153,14 +158,29 @@ def _from_avro_value(v: Any, t: PrimitiveType, tz: dt.tzinfo | None = None) -> A
 
 def _session_tz(spark: SparkSession) -> dt.tzinfo:
     """The Spark session timezone as a tzinfo (mapInPandas timestamps
-    are naive in this zone)."""
+    are naive in this zone). Spark also accepts offset-style zone ids
+    ('GMT+08:00', 'UTC+8', '+08:00') that ZoneInfo rejects — parse
+    those as fixed offsets instead of silently assuming UTC, which
+    would shift every stored timestamptz instant by the offset."""
+    import re as _re
+    import warnings
     from zoneinfo import ZoneInfo
 
     name = spark.conf.get("spark.sql.session.timeZone")
     try:
         return ZoneInfo(name)
     except Exception:
-        return dt.timezone.utc
+        pass
+    m = _re.fullmatch(
+        r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?", name.strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = dt.timedelta(hours=int(m.group(2)),
+                             minutes=int(m.group(3) or 0))
+        return dt.timezone(sign * delta)
+    warnings.warn(f"unrecognized session timezone {name!r}; treating "
+                  f"timestamptz values as UTC in the Avro data path")
+    return dt.timezone.utc
 
 
 def _converters(schema: Schema, tz: dt.tzinfo | None = None):
@@ -297,6 +317,8 @@ def read_avro_data(spark: SparkSession, spark_schema,
 
 
 def count_avro_records(path: str) -> int:
-    """Record count for add_files stats when spark-avro is unavailable."""
-    _schema, records = avro_io.read_avro(path)
-    return len(records)
+    """Record count for add_files stats when spark-avro is unavailable.
+    Uses the per-block counts in the container header — no decompression
+    or record decoding (the old full read re-processed the entire file
+    right after writing it)."""
+    return avro_io.count_records(path)

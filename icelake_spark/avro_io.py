@@ -150,6 +150,28 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
     return schema, records
 
 
+def count_records(path: str) -> int:
+    """Record count from the container's per-block headers alone: each
+    block leads with (count, byte-size), so counting skips the block
+    bytes without decompressing or decoding anything — O(#blocks), not
+    O(dataset)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro container file")
+    r.read_value({"type": "map", "values": "bytes"})
+    r.read(16)  # sync marker
+    total = 0
+    while r.pos < len(data):
+        count = r.read_long()
+        size = r.read_long()
+        r.read(size)
+        r.read(16)
+        total += count
+    return total
+
+
 def read_avro_full(path: str) -> tuple[dict, dict, list[dict]]:
     """Read an Avro container file in ONE pass → (header metadata as
     str→str for non-avro.* keys, writer schema JSON, records).

@@ -71,12 +71,18 @@ def extract_features(df: DataFrame) -> DataFrame:
     decode is the stub unless set_decoder() installed a real codec.
     """
 
+    # capture the decoder BY VALUE at plan-build time: mapInPandas runs
+    # in fresh executor Python workers where this module re-imports with
+    # _DECODER=None — resolving the global inside the udf would silently
+    # ignore set_decoder() and run the fake digest codec on every row
+    dec = _DECODER or _fake_decode
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for _, row in pdf.iterrows():
                 try:
-                    arr = _decode(row["payload"], row.get("mime") or "")
+                    arr = dec(row["payload"], row.get("mime") or "")
                 except NotImplementedError:
                     feats.append((row["media_id"], row["kind"], None, None, None))
                     continue

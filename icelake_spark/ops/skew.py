@@ -51,8 +51,17 @@ def salted_join(probe: DataFrame, build: DataFrame, on: list[str],
     if how.lower() not in _SALTABLE:
         raise ValueError(f"salted_join cannot preserve '{how}' semantics; "
                          f"use one of {sorted(_SALTABLE)}")
-    probe_salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
-                        F.lit(salts)).cast("int")
+    from pyspark.sql.types import MapType
+
+    # salt correctness is distribution-only (the build side carries every
+    # salt value, so any row joins correctly whatever salt it gets) —
+    # mix in a per-row id so byte-identical duplicate rows of a hot key
+    # still spread, and skip map-typed columns (xxhash64 rejects maps)
+    hashable = [F.col(f.name) for f in probe.schema.fields
+                if not isinstance(f.dataType, MapType)]
+    probe_salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *hashable),
+        F.lit(salts)).cast("int")
     p = probe.withColumn(_SALT, probe_salt)
     b = build.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salts)])))
@@ -102,9 +111,15 @@ def skew_aware_join(probe: DataFrame, build: DataFrame, on: list[str],
             cond = clause if cond is None else (cond | clause)
         return cond
 
+    from pyspark.sql.types import MapType
+
+    # same salt rules as salted_join: per-row id spreads identical
+    # duplicate rows; map columns are not hashable
+    hashable = [F.col(f.name) for f in probe.schema.fields
+                if not isinstance(f.dataType, MapType)]
     p = probe.withColumn(_SALT, F.when(
         _is_hot(probe),
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id(), *hashable),
                F.lit(salts)).cast("int")).otherwise(F.lit(0)))
     b = build.withColumn(_SALT, F.explode(F.when(
         _is_hot(build),
@@ -117,7 +132,11 @@ def count_distinct_skewed(df: DataFrame, key_cols: list[str],
                           value_col: str) -> DataFrame:
     """Exact per-key distinct count that never funnels a hot key's
     values through one reducer: stage 1 dedups on (key, value) — the
-    shuffle spreads by value too — stage 2 counts per key."""
+    shuffle spreads by value too — stage 2 counts per key.
+
+    COUNT(DISTINCT) semantics: count(value_col) skips the NULL row a
+    null-bearing key contributes after the dedup, so an all-NULL key
+    reports 0 (not 1) and mixed keys don't count NULL as a value."""
     return (df.select(*key_cols, value_col).distinct()
             .groupBy(*key_cols)
-            .agg(F.count("*").alias("n_distinct")))
+            .agg(F.count(value_col).alias("n_distinct")))

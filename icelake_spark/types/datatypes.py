@@ -331,6 +331,12 @@ class Schema:
         return self.struct.field(name)
 
     def _id_index(self) -> dict[int, NestedField]:
+        # memoized: the schema is frozen, and planning/stat decoding call
+        # field_by_id per bound field per data file — rebuilding the
+        # index each time made a 10k-file plan O(files × fields²)
+        cached = getattr(self, "_id_index_cache", None)
+        if cached is not None:
+            return cached
         idx: dict[int, NestedField] = {}
 
         def walk(t: Any) -> None:
@@ -345,6 +351,7 @@ class Schema:
                 walk(t.value_type)
 
         walk(self.struct)
+        object.__setattr__(self, "_id_index_cache", idx)
         return idx
 
     def highest_field_id(self) -> int:

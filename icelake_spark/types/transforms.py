@@ -72,8 +72,16 @@ def transform_result_type(transform: str, source_type: Any) -> PrimitiveType:
 def _bucket_int64_udf(n: int):
     @pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
+        # callers ship the column as STRING: an int64 batch containing
+        # any null converts to float64 at the Arrow->pandas boundary,
+        # silently corrupting values above 2^53 BEFORE the udf runs
+        # (wrong bucket -> wrong partition -> pruning misses the row).
+        # Parsing from strings is exact; numeric batches (null-free
+        # legacy callers) still work via int().
         mask = s.isna()
-        vals = s.fillna(0).astype("int64").to_numpy()
+        vals = np.array([0 if m else int(v)
+                         for v, m in zip(s.tolist(), mask.tolist())],
+                        dtype=np.int64)
         h = hash_long_vec(vals).astype("int64")
         out = ((h & 0x7FFFFFFF) % n).astype("int32")
         res = pd.Series(out, index=s.index, dtype="Int32")
@@ -144,10 +152,11 @@ def bucket_column(col: Column, source_type: PrimitiveType, n: int) -> Column:
     """bucket[N] of a column, per-type byte conventions (bucket.rs:28-66)."""
     name = source_type.name
     if name in ("int", "long", "time"):
-        return _bucket_int64_udf(n)(col.cast("long"))
+        return _bucket_int64_udf(n)(col.cast("long").cast("string"))
     if name == "date":
         # days since epoch hashed as long
-        return _bucket_int64_udf(n)(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+        return _bucket_int64_udf(n)(
+            F.datediff(col, F.lit("1970-01-01")).cast("long").cast("string"))
     if name in ("timestamp", "timestamptz"):
         # microseconds since epoch hashed as long; cast ts -> long yields µs
         # only via unix_micros (tz) / a ntz-safe expression
@@ -155,7 +164,7 @@ def bucket_column(col: Column, source_type: PrimitiveType, n: int) -> Column:
             micros = F.unix_micros(col)
         else:
             micros = F.unix_micros(F.to_utc_timestamp(col, "UTC"))
-        return _bucket_int64_udf(n)(micros)
+        return _bucket_int64_udf(n)(micros.cast("string"))
     if name == "string":
         return _bucket_str_udf(n)(col.cast("string"))
     if name == "uuid":
@@ -249,8 +258,14 @@ def apply_transform_py(transform: str, value: Any, source_type: PrimitiveType) -
             h = hash_long_vec(np.array([days], dtype=np.int64))[0]
         elif tname in ("timestamp", "timestamptz"):
             if isinstance(value, dt.datetime):
-                epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo) if value.tzinfo else dt.datetime(1970, 1, 1)
-                value = round((value - epoch).total_seconds() * 1_000_000)
+                if value.tzinfo is not None:
+                    # aware: TRUE epoch micros — anchoring the epoch at
+                    # the value's own offset would shift the hash input
+                    # by that offset and bucket-prune the wrong files
+                    value = round(value.timestamp() * 1_000_000)
+                else:
+                    value = round((value - dt.datetime(1970, 1, 1))
+                                  .total_seconds() * 1_000_000)
             h = hash_long_vec(np.array([int(value)], dtype=np.int64))[0]
         elif tname == "string":
             h = hash_str(str(value))
@@ -277,8 +292,12 @@ def apply_transform_py(transform: str, value: Any, source_type: PrimitiveType) -
         if source_type.name == "string":
             return str(value)[:param]
         raise ValueError(f"truncate over {source_type}")
-    # temporal
+    # temporal: the write path derives year/month/day/hour from the UTC
+    # instant, so an AWARE filter value must be converted to UTC first
+    # (its local wall-clock fields can fall on a different day entirely)
     if isinstance(value, dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(dt.timezone.utc).replace(tzinfo=None)
         d, y, mo, h = value.date(), value.year, value.month, value.hour
     elif isinstance(value, dt.date):
         d, y, mo, h = value, value.year, value.month, 0

@@ -114,3 +114,35 @@ def test_write_avro_data_returns_committed_paths(spark_session_for_avro=None):
         assert all(os.path.isfile(p) for p in paths)
         back = read_avro_data(spark, df.schema, paths)
         assert sorted(r.id for r in back.collect()) == list(range(10))
+
+
+def test_two_fixed_columns_unique_named_types():
+    """Two fixed[16] columns must not emit duplicate named-type
+    definitions (spec-compliant Avro parsers reject redefinition;
+    review r3). Roundtrip still works."""
+    from icelake_spark.avro_data import table_avro_schema
+    from icelake_spark.types.datatypes import (NestedField, Schema,
+                                               StructType, fixed_type)
+
+    schema = Schema(StructType((
+        NestedField(1, "a", fixed_type(16), True),
+        NestedField(2, "b", fixed_type(16), True))), 0)
+    avro = table_avro_schema(schema)
+    names = [f["type"]["name"] for f in avro["fields"]]
+    assert len(set(names)) == 2, names
+
+
+def test_count_records_matches_full_decode():
+    from icelake_spark.avro_io import count_records, read_avro, write_avro
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.avro")
+        recs = [{"v": i} for i in range(1234)]
+        write_avro(p, {"type": "record", "name": "r",
+                       "fields": [{"name": "v", "type": "long"}]}, recs)
+        assert count_records(p) == 1234
+        assert len(read_avro(p)[1]) == 1234
+        write_avro(os.path.join(d, "e.avro"),
+                   {"type": "record", "name": "r",
+                    "fields": [{"name": "v", "type": "long"}]}, [])
+        assert count_records(os.path.join(d, "e.avro")) == 0

@@ -5,6 +5,7 @@ import datetime as dt
 from decimal import Decimal
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from icelake_spark import murmur3 as m
@@ -161,3 +162,40 @@ def test_hash_decimal_minimal_twos_complement_boundaries():
     assert m.hash_decimal(127) == m.hash_bytes(b"\x7f")
     assert m.hash_decimal(128) == m.hash_bytes(b"\x00\x80")
     assert m.hash_decimal(255) == m.hash_bytes(b"\x00\xff")
+
+
+def test_apply_transform_py_aware_datetimes_use_utc(spark):
+    """Aware filter values must transform from the UTC instant: local
+    wall-clock fields can land on a different day/bucket entirely and
+    silently prune the files that hold the matching rows (review r3)."""
+    import datetime as dt
+
+    from icelake_spark.types.datatypes import PrimitiveType
+    from icelake_spark.types.transforms import apply_transform_py
+
+    tstz = PrimitiveType("timestamptz")
+    plus5 = dt.timezone(dt.timedelta(hours=5))
+    aware = dt.datetime(2020, 6, 1, 2, 0, tzinfo=plus5)   # = 2020-05-31T21:00Z
+    utc_naive = dt.datetime(2020, 5, 31, 21, 0)
+    for tr in ("day", "hour", "month", "year", "bucket[16]"):
+        assert apply_transform_py(tr, aware, tstz) == \
+            apply_transform_py(tr, utc_naive, tstz), tr
+
+
+def test_bucket_long_exact_above_2_53_with_nulls(spark):
+    """A null in the Arrow batch used to convert the whole int64 column
+    to float64, corrupting snowflake-scale ids before hashing — the
+    bucket value must match the exact python-side kernel (review r3)."""
+    from icelake_spark.types.datatypes import PrimitiveType
+    from icelake_spark.types.transforms import apply_transform_py, bucket_column
+
+    big = 900719925474099177  # not representable in float64
+    df = spark.createDataFrame([(big,), (None,), (1,)], "v long")
+    got = {r.v: r.b for r in df.select(
+        "v", bucket_column(F.col("v"), PrimitiveType("long"), 1000)
+        .alias("b")).collect()}
+    assert got[big] == apply_transform_py("bucket[1000]", big,
+                                          PrimitiveType("long"))
+    assert got[None] is None
+    assert got[1] == apply_transform_py("bucket[1000]", 1,
+                                        PrimitiveType("long"))

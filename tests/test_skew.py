@@ -92,3 +92,35 @@ def test_skew_aware_join_uniform_keys_stays_plain(spark, li, orders):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__salt" not in plan
     assert got.count() == probe.join(build, ["o_orderkey"]).count()
+
+
+def test_count_distinct_skewed_null_semantics(spark):
+    """NULL is not a distinct value (COUNT(DISTINCT) semantics): a key
+    with values [1, NULL] counts 1; an all-NULL key counts 0 but still
+    appears (review r3)."""
+    from icelake_spark.ops.skew import count_distinct_skewed
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", None), ("c", 2), ("c", 2)],
+        "k string, v int")
+    got = {r.k: r.n_distinct for r in
+           count_distinct_skewed(df, ["k"], "v").collect()}
+    assert got == {"a": 1, "b": 0, "c": 1}
+
+
+def test_salted_join_handles_map_columns_and_duplicates(spark):
+    """The probe salt must skip map-typed columns (xxhash64 rejects
+    maps) and still spread byte-identical duplicate rows (review r3)."""
+    from pyspark.sql import functions as F
+
+    from icelake_spark.ops.skew import salted_join
+
+    probe = (spark.range(100)
+             .select(F.lit(1).alias("k"), F.lit("dup").alias("v"),
+                     F.create_map(F.lit("a"), F.col("id")).alias("m")))
+    build = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = salted_join(probe.drop("m").union(probe.drop("m")), build, on=["k"])
+    assert out.count() == 200
+    # map column present: must not raise
+    out2 = salted_join(probe, build, on=["k"])
+    assert out2.count() == 100
