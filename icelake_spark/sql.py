@@ -95,7 +95,11 @@ def merge_into(spark: SparkSession, statement: str,
     when_matched = None
     matched_condition = None
     when_not_matched = None
-    matched_m = _MATCHED_RE.search(clauses)
+    matched_all = list(_MATCHED_RE.finditer(clauses))
+    if len(matched_all) > 1:
+        raise ValueError("multiple WHEN MATCHED clauses are not supported "
+                         "(delta.merge applies one matched action)")
+    matched_m = matched_all[0] if matched_all else None
     if matched_m:
         action = re.sub(r"\s+", " ", matched_m.group("action")).upper()
         when_matched = "update" if action == "UPDATE SET *" else "delete"

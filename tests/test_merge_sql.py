@@ -127,6 +127,9 @@ def test_merge_multi_key_on(warehouse, spark):
     ("MERGE INTO t USING s ON t.id = s.id", "at least one WHEN"),
     ("MERGE INTO t USING s ON t.id = s.id "
      "WHEN MATCHED AND t.value > 0 THEN UPDATE SET *", "source columns"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN MATCHED AND s.value > 0 THEN UPDATE SET * "
+     "WHEN MATCHED THEN DELETE", "multiple WHEN MATCHED"),
 ])
 def test_merge_rejects_unsupported(stmt, msg, spark):
     with pytest.raises(ValueError, match=msg):
