@@ -157,7 +157,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        fanout_input: bool = True,
-                       words_col_name: str | None = None) -> DataFrame:
+                       words_col_name: str | None = None,
+                       carry_cols: list[str] | None = None,
+                       sort: bool = True) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 
     - dup_word_frac: 1 − distinct_words/words (how much of the doc is
@@ -190,8 +192,13 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     # (fanout_input=False skips this when the caller already shuffled)
     from .util import fanout
     src = fanout(df, F.col(id_col)) if fanout_input else df
+    # carry_cols ride along base → output so a fused caller (the
+    # curation pipeline) can gate+dedup without re-joining the source;
+    # "__w" (the token array itself) is a valid carry
+    carry = [c for c in (carry_cols or []) if c != "__w"]
     base = src.select(
-        F.col(id_col), w.alias("__w"), F.size(w).alias("n_words"))
+        F.col(id_col), *(F.col(c) for c in carry),
+        w.alias("__w"), F.size(w).alias("n_words"))
     # ONE explode for words AND bigrams (tagged by kind), then one
     # token-level and one doc-level aggregation — instead of two
     # explode→groupBy→groupBy chains joined at the end. Halves the
@@ -230,13 +237,15 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6)
     keep = (has_words & (top_word <= 0.10) & (top_bigram <= 0.05)
             & (dup_word <= 0.80))
-    return (base.join(counts, on=id_col, how="left")
-            .select(F.col(id_col), F.col("n_words"),
-                    dup_word.alias("dup_word_frac"),
-                    top_word.alias("top_word_frac"),
-                    top_bigram.alias("top_bigram_frac"),
-                    keep.alias("keep"))
-            .orderBy(id_col))
+    carried_out = list(carry) + (["__w"] if "__w" in (carry_cols or []) else [])
+    out = (base.join(counts, on=id_col, how="left")
+           .select(F.col(id_col), *(F.col(c) for c in carried_out),
+                   F.col("n_words"),
+                   dup_word.alias("dup_word_frac"),
+                   top_word.alias("top_word_frac"),
+                   top_bigram.alias("top_bigram_frac"),
+                   keep.alias("keep")))
+    return out.orderBy(id_col) if sort else out
 
 
 def repetition_metrics_sql(col: str = "text") -> str:
