@@ -214,23 +214,27 @@ def encode_documents(df: DataFrame, vocab: DataFrame,
     """(doc_id, ids array<int>, n_oov): each document as its token-id
     sequence in original word order; out-of-vocabulary terms encode as 0.
 
-    The tokens→ids map is a broadcast join on term (vocab is small by
-    construction); order is restored with posexplode position, and the
-    sequence reassembled with a sort-by-position aggregation — the only
-    per-doc shuffle is the final groupBy(doc_id).
+    The vocab (bounded at `size` entries by build_vocab's construction)
+    collapses to a SINGLE map row broadcast to every task, and each
+    document encodes in place with one F.transform lookup — no token
+    explode, no join, and no per-doc shuffle at all: the old
+    posexplode → broadcast-join → groupBy(doc_id) plan shuffled every
+    (doc, pos, id) triple of the corpus just to reassemble order that
+    was never lost. Zero-token documents are dropped (posexplode
+    semantics, mirrored by the SQL twin's unnest).
     """
-    pos = (fanout(df, F.col(id_col))
-           .select(F.col(id_col),
-                   F.posexplode(tokens(F.col(text_col))).alias("pos", "term")))
-    joined = (pos.join(F.broadcast(vocab.select("term", "token_id")),
-                       on="term", how="left")
-              .select(id_col, "pos",
-                      F.coalesce("token_id", F.lit(0)).alias("tid")))
-    return (joined.groupBy(id_col)
-            .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                     lambda s: s["tid"]).alias("ids"),
-                 F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"))
+    vmap = vocab.agg(F.map_from_entries(
+        F.collect_list(F.struct("term", "token_id"))).alias("__vmap"))
+    toks = tokens(F.col(text_col))
+    ids = F.transform(F.col("__t"), lambda t: F.coalesce(
+        F.element_at(F.col("__vmap"), t), F.lit(0)))
+    return (fanout(df, F.col(id_col))
+            .select(F.col(id_col), toks.alias("__t"))
+            .where(F.size(F.col("__t")) > 0)
+            .crossJoin(F.broadcast(vmap))
+            .select(F.col(id_col), ids.alias("ids"),
+                    F.size(F.filter(ids, lambda x: x == 0))
+                    .cast("long").alias("n_oov"))
             .orderBy(id_col))
 
 
