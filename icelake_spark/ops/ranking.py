@@ -68,26 +68,30 @@ def bm25(df: DataFrame, query_terms: list[str], k: int = 10,
     order-independent), final score rounded to 6dp.
     """
     qterms = sorted(set(query_terms))
-    n_docs = df.count()
     # repartition the raw docs before tokenizing: below the exchange the
     # regex tokenizer would run inside the (often single-file,
-    # single-task) scan stage; above it, every core tokenizes. Both dl
-    # and tf branches read the same reused exchange.
+    # single-task) scan stage; above it, every core tokenizes.
     tk = (fanout(df, F.col(id_col))
           .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
-    dl = tk.select(F.col(id_col), F.size("__tk").alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    # ONE scalar job for both corpus stats (instead of count + avg)
+    stats = tk.agg(F.count("*").alias("n"),
+                   F.avg(F.size("__tk")).alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats.n, stats.avgdl
     if not avgdl:  # empty corpus / all-empty docs: no scorable terms
         avgdl = 1.0
 
-    tf = (tk.select(F.col(id_col), F.explode("__tk").alias("term"))
+    # dl rides the exploded rows (constant per doc), so the per-term
+    # scores never join back against the full corpus — the only
+    # corpus-wide shuffle left is this groupBy of query-term hits
+    tf = (tk.select(F.col(id_col), F.size("__tk").alias("dl"),
+                    F.explode("__tk").alias("term"))
           .where(F.col("term").isin(qterms))
-          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf"),
+                                       F.max("dl").alias("dl")))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
                 / (F.col("df_t") + 0.5))
     per_term = (tf.join(F.broadcast(df_t), on="term")
-                .join(dl, on=id_col)
                 .select(F.col(id_col),
                         (idf * (F.col("tf") * (k1 + 1.0))
                          / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
