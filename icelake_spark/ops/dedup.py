@@ -38,6 +38,10 @@ def portable_hash60(col) -> "F.Column":
 
 PORTABLE_HASH60_SQL = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 
+# modulus of the portable minhash lane family (largest 31-bit prime):
+# lane_i = (h0 + i*h1) mod MINHASH_P over two 32-bit md5 chunks
+MINHASH_P = (1 << 31) - 1
+
 
 # ------------------------------------------------------------ exact dedup
 
@@ -118,23 +122,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col), shingles(text_col, shingle_n).alias("gs"))
           .select(F.col(id_col), F.explode("gs").alias("__s")))
     if portable:
-        # one md5 over the gram string, then one fixed-width md5 per
-        # PAIR of lanes (an md5 digest is 32 hex chars = two independent
-        # 60-bit values at offsets 1 and 17) — both recomputable in
-        # ANSI SQL, at half the digest cost of one-md5-per-lane. The
-        # digests are projected as columns BEFORE the aggregation so
-        # codegen provably computes each once per row.
-        n_dig = (num_hashes + 1) // 2
+        # ONE md5 over the gram string; lanes are the standard affine
+        # family lane_i = (h0 + i·h1) mod (2^31−1) over two independent
+        # 32-bit chunks of that digest (the same construction as Spark
+        # MLlib's MinHashLSH, which derives every lane from one base
+        # hash). All arithmetic stays inside int64 (h1 < 2^31, i < 64 ⇒
+        # products < 2^37), so DuckDB recomputes identical signatures
+        # with plain BIGINT ops — and each gram pays ONE digest instead
+        # of one per lane pair. Note the correlated-argmin caveat in the
+        # main docstring applies to single-base bit-slicing (h>>s&mask),
+        # not to this two-base affine family: distinct i reorder the
+        # per-gram values, so lanes argmin on different shingles.
         sh = sh.select(id_col, F.md5("__s").alias("__h"))
-        sh = sh.select(
-            id_col, *[F.md5(F.concat_ws(":", F.col("__h"), F.lit(j)))
-                      .alias(f"d{j}") for j in range(n_dig)])
-        aggs = []
-        for i in range(num_hashes):
-            start = 1 if i % 2 == 0 else 17
-            aggs.append(F.min(
-                F.conv(F.substring(F.col(f"d{i // 2}"), start, 15), 16, 10)
-                .cast("long")).alias(f"h{i}"))
+        h0 = F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % MINHASH_P
+        h1 = F.conv(F.substring("__h", 9, 8), 16, 10).cast("long") % MINHASH_P
+        sh = sh.select(id_col, h0.alias("__h0"), h1.alias("__h1"))
+        aggs = [F.min((F.col("__h0") + F.lit(i) * F.col("__h1")) % MINHASH_P)
+                .alias(f"h{i}") for i in range(num_hashes)]
     else:
         sh = sh.select(id_col, F.xxhash64("__s").alias("__h"))
         aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")

@@ -2470,13 +2470,15 @@ def minhash_lsh_q(spark, sf_dir):
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
                      threshold: float = 0.2, max_bucket: int = 1000) -> str:
-    """DuckDB twin of minhash_lsh_q: same md5 lane family (two 60-bit
-    lanes per digest, offsets 1 and 17), same banding, same per-bucket
-    cap, same signature-agreement estimate."""
+    """DuckDB twin of minhash_lsh_q: same affine lane family
+    lane_i = (h0 + i*h1) mod 2^31-1 over two 32-bit md5 chunks (one
+    digest per gram — ops/dedup.minhash_signatures portable path), same
+    banding, same per-bucket cap, same signature-agreement estimate."""
+    from .ops.dedup import MINHASH_P
+
     rows = num_hashes // bands
     lanes = ",\n         ".join(
-        f"MIN(CAST('0x' || substring(md5(gh || ':{i // 2}'), "
-        f"{1 if i % 2 == 0 else 17}, 15) AS BIGINT)) AS h{i}"
+        f"MIN((h0 + {i} * h1) % {MINHASH_P}) AS h{i}"
         for i in range(num_hashes))
     sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
     band_exprs = ",\n         ".join(
@@ -2495,10 +2497,15 @@ grams AS (
                  for i in generate_series(1, len(w) - 2)]) AS gs
   FROM words WHERE len(w) >= 3),
 g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM grams),
+hb AS (
+  SELECT doc_id,
+         CAST('0x' || substring(gh, 1, 8) AS BIGINT) % {MINHASH_P} AS h0,
+         CAST('0x' || substring(gh, 9, 8) AS BIGINT) % {MINHASH_P} AS h1
+  FROM g),
 sig AS (
   SELECT doc_id,
          {lanes}
-  FROM g GROUP BY doc_id),
+  FROM hb GROUP BY doc_id),
 sigl AS (
   SELECT doc_id, {sig_list} AS sig,
          {band_exprs}
