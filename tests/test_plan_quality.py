@@ -146,9 +146,12 @@ def test_session3_operators_plan_properties(spark):
     # bm25: doc-frequency and vocab joins broadcast; all-JVM
     pb = _plan(Q.bm25_topk_q(spark, sf))
     assert "BroadcastHashJoin" in pb and "EvalPython" not in pb
-    # vocab encoding: broadcast vocab join, order restored JVM-side
+    # vocab encoding: the vocab collapses to ONE broadcast map row
+    # (BroadcastNestedLoopJoin of a 1-row side) and documents encode in
+    # place — no token explode+shuffle join on the encode side
     pe = _plan(Q.encode_documents_q(spark, sf))
-    assert "BroadcastHashJoin" in pe and "EvalPython" not in pe
+    assert "BroadcastNestedLoopJoin" in pe and "EvalPython" not in pe
+    assert "SortMergeJoin" not in pe
     # quantization: pure projection — no shuffle except the final sort
     pq_ = _plan(Q.quantize_embeddings_q(spark, sf))
     assert "EvalPython" not in pq_ and "Join" not in pq_
