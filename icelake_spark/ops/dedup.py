@@ -30,8 +30,10 @@ def portable_hash60(col) -> "F.Column":
     DuckDB: CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
     15 hex chars = 60 bits, so the value always fits a signed 64-bit
     int and stays non-negative (no sign-extension divergence). Used by
-    the oracle-checkable (`portable=True`) variants of minhash/simhash;
-    the production default stays xxhash64 (JVM, no hex round-trip).
+    the oracle-checkable (`portable=True`) simhash variant; portable
+    minhash derives its lanes from md5 chunks directly (see
+    minhash_signatures). The production default stays xxhash64 (JVM,
+    no hex round-trip).
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
@@ -102,17 +104,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """(id, sig array<long>) — k minhashes per doc.
 
     explode(shingles) → groupBy(doc) with k min() agg expressions: one
-    shuffle, all hashing in the JVM. The shingle STRING is hashed once
-    (xxhash64); each of the k lanes re-hashes that 8-byte long with its
-    lane index as seed — string bytes are scanned once, not k times,
-    and the lanes stay decorrelated (a derived h1+i*h2 family is NOT:
-    under ANSI the required mod-2^64 wraparound is unavailable, and
-    masked variants make every lane argmin on the same shingle).
+    shuffle, all hashing in the JVM. Default path: the shingle STRING
+    is hashed once (xxhash64); each of the k lanes re-hashes that
+    8-byte long with its lane index as seed — string bytes are scanned
+    once, not k times. (Deriving lanes by bit-slicing ONE value —
+    (h>>s)&mask — would make every lane argmin on the same shingle;
+    both families here avoid that.)
 
-    portable=True swaps the lane family for the md5-derived
-    `portable_hash60` (gram digest re-hashed with the lane index), so a
-    DuckDB oracle can recompute identical signatures; same plan shape,
-    ~2x the hashing cost — the xxhash64 default stays the scale path.
+    portable=True swaps the lane family for the exactly-DuckDB-
+    replicable affine construction lane_i = (h0 + i·h1) mod 2^31−1 over
+    two independent 32-bit chunks of one md5 digest per gram (see the
+    inline comment); same plan shape, one digest per gram — the
+    xxhash64 default stays the scale path.
     """
     # repartition the RAW docs first: a projection under the exchange
     # would run inside the (often single-file, single-task) scan stage,

@@ -232,12 +232,16 @@ def encode_documents(df: DataFrame, vocab: DataFrame,
     toks = tokens(F.col(text_col))
     ids = F.transform(F.col("__t"), lambda t: F.coalesce(
         F.element_at(F.col("__vmap"), t), F.lit(0)))
+    # ids is projected ONCE, n_oov derives from the projected column:
+    # higher-order functions are CodegenFallback, so repeating the
+    # transform in the same select would evaluate every map lookup twice
     return (fanout(df, F.col(id_col))
             .select(F.col(id_col), toks.alias("__t"))
             .where(F.size(F.col("__t")) > 0)
             .crossJoin(F.broadcast(vmap))
-            .select(F.col(id_col), ids.alias("ids"),
-                    F.size(F.filter(ids, lambda x: x == 0))
+            .select(F.col(id_col), ids.alias("ids"))
+            .select(F.col(id_col), F.col("ids"),
+                    F.size(F.filter(F.col("ids"), lambda x: x == 0))
                     .cast("long").alias("n_oov"))
             .orderBy(id_col))
 

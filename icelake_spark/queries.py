@@ -2101,21 +2101,22 @@ def curation_pipeline_q(spark, sf_dir):
                        words.alias("__w"))
            .localCheckpoint())
     # the metrics CARRY the content hash and token array through, so
-    # gating is a plain filter (no join back to tok) and exact dedup is
-    # one window over __ch (min doc_id per content among keepers — the
-    # same winner dedup_exact's groupBy+semi-join picks) instead of a
-    # groupBy plus a second join: two join stages and a shuffle fewer
-    # per pipeline run, the difference between 5 and 3 wide stages
-    # ahead of the n-gram join at 100 TB
-    from pyspark.sql import Window
-
+    # gating is a plain filter (no join back to tok). Exact dedup keeps
+    # dedup_exact's groupBy(min)+semi-join shape on purpose: the
+    # groupBy shuffles only 12-byte (hash, id) pairs and map-side
+    # combine collapses a million identical crawled pages to one row
+    # per map task BEFORE the exchange, where a row_number window over
+    # __ch would funnel every copy (with its full token array) into a
+    # single task. The semi-join key is doc_id — uniform by
+    # construction. Net vs the unfused shape: one join stage fewer.
     rep = repetition_metrics(tok, fanout_input=False, words_col_name="__w",
                              carry_cols=["__ch", "__w"], sort=False)
-    wnd = Window.partitionBy("__ch").orderBy("doc_id")
-    deduped = (rep.where(F.col("keep"))
-               .withColumn("__rn", F.row_number().over(wnd))
-               .where(F.col("__rn") == 1)
-               .select("doc_id", "__ch", "__w")
+    keepers = rep.where(F.col("keep")).select("doc_id", "__ch", "__w")
+    winners = (keepers.select("doc_id", "__ch")
+               .groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    deduped = (keepers.join(winners, "doc_id", "left_semi")
+               .select("doc_id", "__w")
                .localCheckpoint())
     pairs = ngram_jaccard_pairs(deduped, n=3, threshold=0.2,
                                 fanout_input=False, words_col_name="__w")
@@ -2457,10 +2458,11 @@ FROM curated GROUP BY lang_pred ORDER BY lang_pred
 
 
 def minhash_lsh_q(spark, sf_dir):
-    """MinHash+LSH near-dup pairs in portable mode: lanes are md5-derived
-    (ops/dedup.portable_hash60) and band keys are the lane values
-    themselves, so MINHASH_LSH_SQL recomputes identical signatures,
-    candidates, and estimates — a value-level oracle for the sketch."""
+    """MinHash+LSH near-dup pairs in portable mode: lanes are the
+    affine family (h0 + i*h1) mod 2^31-1 over two md5 chunks (one
+    digest per gram) and band keys are the lane values themselves, so
+    MINHASH_LSH_SQL recomputes identical signatures, candidates, and
+    estimates — a value-level oracle for the sketch."""
     from .ops.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
