@@ -139,7 +139,7 @@ def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Colu
 
 def train_kmeans(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", k: int = 16, n_iter: int = 3,
-                 seed: int = 42) -> list[list[float]]:
+                 seed: int = 42, portable: bool = False) -> list[list[float]]:
     """Lloyd's k-means over an embedding column; returns k centroids.
 
     This is the IVF training step (a sampled-centroid index has poor
@@ -149,23 +149,45 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     map-side to k·dim groups, so the driver only ever collects k·dim
     doubles. Empty clusters keep their previous centroid. Deterministic:
     init is a hash-ordered sample, means are exact sums / counts.
+
+    portable=True makes every step EXACTLY reproducible by an ANSI-SQL
+    twin (the DuckDB oracle): init is an md5-hex-ordered sample, and
+    per-dim means are order-independent DECIMAL sums of the coordinates
+    rounded to 6dp — a parallel double sum (F.avg) depends on reduction
+    order, so two engines would drift in the last ulp and an argmin
+    near a tie would flip the assignment. Exact decimal sums make the
+    centroid bit-identical regardless of partitioning.
     """
     v = F.col(vec_col).cast("array<double>")
+    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                               F.lit(seed)))
+             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
     cents = [[float(x) for x in r[0]] for r in
-             df.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-             .limit(k).collect()]
+             df.select(vec_col).orderBy(order).limit(k).collect()]
     # spread the (often single-file) scan across cores BEFORE
     # checkpointing — every assignment pass iterates on these partitions
     base = fanout(df).select(v.alias("__v")).localCheckpoint()
     for _ in range(n_iter):
         assigned = base.withColumn(
             "__c", _nearest_centroid(F.col("__v"), list(enumerate(cents))))
-        means = (assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
-                 .groupBy("__c", "__d").agg(F.avg("__x").alias("m"))
-                 .collect())
+        ex = assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
         by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["__c"], {})[r["__d"]] = r["m"]
+        if portable:
+            means = (ex.groupBy("__c", "__d")
+                     .agg(F.sum(F.round(F.col("__x"), 6)
+                                .cast("decimal(28,6)")).alias("s"),
+                          F.count("*").alias("n")).collect())
+            for r in means:
+                # float(Decimal) and DuckDB's CAST(DECIMAL AS DOUBLE)
+                # both take the nearest double of the same exact sum;
+                # the division is then one IEEE op in either engine
+                by_cluster.setdefault(r["__c"], {})[r["__d"]] = (
+                    float(r["s"]) / r["n"])
+        else:
+            means = (ex.groupBy("__c", "__d").agg(F.avg("__x").alias("m"))
+                     .collect())
+            for r in means:
+                by_cluster.setdefault(r["__c"], {})[r["__d"]] = r["m"]
         cents = [
             [by_cluster[c][d] for d in range(len(cents[c]))]
             if c in by_cluster else cents[c]
@@ -176,7 +198,8 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_centroids: int = 16, nprobe: int = 4,
-             seed: int = 42, train_iters: int = 0) -> DataFrame:
+             seed: int = 42, train_iters: int = 0,
+             portable: bool = False) -> DataFrame:
     """IVF ANN: sample centroids, assign each vector to its nearest
     centroid (broadcast), search only the nprobe centroids nearest the
     query. Returns (id, cos) — approximate (recall < 1 by design).
@@ -188,7 +211,8 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     """
     if train_iters > 0:
         trained = train_kmeans(df, vec_col, id_col, k=n_centroids,
-                               n_iter=train_iters, seed=seed)
+                               n_iter=train_iters, seed=seed,
+                               portable=portable)
         cents = list(enumerate(trained))
     else:
         # sample ordering via md5 hex (portable_hash ordering): identical
@@ -208,9 +232,16 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     assigned = (fanout(df, F.col(id_col))
                 .select(F.col(id_col), v.alias("__v"))
                 .withColumn("__c", _nearest_centroid(F.col("__v"), cents)))
-    qv = np.array(query, dtype=float)
-    dists = sorted(
-        (float(np.sum((np.array(c) - qv) ** 2)), i) for i, c in cents)
+    # sequential left-to-right sum, NOT np.sum (pairwise): the SQL twin
+    # computes this distance with list_sum, and the probe cut must land
+    # on the same side of any near-tie in both engines
+    def _seqdist(c: list[float]) -> float:
+        d = 0.0
+        for a, b in zip(c, query):
+            d += (a - b) * (a - b)
+        return d
+
+    dists = sorted((_seqdist(c), i) for i, c in cents)
     probe = [i for _, i in dists[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query])
     sim = (dot(F.col("__v"), q) / (norm(F.col("__v")) * norm(q))).cast("double")

@@ -2260,16 +2260,85 @@ def repetition_metrics_q(spark, sf_dir):
 
 
 def ivf_kmeans_topk_q(spark, sf_dir):
-    """IVF ANN with Lloyd-trained centroids (2 iterations) instead of a
-    raw sample — the index-build path. Approximate by design: no SQL
-    oracle (iterative algorithm); planted-cluster recovery is unit-
-    tested in tests/test_ops.py."""
+    """IVF ANN with Lloyd-trained centroids (2 iterations) — the
+    index-build path, in PORTABLE mode: md5-ordered init and exact
+    DECIMAL per-dim centroid sums make every iteration bit-reproducible
+    by the unrolled-CTE DuckDB twin (_ivf_kmeans_sql), turning the one
+    formerly rows-only query into an exact value-checked one. Planted-
+    cluster recovery is additionally unit-tested in tests/test_ops.py."""
     from .ops.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
     return ivf_topk(emb, query, k=20, n_centroids=8, nprobe=3,
-                    train_iters=2)
+                    train_iters=2, portable=True)
+
+
+def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
+                    seed: int = 42, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of ivf_kmeans_topk_q: Lloyd's iterations UNROLLED as
+    CTE pairs (assign_t → means → cents_{t+1}). Parity contract with
+    train_kmeans(portable=True): same md5-hex init order, distances as
+    sequential list_sum of (x−c)² (the construction the green ivf_topk
+    row already proves bit-compatible with F.aggregate), per-dim means
+    as CAST(SUM(DECIMAL(28,6)) AS DOUBLE)/COUNT (order-independent),
+    empty clusters carrying the previous centroid, argmin/probe ties
+    broken by centroid id."""
+    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
+                         for i in range(dim)) + "]")
+    sqdist = (f"list_sum([({{a}}.e[i] - {{b}}.ce[i]) * ({{a}}.e[i] - {{b}}.ce[i]) "
+              f"for i in generate_series(1, {dim})])")
+    ctes = [
+        f"v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"q AS (SELECT {q} AS qv)",
+        f"""c0 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) - 1 AS c,
+         e AS ce
+  FROM v
+  QUALIFY row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) <= {n_centroids})""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, e, c FROM (
+    SELECT v.vec_id, v.e, c{t}.c,
+           {sqdist.format(a='v', b=f'c{t}')} AS dd
+    FROM v CROSS JOIN c{t})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)""")
+        ctes.append(f"""m{t} AS (
+  SELECT c, i AS d,
+         CAST(SUM(CAST(ROUND(e[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+         / COUNT(*) AS m
+  FROM a{t} CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY c, i)""")
+        ctes.append(f"""c{t + 1} AS (
+  SELECT c, list(m ORDER BY d) AS ce FROM m{t} GROUP BY c
+  UNION ALL
+  SELECT c, ce FROM c{t} WHERE c NOT IN (SELECT c FROM m{t}))""")
+    fin = f"c{iters}"
+    ctes.append(f"""af AS (
+  SELECT vec_id, e, c FROM (
+    SELECT v.vec_id, v.e, {fin}.c,
+           {sqdist.format(a='v', b=fin)} AS dd
+    FROM v CROSS JOIN {fin})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)""")
+    ctes.append(f"""probe AS (
+  SELECT c FROM (
+    SELECT {fin}.c,
+           list_sum([(q.qv[i] - {fin}.ce[i]) * (q.qv[i] - {fin}.ce[i])
+                     for i in generate_series(1, {dim})]) AS dd
+    FROM {fin} CROSS JOIN q)
+  QUALIFY row_number() OVER (ORDER BY dd, c) <= {nprobe})""")
+    ctes.append("""sims AS (
+  SELECT a.vec_id,
+         ROUND(list_dot_product(a.e, q.qv)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM af a JOIN probe USING (c) CROSS JOIN q)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, cos FROM sims "
+              f"ORDER BY cos DESC, vec_id LIMIT {k}")
 
 
 def ann_topk_q(spark, sf_dir):
@@ -2840,15 +2909,14 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-3 rotation: (1) the five queries that had never had a green
-    driver row — the four sketch/ANN queries (now with exact md5-
-    portable oracles) plus the new avro roundtrip and MERGE INTO
-    entries — then (2) the 30 queries whose only green row is from
-    round 1 (regression re-check), then (3) a 14-query sample of the
-    round-2 greens spanning every operator family. Queries 51+ were all
-    hash-green in round 2 (ivf_kmeans_topk stays rows-only by design:
-    float-iterative k-means has no portable SQL twin; its evidence is
-    ann_topk + ivf_topk greens and tests/test_ops.py).
+    Round-3 rotation: (1) the queries that had never had a green driver
+    row — the five sketch/ANN queries (now with exact value-level
+    oracles, INCLUDING the formerly rows-only ivf_kmeans_topk: portable
+    Lloyd's with decimal-exact centroid sums and an unrolled-CTE DuckDB
+    twin) plus the new avro roundtrip and MERGE INTO entries — then
+    (2) the 30 queries whose only green row is from round 1 (regression
+    re-check), then (3) a sample of the round-2 greens spanning every
+    operator family. Queries 51+ were all hash-green in round 2.
     """
     return {
         # -- never green before round 3 ------------------------------
@@ -2856,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
         "ivf_topk": ivf_topk_q,
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_merge": iceberg_merge,
         "iceberg_files_meta": iceberg_files_meta,
@@ -2940,7 +3009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": char_entropy_q,
         "embedding_neardup": embedding_neardup_q,
         "ann_topk": ann_topk_q,
-        "ivf_kmeans_topk": ivf_kmeans_topk_q,
     }
 
 
@@ -3005,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_avro_roundtrip": ICEBERG_AVRO_SQL,
         "iceberg_merge": ICEBERG_MERGE_SQL,
         "iceberg_files_meta": ICEBERG_FILES_META_SQL,
+        "ivf_kmeans_topk": _ivf_kmeans_sql(k=20, n_centroids=8, nprobe=3),
         "q5_local_supplier": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "q10_returned_items": Q10_SQL,
