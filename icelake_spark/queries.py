@@ -1344,6 +1344,38 @@ ORDER BY hour, event_type
 """
 
 
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON payload
+    with a typed from_json schema (Catalyst JsonToStructs — vectorized,
+    predicate-safe, no Python) and aggregate the extracted field per
+    event_type. The 100 TB shape: schema-on-read projection happens in
+    the scan stage, so only the extracted bigint — not the JSON string
+    — survives into the shuffle."""
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"),
+                    T.StructType([T.StructField("k", T.LongType())]))["k"]
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("k_total"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.count_distinct(F.col("k")).alias("k_distinct"))
+            .orderBy("event_type"))
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS k_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def continuous_aggregate(spark, sf_dir):
     """Hypertable-style continuous aggregate with delete-aware
     incremental refresh (rollup.py): materialize hourly buckets of
@@ -2959,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sliding_windows": events_sliding_windows,
         "events_session_window_builtin": events_session_window_builtin,
+        "events_json_extract": events_json_extract,
         # -- round-2 green sample (one per operator family) ----------
         "q1_pricing_summary": q1_pricing_summary,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
@@ -3104,4 +3137,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sliding_windows": EVENTS_SLIDING_SQL,
         "events_session_window_builtin": EVENTS_SESSION_BUILTIN_SQL,
+        "events_json_extract": EVENTS_JSON_SQL,
     }
