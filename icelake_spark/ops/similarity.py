@@ -253,6 +253,44 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
 # -------------------------------------------- embedding quantization
 
 
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-class prototype vectors: (label, dim, mean, n) — the class-
+    centroid computation behind prototype classifiers, dataset balance
+    checks, and per-class drift monitors.
+
+    One posexplode + one groupBy(label, dim): the shuffle carries
+    (label, dim, x) triples pre-reduced map-side to |labels|·dim groups
+    regardless of corpus size. Means use the same order-independent
+    DECIMAL-sum construction as portable k-means, so the result is
+    bit-stable under any partitioning and exactly DuckDB-checkable.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    ex = (fanout(df, F.col(id_col))
+          .select(F.col(label_col).alias("label"),
+                  F.posexplode(v).alias("d", "x")))
+    m = F.round(F.col("s").cast("double") / F.col("n"), 6)
+    return (ex.groupBy("label", "d")
+            .agg(F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).alias("s"),
+                 F.count("*").alias("n"))
+            .select("label", "d", m.alias("m"), "n")
+            .orderBy("label", "d"))
+
+
+def label_centroids_sql(dim: int = 64) -> str:
+    """DuckDB twin of label_centroids (same decimal-exact means)."""
+    return f"""
+SELECT label, i - 1 AS d,
+       ROUND(CAST(SUM(CAST(ROUND(e[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS m,
+       COUNT(*) AS n
+FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+CROSS JOIN generate_series(1, {dim}) t(i)
+GROUP BY label, i ORDER BY label, d
+"""
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", lo: float = -4.0,
                         hi: float = 4.0) -> DataFrame:

@@ -2028,6 +2028,13 @@ def encode_documents_q(spark, sf_dir):
                     "n_oov"))
 
 
+def label_centroids_q(spark, sf_dir):
+    """Per-class prototype embeddings (decimal-exact means)."""
+    from .ops.similarity import label_centroids
+
+    return label_centroids(load(spark, sf_dir, "embeddings"))
+
+
 def quantize_embeddings_q(spark, sf_dir):
     """Scalar int8 quantization of the embedding column with per-vector
     max reconstruction error."""
@@ -2992,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": events_sliding_windows,
         "events_session_window_builtin": events_session_window_builtin,
         "events_json_extract": events_json_extract,
+        "label_centroids": label_centroids_q,
         # -- round-2 green sample (one per operator family) ----------
         "q1_pricing_summary": q1_pricing_summary,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
@@ -3138,4 +3146,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_windows": EVENTS_SLIDING_SQL,
         "events_session_window_builtin": EVENTS_SESSION_BUILTIN_SQL,
         "events_json_extract": EVENTS_JSON_SQL,
+        "label_centroids": _similarity.label_centroids_sql(),
     }

@@ -311,6 +311,17 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert abs(means[0] + 5.0) < 0.5 and abs(means[1] - 5.0) < 0.5
 
 
+def test_label_centroids_exact_means(spark):
+    from icelake_spark.ops.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    got = {(r.label, r.d): (r.m, r.n) for r in label_centroids(df).collect()}
+    assert got == {(0, 0): (2.0, 2), (0, 1): (3.0, 2),
+                   (1, 0): (10.0, 1), (1, 1): (20.0, 1)}
+
+
 def test_dedup_against_removes_contaminated(spark):
     from icelake_spark.ops.dedup import dedup_against
 
