@@ -280,11 +280,14 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
 
 def label_centroids_sql(dim: int = 64) -> str:
     """DuckDB twin of label_centroids (same decimal-exact means)."""
+    # COUNT(e[i]), not COUNT(*): a NULL or shorter-than-dim array yields
+    # NULL for the missing coordinate here but NO posexplode row on the
+    # Spark side — counting rows would inflate the denominator
     return f"""
 SELECT label, i - 1 AS d,
        ROUND(CAST(SUM(CAST(ROUND(e[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
-             / COUNT(*), 6) AS m,
-       COUNT(*) AS n
+             / COUNT(e[i]), 6) AS m,
+       COUNT(e[i]) AS n
 FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 CROSS JOIN generate_series(1, {dim}) t(i)
 GROUP BY label, i ORDER BY label, d
