@@ -2856,6 +2856,31 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def iceberg_orc_roundtrip(spark, sf_dir):
+    """S12: ORC data-file path end-to-end — write customer with
+    write.format.default=orc (Spark-native ORC sink, bloom filter on
+    the key), scan back through the table reader, aggregate. Format
+    parity target: /root/reference/icelake/src/types/in_memory.rs:
+    2057-2091 (DataFileFormat::Orc)."""
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    t = _tmp_catalog().create_table(
+        "q.customer_orc", Schema.from_spark(c.schema),
+        properties={"write.format.default": "orc",
+                    "write.orc.bloom-filter-enabled.column.c_custkey": "true"})
+    t.append(c)
+    return (t.to_df(spark).groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("c_nationkey"))
+
+
+ICEBERG_ORC_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n, {dsum_sql('c_acctbal', 'total_bal')}
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def iceberg_files_meta(spark, sf_dir):
     """X4/metadata tables over the DataFrame planner: write lineitem
     month-partitioned, read the `partitions` metadata table (a
@@ -2965,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": ivf_topk_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
+        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_merge": iceberg_merge,
         "iceberg_files_meta": iceberg_files_meta,
         # -- green only in round 1 (regression re-check) -------------
@@ -3112,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_pairs": _lsh_cosine_sql(threshold=0.4),
         "ivf_topk": _ivf_topk_sql(k=20),
         "iceberg_avro_roundtrip": ICEBERG_AVRO_SQL,
+        "iceberg_orc_roundtrip": ICEBERG_ORC_SQL,
         "iceberg_merge": ICEBERG_MERGE_SQL,
         "iceberg_files_meta": ICEBERG_FILES_META_SQL,
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=20, n_centroids=8, nprobe=3),

@@ -199,3 +199,38 @@ def test_bucket_long_exact_above_2_53_with_nulls(spark):
     assert got[None] is None
     assert got[1] == apply_transform_py("bucket[1000]", 1,
                                         PrimitiveType("long"))
+
+
+def test_portable_hash_families_match_python_md5(spark):
+    """The portable (oracle-checkable) hash families must equal the
+    neutral spec — pure-Python hashlib md5 over UTF-8 bytes — for
+    unicode, whitespace, and long inputs; this is the contract that
+    makes the DuckDB twins exact (both engines md5 the same bytes)."""
+    import hashlib
+
+    from icelake_spark.ops.dedup import MINHASH_P, portable_hash60
+
+    samples = ["hello world", "naïve café über", "日本語 テキスト",
+               "a" * 5000, "tab\tand  runs", "mixed ASCII + ünïcödé 42"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+
+    # portable_hash60 == first 15 md5 hex chars as int
+    got60 = {r.s: r.h for r in df.select(
+        "s", portable_hash60(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        exp = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got60[s] == exp, s
+
+    # affine minhash lane bases == md5 hex chunks [0:8) and [8:16) mod P
+    h0c = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % MINHASH_P
+    h1c = F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long") % MINHASH_P
+    got = {r.s: (r.h0, r.h1) for r in df.select(
+        "s", h0c.alias("h0"), h1c.alias("h1")).collect()}
+    for s in samples:
+        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+        exp = (int(d[0:8], 16) % MINHASH_P, int(d[8:16], 16) % MINHASH_P)
+        assert got[s] == exp, s
+        # derived lanes stay in int64 and non-negative for every i
+        for i in (0, 1, 31, 63):
+            lane = (exp[0] + i * exp[1]) % MINHASH_P
+            assert 0 <= lane < MINHASH_P
