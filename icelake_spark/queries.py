@@ -3020,7 +3020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_returnflag": pivot_returnflag,
         "histogram_totalprice": histogram_totalprice,
         "skew_distinct_parts": skew_distinct_parts,
-        "string_date_functions": string_date_functions,
         "events_hourly": events_hourly,
         "events_sliding_windows": events_sliding_windows,
         "events_session_window_builtin": events_session_window_builtin,
@@ -3041,6 +3040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": pack_documents_q,
         "multimodal_features": multimodal_features_q,
         # ---- beyond the 50-row window: all hash-green in round 2 ----
+        # (string_date_functions yielded its window slot to the ORC
+        # roundtrip so curation_pipeline stays driver-checked; it was
+        # green in r1 and stays in the local sweep)
+        "string_date_functions": string_date_functions,
         "q3_shipping_priority": q3_shipping_priority,
         "q9_product_type_profit": q9_product_type_profit,
         "q18_large_orders": q18_large_orders,
