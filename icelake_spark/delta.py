@@ -119,31 +119,44 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         raise ValueError("merge_delta requires key columns "
                          "(identifier_field_ids or key_cols=)")
 
-    df = df.withColumn("__seq", F.monotonically_increasing_id())
-    w_key = Window.partitionBy(*key_cols)
+    # persist BEFORE any action: monotonically_increasing_id is
+    # non-deterministic across re-evaluations, and the writes below run
+    # several jobs over the derived frames — without the cache, the
+    # "last event per key" winner could differ between the job that
+    # writes the insert files and the one that computes eq-delete keys
+    # (and the key shuffle would run once per job)
+    df = df.withColumn("__seq", F.monotonically_increasing_id()).persist()
+    try:
+        w_key = Window.partitionBy(*key_cols)
 
-    # last event per key within the batch decides survival
-    last = df.withColumn("__rn", F.row_number().over(
-        w_key.orderBy(F.desc("__seq")))).where(F.col("__rn") == 1)
-    inserts = (last.where(F.col(op_col) == OP_INSERT)
-               .drop("__seq", "__rn", op_col))
+        # last event per key within the batch decides survival
+        last = df.withColumn("__rn", F.row_number().over(
+            w_key.orderBy(F.desc("__seq")))).where(F.col("__rn") == 1)
+        inserts = (last.where(F.col(op_col) == OP_INSERT)
+                   .drop("__seq", "__rn", op_col))
 
-    # every key that saw a DELETE needs an equality delete against
-    # prior snapshots (J3; same-sequence data is unaffected by spec rule
-    # data_seq < delete_seq, so this cannot cancel this batch's inserts)
-    deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
-                    .select(*key_cols).dropDuplicates(key_cols))
-    # keys being re-inserted also supersede prior snapshots' rows
-    upserted_keys = inserts.select(*key_cols).dropDuplicates(key_cols)
-    eq_keys = deleted_keys.unionByName(upserted_keys).dropDuplicates(key_cols)
-
-    tx = Transaction(table)
-    n_inserts = inserts.take(1)
-    if n_inserts:
-        tx.add_data_files(write_data_files(table, inserts, **write_kwargs))
-    if eq_keys.take(1):
-        tx.add_delete_files(write_equality_delete_files(table, eq_keys, key_cols))
-    tx.commit("overwrite" if table.current_snapshot() else "append")
+        # every key that saw a DELETE needs an equality delete against
+        # prior snapshots (J3; same-sequence data is unaffected by spec
+        # rule data_seq < delete_seq, so this cannot cancel this batch's
+        # inserts). An EMPTY table has no prior snapshots — skip delete
+        # files entirely (they could never match, and a v1 table's
+        # initial load would otherwise die on the v2-only check)
+        tx = Transaction(table)
+        if inserts.take(1):
+            tx.add_data_files(write_data_files(table, inserts, **write_kwargs))
+        if table.current_snapshot() is not None:
+            deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
+                            .select(*key_cols).dropDuplicates(key_cols))
+            # keys being re-inserted also supersede prior snapshots' rows
+            upserted_keys = inserts.select(*key_cols).dropDuplicates(key_cols)
+            eq_keys = (deleted_keys.unionByName(upserted_keys)
+                       .dropDuplicates(key_cols))
+            if eq_keys.take(1):
+                tx.add_delete_files(
+                    write_equality_delete_files(table, eq_keys, key_cols))
+        tx.commit("overwrite" if table.current_snapshot() else "append")
+    finally:
+        df.unpersist()
 
 
 def upsert(table, df: DataFrame, key_cols: list[str] | None = None,
@@ -326,9 +339,18 @@ def update_rows(table, spark, condition: str,
     tx = Transaction(table)
     has_pos = bool(pq_matches.take(1))
     if has_pos:
+        # honor the same spec-optional deleted-row payload delete_rows
+        # writes (write.position-delete.include-row): UPDATE's position
+        # deletes carry the PRE-image so audit/CDC readers see old
+        # values for updates too, not only for deletes
+        del_sel = [F.col("__file").alias("file_path"),
+                   F.col("__pos").alias("pos")]
+        if table.metadata.properties.get(
+                "write.position-delete.include-row", "false") == "true":
+            del_sel.append(F.struct(
+                *[f.name for f in spark_schema.fields]).alias("row"))
         tx.add_delete_files(write_position_delete_files(
-            table, pq_matches.select(F.col("__file").alias("file_path"),
-                                     F.col("__pos").alias("pos"))))
+            table, pq_matches.select(*del_sel)))
         updated = _apply_set(pq_matches.drop("__file", "__pos"),
                              only_matching=True)
         tx.add_data_files(write_data_files(table, updated))

@@ -52,6 +52,11 @@ class Transaction:
         self._removed_paths: set[str] = set()
         self._remove_all = False
         self._set_props: dict[str, str] = {}
+        # base head at transaction start: the conflict-retry validation
+        # walks new-head ancestry back to this id to detect concurrent
+        # file removals that would invalidate this tx's delete files
+        base = table.metadata.current_snapshot()
+        self._base_snapshot_id = base.snapshot_id if base else None
 
     # ------------------------------------------------------------- ops
 
@@ -91,11 +96,18 @@ class Transaction:
 
     def commit(self, operation: str | None = None, retries: int = 3) -> Snapshot:
         """Commit with optimistic-conflict retry: on CommitConflict the
-        table is refreshed and the ops re-applied against the new base
-        (safe for append/delete-file ops — data files are immutable; a
-        rewrite that raced a concurrent commit is NOT retried, matching
-        the single-committer assumption of transaction.rs:164-169 while
-        making the common append path multi-writer-safe)."""
+        table is refreshed and the ops re-applied against the new base.
+        Plain appends are always safe to retry (data files are
+        immutable). A tx carrying DELETE files additionally validates
+        that no concurrent snapshot REMOVED data files since this tx's
+        base — a racing compaction/CoW rewrite may have rewritten the
+        rows this tx's position/equality deletes target (new files get
+        a newer data sequence, so the deletes would silently no-op and
+        the rows resurrect); in that case the conflict is re-raised for
+        the caller to recompute (Iceberg's validateDataFilesExist
+        discipline). A rewrite that raced a concurrent commit is NOT
+        retried, matching the single-committer assumption of
+        transaction.rs:164-169."""
         from .catalog.storage import CommitConflict
 
         attempt = 0
@@ -111,6 +123,8 @@ class Transaction:
                 if rewrite or attempt > retries:
                     raise
                 self.table.refresh()
+                if self._added_deletes and self._concurrent_file_removal():
+                    raise
 
     def _commit_once(self, operation: str | None = None) -> Snapshot:
         table = self.table
@@ -151,7 +165,12 @@ class Transaction:
         if not rewrite:
             new_list_entries.extend(prev_entries)
         else:
-            survivors: list[ManifestEntry] = []
+            # survivors grouped BY SOURCE SPEC: a spec-evolved table's
+            # old-spec files must be re-written with their own partition
+            # avro type — flattening them into the default spec drops
+            # their partition values and breaks pruning (same grouping
+            # as maintenance.rewrite_manifests)
+            survivors_by_spec: dict[int, list[ManifestEntry]] = {}
             delete_manifests_kept = []
             for mle in prev_entries:
                 if mle.content == MANIFEST_CONTENT_DELETES:
@@ -159,6 +178,15 @@ class Transaction:
                     # all deletes into the new files — drop the manifests
                     if not self._remove_all:
                         delete_manifests_kept.append(mle)
+                    else:
+                        # the dropped delete FILES' bytes were added to
+                        # total-files-size when they committed; subtract
+                        # them or the total carries ghost bytes forever
+                        _, d_entries = read_manifest(
+                            table._resolve(mle.manifest_path))
+                        removed_size += sum(
+                            e.data_file.file_size_in_bytes
+                            for e in d_entries if e.is_alive)
                     continue
                 _, entries = read_manifest(table._resolve(mle.manifest_path))
                 for e in entries:
@@ -173,14 +201,19 @@ class Transaction:
                         removed_size += e.data_file.file_size_in_bytes
                     else:
                         seq_keep = e.sequence_number if e.sequence_number is not None else mle.sequence_number
-                        survivors.append(ManifestEntry(
-                            status=STATUS_EXISTING, data_file=e.data_file,
-                            snapshot_id=e.snapshot_id, sequence_number=seq_keep,
-                            file_sequence_number=e.file_sequence_number))
+                        survivors_by_spec.setdefault(
+                            mle.partition_spec_id, []).append(ManifestEntry(
+                                status=STATUS_EXISTING, data_file=e.data_file,
+                                snapshot_id=e.snapshot_id, sequence_number=seq_keep,
+                                file_sequence_number=e.file_sequence_number))
             new_list_entries.extend(delete_manifests_kept)
-            if survivors:
+            for spec_id, survivors in sorted(survivors_by_spec.items()):
+                try:
+                    surv_spec = metadata.spec_by_id(spec_id)
+                except KeyError:
+                    surv_spec = spec
                 m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
-                mle = write_manifest(m_path, survivors, spec, schema, snapshot_id,
+                mle = write_manifest(m_path, survivors, surv_spec, schema, snapshot_id,
                                      metadata.format_version, MANIFEST_CONTENT_DATA,
                                      sequence_number=seq)
                 new_list_entries.append(mle)
@@ -251,6 +284,31 @@ class Transaction:
         return snapshot
 
     # --------------------------------------------------------- internal
+
+    def _concurrent_file_removal(self) -> bool:
+        """True if any snapshot between this tx's base and the refreshed
+        head removed data files (compaction 'replace', CoW
+        delete/overwrite) — conservative: an unrelated removal also
+        trips it, but a dropped DELETE is silent data corruption while
+        a spurious CommitConflict is a visible, recomputable error."""
+        md = self.table.metadata
+        snap = md.current_snapshot()
+        seen = 0
+        while snap is not None and snap.snapshot_id != self._base_snapshot_id:
+            s = snap.summary or {}
+            if (s.get("operation") == "replace"
+                    or int(s.get("deleted-data-files", 0) or 0) > 0):
+                return True
+            if snap.parent_snapshot_id is None:
+                break
+            try:
+                snap = md.snapshot_by_id(snap.parent_snapshot_id)
+            except KeyError:
+                return True  # ancestry expired under us — can't validate
+            seen += 1
+            if seen > 10_000:  # defensive bound on pathological chains
+                return True
+        return False
 
     def _table_name(self) -> str:
         ident = getattr(self.table, "identifier", None)

@@ -123,8 +123,16 @@ def write_data_files(
     props = metadata.properties
     stage = os.path.join(table.path, "data", uuid.uuid4().hex[:16])
 
-    # align column order/types with the table schema
-    df = df.select(*[F.col(f.name) for f in schema.fields])
+    # align column order AND types with the table schema: a bare
+    # select would let e.g. an int column land in a long field as
+    # physical INT32 parquet, which the reader's LongType request then
+    # rejects on every subsequent scan (vectorized reader refuses the
+    # conversion) — cast here so written files always match the schema
+    from .types.datatypes import to_spark_type
+
+    df = df.select(*[
+        F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name)
+        for f in schema.fields])
 
     # table-declared sort order (O3) + distribution mode:
     #   hash (default) — shuffle on the partition-transform values so
@@ -137,6 +145,12 @@ def write_data_files(
     #     preserve_distribution minus the sort suppression).
     sort_cols, sort_order_id = _sort_columns(metadata, schema)
     dist_mode = props.get(PROP_DISTRIBUTION, "hash").lower()
+    # resolve the sizing knobs ONCE, before their first consumer — the
+    # coalesce sizing and the maxRecordsPerFile sizing must agree
+    if max_records_per_file is None and PROP_ROWS_PER_FILE in props:
+        max_records_per_file = int(props[PROP_ROWS_PER_FILE])
+    if target_file_size is None and PROP_TARGET_FILE_SIZE in props:
+        target_file_size = int(props[PROP_TARGET_FILE_SIZE])
     writer_df = df
     pnames: list[str] = []
     if spec.is_unpartitioned and not preserve_distribution \
@@ -171,10 +185,6 @@ def write_data_files(
     w = writer_df.write.mode("errorifexists")
     if pnames:
         w = w.partitionBy(*pnames)
-    if max_records_per_file is None and PROP_ROWS_PER_FILE in props:
-        max_records_per_file = int(props[PROP_ROWS_PER_FILE])
-    if target_file_size is None and PROP_TARGET_FILE_SIZE in props:
-        target_file_size = int(props[PROP_TARGET_FILE_SIZE])
     if max_records_per_file is None and target_file_size:
         max_records_per_file = _estimate_rows_per_file(df, target_file_size)
     if max_records_per_file:
@@ -253,12 +263,12 @@ def _coalesce_to_target(df: DataFrame, props, target_file_size):
     Estimate output bytes from Catalyst stats and coalesce DOWN — never
     up, never a shuffle — when the input is fragmented ≥2× beyond the
     byte target. Partitioned writes are already sized by their
-    repartition on the transform columns."""
-    tfs = target_file_size
-    if tfs is None and PROP_TARGET_FILE_SIZE in props:
-        tfs = int(props[PROP_TARGET_FILE_SIZE])
-    if tfs is None:
-        tfs = DEFAULT_TARGET_FILE_SIZE
+    repartition on the transform columns.
+
+    `target_file_size` arrives ALREADY property-resolved from
+    write_data_files (single resolution point), so only the default
+    fallback lives here."""
+    tfs = target_file_size if target_file_size else DEFAULT_TARGET_FILE_SIZE
     try:
         est = int(df._jdf.queryExecution().optimizedPlan()
                   .stats().sizeInBytes())
@@ -389,8 +399,14 @@ def _build_data_file(path: str, stage: str, schema: Schema,
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
-            name = col.path_in_schema.split(".")[0]
-            fid = ids_by_name.get(name)
+            # nested leaves (struct members, list elements) carry dotted
+            # paths; attributing them to the top-level field id would sum
+            # every leaf's counts into one id (a 2-leaf struct would
+            # report 2x value_counts). Only top-level primitive columns
+            # get per-column metrics — matching the min/max gate below.
+            if "." in col.path_in_schema:
+                continue
+            fid = ids_by_name.get(col.path_in_schema)
             if fid is None:
                 continue
             col_sizes[fid] = col_sizes.get(fid, 0) + col.total_compressed_size
@@ -462,8 +478,14 @@ def _truncate_bounds(t: PrimitiveType, lo: Any, hi: Any) -> tuple[Any, Any]:
         prefix = hi[:_BOUND_TRUNC]
         for i in range(len(prefix) - 1, -1, -1):
             cp = ord(prefix[i])
+            # skip increments landing in the UTF-16 surrogate range —
+            # chr(0xD800..0xDFFF) cannot UTF-8-encode, and the resulting
+            # ValueError would silently drop BOTH bounds for the column
+            nxt = cp + 1
+            if nxt == 0xD800:
+                nxt = 0xE000
             if cp < 0x10FFFF:
-                hi = prefix[:i] + chr(cp + 1)
+                hi = prefix[:i] + chr(nxt)
                 break
         else:
             hi = hi  # pathological; keep full value

@@ -1,0 +1,200 @@
+"""Regression tests for the round-3 write/commit review findings:
+multi-spec survivor manifests, delete-vs-compaction retry validation,
+empty-table upserts, append type coercion, summary byte accounting,
+and string-bound truncation at the surrogate boundary."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icelake_spark.types import Schema
+
+
+def _schema(spark, ddl):
+    return Schema.from_spark(spark.createDataFrame([], ddl).schema)
+
+
+def test_cow_rewrite_preserves_old_spec_partitions(spark, warehouse):
+    """A copy-on-write delete on a spec-evolved table must rewrite the
+    old-spec survivors with THEIR spec — flattening them into the new
+    default spec drops partition values and breaks pruning."""
+    from icelake_spark.types.manifest import (
+        MANIFEST_CONTENT_DATA, read_manifest, read_manifest_list)
+
+    src = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(30)], "id long, g long, s string")
+    t = warehouse.create_table("db.spec_evo", _schema(spark, "id long, g long, s string"),
+                               format_version=1)  # v1 => CoW deletes
+    # commit 1 under identity(g); then evolve to bucket and commit more
+    t.update_spec("g")
+    t.append(src.where("id < 15"))
+    t.update_spec("bucket[4](g)")
+    t.append(src.where("id >= 15"))
+
+    from icelake_spark.delta import delete_rows
+
+    delete_rows(t, spark, "id = 0 or id = 20")  # touches both spec eras
+    t.refresh()
+
+    # every surviving old-spec file keeps its identity partition value
+    snap = t.current_snapshot()
+    by_spec = {}
+    for mle in read_manifest_list(t._resolve(snap.manifest_list)):
+        if mle.content != MANIFEST_CONTENT_DATA:
+            continue
+        _, entries = read_manifest(t._resolve(mle.manifest_path))
+        for e in entries:
+            if e.is_alive:
+                by_spec.setdefault(mle.partition_spec_id, []).append(
+                    e.data_file.partition)
+    specs_seen = set(by_spec)
+    assert len(specs_seen) >= 2, f"expected multi-spec manifests, got {specs_seen}"
+    for spec_id, parts in by_spec.items():
+        spec = t.metadata.spec_by_id(spec_id)
+        names = {pf.name for pf in spec.fields}
+        for p in parts:
+            assert set(p) == names, (spec_id, p)
+    # and the data still reads correctly
+    got = sorted(r.id for r in t.to_df(spark).collect())
+    assert got == sorted(set(range(30)) - {0, 20})
+
+
+def test_delete_retry_aborts_after_concurrent_compaction(spark, warehouse):
+    """A delete-file commit that conflicts with a concurrent compaction
+    must RAISE, not silently commit deletes referencing rewritten files
+    (the rows would resurrect)."""
+    from icelake_spark.catalog.storage import CommitConflict
+    from icelake_spark.delta import _write_small_parquet, OP_DELETE
+    from icelake_spark.maintenance import rewrite_data_files
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.transaction import Transaction
+
+    src = spark.createDataFrame([(i, i) for i in range(100)], "id long, v long")
+    t1 = warehouse.create_table("db.race", _schema(spark, "id long, v long"))
+    t1.append(src)
+
+    # writer A prepares position deletes against the CURRENT files
+    data, _, _ = t1.new_scan().plan_files()
+    target = data[0].data_file.file_path
+    pos_df = spark.createDataFrame([(os.path.abspath(target), 0)],
+                                   "file_path string, pos long")
+    del_files = _write_small_parquet(t1, pos_df, content=1,
+                                     sort_cols=["file_path", "pos"])
+    tx = Transaction(t1)
+    tx.add_delete_files(del_files)
+
+    # writer B compacts through an independent handle (bumps version)
+    t2 = IcebergTable.load(t1.path)
+    rewrite_data_files(t2, spark)
+
+    with pytest.raises(CommitConflict):
+        tx.commit("delete")
+
+
+def test_append_retry_survives_concurrent_append(spark, warehouse):
+    """The common path stays multi-writer-safe: plain appends retry
+    through a concurrent append (no file removal involved)."""
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.write import write_data_files
+
+    src = spark.createDataFrame([(1, 1)], "id long, v long")
+    t1 = warehouse.create_table("db.race2", _schema(spark, "id long, v long"))
+    t1.append(src)
+
+    files = write_data_files(t1, spark.createDataFrame([(2, 2)], "id long, v long"))
+    tx = Transaction(t1)
+    tx.add_data_files(files)
+    IcebergTable.load(t1.path).append(
+        spark.createDataFrame([(3, 3)], "id long, v long"))
+    tx.commit("append")
+    t1.refresh()
+    assert sorted(r.id for r in t1.to_df(spark).collect()) == [1, 2, 3]
+
+
+def test_upsert_into_empty_table_writes_no_delete_files(spark, warehouse):
+    """First load via upsert: no prior snapshot means no equality
+    deletes — and a v1 table's initial load must not crash on the
+    v2-only delete-file check."""
+    from icelake_spark.delta import upsert
+
+    for ver in (1, 2):
+        t = warehouse.create_table(f"db.first{ver}",
+                                   _schema(spark, "id long, v long"),
+                                   format_version=ver)
+        upsert(t, spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+               key_cols=["id"])
+        t.refresh()
+        snap = t.current_snapshot()
+        assert snap.summary.get("total-delete-files", "0") == "0"
+        assert sorted((r.id, r.v) for r in t.to_df(spark).collect()) == [
+            (1, 10), (2, 20)]
+
+
+def test_append_casts_to_table_types(spark, warehouse):
+    """Appending a narrower-typed frame (int into long) must coerce so
+    the written parquet matches the table schema the reader requests."""
+    t = warehouse.create_table("db.cast", _schema(spark, "id long, v double"))
+    narrow = spark.createDataFrame([(1, 2)], "id int, v int")
+    t.append(narrow)
+    rows = t.to_df(spark).collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 2.0)]
+
+
+def test_compaction_summary_drops_delete_file_bytes(spark, warehouse):
+    """remove_all_existing must subtract the dropped delete FILES' bytes
+    from total-files-size, or the total carries ghost bytes forever."""
+    from icelake_spark.delta import delete_rows
+    from icelake_spark.maintenance import rewrite_data_files
+    from icelake_spark.types.manifest import read_manifest, read_manifest_list
+
+    src = spark.createDataFrame([(i, i) for i in range(50)], "id long, v long")
+    t = warehouse.create_table("db.bytes", _schema(spark, "id long, v long"))
+    t.append(src)
+    delete_rows(t, spark, "id < 5")  # MoR: adds position-delete files
+    t.refresh()
+    assert int(t.current_snapshot().summary["total-delete-files"]) > 0
+    rewrite_data_files(t, spark)
+    t.refresh()
+    snap = t.current_snapshot()
+    live_bytes = 0
+    for mle in read_manifest_list(t._resolve(snap.manifest_list)):
+        _, entries = read_manifest(t._resolve(mle.manifest_path))
+        live_bytes += sum(e.data_file.file_size_in_bytes
+                          for e in entries if e.is_alive)
+    assert int(snap.summary["total-files-size"]) == live_bytes
+
+
+def test_truncate_bounds_skips_surrogate_range():
+    """Incrementing the upper-bound char past U+D7FF must skip the
+    surrogate block (lone surrogates cannot UTF-8 encode, which used to
+    silently drop both bounds)."""
+    from icelake_spark.types import PrimitiveType, encode_bound
+    from icelake_spark.write import _BOUND_TRUNC, _truncate_bounds
+
+    hi = "x" * (_BOUND_TRUNC - 1) + "퟿" + "tail"
+    lo = "a" * (_BOUND_TRUNC + 4)
+    lo_t, hi_t = _truncate_bounds(PrimitiveType("string"), lo, hi)
+    assert hi_t[-1] == "" and len(hi_t) == _BOUND_TRUNC
+    assert hi_t > hi  # still a valid upper bound
+    # and both bounds round-trip through the avro encoder
+    encode_bound(PrimitiveType("string"), lo_t)
+    encode_bound(PrimitiveType("string"), hi_t)
+
+
+def test_struct_stats_not_inflated(spark, warehouse):
+    """Nested struct leaves must not sum their counts into the parent
+    field id (a 2-leaf struct used to report 2x value_counts)."""
+    t = warehouse.create_table(
+        "db.structs", _schema(spark, "id long, s struct<a:long, b:string>"))
+    df = spark.createDataFrame([(i, (i, f"x{i}")) for i in range(10)],
+                               "id long, s struct<a:long, b:string>")
+    t.append(df)
+    data, _, _ = t.new_scan().plan_files()
+    sid = t.schema().field_by_name("s").field_id
+    for task in data:
+        vc = task.data_file.value_counts or {}
+        # either no entry for the struct (conservative) or exactly nrows
+        assert vc.get(sid, task.data_file.record_count) \
+            <= task.data_file.record_count
