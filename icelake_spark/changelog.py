@@ -98,33 +98,35 @@ def changes(table: IcebergTable, spark: SparkSession,
                 F.lit(0).cast("long").alias(COMMIT_SNAPSHOT),
                 F.lit(0).cast("int").alias(COMMIT_ORDER)).limit(0)
 
-    snaps = sorted(meta.snapshots, key=lambda s: s.sequence_number)
-    from_seq = -1
-    if from_snapshot_id is not None:
-        from_seq = meta.snapshot_by_id(from_snapshot_id).sequence_number
-    to_seq = None
-    if to_snapshot_id is not None:
-        to_seq = meta.snapshot_by_id(to_snapshot_id).sequence_number
     current = table.current_snapshot()
-    if current is not None and to_seq is None:
-        to_seq = current.sequence_number
-    if to_seq is None:
+    head_id = to_snapshot_id if to_snapshot_id is not None else (
+        current.snapshot_id if current is not None else None)
+    if head_id is None:
         # snapshots exist but none is published to the requested head
         # (e.g. only WAP branch commits): no visible changes
         return empty
-    # the changelog walks the `to` head's ANCESTRY, not all snapshots:
-    # rolled-back commits and snapshots staged on other branches live in
-    # metadata.snapshots but are not part of this lineage — emitting
-    # them would replicate phantom rows (see ancestry_ids docstring)
-    lineage = meta.ancestry_ids(to_snapshot_id)  # None -> current head
     known_ids = {s.snapshot_id for s in meta.snapshots}
+    # the (from, to] window is the head's ANCESTRY CHAIN minus the
+    # from-snapshot's ancestry — NOT a sequence-number range: every v1
+    # snapshot carries sequence 0 (an incremental seq window returns
+    # empty forever on v1), and branch-staged WAP commits share the
+    # global counter. Rolled-back commits and other branches' snapshots
+    # live in metadata.snapshots but not in this lineage — emitting them
+    # would replicate phantom rows (see ancestry_ids docstring).
+    chain: list = []
+    sid = head_id
+    while sid is not None and sid in known_ids:
+        s = meta.snapshot_by_id(sid)
+        chain.append(s)
+        sid = s.parent_snapshot_id
+    chain.reverse()  # oldest -> newest, deterministic commit order
+    exclude = (meta.ancestry_ids(from_snapshot_id)
+               if from_snapshot_id is not None else set())
 
     parts: list[DataFrame] = []
     order = 0
-    for snap in snaps:
-        if snap.sequence_number <= from_seq or snap.sequence_number > to_seq:
-            continue
-        if snap.snapshot_id not in lineage:
+    for snap in chain:
+        if snap.snapshot_id in exclude:
             continue
         op = (snap.summary or {}).get("operation", "append")
         if op == "replace":
@@ -170,7 +172,7 @@ def changes(table: IcebergTable, spark: SparkSession,
                     deleted = _semi_join_pos(spark, d, hit, added_pos,
                                              _bcast_limit(table))
                     parts.append(_with_meta(deleted, "delete", snap, order, cols))
-            if added_eq:
+            if added_eq and pdata:  # empty parent: nothing to delete from
                 d = _read(spark, table, spark_schema, pdata,
                           with_position=True)
                 if ppos or peq:
@@ -274,9 +276,20 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
         keys = spark.read.parquet(*[t.delete_file.file_path for t in tasks])
         key_cols = keys.columns
         min_seq = min(t.sequence_number for t in tasks)
+        # NULL-SAFE key equality, matching the read path's anti-join
+        # (table.py eqNullSafe): an eq-delete of a NULL-keyed row must
+        # emit its delete event — plain on=cols makes NULL != NULL and
+        # the CDC replica silently keeps the row forever
+        rhs = _maybe_broadcast(
+            keys.distinct().select(
+                *[F.col(c).alias(f"__k_{c}") for c in key_cols]),
+            tasks, limit)
+        cond = None
+        for c in key_cols:
+            term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = term if cond is None else (cond & term)
         matched = (df.where(F.col("__data_seq") < F.lit(min_seq))
-                   .join(_maybe_broadcast(keys.distinct(), tasks, limit),
-                         on=key_cols, how="left_semi"))
+                   .join(rhs, on=cond, how="left_semi"))
         out = matched if out is None else out.unionByName(matched)
     return out if out is not None else df.limit(0)
 

@@ -79,6 +79,13 @@ class IcelakeDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema) -> "IcelakeReader":
+        if self.options.get("changelog", "").lower() in ("true", "1"):
+            # the option is a STREAMING-read feature; a batch scan would
+            # otherwise return the plain current snapshot with an
+            # all-NULL _change_type column masquerading as CDC rows
+            raise ValueError(
+                "changelog=true is only supported with readStream; for a "
+                "batch changelog use IcebergTable.changes(spark)")
         return IcelakeReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> "IcelakeStreamReader":  # noqa: N802
@@ -88,11 +95,50 @@ class IcelakeDataSource(DataSource):
         return IcelakeStreamWriter(self.options, schema)
 
 
+def _rename_map(table) -> dict[str, list[str]]:
+    """{current name: [former names not reused elsewhere]} from the
+    table's rename name-mapping — the DSv2 arrow readers resolve a
+    column missing under its current name through its former name, the
+    same coalesce TableScan._with_name_mapping applies (a bare
+    null-pad would silently blank every pre-rename row)."""
+    import json as _json
+
+    from .table import PROP_NAME_MAPPING
+
+    raw = table.metadata.properties.get(PROP_NAME_MAPPING)
+    if not raw:
+        return {}
+    mapping = _json.loads(raw)
+    schema = table.schema()
+    current = {f.name for f in schema.fields}
+    out: dict[str, list[str]] = {}
+    for f in schema.fields:
+        old = [n for n in mapping.get(str(f.field_id), [])
+               if n != f.name and n not in current]
+        if old:
+            out[f.name] = old
+    return out
+
+
+def _resolve_column(table, name: str, rename_map: dict[str, list[str]]):
+    """The arrow column for `name`, via a former name when renamed;
+    None when absent entirely (schema evolution: new column)."""
+    if name in table.column_names:
+        return table[name]
+    for old in rename_map.get(name, ()):
+        if old in table.column_names:
+            return table[old]
+    return None
+
+
 class IcelakeReader(DataSourceReader):
     def __init__(self, options: dict, schema):
         self.options = options
         self.spark_schema = schema
         self.filter_parts: list[str] = []
+        from .table import IcebergTable
+
+        self.rename_map = _rename_map(IcebergTable.load(options["path"]))
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Accept simple comparisons for zone-map file pruning; everything
@@ -223,25 +269,27 @@ class IcelakeReader(DataSourceReader):
             if not partition.sequence_number < dseq:
                 continue
             cols = list(cols)
-            present = [c for c in cols if c in table.column_names]
             dt = pq.read_table(dpath)  # delete files hold only key cols
             del_cols = {c: (dt[c].to_pylist() if c in dt.column_names
                             else [None] * dt.num_rows) for c in cols}
             deleted = set(zip(*[del_cols[c] for c in cols]))
-            key_cols = {c: (table[c].to_pylist() if c in present
-                            else [None] * table.num_rows) for c in cols}
+            key_cols = {}
+            for c in cols:  # rename-aware: resolve via former names
+                arr = _resolve_column(table, c, self.rename_map)
+                key_cols[c] = (arr.to_pylist() if arr is not None
+                               else [None] * table.num_rows)
             keys = zip(*[key_cols[c] for c in cols])
             mask = pa.array(k not in deleted for k in keys)
             table = table.filter(mask)
 
-        # project/pad to the requested schema
+        # project/pad to the requested schema (rename-aware: a column
+        # missing under its current name resolves via its former name)
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
         for n in names:
-            if n in table.column_names:
-                arrays.append(table[n])
-            else:  # schema evolution: new column absent in old file
-                arrays.append(pa.nulls(table.num_rows))
+            arr = _resolve_column(table, n, self.rename_map)
+            # schema evolution: genuinely new column pads as null
+            arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
 
@@ -280,10 +328,13 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         return s.timestamp_ms
 
     def _end_offset(self, table) -> int:
-        if table.metadata.format_version >= 2:
-            return table.metadata.last_sequence_number
+        # max offset over MAIN-ANCESTRY snapshots only — the global
+        # last_sequence_number also counts WAP branch-staged commits, so
+        # using it would advance the offset past an unpublished snapshot
+        # and permanently skip its rows once fast_forward publishes it
         main_ids = table.metadata.ancestry_ids()
-        return max((s.timestamp_ms for s in table.metadata.snapshots
+        return max((self._offset_of(table, s)
+                    for s in table.metadata.snapshots
                     if s.snapshot_id in main_ids), default=0)
 
     def _files_between(self, table, start_seq: int, end_seq: int) -> list[str]:
@@ -319,13 +370,14 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.spark_schema.fields]
+        rmap = _rename_map(self._table())
         rows: list[tuple] = []
         for path in files:
             t = pq.read_table(path)
             cols = []
             for n in names:
-                cols.append(t[n] if n in t.column_names
-                            else pa.nulls(t.num_rows))
+                arr = _resolve_column(t, n, rmap)
+                cols.append(arr if arr is not None else pa.nulls(t.num_rows))
             rows.extend(tuple(d.values()) for d in
                         pa.Table.from_arrays(cols, names=names).to_pylist())
         return rows
@@ -382,6 +434,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
         names = [f.name for f in self.spark_schema.fields
                  if f.name != "_change_type"]
+        rmap = _rename_map(table)
 
         # (file,pos) pairs pos-deleted by one snapshot (for the running
         # dead-set accumulated while walking snapshots in seq order —
@@ -403,17 +456,36 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                         dead.add((_norm(src), pos))
             return dead
 
+        # full-file column cache: the eq-delete branch walks every
+        # parent-era file once PER delete file — without the cache that
+        # is O(delete_files x data_files) full parquet reads per batch
+        _cols_cache: dict[str, dict[str, list]] = {}
+
         def file_rows(path, positions=None, skip: set | None = None):
             # read only the requested columns PRESENT in the file: a file
             # written before an add_column lacks the new column, which
             # pads as None (the sibling _rows path does the same)
-            present = [n for n in names
-                       if n in set(pq.read_schema(path).names)]
-            t = pq.read_table(path, columns=present)
-            cols = {n: (t[n].to_pylist() if n in present
-                        else [None] * t.num_rows) for n in names}
+            cols = _cols_cache.get(path)
+            if cols is None:
+                in_file = set(pq.read_schema(path).names)
+                # rename-aware: a requested name missing from the file
+                # may be present under its former name
+                src_of = {}
+                for n in names:
+                    if n in in_file:
+                        src_of[n] = n
+                    else:
+                        src_of[n] = next(
+                            (o for o in rmap.get(n, ()) if o in in_file),
+                            None)
+                read_cols = sorted({s for s in src_of.values() if s})
+                t = pq.read_table(path, columns=read_cols)
+                cols = {n: (t[src_of[n]].to_pylist() if src_of[n]
+                            else [None] * t.num_rows) for n in names}
+                _cols_cache[path] = cols
             key = _norm(path)
-            idx = (range(t.num_rows) if positions is None else positions)
+            nrows = len(next(iter(cols.values()))) if cols else 0
+            idx = (range(nrows) if positions is None else positions)
             out = []
             for i in idx:
                 if skip and (key, i) in skip:
@@ -431,7 +503,15 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                 continue  # WAP branch-staged snapshot: not published
             in_range = start_seq < self._offset_of(table, s) <= end_seq
             op = (s.summary or {}).get("operation", "append")
-            if not in_range or op == "replace":
+            # a snapshot that REMOVED data files (compaction 'replace',
+            # CoW delete/overwrite rewrite) re-adds survivor files whose
+            # rows already streamed — emitting those adds would produce
+            # phantom inserts. Like 'replace', such snapshots are not
+            # decoded (the CoW-removed rows' delete events are a batch
+            # changes() feature, not reconstructable from adds alone).
+            rewrote = int((s.summary or {}).get(
+                "deleted-data-files", 0) or 0) > 0
+            if not in_range or op == "replace" or rewrote:
                 # still fold this snapshot's pos deletes into the
                 # running dead-set for later snapshots in the range
                 dead_acc |= snap_pos_deletes(s)
@@ -529,8 +609,8 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
 @dataclass
 class _WrittenFile(WriterCommitMessage):
-    path: str
-    rows: int
+    # one task may write several files (one per partition value)
+    files: list  # of (path, rows)
 
 
 PROP_LAST_BATCH = "streaming.last-committed-batch-id"
@@ -554,7 +634,26 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
         import uuid as _uuid
 
+        from .table import IcebergTable
+        from .write import _PART_PREFIX, _result_type
+
         self.stage = f"stream-{_uuid.uuid4()}"
+        # capture the partition spec ON THE DRIVER (this object ships
+        # pickled to executors): each task computes its rows' transform
+        # values and writes one hive-dir file per partition — a single
+        # partitionless file would be silently pruned out of every
+        # partition-filtered scan of a partitioned table
+        t = IcebergTable.load(self.path)
+        tschema = t.schema()
+        spec = t.metadata.default_spec()
+        self.part_info = []
+        for pf in spec.fields:
+            src = tschema.field_by_id(pf.source_column_id)
+            self.part_info.append(
+                (pf.name, pf.transform, src.name, src.field_type))
+        self.result_types = {
+            _PART_PREFIX + pf.name: (pf.name, _result_type(pf, tschema))
+            for pf in spec.fields}
 
     def write(self, iterator) -> _WrittenFile:
         import os as _os
@@ -564,18 +663,35 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from .avro_data import _hive_value
+        from .types.transforms import apply_transform_py
+        from .write import _PART_PREFIX
+
         arrow_schema = to_arrow_schema(self.spark_schema)
         names = [f.name for f in self.spark_schema.fields]
         rows = [tuple(r) for r in iterator]
         if not rows:
-            return _WrittenFile(path="", rows=0)
-        out_dir = _os.path.join(self.path, "data", self.stage)
-        _os.makedirs(out_dir, exist_ok=True)
-        out = _os.path.join(out_dir, f"{_uuid.uuid4()}.parquet")
-        table = pa.Table.from_pylist(
-            [dict(zip(names, r)) for r in rows], schema=arrow_schema)
-        pq.write_table(table, out)
-        return _WrittenFile(path=out, rows=len(rows))
+            return _WrittenFile(files=[])
+        stage_dir = _os.path.join(self.path, "data", self.stage)
+        buckets: dict[tuple, list[tuple]] = {}
+        for r in rows:
+            vals = dict(zip(names, r))
+            key = tuple(apply_transform_py(tr, vals[src], st)
+                        for (_n, tr, src, st) in self.part_info)
+            buckets.setdefault(key, []).append(r)
+        written: list[tuple[str, int]] = []
+        for key, rws in buckets.items():
+            subdir = "/".join(
+                f"{_PART_PREFIX}{n}={_hive_value(v)}"
+                for (n, _tr, _src, _st), v in zip(self.part_info, key))
+            d = _os.path.join(stage_dir, subdir) if subdir else stage_dir
+            _os.makedirs(d, exist_ok=True)
+            out = _os.path.join(d, f"{_uuid.uuid4()}.parquet")
+            table = pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in rws], schema=arrow_schema)
+            pq.write_table(table, out)
+            written.append((out, len(rws)))
+        return _WrittenFile(files=written)
 
     def commit(self, messages, batchId) -> None:  # noqa: N802
         import os as _os
@@ -586,17 +702,19 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
 
         t = IcebergTable.load(self.path)
         last = int(t.metadata.properties.get(PROP_LAST_BATCH, -1))
-        files = [m for m in messages if m is not None and m.rows > 0]
-        if batchId <= last or not files:
-            for m in files:  # replayed epoch: staged output is discarded
+        paths = [p for m in messages if m is not None
+                 for (p, n) in m.files if n > 0]
+        if batchId <= last or not paths:
+            for p in paths:  # replayed epoch: staged output is discarded
                 try:
-                    _os.remove(m.path)
+                    _os.remove(p)
                 except OSError:
                     pass
             return
         schema = t.schema()
-        entries = [_build_data_file(m.path, _os.path.dirname(m.path),
-                                    schema, {}, None) for m in files]
+        stage_dir = _os.path.join(self.path, "data", self.stage)
+        entries = [_build_data_file(p, stage_dir, schema,
+                                    self.result_types, None) for p in paths]
         tx = Transaction(t)
         tx.add_data_files(entries)
         # record the epoch IN the same commit so replay-after-crash
@@ -610,9 +728,11 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
         import os as _os
 
         for m in messages:
-            if m is not None:
+            if m is None:
+                continue
+            for (p, _n) in m.files:
                 try:
-                    _os.remove(m.path)
+                    _os.remove(p)
                 except OSError:
                     pass
 

@@ -346,10 +346,28 @@ class IcebergTable:
         from .types.datatypes import Schema, StructType
 
         cur = self.metadata.current_schema()
-        if cur.field_by_name(name) is None:
+        field = cur.field_by_name(name)
+        if field is None:
             raise KeyError(f"column {name!r} not found")
         if len(cur.fields) == 1:
             raise ValueError("cannot drop the last column")
+        # dangling-reference guards: a dropped identifier column makes
+        # every subsequent upsert build a None key; a dropped partition
+        # source column wedges every append in partition_columns
+        if field.field_id in (cur.identifier_field_ids or ()):
+            raise ValueError(
+                f"column {name!r} is an identifier (row-key) field; "
+                "clear identifier_field_ids before dropping it")
+        # only the DEFAULT spec gates the drop: new writes partition
+        # through it, while historical specs' values are already
+        # materialized in their manifests
+        dspec = self.metadata.default_spec()
+        if any(pf.source_column_id == field.field_id
+               for pf in dspec.fields):
+            raise ValueError(
+                f"column {name!r} is a partition source of the default "
+                f"spec {dspec.spec_id}; evolve the partition spec "
+                "(update_spec) before dropping it")
         new_schema = Schema(
             struct=StructType(tuple(f for f in cur.fields if f.name != name)),
             schema_id=max(s.schema_id for s in self.metadata.schemas) + 1,

@@ -199,7 +199,8 @@ def test_stream_sink_replayed_epoch_is_dropped(spark, warehouse):
     t = t.refresh()
     assert t.current_snapshot().snapshot_id == before
     assert t.to_df(spark).count() == 10
-    assert all(not os.path.exists(m.path) for m in replay if m.rows)
+    assert all(not os.path.exists(p)
+               for m in replay for (p, n) in m.files if n)
 
     # next epoch commits normally
     w.commit(staged_batch(), batchId=1)
