@@ -282,7 +282,12 @@ class _Writer:
                     self.write_value(schema["values"], v)
             self.write_long(0)
         elif t == "fixed":
-            assert len(value) == schema["size"]
+            if len(value) != schema["size"]:
+                # must survive python -O (assert would be stripped and a
+                # short fixed silently shifts every later field's bytes)
+                raise ValueError(
+                    f"fixed {schema.get('name')!r} expects "
+                    f"{schema['size']} bytes, got {len(value)}")
             self.out.write(bytes(value))
         elif t == "enum":
             self.write_long(schema["symbols"].index(value))

@@ -35,15 +35,20 @@ def namespace_path(namespace: str) -> str:
 def create_table_body(name: str, metadata: TableMetadata) -> dict:
     schema = metadata.current_schema()
     spec = metadata.default_spec()
-    return {
+    body = {
         "name": name,
-        "location": metadata.location,
         "schema": schema.to_json_dict(),
         "partition-spec": spec.to_json(),
         "write-order": metadata.sort_orders[0].to_json(),
         "properties": metadata.properties,
         "stage-create": False,
     }
+    # location is OPTIONAL in the protocol: omit it entirely so the
+    # server assigns its warehouse default ("" would be an explicit,
+    # invalid location a conforming server rejects)
+    if metadata.location:
+        body["location"] = metadata.location
+    return body
 
 
 def add_snapshot_update(snapshot: Snapshot) -> dict:
@@ -116,11 +121,11 @@ def build_commit_updates(base: TableMetadata | None,
         updates.append({"action": "set-default-sort-order",
                         "sort-order-id": new.default_sort_order_id})
     b_snap_ids = {s.snapshot_id for s in base.snapshots} if base else set()
+    n_snap_ids = {s.snapshot_id for s in new.snapshots}
     for s in new.snapshots:
         if s.snapshot_id not in b_snap_ids:
             updates.append(add_snapshot_update(s))
-    removed_snaps = [sid for sid in b_snap_ids
-                     if sid not in {s.snapshot_id for s in new.snapshots}]
+    removed_snaps = [sid for sid in b_snap_ids if sid not in n_snap_ids]
     if removed_snaps:
         updates.append({"action": "remove-snapshots",
                         "snapshot-ids": sorted(removed_snaps)})

@@ -65,6 +65,12 @@ def expire_snapshots(table, older_than_ms: int | None = None,
       branch's `max_snapshot_age_ms` and at least
       `min_snapshots_to_keep` most-recent ancestors;
     - a tag keeps exactly its head.
+
+    `older_than_ms=None` uses the table's
+    `history.expire.max-snapshot-age-ms` (Iceberg's documented 5-day
+    default) — a bare `expire_snapshots(t)` keeps the recent week of
+    time travel instead of irreversibly destroying all history on the
+    spot. Pass an explicit cutoff (e.g. now) for immediate expiry.
     """
     from dataclasses import replace as dc_replace
 
@@ -73,7 +79,9 @@ def expire_snapshots(table, older_than_ms: int | None = None,
     metadata = table.metadata
     now_ms = int(time.time() * 1000)
     if older_than_ms is None:
-        older_than_ms = now_ms
+        max_age = int(metadata.properties.get(
+            "history.expire.max-snapshot-age-ms", 5 * 24 * 3600 * 1000))
+        older_than_ms = now_ms - max_age
     by_id = {s.snapshot_id: s for s in metadata.snapshots}
 
     # 1. expire refs past their own max age (main never expires)
@@ -85,8 +93,17 @@ def expire_snapshots(table, older_than_ms: int | None = None,
             continue
         refs[name] = r
 
-    by_time = sorted(metadata.snapshots, key=lambda s: s.timestamp_ms, reverse=True)
-    keep_ids = {s.snapshot_id for s in by_time[:retain_last]}
+    # retain_last counts ANCESTORS OF THE CURRENT HEAD (Iceberg's
+    # retainLast semantics), not the globally most-recent snapshots —
+    # after rollback_to, the rolled-past snapshots are newer by
+    # timestamp and would otherwise consume every retained slot while
+    # the live branch's own history got expired
+    keep_ids: set[int] = set()
+    sid, kept_n = metadata.current_snapshot_id, 0
+    while sid is not None and sid in by_id and kept_n < retain_last:
+        keep_ids.add(sid)
+        kept_n += 1
+        sid = by_id[sid].parent_snapshot_id
     if metadata.current_snapshot_id is not None:
         keep_ids.add(metadata.current_snapshot_id)
 
@@ -142,12 +159,13 @@ def expire_snapshots(table, older_than_ms: int | None = None,
         dead_m, dead_d = reachable(expired)
         to_delete = (dead_m - live_m) | (dead_d - live_d)
 
+    kept_ids = {s.snapshot_id for s in kept}
     new_metadata = dc_replace(
         metadata,
         snapshots=kept,
         refs=refs,
         snapshot_log=tuple(h for h in metadata.snapshot_log
-                           if h["snapshot-id"] in {s.snapshot_id for s in kept}),
+                           if h["snapshot-id"] in kept_ids),
         last_updated_ms=int(time.time() * 1000),
     )
     table._commit_metadata(new_metadata)
@@ -188,13 +206,17 @@ def remove_orphan_files(table, older_than_ms: int | None = None) -> int:
     for root, _d, names in os.walk(data_dir):
         for n in names:
             p = os.path.abspath(os.path.join(root, n))
-            if (p.endswith((".parquet", ".orc", ".avro"))
-                    and p not in referenced and os.path.getmtime(p) < cutoff):
-                try:
+            if not p.endswith((".parquet", ".orc", ".avro")) \
+                    or p in referenced:
+                continue
+            try:
+                # getmtime inside the guard too: a concurrent cleanup
+                # may delete the file between os.walk and the stat
+                if os.path.getmtime(p) < cutoff:
                     os.remove(p)
                     removed += 1
-                except OSError:
-                    pass
+            except OSError:
+                pass
     return removed
 
 
@@ -285,9 +307,13 @@ def rewrite_manifests(table) -> int:
             total_files += 1
             total_rows += e.data_file.record_count
     for spec_id, survivors in sorted(by_spec.items()):
+        try:
+            surv_spec = md.spec_by_id(spec_id)
+        except KeyError:  # trimmed spec history (same guard as Transaction)
+            surv_spec = md.default_spec()
         m_path = os.path.join(
             meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
-        mle = write_manifest(m_path, survivors, md.spec_by_id(spec_id),
+        mle = write_manifest(m_path, survivors, surv_spec,
                              schema, snapshot_id, md.format_version,
                              MANIFEST_CONTENT_DATA, sequence_number=seq)
         new_list_entries.append(mle)
@@ -299,11 +325,18 @@ def rewrite_manifests(table) -> int:
         snapshot_id=snapshot_id, parent_snapshot_id=parent.snapshot_id,
         sequence_number=seq, timestamp_ms=int(time.time() * 1000),
         manifest_list=ml_path,
+        # carry the parent's running totals forward: manifests are
+        # reorganized, no file is added or removed, and the NEXT
+        # transaction derives its totals from these keys — missing
+        # keys would read as 0 and poison every later summary
         summary={"operation": "replace",
                  "manifests-replaced": str(n_before),
                  "manifests-created": str(len(new_list_entries)),
                  "total-data-files": str(total_files),
-                 "total-records": str(total_rows)},
+                 "total-records": str(total_rows),
+                 **{k: (parent.summary or {}).get(k, "0") for k in (
+                     "total-files-size", "total-delete-files",
+                     "total-position-deletes", "total-equality-deletes")}},
         schema_id=schema.schema_id,
     )
     table._commit_metadata(md.with_snapshot(snapshot))

@@ -67,6 +67,14 @@ class IcebergTable:
         return cls(path, metadata, current_version=version)
 
     def refresh(self) -> "IcebergTable":
+        # catalog-managed tables re-load through the catalog (a REST
+        # table has no local metadata/ dir to scan — the conflict-retry
+        # path refreshes, and a filesystem load there would crash or
+        # rebase on stale files the server does not maintain)
+        if self.catalog is not None and getattr(self, "identifier", None):
+            t = self.catalog.load_table(self.identifier)
+            self.metadata, self.current_version = t.metadata, t.current_version
+            return self
         from .catalog.storage import load_metadata
 
         self.metadata, self.current_version = load_metadata(self.path)

@@ -266,9 +266,13 @@ class Transaction:
                 properties={**new_metadata.properties, **self._set_props})
 
         if table.catalog is not None:
+            # base_metadata drives the REST diff protocol: without it the
+            # commit body replays the whole table history as updates and
+            # the concurrency requirement degrades to the uuid assertion
             version = table.catalog.update_table(table.path, table.current_version,
                                                  new_metadata,
-                                                 identifier=table.identifier)
+                                                 identifier=table.identifier,
+                                                 base_metadata=metadata)
         else:
             from .catalog.storage import commit_metadata
 

@@ -8,6 +8,12 @@ from icelake_spark.catalog import StorageCatalog
 from icelake_spark.types import Schema
 
 
+def _now_plus() -> int:
+    import time
+
+    return int(time.time() * 1000) + 1000
+
+
 @pytest.fixture()
 def warehouse(tmp_path):
     return StorageCatalog(str(tmp_path))
@@ -191,7 +197,7 @@ def test_changelog_survives_expired_parent(spark, warehouse):
     t = t.refresh()
     t.delete_where(spark, "id >= 3")  # snapshot 2: MoR delete
     t = t.refresh()
-    expire_snapshots(t, retain_last=1)
+    expire_snapshots(t, older_than_ms=_now_plus(), retain_last=1)
     t = IcebergTable.load(t.path)
     assert len(t.metadata.snapshots) == 1
     ch = changes(t, spark)  # must not raise
@@ -222,7 +228,7 @@ def test_apply_changes_full_resync_after_expired_sync_point(spark, warehouse):
     src = src.refresh()
     src.append(spark.createDataFrame([(3, "c")], "id long, v string"))
     src = src.refresh()
-    expire_snapshots(src, retain_last=1)
+    expire_snapshots(src, older_than_ms=_now_plus(), retain_last=1)
     src = IcebergTable.load(src.path)
     n = apply_changes(src, tgt, spark, key_cols=["id"])
     assert n > 0

@@ -198,3 +198,43 @@ def test_struct_stats_not_inflated(spark, warehouse):
         # either no entry for the struct (conservative) or exactly nrows
         assert vc.get(sid, task.data_file.record_count) \
             <= task.data_file.record_count
+
+
+def test_expire_retains_current_branch_ancestry(spark, warehouse):
+    """retain_last counts ancestors of the CURRENT head; after a
+    rollback, the rolled-past (newer-timestamped) snapshots must not
+    consume the retained slots while live history is expired."""
+    import time
+
+    from icelake_spark.maintenance import expire_snapshots, rollback_to
+
+    t = warehouse.create_table("db.expanc", _schema(spark, "id long"))
+    ids = []
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+        t.refresh()
+        ids.append(t.current_snapshot().snapshot_id)
+    rollback_to(t, ids[1])  # ids[2], ids[3] become rolled-past
+    t.refresh()
+    expire_snapshots(t, older_than_ms=int(time.time() * 1000) + 1000,
+                     retain_last=2)
+    t.refresh()
+    kept = {s.snapshot_id for s in t.metadata.snapshots}
+    # the head and its parent survive; the rolled-past branch is gone
+    assert ids[0] in kept and ids[1] in kept
+    assert ids[2] not in kept and ids[3] not in kept
+
+
+def test_expire_default_keeps_recent_history(spark, warehouse):
+    """A bare expire_snapshots(t) uses the 5-day default age instead of
+    destroying all history immediately."""
+    from icelake_spark.maintenance import expire_snapshots
+
+    t = warehouse.create_table("db.expdef", _schema(spark, "id long"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.refresh()
+    n_before = len(t.metadata.snapshots)
+    assert expire_snapshots(t) == 0  # everything is younger than 5 days
+    t.refresh()
+    assert len(t.metadata.snapshots) == n_before

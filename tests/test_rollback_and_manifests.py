@@ -328,9 +328,13 @@ def test_expire_snapshots_deletes_only_after_commit(spark, warehouse, monkeypatc
         raise RuntimeError("simulated commit conflict")
 
     monkeypatch.setattr(t, "_commit_metadata", boom)
+    import time as _time
+
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
-        expire_snapshots(t, retain_last=1)
+        # explicit cutoff: the no-arg default is the safe 5-day age
+        expire_snapshots(t, older_than_ms=int(_time.time() * 1000) + 1000,
+                         retain_last=1)
     after = set(_glob.glob(os.path.join(t.path, "**", "*"), recursive=True))
     assert before == after  # nothing deleted on a failed commit
     # and the table still reads fine

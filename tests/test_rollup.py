@@ -7,6 +7,12 @@ from icelake_spark.rollup import create_rollup, refresh_rollup
 from icelake_spark.types import Schema
 
 
+def _now_plus() -> int:
+    import time
+
+    return int(time.time() * 1000) + 1000
+
+
 def test_rollup_incremental_refresh(spark, warehouse):
     from icelake_spark.queries import load_events
 
@@ -83,7 +89,7 @@ def test_refresh_survives_expired_source_snapshot(spark, warehouse):
     s = s.refresh()
     s.append(src_df.selectExpr("event_id + 200 as event_id", "ts", "value"))
     s = s.refresh()
-    expire_snapshots(s, retain_last=1)
+    expire_snapshots(s, older_than_ms=_now_plus(), retain_last=1)
     s = s.refresh()
     n = refresh_rollup(r, s, spark)
     assert n > 0

@@ -51,6 +51,12 @@ def _same(a, b):
     return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def _now_plus() -> int:
+    import time
+
+    return int(time.time() * 1000) + 1000
+
+
 @pytest.mark.parametrize("scenario", list(SCENARIOS))
 def test_partition_scenarios(spark, warehouse, wide_df, scenario):
     schema = Schema.from_spark(wide_df.schema)
@@ -129,7 +135,7 @@ def test_delete_where_and_compaction(spark, warehouse, wide_df):
     assert t.to_df(spark).count() == 6
     data, pos, eq = t.new_scan().plan_files()
     assert not pos and not eq
-    expired = expire_snapshots(t, retain_last=1)
+    expired = expire_snapshots(t, older_than_ms=_now_plus(), retain_last=1)
     assert expired == 3
     assert t.to_df(spark).count() == 6
     # reload from disk: metadata durable
@@ -235,7 +241,7 @@ def test_expire_snapshots_ref_aware(spark, warehouse):
                  max_ref_age_ms=0)  # head is already older than 0ms
     t = t.refresh()
 
-    expired = expire_snapshots(t, retain_last=1)
+    expired = expire_snapshots(t, older_than_ms=_now_plus(), retain_last=1)
     t = t.refresh()
     kept = {s.snapshot_id for s in t.metadata.snapshots}
     assert snaps[0] in kept          # tag head survives
@@ -247,7 +253,7 @@ def test_expire_snapshots_ref_aware(spark, warehouse):
     # drop the tag → its snapshot becomes expirable
     t.drop_ref("v1")
     t = t.refresh()
-    expired = expire_snapshots(t, retain_last=1)
+    expired = expire_snapshots(t, older_than_ms=_now_plus(), retain_last=1)
     t = t.refresh()
     assert expired >= 1
     assert snaps[0] not in {s.snapshot_id for s in t.metadata.snapshots}
