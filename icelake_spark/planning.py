@@ -52,19 +52,26 @@ from .types.transforms import apply_transform_py, transform_result_type
 DISTRIBUTED_PLANNING_THRESHOLD = 512
 
 
-def resolve_path(table_path: str, path: str) -> str:
-    """Map a metadata-recorded absolute path into the table's dir
-    (pure twin of IcebergTable._resolve, safe to run on executors)."""
-    p = path
+def _strip_file_scheme(p: str) -> str:
+    """'file:'-scheme → plain absolute path (file:///x, file:/x, and
+    file://x all resolve to /x). SHARED by resolve_path and
+    canon_data_path — both sides of every delete match flow through this
+    normalization, so a single implementation is the correctness
+    contract (the Spark twin canon_data_path_col mirrors it as regexps).
+    """
     if p.startswith("file:"):
-        # both file:///x and the single-slash file:/x form resolve, so
-        # this twin cannot disagree with IcebergTable._resolve on
-        # reference-era paths
         p = p[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
         if not p.startswith("/"):
             p = "/" + p
+    return p
+
+
+def resolve_path(table_path: str, path: str) -> str:
+    """Map a metadata-recorded absolute path into the table's dir
+    (pure twin of IcebergTable._resolve, safe to run on executors)."""
+    p = _strip_file_scheme(path)
     if os.path.exists(p):
         return p
     for marker in ("/data/", "/metadata/"):
@@ -79,7 +86,10 @@ def resolve_path(table_path: str, path: str) -> str:
 # ------------------------------------------------------------- predicates
 
 
-_OP_RE = re.compile(r"^(\w+)\s*(<=|>=|!=|=|==|<|>)\s*(.+)$")
+#  '==' must precede '=' in the alternation: with '=' first, a
+# no-space "a=='x'" parses as op '=' with literal "='x'" and the
+# corrupted literal PRUNES files that match (silent data loss)
+_OP_RE = re.compile(r"^(\w+)\s*(<=|>=|!=|==|=|<|>)\s*(.+)$")
 
 
 def parse_stats_preds(filter_str: str | None, schema: Schema,
@@ -118,8 +128,9 @@ def stats_keep(data_file, schema: Schema, preds) -> bool:
     """Zone-map check: can this file contain rows matching every pred?"""
     if not preds:
         return True
-    lo = data_file.decoded_bounds(schema, "lower")
-    hi = data_file.decoded_bounds(schema, "upper")
+    pred_fids = {fid for fid, _op, _v, _t in preds}
+    lo = data_file.decoded_bounds(schema, "lower", fids=pred_fids)
+    hi = data_file.decoded_bounds(schema, "upper", fids=pred_fids)
     for fid, op, val, _ft in preds:
         lo_v, hi_v = lo.get(fid), hi.get(fid)
         if lo_v is None or hi_v is None:
@@ -137,11 +148,34 @@ def stats_keep(data_file, schema: Schema, preds) -> bool:
     return True
 
 
+def _coerce_filter_value(v: Any, t: PrimitiveType) -> Any:
+    """Best-effort coercion of a partition-filter value to the source
+    column's python type (ISO strings → date/datetime, numeric strings
+    → int/float) so a convenience-typed filter still prunes correctly."""
+    import datetime as dt
+
+    if not isinstance(v, str):
+        return v
+    n = t.name
+    if n == "date":
+        return dt.date.fromisoformat(v)
+    if n in ("timestamp", "timestamptz"):
+        return dt.datetime.fromisoformat(v)
+    if n in ("int", "long"):
+        return int(v)
+    if n in ("float", "double"):
+        return float(v)
+    return v
+
+
 def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] | None,
                      ) -> dict[int, dict[str, Any]]:
     """Per-spec expected partition tuple values from a filter keyed by
     partition-field name OR source-column name (transformed here once,
-    instead of per file)."""
+    instead of per file). Pruning is a pure OPTIMIZATION: a filter value
+    that cannot be coerced/transformed for a field is SKIPPED for that
+    field (no pruning on it) instead of crashing the scan or silently
+    pruning every file via a type-mismatched comparison."""
     if not partition_filter:
         return {}
     schema = metadata.current_schema()
@@ -154,8 +188,13 @@ def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] |
             else:
                 src = schema.field_by_id(pf.source_column_id)
                 if src and src.name in partition_filter:
-                    want[pf.name] = apply_transform_py(
-                        pf.transform, partition_filter[src.name], src.field_type)
+                    try:
+                        val = _coerce_filter_value(
+                            partition_filter[src.name], src.field_type)
+                        want[pf.name] = apply_transform_py(
+                            pf.transform, val, src.field_type)
+                    except (ValueError, TypeError):
+                        continue  # unusable filter value: skip this field
         out[spec.spec_id] = want
     return out
 
@@ -282,12 +321,7 @@ def canon_data_path(p: str) -> str:
     raw absolute paths silently stops applying deletes. Both sides of
     every delete match must go through this form (Spark twin:
     `canon_data_path_col`)."""
-    if p.startswith("file:"):
-        p = p[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
-        if not p.startswith("/"):
-            p = "/" + p
+    p = _strip_file_scheme(p)
     i = p.rfind("/data/")
     return p[i + len("/data/"):] if i >= 0 else p
 

@@ -104,16 +104,9 @@ class IcebergTable:
         if snapshot_id is not None:
             return self.metadata.snapshot_by_id(snapshot_id)
         if as_of_ms is not None:
-            # restrict to main ancestry: snapshots staged on WAP branches
-            # live in metadata.snapshots but are unpublished — a
-            # timestamp read must not resolve to them
-            main_ids = self.metadata.ancestry_ids()
-            best = None
-            for s in self.metadata.snapshots:
-                if (s.snapshot_id in main_ids and s.timestamp_ms <= as_of_ms
-                        and (best is None or s.timestamp_ms > best.timestamp_ms)):
-                    best = s
-            return best
+            # ancestry-filtered in TableMetadata.snapshot_as_of (WAP
+            # branch-staged snapshots must never resolve)
+            return self.metadata.snapshot_as_of(as_of_ms)
         if ref is not None:
             s = self.metadata.snapshot_by_ref(ref)
             if s is None:

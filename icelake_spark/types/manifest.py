@@ -57,10 +57,17 @@ class DataFile:
     equality_ids: list[int] | None = None
     sort_order_id: int | None = None
 
-    def decoded_bounds(self, schema: Schema, which: str = "lower") -> dict[int, Any]:
+    def decoded_bounds(self, schema: Schema, which: str = "lower",
+                       fids=None) -> dict[int, Any]:
+        """Decoded bounds; `fids` restricts decoding to the given field
+        ids (zone-map pruning touches a handful of predicate columns —
+        decoding a whole wide schema per candidate file is the planning
+        hot path's dominant wasted work)."""
         raw = self.lower_bounds if which == "lower" else self.upper_bounds
         out: dict[int, Any] = {}
         for fid, b in (raw or {}).items():
+            if fids is not None and fid not in fids:
+                continue
             f = schema.field_by_id(fid)
             if f is not None and isinstance(f.field_type, PrimitiveType):
                 out[fid] = decode_bound(f.field_type, b)
@@ -289,8 +296,12 @@ def _pv_to_avro(v: Any, t: PrimitiveType) -> Any:
         return (v - dt.date(1970, 1, 1)).days if isinstance(v, dt.date) else int(v)
     if n in ("timestamp", "timestamptz"):
         if isinstance(v, dt.datetime):
-            epoch = (dt.datetime(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo
-                     else dt.datetime(1970, 1, 1))
+            # aware values anchor at the UTC epoch: anchoring at the
+            # value's OWN tzinfo shifts the stored micros by the UTC
+            # offset (the same bug apply_transform_py fixed), making the
+            # partition tuple disagree with its own FieldSummary bounds
+            epoch = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                     if v.tzinfo else dt.datetime(1970, 1, 1))
             return round((v - epoch).total_seconds() * 1_000_000)
         return int(v)
     if n == "decimal":
@@ -394,7 +405,8 @@ def read_manifest(path: str) -> tuple[dict, list[ManifestEntry]]:
             spec_fields = json.loads(meta["partition-spec"])
             hdr_schema = Schema.from_json_dict(json.loads(meta["schema"]))
             spec = PartitionSpec(0, tuple(
-                PartitionField.from_json(f) for f in spec_fields))
+                PartitionField.from_json(f, ordinal=i)
+                for i, f in enumerate(spec_fields)))
             ptypes = _partition_result_types(spec, hdr_schema)
     except Exception:
         ptypes = {}

@@ -35,8 +35,12 @@ class PartitionField:
                 "transform": self.transform, "name": self.name}
 
     @classmethod
-    def from_json(cls, j: dict) -> "PartitionField":
-        return cls(j["source-id"], j.get("field-id", 0), j["transform"], j["name"])
+    def from_json(cls, j: dict, ordinal: int = 0) -> "PartitionField":
+        # legacy v1 metadata omits partition field ids; the spec assigns
+        # 1000 + ordinal (a flat 0 default would collide every field and
+        # poison last_partition_id and manifest partition field-ids)
+        return cls(j["source-id"], j.get("field-id", 1000 + ordinal),
+                   j["transform"], j["name"])
 
 
 @dataclass(frozen=True)
@@ -53,7 +57,9 @@ class PartitionSpec:
 
     @classmethod
     def from_json(cls, j: dict) -> "PartitionSpec":
-        return cls(j.get("spec-id", 0), tuple(PartitionField.from_json(f) for f in j["fields"]))
+        return cls(j.get("spec-id", 0),
+                   tuple(PartitionField.from_json(f, ordinal=i)
+                         for i, f in enumerate(j["fields"])))
 
 
 @dataclass(frozen=True)
@@ -217,10 +223,15 @@ class TableMetadata:
         return ids
 
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
-        """Latest snapshot whose commit time <= timestamp_ms (time travel)."""
+        """Latest MAIN-ANCESTRY snapshot with commit time <= timestamp_ms
+        (time travel). Restricted to the current head's lineage: WAP
+        branch-staged and rolled-past snapshots live in `snapshots` but
+        are unpublished — a timestamp read must never resolve to them."""
+        main_ids = self.ancestry_ids()
         best = None
         for s in self.snapshots:
-            if s.timestamp_ms <= timestamp_ms and (best is None or s.timestamp_ms > best.timestamp_ms):
+            if (s.snapshot_id in main_ids and s.timestamp_ms <= timestamp_ms
+                    and (best is None or s.timestamp_ms > best.timestamp_ms)):
                 best = s
         return best
 
@@ -274,7 +285,8 @@ class TableMetadata:
             default_spec_id = j.get("default-spec-id", 0)
         else:  # v1 legacy: flat "partition-spec" field list
             specs = (PartitionSpec(0, tuple(
-                PartitionField.from_json(f) for f in j.get("partition-spec", []))),)
+                PartitionField.from_json(f, ordinal=i)
+                for i, f in enumerate(j.get("partition-spec", [])))),)
             default_spec_id = 0
         last_partition_id = j.get("last-partition-id")
         if last_partition_id is None:

@@ -63,7 +63,13 @@ def transform_result_type(transform: str, source_type: Any) -> PrimitiveType:
         return INT
     if name == "truncate":
         return source_type
-    return INT  # year, month, day, hour (day returns int32 days, temporal.rs:73-119)
+    # year, month, day, hour all return int32 (the reference's
+    # temporal.rs:73-119 and the spec's transform table). NOTE: Java
+    # Iceberg historically surfaces `day` as a DATE logical type over
+    # the same int32 days — the binary encodings are identical (LE int
+    # days since epoch), so manifests interoperate either way; this repo
+    # follows the reference and keeps plain int for all four.
+    return INT
 
 
 # ------------------------------------------------------------ bucket UDFs

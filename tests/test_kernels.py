@@ -234,3 +234,95 @@ def test_portable_hash_families_match_python_md5(spark):
         for i in (0, 1, 31, 63):
             lane = (exp[0] + i * exp[1]) % MINHASH_P
             assert 0 <= lane < MINHASH_P
+
+
+def test_filter_double_equals_prunes_correctly(spark, tmp_path):
+    """'col==literal' (no spaces) must parse as equality — the old
+    alternation absorbed the second '=' into the literal and PRUNED
+    files that matched (silent data loss)."""
+    from icelake_spark import StorageCatalog
+    from icelake_spark.types import Schema
+
+    cat = StorageCatalog(str(tmp_path / "wh"))
+    src = spark.createDataFrame([(i, f"n{i % 3}") for i in range(30)],
+                                "id long, name string")
+    t = cat.create_table("d.eqeq", Schema.from_spark(src.schema))
+    t.append(src)
+    rows = t.new_scan(filter="name=='n1'").to_df(spark).collect()
+    assert len(rows) == 10 and all(r.name == "n1" for r in rows)
+
+
+def test_partition_value_avro_uses_utc_epoch():
+    """An aware timestamptz partition value must store true UTC micros,
+    agreeing with encode_bound (the FieldSummary side)."""
+    import datetime as dt
+
+    from icelake_spark.types.datatypes import PrimitiveType
+    from icelake_spark.types.manifest import _pv_to_avro
+
+    tz5 = dt.timezone(dt.timedelta(hours=5))
+    v = dt.datetime(2020, 1, 1, tzinfo=tz5)
+    micros = _pv_to_avro(v, PrimitiveType("timestamptz"))
+    assert micros == int(v.timestamp() * 1_000_000) == 1577818800000000
+
+
+def test_partition_filter_string_coercion_and_degradation(spark, tmp_path):
+    """A convenience string filter on a date partition coerces and
+    prunes; an unusable value degrades to no pruning (never to a crash
+    or an empty scan)."""
+    import datetime as dt
+
+    from icelake_spark import StorageCatalog
+    from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+    cat = StorageCatalog(str(tmp_path / "wh2"))
+    src = spark.createDataFrame(
+        [(i, dt.date(2024, 1 + i % 3, 1)) for i in range(12)],
+        "id long, d date")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("d").field_id, 1000, "month", "d_month"),))
+    t = cat.create_table("d.coerce", schema, spec=spec)
+    t.append(src)
+    # ISO string coerces to date, transforms, prunes to one month
+    got = t.new_scan(partition_filter={"d": "2024-02-01"}).to_df(spark)
+    assert sorted(r.d.month for r in got.collect()) == [2, 2, 2, 2]
+    # garbage value: no pruning, full scan (not empty, not a crash)
+    assert t.new_scan(partition_filter={"d": "not-a-date"}) \
+        .to_df(spark).count() == 12
+
+
+def test_legacy_v1_partition_field_ids_assigned():
+    """v1 metadata without field-id keys gets 1000+ordinal, not 0s."""
+    from icelake_spark.types.metadata import PartitionSpec
+
+    spec = PartitionSpec.from_json({"fields": [
+        {"source-id": 1, "transform": "identity", "name": "a"},
+        {"source-id": 2, "transform": "bucket[4]", "name": "b"},
+    ]})
+    assert [f.partition_field_id for f in spec.fields] == [1000, 1001]
+
+
+def test_snapshot_as_of_skips_wap_staged(spark, tmp_path):
+    """Timestamp time travel must never resolve to an unpublished
+    branch-staged snapshot."""
+    import time
+
+    from icelake_spark import StorageCatalog
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.types import Schema
+    from icelake_spark.write import write_data_files
+
+    cat = StorageCatalog(str(tmp_path / "wh3"))
+    src = spark.createDataFrame([(1,)], "id long")
+    t = cat.create_table("d.wap", Schema.from_spark(src.schema))
+    t.append(src)
+    main_head = t.current_snapshot().snapshot_id
+    files = write_data_files(t, spark.createDataFrame([(2,)], "id long"))
+    tx = Transaction(t, branch="audit")
+    tx.add_data_files(files)
+    tx.commit("append")
+    t.refresh()
+    later = int(time.time() * 1000) + 60_000
+    got = t.metadata.snapshot_as_of(later)
+    assert got is not None and got.snapshot_id == main_head
