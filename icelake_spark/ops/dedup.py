@@ -162,6 +162,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     themselves, not their xxhash64), giving the query a value-level
     oracle; default mode hashes band lanes JVM-side for 8-byte keys.
     """
+    if num_hashes % bands != 0 or num_hashes < bands:
+        # rows=0 collapses every band key to a constant (all docs in ONE
+        # bucket, capped away) and indivisible counts silently ignore
+        # trailing lanes — both are silent recall loss, so fail loudly
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})")
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                              portable=portable)
@@ -407,13 +414,15 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                     parent[ru] = rv
         rows = [(n, find(n)) for n in parent]
         spark = edges.sparkSession
-        if not rows:
-            from pyspark.sql.types import LongType, StructField, StructType
+        # result schema mirrors the EDGE ids' own type (string doc ids
+        # would fail a hardcoded LongType — the exact trap the keep-own-
+        # type comment above guards against)
+        from pyspark.sql.types import StructField, StructType
 
-            return spark.createDataFrame(
-                [], StructType([StructField("node", LongType()),
-                                StructField("component", LongType())]))
-        return spark.createDataFrame(rows, "node long, component long")
+        id_type = e.schema["u"].dataType
+        out_schema = StructType([StructField("node", id_type),
+                                 StructField("component", id_type)])
+        return spark.createDataFrame(rows, out_schema)
     labels = (e.select("u").distinct()
               .select("u", F.col("u").alias("label")).localCheckpoint())
     for _ in range(max_iter):

@@ -83,7 +83,11 @@ def extract_features(df: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 try:
                     arr = dec(row["payload"], row.get("mime") or "")
-                except NotImplementedError:
+                except Exception:
+                    # real codecs raise TypeError/ValueError/OSError on
+                    # null or corrupt payloads (only the stub raises
+                    # NotImplementedError) — one bad row degrades to a
+                    # null-feature row, it must not abort the whole job
                     feats.append((row["media_id"], row["kind"], None, None, None))
                     continue
                 flat = arr.astype(np.float32).ravel()
@@ -126,7 +130,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     frame extractor would use, with the decode stubbed."""
     frames = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
                         F.lit(every_ms))
-    return (df.where(F.col("kind") == "video")
+    # NULL duration → no frames (greatest() skips NULLs, so without the
+    # filter an unknown-duration video fabricated a phantom ts-0 frame)
+    return (df.where((F.col("kind") == "video")
+                     & F.col("duration_ms").isNotNull())
             .select("media_id", F.explode(frames).alias("frame_ts_ms")))
 
 

@@ -2,10 +2,10 @@
 
 - `topk_cosine`: brute-force exact top-k — the correctness baseline,
   oracle-checkable against DuckDB's list_cosine_similarity.
-- `lsh_cosine_pairs` / `ann_topk_lsh`: random-hyperplane LSH — the
-  scale path. Buckets turn the quadratic pair space into per-bucket
-  joins; at 100 TB the bucket join is the only shuffle and each bucket
-  fits one task (skew-capped).
+- `lsh_cosine_pairs`: random-hyperplane LSH — the scale path. Buckets
+  turn the quadratic pair space into per-bucket joins; at 100 TB the
+  bucket join is the only shuffle and each bucket fits one task
+  (skew-capped).
 - `ivf_topk`: inverted-file ANN — sampled centroids (driver, tiny),
   cluster assignment + nprobe search as two broadcast joins.
 
@@ -53,15 +53,6 @@ def topk_cosine(df: DataFrame, query: list[float], k: int = 10,
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
-
-
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplanes (JVM arithmetic)."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
 
 
 def _lsh_buckets_udf(all_planes: list[list[list[float]]]):
@@ -272,8 +263,11 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
                   F.posexplode(v).alias("d", "x")))
     m = F.round(F.col("s").cast("double") / F.col("n"), 6)
     return (ex.groupBy("label", "d")
+            # count NON-NULL coordinates (count('*') would count NULL
+            # array elements the sum skips, understating the mean and
+            # diverging from the twin's COUNT(e[i]))
             .agg(F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).alias("s"),
-                 F.count("*").alias("n"))
+                 F.count("x").alias("n"))
             .select("label", "d", m.alias("m"), "n")
             .orderBy("label", "d"))
 

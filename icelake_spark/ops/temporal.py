@@ -32,6 +32,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     equality keys. Right columns (except keys) are emitted with
     `right_prefix`, NULL when no right row precedes the left row (or the
     match is older than the tolerance).
+
+    SCALE NOTE: with `by=None` the window has no partition keys, so the
+    whole union sorts in ONE task — fine for aligning two modest
+    streams, not for corpus-scale inputs; pass `by` keys (or pre-bucket
+    the time axis) for distributed execution.
     """
     by = by or []
     r_payload = [c for c in right.columns if c not in by]
@@ -54,8 +59,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.struct(*r_payload).alias("__r"),
     )
     u = l_side.unionByName(r_side)
-    # right rows sort before left rows at equal time → "<=" semantics
-    w = (Window.partitionBy(*by).orderBy("__t", "__is_l")
+    # right rows sort before left rows at equal time → "<=" semantics;
+    # "__r" as the final key makes ties among right rows at the SAME
+    # timestamp resolve deterministically (max struct wins) instead of
+    # by partition-internal arrival order
+    w = (Window.partitionBy(*by).orderBy("__t", "__is_l", "__r")
          .rowsBetween(Window.unboundedPreceding, 0))
     u = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
     out = u.where(F.col("__is_l") == 1)

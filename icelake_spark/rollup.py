@@ -65,14 +65,20 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
     full = _aggregate(source_table.to_df(spark), ts_col, bucket,
                       group_cols, value_col)
     known = {s.snapshot_id for s in source_table.metadata.snapshots}
-    if last is not None and last not in known:
-        # the recorded sync point was expired from the source
-        # (expire_snapshots): the changelog can no longer be computed
-        # from there — fall back to refreshing every bucket rather than
-        # wedging permanently on snapshot_by_id(last). The touched set
-        # must include the ROLLUP's own buckets too: a bucket whose
-        # source rows were all deleted is absent from `full`, and
-        # skipping it would leave its stale rollup row alive forever.
+    # full-resync triggers: the sync point was EXPIRED from the source,
+    # OR the source was ROLLED BACK past it (still in metadata.snapshots
+    # but no longer an ancestor of the head — an incremental changelog
+    # from there would exclude the whole live lineage and return empty,
+    # leaving rollup rows that aggregate rolled-back data alive forever)
+    on_lineage = (last is None
+                  or last in source_table.metadata.ancestry_ids())
+    if last is not None and (last not in known or not on_lineage):
+        # the changelog can no longer be computed from the sync point —
+        # fall back to refreshing every bucket rather than wedging
+        # permanently. The touched set must include the ROLLUP's own
+        # buckets too: a bucket whose source rows were all deleted is
+        # absent from `full`, and skipping it would leave its stale
+        # rollup row alive forever.
         touched = (full.select("bucket_start")
                    .union(rollup_table.to_df(spark).select("bucket_start"))
                    .distinct())
@@ -104,10 +110,17 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
     vanished = existing.join(refreshed_k, on=null_safe,
                              how="left_anti").select(*[
                                  F.col(f"__ex.{c}") for c in existing.columns])
+    # persist before counting: count() would otherwise evaluate the full
+    # refresh lineage (source aggregation + both joins) once, and
+    # merge_delta's own persist (below batch's lineage) a second time
     batch = (refreshed.withColumn("_op", F.lit(OP_INSERT))
-             .unionByName(vanished.withColumn("_op", F.lit(OP_DELETE))))
-    n = batch.count()
-    merge_delta(rollup_table, batch, key_cols=keys, op_col="_op")
+             .unionByName(vanished.withColumn("_op", F.lit(OP_DELETE)))
+             .persist())
+    try:
+        n = batch.count()
+        merge_delta(rollup_table, batch, key_cols=keys, op_col="_op")
+    finally:
+        batch.unpersist()
     rollup_table.set_properties({
         PROP_SOURCE_SNAPSHOT: str(source_table.current_snapshot().snapshot_id)})
     return n

@@ -172,12 +172,16 @@ def stream_from_table(spark, table,
     snap = table.current_snapshot()
     if snap is None:
         return spark.createDataFrame([], table.schema().to_spark())
-    base_seq = (table.metadata.snapshot_by_id(snapshot_id).sequence_number
-                if snapshot_id is not None else -1)
+    # the "new since snapshot_id" window is ancestry-based, not a
+    # sequence range: every v1 snapshot carries sequence 0 (a seq
+    # window would return empty forever — the same trap changelog.py
+    # documents), and ancestry also excludes WAP-staged snapshots
     main_ids = table.metadata.ancestry_ids()
+    base_ids = (table.metadata.ancestry_ids(snapshot_id)
+                if snapshot_id is not None else set())
     new_files: list[str] = []
-    for s in sorted(table.metadata.snapshots, key=lambda s: s.sequence_number):
-        if s.sequence_number <= base_seq:
+    for s in sorted(table.metadata.snapshots, key=lambda s: s.timestamp_ms):
+        if s.snapshot_id in base_ids:
             continue
         if s.snapshot_id not in main_ids:
             continue  # WAP branch-staged snapshot: not published to main

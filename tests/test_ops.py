@@ -421,3 +421,38 @@ def test_pack_documents_stream_positions(spark):
     assert (out[64].bin_id, out[64].offset) == (0, 100)   # spans bins 0-1
     assert (out[128].bin_id, out[128].offset) == (1, 92)  # 220 % 128
     assert (out[1].shard, out[1].bin_id, out[1].offset) == (1, 0, 0)
+
+
+def test_connected_components_string_ids_driver_path(spark):
+    """String doc ids must survive the driver-side union-find fast path
+    (a hardcoded LongType schema used to crash it)."""
+    from icelake_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "a string, b string")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got["doc-a"] == got["doc-b"] == got["doc-c"] == "doc-a"
+    assert got["doc-x"] == got["doc-y"] == "doc-x"
+
+
+def test_minhash_rejects_bad_band_count(spark):
+    from icelake_spark.ops.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(df, num_hashes=8, bands=16)
+    with _pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(df, num_hashes=30, bands=8)
+
+
+def test_sample_frames_null_duration_emits_nothing(spark):
+    from icelake_spark.ops.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "video", 2500), (2, "video", None), (3, "image", 1000)],
+        "media_id long, kind string, duration_ms long")
+    got = sorted((r.media_id, r.frame_ts_ms)
+                 for r in sample_frames(df, every_ms=1000).collect())
+    assert got == [(1, 0), (1, 1000), (1, 2000)]

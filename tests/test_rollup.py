@@ -131,3 +131,35 @@ def test_refresh_null_group_key_is_stable(spark, warehouse):
     roll = IcebergTable.load(roll.path)
     nulls = [r for r in roll.to_df(spark).collect() if r.country is None]
     assert len(nulls) == 1
+
+
+def test_rollup_full_resync_after_source_rollback(spark, warehouse):
+    """A rolled-back source (sync point still in metadata but off the
+    live lineage) must trigger a full resync — an incremental changelog
+    from there is empty and stale buckets would survive forever."""
+    import datetime as dt
+
+    from icelake_spark.maintenance import rollback_to
+    from icelake_spark.rollup import create_rollup, refresh_rollup
+    from icelake_spark.table import IcebergTable
+    from icelake_spark.types import Schema
+
+    rows = [(dt.datetime(2023, 1, 1, 0, 5), 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    src = warehouse.create_table("db.rb_src", Schema.from_spark(df.schema))
+    src.append(df)
+    src = src.refresh()
+    good = src.current_snapshot().snapshot_id
+    # a second commit lands in a NEW hour bucket, then rollup syncs to it
+    src.append(spark.createDataFrame(
+        [(dt.datetime(2023, 1, 1, 2, 30), 9.0)], "ts timestamp, value double"))
+    src = src.refresh()
+    roll = create_rollup(warehouse, src, "db.rb_roll", spark, value_col="value")
+    assert roll.to_df(spark).count() == 2
+    # source rolls back: the 02:00 bucket's data no longer exists
+    rollback_to(src, good)
+    src = IcebergTable.load(src.path)
+    refresh_rollup(IcebergTable.load(roll.path), src, spark)
+    roll = IcebergTable.load(roll.path)
+    got = [(r.bucket_start, r.n) for r in roll.to_df(spark).collect()]
+    assert len(got) == 1 and got[0][1] == 1  # stale 02:00 bucket removed

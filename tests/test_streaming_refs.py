@@ -477,3 +477,20 @@ def test_build_commit_updates_diffs_metadata():
     ups4, _ = rest.build_commit_updates(base, evolved)
     a4 = [u["action"] for u in ups4]
     assert "add-schema" in a4 and "set-current-schema" in a4
+
+
+def test_stream_from_table_incremental_on_v1(spark, warehouse):
+    """v1 snapshots all carry sequence 0 — the incremental window must
+    key on ancestry, or 'new since snapshot X' returns empty forever."""
+    from icelake_spark.streaming import stream_from_table
+    from icelake_spark.types import Schema
+
+    src = spark.range(20).selectExpr("id")
+    t = warehouse.create_table("db.sft_v1", Schema.from_spark(src.schema),
+                               format_version=1)
+    t.append(src.where("id < 10"))
+    t = t.refresh()
+    s1 = t.current_snapshot().snapshot_id
+    t.append(src.where("id >= 10"))
+    t = t.refresh()
+    assert stream_from_table(spark, t, snapshot_id=s1).count() == 10
