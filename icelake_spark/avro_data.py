@@ -9,9 +9,13 @@ module: schema-driven encode/decode with `avro_io`, distributed with
 write, both shared-filesystem patterns identical to how Spark tasks
 write parquet.
 
-Field-id annotations ride on the Avro schema (`field-id`), matching the
-reference's to_avro.rs:21-73 so files interop with other Iceberg
-readers.
+Field-id annotations ride on the Avro schema (`field-id` on record
+fields, `element-id` on arrays), matching the reference's
+to_avro.rs:21-73 so files resolve by id in other Iceberg readers.
+KNOWN ENCODING DIVERGENCE: decimals are written as bytes+logicalType
+and uuids as string+logicalType (the Iceberg Avro spec prefers
+fixed-width for both); self-roundtrip and field resolution are exact,
+but a strict spec reader may reject those two physical encodings.
 
 Scale notes: writes buffer at most `max_records_per_file` records
 (default 1M) per partition value before flushing a container file;
@@ -69,8 +73,12 @@ def _avro_type(t: Any, name_hint: str = "") -> Any:
         except KeyError:
             raise NotImplementedError(f"avro data files: type {t}")
     if isinstance(t, ListType):
+        # element-id annotation: Iceberg readers resolve list elements
+        # by id, not position — an un-annotated array column is
+        # unresolvable to a spec-compliant reader
         return {"type": "array",
-                "items": _avro_type(t.element_type, name_hint)}
+                "items": _avro_type(t.element_type, name_hint),
+                "element-id": t.element_id}
     raise NotImplementedError(f"avro data files: nested type {t!r}")
 
 
@@ -237,7 +245,6 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
 
     avro_schema = table_avro_schema(schema)
     conv = _converters(schema, _session_tz(df.sparkSession))
-    names = [c[0] for c in conv]
     pcols = partition_cols or []
     # default roll caps the Python-side record buffer even when the
     # caller sets no file size: rows buffer as dicts (several times
@@ -265,10 +272,17 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
                 rec = {}
                 for name, enc, _dec in conv:
                     v = vals[name]
-                    # NaN -> null; guard only scalars (an elementwise
-                    # comparison on a list/ndarray cell is ambiguous)
-                    if isinstance(v, float) and v != v:
-                        v = None
+                    # NaN/NaT -> null; guard only scalars (pd.isna on a
+                    # list/ndarray cell is elementwise and ambiguous).
+                    # NaT is an instance of datetime, so the float-NaN
+                    # check alone let a null timestamp crash the encoder
+                    if v is not None and not isinstance(v, (list, tuple)) \
+                            and not hasattr(v, "__len__"):
+                        try:
+                            if pd.isna(v):
+                                v = None
+                        except (TypeError, ValueError):
+                            pass
                     rec[name] = enc(v)
                 subdir = "/".join(f"{c}={_hive_value(vals[c])}" for c in pcols)
                 buckets.setdefault(subdir, []).append(rec)

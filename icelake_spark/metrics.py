@@ -84,9 +84,13 @@ def record_commit(table_name: str, operation: str,
     REGISTRY.inc("iceberg_data_file_total", len(data_files), table=t)
     REGISTRY.inc("iceberg_removed_file_total", removed_paths, table=t)
     # the reference's counter tracks rows the equality-delta writer
-    # INSERTED — a compaction/replace commit re-adds rewritten copies of
-    # existing rows and must not register as a phantom full-table insert
-    if operation != "replace":
+    # INSERTED — a commit that re-adds rewritten copies of existing rows
+    # must not register as a phantom full-table insert. That is any
+    # commit that REMOVED files: compaction ('replace') and CoW
+    # delete/update rewrites (which commit as 'overwrite' with
+    # removed_paths > 0); MoR 'overwrite' commits remove nothing and
+    # their adds are genuinely new/updated rows
+    if operation != "replace" and not removed_paths:
         rows = sum(f.record_count for f in data_files)
         REGISTRY.inc("iceberg_eq_delta_inserted_row_num", rows, table=t)
     for f in delete_files:
