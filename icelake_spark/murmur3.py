@@ -92,6 +92,132 @@ def hash_str(s: str) -> int:
     return hash_bytes(s.encode("utf-8"))
 
 
+def hash_bytes_vec(buf: np.ndarray, starts: np.ndarray,
+                   lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized murmur3_x86_32 over MANY variable-length byte strings.
+
+    `buf` is one uint8 array holding all inputs back to back;
+    (starts[i], lengths[i]) delimit input i — exactly the layout of an
+    Arrow string/binary array's (data, offsets) buffers, so callers
+    hash a whole Arrow batch with zero per-row Python.
+
+    Strategy: advance block index j over all strings simultaneously;
+    each iteration gathers the j-th 4-byte LE word of every string that
+    still has one and applies the mix to just those lanes. Cost is
+    O(max_blocks) numpy passes over shrinking index sets — for
+    partition-key-sized strings a handful of vectorized sweeps replaces
+    len(batch) Python hash calls. Tails and finalization are fully
+    branch-free masked ops. Returns int32, identical to hash_bytes row
+    by row (property-tested in tests/test_kernels.py).
+    """
+    n = len(starts)
+    starts = starts.astype(np.int64, copy=False)
+    lengths = lengths.astype(np.int64, copy=False)
+    h = np.full(n, seed, dtype=np.uint32)
+    nblocks = lengths // 4
+    max_b = int(nblocks.max()) if n else 0
+    b = buf
+    with np.errstate(over="ignore"):
+        for j in range(max_b):
+            act = np.nonzero(nblocks > j)[0]
+            idx = starts[act] + 4 * j
+            k = (b[idx].astype(np.uint32)
+                 | (b[idx + 1].astype(np.uint32) << np.uint32(8))
+                 | (b[idx + 2].astype(np.uint32) << np.uint32(16))
+                 | (b[idx + 3].astype(np.uint32) << np.uint32(24)))
+            k = k * np.uint32(_C1)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(_C2)
+            hh = h[act] ^ k
+            hh = (hh << np.uint32(13)) | (hh >> np.uint32(19))
+            h[act] = hh * np.uint32(5) + np.uint32(0xE6546B64)
+        tail_start = starts + nblocks * 4
+        tlen = lengths - nblocks * 4
+        k = np.zeros(n, dtype=np.uint32)
+        m3 = tlen == 3
+        m2 = tlen >= 2
+        m1 = tlen >= 1
+        if m3.any():
+            k[m3] ^= b[tail_start[m3] + 2].astype(np.uint32) << np.uint32(16)
+        if m2.any():
+            k[m2] ^= b[tail_start[m2] + 1].astype(np.uint32) << np.uint32(8)
+        if m1.any():
+            k[m1] ^= b[tail_start[m1]].astype(np.uint32)
+            km = k[m1] * np.uint32(_C1)
+            km = (km << np.uint32(15)) | (km >> np.uint32(17))
+            km = km * np.uint32(_C2)
+            h[m1] ^= km
+        h ^= lengths.astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+def _bitlen_u64(mag: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length() for non-negative uint64 values."""
+    bl = np.zeros(len(mag), dtype=np.int64)
+    m = mag.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        t = m >> np.uint64(shift)
+        has = t > 0
+        bl[has] += shift
+        m = np.where(has, t, m)
+    bl[mag > 0] += 1
+    return bl
+
+
+def decimal_be_bytes_vec(unscaled: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Minimal two's-complement big-endian encodings of int64 unscaled
+    decimals, concatenated — (buf, starts, lengths) for hash_bytes_vec.
+
+    Mirrors hash_decimal's Java-BigInteger minimal length rule (boundary
+    values like -128 need no extra sign byte), fully vectorized.
+    """
+    v = unscaled.astype(np.int64, copy=False)
+    n = len(v)
+    neg = v < 0
+    mag = np.where(neg, ~v, v).astype(np.uint64)
+    nbytes = np.maximum(1, (_bitlen_u64(mag) + 8) // 8)
+    be = v.astype(">i8").view(np.uint8).reshape(n, 8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    total = int(starts[-1] + nbytes[-1]) if n else 0
+    row_idx = np.repeat(np.arange(n), nbytes)
+    k = np.arange(total) - np.repeat(starts, nbytes)
+    col = np.repeat(8 - nbytes, nbytes) + k
+    return be[row_idx, col], starts, nbytes
+
+
+def int128_minimal_be_vec(le_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow decimal128 data buffer (n×16 little-endian int128 rows) →
+    minimal two's-complement BE encodings as (buf, starts, lengths).
+
+    Strips leading sign-filler bytes (0x00 for ≥0, 0xFF for <0) down to
+    Java BigInteger's minimal form, keeping one filler byte back when
+    the first significant byte's top bit disagrees with the sign."""
+    be = le_bytes[:, ::-1]
+    n = len(be)
+    sign = be[:, 0] >= 128
+    filler = np.where(sign, 0xFF, 0x00).astype(np.uint8)
+    is_fill = be == filler[:, None]
+    lead = np.argmin(is_fill, axis=1)
+    lead[is_fill.all(axis=1)] = 16
+    keep = 16 - lead
+    first_kept = be[np.arange(n), np.minimum(lead, 15)]
+    disagree = (first_kept >= 128) != sign
+    nbytes = np.maximum(1, keep + np.where((keep == 0) | disagree, 1, 0))
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    total = int(starts[-1] + nbytes[-1]) if n else 0
+    row_idx = np.repeat(np.arange(n), nbytes)
+    k = np.arange(total) - np.repeat(starts, nbytes)
+    col = np.repeat(16 - nbytes, nbytes) + k
+    return be[row_idx, col], starts, nbytes
+
+
 def hash_long_vec(values: np.ndarray) -> np.ndarray:
     """Vectorized murmur3_x86_32 of int64 values as 8-byte LE blocks.
 

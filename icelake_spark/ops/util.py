@@ -17,8 +17,20 @@ def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:
     to balance without drowning the scheduler; on a real cluster
     defaultParallelism scales with executors, so this stays proportional
     at any size.
+
+    At 100 TB the input already arrives in tens of thousands of splits,
+    and an unconditional repartition becomes a gratuitous full shuffle
+    of the corpus bytes — the most expensive possible no-op. So the
+    fan-out is CONDITIONAL: if the input already has >= the target
+    partition count, pass it through untouched (the small-input case
+    the docstring above argues for simply never fires at scale).
     """
     n = df.sparkSession.sparkContext.defaultParallelism * factor
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass  # plans that can't cheaply answer (e.g. streaming) still fan out
     if cols:
         return df.repartition(n, *cols)
     return df.repartition(n)

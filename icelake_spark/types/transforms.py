@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..murmur3 import hash_bytes, hash_decimal, hash_long_vec, hash_str
+from ..murmur3 import (
+    hash_bytes,
+    hash_bytes_vec,
+    hash_decimal,
+    hash_long_vec,
+    hash_str,
+    int128_minimal_be_vec,
+)
 from .datatypes import INT, PrimitiveType
 
 _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
@@ -97,32 +104,89 @@ def _bucket_int64_udf(n: int):
     return bucket
 
 
+def _arrow_bytes_view(s: pd.Series, pa_type):
+    """pandas Series → (null mask, starts, lengths, data buffer) via the
+    Arrow array's native (offsets, data) layout — zero per-row Python.
+    """
+    import pyarrow as pa
+
+    arr = pa.array(s, type=pa_type, from_pandas=True)
+    if arr.offset != 0:  # sliced view: re-materialize at offset 0
+        arr = pa.concat_arrays([arr])
+    bufs = arr.buffers()
+    nulls = arr.is_null().to_numpy(zero_copy_only=False)
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[: len(arr) + 1] \
+        .astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
+    return nulls, offsets[:-1], offsets[1:] - offsets[:-1], data
+
+
+def _mod_series(h: np.ndarray, n: int, index, nulls: np.ndarray) -> pd.Series:
+    out = ((h.astype(np.int64) & 0x7FFFFFFF) % n).astype("int32")
+    res = pd.Series(out, index=index, dtype="Int32")
+    res[nulls] = None
+    return res
+
+
 def _bucket_str_udf(n: int):
     @pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            return (hash_str(v) & 0x7FFFFFFF) % n
+        import pyarrow as pa
 
-        return s.map(one).astype("Int32")
+        nulls, starts, lengths, data = _arrow_bytes_view(s, pa.string())
+        return _mod_series(hash_bytes_vec(data, starts, lengths), n,
+                           s.index, nulls)
 
     return bucket
+
+
+_HEX_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate("0123456789abcdef"):
+    _HEX_LUT[ord(_c)] = _i
+for _i, _c in enumerate("0123456789ABCDEF"):
+    _HEX_LUT[ord(_c)] = _i
 
 
 def _bucket_uuid_udf(n: int):
     @pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
-        import uuid as _uuid
+        # spec Appendix B: uuid hashes as its 16-byte big-endian form,
+        # not the hyphenated string (bucket.rs uuid arm). Canonical
+        # 36-char rows hex-decode via a LUT entirely in numpy; any
+        # non-canonical form falls back to uuid.UUID per row.
+        import pyarrow as pa
 
-        def one(v):
-            if v is None:
-                return None
-            # spec Appendix B: uuid hashes as its 16-byte big-endian
-            # form, not the hyphenated string (bucket.rs uuid arm)
-            return (hash_bytes(_uuid.UUID(str(v)).bytes) & 0x7FFFFFFF) % n
+        nulls, starts, lengths, data = _arrow_bytes_view(s, pa.string())
+        valid = ~nulls
+        vi = np.nonzero(valid)[0]
+        hx = None
+        if len(vi) and (lengths[vi] == 36).all():
+            rows = data[starts[vi][:, None] + np.arange(36)[None, :]]
+            hyph = bool((rows[:, [8, 13, 18, 23]] == ord("-")).all())
+            cand = _HEX_LUT[np.delete(rows, [8, 13, 18, 23], axis=1)]
+            if hyph and not (cand == 255).any():
+                hx = cand
+        if hx is None and len(vi):
+            import uuid as _uuid
 
-        return s.map(one).astype("Int32")
+            def one(v):
+                if v is None:
+                    return None
+                return (hash_bytes(_uuid.UUID(str(v)).bytes) & 0x7FFFFFFF) % n
+
+            return s.map(one).astype("Int32")
+        res = pd.Series(np.zeros(len(s), dtype="int32"), index=s.index,
+                        dtype="Int32")
+        if len(vi):
+            by = ((hx[:, 0::2] << 4) | hx[:, 1::2]).astype(np.uint8)
+            h = hash_bytes_vec(by.reshape(-1),
+                               np.arange(len(vi), dtype=np.int64) * 16,
+                               np.full(len(vi), 16, dtype=np.int64))
+            res.iloc[vi] = ((h.astype(np.int64) & 0x7FFFFFFF) % n) \
+                .astype("int32")
+        res[nulls] = None
+        return res
 
     return bucket
 
@@ -130,12 +194,11 @@ def _bucket_uuid_udf(n: int):
 def _bucket_bytes_udf(n: int):
     @pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            return (hash_bytes(bytes(v)) & 0x7FFFFFFF) % n
+        import pyarrow as pa
 
-        return s.map(one).astype("Int32")
+        nulls, starts, lengths, data = _arrow_bytes_view(s, pa.binary())
+        return _mod_series(hash_bytes_vec(data, starts, lengths), n,
+                           s.index, nulls)
 
     return bucket
 
@@ -143,13 +206,30 @@ def _bucket_bytes_udf(n: int):
 def _bucket_decimal_udf(n: int, scale: int):
     @pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
-            return (hash_decimal(unscaled) & 0x7FFFFFFF) % n
+        import pyarrow as pa
 
-        return s.map(one).astype("Int32")
+        try:
+            # decimal128's data buffer IS the unscaled int128 values at
+            # the declared scale — minimal-BE encode + hash in numpy
+            arr = pa.array(s, type=pa.decimal128(38, scale),
+                           from_pandas=True)
+            if arr.offset != 0:
+                arr = pa.concat_arrays([arr])
+            nulls = arr.is_null().to_numpy(zero_copy_only=False)
+            data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+                : len(arr) * 16].reshape(-1, 16)
+            b, st, ln = int128_minimal_be_vec(data)
+            return _mod_series(hash_bytes_vec(b, st, ln), n, s.index, nulls)
+        except pa.ArrowInvalid:
+            # value at a different runtime scale (needs rounding) —
+            # match the scalar semantics per row
+            def one(v):
+                if v is None:
+                    return None
+                unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
+                return (hash_decimal(unscaled) & 0x7FFFFFFF) % n
+
+            return s.map(one).astype("Int32")
 
     return bucket
 

@@ -326,3 +326,105 @@ def test_snapshot_as_of_skips_wap_staged(spark, tmp_path):
     later = int(time.time() * 1000) + 60_000
     got = t.metadata.snapshot_as_of(later)
     assert got is not None and got.snapshot_id == main_head
+
+
+def test_hash_bytes_vec_property():
+    """Vectorized variable-length murmur3 == scalar, over random inputs
+    including empties, all tail lengths, and >16-byte strings."""
+    import random
+
+    import numpy as np
+
+    from icelake_spark import murmur3 as m
+
+    rng = random.Random(42)
+    items = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 67)))
+             for _ in range(4000)] + [b"", b"a", b"ab", b"abc", b"abcd"]
+    buf = np.frombuffer(b"".join(items), dtype=np.uint8)
+    lengths = np.array([len(x) for x in items], dtype=np.int64)
+    starts = np.zeros(len(items), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    vec = m.hash_bytes_vec(buf, starts, lengths)
+    assert (vec == np.array([m.hash_bytes(x) for x in items],
+                            dtype=np.int32)).all()
+
+
+def test_decimal_minimal_be_vec_property():
+    import random
+
+    import numpy as np
+
+    from icelake_spark import murmur3 as m
+
+    rng = random.Random(7)
+    vals = [0, 1, -1, 127, 128, -128, -129, 255, -256, 2**53 + 1,
+            -(2**62)] + [rng.randrange(-10**37, 10**37) for _ in range(3000)]
+    le = np.zeros((len(vals), 16), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        le[i] = np.frombuffer(v.to_bytes(16, "little", signed=True),
+                              dtype=np.uint8)
+    b, s, l = m.int128_minimal_be_vec(le)
+    vec = m.hash_bytes_vec(b, s, l)
+    assert (vec == np.array([m.hash_decimal(v) for v in vals],
+                            dtype=np.int32)).all()
+
+    small = np.array([v for v in vals if -2**62 <= v < 2**62],
+                     dtype=np.int64)
+    b, s, l = m.decimal_be_bytes_vec(small)
+    vec = m.hash_bytes_vec(b, s, l)
+    assert (vec == np.array([m.hash_decimal(int(v)) for v in small],
+                            dtype=np.int32)).all()
+
+
+def test_bucket_uuid_binary_spark(spark):
+    """uuid + binary bucket lanes through Spark match apply_transform_py
+    (the uuid lane's numpy hex decode vs the scalar uuid.UUID path)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from icelake_spark.types.transforms import (apply_transform_py,
+                                                bucket_column)
+
+    rows = [(str(_uuid.uuid4()).upper() if i % 3 == 0 else str(_uuid.uuid4()),
+             bytes([i % 256, (i * 7) % 256, (i * 13) % 256][: 1 + i % 3]))
+            for i in range(50)] + [(None, None)]
+    df = spark.createDataFrame(rows, "u string, b binary")
+    out = df.select(
+        bucket_column(F.col("u"), dty.UUID, 64).alias("bu"),
+        bucket_column(F.col("b"), dty.BINARY, 64).alias("bb")).collect()
+    for row, (u, b) in zip(out, rows):
+        assert row.bu == apply_transform_py("bucket[64]", u, dty.UUID)
+        assert row.bb == apply_transform_py("bucket[64]", b, dty.BINARY)
+
+
+def test_bucket_vectorized_speedup():
+    """The numpy string lane must beat the old per-row path ≥5× — a
+    bucket[N]-partitioned 100 TB ingest pays this per row."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from icelake_spark import murmur3 as m
+
+    n_rows = 1_000_000
+    words = pd.Series([f"document-{i % 9973}-{i}" for i in range(n_rows)])
+
+    t0 = time.perf_counter()
+    import pyarrow as pa
+
+    arr = pa.array(words)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    vec = m.hash_bytes_vec(data, offsets[:-1], offsets[1:] - offsets[:-1])
+    t_vec = time.perf_counter() - t0
+
+    sample = words.iloc[:100_000]
+    t0 = time.perf_counter()
+    scal = sample.map(m.hash_str)
+    t_row = (time.perf_counter() - t0) * (n_rows / len(sample))
+
+    assert (vec[:100_000] == scal.to_numpy(dtype=np.int32)).all()
+    assert t_row / t_vec >= 5, f"vectorized {t_vec:.3f}s vs per-row {t_row:.3f}s"

@@ -192,3 +192,19 @@ def test_or_filter_disables_stats_pruning(spark, warehouse):
     # plain conjuncts still prune
     pr2, _, _ = t.new_scan(filter="id >= 30000").plan_files()
     assert len(pr2) < len(full)
+
+
+def test_fanout_skips_prepartitioned_input(spark):
+    """fanout() must not reshuffle an input that already has enough
+    partitions (at 100 TB the scan arrives in tens of thousands of
+    splits; an unconditional repartition would full-shuffle the corpus
+    bytes for nothing)."""
+    from icelake_spark.ops.util import fanout
+
+    n = spark.sparkContext.defaultParallelism * 2
+    wide = spark.range(1000).repartition(n * 2, "id")
+    assert fanout(wide, F.col("id")) is wide  # pass-through, no new plan
+    narrow = spark.range(1000).coalesce(1)
+    out = fanout(narrow, F.col("id"))
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == n
