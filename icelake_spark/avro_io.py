@@ -19,6 +19,8 @@ import json
 import os
 import struct
 import zlib
+
+from .fileio import resolve_io
 from typing import Any
 
 MAGIC = b"Obj\x01"
@@ -155,8 +157,7 @@ def count_records(path: str) -> int:
     block leads with (count, byte-size), so counting skips the block
     bytes without decompressing or decoding anything — O(#blocks), not
     O(dataset)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    data = resolve_io(path).read_bytes(path)
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro container file")
@@ -181,8 +182,7 @@ def read_avro_full(path: str) -> tuple[dict, dict, list[dict]]:
     metadata map here lets read_manifest avoid a second full file read
     per manifest (at 10k manifests that was 10k redundant reads/plan).
     """
-    with open(path, "rb") as f:
-        data = f.read()
+    data = resolve_io(path).read_bytes(path)
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro container file")
@@ -339,7 +339,5 @@ def write_avro(
         w.write_long(len(block))
         w.write(block)
         w.write(sync)
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(w.out.getvalue())
-    os.replace(tmp, path)
+    # write_bytes is torn-write-safe per back end (tmp+rename locally)
+    resolve_io(path).write_bytes(path, w.out.getvalue())

@@ -1,20 +1,21 @@
 """Filesystem ("storage") catalog: resolve tables from a warehouse path
 via version-hint.text or versioned metadata files; atomic commit by
-tmp-write + rename.
+create-exclusive swap.
 
 Parity target: /root/reference/icelake/src/catalog/storage.rs
 (load :273-321, version hint :87-158, commit :175-231, update :323-352).
-Atomicity caveat (SURVEY §7): rename is atomic on POSIX but not on object
-stores; single-writer assumption matches the reference.
+All I/O goes through fileio.FileIO, so the warehouse may live on any
+pyarrow.fs-resolvable store (s3://, gs://, hdfs://) — the reference's
+opendal layer (catalog/io.rs:1-60). Atomicity (SURVEY §7): POSIX and
+memory back ends give true create-exclusive; object stores degrade to
+check-then-write (single-committer caveat, same as storage.rs on S3).
 """
 
 from __future__ import annotations
 
-import glob
-import os
 import re
-import uuid as _uuid
 
+from ..fileio import FileIO, basename, dirname, io_join, norm_path, resolve_io
 from ..types.metadata import (
     PartitionSpec,
     Schema,
@@ -35,37 +36,40 @@ class StorageCatalog:
     """A warehouse directory of tables, each at `{warehouse}/{db}/{name}`."""
 
     def __init__(self, warehouse: str):
-        self.warehouse = os.path.abspath(warehouse)
+        self.warehouse = norm_path(warehouse)
+        self.io: FileIO = resolve_io(self.warehouse)
 
     # --------------------------------------------------------------- load
 
     def table_path(self, identifier: str) -> str:
-        return os.path.join(self.warehouse, *identifier.split("."))
+        return io_join(self.warehouse, *identifier.split("."))
 
     def list_tables(self, namespace: str = "") -> list[str]:
-        base = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
-        out = []
-        for root, dirs, _files in os.walk(base):
-            if os.path.isdir(os.path.join(root, "metadata")):
-                rel = os.path.relpath(root, self.warehouse)
-                out.append(rel.replace(os.sep, "."))
-                dirs.clear()
+        base = io_join(self.warehouse, *namespace.split(".")) \
+            if namespace else self.warehouse
+        out = set()
+        marker = "/metadata/"
+        for path, _sz in self.io.list_files(base):
+            p = path.replace("\\", "/")
+            i = p.rfind(marker)
+            if i < 0:
+                continue
+            root = path[:i]
+            rel = root[len(self.warehouse):].strip("/\\")
+            if rel:
+                out.add(rel.replace("/", ".").replace("\\", "."))
         return sorted(out)
 
     def create_namespace(self, namespace: str) -> None:
-        os.makedirs(os.path.join(self.warehouse, *namespace.split(".")),
-                    exist_ok=True)
+        self.io.makedirs(io_join(self.warehouse, *namespace.split(".")))
 
     def list_namespaces(self) -> list[str]:
-        out = []
-        for root, dirs, _files in os.walk(self.warehouse):
-            if os.path.isdir(os.path.join(root, "metadata")):
-                dirs.clear()
-                parent = os.path.dirname(root)
-                if parent != self.warehouse:
-                    out.append(os.path.relpath(parent, self.warehouse)
-                               .replace(os.sep, "."))
-        return sorted(set(out))
+        out = set()
+        for ident in self.list_tables():
+            ns, _, _name = ident.rpartition(".")
+            if ns:
+                out.add(ns)
+        return sorted(out)
 
     def load_table(self, identifier: str):
         from ..table import IcebergTable
@@ -96,28 +100,26 @@ class StorageCatalog:
         from ..table import IcebergTable
 
         path = self.table_path(identifier)
-        if os.path.exists(os.path.join(path, "metadata")):
+        if self.io.list_files(io_join(path, "metadata")):
             raise FileExistsError(f"table {identifier} already exists at {path}")
         metadata = TableMetadata.new(path, schema, spec, properties,
                                      format_version=format_version, sort_order=sort_order)
-        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        self.io.makedirs(io_join(path, "metadata"))
+        self.io.makedirs(io_join(path, "data"))
         version = commit_metadata(path, metadata, new_version=1)
         return IcebergTable(path, metadata, current_version=version, catalog=self,
                             identifier=identifier)
 
     def drop_table(self, identifier: str) -> None:
-        import shutil
-
         path = self.table_path(identifier)
-        if not os.path.isdir(path):
+        if not self.io.list_files(path):
             raise FileNotFoundError(path)
-        shutil.rmtree(path)
+        self.io.remove_tree(path)
 
     def rename_table(self, src: str, dst: str) -> None:
         dst_path = self.table_path(dst)
-        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
-        os.rename(self.table_path(src), dst_path)
+        self.io.makedirs(dirname(dst_path))
+        self.io.rename(self.table_path(src), dst_path)
 
     # ------------------------------------------------------------- commit
 
@@ -150,74 +152,55 @@ def load_metadata(table_path: str) -> tuple[TableMetadata, int]:
     new commit collide with the existing next version file — a permanent
     CommitConflict livelock. A corrupt hint likewise falls back to the
     scan instead of crashing int()."""
-    meta_dir = os.path.join(table_path, "metadata")
-    hint_file = os.path.join(meta_dir, "version-hint.text")
+    io = resolve_io(table_path)
+    meta_dir = io_join(table_path, "metadata")
     hint_version = -1
-    if os.path.isfile(hint_file):
-        try:
-            with open(hint_file) as f:
-                hint_version = int(f.read().strip())
-        except (ValueError, OSError):
-            hint_version = -1
+    try:
+        hint_version = int(io.read_bytes(
+            io_join(meta_dir, "version-hint.text")).decode().strip())
+    except (ValueError, OSError, FileNotFoundError):
+        hint_version = -1
     # scan for the highest-versioned metadata file
+    listing = {basename(p): p for p, _sz in io.list_files(meta_dir)}
     best_version, best_path = -1, None
-    if not os.path.isdir(meta_dir):
-        raise FileNotFoundError(meta_dir)
-    for name in os.listdir(meta_dir):
+    for name, full in listing.items():
         m = _VERSIONED_RE.match(name) or _HASHED_RE.match(name)
         if m and int(m.group(1)) > best_version:
-            best_version, best_path = int(m.group(1)), os.path.join(meta_dir, name)
+            best_version, best_path = int(m.group(1)), full
     if hint_version >= best_version:
         version = hint_version
-        path = os.path.join(meta_dir, f"v{version}.metadata.json")
-        if not os.path.isfile(path):
-            candidates = glob.glob(os.path.join(meta_dir, f"{version:05d}-*.metadata.json"))
-            path = candidates[0] if candidates else None
-        if path is not None and os.path.isfile(path):
-            with open(path, "rb") as f:
-                return TableMetadata.from_json(f.read()), version
+        path = listing.get(f"v{version}.metadata.json")
+        if path is None:
+            for name, full in listing.items():
+                if name.startswith(f"{version:05d}-") \
+                        and name.endswith(".metadata.json"):
+                    path = full
+                    break
+        if path is not None:
+            return TableMetadata.from_json(io.read_bytes(path)), version
         # hint parses but points at a metadata file that doesn't exist
         # (truncated hint content, or cleaned-up metadata): honor the
         # docstring and fall back to the scan instead of raising
     if best_path is None:
         raise FileNotFoundError(f"no metadata files in {meta_dir}")
-    with open(best_path, "rb") as f:
-        return TableMetadata.from_json(f.read()), best_version
+    return TableMetadata.from_json(io.read_bytes(best_path)), best_version
 
 
 def commit_metadata(table_path: str, metadata: TableMetadata, new_version: int) -> int:
-    """Atomic metadata write: tmp uuid file → rename → version hint
-    (storage.rs:175-231)."""
-    meta_dir = os.path.join(table_path, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    final = os.path.join(meta_dir, f"v{new_version}.metadata.json")
-    tmp = os.path.join(meta_dir, f"{_uuid.uuid4()}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        f.write(metadata.to_json())
+    """Atomic metadata write: create-exclusive on the final name, then
+    version hint (storage.rs:175-231). The create-exclusive guarantee is
+    the back end's (hard-link swap on POSIX, locked dict on memory://,
+    check-then-write on object stores — see fileio module docstring)."""
+    io = resolve_io(table_path)
+    meta_dir = io_join(table_path, "metadata")
+    io.makedirs(meta_dir)
+    final = io_join(meta_dir, f"v{new_version}.metadata.json")
     try:
-        # os.link fails with EEXIST if `final` exists — a true atomic
-        # create-exclusive, unlike exists()+replace() which lets two
-        # concurrent committers both "win" the same version (TOCTOU)
-        os.link(tmp, final)
+        io.create_exclusive(final, metadata.to_json().encode())
     except FileExistsError:
-        os.remove(tmp)
         raise CommitConflict(f"{final} already exists")
-    except OSError:
-        # filesystem without hard links (some network/FUSE mounts):
-        # fall back to check+rename — weaker under concurrency, but the
-        # only portable option there (reference has the same caveat,
-        # storage.rs:175-231)
-        if os.path.exists(final):
-            os.remove(tmp)
-            raise CommitConflict(f"{final} already exists")
-        os.replace(tmp, final)
-        tmp = None
-    if tmp is not None:
-        os.remove(tmp)
-    hint_tmp = os.path.join(meta_dir, f"version-hint.text.tmp-{_uuid.uuid4()}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(new_version))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    io.write_bytes(io_join(meta_dir, "version-hint.text"),
+                   str(new_version).encode())
     return new_version
 
 

@@ -29,6 +29,7 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     EqualTo,
     InputPartition,
@@ -87,6 +88,22 @@ class IcelakeDataSource(DataSource):
                 "changelog=true is only supported with readStream; for a "
                 "batch changelog use IcebergTable.changes(spark)")
         return IcelakeReader(self.options, schema)
+
+    def streamReader(self, schema) -> "IcelakePartitionStreamReader":  # noqa: N802
+        """Partition-based micro-batch source (the scale path): files
+        are planned per offset range on the driver, READ ON EXECUTORS —
+        one InputPartition per data file, nothing materialized
+        driver-side. Changelog mode stays on the simple reader (its CDC
+        reconstruction is inherently driver-side for now), so raise
+        NotImplemented there and let Spark fall back."""
+        if self.options.get("changelog", "").lower() in ("true", "1"):
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader(changelog)"},
+            )
+        return IcelakePartitionStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> "IcelakeStreamReader":  # noqa: N802
         return IcelakeStreamReader(self.options, schema)
@@ -293,6 +310,123 @@ class IcelakeReader(DataSourceReader):
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
 
+def _stream_offset_of(table, s) -> int:
+    """Monotone offset for a snapshot: sequence number on format v2;
+    commit timestamp on v1 (every v1 snapshot has seq 0, so seq offsets
+    would never advance and the stream would sit empty forever)."""
+    if table.metadata.format_version >= 2:
+        return s.sequence_number
+    return s.timestamp_ms
+
+
+def _stream_end_offset(table) -> int:
+    """Max offset over MAIN-ANCESTRY snapshots only — the global
+    last_sequence_number also counts WAP branch-staged commits, so using
+    it would advance the offset past an unpublished snapshot and
+    permanently skip its rows once fast_forward publishes it."""
+    main_ids = table.metadata.ancestry_ids()
+    return max((_stream_offset_of(table, s)
+                for s in table.metadata.snapshots
+                if s.snapshot_id in main_ids), default=0)
+
+
+def _stream_files_between(table, start_seq: int,
+                          end_seq: int) -> list[tuple[str, str]]:
+    """(path, format) of data files ADDED by append snapshots in
+    (start_seq, end_seq] on the main ancestry — the deterministic replay
+    set both stream readers derive micro-batches from."""
+    from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
+
+    out: list[tuple[str, str]] = []
+    main_ids = table.metadata.ancestry_ids()
+    for s in sorted(table.metadata.snapshots,
+                    key=lambda s: s.sequence_number):
+        if s.snapshot_id not in main_ids:
+            continue  # WAP branch-staged snapshot: not published
+        if not (start_seq < _stream_offset_of(table, s) <= end_seq):
+            continue
+        if s.summary.get("operation", "append") != "append":
+            continue
+        for mle in read_manifest_list(table._resolve(s.manifest_list)):
+            if mle.added_snapshot_id != s.snapshot_id:
+                continue
+            _, entries = read_manifest(table._resolve(mle.manifest_path))
+            out.extend((table._resolve(e.data_file.file_path),
+                        (e.data_file.file_format or "PARQUET").upper())
+                       for e in entries
+                       if e.status == STATUS_ADDED
+                       and e.data_file.content == 0)
+    return out
+
+
+@dataclass
+class _StreamFileTask(InputPartition):
+    file_path: str
+    file_format: str = "PARQUET"
+
+
+class IcelakePartitionStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("icelake")` — the partition-based
+    micro-batch source. Offsets are table sequence numbers (commit
+    timestamps on v1); each micro-batch is the set of data files ADDED
+    by append snapshots in (start_seq, end_seq], one InputPartition per
+    file, read on EXECUTORS as Arrow batches. Exactly-once comes from
+    deterministic replay: partitions(start, end) re-derives the same
+    file list from the same immutable snapshot range.
+
+    This replaces the driver-materializing SimpleDataSourceStreamReader
+    for the data path (a large append snapshot would otherwise OOM the
+    driver); the simple reader remains only as the changelog prototype.
+    Parity: Iceberg's Spark streaming source semantics over the
+    reference's snapshot model (table.rs:281-304)."""
+
+    def __init__(self, options: dict, schema):
+        from .table import IcebergTable
+
+        self.options = options
+        self.spark_schema = schema
+        self.path = options["path"]
+        self.rename_map = _rename_map(IcebergTable.load(self.path))
+
+    def _table(self):
+        from .table import IcebergTable
+
+        return IcebergTable.load(self.path)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seq": int(self.options.get("starting_sequence_number", 0))}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"seq": _stream_end_offset(self._table())}
+
+    def partitions(self, start: dict, end: dict):  # driver-side planning
+        s, e = int(start["seq"]), int(end["seq"])
+        if e <= s:
+            return []
+        return [_StreamFileTask(path, fmt)
+                for path, fmt in _stream_files_between(self._table(), s, e)]
+
+    def read(self, partition: _StreamFileTask):  # executor-side
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.file_format == "ORC":
+            from pyarrow import orc as pa_orc
+
+            table = pa_orc.ORCFile(partition.file_path).read()
+        else:
+            table = pq.read_table(partition.file_path)
+        names = [f.name for f in self.spark_schema.fields]
+        arrays = []
+        for n in names:
+            arr = _resolve_column(table, n, self.rename_map)
+            arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class IcelakeStreamReader(SimpleDataSourceStreamReader):
     """`spark.readStream.format("icelake")`: snapshot-based micro-batch
     source. Offsets are table sequence numbers — each micro-batch reads
@@ -317,48 +451,14 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
         return IcebergTable.load(self.path)
 
-    @staticmethod
-    def _offset_of(table, s) -> int:
-        """Monotone offset for a snapshot: sequence number on format v2;
-        commit timestamp on v1 (every v1 snapshot has seq 0, so seq
-        offsets would never advance and the stream would sit empty
-        forever — review r3)."""
-        if table.metadata.format_version >= 2:
-            return s.sequence_number
-        return s.timestamp_ms
+    _offset_of = staticmethod(_stream_offset_of)
 
     def _end_offset(self, table) -> int:
-        # max offset over MAIN-ANCESTRY snapshots only — the global
-        # last_sequence_number also counts WAP branch-staged commits, so
-        # using it would advance the offset past an unpublished snapshot
-        # and permanently skip its rows once fast_forward publishes it
-        main_ids = table.metadata.ancestry_ids()
-        return max((self._offset_of(table, s)
-                    for s in table.metadata.snapshots
-                    if s.snapshot_id in main_ids), default=0)
+        return _stream_end_offset(table)
 
     def _files_between(self, table, start_seq: int, end_seq: int) -> list[str]:
-        from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
-
-        out: list[str] = []
-        main_ids = table.metadata.ancestry_ids()
-        for s in sorted(table.metadata.snapshots,
-                        key=lambda s: s.sequence_number):
-            if s.snapshot_id not in main_ids:
-                continue  # WAP branch-staged snapshot: not published
-            if not (start_seq < self._offset_of(table, s) <= end_seq):
-                continue
-            if s.summary.get("operation", "append") != "append":
-                continue
-            for mle in read_manifest_list(table._resolve(s.manifest_list)):
-                if mle.added_snapshot_id != s.snapshot_id:
-                    continue
-                _, entries = read_manifest(table._resolve(mle.manifest_path))
-                out.extend(table._resolve(e.data_file.file_path)
-                           for e in entries
-                           if e.status == STATUS_ADDED
-                           and e.data_file.content == 0)
-        return out
+        return [p for p, _fmt in
+                _stream_files_between(table, start_seq, end_seq)]
 
     def _rows(self, files: list[str]) -> list[tuple]:
         # materialized (not a generator): the simple-reader contract

@@ -23,7 +23,6 @@ by key, no driver state.
 
 from __future__ import annotations
 
-import os
 import uuid
 from typing import Any
 
@@ -47,27 +46,29 @@ def _write_small_parquet(table, df: DataFrame, content: int,
     """Write a delete-file DataFrame under data/ and build its DataFile."""
     import pyarrow.parquet as pq
 
-    stage = os.path.join(table.path, "data", f"del-{uuid.uuid4().hex[:16]}")
+    from .fileio import io_join, norm_path, resolve_io
+
+    io = resolve_io(table.path)
+    stage = io_join(table.path, "data", f"del-{uuid.uuid4().hex[:16]}")
     if sort_cols:
         # spec: position deletes must be sorted by (file_path, pos)
         df = df.sortWithinPartitions(*sort_cols)
-    df.write.parquet(stage)
+    df.write.parquet(io.to_spark_path(stage))
     files = []
-    for root, _d, names in os.walk(stage):
-        for n in names:
-            if n.endswith(".parquet"):
-                p = os.path.join(root, n)
-                md = pq.read_metadata(p)
-                if md.num_rows == 0:
-                    continue
-                files.append(DataFile(
-                    file_path=os.path.abspath(p),
-                    partition={},
-                    record_count=md.num_rows,
-                    file_size_in_bytes=os.path.getsize(p),
-                    content=content,
-                    equality_ids=equality_ids,
-                ))
+    for p, sz in io.list_files(stage):
+        if not p.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(io.open_input(p))
+        if md.num_rows == 0:
+            continue
+        files.append(DataFile(
+            file_path=norm_path(p),
+            partition={},
+            record_count=md.num_rows,
+            file_size_in_bytes=sz,
+            content=content,
+            equality_ids=equality_ids,
+        ))
     return files
 
 
@@ -181,11 +182,23 @@ def delete_rows(table, spark, condition: str) -> None:
 
     from .table import read_data_files as _rdf
 
+    from .planning import canon_data_path
+
     scan = table.new_scan(apply_deletes=True)
     data, pos_t, eq_t = scan.plan_files(spark)
     if not data:
         return
     spark_schema = table.schema().to_spark()
+
+    # Spark's __file column carries the JVM spelling (file:/..., s3a://)
+    # while manifests record the table-scheme path (s3://, mock://) —
+    # map back through the location-independent canon form, or CoW
+    # rewrites on URI tables would match zero planned tasks
+    _canon_to_recorded = {canon_data_path(t.data_file.file_path):
+                          t.data_file.file_path for t in data}
+
+    def _recorded(f: str) -> str:
+        return _canon_to_recorded.get(canon_data_path(f), f)
 
     def _live(tasks_, keep_helpers: bool) -> DataFrame:
         """Read data files with existing pos/eq deletes APPLIED — matching
@@ -205,9 +218,11 @@ def delete_rows(table, spark, condition: str) -> None:
         """Rewrite `affected` files without the matching rows."""
         from .write import write_data_files
 
+        from .fileio import norm_path
+
         tasks = [t for t in data
-                 if os.path.abspath(t.data_file.file_path) in
-                 {os.path.abspath(a) for a in affected}]
+                 if norm_path(t.data_file.file_path) in
+                 {norm_path(a) for a in affected}]
         # SQL DELETE keeps rows where the condition is NULL, so the
         # survivor filter must be NOT(coalesce(cond, false)) — a bare
         # NOT(cond) silently drops NULL-condition rows (data loss)
@@ -219,9 +234,9 @@ def delete_rows(table, spark, condition: str) -> None:
 
     mode = table.metadata.properties.get("write.delete.mode", "merge-on-read")
     if table.metadata.format_version == 1 or mode == "copy-on-write":
-        affected = [r.f for r in (raw.where(condition)
-                                  .select(F.col("__file").alias("f"))
-                                  .distinct().collect())]
+        affected = [_recorded(r.f) for r in (raw.where(condition)
+                                             .select(F.col("__file").alias("f"))
+                                             .distinct().collect())]
         if not affected:
             return
         tx = Transaction(table)
@@ -240,7 +255,8 @@ def delete_rows(table, spark, condition: str) -> None:
             *[f.name for f in spark_schema.fields]).alias("row"))
     matched = raw.where(condition).select(*sel)
     pq_matches = matched.where(F.col("pos").isNotNull())
-    non_pq_files = [r.file_path for r in matched.where(F.col("pos").isNull())
+    non_pq_files = [_recorded(r.file_path)
+                    for r in matched.where(F.col("pos").isNull())
                     .select("file_path").distinct().collect()]
     tx = Transaction(table)
     has_pos = bool(pq_matches.take(1))
@@ -274,12 +290,21 @@ def update_rows(table, spark, condition: str,
     if bad:
         raise ValueError(f"unknown columns in SET: {sorted(bad)}")
 
+    from .planning import canon_data_path
+
     scan = table.new_scan(apply_deletes=True)
     data, pos_t, eq_t = scan.plan_files(spark)
     if not data:
         return
     spark_schema = table.schema().to_spark()
     types = {f.name: f.dataType for f in spark_schema.fields}
+
+    # see delete_rows: __file (JVM spelling) → recorded manifest path
+    _canon_to_recorded = {canon_data_path(t.data_file.file_path):
+                          t.data_file.file_path for t in data}
+
+    def _recorded(f: str) -> str:
+        return _canon_to_recorded.get(canon_data_path(f), f)
 
     def _live(tasks_, keep_helpers: bool) -> DataFrame:
         """Read with existing pos/eq deletes applied (see delete_rows):
@@ -310,9 +335,11 @@ def update_rows(table, spark, condition: str,
     raw = _live(data, keep_helpers=True)
 
     def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
-        keys = {os.path.abspath(a) for a in affected}
+        from .fileio import norm_path
+
+        keys = {norm_path(a) for a in affected}
         tasks = [t for t in data
-                 if os.path.abspath(t.data_file.file_path) in keys]
+                 if norm_path(t.data_file.file_path) in keys]
         rewritten = _apply_set(_live(tasks, keep_helpers=False),
                                only_matching=False) \
             .repartition(max(1, len(affected)))
@@ -321,9 +348,9 @@ def update_rows(table, spark, condition: str,
 
     mode = table.metadata.properties.get("write.update.mode", "merge-on-read")
     if table.metadata.format_version == 1 or mode == "copy-on-write":
-        affected = [r.f for r in (raw.where(condition)
-                                  .select(F.col("__file").alias("f"))
-                                  .distinct().collect())]
+        affected = [_recorded(r.f) for r in (raw.where(condition)
+                                             .select(F.col("__file").alias("f"))
+                                             .distinct().collect())]
         if not affected:
             return
         tx = Transaction(table)
@@ -333,7 +360,8 @@ def update_rows(table, spark, condition: str,
 
     matched = raw.where(condition)
     pq_matches = matched.where(F.col("__pos").isNotNull())
-    non_pq_files = [r.file_path for r in matched.where(F.col("__pos").isNull())
+    non_pq_files = [_recorded(r.file_path)
+                    for r in matched.where(F.col("__pos").isNull())
                     .select(F.col("__file").alias("file_path"))
                     .distinct().collect()]
     tx = Transaction(table)
@@ -364,32 +392,59 @@ def update_rows(table, spark, condition: str,
 def merge(table, spark, source: DataFrame, on: list[str],
           when_matched: str | None = "update",
           matched_condition: str | None = None,
-          when_not_matched: str | None = "insert") -> None:
+          when_not_matched: str | None = "insert",
+          matched_clauses: list[tuple[str, str | None]] | None = None) -> None:
     """MERGE INTO semantics over the delta writer (the SQL-DML face of
     W7/W8): source rows whose keys exist in the target are updated
-    (replace: eq-delete old + insert new) or deleted per `when_matched`
-    (optionally gated by `matched_condition`, evaluated against the
-    SOURCE row); keys absent from the target insert per
-    `when_not_matched`. One transactional commit.
+    (replace: eq-delete old + insert new) or deleted per the matched
+    clauses; keys absent from the target insert per `when_not_matched`.
+    One transactional commit.
+
+    Matched clauses come in two forms:
+    - `when_matched` + `matched_condition`: the single-clause shorthand;
+    - `matched_clauses=[(action, condition), ...]`: ORDERED conditional
+      clauses with first-match-wins semantics (Spark/Iceberg `MERGE
+      INTO ... WHEN MATCHED AND c1 THEN ... WHEN MATCHED AND c2 THEN
+      ...`): each matched source row takes the first clause whose
+      condition holds; rows matching no clause are untouched. Conditions
+      evaluate against the SOURCE row; a None condition always matches
+      (so only the last clause may omit it, as in Spark).
 
     The matched/not-matched split is a broadcast semi/anti join against
     the target's distinct keys — the only target-side data read is the
     key projection, so a small merge into a huge table never scans
-    non-key columns.
+    non-key columns; the clause dispatch is one CASE WHEN column, not
+    one pass per clause.
     """
-    if when_matched not in ("update", "delete", None):
-        raise ValueError("when_matched must be update|delete|None")
+    if matched_clauses is None:
+        if when_matched not in ("update", "delete", None):
+            raise ValueError("when_matched must be update|delete|None")
+        matched_clauses = ([] if when_matched is None else
+                           [(when_matched, matched_condition)])
+    for i, (action, cond) in enumerate(matched_clauses):
+        if action not in ("update", "delete"):
+            raise ValueError(f"matched clause action must be update|delete, "
+                             f"got {action!r}")
+        if cond is None and i != len(matched_clauses) - 1:
+            raise ValueError("only the last WHEN MATCHED clause may omit "
+                             "its condition (first-match-wins)")
     if when_not_matched not in ("insert", None):
         raise ValueError("when_not_matched must be insert|None")
     existing = table.to_df(spark).select(*on).distinct()
-    matched = source.join(existing, on=on, how="left_semi")
-    if matched_condition:
-        matched = matched.where(matched_condition)
     parts = []
-    if when_matched == "update":
-        parts.append(matched.withColumn("_op", F.lit(OP_INSERT)))
-    elif when_matched == "delete":
-        parts.append(matched.withColumn("_op", F.lit(OP_DELETE)))
+    if matched_clauses:
+        matched = source.join(existing, on=on, how="left_semi")
+        # first-match-wins: one CASE WHEN picks the clause index per row
+        op_of = {"update": OP_INSERT, "delete": OP_DELETE}
+        dispatch = None
+        for action, cond in matched_clauses:
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            op = F.lit(op_of[action])
+            dispatch = (F.when(c, op) if dispatch is None
+                        else dispatch.when(c, op))
+        matched = (matched.withColumn("_op", dispatch)
+                   .where(F.col("_op").isNotNull()))
+        parts.append(matched)
     if when_not_matched == "insert":
         not_matched = source.join(existing, on=on, how="left_anti")
         parts.append(not_matched.withColumn("_op", F.lit(OP_INSERT)))

@@ -11,7 +11,7 @@ commit a "replace" snapshot (operation classification per
 
 from __future__ import annotations
 
-import os
+from .fileio import io_join, norm_path, resolve_io
 import time
 
 from pyspark.sql import SparkSession
@@ -143,13 +143,13 @@ def expire_snapshots(table, older_than_ms: int | None = None,
             for s in snaps:
                 try:
                     ml = table._resolve(s.manifest_list)
-                    manifests.add(os.path.abspath(ml))
+                    manifests.add(norm_path(ml))
                     for mle in read_manifest_list(ml):
                         mp = table._resolve(mle.manifest_path)
-                        manifests.add(os.path.abspath(mp))
+                        manifests.add(norm_path(mp))
                         _, entries = read_manifest(mp)
                         for e in entries:
-                            datafiles.add(os.path.abspath(
+                            datafiles.add(norm_path(
                                 table._resolve(e.data_file.file_path)))
                 except FileNotFoundError:
                     continue
@@ -169,11 +169,9 @@ def expire_snapshots(table, older_than_ms: int | None = None,
         last_updated_ms=int(time.time() * 1000),
     )
     table._commit_metadata(new_metadata)
+    io = resolve_io(table.path)
     for p in to_delete:
-        try:
-            os.remove(p)
-        except OSError:
-            pass
+        io.delete_quiet(p)
     return len(expired)
 
 
@@ -194,7 +192,7 @@ def remove_orphan_files(table, older_than_ms: int | None = None) -> int:
             for mle in read_manifest_list(table._resolve(s.manifest_list)):
                 _, entries = read_manifest(table._resolve(mle.manifest_path))
                 for e in entries:
-                    referenced.add(os.path.abspath(table._resolve(e.data_file.file_path)))
+                    referenced.add(norm_path(table._resolve(e.data_file.file_path)))
         except FileNotFoundError:
             continue
     if older_than_ms is None:
@@ -202,21 +200,21 @@ def remove_orphan_files(table, older_than_ms: int | None = None) -> int:
     else:
         cutoff = older_than_ms / 1000
     removed = 0
-    data_dir = os.path.join(table.path, "data")
-    for root, _d, names in os.walk(data_dir):
-        for n in names:
-            p = os.path.abspath(os.path.join(root, n))
-            if not p.endswith((".parquet", ".orc", ".avro")) \
-                    or p in referenced:
-                continue
-            try:
-                # getmtime inside the guard too: a concurrent cleanup
-                # may delete the file between os.walk and the stat
-                if os.path.getmtime(p) < cutoff:
-                    os.remove(p)
-                    removed += 1
-            except OSError:
-                pass
+    io = resolve_io(table.path)
+    data_dir = io_join(table.path, "data")
+    for raw, _sz in io.list_files(data_dir):
+        p = norm_path(raw)
+        if not p.endswith((".parquet", ".orc", ".avro")) \
+                or p in referenced:
+            continue
+        try:
+            # mtime inside the guard too: a concurrent cleanup may
+            # delete the file between the listing and the stat
+            if io.mtime(raw) < cutoff:
+                io.delete(raw)
+                removed += 1
+        except (OSError, FileNotFoundError):
+            pass
     return removed
 
 
@@ -277,7 +275,7 @@ def rewrite_manifests(table) -> int:
     if n_before <= 1:
         return n_before
 
-    meta_dir = os.path.join(table.path, "metadata")
+    meta_dir = io_join(table.path, "metadata")
     commit_uuid = str(_uuid.uuid4())
     # max over ALL snapshots, not parent+1: after rollback_to an earlier
     # snapshot, parent+1 collides with an existing id and snapshot_by_id
@@ -311,14 +309,14 @@ def rewrite_manifests(table) -> int:
             surv_spec = md.spec_by_id(spec_id)
         except KeyError:  # trimmed spec history (same guard as Transaction)
             surv_spec = md.default_spec()
-        m_path = os.path.join(
+        m_path = io_join(
             meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
         mle = write_manifest(m_path, survivors, surv_spec,
                              schema, snapshot_id, md.format_version,
                              MANIFEST_CONTENT_DATA, sequence_number=seq)
         new_list_entries.append(mle)
 
-    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    ml_path = io_join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
     write_manifest_list(ml_path, new_list_entries, snapshot_id,
                         parent.snapshot_id, seq, md.format_version)
     snapshot = Snapshot(

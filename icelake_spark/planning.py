@@ -70,7 +70,24 @@ def _strip_file_scheme(p: str) -> str:
 
 def resolve_path(table_path: str, path: str) -> str:
     """Map a metadata-recorded absolute path into the table's dir
-    (pure twin of IcebergTable._resolve, safe to run on executors)."""
+    (pure twin of IcebergTable._resolve, safe to run on executors).
+
+    URI table paths (s3://...) never probe existence — that's one HTTP
+    round trip per file; a recorded path already under the table root
+    passes through, anything else re-roots by the data/metadata marker
+    unconditionally (a relocated table's files ARE under the new root).
+    """
+    from .fileio import io_join, is_uri
+
+    if is_uri(table_path):
+        if path.startswith(table_path):
+            return path
+        p = _strip_file_scheme(path) if not is_uri(path) else path
+        for marker in ("/data/", "/metadata/"):
+            i = p.rfind(marker)
+            if i >= 0:
+                return io_join(table_path, p[i + 1:])
+        return path
     p = _strip_file_scheme(path)
     if os.path.exists(p):
         return p

@@ -11,8 +11,11 @@ writer implements —
 
     MERGE INTO <target_ident> [AS t] USING <source_view> [AS s]
     ON <key equalities: t.k = s.k [AND ...]>
-    [WHEN MATCHED [AND <condition>] THEN UPDATE SET * | DELETE]
+    [WHEN MATCHED [AND <condition>] THEN UPDATE SET * | DELETE]...
     [WHEN NOT MATCHED THEN INSERT *]
+
+Multiple WHEN MATCHED clauses are ordered with first-match-wins
+semantics (Spark's contract); only the last may omit its AND condition.
 
 `UPDATE SET *` / `INSERT *` (whole-row replace/insert) mirror
 merge-on-read CDC semantics: an update is an equality delete of the old
@@ -92,27 +95,29 @@ def merge_into(spark: SparkSession, statement: str,
     keys = _parse_on(m.group("on"), talias, salias)
 
     clauses = m.group("clauses") or ""
-    when_matched = None
-    matched_condition = None
     when_not_matched = None
-    matched_all = list(_MATCHED_RE.finditer(clauses))
-    if len(matched_all) > 1:
-        raise ValueError("multiple WHEN MATCHED clauses are not supported "
-                         "(delta.merge applies one matched action)")
-    matched_m = matched_all[0] if matched_all else None
-    if matched_m:
+    # ordered WHEN MATCHED clauses, first-match-wins (Spark semantics);
+    # delta.merge enforces that only the LAST clause may omit AND
+    matched_clauses: list[tuple[str, str | None]] = []
+    for matched_m in _MATCHED_RE.finditer(clauses):
         action = re.sub(r"\s+", " ", matched_m.group("action")).upper()
-        when_matched = "update" if action == "UPDATE SET *" else "delete"
-        matched_condition = matched_m.group("cond")
-        if matched_condition:
+        act = "update" if action == "UPDATE SET *" else "delete"
+        cond = matched_m.group("cond")
+        if cond:
             # the condition evaluates against the SOURCE row (delta.merge
             # contract); allow the source alias as a qualifier, reject the
             # target's (target non-key columns are never read)
-            if re.search(rf"\b{re.escape(talias)}\.", matched_condition):
+            if re.search(rf"\b{re.escape(talias)}\.", cond):
                 raise ValueError("WHEN MATCHED AND may only reference "
                                  "source columns")
-            matched_condition = re.sub(rf"\b{re.escape(salias)}\.", "",
-                                       matched_condition).strip()
+            cond = re.sub(rf"\b{re.escape(salias)}\.", "", cond).strip()
+        matched_clauses.append((act, cond))
+    for i, (_act, cond) in enumerate(matched_clauses):
+        # surface the ordering error at parse time, before table load
+        # (delta.merge re-checks for DataFrame-API callers)
+        if cond is None and i != len(matched_clauses) - 1:
+            raise ValueError("only the last WHEN MATCHED clause may omit "
+                             "its AND condition (first-match-wins)")
     if _NOT_MATCHED_RE.search(clauses):
         when_not_matched = "insert"
     # reject clause text neither recognizer consumed (e.g. UPDATE SET col=..,
@@ -120,7 +125,7 @@ def merge_into(spark: SparkSession, statement: str,
     residue = _NOT_MATCHED_RE.sub("", _MATCHED_RE.sub("", clauses)).strip()
     if residue:
         raise ValueError(f"unsupported MERGE clause: {residue[:80]!r}")
-    if when_matched is None and when_not_matched is None:
+    if not matched_clauses and when_not_matched is None:
         raise ValueError("MERGE needs at least one WHEN clause")
 
     from .table import IcebergTable
@@ -132,7 +137,6 @@ def merge_into(spark: SparkSession, statement: str,
         table = IcebergTable.load(ident)
     source = source_df if source_df is not None else spark.table(m.group("source"))
     delta.merge(table, spark, source, on=keys,
-                when_matched=when_matched,
-                matched_condition=matched_condition,
+                matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched)
     return table

@@ -418,19 +418,22 @@ class IcebergTable:
         from .transaction import Transaction
         from .types.manifest import DataFile
 
+        from .fileio import dirname, norm_path, resolve_io
+
         entries = []
         for p in paths:
-            p = os.path.abspath(p)
+            p = norm_path(p)
+            fio = resolve_io(p)
             if file_format.upper() == "PARQUET":
                 from .write import _build_data_file
 
-                df_entry = _build_data_file(p, os.path.dirname(p),
-                                            self.schema(), {})
+                df_entry = _build_data_file(p, dirname(p),
+                                            self.schema(), {}, io=fio)
             else:
                 df_entry = DataFile(file_path=p, file_format=file_format.upper(),
                                     partition=partition or {},
                                     record_count=-1,
-                                    file_size_in_bytes=os.path.getsize(p))
+                                    file_size_in_bytes=fio.size(p))
                 # record_count unknown without a format-specific footer
                 # reader; use Spark to count once (driver-side, small)
                 from pyspark.sql import SparkSession
@@ -449,7 +452,7 @@ class IcebergTable:
                     # totals and stats() forever
                     from pyarrow import orc as _orc
 
-                    df_entry.record_count = _orc.ORCFile(p).nrows
+                    df_entry.record_count = _orc.ORCFile(fio.open_input(p)).nrows
             if partition:
                 df_entry.partition = dict(partition)
             entries.append(df_entry)
@@ -804,8 +807,10 @@ class TableScan:
         seq_df = spark.createDataFrame(seq_rows, "__file_c string, __data_seq long")
         df = df.join(F.broadcast(seq_df), on="__file_c", how="left")
 
+        from .fileio import to_spark_paths
+
         if pos:
-            pd_paths = [t.delete_file.file_path for t in pos]
+            pd_paths = to_spark_paths([t.delete_file.file_path for t in pos])
             # delete-file seq per source parquet file
             pseq = spark.createDataFrame(
                 [(canon_data_path(t.delete_file.file_path), t.sequence_number)
@@ -842,7 +847,8 @@ class TableScan:
                 "__src string, __del_seq long")
             # a key deleted at seq S covers all data with seq < S; keep
             # the max seq per key so one row per key suffices
-            del_df = (spark.read.parquet(*[t.delete_file.file_path for t in tasks])
+            del_df = (spark.read.parquet(*to_spark_paths(
+                          [t.delete_file.file_path for t in tasks]))
                       .withColumn("__src", canon_data_path_col(
                           F.col("_metadata.file_path")))
                       .join(F.broadcast(seq_map), on="__src", how="left")
@@ -872,10 +878,13 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
     pseudo-column must be projected inside each format branch because it
     does not survive a union.
     """
+    from .fileio import to_spark_paths
+
     by_fmt: dict[str, list[str]] = {}
     for t in tasks:
         by_fmt.setdefault((t.data_file.file_format or "PARQUET").upper(),
                           []).append(t.data_file.file_path)
+    by_fmt = {fmt: to_spark_paths(paths) for fmt, paths in by_fmt.items()}
     parts = []
     for fmt, paths in by_fmt.items():
         reader = spark.read.schema(spark_schema)

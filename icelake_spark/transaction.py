@@ -13,9 +13,10 @@ All driver-side: manifests are KB-scale Avro; no Spark job involved.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
+
+from .fileio import basename, io_join, norm_path, resolve_io
 
 from .types.manifest import (
     CONTENT_DATA,
@@ -76,7 +77,7 @@ class Transaction:
         return self
 
     def remove_data_files(self, paths: list[str]) -> "Transaction":
-        self._removed_paths.update(os.path.abspath(p) for p in paths)
+        self._removed_paths.update(norm_path(p) for p in paths)
         return self
 
     def remove_all_existing(self) -> "Transaction":
@@ -129,8 +130,8 @@ class Transaction:
     def _commit_once(self, operation: str | None = None) -> Snapshot:
         table = self.table
         metadata = table.metadata
-        meta_dir = os.path.join(table.path, "metadata")
-        os.makedirs(meta_dir, exist_ok=True)
+        meta_dir = io_join(table.path, "metadata")
+        resolve_io(table.path).makedirs(meta_dir)
 
         from .types.metadata import MAIN_BRANCH
 
@@ -194,7 +195,7 @@ class Transaction:
                         continue
                     e.data_file.file_path = table._resolve(e.data_file.file_path)
                     dropped = self._remove_all or (
-                        os.path.abspath(e.data_file.file_path) in self._removed_paths)
+                        norm_path(e.data_file.file_path) in self._removed_paths)
                     if dropped:
                         removed_count += 1
                         removed_rows += e.data_file.record_count
@@ -212,7 +213,7 @@ class Transaction:
                     surv_spec = metadata.spec_by_id(spec_id)
                 except KeyError:
                     surv_spec = spec
-                m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+                m_path = io_join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
                 mle = write_manifest(m_path, survivors, surv_spec, schema, snapshot_id,
                                      metadata.format_version, MANIFEST_CONTENT_DATA,
                                      sequence_number=seq)
@@ -222,7 +223,7 @@ class Transaction:
         if self._added_data:
             entries = [ManifestEntry(STATUS_ADDED, f, snapshot_id, seq)
                        for f in self._added_data]
-            m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+            m_path = io_join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
             mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
                                  metadata.format_version, MANIFEST_CONTENT_DATA,
                                  sequence_number=seq)
@@ -232,14 +233,14 @@ class Transaction:
         if self._added_deletes:
             entries = [ManifestEntry(STATUS_ADDED, f, snapshot_id, seq)
                        for f in self._added_deletes]
-            m_path = os.path.join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+            m_path = io_join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
             mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
                                  metadata.format_version, MANIFEST_CONTENT_DELETES,
                                  sequence_number=seq)
             new_list_entries.append(mle)
 
         # manifest list
-        ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+        ml_path = io_join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
         write_manifest_list(ml_path, new_list_entries, snapshot_id,
                             parent.snapshot_id if parent else None, seq,
                             metadata.format_version)
@@ -316,7 +317,7 @@ class Transaction:
 
     def _table_name(self) -> str:
         ident = getattr(self.table, "identifier", None)
-        return str(ident) if ident else os.path.basename(self.table.path)
+        return str(ident) if ident else basename(self.table.path)
 
     def _classify(self) -> str:
         has_adds = bool(self._added_data or self._added_deletes)

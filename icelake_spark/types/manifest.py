@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .. import avro_io
+from ..fileio import resolve_io
 from .datatypes import (PrimitiveType, Schema, decode_bound, encode_bound,
                         type_to_json)
 from .metadata import PartitionField, PartitionSpec
@@ -526,8 +527,6 @@ def write_manifest(
     if format_version >= 2:
         meta["content"] = "data" if content == MANIFEST_CONTENT_DATA else "deletes"
     avro_io.write_avro(path, avro_schema, records, metadata=meta)
-    import os
-
     if sequence_number is not None and (
             min_seq is None or any(e.sequence_number is None for e in entries)):
         # None-seq entries inherit the commit's sequence number
@@ -535,7 +534,7 @@ def write_manifest(
                                                               sequence_number)
     return ManifestListEntry(
         manifest_path=path,
-        manifest_length=os.path.getsize(path),
+        manifest_length=resolve_io(path).size(path),
         partition_spec_id=spec.spec_id,
         content=content,
         sequence_number=sequence_number if sequence_number is not None else 0,

@@ -22,7 +22,6 @@ SURVEY §7 risk 8.
 from __future__ import annotations
 
 import datetime as dt
-import os
 import urllib.parse
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -32,6 +31,15 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fileio import (
+    FileIO,
+    dirname,
+    io_join,
+    is_uri,
+    norm_path,
+    rel_under,
+    resolve_io,
+)
 from .types.datatypes import PrimitiveType, Schema, encode_bound
 from .types.manifest import CONTENT_DATA, DataFile
 from .types.metadata import PartitionSpec
@@ -121,7 +129,8 @@ def write_data_files(
     spec = metadata.default_spec()
     schema = metadata.current_schema()
     props = metadata.properties
-    stage = os.path.join(table.path, "data", uuid.uuid4().hex[:16])
+    io = resolve_io(table.path)
+    stage = io_join(table.path, "data", uuid.uuid4().hex[:16])
 
     # align column order AND types with the table schema: a bare
     # select would let e.g. an int column land in a long field as
@@ -203,6 +212,10 @@ def write_data_files(
         # avro tasks have no output committer: inventory ONLY the paths
         # the winning task attempts returned, never the stage dir walk
         # (a retried/speculative attempt may leave orphan part files)
+        if is_uri(table.path):
+            raise NotImplementedError(
+                "avro data files go through the local pure-Python codec; "
+                "use parquet/orc for object-store tables")
         avro_paths = write_avro_data(writer_df, stage, schema,
                                      partition_cols=pnames,
                                      max_records_per_file=max_records_per_file)
@@ -211,13 +224,13 @@ def write_data_files(
                   if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true"]
         if blooms:
             w = w.option("orc.bloom.filter.columns", ",".join(blooms))
-        w.orc(stage)
+        w.orc(io.to_spark_path(stage))
     elif file_format == "parquet":
         for k, v in props.items():  # parquet bloom filters (config.rs:74-93)
             if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true":
                 col = k[len(PROP_BLOOM_PREFIX):]
                 w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
-        w.parquet(stage)
+        w.parquet(io.to_spark_path(stage))
     else:
         raise ValueError(f"unsupported {PROP_FORMAT}={file_format} "
                          "(parquet|orc|avro)")
@@ -228,21 +241,18 @@ def write_data_files(
     if avro_paths is not None:
         paths = list(avro_paths)
     else:
-        paths = []
-        for root, _dirs, files in os.walk(stage):
-            for name in files:
-                if name.endswith((".parquet", ".orc")):
-                    paths.append(os.path.join(root, name))
+        paths = [f for f, _sz in io.list_files(stage)
+                 if f.endswith((".parquet", ".orc"))]
     result_types = {
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
     }
     if len(paths) > DISTRIBUTED_STATS_THRESHOLD:
         return _build_data_files_distributed(
-            table, paths, stage, schema, result_types, sort_order_id)
+            table, paths, stage, schema, result_types, sort_order_id, io)
     with ThreadPoolExecutor(max_workers=16) as pool:
         out = list(pool.map(
             lambda p: _build_data_file(p, stage, schema, result_types,
-                                       sort_order_id), paths))
+                                       sort_order_id, io), paths))
     return out
 
 
@@ -282,7 +292,7 @@ def _coalesce_to_target(df: DataFrame, props, target_file_size):
 
 
 def _build_data_files_distributed(table, paths, stage, schema, result_types,
-                                  sort_order_id) -> list[DataFile]:
+                                  sort_order_id, io: FileIO) -> list[DataFile]:
     """Footer-stat collection as a Spark job: executors read parquet
     footers with pyarrow and return pickled DataFile entries. Keeps the
     driver's work at O(#files) metadata assembly only."""
@@ -296,7 +306,7 @@ def _build_data_files_distributed(table, paths, stage, schema, result_types,
         with ThreadPoolExecutor(max_workers=16) as pool:
             return list(pool.map(
                 lambda p: _build_data_file(p, stage, schema, result_types,
-                                           sort_order_id), paths))
+                                           sort_order_id, io), paths))
 
     import pandas as pd
 
@@ -305,7 +315,7 @@ def _build_data_files_distributed(table, paths, stage, schema, result_types,
             out = []
             for p in pdf["path"]:
                 df_entry = _build_data_file(p, stage, schema, result_types,
-                                            sort_order_id)
+                                            sort_order_id, io)
                 out.append(pickle.dumps(df_entry))
             yield pd.DataFrame({"blob": out})
 
@@ -347,14 +357,17 @@ def _parse_hive_value(raw: str, t: PrimitiveType) -> Any:
 
 def _build_data_file(path: str, stage: str, schema: Schema,
                      result_types: dict[str, tuple[str, PrimitiveType]],
-                     sort_order_id: int | None = None) -> DataFile:
+                     sort_order_id: int | None = None,
+                     io: FileIO | None = None) -> DataFile:
     import pyarrow.parquet as pq
 
+    if io is None:
+        io = resolve_io(path)
     # partition tuple from hive dirs between stage and the file
     partition: dict[str, Any] = {}
-    rel = os.path.relpath(os.path.dirname(path), stage)
+    rel = rel_under(stage, dirname(path))
     if rel != ".":
-        for comp in rel.split(os.sep):
+        for comp in rel.replace("\\", "/").split("/"):
             if "=" not in comp:
                 continue
             k, _, v = comp.partition("=")
@@ -369,7 +382,7 @@ def _build_data_file(path: str, stage: str, schema: Schema,
         if path.endswith(".orc"):
             from pyarrow import orc as _orc
 
-            nrows = _orc.ORCFile(path).nrows
+            nrows = _orc.ORCFile(io.open_input(path)).nrows
             fmt = "ORC"
         else:
             from .avro_data import count_avro_records
@@ -377,16 +390,16 @@ def _build_data_file(path: str, stage: str, schema: Schema,
             nrows = count_avro_records(path)
             fmt = "AVRO"
         return DataFile(
-            file_path=os.path.abspath(path),
+            file_path=norm_path(path),
             file_format=fmt,
             partition=partition,
             record_count=nrows,
-            file_size_in_bytes=os.path.getsize(path),
+            file_size_in_bytes=io.size(path),
             content=CONTENT_DATA,
             sort_order_id=sort_order_id,
         )
 
-    md = pq.read_metadata(path)
+    md = pq.read_metadata(io.open_input(path))
     ids_by_name = {f.name: f.field_id for f in schema.fields}
     types_by_name = {f.name: f.field_type for f in schema.fields}
     col_sizes: dict[int, int] = {}
@@ -443,11 +456,11 @@ def _build_data_file(path: str, stage: str, schema: Schema,
             continue
 
     return DataFile(
-        file_path=os.path.abspath(path),
+        file_path=norm_path(path),
         file_format="PARQUET",
         partition=partition,
         record_count=md.num_rows,
-        file_size_in_bytes=os.path.getsize(path),
+        file_size_in_bytes=io.size(path),
         content=CONTENT_DATA,
         column_sizes=col_sizes or None,
         value_counts=value_counts or None,
@@ -522,8 +535,10 @@ def append(table, df: DataFrame, max_records_per_file: int | None = None,
 def _table_label(table) -> str:
     """Metric label for a table — same value Transaction._table_name
     uses, so the writer gauge and commit counters correlate."""
+    from .fileio import basename
+
     ident = getattr(table, "identifier", None)
-    return str(ident) if ident else os.path.basename(table.path)
+    return str(ident) if ident else basename(table.path)
 
 
 def overwrite_all(table, df: DataFrame, **kwargs) -> None:

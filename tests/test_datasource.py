@@ -284,3 +284,65 @@ def test_dsv2_reads_orc_data_files(spark, warehouse, tmp_path):
     got = (spark.read.format("icelake").option("path", t.path).load())
     assert got.count() == 25
     assert sorted(r.id for r in got.collect()) == list(range(25))
+
+
+def test_partition_stream_reader_is_default_and_matches_batch(
+        spark, warehouse, tmp_path):
+    """The partition-based DataSourceStreamReader (executor-side reads,
+    one InputPartition per file) is the active stream source for the
+    data path, and a multi-batch append table streams the same rows
+    stream_from_table derives — with nothing materialized on the
+    driver."""
+    from pyspark.errors import PySparkNotImplementedError
+
+    from icelake_spark.datasource import (IcelakeDataSource,
+                                          IcelakePartitionStreamReader,
+                                          _StreamFileTask)
+    from icelake_spark.streaming import stream_from_table
+
+    src = spark.range(3000).selectExpr("id", "id % 5 as g")
+    t = warehouse.create_table("db.pstream", Schema.from_spark(src.schema))
+    for lo in range(0, 3000, 1000):  # three append snapshots
+        t.append(src.where(f"id >= {lo} and id < {lo + 1000}"),
+                 max_records_per_file=300)
+
+    ds = IcelakeDataSource({"path": t.path})
+    reader = ds.streamReader(t.schema().to_spark())
+    assert isinstance(reader, IcelakePartitionStreamReader)
+    # changelog mode falls back to the simple reader
+    with pytest.raises(PySparkNotImplementedError):
+        IcelakeDataSource({"path": t.path, "changelog": "true"}) \
+            .streamReader(t.schema().to_spark())
+
+    # offsets + planning: one InputPartition PER FILE, empty range -> []
+    start, end = reader.initialOffset(), reader.latestOffset()
+    parts = reader.partitions(start, end)
+    data, _, _ = t.new_scan().plan_files()
+    assert len(parts) == len(data) > 3
+    assert all(isinstance(p, _StreamFileTask) for p in parts)
+    assert reader.partitions(end, end) == []
+
+    # end-to-end through the streaming engine
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = (spark.readStream.format("icelake").option("path", t.path).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck).trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    expect = stream_from_table(spark, t)
+    assert got.count() == 3000
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+    # a fourth append streams incrementally from the committed offset
+    t.refresh()
+    t.append(src.limit(0).unionByName(
+        spark.range(3000, 3100).selectExpr("id", "id % 5 as g")))
+    q2 = (spark.readStream.format("icelake").option("path", t.path).load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck).trigger(availableNow=True)
+          .start())
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3100

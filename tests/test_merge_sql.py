@@ -128,8 +128,9 @@ def test_merge_multi_key_on(warehouse, spark):
     ("MERGE INTO t USING s ON t.id = s.id "
      "WHEN MATCHED AND t.value > 0 THEN UPDATE SET *", "source columns"),
     ("MERGE INTO t USING s ON t.id = s.id "
-     "WHEN MATCHED AND s.value > 0 THEN UPDATE SET * "
-     "WHEN MATCHED THEN DELETE", "multiple WHEN MATCHED"),
+     "WHEN MATCHED THEN DELETE "
+     "WHEN MATCHED AND s.value > 0 THEN UPDATE SET *",
+     "only the last WHEN MATCHED clause may omit"),
 ])
 def test_merge_rejects_unsupported(stmt, msg, spark):
     with pytest.raises(ValueError, match=msg):
@@ -138,3 +139,45 @@ def test_merge_rejects_unsupported(stmt, msg, spark):
 
 def test_parse_on_strips_qualifiers():
     assert _parse_on("t.id = s.id AND key = s.key", "t", "s") == ["id", "key"]
+
+
+def test_merge_multiple_when_matched_first_match_wins(warehouse, spark):
+    """Ordered WHEN MATCHED clauses: each matched row takes the FIRST
+    clause whose condition holds (Spark semantics); unmatched-by-any-
+    clause rows stay untouched."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, value long")
+    t = cat.create_table("s1.tmulti", Schema.from_spark(df.schema))
+    t.append(df)
+    src = spark.createDataFrame(
+        [(1, -1), (2, 999), (3, 5), (9, 90)], "id long, value long")
+    src.createOrReplaceTempView("m_src_multi")
+    merge_into(spark, """
+        MERGE INTO s1.tmulti AS t USING m_src_multi AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.value < 0 THEN DELETE
+        WHEN MATCHED AND s.value > 100 THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """, catalog=cat)
+    # id=1 deleted (value<0); id=2 updated (999>100); id=3 matched but no
+    # clause applies -> untouched; id=4 not in source -> untouched;
+    # id=9 inserted
+    assert _state(cat.load_table("s1.tmulti"), spark) == \
+        [(2, 999), (3, 30), (4, 40), (9, 90)]
+
+
+def test_merge_multiple_when_matched_unconditional_last(warehouse, spark):
+    cat = warehouse
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, value long")
+    t = cat.create_table("s1.tmulti2", Schema.from_spark(df.schema))
+    t.append(df)
+    src = spark.createDataFrame([(1, -1), (2, 7)], "id long, value long")
+    src.createOrReplaceTempView("m_src_multi2")
+    merge_into(spark, """
+        MERGE INTO s1.tmulti2 AS t USING m_src_multi2 AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.value < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.tmulti2"), spark) == [(2, 7)]
