@@ -2974,6 +2974,118 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def iceberg_merge_multi(spark, sf_dir):
+    """Multi-clause MERGE INTO (sql.py over delta.merge): ORDERED
+    WHEN MATCHED clauses with first-match-wins — matched customers
+    whose adjusted source balance goes negative are DELETED, the rest
+    are UPDATED, and new keys INSERT — one transactional commit.
+    Reference anchor: tests/delta_test_v2.rs:101-226 (Spark SQL MERGE
+    over the equality-delta writer), extended to the ordered
+    conditional-clause grammar Spark/Iceberg accept."""
+    from .sql import merge_into
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    cat = _tmp_catalog()
+    t = cat.create_table("q.cust_mmulti", Schema.from_spark(c.schema))
+    t.append(c)
+    source = (c.where(F.col("c_custkey") % 5 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") - 2000.0)
+              .withColumn("c_mktsegment", F.lit("TOUCHED"))
+              .unionByName(
+                  c.where(F.col("c_custkey") % 13 == 0)
+                  .withColumn("c_custkey", F.col("c_custkey") + 20_000_000)
+                  .withColumn("c_mktsegment", F.lit("NEWROW"))))
+    source.createOrReplaceTempView("merge_multi_src")
+    merge_into(spark, """
+        MERGE INTO q.cust_mmulti AS t USING merge_multi_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """, catalog=cat)
+    t2 = cat.load_table("q.cust_mmulti")
+    return (t2.to_df(spark).groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+# first-match-wins: a %5 key whose source balance (orig - 2000) is
+# negative hits the DELETE clause; otherwise the UPDATE clause applies;
+# %13 rows carry brand-new keys and always insert (balance unchanged)
+ICEBERG_MERGE_MULTI_SQL = f"""
+WITH src_new AS (
+  SELECT c_custkey + 20000000 AS c_custkey, c_name, c_nationkey,
+         c_acctbal, 'NEWROW' AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0),
+merged AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 2000.0
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 5 = 0 THEN 'TOUCHED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  WHERE NOT (c_custkey % 5 = 0 AND c_acctbal - 2000.0 < 0)
+  UNION ALL
+  SELECT * FROM src_new)
+SELECT c_mktsegment, COUNT(*) AS n, {dsum_sql('c_acctbal', 'total_bal')}
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def iceberg_nested_roundtrip(spark, sf_dir):
+    """Nested types end-to-end (schema conversion, datatypes.py JSON +
+    Avro field-id schemas; reference types/in_memory.rs:341-429 struct /
+    :638-666 list+map): a struct+list+map column set written through
+    the table layer, an MoR position-delete applied ON the nested
+    table, then read back and flattened so DuckDB can oracle the values
+    exactly."""
+    from .types import Schema
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    parts = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+                  F.count("*").alias("n_items")))
+    nested = (o.join(parts, o["o_orderkey"] == parts["l_orderkey"], "inner")
+              .select(F.col("o_orderkey"),
+                      F.struct(F.col("o_orderpriority").alias("priority"),
+                               F.col("o_orderstatus").alias("status"))
+                      .alias("info"),
+                      F.col("parts"),
+                      F.create_map(F.lit("items"),
+                                   F.col("n_items")).alias("attrs")))
+    cat = _tmp_catalog()
+    t = cat.create_table("q.nested", Schema.from_spark(nested.schema))
+    t.append(nested)
+    t.delete_where(spark, "o_orderkey % 10 = 0")
+    back = cat.load_table("q.nested").to_df(spark)
+    return (back.groupBy(F.col("info.priority").alias("priority"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.size("parts")).cast("long").alias("n_parts"),
+                 F.sum(F.aggregate("parts", F.lit(0).cast("long"),
+                                   lambda a, x: a + x))
+                 .cast("long").alias("partkey_sum"),
+                 F.sum(F.element_at("attrs", F.lit("items")))
+                 .cast("long").alias("n_items"))
+            .orderBy("priority"))
+
+
+ICEBERG_NESTED_SQL = """
+SELECT priority, COUNT(*) AS n_orders,
+       CAST(SUM(n) AS BIGINT) AS n_parts,
+       CAST(SUM(psum) AS BIGINT) AS partkey_sum,
+       CAST(SUM(n) AS BIGINT) AS n_items
+FROM (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         COUNT(*) AS n, SUM(l.l_partkey) AS psum
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 10 <> 0
+  GROUP BY 1, 2)
+GROUP BY priority ORDER BY priority
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2982,27 +3094,76 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-3 rotation: (1) the queries that had never had a green driver
-    row — the five sketch/ANN queries (now with exact value-level
-    oracles, INCLUDING the formerly rows-only ivf_kmeans_topk: portable
-    Lloyd's with decimal-exact centroid sums and an unrolled-CTE DuckDB
-    twin) plus the new avro roundtrip and MERGE INTO entries — then
-    (2) the 30 queries whose only green row is from round 1 (regression
-    re-check), then (3) a sample of the round-2 greens spanning every
-    operator family. Queries 51+ were all hash-green in round 2.
-    """
+    Round-4 rotation (VERDICT r3 #6): every query's green driver row
+    must be <= 2 rounds old. The window holds (1) the two NEW round-4
+    queries (nested-type roundtrip, multi-clause MERGE), then (2) all
+    39 queries whose last driver row was r1/r2 — the modules round 3
+    touched most first (changelog, update, zorder, snapshots/time
+    travel, compaction, bucket transforms, repetition, encode) — then
+    (3) the 9 r3-green queries whose code round 4 changed most (the
+    FileIO refactor's write/commit/scan cycles, MERGE, streaming,
+    fanout-gated curation). Queries 51+ were all hash-green in r3."""
     return {
-        # -- never green before round 3 ------------------------------
+        # -- new in round 4 ------------------------------------------
+        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
+        "iceberg_merge_multi": iceberg_merge_multi,
+        # -- last green in r1/r2: modules r3 touched most first ------
+        "iceberg_changelog": iceberg_changelog,
+        "iceberg_update": iceberg_update,
+        "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_compaction": iceberg_compaction,
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "transforms_projection": transforms_projection,
+        "repetition_metrics": repetition_metrics_q,
+        "encode_documents": encode_documents_q,
+        # -- last green in r1/r2: remainder --------------------------
+        "string_date_functions": string_date_functions,
+        "q14_promo_effect": q14_promo_effect,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q18_large_orders": q18_large_orders,
+        "q12_priority_shipping": q12_priority_shipping,
+        "percentiles_by_status": percentiles_by_status,
+        "train_test_split": train_test_split,
+        "window_functions_suite": window_functions_suite,
+        "grouping_sets_rollup": grouping_sets_rollup,
+        "semi_anti_join_customers": semi_anti_join_customers,
+        "correlated_subquery": correlated_subquery_q,
+        "skew_salted_join": skew_salted_join,
+        "events_sessionize": events_sessionize,
+        "continuous_aggregate": continuous_aggregate,
+        "range_join": range_join_q,
+        "iceberg_upsert": iceberg_upsert,
+        "pipeline_curation": pipeline_curation,
+        "corpus_term_freq": corpus_term_freq,
+        "text_analysis": text_analysis,
+        "dedup_against": dedup_against_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "inverted_index": inverted_index_q,
+        "redact_pii": redact_pii_q,
+        "char_entropy": char_entropy_q,
+        "embedding_neardup": embedding_neardup_q,
+        "ann_topk": ann_topk_q,
+        # -- r3-green, code changed by round 4 (FileIO/MERGE/stream) -
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        "iceberg_files_meta": iceberg_files_meta,
+        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
+        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
+        "iceberg_merge": iceberg_merge,
+        "streaming_ingest": streaming_ingest,
+        "curation_pipeline": curation_pipeline_q,
+        # ---- beyond the 50-row window: all hash-green in round 3 ---
         "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
         "ivf_topk": ivf_topk_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
-        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
-        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
-        "iceberg_merge": iceberg_merge,
-        "iceberg_files_meta": iceberg_files_meta,
-        # -- green only in round 1 (regression re-check) -------------
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
@@ -3031,63 +3192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window_builtin": events_session_window_builtin,
         "events_json_extract": events_json_extract,
         "label_centroids": label_centroids_q,
-        # -- round-2 green sample (one per operator family) ----------
         "q1_pricing_summary": q1_pricing_summary,
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "iceberg_partition_prune": iceberg_partition_prune,
-        "streaming_ingest": streaming_ingest,
         "dedup_exact": dedup_exact_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "dedup_clusters": dedup_clusters_q,
         "bm25_topk": bm25_topk_q,
-        "curation_pipeline": curation_pipeline_q,
         "asof_join": asof_join_q,
         "pack_documents": pack_documents_q,
         "multimodal_features": multimodal_features_q,
-        # ---- beyond the 50-row window: all hash-green in r1 and/or r2
-        # (string_date_functions, q14, q17, and q19 yielded their window
-        # slots to the ORC roundtrip and the asof/pack/multimodal
-        # operator rows; all four stay green in the local sweep)
-        "string_date_functions": string_date_functions,
-        "q14_promo_effect": q14_promo_effect,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q18_large_orders": q18_large_orders,
-        "q12_priority_shipping": q12_priority_shipping,
-        "percentiles_by_status": percentiles_by_status,
-        "train_test_split": train_test_split,
-        "window_functions_suite": window_functions_suite,
-        "grouping_sets_rollup": grouping_sets_rollup,
-        "semi_anti_join_customers": semi_anti_join_customers,
-        "correlated_subquery": correlated_subquery_q,
-        "skew_salted_join": skew_salted_join,
-        "events_sessionize": events_sessionize,
-        "continuous_aggregate": continuous_aggregate,
-        "range_join": range_join_q,
-        "iceberg_upsert": iceberg_upsert,
-        "iceberg_update": iceberg_update,
-        "iceberg_changelog": iceberg_changelog,
-        "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_compaction": iceberg_compaction,
-        "iceberg_bucket_partition": iceberg_bucket_partition,
-        "transforms_projection": transforms_projection,
-        "pipeline_curation": pipeline_curation,
-        "corpus_term_freq": corpus_term_freq,
-        "text_analysis": text_analysis,
-        "dedup_against": dedup_against_q,
-        "encode_documents": encode_documents_q,
-        "quantize_embeddings": quantize_embeddings_q,
-        "inverted_index": inverted_index_q,
-        "repetition_metrics": repetition_metrics_q,
-        "redact_pii": redact_pii_q,
-        "char_entropy": char_entropy_q,
-        "embedding_neardup": embedding_neardup_q,
-        "ann_topk": ann_topk_q,
     }
 
 
@@ -3152,6 +3264,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_avro_roundtrip": ICEBERG_AVRO_SQL,
         "iceberg_orc_roundtrip": ICEBERG_ORC_SQL,
         "iceberg_merge": ICEBERG_MERGE_SQL,
+        "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
+        "iceberg_nested_roundtrip": ICEBERG_NESTED_SQL,
         "iceberg_files_meta": ICEBERG_FILES_META_SQL,
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=20, n_centroids=8, nprobe=3),
         "q5_local_supplier": Q5_SQL,

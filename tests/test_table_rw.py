@@ -307,3 +307,38 @@ def test_relocated_table_still_applies_deletes(spark, warehouse, tmp_path):
     moved2 = str(tmp_path / "relocated_twice")
     shutil.copytree(moved, moved2)
     assert IcebergTable.load(moved2).to_df(spark).count() == 75
+
+
+def test_nested_types_roundtrip_with_mor_deletes(spark, warehouse):
+    """struct+list+map columns through the full table layer: schema
+    JSON/Avro conversion, append, MoR position-delete, equality-delete
+    upsert, and a post-delete read that matches row-by-row."""
+    from icelake_spark.delta import upsert
+
+    src = spark.range(100).selectExpr(
+        "id",
+        "named_struct('a', cast(id as string), 'b', id * 2) as info",
+        "array(id, id + 1, id + 2) as xs",
+        "map('k', id) as m")
+    t = warehouse.create_table("db.nested", Schema.from_spark(src.schema))
+    t.append(src)
+
+    # MoR position delete on a table carrying nested columns
+    t.delete_where(spark, "id % 10 = 0")
+    back = t.to_df(spark)
+    assert back.count() == 90
+    r = back.where("id = 7").collect()[0]
+    assert r.info.a == "7" and r.info.b == 14
+    assert r.xs == [7, 8, 9] and r.m == {"k": 7}
+
+    # equality-delete upsert replaces nested payloads
+    up = spark.range(5, 8).selectExpr(
+        "id",
+        "named_struct('a', 'upd', 'b', cast(-1 as bigint)) as info",
+        "array(cast(0 as bigint)) as xs",
+        "map('k', cast(-1 as bigint)) as m")
+    upsert(t, up, key_cols=["id"])
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert len(rows) == 90
+    assert rows[6].info.a == "upd" and rows[6].xs == [0]
+    assert rows[9].info.a == "9" and rows[9].m == {"k": 9}
