@@ -137,9 +137,35 @@ def _rename_map(table) -> dict[str, list[str]]:
     return out
 
 
-def _resolve_column(table, name: str, rename_map: dict[str, list[str]]):
-    """The arrow column for `name`, via a former name when renamed;
+def _parquet_id_map(pa_schema) -> dict[int, str]:
+    """{field_id: physical column name} from the file's PARQUET:field_id
+    metadata — present in files written by Java Iceberg / pyiceberg /
+    our own writer (write.py stamps parquet.field.id). Top level only;
+    nested member binding stays name-based (documented limitation)."""
+    out: dict[int, str] = {}
+    for f in pa_schema:
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                out[int(v)] = f.name
+            except ValueError:
+                pass
+    return out
+
+
+def _resolve_column(table, name: str, rename_map: dict[str, list[str]],
+                    field_id: int | None = None,
+                    id_map: dict[int, str] | None = None):
+    """The arrow column for `name` — by FIELD ID first when the file
+    records ids (the spec's identity rule: a renamed column must bind
+    to its id, and a REUSED former name must not shadow the original —
+    FieldProjector parity, partition_splitter.rs:16-86), else by
+    current name, else via a former name from the rename mapping;
     None when absent entirely (schema evolution: new column)."""
+    if field_id is not None and id_map:
+        phys = id_map.get(field_id)
+        if phys is not None and phys in table.column_names:
+            return table[phys]
     if name in table.column_names:
         return table[name]
     for old in rename_map.get(name, ()):
@@ -155,7 +181,9 @@ class IcelakeReader(DataSourceReader):
         self.filter_parts: list[str] = []
         from .table import IcebergTable
 
-        self.rename_map = _rename_map(IcebergTable.load(options["path"]))
+        t = IcebergTable.load(options["path"])
+        self.rename_map = _rename_map(t)
+        self.field_ids = {f.name: f.field_id for f in t.schema().fields}
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Accept simple comparisons for zone-map file pruning; everything
@@ -291,20 +319,24 @@ class IcelakeReader(DataSourceReader):
                             else [None] * dt.num_rows) for c in cols}
             deleted = set(zip(*[del_cols[c] for c in cols]))
             key_cols = {}
-            for c in cols:  # rename-aware: resolve via former names
-                arr = _resolve_column(table, c, self.rename_map)
+            id_map_k = _parquet_id_map(table.schema)
+            for c in cols:  # field-id/rename-aware resolution
+                arr = _resolve_column(table, c, self.rename_map,
+                                      self.field_ids.get(c), id_map_k)
                 key_cols[c] = (arr.to_pylist() if arr is not None
                                else [None] * table.num_rows)
             keys = zip(*[key_cols[c] for c in cols])
             mask = pa.array(k not in deleted for k in keys)
             table = table.filter(mask)
 
-        # project/pad to the requested schema (rename-aware: a column
-        # missing under its current name resolves via its former name)
+        # project/pad to the requested schema (field-id first, then
+        # current name, then former name)
+        id_map = _parquet_id_map(table.schema)
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
         for n in names:
-            arr = _resolve_column(table, n, self.rename_map)
+            arr = _resolve_column(table, n, self.rename_map,
+                                  self.field_ids.get(n), id_map)
             # schema evolution: genuinely new column pads as null
             arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
@@ -386,7 +418,9 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         self.options = options
         self.spark_schema = schema
         self.path = options["path"]
-        self.rename_map = _rename_map(IcebergTable.load(self.path))
+        t = IcebergTable.load(self.path)
+        self.rename_map = _rename_map(t)
+        self.field_ids = {f.name: f.field_id for f in t.schema().fields}
 
     def _table(self):
         from .table import IcebergTable
@@ -416,10 +450,12 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             table = pa_orc.ORCFile(partition.file_path).read()
         else:
             table = pq.read_table(partition.file_path)
+        id_map = _parquet_id_map(table.schema)
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
         for n in names:
-            arr = _resolve_column(table, n, self.rename_map)
+            arr = _resolve_column(table, n, self.rename_map,
+                                  self.field_ids.get(n), id_map)
             arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
@@ -470,13 +506,16 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.spark_schema.fields]
-        rmap = _rename_map(self._table())
+        src_t = self._table()
+        rmap = _rename_map(src_t)
+        fids = {f.name: f.field_id for f in src_t.schema().fields}
         rows: list[tuple] = []
         for path in files:
             t = pq.read_table(path)
+            id_map = _parquet_id_map(t.schema)
             cols = []
             for n in names:
-                arr = _resolve_column(t, n, rmap)
+                arr = _resolve_column(t, n, rmap, fids.get(n), id_map)
                 cols.append(arr if arr is not None else pa.nulls(t.num_rows))
             rows.extend(tuple(d.values()) for d in
                         pa.Table.from_arrays(cols, names=names).to_pylist())

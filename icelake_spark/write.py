@@ -139,8 +139,19 @@ def write_data_files(
     # conversion) — cast here so written files always match the schema
     from .types.datatypes import to_spark_type
 
+    # the alias metadata (parquet.field.id) makes Spark's parquet
+    # writer stamp Iceberg field ids into the file schema
+    # (fieldId.write.enabled default true), so data files interop with
+    # field-id-based readers (Java Iceberg, pyiceberg, our DSv2
+    # reader) exactly like the reference's to_arrow.rs:15-45 id
+    # propagation. WRITE side only: read schemas stay id-free — an
+    # id-carrying read schema makes Spark reject id-less legacy files.
+    # Nested (struct-member / list / map element) ids are not
+    # expressible via alias metadata — TOP-LEVEL ids only; nested
+    # binding stays name-based (rename mapping).
     df = df.select(*[
-        F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name)
+        F.col(f.name).cast(to_spark_type(f.field_type))
+        .alias(f.name, metadata={"parquet.field.id": f.field_id})
         for f in schema.fields])
 
     # table-declared sort order (O3) + distribution mode:

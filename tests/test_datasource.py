@@ -346,3 +346,28 @@ def test_partition_stream_reader_is_default_and_matches_batch(
           .start())
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3100
+
+
+def test_dsv2_field_id_binding_survives_name_reuse(spark, warehouse):
+    """Field-id projection (FieldProjector parity): after renaming
+    a->c and REUSING 'a' for the old b, name-based resolution on old
+    files would bind the new 'a' to the WRONG physical column; the
+    DSv2 reader binds by the file's PARQUET:field_id instead (our
+    writer stamps ids into every data file)."""
+    src = spark.createDataFrame([(1, 10, 100), (2, 20, 200)],
+                                "id long, a long, b long")
+    t = warehouse.create_table("db.fid", Schema.from_spark(src.schema))
+    t.append(src)
+    t.rename_column("a", "c")
+    t.rename_column("b", "a")
+    df = spark.read.format("icelake").option("path", t.path).load()
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].c == 10 and rows[1].a == 100
+    assert rows[2].c == 20 and rows[2].a == 200
+
+    # new data written under the new names reads consistently too
+    t.refresh()
+    t.append(spark.createDataFrame([(3, 30, 300)], "id long, c long, a long"))
+    rows = {r.id: r for r in spark.read.format("icelake")
+            .option("path", t.path).load().collect()}
+    assert rows[3].c == 30 and rows[3].a == 300 and rows[1].c == 10
