@@ -90,19 +90,10 @@ class IcelakeDataSource(DataSource):
         return IcelakeReader(self.options, schema)
 
     def streamReader(self, schema) -> "IcelakePartitionStreamReader":  # noqa: N802
-        """Partition-based micro-batch source (the scale path): files
-        are planned per offset range on the driver, READ ON EXECUTORS —
-        one InputPartition per data file, nothing materialized
-        driver-side. Changelog mode stays on the simple reader (its CDC
-        reconstruction is inherently driver-side for now), so raise
-        NotImplemented there and let Spark fall back."""
-        if self.options.get("changelog", "").lower() in ("true", "1"):
-            from pyspark.errors import PySparkNotImplementedError
-
-            raise PySparkNotImplementedError(
-                errorClass="NOT_IMPLEMENTED",
-                messageParameters={"feature": "streamReader(changelog)"},
-            )
+        """Partition-based micro-batch source (the scale path): planned
+        per offset range on the driver, READ ON EXECUTORS — one
+        InputPartition per data file (plain mode) or per snapshot
+        (changelog mode), nothing materialized driver-side."""
         return IcelakePartitionStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> "IcelakeStreamReader":  # noqa: N802
@@ -397,6 +388,16 @@ class _StreamFileTask(InputPartition):
     file_format: str = "PARQUET"
 
 
+@dataclass
+class _ChangeSnapshotTask(InputPartition):
+    """One changelog micro-batch slice: reconstruct ONE snapshot's CDC
+    events on an executor (the task re-walks earlier snapshots for the
+    running dead-sets — see _changelog_rows)."""
+    snapshot_id: int
+    start_seq: int
+    end_seq: int
+
+
 class IcelakePartitionStreamReader(DataSourceStreamReader):
     """`spark.readStream.format("icelake")` — the partition-based
     micro-batch source. Offsets are table sequence numbers (commit
@@ -433,17 +434,47 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:  # noqa: N802
         return {"seq": _stream_end_offset(self._table())}
 
+    @property
+    def _changelog(self) -> bool:
+        return self.options.get("changelog", "").lower() in ("true", "1")
+
     def partitions(self, start: dict, end: dict):  # driver-side planning
         s, e = int(start["seq"]), int(end["seq"])
         if e <= s:
             return []
+        table = self._table()
+        if self._changelog:
+            # one task per DECODABLE snapshot in range (same skip rules
+            # as _changelog_rows: main ancestry, append-ish, no rewrite)
+            out = []
+            main_ids = table.metadata.ancestry_ids()
+            for snap in sorted(table.metadata.snapshots,
+                               key=lambda x: x.sequence_number):
+                if snap.snapshot_id not in main_ids:
+                    continue
+                if not (s < _stream_offset_of(table, snap) <= e):
+                    continue
+                summary = snap.summary or {}
+                if summary.get("operation", "append") == "replace" \
+                        or int(summary.get("deleted-data-files", 0) or 0) > 0:
+                    continue
+                out.append(_ChangeSnapshotTask(snap.snapshot_id, s, e))
+            return out
         return [_StreamFileTask(path, fmt)
-                for path, fmt in _stream_files_between(self._table(), s, e)]
+                for path, fmt in _stream_files_between(table, s, e)]
 
-    def read(self, partition: _StreamFileTask):  # executor-side
+    def read(self, partition):  # executor-side
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _ChangeSnapshotTask):
+            names = [f.name for f in self.spark_schema.fields
+                     if f.name != "_change_type"]
+            yield from _changelog_rows(
+                self._table(), names, self.rename_map,
+                partition.start_seq, partition.end_seq,
+                only_snapshot=partition.snapshot_id)
+            return
         if partition.file_format == "ORC":
             from pyarrow import orc as pa_orc
 
@@ -553,172 +584,190 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
     # --------------------------------------------------- changelog mode
 
     def _change_rows(self, table, start_seq: int, end_seq: int) -> list[tuple]:
-        """CDC micro-batch: rows + _change_type for every snapshot in
-        (start_seq, end_seq]. Driver-side pyarrow (the simple-reader
-        contract caches each batch on the driver anyway):
-
-        - append snapshots → added files' rows as inserts
-        - added pos-delete files → referenced rows (pyarrow take) as
-          deletes, skipping positions already deleted earlier
-        - added eq-delete files → key-matched rows of strictly-older
-          data files as deletes
-        CoW rewrites are not decoded by the STREAMING reader (batch
-        `IcebergTable.changes` covers them); tables streamed as CDC
-        should keep `write.delete.mode=merge-on-read` (the default).
-        """
-        import pyarrow.parquet as pq
-
-        from .types.manifest import (MANIFEST_CONTENT_DELETES, STATUS_ADDED,
-                                     read_manifest, read_manifest_list)
-
         names = [f.name for f in self.spark_schema.fields
                  if f.name != "_change_type"]
-        rmap = _rename_map(table)
+        return _changelog_rows(table, names, _rename_map(table),
+                               start_seq, end_seq)
 
-        # (file,pos) pairs pos-deleted by one snapshot (for the running
-        # dead-set accumulated while walking snapshots in seq order —
-        # re-deriving "all deletes before seq" per snapshot would rescan
-        # every prior snapshot's manifests each time: quadratic I/O)
-        def snap_pos_deletes(s) -> set[tuple[str, int]]:
-            dead: set[tuple[str, int]] = set()
-            for mle in read_manifest_list(table._resolve(s.manifest_list)):
-                if (mle.added_snapshot_id != s.snapshot_id
-                        or mle.content != MANIFEST_CONTENT_DELETES):
-                    continue
-                _, entries = read_manifest(table._resolve(mle.manifest_path))
-                for e in entries:
-                    if e.data_file.content != 1:
-                        continue
-                    t = pq.read_table(table._resolve(e.data_file.file_path))
-                    for src, pos in zip(t["file_path"].to_pylist(),
-                                        t["pos"].to_pylist()):
-                        dead.add((_norm(src), pos))
-            return dead
 
-        # full-file column cache: the eq-delete branch walks every
-        # parent-era file once PER delete file — without the cache that
-        # is O(delete_files x data_files) full parquet reads per batch
-        _cols_cache: dict[str, dict[str, list]] = {}
+def _changelog_rows(table, names: list[str], rmap: dict,
+                    start_seq: int, end_seq: int,
+                    only_snapshot: int | None = None) -> list[tuple]:
+    """CDC reconstruction: rows + _change_type for every snapshot in
+    (start_seq, end_seq]:
 
-        def file_rows(path, positions=None, skip: set | None = None):
-            # read only the requested columns PRESENT in the file: a file
-            # written before an add_column lacks the new column, which
-            # pads as None (the sibling _rows path does the same)
-            cols = _cols_cache.get(path)
-            if cols is None:
-                in_file = set(pq.read_schema(path).names)
-                # rename-aware: a requested name missing from the file
-                # may be present under its former name
-                src_of = {}
-                for n in names:
-                    if n in in_file:
-                        src_of[n] = n
-                    else:
-                        src_of[n] = next(
-                            (o for o in rmap.get(n, ()) if o in in_file),
-                            None)
-                read_cols = sorted({s for s in src_of.values() if s})
-                t = pq.read_table(path, columns=read_cols)
-                cols = {n: (t[src_of[n]].to_pylist() if src_of[n]
-                            else [None] * t.num_rows) for n in names}
-                _cols_cache[path] = cols
-            key = _norm(path)
-            nrows = len(next(iter(cols.values()))) if cols else 0
-            idx = (range(nrows) if positions is None else positions)
-            out = []
-            for i in idx:
-                if skip and (key, i) in skip:
-                    continue
-                out.append(tuple(cols[n][i] for n in names))
-            return out
+    - append snapshots → added files' rows as inserts
+    - added pos-delete files → referenced rows (pyarrow take) as
+      deletes, skipping positions already deleted earlier
+    - added eq-delete files → key-matched rows of strictly-older
+      data files as deletes
+    CoW rewrites are not decoded by the STREAMING reader (batch
+    `IcebergTable.changes` covers them); tables streamed as CDC
+    should keep `write.delete.mode=merge-on-read` (the default).
 
-        rows: list[tuple] = []
-        snaps = sorted(table.metadata.snapshots,
-                       key=lambda s: s.sequence_number)
-        main_ids = table.metadata.ancestry_ids()
-        dead_acc: set[tuple[str, int]] = set()  # pos deletes seen so far
-        for s in snaps:
-            if s.snapshot_id not in main_ids:
-                continue  # WAP branch-staged snapshot: not published
-            in_range = start_seq < self._offset_of(table, s) <= end_seq
-            op = (s.summary or {}).get("operation", "append")
-            # a snapshot that REMOVED data files (compaction 'replace',
-            # CoW delete/overwrite rewrite) re-adds survivor files whose
-            # rows already streamed — emitting those adds would produce
-            # phantom inserts. Like 'replace', such snapshots are not
-            # decoded (the CoW-removed rows' delete events are a batch
-            # changes() feature, not reconstructable from adds alone).
-            rewrote = int((s.summary or {}).get(
-                "deleted-data-files", 0) or 0) > 0
-            if not in_range or op == "replace" or rewrote:
-                # still fold this snapshot's pos deletes into the
-                # running dead-set for later snapshots in the range
-                dead_acc |= snap_pos_deletes(s)
+    `only_snapshot` restricts EMISSION to one snapshot while still
+    walking the earlier ones for the running dead-sets — the
+    partition-based stream reader runs one executor task per snapshot
+    (each task re-derives the prior dead-set: quadratic manifest I/O
+    in the window's snapshot count, but windows are typically 1-2
+    snapshots and nothing is materialized on the driver).
+    """
+    import pyarrow.parquet as pq
+
+    from .types.manifest import (MANIFEST_CONTENT_DELETES, STATUS_ADDED,
+                                 read_manifest, read_manifest_list)
+
+    # (file,pos) pairs pos-deleted by one snapshot (for the running
+    # dead-set accumulated while walking snapshots in seq order —
+    # re-deriving "all deletes before seq" per snapshot would rescan
+    # every prior snapshot's manifests each time: quadratic I/O)
+    def snap_pos_deletes(s) -> set[tuple[str, int]]:
+        dead: set[tuple[str, int]] = set()
+        for mle in read_manifest_list(table._resolve(s.manifest_list)):
+            if (mle.added_snapshot_id != s.snapshot_id
+                    or mle.content != MANIFEST_CONTENT_DELETES):
                 continue
-            added_data, added_pos, added_eq = [], [], []
-            for mle in read_manifest_list(table._resolve(s.manifest_list)):
-                if mle.added_snapshot_id != s.snapshot_id:
+            _, entries = read_manifest(table._resolve(mle.manifest_path))
+            for e in entries:
+                if e.data_file.content != 1:
                     continue
-                _, entries = read_manifest(table._resolve(mle.manifest_path))
-                for e in entries:
-                    if e.status != STATUS_ADDED:
-                        continue
-                    p = table._resolve(e.data_file.file_path)
-                    seq = (e.sequence_number if e.sequence_number is not None
-                           else mle.sequence_number)
-                    if e.data_file.content == 0:
-                        added_data.append((p, seq))
-                    elif e.data_file.content == 1:
-                        added_pos.append((p, seq))
-                    else:
-                        added_eq.append((p, seq))
-
-            same_commit_deleted: set[tuple[str, int]] = set()
-            for p, _seq in added_pos:
-                t = pq.read_table(p)
+                t = pq.read_table(table._resolve(e.data_file.file_path))
                 for src, pos in zip(t["file_path"].to_pylist(),
                                     t["pos"].to_pylist()):
-                    same_commit_deleted.add((_norm(src), pos))
+                    dead.add((_norm(src), pos))
+        return dead
 
+    # full-file column cache: the eq-delete branch walks every
+    # parent-era file once PER delete file — without the cache that
+    # is O(delete_files x data_files) full parquet reads per batch
+    _cols_cache: dict[str, dict[str, list]] = {}
+
+    def file_rows(path, positions=None, skip: set | None = None):
+        # read only the requested columns PRESENT in the file: a file
+        # written before an add_column lacks the new column, which
+        # pads as None (the sibling _rows path does the same)
+        cols = _cols_cache.get(path)
+        if cols is None:
+            in_file = set(pq.read_schema(path).names)
+            # rename-aware: a requested name missing from the file
+            # may be present under its former name
+            src_of = {}
+            for n in names:
+                if n in in_file:
+                    src_of[n] = n
+                else:
+                    src_of[n] = next(
+                        (o for o in rmap.get(n, ()) if o in in_file),
+                        None)
+            read_cols = sorted({s for s in src_of.values() if s})
+            t = pq.read_table(path, columns=read_cols)
+            cols = {n: (t[src_of[n]].to_pylist() if src_of[n]
+                        else [None] * t.num_rows) for n in names}
+            _cols_cache[path] = cols
+        key = _norm(path)
+        nrows = len(next(iter(cols.values()))) if cols else 0
+        idx = (range(nrows) if positions is None else positions)
+        out = []
+        for i in idx:
+            if skip and (key, i) in skip:
+                continue
+            out.append(tuple(cols[n][i] for n in names))
+        return out
+
+    rows: list[tuple] = []
+    snaps = sorted(table.metadata.snapshots,
+                   key=lambda s: s.sequence_number)
+    main_ids = table.metadata.ancestry_ids()
+    dead_acc: set[tuple[str, int]] = set()  # pos deletes seen so far
+    for s in snaps:
+        if s.snapshot_id not in main_ids:
+            continue  # WAP branch-staged snapshot: not published
+        in_range = start_seq < _stream_offset_of(table, s) <= end_seq
+        op = (s.summary or {}).get("operation", "append")
+        # a snapshot that REMOVED data files (compaction 'replace',
+        # CoW delete/overwrite rewrite) re-adds survivor files whose
+        # rows already streamed — emitting those adds would produce
+        # phantom inserts. Like 'replace', such snapshots are not
+        # decoded (the CoW-removed rows' delete events are a batch
+        # changes() feature, not reconstructable from adds alone).
+        rewrote = int((s.summary or {}).get(
+            "deleted-data-files", 0) or 0) > 0
+        if not in_range or op == "replace" or rewrote:
+            # still fold this snapshot's pos deletes into the
+            # running dead-set for later snapshots in the range
+            dead_acc |= snap_pos_deletes(s)
+            continue
+        emit = only_snapshot is None or s.snapshot_id == only_snapshot
+        if only_snapshot is not None \
+                and _stream_offset_of(table, s) > _stream_offset_of(
+                    table, table.metadata.snapshot_by_id(only_snapshot)):
+            break  # past the target: later snapshots can't affect it
+        added_data, added_pos, added_eq = [], [], []
+        for mle in read_manifest_list(table._resolve(s.manifest_list)):
+            if mle.added_snapshot_id != s.snapshot_id:
+                continue
+            _, entries = read_manifest(table._resolve(mle.manifest_path))
+            for e in entries:
+                if e.status != STATUS_ADDED:
+                    continue
+                p = table._resolve(e.data_file.file_path)
+                seq = (e.sequence_number if e.sequence_number is not None
+                       else mle.sequence_number)
+                if e.data_file.content == 0:
+                    added_data.append((p, seq))
+                elif e.data_file.content == 1:
+                    added_pos.append((p, seq))
+                else:
+                    added_eq.append((p, seq))
+
+        same_commit_deleted: set[tuple[str, int]] = set()
+        for p, _seq in added_pos:
+            t = pq.read_table(p)
+            for src, pos in zip(t["file_path"].to_pylist(),
+                                t["pos"].to_pylist()):
+                same_commit_deleted.add((_norm(src), pos))
+
+        if emit:
             for p, _seq in added_data:
                 for r in file_rows(p, skip=same_commit_deleted):
                     rows.append(r + ("insert",))
 
-            # rows this snapshot's eq deletes remove — folded into the
-            # running dead-set so a LATER eq delete of the same key can't
-            # re-emit the same dead row as a phantom delete event
-            eq_dead: set[tuple[str, int]] = set()
-            if added_pos or added_eq:
-                prior_dead = dead_acc
-                # data files alive before this snapshot: canon key →
-                # (readable path, seq). The canon key matches _norm of
-                # delete-file content; the real path is what pyarrow
-                # opens (the canon form is not a filesystem path).
-                older: dict[str, tuple[str, int]] = {}
-                parent = next((x for x in snaps
-                               if x.snapshot_id == s.parent_snapshot_id), None)
-                if parent is not None:
-                    for mle in read_manifest_list(
-                            table._resolve(parent.manifest_list)):
-                        if mle.content == MANIFEST_CONTENT_DELETES:
+        # rows this snapshot's eq deletes remove — folded into the
+        # running dead-set so a LATER eq delete of the same key can't
+        # re-emit the same dead row as a phantom delete event
+        eq_dead: set[tuple[str, int]] = set()
+        if added_pos or added_eq:
+            prior_dead = dead_acc
+            # data files alive before this snapshot: canon key →
+            # (readable path, seq). The canon key matches _norm of
+            # delete-file content; the real path is what pyarrow
+            # opens (the canon form is not a filesystem path).
+            older: dict[str, tuple[str, int]] = {}
+            parent = next((x for x in snaps
+                           if x.snapshot_id == s.parent_snapshot_id), None)
+            if parent is not None:
+                for mle in read_manifest_list(
+                        table._resolve(parent.manifest_list)):
+                    if mle.content == MANIFEST_CONTENT_DELETES:
+                        continue
+                    _, entries = read_manifest(
+                        table._resolve(mle.manifest_path))
+                    for e in entries:
+                        if not e.is_alive or e.data_file.content != 0:
                             continue
-                        _, entries = read_manifest(
-                            table._resolve(mle.manifest_path))
-                        for e in entries:
-                            if not e.is_alive or e.data_file.content != 0:
-                                continue
-                            seq = (e.sequence_number
-                                   if e.sequence_number is not None
-                                   else mle.sequence_number)
-                            real = table._resolve(e.data_file.file_path)
-                            older[_norm(real)] = (real, seq)
+                        seq = (e.sequence_number
+                               if e.sequence_number is not None
+                               else mle.sequence_number)
+                        real = table._resolve(e.data_file.file_path)
+                        older[_norm(real)] = (real, seq)
 
-                for p, _seq in added_pos:
-                    t = pq.read_table(p)
-                    by_src: dict[str, list[int]] = {}
-                    for src, pos in zip(t["file_path"].to_pylist(),
-                                        t["pos"].to_pylist()):
-                        by_src.setdefault(_norm(src), []).append(pos)
+            for p, _seq in added_pos:
+                t = pq.read_table(p)
+                by_src: dict[str, list[int]] = {}
+                for src, pos in zip(t["file_path"].to_pylist(),
+                                    t["pos"].to_pylist()):
+                    by_src.setdefault(_norm(src), []).append(pos)
+                if emit:
                     for src, positions in by_src.items():
                         if src not in older:
                             continue  # same-commit churn already excluded
@@ -727,23 +776,26 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
                                            skip=prior_dead):
                             rows.append(r + ("delete",))
 
-                for p, del_seq in added_eq:
-                    kt = pq.read_table(p)
-                    key_cols = kt.column_names
-                    keys = {tuple(kt[c][i].as_py() for c in key_cols)
-                            for i in range(kt.num_rows)}
-                    ki = [names.index(c) for c in key_cols]
-                    for ckey, (real, dseq) in older.items():
-                        if dseq >= del_seq:
+            for p, del_seq in added_eq:
+                kt = pq.read_table(p)
+                key_cols = kt.column_names
+                keys = {tuple(kt[c][i].as_py() for c in key_cols)
+                        for i in range(kt.num_rows)}
+                ki = [names.index(c) for c in key_cols]
+                for ckey, (real, dseq) in older.items():
+                    if dseq >= del_seq:
+                        continue
+                    for i, r in enumerate(file_rows(real)):
+                        if (ckey, i) in prior_dead or (ckey, i) in eq_dead:
                             continue
-                        for i, r in enumerate(file_rows(real)):
-                            if (ckey, i) in prior_dead or (ckey, i) in eq_dead:
-                                continue
-                            if tuple(r[j] for j in ki) in keys:
+                        if tuple(r[j] for j in ki) in keys:
+                            if emit:
                                 rows.append(r + ("delete",))
-                                eq_dead.add((ckey, i))
-            dead_acc = dead_acc | same_commit_deleted | eq_dead
-        return rows
+                            # non-emitting pass still tracks eq_dead so
+                            # a later snapshot can't re-emit this row
+                            eq_dead.add((ckey, i))
+        dead_acc = dead_acc | same_commit_deleted | eq_dead
+    return rows
 
 
 @dataclass

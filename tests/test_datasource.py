@@ -293,10 +293,9 @@ def test_partition_stream_reader_is_default_and_matches_batch(
     data path, and a multi-batch append table streams the same rows
     stream_from_table derives — with nothing materialized on the
     driver."""
-    from pyspark.errors import PySparkNotImplementedError
-
     from icelake_spark.datasource import (IcelakeDataSource,
                                           IcelakePartitionStreamReader,
+                                          _ChangeSnapshotTask,
                                           _StreamFileTask)
     from icelake_spark.streaming import stream_from_table
 
@@ -309,10 +308,12 @@ def test_partition_stream_reader_is_default_and_matches_batch(
     ds = IcelakeDataSource({"path": t.path})
     reader = ds.streamReader(t.schema().to_spark())
     assert isinstance(reader, IcelakePartitionStreamReader)
-    # changelog mode falls back to the simple reader
-    with pytest.raises(PySparkNotImplementedError):
-        IcelakeDataSource({"path": t.path, "changelog": "true"}) \
-            .streamReader(t.schema().to_spark())
+    # changelog mode plans one partition PER SNAPSHOT (executor-side CDC)
+    ch = IcelakeDataSource({"path": t.path, "changelog": "true"}) \
+        .streamReader(t.schema().to_spark())
+    ch_parts = ch.partitions(ch.initialOffset(), ch.latestOffset())
+    assert len(ch_parts) == 3
+    assert all(isinstance(p, _ChangeSnapshotTask) for p in ch_parts)
 
     # offsets + planning: one InputPartition PER FILE, empty range -> []
     start, end = reader.initialOffset(), reader.latestOffset()
