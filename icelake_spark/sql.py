@@ -140,3 +140,106 @@ def merge_into(spark: SparkSession, statement: str,
                 matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched)
     return table
+
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.$/]+)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w.$/]+)"
+    r"\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# one `col = expr` assignment; expressions may contain commas only inside
+# parens/quotes, so the splitter walks the text instead of a bare split(',')
+_ASSIGN_RE = re.compile(r"^\s*(?P<col>[\w]+)\s*=\s*(?P<expr>.+?)\s*$",
+                        re.DOTALL)
+
+
+def _split_assignments(text: str) -> list[str]:
+    """Split `a = f(x, y), b = 2` on TOP-LEVEL commas only."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def _load_target(ident: str, catalog):
+    from .table import IcebergTable
+
+    return catalog.load_table(ident) if catalog is not None \
+        else IcebergTable.load(ident)
+
+
+def execute(spark: SparkSession, statement: str, catalog=None,
+            source_df: DataFrame | None = None):
+    """SQL-DML dispatcher: MERGE INTO / UPDATE / DELETE FROM against an
+    icelake table (the statement surface the reference exercises through
+    Spark SQL in its integration tests — delta_test_v2.rs:101-226).
+
+    - `DELETE FROM t [WHERE cond]` → delete_rows (merge-on-read
+      position deletes by default; `write.delete.mode` honored); a
+      missing WHERE truncates via overwrite semantics.
+    - `UPDATE t SET col = expr[, ...] [WHERE cond]` → update_rows
+      (expressions evaluate against the OLD row, standard UPDATE
+      semantics; mode follows `write.update.mode`).
+    Returns the target table.
+    """
+    s = statement.strip()
+    head = s.split(None, 1)[0].upper() if s else ""
+    if head == "MERGE":
+        return merge_into(spark, s, catalog=catalog, source_df=source_df)
+    if head == "DELETE":
+        m = _DELETE_RE.match(s)
+        if not m:
+            raise ValueError("unsupported DELETE syntax; expected "
+                             "DELETE FROM t [WHERE cond]")
+        table = _load_target(m.group("target"), catalog)
+        cond = m.group("cond")
+        if cond is None:
+            # full truncate: one overwrite commit removing everything
+            from .transaction import Transaction
+
+            tx = Transaction(table)
+            tx.remove_all_existing()
+            tx.commit("delete")
+            return table
+        table.delete_where(spark, cond)
+        return table
+    if head == "UPDATE":
+        m = _UPDATE_RE.match(s)
+        if not m:
+            raise ValueError("unsupported UPDATE syntax; expected "
+                             "UPDATE t SET col = expr [WHERE cond]")
+        from .delta import update_rows
+
+        assignments = {}
+        for part in _split_assignments(m.group("sets")):
+            am = _ASSIGN_RE.match(part)
+            if not am:
+                raise ValueError(f"unsupported SET assignment: {part!r}")
+            col = am.group("col")
+            if col in assignments:
+                raise ValueError(f"duplicate SET column {col!r}")
+            assignments[col] = am.group("expr")
+        table = _load_target(m.group("target"), catalog)
+        update_rows(table, spark, m.group("cond") or "true", assignments)
+        return table
+    raise ValueError(f"unsupported statement {head!r} "
+                     "(MERGE INTO | UPDATE | DELETE FROM)")

@@ -181,3 +181,54 @@ def test_merge_multiple_when_matched_unconditional_last(warehouse, spark):
         WHEN MATCHED THEN UPDATE SET *
     """, catalog=cat)
     assert _state(cat.load_table("s1.tmulti2"), spark) == [(2, 7)]
+
+
+def test_sql_delete_from(warehouse, spark):
+    from icelake_spark.sql import execute
+
+    df = spark.range(100).selectExpr("id", "id % 4 as g")
+    t = warehouse.create_table("s1.d1", Schema.from_spark(df.schema))
+    t.append(df)
+    execute(spark, "DELETE FROM s1.d1 WHERE g = 0", catalog=warehouse)
+    back = warehouse.load_table("s1.d1").to_df(spark)
+    assert back.count() == 75 and back.where("g = 0").count() == 0
+
+    # bare DELETE truncates in one commit
+    execute(spark, "DELETE FROM s1.d1", catalog=warehouse)
+    t2 = warehouse.load_table("s1.d1")
+    assert t2.to_df(spark).count() == 0
+    assert t2.current_snapshot().summary["operation"] == "delete"
+
+
+def test_sql_update_set(warehouse, spark):
+    from icelake_spark.sql import execute
+
+    df = spark.range(50).selectExpr("id", "cast(id as double) as v",
+                                    "cast(id as string) as s")
+    t = warehouse.create_table("s1.u1", Schema.from_spark(df.schema))
+    t.append(df)
+    # multi-assignment with a function call containing commas, old-row
+    # semantics (v reads the pre-update value in both expressions)
+    execute(spark,
+            "UPDATE s1.u1 SET v = v * 2, s = concat(s, '!') WHERE id < 10",
+            catalog=warehouse)
+    rows = {r.id: r for r in warehouse.load_table("s1.u1")
+            .to_df(spark).collect()}
+    assert rows[3].v == 6.0 and rows[3].s == "3!"
+    assert rows[20].v == 20.0 and rows[20].s == "20"
+
+    # no WHERE updates everything
+    execute(spark, "UPDATE s1.u1 SET v = 0", catalog=warehouse)
+    assert warehouse.load_table("s1.u1").to_df(spark) \
+        .where("v != 0").count() == 0
+
+
+def test_sql_dml_rejects_unsupported(spark):
+    from icelake_spark.sql import execute
+
+    with pytest.raises(ValueError, match="unsupported statement"):
+        execute(spark, "INSERT INTO t VALUES (1)")
+    with pytest.raises(ValueError, match="unsupported UPDATE"):
+        execute(spark, "UPDATE t")
+    with pytest.raises(ValueError, match="duplicate SET column"):
+        execute(spark, "UPDATE t SET a = 1, a = 2")
