@@ -48,13 +48,7 @@ class StorageCatalog:
         base = io_join(self.warehouse, *namespace.split(".")) \
             if namespace else self.warehouse
         out = set()
-        marker = "/metadata/"
-        for path, _sz in self.io.list_files(base):
-            p = path.replace("\\", "/")
-            i = p.rfind(marker)
-            if i < 0:
-                continue
-            root = path[:i]
+        for root in self.io.find_marker_dirs(base, "metadata"):
             rel = root[len(self.warehouse):].strip("/\\")
             if rel:
                 out.add(rel.replace("/", ".").replace("\\", "."))

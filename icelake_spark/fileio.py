@@ -162,6 +162,21 @@ class FileIO:
         """Move a file or directory tree (local-catalog table rename)."""
         raise NotImplementedError
 
+    def find_marker_dirs(self, base: str, marker: str) -> list[str]:
+        """Directories under `base` containing a `marker` child (table
+        discovery: marker='metadata'). Generic implementation scans the
+        flat recursive listing — right for object stores, whose listing
+        IS flat; hierarchical back ends override with a pruned walk
+        that never descends into matched tables' data dirs."""
+        out = set()
+        needle = f"/{marker}/"
+        for path, _sz in self.list_files(base):
+            p = path.replace("\\", "/")
+            i = p.rfind(needle)
+            if i >= 0:
+                out.add(path[:i])
+        return sorted(out)
+
     def to_spark_path(self, path: str) -> str:
         """Form of `path` Spark/JVM readers understand."""
         return path
@@ -250,6 +265,17 @@ class LocalFileIO(FileIO):
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(self._p(src), self._p(dst))
+
+    def find_marker_dirs(self, base: str, marker: str) -> list[str]:
+        # pruned walk: stop descending once a table root is found — a
+        # warehouse of N tables costs O(dirs above tables), not
+        # O(every data file) like the flat listing would
+        out = []
+        for root, dirs, _files in os.walk(self._p(base)):
+            if marker in dirs:
+                out.append(root)
+                dirs.clear()
+        return sorted(out)
 
 
 # --------------------------------------------------------------- memory

@@ -144,6 +144,10 @@ class MockFileIO(LocalFileIO):
                     pass
         return out
 
+    def find_marker_dirs(self, base, marker):
+        return [self._m(r) for r in
+                LocalFileIO.find_marker_dirs(self, base, marker)]
+
     def to_spark_path(self, path: str) -> str:
         return self._p(path)
 
@@ -165,6 +169,7 @@ def test_mock_scheme_end_to_end(spark, mock_io):
     cat = StorageCatalog("mock://wh")
     t = cat.create_table("db.remote", Schema.from_spark(src.schema))
     t.append(src)
+    assert cat.list_tables() == ["db.remote"]
 
     # recorded data-file paths live in the mock scheme
     data, _, _ = t.new_scan().plan_files()
