@@ -250,7 +250,9 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
     # caller sets no file size: rows buffer as dicts (several times
     # their Arrow footprint), so an unbounded bucket OOMs the worker
     roll = max_records_per_file or 1_000_000
-    os.makedirs(stage, exist_ok=True)
+    from .fileio import io_join, resolve_io
+
+    resolve_io(stage).makedirs(stage)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         buckets: dict[str, list[dict]] = {}
@@ -260,8 +262,8 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
             records = buckets.pop(subdir, [])
             if not records:
                 return
-            d = os.path.join(stage, subdir) if subdir else stage
-            os.makedirs(d, exist_ok=True)
+            d = io_join(stage, subdir) if subdir else stage
+            resolve_io(d).makedirs(d)
             path = d + f"/part-{_uuidlib.uuid4().hex}.avro"
             avro_io.write_avro(path, avro_schema, records)
             written.append(path)

@@ -35,7 +35,6 @@ from .fileio import (
     FileIO,
     dirname,
     io_join,
-    is_uri,
     norm_path,
     rel_under,
     resolve_io,
@@ -223,10 +222,13 @@ def write_data_files(
         # avro tasks have no output committer: inventory ONLY the paths
         # the winning task attempts returned, never the stage dir walk
         # (a retried/speculative attempt may leave orphan part files)
-        if is_uri(table.path):
+        from .fileio import executor_resolvable
+
+        if not executor_resolvable(table.path):
             raise NotImplementedError(
-                "avro data files go through the local pure-Python codec; "
-                "use parquet/orc for object-store tables")
+                "avro data files are written by python workers, which "
+                "cannot resolve custom-registered or memory:// schemes; "
+                "use parquet/orc there")
         avro_paths = write_avro_data(writer_df, stage, schema,
                                      partition_cols=pnames,
                                      max_records_per_file=max_records_per_file)
