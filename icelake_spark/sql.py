@@ -241,5 +241,76 @@ def execute(spark: SparkSession, statement: str, catalog=None,
         table = _load_target(m.group("target"), catalog)
         update_rows(table, spark, m.group("cond") or "true", assignments)
         return table
+    if head == "ALTER":
+        return _alter_table(spark, s, catalog=catalog)
     raise ValueError(f"unsupported statement {head!r} "
-                     "(MERGE INTO | UPDATE | DELETE FROM)")
+                     "(MERGE INTO | UPDATE | DELETE FROM | ALTER TABLE)")
+
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.$/]+)\s+(?P<rest>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_ADD_COL_RE = re.compile(
+    r"^ADD\s+COLUMN\s+(?P<col>\w+)\s+(?P<type>.+?)$", re.IGNORECASE | re.DOTALL)
+_RENAME_COL_RE = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE)
+_DROP_COL_RE = re.compile(
+    r"^DROP\s+COLUMN\s+(?P<col>\w+)$", re.IGNORECASE)
+_SET_PROPS_RE = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)$",
+    re.IGNORECASE | re.DOTALL)
+_PROP_PAIR_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+# SQL DDL type spelling → the Iceberg type-JSON strings add_column takes
+_SQL_TYPE_MAP = {
+    "bigint": "long", "int": "int", "integer": "int", "smallint": "int",
+    "string": "string", "varchar": "string", "double": "double",
+    "float": "float", "real": "float", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "timestamptz": "timestamptz", "binary": "binary", "uuid": "uuid",
+    "long": "long",
+}
+
+
+def _alter_table(spark: SparkSession, statement: str, catalog=None):
+    """ALTER TABLE over the id-based evolution API:
+
+        ALTER TABLE t ADD COLUMN name type
+        ALTER TABLE t RENAME COLUMN a TO b
+        ALTER TABLE t DROP COLUMN c
+        ALTER TABLE t SET TBLPROPERTIES ('k' = 'v'[, ...])
+    """
+    m = _ALTER_RE.match(statement)
+    if not m:
+        raise ValueError("unsupported ALTER syntax")
+    table = _load_target(m.group("target"), catalog)
+    rest = m.group("rest").strip()
+    am = _ADD_COL_RE.match(rest)
+    if am:
+        raw = am.group("type").strip().lower()
+        dm = re.match(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", raw)
+        if dm:
+            tstr = f"decimal({dm.group(1)}, {dm.group(2)})"
+        elif raw in _SQL_TYPE_MAP:
+            tstr = _SQL_TYPE_MAP[raw]
+        else:
+            raise ValueError(f"unsupported column type {am.group('type')!r}")
+        table.add_column(am.group("col"), tstr)
+        return table
+    rm = _RENAME_COL_RE.match(rest)
+    if rm:
+        table.rename_column(rm.group("old"), rm.group("new"))
+        return table
+    dm = _DROP_COL_RE.match(rest)
+    if dm:
+        table.drop_column(dm.group("col"))
+        return table
+    pm = _SET_PROPS_RE.match(rest)
+    if pm:
+        pairs = dict(_PROP_PAIR_RE.findall(pm.group("props")))
+        if not pairs:
+            raise ValueError("SET TBLPROPERTIES needs 'k' = 'v' pairs")
+        table.set_properties(pairs)
+        return table
+    raise ValueError(f"unsupported ALTER TABLE clause: {rest[:60]!r}")

@@ -232,3 +232,37 @@ def test_sql_dml_rejects_unsupported(spark):
         execute(spark, "UPDATE t")
     with pytest.raises(ValueError, match="duplicate SET column"):
         execute(spark, "UPDATE t SET a = 1, a = 2")
+
+
+def test_sql_alter_table(warehouse, spark):
+    from icelake_spark.sql import execute
+
+    df = spark.range(20).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("s1.alt", Schema.from_spark(df.schema))
+    t.append(df)
+
+    execute(spark, "ALTER TABLE s1.alt ADD COLUMN score double",
+            catalog=warehouse)
+    execute(spark, "ALTER TABLE s1.alt RENAME COLUMN s TO label",
+            catalog=warehouse)
+    execute(spark,
+            "ALTER TABLE s1.alt SET TBLPROPERTIES ('a.b' = 'x', 'c' = '2')",
+            catalog=warehouse)
+    t2 = warehouse.load_table("s1.alt")
+    assert [f.name for f in t2.schema().fields] == ["id", "label", "score"]
+    assert t2.metadata.properties["a.b"] == "x"
+    assert t2.metadata.properties["c"] == "2"
+    # old files read through the rename; the new column pads null
+    row = t2.to_df(spark).where("id = 3").collect()[0]
+    assert row.label == "3" and row.score is None
+
+    execute(spark, "ALTER TABLE s1.alt DROP COLUMN score", catalog=warehouse)
+    assert [f.name for f in warehouse.load_table("s1.alt").schema().fields] \
+        == ["id", "label"]
+
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute(spark, "ALTER TABLE s1.alt CLUSTER BY (id)",
+                catalog=warehouse)
+    with pytest.raises(ValueError, match="unsupported column type"):
+        execute(spark, "ALTER TABLE s1.alt ADD COLUMN x geometry",
+                catalog=warehouse)
