@@ -338,6 +338,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def positional_shingles(w, n: int = 3):
+    """Word n-gram shingle array WITH positions preserved (no distinct)
+    — same shifted-slice zip_with construction as shingles_from_words;
+    element i is the gram starting at word i."""
+    arr = w
+    for j in range(1, n):
+        shifted = F.slice(w, j + 1, 1 << 30)
+        arr = F.zip_with(arr, shifted, lambda xy, z: F.concat_ws(" ", xy, z))
+    return F.when(F.size(w) >= n,
+                  F.slice(arr, 1, F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<string>"))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3, min_run: int = 2,
+                    max_df: int | None = 10_000,
+                    fanout_input: bool = True) -> DataFrame:
+    """Substring-level duplication: pairs of documents sharing a run of
+    >= min_run CONSECUTIVE word n-gram shingles — a verbatim common
+    span of min_run + n - 1 words (training-data contamination /
+    boilerplate detection at the span level, where set-based Jaccard
+    is blind to ORDER).
+
+    Plan (100 TB shape): positional shingles → join on the 8-byte gram
+    hash (the candidate generator — never all pairs); each match lies
+    on a diagonal d = pos_a - pos_b, and consecutive positions on one
+    diagonal form a run, detected with the pos - row_number() grouping
+    trick. Two shuffles total (hash join + per-(pair, diagonal)
+    window); text bytes are dropped at the first projection. Grams in
+    more than `max_df` docs are removed before the join (approx
+    distinct count): a quadratic-candidate stopword gram can't seed a
+    span without rarer neighbors on its diagonal. Highly repetitive
+    single documents (the same gram at many positions) still multiply
+    matches per pair — run repetition_metrics-based gating first for
+    adversarial corpora.
+
+    Returns (a, b, max_span_words, n_spans): longest common span in
+    words and the count of maximal runs >= min_run.
+    """
+    src = fanout(df, F.col(id_col)) if fanout_input else df
+    g = (src.select(
+            F.col(id_col),
+            F.posexplode(positional_shingles(words_col(text_col), n))
+            .alias("pos", "__g"))
+         .select(F.col(id_col), "pos", F.xxhash64("__g").alias("g")))
+    if max_df:
+        hot = (g.groupBy("g")
+               .agg(F.approx_count_distinct(id_col).alias("df_"))
+               .where(F.col("df_") > max_df))
+        g = g.join(F.broadcast(hot.select("g")), on="g", how="left_anti")
+    a = g.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "g")
+    b = g.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "g")
+    m = (a.join(b, on="g").where(F.col("a") < F.col("b"))
+         .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d")))
+    w_d = Window.partitionBy("a", "b", "d").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w_d))
+            .groupBy("a", "b", "d", "grp").agg(F.count("*").alias("run")))
+    return (runs.where(F.col("run") >= min_run)
+            .groupBy("a", "b")
+            .agg((F.max("run") + F.lit(n - 1)).cast("long")
+                 .alias("max_span_words"),
+                 F.count("*").alias("n_spans")))
+
+
 # ------------------------------------------------- embedding near-dup
 
 

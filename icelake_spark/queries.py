@@ -2974,6 +2974,44 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def duplicate_spans_q(spark, sf_dir):
+    """Substring-level duplication on the documents corpus: pairs
+    sharing a verbatim run of >=3 consecutive word 3-grams (a >=5-word
+    common span) — the span-level contamination check set-based
+    Jaccard misses. ops/dedup.py:duplicate_spans (positional shingle
+    join + diagonal run detection)."""
+    from .ops.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=3, min_run=3).orderBy("a", "b")
+
+
+DUPLICATE_SPANS_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - 2)) AS pos,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS g
+  FROM words WHERE len(w) >= 3),
+m AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, a.pos - b.pos AS d
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT a, b, d, grp, COUNT(*) AS run FROM (
+    SELECT a, b, d, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY a, b, d ORDER BY pa) AS grp
+    FROM m)
+  GROUP BY 1, 2, 3, 4)
+SELECT a, b, CAST(MAX(run) + 2 AS BIGINT) AS max_span_words,
+       COUNT(*) AS n_spans
+FROM runs WHERE run >= 3 GROUP BY a, b ORDER BY a, b
+"""
+
+
 def iceberg_merge_multi(spark, sf_dir):
     """Multi-clause MERGE INTO (sql.py over delta.merge): ORDERED
     WHEN MATCHED clauses with first-match-wins — matched customers
@@ -3107,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 ------------------------------------------
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_merge_multi": iceberg_merge_multi,
+        "duplicate_spans": duplicate_spans_q,
         # -- last green in r1/r2: modules r3 touched most first ------
         "iceberg_changelog": iceberg_changelog,
         "iceberg_update": iceberg_update,
@@ -3154,11 +3193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_files_meta": iceberg_files_meta,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
-        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_merge": iceberg_merge,
         "streaming_ingest": streaming_ingest,
         "curation_pipeline": curation_pipeline_q,
         # ---- beyond the 50-row window: all hash-green in round 3 ---
+        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
@@ -3265,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_orc_roundtrip": ICEBERG_ORC_SQL,
         "iceberg_merge": ICEBERG_MERGE_SQL,
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
+        "duplicate_spans": DUPLICATE_SPANS_SQL,
         "iceberg_nested_roundtrip": ICEBERG_NESTED_SQL,
         "iceberg_files_meta": ICEBERG_FILES_META_SQL,
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=20, n_centroids=8, nprobe=3),

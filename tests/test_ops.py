@@ -456,3 +456,27 @@ def test_sample_frames_null_duration_emits_nothing(spark):
     got = sorted((r.media_id, r.frame_ts_ms)
                  for r in sample_frames(df, every_ms=1000).collect())
     assert got == [(1, 0), (1, 1000), (1, 2000)]
+
+
+def test_duplicate_spans(spark):
+    from icelake_spark.ops.dedup import duplicate_spans
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "x y alpha beta gamma delta epsilon q r s"),      # 5-word span
+        (3, "alpha beta q gamma delta q epsilon zeta"),        # no 3-gram run
+        (4, "unrelated words entirely different content here"),
+        (5, "alpha beta gamma q q q delta epsilon zeta eta"),  # two short spans
+    ], "doc_id long, text string")
+    out = {(r.a, r.b): (r.max_span_words, r.n_spans)
+           for r in duplicate_spans(docs, n=3, min_run=2).collect()}
+    # docs 1+2 share 'alpha beta gamma delta epsilon' = run of 3 grams
+    assert out[(1, 2)] == (5, 1)
+    # docs 1+5 share 'alpha beta gamma' (run 1 -> below min_run) and
+    # 'delta epsilon zeta eta' (run 2 -> 4-word span)
+    assert out[(1, 5)] == (4, 1)
+    assert (1, 3) not in out and (1, 4) not in out
+    # min_run=3: only the 5-word span survives
+    out3 = {(r.a, r.b) for r in
+            duplicate_spans(docs, n=3, min_run=3).collect()}
+    assert out3 == {(1, 2)}
