@@ -402,6 +402,48 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_spans")))
 
 
+def span_contamination(df: DataFrame, reference: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, min_run: int = 2,
+                       max_df: int | None = 10_000) -> DataFrame:
+    """Cross-corpus duplicate_spans: verbatim spans shared between a
+    TRAINING corpus (`df`) and an EVAL/benchmark corpus (`reference`)
+    — span-level decontamination (a leaked benchmark question embedded
+    inside a larger training document evades whole-doc hashes and
+    set-Jaccard, but not a consecutive-shingle run).
+
+    Same plan as duplicate_spans with the self-join replaced by a
+    train-side x reference-side join; the reference corpus is
+    typically small, so its shingle relation broadcasts. Returns
+    (a = train id, b = reference id, max_span_words, n_spans).
+    """
+    def side(frame, out_id):
+        return (frame.select(
+                    F.col(id_col),
+                    F.posexplode(positional_shingles(
+                        words_col(text_col), n)).alias("pos", "__g"))
+                .select(F.col(id_col).alias(out_id), "pos",
+                        F.xxhash64("__g").alias("g")))
+
+    a = side(fanout(df, F.col(id_col)), "a")         .withColumnRenamed("pos", "pa")
+    b = side(reference, "b").withColumnRenamed("pos", "pb")
+    if max_df:
+        hot = (a.groupBy("g")
+               .agg(F.approx_count_distinct("a").alias("df_"))
+               .where(F.col("df_") > max_df))
+        a = a.join(F.broadcast(hot.select("g")), on="g", how="left_anti")
+    m = (a.join(b, on="g")
+         .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d")))
+    w_d = Window.partitionBy("a", "b", "d").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w_d))
+            .groupBy("a", "b", "d", "grp").agg(F.count("*").alias("run")))
+    return (runs.where(F.col("run") >= min_run)
+            .groupBy("a", "b")
+            .agg((F.max("run") + F.lit(n - 1)).cast("long")
+                 .alias("max_span_words"),
+                 F.count("*").alias("n_spans")))
+
+
 # ------------------------------------------------- embedding near-dup
 
 

@@ -3012,6 +3012,46 @@ FROM runs WHERE run >= 3 GROUP BY a, b ORDER BY a, b
 """
 
 
+def span_contamination_q(spark, sf_dir):
+    """Train-vs-eval span contamination: even-id documents as the
+    training corpus, odd-id as the benchmark; verbatim runs of >=3
+    consecutive 3-grams. ops/dedup.py:span_contamination."""
+    from .ops.dedup import span_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    bench = docs.where(F.col("doc_id") % 2 == 1)
+    return span_contamination(train, bench, n=3, min_run=3) \
+        .orderBy("a", "b")
+
+
+SPAN_CONTAMINATION_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - 2)) AS pos,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS g
+  FROM words WHERE len(w) >= 3),
+m AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, a.pos - b.pos AS d
+  FROM grams a JOIN grams b ON a.g = b.g
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+runs AS (
+  SELECT a, b, d, grp, COUNT(*) AS run FROM (
+    SELECT a, b, d, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY a, b, d ORDER BY pa) AS grp
+    FROM m)
+  GROUP BY 1, 2, 3, 4)
+SELECT a, b, CAST(MAX(run) + 2 AS BIGINT) AS max_span_words,
+       COUNT(*) AS n_spans
+FROM runs WHERE run >= 3 GROUP BY a, b ORDER BY a, b
+"""
+
+
 def iceberg_merge_multi(spark, sf_dir):
     """Multi-clause MERGE INTO (sql.py over delta.merge): ORDERED
     WHEN MATCHED clauses with first-match-wins — matched customers
@@ -3198,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         # ---- beyond the 50-row window: all hash-green in round 3 ---
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
+        "span_contamination": span_contamination_q,
         "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
@@ -3305,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge": ICEBERG_MERGE_SQL,
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
+        "span_contamination": SPAN_CONTAMINATION_SQL,
         "iceberg_nested_roundtrip": ICEBERG_NESTED_SQL,
         "iceberg_files_meta": ICEBERG_FILES_META_SQL,
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=20, n_centroids=8, nprobe=3),

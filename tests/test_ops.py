@@ -480,3 +480,20 @@ def test_duplicate_spans(spark):
     out3 = {(r.a, r.b) for r in
             duplicate_spans(docs, n=3, min_run=3).collect()}
     assert out3 == {(1, 2)}
+
+
+def test_span_contamination(spark):
+    from icelake_spark.ops.dedup import span_contamination
+
+    train = spark.createDataFrame([
+        (1, "intro text the quick brown fox jumps over the lazy dog end"),
+        (2, "nothing shared with any benchmark document at all"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "the quick brown fox jumps over something"),
+        (101, "completely disjoint eval question"),
+    ], "doc_id long, text string")
+    out = {(r.a, r.b): r.max_span_words for r in
+           span_contamination(train, bench, n=3, min_run=2).collect()}
+    # 'the quick brown fox jumps over' = 4-gram run -> 6-word span
+    assert out == {(1, 100): 6}

@@ -208,3 +208,16 @@ def test_fanout_skips_prepartitioned_input(spark):
     out = fanout(narrow, F.col("id"))
     assert out is not narrow
     assert out.rdd.getNumPartitions() == n
+
+
+def test_duplicate_spans_plan_properties(spark):
+    """Span detection stays JVM-side: hashed-gram join key (8 bytes,
+    never the gram string), no Python evaluation, and the hot-gram cap
+    joins as a broadcast."""
+    from icelake_spark.ops.dedup import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(duplicate_spans(docs, n=3, min_run=2))
+    assert "EvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan  # hot-gram anti-join broadcasts
