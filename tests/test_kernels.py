@@ -428,3 +428,41 @@ def test_bucket_vectorized_speedup():
 
     assert (vec[:100_000] == scal.to_numpy(dtype=np.int32)).all()
     assert t_row / t_vec >= 5, f"vectorized {t_vec:.3f}s vs per-row {t_row:.3f}s"
+
+
+def test_hash_bytes_vec_hypothesis():
+    """Property: vectorized murmur3 == scalar for ANY batch of byte
+    strings, and the int128 minimal-BE encoder == Java BigInteger
+    semantics for ANY unscaled decimal."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icelake_spark import murmur3 as m
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=64), min_size=1,
+                    max_size=50))
+    def check_bytes(items):
+        buf = np.frombuffer(b"".join(items), dtype=np.uint8)
+        lengths = np.array([len(x) for x in items], dtype=np.int64)
+        starts = np.zeros(len(items), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        vec = m.hash_bytes_vec(buf, starts, lengths)
+        assert all(int(v) == m.hash_bytes(x) for v, x in zip(vec, items))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(10**38) + 1,
+                                max_value=10**38 - 1),
+                    min_size=1, max_size=30))
+    def check_decimal(vals):
+        le = np.zeros((len(vals), 16), dtype=np.uint8)
+        for i, v in enumerate(vals):
+            le[i] = np.frombuffer(v.to_bytes(16, "little", signed=True),
+                                  dtype=np.uint8)
+        b, s, l = m.int128_minimal_be_vec(le)
+        vec = m.hash_bytes_vec(b, s, l)
+        assert all(int(h) == m.hash_decimal(v) for h, v in zip(vec, vals))
+
+    check_bytes()
+    check_decimal()
