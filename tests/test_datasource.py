@@ -372,3 +372,40 @@ def test_dsv2_field_id_binding_survives_name_reuse(spark, warehouse):
     rows = {r.id: r for r in spark.read.format("icelake")
             .option("path", t.path).load().collect()}
     assert rows[3].c == 30 and rows[3].a == 300 and rows[1].c == 10
+
+
+def test_changelog_stream_one_window_mixed_deletes(spark, warehouse,
+                                                   tmp_path):
+    """A FRESH changelog stream whose first batch window spans append +
+    pos-delete + upsert snapshots: three executor partitions, and the
+    cross-snapshot dead-set must stop the eq-delete of an already
+    pos-deleted row from double-emitting. Equals the batch changelog."""
+    from icelake_spark import datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                                "id long, v string")
+    t = warehouse.create_table("db.cdc1w", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.delete_where(spark, "id < 5")
+    t = t.refresh()
+    # id=2 is ALREADY pos-deleted; its eq delete must not re-emit
+    t.upsert(spark.createDataFrame([(2, "BACK"), (7, "NEW")],
+                                   "id long, v string"), key_cols=["id"])
+    t = t.refresh()
+
+    q = (spark.readStream.format("icelake")
+         .option("path", t.path).option("changelog", "true").load()
+         .writeStream.format("memory").queryName("cdc1w")
+         .option("checkpointLocation", str(tmp_path / "ck1w"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted((r.id, r.v, r._change_type)
+                 for r in spark.table("cdc1w").collect())
+    want = sorted((r.id, r.v, r._change_type)
+                  for r in t.changes(spark).collect())
+    assert got == want
+    # the dead row (2, 'v2') produced exactly ONE delete event
+    assert sum(1 for g in got if g[0] == 2 and g[2] == "delete") == 1
