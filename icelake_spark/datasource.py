@@ -144,6 +144,67 @@ def _parquet_id_map(pa_schema) -> dict[int, str]:
     return out
 
 
+def _rebind_struct(arr, ice_struct, expected_type):
+    """Rebind a struct column's MEMBERS by the file's nested
+    PARQUET:field_id metadata (externally-written Iceberg files keep
+    physical member names from write time; the id, not the name, is
+    the member's identity — in_memory.rs:341-429). Falls back to name
+    per member; genuinely-new members pad null. `expected_type` is the
+    requested arrow struct type (member names/order from the table
+    schema); recursion covers nested structs."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    at = arr.type
+    if not pa.types.is_struct(at) or not pa.types.is_struct(expected_type):
+        return arr
+    id_of: dict[int, int] = {}
+    name_of: dict[str, int] = {}
+    for i in range(at.num_fields):
+        f = at.field(i)
+        name_of[f.name] = i
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                id_of[int(v)] = i
+            except ValueError:
+                pass
+    children, names, identical = [], [], at.num_fields == len(ice_struct.fields)
+    for pos, nf in enumerate(ice_struct.fields):
+        exp_child = expected_type.field(pos).type
+        idx = id_of.get(nf.field_id)
+        if idx is None:
+            idx = name_of.get(nf.name)
+        if idx is None:
+            child = pa.nulls(len(arr), type=exp_child)
+            identical = False
+        else:
+            child = arr.field(idx)
+            if idx != pos or at.field(idx).name != nf.name:
+                identical = False
+            from .types.datatypes import StructType as _IceStruct
+
+            if isinstance(nf.field_type, _IceStruct):
+                rebound = _rebind_struct(child, nf.field_type, exp_child)
+                if rebound is not child:
+                    identical = False
+                child = rebound
+            if child.type != exp_child:
+                try:
+                    child = child.cast(exp_child)
+                    identical = False
+                except pa.ArrowInvalid:
+                    pass
+        names.append(nf.name)
+        children.append(child)
+    if identical:
+        return arr
+    return pa.StructArray.from_arrays(
+        children, names=names,
+        mask=arr.is_null() if arr.null_count else None)
+
+
 def _resolve_column(table, name: str, rename_map: dict[str, list[str]],
                     field_id: int | None = None,
                     id_map: dict[int, str] | None = None):
@@ -174,7 +235,10 @@ class IcelakeReader(DataSourceReader):
 
         t = IcebergTable.load(options["path"])
         self.rename_map = _rename_map(t)
-        self.field_ids = {f.name: f.field_id for f in t.schema().fields}
+        schema = t.schema()
+        self.field_ids = {f.name: f.field_id for f in schema.fields}
+        # iceberg member types for nested rebinding (picklable dataclasses)
+        self.ice_fields = {f.name: f.field_type for f in schema.fields}
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Accept simple comparisons for zone-map file pruning; everything
@@ -321,13 +385,23 @@ class IcelakeReader(DataSourceReader):
             table = table.filter(mask)
 
         # project/pad to the requested schema (field-id first, then
-        # current name, then former name)
+        # current name, then former name); struct members rebind by
+        # their nested file ids (externally-written Iceberg files)
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from .types.datatypes import StructType as _IceStruct
+
         id_map = _parquet_id_map(table.schema)
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
-        for n in names:
+        for f in self.spark_schema.fields:
+            n = f.name
             arr = _resolve_column(table, n, self.rename_map,
                                   self.field_ids.get(n), id_map)
+            if arr is not None and isinstance(
+                    self.ice_fields.get(n), _IceStruct):
+                arr = _rebind_struct(arr, self.ice_fields[n],
+                                     to_arrow_type(f.dataType))
             # schema evolution: genuinely new column pads as null
             arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()

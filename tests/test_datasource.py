@@ -409,3 +409,37 @@ def test_changelog_stream_one_window_mixed_deletes(spark, warehouse,
     assert got == want
     # the dead row (2, 'v2') produced exactly ONE delete event
     assert sum(1 for g in got if g[0] == 2 and g[2] == "delete") == 1
+
+
+def test_dsv2_nested_member_binding_by_field_id(spark, warehouse,
+                                                tmp_path):
+    """An externally-written Iceberg file whose struct MEMBER kept its
+    old physical name (nested PARQUET:field_id = the member identity):
+    the DSv2 reader rebinds members by id, so the renamed member reads
+    its values instead of nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = spark.createDataFrame(
+        [(1, (10, "a")), (2, (20, "b"))],
+        "id long, info struct<x: long, y: string>")
+    t = warehouse.create_table("db.nestid", Schema.from_spark(src.schema))
+    # schema ids (DFS): id=1, info=2, info.x=3, info.y=4 — write a file
+    # whose member 3 is physically named 'old_x' but carries id 3
+    inner = pa.struct([
+        pa.field("old_x", pa.int64(), metadata={b"PARQUET:field_id": b"3"}),
+        pa.field("y", pa.string(), metadata={b"PARQUET:field_id": b"4"})])
+    pa_schema = pa.schema([
+        pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("info", inner, metadata={b"PARQUET:field_id": b"2"})])
+    ext = pa.table({"id": [1, 2],
+                    "info": [{"old_x": 10, "y": "a"},
+                             {"old_x": 20, "y": "b"}]}, schema=pa_schema)
+    f = str(tmp_path / "ext.parquet")
+    pq.write_table(ext, f)
+    t.add_files([f])
+
+    df = spark.read.format("icelake").option("path", t.path).load()
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].info.x == 10 and rows[1].info.y == "a"
+    assert rows[2].info.x == 20 and rows[2].info.y == "b"
