@@ -222,3 +222,23 @@ def test_mock_scheme_copy_on_write_and_maintenance(spark, mock_io):
     data, _, _ = t4.new_scan().plan_files()
     assert t4.to_df(spark).count() == 90
     assert all(d.data_file.file_path.startswith("mock://") for d in data)
+
+
+def test_mock_scheme_partitioned_write(spark, mock_io):
+    """Partitioned append on a URI table: hive partition dirs parse
+    through the URI-safe rel_under, partition values land in the
+    manifests, and pruning works."""
+    from icelake_spark.types.metadata import PartitionField, PartitionSpec
+
+    src = spark.range(300).selectExpr("id", "id % 3 as g")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("g").field_id, 1000, "identity", "g"),))
+    cat = StorageCatalog("mock://wh3")
+    t = cat.create_table("db.part", schema, spec=spec)
+    t.append(src)
+    data, _, _ = t.new_scan().plan_files()
+    assert {d.data_file.partition.get("g") for d in data} == {0, 1, 2}
+    pruned, _, _ = t.new_scan(filter="g = 1").plan_files()
+    assert len(pruned) < len(data)
+    assert t.to_df(spark, filter="g = 1").count() == 100
