@@ -128,6 +128,33 @@ def _rename_map(table) -> dict[str, list[str]]:
     return out
 
 
+def _read_avro_arrow(spark_schema, file_path: str):
+    """Decode one avro data file into an Arrow table matching
+    `spark_schema` (pure-python codec; shared by the batch and stream
+    DSv2 readers)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from . import avro_io
+    from .avro_data import _converters
+    from .types.datatypes import Schema as _IceSchema
+
+    plain = T.StructType([f for f in spark_schema.fields
+                          if f.name != "_change_type"])
+    arrow_schema = to_arrow_schema(plain)
+    decoders = {name: dec for name, _enc, dec
+                in _converters(_IceSchema.from_spark(plain))}
+    _schema, records = avro_io.read_avro(file_path)
+    present = [n for n in arrow_schema.names
+               if records and n in records[0]]
+    return pa.table({
+        n: pa.array([decoders[n](rec.get(n)) for rec in records],
+                    type=arrow_schema.field(n).type)
+        for n in present} if present else
+        {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
+
+
 def _parquet_id_map(pa_schema) -> dict[int, str]:
     """{field_id: physical column name} from the file's PARQUET:field_id
     metadata — present in files written by Java Iceberg / pyiceberg /
@@ -218,6 +245,11 @@ def _resolve_column(table, name: str, rename_map: dict[str, list[str]],
         phys = id_map.get(field_id)
         if phys is not None and phys in table.column_names:
             return table[phys]
+        # the file RECORDS ids but not this one: the column did not
+        # exist when the file was written (e.g. DROP COLUMN c then
+        # ADD COLUMN c — the physical 'c' belongs to the OLD id and a
+        # name fallback would resurrect its stale values). Project NULL.
+        return None
     if name in table.column_names:
         return table[name]
     for old in rename_map.get(name, ()):
@@ -319,26 +351,7 @@ class IcelakeReader(DataSourceReader):
 
             table = pa_orc.ORCFile(partition.file_path).read()
         elif fmt == "AVRO":
-            from pyspark.sql import types as T
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            from . import avro_io
-            from .avro_data import _converters
-            from .types.datatypes import Schema as _IceSchema
-
-            plain = T.StructType([f for f in self.spark_schema.fields
-                                  if f.name != "_change_type"])
-            arrow_schema = to_arrow_schema(plain)
-            decoders = {name: dec for name, _enc, dec
-                        in _converters(_IceSchema.from_spark(plain))}
-            _schema, records = avro_io.read_avro(partition.file_path)
-            present = [n for n in arrow_schema.names
-                       if records and n in records[0]]
-            table = pa.table({
-                n: pa.array([decoders[n](rec.get(n)) for rec in records],
-                            type=arrow_schema.field(n).type)
-                for n in present} if present else
-                {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
+            table = _read_avro_arrow(self.spark_schema, partition.file_path)
         else:
             table = pq.read_table(partition.file_path)
 
@@ -365,6 +378,7 @@ class IcelakeReader(DataSourceReader):
         # from an old file reads as NULL — it must MATCH AS NULL, not be
         # dropped from the key (narrowing the key over-deletes: every
         # row sharing the present columns would match).
+        id_map_k = _parquet_id_map(table.schema)  # loop-invariant
         for dpath, cols, dseq in partition.eq_deletes:
             if not partition.sequence_number < dseq:
                 continue
@@ -374,7 +388,6 @@ class IcelakeReader(DataSourceReader):
                             else [None] * dt.num_rows) for c in cols}
             deleted = set(zip(*[del_cols[c] for c in cols]))
             key_cols = {}
-            id_map_k = _parquet_id_map(table.schema)
             for c in cols:  # field-id/rename-aware resolution
                 arr = _resolve_column(table, c, self.rename_map,
                                       self.field_ids.get(c), id_map_k)
@@ -553,6 +566,8 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             from pyarrow import orc as pa_orc
 
             table = pa_orc.ORCFile(partition.file_path).read()
+        elif partition.file_format == "AVRO":
+            table = _read_avro_arrow(self.spark_schema, partition.file_path)
         else:
             table = pq.read_table(partition.file_path)
         id_map = _parquet_id_map(table.schema)

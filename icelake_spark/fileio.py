@@ -477,7 +477,9 @@ def register_io(scheme: str, factory: Callable[[str], FileIO]) -> None:
 
 def unregister_io(scheme: str) -> None:
     _REGISTRY.pop(scheme, None)
-    _ARROW_CACHE.pop(scheme, None)
+    # cache keys are scheme://authority — evict every entry of the scheme
+    for key in [k for k in _ARROW_CACHE if k.startswith(f"{scheme}://")]:
+        _ARROW_CACHE.pop(key, None)
 
 
 def resolve_io(path: str) -> FileIO:

@@ -156,41 +156,6 @@ def hash_bytes_vec(buf: np.ndarray, starts: np.ndarray,
     return h.view(np.int32)
 
 
-def _bitlen_u64(mag: np.ndarray) -> np.ndarray:
-    """Vectorized int.bit_length() for non-negative uint64 values."""
-    bl = np.zeros(len(mag), dtype=np.int64)
-    m = mag.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        t = m >> np.uint64(shift)
-        has = t > 0
-        bl[has] += shift
-        m = np.where(has, t, m)
-    bl[mag > 0] += 1
-    return bl
-
-
-def decimal_be_bytes_vec(unscaled: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Minimal two's-complement big-endian encodings of int64 unscaled
-    decimals, concatenated — (buf, starts, lengths) for hash_bytes_vec.
-
-    Mirrors hash_decimal's Java-BigInteger minimal length rule (boundary
-    values like -128 need no extra sign byte), fully vectorized.
-    """
-    v = unscaled.astype(np.int64, copy=False)
-    n = len(v)
-    neg = v < 0
-    mag = np.where(neg, ~v, v).astype(np.uint64)
-    nbytes = np.maximum(1, (_bitlen_u64(mag) + 8) // 8)
-    be = v.astype(">i8").view(np.uint8).reshape(n, 8)
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(nbytes[:-1], out=starts[1:])
-    total = int(starts[-1] + nbytes[-1]) if n else 0
-    row_idx = np.repeat(np.arange(n), nbytes)
-    k = np.arange(total) - np.repeat(starts, nbytes)
-    col = np.repeat(8 - nbytes, nbytes) + k
-    return be[row_idx, col], starts, nbytes
-
-
 def int128_minimal_be_vec(le_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow decimal128 data buffer (n×16 little-endian int128 rows) →
     minimal two's-complement BE encodings as (buf, starts, lengths).

@@ -392,6 +392,14 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     b = g.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "g")
     m = (a.join(b, on="g").where(F.col("a") < F.col("b"))
          .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d")))
+    return _diagonal_runs(m, n, min_run)
+
+
+def _diagonal_runs(m: DataFrame, n: int, min_run: int) -> DataFrame:
+    """Shared tail of the span detectors: matches (a, b, pa, d) →
+    (a, b, max_span_words, n_spans). Consecutive positions on one
+    diagonal form a run (pos - row_number() grouping trick); runs of
+    >= min_run shingles are spans of min_run + n - 1 words."""
     w_d = Window.partitionBy("a", "b", "d").orderBy("pa")
     runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w_d))
             .groupBy("a", "b", "d", "grp").agg(F.count("*").alias("run")))
@@ -434,14 +442,7 @@ def span_contamination(df: DataFrame, reference: DataFrame,
         a = a.join(F.broadcast(hot.select("g")), on="g", how="left_anti")
     m = (a.join(b, on="g")
          .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d")))
-    w_d = Window.partitionBy("a", "b", "d").orderBy("pa")
-    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w_d))
-            .groupBy("a", "b", "d", "grp").agg(F.count("*").alias("run")))
-    return (runs.where(F.col("run") >= min_run)
-            .groupBy("a", "b")
-            .agg((F.max("run") + F.lit(n - 1)).cast("long")
-                 .alias("max_span_words"),
-                 F.count("*").alias("n_spans")))
+    return _diagonal_runs(m, n, min_run)
 
 
 # ------------------------------------------------- embedding near-dup

@@ -80,7 +80,8 @@ def resolve_path(table_path: str, path: str) -> str:
     from .fileio import io_join, is_uri
 
     if is_uri(table_path):
-        if path.startswith(table_path):
+        base = table_path.rstrip("/")
+        if path == base or path.startswith(base + "/"):
             return path
         p = _strip_file_scheme(path) if not is_uri(path) else path
         for marker in ("/data/", "/metadata/"):

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import delta
 
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.$/]+)(?:\s+AS\s+(?P<talias>\w+))?"
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.$/-]+)(?:\s+AS\s+(?P<talias>\w+))?"
     r"\s+USING\s+(?P<source>[\w.]+)(?:\s+AS\s+(?P<salias>\w+))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"(?P<clauses>\s+WHEN\s+.*)?$",
@@ -143,15 +143,38 @@ def merge_into(spark: SparkSession, statement: str,
 
 
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.$/]+)"
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.$/-]+)"
     r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<target>[\w.$/]+)"
-    r"\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*$",
+    r"^\s*UPDATE\s+(?P<target>[\w.$/-]+)"
+    r"\s+SET\s+(?P<rest>.+?)\s*$",
     re.IGNORECASE | re.DOTALL)
+
+
+def _split_top_where(text: str) -> tuple[str, str | None]:
+    """Split `... WHERE cond` on the first TOP-LEVEL WHERE (outside
+    quotes and parens) — a regex split would cut inside a string
+    literal like SET note = 'a WHERE b'."""
+    depth, quote, i, n = 0, None, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in "wW" and text[i:i + 5].upper() == "WHERE" \
+                and (i == 0 or text[i - 1].isspace()) \
+                and (i + 5 == n or text[i + 5].isspace()):
+            return text[:i].rstrip(), text[i + 5:].strip() or None
+        i += 1
+    return text.strip(), None
 
 # one `col = expr` assignment; expressions may contain commas only inside
 # parens/quotes, so the splitter walks the text instead of a bare split(',')
@@ -229,8 +252,9 @@ def execute(spark: SparkSession, statement: str, catalog=None,
                              "UPDATE t SET col = expr [WHERE cond]")
         from .delta import update_rows
 
+        sets_text, where_cond = _split_top_where(m.group("rest"))
         assignments = {}
-        for part in _split_assignments(m.group("sets")):
+        for part in _split_assignments(sets_text):
             am = _ASSIGN_RE.match(part)
             if not am:
                 raise ValueError(f"unsupported SET assignment: {part!r}")
@@ -239,7 +263,7 @@ def execute(spark: SparkSession, statement: str, catalog=None,
                 raise ValueError(f"duplicate SET column {col!r}")
             assignments[col] = am.group("expr")
         table = _load_target(m.group("target"), catalog)
-        update_rows(table, spark, m.group("cond") or "true", assignments)
+        update_rows(table, spark, where_cond or "true", assignments)
         return table
     if head == "ALTER":
         return _alter_table(spark, s, catalog=catalog)
@@ -248,7 +272,7 @@ def execute(spark: SparkSession, statement: str, catalog=None,
 
 
 _ALTER_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.$/]+)\s+(?P<rest>.+?)\s*$",
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.$/-]+)\s+(?P<rest>.+?)\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _ADD_COL_RE = re.compile(

@@ -443,3 +443,40 @@ def test_dsv2_nested_member_binding_by_field_id(spark, warehouse,
     rows = {r.id: r for r in df.collect()}
     assert rows[1].info.x == 10 and rows[1].info.y == "a"
     assert rows[2].info.x == 20 and rows[2].info.y == "b"
+
+
+def test_dsv2_dropped_then_readded_column_reads_null(spark, warehouse):
+    """DROP COLUMN c then ADD COLUMN c: old id-stamped files still hold
+    a physical 'c' under the OLD field id — the reader must project
+    NULL for the new c, not resurrect stale values (review fix)."""
+    src = spark.createDataFrame([(1, 10), (2, 20)], "id long, c long")
+    t = warehouse.create_table("db.readd", Schema.from_spark(src.schema))
+    t.append(src)
+    t.drop_column("c")
+    t.add_column("c", "long")
+    rows = {r.id: r.c for r in spark.read.format("icelake")
+            .option("path", t.path).load().collect()}
+    assert rows == {1: None, 2: None}
+    # new writes under the new id read back fine alongside
+    t.refresh()
+    t.append(spark.createDataFrame([(3, 99)], "id long, c long"))
+    rows = {r.id: r.c for r in spark.read.format("icelake")
+            .option("path", t.path).load().collect()}
+    assert rows == {1: None, 2: None, 3: 99}
+
+
+def test_partition_stream_reader_avro_table(spark, warehouse, tmp_path):
+    """A write.format.default=avro table streams through the partition
+    reader (AVRO dispatch — review fix: pq.read_table on an avro file
+    crashed every micro-batch)."""
+    src = spark.range(40).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table(
+        "db.avstream", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.append(src)
+    q = (spark.readStream.format("icelake").option("path", t.path).load()
+         .writeStream.format("memory").queryName("avsink")
+         .option("checkpointLocation", str(tmp_path / "avck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert spark.table("avsink").count() == 40

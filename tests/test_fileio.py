@@ -242,3 +242,17 @@ def test_mock_scheme_partitioned_write(spark, mock_io):
     pruned, _, _ = t.new_scan(filter="g = 1").plan_files()
     assert len(pruned) < len(data)
     assert t.to_df(spark, filter="g = 1").count() == 100
+
+
+def test_resolve_path_uri_sibling_prefix():
+    """s3://wh/sales must NOT claim s3://wh/sales_v2/... as its own
+    (review fix: bare startswith passed sibling-prefix paths through
+    instead of re-rooting)."""
+    from icelake_spark.planning import resolve_path
+
+    assert resolve_path("s3://wh/sales", "s3://wh/sales/data/f.parquet") \
+        == "s3://wh/sales/data/f.parquet"
+    assert resolve_path("s3://wh/sales", "s3://wh/sales_v2/data/f.parquet") \
+        == "s3://wh/sales/data/f.parquet"
+    assert resolve_path("s3://wh/sales", "/old/root/data/f.parquet") \
+        == "s3://wh/sales/data/f.parquet"

@@ -368,13 +368,6 @@ def test_decimal_minimal_be_vec_property():
     assert (vec == np.array([m.hash_decimal(v) for v in vals],
                             dtype=np.int32)).all()
 
-    small = np.array([v for v in vals if -2**62 <= v < 2**62],
-                     dtype=np.int64)
-    b, s, l = m.decimal_be_bytes_vec(small)
-    vec = m.hash_bytes_vec(b, s, l)
-    assert (vec == np.array([m.hash_decimal(int(v)) for v in small],
-                            dtype=np.int32)).all()
-
 
 def test_bucket_uuid_binary_spark(spark):
     """uuid + binary bucket lanes through Spark match apply_transform_py

@@ -266,3 +266,22 @@ def test_sql_alter_table(warehouse, spark):
     with pytest.raises(ValueError, match="unsupported column type"):
         execute(spark, "ALTER TABLE s1.alt ADD COLUMN x geometry",
                 catalog=warehouse)
+
+
+def test_sql_update_where_inside_string_literal(warehouse, spark):
+    """SET expressions may contain the word WHERE inside a string
+    literal; the top-level splitter must not cut there (review fix)."""
+    from icelake_spark.sql import execute
+
+    df = spark.range(5).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("s1.uq", Schema.from_spark(df.schema))
+    t.append(df)
+    execute(spark, "UPDATE s1.uq SET s = 'a WHERE b' WHERE id = 1",
+            catalog=warehouse)
+    rows = {r.id: r.s for r in warehouse.load_table("s1.uq")
+            .to_df(spark).collect()}
+    assert rows[1] == "a WHERE b" and rows[2] == "2"
+    # and without any WHERE at all
+    execute(spark, "UPDATE s1.uq SET s = 'x WHERE y'", catalog=warehouse)
+    assert set({r.s for r in warehouse.load_table("s1.uq")
+                .to_df(spark).collect()}) == {"x WHERE y"}
