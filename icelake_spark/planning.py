@@ -110,42 +110,108 @@ def resolve_path(table_path: str, path: str) -> str:
 _OP_RE = re.compile(r"^(\w+)\s*(<=|>=|!=|==|=|<|>)\s*(.+)$")
 
 
+def _split_top_level(text: str, word: str) -> list[str]:
+    """Split on a keyword at paren depth 0 OUTSIDE string literals —
+    `name = 'x or y'` must not split inside the literal."""
+    parts: list[str] = []
+    depth, quote, start, i, n = 0, None, 0, 0, len(text)
+    wl = len(word)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + wl].upper() == word \
+                and (i == 0 or text[i - 1].isspace()) \
+                and (i + wl == n or text[i + wl].isspace()):
+            parts.append(text[start:i])
+            start = i + wl
+            i += wl
+            continue
+        i += 1
+    parts.append(text[start:])
+    return [s.strip() for s in parts if s.strip()]
+
+
+_IN_RE = re.compile(r"^(\w+)\s+IN\s*\((.+)\)$",
+                    re.IGNORECASE | re.DOTALL)
+
+
+def _split_commas_quoted(text: str) -> list[str]:
+    parts, quote, start = [], None, 0
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == ",":
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [s.strip() for s in parts if s.strip()]
+
+
 def parse_stats_preds(filter_str: str | None, schema: Schema,
-                      parse_literal) -> list[tuple[int, str, Any, PrimitiveType]]:
-    """Parse simple `col OP literal` conjuncts into (field_id, op, value,
-    type) tuples for zone-map pruning. Unparseable conjuncts are dropped
-    — Catalyst still applies the full filter in-file, so pruning stays a
-    pure optimization."""
+                      parse_literal) -> list[list[tuple[int, str, Any, PrimitiveType]]]:
+    """Parse a filter into DNF branches of simple `col OP literal`
+    conjuncts for zone-map pruning: a file survives if ANY branch might
+    match it. Supported shapes: conjunctions, top-level OR over
+    conjunctions, and a whole-filter `col IN (v, ...)`. Parens (other
+    than IN's list) bail out to no pruning — Catalyst still applies the
+    full filter in-file, so pruning stays a pure optimization; a branch
+    with NO parseable conjunct keeps every file, so it disables pruning
+    entirely (pruning on the other branches alone would drop its
+    matches — silent data loss)."""
     if not filter_str:
         return []
-    # a disjunction (or parens) makes AND-splitting unsound: a conjunct
-    # like "name = 'x' OR id = 2" would otherwise parse as
-    # col=name, lit="'x' OR id = 2" and prune files that match the OR's
-    # other branch — silent data loss. Pruning is optional; bail out.
-    if re.search(r"(?i)\bor\b", filter_str) or "(" in filter_str:
-        return []
-    preds = []
-    for c in re.split(r"(?i)\s+and\s+", filter_str):
-        m = _OP_RE.match(c.strip())
-        if not m:
-            continue
-        col, op, lit = m.group(1), m.group(2).replace("==", "="), m.group(3).strip()
-        if re.search(r"\s", lit.strip("'\"")) and not lit.startswith(("'", '"')):
-            continue  # trailing junk after the literal — not a simple conjunct
-        f = schema.field_by_name(col)
+    s = filter_str.strip()
+    m = _IN_RE.match(s)
+    if m and "(" not in m.group(2):
+        f = schema.field_by_name(m.group(1))
         if f is None or not isinstance(f.field_type, PrimitiveType):
-            continue
-        val = parse_literal(lit, f.field_type)
-        if val is None:
-            continue
-        preds.append((f.field_id, op, val, f.field_type))
-    return preds
+            return []
+        branches = []
+        for lit in _split_commas_quoted(m.group(2)):
+            val = parse_literal(lit, f.field_type)
+            if val is None:
+                return []
+            branches.append([(f.field_id, "=", val, f.field_type)])
+        return branches
+    if "(" in s:
+        return []
+    branches = []
+    for br in _split_top_level(s, "OR"):
+        preds = []
+        for c in _split_top_level(br, "AND"):
+            m = _OP_RE.match(c.strip())
+            if not m:
+                continue
+            col, op, lit = (m.group(1), m.group(2).replace("==", "="),
+                            m.group(3).strip())
+            if re.search(r"\s", lit.strip("'\"")) \
+                    and not lit.startswith(("'", '"')):
+                continue  # trailing junk — not a simple conjunct
+            f = schema.field_by_name(col)
+            if f is None or not isinstance(f.field_type, PrimitiveType):
+                continue
+            val = parse_literal(lit, f.field_type)
+            if val is None:
+                continue
+            preds.append((f.field_id, op, val, f.field_type))
+        if not preds:
+            return []  # unprunable branch: every file might match it
+        branches.append(preds)
+    return branches
 
 
-def stats_keep(data_file, schema: Schema, preds) -> bool:
-    """Zone-map check: can this file contain rows matching every pred?"""
-    if not preds:
-        return True
+def _branch_keep(data_file, schema: Schema, preds) -> bool:
     pred_fids = {fid for fid, _op, _v, _t in preds}
     lo = data_file.decoded_bounds(schema, "lower", fids=pred_fids)
     hi = data_file.decoded_bounds(schema, "upper", fids=pred_fids)
@@ -164,6 +230,14 @@ def stats_keep(data_file, schema: Schema, preds) -> bool:
         if op == ">=" and hi_v < val:
             return False
     return True
+
+
+def stats_keep(data_file, schema: Schema, dnf) -> bool:
+    """Zone-map check over DNF branches: can this file contain rows
+    matching ANY branch's every conjunct?"""
+    if not dnf:
+        return True
+    return any(_branch_keep(data_file, schema, preds) for preds in dnf)
 
 
 def _coerce_filter_value(v: Any, t: PrimitiveType) -> Any:

