@@ -281,6 +281,9 @@ _RENAME_COL_RE = re.compile(
     r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE)
 _DROP_COL_RE = re.compile(
     r"^DROP\s+COLUMN\s+(?P<col>\w+)$", re.IGNORECASE)
+_SET_SPEC_RE = re.compile(
+    r"^SET\s+PARTITION\s+SPEC\s*\(\s*(?P<parts>.+?)\s*\)$",
+    re.IGNORECASE | re.DOTALL)
 _SET_PROPS_RE = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)$",
     re.IGNORECASE | re.DOTALL)
@@ -304,6 +307,7 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
         ALTER TABLE t RENAME COLUMN a TO b
         ALTER TABLE t DROP COLUMN c
         ALTER TABLE t SET TBLPROPERTIES ('k' = 'v'[, ...])
+        ALTER TABLE t SET PARTITION SPEC (month(ts), bucket[8](id), ...)
     """
     m = _ALTER_RE.match(statement)
     if not m:
@@ -329,6 +333,13 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
     dm = _DROP_COL_RE.match(rest)
     if dm:
         table.drop_column(dm.group("col"))
+        return table
+    sm = _SET_SPEC_RE.match(rest)
+    if sm:
+        # partition evolution: REPLACES the default spec (update_spec
+        # semantics — old files keep their spec, resolved per manifest)
+        table.update_spec(*[x.strip() for x in
+                            sm.group("parts").split(",") if x.strip()])
         return table
     pm = _SET_PROPS_RE.match(rest)
     if pm:

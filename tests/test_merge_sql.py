@@ -285,3 +285,21 @@ def test_sql_update_where_inside_string_literal(warehouse, spark):
     execute(spark, "UPDATE s1.uq SET s = 'x WHERE y'", catalog=warehouse)
     assert set({r.s for r in warehouse.load_table("s1.uq")
                 .to_df(spark).collect()}) == {"x WHERE y"}
+
+
+def test_sql_alter_partition_spec(warehouse, spark):
+    from icelake_spark.sql import execute
+
+    df = spark.range(100).selectExpr(
+        "id", "date_add(date'2024-01-01', cast(id % 90 as int)) as d")
+    t = warehouse.create_table("s1.pspec", Schema.from_spark(df.schema))
+    t.append(df)
+    execute(spark, "ALTER TABLE s1.pspec SET PARTITION SPEC "
+            "(month(d), bucket[4](id))", catalog=warehouse)
+    t2 = warehouse.load_table("s1.pspec")
+    spec = t2.metadata.default_spec()
+    assert [(f.transform, f.name) for f in spec.fields] == \
+        [("month", "d_month"), ("bucket[4]", "id_bucket")]
+    # new writes use the new layout; the whole table still reads
+    t2.append(df.selectExpr("id + 1000 as id", "d"))
+    assert warehouse.load_table("s1.pspec").to_df(spark).count() == 200
