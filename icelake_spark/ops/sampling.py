@@ -49,6 +49,44 @@ def sample_stratified(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def temperature_sample(df: DataFrame, source_col: str = "source",
+                       id_col: str = "doc_id", alpha: float = 0.5,
+                       budget_frac: float = 0.5) -> DataFrame:
+    """Source-balanced corpus mixing (temperature sampling, the
+    multilingual/multi-source pretraining recipe): source s gets a
+    share of the budget proportional to n_s^alpha — alpha < 1
+    upsamples rare sources relative to their natural frequency; the
+    overall kept fraction is ~budget_frac. Keep rates are computed
+    ENTIRELY in-plan (per-source counts are a tiny aggregate broadcast
+    back; no driver state), and the keep decision is the deterministic
+    md5 bucket of the id — reproducible and engine-portable.
+
+    Cross-engine exactness: the weight sum uses the decimal-sum trick
+    (order-independent), and alpha=0.5 compiles to sqrt (correctly
+    rounded everywhere, unlike pow whose last ulp may differ between
+    engines — general alpha works but is not oracle-exact). Rates are
+    quantized to 1/65536.
+    """
+    n = F.col("__n")
+    w = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    counts = (df.groupBy(source_col).agg(F.count("*").alias("__n"))
+              .withColumn("__w", F.round(w, 8).cast("decimal(24,8)")))
+    tot = counts.agg(F.sum("__n").alias("__total"),
+                     F.sum("__w").alias("__wsum"))
+    rate = F.least(F.lit(1.0),
+                   (F.lit(budget_frac) * F.col("__total")
+                    * F.col("__w").cast("double"))
+                   / (F.col("__wsum").cast("double") * n))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .withColumn("__cut",
+                         F.floor(rate * F.lit(_BUCKETS)).cast("int"))
+             .select(source_col, "__cut"))
+    cols = df.columns
+    return (df.join(F.broadcast(rates), on=source_col)
+            .where(split_bucket(id_col) < F.col("__cut"))
+            .select(*cols))
+
+
 def pack_documents(df: DataFrame, budget: int = 2048,
                    token_col: str | None = None, n_shards: int = 64,
                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

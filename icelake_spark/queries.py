@@ -3052,6 +3052,43 @@ FROM runs WHERE run >= 3 GROUP BY a, b ORDER BY a, b
 """
 
 
+def temperature_sample_q(spark, sf_dir):
+    """Temperature-based source mixing over the documents corpus
+    (alpha=0.5 upsamples rare sources): per-source kept counts and
+    char totals. ops/sampling.py:temperature_sample."""
+    from .ops.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, alpha=0.5, budget_frac=0.5)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("source"))
+
+
+def _temperature_sample_sql() -> str:
+    from .ops.sampling import split_bucket_sql
+
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(ROUND(SQRT(n), 8) AS DECIMAL(24,8)) AS w FROM counts),
+tot AS (SELECT SUM(n) AS total_n, SUM(w) AS wsum FROM w),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+             (0.5 * total_n * CAST(w AS DOUBLE))
+             / (CAST(wsum AS DOUBLE) * n))
+             * 65536) AS INT) AS cut
+  FROM w, tot),
+kept AS (
+  SELECT d.* FROM documents d JOIN rates r USING (source)
+  WHERE {split_bucket_sql('d.doc_id')} < r.cut)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 def iceberg_merge_multi(spark, sf_dir):
     """Multi-clause MERGE INTO (sql.py over delta.merge): ORDERED
     WHEN MATCHED clauses with first-match-wins — matched customers
@@ -3239,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-row window: all hash-green in round 3 ---
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "span_contamination": span_contamination_q,
+        "temperature_sample": temperature_sample_q,
         "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
@@ -3347,6 +3385,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
+        "temperature_sample": _temperature_sample_sql(),
         "iceberg_nested_roundtrip": ICEBERG_NESTED_SQL,
         "iceberg_files_meta": ICEBERG_FILES_META_SQL,
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=20, n_centroids=8, nprobe=3),

@@ -497,3 +497,25 @@ def test_span_contamination(spark):
            span_contamination(train, bench, n=3, min_run=2).collect()}
     # 'the quick brown fox jumps over' = 4-gram run -> 6-word span
     assert out == {(1, 100): 6}
+
+
+def test_temperature_sample(spark):
+    from icelake_spark.ops.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "rare", f"t{i}")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = temperature_sample(df, alpha=0.5, budget_frac=0.5)
+    by = {r.source: r.n for r in
+          kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0.5: rare source (100 docs) keeps a LARGER fraction than big
+    assert by["rare"] / 100 > by["big"] / 900
+    # overall budget is approximately honored (quantized + bernoulli)
+    total = sum(by.values())
+    assert 350 <= total <= 650
+    # deterministic: a second run keeps the identical rows
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in
+                  temperature_sample(df, alpha=0.5,
+                                     budget_frac=0.5).collect())
+    assert ids1 == ids2
