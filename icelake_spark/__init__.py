@@ -9,7 +9,7 @@ operators (dedup, similarity search, text analysis, multimodal).
 """
 
 from .catalog.storage import StorageCatalog  # noqa: F401
-from .sql import execute as sql, merge_into  # noqa: F401
+from .sql import execute as sql_execute, merge_into  # noqa: F401
 from .table import IcebergTable, TableScan  # noqa: F401
 
 __version__ = "0.1.0"

@@ -155,11 +155,19 @@ def _read_avro_arrow(spark_schema, file_path: str):
         {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
 
 
-def _parquet_id_map(pa_schema) -> dict[int, str]:
+def _parquet_id_map(pa_schema, table_ids=None) -> dict[int, str]:
     """{field_id: physical column name} from the file's PARQUET:field_id
     metadata — present in files written by Java Iceberg / pyiceberg /
     our own writer (write.py stamps parquet.field.id). Top level only;
-    nested member binding stays name-based (documented limitation)."""
+    nested member binding is handled separately (_rebind_struct).
+
+    `table_ids`: this table's known field ids. When the file's id set
+    shares NO id with the table's, the file is FOREIGN (an add_files
+    import from another table, whose ids live in a different id space)
+    — return {} so resolution falls back to names, instead of
+    projecting every column as NULL. Files from THIS table always
+    overlap (at least the surviving columns), so the dropped-then-
+    readded NULL semantics are preserved."""
     out: dict[int, str] = {}
     for f in pa_schema:
         v = (f.metadata or {}).get(b"PARQUET:field_id")
@@ -168,6 +176,8 @@ def _parquet_id_map(pa_schema) -> dict[int, str]:
                 out[int(v)] = f.name
             except ValueError:
                 pass
+    if out and table_ids is not None             and not any(fid in out for fid in table_ids):
+        return {}
     return out
 
 
@@ -378,7 +388,8 @@ class IcelakeReader(DataSourceReader):
         # from an old file reads as NULL — it must MATCH AS NULL, not be
         # dropped from the key (narrowing the key over-deletes: every
         # row sharing the present columns would match).
-        id_map_k = _parquet_id_map(table.schema)  # loop-invariant
+        id_map_k = _parquet_id_map(table.schema,
+                                   self.field_ids.values())  # loop-invariant
         for dpath, cols, dseq in partition.eq_deletes:
             if not partition.sequence_number < dseq:
                 continue
@@ -404,7 +415,7 @@ class IcelakeReader(DataSourceReader):
 
         from .types.datatypes import StructType as _IceStruct
 
-        id_map = _parquet_id_map(table.schema)
+        id_map = _parquet_id_map(table.schema, self.field_ids.values())
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
         for f in self.spark_schema.fields:
@@ -570,7 +581,7 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             table = _read_avro_arrow(self.spark_schema, partition.file_path)
         else:
             table = pq.read_table(partition.file_path)
-        id_map = _parquet_id_map(table.schema)
+        id_map = _parquet_id_map(table.schema, self.field_ids.values())
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
         for n in names:
@@ -632,7 +643,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         for path in files:
             t = pq.read_table(path)
-            id_map = _parquet_id_map(t.schema)
+            id_map = _parquet_id_map(t.schema, fids.values())
             cols = []
             for n in names:
                 arr = _resolve_column(t, n, rmap, fids.get(n), id_map)
@@ -809,12 +820,19 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                 else:
                     added_eq.append((p, seq))
 
+        # ONE read per pos-delete file: same-commit exclusion set AND
+        # the per-source position lists the (emitting) delete branch
+        # consumes — a second read per file doubled the delete I/O of
+        # every non-emitting per-snapshot executor task
         same_commit_deleted: set[tuple[str, int]] = set()
+        pos_by_src: dict[str, list[int]] = {}
         for p, _seq in added_pos:
             t = pq.read_table(p)
             for src, pos in zip(t["file_path"].to_pylist(),
                                 t["pos"].to_pylist()):
-                same_commit_deleted.add((_norm(src), pos))
+                key = _norm(src)
+                same_commit_deleted.add((key, pos))
+                pos_by_src.setdefault(key, []).append(pos)
 
         if emit:
             for p, _seq in added_data:
@@ -825,7 +843,7 @@ def _changelog_rows(table, names: list[str], rmap: dict,
         # running dead-set so a LATER eq delete of the same key can't
         # re-emit the same dead row as a phantom delete event
         eq_dead: set[tuple[str, int]] = set()
-        if added_pos or added_eq:
+        if (added_pos and emit) or added_eq:
             prior_dead = dead_acc
             # data files alive before this snapshot: canon key →
             # (readable path, seq). The canon key matches _norm of
@@ -850,20 +868,14 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                         real = table._resolve(e.data_file.file_path)
                         older[_norm(real)] = (real, seq)
 
-            for p, _seq in added_pos:
-                t = pq.read_table(p)
-                by_src: dict[str, list[int]] = {}
-                for src, pos in zip(t["file_path"].to_pylist(),
-                                    t["pos"].to_pylist()):
-                    by_src.setdefault(_norm(src), []).append(pos)
-                if emit:
-                    for src, positions in by_src.items():
-                        if src not in older:
-                            continue  # same-commit churn already excluded
-                        real, _dseq = older[src]
-                        for r in file_rows(real, sorted(positions),
-                                           skip=prior_dead):
-                            rows.append(r + ("delete",))
+            if emit:
+                for src, positions in pos_by_src.items():
+                    if src not in older:
+                        continue  # same-commit churn already excluded
+                    real, _dseq = older[src]
+                    for r in file_rows(real, sorted(positions),
+                                       skip=prior_dead):
+                        rows.append(r + ("delete",))
 
             for p, del_seq in added_eq:
                 kt = pq.read_table(p)

@@ -351,6 +351,29 @@ def positional_shingles(w, n: int = 3):
         F.array().cast("array<string>"))
 
 
+def _gram_side(frame: DataFrame, text_col: str, id_col: str, n: int,
+               out_id: str, pos_name: str) -> DataFrame:
+    """Positional-shingle projection for the span detectors:
+    (out_id, pos_name, g=xxhash64(gram))."""
+    return (frame.select(
+                F.col(id_col),
+                F.posexplode(positional_shingles(words_col(text_col), n))
+                .alias("pos", "__g"))
+            .select(F.col(id_col).alias(out_id),
+                    F.col("pos").alias(pos_name),
+                    F.xxhash64("__g").alias("g")))
+
+
+def _drop_hot_grams(g: DataFrame, id_field: str, max_df: int) -> DataFrame:
+    """Remove grams appearing in more than max_df docs (approx count)
+    before the candidate join — a stopword gram generates quadratic
+    candidates and cannot seed a span without rarer neighbors."""
+    hot = (g.groupBy("g")
+           .agg(F.approx_count_distinct(id_field).alias("df_"))
+           .where(F.col("df_") > max_df))
+    return g.join(F.broadcast(hot.select("g")), on="g", how="left_anti")
+
+
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 3, min_run: int = 2,
                     max_df: int | None = 10_000,
@@ -378,18 +401,11 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     words and the count of maximal runs >= min_run.
     """
     src = fanout(df, F.col(id_col)) if fanout_input else df
-    g = (src.select(
-            F.col(id_col),
-            F.posexplode(positional_shingles(words_col(text_col), n))
-            .alias("pos", "__g"))
-         .select(F.col(id_col), "pos", F.xxhash64("__g").alias("g")))
+    g = _gram_side(src, text_col, id_col, n, "__id", "pos")
     if max_df:
-        hot = (g.groupBy("g")
-               .agg(F.approx_count_distinct(id_col).alias("df_"))
-               .where(F.col("df_") > max_df))
-        g = g.join(F.broadcast(hot.select("g")), on="g", how="left_anti")
-    a = g.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "g")
-    b = g.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "g")
+        g = _drop_hot_grams(g, "__id", max_df)
+    a = g.select(F.col("__id").alias("a"), F.col("pos").alias("pa"), "g")
+    b = g.select(F.col("__id").alias("b"), F.col("pos").alias("pb"), "g")
     m = (a.join(b, on="g").where(F.col("a") < F.col("b"))
          .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d")))
     return _diagonal_runs(m, n, min_run)
@@ -425,21 +441,11 @@ def span_contamination(df: DataFrame, reference: DataFrame,
     typically small, so its shingle relation broadcasts. Returns
     (a = train id, b = reference id, max_span_words, n_spans).
     """
-    def side(frame, out_id):
-        return (frame.select(
-                    F.col(id_col),
-                    F.posexplode(positional_shingles(
-                        words_col(text_col), n)).alias("pos", "__g"))
-                .select(F.col(id_col).alias(out_id), "pos",
-                        F.xxhash64("__g").alias("g")))
-
-    a = side(fanout(df, F.col(id_col)), "a")         .withColumnRenamed("pos", "pa")
-    b = side(reference, "b").withColumnRenamed("pos", "pb")
+    a = _gram_side(fanout(df, F.col(id_col)), text_col, id_col, n,
+                   "a", "pa")
+    b = _gram_side(reference, text_col, id_col, n, "b", "pb")
     if max_df:
-        hot = (a.groupBy("g")
-               .agg(F.approx_count_distinct("a").alias("df_"))
-               .where(F.col("df_") > max_df))
-        a = a.join(F.broadcast(hot.select("g")), on="g", how="left_anti")
+        a = _drop_hot_grams(a, "a", max_df)
     m = (a.join(b, on="g")
          .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d")))
     return _diagonal_runs(m, n, min_run)

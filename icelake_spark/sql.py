@@ -337,9 +337,17 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
     sm = _SET_SPEC_RE.match(rest)
     if sm:
         # partition evolution: REPLACES the default spec (update_spec
-        # semantics — old files keep their spec, resolved per manifest)
-        table.update_spec(*[x.strip() for x in
-                            sm.group("parts").split(",") if x.strip()])
+        # semantics — old files keep their spec, resolved per manifest).
+        # Split on TOP-LEVEL commas and accept BOTH spellings of the
+        # parameterized transforms: our bucket[8](id) and the standard
+        # Spark/Iceberg bucket(8, id) / truncate(4, col).
+        parts = []
+        for x in _split_assignments(sm.group("parts")):
+            m2 = re.match(r"^(bucket|truncate)\s*\(\s*(\d+)\s*,"
+                          r"\s*(\w+)\s*\)$", x, re.IGNORECASE)
+            parts.append(f"{m2.group(1).lower()}[{m2.group(2)}]"
+                         f"({m2.group(3)})" if m2 else x)
+        table.update_spec(*parts)
         return table
     pm = _SET_PROPS_RE.match(rest)
     if pm:

@@ -446,7 +446,8 @@ class IcebergTable:
 
                     df_entry.record_count = count_avro_records(p)
                 elif spark is not None:
-                    df_entry.record_count = spark.read.orc(p).count()
+                    df_entry.record_count = spark.read.orc(
+                        fio.to_spark_path(p)).count()
                 else:
                     # never persist the -1 sentinel: it poisons summary
                     # totals and stats() forever

@@ -480,3 +480,24 @@ def test_partition_stream_reader_avro_table(spark, warehouse, tmp_path):
          .trigger(availableNow=True).start())
     assert q.awaitTermination(120)
     assert spark.table("avsink").count() == 40
+
+
+def test_add_files_foreign_field_ids_read_by_name(spark, warehouse,
+                                                  tmp_path):
+    """A parquet file imported from ANOTHER table carries foreign field
+    ids; with zero overlap against this table's id space the reader
+    must fall back to names, not project all-NULL (review fix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = spark.createDataFrame([(1, "a")], "id long, s string")
+    t = warehouse.create_table("db.foreign", Schema.from_spark(src.schema))
+    sch = pa.schema([
+        pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"101"}),
+        pa.field("s", pa.string(), metadata={b"PARQUET:field_id": b"102"})])
+    f = str(tmp_path / "foreign.parquet")
+    pq.write_table(pa.table({"id": [7, 8], "s": ["x", "y"]}, schema=sch), f)
+    t.add_files([f])
+    rows = {r.id: r.s for r in spark.read.format("icelake")
+            .option("path", t.path).load().collect()}
+    assert rows == {7: "x", 8: "y"}

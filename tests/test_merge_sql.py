@@ -303,3 +303,17 @@ def test_sql_alter_partition_spec(warehouse, spark):
     # new writes use the new layout; the whole table still reads
     t2.append(df.selectExpr("id + 1000 as id", "d"))
     assert warehouse.load_table("s1.pspec").to_df(spark).count() == 200
+
+
+def test_sql_alter_partition_spec_standard_spelling(warehouse, spark):
+    """The standard Spark/Iceberg bucket(8, col) / truncate(4, col)
+    spellings are accepted alongside bucket[8](col) (review fix: bare
+    comma split shredded them)."""
+    from icelake_spark.sql import execute
+
+    df = spark.range(10).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("s1.pspec2", Schema.from_spark(df.schema))
+    execute(spark, "ALTER TABLE s1.pspec2 SET PARTITION SPEC "
+            "(bucket(8, id), truncate(2, s))", catalog=warehouse)
+    spec = warehouse.load_table("s1.pspec2").metadata.default_spec()
+    assert [f.transform for f in spec.fields] == ["bucket[8]", "truncate[2]"]
