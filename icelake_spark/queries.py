@@ -3148,6 +3148,74 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def iceberg_merge_cols(spark, sf_dir):
+    """Column-level MERGE INTO (sql.py + delta._merge_column_level):
+    `UPDATE SET col = expr` keeps unset columns at the target row's old
+    value, expressions reference BOTH sides (t./s.), and the
+    explicit-column `INSERT (cols) VALUES` pads unmentioned columns
+    with NULL — the most common real-world MERGE shapes (the reference
+    drives these through Spark SQL, tests/delta_test_v2.rs:101-226)."""
+    from .sql import merge_into
+    from .types import Schema
+
+    c = load(spark, sf_dir, "customer")
+    cat = _tmp_catalog()
+    t = cat.create_table("q.cust_mcols", Schema.from_spark(c.schema))
+    t.append(c)
+    source = (c.where(F.col("c_custkey") % 6 == 0)
+              .withColumn("c_acctbal", -F.col("c_acctbal"))
+              .unionByName(
+                  c.where(F.col("c_custkey") % 17 == 0)
+                  .withColumn("c_custkey", F.col("c_custkey") + 30_000_000)))
+    source.createOrReplaceTempView("merge_cols_src")
+    merge_into(spark, """
+        MERGE INTO q.cust_mcols AS t USING merge_cols_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.c_acctbal > t.c_acctbal THEN UPDATE SET
+            c_acctbal = t.c_acctbal + s.c_acctbal, c_mktsegment = 'BOOSTED'
+        WHEN MATCHED THEN UPDATE SET
+            c_mktsegment = concat(t.c_mktsegment, '_LOW')
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+            VALUES (s.c_custkey, s.c_name, s.c_acctbal / 2)
+    """, catalog=cat)
+    t2 = cat.load_table("q.cust_mcols")
+    return (t2.to_df(spark)
+            .groupBy(F.coalesce("c_mktsegment", F.lit("(new)")).alias("seg"))
+            .agg(F.count("*").alias("n"),
+                 F.count("c_nationkey").alias("n_with_nation"),
+                 dsum(F.col("c_acctbal"), "total_bal"))
+            .orderBy("seg"))
+
+
+# matched %6 rows: source balance is the NEGATED target balance, so the
+# first clause (s.bal > t.bal ⟺ t.bal < 0) sets bal to exactly 0 and
+# segment BOOSTED; otherwise segment gets the _LOW suffix and the
+# balance is untouched. %17 rows insert under brand-new keys with only
+# (key, name, bal/2) set — nationkey and segment are NULL.
+ICEBERG_MERGE_COLS_SQL = f"""
+WITH merged AS (
+  SELECT t.c_custkey, t.c_name,
+         CASE WHEN t.c_custkey % 6 = 0 AND -t.c_acctbal > t.c_acctbal
+              THEN t.c_acctbal + (-t.c_acctbal) ELSE t.c_acctbal
+         END AS c_acctbal,
+         t.c_nationkey,
+         CASE WHEN t.c_custkey % 6 = 0 AND -t.c_acctbal > t.c_acctbal
+              THEN 'BOOSTED'
+              WHEN t.c_custkey % 6 = 0
+              THEN t.c_mktsegment || '_LOW'
+              ELSE t.c_mktsegment END AS c_mktsegment
+  FROM customer t
+  UNION ALL
+  SELECT c_custkey + 30000000, c_name, c_acctbal / 2,
+         NULL, NULL
+  FROM customer WHERE c_custkey % 17 = 0)
+SELECT COALESCE(c_mktsegment, '(new)') AS seg, COUNT(*) AS n,
+       COUNT(c_nationkey) AS n_with_nation,
+       {dsum_sql('c_acctbal', 'total_bal')}
+FROM merged GROUP BY seg ORDER BY seg
+"""
+
+
 def iceberg_nested_roundtrip(spark, sf_dir):
     """Nested types end-to-end (schema conversion, datatypes.py JSON +
     Avro field-id schemas; reference types/in_memory.rs:341-429 struct /
@@ -3219,7 +3287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FileIO refactor's write/commit/scan cycles, MERGE, streaming,
     fanout-gated curation). Queries 51+ were all hash-green in r3."""
     return {
-        # -- new in round 4 (never driver-checked before) ------------
+        # -- new in round 5 (never driver-checked before) ------------
+        "iceberg_merge_cols": iceberg_merge_cols,
+        # -- new in round 4 ------------------------------------------
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_merge_multi": iceberg_merge_multi,
         "duplicate_spans": duplicate_spans_q,
@@ -3385,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_orc_roundtrip": ICEBERG_ORC_SQL,
         "iceberg_merge": ICEBERG_MERGE_SQL,
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
+        "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),

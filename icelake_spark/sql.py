@@ -6,22 +6,25 @@ Spark SQL in integration tests (/root/reference/icelake/tests/
 delta_test_v2.rs:101-226: MERGE INTO t1 USING t2 ... WHEN MATCHED THEN
 UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT); this module gives the
 PySpark engine the same SQL face without a full SQL-DML parser: the
-supported (and validated) grammar is the whole-row subset the delta
-writer implements —
+supported (and validated) grammar —
 
     MERGE INTO <target_ident> [AS t] USING <source_view> [AS s]
     ON <key equalities: t.k = s.k [AND ...]>
-    [WHEN MATCHED [AND <condition>] THEN UPDATE SET * | DELETE]...
-    [WHEN NOT MATCHED THEN INSERT *]
+    [WHEN MATCHED [AND <condition>] THEN
+        UPDATE SET * | UPDATE SET col = expr[, ...] | DELETE]...
+    [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
 
 Multiple WHEN MATCHED clauses are ordered with first-match-wins
 semantics (Spark's contract); only the last may omit its AND condition.
 
 `UPDATE SET *` / `INSERT *` (whole-row replace/insert) mirror
 merge-on-read CDC semantics: an update is an equality delete of the old
-row plus an insert of the source row, one transactional commit.
-Anything outside the grammar raises ValueError naming the unsupported
-clause instead of silently mis-executing.
+row plus an insert of the source row, one transactional commit. The
+column-level forms (`UPDATE SET col = expr`, `INSERT (cols) VALUES`)
+keep unset columns at the target row's old value / NULL respectively;
+their expressions and conditions may reference both sides through the
+declared aliases. Anything outside the grammar raises ValueError naming
+the unsupported clause instead of silently mis-executing.
 """
 
 from __future__ import annotations
@@ -39,14 +42,9 @@ _MERGE_RE = re.compile(
     r"(?P<clauses>\s+WHEN\s+.*)?$",
     re.IGNORECASE | re.DOTALL)
 
-_MATCHED_RE = re.compile(
-    r"WHEN\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+\*|DELETE)",
+_INSERT_COLS_RE = re.compile(
+    r"^INSERT\s*\((?P<cols>[^)]+)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL)
-
-_NOT_MATCHED_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+(?P<action>INSERT\s+\*)",
-    re.IGNORECASE)
 
 _ON_EQ_RE = re.compile(
     r"^\s*(?:(?P<q1>[\w.]+)\.)?(?P<c1>\w+)\s*=\s*(?:(?P<q2>[\w.]+)\.)?(?P<c2>\w+)\s*$")
@@ -75,6 +73,142 @@ def _parse_on(on_text: str, talias: str, salias: str) -> list[str]:
     return keys
 
 
+def _top_level_positions(text: str, kw: str) -> list[int]:
+    """Word-boundary positions of keyword `kw` at TOP LEVEL — outside
+    quotes, parens, brackets, and CASE...END expressions (so `WHEN`
+    inside a CASE expression or a string literal never splits a
+    clause; CASE/END nest without parentheses)."""
+    out, depth, quote, i, n, k = [], 0, None, 0, len(text), len(kw)
+    up, kwu = text.upper(), kw.upper()
+
+    def _word(ch: str) -> bool:
+        return ch.isalnum() or ch == "_"
+
+    def _kw_at(pos: int, word: str) -> bool:
+        return (up[pos:pos + len(word)] == word
+                and (pos == 0 or not _word(text[pos - 1]))
+                and (pos + len(word) == n or not _word(text[pos + len(word)])))
+
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif _kw_at(i, "CASE"):
+            depth += 1
+            i += 4
+            continue
+        elif _kw_at(i, "END"):
+            depth -= 1
+            i += 3
+            continue
+        elif depth == 0 and _kw_at(i, kwu):
+            out.append(i)
+            i += k
+            continue
+        i += 1
+    return out
+
+
+def _requalify(text: str, talias: str, salias: str) -> str:
+    """Rewrite the statement's declared aliases to the canonical `t.` /
+    `s.` qualifiers delta's column-level merge exposes (single pass, so
+    crossed aliases like AS s / AS t swap correctly)."""
+    pat = re.compile(rf"\b(?:{re.escape(talias)}|{re.escape(salias)})\.")
+    return pat.sub(lambda m: "t." if m.group(0)[:-1] == talias else "s.",
+                   text)
+
+
+def _parse_when_clauses(clauses: str, talias: str, salias: str):
+    """Parse the WHEN ... clause tail into (matched_clauses,
+    when_not_matched, insert_cols) for delta.merge. Clause boundaries
+    and assignment splits are quote/paren-aware."""
+    matched_clauses: list[tuple] = []
+    when_not_matched = None
+    insert_cols = None
+    positions = _top_level_positions(clauses, "WHEN")
+    if clauses.strip() and (not positions
+                            or clauses[:positions[0]].strip()):
+        raise ValueError(
+            f"unsupported MERGE clause: {clauses.strip()[:80]!r}")
+    segments = [clauses[a:b].strip() for a, b in
+                zip(positions, positions[1:] + [len(clauses)])]
+    for seg in segments:
+        body = seg[4:].strip()  # past WHEN
+        nm = re.match(r"^NOT\s+MATCHED\s+THEN\s+(?P<act>.+)$", body,
+                      re.IGNORECASE | re.DOTALL)
+        if nm:
+            if when_not_matched is not None:
+                raise ValueError("duplicate WHEN NOT MATCHED clause")
+            act = nm.group("act").strip()
+            if re.fullmatch(r"INSERT\s+\*", act, re.IGNORECASE):
+                when_not_matched = "insert"
+                continue
+            im = _INSERT_COLS_RE.match(act)
+            if not im:
+                raise ValueError(f"unsupported MERGE clause: {seg[:80]!r}")
+            cols = [re.sub(r"^[\w.]+\.", "", c.strip())
+                    for c in im.group("cols").split(",")]
+            vals = [_requalify(v, talias, salias)
+                    for v in _split_assignments(im.group("vals"))]
+            if len(cols) != len(vals):
+                raise ValueError("INSERT column list and VALUES arity differ")
+            when_not_matched = "insert"
+            insert_cols = (cols, vals)
+            continue
+        mm = re.match(r"^MATCHED\b(?P<rest>.*)$", body,
+                      re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise ValueError(f"unsupported MERGE clause: {seg[:80]!r}")
+        rest = mm.group("rest")
+        then_pos = _top_level_positions(rest, "THEN")
+        if not then_pos:
+            raise ValueError(f"WHEN MATCHED clause missing THEN: {seg[:80]!r}")
+        head, action_text = (rest[:then_pos[0]].strip(),
+                             rest[then_pos[0] + 4:].strip())
+        cond = None
+        if head:
+            am = re.match(r"^AND\s+(?P<cond>.+)$", head,
+                          re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(f"unsupported MERGE clause: {seg[:80]!r}")
+            cond = am.group("cond").strip()
+        if re.fullmatch(r"DELETE", action_text, re.IGNORECASE):
+            matched_clauses.append(("delete", cond, None))
+        elif re.fullmatch(r"UPDATE\s+SET\s+\*", action_text,
+                          re.IGNORECASE | re.DOTALL):
+            matched_clauses.append(("update", cond, None))
+        else:
+            um = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action_text,
+                          re.IGNORECASE | re.DOTALL)
+            if not um:
+                raise ValueError(f"unsupported MERGE clause: {seg[:80]!r}")
+            sets = {}
+            for part in _split_assignments(um.group("sets")):
+                am2 = re.match(r"^\s*(?:[\w.]+\.)?(?P<col>\w+)\s*=\s*"
+                               r"(?P<expr>.+?)\s*$", part, re.DOTALL)
+                if not am2:
+                    raise ValueError(f"unsupported SET assignment: {part!r}")
+                col = am2.group("col")
+                if col in sets:
+                    raise ValueError(f"duplicate SET column {col!r}")
+                sets[col] = _requalify(am2.group("expr"), talias, salias)
+            matched_clauses.append(("update", cond, sets))
+    for i, (_act, cond, _sets) in enumerate(matched_clauses):
+        # surface the ordering error at parse time, before table load
+        # (delta.merge re-checks for DataFrame-API callers)
+        if cond is None and i != len(matched_clauses) - 1:
+            raise ValueError("only the last WHEN MATCHED clause may omit "
+                             "its AND condition (first-match-wins)")
+    return matched_clauses, when_not_matched, insert_cols
+
+
 def merge_into(spark: SparkSession, statement: str,
                catalog=None, source_df: DataFrame | None = None):
     """Execute a MERGE INTO statement against an icelake table.
@@ -94,39 +228,32 @@ def merge_into(spark: SparkSession, statement: str,
     salias = m.group("salias") or m.group("source")
     keys = _parse_on(m.group("on"), talias, salias)
 
-    clauses = m.group("clauses") or ""
-    when_not_matched = None
-    # ordered WHEN MATCHED clauses, first-match-wins (Spark semantics);
-    # delta.merge enforces that only the LAST clause may omit AND
-    matched_clauses: list[tuple[str, str | None]] = []
-    for matched_m in _MATCHED_RE.finditer(clauses):
-        action = re.sub(r"\s+", " ", matched_m.group("action")).upper()
-        act = "update" if action == "UPDATE SET *" else "delete"
-        cond = matched_m.group("cond")
-        if cond:
-            # the condition evaluates against the SOURCE row (delta.merge
-            # contract); allow the source alias as a qualifier, reject the
-            # target's (target non-key columns are never read)
-            if re.search(rf"\b{re.escape(talias)}\.", cond):
-                raise ValueError("WHEN MATCHED AND may only reference "
-                                 "source columns")
-            cond = re.sub(rf"\b{re.escape(salias)}\.", "", cond).strip()
-        matched_clauses.append((act, cond))
-    for i, (_act, cond) in enumerate(matched_clauses):
-        # surface the ordering error at parse time, before table load
-        # (delta.merge re-checks for DataFrame-API callers)
-        if cond is None and i != len(matched_clauses) - 1:
-            raise ValueError("only the last WHEN MATCHED clause may omit "
-                             "its AND condition (first-match-wins)")
-    if _NOT_MATCHED_RE.search(clauses):
-        when_not_matched = "insert"
-    # reject clause text neither recognizer consumed (e.g. UPDATE SET col=..,
-    # INSERT (cols) VALUES ..., WHEN NOT MATCHED BY SOURCE)
-    residue = _NOT_MATCHED_RE.sub("", _MATCHED_RE.sub("", clauses)).strip()
-    if residue:
-        raise ValueError(f"unsupported MERGE clause: {residue[:80]!r}")
+    matched_clauses, when_not_matched, insert_cols = _parse_when_clauses(
+        m.group("clauses") or "", talias, salias)
     if not matched_clauses and when_not_matched is None:
         raise ValueError("MERGE needs at least one WHEN clause")
+    column_level = (insert_cols is not None
+                    or any(sets for _a, _c, sets in matched_clauses))
+    if column_level:
+        # conditions and exprs run on the full t⋈s join; aliases were
+        # rewritten to the canonical t./s. qualifiers by the parser
+        matched_clauses = [
+            (a, _requalify(c, talias, salias) if c else c, sets)
+            for a, c, sets in matched_clauses]
+    else:
+        norm = []
+        for act, cond, _sets in matched_clauses:
+            if cond:
+                # whole-row path: the condition evaluates against the
+                # SOURCE row only (delta.merge contract); allow the source
+                # alias as a qualifier, reject the target's (target
+                # non-key columns are never read on this path)
+                if re.search(rf"\b{re.escape(talias)}\.", cond):
+                    raise ValueError("WHEN MATCHED AND may only reference "
+                                     "source columns")
+                cond = re.sub(rf"\b{re.escape(salias)}\.", "", cond).strip()
+            norm.append((act, cond, None))
+        matched_clauses = norm
 
     from .table import IcebergTable
 
@@ -138,7 +265,8 @@ def merge_into(spark: SparkSession, statement: str,
     source = source_df if source_df is not None else spark.table(m.group("source"))
     delta.merge(table, spark, source, on=keys,
                 matched_clauses=matched_clauses,
-                when_not_matched=when_not_matched)
+                when_not_matched=when_not_matched,
+                insert_cols=insert_cols)
     return table
 
 

@@ -119,9 +119,15 @@ def test_merge_multi_key_on(warehouse, spark):
     ("MERGE INTO t USING s ON t.a = s.b WHEN MATCHED THEN UPDATE SET *",
      "same column name"),
     ("MERGE INTO t USING s ON t.id = s.id "
-     "WHEN MATCHED THEN UPDATE SET value = 1", "unsupported MERGE clause"),
+     "WHEN NOT MATCHED BY SOURCE THEN DELETE", "unsupported MERGE clause"),
     ("MERGE INTO t USING s ON t.id = s.id "
-     "WHEN NOT MATCHED THEN INSERT (id) VALUES (1)", "unsupported MERGE clause"),
+     "WHEN NOT MATCHED THEN INSERT (id) VALUE (1)", "unsupported MERGE clause"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN MATCHED THEN UPDATE SET value = 1, value = 2",
+     "duplicate SET column"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN NOT MATCHED THEN INSERT (id, value) VALUES (1)",
+     "arity differ"),
     ("MERGE INTO t USING s ON t.id > s.id WHEN MATCHED THEN DELETE",
      "unsupported ON term"),
     ("MERGE INTO t USING s ON t.id = s.id", "at least one WHEN"),
@@ -317,3 +323,96 @@ def test_sql_alter_partition_spec_standard_spelling(warehouse, spark):
             "(bucket(8, id), truncate(2, s))", catalog=warehouse)
     spec = warehouse.load_table("s1.pspec2").metadata.default_spec()
     assert [f.transform for f in spec.fields] == ["bucket[8]", "truncate[2]"]
+
+
+def test_merge_column_level_update_set(warehouse, spark):
+    """UPDATE SET col = expr: unset columns keep the TARGET row's old
+    value; expressions may reference both sides via the aliases."""
+    cat = warehouse
+    _mk(cat, spark)  # (1,10,100) (2,20,200) (3,30,300)
+    src = spark.createDataFrame(
+        [(2, 5, 7), (3, 1, 1)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_cols")
+    merge_into(spark, """
+        MERGE INTO s1.t1 AS t USING m_src_cols AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+    """, catalog=cat)
+    # key column untouched (keeps target's old value); value = old + src
+    assert _state(cat.load_table("s1.t1"), spark) == [
+        (1, 10, 100), (2, 20, 207), (3, 30, 301)]
+
+
+def test_merge_column_level_insert_cols(warehouse, spark):
+    """INSERT (cols) VALUES (exprs): unmentioned columns insert NULL."""
+    cat = warehouse
+    _mk(cat, spark)
+    src = spark.createDataFrame(
+        [(7, 70, 700)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_icols")
+    merge_into(spark, """
+        MERGE INTO s1.t1 AS t USING m_src_icols AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, value) VALUES (s.id, s.value * 2)
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.t1"), spark) == [
+        (1, 10, 100), (2, 20, 200), (3, 30, 300), (7, None, 1400)]
+
+
+def test_merge_column_level_multi_clause_mixed(warehouse, spark):
+    """Ordered clauses mixing column-level SET, DELETE, and whole-row
+    UPDATE SET *, with conditions referencing both sides."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "id long, v long, tag string")
+    t = cat.create_table("s1.tcols", Schema.from_spark(df.schema))
+    t.append(df)
+    src = spark.createDataFrame(
+        [(1, -5, "x"), (2, 100, "y"), (3, 1, "z"), (9, 9, "n")],
+        "id long, v long, tag string")
+    src.createOrReplaceTempView("m_src_mixed")
+    merge_into(spark, """
+        MERGE INTO s1.tcols AS t USING m_src_mixed AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v, tag = concat(t.tag, s.tag)
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+    """, catalog=cat)
+    # id=1 deleted; id=2 whole-row replaced (100>20); id=3 column-level
+    # (v=31, tag=cz); id=4 untouched; id=9 inserted with NULL tag
+    assert _state(cat.load_table("s1.tcols"), spark) == [
+        (2, 100, "y"), (3, 31, "cz"), (4, 40, "d"), (9, 9, None)]
+
+
+def test_merge_column_level_rejects_key_set(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark, name="s1.tks")
+    src = spark.createDataFrame([(1, 2, 3)], "id long, key long, value long")
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(spark, """
+            MERGE INTO s1.tks AS t USING x AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET id = s.id + 1
+        """, catalog=cat, source_df=src)
+
+
+def test_merge_set_expr_with_commas_and_when(warehouse, spark):
+    """SET expressions containing commas inside calls and the word WHEN
+    inside a CASE must parse (quote/paren-aware clause splitting)."""
+    cat = warehouse
+    _mk(cat, spark, name="s1.tcase")
+    src = spark.createDataFrame(
+        [(2, 99, 0)], "id long, key long, value long")
+    src.createOrReplaceTempView("m_src_case")
+    merge_into(spark, """
+        MERGE INTO s1.tcase AS t USING m_src_case AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET
+            value = CASE WHEN t.value > 300 THEN t.value ELSE coalesce(s.value, 1) END,
+            key = greatest(t.key, s.key, 15)
+    """, catalog=cat)
+    # t.value=200 not > 300 -> coalesce(0, 1)=0; greatest(20, 99, 15)=99
+    assert _state(cat.load_table("s1.tcase"), spark) == [
+        (1, 10, 100), (2, 99, 0), (3, 30, 300)]
