@@ -3148,6 +3148,60 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def iceberg_sql_ddl(spark, sf_dir):
+    """Full SQL-DDL lifecycle through sql.execute alone: CREATE TABLE
+    ... USING iceberg PARTITIONED BY (bucket/month transforms), INSERT
+    INTO ... SELECT (Catalyst body, positional alignment + casts),
+    INSERT INTO (cols) VALUES (NULL padding), then read back — the
+    statement sequence the reference's integration harness issues
+    (testdata/docker/spark-script/init-table.sql + insert_tests_v2.rs
+    flow, driven through Spark SQL there)."""
+    from .sql import execute
+
+    cat = _tmp_catalog()
+    execute(spark, """
+        CREATE TABLE q.ddl (
+            o_orderkey bigint NOT NULL,
+            o_totalprice double,
+            o_orderpriority string,
+            o_orderdate timestamp
+        ) USING iceberg
+        PARTITIONED BY (bucket(4, o_orderkey), month(o_orderdate))
+        TBLPROPERTIES ('created-by' = 'sql-ddl')
+    """, catalog=cat)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ddl_orders_src")
+    execute(spark, """
+        INSERT INTO q.ddl
+        SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderdate
+        FROM ddl_orders_src WHERE o_orderkey % 3 = 0
+    """, catalog=cat)
+    execute(spark, """
+        INSERT INTO q.ddl (o_orderkey, o_orderpriority)
+        VALUES (900000001, 'X-SYNTH'), (900000002, 'X-SYNTH')
+    """, catalog=cat)
+    t = cat.load_table("q.ddl")
+    return (t.to_df(spark).groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.count("o_totalprice").alias("n_priced"),
+                 dsum(F.col("o_totalprice"), "total_price"))
+            .orderBy("o_orderpriority"))
+
+
+ICEBERG_SQL_DDL_SQL = f"""
+WITH ins AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 900000001, NULL, 'X-SYNTH'
+  UNION ALL
+  SELECT 900000002, NULL, 'X-SYNTH')
+SELECT o_orderpriority, COUNT(*) AS n,
+       COUNT(o_totalprice) AS n_priced,
+       {dsum_sql('o_totalprice', 'total_price')}
+FROM ins GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def iceberg_merge_cols(spark, sf_dir):
     """Column-level MERGE INTO (sql.py + delta._merge_column_level):
     `UPDATE SET col = expr` keeps unset columns at the target row's old
@@ -3289,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 (never driver-checked before) ------------
         "iceberg_merge_cols": iceberg_merge_cols,
+        "iceberg_sql_ddl": iceberg_sql_ddl,
         # -- new in round 4 ------------------------------------------
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_merge_multi": iceberg_merge_multi,
@@ -3456,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge": ICEBERG_MERGE_SQL,
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
+        "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),

@@ -444,7 +444,14 @@ def _build_data_file(path: str, stage: str, schema: Schema,
             if st.null_count is not None:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
             if st.has_min_max and "." not in col.path_in_schema:
-                lo, hi = st.min, st.max
+                try:
+                    # pyarrow cannot decode stats for every logical type
+                    # (e.g. int64-backed DECIMAL raises NotImplemented);
+                    # degrade to bounds-absent rather than failing the write
+                    lo, hi = st.min, st.max
+                except Exception:
+                    have_stats[fid] = False
+                    continue
                 if fid not in mins or _lt(lo, mins[fid]):
                     mins[fid] = lo
                 if fid not in maxs or _lt(maxs[fid], hi):

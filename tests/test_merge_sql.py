@@ -233,7 +233,9 @@ def test_sql_dml_rejects_unsupported(spark):
     from icelake_spark.sql import execute
 
     with pytest.raises(ValueError, match="unsupported statement"):
-        execute(spark, "INSERT INTO t VALUES (1)")
+        execute(spark, "TRUNCATE TABLE t")
+    with pytest.raises(ValueError, match="needs VALUES or SELECT"):
+        execute(spark, "INSERT INTO t OVERWRITE x")
     with pytest.raises(ValueError, match="unsupported UPDATE"):
         execute(spark, "UPDATE t")
     with pytest.raises(ValueError, match="duplicate SET column"):
@@ -416,3 +418,61 @@ def test_merge_set_expr_with_commas_and_when(warehouse, spark):
     # t.value=200 not > 300 -> coalesce(0, 1)=0; greatest(20, 99, 15)=99
     assert _state(cat.load_table("s1.tcase"), spark) == [
         (1, 10, 100), (2, 99, 0), (3, 30, 300)]
+
+
+def test_sql_create_table_and_insert(warehouse, spark):
+    """CREATE TABLE ... USING iceberg + INSERT INTO VALUES/SELECT purely
+    through sql.execute (the statements the reference's integration
+    harness issues first, testdata/docker/spark-script/init-table.sql)."""
+    from icelake_spark.sql import execute
+
+    execute(spark, """
+        CREATE TABLE s1.ct (
+            id bigint NOT NULL,
+            name string,
+            score decimal(10, 2),
+            d date
+        ) USING iceberg
+        PARTITIONED BY (bucket(8, id), month(d))
+        TBLPROPERTIES ('write.format.default' = 'parquet', 'owner' = 'me')
+    """, catalog=warehouse)
+    t = warehouse.load_table("s1.ct")
+    assert [f.name for f in t.schema().fields] == ["id", "name", "score", "d"]
+    spec = t.metadata.default_spec()
+    assert [f.transform for f in spec.fields] == ["bucket[8]", "month"]
+    assert t.metadata.properties["owner"] == "me"
+
+    execute(spark, """
+        INSERT INTO s1.ct VALUES
+            (1, 'a', 1.50, date'2024-01-05'),
+            (2, 'b', 2.25, date'2024-02-10')
+    """, catalog=warehouse)
+    execute(spark, "INSERT INTO s1.ct (id, name) VALUES (3, 'c')",
+            catalog=warehouse)
+    rows = sorted((r.id, r.name, str(r.score), str(r.d)) for r in
+                  warehouse.load_table("s1.ct").to_df(spark).collect())
+    assert rows == [(1, 'a', '1.50', '2024-01-05'),
+                    (2, 'b', '2.25', '2024-02-10'),
+                    (3, 'c', 'None', 'None')]
+
+    # INSERT ... SELECT through full Catalyst
+    spark.range(5).selectExpr("id + 10 as id", "concat('r', id) as name",
+                              "cast(id as decimal(10,2)) as score",
+                              "date'2024-03-01' as d") \
+        .createOrReplaceTempView("ins_src")
+    execute(spark, "INSERT INTO s1.ct SELECT * FROM ins_src WHERE id < 13",
+            catalog=warehouse)
+    assert warehouse.load_table("s1.ct").to_df(spark).count() == 6
+
+    # IF NOT EXISTS: second create is a no-op load; bare CREATE raises
+    execute(spark, "CREATE TABLE IF NOT EXISTS s1.ct (id bigint) USING iceberg",
+            catalog=warehouse)
+    assert len(warehouse.load_table("s1.ct").schema().fields) == 4
+    with pytest.raises(FileExistsError):
+        execute(spark, "CREATE TABLE s1.ct (id bigint) USING iceberg",
+                catalog=warehouse)
+    with pytest.raises(ValueError, match="unsupported USING"):
+        execute(spark, "CREATE TABLE s1.other (id bigint) USING delta",
+                catalog=warehouse)
+    with pytest.raises(ValueError, match="requires a catalog"):
+        execute(spark, "CREATE TABLE t (id bigint) USING iceberg")
