@@ -25,9 +25,13 @@ opendal (metadata + file ops) and its Parquet writers.
 Atomicity: POSIX and memory back ends provide true create-exclusive
 (two racing committers cannot both win a version). Object stores via
 pyarrow expose no conditional put, so `ArrowFileIO.create_exclusive`
-is check-then-write — the same single-committer caveat the reference
-documents for its storage catalog on S3 (storage.rs:175-231); use a
-REST catalog for multi-writer commits there.
+defaults to check-then-write — the same single-committer caveat the
+reference documents for its storage catalog on S3 (storage.rs:175-231).
+Registering a conditional-put backend (`enable_s3_conditional_put`:
+boto3 `If-None-Match: *`; `enable_gcs_conditional_put`:
+`if_generation_match=0`; or `register_conditional_put` for anything
+else) upgrades those commits to true atomic multi-writer semantics;
+a REST catalog remains the alternative.
 """
 
 from __future__ import annotations
@@ -407,8 +411,15 @@ class ArrowFileIO(FileIO):
             f.write(data)
 
     def create_exclusive(self, path: str, data: bytes) -> None:
-        # no conditional put via pyarrow — check-then-write (see module
-        # docstring: single-committer caveat on object stores)
+        # pyarrow.fs exposes no conditional put; a registered
+        # conditional-put backend (register_conditional_put /
+        # enable_s3_conditional_put) gives a TRUE atomic commit —
+        # otherwise fall back to check-then-write (module docstring:
+        # single-committer caveat on object stores without one)
+        putter = _COND_PUT.get(path_scheme(path))
+        if putter is not None:
+            putter(path, data)
+            return
         if self.exists(path):
             raise FileExistsError(path)
         self.write_bytes(path, data)
@@ -459,6 +470,87 @@ class ArrowFileIO(FileIO):
         sch = path_scheme(path)
         mapped = self._SPARK_SCHEME.get(sch)
         return f"{mapped}://{path[len(sch) + 3:]}" if mapped else path
+
+
+# ----------------------------------------------------- conditional put
+
+# scheme → putter(path, data) that atomically writes iff absent,
+# raising FileExistsError when the object already exists. With one
+# registered, ArrowFileIO.create_exclusive becomes a true multi-writer
+# commit on that scheme (the capability the reference's storage catalog
+# lacks on S3, storage.rs:175-231 — S3 gained `If-None-Match: *`
+# conditional PUT in late 2024; GCS has ifGenerationMatch=0).
+_COND_PUT: dict[str, Callable[[str, bytes], None]] = {}
+
+
+def register_conditional_put(scheme: str,
+                             putter: Callable[[str, bytes], None]) -> None:
+    """Install an atomic create-if-absent backend for a URI scheme.
+    `putter(path, data)` must write atomically iff `path` is absent and
+    raise FileExistsError otherwise."""
+    _COND_PUT[scheme] = putter
+
+
+def unregister_conditional_put(scheme: str) -> None:
+    _COND_PUT.pop(scheme, None)
+
+
+def _split_bucket_key(path: str) -> tuple[str, str]:
+    sch = path_scheme(path)
+    rest = path[len(sch) + 3:]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+def enable_s3_conditional_put(client=None) -> None:
+    """Register a boto3-backed `If-None-Match: *` conditional PUT for
+    s3:// commits (supported by S3 since late 2024; also by MinIO).
+    Raises ImportError when boto3 is unavailable — commits then stay on
+    the check-then-write fallback."""
+    if client is None:
+        import boto3  # optional dependency; import-gated by design
+
+        client = boto3.client("s3")
+
+    def _put(path: str, data: bytes) -> None:
+        from botocore.exceptions import ClientError
+
+        bucket, key = _split_bucket_key(path)
+        try:
+            client.put_object(Bucket=bucket, Key=key, Body=data,
+                              IfNoneMatch="*")
+        except ClientError as e:
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            if code in ("PreconditionFailed", "412", "ConditionalRequestConflict"):
+                # 409 ConditionalRequestConflict = a concurrent
+                # conditional writer is in flight — the object may or
+                # may not exist; surface as exists so the commit loop
+                # re-reads and retries on a fresh base
+                raise FileExistsError(path) from e
+            raise
+
+    register_conditional_put("s3", _put)
+
+
+def enable_gcs_conditional_put(client=None) -> None:
+    """Register a google-cloud-storage `if_generation_match=0` upload
+    for gs:// commits. Raises ImportError when the library is absent."""
+    if client is None:
+        from google.cloud import storage  # optional; import-gated
+
+        client = storage.Client()
+
+    def _put(path: str, data: bytes) -> None:
+        from google.api_core.exceptions import PreconditionFailed
+
+        bucket, key = _split_bucket_key(path)
+        blob = client.bucket(bucket).blob(key)
+        try:
+            blob.upload_from_string(data, if_generation_match=0)
+        except PreconditionFailed as e:
+            raise FileExistsError(path) from e
+
+    register_conditional_put("gs", _put)
 
 
 # -------------------------------------------------------------- registry

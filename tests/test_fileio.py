@@ -256,3 +256,203 @@ def test_resolve_path_uri_sibling_prefix():
         == "s3://wh/sales/data/f.parquet"
     assert resolve_path("s3://wh/sales", "/old/root/data/f.parquet") \
         == "s3://wh/sales/data/f.parquet"
+
+
+# ------------------------------------------------- conditional-put commits
+
+
+def test_arrow_io_conditional_put_routing():
+    """With a conditional-put backend registered for the scheme,
+    ArrowFileIO.create_exclusive routes to it WITHOUT touching the
+    (possibly unreachable) filesystem — no exists() probe, no
+    connection. Without one it falls back to check-then-write."""
+    from icelake_spark.fileio import (
+        ArrowFileIO,
+        register_conditional_put,
+        unregister_conditional_put,
+    )
+
+    store: dict[str, bytes] = {}
+
+    def putter(path: str, data: bytes) -> None:
+        if path in store:
+            raise FileExistsError(path)
+        store[path] = bytes(data)
+
+    register_conditional_put("s3", putter)
+    try:
+        # no credentials / endpoint exist in this environment: any real
+        # fs access would fail, so success proves the putter handled it
+        io = ArrowFileIO("s3://no-such-bucket/wh")
+        io.create_exclusive("s3://no-such-bucket/wh/v2.metadata.json", b"x")
+        assert store == {"s3://no-such-bucket/wh/v2.metadata.json": b"x"}
+        with pytest.raises(FileExistsError):
+            io.create_exclusive("s3://no-such-bucket/wh/v2.metadata.json", b"y")
+    finally:
+        unregister_conditional_put("s3")
+
+
+class CondPutFileIO(LocalFileIO):
+    """condput://<rel> ⇄ <root>/<rel> with OBJECT-STORE commit
+    semantics: create_exclusive mimics ArrowFileIO exactly — a
+    registered conditional putter wins, else UNSAFE check-then-write.
+    Everything else rides LocalFileIO so Spark can read the data."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _p(self, path: str) -> str:
+        assert path.startswith("condput://"), f"os-path leaked: {path}"
+        return os.path.join(self.root, path[len("condput://"):])
+
+    def _m(self, local: str) -> str:
+        return "condput://" + os.path.relpath(local, self.root)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        # identical branch structure to ArrowFileIO.create_exclusive
+        from icelake_spark.fileio import _COND_PUT, path_scheme
+
+        putter = _COND_PUT.get(path_scheme(path))
+        if putter is not None:
+            putter(path, data)
+            return
+        if self.exists(path):
+            raise FileExistsError(path)
+        self.write_bytes(path, data)
+
+    def list_files(self, prefix):
+        out = []
+        for root_, _d, names in os.walk(self._p(prefix)):
+            for n in names:
+                p = os.path.join(root_, n)
+                try:
+                    out.append((self._m(p), os.path.getsize(p)))
+                except OSError:
+                    pass
+        return out
+
+    def find_marker_dirs(self, base, marker):
+        return [self._m(r) for r in
+                LocalFileIO.find_marker_dirs(self, base, marker)]
+
+    def to_spark_path(self, path: str) -> str:
+        return self._p(path)
+
+
+def test_conditional_put_transaction_race(spark, tmp_path):
+    """Two committers racing from the SAME base version against a
+    conditional-put store: exactly one wins the first attempt, the
+    other's create_exclusive raises FileExistsError → CommitConflict →
+    one clean retry through the real Transaction loop. The putter call
+    count proves the conditional path (not check-then-write) decided."""
+    import threading
+
+    from icelake_spark.fileio import (
+        register_conditional_put,
+        register_io,
+        unregister_conditional_put,
+        unregister_io,
+    )
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.types.manifest import DataFile
+
+    root = str(tmp_path / "condfs")
+    io = CondPutFileIO(root)
+    lock = threading.Lock()
+    calls = {"puts": 0, "conflicts": 0}
+    # both committers pass the optimistic version pre-check before
+    # either writes — the exact window only a conditional put closes
+    barrier = threading.Barrier(2, timeout=30)
+    race_version = []
+
+    def putter(path: str, data: bytes) -> None:
+        local = os.path.join(root, path[len("condput://"):])
+        if race_version and path.endswith(race_version[0]):
+            barrier.wait()
+        with lock:
+            calls["puts"] += 1
+            if os.path.exists(local):
+                calls["conflicts"] += 1
+                raise FileExistsError(path)
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            with open(local, "wb") as f:
+                f.write(data)
+
+    register_io("condput", lambda path: io)
+    register_conditional_put("condput", putter)
+    try:
+        src = spark.range(10).selectExpr("id", "cast(id as string) as s")
+        cat = StorageCatalog("condput://wh")
+        t = cat.create_table("db.race", Schema.from_spark(src.schema))
+        t.append(src)
+        contested = t.current_version + 1
+        race_version.append(f"v{contested}.metadata.json")
+
+        base_a = cat.load_table("db.race")
+        base_b = cat.load_table("db.race")
+        tx_a, tx_b = Transaction(base_a), Transaction(base_b)
+        tx_a.add_data_files([DataFile(
+            file_path="condput://wh/db/race/data/a.parquet",
+            partition={}, record_count=1, file_size_in_bytes=1)])
+        tx_b.add_data_files([DataFile(
+            file_path="condput://wh/db/race/data/b.parquet",
+            partition={}, record_count=1, file_size_in_bytes=1)])
+        errs = []
+
+        def run(tx):
+            try:
+                tx.commit("append")
+            except Exception as e:  # pragma: no cover - fail loudly below
+                errs.append(e)
+
+        th_a = threading.Thread(target=run, args=(tx_a,))
+        th_b = threading.Thread(target=run, args=(tx_b,))
+        th_a.start(), th_b.start()
+        th_a.join(60), th_b.join(60)
+        assert not errs, errs
+
+        t2 = cat.load_table("db.race")
+        from icelake_spark.fileio import basename as _bn
+
+        paths = {_bn(d.data_file.file_path)
+                 for d in t2.new_scan().plan_files()[0]}
+        assert {"a.parquet", "b.parquet"} <= paths
+        assert calls["conflicts"] == 1  # exactly one losing attempt
+        assert t2.current_version == contested + 1
+    finally:
+        unregister_conditional_put("condput")
+        unregister_io("condput")
+
+
+def test_s3_conditional_put_enabler_with_injected_client():
+    """enable_s3_conditional_put accepts an injected (boto3-shaped)
+    client: sends If-None-Match: * and maps 412/PreconditionFailed to
+    FileExistsError so commit_metadata raises CommitConflict."""
+    pytest.importorskip("botocore")
+    from botocore.exceptions import ClientError
+
+    from icelake_spark.fileio import (
+        ArrowFileIO,
+        enable_s3_conditional_put,
+        unregister_conditional_put,
+    )
+
+    class FakeS3:
+        def __init__(self):
+            self.objs = {}
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch):
+            assert IfNoneMatch == "*"
+            if (Bucket, Key) in self.objs:
+                raise ClientError(
+                    {"Error": {"Code": "PreconditionFailed"}}, "PutObject")
+            self.objs[(Bucket, Key)] = Body
+
+    enable_s3_conditional_put(client=FakeS3())
+    try:
+        io = ArrowFileIO("s3://bkt/wh")
+        io.create_exclusive("s3://bkt/wh/metadata/v1.metadata.json", b"x")
+        with pytest.raises(FileExistsError):
+            io.create_exclusive("s3://bkt/wh/metadata/v1.metadata.json", b"y")
+    finally:
+        unregister_conditional_put("s3")
