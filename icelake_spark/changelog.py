@@ -36,6 +36,14 @@ COMMIT_SNAPSHOT = "_commit_snapshot_id"
 COMMIT_ORDER = "_commit_order"
 
 
+def _spark_path(path: str) -> str:
+    """Recorded file path → the spelling the JVM readers accept (FileIO
+    translation: s3→s3a, register_io customs → their to_spark_path)."""
+    from .fileio import resolve_io
+
+    return resolve_io(path).to_spark_path(path)
+
+
 def _added_in(table: IcebergTable, snap):
     """(data_tasks, pos_tasks, eq_tasks) newly added by this snapshot."""
     data, pos, eq = [], [], []
@@ -158,7 +166,8 @@ def changes(table: IcebergTable, spark: SparkSession,
                 from .planning import canon_data_path
 
                 srcs = {r[0] for t in added_pos
-                        for r in spark.read.parquet(t.delete_file.file_path)
+                        for r in spark.read.parquet(
+                            _spark_path(t.delete_file.file_path))
                         .select(_canon_col(F.col("file_path")))
                         .distinct().collect()}
                 hit = [t for t in pdata
@@ -243,7 +252,8 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
         [(canon_data_path(t.delete_file.file_path), t.sequence_number)
          for t in pos],
         "__src string, __del_seq long")
-    pos_df = (spark.read.parquet(*[t.delete_file.file_path for t in pos])
+    pos_df = (spark.read.parquet(
+        *[_spark_path(t.delete_file.file_path) for t in pos])
               .withColumn("__src", _canon_col(F.col("_metadata.file_path")))
               .select(_canon_col(F.col("file_path")).alias("__del_file"),
                       F.col("pos").alias("__del_pos"), "__src")
@@ -273,7 +283,8 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
     for t in eq:
         groups.setdefault(tuple(t.delete_file.equality_ids or ()), []).append(t)
     for _ids, tasks in groups.items():
-        keys = spark.read.parquet(*[t.delete_file.file_path for t in tasks])
+        keys = spark.read.parquet(
+            *[_spark_path(t.delete_file.file_path) for t in tasks])
         key_cols = keys.columns
         min_seq = min(t.sequence_number for t in tasks)
         # NULL-SAFE key equality, matching the read path's anti-join

@@ -57,6 +57,25 @@ class _FileTask(InputPartition):
 
 
 class IcelakeDataSource(DataSource):
+    # register(spark) snapshots register_io factories here so planner/
+    # executor workers (fresh processes) can resolve custom schemes
+    _io_registry: dict = {}
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._install_io_registry()
+
+    def _install_io_registry(self) -> None:
+        """Reinstall the snapshotted register_io factories in THIS
+        process. Called from every entry point, not only __init__ —
+        Spark pickles the DataSource instance between its planner
+        workers, and unpickling does not re-run __init__."""
+        if type(self)._io_registry:
+            from . import fileio
+
+            for sch, fac in type(self)._io_registry.items():
+                fileio._REGISTRY.setdefault(sch, fac)
+
     @classmethod
     def name(cls) -> str:
         return "icelake"
@@ -66,6 +85,7 @@ class IcelakeDataSource(DataSource):
 
         from .table import IcebergTable
 
+        self._install_io_registry()
         t = IcebergTable.load(self.options["path"])
         # sources report plain nullable fields: Spark normalizes scan
         # output to nullable, and the streaming runner asserts the Arrow
@@ -87,6 +107,7 @@ class IcelakeDataSource(DataSource):
             raise ValueError(
                 "changelog=true is only supported with readStream; for a "
                 "batch changelog use IcebergTable.changes(spark)")
+        self._install_io_registry()
         return IcelakeReader(self.options, schema)
 
     def streamReader(self, schema) -> "IcelakePartitionStreamReader":  # noqa: N802
@@ -94,12 +115,15 @@ class IcelakeDataSource(DataSource):
         per offset range on the driver, READ ON EXECUTORS — one
         InputPartition per data file (plain mode) or per snapshot
         (changelog mode), nothing materialized driver-side."""
+        self._install_io_registry()
         return IcelakePartitionStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> "IcelakeStreamReader":  # noqa: N802
+        self._install_io_registry()
         return IcelakeStreamReader(self.options, schema)
 
     def streamWriter(self, schema, overwrite: bool) -> "IcelakeStreamWriter":  # noqa: N802
+        self._install_io_registry()
         return IcelakeStreamWriter(self.options, schema)
 
 
@@ -153,6 +177,24 @@ def _read_avro_arrow(spark_schema, file_path: str):
                     type=arrow_schema.field(n).type)
         for n in present} if present else
         {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
+
+
+def _arrow_src(path: str, table_scheme: str = "", io=None):
+    """A pyarrow-readable source for a recorded file path: local paths
+    pass through (pyarrow's native I/O); URI schemes open through
+    FileIO — the SHIPPED `io` instance when the path lives on the
+    table's scheme (register_io customs resolve only in the planning
+    process, so the pickled FileIO travels with the reader), else a
+    fresh resolve (pyarrow-native schemes like s3:// reconnect in any
+    process). This keeps the DSv2 executors FileIO-consistent: an ORC
+    or delete file on a URI scheme reads the same way metadata does."""
+    from .fileio import is_uri, path_scheme, resolve_io
+
+    if not is_uri(path):
+        return path
+    if io is not None and path_scheme(path) == table_scheme:
+        return io.open_input(path)
+    return resolve_io(path).open_input(path)
 
 
 def _parquet_id_map(pa_schema, table_ids=None) -> dict[int, str]:
@@ -281,6 +323,16 @@ class IcelakeReader(DataSourceReader):
         self.field_ids = {f.name: f.field_id for f in schema.fields}
         # iceberg member types for nested rebinding (picklable dataclasses)
         self.ice_fields = {f.name: f.field_type for f in schema.fields}
+        # FileIO shipped to executors for URI-scheme data/delete reads
+        # (resolved HERE so register_io customs travel via pickle)
+        from .fileio import is_uri, path_scheme, resolve_io
+
+        self.table_scheme = path_scheme(options["path"])
+        self.io = resolve_io(options["path"]) if is_uri(options["path"]) \
+            else None
+
+    def _src(self, path: str):
+        return _arrow_src(path, self.table_scheme, self.io)
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Accept simple comparisons for zone-map file pruning; everything
@@ -332,7 +384,7 @@ class IcelakeReader(DataSourceReader):
 
             pos_map = {}
             for p in pos:
-                dt = pq.read_table(p.delete_file.file_path,
+                dt = pq.read_table(self._src(p.delete_file.file_path),
                                    columns=["file_path", "pos"])
                 for src, ps in zip(dt["file_path"].to_pylist(),
                                    dt["pos"].to_pylist()):
@@ -359,11 +411,11 @@ class IcelakeReader(DataSourceReader):
         if fmt == "ORC":
             from pyarrow import orc as pa_orc
 
-            table = pa_orc.ORCFile(partition.file_path).read()
+            table = pa_orc.ORCFile(self._src(partition.file_path)).read()
         elif fmt == "AVRO":
             table = _read_avro_arrow(self.spark_schema, partition.file_path)
         else:
-            table = pq.read_table(partition.file_path)
+            table = pq.read_table(self._src(partition.file_path))
 
         # position deletes targeting this file, seq-gated
         drop_rows: set[int] = set()
@@ -374,14 +426,16 @@ class IcelakeReader(DataSourceReader):
             for dpath, dseq in partition.pos_deletes:
                 if partition.sequence_number > dseq:
                     continue
-                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                dt = pq.read_table(self._src(dpath),
+                                   columns=["file_path", "pos"])
                 fp = dt["file_path"].to_pylist()
                 pos = dt["pos"].to_pylist()
                 for f, p in zip(fp, pos):
                     if _norm(f) == _norm(partition.file_path):
                         drop_rows.add(p)
         if drop_rows:
-            mask = pa.array(i not in drop_rows for i in range(table.num_rows))
+            mask = pa.array((i not in drop_rows
+                                 for i in range(table.num_rows)), type=pa.bool_())
             table = table.filter(mask)
 
         # equality deletes: data_seq < delete_seq. A key column missing
@@ -394,7 +448,8 @@ class IcelakeReader(DataSourceReader):
             if not partition.sequence_number < dseq:
                 continue
             cols = list(cols)
-            dt = pq.read_table(dpath)  # delete files hold only key cols
+            # delete files hold only key cols
+            dt = pq.read_table(self._src(dpath))
             del_cols = {c: (dt[c].to_pylist() if c in dt.column_names
                             else [None] * dt.num_rows) for c in cols}
             deleted = set(zip(*[del_cols[c] for c in cols]))
@@ -405,7 +460,8 @@ class IcelakeReader(DataSourceReader):
                 key_cols[c] = (arr.to_pylist() if arr is not None
                                else [None] * table.num_rows)
             keys = zip(*[key_cols[c] for c in cols])
-            mask = pa.array(k not in deleted for k in keys)
+            mask = pa.array((k not in deleted for k in keys),
+                            type=pa.bool_())
             table = table.filter(mask)
 
         # project/pad to the requested schema (field-id first, then
@@ -480,6 +536,212 @@ def _stream_files_between(table, start_seq: int,
     return out
 
 
+def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
+    """Driver-side changelog planning with STRICTLY LINEAR manifest
+    I/O: one walk over the main ancestry reads each manifest list and
+    each added-by manifest EXACTLY ONCE, maintaining the alive-data-
+    file map incrementally (alive(s) = alive(parent) + ADDED − DELETED;
+    EXISTING entries from manifest rewrites are no-ops). Every
+    decodable in-range snapshot becomes one _ChangeSnapshotTask
+    carrying its complete payload — own added-file lists, the prior
+    delete-FILE lists, and (only when it has deletes to decode) the
+    alive-before-it file map — so executor tasks perform ZERO manifest
+    reads. This replaces the per-task prior-snapshot re-walk that made
+    a micro-batch O(snapshots²) in manifest I/O."""
+    from .types.manifest import (STATUS_ADDED, STATUS_DELETED,
+                                 read_manifest, read_manifest_list)
+
+    out = []
+    main_ids = table.metadata.ancestry_ids()
+    pos_acc: list[str] = []
+    eq_acc: list[tuple[str, int]] = []
+    alive: dict[str, tuple[str, int]] = {}  # canon → (path, seq)
+    for snap in sorted(table.metadata.snapshots,
+                       key=lambda x: x.sequence_number):
+        if snap.snapshot_id not in main_ids:
+            continue
+        off = _stream_offset_of(table, snap)
+        if off > end_off:
+            break  # later snapshots cannot affect this window
+        summary = snap.summary or {}
+        decodable = not (
+            summary.get("operation", "append") == "replace"
+            or int(summary.get("deleted-data-files", 0) or 0) > 0)
+        in_range = start_off < off <= end_off
+        added_data, added_pos, added_eq = [], [], []
+        alive_updates: list[tuple[str, str, int, int]] = []
+        for mle in read_manifest_list(table._resolve(snap.manifest_list)):
+            if mle.added_snapshot_id != snap.snapshot_id:
+                continue  # carried forward unchanged: no alive change
+            _, entries = read_manifest(table._resolve(mle.manifest_path))
+            for e in entries:
+                seq = (e.sequence_number if e.sequence_number is not None
+                       else mle.sequence_number)
+                p = table._resolve(e.data_file.file_path)
+                if e.data_file.content == 0:
+                    alive_updates.append((e.status, p, seq, 0))
+                    if e.status == STATUS_ADDED:
+                        added_data.append((p, seq))
+                elif e.status == STATUS_ADDED:
+                    if e.data_file.content == 1:
+                        added_pos.append((p, seq))
+                    else:
+                        added_eq.append((p, seq))
+        if in_range and decodable:
+            out.append(_ChangeSnapshotTask(
+                snap.snapshot_id,
+                added_data=tuple(added_data),
+                added_pos=tuple(added_pos),
+                added_eq=tuple(added_eq),
+                prior_pos_files=tuple(pos_acc),
+                prior_eq_files=tuple(eq_acc),
+                older=(tuple((c, p, q) for c, (p, q) in alive.items())
+                       if (added_pos or added_eq) else ()),
+            ))
+            # eq-dead tracking mirrors _changelog_rows: only in-range
+            # decodable snapshots feed the eq chain
+            eq_acc.extend(added_eq)
+        pos_acc.extend(p for p, _s in added_pos)
+        for status, p, seq, _c in alive_updates:
+            if status == STATUS_DELETED:
+                alive.pop(_norm(p), None)
+            else:  # ADDED or EXISTING (rewrite): (re)record identically
+                alive[_norm(p)] = (p, seq)
+    return out
+
+
+def _make_file_rows(names: list[str], rmap: dict,
+                    table_scheme: str = "", io=None):
+    """Rename-aware cached row reader shared by the changelog decoders:
+    file_rows(path) → list of row tuples in `names` order (a requested
+    column absent from the file pads None, or reads via its former
+    name). Caches per path — the eq-delete branch revisits files."""
+    import pyarrow.parquet as pq
+
+    cache: dict[str, list[tuple]] = {}
+
+    def file_rows(path: str) -> list[tuple]:
+        rows = cache.get(path)
+        if rows is None:
+            in_file = set(pq.read_schema(
+                _arrow_src(path, table_scheme, io)).names)
+            src_of = {}
+            for n in names:
+                if n in in_file:
+                    src_of[n] = n
+                else:
+                    src_of[n] = next(
+                        (o for o in rmap.get(n, ()) if o in in_file), None)
+            read_cols = sorted({c for c in src_of.values() if c})
+            t = pq.read_table(_arrow_src(path, table_scheme, io),
+                              columns=read_cols)
+            cols = {n: (t[src_of[n]].to_pylist() if src_of[n]
+                        else [None] * t.num_rows) for n in names}
+            rows = [tuple(cols[n][i] for n in names)
+                    for i in range(t.num_rows)]
+            cache[path] = rows
+        return rows
+
+    return file_rows
+
+
+def _changelog_snapshot_rows(names: list[str], rmap: dict,
+                             task: "_ChangeSnapshotTask",
+                             table_scheme: str = "", io=None) -> list[tuple]:
+    """CDC events of ONE snapshot (executor side of the changelog
+    stream). The entire plan arrives in the task payload (driver-
+    planned, linear manifest I/O): own added-file lists, prior delete
+    FILES (pos files build the positional dead-set; eq files become
+    key sets consulted per candidate row under the data file's
+    sequence gate), and the alive-before map. Identical verdicts to
+    _changelog_rows' accumulated walk, with ZERO manifest I/O here."""
+    import pyarrow.parquet as pq
+
+    file_rows = _make_file_rows(names, rmap, table_scheme, io)
+
+    def _src(p):
+        return _arrow_src(p, table_scheme, io)
+
+    added_data = list(task.added_data)
+    added_pos = list(task.added_pos)
+    added_eq = list(task.added_eq)
+
+    prior_dead: set[tuple[str, int]] = set()
+    for p in task.prior_pos_files:
+        t = pq.read_table(_src(p), columns=["file_path", "pos"])
+        for src, pos in zip(t["file_path"].to_pylist(),
+                            t["pos"].to_pylist()):
+            prior_dead.add((_norm(src), pos))
+    prior_eq: list[tuple[list[int], set, int]] = []
+    for p, dseq in task.prior_eq_files:
+        kt = pq.read_table(_src(p))
+        kc = kt.column_names
+        keys = {tuple(kt[c][i].as_py() for c in kc)
+                for i in range(kt.num_rows)}
+        prior_eq.append(([names.index(c) for c in kc], keys, dseq))
+
+    def dead_by_prior_eq(row: tuple, fseq: int) -> bool:
+        # eq deletes kill strictly-older data only (data_seq < del_seq)
+        return any(fseq < dseq and tuple(row[j] for j in ki) in keys
+                   for ki, keys, dseq in prior_eq)
+
+    same_commit_deleted: set[tuple[str, int]] = set()
+    pos_by_src: dict[str, list[int]] = {}
+    for p, _seq in added_pos:
+        t = pq.read_table(_src(p))
+        for src, pos in zip(t["file_path"].to_pylist(),
+                            t["pos"].to_pylist()):
+            key = _norm(src)
+            same_commit_deleted.add((key, pos))
+            pos_by_src.setdefault(key, []).append(pos)
+
+    rows: list[tuple] = []
+    for p, _seq in added_data:
+        ckey = _norm(p)
+        for i, r in enumerate(file_rows(p)):
+            if (ckey, i) in same_commit_deleted:
+                continue
+            rows.append(r + ("insert",))
+
+    if added_pos or added_eq:
+        # data files alive before this snapshot (driver-shipped)
+        older: dict[str, tuple[str, int]] = {
+            c: (p, q) for c, p, q in task.older}
+
+        for src, positions in pos_by_src.items():
+            if src not in older:
+                continue  # same-commit churn already excluded
+            real, fseq = older[src]
+            all_rows = file_rows(real)
+            for i in sorted(positions):
+                if (src, i) in prior_dead or i >= len(all_rows):
+                    continue
+                r = all_rows[i]
+                if dead_by_prior_eq(r, fseq):
+                    continue
+                rows.append(r + ("delete",))
+
+        eq_dead_local: set[tuple[str, int]] = set()
+        for p, del_seq in added_eq:
+            kt = pq.read_table(_src(p))
+            kc = kt.column_names
+            keys = {tuple(kt[c][i].as_py() for c in kc)
+                    for i in range(kt.num_rows)}
+            ki = [names.index(c) for c in kc]
+            for ckey, (real, fseq) in older.items():
+                if fseq >= del_seq:
+                    continue
+                for i, r in enumerate(file_rows(real)):
+                    if (ckey, i) in prior_dead or (ckey, i) in eq_dead_local:
+                        continue
+                    if dead_by_prior_eq(r, fseq):
+                        continue
+                    if tuple(r[j] for j in ki) in keys:
+                        rows.append(r + ("delete",))
+                        eq_dead_local.add((ckey, i))
+    return rows
+
+
 @dataclass
 class _StreamFileTask(InputPartition):
     file_path: str
@@ -489,11 +751,17 @@ class _StreamFileTask(InputPartition):
 @dataclass
 class _ChangeSnapshotTask(InputPartition):
     """One changelog micro-batch slice: reconstruct ONE snapshot's CDC
-    events on an executor (the task re-walks earlier snapshots for the
-    running dead-sets — see _changelog_rows)."""
+    events on an executor. The driver's _plan_changelog_tasks walks the
+    history ONCE (each manifest read exactly once) and ships the
+    complete payload — the task performs zero manifest I/O and reads
+    only the data/delete FILES it decodes."""
     snapshot_id: int
-    start_seq: int
-    end_seq: int
+    added_data: tuple = ()               # (data file path, seq)
+    added_pos: tuple = ()                # (pos-delete file path, seq)
+    added_eq: tuple = ()                 # (eq-delete file path, delete_seq)
+    prior_pos_files: tuple = ()          # earlier pos-delete file paths
+    prior_eq_files: tuple = ()           # earlier (eq-delete path, seq)
+    older: tuple = ()                    # (canon, path, seq) alive before
 
 
 class IcelakePartitionStreamReader(DataSourceStreamReader):
@@ -520,6 +788,18 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         t = IcebergTable.load(self.path)
         self.rename_map = _rename_map(t)
         self.field_ids = {f.name: f.field_id for f in t.schema().fields}
+        # iceberg member types for nested rebinding + shipped FileIO —
+        # the same resolution discipline as the batch reader (a struct
+        # member renamed in an externally-written file must bind by its
+        # nested field id in the STREAM too)
+        self.ice_fields = {f.name: f.field_type for f in t.schema().fields}
+        from .fileio import is_uri, path_scheme, resolve_io
+
+        self.table_scheme = path_scheme(self.path)
+        self.io = resolve_io(self.path) if is_uri(self.path) else None
+
+    def _src(self, path: str):
+        return _arrow_src(path, self.table_scheme, self.io)
 
     def _table(self):
         from .table import IcebergTable
@@ -542,22 +822,10 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             return []
         table = self._table()
         if self._changelog:
-            # one task per DECODABLE snapshot in range (same skip rules
-            # as _changelog_rows: main ancestry, append-ish, no rewrite)
-            out = []
-            main_ids = table.metadata.ancestry_ids()
-            for snap in sorted(table.metadata.snapshots,
-                               key=lambda x: x.sequence_number):
-                if snap.snapshot_id not in main_ids:
-                    continue
-                if not (s < _stream_offset_of(table, snap) <= e):
-                    continue
-                summary = snap.summary or {}
-                if summary.get("operation", "append") == "replace" \
-                        or int(summary.get("deleted-data-files", 0) or 0) > 0:
-                    continue
-                out.append(_ChangeSnapshotTask(snap.snapshot_id, s, e))
-            return out
+            # one task per DECODABLE snapshot in range; ONE linear walk
+            # on the driver reads each manifest exactly once and ships
+            # complete task payloads (see _plan_changelog_tasks)
+            return _plan_changelog_tasks(table, s, e)
         return [_StreamFileTask(path, fmt)
                 for path, fmt in _stream_files_between(table, s, e)]
 
@@ -568,25 +836,33 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         if isinstance(partition, _ChangeSnapshotTask):
             names = [f.name for f in self.spark_schema.fields
                      if f.name != "_change_type"]
-            yield from _changelog_rows(
-                self._table(), names, self.rename_map,
-                partition.start_seq, partition.end_seq,
-                only_snapshot=partition.snapshot_id)
+            yield from _changelog_snapshot_rows(names, self.rename_map,
+                                                partition,
+                                                self.table_scheme, self.io)
             return
         if partition.file_format == "ORC":
             from pyarrow import orc as pa_orc
 
-            table = pa_orc.ORCFile(partition.file_path).read()
+            table = pa_orc.ORCFile(self._src(partition.file_path)).read()
         elif partition.file_format == "AVRO":
             table = _read_avro_arrow(self.spark_schema, partition.file_path)
         else:
-            table = pq.read_table(partition.file_path)
+            table = pq.read_table(self._src(partition.file_path))
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from .types.datatypes import StructType as _IceStruct
+
         id_map = _parquet_id_map(table.schema, self.field_ids.values())
-        names = [f.name for f in self.spark_schema.fields]
-        arrays = []
-        for n in names:
+        arrays, names = [], []
+        for f in self.spark_schema.fields:
+            n = f.name
             arr = _resolve_column(table, n, self.rename_map,
                                   self.field_ids.get(n), id_map)
+            if arr is not None and isinstance(
+                    self.ice_fields.get(n), _IceStruct):
+                arr = _rebind_struct(arr, self.ice_fields[n],
+                                     to_arrow_type(f.dataType))
+            names.append(n)
             arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
@@ -636,17 +912,27 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        names = [f.name for f in self.spark_schema.fields]
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from .types.datatypes import StructType as _IceStruct
+
         src_t = self._table()
         rmap = _rename_map(src_t)
         fids = {f.name: f.field_id for f in src_t.schema().fields}
+        ice_fields = {f.name: f.field_type for f in src_t.schema().fields}
         rows: list[tuple] = []
+        names = [f.name for f in self.spark_schema.fields]
         for path in files:
-            t = pq.read_table(path)
+            t = pq.read_table(_arrow_src(path))
             id_map = _parquet_id_map(t.schema, fids.values())
             cols = []
-            for n in names:
+            for f in self.spark_schema.fields:
+                n = f.name
                 arr = _resolve_column(t, n, rmap, fids.get(n), id_map)
+                if arr is not None and isinstance(
+                        ice_fields.get(n), _IceStruct):
+                    arr = _rebind_struct(arr, ice_fields[n],
+                                         to_arrow_type(f.dataType))
                 cols.append(arr if arr is not None else pa.nulls(t.num_rows))
             rows.extend(tuple(d.values()) for d in
                         pa.Table.from_arrays(cols, names=names).to_pylist())
@@ -691,8 +977,7 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
 
 
 def _changelog_rows(table, names: list[str], rmap: dict,
-                    start_seq: int, end_seq: int,
-                    only_snapshot: int | None = None) -> list[tuple]:
+                    start_seq: int, end_seq: int) -> list[tuple]:
     """CDC reconstruction: rows + _change_type for every snapshot in
     (start_seq, end_seq]:
 
@@ -705,12 +990,9 @@ def _changelog_rows(table, names: list[str], rmap: dict,
     `IcebergTable.changes` covers them); tables streamed as CDC
     should keep `write.delete.mode=merge-on-read` (the default).
 
-    `only_snapshot` restricts EMISSION to one snapshot while still
-    walking the earlier ones for the running dead-sets — the
-    partition-based stream reader runs one executor task per snapshot
-    (each task re-derives the prior dead-set: quadratic manifest I/O
-    in the window's snapshot count, but windows are typically 1-2
-    snapshots and nothing is materialized on the driver).
+    This is the SIMPLE (driver-side) decoder; the partition-based
+    stream reader's executor tasks use _changelog_snapshot_rows with
+    driver-planned prior-delete payloads instead.
     """
     import pyarrow.parquet as pq
 
@@ -797,11 +1079,7 @@ def _changelog_rows(table, names: list[str], rmap: dict,
             # running dead-set for later snapshots in the range
             dead_acc |= snap_pos_deletes(s)
             continue
-        emit = only_snapshot is None or s.snapshot_id == only_snapshot
-        if only_snapshot is not None \
-                and _stream_offset_of(table, s) > _stream_offset_of(
-                    table, table.metadata.snapshot_by_id(only_snapshot)):
-            break  # past the target: later snapshots can't affect it
+        emit = True
         added_data, added_pos, added_eq = [], [], []
         for mle in read_manifest_list(table._resolve(s.manifest_list)):
             if mle.added_snapshot_id != s.snapshot_id:
@@ -1043,4 +1321,20 @@ def _norm(p: str) -> str:
 def register(spark) -> None:
     # pushFilters requires this conf (defaults false in Spark 4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from . import fileio
+
+    if fileio._REGISTRY:
+        # Spark instantiates Python data sources in a FRESH planner
+        # worker where register_io registrations don't exist; snapshot
+        # the current registry into the registered class — cloudpickle
+        # ships it (factories may close over picklable FileIO
+        # instances) and __init__ reinstalls it worker-side, so a
+        # mock://-style table loads its metadata anywhere
+        snapshot = dict(fileio._REGISTRY)
+
+        class _RegisteredIcelake(IcelakeDataSource):
+            _io_registry = snapshot
+
+        spark.dataSource.register(_RegisteredIcelake)
+        return
     spark.dataSource.register(IcelakeDataSource)

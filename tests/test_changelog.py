@@ -234,3 +234,103 @@ def test_apply_changes_full_resync_after_expired_sync_point(spark, warehouse):
     assert n > 0
     tgt = IcebergTable.load(tgt.path)
     assert sorted(r.id for r in tgt.to_df(spark).collect()) == [2, 3]
+
+
+def test_changelog_stream_manifest_io_linear_in_window(spark, tmp_path):
+    """A 10-snapshot changelog window must plan with LINEAR manifest
+    I/O: the driver's partitions() walks the history once shipping
+    prior delete-file lists, so no .avro manifest is re-read per task
+    (the old per-task re-walk read early delete manifests ~N times).
+    Rows must equal the batch changes() decoder exactly."""
+    import pyspark.sql.types as T
+
+    from icelake_spark.datasource import IcelakePartitionStreamReader
+    from icelake_spark.fileio import (
+        LocalFileIO,
+        register_io,
+        unregister_io,
+    )
+
+    class CountingFileIO(LocalFileIO):
+        def __init__(self, root):
+            self.root = root
+            self.reads = {}
+
+        def _p(self, path):
+            assert path.startswith("cnt://"), f"os-path leaked: {path}"
+            return os.path.join(self.root, path[len("cnt://"):])
+
+        def _m(self, local):
+            return "cnt://" + os.path.relpath(local, self.root)
+
+        def read_bytes(self, path):
+            self.reads[path] = self.reads.get(path, 0) + 1
+            return LocalFileIO.read_bytes(self, path)
+
+        def list_files(self, prefix):
+            out = []
+            for root_, _d, names in os.walk(self._p(prefix)):
+                for n in names:
+                    p = os.path.join(root_, n)
+                    try:
+                        out.append((self._m(p), os.path.getsize(p)))
+                    except OSError:
+                        pass
+            return out
+
+        def to_spark_path(self, path):
+            return self._p(path)
+
+    import os
+
+    io = CountingFileIO(str(tmp_path / "cntfs"))
+    register_io("cnt", lambda path: io)
+    try:
+        cat = StorageCatalog("cnt://wh")
+        src = spark.createDataFrame([(i, f"v{i}") for i in range(40)],
+                                    "id long, v string")
+        t = cat.create_table("db.lin", Schema.from_spark(src.schema))
+        # 10 snapshots: 4 appends, 3 MoR pos-deletes, 3 eq-delete upserts
+        for lo in range(0, 40, 10):
+            t.append(src.where(f"id >= {lo} and id < {lo + 10}"))
+            t = t.refresh()
+        for k in (3, 13, 23):
+            t.delete_where(spark, f"id = {k}")
+            t = t.refresh()
+        for k in (5, 15, 25):
+            t.upsert(spark.createDataFrame([(k, "UP")], "id long, v string"),
+                     key_cols=["id"])
+            t = t.refresh()
+        assert len(t.metadata.snapshots) == 10
+
+        schema = T.StructType(
+            list(t.schema().to_spark().fields)
+            + [T.StructField("_change_type", T.StringType())])
+        reader = IcelakePartitionStreamReader(
+            {"path": t.path, "changelog": "true"}, schema)
+
+        io.reads.clear()
+        parts = reader.partitions(reader.initialOffset(),
+                                  reader.latestOffset())
+        assert len(parts) == 10
+        plan_avro = {p: n for p, n in io.reads.items() if p.endswith(".avro")}
+        assert plan_avro and max(plan_avro.values()) == 1, \
+            f"driver planning re-read a manifest: {plan_avro}"
+
+        rows = []
+        for p in parts:
+            rows.extend(reader.read(p))
+        # executor tasks perform ZERO manifest I/O (payload-driven):
+        # across planning + all task reads every manifest is read
+        # exactly once — the quadratic design re-read early delete
+        # manifests ~N times per micro-batch
+        all_avro = {p: n for p, n in io.reads.items() if p.endswith(".avro")}
+        assert max(all_avro.values()) == 1, \
+            f"manifest re-read scaling with window size: {all_avro}"
+
+        got = sorted((r[0], r[1], r[2]) for r in rows)
+        want = sorted((r.id, r.v, r._change_type)
+                      for r in t.changes(spark).collect())
+        assert got == want
+    finally:
+        unregister_io("cnt")

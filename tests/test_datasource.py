@@ -501,3 +501,27 @@ def test_add_files_foreign_field_ids_read_by_name(spark, warehouse,
     rows = {r.id: r.s for r in spark.read.format("icelake")
             .option("path", t.path).load().collect()}
     assert rows == {7: "x", 8: "y"}
+
+
+def test_dsv2_read_mor_pos_plus_eq_deletes(spark, warehouse):
+    """Batch DSv2 read with BOTH pos- and eq-deletes in play, including
+    a file whose rows are entirely removed: the boolean filter masks
+    must stay bool-typed even when built from an empty generator
+    (pa.array of an empty generator is null-typed and crashed filter)."""
+    from icelake_spark import datasource
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(30)],
+                                "id long, v string")
+    t = warehouse.create_table("db.morboth", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.delete_where(spark, "id < 4")
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(2, "BACK"), (40, "NEW")],
+                                   "id long, v string"), key_cols=["id"])
+    t = t.refresh()
+    df = spark.read.format("icelake").option("path", t.path).load()
+    rows = {r.id: r.v for r in df.collect()}
+    assert set(rows) == {2, 40} | set(range(4, 30))
+    assert rows[2] == "BACK" and rows[40] == "NEW" and rows[5] == "v5"

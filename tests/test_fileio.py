@@ -456,3 +456,53 @@ def test_s3_conditional_put_enabler_with_injected_client():
             io.create_exclusive("s3://bkt/wh/metadata/v1.metadata.json", b"y")
     finally:
         unregister_conditional_put("s3")
+
+
+def test_mock_scheme_dsv2_read_parquet_and_orc(spark, mock_io):
+    """spark.read.format("icelake") on a register_io (mock://) table
+    holding BOTH parquet and ORC data files: the DSv2 executors read
+    through the FileIO shipped with the reader (a raw-path
+    pq.read_table / ORCFile would crash on mock://), consistent with
+    how the metadata plane resolves."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from icelake_spark import datasource
+
+    # MockFileIO lives in this test module, which Spark's fresh python
+    # workers cannot import — ship it by value inside the registry
+    # snapshot instead (a real deployment's FileIO classes live in an
+    # installed package, where this is unnecessary)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    datasource.register(spark)
+    src = spark.range(50).selectExpr("id", "cast(id as string) as s")
+    cat = StorageCatalog("mock://whd")
+    t = cat.create_table("db.mixed", Schema.from_spark(src.schema))
+    t.append(src.where("id < 30"))
+    t.set_properties({"write.format.default": "orc"})
+    t = cat.load_table("db.mixed")
+    t.append(src.where("id >= 30"))
+
+    data, _, _ = t.new_scan().plan_files()
+    fmts = {(d.data_file.file_format or "PARQUET").upper() for d in data}
+    assert fmts == {"PARQUET", "ORC"}
+    assert all(d.data_file.file_path.startswith("mock://") for d in data)
+
+    df = spark.read.format("icelake").option("path", t.path).load()
+    assert sorted(r.id for r in df.collect()) == list(range(50))
+    assert df.where("id = 42").collect()[0].s == "42"
+
+    # the partition-based STREAM reader reads the same files on
+    # executors through the same shipped FileIO
+    import tempfile
+
+    ck = tempfile.mkdtemp()
+    out = tempfile.mkdtemp()
+    q = (spark.readStream.format("icelake").option("path", t.path).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck).trigger(availableNow=True)
+         .start())
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 50
+    cloudpickle.unregister_pickle_by_value(sys.modules[__name__])
