@@ -197,19 +197,32 @@ def _arrow_src(path: str, table_scheme: str = "", io=None):
     return resolve_io(path).open_input(path)
 
 
-def _parquet_id_map(pa_schema, table_ids=None) -> dict[int, str]:
+def _is_foreign_file(table_path: str, file_path: str) -> bool:
+    """True when `file_path` lives OUTSIDE the table's directory — the
+    add_files import signature. Such files' PARQUET:field_id values
+    belong to ANOTHER table's id space (and numerically collide with
+    ours more often than not), so id resolution must not apply to
+    them. Provenance-by-location replaces the former zero-id-overlap
+    heuristic, which misfired for this table's OWN old files once every
+    column they recorded had been dropped and re-added (the name
+    fallback then resurrected the dropped columns' stale values —
+    exactly what the id path exists to prevent)."""
+    from .fileio import norm_path
+
+    base = norm_path(table_path).rstrip("/")
+    p = norm_path(file_path)
+    return not (p == base or p.startswith(base + "/"))
+
+
+def _parquet_id_map(pa_schema, foreign: bool = False) -> dict[int, str]:
     """{field_id: physical column name} from the file's PARQUET:field_id
     metadata — present in files written by Java Iceberg / pyiceberg /
     our own writer (write.py stamps parquet.field.id). Top level only;
     nested member binding is handled separately (_rebind_struct).
-
-    `table_ids`: this table's known field ids. When the file's id set
-    shares NO id with the table's, the file is FOREIGN (an add_files
-    import from another table, whose ids live in a different id space)
-    — return {} so resolution falls back to names, instead of
-    projecting every column as NULL. Files from THIS table always
-    overlap (at least the surviving columns), so the dropped-then-
-    readded NULL semantics are preserved."""
+    `foreign=True` (see _is_foreign_file) disables id resolution so the
+    caller falls back to names."""
+    if foreign:
+        return {}
     out: dict[int, str] = {}
     for f in pa_schema:
         v = (f.metadata or {}).get(b"PARQUET:field_id")
@@ -218,8 +231,6 @@ def _parquet_id_map(pa_schema, table_ids=None) -> dict[int, str]:
                 out[int(v)] = f.name
             except ValueError:
                 pass
-    if out and table_ids is not None             and not any(fid in out for fid in table_ids):
-        return {}
     return out
 
 
@@ -442,8 +453,8 @@ class IcelakeReader(DataSourceReader):
         # from an old file reads as NULL — it must MATCH AS NULL, not be
         # dropped from the key (narrowing the key over-deletes: every
         # row sharing the present columns would match).
-        id_map_k = _parquet_id_map(table.schema,
-                                   self.field_ids.values())  # loop-invariant
+        foreign = _is_foreign_file(self.options["path"], partition.file_path)
+        id_map_k = _parquet_id_map(table.schema, foreign)  # loop-invariant
         for dpath, cols, dseq in partition.eq_deletes:
             if not partition.sequence_number < dseq:
                 continue
@@ -471,7 +482,7 @@ class IcelakeReader(DataSourceReader):
 
         from .types.datatypes import StructType as _IceStruct
 
-        id_map = _parquet_id_map(table.schema, self.field_ids.values())
+        id_map = _parquet_id_map(table.schema, foreign)
         names = [f.name for f in self.spark_schema.fields]
         arrays = []
         for f in self.spark_schema.fields:
@@ -852,7 +863,8 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
 
         from .types.datatypes import StructType as _IceStruct
 
-        id_map = _parquet_id_map(table.schema, self.field_ids.values())
+        id_map = _parquet_id_map(
+            table.schema, _is_foreign_file(self.path, partition.file_path))
         arrays, names = [], []
         for f in self.spark_schema.fields:
             n = f.name
@@ -924,7 +936,8 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         names = [f.name for f in self.spark_schema.fields]
         for path in files:
             t = pq.read_table(_arrow_src(path))
-            id_map = _parquet_id_map(t.schema, fids.values())
+            id_map = _parquet_id_map(t.schema,
+                                     _is_foreign_file(self.path, path))
             cols = []
             for f in self.spark_schema.fields:
                 n = f.name

@@ -391,13 +391,33 @@ class ArrowFileIO(FileIO):
         if self._fs is None:
             from pyarrow import fs as pafs
 
-            self._fs, _ = pafs.FileSystem.from_uri(self._uri)
+            self._fs, inner = pafs.FileSystem.from_uri(self._uri)
+            # authority-scoped filesystems (hdfs://host:8020/a → '/a')
+            # expect PURE paths, while bucket stores (s3://b/k →
+            # 'b/k') keep the bucket in the path — from_uri's returned
+            # path component tells us which convention this fs uses
+            self._pure_path = inner.startswith("/")
         return self._fs
 
-    @staticmethod
-    def _key(path: str) -> str:
+    def _key(self, path: str) -> str:
         sch = path_scheme(path)
-        return path[len(sch) + 3:] if sch else path
+        if not sch:
+            return path
+        rest = path[len(sch) + 3:]
+        self._resolve()
+        if not self._pure_path:
+            return rest  # bucket/key convention (s3, gs)
+        i = rest.find("/")
+        return rest[i:] if i >= 0 else "/"
+
+    def _authority(self) -> str:
+        """scheme://authority prefix for reconstructing full paths from
+        fs-relative listings (empty authority for bucket stores, whose
+        listing paths already start with the bucket)."""
+        sch = path_scheme(self._uri)
+        if not self._pure_path:
+            return f"{sch}://"
+        return f"{sch}://" + self._uri[len(sch) + 3:].split("/", 1)[0]
 
     def read_bytes(self, path: str) -> bytes:
         with self._resolve().open_input_stream(self._key(path)) as f:
@@ -457,7 +477,8 @@ class ArrowFileIO(FileIO):
                                   allow_not_found=True))
         except FileNotFoundError:
             return []
-        return [(f"{sch}://{i.path}" if sch else i.path, i.size or 0)
+        pre = self._authority() if sch else ""
+        return [(f"{pre}{i.path}" if sch else i.path, i.size or 0)
                 for i in infos if i.type == pafs.FileType.File]
 
     def makedirs(self, path: str) -> None:

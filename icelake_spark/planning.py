@@ -72,18 +72,33 @@ def resolve_path(table_path: str, path: str) -> str:
     """Map a metadata-recorded absolute path into the table's dir
     (pure twin of IcebergTable._resolve, safe to run on executors).
 
-    URI table paths (s3://...) never probe existence — that's one HTTP
-    round trip per file; a recorded path already under the table root
-    passes through, anything else re-roots by the data/metadata marker
-    unconditionally (a relocated table's files ARE under the new root).
+    URI table paths (s3://...): a recorded path already under the table
+    root passes through with no existence probe (the hot path — one
+    HTTP round trip per file would dominate planning). A foreign path
+    on the SAME scheme+authority is overwhelmingly a relocated table's
+    old spelling — re-root by the data/metadata marker. A path on a
+    DIFFERENT store is an add_files import and stays AS RECORDED:
+    re-rooting it would silently read a colliding same-named file
+    under this table (or fail confusingly), and probing an arbitrary
+    remote store from the planner can hang on retry loops. A table
+    relocated ACROSS stores must rewrite its metadata paths (the
+    standard Iceberg register-table procedure) — a stale cross-store
+    path fails loudly at read time.
     """
-    from .fileio import io_join, is_uri
+    from .fileio import io_join, is_uri, path_scheme
 
     if is_uri(table_path):
         base = table_path.rstrip("/")
         if path == base or path.startswith(base + "/"):
             return path
         p = _strip_file_scheme(path) if not is_uri(path) else path
+
+        def _store(u: str) -> tuple[str, str]:
+            sch = path_scheme(u)
+            return sch, (u[len(sch) + 3:].split("/", 1)[0] if sch else "")
+
+        if is_uri(p) and _store(p) != _store(base):
+            return p  # add_files import on another store: as recorded
         for marker in ("/data/", "/metadata/"):
             i = p.rfind(marker)
             if i >= 0:

@@ -3331,76 +3331,19 @@ GROUP BY priority ORDER BY priority
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-4 rotation (VERDICT r3 #6): every query's green driver row
-    must be <= 2 rounds old. The window holds (1) the two NEW round-4
-    queries (nested-type roundtrip, multi-clause MERGE), then (2) all
-    39 queries whose last driver row was r1/r2 — the modules round 3
-    touched most first (changelog, update, zorder, snapshots/time
-    travel, compaction, bucket transforms, repetition, encode) — then
-    (3) the 9 r3-green queries whose code round 4 changed most (the
-    FileIO refactor's write/commit/scan cycles, MERGE, streaming,
-    fanout-gated curation). Queries 51+ were all hash-green in r3."""
+    Round-5 rotation (VERDICT r4 #7): every query's green driver row
+    must stay <= 2 rounds old. The window holds (1) the two NEW
+    round-5 queries (column-level MERGE, SQL DDL lifecycle), then
+    (2) all 43 queries whose last driver row was r3 (the sketch/ANN
+    family, avro/orc roundtrips, files_meta, the TPC-H tail), then
+    (3) four r4-green rows whose code round 5 changed most (the MERGE
+    lowering rework, changelog FileIO routing, the partition stream
+    reader, resolve_path). Queries 51+ were all hash-green in r4."""
     return {
         # -- new in round 5 (never driver-checked before) ------------
         "iceberg_merge_cols": iceberg_merge_cols,
         "iceberg_sql_ddl": iceberg_sql_ddl,
-        # -- new in round 4 ------------------------------------------
-        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
-        "iceberg_merge_multi": iceberg_merge_multi,
-        "duplicate_spans": duplicate_spans_q,
-        "span_contamination": span_contamination_q,
-        "temperature_sample": temperature_sample_q,
-        # -- last green in r1/r2: modules r3 touched most first ------
-        "iceberg_changelog": iceberg_changelog,
-        "iceberg_update": iceberg_update,
-        "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_compaction": iceberg_compaction,
-        "iceberg_bucket_partition": iceberg_bucket_partition,
-        "transforms_projection": transforms_projection,
-        "repetition_metrics": repetition_metrics_q,
-        "encode_documents": encode_documents_q,
-        # -- last green in r1/r2: remainder --------------------------
-        "string_date_functions": string_date_functions,
-        "q14_promo_effect": q14_promo_effect,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q18_large_orders": q18_large_orders,
-        "q12_priority_shipping": q12_priority_shipping,
-        "percentiles_by_status": percentiles_by_status,
-        "train_test_split": train_test_split,
-        "window_functions_suite": window_functions_suite,
-        "grouping_sets_rollup": grouping_sets_rollup,
-        "semi_anti_join_customers": semi_anti_join_customers,
-        "correlated_subquery": correlated_subquery_q,
-        "skew_salted_join": skew_salted_join,
-        "events_sessionize": events_sessionize,
-        "continuous_aggregate": continuous_aggregate,
-        "range_join": range_join_q,
-        "iceberg_upsert": iceberg_upsert,
-        "pipeline_curation": pipeline_curation,
-        "corpus_term_freq": corpus_term_freq,
-        "text_analysis": text_analysis,
-        "dedup_against": dedup_against_q,
-        "quantize_embeddings": quantize_embeddings_q,
-        "inverted_index": inverted_index_q,
-        "redact_pii": redact_pii_q,
-        "char_entropy": char_entropy_q,
-        "embedding_neardup": embedding_neardup_q,
-        "ann_topk": ann_topk_q,
-        # -- r3-green, code changed by round 4 (FileIO/MERGE/stream) -
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "iceberg_partition_prune": iceberg_partition_prune,
-        "iceberg_merge": iceberg_merge,
-        "streaming_ingest": streaming_ingest,
-        "curation_pipeline": curation_pipeline_q,
-        # ---- beyond the 50-row window: every query below was
-        # hash-green in an earlier round's driver run and stays green
-        # in the local 94-query sweep ----------------------------------
+        # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
@@ -3445,6 +3388,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": asof_join_q,
         "pack_documents": pack_documents_q,
         "multimodal_features": multimodal_features_q,
+        # -- r4-green, code changed by round 5 (MERGE/changelog/
+        #    datasource/planning) ------------------------------------
+        "iceberg_merge_multi": iceberg_merge_multi,
+        "iceberg_changelog": iceberg_changelog,
+        "streaming_ingest": streaming_ingest,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        # ---- beyond the 50-row window: every query below was
+        # hash-green in round 4 and stays green in the local
+        # full-registry sweep ----------------------------------------
+        "iceberg_merge": iceberg_merge,
+        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
+        "duplicate_spans": duplicate_spans_q,
+        "span_contamination": span_contamination_q,
+        "temperature_sample": temperature_sample_q,
+        "iceberg_update": iceberg_update,
+        "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_compaction": iceberg_compaction,
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "transforms_projection": transforms_projection,
+        "repetition_metrics": repetition_metrics_q,
+        "encode_documents": encode_documents_q,
+        "string_date_functions": string_date_functions,
+        "q14_promo_effect": q14_promo_effect,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q18_large_orders": q18_large_orders,
+        "q12_priority_shipping": q12_priority_shipping,
+        "percentiles_by_status": percentiles_by_status,
+        "train_test_split": train_test_split,
+        "window_functions_suite": window_functions_suite,
+        "grouping_sets_rollup": grouping_sets_rollup,
+        "semi_anti_join_customers": semi_anti_join_customers,
+        "correlated_subquery": correlated_subquery_q,
+        "skew_salted_join": skew_salted_join,
+        "events_sessionize": events_sessionize,
+        "continuous_aggregate": continuous_aggregate,
+        "range_join": range_join_q,
+        "iceberg_upsert": iceberg_upsert,
+        "pipeline_curation": pipeline_curation,
+        "corpus_term_freq": corpus_term_freq,
+        "text_analysis": text_analysis,
+        "dedup_against": dedup_against_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "inverted_index": inverted_index_q,
+        "redact_pii": redact_pii_q,
+        "char_entropy": char_entropy_q,
+        "embedding_neardup": embedding_neardup_q,
+        "ann_topk": ann_topk_q,
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "curation_pipeline": curation_pipeline_q,
     }
 
 

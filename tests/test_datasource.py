@@ -525,3 +525,27 @@ def test_dsv2_read_mor_pos_plus_eq_deletes(spark, warehouse):
     rows = {r.id: r.v for r in df.collect()}
     assert set(rows) == {2, 40} | set(range(4, 30))
     assert rows[2] == "BACK" and rows[40] == "NEW" and rows[5] == "v5"
+
+
+def test_dsv2_dropped_and_readded_all_columns_stays_null(spark, warehouse):
+    """Own old files whose EVERY recorded column was since dropped and
+    re-added: the former zero-id-overlap heuristic classified them as
+    foreign and resurrected the dropped columns' stale values by name;
+    provenance-by-location keeps strict id semantics (NULLs)."""
+    from icelake_spark import datasource
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(1, "old1"), (2, "old2")],
+                                "a long, b string")
+    t = warehouse.create_table("db.dropall", Schema.from_spark(src.schema))
+    t.append(src)  # this file records ONLY ids {1, 2}
+    t.add_column("keep", "long")
+    t.drop_column("a")
+    t.drop_column("b")
+    t.add_column("a", "long")
+    t.add_column("b", "string")
+    # current ids {3, 4, 5}: zero overlap with the file's — the old
+    # heuristic fell back to names here and resurrected old1/old2
+    rows = [tuple(r) for r in spark.read.format("icelake")
+            .option("path", t.path).load().collect()]
+    assert rows == [(None, None, None), (None, None, None)], rows

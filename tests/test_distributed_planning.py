@@ -169,3 +169,61 @@ def test_plan_files_df_many_manifests(spark, warehouse, tmp_path):
     assert got["sum(record_count)"] == 1800
     assert got["max(seq)"] == 600
     assert pdf.count() == 600
+
+
+def test_planner_scale_10k_files_end_to_end(spark, warehouse, tmp_path):
+    """Scale drill (pinned): a 10,000-file snapshot (100 synthetic
+    manifests x 100 files) plans end-to-end through plan_files_df →
+    split_tasks → DSv2 partitions with bounded wall time and no
+    driver-side DataFile materialization on the DataFrame path
+    (split_tasks streams via toLocalIterator)."""
+    import os
+    import time
+    from dataclasses import replace as dc_replace
+
+    from icelake_spark.datasource import IcelakeReader, _FileTask
+    from icelake_spark.table import DeleteFileTask, FileScanTask
+    from icelake_spark.types.manifest import (MANIFEST_CONTENT_DATA, DataFile,
+                                              ManifestEntry, write_manifest,
+                                              write_manifest_list)
+
+    src = spark.range(3).selectExpr("id")
+    t = warehouse.create_table("db.scale10k", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    snap = t.current_snapshot()
+    meta_dir = os.path.join(t.path, "metadata")
+    schema, spec = t.schema(), t.metadata.default_spec()
+    mles = []
+    for i in range(100):
+        entries = [ManifestEntry(1, DataFile(
+            file_path=os.path.join(t.path, "data", f"f-{i}-{j}.parquet"),
+            file_format="PARQUET", record_count=1, file_size_in_bytes=100))
+            for j in range(100)]
+        p = os.path.join(meta_dir, f"syn10k-{i}.avro")
+        mles.append(write_manifest(p, entries, spec, schema,
+                                   snap.snapshot_id, 2, MANIFEST_CONTENT_DATA,
+                                   sequence_number=i + 1))
+    ml = os.path.join(meta_dir, "syn10k-list.avro")
+    write_manifest_list(ml, mles, snap.snapshot_id, None, 100, 2)
+    # point the CURRENT snapshot at the synthetic list (metadata-only)
+    snaps = tuple(dc_replace(s, manifest_list=ml)
+                  if s.snapshot_id == snap.snapshot_id else s
+                  for s in t.metadata.snapshots)
+    t._commit_metadata(dc_replace(t.metadata, snapshots=snaps))
+
+    start = time.monotonic()
+    # DataFrame plan path: aggregate consumption, nothing collected
+    pdf = t.new_scan().plan_files_df(spark)
+    assert pdf.count() == 10_000
+    # split_tasks streams the same frame into tasks
+    data, pos, eq = planning.split_tasks(
+        t.new_scan().plan_files_df(spark), FileScanTask, DeleteFileTask)
+    assert len(data) == 10_000 and not pos and not eq
+    # DSv2 planning: one InputPartition per file
+    r = IcelakeReader({"path": t.path}, t.schema().to_spark())
+    parts = r.partitions()
+    assert len(parts) == 10_000
+    assert all(isinstance(p, _FileTask) for p in parts)
+    elapsed = time.monotonic() - start
+    assert elapsed < 60, f"10k-file planning took {elapsed:.1f}s"

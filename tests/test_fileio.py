@@ -506,3 +506,20 @@ def test_mock_scheme_dsv2_read_parquet_and_orc(spark, mock_io):
     assert q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 50
     cloudpickle.unregister_pickle_by_value(sys.modules[__name__])
+
+
+def test_arrow_io_key_authority_conventions():
+    """ArrowFileIO must hand authority-scoped filesystems (hdfs) PURE
+    paths while bucket stores (s3/gs) keep bucket/key — and rebuild
+    full URIs (authority included) from listings."""
+    from icelake_spark.fileio import ArrowFileIO
+
+    hdfs = ArrowFileIO("hdfs://host:8020/wh")
+    hdfs._fs, hdfs._pure_path = object(), True  # no live hdfs here
+    assert hdfs._key("hdfs://host:8020/wh/a.txt") == "/wh/a.txt"
+    assert hdfs._authority() == "hdfs://host:8020"
+
+    s3 = ArrowFileIO("s3://bucket/wh")
+    s3._fs, s3._pure_path = object(), False
+    assert s3._key("s3://bucket/wh/a.txt") == "bucket/wh/a.txt"
+    assert s3._authority() == "s3://"
