@@ -24,8 +24,18 @@ def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:
     fan-out is CONDITIONAL: if the input already has >= the target
     partition count, pass it through untouched (the small-input case
     the docstring above argues for simply never fires at scale).
+
+    The partition probe itself (`df.rdd.getNumPartitions()`) forces a
+    physical-plan translation per call — cheap interactively, wasteful
+    in a pipeline that calls fanout hundreds of times on inputs known
+    to be wide. Set `spark.icelake.fanout.enabled=false` to make every
+    fanout a static pass-through (no probe, no shuffle); default true
+    keeps the adaptive behavior.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    spark = df.sparkSession
+    if spark.conf.get("spark.icelake.fanout.enabled", "true") == "false":
+        return df
+    n = spark.sparkContext.defaultParallelism * factor
     try:
         if df.rdd.getNumPartitions() >= n:
             return df

@@ -519,3 +519,20 @@ def test_temperature_sample(spark):
                   temperature_sample(df, alpha=0.5,
                                      budget_frac=0.5).collect())
     assert ids1 == ids2
+
+
+def test_fanout_conf_static_passthrough(spark):
+    """spark.icelake.fanout.enabled=false makes fanout a static
+    pass-through: no partition probe, no reshuffle (the 100 TB
+    deployment hint — inputs already arrive wide)."""
+    from icelake_spark.ops.util import fanout
+
+    df = spark.range(100).repartition(2)
+    try:
+        spark.conf.set("spark.icelake.fanout.enabled", "false")
+        out = fanout(df)
+        assert out is df
+    finally:
+        spark.conf.unset("spark.icelake.fanout.enabled")
+    # default behavior still fans out a narrow input
+    assert fanout(df).rdd.getNumPartitions() > 2
