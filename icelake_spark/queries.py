@@ -3202,6 +3202,44 @@ FROM ins GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def iceberg_sql_call(spark, sf_dir):
+    """Maintenance procedures through the SQL face: CALL
+    system.rewrite_data_files + rewrite_manifests + an INSERT OVERWRITE
+    replacing part of the data — the statement surface the reference's
+    compaction harness drives through Spark
+    (insert_compact_test.rs:198-211). Values must survive compaction
+    bit-exactly."""
+    from .sql import execute
+    from .types import Schema
+
+    o = (load(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    cat = _tmp_catalog()
+    t = cat.create_table("q.msql", Schema.from_spark(o.schema))
+    for k in range(3):  # three commits -> several small files
+        t.append(o.where(F.col("o_orderkey") % 3 == k))
+        t = cat.load_table("q.msql")
+    execute(spark, "CALL system.rewrite_data_files('q.msql')", catalog=cat)
+    execute(spark, "CALL system.rewrite_manifests('q.msql')", catalog=cat)
+    o.where("o_orderkey % 1000 = 0").createOrReplaceTempView("msql_ow_src")
+    execute(spark, """
+        INSERT OVERWRITE q.msql
+        SELECT o_orderkey, 'OW', o_totalprice FROM msql_ow_src
+    """, catalog=cat)
+    t2 = cat.load_table("q.msql")
+    return (t2.to_df(spark).groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 dsum(F.col("o_totalprice"), "total_price"))
+            .orderBy("o_orderstatus"))
+
+
+ICEBERG_SQL_CALL_SQL = f"""
+SELECT 'OW' AS o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total_price')}
+FROM orders WHERE o_orderkey % 1000 = 0
+"""
+
+
 def iceberg_merge_cols(spark, sf_dir):
     """Column-level MERGE INTO (sql.py + delta._merge_column_level):
     `UPDATE SET col = expr` keeps unset columns at the target row's old
@@ -3332,17 +3370,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
     Round-5 rotation (VERDICT r4 #7): every query's green driver row
-    must stay <= 2 rounds old. The window holds (1) the two NEW
-    round-5 queries (column-level MERGE, SQL DDL lifecycle), then
+    must stay <= 2 rounds old. The window holds (1) the three NEW
+    round-5 queries (column-level MERGE, SQL DDL lifecycle, CALL
+    maintenance procedures), then
     (2) all 43 queries whose last driver row was r3 (the sketch/ANN
     family, avro/orc roundtrips, files_meta, the TPC-H tail), then
-    (3) four r4-green rows whose code round 5 changed most (the MERGE
+    (3) three r4-green rows whose code round 5 changed most (the MERGE
     lowering rework, changelog FileIO routing, the partition stream
     reader, resolve_path). Queries 51+ were all hash-green in r4."""
     return {
         # -- new in round 5 (never driver-checked before) ------------
         "iceberg_merge_cols": iceberg_merge_cols,
         "iceberg_sql_ddl": iceberg_sql_ddl,
+        "iceberg_sql_call": iceberg_sql_call,
         # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
@@ -3392,12 +3432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    datasource/planning) ------------------------------------
         "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_changelog": iceberg_changelog,
-        "streaming_ingest": streaming_ingest,
         "iceberg_partition_prune": iceberg_partition_prune,
         # ---- beyond the 50-row window: every query below was
         # hash-green in round 4 and stays green in the local
         # full-registry sweep ----------------------------------------
         "iceberg_merge": iceberg_merge,
+        "streaming_ingest": streaming_ingest,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "duplicate_spans": duplicate_spans_q,
         "span_contamination": span_contamination_q,
@@ -3510,6 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
         "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
+        "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),

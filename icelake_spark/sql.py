@@ -30,6 +30,7 @@ the unsupported clause instead of silently mis-executing.
 from __future__ import annotations
 
 import re
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -399,9 +400,139 @@ def execute(spark: SparkSession, statement: str, catalog=None,
         return _create_table(spark, s, catalog=catalog)
     if head == "INSERT":
         return _insert_into(spark, s, catalog=catalog)
+    if head == "CALL":
+        return _call_procedure(spark, s, catalog=catalog)
     raise ValueError(f"unsupported statement {head!r} "
                      "(MERGE INTO | UPDATE | DELETE FROM | ALTER TABLE | "
-                     "CREATE TABLE | INSERT INTO)")
+                     "CREATE TABLE | INSERT INTO | CALL system.<proc>)")
+
+
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?:[\w]+\.)?system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _parse_call_args(text: str) -> tuple[list, dict]:
+    """Positional and `name => value` arguments; values are quoted
+    strings, integers, or booleans."""
+    pos, named = [], {}
+    for part in _split_assignments(text):
+        m = re.match(r"^(?P<name>\w+)\s*=>\s*(?P<val>.+)$", part, re.DOTALL)
+        raw = (m.group("val") if m else part).strip()
+        if re.fullmatch(r"'[^']*'", raw):
+            val: Any = raw[1:-1]
+        elif re.fullmatch(r"-?\d+", raw):
+            val = int(raw)
+        elif raw.lower() in ("true", "false"):
+            val = raw.lower() == "true"
+        else:
+            raise ValueError(f"unsupported CALL argument {part!r}")
+        if m:
+            named[m.group("name").lower()] = val
+        elif named:
+            raise ValueError("positional CALL argument after named")
+        else:
+            pos.append(val)
+    return pos, named
+
+
+def _call_procedure(spark: SparkSession, statement: str, catalog=None):
+    """`CALL [cat.]system.<procedure>(...)` — the maintenance entry
+    points the reference's integration harness drives through Spark
+    (insert_compact_test.rs:198-211 calls system.rewrite_data_files).
+
+        CALL system.rewrite_data_files('db.t' [, target_file_size_bytes])
+        CALL system.expire_snapshots(table => 'db.t',
+                                     [older_than_ms => N,] [retain_last => N])
+        CALL system.rollback_to_snapshot('db.t', <snapshot_id>)
+        CALL system.remove_orphan_files('db.t' [, older_than_ms])
+        CALL system.rewrite_manifests('db.t')
+        CALL system.fast_forward('db.t', 'branch', 'to_ref')
+
+    Returns the procedure's result (count) or the table for
+    rollback/fast_forward.
+    """
+    m = _CALL_RE.match(statement)
+    if not m:
+        raise ValueError("unsupported CALL syntax; expected "
+                         "CALL system.<procedure>(args)")
+    proc = m.group("proc").lower()
+    pos, named = _parse_call_args(m.group("args"))
+    ident = named.pop("table", None)
+    if ident is None:
+        if not pos or not isinstance(pos[0], str):
+            raise ValueError("CALL needs the table as first argument "
+                             "or table => '...'")
+        ident, pos = pos[0], pos[1:]
+    table = _load_target(ident, catalog)
+
+    from . import maintenance
+
+    if proc == "rewrite_data_files":
+        kw = {}
+        size = named.pop("target_file_size_bytes", None)
+        if size is None and pos:
+            size, pos = pos[0], pos[1:]
+        if size is not None:
+            kw["target_file_size"] = int(size)
+        _reject_leftover(proc, pos, named)
+        return maintenance.rewrite_data_files(table, spark, **kw)
+    if proc == "expire_snapshots":
+        kw = {}
+        for name in ("older_than_ms", "retain_last"):
+            if named.get(name) is not None:
+                kw[name] = int(named.pop(name))
+        if pos:
+            kw.setdefault("older_than_ms", int(pos[0]))
+            pos = pos[1:]
+        if pos:
+            kw.setdefault("retain_last", int(pos[0]))
+            pos = pos[1:]
+        _reject_leftover(proc, pos, named)
+        return maintenance.expire_snapshots(table, **kw)
+    if proc == "rollback_to_snapshot":
+        sid = named.pop("snapshot_id", None)
+        if sid is None:
+            if not pos:
+                raise ValueError("rollback_to_snapshot needs snapshot_id")
+            sid, pos = pos[0], pos[1:]
+        _reject_leftover(proc, pos, named)
+        maintenance.rollback_to(table, int(sid))
+        return table
+    if proc == "remove_orphan_files":
+        kw = {}
+        older = named.pop("older_than_ms", None)
+        if older is None and pos:
+            older, pos = pos[0], pos[1:]
+        if older is not None:
+            kw["older_than_ms"] = int(older)
+        _reject_leftover(proc, pos, named)
+        return maintenance.remove_orphan_files(table, **kw)
+    if proc == "rewrite_manifests":
+        _reject_leftover(proc, pos, named)
+        return maintenance.rewrite_manifests(table)
+    if proc == "fast_forward":
+        branch = named.pop("branch", None)
+        to = named.pop("to", None)
+        if branch is None:
+            if not pos:
+                raise ValueError("fast_forward needs branch")
+            branch, pos = pos[0], pos[1:]
+        if to is None:
+            if not pos:
+                raise ValueError("fast_forward needs to")
+            to, pos = pos[0], pos[1:]
+        _reject_leftover(proc, pos, named)
+        table.fast_forward(branch, to)
+        return table
+    raise ValueError(f"unknown procedure system.{proc}")
+
+
+def _reject_leftover(proc: str, pos: list, named: dict) -> None:
+    if pos or named:
+        raise ValueError(
+            f"unsupported arguments for system.{proc}: "
+            f"{pos + sorted(named)}")
 
 
 def _balanced_close(text: str, i: int) -> int:
@@ -518,10 +649,12 @@ def _insert_into(spark: SparkSession, statement: str, catalog=None):
     """
     from pyspark.sql import functions as F
 
-    m = re.match(r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<target>[\w.$/-]+)\s*",
+    m = re.match(r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                 r"(?P<target>[\w.$/-]+)\s*",
                  statement, re.IGNORECASE)
     if not m:
         raise ValueError("unsupported INSERT syntax")
+    overwrite = m.group("mode").upper() == "OVERWRITE"
     ident, rest = m.group("target"), statement[m.end():].strip()
     cols = None
     if rest.startswith("("):
@@ -557,7 +690,19 @@ def _insert_into(spark: SparkSession, statement: str, catalog=None):
                 f"{len(spark_schema.fields)} (use an explicit column list)")
         proj = [F.col(c).cast(f.dataType).alias(f.name)
                 for c, f in zip(df.columns, spark_schema.fields)]
-    table.append(df.select(*proj))
+    out = df.select(*proj)
+    if overwrite:
+        # INSERT OVERWRITE: replace the table's content in ONE commit
+        # (remove every existing entry + add the new files atomically)
+        from .transaction import Transaction
+        from .write import write_data_files
+
+        tx = Transaction(table)
+        tx.remove_all_existing()
+        tx.add_data_files(write_data_files(table, out))
+        tx.commit("overwrite")
+        return table
+    table.append(out)
     return table
 
 

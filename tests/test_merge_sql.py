@@ -476,3 +476,74 @@ def test_sql_create_table_and_insert(warehouse, spark):
                 catalog=warehouse)
     with pytest.raises(ValueError, match="requires a catalog"):
         execute(spark, "CREATE TABLE t (id bigint) USING iceberg")
+
+
+def test_sql_call_procedures(warehouse, spark):
+    """CALL system.<proc> — the maintenance statements the reference's
+    harness drives through Spark (insert_compact_test.rs:198-211)."""
+    from icelake_spark.sql import execute
+
+    df = spark.range(200).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("s1.callp", Schema.from_spark(df.schema))
+    for lo in range(0, 200, 50):
+        t.append(df.where(f"id >= {lo} and id < {lo + 50}"))
+        t = t.refresh()
+    n_snaps = len(t.metadata.snapshots)
+    assert n_snaps == 4
+    first = t.metadata.snapshots[0].snapshot_id
+
+    # compaction: one replace snapshot, table still reads whole
+    n = execute(spark, "CALL system.rewrite_data_files('s1.callp')",
+                catalog=warehouse)
+    assert isinstance(n, int) and n >= 1
+    t = warehouse.load_table("s1.callp")
+    assert t.current_snapshot().summary["operation"] == "replace"
+    assert t.to_df(spark).count() == 200
+
+    # rollback via CALL (named arg spelling)
+    execute(spark, f"CALL system.rollback_to_snapshot("
+                   f"table => 's1.callp', snapshot_id => {first})",
+            catalog=warehouse)
+    t = warehouse.load_table("s1.callp")
+    assert t.current_snapshot().snapshot_id == first
+    assert t.to_df(spark).count() == 50
+
+    # rewrite_manifests + expire + orphan cleanup run through CALL
+    execute(spark, "CALL system.rewrite_manifests('s1.callp')",
+            catalog=warehouse)
+    expired = execute(spark, "CALL system.expire_snapshots("
+                             "table => 's1.callp', older_than_ms => "
+                             f"{10**18}, retain_last => 1)",
+                      catalog=warehouse)
+    assert expired >= 1
+    # expire already deleted unreachable files; orphan scan still runs
+    removed = execute(spark, "CALL system.remove_orphan_files("
+                             f"'s1.callp', {10**18})", catalog=warehouse)
+    assert isinstance(removed, int) and removed >= 0
+    t = warehouse.load_table("s1.callp")
+    assert t.to_df(spark).count() == 50
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        execute(spark, "CALL system.bogus('s1.callp')", catalog=warehouse)
+    with pytest.raises(ValueError, match="unsupported arguments"):
+        execute(spark, "CALL system.rewrite_manifests('s1.callp', 3)",
+                catalog=warehouse)
+
+
+def test_sql_insert_overwrite(warehouse, spark):
+    """INSERT OVERWRITE replaces the table's content in one commit."""
+    from icelake_spark.sql import execute
+
+    df = spark.range(20).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("s1.iow", Schema.from_spark(df.schema))
+    t.append(df)
+    execute(spark, "INSERT OVERWRITE s1.iow "
+                   "SELECT id + 100, concat('n', id) FROM range(5)",
+            catalog=warehouse)
+    t2 = warehouse.load_table("s1.iow")
+    rows = sorted((r.id, r.s) for r in t2.to_df(spark).collect())
+    assert rows == [(100 + i, f"n{i}") for i in range(5)]
+    assert t2.current_snapshot().summary["operation"] == "overwrite"
+    # one commit for the whole overwrite; history intact for time travel
+    prev = t2.metadata.snapshots[-2]
+    assert t2.to_df(spark, snapshot_id=prev.snapshot_id).count() == 20
