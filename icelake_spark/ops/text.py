@@ -421,3 +421,82 @@ def char_entropy_sql(col: str = "text") -> str:
             f"CAST(ROUND(-{p} * log2({p}), 8) AS DECIMAL(12,8)) "
             f"ELSE CAST(0 AS DECIMAL(12,8)) END)")
     return (f"CAST(ROUND(({' + '.join(terms)}), 6) AS DOUBLE)")
+
+
+def trigram_familiarity(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_trigrams, familiarity_sum, familiarity): per-document
+    character-trigram familiarity against the corpus — the model-free
+    CCNet-style quality signal (a char-LM's log-likelihood is a
+    monotone transform of this): gibberish, binary noise, and
+    wrong-language text use rare trigrams and score low.
+
+    100 TB shape: the corpus trigram table is BOUNDED by the charset
+    (~|alphabet|³ after normalization), so the counts collapse to one
+    broadcast map row (the encode_documents pattern) and every document
+    scores in place with a single F.aggregate pass — no per-doc
+    shuffle, no join of exploded trigram rows back to the corpus. The
+    score is exact-integer (sum of corpus counts of the doc's
+    trigrams), so the DuckDB twin matches bit-for-bit;
+    `familiarity_micro` is the mean in exact integer micro-units
+    (floor((sum*1e6)/n) — engine-independent, unlike decimal division
+    rounding).
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    tris = F.when(
+        F.length("__norm") >= 3,
+        F.expr("transform(sequence(1, length(__norm) - 2), "
+               "i -> substring(__norm, i, 3))")
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col), norm.alias("__norm")) \
+        .select(F.col(id_col), tris.alias("__t"))
+    counts = (base.select(F.explode("__t").alias("g"))
+              .groupBy("g").agg(F.count("*").alias("c")))
+    cmap = counts.agg(F.map_from_entries(
+        F.collect_list(F.struct("g", "c"))).alias("__cmap"))
+    # one projection of the aggregate (higher-order fns are
+    # CodegenFallback: repeating the expression evaluates it twice)
+    fam = F.aggregate(
+        "__t", F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.element_at("__cmap", t),
+                                        F.lit(0).cast("long")))
+    return (base.crossJoin(F.broadcast(cmap))
+            .select(F.col(id_col),
+                    F.size("__t").cast("long").alias("n_trigrams"),
+                    fam.alias("familiarity_sum"))
+            .withColumn(
+                "familiarity_micro",
+                F.when(F.col("n_trigrams") > 0,
+                       F.expr("(familiarity_sum * 1000000L) DIV n_trigrams"))
+                .otherwise(F.lit(None).cast("long")))
+            .orderBy(id_col))
+
+
+def trigram_familiarity_sql(col: str = "text") -> str:
+    """DuckDB twin: identical normalization, counts, and exact-integer
+    scoring including the micro-unit floor mean."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower({col})), '\\s+', ' ', 'g') AS t
+  FROM documents),
+tris AS (
+  SELECT doc_id, substr(t, i, 3) AS g
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+  WHERE len(t) >= 3),
+counts AS (SELECT g, COUNT(*) AS c FROM tris GROUP BY g),
+scored AS (
+  SELECT tris.doc_id, COUNT(*) AS n_trigrams,
+         CAST(SUM(counts.c) AS BIGINT) AS familiarity_sum
+  FROM tris JOIN counts USING (g) GROUP BY tris.doc_id)
+SELECT norm.doc_id,
+       COALESCE(scored.n_trigrams, 0) AS n_trigrams,
+       COALESCE(scored.familiarity_sum, 0) AS familiarity_sum,
+       CASE WHEN scored.n_trigrams > 0
+            THEN CAST((scored.familiarity_sum * 1000000) // scored.n_trigrams
+                      AS BIGINT)
+            ELSE NULL END AS familiarity_micro
+FROM norm LEFT JOIN scored USING (doc_id)
+ORDER BY doc_id
+"""

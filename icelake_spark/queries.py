@@ -3202,6 +3202,16 @@ FROM ins GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def trigram_familiarity_q(spark, sf_dir):
+    """Char-trigram familiarity quality scoring over the documents
+    corpus (ops/text.py:trigram_familiarity): the model-free CCNet-
+    style gate — gibberish and wrong-charset text score low."""
+    from .ops.text import trigram_familiarity
+
+    docs = load(spark, sf_dir, "documents")
+    return trigram_familiarity(docs)
+
+
 def iceberg_sql_call(spark, sf_dir):
     """Maintenance procedures through the SQL face: CALL
     system.rewrite_data_files + rewrite_manifests + an INSERT OVERWRITE
@@ -3370,12 +3380,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
     Round-5 rotation (VERDICT r4 #7): every query's green driver row
-    must stay <= 2 rounds old. The window holds (1) the three NEW
+    must stay <= 2 rounds old. The window holds (1) the four NEW
     round-5 queries (column-level MERGE, SQL DDL lifecycle, CALL
-    maintenance procedures), then
+    maintenance procedures, trigram familiarity), then
     (2) all 43 queries whose last driver row was r3 (the sketch/ANN
     family, avro/orc roundtrips, files_meta, the TPC-H tail), then
-    (3) three r4-green rows whose code round 5 changed most (the MERGE
+    (3) two r4-green rows whose code round 5 changed most (the MERGE
     lowering rework, changelog FileIO routing, the partition stream
     reader, resolve_path). Queries 51+ were all hash-green in r4."""
     return {
@@ -3383,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_cols": iceberg_merge_cols,
         "iceberg_sql_ddl": iceberg_sql_ddl,
         "iceberg_sql_call": iceberg_sql_call,
+        "trigram_familiarity": trigram_familiarity_q,
         # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
@@ -3430,13 +3441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features_q,
         # -- r4-green, code changed by round 5 (MERGE/changelog/
         #    datasource/planning) ------------------------------------
-        "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_changelog": iceberg_changelog,
         "iceberg_partition_prune": iceberg_partition_prune,
         # ---- beyond the 50-row window: every query below was
         # hash-green in round 4 and stays green in the local
         # full-registry sweep ----------------------------------------
         "iceberg_merge": iceberg_merge,
+        "iceberg_merge_multi": iceberg_merge_multi,
         "streaming_ingest": streaming_ingest,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "duplicate_spans": duplicate_spans_q,
@@ -3551,6 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
         "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
         "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,
+        "trigram_familiarity": _text.trigram_familiarity_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),

@@ -723,6 +723,12 @@ _SET_PROPS_RE = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)$",
     re.IGNORECASE | re.DOTALL)
 _PROP_PAIR_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+# Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]
+_BRANCH_RE = re.compile(
+    r"^CREATE\s+(?P<kind>BRANCH|TAG)\s+(?P<name>\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<sid>\d+))?$", re.IGNORECASE)
+_DROP_REF_RE = re.compile(
+    r"^DROP\s+(?:BRANCH|TAG)\s+(?P<name>\w+)$", re.IGNORECASE)
 
 # SQL DDL type spelling → the Iceberg type-JSON strings add_column takes
 _SQL_TYPE_MAP = {
@@ -790,5 +796,19 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
         if not pairs:
             raise ValueError("SET TBLPROPERTIES needs 'k' = 'v' pairs")
         table.set_properties(pairs)
+        return table
+    bm = _BRANCH_RE.match(rest)
+    if bm:
+        kind = bm.group("kind").lower()
+        sid = bm.group("sid")
+        sid = int(sid) if sid is not None else None
+        if kind == "branch":
+            table.create_branch(bm.group("name"), snapshot_id=sid)
+        else:
+            table.create_tag(bm.group("name"), snapshot_id=sid)
+        return table
+    dm2 = _DROP_REF_RE.match(rest)
+    if dm2:
+        table.drop_ref(dm2.group("name"))
         return table
     raise ValueError(f"unsupported ALTER TABLE clause: {rest[:60]!r}")

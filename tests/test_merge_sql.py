@@ -547,3 +547,31 @@ def test_sql_insert_overwrite(warehouse, spark):
     # one commit for the whole overwrite; history intact for time travel
     prev = t2.metadata.snapshots[-2]
     assert t2.to_df(spark, snapshot_id=prev.snapshot_id).count() == 20
+
+
+def test_sql_branch_tag_ddl(warehouse, spark):
+    """ALTER TABLE ... CREATE BRANCH/TAG [AS OF VERSION n] and DROP
+    BRANCH/TAG over the refs API; branch reads resolve via ref=."""
+    from icelake_spark.sql import execute
+
+    df = spark.range(10).selectExpr("id")
+    t = warehouse.create_table("s1.refs", Schema.from_spark(df.schema))
+    t.append(df)
+    t = t.refresh()
+    first = t.current_snapshot().snapshot_id
+    t.append(spark.range(10, 15).selectExpr("id"))
+
+    execute(spark, f"ALTER TABLE s1.refs CREATE TAG v1 AS OF VERSION {first}",
+            catalog=warehouse)
+    execute(spark, "ALTER TABLE s1.refs CREATE BRANCH dev",
+            catalog=warehouse)
+    t2 = warehouse.load_table("s1.refs")
+    assert t2.metadata.refs["v1"].snapshot_id == first
+    assert t2.to_df(spark, ref="v1").count() == 10
+    assert t2.to_df(spark, ref="dev").count() == 15
+
+    execute(spark, "ALTER TABLE s1.refs DROP TAG v1", catalog=warehouse)
+    assert "v1" not in warehouse.load_table("s1.refs").metadata.refs
+    with pytest.raises(ValueError, match="main"):
+        execute(spark, "ALTER TABLE s1.refs DROP BRANCH main",
+                catalog=warehouse)
