@@ -3202,6 +3202,43 @@ FROM ins GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def iceberg_incremental_read(spark, sf_dir):
+    """Incremental append scan (table.incremental — Iceberg's
+    start/end-snapshot-id read): three append commits with an MoR
+    delete in between; the (snap1, snap3] window returns exactly the
+    rows ADDED by appends 2 and 3 — the delete snapshot contributes
+    nothing (append-only contract; CDC is changes())."""
+    from .types import Schema
+
+    o = (load(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    cat = _tmp_catalog()
+    t = cat.create_table("q.incr", Schema.from_spark(o.schema))
+    t.append(o.where(F.col("o_orderkey") % 3 == 0))
+    t = cat.load_table("q.incr")
+    first = t.current_snapshot().snapshot_id
+    t.delete_where(spark, "o_orderkey % 9 = 0")
+    t = cat.load_table("q.incr")
+    t.append(o.where(F.col("o_orderkey") % 3 == 1))
+    t = cat.load_table("q.incr")
+    t.append(o.where(F.col("o_orderkey") % 3 == 2))
+    t = cat.load_table("q.incr")
+    last = t.current_snapshot().snapshot_id
+    inc = t.incremental(spark, from_snapshot_id=first, to_snapshot_id=last)
+    return (inc.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 dsum(F.col("o_totalprice"), "total_price"))
+            .orderBy("o_orderstatus"))
+
+
+ICEBERG_INCREMENTAL_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total_price')}
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def trigram_familiarity_q(spark, sf_dir):
     """Char-trigram familiarity quality scoring over the documents
     corpus (ops/text.py:trigram_familiarity): the model-free CCNet-
@@ -3380,12 +3417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
     Round-5 rotation (VERDICT r4 #7): every query's green driver row
-    must stay <= 2 rounds old. The window holds (1) the four NEW
+    must stay <= 2 rounds old. The window holds (1) the five NEW
     round-5 queries (column-level MERGE, SQL DDL lifecycle, CALL
-    maintenance procedures, trigram familiarity), then
+    maintenance procedures, trigram familiarity, incremental read), then
     (2) all 43 queries whose last driver row was r3 (the sketch/ANN
     family, avro/orc roundtrips, files_meta, the TPC-H tail), then
-    (3) two r4-green rows whose code round 5 changed most (the MERGE
+    (3) one r4-green row whose code round 5 changed most (the MERGE
     lowering rework, changelog FileIO routing, the partition stream
     reader, resolve_path). Queries 51+ were all hash-green in r4."""
     return {
@@ -3394,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_sql_ddl": iceberg_sql_ddl,
         "iceberg_sql_call": iceberg_sql_call,
         "trigram_familiarity": trigram_familiarity_q,
+        "iceberg_incremental_read": iceberg_incremental_read,
         # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
@@ -3442,12 +3480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4-green, code changed by round 5 (MERGE/changelog/
         #    datasource/planning) ------------------------------------
         "iceberg_changelog": iceberg_changelog,
-        "iceberg_partition_prune": iceberg_partition_prune,
         # ---- beyond the 50-row window: every query below was
         # hash-green in round 4 and stays green in the local
         # full-registry sweep ----------------------------------------
         "iceberg_merge": iceberg_merge,
         "iceberg_merge_multi": iceberg_merge_multi,
+        "iceberg_partition_prune": iceberg_partition_prune,
         "streaming_ingest": streaming_ingest,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "duplicate_spans": duplicate_spans_q,
@@ -3563,6 +3601,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
         "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,
         "trigram_familiarity": _text.trigram_familiarity_sql(),
+        "iceberg_incremental_read": ICEBERG_INCREMENTAL_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),

@@ -402,9 +402,63 @@ def execute(spark: SparkSession, statement: str, catalog=None,
         return _insert_into(spark, s, catalog=catalog)
     if head == "CALL":
         return _call_procedure(spark, s, catalog=catalog)
+    if head in ("SHOW", "DESCRIBE", "DESC"):
+        return _show_describe(spark, s, catalog=catalog)
     raise ValueError(f"unsupported statement {head!r} "
                      "(MERGE INTO | UPDATE | DELETE FROM | ALTER TABLE | "
-                     "CREATE TABLE | INSERT INTO | CALL system.<proc>)")
+                     "CREATE TABLE | INSERT INTO | CALL system.<proc> | "
+                     "SHOW | DESCRIBE)")
+
+
+def _show_describe(spark: SparkSession, statement: str, catalog=None):
+    """Metadata statements, returned as DataFrames:
+
+        SHOW TABLES                      (namespace, tableName)
+        SHOW TBLPROPERTIES <t>           (key, value)
+        DESCRIBE [TABLE] [EXTENDED] <t>  (col_name, data_type, comment)
+                                         + partition spec + snapshot row
+    """
+    s = statement.strip()
+    m = re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE)
+    if m:
+        if catalog is None:
+            raise ValueError("SHOW TABLES requires a catalog")
+        rows = []
+        for ident in catalog.list_tables():
+            ns, _, name = ident.rpartition(".")
+            rows.append((ns, name))
+        return spark.createDataFrame(
+            rows, "namespace string, tableName string")
+    m = re.match(r"^SHOW\s+TBLPROPERTIES\s+(?P<t>[\w.$/-]+)\s*$", s,
+                 re.IGNORECASE)
+    if m:
+        table = _load_target(m.group("t"), catalog)
+        props = sorted(table.metadata.properties.items())
+        return spark.createDataFrame(props, "key string, value string")
+    m = re.match(r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?"
+                 r"(?P<ext>EXTENDED\s+)?(?P<t>[\w.$/-]+)\s*$", s,
+                 re.IGNORECASE)
+    if m:
+        table = _load_target(m.group("t"), catalog)
+        spark_schema = table.schema().to_spark()
+        rows = [(f.name, f.dataType.simpleString(), "")
+                for f in spark_schema.fields]
+        spec = table.metadata.default_spec()
+        if spec.fields:
+            rows.append(("# Partition Information", "", ""))
+            for pf in spec.fields:
+                rows.append((pf.name, pf.transform, ""))
+        if m.group("ext"):
+            rows.append(("# Detailed Table Information", "", ""))
+            rows.append(("Location", table.path, ""))
+            rows.append(("Format-version",
+                         str(table.metadata.format_version), ""))
+            snap = table.current_snapshot()
+            rows.append(("Current-snapshot-id",
+                         str(snap.snapshot_id) if snap else "none", ""))
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string")
+    raise ValueError(f"unsupported statement: {s[:60]!r}")
 
 
 _CALL_RE = re.compile(

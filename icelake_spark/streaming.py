@@ -161,12 +161,14 @@ def stateful_dedup(stream_df: DataFrame, key_cols: list[str],
 
 
 def stream_from_table(spark, table,
-                      snapshot_id: int | None = None) -> DataFrame:
-    """Incremental read helper: a batch DataFrame of rows added AFTER the
-    given snapshot (append-only tables) — the building block for
-    table-to-table streaming pipelines until a DSv2 streaming source is
-    warranted. (For a continuous source use
-    spark.readStream.format("icelake") — datasource.py.)"""
+                      snapshot_id: int | None = None,
+                      to_snapshot_id: int | None = None) -> DataFrame:
+    """Incremental read helper: a batch DataFrame of rows added AFTER
+    `snapshot_id` (and, when given, up to `to_snapshot_id` inclusive) —
+    Iceberg's incremental append scan (the Spark connector's
+    start-snapshot-id / end-snapshot-id read options), and the building
+    block for table-to-table batch pipelines. (For a continuous source
+    use spark.readStream.format("icelake") — datasource.py.)"""
     from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
 
     snap = table.current_snapshot()
@@ -176,7 +178,8 @@ def stream_from_table(spark, table,
     # sequence range: every v1 snapshot carries sequence 0 (a seq
     # window would return empty forever — the same trap changelog.py
     # documents), and ancestry also excludes WAP-staged snapshots
-    main_ids = table.metadata.ancestry_ids()
+    main_ids = table.metadata.ancestry_ids(to_snapshot_id) \
+        if to_snapshot_id is not None else table.metadata.ancestry_ids()
     base_ids = (table.metadata.ancestry_ids(snapshot_id)
                 if snapshot_id is not None else set())
     new_files: list[str] = []

@@ -580,6 +580,20 @@ class IcebergTable:
 
         return _changes(self, spark, from_snapshot_id, to_snapshot_id)
 
+    def incremental(self, spark: SparkSession,
+                    from_snapshot_id: int | None = None,
+                    to_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental APPEND scan: rows added by append snapshots in
+        (from, to] on the main ancestry — Iceberg's incremental read
+        (the Spark connector's start-snapshot-id / end-snapshot-id).
+        Non-append snapshots (overwrite/replace) are skipped, matching
+        the append-only incremental-read contract; use changes() for
+        row-level CDC including deletes."""
+        from .streaming import stream_from_table
+
+        return stream_from_table(spark, self, snapshot_id=from_snapshot_id,
+                                 to_snapshot_id=to_snapshot_id)
+
     def merge_delta(self, df: DataFrame, op_col: str = "_op", **kwargs) -> None:
         from .delta import merge_delta as _md
 

@@ -575,3 +575,30 @@ def test_sql_branch_tag_ddl(warehouse, spark):
     with pytest.raises(ValueError, match="main"):
         execute(spark, "ALTER TABLE s1.refs DROP BRANCH main",
                 catalog=warehouse)
+
+
+def test_sql_show_describe(warehouse, spark):
+    from icelake_spark.sql import execute
+
+    execute(spark, """
+        CREATE TABLE s1.meta (id bigint, d date) USING iceberg
+        PARTITIONED BY (month(d)) TBLPROPERTIES ('owner' = 'me')
+    """, catalog=warehouse)
+    tables = {(r.namespace, r.tableName)
+              for r in execute(spark, "SHOW TABLES",
+                               catalog=warehouse).collect()}
+    assert ("s1", "meta") in tables
+
+    props = {r.key: r.value
+             for r in execute(spark, "SHOW TBLPROPERTIES s1.meta",
+                              catalog=warehouse).collect()}
+    assert props["owner"] == "me"
+
+    desc = execute(spark, "DESCRIBE s1.meta", catalog=warehouse).collect()
+    by_name = {r.col_name: r.data_type for r in desc}
+    assert by_name["id"] == "bigint" and by_name["d"] == "date"
+    assert by_name["d_month"] == "month"  # partition section
+
+    ext = execute(spark, "DESC EXTENDED s1.meta", catalog=warehouse).collect()
+    names = [r.col_name for r in ext]
+    assert "Location" in names and "Format-version" in names
