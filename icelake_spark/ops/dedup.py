@@ -592,3 +592,31 @@ def dedup_against(df: DataFrame, reference: DataFrame,
     return (df.withColumn("__h", content_md5(F.col(text_col)))
             .join(ref_h, on="__h", how="left_anti")
             .drop("__h"))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score,
+                    id_col: str = "doc_id") -> DataFrame:
+    """One survivor per near-duplicate cluster — the RETENTION-POLICY
+    half of fuzzy dedup: dedup_clusters decides WHAT is duplicated,
+    this decides WHICH copy survives (highest `score` Column; ties
+    break to the lowest id — deterministic across engines). Keeping
+    min-id unconditionally (the dedup_clusters recipe) discards the
+    best-written copy whenever a lower id happens to be the worse one;
+    a training corpus wants the highest-quality representative.
+
+    100 TB shape: clusters come from pointer-jumping connected
+    components over the PAIR edges only (bounded by the candidate
+    pairs, never all-docs); the survivor choice is one
+    groupBy(cluster).agg(max_by) over (id, score) pairs — the struct-
+    ordered max_by replaces a corpus-wide row_number window, so only
+    (cluster_id, id, score) triples shuffle and text bytes never move.
+    The final semi-join recovers full rows from the source.
+    """
+    clustered = dedup_clusters(df, pairs, id_col=id_col)
+    scored = (df.select(F.col(id_col), score.alias("__score"))
+              .join(clustered, on=id_col))
+    winners = scored.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col),
+                 F.struct(F.col("__score"),
+                          (-F.col(id_col)).alias("__negid"))).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")

