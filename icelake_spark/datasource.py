@@ -179,20 +179,34 @@ def _read_avro_arrow(spark_schema, file_path: str):
         {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
 
 
-def _arrow_src(path: str, table_scheme: str = "", io=None):
+def _store_of(path: str) -> str:
+    """scheme://authority — the store identity a FileIO instance is
+    scoped to (matches resolve_io's cache key and resolve_path's
+    _store): two hdfs:// clusters or two buckets are DIFFERENT stores
+    even though they share a scheme."""
+    from .fileio import path_scheme
+
+    sch = path_scheme(path)
+    if not sch:
+        return ""
+    rest = path[len(sch) + 3:]
+    return f"{sch}://{rest.split('/', 1)[0]}"
+
+
+def _arrow_src(path: str, table_store: str = "", io=None):
     """A pyarrow-readable source for a recorded file path: local paths
     pass through (pyarrow's native I/O); URI schemes open through
     FileIO — the SHIPPED `io` instance when the path lives on the
-    table's scheme (register_io customs resolve only in the planning
-    process, so the pickled FileIO travels with the reader), else a
-    fresh resolve (pyarrow-native schemes like s3:// reconnect in any
-    process). This keeps the DSv2 executors FileIO-consistent: an ORC
-    or delete file on a URI scheme reads the same way metadata does."""
-    from .fileio import is_uri, path_scheme, resolve_io
+    table's STORE (scheme+authority; register_io customs resolve only
+    in the planning process, so the pickled FileIO travels with the
+    reader), else a fresh resolve (pyarrow-native schemes like s3://
+    reconnect in any process — e.g. a same-scheme add_files import on
+    another bucket/cluster must NOT ride the table's connection)."""
+    from .fileio import is_uri, resolve_io
 
     if not is_uri(path):
         return path
-    if io is not None and path_scheme(path) == table_scheme:
+    if io is not None and _store_of(path) == table_store:
         return io.open_input(path)
     return resolve_io(path).open_input(path)
 
@@ -336,14 +350,14 @@ class IcelakeReader(DataSourceReader):
         self.ice_fields = {f.name: f.field_type for f in schema.fields}
         # FileIO shipped to executors for URI-scheme data/delete reads
         # (resolved HERE so register_io customs travel via pickle)
-        from .fileio import is_uri, path_scheme, resolve_io
+        from .fileio import is_uri, resolve_io
 
-        self.table_scheme = path_scheme(options["path"])
+        self.table_store = _store_of(options["path"])
         self.io = resolve_io(options["path"]) if is_uri(options["path"]) \
             else None
 
     def _src(self, path: str):
-        return _arrow_src(path, self.table_scheme, self.io)
+        return _arrow_src(path, self.table_store, self.io)
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Accept simple comparisons for zone-map file pruning; everything
@@ -567,6 +581,7 @@ def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
     pos_acc: list[str] = []
     eq_acc: list[tuple[str, int]] = []
     alive: dict[str, tuple[str, int]] = {}  # canon → (path, seq)
+    first_walked = True
     for snap in sorted(table.metadata.snapshots,
                        key=lambda x: x.sequence_number):
         if snap.snapshot_id not in main_ids:
@@ -582,22 +597,34 @@ def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
         added_data, added_pos, added_eq = [], [], []
         alive_updates: list[tuple[str, str, int, int]] = []
         for mle in read_manifest_list(table._resolve(snap.manifest_list)):
-            if mle.added_snapshot_id != snap.snapshot_id:
+            foreign = mle.added_snapshot_id != snap.snapshot_id
+            if foreign and not first_walked:
                 continue  # carried forward unchanged: no alive change
+            # the FIRST retained snapshot seeds `alive` from its FULL
+            # manifest list: files added by since-EXPIRED snapshots
+            # survive only via carried-forward manifests whose
+            # added_snapshot_id is no longer in metadata.snapshots —
+            # skipping them would drop their rows' delete events
             _, entries = read_manifest(table._resolve(mle.manifest_path))
             for e in entries:
                 seq = (e.sequence_number if e.sequence_number is not None
                        else mle.sequence_number)
                 p = table._resolve(e.data_file.file_path)
                 if e.data_file.content == 0:
+                    if foreign:
+                        if e.is_alive:
+                            # predates this snapshot: alive BEFORE it
+                            alive[_norm(p)] = (p, seq)
+                        continue
                     alive_updates.append((e.status, p, seq, 0))
                     if e.status == STATUS_ADDED:
                         added_data.append((p, seq))
-                elif e.status == STATUS_ADDED:
+                elif not foreign and e.status == STATUS_ADDED:
                     if e.data_file.content == 1:
                         added_pos.append((p, seq))
                     else:
                         added_eq.append((p, seq))
+        first_walked = False
         if in_range and decodable:
             out.append(_ChangeSnapshotTask(
                 snap.snapshot_id,
@@ -622,7 +649,7 @@ def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
 
 
 def _make_file_rows(names: list[str], rmap: dict,
-                    table_scheme: str = "", io=None):
+                    table_store: str = "", io=None):
     """Rename-aware cached row reader shared by the changelog decoders:
     file_rows(path) → list of row tuples in `names` order (a requested
     column absent from the file pads None, or reads via its former
@@ -635,7 +662,7 @@ def _make_file_rows(names: list[str], rmap: dict,
         rows = cache.get(path)
         if rows is None:
             in_file = set(pq.read_schema(
-                _arrow_src(path, table_scheme, io)).names)
+                _arrow_src(path, table_store, io)).names)
             src_of = {}
             for n in names:
                 if n in in_file:
@@ -644,7 +671,7 @@ def _make_file_rows(names: list[str], rmap: dict,
                     src_of[n] = next(
                         (o for o in rmap.get(n, ()) if o in in_file), None)
             read_cols = sorted({c for c in src_of.values() if c})
-            t = pq.read_table(_arrow_src(path, table_scheme, io),
+            t = pq.read_table(_arrow_src(path, table_store, io),
                               columns=read_cols)
             cols = {n: (t[src_of[n]].to_pylist() if src_of[n]
                         else [None] * t.num_rows) for n in names}
@@ -658,7 +685,7 @@ def _make_file_rows(names: list[str], rmap: dict,
 
 def _changelog_snapshot_rows(names: list[str], rmap: dict,
                              task: "_ChangeSnapshotTask",
-                             table_scheme: str = "", io=None) -> list[tuple]:
+                             table_store: str = "", io=None) -> list[tuple]:
     """CDC events of ONE snapshot (executor side of the changelog
     stream). The entire plan arrives in the task payload (driver-
     planned, linear manifest I/O): own added-file lists, prior delete
@@ -668,10 +695,10 @@ def _changelog_snapshot_rows(names: list[str], rmap: dict,
     _changelog_rows' accumulated walk, with ZERO manifest I/O here."""
     import pyarrow.parquet as pq
 
-    file_rows = _make_file_rows(names, rmap, table_scheme, io)
+    file_rows = _make_file_rows(names, rmap, table_store, io)
 
     def _src(p):
-        return _arrow_src(p, table_scheme, io)
+        return _arrow_src(p, table_store, io)
 
     added_data = list(task.added_data)
     added_pos = list(task.added_pos)
@@ -804,13 +831,13 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         # member renamed in an externally-written file must bind by its
         # nested field id in the STREAM too)
         self.ice_fields = {f.name: f.field_type for f in t.schema().fields}
-        from .fileio import is_uri, path_scheme, resolve_io
+        from .fileio import is_uri, resolve_io
 
-        self.table_scheme = path_scheme(self.path)
+        self.table_store = _store_of(self.path)
         self.io = resolve_io(self.path) if is_uri(self.path) else None
 
     def _src(self, path: str):
-        return _arrow_src(path, self.table_scheme, self.io)
+        return _arrow_src(path, self.table_store, self.io)
 
     def _table(self):
         from .table import IcebergTable
@@ -849,7 +876,7 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
                      if f.name != "_change_type"]
             yield from _changelog_snapshot_rows(names, self.rename_map,
                                                 partition,
-                                                self.table_scheme, self.io)
+                                                self.table_store, self.io)
             return
         if partition.file_format == "ORC":
             from pyarrow import orc as pa_orc
@@ -1032,42 +1059,18 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                     dead.add((_norm(src), pos))
         return dead
 
-    # full-file column cache: the eq-delete branch walks every
-    # parent-era file once PER delete file — without the cache that
-    # is O(delete_files x data_files) full parquet reads per batch
-    _cols_cache: dict[str, dict[str, list]] = {}
+    # rename-aware cached reader shared with the partition-stream
+    # decoder (the cache matters: the eq-delete branch walks every
+    # parent-era file once PER delete file)
+    _reader = _make_file_rows(names, rmap)
 
     def file_rows(path, positions=None, skip: set | None = None):
-        # read only the requested columns PRESENT in the file: a file
-        # written before an add_column lacks the new column, which
-        # pads as None (the sibling _rows path does the same)
-        cols = _cols_cache.get(path)
-        if cols is None:
-            in_file = set(pq.read_schema(path).names)
-            # rename-aware: a requested name missing from the file
-            # may be present under its former name
-            src_of = {}
-            for n in names:
-                if n in in_file:
-                    src_of[n] = n
-                else:
-                    src_of[n] = next(
-                        (o for o in rmap.get(n, ()) if o in in_file),
-                        None)
-            read_cols = sorted({s for s in src_of.values() if s})
-            t = pq.read_table(path, columns=read_cols)
-            cols = {n: (t[src_of[n]].to_pylist() if src_of[n]
-                        else [None] * t.num_rows) for n in names}
-            _cols_cache[path] = cols
+        all_rows = _reader(path)
         key = _norm(path)
-        nrows = len(next(iter(cols.values()))) if cols else 0
-        idx = (range(nrows) if positions is None else positions)
-        out = []
-        for i in idx:
-            if skip and (key, i) in skip:
-                continue
-            out.append(tuple(cols[n][i] for n in names))
-        return out
+        idx = (range(len(all_rows)) if positions is None else positions)
+        return [all_rows[i] for i in idx
+                if i < len(all_rows)
+                and not (skip and (key, i) in skip)]
 
     rows: list[tuple] = []
     snaps = sorted(table.metadata.snapshots,
@@ -1092,7 +1095,6 @@ def _changelog_rows(table, names: list[str], rmap: dict,
             # running dead-set for later snapshots in the range
             dead_acc |= snap_pos_deletes(s)
             continue
-        emit = True
         added_data, added_pos, added_eq = [], [], []
         for mle in read_manifest_list(table._resolve(s.manifest_list)):
             if mle.added_snapshot_id != s.snapshot_id:
@@ -1112,9 +1114,7 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                     added_eq.append((p, seq))
 
         # ONE read per pos-delete file: same-commit exclusion set AND
-        # the per-source position lists the (emitting) delete branch
-        # consumes — a second read per file doubled the delete I/O of
-        # every non-emitting per-snapshot executor task
+        # the per-source position lists the delete branch consumes
         same_commit_deleted: set[tuple[str, int]] = set()
         pos_by_src: dict[str, list[int]] = {}
         for p, _seq in added_pos:
@@ -1125,16 +1125,15 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                 same_commit_deleted.add((key, pos))
                 pos_by_src.setdefault(key, []).append(pos)
 
-        if emit:
-            for p, _seq in added_data:
-                for r in file_rows(p, skip=same_commit_deleted):
-                    rows.append(r + ("insert",))
+        for p, _seq in added_data:
+            for r in file_rows(p, skip=same_commit_deleted):
+                rows.append(r + ("insert",))
 
         # rows this snapshot's eq deletes remove — folded into the
         # running dead-set so a LATER eq delete of the same key can't
         # re-emit the same dead row as a phantom delete event
         eq_dead: set[tuple[str, int]] = set()
-        if (added_pos and emit) or added_eq:
+        if added_pos or added_eq:
             prior_dead = dead_acc
             # data files alive before this snapshot: canon key →
             # (readable path, seq). The canon key matches _norm of
@@ -1159,14 +1158,13 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                         real = table._resolve(e.data_file.file_path)
                         older[_norm(real)] = (real, seq)
 
-            if emit:
-                for src, positions in pos_by_src.items():
-                    if src not in older:
-                        continue  # same-commit churn already excluded
-                    real, _dseq = older[src]
-                    for r in file_rows(real, sorted(positions),
-                                       skip=prior_dead):
-                        rows.append(r + ("delete",))
+            for src, positions in pos_by_src.items():
+                if src not in older:
+                    continue  # same-commit churn already excluded
+                real, _dseq = older[src]
+                for r in file_rows(real, sorted(positions),
+                                   skip=prior_dead):
+                    rows.append(r + ("delete",))
 
             for p, del_seq in added_eq:
                 kt = pq.read_table(p)
@@ -1181,10 +1179,9 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                         if (ckey, i) in prior_dead or (ckey, i) in eq_dead:
                             continue
                         if tuple(r[j] for j in ki) in keys:
-                            if emit:
-                                rows.append(r + ("delete",))
-                            # non-emitting pass still tracks eq_dead so
-                            # a later snapshot can't re-emit this row
+                            rows.append(r + ("delete",))
+                            # tracked so a later snapshot's eq delete
+                            # can't re-emit this row
                             eq_dead.add((ckey, i))
         dead_acc = dead_acc | same_commit_deleted | eq_dead
     return rows

@@ -615,8 +615,12 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score,
     clustered = dedup_clusters(df, pairs, id_col=id_col)
     scored = (df.select(F.col(id_col), score.alias("__score"))
               .join(clustered, on=id_col))
+    # min_by over (-score, id): lexicographic min gives max score,
+    # ties to the LOWEST id — and the id stays its native type (a
+    # negated STRING id would cast to null and break determinism)
     winners = scored.groupBy("cluster_id").agg(
-        F.max_by(F.col(id_col),
-                 F.struct(F.col("__score"),
-                          (-F.col(id_col)).alias("__negid"))).alias(id_col))
+        F.min_by(F.col(id_col),
+                 F.struct((-F.col("__score").cast("double"))
+                          .alias("__negscore"),
+                          F.col(id_col))).alias(id_col))
     return df.join(winners.select(id_col), on=id_col, how="left_semi")

@@ -419,12 +419,23 @@ def _show_describe(spark: SparkSession, statement: str, catalog=None):
                                          + partition spec + snapshot row
     """
     s = statement.strip()
-    m = re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE)
+    m = re.match(r"^SHOW\s+TABLES(?:\s+IN\s+(?P<ns>[\w.]+))?\s*$", s,
+                 re.IGNORECASE)
     if m:
         if catalog is None:
             raise ValueError("SHOW TABLES requires a catalog")
+        ns_arg = m.group("ns")
+        if ns_arg is not None:
+            idents = catalog.list_tables(ns_arg)
+        else:
+            try:
+                idents = catalog.list_tables()
+            except TypeError:
+                # REST catalogs require a namespace: enumerate them
+                idents = [t for ns in catalog.list_namespaces()
+                          for t in catalog.list_tables(ns)]
         rows = []
-        for ident in catalog.list_tables():
+        for ident in idents:
             ns, _, name = ident.rpartition(".")
             rows.append((ns, name))
         return spark.createDataFrame(
@@ -684,8 +695,14 @@ def _create_table(spark: SparkSession, statement: str, catalog=None):
     schema = Schema.from_spark(st)
     try:
         table = catalog.create_table(ident, schema, properties=props)
-    except FileExistsError:
-        if if_not_exists:
+    except Exception as e:
+        # FileExistsError (storage catalog) or an HTTP 409 conflict
+        # (REST catalog) both mean "already exists"
+        conflict = isinstance(e, FileExistsError)
+        if not conflict:
+            resp = getattr(e, "response", None)
+            conflict = getattr(resp, "status_code", None) == 409
+        if conflict and if_not_exists:
             return catalog.load_table(ident)
         raise
     if spec_parts:
@@ -730,6 +747,8 @@ def _insert_into(spark: SparkSession, statement: str, catalog=None):
         bad = set(cols) - set(types)
         if bad:
             raise ValueError(f"unknown INSERT columns: {sorted(bad)}")
+        if len(set(cols)) != len(cols):
+            raise ValueError("duplicate INSERT column")
         if len(df.columns) != len(cols):
             raise ValueError("INSERT column list and query arity differ")
         by_name = dict(zip(cols, df.columns))

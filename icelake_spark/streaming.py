@@ -202,4 +202,7 @@ def stream_from_table(spark, table,
                     new_files.append(table._resolve(e.data_file.file_path))
     if not new_files:
         return spark.createDataFrame([], table.schema().to_spark())
-    return spark.read.schema(table.schema().to_spark()).parquet(*new_files)
+    from .fileio import to_spark_paths
+
+    return spark.read.schema(table.schema().to_spark()) \
+        .parquet(*to_spark_paths(new_files))

@@ -334,3 +334,42 @@ def test_changelog_stream_manifest_io_linear_in_window(spark, tmp_path):
         assert got == want
     finally:
         unregister_io("cnt")
+
+
+def test_changelog_stream_deletes_after_snapshot_expiry(spark, warehouse):
+    """Delete events for rows whose ADDING snapshot has been expired:
+    the file survives only via carried-forward manifests whose
+    added_snapshot_id is no longer listed — the stream planner must
+    seed its alive-file map from the first retained snapshot's FULL
+    manifest list or those rows' delete events vanish (review fix)."""
+    import pyspark.sql.types as T
+
+    from icelake_spark.datasource import IcelakePartitionStreamReader
+    from icelake_spark.maintenance import expire_snapshots
+
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                "id long, v string")
+    t = warehouse.create_table("db.expstream", Schema.from_spark(src.schema))
+    t.append(src)                                 # S1 adds file F
+    t = t.refresh()
+    t.append(spark.createDataFrame([(20, "x")], "id long, v string"))  # S2
+    t = t.refresh()
+    n = expire_snapshots(t, older_than_ms=10**18, retain_last=1)
+    assert n == 1                                 # S1 expired
+    t = t.refresh()
+    assert len(t.metadata.snapshots) == 1
+    s2_seq = t.current_snapshot().sequence_number
+    t.delete_where(spark, "id in (3, 7)")         # S3: MoR pos delete on F
+    t = t.refresh()
+
+    schema = T.StructType(
+        list(t.schema().to_spark().fields)
+        + [T.StructField("_change_type", T.StringType())])
+    reader = IcelakePartitionStreamReader(
+        {"path": t.path, "changelog": "true",
+         "starting_sequence_number": str(s2_seq)}, schema)
+    parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    assert len(parts) == 1
+    rows = list(reader.read(parts[0]))
+    deletes = sorted((r[0], r[1]) for r in rows if r[2] == "delete")
+    assert deletes == [(3, "v3"), (7, "v7")], rows

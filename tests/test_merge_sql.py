@@ -602,3 +602,13 @@ def test_sql_show_describe(warehouse, spark):
     ext = execute(spark, "DESC EXTENDED s1.meta", catalog=warehouse).collect()
     names = [r.col_name for r in ext]
     assert "Location" in names and "Format-version" in names
+
+
+def test_sql_insert_duplicate_column_rejected(warehouse, spark):
+    from icelake_spark.sql import execute
+
+    df = spark.range(3).selectExpr("id", "cast(id as string) as s")
+    warehouse.create_table("s1.dupins", Schema.from_spark(df.schema))
+    with pytest.raises(ValueError, match="duplicate INSERT column"):
+        execute(spark, "INSERT INTO s1.dupins (id, id) VALUES (1, 2)",
+                catalog=warehouse)
