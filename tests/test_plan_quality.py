@@ -241,3 +241,21 @@ def test_duplicate_spans_plan_properties(spark):
     assert "EvalPython" not in plan
     assert "xxhash64" in plan
     assert "BroadcastHashJoin" in plan  # hot-gram anti-join broadcasts
+
+
+def test_round5_operators_plan_properties(spark):
+    """Round-5 operators keep their intended physical shape."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # trigram familiarity: the charset-bounded count map collapses to a
+    # ONE-row broadcast (BroadcastNestedLoopJoin) and docs score in
+    # place — no SortMergeJoin of exploded trigram rows, no Python eval
+    pt = _plan(Q.trigram_familiarity_q(spark, sf))
+    assert "BroadcastNestedLoopJoin" in pt and "EvalPython" not in pt
+    assert "SortMergeJoin" not in pt
+    # retention dedup: survivor choice is one hash aggregate over
+    # (cluster, id, score) triples — no corpus-wide window sort
+    pk = _plan(Q.dedup_keep_best_q(spark, sf))
+    assert "EvalPython" not in pk
+    assert "Window" not in pk
