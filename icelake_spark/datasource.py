@@ -376,6 +376,19 @@ class IcelakeReader(DataSourceReader):
         from .table import IcebergTable
 
         t = IcebergTable.load(self.options["path"])
+        if "start_snapshot_id" in self.options:
+            # incremental append scan (Iceberg's start/end-snapshot-id
+            # batch read options): files ADDED in the ancestry window,
+            # no MoR delete application (append-only contract —
+            # table.incremental parity)
+            from .streaming import incremental_files
+
+            end = self.options.get("end_snapshot_id")
+            files = incremental_files(
+                t, int(self.options["start_snapshot_id"]),
+                int(end) if end is not None else None)
+            return [_FileTask(p, 0, [], [], resolved_pos=[],
+                              file_format=fmt) for p, fmt in files]
         kwargs: dict[str, Any] = {}
         if "snapshot_id" in self.options:
             kwargs["snapshot_id"] = int(self.options["snapshot_id"])

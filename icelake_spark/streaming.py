@@ -160,6 +160,48 @@ def stateful_dedup(stream_df: DataFrame, key_cols: list[str],
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def incremental_files(table, snapshot_id: int | None = None,
+                      to_snapshot_id: int | None = None
+                      ) -> list[tuple[str, str]]:
+    """(resolved path, format) of data files ADDED by append snapshots
+    in the ancestry window (snapshot_id, to_snapshot_id] — the shared
+    walk behind table.incremental, stream_from_table, and the DSv2
+    batch reader's start/end-snapshot-id options.
+
+    The window is ancestry-based, not a sequence range: every v1
+    snapshot carries sequence 0 (a seq window would return empty
+    forever — the same trap changelog.py documents), and ancestry also
+    excludes WAP-staged snapshots. Non-append snapshots are skipped:
+    replace/overwrite re-adds rewritten copies of existing rows —
+    emitting them would duplicate the table after every compaction."""
+    from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
+
+    if table.current_snapshot() is None:
+        return []
+    main_ids = table.metadata.ancestry_ids(to_snapshot_id) \
+        if to_snapshot_id is not None else table.metadata.ancestry_ids()
+    base_ids = (table.metadata.ancestry_ids(snapshot_id)
+                if snapshot_id is not None else set())
+    new_files: list[tuple[str, str]] = []
+    for s in sorted(table.metadata.snapshots, key=lambda s: s.timestamp_ms):
+        if s.snapshot_id in base_ids:
+            continue
+        if s.snapshot_id not in main_ids:
+            continue  # WAP branch-staged snapshot: not published to main
+        if (s.summary or {}).get("operation", "append") != "append":
+            continue
+        for mle in read_manifest_list(table._resolve(s.manifest_list)):
+            if mle.added_snapshot_id != s.snapshot_id:
+                continue
+            _, entries = read_manifest(table._resolve(mle.manifest_path))
+            for e in entries:
+                if e.status == STATUS_ADDED and e.data_file.content == 0:
+                    new_files.append(
+                        (table._resolve(e.data_file.file_path),
+                         (e.data_file.file_format or "PARQUET").upper()))
+    return new_files
+
+
 def stream_from_table(spark, table,
                       snapshot_id: int | None = None,
                       to_snapshot_id: int | None = None) -> DataFrame:
@@ -169,37 +211,8 @@ def stream_from_table(spark, table,
     start-snapshot-id / end-snapshot-id read options), and the building
     block for table-to-table batch pipelines. (For a continuous source
     use spark.readStream.format("icelake") — datasource.py.)"""
-    from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
-
-    snap = table.current_snapshot()
-    if snap is None:
-        return spark.createDataFrame([], table.schema().to_spark())
-    # the "new since snapshot_id" window is ancestry-based, not a
-    # sequence range: every v1 snapshot carries sequence 0 (a seq
-    # window would return empty forever — the same trap changelog.py
-    # documents), and ancestry also excludes WAP-staged snapshots
-    main_ids = table.metadata.ancestry_ids(to_snapshot_id) \
-        if to_snapshot_id is not None else table.metadata.ancestry_ids()
-    base_ids = (table.metadata.ancestry_ids(snapshot_id)
-                if snapshot_id is not None else set())
-    new_files: list[str] = []
-    for s in sorted(table.metadata.snapshots, key=lambda s: s.timestamp_ms):
-        if s.snapshot_id in base_ids:
-            continue
-        if s.snapshot_id not in main_ids:
-            continue  # WAP branch-staged snapshot: not published to main
-        if (s.summary or {}).get("operation", "append") != "append":
-            # replace/overwrite re-adds rewritten copies of existing
-            # rows — emitting them would duplicate the whole table after
-            # every compaction (same filter as the DSv2 stream reader)
-            continue
-        for mle in read_manifest_list(table._resolve(s.manifest_list)):
-            if mle.added_snapshot_id != s.snapshot_id:
-                continue
-            _, entries = read_manifest(table._resolve(mle.manifest_path))
-            for e in entries:
-                if e.status == STATUS_ADDED and e.data_file.content == 0:
-                    new_files.append(table._resolve(e.data_file.file_path))
+    new_files = [p for p, _fmt in
+                 incremental_files(table, snapshot_id, to_snapshot_id)]
     if not new_files:
         return spark.createDataFrame([], table.schema().to_spark())
     from .fileio import to_spark_paths

@@ -549,3 +549,35 @@ def test_dsv2_dropped_and_readded_all_columns_stays_null(spark, warehouse):
     rows = [tuple(r) for r in spark.read.format("icelake")
             .option("path", t.path).load().collect()]
     assert rows == [(None, None, None), (None, None, None)], rows
+
+
+def test_dsv2_incremental_snapshot_window(spark, warehouse):
+    """spark.read.format("icelake") with start/end_snapshot_id options
+    returns exactly the append window's rows (Iceberg's incremental
+    batch read), skipping a mid-window MoR delete snapshot."""
+    from icelake_spark import datasource
+
+    datasource.register(spark)
+    src = spark.range(30).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("db.dsinc", Schema.from_spark(src.schema))
+    t.append(src.where("id < 10"))
+    t = t.refresh()
+    first = t.current_snapshot().snapshot_id
+    t.delete_where(spark, "id = 1")
+    t = t.refresh()
+    t.append(src.where("id >= 10 and id < 20"))
+    t = t.refresh()
+    mid = t.current_snapshot().snapshot_id
+    t.append(src.where("id >= 20"))
+    t = t.refresh()
+
+    df = (spark.read.format("icelake").option("path", t.path)
+          .option("start_snapshot_id", str(first))
+          .option("end_snapshot_id", str(mid)).load())
+    assert sorted(r.id for r in df.collect()) == list(range(10, 20))
+    df2 = (spark.read.format("icelake").option("path", t.path)
+           .option("start_snapshot_id", str(first)).load())
+    assert sorted(r.id for r in df2.collect()) == list(range(10, 30))
+    # equals the API result
+    api = t.incremental(spark, from_snapshot_id=first, to_snapshot_id=mid)
+    assert sorted(r.id for r in api.collect()) == list(range(10, 20))
