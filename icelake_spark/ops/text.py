@@ -500,3 +500,118 @@ SELECT norm.doc_id,
 FROM norm LEFT JOIN scored USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher-style quality rules (the published
+    rule-filter family of Rae et al. 2021 §A1.1, as popularized by the
+    Gopher/MassiveText and RedPajama/Dolma pipelines):
+
+      r_word_count        50 <= words <= 100000
+      r_mean_word_len     3 <= mean word length <= 10
+      r_symbol_ratio      (# '#' + '...' occurrences) / words < 0.1
+      r_bullet_lines      < 90% of lines start with a bullet
+      r_ellipsis_lines    < 30% of lines end with '...'
+      r_alpha_words       >= 80% of words contain an alphabetic char
+      r_stop_words        >= 2 distinct common stop words present
+
+    plus `passes` (AND of all). Every ratio test is an INTEGER
+    cross-multiplication (symbols*10 < words, etc.) — no float ratio
+    ever materializes, so the DuckDB twin matches bit-for-bit. All
+    JVM expressions (split/filter/length); one projection pass, no
+    shuffle, no UDFs — the filter runs at scan speed on 100 TB.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    wc = word_count(F.col(text_col))
+    # total word characters = normalized length minus the separators
+    total_chars = F.when(wc > 0, F.length(norm) - wc + 1) \
+        .otherwise(F.lit(0)).cast("long")
+    words_arr = F.when(F.length(norm) > 0, F.split(norm, " ")) \
+        .otherwise(F.array().cast("array<string>"))
+    alpha_words = F.size(F.filter(
+        words_arr, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    symbols = (occurrences(F.col(text_col), "#")
+               + occurrences(F.col(text_col), "...")).cast("long")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike("^[-*•]"))).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike("\\.\\.\\.$"))).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(norm), F.lit(" "))
+    stop_hits = sum_cols([
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in STOPWORDS_EN[:8]]).cast("long")
+
+    base = df.select(
+        F.col(id_col), wc.alias("n_words"), total_chars.alias("__tc"),
+        alpha_words.alias("n_alpha_words"), symbols.alias("__sym"),
+        n_lines.alias("__nl"), bullet_lines.alias("__bl"),
+        ellipsis_lines.alias("__el"), stop_hits.alias("n_stop_words"))
+    rules = {
+        "r_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000),
+        "r_mean_word_len": (F.lit(3) * F.col("n_words") <= F.col("__tc"))
+        & (F.col("__tc") <= F.lit(10) * F.col("n_words")),
+        "r_symbol_ratio": F.col("__sym") * 10 < F.col("n_words"),
+        "r_bullet_lines": F.col("__bl") * 10 < F.lit(9) * F.col("__nl"),
+        "r_ellipsis_lines": F.col("__el") * 10 < F.lit(3) * F.col("__nl"),
+        "r_alpha_words": F.col("n_alpha_words") * 10
+        >= F.lit(8) * F.col("n_words"),
+        "r_stop_words": F.col("n_stop_words") >= 2,
+    }
+    out = base.select(
+        F.col(id_col), "n_words", "n_alpha_words", "n_stop_words",
+        *[c.alias(n) for n, c in rules.items()])
+    passes = None
+    for n in rules:
+        passes = F.col(n) if passes is None else passes & F.col(n)
+    return out.withColumn("passes", passes).orderBy(id_col)
+
+
+def gopher_rules_sql(col: str = "text") -> str:
+    """DuckDB twin: identical splits and integer cross-multiplied
+    ratio tests."""
+    wc = word_count_sql(col)
+    norm = f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"
+    tc = f"(CASE WHEN {wc} > 0 THEN length({norm}) - {wc} + 1 ELSE 0 END)"
+    words = (f"(CASE WHEN length({norm}) > 0 THEN string_split({norm}, ' ') "
+             f"ELSE [] END)")
+    alpha = (f"len(list_filter({words}, "
+             f"x -> regexp_matches(x, '[A-Za-z]')))")
+    sym = (f"({occurrences_sql(col, '#')} + {occurrences_sql(col, '...')})")
+    lines = f"string_split({col}, chr(10))"
+    nl = f"len({lines})"
+    bl = (f"len(list_filter({lines}, "
+          f"l -> regexp_matches(ltrim(l), '^[-*•]')))")
+    el = (f"len(list_filter({lines}, "
+          f"l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))")
+    padded = f"(' ' || lower({norm}) || ' ')"
+    stops = " + ".join(
+        f"(CASE WHEN contains({padded}, ' {w} ') THEN 1 ELSE 0 END)"
+        for w in STOPWORDS_EN[:8])
+    return f"""
+WITH m AS (
+  SELECT doc_id, {wc} AS n_words, {tc} AS tc,
+         CAST({alpha} AS BIGINT) AS n_alpha_words,
+         CAST({sym} AS BIGINT) AS sym,
+         CAST({nl} AS BIGINT) AS nl, CAST({bl} AS BIGINT) AS bl,
+         CAST({el} AS BIGINT) AS el,
+         CAST({stops} AS BIGINT) AS n_stop_words
+  FROM documents)
+SELECT doc_id, n_words, n_alpha_words, n_stop_words,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (3 * n_words <= tc AND tc <= 10 * n_words) AS r_mean_word_len,
+       (sym * 10 < n_words) AS r_symbol_ratio,
+       (bl * 10 < 9 * nl) AS r_bullet_lines,
+       (el * 10 < 3 * nl) AS r_ellipsis_lines,
+       (n_alpha_words * 10 >= 8 * n_words) AS r_alpha_words,
+       (n_stop_words >= 2) AS r_stop_words,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= tc AND tc <= 10 * n_words)
+        AND (sym * 10 < n_words) AND (bl * 10 < 9 * nl)
+        AND (el * 10 < 3 * nl) AND (n_alpha_words * 10 >= 8 * n_words)
+        AND (n_stop_words >= 2)) AS passes
+FROM m ORDER BY doc_id
+"""

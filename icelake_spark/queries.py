@@ -3300,6 +3300,15 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def gopher_rules_q(spark, sf_dir):
+    """Full Gopher-style rule filter over the documents corpus
+    (ops/text.py:gopher_rules): per-rule booleans + the pass flag, all
+    integer-exact."""
+    from .ops.text import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents"))
+
+
 def trigram_familiarity_q(spark, sf_dir):
     """Char-trigram familiarity quality scoring over the documents
     corpus (ops/text.py:trigram_familiarity): the model-free CCNet-
@@ -3481,7 +3490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     must stay <= 2 rounds old. The window holds (1) the six NEW
     round-5 queries (column-level MERGE, SQL DDL lifecycle, CALL
     maintenance procedures, trigram familiarity, incremental read,
-    retention-policy dedup), then
+    retention-policy dedup, gopher rules — 7 new rows means ONE
+    r3-green row must sit out: multimodal_features, the stable
+    deterministic-stub decode untouched since r2, leads the r6
+    rotation queue at position 53), then
     (2) all 43 queries whose last driver row was r3 (the sketch/ANN
     family, avro/orc roundtrips, files_meta, the TPC-H tail), then
     (3) r4-green rows as window space permits whose code round 5 changed most (the MERGE
@@ -3495,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_familiarity": trigram_familiarity_q,
         "iceberg_incremental_read": iceberg_incremental_read,
         "dedup_keep_best": dedup_keep_best_q,
+        "gopher_rules": gopher_rules_q,
         # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
@@ -3539,7 +3552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_q,
         "asof_join": asof_join_q,
         "pack_documents": pack_documents_q,
-        "multimodal_features": multimodal_features_q,
         # -- r4-green, code changed by round 5 (MERGE/changelog/
         #    datasource/planning) ------------------------------------
         # ---- beyond the 50-row window: every query below was
@@ -3548,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge": iceberg_merge,
         "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_partition_prune": iceberg_partition_prune,
+        "multimodal_features": multimodal_features_q,
         "iceberg_changelog": iceberg_changelog,
         "streaming_ingest": streaming_ingest,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
@@ -3666,6 +3679,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_familiarity": _text.trigram_familiarity_sql(),
         "iceberg_incremental_read": ICEBERG_INCREMENTAL_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "gopher_rules": _text.gopher_rules_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),
