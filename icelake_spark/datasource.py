@@ -360,9 +360,15 @@ class IcelakeReader(DataSourceReader):
         return _arrow_src(path, self.table_store, self.io)
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        """Accept simple comparisons for zone-map file pruning; everything
-        is reported back as unsupported so Spark still applies it row-level
-        (our pruning is an optimization, not an evaluation)."""
+        """Accept simple comparisons and IN lists for zone-map file
+        pruning; everything is reported back as unsupported so Spark
+        still applies it row-level (our pruning is an optimization, not
+        an evaluation). IN feeds the planner's DNF pruning (each value
+        an OR branch — any-branch-might-match keeps the file)."""
+        try:
+            from pyspark.sql.datasource import In as _In
+        except ImportError:  # pragma: no cover - older minor versions
+            _In = ()
         ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
                LessThan: "<", LessThanOrEqual: "<="}
         for f in filters:
@@ -370,6 +376,10 @@ class IcelakeReader(DataSourceReader):
                        if isinstance(cls, type) and isinstance(f, cls)), None)
             if op is not None and len(f.attribute) == 1:
                 self.filter_parts.append(f"{f.attribute[0]} {op} {f.value!r}")
+            elif _In and isinstance(f, _In) and len(f.attribute) == 1 \
+                    and f.value:
+                vals = ", ".join(repr(v) for v in f.value)
+                self.filter_parts.append(f"{f.attribute[0]} IN ({vals})")
             yield f  # unsupported → Spark re-applies (safe)
 
     def partitions(self) -> list[_FileTask]:

@@ -581,3 +581,31 @@ def test_dsv2_incremental_snapshot_window(spark, warehouse):
     # equals the API result
     api = t.incremental(spark, from_snapshot_id=first, to_snapshot_id=mid)
     assert sorted(r.id for r in api.collect()) == list(range(10, 20))
+
+
+def test_dsv2_in_filter_prunes_files(spark, warehouse):
+    """An IN predicate pushed through the DSv2 reader feeds the DNF
+    zone-map pruner: only files whose bounds can match any IN value
+    are planned."""
+    from icelake_spark import datasource
+    from icelake_spark.datasource import IcelakeReader
+
+    datasource.register(spark)
+    src = spark.range(100).selectExpr("id", "cast(id as string) as s")
+    t = warehouse.create_table("db.infilt", Schema.from_spark(src.schema))
+    for lo in range(0, 100, 25):  # four range-disjoint files
+        t.append(src.where(f"id >= {lo} and id < {lo + 25}"))
+        t = t.refresh()
+    n_files = len(t.new_scan().plan_files()[0])
+    assert n_files >= 2
+
+    df = (spark.read.format("icelake").option("path", t.path).load()
+          .where("id in (3, 7)"))
+    assert sorted(r.id for r in df.collect()) == [3, 7]
+    # direct reader probe: the IN filter must shrink the partition list
+    r = IcelakeReader({"path": t.path}, t.schema().to_spark())
+    all_parts = r.partitions()
+    r2 = IcelakeReader({"path": t.path}, t.schema().to_spark())
+    r2.filter_parts.append("id IN (3, 7)")
+    pruned = r2.partitions()
+    assert len(pruned) < len(all_parts)
