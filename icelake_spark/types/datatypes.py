@@ -230,6 +230,74 @@ def from_spark_type(st: T.DataType, next_id) -> Any:
     raise ValueError(f"cannot convert spark type {st!r}")
 
 
+# ------------------------------------------------- Arrow conversion (ids)
+
+_FIELD_ID_KEY = b"PARQUET:field_id"
+
+
+def _to_arrow_type_ids(t: Any):
+    """Iceberg type → pyarrow type with PARQUET:field_id metadata on
+    EVERY nested member (struct fields, list element, map key/value).
+
+    This is the write-side id propagation the reference does in
+    to_arrow.rs:15-45 — Spark's alias metadata can only stamp top-level
+    ids, so the arrow writer lane uses this schema instead. Types match
+    what Spark's mapInArrow hands the worker (string for uuid, binary
+    for fixed, int64 µs for time, UTC µs timestamps), so a plain
+    Table.cast aligns the batch with this schema.
+    """
+    import pyarrow as pa
+
+    if isinstance(t, PrimitiveType):
+        n = t.name
+        if n == "decimal":
+            return pa.decimal128(t.precision, t.scale)
+        return {
+            "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "date": pa.date32(), "time": pa.int64(),
+            "timestamp": pa.timestamp("us"),
+            "timestamptz": pa.timestamp("us", tz="UTC"),
+            "string": pa.string(), "uuid": pa.string(),
+            "binary": pa.binary(), "fixed": pa.binary(),
+        }[n]
+    if isinstance(t, StructType):
+        return pa.struct([_to_arrow_field_ids(f) for f in t.fields])
+    if isinstance(t, ListType):
+        elem = pa.field("element", _to_arrow_type_ids(t.element_type),
+                        nullable=not t.element_required,
+                        metadata={_FIELD_ID_KEY: str(t.element_id).encode()})
+        return pa.list_(elem)
+    if isinstance(t, MapType):
+        import pyarrow as pa
+        key = pa.field("key", _to_arrow_type_ids(t.key_type), nullable=False,
+                       metadata={_FIELD_ID_KEY: str(t.key_id).encode()})
+        val = pa.field("value", _to_arrow_type_ids(t.value_type),
+                       nullable=not t.value_required,
+                       metadata={_FIELD_ID_KEY: str(t.value_id).encode()})
+        return pa.map_(key, val)
+    raise ValueError(f"cannot convert {t!r} to arrow")
+
+
+def _to_arrow_field_ids(f: NestedField):
+    import pyarrow as pa
+
+    return pa.field(f.name, _to_arrow_type_ids(f.field_type),
+                    nullable=not f.required,
+                    metadata={_FIELD_ID_KEY: str(f.field_id).encode()})
+
+
+def schema_to_arrow_with_ids(schema: "Schema"):
+    """pyarrow.Schema for `schema` carrying PARQUET:field_id metadata at
+    every nesting level — consumed by the arrow parquet writer lane
+    (write.py) so externally-id-addressed readers (Java Iceberg,
+    pyiceberg, our own DSv2 per-file binder) can rebind nested members
+    after renames."""
+    import pyarrow as pa
+
+    return pa.schema([_to_arrow_field_ids(f) for f in schema.fields])
+
+
 # --------------------------------------------- single-value binary bounds
 
 _EPOCH_DATE = date(1970, 1, 1)
