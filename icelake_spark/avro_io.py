@@ -146,9 +146,12 @@ def _resolve_named(schema: Any, names: dict[str, Any] | None = None) -> Any:
     return schema
 
 
-def read_avro(path: str) -> tuple[dict, list[dict]]:
-    """Read an Avro container file → (writer schema JSON, records)."""
-    _, schema, records = read_avro_full(path)
+def read_avro(path: str, data: bytes | None = None) -> tuple[dict, list[dict]]:
+    """Read an Avro container file → (writer schema JSON, records).
+    `data` supplies the raw bytes when the caller already resolved the
+    file through a shipped FileIO (executor workers can't see
+    register_io factories — they live in the planning process only)."""
+    _, schema, records = read_avro_full(path, data=data)
     return schema, records
 
 
@@ -173,7 +176,8 @@ def count_records(path: str) -> int:
     return total
 
 
-def read_avro_full(path: str) -> tuple[dict, dict, list[dict]]:
+def read_avro_full(path: str,
+                   data: bytes | None = None) -> tuple[dict, dict, list[dict]]:
     """Read an Avro container file in ONE pass → (header metadata as
     str→str for non-avro.* keys, writer schema JSON, records).
 
@@ -181,8 +185,11 @@ def read_avro_full(path: str) -> tuple[dict, dict, list[dict]]:
     partition-spec, ...) and the records; exposing the already-parsed
     metadata map here lets read_manifest avoid a second full file read
     per manifest (at 10k manifests that was 10k redundant reads/plan).
+    `data` bypasses path resolution (pre-read bytes from a shipped
+    FileIO).
     """
-    data = resolve_io(path).read_bytes(path)
+    if data is None:
+        data = resolve_io(path).read_bytes(path)
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro container file")

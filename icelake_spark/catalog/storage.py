@@ -57,6 +57,16 @@ class StorageCatalog:
     def create_namespace(self, namespace: str) -> None:
         self.io.makedirs(io_join(self.warehouse, *namespace.split(".")))
 
+    def drop_namespace(self, namespace: str) -> None:
+        """Remove an EMPTY namespace (same contract as the REST
+        catalog's DELETE /namespaces/{ns}: a non-empty namespace is an
+        error, never a recursive table drop)."""
+        inside = self.list_tables(namespace)
+        if inside:
+            raise ValueError(
+                f"namespace {namespace!r} is not empty: {inside[:5]}")
+        self.io.remove_tree(io_join(self.warehouse, *namespace.split(".")))
+
     def list_namespaces(self) -> list[str]:
         out = set()
         for ident in self.list_tables():

@@ -152,16 +152,21 @@ def _rename_map(table) -> dict[str, list[str]]:
     return out
 
 
-def _read_avro_arrow(spark_schema, file_path: str):
+def _read_avro_arrow(spark_schema, file_path: str,
+                     table_store: str = "", io=None):
     """Decode one avro data file into an Arrow table matching
     `spark_schema` (pure-python codec; shared by the batch and stream
-    DSv2 readers)."""
+    DSv2 readers). Bytes resolve like _arrow_src: through the SHIPPED
+    FileIO when the file lives on the table's store — executor workers
+    never see register_io factories, so a custom-scheme table's avro
+    files are unreadable there without the pickled instance."""
     import pyarrow as pa
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from . import avro_io
     from .avro_data import _converters
+    from .fileio import is_uri, resolve_io
     from .types.datatypes import Schema as _IceSchema
 
     plain = T.StructType([f for f in spark_schema.fields
@@ -169,7 +174,13 @@ def _read_avro_arrow(spark_schema, file_path: str):
     arrow_schema = to_arrow_schema(plain)
     decoders = {name: dec for name, _enc, dec
                 in _converters(_IceSchema.from_spark(plain))}
-    _schema, records = avro_io.read_avro(file_path)
+    if not is_uri(file_path):
+        data = None  # local path: avro_io reads it directly
+    elif io is not None and _store_of(file_path) == table_store:
+        data = io.read_bytes(file_path)
+    else:
+        data = resolve_io(file_path).read_bytes(file_path)
+    _schema, records = avro_io.read_avro(file_path, data=data)
     present = [n for n in arrow_schema.names
                if records and n in records[0]]
     return pa.table({
@@ -461,7 +472,8 @@ class IcelakeReader(DataSourceReader):
 
             table = pa_orc.ORCFile(self._src(partition.file_path)).read()
         elif fmt == "AVRO":
-            table = _read_avro_arrow(self.spark_schema, partition.file_path)
+            table = _read_avro_arrow(self.spark_schema, partition.file_path,
+                                     self.table_store, self.io)
         else:
             table = pq.read_table(self._src(partition.file_path))
 
@@ -906,7 +918,8 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
 
             table = pa_orc.ORCFile(self._src(partition.file_path)).read()
         elif partition.file_format == "AVRO":
-            table = _read_avro_arrow(self.spark_schema, partition.file_path)
+            table = _read_avro_arrow(self.spark_schema, partition.file_path,
+                                     self.table_store, self.io)
         else:
             table = pq.read_table(self._src(partition.file_path))
         from pyspark.sql.pandas.types import to_arrow_type

@@ -74,12 +74,33 @@ def _parse_on(on_text: str, talias: str, salias: str) -> list[str]:
     return keys
 
 
+def _skip_quoted(text: str, i: int) -> int:
+    """text[i] opens a string literal; return the index just PAST its
+    closing quote. Handles SQL '' doubling and backslash escapes (both
+    accepted by Spark SQL). An unterminated literal raises — a walker
+    that kept going would silently mis-split the statement."""
+    q, n = text[i], len(text)
+    j = i + 1
+    while j < n:
+        ch = text[j]
+        if ch == "\\" and j + 1 < n:
+            j += 2
+            continue
+        if ch == q:
+            if j + 1 < n and text[j + 1] == q:  # '' doubling
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise ValueError(f"unterminated string literal starting at offset {i}")
+
+
 def _top_level_positions(text: str, kw: str) -> list[int]:
     """Word-boundary positions of keyword `kw` at TOP LEVEL — outside
     quotes, parens, brackets, and CASE...END expressions (so `WHEN`
     inside a CASE expression or a string literal never splits a
     clause; CASE/END nest without parentheses)."""
-    out, depth, quote, i, n, k = [], 0, None, 0, len(text), len(kw)
+    out, depth, i, n, k = [], 0, 0, len(text), len(kw)
     up, kwu = text.upper(), kw.upper()
 
     def _word(ch: str) -> bool:
@@ -92,11 +113,9 @@ def _top_level_positions(text: str, kw: str) -> list[int]:
 
     while i < n:
         ch = text[i]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
+        if ch in "'\"":
+            i = _skip_quoted(text, i)
+            continue
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -120,10 +139,26 @@ def _top_level_positions(text: str, kw: str) -> list[int]:
 def _requalify(text: str, talias: str, salias: str) -> str:
     """Rewrite the statement's declared aliases to the canonical `t.` /
     `s.` qualifiers delta's column-level merge exposes (single pass, so
-    crossed aliases like AS s / AS t swap correctly)."""
+    crossed aliases like AS s / AS t swap correctly). String literals
+    are copied verbatim — a condition like note = 'by src.sync' must
+    keep its literal text, not become 'by s.sync'."""
     pat = re.compile(rf"\b(?:{re.escape(talias)}|{re.escape(salias)})\.")
-    return pat.sub(lambda m: "t." if m.group(0)[:-1] == talias else "s.",
-                   text)
+
+    def _sub(seg: str) -> str:
+        return pat.sub(
+            lambda m: "t." if m.group(0)[:-1] == talias else "s.", seg)
+
+    out, i, start, n = [], 0, 0, len(text)
+    while i < n:
+        if text[i] in "'\"":
+            out.append(_sub(text[start:i]))
+            j = _skip_quoted(text, i)
+            out.append(text[i:j])  # literal: verbatim
+            i = start = j
+            continue
+        i += 1
+    out.append(_sub(text[start:]))
+    return "".join(out)
 
 
 def _parse_when_clauses(clauses: str, talias: str, salias: str):
@@ -286,14 +321,12 @@ def _split_top_where(text: str) -> tuple[str, str | None]:
     """Split `... WHERE cond` on the first TOP-LEVEL WHERE (outside
     quotes and parens) — a regex split would cut inside a string
     literal like SET note = 'a WHERE b'."""
-    depth, quote, i, n = 0, None, 0, len(text)
+    depth, i, n = 0, 0, len(text)
     while i < n:
         ch = text[i]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
+        if ch in "'\"":
+            i = _skip_quoted(text, i)
+            continue
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -313,21 +346,20 @@ _ASSIGN_RE = re.compile(r"^\s*(?P<col>[\w]+)\s*=\s*(?P<expr>.+?)\s*$",
 
 def _split_assignments(text: str) -> list[str]:
     """Split `a = f(x, y), b = 2` on TOP-LEVEL commas only."""
-    parts, depth, start, quote = [], 0, 0, None
-    for i, ch in enumerate(text):
-        if quote:
-            if ch == quote:
-                quote = None
-            continue
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
         if ch in "'\"":
-            quote = ch
-        elif ch in "([":
+            i = _skip_quoted(text, i)
+            continue
+        if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(text[start:i])
             start = i + 1
+        i += 1
     parts.append(text[start:])
     return [p for p in (s.strip() for s in parts) if p]
 
@@ -397,17 +429,78 @@ def execute(spark: SparkSession, statement: str, catalog=None,
     if head == "ALTER":
         return _alter_table(spark, s, catalog=catalog)
     if head == "CREATE":
+        m = _CREATE_NS_RE.match(s)
+        if m:
+            if catalog is None:
+                raise ValueError("CREATE NAMESPACE requires a catalog")
+            try:
+                catalog.create_namespace(m.group("ns"))
+            except Exception as e:
+                resp = getattr(e, "response", None)
+                exists = (isinstance(e, FileExistsError)
+                          or getattr(resp, "status_code", None) == 409)
+                if not (exists and m.group("ine")):
+                    raise
+            return None
         return _create_table(spark, s, catalog=catalog)
+    if head == "DROP":
+        return _drop(spark, s, catalog=catalog)
     if head == "INSERT":
         return _insert_into(spark, s, catalog=catalog)
     if head == "CALL":
         return _call_procedure(spark, s, catalog=catalog)
     if head in ("SHOW", "DESCRIBE", "DESC"):
         return _show_describe(spark, s, catalog=catalog)
+    if head == "SELECT" or head == "WITH" or head == "TABLE":
+        return _select(spark, s, catalog=catalog)
     raise ValueError(f"unsupported statement {head!r} "
-                     "(MERGE INTO | UPDATE | DELETE FROM | ALTER TABLE | "
-                     "CREATE TABLE | INSERT INTO | CALL system.<proc> | "
-                     "SHOW | DESCRIBE)")
+                     "(SELECT | MERGE INTO | UPDATE | DELETE FROM | "
+                     "ALTER TABLE | CREATE TABLE | CREATE NAMESPACE | "
+                     "DROP TABLE | DROP NAMESPACE | INSERT INTO | "
+                     "CALL system.<proc> | SHOW | DESCRIBE)")
+
+
+_CREATE_NS_RE = re.compile(
+    r"^\s*CREATE\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>[\w.]+)\s*$", re.IGNORECASE)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<t>[\w.$/-]+)\s*$",
+    re.IGNORECASE)
+_DROP_NS_RE = re.compile(
+    r"^\s*DROP\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+"
+    r"(?P<ie>IF\s+EXISTS\s+)?(?P<ns>[\w.]+)\s*$", re.IGNORECASE)
+
+
+def _drop(spark: SparkSession, statement: str, catalog=None):
+    """DROP TABLE [IF EXISTS] t | DROP NAMESPACE [IF EXISTS] ns — over
+    the existing catalog API (storage.py drop_table/drop_namespace;
+    rest.py DELETE endpoints). Closes the create-without-drop asymmetry:
+    the dispatcher could CREATE tables it could never remove."""
+    if catalog is None:
+        raise ValueError("DROP requires a catalog")
+    m = _DROP_TABLE_RE.match(statement)
+    if m:
+        try:
+            catalog.drop_table(m.group("t"))
+        except Exception as e:
+            resp = getattr(e, "response", None)
+            missing = (isinstance(e, FileNotFoundError)
+                       or getattr(resp, "status_code", None) == 404)
+            if not (missing and m.group("ie")):
+                raise
+        return None
+    m = _DROP_NS_RE.match(statement)
+    if m:
+        try:
+            catalog.drop_namespace(m.group("ns"))
+        except Exception as e:
+            resp = getattr(e, "response", None)
+            missing = (isinstance(e, FileNotFoundError)
+                       or getattr(resp, "status_code", None) == 404)
+            if not (missing and m.group("ie")):
+                raise
+        return None
+    raise ValueError(f"unsupported DROP statement: {statement.strip()[:60]!r}")
 
 
 def _show_describe(spark: SparkSession, statement: str, catalog=None):
@@ -602,20 +695,19 @@ def _reject_leftover(proc: str, pos: list, named: dict) -> None:
 
 def _balanced_close(text: str, i: int) -> int:
     """Index of the ')' matching the '(' at text[i] (quote-aware)."""
-    depth, quote = 0, None
-    for j in range(i, len(text)):
+    depth, j, n = 0, i, len(text)
+    while j < n:
         ch = text[j]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch == "(":
+        if ch in "'\"":
+            j = _skip_quoted(text, j)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
                 return j
+        j += 1
     raise ValueError("unbalanced parentheses in statement")
 
 
@@ -803,12 +895,16 @@ _BRANCH_RE = re.compile(
 _DROP_REF_RE = re.compile(
     r"^DROP\s+(?:BRANCH|TAG)\s+(?P<name>\w+)$", re.IGNORECASE)
 
-# SQL DDL type spelling → the Iceberg type-JSON strings add_column takes
+# SQL DDL type spelling → the Iceberg type-JSON strings add_column takes.
+# `timestamp` matches CREATE TABLE's StructType.fromDDL path, where
+# Spark's `timestamp` is session-tz (TimestampType → Iceberg
+# timestamptz) and `timestamp_ntz` is the no-zone type — the SAME SQL
+# spelling must yield the SAME Iceberg type in CREATE and ALTER.
 _SQL_TYPE_MAP = {
     "bigint": "long", "int": "int", "integer": "int", "smallint": "int",
     "string": "string", "varchar": "string", "double": "double",
     "float": "float", "real": "float", "boolean": "boolean", "date": "date",
-    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
     "timestamptz": "timestamptz", "binary": "binary", "uuid": "uuid",
     "long": "long",
 }
@@ -885,3 +981,139 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
         table.drop_ref(dm2.group("name"))
         return table
     raise ValueError(f"unsupported ALTER TABLE clause: {rest[:60]!r}")
+
+
+# ------------------------------------------------------------ SELECT
+
+# metadata-table suffix → the inspection DataFrame method; the surface
+# the reference's own harness drives through Spark SQL
+# (/root/reference/testdata/toml/partition_day_test.toml:
+# `SELECT partition FROM t1.partitions`;
+# testdata/docker/spark-script/inspect-table.sql reads t.files/
+# t.snapshots/t.manifests the same way).
+_META_SUFFIXES = {
+    "files": "files_df", "partitions": "partitions_df",
+    "snapshots": "snapshots_df", "manifests": "manifests_df",
+    "history": "history_df", "refs": "refs_df",
+}
+
+# NOTE: no ^ anchor — matched via pattern.match(s, pos), where ^ would
+# only ever match at offset 0
+_ASOF_RE = re.compile(
+    r"\s+(?:FOR\s+)?(?:(?:SYSTEM_)?VERSION\s+AS\s+OF\s+"
+    r"(?P<ver>\d+|'[^']*')"
+    r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(?P<ts>\d+|'[^']*'))",
+    re.IGNORECASE)
+
+_IDENT_RE = re.compile(r"\s+(?P<ident>[\w.$/-]+)")
+
+
+def _resolve_select_ref(ident: str, catalog):
+    """(table, meta_suffix) for an icelake reference in a FROM/JOIN, or
+    (None, None) when the identifier is not ours (a Spark temp view —
+    left for Spark to resolve)."""
+    def _try(base: str):
+        try:
+            return _load_target(base, catalog)
+        except Exception:
+            return None
+
+    t = _try(ident)
+    if t is not None:
+        return t, None
+    base, _, last = ident.rpartition(".")
+    if base and last.lower() in _META_SUFFIXES:
+        t = _try(base)
+        if t is not None:
+            return t, last.lower()
+    return None, None
+
+
+def _parse_asof_ms(raw: str) -> int:
+    """TIMESTAMP AS OF value → epoch millis ('YYYY-MM-DD[ HH:MM:SS]'
+    naive = UTC, or an integer already in millis)."""
+    import datetime as _dt
+
+    if raw.isdigit():
+        return int(raw)
+    v = _dt.datetime.fromisoformat(raw[1:-1])
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    return int(v.timestamp() * 1000)
+
+
+def _select(spark: SparkSession, statement: str, catalog=None) -> DataFrame:
+    """SELECT over icelake tables: resolve each icelake identifier in a
+    FROM/JOIN — with optional `VERSION AS OF n|'ref'` / `TIMESTAMP AS OF
+    ts` time travel and `.files/.partitions/.snapshots/.manifests/
+    .history/.refs` metadata suffixes — register the scan as a temp
+    view, rewrite the statement, and hand the rest of the query to
+    Spark SQL (full Catalyst surface). Identifiers that don't resolve
+    as icelake tables pass through untouched (Spark temp views)."""
+    s = statement
+    # FROM/JOIN keyword positions outside string literals (ANY paren
+    # depth: subqueries' FROMs must resolve too)
+    spots: list[int] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            i = _skip_quoted(s, i)
+            continue
+        for kw in ("FROM", "JOIN"):
+            k = len(kw)
+            if (s[i:i + k].upper() == kw
+                    and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                    and (i + k == n or not (s[i + k].isalnum()
+                                            or s[i + k] == "_"))):
+                spots.append(i + k)
+                i += k
+                break
+        else:
+            i += 1
+            continue
+    out, pos, views = [], 0, []
+    for j, spot in enumerate(spots):
+        m = _IDENT_RE.match(s, spot)
+        if not m:
+            continue
+        table, suffix = _resolve_select_ref(m.group("ident"), catalog)
+        if table is None:
+            continue
+        end = m.end()
+        am = _ASOF_RE.match(s, end)
+        scan_kwargs = {}
+        if am:
+            end = am.end()
+            if am.group("ver") is not None:
+                v = am.group("ver")
+                scan_kwargs["ref" if v.startswith("'")
+                            else "snapshot_id"] = \
+                    v[1:-1] if v.startswith("'") else int(v)
+            else:
+                scan_kwargs["as_of_ms"] = _parse_asof_ms(am.group("ts"))
+        view = f"__icelake_select_{j}"
+        if suffix is not None:
+            sid = None
+            if "snapshot_id" in scan_kwargs:
+                sid = scan_kwargs["snapshot_id"]
+            elif scan_kwargs:
+                snap = table.snapshot(**{k: v for k, v in scan_kwargs.items()
+                                         if k in ("as_of_ms", "ref")})
+                sid = snap.snapshot_id if snap else None
+            meth = getattr(table, _META_SUFFIXES[suffix])
+            df = meth(spark, sid) if suffix not in ("snapshots", "history",
+                                                    "refs") else meth(spark)
+            df.createOrReplaceTempView(view)
+        else:
+            table.to_df(spark, **scan_kwargs).createOrReplaceTempView(view)
+        views.append(view)
+        out.append(s[pos:m.start(1)])
+        out.append(view)
+        pos = end
+    out.append(s[pos:])
+    try:
+        return spark.sql("".join(out))  # analyzed eagerly: views can drop
+    finally:
+        for v in views:
+            spark.catalog.dropTempView(v)
