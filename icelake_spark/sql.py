@@ -829,7 +829,10 @@ def _insert_into(spark: SparkSession, statement: str, catalog=None):
     if head == "VALUES":
         df = spark.sql("SELECT * FROM " + rest)
     elif head in ("SELECT", "WITH", "TABLE"):
-        df = spark.sql(rest)
+        # through _select so the body may read icelake tables (time
+        # travel and metadata suffixes included); plain Spark views
+        # pass through unchanged
+        df = _select(spark, rest, catalog=catalog)
     else:
         raise ValueError("INSERT INTO needs VALUES or SELECT")
     table = _load_target(ident, catalog)
