@@ -55,7 +55,15 @@ class StorageCatalog:
         return sorted(out)
 
     def create_namespace(self, namespace: str) -> None:
-        self.io.makedirs(io_join(self.warehouse, *namespace.split(".")))
+        """Raises FileExistsError on an existing namespace — Spark
+        errors with NAMESPACE_ALREADY_EXISTS, and the SQL dispatcher's
+        IF NOT EXISTS branch is meaningless if this silently succeeds
+        (makedirs is exist_ok). Object stores without real directories
+        (memory://) can only detect namespaces that contain files."""
+        path = io_join(self.warehouse, *namespace.split("."))
+        if self.io.exists(path):
+            raise FileExistsError(f"namespace {namespace!r} already exists")
+        self.io.makedirs(path)
 
     def drop_namespace(self, namespace: str) -> None:
         """Remove an EMPTY namespace (same contract as the REST

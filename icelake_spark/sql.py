@@ -29,6 +29,7 @@ the unsupported clause instead of silently mis-executing.
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import Any
 
@@ -1005,21 +1006,90 @@ _META_SUFFIXES = {
 _ASOF_RE = re.compile(
     r"\s+(?:FOR\s+)?(?:(?:SYSTEM_)?VERSION\s+AS\s+OF\s+"
     r"(?P<ver>\d+|'[^']*')"
-    r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(?P<ts>\d+|'[^']*'))",
+    r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(?P<ts>\d+(?:\.\d+)?|'[^']*'))",
     re.IGNORECASE)
 
-_IDENT_RE = re.compile(r"\s+(?P<ident>[\w.$/-]+)")
+_IDENT_RE = re.compile(r"\s*(?P<ident>[\w.$/-]+)")
+
+# Keywords that may directly follow a table reference; anything else in
+# identifier position is a user alias. Used to decide whether the
+# rewritten temp view needs an `AS <last-segment>` alias so queries
+# qualifying columns by the original table name keep resolving.
+_NON_ALIAS_KW = frozenset("""
+    WHERE GROUP ORDER HAVING LIMIT WINDOW UNION INTERSECT EXCEPT MINUS
+    JOIN INNER LEFT RIGHT FULL CROSS NATURAL SEMI ANTI LATERAL ON USING
+    QUALIFY PIVOT UNPIVOT TABLESAMPLE DISTRIBUTE CLUSTER SORT FOR
+    VERSION TIMESTAMP SYSTEM_TIME SYSTEM_VERSION OFFSET FETCH SELECT
+    VALUES WHEN THEN ELSE END AND OR NOT
+""".split())
+
+# Keywords that terminate a FROM clause at its own nesting depth — a
+# top-level comma after one of these (GROUP BY a, b / ORDER BY x, y) is
+# no longer a table-list separator.
+_FROM_END_KW = frozenset("""
+    WHERE GROUP ORDER HAVING LIMIT WINDOW UNION INTERSECT EXCEPT MINUS
+    QUALIFY DISTRIBUTE CLUSTER SORT OFFSET FETCH SELECT ON USING WHEN
+""".split())
+
+_ALIAS_AS_RE = re.compile(r"\s*AS\s+[\w`]", re.IGNORECASE)
+_NEXT_WORD_RE = re.compile(r"\s*(\w+)")
+_CTE_NAME_RE = re.compile(r"\b(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+# Monotonic token for temp-view names: fixed per-statement names would
+# clobber (then drop) a pre-existing user view of the same name when
+# two _select calls interleave or a user picked the literal name.
+_VIEW_SEQ = itertools.count()
 
 
-def _resolve_select_ref(ident: str, catalog):
+def _cte_names(text: str) -> set[str]:
+    """Lower-cased names declared `<name> AS (` outside string literals
+    — the statement's CTEs (plus WINDOW clause names, harmless). These
+    shadow catalog tables in Spark's resolution order, so _select must
+    never rewrite them."""
+    out: set[str] = set()
+    i, seg_start, n = 0, 0, len(text)
+    while i < n:
+        if text[i] in "'\"":
+            for m in _CTE_NAME_RE.finditer(text, seg_start, i):
+                out.add(m.group(1).lower())
+            i = seg_start = _skip_quoted(text, i)
+            continue
+        i += 1
+    for m in _CTE_NAME_RE.finditer(text, seg_start, n):
+        out.add(m.group(1).lower())
+    return out
+
+
+def _resolve_select_ref(ident: str, catalog, spark=None, ctes=()):
     """(table, meta_suffix) for an icelake reference in a FROM/JOIN, or
-    (None, None) when the identifier is not ours (a Spark temp view —
-    left for Spark to resolve)."""
+    (None, None) when the identifier is not ours (a Spark temp view /
+    CTE — left for Spark to resolve).
+
+    Resolution order mirrors Spark's: a CTE declared in this statement
+    or an existing Spark temp view/catalog table of the same name wins
+    over an icelake table. Only *does-not-exist* errors mean "not
+    ours"; a genuine icelake table whose load fails (corrupt metadata,
+    IO error) propagates — degrading it to Spark's
+    TABLE_OR_VIEW_NOT_FOUND would hide the real failure."""
+    if ident.lower() in ctes:
+        return None, None
+    if spark is not None and "/" not in ident:
+        try:
+            if spark.catalog.tableExists(ident):
+                return None, None
+        except Exception:
+            pass  # unparseable as a Spark identifier — not a view
+
     def _try(base: str):
         try:
             return _load_target(base, catalog)
-        except Exception:
+        except FileNotFoundError:
             return None
+        except Exception as e:  # REST: 404 = not found, else propagate
+            resp = getattr(e, "response", None)
+            if getattr(resp, "status_code", None) == 404:
+                return None
+            raise
 
     t = _try(ident)
     if t is not None:
@@ -1032,90 +1102,156 @@ def _resolve_select_ref(ident: str, catalog):
     return None, None
 
 
-def _parse_asof_ms(raw: str) -> int:
-    """TIMESTAMP AS OF value → epoch millis ('YYYY-MM-DD[ HH:MM:SS]'
-    naive = UTC, or an integer already in millis)."""
+def _parse_asof_ms(raw: str, spark=None) -> int:
+    """TIMESTAMP AS OF value → epoch millis. Numeric literals are epoch
+    SECONDS (fractional allowed — Spark/Iceberg SQL semantics, not
+    millis); naive timestamp strings resolve in the Spark session
+    timezone (spark.sql.session.timeZone), matching how Spark itself
+    would interpret the literal."""
     import datetime as _dt
 
-    if raw.isdigit():
-        return int(raw)
+    if not raw.startswith("'"):
+        return int(round(float(raw) * 1000))
     v = _dt.datetime.fromisoformat(raw[1:-1])
     if v.tzinfo is None:
-        v = v.replace(tzinfo=_dt.timezone.utc)
+        tzname = "UTC"
+        if spark is not None:
+            tzname = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        from zoneinfo import ZoneInfo
+
+        try:
+            v = v.replace(tzinfo=ZoneInfo(tzname))
+        except Exception:
+            raise ValueError(
+                f"cannot resolve session timezone {tzname!r} for a naive "
+                f"TIMESTAMP AS OF literal; use an explicit offset")
     return int(v.timestamp() * 1000)
 
 
-def _select(spark: SparkSession, statement: str, catalog=None) -> DataFrame:
-    """SELECT over icelake tables: resolve each icelake identifier in a
-    FROM/JOIN — with optional `VERSION AS OF n|'ref'` / `TIMESTAMP AS OF
-    ts` time travel and `.files/.partitions/.snapshots/.manifests/
-    .history/.refs` metadata suffixes — register the scan as a temp
-    view, rewrite the statement, and hand the rest of the query to
-    Spark SQL (full Catalyst surface). Identifiers that don't resolve
-    as icelake tables pass through untouched (Spark temp views)."""
-    s = statement
-    # FROM/JOIN keyword positions outside string literals (ANY paren
-    # depth: subqueries' FROMs must resolve too)
-    spots: list[int] = []
-    i, n = 0, len(s)
+def _select_ref_spots(s: str) -> list[tuple[int, bool]]:
+    """(position, aliasable) pairs in `s` where a table reference may
+    start: after FROM / JOIN at any paren depth (subqueries' FROMs must
+    resolve too), after a comma inside a FROM clause at the same depth
+    (`FROM a, b` — the oldest join spelling), and after a leading TABLE
+    keyword (not aliasable — `TABLE v AS x` is a syntax error). Quote-
+    aware; clause keywords (WHERE/GROUP/...) end the comma scope at
+    their depth."""
+    spots: list[tuple[int, bool]] = []
+    in_from: dict[int, bool] = {}
+    depth, i, n = 0, 0, len(s)
     while i < n:
         ch = s[i]
         if ch in "'\"":
             i = _skip_quoted(s, i)
             continue
-        for kw in ("FROM", "JOIN"):
-            k = len(kw)
-            if (s[i:i + k].upper() == kw
-                    and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-                    and (i + k == n or not (s[i + k].isalnum()
-                                            or s[i + k] == "_"))):
-                spots.append(i + k)
-                i += k
-                break
-        else:
+        if ch in "([":
+            depth += 1
+            in_from[depth] = False
             i += 1
             continue
+        if ch in ")]":
+            depth -= 1
+            i += 1
+            continue
+        if ch == "," and in_from.get(depth):
+            spots.append((i + 1, True))
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            word = s[i:j].upper()
+            if word in ("FROM", "JOIN"):
+                spots.append((j, True))
+                in_from[depth] = True
+            elif word == "TABLE" and not s[:i].strip():
+                spots.append((j, False))  # `TABLE t` form: alias invalid
+            elif word in _FROM_END_KW:
+                in_from[depth] = False
+            i = j
+            continue
+        i += 1
+    return spots
+
+
+def _select(spark: SparkSession, statement: str, catalog=None) -> DataFrame:
+    """SELECT over icelake tables: resolve each icelake identifier in a
+    FROM/JOIN (or after a top-level comma in a FROM list) — with
+    optional `VERSION AS OF n|'ref'` / `TIMESTAMP AS OF ts` time travel
+    and `.files/.partitions/.snapshots/.manifests/.history/.refs`
+    metadata suffixes — register the scan as a temp view, rewrite the
+    statement, and hand the rest of the query to Spark SQL (full
+    Catalyst surface). Identifiers that don't resolve as icelake tables
+    pass through untouched (Spark temp views, CTEs — which take
+    precedence over same-named icelake tables, matching Spark's
+    resolution order). A reference with no explicit alias is rewritten
+    to `<view> AS <last-segment>` so columns qualified by the original
+    table name keep resolving."""
+    s = statement
+    ctes = _cte_names(s)
+    spots = _select_ref_spots(s)
     out, pos, views = [], 0, []
-    for j, spot in enumerate(spots):
-        m = _IDENT_RE.match(s, spot)
-        if not m:
-            continue
-        table, suffix = _resolve_select_ref(m.group("ident"), catalog)
-        if table is None:
-            continue
-        end = m.end()
-        am = _ASOF_RE.match(s, end)
-        scan_kwargs = {}
-        if am:
-            end = am.end()
-            if am.group("ver") is not None:
-                v = am.group("ver")
-                scan_kwargs["ref" if v.startswith("'")
-                            else "snapshot_id"] = \
-                    v[1:-1] if v.startswith("'") else int(v)
-            else:
-                scan_kwargs["as_of_ms"] = _parse_asof_ms(am.group("ts"))
-        view = f"__icelake_select_{j}"
-        if suffix is not None:
-            sid = None
-            if "snapshot_id" in scan_kwargs:
-                sid = scan_kwargs["snapshot_id"]
-            elif scan_kwargs:
-                snap = table.snapshot(**{k: v for k, v in scan_kwargs.items()
-                                         if k in ("as_of_ms", "ref")})
-                sid = snap.snapshot_id if snap else None
-            meth = getattr(table, _META_SUFFIXES[suffix])
-            df = meth(spark, sid) if suffix not in ("snapshots", "history",
-                                                    "refs") else meth(spark)
-            df.createOrReplaceTempView(view)
-        else:
-            table.to_df(spark, **scan_kwargs).createOrReplaceTempView(view)
-        views.append(view)
-        out.append(s[pos:m.start(1)])
-        out.append(view)
-        pos = end
-    out.append(s[pos:])
     try:
+        for spot, aliasable in spots:
+            m = _IDENT_RE.match(s, spot)
+            if not m:
+                continue
+            table, suffix = _resolve_select_ref(
+                m.group("ident"), catalog, spark=spark, ctes=ctes)
+            if table is None:
+                continue
+            end = m.end()
+            am = _ASOF_RE.match(s, end)
+            scan_kwargs = {}
+            if am:
+                end = am.end()
+                if am.group("ver") is not None:
+                    v = am.group("ver")
+                    scan_kwargs["ref" if v.startswith("'")
+                                else "snapshot_id"] = \
+                        v[1:-1] if v.startswith("'") else int(v)
+                else:
+                    scan_kwargs["as_of_ms"] = _parse_asof_ms(
+                        am.group("ts"), spark)
+            view = f"__icelake_select_{next(_VIEW_SEQ)}"
+            if suffix is not None:
+                if suffix in ("snapshots", "history", "refs"):
+                    if scan_kwargs:
+                        raise ValueError(
+                            f"time travel is not supported on the table-"
+                            f"level .{suffix} metadata table (it already "
+                            f"spans all snapshots)")
+                    df = getattr(table, _META_SUFFIXES[suffix])(spark)
+                else:
+                    sid = None
+                    if "snapshot_id" in scan_kwargs:
+                        sid = scan_kwargs["snapshot_id"]
+                    elif scan_kwargs:
+                        snap = table.snapshot(
+                            **{k: v for k, v in scan_kwargs.items()
+                               if k in ("as_of_ms", "ref")})
+                        sid = snap.snapshot_id if snap else None
+                    df = getattr(table, _META_SUFFIXES[suffix])(spark, sid)
+                df.createOrReplaceTempView(view)
+            else:
+                table.to_df(spark, **scan_kwargs) \
+                     .createOrReplaceTempView(view)
+            views.append(view)
+            out.append(s[pos:m.start("ident")])
+            out.append(view)
+            # keep original-name qualifiers resolving when the user
+            # declared no alias of their own
+            nxt = _NEXT_WORD_RE.match(s, end)
+            has_alias = bool(_ALIAS_AS_RE.match(s, end)) or (
+                nxt is not None and nxt.group(1).upper() not in _NON_ALIAS_KW)
+            if aliasable and not has_alias:
+                last = suffix if suffix is not None else \
+                    re.split(r"[./]", m.group("ident").rstrip("/"))[-1]
+                if re.fullmatch(r"\w+", last) and not last[0].isdigit():
+                    out.append(f" AS {last}")
+            pos = end
+        out.append(s[pos:])
         return spark.sql("".join(out))  # analyzed eagerly: views can drop
     finally:
         for v in views:

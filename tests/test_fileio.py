@@ -508,6 +508,74 @@ def test_mock_scheme_dsv2_read_parquet_and_orc(spark, mock_io):
     cloudpickle.unregister_pickle_by_value(sys.modules[__name__])
 
 
+def test_mock_scheme_dsv2_read_avro_batch_and_stream(spark, mock_io):
+    """Regression for the r6 AVRO executor-read routing
+    (datasource.py:_read_avro_arrow): AVRO data files on a register_io
+    custom-scheme table must be decoded from bytes served by the
+    SHIPPED FileIO on executors, for BOTH the batch and the stream DSv2
+    readers — before the fix the pure-python codec open()ed the raw
+    mock:// path on the worker and crashed."""
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    from icelake_spark import datasource
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    try:
+        datasource.register(spark)
+        src = spark.range(40).selectExpr("id", "cast(id as string) as s")
+        # avro WRITES on custom schemes are refused (python workers
+        # can't resolve register_io factories — write.py:228), so
+        # produce the files on a local staging table, then register
+        # them into the mock:// table by their mock paths (add_files)
+        import shutil
+        import tempfile
+
+        local_cat = StorageCatalog(tempfile.mkdtemp(prefix="avro_stage_"))
+        stage = local_cat.create_table(
+            "db.stage", Schema.from_spark(src.schema),
+            properties={"write.format.default": "avro"})
+        stage.append(src.where("id < 25"))
+        stage = local_cat.load_table("db.stage")
+        stage.append(src.where("id >= 25"))
+        staged, _, _ = stage.new_scan().plan_files()
+
+        cat = StorageCatalog("mock://whavro")
+        t = cat.create_table("db.av", Schema.from_spark(src.schema))
+        mock_paths = []
+        for i, d in enumerate(staged):
+            dst = f"mock://whavro/db/av/data/f{i}.avro"
+            local_dst = mock_io._p(dst)
+            os.makedirs(os.path.dirname(local_dst), exist_ok=True)
+            shutil.copyfile(d.data_file.file_path, local_dst)
+            mock_paths.append(dst)
+        t.add_files(mock_paths, file_format="AVRO")
+        t = cat.load_table("db.av")
+
+        data, _, _ = t.new_scan().plan_files()
+        assert {(d.data_file.file_format or "").upper()
+                for d in data} == {"AVRO"}
+        assert all(d.data_file.file_path.startswith("mock://")
+                   for d in data)
+
+        df = spark.read.format("icelake").option("path", t.path).load()
+        assert sorted(r.id for r in df.collect()) == list(range(40))
+        assert df.where("id = 7").collect()[0].s == "7"
+
+        ck, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+        q = (spark.readStream.format("icelake")
+             .option("path", t.path).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 40
+    finally:
+        cloudpickle.unregister_pickle_by_value(sys.modules[__name__])
+
+
 def test_arrow_io_key_authority_conventions():
     """ArrowFileIO must hand authority-scoped filesystems (hdfs) PURE
     paths while bucket stores (s3/gs) keep bucket/key — and rebuild
