@@ -542,9 +542,38 @@ class IcelakeReader(DataSourceReader):
                     self.ice_fields.get(n), _IceStruct):
                 arr = _rebind_struct(arr, self.ice_fields[n],
                                      to_arrow_type(f.dataType))
+            arr = _spec_physical_to_spark(arr, self.ice_fields.get(n))
             # schema evolution: genuinely new column pads as null
             arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+
+def _spec_physical_to_spark(arr, ice_type):
+    """Normalize the two Iceberg spec physical types Spark has no
+    native type for — written by the arrow writer lane
+    (write.py:write_parquet_arrow) — back to the Spark-side convention
+    the rest of the engine uses: uuid fixed[16] → canonical-hex string,
+    time64[µs] → int64 µs. Gated on the table's declared Iceberg type
+    (a fixed[16] BINARY column must stay raw bytes); everything else
+    passes through untouched."""
+    import uuid as _uuidlib
+
+    import pyarrow as pa
+
+    if arr is None:
+        return None
+    name = getattr(ice_type, "name", None)
+    t = arr.type
+    if name == "uuid" and pa.types.is_fixed_size_binary(t) \
+            and t.byte_width == 16:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pa.array(
+            [None if v is None else str(_uuidlib.UUID(bytes=v))
+             for v in arr.to_pylist()], type=pa.string())
+    if name == "time" and pa.types.is_time(t):
+        return arr.cast(pa.int64())
+    return arr
 
 
 def _stream_offset_of(table, s) -> int:

@@ -424,19 +424,25 @@ def char_entropy_sql(col: str = "text") -> str:
 
 
 def trigram_familiarity(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        top_k: int = 262144) -> DataFrame:
     """(doc_id, n_trigrams, familiarity_sum, familiarity): per-document
     character-trigram familiarity against the corpus — the model-free
     CCNet-style quality signal (a char-LM's log-likelihood is a
     monotone transform of this): gibberish, binary noise, and
     wrong-language text use rare trigrams and score low.
 
-    100 TB shape: the corpus trigram table is BOUNDED by the charset
-    (~|alphabet|³ after normalization), so the counts collapse to one
-    broadcast map row (the encode_documents pattern) and every document
-    scores in place with a single F.aggregate pass — no per-doc
-    shuffle, no join of exploded trigram rows back to the corpus. The
-    score is exact-integer (sum of corpus counts of the doc's
+    100 TB shape: the corpus counts collapse to one broadcast map row
+    (the encode_documents pattern) and every document scores in place
+    with a single F.aggregate pass — no per-doc shuffle, no join of
+    exploded trigram rows back to the corpus. The charset bounds the
+    map (~|alphabet|³ after normalization) only for alphabetic scripts;
+    CJK / multilingual corpora have millions of distinct trigrams, so
+    the map keeps only the deterministic top-`top_k` by (count DESC,
+    gram ASC) — trigrams outside the head contribute 0, exactly the
+    "rare trigram" signal the score is built to punish, and the
+    broadcast stays ~`top_k` entries regardless of corpus size. The
+    score is exact-integer (sum of retained corpus counts of the doc's
     trigrams), so the DuckDB twin matches bit-for-bit;
     `familiarity_micro` is the mean in exact integer micro-units
     (floor((sum*1e6)/n) — engine-independent, unlike decimal division
@@ -453,6 +459,11 @@ def trigram_familiarity(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col), tris.alias("__t"))
     counts = (base.select(F.explode("__t").alias("g"))
               .groupBy("g").agg(F.count("*").alias("c")))
+    if top_k is not None:
+        # TakeOrderedAndProject: K rows reach the driver-side map, not
+        # the full distinct-trigram set
+        counts = counts.orderBy(F.col("c").desc(), F.col("g").asc()) \
+                       .limit(int(top_k))
     cmap = counts.agg(F.map_from_entries(
         F.collect_list(F.struct("g", "c"))).alias("__cmap"))
     # one projection of the aggregate (higher-order fns are
@@ -473,9 +484,10 @@ def trigram_familiarity(df: DataFrame, text_col: str = "text",
             .orderBy(id_col))
 
 
-def trigram_familiarity_sql(col: str = "text") -> str:
-    """DuckDB twin: identical normalization, counts, and exact-integer
-    scoring including the micro-unit floor mean."""
+def trigram_familiarity_sql(col: str = "text", top_k: int = 262144) -> str:
+    """DuckDB twin: identical normalization, counts, the deterministic
+    (count DESC, gram ASC) top-K cap, and exact-integer scoring
+    including the micro-unit floor mean."""
     return f"""
 WITH norm AS (
   SELECT doc_id,
@@ -486,10 +498,11 @@ tris AS (
   FROM norm, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
   WHERE len(t) >= 3),
 counts AS (SELECT g, COUNT(*) AS c FROM tris GROUP BY g),
+capped AS (SELECT g, c FROM counts ORDER BY c DESC, g ASC LIMIT {top_k}),
 scored AS (
   SELECT tris.doc_id, COUNT(*) AS n_trigrams,
-         CAST(SUM(counts.c) AS BIGINT) AS familiarity_sum
-  FROM tris JOIN counts USING (g) GROUP BY tris.doc_id)
+         CAST(SUM(COALESCE(capped.c, 0)) AS BIGINT) AS familiarity_sum
+  FROM tris LEFT JOIN capped USING (g) GROUP BY tris.doc_id)
 SELECT norm.doc_id,
        COALESCE(scored.n_trigrams, 0) AS n_trigrams,
        COALESCE(scored.familiarity_sum, 0) AS familiarity_sum,

@@ -241,10 +241,12 @@ def _to_arrow_type_ids(t: Any):
 
     This is the write-side id propagation the reference does in
     to_arrow.rs:15-45 — Spark's alias metadata can only stamp top-level
-    ids, so the arrow writer lane uses this schema instead. Types match
-    what Spark's mapInArrow hands the worker (string for uuid, binary
-    for fixed, int64 µs for time, UTC µs timestamps), so a plain
-    Table.cast aligns the batch with this schema.
+    ids, so the arrow writer lane (write.py:write_parquet_arrow) uses
+    this schema instead. Physical types follow the Iceberg parquet
+    spec: uuid = fixed[16] (not string), time = annotated time64[µs]
+    (not bare int64), fixed[L] = fixed-size binary. Spark's mapInArrow
+    hands the worker string uuids and int64 µs times; the writer lane's
+    batch-align step converts those, everything else is a plain cast.
     """
     import pyarrow as pa
 
@@ -252,14 +254,16 @@ def _to_arrow_type_ids(t: Any):
         n = t.name
         if n == "decimal":
             return pa.decimal128(t.precision, t.scale)
+        if n == "fixed":
+            return pa.binary(t.length)
         return {
             "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
             "float": pa.float32(), "double": pa.float64(),
-            "date": pa.date32(), "time": pa.int64(),
+            "date": pa.date32(), "time": pa.time64("us"),
             "timestamp": pa.timestamp("us"),
             "timestamptz": pa.timestamp("us", tz="UTC"),
-            "string": pa.string(), "uuid": pa.string(),
-            "binary": pa.binary(), "fixed": pa.binary(),
+            "string": pa.string(), "uuid": pa.binary(16),
+            "binary": pa.binary(),
         }[n]
     if isinstance(t, StructType):
         return pa.struct([_to_arrow_field_ids(f) for f in t.fields])

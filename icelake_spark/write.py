@@ -91,6 +91,7 @@ PROP_FORMAT = "write.format.default"                   # parquet (default) | orc
 PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
 PROP_ROWS_PER_FILE = "write.rows-per-file"
 PROP_BLOOM_PREFIX = "write.parquet.bloom-filter-enabled.column."
+PROP_FIELD_ID_MODE = "write.parquet.field-id-mode"     # name (default) | arrow
 
 
 def _estimate_rows_per_file(df: DataFrame, target_bytes: int) -> int:
@@ -215,7 +216,9 @@ def write_data_files(
     # avro_io codec (avro_data.py) since the spark-avro module is not on
     # this environment's classpath.
     file_format = props.get(PROP_FORMAT, "parquet").lower()
-    avro_paths: list[str] | None = None
+    # paths returned by committer-less python-worker lanes (avro, arrow
+    # parquet): committed by task path list, never by stage dir walk
+    task_paths: list[str] | None = None
     if file_format == "avro":
         from .avro_data import write_avro_data
 
@@ -229,7 +232,7 @@ def write_data_files(
                 "avro data files are written by python workers, which "
                 "cannot resolve custom-registered or memory:// schemes; "
                 "use parquet/orc there")
-        avro_paths = write_avro_data(writer_df, stage, schema,
+        task_paths = write_avro_data(writer_df, stage, schema,
                                      partition_cols=pnames,
                                      max_records_per_file=max_records_per_file)
     elif file_format == "orc":
@@ -238,6 +241,21 @@ def write_data_files(
         if blooms:
             w = w.option("orc.bloom.filter.columns", ",".join(blooms))
         w.orc(io.to_spark_path(stage))
+    elif file_format == "parquet" \
+            and props.get(PROP_FIELD_ID_MODE, "name").lower() == "arrow":
+        # opt-in pyarrow writer lane: stamps PARQUET:field_id at EVERY
+        # nesting level (reference to_arrow.rs:15-45); Spark's alias
+        # metadata above covers top-level ids only
+        from .fileio import executor_resolvable
+
+        if not executor_resolvable(table.path):
+            raise NotImplementedError(
+                "the arrow parquet writer runs in python workers, which "
+                "cannot resolve custom-registered or memory:// schemes")
+        task_paths = write_parquet_arrow(
+            writer_df, stage, schema, partition_cols=pnames,
+            max_records_per_file=max_records_per_file,
+            compression=props.get(PROP_COMPRESSION))
     elif file_format == "parquet":
         for k, v in props.items():  # parquet bloom filters (config.rs:74-93)
             if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true":
@@ -249,10 +267,10 @@ def write_data_files(
                          "(parquet|orc|avro)")
 
     # inventory written files (parquet/orc commit via Spark's committer,
-    # so the stage walk only ever sees complete files; avro uses the
-    # task-returned path list instead)
-    if avro_paths is not None:
-        paths = list(avro_paths)
+    # so the stage walk only ever sees complete files; the python-worker
+    # lanes use the task-returned path list instead)
+    if task_paths is not None:
+        paths = list(task_paths)
     else:
         paths = [f for f, _sz in io.list_files(stage)
                  if f.endswith((".parquet", ".orc"))]
@@ -267,6 +285,122 @@ def write_data_files(
             lambda p: _build_data_file(p, stage, schema, result_types,
                                        sort_order_id, io), paths))
     return out
+
+
+def write_parquet_arrow(df: DataFrame, stage: str, schema: Schema,
+                        partition_cols: list[str] | None = None,
+                        max_records_per_file: int | None = None,
+                        compression: str | None = None) -> list[str]:
+    """Arrow parquet writer lane (opt-in: write.parquet.field-id-mode =
+    arrow): pyarrow writes each file against schema_to_arrow_with_ids,
+    which carries PARQUET:field_id at EVERY nesting level — struct
+    members, list elements, map keys/values — the id propagation the
+    reference does in to_arrow.rs:15-45. Spark's own parquet writer
+    (the default lane) can only stamp TOP-LEVEL ids via alias metadata,
+    so files it writes bind renamed nested members by name; files from
+    this lane bind them by id (datasource._rebind_struct).
+
+    Same task-commit protocol as write_avro_data: executor tasks write
+    straight into `stage` and yield the paths they finished; collect()
+    keeps one winning attempt per partition, so retried/speculative
+    losers' orphans are never registered as table data.
+
+    Scale shape: one streaming ParquetWriter per open hive bucket per
+    task (the caller's repartition on the transform columns bounds open
+    buckets per task), batches append as they arrive, and the roll cap
+    closes files at max_records_per_file — worker memory holds one
+    compressed file buffer per open bucket, not the task's rows.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro_data import _hive_value
+    from .types.datatypes import schema_to_arrow_with_ids
+
+    file_schema = schema_to_arrow_with_ids(schema)
+    pcols = list(partition_cols or [])
+    roll = max_records_per_file or 0
+    codec = (compression or "snappy").lower()
+    resolve_io(stage).makedirs(stage)
+
+    def _align(tbl: "pa.Table") -> "pa.Table":
+        """Reorder/cast a Spark arrow batch to the id-stamped schema.
+        Spark has no uuid type, so uuid columns arrive as canonical-hex
+        strings and convert to the spec's fixed[16] here; everything
+        else (int64 µs → time64, session-tz → UTC timestamps, decimals)
+        is a plain cast."""
+        import uuid as _uuidlib
+
+        cols = []
+        for f in file_schema:
+            col = tbl.column(f.name)
+            if pa.types.is_fixed_size_binary(f.type) \
+                    and pa.types.is_string(col.type):
+                col = pa.chunked_array([pa.array(
+                    [None if s is None else _uuidlib.UUID(s).bytes
+                     for s in c.to_pylist()], type=f.type)
+                    for c in col.chunks] or [pa.array([], type=f.type)])
+            cols.append(col)
+        return pa.Table.from_arrays(
+            cols, names=[f.name for f in file_schema]).cast(file_schema)
+
+    def run(batches):
+        writers: dict[str, list] = {}  # subdir -> [writer, buf, rows]
+        written: list[str] = []
+
+        def flush(subdir: str) -> None:
+            w, buf, rows = writers.pop(subdir)
+            w.close()
+            if rows == 0:
+                return
+            d = io_join(stage, subdir) if subdir else stage
+            fio = resolve_io(d)
+            fio.makedirs(d)
+            path = d + f"/part-{uuid.uuid4().hex}.parquet"
+            fio.write_bytes(path, buf.getvalue().to_pybytes())
+            written.append(path)
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if pcols:
+                keys = list(zip(*[tbl.column(c).to_pylist() for c in pcols]))
+                tbl = tbl.drop_columns(pcols)
+                groups: dict[str, list[int]] = {}
+                for i, k in enumerate(keys):
+                    subdir = "/".join(f"{c}={_hive_value(v)}"
+                                      for c, v in zip(pcols, k))
+                    groups.setdefault(subdir, []).append(i)
+                parts = [(s, tbl.take(pa.array(ix, type=pa.int64())))
+                         for s, ix in groups.items()]
+            else:
+                parts = [("", tbl)]
+            for subdir, sub in parts:
+                sub = _align(sub)
+                offset = 0
+                while offset < sub.num_rows:
+                    st = writers.get(subdir)
+                    if st is None:
+                        buf = pa.BufferOutputStream()
+                        st = writers[subdir] = [
+                            pq.ParquetWriter(buf, file_schema,
+                                             compression=codec), buf, 0]
+                    take = sub.num_rows - offset
+                    if roll:
+                        # strict cap (maxRecordsPerFile semantics):
+                        # slice the batch, don't just flush after it
+                        take = min(take, roll - st[2])
+                    st[0].write_table(sub.slice(offset, take))
+                    st[2] += take
+                    offset += take
+                    if roll and st[2] >= roll:
+                        flush(subdir)
+        for subdir in list(writers):
+            flush(subdir)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(written, type=pa.string())], names=["path"])
+
+    return [r.path for r in
+            df.mapInArrow(run, schema="path string").collect()]
 
 
 # above this file count, footer-stat collection becomes a Spark job

@@ -298,6 +298,55 @@ def test_repetition_metrics_empty_doc(spark):
                 s.top_bigram_frac, s.keep) == o[1:], o
 
 
+def test_trigram_familiarity_top_k_cap(spark):
+    """top_k smaller than the distinct-trigram count: only the
+    deterministic (count DESC, gram ASC) head contributes to
+    familiarity_sum, n_trigrams still counts every trigram, and the
+    DuckDB twin with the same K agrees cell-for-cell."""
+    import collections
+    import re as _re
+
+    import duckdb
+
+    from icelake_spark.ops.text import (
+        trigram_familiarity,
+        trigram_familiarity_sql,
+    )
+
+    rows = [(1, "aaaa bbbb"), (2, "aaaa cccc"), (3, "zzzz"), (4, "xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference computation: corpus counts → top-3 head → rescore
+    tri = {}
+    for d, s in rows:
+        t = _re.sub(r"\s+", " ", s.strip().lower())
+        tri[d] = [t[i:i + 3] for i in range(len(t) - 2)] if len(t) >= 3 \
+            else []
+    cnt = collections.Counter(g for ts in tri.values() for g in ts)
+    assert len(cnt) > 3, "fixture must have more distinct grams than K"
+    head = {g for g, _ in
+            sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+
+    got = {r.doc_id: r for r in
+           trigram_familiarity(df, top_k=3).collect()}
+    for d, ts in tri.items():
+        assert got[d].n_trigrams == len(ts)
+        assert got[d].familiarity_sum == \
+            sum(cnt[g] for g in ts if g in head), d
+    # uncapped differs (the fixture's tail grams carry weight)
+    full = {r.doc_id: r.familiarity_sum
+            for r in trigram_familiarity(df).collect()}
+    assert any(full[d] != got[d].familiarity_sum for d in tri)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for o in con.execute(trigram_familiarity_sql(top_k=3)).fetchall():
+        s = got[o[0]]
+        assert (s.n_trigrams, s.familiarity_sum, s.familiarity_micro) \
+            == o[1:], o
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     from icelake_spark.ops.similarity import train_kmeans
 

@@ -204,3 +204,137 @@ def test_distribution_mode_none_trusts_caller(spark, warehouse):
     # one file per input partition (no coalesce, no shuffle)
     assert len(_data_files(t)) == 6
     assert t.to_df(spark).count() == 1000
+
+
+def test_arrow_field_id_mode_nested_ids_and_rename(spark, warehouse):
+    """write.parquet.field-id-mode=arrow: files carry PARQUET:field_id
+    at EVERY nesting level (reference to_arrow.rs:15-45), so a renamed
+    struct MEMBER in a file we wrote rebinds by id through the DSv2
+    reader — the default Spark lane stamps top-level ids only (alias
+    metadata), where the member could bind by name alone."""
+    from dataclasses import replace as dc_replace
+
+    from icelake_spark import datasource
+    from icelake_spark.types.datatypes import (
+        NestedField,
+        Schema as ISchema,
+        StructType as IStruct,
+    )
+
+    src = spark.createDataFrame(
+        [(1, (10, "x"), [1, 2]), (2, (20, "y"), [3])],
+        "id bigint, s struct<a: bigint, b: string>, xs array<bigint>")
+    t = warehouse.create_table(
+        "db.arrownest", Schema.from_spark(src.schema),
+        properties={"write.parquet.field-id-mode": "arrow"})
+    t.append(src)
+
+    d = _data_files(t)[0]
+    sch = pq.read_schema(d.file_path)
+    sf = sch.field("s")
+    assert sf.metadata and b"PARQUET:field_id" in sf.metadata
+    for i in range(sf.type.num_fields):
+        m = sf.type.field(i)
+        assert m.metadata and b"PARQUET:field_id" in m.metadata, m
+    xs_el = sch.field("xs").type.value_field
+    assert xs_el.metadata and b"PARQUET:field_id" in xs_el.metadata
+
+    got = sorted((r.id, tuple(r.s), list(r.xs))
+                 for r in t.to_df(spark).collect())
+    assert got == [(1, (10, "x"), [1, 2]), (2, (20, "y"), [3])]
+
+    # nested member rename keeping the field id: schema-evolution
+    # surgery the public API reserves for top-level columns
+    cur = t.metadata.current_schema()
+
+    def rn(f):
+        if f.name != "s":
+            return f
+        members = tuple(
+            NestedField(m.field_id,
+                        "a_renamed" if m.name == "a" else m.name,
+                        m.field_type, m.required, m.doc)
+            for m in f.field_type.fields)
+        return NestedField(f.field_id, f.name, IStruct(members),
+                           f.required, f.doc)
+
+    new_schema = ISchema(
+        struct=IStruct(tuple(rn(f) for f in cur.fields)),
+        schema_id=max(s.schema_id for s in t.metadata.schemas) + 1,
+        identifier_field_ids=cur.identifier_field_ids)
+    t._commit_metadata(dc_replace(
+        t.metadata, schemas=t.metadata.schemas + (new_schema,),
+        current_schema_id=new_schema.schema_id))
+
+    datasource.register(spark)
+    df = spark.read.format("icelake").option("path", t.path).load()
+    assert "a_renamed" in df.schema["s"].dataType.fieldNames()
+    rows = {r.id: r.s for r in df.collect()}
+    assert rows[1].a_renamed == 10 and rows[1].b == "x"
+    assert rows[2].a_renamed == 20 and rows[2].b == "y"
+
+
+def test_arrow_field_id_mode_uuid_time_physical(spark, warehouse):
+    """uuid writes as fixed[16], time as annotated time64[µs] (Iceberg
+    parquet physical types — the alias lane stored string/int64), and
+    both read back through the DSv2 reader as the engine's Spark-side
+    conventions (canonical-hex string / µs long)."""
+    import pyarrow as pa
+
+    from icelake_spark import datasource
+    from icelake_spark.types.datatypes import (
+        LONG,
+        TIME,
+        UUID,
+        NestedField,
+        Schema as ISchema,
+        StructType as IStruct,
+    )
+
+    schema = ISchema(struct=IStruct((
+        NestedField(1, "id", LONG, True),
+        NestedField(2, "u", UUID),
+        NestedField(3, "tm", TIME),
+    )))
+    t = warehouse.create_table(
+        "db.uuidtime", schema,
+        properties={"write.parquet.field-id-mode": "arrow"})
+    u1 = "0f0e0d0c-0b0a-0908-0706-050403020100"
+    src = spark.createDataFrame([(1, u1, 3600000000), (2, None, None)],
+                                "id bigint, u string, tm bigint")
+    t.append(src)
+
+    d = _data_files(t)[0]
+    sch = pq.read_schema(d.file_path)
+    assert sch.field("u").type == pa.binary(16)
+    assert sch.field("tm").type == pa.time64("us")
+
+    datasource.register(spark)
+    df = spark.read.format("icelake").option("path", t.path).load()
+    rows = {r.id: (r.u, r.tm) for r in df.collect()}
+    assert rows[1] == (u1, 3600000000)
+    assert rows[2] == (None, None)
+
+
+def test_arrow_field_id_mode_partitioned(spark, warehouse):
+    """The arrow lane fans out hive partition dirs like the default
+    lane: partition values land in manifests and pruning works."""
+    from icelake_spark.types import PartitionField, PartitionSpec
+
+    src = spark.range(300).selectExpr("id", "id % 3 as g")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("g").field_id, 1000, "identity", "g"),))
+    t = warehouse.create_table(
+        "db.arrowpart", schema, spec=spec,
+        properties={"write.parquet.field-id-mode": "arrow",
+                    "write.rows-per-file": "40"})
+    t.append(src)
+    files = _data_files(t)
+    assert {f.partition.get("g") for f in files} == {0, 1, 2}
+    # rows-per-file roll honored by the lane's own writer
+    assert all(f.record_count <= 40 for f in files)
+    pruned, _, _ = t.new_scan(filter="g = 1").plan_files()
+    assert len(pruned) < len(files)
+    assert t.to_df(spark, filter="g = 1").count() == 100
+    assert t.to_df(spark).count() == 300
