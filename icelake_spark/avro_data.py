@@ -252,7 +252,12 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
     roll = max_records_per_file or 1_000_000
     from .fileio import io_join, resolve_io
 
-    resolve_io(stage).makedirs(stage)
+    # resolved HERE (planning process) and closed over: executor python
+    # workers never see register_io factories, so custom-scheme stores
+    # write through this pickled instance — the write twin of the DSv2
+    # readers' shipped self.io
+    fio = resolve_io(stage)
+    fio.makedirs(stage)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         buckets: dict[str, list[dict]] = {}
@@ -263,9 +268,9 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
             if not records:
                 return
             d = io_join(stage, subdir) if subdir else stage
-            resolve_io(d).makedirs(d)
+            fio.makedirs(d)
             path = d + f"/part-{_uuidlib.uuid4().hex}.avro"
-            avro_io.write_avro(path, avro_schema, records)
+            avro_io.write_avro(path, avro_schema, records, io=fio)
             written.append(path)
 
         for pdf in batches:

@@ -323,8 +323,12 @@ def write_avro(
     records: list[dict],
     metadata: dict[str, str] | None = None,
     codec: str = "deflate",
+    io=None,
 ) -> None:
-    """Write records to an Avro container file (atomic: tmp + rename)."""
+    """Write records to an Avro container file (atomic: tmp + rename).
+    `io` supplies a pre-resolved FileIO when the caller runs where the
+    path's scheme cannot be re-resolved (executor python workers never
+    see register_io factories — the write twin of read_avro's `data`)."""
     w = _Writer()
     w.write(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
@@ -347,4 +351,5 @@ def write_avro(
         w.write(block)
         w.write(sync)
     # write_bytes is torn-write-safe per back end (tmp+rename locally)
-    resolve_io(path).write_bytes(path, w.out.getvalue())
+    (io if io is not None else resolve_io(path)) \
+        .write_bytes(path, w.out.getvalue())

@@ -69,12 +69,18 @@ class IcelakeDataSource(DataSource):
         """Reinstall the snapshotted register_io factories in THIS
         process. Called from every entry point, not only __init__ —
         Spark pickles the DataSource instance between its planner
-        workers, and unpickling does not re-run __init__."""
+        workers, and unpickling does not re-run __init__. OVERWRITES
+        any prior factory for the scheme: planner workers are reused
+        across queries, so a stale registration (an earlier session's
+        re-register_io of the same scheme — different root, rotated
+        credentials) would otherwise shadow this query's snapshot
+        forever (was setdefault; surfaced as 'no metadata files' under
+        the OLD root)."""
         if type(self)._io_registry:
             from . import fileio
 
             for sch, fac in type(self)._io_registry.items():
-                fileio._REGISTRY.setdefault(sch, fac)
+                fileio._REGISTRY[sch] = fac
 
     @classmethod
     def name(cls) -> str:

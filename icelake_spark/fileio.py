@@ -618,10 +618,3 @@ def to_spark_paths(paths: Iterable[str]) -> list[str]:
     return [resolve_io(p).to_spark_path(p) for p in paths]
 
 
-def executor_resolvable(path: str) -> bool:
-    """True when resolve_io(path) also works in a FRESH process (Spark
-    python workers): local paths and pyarrow.fs schemes qualify;
-    register_io customs and memory:// exist only in the registering
-    process, so executor-side writers must refuse them loudly."""
-    sch = path_scheme(path)
-    return sch not in _REGISTRY and sch != "memory"

@@ -3240,11 +3240,42 @@ def iceberg_sql_ddl(spark, sf_dir):
         INSERT INTO q.ddl (o_orderkey, o_orderpriority)
         VALUES (900000001, 'X-SYNTH'), (900000002, 'X-SYNTH')
     """, catalog=cat)
+    # namespace + DROP lifecycle (r7): create → populate → drop →
+    # re-create under the same identifier. The recreated table's rows
+    # reach the result; any X-DROPPED survivor (a failed DROP) breaks
+    # the hash, and the drop of a populated namespace has to come after
+    # its table is gone (empty-only contract).
+    execute(spark, "CREATE NAMESPACE q2", catalog=cat)
+    execute(spark, "CREATE NAMESPACE IF NOT EXISTS q2", catalog=cat)
+    execute(spark, """
+        CREATE TABLE q2.scratch (o_orderkey bigint, o_orderpriority string)
+        USING iceberg
+    """, catalog=cat)
+    execute(spark, """
+        INSERT INTO q2.scratch VALUES (1, 'X-DROPPED'), (2, 'X-DROPPED')
+    """, catalog=cat)
+    execute(spark, "DROP TABLE q2.scratch", catalog=cat)
+    execute(spark, "DROP TABLE IF EXISTS q2.scratch", catalog=cat)
+    execute(spark, """
+        CREATE TABLE q2.scratch (
+            o_orderkey bigint, o_totalprice double, o_orderpriority string
+        ) USING iceberg
+    """, catalog=cat)
+    execute(spark, """
+        INSERT INTO q2.scratch (o_orderkey, o_orderpriority)
+        VALUES (900000003, 'X-RECREATED')
+    """, catalog=cat)
+    execute(spark, "CREATE NAMESPACE q3", catalog=cat)
+    execute(spark, "DROP NAMESPACE q3", catalog=cat)
+    execute(spark, "DROP NAMESPACE IF EXISTS q3", catalog=cat)
     t = cat.load_table("q.ddl")
-    return (t.to_df(spark).groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n"),
-                 F.count("o_totalprice").alias("n_priced"),
-                 dsum(F.col("o_totalprice"), "total_price"))
+    agg = lambda df: (df.groupBy("o_orderpriority")  # noqa: E731
+                      .agg(F.count("*").alias("n"),
+                           F.count("o_totalprice").alias("n_priced"),
+                           dsum(F.col("o_totalprice"), "total_price")))
+    sc = cat.load_table("q2.scratch")
+    return (agg(t.to_df(spark))
+            .unionByName(agg(sc.to_df(spark)))
             .orderBy("o_orderpriority"))
 
 
@@ -3255,11 +3286,84 @@ WITH ins AS (
   UNION ALL
   SELECT 900000001, NULL, 'X-SYNTH'
   UNION ALL
-  SELECT 900000002, NULL, 'X-SYNTH')
+  SELECT 900000002, NULL, 'X-SYNTH'
+  UNION ALL
+  SELECT 900000003, NULL, 'X-RECREATED')
 SELECT o_orderpriority, COUNT(*) AS n,
        COUNT(o_totalprice) AS n_priced,
        {dsum_sql('o_totalprice', 'total_price')}
 FROM ins GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def iceberg_sql_select(spark, sf_dir):
+    """SQL READ surface end-to-end through sql.execute alone (the
+    SELECT lane): CREATE identity-partitioned, two INSERT ... SELECT
+    snapshots, then ONE statement combining a comma-style join
+    (`FROM <derived>, t.partitions` — the oldest join spelling) of the
+    current aggregate with the `partitions` metadata table and a
+    `VERSION AS OF` time-travel aggregate. Reference parity: the
+    harness drives exactly this surface through Spark SQL
+    (testdata/toml/partition_day_test.toml:45 `SELECT partition FROM
+    t1.partitions`; testdata/docker/spark-script/inspect-table.sql)."""
+    from .sql import execute
+
+    cat = _tmp_catalog()
+    execute(spark, """
+        CREATE TABLE q.sel (
+            o_orderkey bigint, o_orderstatus string, o_totalprice double
+        ) USING iceberg PARTITIONED BY (o_orderstatus)
+    """, catalog=cat)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sel_src")
+    execute(spark, """
+        INSERT INTO q.sel SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM sel_src WHERE o_orderkey % 4 = 0
+    """, catalog=cat)
+    first = cat.load_table("q.sel").current_snapshot().snapshot_id
+    execute(spark, """
+        INSERT INTO q.sel SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM sel_src WHERE o_orderkey % 4 = 1
+    """, catalog=cat)
+    return execute(spark, f"""
+        SELECT c2.o_orderstatus AS o_orderstatus,
+               c2.n_now AS n_now,
+               c2.total_price AS total_price,
+               COALESCE(c2.n_v1, 0) AS n_v1,
+               p.record_count AS part_rows
+        FROM (SELECT cur.o_orderstatus, cur.n_now, cur.total_price, v1.n_v1
+              FROM (SELECT o_orderstatus, COUNT(*) AS n_now,
+                           {dsum_sql('o_totalprice', 'total_price')}
+                    FROM q.sel GROUP BY o_orderstatus) cur
+              LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS n_v1
+                         FROM q.sel VERSION AS OF {first}
+                         GROUP BY o_orderstatus) v1
+                     ON cur.o_orderstatus = v1.o_orderstatus) c2,
+             q.sel.partitions p
+        WHERE p.partition =
+              concat('[(''o_orderstatus'', ''', c2.o_orderstatus, ''')]')
+        ORDER BY o_orderstatus
+    """, catalog=cat)
+
+
+# part_rows (per-identity-partition record_count from the metadata
+# table) equals the current per-status row count by construction
+ICEBERG_SQL_SELECT_SQL = f"""
+WITH cur AS (
+  SELECT o_orderstatus, COUNT(*) AS n_now,
+         {dsum_sql('o_totalprice', 'total_price')}
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+  GROUP BY o_orderstatus),
+v1 AS (
+  SELECT o_orderstatus, COUNT(*) AS n_v1
+  FROM orders WHERE o_orderkey % 4 = 0
+  GROUP BY o_orderstatus)
+SELECT cur.o_orderstatus AS o_orderstatus,
+       cur.n_now AS n_now,
+       cur.total_price AS total_price,
+       COALESCE(v1.n_v1, 0) AS n_v1,
+       cur.n_now AS part_rows
+FROM cur LEFT JOIN v1 USING (o_orderstatus)
+ORDER BY o_orderstatus
 """
 
 
@@ -3486,29 +3590,86 @@ GROUP BY priority ORDER BY priority
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-5 rotation (VERDICT r4 #7): every query's green driver row
-    must stay <= 2 rounds old. The window holds (1) the six NEW
-    round-5 queries (column-level MERGE, SQL DDL lifecycle, CALL
-    maintenance procedures, trigram familiarity, incremental read,
-    retention-policy dedup, gopher rules — 7 new rows means ONE
-    r3-green row must sit out: multimodal_features, the stable
-    deterministic-stub decode untouched since r2, leads the r6
-    rotation queue at position 53), then
-    (2) all 43 queries whose last driver row was r3 (the sketch/ANN
-    family, avro/orc roundtrips, files_meta, the TPC-H tail), then
-    (3) r4-green rows as window space permits whose code round 5 changed most (the MERGE
-    lowering rework, changelog FileIO routing, the partition stream
-    reader, resolve_path). Queries 51+ were all hash-green in r4."""
+    Round-7 rotation (VERDICT r6 #1 — the r6 window was a copy of
+    r5's, so rotation debt is two rounds deep). The window holds:
+    (1) the NEW r7 row `iceberg_sql_select` plus the two queries whose
+    CODE changed this round (`iceberg_sql_ddl` extended with the
+    namespace/DROP lifecycle; `trigram_familiarity` now top-K-capped);
+    (2) `multimodal_features`, 3 rounds stale — by far the oldest
+    driver evidence — leading the stale block as r6 #1 required;
+    (3) the rest of the r4-green block (last driver rows 3 rounds old:
+    merge/changelog/TPC-H-head families, positions 51+ in the r5/r6
+    registry). Four of that block sit out for space and lead the r8
+    queue: string_date_functions, q14_promo_effect,
+    percentiles_by_status, train_test_split (all pure-SQL rows with
+    pytest twins). Queries 51+ were hash-green in r5/r6 windows or the
+    local full-registry sweep (tools/check_oracle.py)."""
     return {
-        # -- new in round 5 (never driver-checked before) ------------
-        "iceberg_merge_cols": iceberg_merge_cols,
+        # -- new/changed in round 7 ----------------------------------
+        "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
-        "iceberg_sql_call": iceberg_sql_call,
         "trigram_familiarity": trigram_familiarity_q,
+        # -- stale block: last driver row r4 (multimodal: r3) --------
+        "multimodal_features": multimodal_features_q,
+        "iceberg_merge": iceberg_merge,
+        "iceberg_merge_multi": iceberg_merge_multi,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        "iceberg_changelog": iceberg_changelog,
+        "streaming_ingest": streaming_ingest,
+        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
+        "duplicate_spans": duplicate_spans_q,
+        "span_contamination": span_contamination_q,
+        "temperature_sample": temperature_sample_q,
+        "iceberg_update": iceberg_update,
+        "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_compaction": iceberg_compaction,
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "transforms_projection": transforms_projection,
+        "repetition_metrics": repetition_metrics_q,
+        "encode_documents": encode_documents_q,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q18_large_orders": q18_large_orders,
+        "q12_priority_shipping": q12_priority_shipping,
+        "window_functions_suite": window_functions_suite,
+        "grouping_sets_rollup": grouping_sets_rollup,
+        "semi_anti_join_customers": semi_anti_join_customers,
+        "correlated_subquery": correlated_subquery_q,
+        "skew_salted_join": skew_salted_join,
+        "events_sessionize": events_sessionize,
+        "continuous_aggregate": continuous_aggregate,
+        "range_join": range_join_q,
+        "iceberg_upsert": iceberg_upsert,
+        "pipeline_curation": pipeline_curation,
+        "corpus_term_freq": corpus_term_freq,
+        "text_analysis": text_analysis,
+        "dedup_against": dedup_against_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "inverted_index": inverted_index_q,
+        "redact_pii": redact_pii_q,
+        "char_entropy": char_entropy_q,
+        "embedding_neardup": embedding_neardup_q,
+        "ann_topk": ann_topk_q,
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "curation_pipeline": curation_pipeline_q,
+        # ---- beyond the 50-row window ------------------------------
+        # r8 queue head: the four r4-green sit-outs
+        "string_date_functions": string_date_functions,
+        "q14_promo_effect": q14_promo_effect,
+        "percentiles_by_status": percentiles_by_status,
+        "train_test_split": train_test_split,
+        # r5/r6-window rows (driver evidence 1-2 rounds old), all green
+        # in the local full-registry sweep
+        "iceberg_merge_cols": iceberg_merge_cols,
+        "iceberg_sql_call": iceberg_sql_call,
         "iceberg_incremental_read": iceberg_incremental_read,
         "dedup_keep_best": dedup_keep_best_q,
         "gopher_rules": gopher_rules_q,
-        # -- last green in r3: sketch/ANN + formats + TPC-H tail -----
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
@@ -3552,62 +3713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_q,
         "asof_join": asof_join_q,
         "pack_documents": pack_documents_q,
-        # -- r4-green, code changed by round 5 (MERGE/changelog/
-        #    datasource/planning) ------------------------------------
-        # ---- beyond the 50-row window: every query below was
-        # hash-green in round 4 and stays green in the local
-        # full-registry sweep ----------------------------------------
-        "iceberg_merge": iceberg_merge,
-        "iceberg_merge_multi": iceberg_merge_multi,
-        "iceberg_partition_prune": iceberg_partition_prune,
-        "multimodal_features": multimodal_features_q,
-        "iceberg_changelog": iceberg_changelog,
-        "streaming_ingest": streaming_ingest,
-        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
-        "duplicate_spans": duplicate_spans_q,
-        "span_contamination": span_contamination_q,
-        "temperature_sample": temperature_sample_q,
-        "iceberg_update": iceberg_update,
-        "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_compaction": iceberg_compaction,
-        "iceberg_bucket_partition": iceberg_bucket_partition,
-        "transforms_projection": transforms_projection,
-        "repetition_metrics": repetition_metrics_q,
-        "encode_documents": encode_documents_q,
-        "string_date_functions": string_date_functions,
-        "q14_promo_effect": q14_promo_effect,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q18_large_orders": q18_large_orders,
-        "q12_priority_shipping": q12_priority_shipping,
-        "percentiles_by_status": percentiles_by_status,
-        "train_test_split": train_test_split,
-        "window_functions_suite": window_functions_suite,
-        "grouping_sets_rollup": grouping_sets_rollup,
-        "semi_anti_join_customers": semi_anti_join_customers,
-        "correlated_subquery": correlated_subquery_q,
-        "skew_salted_join": skew_salted_join,
-        "events_sessionize": events_sessionize,
-        "continuous_aggregate": continuous_aggregate,
-        "range_join": range_join_q,
-        "iceberg_upsert": iceberg_upsert,
-        "pipeline_curation": pipeline_curation,
-        "corpus_term_freq": corpus_term_freq,
-        "text_analysis": text_analysis,
-        "dedup_against": dedup_against_q,
-        "quantize_embeddings": quantize_embeddings_q,
-        "inverted_index": inverted_index_q,
-        "redact_pii": redact_pii_q,
-        "char_entropy": char_entropy_q,
-        "embedding_neardup": embedding_neardup_q,
-        "ann_topk": ann_topk_q,
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "curation_pipeline": curation_pipeline_q,
     }
 
 
@@ -3675,6 +3780,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
         "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
+        "iceberg_sql_select": ICEBERG_SQL_SELECT_SQL,
         "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,
         "trigram_familiarity": _text.trigram_familiarity_sql(),
         "iceberg_incremental_read": ICEBERG_INCREMENTAL_SQL,

@@ -94,6 +94,21 @@ PROP_BLOOM_PREFIX = "write.parquet.bloom-filter-enabled.column."
 PROP_FIELD_ID_MODE = "write.parquet.field-id-mode"     # name (default) | arrow
 
 
+def _refuse_process_local_store(path: str, lane: str) -> None:
+    """The committer-less python-worker write lanes ship their FileIO
+    with the task closure, so register_io customs write fine — but a
+    memory:// store is per-PROCESS state: worker writes land in the
+    worker's own dict and vanish with it, silently committing paths
+    with no bytes behind them. Refuse loudly."""
+    from .fileio import path_scheme
+
+    if path_scheme(path) == "memory":
+        raise NotImplementedError(
+            f"the {lane} writer runs in python workers; memory:// "
+            f"stores are process-local and would lose the written "
+            f"bytes — use a disk- or object-store-backed scheme")
+
+
 def _estimate_rows_per_file(df: DataFrame, target_bytes: int) -> int:
     """Byte-based rolling (S8, rolling_writer.rs:103-128): Spark's
     maxRecordsPerFile is row-based, so convert the byte target using the
@@ -148,7 +163,9 @@ def write_data_files(
     # id-carrying read schema makes Spark reject id-less legacy files.
     # Nested (struct-member / list / map element) ids are not
     # expressible via alias metadata — TOP-LEVEL ids only; nested
-    # binding stays name-based (rename mapping).
+    # binding stays name-based (rename mapping) UNLESS the table opts
+    # into the arrow lane (write.parquet.field-id-mode=arrow →
+    # write_parquet_arrow below), which stamps every nesting level.
     df = df.select(*[
         F.col(f.name).cast(to_spark_type(f.field_type))
         .alias(f.name, metadata={"parquet.field.id": f.field_id})
@@ -224,14 +241,12 @@ def write_data_files(
 
         # avro tasks have no output committer: inventory ONLY the paths
         # the winning task attempts returned, never the stage dir walk
-        # (a retried/speculative attempt may leave orphan part files)
-        from .fileio import executor_resolvable
-
-        if not executor_resolvable(table.path):
-            raise NotImplementedError(
-                "avro data files are written by python workers, which "
-                "cannot resolve custom-registered or memory:// schemes; "
-                "use parquet/orc there")
+        # (a retried/speculative attempt may leave orphan part files).
+        # register_io customs work — the lane closes over the FileIO
+        # resolved in THIS process and ships it; memory:// cannot (each
+        # worker would write to its own in-process store and the bytes
+        # evaporate with the worker)
+        _refuse_process_local_store(table.path, "avro")
         task_paths = write_avro_data(writer_df, stage, schema,
                                      partition_cols=pnames,
                                      max_records_per_file=max_records_per_file)
@@ -246,12 +261,7 @@ def write_data_files(
         # opt-in pyarrow writer lane: stamps PARQUET:field_id at EVERY
         # nesting level (reference to_arrow.rs:15-45); Spark's alias
         # metadata above covers top-level ids only
-        from .fileio import executor_resolvable
-
-        if not executor_resolvable(table.path):
-            raise NotImplementedError(
-                "the arrow parquet writer runs in python workers, which "
-                "cannot resolve custom-registered or memory:// schemes")
+        _refuse_process_local_store(table.path, "arrow parquet")
         task_paths = write_parquet_arrow(
             writer_df, stage, schema, partition_cols=pnames,
             max_records_per_file=max_records_per_file,
@@ -321,7 +331,11 @@ def write_parquet_arrow(df: DataFrame, stage: str, schema: Schema,
     pcols = list(partition_cols or [])
     roll = max_records_per_file or 0
     codec = (compression or "snappy").lower()
-    resolve_io(stage).makedirs(stage)
+    # resolved in the planning process and closed over — executor
+    # workers can't re-resolve register_io schemes (write twin of the
+    # DSv2 readers' shipped self.io)
+    fio = resolve_io(stage)
+    fio.makedirs(stage)
 
     def _align(tbl: "pa.Table") -> "pa.Table":
         """Reorder/cast a Spark arrow batch to the id-stamped schema.
@@ -354,7 +368,6 @@ def write_parquet_arrow(df: DataFrame, stage: str, schema: Schema,
             if rows == 0:
                 return
             d = io_join(stage, subdir) if subdir else stage
-            fio = resolve_io(d)
             fio.makedirs(d)
             path = d + f"/part-{uuid.uuid4().hex}.parquet"
             fio.write_bytes(path, buf.getvalue().to_pybytes())

@@ -526,32 +526,16 @@ def test_mock_scheme_dsv2_read_avro_batch_and_stream(spark, mock_io):
     try:
         datasource.register(spark)
         src = spark.range(40).selectExpr("id", "cast(id as string) as s")
-        # avro WRITES on custom schemes are refused (python workers
-        # can't resolve register_io factories — write.py:228), so
-        # produce the files on a local staging table, then register
-        # them into the mock:// table by their mock paths (add_files)
-        import shutil
-        import tempfile
-
-        local_cat = StorageCatalog(tempfile.mkdtemp(prefix="avro_stage_"))
-        stage = local_cat.create_table(
-            "db.stage", Schema.from_spark(src.schema),
-            properties={"write.format.default": "avro"})
-        stage.append(src.where("id < 25"))
-        stage = local_cat.load_table("db.stage")
-        stage.append(src.where("id >= 25"))
-        staged, _, _ = stage.new_scan().plan_files()
-
+        # the avro WRITE lane ships the driver-resolved FileIO with the
+        # task closure, so appending straight to the mock:// table
+        # exercises both directions of the routing
         cat = StorageCatalog("mock://whavro")
-        t = cat.create_table("db.av", Schema.from_spark(src.schema))
-        mock_paths = []
-        for i, d in enumerate(staged):
-            dst = f"mock://whavro/db/av/data/f{i}.avro"
-            local_dst = mock_io._p(dst)
-            os.makedirs(os.path.dirname(local_dst), exist_ok=True)
-            shutil.copyfile(d.data_file.file_path, local_dst)
-            mock_paths.append(dst)
-        t.add_files(mock_paths, file_format="AVRO")
+        t = cat.create_table(
+            "db.av", Schema.from_spark(src.schema),
+            properties={"write.format.default": "avro"})
+        t.append(src.where("id < 25"))
+        t = cat.load_table("db.av")
+        t.append(src.where("id >= 25"))
         t = cat.load_table("db.av")
 
         data, _, _ = t.new_scan().plan_files()
