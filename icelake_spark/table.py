@@ -816,29 +816,33 @@ class TableScan:
         # deletes silently unapplied (review r3). __file keeps the REAL
         # path: CoW rewrites and new position-delete content need it.
         df = df.withColumn("__file_c", canon_data_path_col(F.col("__file")))
-        # data-file sequence numbers via a tiny broadcast map
+        # data-file sequence numbers: path → seq. Small scans inline the
+        # map as a literal create_map lookup — a broadcast join here
+        # costs a BroadcastExchange + job per scan, which dominates the
+        # whole query at few-file scale (the bench's single-file MoR
+        # cycle spent ~0.3 s per exchange); big scans keep the broadcast
+        # join (a million-entry literal would bloat the plan instead)
         seq_rows = [(canon_data_path(t.data_file.file_path),
                      t.sequence_number) for t in data]
-        seq_df = spark.createDataFrame(seq_rows, "__file_c string, __data_seq long")
-        df = df.join(F.broadcast(seq_df), on="__file_c", how="left")
+        df = _attach_seq_map(spark, df, seq_rows, "__file_c", "__data_seq")
 
         from .fileio import to_spark_paths
 
         if pos:
             pd_paths = to_spark_paths([t.delete_file.file_path for t in pos])
-            # delete-file seq per source parquet file
-            pseq = spark.createDataFrame(
-                [(canon_data_path(t.delete_file.file_path), t.sequence_number)
-                 for t in pos],
-                "__src string, __del_seq long")
+            # delete-file seq per source parquet file (same inline-map
+            # threshold as the data side)
+            pseq_rows = [(canon_data_path(t.delete_file.file_path),
+                          t.sequence_number) for t in pos]
             pos_df = (spark.read.parquet(*pd_paths)
                       .withColumn("__src", canon_data_path_col(
                           F.col("_metadata.file_path")))
                       .select(canon_data_path_col(F.col("file_path"))
                               .alias("__del_file"),
-                              F.col("pos").alias("__del_pos"), "__src")
-                      .join(F.broadcast(pseq), on="__src", how="left")
-                      .select("__del_file", "__del_pos", "__del_seq"))
+                              F.col("pos").alias("__del_pos"), "__src"))
+            pos_df = _attach_seq_map(spark, pos_df, pseq_rows,
+                                     "__src", "__del_seq") \
+                .select("__del_file", "__del_pos", "__del_seq")
             cond = ((df["__file_c"] == pos_df["__del_file"])
                     & (df["__pos"] == pos_df["__del_pos"])
                     & (df["__data_seq"] <= pos_df["__del_seq"]))
@@ -856,17 +860,16 @@ class TableScan:
             key_cols = [schema.name_by_id(fid) for fid in eq_ids]
             if not key_cols or any(c is None for c in key_cols):
                 continue
-            seq_map = spark.createDataFrame(
-                [(canon_data_path(t.delete_file.file_path), t.sequence_number)
-                 for t in tasks],
-                "__src string, __del_seq long")
+            eq_seq_rows = [(canon_data_path(t.delete_file.file_path),
+                            t.sequence_number) for t in tasks]
             # a key deleted at seq S covers all data with seq < S; keep
             # the max seq per key so one row per key suffices
             del_df = (spark.read.parquet(*to_spark_paths(
                           [t.delete_file.file_path for t in tasks]))
                       .withColumn("__src", canon_data_path_col(
-                          F.col("_metadata.file_path")))
-                      .join(F.broadcast(seq_map), on="__src", how="left")
+                          F.col("_metadata.file_path"))))
+            del_df = (_attach_seq_map(spark, del_df, eq_seq_rows,
+                                      "__src", "__del_seq")
                       .groupBy(*key_cols)
                       .agg(F.max("__del_seq").alias("__del_seq")))
             renamed = del_df.select(
@@ -882,6 +885,31 @@ class TableScan:
         if drop_helpers:
             return df.drop("__file", "__pos", "__data_seq", "__file_c")
         return df  # changelog semi-joins still need __file*/__pos/__data_seq
+
+
+# at or below this entry count a path→seq lookup inlines as a literal
+# create_map; above it, a broadcast join (the literal would bloat the
+# plan — think million-file scans)
+_SEQ_INLINE_MAX = 200
+
+
+def _attach_seq_map(spark: SparkSession, df: DataFrame,
+                    rows: list[tuple[str, int]],
+                    key_col: str, out_col: str) -> DataFrame:
+    """Attach `out_col` = sequence number looked up by `key_col`
+    (canon file path). The inline form costs zero extra Spark jobs and
+    no BroadcastExchange — at few-file scale those exchanges dominate
+    an MoR scan; the join form keeps plans bounded at real file
+    counts. Both produce null for unknown paths (left-join
+    semantics)."""
+    if len(rows) <= _SEQ_INLINE_MAX:
+        uniq = dict(rows)  # create_map rejects duplicate keys
+        if not uniq:
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+        m = F.create_map(*[F.lit(x) for kv in uniq.items() for x in kv])
+        return df.withColumn(out_col, m[F.col(key_col)].cast("long"))
+    side = spark.createDataFrame(rows, f"{key_col} string, {out_col} long")
+    return df.join(F.broadcast(side), on=key_col, how="left")
 
 
 def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask],
