@@ -3367,6 +3367,54 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_sql_ctas(spark, sf_dir):
+    """CTAS / RTAS / branch write-audit-publish purely through
+    sql.execute: CREATE TABLE ... AS SELECT (schema derived from the
+    query, identity-partitioned), stage extra rows on a branch with
+    `INSERT INTO t.branch_staged` (main untouched until CALL
+    system.fast_forward — Iceberg's WAP flow), publish, then
+    CREATE OR REPLACE TABLE ... AS SELECT collapsing the table to its
+    per-status aggregate in ONE atomic replace commit (fresh field
+    ids; history survives). The final SELECT reads the replaced
+    table. Iceberg-parity spellings: Spark's CTAS/RTAS DDL and
+    branch_<name> selectors."""
+    from .sql import execute
+
+    cat = _tmp_catalog()
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ctas_src")
+    execute(spark, """
+        CREATE TABLE q.ct PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ctas_src WHERE o_orderkey % 3 = 0
+    """, catalog=cat)
+    execute(spark, "ALTER TABLE q.ct CREATE BRANCH staged", catalog=cat)
+    execute(spark, """
+        INSERT INTO q.ct.branch_staged
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ctas_src WHERE o_orderkey % 3 = 1
+    """, catalog=cat)
+    execute(spark, "CALL system.fast_forward('q.ct', 'main', 'staged')",
+            catalog=cat)
+    execute(spark, f"""
+        CREATE OR REPLACE TABLE q.ct AS
+        SELECT o_orderstatus, COUNT(*) AS n,
+               {dsum_sql('o_totalprice', 'total_price')}
+        FROM q.ct GROUP BY o_orderstatus
+    """, catalog=cat)
+    return execute(spark, """
+        SELECT o_orderstatus, n, total_price
+        FROM q.ct ORDER BY o_orderstatus
+    """, catalog=cat)
+
+
+ICEBERG_SQL_CTAS_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total_price')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def iceberg_incremental_read(spark, sf_dir):
     """Incremental append scan (table.incremental — Iceberg's
     start/end-snapshot-id read): three append commits with an MoR
@@ -3592,7 +3640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 rotation (VERDICT r6 #1 — the r6 window was a copy of
     r5's, so rotation debt is two rounds deep). The window holds:
-    (1) the NEW r7 row `iceberg_sql_select` plus the two queries whose
+    (1) the NEW r7 rows `iceberg_sql_ctas` (CTAS / RTAS / branch WAP
+    selectors) and `iceberg_sql_select`, plus the two queries whose
     CODE changed this round (`iceberg_sql_ddl` extended with the
     namespace/DROP lifecycle; `trigram_familiarity` now top-K-capped);
     (2) `multimodal_features`, 3 rounds stale — by far the oldest
@@ -3606,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local full-registry sweep (tools/check_oracle.py)."""
     return {
         # -- new/changed in round 7 ----------------------------------
+        "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
         "trigram_familiarity": trigram_familiarity_q,
@@ -3780,6 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
         "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
+        "iceberg_sql_ctas": ICEBERG_SQL_CTAS_SQL,
         "iceberg_sql_select": ICEBERG_SQL_SELECT_SQL,
         "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,
         "trigram_familiarity": _text.trigram_familiarity_sql(),

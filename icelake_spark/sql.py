@@ -726,8 +726,10 @@ def _convert_spec_parts(parts_text: str) -> list[str]:
 
 
 def _create_table(spark: SparkSession, statement: str, catalog=None):
-    """CREATE TABLE [IF NOT EXISTS] ident (col type[, ...]) USING iceberg
+    """CREATE [OR REPLACE] TABLE [IF NOT EXISTS] ident
+    [(col type[, ...])] [USING iceberg]
     [PARTITIONED BY (transform(col), ...)] [TBLPROPERTIES ('k'='v', ...)]
+    [AS <select>]
 
     The statement surface the reference's integration harness issues
     first (/root/reference/testdata/docker/spark-script/init-table.sql:
@@ -735,19 +737,34 @@ def _create_table(spark: SparkSession, statement: str, catalog=None):
     types accept the full Spark DDL grammar (decimal/array/map/struct/
     NOT NULL) via StructType.fromDDL; the partition clause accepts both
     bucket(8, id) and bucket[8](id) spellings.
+
+    CTAS (`AS SELECT`) derives the schema from the query (which runs
+    through _select, so it may read icelake tables, time travel, and
+    metadata suffixes). `CREATE OR REPLACE` on an existing table is
+    RTAS: ONE atomic commit installs the replacement schema (fresh
+    field ids past last-column-id), the declared partition spec
+    (unpartitioned when absent), and an overwrite snapshot with the
+    new data — snapshot history and refs survive, and time travel to
+    pre-replace snapshots reads the old schema.
     """
     if catalog is None:
         raise ValueError("CREATE TABLE requires a catalog")
-    m = re.match(r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    m = re.match(r"^\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?TABLE\s+"
+                 r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
                  r"(?P<target>[\w.$/-]+)\s*", statement, re.IGNORECASE)
     if not m:
         raise ValueError("unsupported CREATE TABLE syntax")
     ident, if_not_exists = m.group("target"), bool(m.group("ine"))
+    or_replace = bool(m.group("rep"))
+    if or_replace and if_not_exists:
+        raise ValueError("CREATE OR REPLACE TABLE cannot take "
+                         "IF NOT EXISTS")
     rest = statement[m.end():]
-    if not rest.startswith("("):
-        raise ValueError("CREATE TABLE needs a (col type, ...) list")
-    close = _balanced_close(rest, 0)
-    cols_text, tail = rest[1:close], rest[close + 1:].strip()
+    cols_text = None
+    if rest.startswith("("):
+        close = _balanced_close(rest, 0)
+        cols_text, rest = rest[1:close], rest[close + 1:]
+    tail = rest.strip()
 
     um = re.match(r"^USING\s+(?P<fmt>\w+)\s*", tail, re.IGNORECASE)
     if um:
@@ -774,17 +791,48 @@ def _create_table(spark: SparkSession, statement: str, catalog=None):
         if not props:
             raise ValueError("TBLPROPERTIES needs 'k' = 'v' pairs")
         tail = t2[close + 1:].strip()
+    df = None
+    am = re.match(r"^AS\s+", tail, re.IGNORECASE)
+    if am:
+        if cols_text is not None:
+            raise ValueError(
+                "CREATE TABLE ... AS SELECT does not take a column list")
+        # through _select: the body may read icelake tables (time
+        # travel / metadata suffixes / branches included)
+        df = _select(spark, tail[am.end():], catalog=catalog)
+        tail = ""
     if tail:
         raise ValueError(f"unsupported CREATE TABLE clause: {tail[:60]!r}")
+    if cols_text is None and df is None:
+        raise ValueError(
+            "CREATE TABLE needs a (col type, ...) list or AS SELECT")
 
     from pyspark.sql.types import StructType
 
     from .types import Schema
 
-    try:
-        st = StructType.fromDDL(cols_text)
-    except Exception as e:
-        raise ValueError(f"bad column list {cols_text[:80]!r}: {e}") from e
+    if cols_text is not None:
+        try:
+            st = StructType.fromDDL(cols_text)
+        except Exception as e:
+            raise ValueError(
+                f"bad column list {cols_text[:80]!r}: {e}") from e
+    else:
+        st = df.schema
+
+    if or_replace:
+        existing = None
+        try:
+            existing = _load_target(ident, catalog)
+        except FileNotFoundError:
+            pass
+        except Exception as e:  # REST: 404 = not found, else propagate
+            resp = getattr(e, "response", None)
+            if getattr(resp, "status_code", None) != 404:
+                raise
+        if existing is not None:
+            return _replace_table(existing, st, spec_parts, props, df)
+
     schema = Schema.from_spark(st)
     try:
         table = catalog.create_table(ident, schema, properties=props)
@@ -800,6 +848,59 @@ def _create_table(spark: SparkSession, statement: str, catalog=None):
         raise
     if spec_parts:
         table.update_spec(*spec_parts)
+    if df is not None:
+        table.append(df)
+    return table
+
+
+def _replace_table(table, st, spec_parts, props, df):
+    """RTAS / REPLACE TABLE on an existing table: one atomic commit
+    swaps in the replacement schema (field ids allocated past
+    last-column-id so they never collide with any id old data files
+    bind), resets the default partition spec to the declared one
+    (unpartitioned when absent — Iceberg REPLACE semantics), removes
+    all existing content, and adds the new data. Snapshot history,
+    refs, and time travel to pre-replace snapshots (under their own
+    schema) all survive, unlike DROP + CREATE."""
+    import copy
+    from dataclasses import replace as dc_replace
+
+    from .transaction import Transaction
+    from .types import Schema
+    from .types.metadata import PartitionSpec, build_partition_fields
+    from .write import write_data_files
+
+    meta = table.metadata
+    new_schema = Schema.from_spark(st, start_id=meta.last_column_id + 1)
+    tx = (Transaction(table)
+          .set_schema(new_schema)
+          .set_default_spec(*(spec_parts or []))
+          .remove_all_existing())
+    if props:
+        tx.set_properties(props)
+    if df is not None:
+        # the files must be laid out under the REPLACEMENT schema and
+        # spec before the commit exists — write through a staged copy
+        # of the table carrying them (field ids and spec fields match
+        # what the commit installs; only schema/spec ids differ, which
+        # the file layout never encodes)
+        sid = max(s.schema_id for s in meta.schemas) + 1
+        staged_schema = dc_replace(new_schema, schema_id=sid)
+        fields, next_fid = build_partition_fields(
+            staged_schema, spec_parts or [], meta.last_partition_id)
+        staged_spec = PartitionSpec(
+            spec_id=max(s.spec_id for s in meta.partition_specs) + 1,
+            fields=fields)
+        staged = copy.copy(table)
+        staged.metadata = dc_replace(
+            meta,
+            schemas=meta.schemas + (staged_schema,),
+            current_schema_id=sid,
+            partition_specs=meta.partition_specs + (staged_spec,),
+            default_spec_id=staged_spec.spec_id,
+            last_partition_id=next_fid)
+        tx.add_data_files(write_data_files(staged, df))
+    tx.commit("replace")
     return table
 
 
@@ -836,7 +937,7 @@ def _insert_into(spark: SparkSession, statement: str, catalog=None):
         df = _select(spark, rest, catalog=catalog)
     else:
         raise ValueError("INSERT INTO needs VALUES or SELECT")
-    table = _load_target(ident, catalog)
+    table, branch = _load_write_target(ident, catalog)
     spark_schema = table.schema().to_spark()
     types = {f.name: f.dataType for f in spark_schema.fields}
     if cols is not None:
@@ -862,17 +963,40 @@ def _insert_into(spark: SparkSession, statement: str, catalog=None):
     out = df.select(*proj)
     if overwrite:
         # INSERT OVERWRITE: replace the table's content in ONE commit
-        # (remove every existing entry + add the new files atomically)
+        # (remove every existing entry + add the new files atomically);
+        # on a branch target, only that branch's content is replaced
         from .transaction import Transaction
         from .write import write_data_files
 
-        tx = Transaction(table)
+        tx = Transaction(table, branch=branch)
         tx.remove_all_existing()
         tx.add_data_files(write_data_files(table, out))
         tx.commit("overwrite")
         return table
-    table.append(out)
+    table.append(out, branch=branch)
     return table
+
+
+def _load_write_target(ident: str, catalog):
+    """(table, branch) for a DML write target: a plain identifier
+    writes to main; Iceberg's `t.branch_<name>` selector stages the
+    commit on that branch (write-audit-publish — main is untouched
+    until CALL system.fast_forward). A real table whose NAME looks
+    like branch_x wins over the selector reading, matching
+    _resolve_select_ref. Tags are immutable: `t.tag_<name>` targets
+    are refused."""
+    try:
+        return _load_target(ident, catalog), None
+    except FileNotFoundError:
+        base, _, last = ident.rpartition(".")
+        bm = _REF_SUFFIX_RE.fullmatch(last) if base else None
+        if not bm:
+            raise
+        if bm.group("kind").lower() == "tag":
+            raise ValueError(
+                "cannot write to a tag (tags are immutable; "
+                "use a branch)")
+        return _load_target(base, catalog), bm.group("name")
 
 
 _ALTER_RE = re.compile(
@@ -1061,9 +1185,11 @@ def _cte_names(text: str) -> set[str]:
 
 
 def _resolve_select_ref(ident: str, catalog, spark=None, ctes=()):
-    """(table, meta_suffix) for an icelake reference in a FROM/JOIN, or
-    (None, None) when the identifier is not ours (a Spark temp view /
-    CTE — left for Spark to resolve).
+    """(table, meta_suffix, ref) for an icelake reference in a
+    FROM/JOIN, or (None, None, None) when the identifier is not ours
+    (a Spark temp view / CTE — left for Spark to resolve). `ref` is a
+    branch/tag name when the identifier carries Iceberg's
+    `.branch_<name>` / `.tag_<name>` selector suffix.
 
     Resolution order mirrors Spark's: a CTE declared in this statement
     or an existing Spark temp view/catalog table of the same name wins
@@ -1072,11 +1198,11 @@ def _resolve_select_ref(ident: str, catalog, spark=None, ctes=()):
     IO error) propagates — degrading it to Spark's
     TABLE_OR_VIEW_NOT_FOUND would hide the real failure."""
     if ident.lower() in ctes:
-        return None, None
+        return None, None, None
     if spark is not None and "/" not in ident:
         try:
             if spark.catalog.tableExists(ident):
-                return None, None
+                return None, None, None
         except Exception:
             pass  # unparseable as a Spark identifier — not a view
 
@@ -1093,13 +1219,35 @@ def _resolve_select_ref(ident: str, catalog, spark=None, ctes=()):
 
     t = _try(ident)
     if t is not None:
-        return t, None
+        return t, None, None
     base, _, last = ident.rpartition(".")
     if base and last.lower() in _META_SUFFIXES:
         t = _try(base)
         if t is not None:
-            return t, last.lower()
-    return None, None
+            return t, last.lower(), None
+    rm = _REF_SUFFIX_RE.fullmatch(last) if base else None
+    if rm:
+        t = _try(base)
+        if t is not None:
+            name = rm.group("name")
+            ref = t.metadata.refs.get(name)
+            if ref is None:
+                raise ValueError(f"table {base!r} has no branch or tag "
+                                 f"named {name!r}")
+            kind = rm.group("kind").lower()
+            if (kind == "branch") != (ref.type == "branch"):
+                raise ValueError(
+                    f"{name!r} is a {ref.type}, not a {kind} "
+                    f"(use .{ref.type}_{name})")
+            return t, None, name
+    return None, None, None
+
+
+# Iceberg's branch/tag read selectors: `FROM t.branch_<name>` /
+# `FROM t.tag_<name>` (the identifier-suffix spelling of
+# VERSION AS OF '<name>')
+_REF_SUFFIX_RE = re.compile(r"(?P<kind>branch|tag)_(?P<name>\w+)",
+                            re.IGNORECASE)
 
 
 def _parse_asof_ms(raw: str, spark=None) -> int:
@@ -1197,14 +1345,18 @@ def _select(spark: SparkSession, statement: str, catalog=None) -> DataFrame:
             m = _IDENT_RE.match(s, spot)
             if not m:
                 continue
-            table, suffix = _resolve_select_ref(
+            table, suffix, ref = _resolve_select_ref(
                 m.group("ident"), catalog, spark=spark, ctes=ctes)
             if table is None:
                 continue
             end = m.end()
             am = _ASOF_RE.match(s, end)
-            scan_kwargs = {}
+            scan_kwargs = {"ref": ref} if ref is not None else {}
             if am:
+                if ref is not None:
+                    raise ValueError(
+                        "cannot combine a .branch_/.tag_ selector with "
+                        "VERSION/TIMESTAMP AS OF")
                 end = am.end()
                 if am.group("ver") is not None:
                     v = am.group("ver")
@@ -1246,8 +1398,10 @@ def _select(spark: SparkSession, statement: str, catalog=None) -> DataFrame:
             has_alias = bool(_ALIAS_AS_RE.match(s, end)) or (
                 nxt is not None and nxt.group(1).upper() not in _NON_ALIAS_KW)
             if aliasable and not has_alias:
-                last = suffix if suffix is not None else \
-                    re.split(r"[./]", m.group("ident").rstrip("/"))[-1]
+                segs = re.split(r"[./]", m.group("ident").rstrip("/"))
+                if ref is not None and len(segs) > 1:
+                    segs = segs[:-1]  # alias by the TABLE, not branch_x
+                last = suffix if suffix is not None else segs[-1]
                 if re.fullmatch(r"\w+", last) and not last[0].isdigit():
                     out.append(f" AS {last}")
             pos = end

@@ -535,30 +535,14 @@ class IcebergTable:
         spec per manifest entry — so only new writes use the new layout.
         """
         from dataclasses import replace as dc_replace
-        from re import match as re_match
 
-        from .types.metadata import PartitionField, PartitionSpec
+        from .types.metadata import PartitionSpec, build_partition_fields
 
-        schema = self.schema()
-        fields = []
-        next_fid = self.metadata.last_partition_id
-        for part in parts:
-            m = re_match(r"^(\w+(?:\[\d+\])?)\((\w+)\)$", part.strip())
-            transform, col = (m.group(1), m.group(2)) if m else ("identity",
-                                                                 part.strip())
-            src = schema.field_by_name(col)
-            if src is None:
-                raise KeyError(f"partition source column {col!r} not found")
-            base = transform.split("[")[0]
-            next_fid += 1
-            fields.append(PartitionField(
-                source_column_id=src.field_id,
-                partition_field_id=next_fid,
-                transform=transform,
-                name=col if base == "identity" else f"{col}_{base}"))
+        fields, next_fid = build_partition_fields(
+            self.schema(), parts, self.metadata.last_partition_id)
         new_spec = PartitionSpec(
             spec_id=max(s.spec_id for s in self.metadata.partition_specs) + 1,
-            fields=tuple(fields))
+            fields=fields)
         self._commit_metadata(dc_replace(
             self.metadata,
             partition_specs=self.metadata.partition_specs + (new_spec,),
@@ -805,7 +789,14 @@ class TableScan:
 
         def _maybe_broadcast(side_df, tasks_):
             total = sum(t.delete_file.file_size_in_bytes or 0 for t in tasks_)
-            return F.broadcast(side_df) if total <= bcast_limit else side_df
+            if total <= bcast_limit:
+                return F.broadcast(side_df)
+            # over the gate: FORCE the shuffle join. Catalyst's own size
+            # estimate of a bare parquet scan can come in under
+            # autoBroadcastJoinThreshold and re-introduce the broadcast
+            # this gate exists to prevent (an unbounded bulk-delete set
+            # broadcast = driver OOM at scale)
+            return side_df.hint("shuffle_hash")
         from .planning import canon_data_path, canon_data_path_col
 
         # __file/__pos were attached per-format-branch by read_data_files.

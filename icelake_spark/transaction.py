@@ -53,6 +53,8 @@ class Transaction:
         self._removed_paths: set[str] = set()
         self._remove_all = False
         self._set_props: dict[str, str] = {}
+        self._staged_schema = None
+        self._staged_spec_parts: list[str] | None = None
         # base head at transaction start: the conflict-retry validation
         # walks new-head ancestry back to this id to detect concurrent
         # file removals that would invalidate this tx's delete files
@@ -82,6 +84,28 @@ class Transaction:
 
     def remove_all_existing(self) -> "Transaction":
         self._remove_all = True
+        return self
+
+    def set_schema(self, schema) -> "Transaction":
+        """Stage a replacement schema, installed ATOMICALLY with the
+        commit (REPLACE TABLE / RTAS): committed metadata gains the
+        schema under a fresh schema id, current-schema-id moves to it,
+        last-column-id covers its field ids, and the snapshot plus its
+        manifests are written against it. The caller allocates field
+        ids (Schema.from_spark(start_id=last_column_id+1)) so they can
+        never collide with ids old data files were written under —
+        time travel to pre-replace snapshots keeps binding those files
+        by THEIR snapshot's schema."""
+        self._staged_schema = schema
+        return self
+
+    def set_default_spec(self, *parts: str) -> "Transaction":
+        """Stage a default partition spec (same part grammar as
+        IcebergTable.update_spec), resolved against the staged schema
+        if one is set, else the current schema — installed atomically
+        with the commit. Zero parts stages the unpartitioned spec
+        (REPLACE TABLE with no PARTITIONED BY resets partitioning)."""
+        self._staged_spec_parts = list(parts)
         return self
 
     def set_properties(self, props: dict[str, str]) -> "Transaction":
@@ -149,7 +173,39 @@ class Transaction:
                           default=0) + 1
         seq = metadata.last_sequence_number + 1
         schema = metadata.current_schema()
+        if self._staged_schema is not None:
+            from dataclasses import replace as dc_replace
+
+            sid = max(s.schema_id for s in metadata.schemas) + 1
+            schema = dc_replace(self._staged_schema, schema_id=sid)
+            metadata = dc_replace(
+                metadata,
+                schemas=metadata.schemas + (schema,),
+                current_schema_id=sid,
+                last_column_id=max(metadata.last_column_id,
+                                   schema.highest_field_id()))
         spec = metadata.default_spec()
+        if self._staged_spec_parts is not None:
+            from dataclasses import replace as dc_replace
+
+            from .types.metadata import PartitionSpec, build_partition_fields
+
+            fields, next_fid = build_partition_fields(
+                schema, self._staged_spec_parts, metadata.last_partition_id)
+            same = tuple((f.source_column_id, f.transform, f.name)
+                         for f in fields) == \
+                tuple((f.source_column_id, f.transform, f.name)
+                      for f in spec.fields)
+            if not same:
+                spec = PartitionSpec(
+                    spec_id=max(s.spec_id
+                                for s in metadata.partition_specs) + 1,
+                    fields=fields)
+                metadata = dc_replace(
+                    metadata,
+                    partition_specs=metadata.partition_specs + (spec,),
+                    default_spec_id=spec.spec_id,
+                    last_partition_id=next_fid)
         commit_uuid = str(uuid.uuid4())
 
         if operation is None:

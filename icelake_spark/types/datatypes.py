@@ -467,11 +467,16 @@ class Schema:
         return Schema(self.struct, self.schema_id, tuple(ids))
 
     @classmethod
-    def from_spark(cls, st: T.StructType, schema_id: int = 0) -> "Schema":
-        counter = iter(range(1, 1 << 31))
+    def from_spark(cls, st: T.StructType, schema_id: int = 0,
+                   start_id: int = 1) -> "Schema":
+        counter = iter(range(start_id, 1 << 31))
         # ids assigned depth-first in field order (identical to DDL order
         # for flat schemas; stable either way since we always round-trip
-        # through our own metadata)
+        # through our own metadata). start_id > 1 is the REPLACE TABLE
+        # path: the replacement schema's ids must not collide with any
+        # id ever used by this table, so old data files (readable via
+        # time travel under their snapshot's schema) can never bind to
+        # a new column by accident.
         struct = from_spark_type(st, lambda: next(counter))
         return cls(struct=struct, schema_id=schema_id)
 

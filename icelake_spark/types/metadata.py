@@ -62,6 +62,34 @@ class PartitionSpec:
                          for i, f in enumerate(j["fields"])))
 
 
+def build_partition_fields(schema, parts, start_fid: int):
+    """`("col", "bucket[8](col)", "year(col)", ...)` → (PartitionField
+    tuple, last allocated partition-field id). Partition field ids are
+    allocated start_fid+1.. — callers pass metadata.last_partition_id
+    so spec evolution (IcebergTable.update_spec) and REPLACE TABLE
+    (Transaction.set_default_spec) agree on id allocation and naming.
+    """
+    import re as _re
+
+    fields = []
+    next_fid = start_fid
+    for part in parts:
+        m = _re.match(r"^(\w+(?:\[\d+\])?)\((\w+)\)$", part.strip())
+        transform, col = (m.group(1), m.group(2)) if m else ("identity",
+                                                             part.strip())
+        src = schema.field_by_name(col)
+        if src is None:
+            raise KeyError(f"partition source column {col!r} not found")
+        base = transform.split("[")[0]
+        next_fid += 1
+        fields.append(PartitionField(
+            source_column_id=src.field_id,
+            partition_field_id=next_fid,
+            transform=transform,
+            name=col if base == "identity" else f"{col}_{base}"))
+    return tuple(fields), next_fid
+
+
 @dataclass(frozen=True)
 class SortField:
     source_column_id: int
