@@ -102,7 +102,8 @@ def write_equality_delete_files(table, keys: DataFrame,
 
 
 def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
-                op_col: str = "_op", **write_kwargs) -> None:
+                op_col: str = "_op", branch: str | None = None,
+                **write_kwargs) -> None:
     """One CDC batch: rows tagged OP_INSERT/OP_DELETE in `op_col`, applied
     in row order (a monotonic _seq breaks ties within the batch).
 
@@ -142,10 +143,19 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         # inserts). An EMPTY table has no prior snapshots — skip delete
         # files entirely (they could never match, and a v1 table's
         # initial load would otherwise die on the v2-only check)
-        tx = Transaction(table)
+        # prior-row visibility is judged at the COMMIT TARGET's head:
+        # a branch commit eq-deletes against the branch's rows (a
+        # missing branch forks from current, same as Transaction)
+        if branch:
+            _r = table.metadata.refs.get(branch)
+            head = (table.metadata.snapshot_by_id(_r.snapshot_id)
+                    if _r else table.current_snapshot())
+        else:
+            head = table.current_snapshot()
+        tx = Transaction(table, branch=branch)
         if inserts.take(1):
             tx.add_data_files(write_data_files(table, inserts, **write_kwargs))
-        if table.current_snapshot() is not None:
+        if head is not None:
             deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
                             .select(*key_cols).dropDuplicates(key_cols))
             # keys being re-inserted also supersede prior snapshots' rows
@@ -155,20 +165,22 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
             if eq_keys.take(1):
                 tx.add_delete_files(
                     write_equality_delete_files(table, eq_keys, key_cols))
-        tx.commit("overwrite" if table.current_snapshot() else "append")
+        tx.commit("overwrite" if head is not None else "append")
     finally:
         df.unpersist()
 
 
 def upsert(table, df: DataFrame, key_cols: list[str] | None = None,
-           **write_kwargs) -> None:
+           branch: str | None = None, **write_kwargs) -> None:
     """INSERT-or-REPLACE by key: all rows are upserts (W8 with all-INSERT
     ops); prior rows with matching keys are equality-deleted."""
     merge_delta(table, df.withColumn("_op", F.lit(OP_INSERT)),
-                key_cols=key_cols, op_col="_op", **write_kwargs)
+                key_cols=key_cols, op_col="_op", branch=branch,
+                **write_kwargs)
 
 
-def delete_rows(table, spark, condition: str) -> None:
+def delete_rows(table, spark, condition: str,
+                branch: str | None = None) -> None:
     """Row-level DELETE WHERE.
 
     Mode selection follows the `write.delete.mode` table property (the
@@ -184,7 +196,11 @@ def delete_rows(table, spark, condition: str) -> None:
 
     from .planning import canon_data_path
 
-    scan = table.new_scan(apply_deletes=True)
+    # a branch target reads the BRANCH's visible rows (the branch
+    # must exist — read-modify DML cannot implicitly fork) and commits
+    # only to that branch
+    scan = table.new_scan(apply_deletes=True,
+                          **({"ref": branch} if branch else {}))
     data, pos_t, eq_t = scan.plan_files(spark)
     if not data:
         return
@@ -239,7 +255,7 @@ def delete_rows(table, spark, condition: str) -> None:
                                              .distinct().collect())]
         if not affected:
             return
-        tx = Transaction(table)
+        tx = Transaction(table, branch=branch)
         _cow_rewrite(tx, affected)
         tx.commit("overwrite")
         return
@@ -258,7 +274,7 @@ def delete_rows(table, spark, condition: str) -> None:
     non_pq_files = [_recorded(r.file_path)
                     for r in matched.where(F.col("pos").isNull())
                     .select("file_path").distinct().collect()]
-    tx = Transaction(table)
+    tx = Transaction(table, branch=branch)
     has_pos = bool(pq_matches.take(1))
     if has_pos:
         tx.add_delete_files(write_position_delete_files(table, pq_matches))
@@ -270,7 +286,8 @@ def delete_rows(table, spark, condition: str) -> None:
 
 
 def update_rows(table, spark, condition: str,
-                assignments: dict[str, str]) -> None:
+                assignments: dict[str, str],
+                branch: str | None = None) -> None:
     """Row-level UPDATE ... SET — the write-side composition the
     reference leaves to the engine (its Spark tests run UPDATE through
     Spark SQL; icelake only supplies the delete/data writers W1-W3).
@@ -292,7 +309,11 @@ def update_rows(table, spark, condition: str,
 
     from .planning import canon_data_path
 
-    scan = table.new_scan(apply_deletes=True)
+    # a branch target reads the BRANCH's visible rows (the branch
+    # must exist — read-modify DML cannot implicitly fork) and commits
+    # only to that branch
+    scan = table.new_scan(apply_deletes=True,
+                          **({"ref": branch} if branch else {}))
     data, pos_t, eq_t = scan.plan_files(spark)
     if not data:
         return
@@ -353,7 +374,7 @@ def update_rows(table, spark, condition: str,
                                              .distinct().collect())]
         if not affected:
             return
-        tx = Transaction(table)
+        tx = Transaction(table, branch=branch)
         _cow_rewrite(tx, affected)
         tx.commit("overwrite")
         return
@@ -364,7 +385,7 @@ def update_rows(table, spark, condition: str,
                     for r in matched.where(F.col("__pos").isNull())
                     .select(F.col("__file").alias("file_path"))
                     .distinct().collect()]
-    tx = Transaction(table)
+    tx = Transaction(table, branch=branch)
     has_pos = bool(pq_matches.take(1))
     if has_pos:
         # honor the same spec-optional deleted-row payload delete_rows
@@ -394,7 +415,8 @@ def merge(table, spark, source: DataFrame, on: list[str],
           matched_condition: str | None = None,
           when_not_matched: str | None = "insert",
           matched_clauses: list[tuple] | None = None,
-          insert_cols: tuple[list[str], list[str]] | None = None) -> None:
+          insert_cols: tuple[list[str], list[str]] | None = None,
+          branch: str | None = None) -> None:
     """MERGE INTO semantics over the delta writer (the SQL-DML face of
     W7/W8): source rows whose keys exist in the target are updated
     (replace: eq-delete old + insert new) or deleted per the matched
@@ -452,8 +474,9 @@ def merge(table, spark, source: DataFrame, on: list[str],
     if any(sets for _, _, sets in matched_clauses) or insert_cols is not None:
         return _merge_column_level(table, spark, source, on,
                                    matched_clauses, when_not_matched,
-                                   insert_cols)
-    existing = table.to_df(spark).select(*on).distinct()
+                                   insert_cols, branch=branch)
+    existing = table.to_df(spark, **({"ref": branch} if branch else {})) \
+        .select(*on).distinct()
     parts = []
     if matched_clauses:
         matched = source.join(existing, on=on, how="left_semi")
@@ -476,13 +499,14 @@ def merge(table, spark, source: DataFrame, on: list[str],
     batch = parts[0]
     for p in parts[1:]:
         batch = batch.unionByName(p)
-    merge_delta(table, batch, key_cols=on, op_col="_op")
+    merge_delta(table, batch, key_cols=on, op_col="_op", branch=branch)
 
 
 def _merge_column_level(table, spark, source: DataFrame, on: list[str],
                         matched_clauses: list[tuple],
                         when_not_matched: str | None,
-                        insert_cols: tuple[list[str], list[str]] | None) -> None:
+                        insert_cols: tuple[list[str], list[str]] | None,
+                        branch: str | None = None) -> None:
     """Column-level MERGE lowering: `UPDATE SET col = expr` /
     `INSERT (cols) VALUES (exprs)` (the most common real-world MERGE
     shapes — the reference drives the same statements through Spark SQL,
@@ -509,7 +533,8 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
             raise ValueError(
                 f"cannot UPDATE SET a merge key column: {sorted(key_sets)}")
     src = source.alias("s")
-    tgt = table.to_df(spark).alias("t")
+    tgt = table.to_df(spark, **({"ref": branch} if branch else {})) \
+        .alias("t")
     parts = []
     if matched_clauses:
         jcond = None
@@ -577,4 +602,4 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
     batch = parts[0]
     for p in parts[1:]:
         batch = batch.unionByName(p)
-    merge_delta(table, batch, key_cols=on, op_col="_op")
+    merge_delta(table, batch, key_cols=on, op_col="_op", branch=branch)

@@ -292,18 +292,12 @@ def merge_into(spark: SparkSession, statement: str,
             norm.append((act, cond, None))
         matched_clauses = norm
 
-    from .table import IcebergTable
-
-    ident = m.group("target")
-    if catalog is not None:
-        table = catalog.load_table(ident)
-    else:
-        table = IcebergTable.load(ident)
+    table, branch = _load_write_target(m.group("target"), catalog)
     source = source_df if source_df is not None else spark.table(m.group("source"))
     delta.merge(table, spark, source, on=keys,
                 matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched,
-                insert_cols=insert_cols)
+                insert_cols=insert_cols, branch=branch)
     return table
 
 
@@ -395,17 +389,18 @@ def execute(spark: SparkSession, statement: str, catalog=None,
         if not m:
             raise ValueError("unsupported DELETE syntax; expected "
                              "DELETE FROM t [WHERE cond]")
-        table = _load_target(m.group("target"), catalog)
+        table, branch = _load_write_target(m.group("target"), catalog)
         cond = m.group("cond")
         if cond is None:
             # full truncate: one overwrite commit removing everything
+            # (on a branch target, only that branch's content)
             from .transaction import Transaction
 
-            tx = Transaction(table)
+            tx = Transaction(table, branch=branch)
             tx.remove_all_existing()
             tx.commit("delete")
             return table
-        table.delete_where(spark, cond)
+        table.delete_where(spark, cond, branch=branch)
         return table
     if head == "UPDATE":
         m = _UPDATE_RE.match(s)
@@ -424,8 +419,9 @@ def execute(spark: SparkSession, statement: str, catalog=None,
             if col in assignments:
                 raise ValueError(f"duplicate SET column {col!r}")
             assignments[col] = am.group("expr")
-        table = _load_target(m.group("target"), catalog)
-        update_rows(table, spark, where_cond or "true", assignments)
+        table, branch = _load_write_target(m.group("target"), catalog)
+        update_rows(table, spark, where_cond or "true", assignments,
+                    branch=branch)
         return table
     if head == "ALTER":
         return _alter_table(spark, s, catalog=catalog)

@@ -466,10 +466,11 @@ class IcebergTable:
 
         _ow(self, df, **kwargs)
 
-    def delete_where(self, spark: SparkSession, condition: str) -> None:
+    def delete_where(self, spark: SparkSession, condition: str,
+                     branch: str | None = None) -> None:
         from .maintenance import delete_where as _dw
 
-        _dw(self, spark, condition)
+        _dw(self, spark, condition, branch=branch)
 
     def fast_forward(self, ref: str, to_ref: str) -> None:
         """Publish: point `ref` at `to_ref`'s head (write-audit-publish

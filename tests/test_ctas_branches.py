@@ -193,6 +193,48 @@ def test_real_table_named_like_branch_wins(ex):
     assert ex("SELECT count(*) AS c FROM db.branch_x").collect()[0].c == 2
 
 
+def test_branch_delete_update(ex, warehouse):
+    ex("ALTER TABLE db.src CREATE BRANCH wip")
+    ex("DELETE FROM db.src.branch_wip WHERE id <= 2")
+    ex("UPDATE db.src.branch_wip SET v = concat(v, '!') WHERE id = 3")
+    br = sorted((r.id, r.v) for r in
+                ex("SELECT * FROM db.src.branch_wip").collect())
+    assert br == [(3, "c!"), (4, "d")]
+    # main is untouched by any of it
+    main = sorted((r.id, r.v) for r in
+                  ex("SELECT * FROM db.src").collect())
+    assert main == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_branch_merge_then_publish(ex, spark):
+    ex("ALTER TABLE db.src CREATE BRANCH wip")
+    spark.createDataFrame([(4, 9, "D"), (9, 9, "i")],
+                          "id bigint, k int, v string") \
+        .createOrReplaceTempView("branch_merge_src")
+    ex("MERGE INTO db.src.branch_wip AS t USING branch_merge_src AS s "
+       "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+       "WHEN NOT MATCHED THEN INSERT *")
+    br = sorted((r.id, r.v) for r in
+                ex("SELECT id, v FROM db.src.branch_wip").collect())
+    assert br == [(1, "a"), (2, "b"), (3, "c"), (4, "D"), (9, "i")]
+    assert ex("SELECT count(*) AS c FROM db.src").collect()[0].c == 4
+    ex("CALL system.fast_forward('db.src', 'main', 'wip')")
+    assert ex("SELECT count(*) AS c FROM db.src").collect()[0].c == 5
+
+
+def test_branch_truncate_only_branch(ex):
+    ex("ALTER TABLE db.src CREATE BRANCH empty")
+    ex("DELETE FROM db.src.branch_empty")
+    assert ex("SELECT count(*) AS c FROM db.src.branch_empty"
+              ).collect()[0].c == 0
+    assert ex("SELECT count(*) AS c FROM db.src").collect()[0].c == 4
+
+
+def test_branch_read_modify_requires_existing_branch(ex):
+    with pytest.raises(KeyError, match="nope"):
+        ex("DELETE FROM db.src.branch_nope WHERE id = 1")
+
+
 def test_ctas_from_branch_and_time_travel_body(ex, warehouse):
     warehouse.load_table("db.src").create_branch("feat")
     ex("INSERT INTO db.src.branch_feat VALUES (50, 5, 'x')")
