@@ -246,6 +246,52 @@ def rollback_to(table, snapshot_id: int) -> None:
             {"snapshot-id": snapshot_id, "timestamp-ms": now},)))
 
 
+def cherrypick_snapshot(table, snapshot_id: int) -> None:
+    """Apply ONE staged snapshot's additions onto the current state
+    (Iceberg's `system.cherrypick_snapshot` — the per-snapshot publish
+    primitive of write-audit-publish, vs fast_forward which moves the
+    whole branch). Restricted to APPEND snapshots, as Iceberg is:
+    replaying a delete/overwrite against a head that has since moved
+    could resurrect or re-remove files its manifests no longer
+    describe. The pick re-commits the snapshot's ADDED data files
+    through a fresh Transaction (new snapshot id/sequence on main;
+    the parquet files themselves are shared, not copied), so history
+    records both the staged commit and the publish."""
+    from .transaction import Transaction
+    from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
+
+    md = table.metadata
+    snap = md.snapshot_by_id(snapshot_id)  # KeyError if unknown
+    cur = md.current_snapshot()
+    if cur is not None and snap.snapshot_id == cur.snapshot_id:
+        return  # picking the head is a no-op
+    op = snap.summary.get("operation", "append")
+    if op != "append":
+        raise ValueError(
+            f"cherrypick_snapshot only applies append snapshots; "
+            f"snapshot {snapshot_id} is {op!r}")
+    default_spec_id = md.default_spec().spec_id
+    adds = []
+    for mle in read_manifest_list(table._resolve(snap.manifest_list)):
+        if mle.added_snapshot_id != snapshot_id:
+            continue
+        if mle.partition_spec_id != default_spec_id:
+            raise ValueError(
+                f"cherrypick_snapshot: snapshot {snapshot_id} wrote under "
+                f"spec {mle.partition_spec_id}, table default is now "
+                f"{default_spec_id} — cannot re-commit across a spec change")
+        _, entries = read_manifest(table._resolve(mle.manifest_path))
+        for e in entries:
+            if e.status == STATUS_ADDED and e.snapshot_id == snapshot_id:
+                e.data_file.file_path = table._resolve(e.data_file.file_path)
+                adds.append(e.data_file)
+    if not adds:
+        return
+    tx = Transaction(table)
+    tx.add_data_files(adds)
+    tx.commit("append")
+
+
 def rewrite_manifests(table) -> int:
     """Compact the metadata tree: merge all live data-manifest entries
     into one manifest per partition-spec (delete manifests carry over

@@ -645,14 +645,21 @@ def _call_procedure(spark: SparkSession, statement: str, catalog=None):
             pos = pos[1:]
         _reject_leftover(proc, pos, named)
         return maintenance.expire_snapshots(table, **kw)
-    if proc == "rollback_to_snapshot":
+    if proc in ("rollback_to_snapshot", "set_current_snapshot",
+                "cherrypick_snapshot"):
         sid = named.pop("snapshot_id", None)
         if sid is None:
             if not pos:
-                raise ValueError("rollback_to_snapshot needs snapshot_id")
+                raise ValueError(f"{proc} needs snapshot_id")
             sid, pos = pos[0], pos[1:]
         _reject_leftover(proc, pos, named)
-        maintenance.rollback_to(table, int(sid))
+        if proc == "cherrypick_snapshot":
+            # publish ONE staged append onto main (WAP per-snapshot)
+            maintenance.cherrypick_snapshot(table, int(sid))
+        else:
+            # set_current_snapshot is rollback without the "earlier"
+            # connotation — same metadata-only ref move either way
+            maintenance.rollback_to(table, int(sid))
         return table
     if proc == "remove_orphan_files":
         kw = {}

@@ -235,6 +235,37 @@ def test_branch_read_modify_requires_existing_branch(ex):
         ex("DELETE FROM db.src.branch_nope WHERE id = 1")
 
 
+def test_cherrypick_single_staged_append(ex, warehouse):
+    ex("ALTER TABLE db.src CREATE BRANCH wip")
+    ex("INSERT INTO db.src.branch_wip VALUES (5, 5, 'e')")
+    ex("INSERT INTO db.src.branch_wip VALUES (6, 6, 'f')")
+    t = warehouse.load_table("db.src")
+    head2 = t.metadata.snapshot_by_id(t.metadata.refs["wip"].snapshot_id)
+    first_staged = head2.parent_snapshot_id
+    ex(f"CALL system.cherrypick_snapshot('db.src', {first_staged})")
+    # main got ONLY the first staged append; the branch is untouched
+    assert sorted(r.id for r in ex("SELECT id FROM db.src").collect()) \
+        == [1, 2, 3, 4, 5]
+    assert sorted(r.id for r in
+                  ex("SELECT id FROM db.src.branch_wip").collect()) \
+        == [1, 2, 3, 4, 5, 6]
+
+
+def test_cherrypick_refuses_non_append(ex, warehouse):
+    ex("ALTER TABLE db.src CREATE BRANCH wip")
+    ex("DELETE FROM db.src.branch_wip WHERE id = 1")
+    sid = warehouse.load_table("db.src").metadata.refs["wip"].snapshot_id
+    with pytest.raises(ValueError, match="append"):
+        ex(f"CALL system.cherrypick_snapshot('db.src', {sid})")
+
+
+def test_set_current_snapshot(ex, warehouse):
+    first = warehouse.load_table("db.src").current_snapshot().snapshot_id
+    ex("INSERT INTO db.src VALUES (5, 5, 'e')")
+    ex(f"CALL system.set_current_snapshot('db.src', {first})")
+    assert ex("SELECT count(*) AS c FROM db.src").collect()[0].c == 4
+
+
 def test_ctas_from_branch_and_time_travel_body(ex, warehouse):
     warehouse.load_table("db.src").create_branch("feat")
     ex("INSERT INTO db.src.branch_feat VALUES (50, 5, 'x')")
