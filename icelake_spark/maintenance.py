@@ -246,6 +246,53 @@ def rollback_to(table, snapshot_id: int) -> None:
             {"snapshot-id": snapshot_id, "timestamp-ms": now},)))
 
 
+def rewrite_position_deletes(table, spark) -> int:
+    """Compact position-delete files (Iceberg's
+    `system.rewrite_position_delete_files`): merge every live
+    position-delete entry into one sorted file set, dropping dangling
+    pairs whose target data file is no longer live (left behind by
+    compaction/CoW rewrites). Returns the number of delete files
+    before compaction.
+
+    THE MoR scale lever: every scan reads every live delete file, so a
+    table taking steady row-level deletes degrades linearly until its
+    delete set is compacted. The new file commits at the current
+    sequence number — for position deletes that is coverage-neutral
+    (pairs target explicit (file,pos) rows and data-file paths are
+    unique), matching Iceberg's own rewrite behavior. Equality deletes
+    are left untouched: collapsing them WOULD change coverage (their
+    seq gates which data they apply to)."""
+    from pyspark.sql import functions as F
+
+    from .fileio import to_spark_paths
+    from .planning import canon_data_path, canon_data_path_col
+    from .transaction import Transaction
+
+    data, pos, _eq = table.new_scan().plan_files(spark)
+    if len(pos) <= 1:
+        return len(pos)
+    old_paths = sorted({t.delete_file.file_path for t in pos})
+    if len(old_paths) <= 1:
+        return len(old_paths)
+    live = spark.createDataFrame(
+        [(canon_data_path(t.data_file.file_path),) for t in data],
+        "__live string")
+    merged = (spark.read.parquet(*to_spark_paths(old_paths))
+              .select("file_path", "pos")
+              .join(F.broadcast(live),
+                    canon_data_path_col(F.col("file_path"))
+                    == F.col("__live"), "left_semi"))
+    from .delta import write_position_delete_files
+
+    new_files = write_position_delete_files(table, merged)
+    tx = Transaction(table)
+    tx.remove_delete_files(old_paths)
+    if new_files:
+        tx.add_delete_files(new_files)
+    tx.commit("replace")
+    return len(old_paths)
+
+
 def cherrypick_snapshot(table, snapshot_id: int) -> None:
     """Apply ONE staged snapshot's additions onto the current state
     (Iceberg's `system.cherrypick_snapshot` — the per-snapshot publish

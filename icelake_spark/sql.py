@@ -673,6 +673,9 @@ def _call_procedure(spark: SparkSession, statement: str, catalog=None):
     if proc == "rewrite_manifests":
         _reject_leftover(proc, pos, named)
         return maintenance.rewrite_manifests(table)
+    if proc == "rewrite_position_delete_files":
+        _reject_leftover(proc, pos, named)
+        return maintenance.rewrite_position_deletes(table, spark)
     if proc == "fast_forward":
         branch = named.pop("branch", None)
         to = named.pop("to", None)

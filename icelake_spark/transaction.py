@@ -51,6 +51,7 @@ class Transaction:
         self._added_data: list[DataFile] = []
         self._added_deletes: list[DataFile] = []
         self._removed_paths: set[str] = set()
+        self._removed_delete_paths: set[str] = set()
         self._remove_all = False
         self._set_props: dict[str, str] = {}
         self._staged_schema = None
@@ -84,6 +85,15 @@ class Transaction:
 
     def remove_all_existing(self) -> "Transaction":
         self._remove_all = True
+        return self
+
+    def remove_delete_files(self, paths: list[str]) -> "Transaction":
+        """Drop specific DELETE files (position/equality): the commit
+        rewrites the delete manifests without them. Pair with
+        add_delete_files carrying a merged replacement —
+        delete-compaction (rewrite_position_deletes), the MoR scale
+        lever against an ever-growing per-scan delete-file list."""
+        self._removed_delete_paths.update(norm_path(p) for p in paths)
         return self
 
     def set_schema(self, schema) -> "Transaction":
@@ -144,7 +154,8 @@ class Transaction:
 
                 record_conflict_retry(self._table_name())
                 attempt += 1
-                rewrite = self._remove_all or bool(self._removed_paths)
+                rewrite = (self._remove_all or self._removed_paths
+                           or self._removed_delete_paths)
                 if rewrite or attempt > retries:
                     raise
                 self.table.refresh()
@@ -213,7 +224,8 @@ class Transaction:
 
         new_list_entries = []
         removed_count = removed_rows = removed_size = 0
-        rewrite = self._remove_all or bool(self._removed_paths)
+        rewrite = bool(self._remove_all or self._removed_paths
+                       or self._removed_delete_paths)
 
         # carry forward previous manifests; rewrite them when removing files
         prev_entries = []
@@ -233,9 +245,7 @@ class Transaction:
                 if mle.content == MANIFEST_CONTENT_DELETES:
                     # a full rewrite (replace/overwrite-all) materializes
                     # all deletes into the new files — drop the manifests
-                    if not self._remove_all:
-                        delete_manifests_kept.append(mle)
-                    else:
+                    if self._remove_all:
                         # the dropped delete FILES' bytes were added to
                         # total-files-size when they committed; subtract
                         # them or the total carries ghost bytes forever
@@ -244,6 +254,52 @@ class Transaction:
                         removed_size += sum(
                             e.data_file.file_size_in_bytes
                             for e in d_entries if e.is_alive)
+                        continue
+                    if not self._removed_delete_paths:
+                        delete_manifests_kept.append(mle)
+                        continue
+                    # delete-compaction: rewrite this manifest without
+                    # the removed delete files. Surviving entries keep
+                    # their ORIGINAL sequence numbers (explicit per-entry
+                    # seq on STATUS_EXISTING) — applicability of an
+                    # untouched delete file must not change
+                    _, d_entries = read_manifest(
+                        table._resolve(mle.manifest_path))
+                    keep = []
+                    alive = 0
+                    for e in d_entries:
+                        if not e.is_alive:
+                            continue
+                        alive += 1
+                        e.data_file.file_path = table._resolve(
+                            e.data_file.file_path)
+                        if (norm_path(e.data_file.file_path)
+                                in self._removed_delete_paths):
+                            removed_size += e.data_file.file_size_in_bytes
+                        else:
+                            dseq = (e.sequence_number
+                                    if e.sequence_number is not None
+                                    else mle.sequence_number)
+                            keep.append(ManifestEntry(
+                                status=STATUS_EXISTING,
+                                data_file=e.data_file,
+                                snapshot_id=e.snapshot_id,
+                                sequence_number=dseq,
+                                file_sequence_number=e.file_sequence_number))
+                    if len(keep) == alive:
+                        delete_manifests_kept.append(mle)
+                    elif keep:
+                        try:
+                            d_spec = metadata.spec_by_id(mle.partition_spec_id)
+                        except KeyError:
+                            d_spec = spec
+                        m_path = io_join(
+                            meta_dir,
+                            f"{commit_uuid}-m{len(new_list_entries)}.avro")
+                        delete_manifests_kept.append(write_manifest(
+                            m_path, keep, d_spec, schema, snapshot_id,
+                            metadata.format_version,
+                            MANIFEST_CONTENT_DELETES, sequence_number=seq))
                     continue
                 _, entries = read_manifest(table._resolve(mle.manifest_path))
                 for e in entries:

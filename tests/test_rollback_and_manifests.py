@@ -339,3 +339,70 @@ def test_expire_snapshots_deletes_only_after_commit(spark, warehouse, monkeypatc
     assert before == after  # nothing deleted on a failed commit
     # and the table still reads fine
     assert IcebergTable.load(t.path).to_df(spark).count() == 20
+
+
+def test_rewrite_position_deletes_compacts(spark, warehouse):
+    """N delete commits → N pos-delete files, every scan reads all of
+    them; compaction merges them into one file with identical rows."""
+    from icelake_spark.maintenance import rewrite_position_deletes
+
+    src = spark.range(1000).selectExpr("id", "id % 7 as g")
+    t = warehouse.create_table("db.pdc", Schema.from_spark(src.schema))
+    t.append(src)
+    for i in range(4):
+        t = t.refresh()
+        t.delete_where(spark, f"id % 10 = {i}")
+    t = t.refresh()
+    before = sorted(r.id for r in t.to_df(spark).collect())
+    _, pos, _ = t.new_scan().plan_files(spark)
+    assert len(pos) == 4
+    assert rewrite_position_deletes(t, spark) == 4
+    t = t.refresh()
+    _, pos2, _ = t.new_scan().plan_files(spark)
+    assert len(pos2) == 1
+    assert sorted(r.id for r in t.to_df(spark).collect()) == before
+    assert len(before) == 600
+    # deletes AFTER compaction still apply on top
+    t.delete_where(spark, "id = 5")
+    t = t.refresh()
+    assert t.to_df(spark).count() == 599
+
+
+def test_rewrite_position_deletes_keeps_equality_deletes(spark, warehouse):
+    from icelake_spark.delta import upsert
+    from icelake_spark.maintenance import rewrite_position_deletes
+
+    src = spark.range(200).selectExpr("id", "cast(id as string) as v")
+    t = warehouse.create_table("db.pde", Schema.from_spark(src.schema))
+    t.append(src)
+    # equality deletes (upsert) + two position-delete commits
+    upsert(t, spark.createDataFrame([(1, "one"), (2, "two")],
+                                    "id long, v string"), key_cols=["id"])
+    t = t.refresh()
+    t.delete_where(spark, "id = 10")
+    t = t.refresh()
+    t.delete_where(spark, "id = 11")
+    t = t.refresh()
+    before = sorted((r.id, r.v) for r in t.to_df(spark).collect())
+    _, pos, eq = t.new_scan().plan_files(spark)
+    assert len(pos) == 2 and len(eq) == 1
+    assert rewrite_position_deletes(t, spark) == 2
+    t = t.refresh()
+    _, pos2, eq2 = t.new_scan().plan_files(spark)
+    assert len(pos2) == 1 and len(eq2) == 1  # eq deletes untouched
+    assert sorted((r.id, r.v) for r in t.to_df(spark).collect()) == before
+
+
+def test_rewrite_position_deletes_noop_single_file(spark, warehouse):
+    from icelake_spark.maintenance import rewrite_position_deletes
+
+    src = spark.range(100).selectExpr("id")
+    t = warehouse.create_table("db.pd1", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.delete_where(spark, "id = 1")
+    t = t.refresh()
+    snaps_before = len(t.metadata.snapshots)
+    assert rewrite_position_deletes(t, spark) == 1
+    t = t.refresh()
+    assert len(t.metadata.snapshots) == snaps_before  # no commit
