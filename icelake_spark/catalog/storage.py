@@ -198,6 +198,28 @@ def load_metadata(table_path: str) -> tuple[TableMetadata, int]:
     return TableMetadata.from_json(io.read_bytes(best_path)), best_version
 
 
+def with_metadata_log(table_path: str, metadata: TableMetadata,
+                      base_metadata: TableMetadata,
+                      base_version: int) -> TableMetadata:
+    """Append the superseded metadata file to `metadata-log` (capped by
+    write.metadata.previous-versions-max, Iceberg default 100) — the
+    lineage the `metadata_log_entries` inspection table reads. Called
+    by storage-catalog committers before the metadata write; REST
+    catalogs maintain the log server-side."""
+    from dataclasses import replace as _dc_replace
+
+    keep = int(metadata.properties.get(
+        "write.metadata.previous-versions-max", "100"))
+    entry = {
+        "timestamp-ms": base_metadata.last_updated_ms,
+        "metadata-file": io_join(
+            table_path, "metadata", f"v{base_version}.metadata.json"),
+    }
+    return _dc_replace(
+        metadata,
+        metadata_log=(tuple(metadata.metadata_log) + (entry,))[-keep:])
+
+
 def commit_metadata(table_path: str, metadata: TableMetadata, new_version: int) -> int:
     """Atomic metadata write: create-exclusive on the final name, then
     version hint (storage.rs:175-231). The create-exclusive guarantee is

@@ -72,7 +72,9 @@ def _write_small_parquet(table, df: DataFrame, content: int,
     return files
 
 
-def write_position_delete_files(table, deletes: DataFrame) -> list[DataFile]:
+def write_position_delete_files(table, deletes: DataFrame,
+                                target_partitions: int | None = None,
+                                ) -> list[DataFile]:
     """deletes: DataFrame(file_path string, pos long[, row struct]).
     Sorted per spec.
 
@@ -87,8 +89,16 @@ def write_position_delete_files(table, deletes: DataFrame) -> list[DataFile]:
     if "row" in deletes.columns:
         cols.append(F.col("row"))
     df = deletes.select(*cols)
-    # global sort by (file, pos) mirrors SortedPositionDeleteWriter (O1)
-    df = df.repartition("file_path").sortWithinPartitions("file_path", "pos")
+    # global sort by (file, pos) mirrors SortedPositionDeleteWriter (O1).
+    # target_partitions (delete compaction) bounds the output file
+    # count from the INPUT size instead of spark.sql.shuffle.partitions
+    # — a compaction that fans 3 small files out to 32 smaller ones
+    # would be anti-compaction
+    if target_partitions is not None:
+        df = df.repartition(target_partitions, "file_path")
+    else:
+        df = df.repartition("file_path")
+    df = df.sortWithinPartitions("file_path", "pos")
     return _write_small_parquet(table, df, CONTENT_POSITION_DELETES)
 
 

@@ -284,7 +284,13 @@ def rewrite_position_deletes(table, spark) -> int:
                     == F.col("__live"), "left_semi"))
     from .delta import write_position_delete_files
 
-    new_files = write_position_delete_files(table, merged)
+    # output file count sized from the INPUT bytes (64 MiB target), so
+    # compacting 3 small files yields 1, and a 10 GiB delete set still
+    # parallelizes — never the shuffle-partition default
+    total = sum(t.delete_file.file_size_in_bytes or 0 for t in pos)
+    n_parts = max(1, (total + (64 << 20) - 1) // (64 << 20))
+    new_files = write_position_delete_files(
+        table, merged, target_partitions=int(n_parts))
     tx = Transaction(table)
     tx.remove_delete_files(old_paths)
     if new_files:

@@ -548,3 +548,71 @@ def split_tasks(tasks, file_scan_task, delete_file_task):
         elif content == CONTENT_EQUALITY_DELETES:
             eq.append(delete_file_task(df, seq))
     return data, pos, eq
+
+
+ENTRIES_DF_SCHEMA = ("mi int, fi int, status int, snapshot_id long, "
+                     "sequence_number long, file_sequence_number long, "
+                     "content int, file_path string, file_format string, "
+                     "record_count long, file_size_in_bytes long, "
+                     "partition string")
+
+
+def manifest_entries_df(spark, table_path: str,
+                        mles: list[ManifestListEntry]):
+    """`entries` metadata table as a distributed Spark job: one row per
+    manifest entry INCLUDING status=deleted tombstones (which
+    plan_files_df deliberately drops), with inherited sequence numbers
+    materialized. Same executor-side shape as plan_files_df — at a
+    million entries nothing is collected to the driver (parity surface:
+    Iceberg's `SELECT * FROM t.entries`; the reference walks the same
+    entries driver-side in table.rs:281-304)."""
+    import pandas as pd
+
+    blobs = [(i, pickle.dumps(mle)) for i, mle in enumerate(mles)]
+    ctx = pickle.dumps(table_path)
+
+    def run(batches):
+        tpath = pickle.loads(ctx)
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "mi", "fi", "status", "snapshot_id", "sequence_number",
+                "file_sequence_number", "content", "file_path",
+                "file_format", "record_count", "file_size_in_bytes",
+                "partition")}
+            for i, blob in zip(pdf["i"], pdf["task"]):
+                mle = pickle.loads(bytes(blob))
+                _, entries = read_manifest(
+                    resolve_path(tpath, mle.manifest_path))
+                for fi, e in enumerate(entries):
+                    d = e.data_file
+                    # spec: ADDED entries inherit the manifest-list seq
+                    # when their own field is null; DELETED/EXISTING
+                    # carry explicit values (written by our own
+                    # manifest writer) or inherit likewise
+                    seq = (e.sequence_number if e.sequence_number
+                           is not None else mle.sequence_number)
+                    fseq = (e.file_sequence_number
+                            if e.file_sequence_number is not None else seq)
+                    cols["mi"].append(int(i))
+                    cols["fi"].append(fi)
+                    cols["status"].append(int(e.status))
+                    cols["snapshot_id"].append(
+                        int(e.snapshot_id if e.snapshot_id is not None
+                            else mle.added_snapshot_id))
+                    cols["sequence_number"].append(int(seq))
+                    cols["file_sequence_number"].append(int(fseq))
+                    cols["content"].append(int(mle.content))
+                    cols["file_path"].append(d.file_path)
+                    cols["file_format"].append(d.file_format or "PARQUET")
+                    cols["record_count"].append(int(d.record_count or 0))
+                    cols["file_size_in_bytes"].append(
+                        int(d.file_size_in_bytes or 0))
+                    cols["partition"].append(
+                        canonical_partition(d.partition))
+            yield pd.DataFrame(cols)
+
+    if not blobs:
+        return spark.createDataFrame([], ENTRIES_DF_SCHEMA)
+    n_parts = max(1, min(len(blobs), 256))
+    src = spark.createDataFrame(blobs, "i int, task binary").repartition(n_parts)
+    return src.mapInPandas(run, schema=ENTRIES_DF_SCHEMA)

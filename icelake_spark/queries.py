@@ -3367,6 +3367,130 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_delete_compaction(spark, sf_dir):
+    """X3 + P5/O1: position-delete compaction (Iceberg's
+    `system.rewrite_position_delete_files`) end-to-end through the SQL
+    surface, verified against the new `delete_files` metadata table:
+    insert a third of orders, three row-level DELETE commits (3
+    position-delete files — every MoR scan reads all of them), CALL
+    the rewrite (3 → 1 merged sorted file; output file count sized
+    from INPUT bytes, never the shuffle-partition default), then one
+    SELECT joining the surviving per-status aggregate with the
+    delete-file inventory. n_delete_files is deterministically 1 and
+    n_deleted equals the rows the deletes removed — both oracle-exact
+    from the source table alone. Reference parity: delete-file
+    planning in table.rs:281-304; sorted delete writer
+    position_delete_writer.rs:90-178."""
+    from .sql import execute
+
+    cat = _tmp_catalog()
+    execute(spark, """
+        CREATE TABLE q.dc (
+            o_orderkey bigint, o_orderstatus string, o_totalprice double
+        ) USING iceberg
+    """, catalog=cat)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dc_src")
+    execute(spark, """
+        INSERT INTO q.dc SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM dc_src WHERE o_orderkey % 3 = 0
+    """, catalog=cat)
+    for i in range(3):
+        execute(spark, f"DELETE FROM q.dc WHERE o_orderkey % 7 = {i}",
+                catalog=cat)
+    execute(spark, "CALL system.rewrite_position_delete_files('q.dc')",
+            catalog=cat)
+    return execute(spark, f"""
+        SELECT d.o_orderstatus AS o_orderstatus,
+               COUNT(*) AS n_rows,
+               {dsum_sql('d.o_totalprice', 'total_price')},
+               f.n_delete_files AS n_delete_files,
+               f.n_deleted AS n_deleted
+        FROM q.dc d,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_delete_files,
+                     CAST(SUM(record_count) AS BIGINT) AS n_deleted
+              FROM q.dc.delete_files) f
+        GROUP BY d.o_orderstatus, f.n_delete_files, f.n_deleted
+        ORDER BY o_orderstatus
+    """, catalog=cat)
+
+
+ICEBERG_DELETE_COMPACTION_SQL = f"""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+del AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+  FROM base WHERE o_orderkey % 7 IN (0, 1, 2))
+SELECT k.o_orderstatus AS o_orderstatus,
+       COUNT(*) AS n_rows,
+       {dsum_sql('k.o_totalprice', 'total_price')},
+       CAST(1 AS BIGINT) AS n_delete_files,
+       del.n_deleted AS n_deleted
+FROM base k CROSS JOIN del
+WHERE k.o_orderkey % 7 NOT IN (0, 1, 2)
+GROUP BY k.o_orderstatus, del.n_deleted
+ORDER BY o_orderstatus
+"""
+
+
+def iceberg_metadata_tables(spark, sf_dir):
+    """X4 completion: the round-7 inspection tables (`entries`,
+    `data_files`, `delete_files`, `all_manifests`,
+    `metadata_log_entries`) driven purely through SQL suffixes, with
+    every output column derivable from the source rows alone:
+    record-count sums are engine-independent (row counts survive any
+    file fan-out), the snapshot count is the commit count, and the
+    metadata lineage length is commits+create — the commit path now
+    appends each superseded metadata file (capped by
+    write.metadata.previous-versions-max) exactly like Iceberg's
+    TableMetadata previousFiles. Parity: Iceberg metadata tables;
+    reference inspects the same structures in
+    testdata/docker/spark-script/inspect-table.sql."""
+    from .sql import execute
+
+    cat = _tmp_catalog()
+    execute(spark, """
+        CREATE TABLE q.mt (
+            c_custkey bigint, c_mktsegment string, c_acctbal double
+        ) USING iceberg
+    """, catalog=cat)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mt_src")
+    execute(spark, """
+        INSERT INTO q.mt SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM mt_src WHERE c_custkey % 2 = 0
+    """, catalog=cat)
+    execute(spark, """
+        INSERT INTO q.mt SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM mt_src WHERE c_custkey % 2 = 1
+    """, catalog=cat)
+    execute(spark, "DELETE FROM q.mt WHERE c_custkey % 11 = 0",
+            catalog=cat)
+    return execute(spark, """
+        SELECT e.data_rows AS data_rows,
+               d.deleted_rows AS deleted_rows,
+               m.n_snapshots AS n_snapshots,
+               l.n_meta_files AS n_meta_files
+        FROM (SELECT CAST(SUM(record_count) AS BIGINT) AS data_rows
+              FROM q.mt.entries WHERE status != 2 AND content = 0) e,
+             (SELECT CAST(SUM(record_count) AS BIGINT) AS deleted_rows
+              FROM q.mt.delete_files) d,
+             (SELECT CAST(COUNT(DISTINCT reference_snapshot_id) AS BIGINT)
+                     AS n_snapshots
+              FROM q.mt.all_manifests) m,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_meta_files
+              FROM q.mt.metadata_log_entries) l
+    """, catalog=cat)
+
+
+ICEBERG_METADATA_TABLES_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS data_rows,
+       CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS deleted_rows,
+       CAST(3 AS BIGINT) AS n_snapshots,
+       CAST(4 AS BIGINT) AS n_meta_files
+FROM customer
+"""
+
+
 def iceberg_sql_ctas(spark, sf_dir):
     """CTAS / RTAS / branch write-audit-publish purely through
     sql.execute: CREATE TABLE ... AS SELECT (schema derived from the
@@ -3640,7 +3764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 rotation (VERDICT r6 #1 — the r6 window was a copy of
     r5's, so rotation debt is two rounds deep). The window holds:
-    (1) the NEW r7 rows `iceberg_sql_ctas` (CTAS / RTAS / branch WAP
+    (1) the NEW r7 rows `iceberg_delete_compaction` (position-delete
+    compaction via CALL) and `iceberg_metadata_tables` (the
+    entries/data_files/delete_files/all_manifests/metadata_log
+    inspection surface), `iceberg_sql_ctas` (CTAS / RTAS / branch WAP
     selectors) and `iceberg_sql_select`, plus the two queries whose
     CODE changed this round (`iceberg_sql_ddl` extended with the
     namespace/DROP lifecycle; `trigram_familiarity` now top-K-capped);
@@ -3648,13 +3775,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver evidence — leading the stale block as r6 #1 required;
     (3) the rest of the r4-green block (last driver rows 3 rounds old:
     merge/changelog/TPC-H-head families, positions 51+ in the r5/r6
-    registry). Four of that block sit out for space and lead the r8
-    queue: string_date_functions, q14_promo_effect,
-    percentiles_by_status, train_test_split (all pure-SQL rows with
-    pytest twins). Queries 51+ were hash-green in r5/r6 windows or the
-    local full-registry sweep (tools/check_oracle.py)."""
+    registry). Six rows sit out for space and lead the r8 queue:
+    iceberg_mor_delete + curation_pipeline (displaced by the two
+    late-r7 queries; both are bench rows, re-verified every bench
+    run) and the four r4-green pure-SQL sit-outs
+    string_date_functions, q14_promo_effect, percentiles_by_status,
+    train_test_split. Queries 51+ were hash-green in r5/r6 windows or
+    the local full-registry sweep (tools/check_oracle.py)."""
     return {
         # -- new/changed in round 7 ----------------------------------
+        "iceberg_delete_compaction": iceberg_delete_compaction,
+        "iceberg_metadata_tables": iceberg_metadata_tables,
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
@@ -3705,10 +3836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup_q,
         "ann_topk": ann_topk_q,
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        # ---- beyond the 50-row window ------------------------------
+        # r8 queue head: bench rows displaced by the two late-r7
+        # queries (both stay green in the local sweep + bench), then
+        # the four r4-green sit-outs
         "iceberg_mor_delete": iceberg_mor_delete,
         "curation_pipeline": curation_pipeline_q,
-        # ---- beyond the 50-row window ------------------------------
-        # r8 queue head: the four r4-green sit-outs
         "string_date_functions": string_date_functions,
         "q14_promo_effect": q14_promo_effect,
         "percentiles_by_status": percentiles_by_status,
@@ -3830,6 +3963,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_multi": ICEBERG_MERGE_MULTI_SQL,
         "iceberg_merge_cols": ICEBERG_MERGE_COLS_SQL,
         "iceberg_sql_ddl": ICEBERG_SQL_DDL_SQL,
+        "iceberg_delete_compaction": ICEBERG_DELETE_COMPACTION_SQL,
+        "iceberg_metadata_tables": ICEBERG_METADATA_TABLES_SQL,
         "iceberg_sql_ctas": ICEBERG_SQL_CTAS_SQL,
         "iceberg_sql_select": ICEBERG_SQL_SELECT_SQL,
         "iceberg_sql_call": ICEBERG_SQL_CALL_SQL,

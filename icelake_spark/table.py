@@ -202,6 +202,95 @@ class IcebergTable:
                   "added_snapshot_id long, added_data_files_count int, "
                   "existing_data_files_count int, deleted_data_files_count int")
 
+    def data_files_df(self, spark: SparkSession,
+                      snapshot_id: int | None = None) -> DataFrame:
+        """`data_files` metadata table — files_df restricted to
+        content=0 (the live data-file inventory)."""
+        return self.files_df(spark, snapshot_id).where(F.col("content") == 0)
+
+    def delete_files_df(self, spark: SparkSession,
+                        snapshot_id: int | None = None) -> DataFrame:
+        """`delete_files` metadata table — position (content=1) and
+        equality (content=2) delete files the next scan will apply;
+        its row count is exactly what rewrite_position_delete_files
+        compacts down."""
+        return self.files_df(spark, snapshot_id).where(F.col("content") != 0)
+
+    def entries_df(self, spark: SparkSession,
+                   snapshot_id: int | None = None) -> DataFrame:
+        """`entries` metadata table: one row per manifest entry of the
+        (time-travelable) snapshot, INCLUDING status=2 tombstones that
+        every planning path skips — the only inspection surface where a
+        rewrite's removals stay visible. Distributed (planning.
+        manifest_entries_df); nothing collected driver-side."""
+        from . import planning
+
+        snap = self.snapshot(snapshot_id)
+        mles = (read_manifest_list(self._resolve(snap.manifest_list))
+                if snap else [])
+        return planning.manifest_entries_df(
+            spark, self.path, mles).drop("mi", "fi")
+
+    def all_manifests_df(self, spark: SparkSession) -> DataFrame:
+        """`all_manifests` metadata table: manifests of EVERY snapshot
+        (current and historical), with `reference_snapshot_id` saying
+        which snapshot referenced each row — the input inventory for
+        expire_snapshots / remove_orphan_files audits."""
+        rows = []
+        for s in self.metadata.snapshots:
+            for mle in read_manifest_list(self._resolve(s.manifest_list)):
+                rows.append((mle.manifest_path, mle.manifest_length,
+                             mle.partition_spec_id, mle.content,
+                             mle.added_snapshot_id, s.snapshot_id))
+        return spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int, "
+                  "content int, added_snapshot_id long, "
+                  "reference_snapshot_id long")
+
+    def all_files_df(self, spark: SparkSession) -> DataFrame:
+        """`all_files` metadata table: live files referenced by ANY
+        snapshot. Manifests are deduplicated across snapshots before
+        the distributed plan job runs (shared manifests are the common
+        case — each commit carries most predecessors forward), then
+        projected like files_df and made distinct on file identity."""
+        seen: set[str] = set()
+        mles = []
+        for s in self.metadata.snapshots:
+            for mle in read_manifest_list(self._resolve(s.manifest_list)):
+                if mle.manifest_path not in seen:
+                    seen.add(mle.manifest_path)
+                    mles.append(mle)
+        from . import planning
+
+        pdf = planning.plan_files_df(spark, self.path, self.metadata, mles)
+        return (pdf.select(
+            "content", "file_path", "file_format", "partition",
+            "record_count", F.col("file_size").alias("file_size_in_bytes"))
+            .distinct())
+
+    def metadata_log_df(self, spark: SparkSession) -> DataFrame:
+        """`metadata_log_entries` metadata table: the metadata-file
+        lineage (one row per previous metadata.json plus the current
+        one), with the latest snapshot id recorded at each point —
+        what time-travel-by-metadata-version debugging reads."""
+        rows = []
+        for m in self.metadata.metadata_log:
+            ts = m.get("timestamp-ms")
+            sid = None
+            for h in self.metadata.snapshot_log:
+                if ts is not None and h["timestamp-ms"] <= ts:
+                    sid = h["snapshot-id"]
+            rows.append((ts, m.get("metadata-file"), sid))
+        cur = self.metadata.current_snapshot()
+        from .fileio import io_join
+
+        rows.append((self.metadata.last_updated_ms,
+                     io_join(self.path, "metadata",
+                             f"v{self.current_version}.metadata.json"),
+                     cur.snapshot_id if cur else None))
+        return spark.createDataFrame(
+            rows, "timestamp_ms long, file string, latest_snapshot_id long")
+
     # --------------------------------------------------------------- sql
 
     def create_or_replace_view(self, spark: SparkSession, name: str,
@@ -220,14 +309,21 @@ class IcebergTable:
     # ----------------------------------------------------- refs / evolve
 
     def _commit_metadata(self, new_metadata: TableMetadata) -> None:
+        from .catalog.storage import (StorageCatalog, commit_metadata,
+                                      with_metadata_log)
+
+        if self.catalog is None or isinstance(self.catalog, StorageCatalog):
+            # REST catalogs maintain metadata-log server-side; the
+            # storage protocol appends the superseded file here so
+            # `metadata_log_entries` has a lineage to show
+            new_metadata = with_metadata_log(
+                self.path, new_metadata, self.metadata, self.current_version)
         if self.catalog is not None:
             version = self.catalog.update_table(self.path, self.current_version,
                                                 new_metadata,
                                                 identifier=self.identifier,
                                                 base_metadata=self.metadata)
         else:
-            from .catalog.storage import commit_metadata
-
             version = commit_metadata(self.path, new_metadata,
                                       self.current_version + 1)
         self.metadata = new_metadata

@@ -378,6 +378,14 @@ class Transaction:
                 new_metadata,
                 properties={**new_metadata.properties, **self._set_props})
 
+        from .catalog.storage import (StorageCatalog, commit_metadata,
+                                      with_metadata_log)
+
+        if table.catalog is None or isinstance(table.catalog, StorageCatalog):
+            # REST catalogs maintain metadata-log server-side; the
+            # storage protocol appends the superseded file here
+            new_metadata = with_metadata_log(
+                table.path, new_metadata, metadata, table.current_version)
         if table.catalog is not None:
             # base_metadata drives the REST diff protocol: without it the
             # commit body replays the whole table history as updates and
@@ -387,8 +395,6 @@ class Transaction:
                                                  identifier=table.identifier,
                                                  base_metadata=metadata)
         else:
-            from .catalog.storage import commit_metadata
-
             version = commit_metadata(table.path, new_metadata,
                                       table.current_version + 1)
         table.metadata = new_metadata
