@@ -3434,8 +3434,10 @@ ORDER BY o_orderstatus
 
 def iceberg_metadata_tables(spark, sf_dir):
     """X4 completion: the round-7 inspection tables (`entries`,
-    `data_files`, `delete_files`, `all_manifests`,
-    `metadata_log_entries`) driven purely through SQL suffixes, with
+    `data_files`, `delete_files`, `position_deletes`, `all_manifests`,
+    `metadata_log_entries`) plus `CALL system.add_files` (register
+    external parquet without rewriting, footer-exact stats) driven
+    purely through SQL suffixes, with
     every output column derivable from the source rows alone:
     record-count sums are engine-independent (row counts survive any
     file fan-out), the snapshot count is the commit count, and the
@@ -3464,15 +3466,31 @@ def iceberg_metadata_tables(spark, sf_dir):
     """, catalog=cat)
     execute(spark, "DELETE FROM q.mt WHERE c_custkey % 11 = 0",
             catalog=cat)
+    # register EXTERNAL parquet without rewriting (CALL system.
+    # add_files): a supplier slice mapped onto the table's columns —
+    # footer stats make its record_count exact in `entries`
+    import tempfile
+
+    ext = tempfile.mkdtemp(prefix="icelake_addf_")
+    (load(spark, sf_dir, "supplier")
+     .selectExpr("CAST(s_suppkey AS BIGINT) AS c_custkey",
+                 "s_name AS c_mktsegment",
+                 "CAST(s_acctbal AS DOUBLE) AS c_acctbal")
+     .coalesce(1).write.mode("overwrite").parquet(ext))
+    execute(spark, f"CALL system.add_files('q.mt', source => '{ext}')",
+            catalog=cat)
     return execute(spark, """
         SELECT e.data_rows AS data_rows,
                d.deleted_rows AS deleted_rows,
+               p.pd_pairs AS pd_pairs,
                m.n_snapshots AS n_snapshots,
                l.n_meta_files AS n_meta_files
         FROM (SELECT CAST(SUM(record_count) AS BIGINT) AS data_rows
               FROM q.mt.entries WHERE status != 2 AND content = 0) e,
              (SELECT CAST(SUM(record_count) AS BIGINT) AS deleted_rows
               FROM q.mt.delete_files) d,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS pd_pairs
+              FROM q.mt.position_deletes) p,
              (SELECT CAST(COUNT(DISTINCT reference_snapshot_id) AS BIGINT)
                      AS n_snapshots
               FROM q.mt.all_manifests) m,
@@ -3482,11 +3500,14 @@ def iceberg_metadata_tables(spark, sf_dir):
 
 
 ICEBERG_METADATA_TABLES_SQL = """
-SELECT CAST(COUNT(*) AS BIGINT) AS data_rows,
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+       + (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS data_rows,
        CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS deleted_rows,
-       CAST(3 AS BIGINT) AS n_snapshots,
-       CAST(4 AS BIGINT) AS n_meta_files
+       CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pd_pairs,
+       CAST(4 AS BIGINT) AS n_snapshots,
+       CAST(5 AS BIGINT) AS n_meta_files
 FROM customer
 """
 

@@ -690,6 +690,63 @@ def _call_procedure(spark: SparkSession, statement: str, catalog=None):
         _reject_leftover(proc, pos, named)
         table.fast_forward(branch, to)
         return table
+    if proc == "add_files":
+        # Iceberg: add_files(table => t, source_table => '`parquet`.`/p`')
+        # — register external files without rewriting. We accept a
+        # path/glob (source => '/dir/*.parquet' or a directory) or an
+        # explicit list; format defaults to parquet like Iceberg's
+        # backtick-qualified source spelling.
+        src = named.pop("source_table", None) or named.pop("source", None)
+        if src is None:
+            if not pos:
+                raise ValueError("add_files needs source => '<path|glob>'")
+            src, pos = pos[0], pos[1:]
+        fmt = named.pop("format", None) or "PARQUET"
+        _reject_leftover(proc, pos, named)
+        m2 = re.match(r"^`(\w+)`\s*\.\s*`(.+)`$", str(src))
+        if m2:
+            fmt, src = m2.group(1), m2.group(2)
+        from fnmatch import fnmatch
+
+        from .fileio import dirname, norm_path, resolve_io
+
+        src = norm_path(str(src))
+        fio = resolve_io(src)
+        if any(c in src for c in "*?["):
+            base = dirname(src)
+            paths = [p for p, _ in fio.list_files(base)
+                     if fnmatch(p, src)]
+        else:
+            try:
+                listed = fio.list_files(src)
+            except (FileNotFoundError, NotADirectoryError):
+                listed = []
+            paths = ([p for p, _ in listed
+                      if p.endswith("." + fmt.lower())]
+                     or ([src] if src.endswith("." + fmt.lower())
+                         else []))
+        # deterministic commit order regardless of listing backend
+        paths.sort()
+        if not paths:
+            raise FileNotFoundError(f"add_files: no {fmt} files at {src}")
+        table.add_files(paths, file_format=fmt.upper())
+        return table
+    if proc == "ancestors_of":
+        # snapshot lineage of a ref/snapshot (Iceberg's ancestors_of):
+        # rows (snapshot_id, timestamp_ms) current-first
+        sid = named.pop("snapshot_id", None)
+        if sid is None and pos:
+            sid, pos = pos[0], pos[1:]
+        _reject_leftover(proc, pos, named)
+        cur = (table.snapshot(int(sid)) if sid is not None
+               else table.metadata.current_snapshot())
+        by_id = {s.snapshot_id: s for s in table.metadata.snapshots}
+        rows = []
+        while cur is not None:
+            rows.append((cur.snapshot_id, cur.timestamp_ms))
+            cur = by_id.get(cur.parent_snapshot_id)
+        return spark.createDataFrame(
+            rows, "snapshot_id long, timestamp_ms long")
     raise ValueError(f"unknown procedure system.{proc}")
 
 
@@ -1130,7 +1187,9 @@ _META_SUFFIXES = {
     "snapshots": "snapshots_df", "manifests": "manifests_df",
     "history": "history_df", "refs": "refs_df",
     "entries": "entries_df", "data_files": "data_files_df",
-    "delete_files": "delete_files_df", "all_files": "all_files_df",
+    "delete_files": "delete_files_df",
+    "position_deletes": "position_deletes_df",
+    "all_files": "all_files_df",
     "all_manifests": "all_manifests_df",
     "metadata_log_entries": "metadata_log_df",
 }

@@ -216,6 +216,45 @@ class IcebergTable:
         compacts down."""
         return self.files_df(spark, snapshot_id).where(F.col("content") != 0)
 
+    def position_deletes_df(self, spark: SparkSession,
+                            snapshot_id: int | None = None) -> DataFrame:
+        """`position_deletes` metadata table: the ROW-LEVEL content of
+        every position-delete file the (time-travelable) snapshot
+        applies — (data file_path, pos) pairs plus the delete file they
+        came from and its sequence number. Distributed: the delete
+        parquet files are scanned by Spark executors and joined to the
+        small per-file metadata map; nothing row-level touches the
+        driver (a bulk delete can hold billions of pairs). Iceberg's
+        table of the same name; the reference walks delete entries
+        driver-side in table.rs:281-304."""
+        from .fileio import to_spark_paths
+        from .planning import (canon_data_path, canon_data_path_col,
+                               canonical_partition)
+
+        _, pos, _ = self._manifest_entries(self.snapshot(snapshot_id))
+        schema = ("file_path string, pos long, partition string, "
+                  "delete_file_path string, delete_sequence_number long")
+        pos = [t for t in pos
+               if (t.delete_file.file_format or "PARQUET").upper()
+               == "PARQUET"]
+        if not pos:
+            return spark.createDataFrame([], schema)
+        meta = spark.createDataFrame(
+            [(canon_data_path(t.delete_file.file_path),
+              t.delete_file.file_path,
+              canonical_partition(t.delete_file.partition),
+              t.sequence_number) for t in pos],
+            "__src string, delete_file_path string, partition string, "
+            "delete_sequence_number long")
+        raw = (spark.read.parquet(*to_spark_paths(
+                   [t.delete_file.file_path for t in pos]))
+               .select("file_path", "pos",
+                       canon_data_path_col(F.col("_metadata.file_path"))
+                       .alias("__src")))
+        return (raw.join(F.broadcast(meta), "__src")
+                .select("file_path", "pos", "partition",
+                        "delete_file_path", "delete_sequence_number"))
+
     def entries_df(self, spark: SparkSession,
                    snapshot_id: int | None = None) -> DataFrame:
         """`entries` metadata table: one row per manifest entry of the

@@ -165,3 +165,74 @@ def test_sql_table_level_rejects_time_travel(spark, warehouse):
         spark, f"SELECT count(*) AS n FROM db.mtt.entries "
                f"VERSION AS OF {sid}", catalog=warehouse).collect()[0].n
     assert n >= 1
+
+
+def test_position_deletes_rows(spark, warehouse):
+    t = _mk(spark, warehouse, "db.mpd")
+    t.delete_where(spark, "id % 10 = 0")
+    t.refresh().delete_where(spark, "id % 10 = 1")
+    t = t.refresh()
+    pd_ = t.position_deletes_df(spark)
+    assert pd_.count() == 80  # 2 deletes x 40 rows each
+    assert pd_.select("delete_file_path").distinct().count() \
+        == t.delete_files_df(spark).where("content = 1").count()
+    # positions resolve against real data files of the snapshot
+    data_paths = {r.file_path for r in
+                  t.data_files_df(spark).select("file_path").collect()}
+    from icelake_spark.planning import canon_data_path
+    got = {canon_data_path(r.file_path) for r in
+           pd_.select("file_path").distinct().collect()}
+    assert got <= {canon_data_path(p) for p in data_paths}
+    # row count agrees with delete_files record_count sum
+    rc = sum(r.record_count for r in
+             t.delete_files_df(spark).where("content = 1").collect())
+    assert rc == 80
+    # time travel: first delete snapshot has half the pairs
+    sid = t.metadata.snapshots[-2].snapshot_id
+    assert t.position_deletes_df(spark, sid).count() == 40
+    # empty before any delete
+    sid0 = t.metadata.snapshots[0].snapshot_id
+    assert t.position_deletes_df(spark, sid0).count() == 0
+    # SQL suffix (snapshot-level: accepts time travel)
+    n = sql_execute(
+        spark, f"SELECT count(*) AS n FROM db.mpd.position_deletes "
+               f"VERSION AS OF {sid}", catalog=warehouse).collect()[0].n
+    assert n == 40
+
+
+def test_call_ancestors_of(spark, warehouse):
+    t = _mk(spark, warehouse, "db.anc")
+    t.delete_where(spark, "id = 3")
+    t = t.refresh()
+    rows = sql_execute(spark, "CALL system.ancestors_of('db.anc')",
+                       catalog=warehouse).collect()
+    assert [r.snapshot_id for r in rows] == \
+        [s.snapshot_id for s in reversed(t.metadata.snapshots)]
+    # from an explicit (older) snapshot: shorter chain
+    mid = t.metadata.snapshots[1].snapshot_id
+    rows2 = sql_execute(
+        spark, f"CALL system.ancestors_of('db.anc', {mid})",
+        catalog=warehouse).collect()
+    assert len(rows2) == 2 and rows2[0].snapshot_id == mid
+
+
+def test_call_add_files(spark, warehouse, tmp_path):
+    src = spark.range(30).selectExpr("id")
+    t = warehouse.create_table("db.adf", Schema.from_spark(src.schema))
+    ext = str(tmp_path / "ext")
+    src.coalesce(2).write.parquet(ext)
+    sql_execute(spark, f"CALL system.add_files('db.adf', "
+                       f"source => '{ext}')", catalog=warehouse)
+    t = t.refresh()
+    assert t.to_df(spark).count() == 30
+    # stats came from footers: record_count sums to 30, no -1 sentinel
+    fdf = t.files_df(spark)
+    assert fdf.where("record_count < 0").count() == 0
+    # glob + backtick-qualified source forms
+    sql_execute(spark, f"CALL system.add_files(table => 'db.adf', "
+                       f"source_table => '`parquet`.`{ext}/*.parquet`')",
+                catalog=warehouse)
+    assert t.refresh().to_df(spark).count() == 60
+    with pytest.raises(FileNotFoundError):
+        sql_execute(spark, f"CALL system.add_files('db.adf', "
+                           f"source => '{ext}/nope')", catalog=warehouse)
