@@ -549,6 +549,18 @@ class IcelakeReader(DataSourceReader):
                 arr = _rebind_struct(arr, self.ice_fields[n],
                                      to_arrow_type(f.dataType))
             arr = _spec_physical_to_spark(arr, self.ice_fields.get(n))
+            # type promotion (int→long, float→double, decimal widening):
+            # files written before an update_column_type keep their old
+            # physical type; widen to the current read schema per batch
+            if arr is not None:
+                exp = to_arrow_type(f.dataType)
+                if arr.type != exp and (
+                        pa.types.is_integer(exp) or pa.types.is_floating(exp)
+                        or pa.types.is_decimal(exp)):
+                    try:
+                        arr = arr.cast(exp)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
             # schema evolution: genuinely new column pads as null
             arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()

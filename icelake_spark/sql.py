@@ -1072,6 +1072,22 @@ _RENAME_COL_RE = re.compile(
     r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE)
 _DROP_COL_RE = re.compile(
     r"^DROP\s+COLUMN\s+(?P<col>\w+)$", re.IGNORECASE)
+_ALTER_COL_TYPE_RE = re.compile(
+    r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+(?P<type>.+?)$",
+    re.IGNORECASE | re.DOTALL)
+# Iceberg write-layout DDL: WRITE [DISTRIBUTED BY PARTITION]
+# [[LOCALLY] ORDERED BY a [ASC|DESC] [NULLS FIRST|LAST], ...] |
+# WRITE UNORDERED
+_WRITE_ORDER_RE = re.compile(
+    r"^WRITE\s+(?:(?P<dist>DISTRIBUTED\s+BY\s+PARTITION)\s*)?"
+    r"(?:(?P<loc>LOCALLY\s+)?ORDERED\s+BY\s+(?P<fields>.+?))?$",
+    re.IGNORECASE | re.DOTALL)
+_WRITE_UNORDERED_RE = re.compile(
+    r"^WRITE\s+UNORDERED$", re.IGNORECASE)
+_SORT_FIELD_RE = re.compile(
+    r"^(?:(?P<fn>\w+)\s*\(\s*(?P<arg>\w+)\s*\)|(?P<col>\w+))"
+    r"(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?$", re.IGNORECASE)
 _SET_SPEC_RE = re.compile(
     r"^SET\s+PARTITION\s+SPEC\s*\(\s*(?P<parts>.+?)\s*\)$",
     re.IGNORECASE | re.DOTALL)
@@ -1127,6 +1143,18 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
             raise ValueError(f"unsupported column type {am.group('type')!r}")
         table.add_column(am.group("col"), tstr)
         return table
+    tm = _ALTER_COL_TYPE_RE.match(rest)
+    if tm:
+        raw = tm.group("type").strip().lower()
+        dm0 = re.match(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", raw)
+        if dm0:
+            tstr = f"decimal({dm0.group(1)}, {dm0.group(2)})"
+        elif raw in _SQL_TYPE_MAP:
+            tstr = _SQL_TYPE_MAP[raw]
+        else:
+            raise ValueError(f"unsupported column type {tm.group('type')!r}")
+        table.update_column_type(tm.group("col"), tstr)
+        return table
     rm = _RENAME_COL_RE.match(rest)
     if rm:
         table.rename_column(rm.group("old"), rm.group("new"))
@@ -1170,6 +1198,41 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
     dm2 = _DROP_REF_RE.match(rest)
     if dm2:
         table.drop_ref(dm2.group("name"))
+        return table
+    if _WRITE_UNORDERED_RE.match(rest):
+        # empty order + no forced clustering (Iceberg's WRITE UNORDERED)
+        table.replace_sort_order(None)
+        table.set_properties({"write.distribution-mode": "none"})
+        return table
+    wm = _WRITE_ORDER_RE.match(rest)
+    if wm and (wm.group("dist") or wm.group("fields")):
+        if wm.group("fields"):
+            sfs = []
+            for part in _split_assignments(wm.group("fields")):
+                fm = _SORT_FIELD_RE.match(part.strip())
+                if not fm:
+                    raise ValueError(f"unsupported sort field {part!r}")
+                direction = (fm.group("dir") or "ASC").lower()
+                # Iceberg defaults: ASC → NULLS FIRST, DESC → NULLS LAST
+                nulls = fm.group("nulls")
+                null_order = (f"nulls-{nulls.lower()}" if nulls else
+                              ("nulls-first" if direction == "asc"
+                               else "nulls-last"))
+                col = fm.group("col") or fm.group("arg")
+                transform = (fm.group("fn").lower() if fm.group("fn")
+                             else "identity")
+                sfs.append((col, direction, null_order, transform))
+            table.replace_sort_order(sfs)
+        # distribution: DISTRIBUTED BY PARTITION → hash; a GLOBAL
+        # ORDERED BY (no LOCALLY) → range (the sort IS the layout);
+        # LOCALLY ORDERED BY alone → none (sort within tasks only)
+        if wm.group("dist"):
+            mode = "hash"
+        elif wm.group("loc"):
+            mode = "none"
+        else:
+            mode = "range"
+        table.set_properties({"write.distribution-mode": mode})
         return table
     raise ValueError(f"unsupported ALTER TABLE clause: {rest[:60]!r}")
 

@@ -661,6 +661,96 @@ class IcebergTable:
 
         update_rows(self, spark, condition, assignments)
 
+    def update_column_type(self, name: str, type_str: str) -> None:
+        """Schema evolution: widen a column's type in place (same field
+        id — data files are untouched; readers widen on the fly: the
+        vectorized parquet reader upcasts against the explicit read
+        schema, the DSv2 arrow lane casts per batch). Only the
+        promotions the Iceberg spec allows: int→long, float→double,
+        decimal(P,S)→decimal(P',S) with P' ≥ P (in_memory.rs schema
+        evolution; spec 'Schema Evolution' table)."""
+        from dataclasses import replace as dc_replace
+
+        from .types.datatypes import (NestedField, Schema, StructType,
+                                      type_from_json)
+
+        cur = self.metadata.current_schema()
+        f = cur.field_by_name(name)
+        if f is None:
+            raise KeyError(f"column {name!r} not found")
+        new_t = type_from_json(type_str)
+        old_t = f.field_type
+        old_n = getattr(old_t, "name", None)
+        new_n = getattr(new_t, "name", None)
+        ok = ((old_n, new_n) in (("int", "long"), ("float", "double"))
+              or (old_n == new_n == "decimal"
+                  and new_t.scale == old_t.scale
+                  and new_t.precision >= old_t.precision))
+        if new_t == old_t:
+            return
+        if not ok:
+            raise ValueError(
+                f"cannot change column {name!r} from {old_t} to {new_t}: "
+                "allowed promotions are int->long, float->double, "
+                "decimal(P,S)->decimal(P',S) with P' >= P")
+        fields = tuple(
+            NestedField(x.field_id, x.name, new_t, x.required, x.doc)
+            if x.field_id == f.field_id else x
+            for x in cur.fields)
+        new_schema = Schema(
+            struct=StructType(fields),
+            schema_id=max(s.schema_id for s in self.metadata.schemas) + 1,
+            identifier_field_ids=cur.identifier_field_ids,
+        )
+        self._commit_metadata(dc_replace(
+            self.metadata,
+            schemas=self.metadata.schemas + (new_schema,),
+            current_schema_id=new_schema.schema_id,
+        ))
+
+    def replace_sort_order(self, fields: list[tuple] | None) -> None:
+        """Install a new default sort order (O3): `fields` is a list of
+        (column, direction, null_order[, transform]) tuples, or
+        None/[] for WRITE UNORDERED (order 0, the unsorted order).
+        Writers execute it (write.py _sort_columns) — unlike the
+        reference, which records orders without executing them
+        (in_memory.rs:1059-1152)."""
+        from dataclasses import replace as dc_replace
+
+        from .types.metadata import SortField, SortOrder
+
+        if not fields:
+            self._commit_metadata(dc_replace(
+                self.metadata, default_sort_order_id=0))
+            return
+        schema = self.metadata.current_schema()
+        sfs = []
+        for spec in fields:
+            col, direction, null_order = spec[0], spec[1], spec[2]
+            transform = spec[3] if len(spec) > 3 else "identity"
+            f = schema.field_by_name(col)
+            if f is None:
+                raise KeyError(f"sort column {col!r} not found")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction {direction!r}")
+            if null_order not in ("nulls-first", "nulls-last"):
+                raise ValueError(f"bad null order {null_order!r}")
+            sfs.append(SortField(f.field_id, transform, direction,
+                                 null_order))
+        new = SortOrder(
+            order_id=max(s.order_id for s in self.metadata.sort_orders) + 1,
+            fields=tuple(sfs))
+        # reuse an existing identical order instead of growing the list
+        for s in self.metadata.sort_orders:
+            if s.fields == new.fields:
+                self._commit_metadata(dc_replace(
+                    self.metadata, default_sort_order_id=s.order_id))
+                return
+        self._commit_metadata(dc_replace(
+            self.metadata,
+            sort_orders=self.metadata.sort_orders + (new,),
+            default_sort_order_id=new.order_id))
+
     def update_spec(self, *parts: str) -> None:
         """Partition evolution: install a new default partition spec
         without rewriting data (partition_specs list + default_spec_id,
