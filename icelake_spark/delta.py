@@ -426,6 +426,7 @@ def merge(table, spark, source: DataFrame, on: list[str],
           when_not_matched: str | None = "insert",
           matched_clauses: list[tuple] | None = None,
           insert_cols: tuple[list[str], list[str]] | None = None,
+          by_source_clauses: list[tuple] | None = None,
           branch: str | None = None) -> None:
     """MERGE INTO semantics over the delta writer (the SQL-DML face of
     W7/W8): source rows whose keys exist in the target are updated
@@ -452,6 +453,12 @@ def merge(table, spark, source: DataFrame, on: list[str],
     `insert_cols=(names, value_exprs)` makes WHEN NOT MATCHED an
     explicit-column `INSERT (names) VALUES (exprs)`: unmentioned
     columns insert NULL; exprs evaluate against the source row.
+
+    `by_source_clauses=[(action, condition, assignments), ...]` are
+    `WHEN NOT MATCHED BY SOURCE` clauses (Spark 3.4 / Iceberg): they
+    act on TARGET rows whose key has no source match — `delete`
+    removes them, `update` rewrites them via target-only SET
+    assignments. First-match-wins like matched clauses.
 
     Whole-row-only merges read ONLY the target's key projection (a
     broadcast semi/anti join — a small merge into a huge table never
@@ -481,10 +488,27 @@ def merge(table, spark, source: DataFrame, on: list[str],
         raise ValueError("when_not_matched must be insert|None")
     if insert_cols is not None and when_not_matched != "insert":
         raise ValueError("insert_cols requires when_not_matched='insert'")
-    if any(sets for _, _, sets in matched_clauses) or insert_cols is not None:
+    by_source_clauses = [(c if len(c) == 3 else (c[0], c[1], None))
+                         for c in (by_source_clauses or [])]
+    for i, (action, cond, sets) in enumerate(by_source_clauses):
+        if action not in ("update", "delete"):
+            raise ValueError(f"by-source clause action must be "
+                             f"update|delete, got {action!r}")
+        if action == "update" and not sets:
+            raise ValueError("NOT MATCHED BY SOURCE UPDATE needs SET "
+                             "assignments (there is no source row to "
+                             "copy from)")
+        if cond is None and i != len(by_source_clauses) - 1:
+            raise ValueError("only the last NOT MATCHED BY SOURCE clause "
+                             "may omit its condition")
+    if any(sets for _, _, sets in matched_clauses) or insert_cols is not None \
+            or by_source_clauses:
+        # BY SOURCE clauses act on full TARGET rows, so they always take
+        # the column-level (full-row-join) lowering
         return _merge_column_level(table, spark, source, on,
                                    matched_clauses, when_not_matched,
-                                   insert_cols, branch=branch)
+                                   insert_cols, by_source_clauses,
+                                   branch=branch)
     existing = table.to_df(spark, **({"ref": branch} if branch else {})) \
         .select(*on).distinct()
     parts = []
@@ -516,6 +540,7 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
                         matched_clauses: list[tuple],
                         when_not_matched: str | None,
                         insert_cols: tuple[list[str], list[str]] | None,
+                        by_source_clauses: list[tuple] | None = None,
                         branch: str | None = None) -> None:
     """Column-level MERGE lowering: `UPDATE SET col = expr` /
     `INSERT (cols) VALUES (exprs)` (the most common real-world MERGE
@@ -607,6 +632,47 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
                 for f in spark_schema.fields]
             not_matched = not_matched.select(*proj)
         parts.append(not_matched.withColumn("_op", F.lit(OP_INSERT)))
+    if by_source_clauses:
+        # WHEN NOT MATCHED BY SOURCE: TARGET rows whose key has no
+        # source match — an anti-join the other way around. Only the
+        # key projection of the source joins (a small target-cleanup
+        # merge never shuffles source payload columns).
+        for _a, _c, sets in by_source_clauses:
+            bad = set(sets or ()) - names
+            if bad:
+                raise ValueError(f"unknown columns in SET: {sorted(bad)}")
+            if set(sets or ()) & set(on):
+                raise ValueError("cannot UPDATE SET a merge key column")
+        unmatched = tgt.join(src.select(*[F.col(f"s.{k}").alias(k)
+                                          for k in on]).distinct(),
+                             on=on, how="left_anti")
+        idx = None
+        for i, (_action, cond, _sets) in enumerate(by_source_clauses):
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            idx = (F.when(c, F.lit(i)) if idx is None
+                   else idx.when(c, F.lit(i)))
+        unmatched = (unmatched.withColumn("__clause", idx)
+                     .where(F.col("__clause").isNotNull()))
+        op = None
+        op_of = {"update": OP_INSERT, "delete": OP_DELETE}
+        for i, (action, _cond, _sets) in enumerate(by_source_clauses):
+            o = F.lit(op_of[action])
+            op = (F.when(F.col("__clause") == i, o) if op is None
+                  else op.when(F.col("__clause") == i, o))
+        cols = []
+        for f in spark_schema.fields:
+            if f.name in on:
+                cols.append(F.col(f"t.{f.name}").alias(f.name))
+                continue
+            val = None
+            for i, (action, _cond, sets) in enumerate(by_source_clauses):
+                new = (F.expr(sets[f.name])
+                       if action == "update" and f.name in sets
+                       else F.col(f"t.{f.name}"))
+                val = (F.when(F.col("__clause") == i, new) if val is None
+                       else val.when(F.col("__clause") == i, new))
+            cols.append(val.cast(types[f.name]).alias(f.name))
+        parts.append(unmatched.select(*cols, op.alias("_op")))
     if not parts:
         return
     batch = parts[0]

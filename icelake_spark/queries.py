@@ -3154,7 +3154,9 @@ def iceberg_merge_multi(spark, sf_dir):
     """Multi-clause MERGE INTO (sql.py over delta.merge): ORDERED
     WHEN MATCHED clauses with first-match-wins — matched customers
     whose adjusted source balance goes negative are DELETED, the rest
-    are UPDATED, and new keys INSERT — one transactional commit.
+    are UPDATED, new keys INSERT, and WHEN NOT MATCHED BY SOURCE
+    clauses purge/flag target rows the source no longer carries
+    (full source-of-truth sync) — one transactional commit.
     Reference anchor: tests/delta_test_v2.rs:101-226 (Spark SQL MERGE
     over the equality-delta writer), extended to the ordered
     conditional-clause grammar Spark/Iceberg accept."""
@@ -3179,6 +3181,9 @@ def iceberg_merge_multi(spark, sf_dir):
         WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 7 = 0
+            THEN UPDATE SET c_mktsegment = 'ORPHAN'
     """, catalog=cat)
     t2 = cat.load_table("q.cust_mmulti")
     return (t2.to_df(spark).groupBy("c_mktsegment")
@@ -3188,7 +3193,9 @@ def iceberg_merge_multi(spark, sf_dir):
 
 # first-match-wins: a %5 key whose source balance (orig - 2000) is
 # negative hits the DELETE clause; otherwise the UPDATE clause applies;
-# %13 rows carry brand-new keys and always insert (balance unchanged)
+# %13 rows carry brand-new keys and always insert (balance unchanged).
+# BY SOURCE clauses (target keys absent from the source, i.e. %5 != 0):
+# negative-balance rows are purged, then %7 keys flag as ORPHAN.
 ICEBERG_MERGE_MULTI_SQL = f"""
 WITH src_new AS (
   SELECT c_custkey + 20000000 AS c_custkey, c_name, c_nationkey,
@@ -3199,9 +3206,11 @@ merged AS (
          CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 2000.0
               ELSE c_acctbal END AS c_acctbal,
          CASE WHEN c_custkey % 5 = 0 THEN 'TOUCHED'
+              WHEN c_custkey % 7 = 0 THEN 'ORPHAN'
               ELSE c_mktsegment END AS c_mktsegment
   FROM customer
   WHERE NOT (c_custkey % 5 = 0 AND c_acctbal - 2000.0 < 0)
+    AND NOT (c_custkey % 5 != 0 AND c_acctbal < 0)
   UNION ALL
   SELECT * FROM src_new)
 SELECT c_mktsegment, COUNT(*) AS n, {dsum_sql('c_acctbal', 'total_bal')}

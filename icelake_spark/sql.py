@@ -38,8 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from . import delta
 
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.$/-]+)(?:\s+AS\s+(?P<talias>\w+))?"
-    r"\s+USING\s+(?P<source>[\w.]+)(?:\s+AS\s+(?P<salias>\w+))?"
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.$/-]+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<salias>\w+))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"(?P<clauses>\s+WHEN\s+.*)?$",
     re.IGNORECASE | re.DOTALL)
@@ -167,6 +169,7 @@ def _parse_when_clauses(clauses: str, talias: str, salias: str):
     when_not_matched, insert_cols) for delta.merge. Clause boundaries
     and assignment splits are quote/paren-aware."""
     matched_clauses: list[tuple] = []
+    by_source_clauses: list[tuple] = []
     when_not_matched = None
     insert_cols = None
     positions = _top_level_positions(clauses, "WHEN")
@@ -178,8 +181,51 @@ def _parse_when_clauses(clauses: str, talias: str, salias: str):
                 zip(positions, positions[1:] + [len(clauses)])]
     for seg in segments:
         body = seg[4:].strip()  # past WHEN
-        nm = re.match(r"^NOT\s+MATCHED\s+THEN\s+(?P<act>.+)$", body,
-                      re.IGNORECASE | re.DOTALL)
+        # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET
+        # (Spark 3.4 / Iceberg): acts on TARGET rows with no source
+        # match — conditions and SET exprs see only the target side
+        bs = re.match(r"^NOT\s+MATCHED\s+BY\s+SOURCE\b(?P<rest>.*)$",
+                      body, re.IGNORECASE | re.DOTALL)
+        if bs:
+            rest = bs.group("rest")
+            then_pos = _top_level_positions(rest, "THEN")
+            if not then_pos:
+                raise ValueError(
+                    f"NOT MATCHED BY SOURCE clause missing THEN: "
+                    f"{seg[:80]!r}")
+            head, action_text = (rest[:then_pos[0]].strip(),
+                                 rest[then_pos[0] + 4:].strip())
+            cond = None
+            if head:
+                am = re.match(r"^AND\s+(?P<cond>.+)$", head,
+                              re.IGNORECASE | re.DOTALL)
+                if not am:
+                    raise ValueError(
+                        f"unsupported MERGE clause: {seg[:80]!r}")
+                cond = am.group("cond").strip()
+            if re.fullmatch(r"DELETE", action_text, re.IGNORECASE):
+                by_source_clauses.append(("delete", cond, None))
+                continue
+            um = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action_text,
+                          re.IGNORECASE | re.DOTALL)
+            if not um:
+                raise ValueError(f"unsupported MERGE clause: {seg[:80]!r}")
+            sets = {}
+            for part in _split_assignments(um.group("sets")):
+                am2 = re.match(r"^\s*(?:[\w.]+\.)?(?P<col>\w+)\s*=\s*"
+                               r"(?P<expr>.+?)\s*$", part, re.DOTALL)
+                if not am2:
+                    raise ValueError(
+                        f"unsupported SET assignment: {part!r}")
+                if am2.group("col") in sets:
+                    raise ValueError(
+                        f"duplicate SET column {am2.group('col')!r}")
+                sets[am2.group("col")] = _requalify(
+                    am2.group("expr"), talias, salias)
+            by_source_clauses.append(("update", cond, sets))
+            continue
+        nm = re.match(r"^NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+"
+                      r"(?P<act>.+)$", body, re.IGNORECASE | re.DOTALL)
         if nm:
             if when_not_matched is not None:
                 raise ValueError("duplicate WHEN NOT MATCHED clause")
@@ -243,7 +289,11 @@ def _parse_when_clauses(clauses: str, talias: str, salias: str):
         if cond is None and i != len(matched_clauses) - 1:
             raise ValueError("only the last WHEN MATCHED clause may omit "
                              "its AND condition (first-match-wins)")
-    return matched_clauses, when_not_matched, insert_cols
+    for i, (_act, cond, _sets) in enumerate(by_source_clauses):
+        if cond is None and i != len(by_source_clauses) - 1:
+            raise ValueError("only the last WHEN NOT MATCHED BY SOURCE "
+                             "clause may omit its AND condition")
+    return matched_clauses, when_not_matched, insert_cols, by_source_clauses
 
 
 def merge_into(spark: SparkSession, statement: str,
@@ -265,12 +315,28 @@ def merge_into(spark: SparkSession, statement: str,
     salias = m.group("salias") or m.group("source")
     keys = _parse_on(m.group("on"), talias, salias)
 
-    matched_clauses, when_not_matched, insert_cols = _parse_when_clauses(
-        m.group("clauses") or "", talias, salias)
-    if not matched_clauses and when_not_matched is None:
+    matched_clauses, when_not_matched, insert_cols, by_source_clauses = \
+        _parse_when_clauses(m.group("clauses") or "", talias, salias)
+    if not matched_clauses and when_not_matched is None \
+            and not by_source_clauses:
         raise ValueError("MERGE needs at least one WHEN clause")
+    requal_by_source = []
+    for act, cond, sets in by_source_clauses:
+        if cond:
+            # BY SOURCE rows have no source side: target-only exprs
+            if re.search(rf"\b{re.escape(salias)}\.", cond):
+                raise ValueError("WHEN NOT MATCHED BY SOURCE may only "
+                                 "reference target columns")
+            cond = _requalify(cond, talias, salias)
+        if sets and any(re.search(rf"\b{re.escape(salias)}\.", v)
+                        or re.search(r"\bs\.", v) for v in sets.values()):
+            raise ValueError("WHEN NOT MATCHED BY SOURCE may only "
+                             "reference target columns")
+        requal_by_source.append((act, cond, sets))
+    by_source_clauses = requal_by_source
     column_level = (insert_cols is not None
-                    or any(sets for _a, _c, sets in matched_clauses))
+                    or any(sets for _a, _c, sets in matched_clauses)
+                    or bool(by_source_clauses))
     if column_level:
         # conditions and exprs run on the full t⋈s join; aliases were
         # rewritten to the canonical t./s. qualifiers by the parser
@@ -297,7 +363,8 @@ def merge_into(spark: SparkSession, statement: str,
     delta.merge(table, spark, source, on=keys,
                 matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched,
-                insert_cols=insert_cols, branch=branch)
+                insert_cols=insert_cols,
+                by_source_clauses=by_source_clauses, branch=branch)
     return table
 
 

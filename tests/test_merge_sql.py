@@ -119,7 +119,12 @@ def test_merge_multi_key_on(warehouse, spark):
     ("MERGE INTO t USING s ON t.a = s.b WHEN MATCHED THEN UPDATE SET *",
      "same column name"),
     ("MERGE INTO t USING s ON t.id = s.id "
-     "WHEN NOT MATCHED BY SOURCE THEN DELETE", "unsupported MERGE clause"),
+     "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE",
+     "target columns"),
+    ("MERGE INTO t USING s ON t.id = s.id "
+     "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET x = 1 "
+     "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+     "may omit its AND condition"),
     ("MERGE INTO t USING s ON t.id = s.id "
      "WHEN NOT MATCHED THEN INSERT (id) VALUE (1)", "unsupported MERGE clause"),
     ("MERGE INTO t USING s ON t.id = s.id "
@@ -612,3 +617,53 @@ def test_sql_insert_duplicate_column_rejected(warehouse, spark):
     with pytest.raises(ValueError, match="duplicate INSERT column"):
         execute(spark, "INSERT INTO s1.dupins (id, id) VALUES (1, 2)",
                 catalog=warehouse)
+
+
+def test_merge_not_matched_by_source_full_sync(warehouse, spark):
+    """The classic source-of-truth sync: update matched, insert new,
+    delete/flag target rows the source no longer carries (Spark 3.4 /
+    Iceberg WHEN NOT MATCHED BY SOURCE)."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, "live", 10), (2, "live", 20), (3, "stale", 30)],
+        "id long, status string, v long")
+    t = cat.create_table("s1.bs1", Schema.from_spark(df.schema))
+    t.append(df)
+    spark.createDataFrame([(1, 100), (9, 900)], "id long, v long") \
+        .createOrReplaceTempView("bs_src")
+    merge_into(spark, """
+        MERGE INTO s1.bs1 t USING bs_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, status, v)
+            VALUES (s.id, 'live', s.v)
+        WHEN NOT MATCHED BY SOURCE AND t.status = 'stale' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'orphan'
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.bs1"), spark) == [
+        (1, "live", 100), (2, "orphan", 20), (9, "live", 900)]
+
+
+def test_merge_by_source_only_delete(warehouse, spark):
+    """BY SOURCE as the only clause (prune-to-source), bare aliases
+    without AS."""
+    cat = warehouse
+    _mk(cat, spark, "s1.bs2")
+    spark.createDataFrame([(1,), (3,)], "id long") \
+        .createOrReplaceTempView("bs_src2")
+    merge_into(spark,
+               "MERGE INTO s1.bs2 t USING bs_src2 s ON t.id = s.id "
+               "WHEN NOT MATCHED BY SOURCE THEN DELETE", catalog=cat)
+    assert _state(cat.load_table("s1.bs2"), spark) == [
+        (1, 10, 100), (3, 30, 300)]
+
+
+def test_merge_by_source_key_set_refused(warehouse, spark):
+    cat = warehouse
+    _mk(cat, spark, "s1.bs3")
+    spark.createDataFrame([(1,)], "id long") \
+        .createOrReplaceTempView("bs_src3")
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(spark,
+                   "MERGE INTO s1.bs3 t USING bs_src3 s ON t.id = s.id "
+                   "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = 0",
+                   catalog=cat)
