@@ -62,6 +62,62 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_df: int = 3,
+               min_len: int = 3, sep: str = "\n") -> DataFrame:
+    """CCNet-style line-level deduplication: drop every line whose
+    trimmed content appears in >= min_df DISTINCT documents (navbars,
+    cookie banners, boilerplate headers — the bulk of near-duplicate
+    mass in web corpora lives at line level, where whole-doc hashes
+    see nothing). Lines shorter than min_len (after trim) are never
+    removed — blank separators and bullets survive.
+
+    Returns (id_col, text_clean, n_lines, n_removed); documents whose
+    every line was boilerplate keep text_clean = '' rather than
+    disappearing (the row count is stable for downstream joins).
+
+    100 TB shape: posexplode -> two shuffles keyed by the 16-byte line
+    hash (doc-frequency aggregate with map-side combine, then an
+    anti-join of line instances against the over-threshold keys — the
+    hot-key side holds only (hash) singletons, never line text), then
+    one groupBy(doc) to reassemble in original order via array_sort on
+    (pos, line) structs. No window over the global line stream, so one
+    billion-duplicate boilerplate line funnels into nothing wider than
+    one aggregate partition.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    key = F.md5(F.trim(F.col("line")))
+    hot = (lines.where(F.length(F.trim(F.col("line"))) >= min_len)
+           .select(key.alias("__k"), id_col)
+           .groupBy("__k")
+           .agg(F.countDistinct(id_col).alias("__nd"))
+           .where(F.col("__nd") >= min_df)
+           .select("__k"))
+    tagged = lines.withColumn("__k", key).withColumn(
+        "__drop", F.length(F.trim(F.col("line"))) >= min_len)
+    kept = tagged.join(
+        hot.withColumnRenamed("__k", "__hk"),
+        (F.col("__k") == F.col("__hk")) & F.col("__drop"),
+        "left_anti")
+    out = (kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"]),
+            sep).alias("text_clean"),
+        F.count("*").alias("__kept")))
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (totals.join(out, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce(F.col("__kept"),
+                                                   F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 # ----------------------------------------------------------- shingling
 
 

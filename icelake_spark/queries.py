@@ -1924,6 +1924,56 @@ ORDER BY doc_id
 """
 
 
+def line_dedup_q(spark, sf_dir):
+    """CCNet-style line-level dedup (ops/dedup.py line_dedup): the
+    synthetic documents are single-line word soup, so the query first
+    derives a multi-line corpus by turning a frequent token boundary
+    into line breaks (regexp_replace — byte-identical in Spark and
+    DuckDB), then drops every line whose trimmed content occurs in
+    >= 3 distinct documents. Output is the full cleaned text per doc
+    plus kept/removed counts — value-hash-exact against the DuckDB
+    twin."""
+    from .ops.dedup import line_dedup
+
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("text",
+                        F.regexp_replace("text", " value ", "\n")))
+    return line_dedup(docs, min_df=3, min_len=3).orderBy("doc_id")
+
+
+LINE_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, ' value ', chr(10), 'g') AS t
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM d),
+hot AS (
+  SELECT md5(trim(line)) AS k
+  FROM l WHERE length(trim(line)) >= 3
+  GROUP BY md5(trim(line))
+  HAVING COUNT(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE NOT (length(trim(line)) >= 3
+             AND md5(trim(line)) IN (SELECT k FROM hot))),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         COUNT(*) AS kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(a.kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_q(spark, sf_dir):
     from .ops.dedup import ngram_jaccard_pairs
 
@@ -3794,26 +3844,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 rotation (VERDICT r6 #1 — the r6 window was a copy of
     r5's, so rotation debt is two rounds deep). The window holds:
-    (1) the NEW r7 rows `iceberg_delete_compaction` (position-delete
-    compaction via CALL) and `iceberg_metadata_tables` (the
-    entries/data_files/delete_files/all_manifests/metadata_log
-    inspection surface), `iceberg_sql_ctas` (CTAS / RTAS / branch WAP
-    selectors) and `iceberg_sql_select`, plus the two queries whose
-    CODE changed this round (`iceberg_sql_ddl` extended with the
-    namespace/DROP lifecycle; `trigram_familiarity` now top-K-capped);
+    (1) the NEW r7 rows `line_dedup` (CCNet line-level dedup),
+    `iceberg_delete_compaction` (position-delete compaction via CALL)
+    and `iceberg_metadata_tables` (the entries/data_files/
+    delete_files/position_deletes/all_manifests/metadata_log
+    inspection surface + CALL add_files), `iceberg_sql_ctas` (CTAS /
+    RTAS / branch WAP selectors) and `iceberg_sql_select`, plus the
+    queries whose CODE changed this round (`iceberg_sql_ddl` extended
+    with the namespace/DROP lifecycle; `trigram_familiarity` now
+    top-K-capped; `iceberg_merge_multi` extended with NOT MATCHED BY
+    SOURCE clauses);
     (2) `multimodal_features`, 3 rounds stale — by far the oldest
     driver evidence — leading the stale block as r6 #1 required;
     (3) the rest of the r4-green block (last driver rows 3 rounds old:
     merge/changelog/TPC-H-head families, positions 51+ in the r5/r6
-    registry). Six rows sit out for space and lead the r8 queue:
+    registry). Eight rows sit out for space and lead the r8 queue:
+    ann_topk + iceberg_roundtrip_agg (displaced by line_dedup;
+    roundtrip is a bench row, re-verified every bench run),
     iceberg_mor_delete + curation_pipeline (displaced by the two
-    late-r7 queries; both are bench rows, re-verified every bench
-    run) and the four r4-green pure-SQL sit-outs
-    string_date_functions, q14_promo_effect, percentiles_by_status,
-    train_test_split. Queries 51+ were hash-green in r5/r6 windows or
-    the local full-registry sweep (tools/check_oracle.py)."""
+    late-r7 queries; both are bench rows) and the four r4-green
+    pure-SQL sit-outs string_date_functions, q14_promo_effect,
+    percentiles_by_status, train_test_split. Queries 51+ were
+    hash-green in r5/r6 windows or the local full-registry sweep
+    (tools/check_oracle.py)."""
     return {
         # -- new/changed in round 7 ----------------------------------
+        "line_dedup": line_dedup_q,
         "iceberg_delete_compaction": iceberg_delete_compaction,
         "iceberg_metadata_tables": iceberg_metadata_tables,
         "iceberg_sql_ctas": iceberg_sql_ctas,
@@ -3967,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_term_freq": CORPUS_TF_SQL,
         "text_analysis": text_analysis_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
+        "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "bm25_topk": _ranking.bm25_sql(BM25_TERMS, k=20),

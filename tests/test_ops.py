@@ -585,3 +585,35 @@ def test_fanout_conf_static_passthrough(spark):
         spark.conf.unset("spark.icelake.fanout.enabled")
     # default behavior still fans out a narrow input
     assert fanout(df).rdd.getNumPartitions() > 2
+
+
+def test_line_dedup_semantics(spark):
+    from icelake_spark.ops.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler}\nunique one\n\n{boiler}"),
+         (2, f"{boiler}\nunique two"),
+         (3, f"{boiler}\nunique three\nab"),
+         (4, "all original\ncontent here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(docs, min_df=3, min_len=3)
+           .collect()}
+    # the 3-doc boilerplate line is gone everywhere, order preserved,
+    # blank line survives (below min_len), short 'ab' survives
+    assert out[1].text_clean == "unique one\n"
+    assert out[1].n_lines == 4 and out[1].n_removed == 2
+    assert out[2].text_clean == "unique two"
+    assert out[3].text_clean == "unique three\nab"
+    assert out[4].text_clean == "all original\ncontent here"
+    assert out[4].n_removed == 0
+    # a doc that is pure boilerplate keeps its row with empty text
+    docs2 = docs.union(spark.createDataFrame(
+        [(5, boiler)], "doc_id long, text string"))
+    out2 = {r.doc_id: r for r in line_dedup(docs2, min_df=3, min_len=3)
+            .collect()}
+    assert out2[5].text_clean == "" and out2[5].n_removed == 1
+    # min_df respected: at 5 the line appears in only 4 docs -> kept
+    out3 = {r.doc_id: r for r in line_dedup(docs2, min_df=5, min_len=3)
+            .collect()}
+    assert out3[2].n_removed == 0
