@@ -917,6 +917,12 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
 
         self.table_store = _store_of(self.path)
         self.io = resolve_io(self.path) if is_uri(self.path) else None
+        # rate limit (Iceberg's max-files-per-micro-batch analogue at
+        # snapshot granularity): each trigger advances the offset by at
+        # most N sequence numbers, so a backlogged stream catches up in
+        # bounded micro-batches instead of one giant one
+        self._rate = int(options.get("max_snapshots_per_trigger", 0))
+        self._floor = None  # highest start offset observed (checkpoint)
 
     def _src(self, path: str):
         return _arrow_src(path, self.table_store, self.io)
@@ -930,7 +936,18 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         return {"seq": int(self.options.get("starting_sequence_number", 0))}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"seq": _stream_end_offset(self._table())}
+        end = _stream_end_offset(self._table())
+        if self._rate > 0:
+            base = self._floor
+            if base is None:
+                base = int(self.options.get("starting_sequence_number", 0))
+            capped = min(end, base + self._rate)
+            # after a restart the checkpointed start may already be past
+            # our base; partitions() observes it and the NEXT trigger
+            # caps from there (one empty batch, never a lost row)
+            end = capped
+            self._floor = max(base, capped)
+        return {"seq": end}
 
     @property
     def _changelog(self) -> bool:
@@ -938,6 +955,10 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):  # driver-side planning
         s, e = int(start["seq"]), int(end["seq"])
+        if self._rate > 0:
+            # learn the true (checkpointed) start so the rate cap in
+            # latestOffset advances from reality after a restart
+            self._floor = max(self._floor or 0, s, e)
         if e <= s:
             return []
         table = self._table()

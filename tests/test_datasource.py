@@ -609,3 +609,51 @@ def test_dsv2_in_filter_prunes_files(spark, warehouse):
     r2.filter_parts.append("id IN (3, 7)")
     pruned = r2.partitions()
     assert len(pruned) < len(all_parts)
+
+
+def test_stream_rate_limit_snapshots_per_trigger(spark, warehouse, tmp_path):
+    """max_snapshots_per_trigger caps how far each micro-batch's offset
+    advances: a 3-snapshot backlog drains in 3 one-snapshot batches
+    instead of one giant batch, and no rows are lost or duplicated."""
+    from icelake_spark import datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(90).selectExpr("id", "id % 3 as g")
+    t = warehouse.create_table("db.streamrate", Schema.from_spark(src.schema))
+    for lo in (0, 30, 60):
+        t.append(src.where(f"id >= {lo} and id < {lo + 30}"))
+        t = t.refresh()
+
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.count())
+
+    # availableNow snapshots the end offset ONCE, so a capped source
+    # would stop early — rate limiting is a continuous-trigger feature;
+    # poll with a fast processingTime trigger until the backlog drains
+    q = (spark.readStream.format("icelake")
+         .option("path", t.path)
+         .option("max_snapshots_per_trigger", "1").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+         .trigger(processingTime="300 milliseconds").start())
+    import time
+    deadline = time.time() + 120
+    while sum(batches) < 90 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    # one snapshot (30 rows) per non-empty micro-batch; total exact
+    assert [b for b in batches if b] == [30, 30, 30]
+
+    # unlimited: the same backlog drains in ONE batch
+    batches2 = []
+    q2 = (spark.readStream.format("icelake")
+          .option("path", t.path).load()
+          .writeStream.foreachBatch(lambda df, eid: batches2.append(df.count()))
+          .option("checkpointLocation", str(tmp_path / "ckpt_rate2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    assert [b for b in batches2 if b] == [90]
