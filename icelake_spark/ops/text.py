@@ -169,12 +169,14 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     - keep: the Gopher-rule style accept decision on those thresholds
 
     Repetition filters are the standard first-line quality gate for web
-    corpora (Gopher §A.1-style rules). Plan shape: two explode+groupBy
-    aggregations (words, bigrams) — both map-side combined — joined back
-    on doc_id; no window over the full corpus and no Python. At 100 TB
-    each aggregation shuffles (doc_id, token) pairs pre-reduced per
-    partition, and the join keys are doc_id on both sides so AQE plans a
-    plain shuffle join keyed the same way as the inputs.
+    corpora (Gopher §A.1-style rules). Plan shape: ZERO shuffles — all
+    of a document's tokens live in one row, so per-doc counts never
+    need explode+groupBy: sort the token array and take one aggregate()
+    pass over it (max consecutive-equal run = the top token's count;
+    run boundaries = the distinct count). The whole metric is a narrow
+    JVM-side projection; at 100 TB nothing moves between executors
+    (the optional orderBy for small deterministic outputs is the only
+    exchange, and scale callers pass sort=False).
     """
     if words_col_name:
         # fused path: the caller already tokenized (same normalize+split)
@@ -199,46 +201,53 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     base = src.select(
         F.col(id_col), *(F.col(c) for c in carry),
         w.alias("__w"), F.size(w).alias("n_words"))
-    # ONE explode for words AND bigrams (tagged by kind), then one
-    # token-level and one doc-level aggregation — instead of two
-    # explode→groupBy→groupBy chains joined at the end. Halves the
-    # shuffle count; both aggregations map-side combine.
     bigrams = F.when(
         F.size(F.col("__w")) >= 2,
         F.zip_with(F.slice(F.col("__w"), 1, F.size(F.col("__w")) - 1),
                    F.slice(F.col("__w"), 2, F.size(F.col("__w")) - 1),
                    lambda a, b: F.concat(a, F.lit(" "), b))
     ).otherwise(F.array().cast("array<string>"))
-    tokens = F.concat(
-        F.transform(F.col("__w"),
-                    lambda x: F.struct(F.lit("w").alias("kind"),
-                                       x.alias("tok"))),
-        F.transform(bigrams,
-                    lambda b: F.struct(F.lit("b").alias("kind"),
-                                       b.alias("tok"))))
-    is_w = F.col("kind") == "w"
-    counts = (base.select(id_col, F.explode(tokens).alias("kt"))
-              .select(id_col, F.col("kt.kind").alias("kind"),
-                      F.col("kt.tok").alias("tok"))
-              .groupBy(id_col, "kind", "tok").agg(F.count("*").alias("c"))
-              .groupBy(id_col).agg(
-                  F.count(F.when(is_w, 1)).alias("n_distinct"),
-                  F.max(F.when(is_w, F.col("c"))).alias("top_word"),
-                  F.max(F.when(~is_w, F.col("c"))).alias("top_bigram"),
-                  F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams")))
-    # empty docs produce no tokens (no counts row): LEFT join + zero
-    # defaults, and keep=false (a 0-word doc never passes a Gopher gate)
+
+    def run_stats(arr):
+        # one pass over the SORTED array: maxrun = count of the most
+        # frequent element; nd = number of run boundaries = distinct
+        zero = F.lit(0).cast("long")
+
+        def step(acc, x):
+            same = acc["prev"].eqNullSafe(x)
+            new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"), new_run.alias("run"),
+                F.greatest(acc["maxrun"], new_run).alias("maxrun"),
+                F.when(same, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"))
+
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(F.lit(None).cast("string").alias("prev"),
+                     zero.alias("run"), zero.alias("maxrun"),
+                     zero.alias("nd")),
+            step)
+
+    sw = run_stats(F.col("__w"))
+    sb = run_stats(bigrams)
+    counts_cols = [sw["nd"].alias("n_distinct"),
+                   sw["maxrun"].alias("top_word"),
+                   sb["maxrun"].alias("top_bigram"),
+                   F.size(bigrams).cast("long").alias("n_bigrams")]
     has_words = F.col("n_words") > 0
     dup_word = F.when(has_words, F.round(
         1.0 - F.col("n_distinct") / F.col("n_words"), 6)).otherwise(F.lit(0.0))
     top_word = F.when(has_words, F.round(
         F.col("top_word") / F.col("n_words"), 6)).otherwise(F.lit(0.0))
+    # try_divide: a 0/1-word doc has n_bigrams = 0 (ANSI divide-by-zero)
     top_bigram = F.round(
-        F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6)
+        F.coalesce(F.try_divide(F.col("top_bigram"), F.col("n_bigrams")),
+                   F.lit(0.0)), 6)
     keep = (has_words & (top_word <= 0.10) & (top_bigram <= 0.05)
             & (dup_word <= 0.80))
     carried_out = list(carry) + (["__w"] if "__w" in (carry_cols or []) else [])
-    out = (base.join(counts, on=id_col, how="left")
+    out = (base.select(F.col(id_col), *(F.col(c) for c in carried_out),
+                       F.col("n_words"), *counts_cols)
            .select(F.col(id_col), *(F.col(c) for c in carried_out),
                    F.col("n_words"),
                    dup_word.alias("dup_word_frac"),

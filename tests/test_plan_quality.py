@@ -163,6 +163,9 @@ def test_session3_operators_plan_properties(spark):
     pr = _plan(repetition_metrics(docs))
     assert "REPARTITION_BY_NUM" in pr or "RoundRobinPartitioning" in pr \
         or "hashpartitioning" in pr.lower()
+    # ...and the metric itself is a narrow sorted-array aggregate pass:
+    # no explode+groupBy shuffle, no join back on doc_id
+    assert "Join" not in pr and "Generate" not in pr
 
 
 def test_changelog_plan_broadcasts_delete_sides(spark, warehouse):
