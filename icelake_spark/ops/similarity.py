@@ -108,12 +108,17 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
         F.col("__rn") <= max_bucket).drop("__rn")
     a = bucketed.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "bk")
     b = bucketed.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "bk")
-    cand = (a.join(b, on="bk").where(F.col("a") < F.col("b"))
-            .dropDuplicates(["a", "b"]))
     sim = (dot(F.col("va"), F.col("vb"))
            / (norm(F.col("va")) * norm(F.col("vb")))).cast("double")
-    return (cand.withColumn("cos", F.round(sim, 6))
-            .where(F.col("cos") >= threshold).select("a", "b", "cos"))
+    # cosine + threshold BEFORE the (a,b) dedup: a pair colliding in k
+    # tables recomputes 64 mult-adds k times, but the dedup exchange
+    # then moves 24-byte (a,b,cos) rows instead of both raw vectors
+    # (~1 KB/row) — at 100 TB the shuffle is the cost, not the FLOPs
+    return (a.join(b, on="bk").where(F.col("a") < F.col("b"))
+            .withColumn("cos", F.round(sim, 6))
+            .where(F.col("cos") >= threshold)
+            .select("a", "b", "cos")
+            .dropDuplicates(["a", "b"]))
 
 
 def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
