@@ -617,3 +617,42 @@ def test_line_dedup_semantics(spark):
     out3 = {r.doc_id: r for r in line_dedup(docs2, min_df=5, min_len=3)
             .collect()}
     assert out3[2].n_removed == 0
+
+
+def test_repetition_metrics_matches_bruteforce(spark):
+    """Property: the sorted-array run-length aggregate equals a
+    brute-force Counter over the same tokenization, across docs with
+    heavy repeats, unicode, single words, and whitespace runs."""
+    import re
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icelake_spark.ops.text import repetition_metrics
+
+    word = st.sampled_from(["a", "b", "ab", "x1", "éé", "世界", "z"])
+    doc = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+        for i, t in rows:
+            norm = re.sub(r"\s+", " ", t.strip().lower())
+            w = norm.split(" ") if norm else []
+            bg = [f"{a} {b}" for a, b in zip(w, w[1:])]
+            wc, bc = Counter(w), Counter(bg)
+            g = got[i]
+            assert g.n_words == len(w)
+            if w:
+                assert g.dup_word_frac == round(1.0 - len(wc) / len(w), 6)
+                assert g.top_word_frac == round(max(wc.values()) / len(w), 6)
+            else:
+                assert g.dup_word_frac == 0.0 and g.top_word_frac == 0.0
+            exp_tb = round(max(bc.values()) / len(bg), 6) if bg else 0.0
+            assert g.top_bigram_frac == exp_tb
+
+    prop()
