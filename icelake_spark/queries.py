@@ -3426,6 +3426,59 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_analyze(spark, sf_dir):
+    """ANALYZE TABLE: per-column NDV / null-count / min / max computed
+    in one aggregate pass and committed as `stats.<col>.*` table
+    properties (Iceberg's compute-table-stats / Puffin-NDV analogue,
+    apache/iceberg spec statistics-files; the reference exposes footer
+    stats only). The result is the stats table itself, so the oracle
+    pins both the statement plumbing and every number."""
+    from .sql import execute
+    from .types import Schema
+
+    cat = _tmp_catalog()
+    li = load(spark, sf_dir, "lineitem").where("l_orderkey % 7 = 0")
+    src = li.select(
+        "l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus",
+        F.when(F.col("l_suppkey") % 10 != 0,
+               F.col("l_returnflag")).alias("l_nullable"))
+    t = cat.create_table("q.analyze", Schema.from_spark(src.schema))
+    t.append(src)
+    return execute(spark, "ANALYZE TABLE q.analyze COMPUTE STATISTICS",
+                   catalog=cat)
+
+
+ICEBERG_ANALYZE_SQL = """
+WITH src AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag, l_linestatus,
+         CASE WHEN l_suppkey % 10 <> 0 THEN l_returnflag END AS l_nullable
+  FROM lineitem WHERE l_orderkey % 7 = 0)
+SELECT * FROM (
+  SELECT 'l_orderkey' AS "column", COUNT(DISTINCT l_orderkey) AS ndv,
+         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+         CAST(MIN(l_orderkey) AS VARCHAR) AS min,
+         CAST(MAX(l_orderkey) AS VARCHAR) AS max FROM src
+  UNION ALL
+  SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey),
+         SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END),
+         CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag),
+         SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+         MIN(l_returnflag), MAX(l_returnflag) FROM src
+  UNION ALL
+  SELECT 'l_linestatus', COUNT(DISTINCT l_linestatus),
+         SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+         MIN(l_linestatus), MAX(l_linestatus) FROM src
+  UNION ALL
+  SELECT 'l_nullable', COUNT(DISTINCT l_nullable),
+         SUM(CASE WHEN l_nullable IS NULL THEN 1 ELSE 0 END),
+         MIN(l_nullable), MAX(l_nullable) FROM src)
+ORDER BY "column"
+"""
+
+
 def iceberg_delete_compaction(spark, sf_dir):
     """X3 + P5/O1: position-delete compaction (Iceberg's
     `system.rewrite_position_delete_files`) end-to-end through the SQL

@@ -517,11 +517,36 @@ def execute(spark: SparkSession, statement: str, catalog=None,
         return _show_describe(spark, s, catalog=catalog)
     if head == "SELECT" or head == "WITH" or head == "TABLE":
         return _select(spark, s, catalog=catalog)
+    if head == "ANALYZE":
+        return _analyze(spark, s, catalog=catalog)
     raise ValueError(f"unsupported statement {head!r} "
                      "(SELECT | MERGE INTO | UPDATE | DELETE FROM | "
                      "ALTER TABLE | CREATE TABLE | CREATE NAMESPACE | "
                      "DROP TABLE | DROP NAMESPACE | INSERT INTO | "
-                     "CALL system.<proc> | SHOW | DESCRIBE)")
+                     "CALL system.<proc> | ANALYZE TABLE | SHOW | "
+                     "DESCRIBE)")
+
+
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(?P<t>[\w.$/-]+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+(?P<cols>[\w\s,]+)))?\s*$",
+    re.IGNORECASE)
+
+
+def _analyze(spark, s: str, catalog=None):
+    """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+    COLUMNS] — Spark's spelling, lowered onto compute_table_stats."""
+    m = _ANALYZE_RE.match(s)
+    if not m:
+        raise ValueError("expected ANALYZE TABLE <t> COMPUTE STATISTICS "
+                         "[FOR COLUMNS a, b | FOR ALL COLUMNS]")
+    from . import maintenance
+
+    table = _load_target(m.group("t"), catalog)
+    cols = None
+    if m.group("cols"):
+        cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+    return maintenance.compute_table_stats(table, spark, columns=cols)
 
 
 _CREATE_NS_RE = re.compile(
@@ -740,6 +765,19 @@ def _call_procedure(spark: SparkSession, statement: str, catalog=None):
     if proc == "rewrite_manifests":
         _reject_leftover(proc, pos, named)
         return maintenance.rewrite_manifests(table)
+    if proc == "analyze_table":
+        kw = {}
+        cols = named.pop("columns", None)
+        if cols is None and pos:
+            cols, pos = pos[0], pos[1:]
+        if cols is not None:
+            kw["columns"] = [c.strip() for c in str(cols).split(",")
+                             if c.strip()]
+        ex = named.pop("exact", None)
+        if ex is not None:
+            kw["exact"] = str(ex).lower() in ("true", "1")
+        _reject_leftover(proc, pos, named)
+        return maintenance.compute_table_stats(table, spark, **kw)
     if proc == "rewrite_position_delete_files":
         _reject_leftover(proc, pos, named)
         return maintenance.rewrite_position_deletes(table, spark)
