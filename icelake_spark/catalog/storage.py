@@ -215,9 +215,9 @@ def with_metadata_log(table_path: str, metadata: TableMetadata,
         "metadata-file": io_join(
             table_path, "metadata", f"v{base_version}.metadata.json"),
     }
-    return _dc_replace(
-        metadata,
-        metadata_log=(tuple(metadata.metadata_log) + (entry,))[-keep:])
+    log = tuple(metadata.metadata_log) + (entry,)
+    # keep<=0 means "retain nothing" — [-0:] would keep the WHOLE log
+    return _dc_replace(metadata, metadata_log=log[-keep:] if keep > 0 else ())
 
 
 def commit_metadata(table_path: str, metadata: TableMetadata, new_version: int) -> int:

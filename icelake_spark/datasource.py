@@ -923,6 +923,13 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         # bounded micro-batches instead of one giant one
         self._rate = int(options.get("max_snapshots_per_trigger", 0))
         self._floor = None  # highest start offset observed (checkpoint)
+        # highest batch START Spark has ever handed to partitions():
+        # a batch start equals the previous batch's logged end, so every
+        # sequence number at or below it was already planned (and, on a
+        # clean restart, committed) by an earlier batch. Used to refuse
+        # RE-planning those rows when a restart briefly regresses the
+        # capped offset below the checkpoint (ADVICE r7 medium).
+        self._planned = None
 
     def _src(self, path: str):
         return _arrow_src(path, self.table_store, self.io)
@@ -942,9 +949,6 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             if base is None:
                 base = int(self.options.get("starting_sequence_number", 0))
             capped = min(end, base + self._rate)
-            # after a restart the checkpointed start may already be past
-            # our base; partitions() observes it and the NEXT trigger
-            # caps from there (one empty batch, never a lost row)
             end = capped
             self._floor = max(base, capped)
         return {"seq": end}
@@ -959,6 +963,19 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             # learn the true (checkpointed) start so the rate cap in
             # latestOffset advances from reality after a restart
             self._floor = max(self._floor or 0, s, e)
+        # Restart duplicate guard (ADVICE r7 medium): after a restart
+        # the first capped latestOffset may regress BELOW the
+        # checkpointed start (it caps from starting_sequence_number —
+        # the committed offset is unknown until this call). Spark logs
+        # the regressed end, so the NEXT batch's start sits below what
+        # earlier batches already delivered. Batch starts are monotonic
+        # in normal operation, so planning only above the highest start
+        # ever seen suppresses exactly the replayed span and nothing
+        # else; WAL replay of an uncommitted batch re-runs in full
+        # because a fresh reader starts with _planned = None.
+        if self._planned is not None and s < self._planned:
+            s = self._planned
+        self._planned = max(self._planned or 0, s)
         if e <= s:
             return []
         table = self._table()

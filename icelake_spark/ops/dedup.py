@@ -87,7 +87,11 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        # NULL text -> '' BEFORE split: split(NULL) is NULL and
+        # posexplode would drop the document from totals AND output,
+        # breaking the stable-row-count contract (ADVICE r7)
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+        .alias("pos", "line"))
     key = F.md5(F.trim(F.col("line")))
     hot = (lines.where(F.length(F.trim(F.col("line"))) >= min_len)
            .select(key.alias("__k"), id_col)

@@ -1943,7 +1943,8 @@ def line_dedup_q(spark, sf_dir):
 
 LINE_DEDUP_SQL = """
 WITH d AS (
-  SELECT doc_id, regexp_replace(text, ' value ', chr(10), 'g') AS t
+  SELECT doc_id,
+         regexp_replace(COALESCE(text, ''), ' value ', chr(10), 'g') AS t
   FROM documents),
 l AS (
   SELECT doc_id,

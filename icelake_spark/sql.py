@@ -220,8 +220,11 @@ def _parse_when_clauses(clauses: str, talias: str, salias: str):
                 if am2.group("col") in sets:
                     raise ValueError(
                         f"duplicate SET column {am2.group('col')!r}")
-                sets[am2.group("col")] = _requalify(
-                    am2.group("expr"), talias, salias)
+                # RAW expr — merge_into validates against the actual
+                # source/target column sets before requalifying (a
+                # textual check post-requalify can't tell a rewritten
+                # source ref from a target struct column named `s`)
+                sets[am2.group("col")] = am2.group("expr").strip()
             by_source_clauses.append(("update", cond, sets))
             continue
         nm = re.match(r"^NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+"
@@ -296,6 +299,49 @@ def _parse_when_clauses(clauses: str, talias: str, salias: str):
     return matched_clauses, when_not_matched, insert_cols, by_source_clauses
 
 
+_EXPR_KEYWORDS = frozenset(
+    "AND OR NOT NULL TRUE FALSE CASE WHEN THEN ELSE END IS IN LIKE "
+    "BETWEEN ASC DESC DISTINCT INTERVAL DIV".split())
+
+
+def _source_only_refs(expr: str, talias: str, salias: str,
+                      tcols: set, scols: set) -> list[str]:
+    """Column references in `expr` that can only resolve against the
+    MERGE SOURCE: salias-qualified chains (unless salias collides with
+    a target column name — then `salias.x` is a struct-member deref of
+    the target column) and bare identifiers that name a source column
+    but no target column. Quote-aware; `name(`-style function calls
+    are skipped. Used to validate WHEN NOT MATCHED BY SOURCE clauses,
+    which see only target rows (ADVICE r7: the old textual `s.` match
+    false-rejected target struct columns named `s` and missed
+    unqualified source refs)."""
+    buf, i, n = [], 0, len(expr)
+    while i < n:  # blank string literals so their text can't match
+        if expr[i] in "'\"":
+            j = _skip_quoted(expr, i)
+            buf.append(" " * (j - i))
+            i = j
+        else:
+            buf.append(expr[i])
+            i += 1
+    clean = "".join(buf)
+    refs = []
+    for m in re.finditer(
+            r"\b[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*", clean):
+        if clean[m.end():].lstrip().startswith("("):
+            continue  # function call
+        chain = m.group(0)
+        head = chain.split(".", 1)[0].strip()
+        if head.upper() in _EXPR_KEYWORDS or head == talias:
+            continue
+        if "." in chain:
+            if head == salias and salias not in tcols:
+                refs.append(chain)
+        elif head in scols and head not in tcols:
+            refs.append(chain)
+    return refs
+
+
 def merge_into(spark: SparkSession, statement: str,
                catalog=None, source_df: DataFrame | None = None):
     """Execute a MERGE INTO statement against an icelake table.
@@ -320,20 +366,6 @@ def merge_into(spark: SparkSession, statement: str,
     if not matched_clauses and when_not_matched is None \
             and not by_source_clauses:
         raise ValueError("MERGE needs at least one WHEN clause")
-    requal_by_source = []
-    for act, cond, sets in by_source_clauses:
-        if cond:
-            # BY SOURCE rows have no source side: target-only exprs
-            if re.search(rf"\b{re.escape(salias)}\.", cond):
-                raise ValueError("WHEN NOT MATCHED BY SOURCE may only "
-                                 "reference target columns")
-            cond = _requalify(cond, talias, salias)
-        if sets and any(re.search(rf"\b{re.escape(salias)}\.", v)
-                        or re.search(r"\bs\.", v) for v in sets.values()):
-            raise ValueError("WHEN NOT MATCHED BY SOURCE may only "
-                             "reference target columns")
-        requal_by_source.append((act, cond, sets))
-    by_source_clauses = requal_by_source
     column_level = (insert_cols is not None
                     or any(sets for _a, _c, sets in matched_clauses)
                     or bool(by_source_clauses))
@@ -359,7 +391,34 @@ def merge_into(spark: SparkSession, statement: str,
         matched_clauses = norm
 
     table, branch = _load_write_target(m.group("target"), catalog)
-    source = source_df if source_df is not None else spark.table(m.group("source"))
+    source = (source_df if source_df is not None
+              else spark.table(m.group("source")))
+    if by_source_clauses:
+        # BY SOURCE rows have no source side: validate against the
+        # ACTUAL column sets (target struct columns shadow an
+        # identically-named alias), then requalify
+        tcols = {f.name for f in table.schema().fields}
+        scols = set(source.columns)
+        requal_by_source = []
+        for act, cond, sets in by_source_clauses:
+            bad = []
+            if cond:
+                bad += _source_only_refs(cond, talias, salias,
+                                         tcols, scols)
+            for v in (sets or {}).values():
+                bad += _source_only_refs(v, talias, salias, tcols, scols)
+            if bad:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE may only reference "
+                    f"target columns; source-only refs: {bad}")
+            if cond:
+                cond = _requalify(cond, talias, salias)
+            if sets:
+                sets = {k: _requalify(v, talias, salias)
+                        for k, v in sets.items()}
+            requal_by_source.append((act, cond, sets))
+        by_source_clauses = requal_by_source
+
     delta.merge(table, spark, source, on=keys,
                 matched_clauses=matched_clauses,
                 when_not_matched=when_not_matched,

@@ -657,3 +657,96 @@ def test_stream_rate_limit_snapshots_per_trigger(spark, warehouse, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination(180)
     assert [b for b in batches2 if b] == [90]
+
+
+def test_stream_rate_limit_restart_no_duplicates(spark, warehouse, tmp_path):
+    """ADVICE r7 (medium): with max_snapshots_per_trigger set, the first
+    latestOffset() after a query RESTART must never return an offset
+    below the checkpointed start. Before the fix it capped from
+    starting_sequence_number (default 0), Spark recorded the regressed
+    offset, and the next batch re-emitted already-delivered sequence
+    numbers as duplicates. Contract now: restart emits ONE uncapped
+    catch-up batch, then capping resumes — exactly-once either way."""
+    from icelake_spark import datasource
+    from icelake_spark.datasource import IcelakePartitionStreamReader
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(120).selectExpr("id", "id % 3 as g")
+    t = warehouse.create_table("db.streamrestart", Schema.from_spark(src.schema))
+    for lo in (0, 30):
+        t.append(src.where(f"id >= {lo} and id < {lo + 30}"))
+        t = t.refresh()
+
+    # --- unit-level offset contract ---------------------------------
+    # fresh query: cap advances from starting_sequence_number
+    r = IcelakePartitionStreamReader(
+        {"path": t.path, "max_snapshots_per_trigger": "1"},
+        t.schema().to_spark())
+    assert r.initialOffset() == {"seq": 0}
+    assert r.latestOffset()["seq"] == 1          # capped: 0 -> 1
+    assert r.latestOffset()["seq"] == 2          # capped: 1 -> 2
+    # restart with checkpoint at 2: the first capped latestOffset may
+    # regress to 1 (committed start unknown), Spark logs it, plans the
+    # empty batch (2, 1], then the NEXT batch arrives as (1, 2] — the
+    # duplicate guard must refuse to re-plan snapshot 2's files
+    r2 = IcelakePartitionStreamReader(
+        {"path": t.path, "max_snapshots_per_trigger": "1"},
+        t.schema().to_spark())
+    regressed = r2.latestOffset()["seq"]          # 1 (capped from 0)
+    assert r2.partitions({"seq": 2}, {"seq": regressed}) == []
+    nxt = r2.latestOffset()["seq"]                # floor learned: 2
+    assert nxt == 2
+    dup = r2.partitions({"seq": regressed}, {"seq": nxt})
+    assert dup == [], f"restart re-planned delivered files: {dup}"
+    # WAL-replay fidelity: a FRESH reader replays an uncommitted batch
+    # in full (the guard only suppresses within-run regressions)
+    r3 = IcelakePartitionStreamReader(
+        {"path": t.path, "max_snapshots_per_trigger": "1"},
+        t.schema().to_spark())
+    assert len(r3.partitions({"seq": 1}, {"seq": 2})) > 0
+
+    # --- full restart integration ------------------------------------
+    ckpt = str(tmp_path / "ckpt_restart")
+    seen = []
+
+    def sink(df, epoch_id):
+        seen.append(sorted(row.id for row in df.collect()))
+
+    q = (spark.readStream.format("icelake")
+         .option("path", t.path)
+         .option("max_snapshots_per_trigger", "1").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="300 milliseconds").start())
+    import time
+    deadline = time.time() + 120
+    while sum(len(b) for b in seen) < 60 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    first_run = [i for b in seen for i in b]
+    assert sorted(first_run) == list(range(60))
+
+    # two more snapshots while the query is down, then restart with the
+    # SAME checkpoint: every id 60..119 exactly once, nothing replayed
+    for lo in (60, 90):
+        t.append(src.where(f"id >= {lo} and id < {lo + 30}"))
+        t = t.refresh()
+    seen2 = []
+    q2 = (spark.readStream.format("icelake")
+          .option("path", t.path)
+          .option("max_snapshots_per_trigger", "1").load()
+          .writeStream.foreachBatch(
+              lambda df, eid: seen2.append(sorted(row.id for row in df.collect())))
+          .option("checkpointLocation", ckpt)
+          .trigger(processingTime="300 milliseconds").start())
+    deadline = time.time() + 120
+    while sum(len(b) for b in seen2) < 60 and time.time() < deadline:
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(60)
+    second_run = [i for b in seen2 for i in b]
+    assert sorted(second_run) == list(range(60, 120)), (
+        f"restart replayed/lost rows: {len(second_run)} rows, "
+        f"dups={len(second_run) - len(set(second_run))}")

@@ -119,9 +119,6 @@ def test_merge_multi_key_on(warehouse, spark):
     ("MERGE INTO t USING s ON t.a = s.b WHEN MATCHED THEN UPDATE SET *",
      "same column name"),
     ("MERGE INTO t USING s ON t.id = s.id "
-     "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE",
-     "target columns"),
-    ("MERGE INTO t USING s ON t.id = s.id "
      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET x = 1 "
      "WHEN NOT MATCHED BY SOURCE THEN DELETE",
      "may omit its AND condition"),
@@ -667,3 +664,69 @@ def test_merge_by_source_key_set_refused(warehouse, spark):
                    "MERGE INTO s1.bs3 t USING bs_src3 s ON t.id = s.id "
                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = 0",
                    catalog=cat)
+
+
+def test_merge_by_source_source_refs_validated(warehouse, spark):
+    """ADVICE r7: BY SOURCE validation must use the ACTUAL source /
+    target column sets — qualified `s.col` refs, but also UNQUALIFIED
+    references to source-only columns (the old textual check missed
+    those)."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, "live", 10), (2, "live", 20)], "id long, status string, v long")
+    t = cat.create_table("s1.bsv", Schema.from_spark(df.schema))
+    t.append(df)
+    spark.createDataFrame([(1, 5, 99)], "id long, v long, extra long") \
+        .createOrReplaceTempView("bsv_src")
+    for stmt in (
+        # qualified source ref in condition
+        "MERGE INTO s1.bsv t USING bsv_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE",
+        # unqualified source-only column in condition
+        "MERGE INTO s1.bsv t USING bsv_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND extra > 0 THEN DELETE",
+        # unqualified source-only column in a SET expression
+        "MERGE INTO s1.bsv t USING bsv_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = extra + 1",
+    ):
+        with pytest.raises(ValueError, match="target columns"):
+            merge_into(spark, stmt, catalog=cat)
+    # bare refs to SHARED columns resolve against the target: fine
+    merge_into(spark,
+               "MERGE INTO s1.bsv t USING bsv_src s ON t.id = s.id "
+               "WHEN NOT MATCHED BY SOURCE AND v > 15 "
+               "THEN UPDATE SET status = 'orphan'", catalog=cat)
+    assert _state(cat.load_table("s1.bsv"), spark) == [
+        (1, "live", 10), (2, "orphan", 20)]
+
+
+def test_merge_by_source_target_struct_named_s(warehouse, spark):
+    """A target STRUCT column literally named `s` must stay usable in
+    BY SOURCE SET expressions (`s.field` is a struct deref of the
+    target, not a source reference) — the old `\\bs\\.` textual check
+    false-rejected it (ADVICE r7). Also guards literal text: a string
+    containing 's.' must never trip validation."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, (7,), 0), (2, (9,), 0)],
+        "id long, s struct<field: long>, x long")
+    t = cat.create_table("s1.bstruct", Schema.from_spark(df.schema))
+    t.append(df)
+    spark.createDataFrame([(1,)], "id long") \
+        .createOrReplaceTempView("bstruct_src")
+    merge_into(spark,
+               "MERGE INTO s1.bstruct t USING bstruct_src s ON t.id = s.id "
+               "WHEN NOT MATCHED BY SOURCE AND t.x != 99 "
+               "THEN UPDATE SET x = s.field", catalog=cat)
+    rows = sorted((r.id, r.s.field, r.x) for r in
+                  cat.load_table("s1.bstruct").to_df(spark).collect())
+    assert rows == [(1, 7, 0), (2, 9, 9)]
+    # string literal containing "s." text is NOT a source ref
+    merge_into(spark,
+               "MERGE INTO s1.bstruct t USING bstruct_src s ON t.id = s.id "
+               "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET x = "
+               "CASE WHEN 's.v marker' = 's.v marker' THEN 42 ELSE x END",
+               catalog=cat)
+    rows = sorted((r.id, r.x) for r in
+                  cat.load_table("s1.bstruct").to_df(spark).collect())
+    assert rows == [(1, 0), (2, 42)]

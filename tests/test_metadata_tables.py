@@ -125,6 +125,12 @@ def test_metadata_log_capped_by_property(spark, warehouse):
     assert names == [f"v{i}.metadata.json"
                      for i in range(t.current_version - 3,
                                     t.current_version)]
+    # ADVICE r7: max=0 must retain NOTHING ([-0:] kept the whole log)
+    t.set_properties({"write.metadata.previous-versions-max": "0"})
+    t = t.refresh()
+    t.append(src)
+    t = t.refresh()
+    assert t.metadata.metadata_log == ()
 
 
 def test_sql_suffix_surface(spark, warehouse):

@@ -617,6 +617,15 @@ def test_line_dedup_semantics(spark):
     out3 = {r.doc_id: r for r in line_dedup(docs2, min_df=5, min_len=3)
             .collect()}
     assert out3[2].n_removed == 0
+    # NULL text must not vanish (ADVICE r7: split(NULL) is NULL and
+    # posexplode dropped the doc from totals AND output entirely)
+    docs3 = docs.union(spark.createDataFrame(
+        [(6, None)], "doc_id long, text string"))
+    out4 = {r.doc_id: r for r in line_dedup(docs3, min_df=3, min_len=3)
+            .collect()}
+    assert set(out4) == {1, 2, 3, 4, 6}
+    assert out4[6].text_clean == "" and out4[6].n_lines == 1 \
+        and out4[6].n_removed == 0
 
 
 def test_repetition_metrics_matches_bruteforce(spark):
