@@ -2434,23 +2434,21 @@ def ivf_kmeans_topk_q(spark, sf_dir):
                     train_iters=2, portable=True)
 
 
-def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
-                    seed: int = 42, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB twin of ivf_kmeans_topk_q: Lloyd's iterations UNROLLED as
-    CTE pairs (assign_t → means → cents_{t+1}). Parity contract with
-    train_kmeans(portable=True): same md5-hex init order, distances as
-    sequential list_sum of (x−c)² (the construction the green ivf_topk
-    row already proves bit-compatible with F.aggregate), per-dim means
-    as CAST(SUM(DECIMAL(28,6)) AS DOUBLE)/COUNT (order-independent),
-    empty clusters carrying the previous centroid, argmin/probe ties
-    broken by centroid id."""
-    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
-                         for i in range(dim)) + "]")
+def _kmeans_af_ctes(n_centroids: int, seed: int, iters: int,
+                    dim: int) -> list[str]:
+    """Shared CTE chain bit-reproducing train_kmeans(portable=True) +
+    the final assignment: v → c0 (md5-hex-ordered init) → unrolled
+    Lloyd's iterations (assign_t → means → cents_{t+1}) → `af`
+    (vec_id, e, c). Parity contract: distances as sequential list_sum
+    of (x−c)² (the construction the green ivf_topk row proves
+    bit-compatible with F.aggregate), per-dim means as
+    CAST(SUM(DECIMAL(28,6)) AS DOUBLE)/COUNT (order-independent),
+    empty clusters carrying the previous centroid, argmin ties broken
+    by centroid id. Used by the ivf_kmeans_topk AND semdedup twins."""
     sqdist = (f"list_sum([({{a}}.e[i] - {{b}}.ce[i]) * ({{a}}.e[i] - {{b}}.ce[i]) "
               f"for i in generate_series(1, {dim})])")
     ctes = [
-        f"v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"q AS (SELECT {q} AS qv)",
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"""c0 AS (
   SELECT row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) - 1 AS c,
@@ -2483,6 +2481,18 @@ def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
            {sqdist.format(a='v', b=fin)} AS dd
     FROM v CROSS JOIN {fin})
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)""")
+    return ctes
+
+
+def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
+                    seed: int = 42, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of ivf_kmeans_topk_q: the shared trained-assignment
+    CTEs (_kmeans_af_ctes) + probe selection + cosine top-k."""
+    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
+                         for i in range(dim)) + "]")
+    fin = f"c{iters}"
+    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim)
+    ctes.insert(1, f"q AS (SELECT {q} AS qv)")
     ctes.append(f"""probe AS (
   SELECT c FROM (
     SELECT {fin}.c,
@@ -2499,6 +2509,38 @@ def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vec_id, cos FROM sims "
               f"ORDER BY cos DESC, vec_id LIMIT {k}")
+
+
+def semdedup_q(spark, sf_dir):
+    """SemDeDup (ops/dedup.py semdedup — Abbas et al. 2023): k-means
+    buckets the embedding space, cosine is computed only WITHIN each
+    cluster, and an item is dropped when a lower-id cluster-mate is
+    >= threshold similar. Portable mode reuses the bit-reproducible
+    kmeans lane the green ivf_kmeans_topk row proves, so the full
+    cluster → pairwise-cut → survivors pipeline is value-checked."""
+    from .ops.dedup import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (semdedup(emb, n_clusters=8, threshold=0.35, train_iters=2,
+                     portable=True)
+            .orderBy("vec_id"))
+
+
+def _semdedup_sql(n_clusters: int = 8, threshold: float = 0.35,
+                  seed: int = 42, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of semdedup_q: the shared trained-assignment CTEs
+    (_kmeans_af_ctes) + within-cluster cosine drop set + anti-join."""
+    ctes = _kmeans_af_ctes(n_clusters, seed, iters, dim)
+    ctes.append(f"""drops AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= {threshold})""")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT vec_id, c AS cluster FROM af "
+              "WHERE vec_id NOT IN (SELECT vid FROM drops) "
+              "ORDER BY vec_id")
 
 
 def ann_topk_q(spark, sf_dir):
@@ -3896,44 +3938,92 @@ GROUP BY priority ORDER BY priority
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-7 rotation (VERDICT r6 #1 — the r6 window was a copy of
-    r5's, so rotation debt is two rounds deep). The window holds:
-    (1) the NEW r7 rows `line_dedup` (CCNet line-level dedup),
-    `iceberg_delete_compaction` (position-delete compaction via CALL)
-    and `iceberg_metadata_tables` (the entries/data_files/
-    delete_files/position_deletes/all_manifests/metadata_log
-    inspection surface + CALL add_files), `iceberg_sql_ctas` (CTAS /
-    RTAS / branch WAP selectors) and `iceberg_sql_select`, plus the
-    queries whose CODE changed this round (`iceberg_sql_ddl` extended
-    with the namespace/DROP lifecycle; `trigram_familiarity` now
-    top-K-capped; `iceberg_merge_multi` extended with NOT MATCHED BY
-    SOURCE clauses);
-    (2) `multimodal_features`, 3 rounds stale — by far the oldest
-    driver evidence — leading the stale block as r6 #1 required;
-    (3) the rest of the r4-green block (last driver rows 3 rounds old:
-    merge/changelog/TPC-H-head families, positions 51+ in the r5/r6
-    registry). Eight rows sit out for space and lead the r8 queue:
-    ann_topk + iceberg_roundtrip_agg (displaced by line_dedup;
-    roundtrip is a bench row, re-verified every bench run),
-    iceberg_mor_delete + curation_pipeline (displaced by the two
-    late-r7 queries; both are bench rows) and the four r4-green
-    pure-SQL sit-outs string_date_functions, q14_promo_effect,
-    percentiles_by_status, train_test_split. Queries 51+ were
-    hash-green in r5/r6 windows or the local full-registry sweep
-    (tools/check_oracle.py)."""
+    Round-8 rotation: the window leads with the five queries whose CODE
+    changed this round (`line_dedup` — NULL-text coalesce; the merge
+    family — BY SOURCE clause validation now checks actual column
+    sets; `iceberg_metadata_tables` — previous-versions-max=0 cap fix),
+    then the eight r4-evidence rows the r7 rotation queued
+    (ann_topk/roundtrip/mor_delete/curation + four pure-SQL rows), then
+    37 of the 47 remaining r6-evidence rows. Ten r6-evidence rows sit
+    out for space and lead the r9 queue: all ten are BENCH rows
+    (q1/q5/q6/q10/q16/q21, window_top_customers, events_hourly,
+    asof_join, dedup_exact) whose execution is re-verified every bench
+    run and whose shapes are plain TPC-H SQL — the lowest-regression-
+    risk block. Queries 51+ were hash-green in the r7 window or the
+    local full-registry sweep (tools/check_oracle.py)."""
     return {
-        # -- new/changed in round 7 ----------------------------------
+        # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
-        "iceberg_delete_compaction": iceberg_delete_compaction,
+        "iceberg_merge": iceberg_merge,
+        "iceberg_merge_multi": iceberg_merge_multi,
+        "iceberg_merge_cols": iceberg_merge_cols,
         "iceberg_metadata_tables": iceberg_metadata_tables,
+        # -- stale block: last driver row r4 (4 rounds old)
+        "ann_topk": ann_topk_q,
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "curation_pipeline": curation_pipeline_q,
+        "string_date_functions": string_date_functions,
+        "q14_promo_effect": q14_promo_effect,
+        "percentiles_by_status": percentiles_by_status,
+        "train_test_split": train_test_split,
+        # -- stale block: last driver row r6 (2 rounds old)
+        "iceberg_sql_call": iceberg_sql_call,
+        "iceberg_incremental_read": iceberg_incremental_read,
+        "dedup_keep_best": dedup_keep_best_q,
+        "gopher_rules": gopher_rules_q,
+        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
+        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
+        "iceberg_files_meta": iceberg_files_meta,
+        "minhash_lsh_pairs": minhash_lsh_q,
+        "simhash_near_pairs": simhash_q,
+        "lsh_cosine_pairs": lsh_cosine_q,
+        "ivf_topk": ivf_topk_q,
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
+        "set_ops_customers": set_ops_customers,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_late_orders": q4_priority_late_orders,
+        "q11_important_parts": q11_important_parts,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "rollup_pricing": rollup_pricing,
+        "cube_order_stats": cube_order_stats,
+        "set_ops_order_value": set_ops_order_value,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_promo_part_suppliers": q20_promo_part_suppliers,
+        "stats_aggregates": stats_aggregates,
+        "pivot_returnflag": pivot_returnflag,
+        "histogram_totalprice": histogram_totalprice,
+        "skew_distinct_parts": skew_distinct_parts,
+        "events_sliding_windows": events_sliding_windows,
+        "events_session_window_builtin": events_session_window_builtin,
+        "events_json_extract": events_json_extract,
+        "label_centroids": label_centroids_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "dedup_clusters": dedup_clusters_q,
+        "bm25_topk": bm25_topk_q,
+        "pack_documents": pack_documents_q,
+        # ---- beyond the 50-row window ------------------------------
+        # -- r9 queue head: r6-evidence bench rows sat out this round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q16_supplier_relationship": q16_supplier_relationship,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "window_top_customers": window_top_customers,
+        "events_hourly": events_hourly,
+        "asof_join": asof_join_q,
+        "dedup_exact": dedup_exact_q,
+        # -- r7-window rows (driver evidence 1 round old)
+        "iceberg_delete_compaction": iceberg_delete_compaction,
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
         "trigram_familiarity": trigram_familiarity_q,
-        # -- stale block: last driver row r4 (multimodal: r3) --------
         "multimodal_features": multimodal_features_q,
-        "iceberg_merge": iceberg_merge,
-        "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_changelog": iceberg_changelog,
         "streaming_ingest": streaming_ingest,
@@ -3974,68 +4064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": redact_pii_q,
         "char_entropy": char_entropy_q,
         "embedding_neardup": embedding_neardup_q,
-        "ann_topk": ann_topk_q,
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        # ---- beyond the 50-row window ------------------------------
-        # r8 queue head: bench rows displaced by the two late-r7
-        # queries (both stay green in the local sweep + bench), then
-        # the four r4-green sit-outs
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "curation_pipeline": curation_pipeline_q,
-        "string_date_functions": string_date_functions,
-        "q14_promo_effect": q14_promo_effect,
-        "percentiles_by_status": percentiles_by_status,
-        "train_test_split": train_test_split,
-        # r5/r6-window rows (driver evidence 1-2 rounds old), all green
-        # in the local full-registry sweep
-        "iceberg_merge_cols": iceberg_merge_cols,
-        "iceberg_sql_call": iceberg_sql_call,
-        "iceberg_incremental_read": iceberg_incremental_read,
-        "dedup_keep_best": dedup_keep_best_q,
-        "gopher_rules": gopher_rules_q,
-        "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
-        "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
-        "iceberg_files_meta": iceberg_files_meta,
-        "minhash_lsh_pairs": minhash_lsh_q,
-        "simhash_near_pairs": simhash_q,
-        "lsh_cosine_pairs": lsh_cosine_q,
-        "ivf_topk": ivf_topk_q,
-        "ivf_kmeans_topk": ivf_kmeans_topk_q,
-        "q5_local_supplier": q5_local_supplier,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "window_top_customers": window_top_customers,
-        "set_ops_customers": set_ops_customers,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q22_idle_customers": q22_idle_customers,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_priority_late_orders": q4_priority_late_orders,
-        "q11_important_parts": q11_important_parts,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "rollup_pricing": rollup_pricing,
-        "cube_order_stats": cube_order_stats,
-        "set_ops_order_value": set_ops_order_value,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_relationship": q16_supplier_relationship,
-        "q20_promo_part_suppliers": q20_promo_part_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "stats_aggregates": stats_aggregates,
-        "pivot_returnflag": pivot_returnflag,
-        "histogram_totalprice": histogram_totalprice,
-        "skew_distinct_parts": skew_distinct_parts,
-        "events_hourly": events_hourly,
-        "events_sliding_windows": events_sliding_windows,
-        "events_session_window_builtin": events_session_window_builtin,
-        "events_json_extract": events_json_extract,
-        "label_centroids": label_centroids_q,
-        "q1_pricing_summary": q1_pricing_summary,
-        "dedup_exact": dedup_exact_q,
-        "ngram_jaccard_pairs": ngram_jaccard_q,
-        "dedup_clusters": dedup_clusters_q,
-        "bm25_topk": bm25_topk_q,
-        "asof_join": asof_join_q,
-        "pack_documents": pack_documents_q,
     }
 
 
