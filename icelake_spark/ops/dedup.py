@@ -684,3 +684,51 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score,
                           .alias("__negscore"),
                           F.col(id_col))).alias(id_col))
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+# ----------------------------------------------------- semantic dedup
+
+
+def semdedup(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", n_clusters: int = 8,
+             threshold: float = 0.95, train_iters: int = 2,
+             seed: int = 42, portable: bool = False) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via embedding clustering. K-means buckets the
+    embedding space, then cosine similarity is computed ONLY within
+    each cluster; an item is dropped when a LOWER-id item in its
+    cluster is >= threshold similar (deterministic: the drop test runs
+    against all lower ids, not survivors, so no sequential dependency).
+    Returns the surviving (id_col, cluster) rows.
+
+    100 TB shape: the all-pairs comparison is confined to clusters —
+    the join shuffles on the cluster id and each task compares ~n/k
+    items, so total work is sum(m_i^2) instead of n^2; scale n_clusters
+    with the corpus (the paper uses k ~ sqrt(n)). Vectors shuffle once
+    into the pair join; survivors come back as a broadcast-size drop
+    list anti-joined on id. `portable=True` makes the clustering and
+    the cosine cut exactly reproducible in ANSI SQL (md5-ordered
+    k-means init, decimal centroid sums, 6dp-rounded cosines).
+    """
+    from .similarity import _nearest_centroid, cosine_sim, train_kmeans
+    from .util import fanout
+
+    cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
+                         n_iter=train_iters, seed=seed, portable=portable)
+    v = F.col(vec_col).cast("array<double>")
+    assigned = (fanout(df, F.col(id_col))
+                .select(F.col(id_col), v.alias("__v"))
+                .withColumn("__c", _nearest_centroid(
+                    F.col("__v"), list(enumerate(cents))))
+                .localCheckpoint())  # one assignment pass, reused twice
+    a = assigned.select(F.col(id_col).alias("__a"), F.col("__c"),
+                        F.col("__v").alias("__va"))
+    b = assigned.select(F.col(id_col).alias("__b"), F.col("__c"),
+                        F.col("__v").alias("__vb"))
+    dropped = (a.join(b, on="__c")
+               .where(F.col("__a") < F.col("__b"))
+               .where(F.round(cosine_sim(F.col("__va"), F.col("__vb")), 6)
+                      >= threshold)
+               .select(F.col("__b").alias(id_col)).distinct())
+    return (assigned.join(dropped, on=id_col, how="left_anti")
+            .select(F.col(id_col), F.col("__c").alias("cluster")))

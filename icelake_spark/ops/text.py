@@ -637,3 +637,79 @@ SELECT doc_id, n_words, n_alpha_words, n_stop_words,
         AND (n_stop_words >= 2)) AS passes
 FROM m ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------- BPE training
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 8) -> "list[tuple[int, str, str, int]]":
+    """Byte-pair-encoding merge training (Sennrich et al. 2016): learn
+    the `n_merges` most frequent adjacent-symbol merges over the
+    corpus. Returns [(step, lhs, rhs, cnt), ...] — the ordered merge
+    table a BPE tokenizer is defined by.
+
+    Classic distributed shape: the CORPUS is touched exactly once — a
+    tokenize + groupBy(word) shuffle producing the word-frequency
+    table (vocabulary-bounded, millions of rows at worst, independent
+    of corpus size) — and the merge loop runs entirely on that small
+    table: per iteration one map-side-combined pair count (symbols are
+    pipe-delimited strings; pairs come from a zip_with over the shifted
+    symbol array), one 1-row collect of the argmax pair, and one
+    literal `replace` applying the merge. Ties break deterministically
+    (count desc, lhs asc, rhs asc). Only [a-z0-9]+ words train (the
+    separator '|' can then never collide with a symbol).
+
+    Every step is integer/string arithmetic, so a DuckDB twin
+    reproduces the merge table exactly (queries._bpe_sql unrolls the
+    loop as CTEs with the argmax as a scalar cross join).
+    """
+    from .dedup import words_col
+
+    words = (df.select(F.explode(words_col(text_col)).alias("w"))
+             .where(F.col("w").rlike("^[a-z0-9]+$"))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             # '|a||b|' encoding — EVERY symbol wrapped in its own
+             # pipes, so adjacent pair patterns ('|x||y|') never share
+             # a character and literal replace merges every
+             # non-overlapping occurrence, not just the first (a
+             # shared-separator encoding like '|a|b|' makes back-to-
+             # back pairs overlap on the middle pipe and replace skips
+             # every second merge)
+             .select(F.regexp_replace("w", "(.)", r"|$1|").alias("enc"),
+                     "freq")
+             .localCheckpoint())  # the merge loop re-reads this, not the corpus
+    merges: list[tuple[int, str, str, int]] = []
+    enc_df = words
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("enc"), r"\|"),
+                        lambda x: x != F.lit(""))
+        shifted = F.slice(syms, 2, 1 << 30)
+        prs = F.zip_with(syms, shifted,
+                         lambda a, b: F.struct(a.alias("lhs"),
+                                               b.alias("rhs")))
+        # zip_with pads the longer side with null structs; cut to n-1
+        prs = F.when(F.size(syms) >= 2,
+                     F.slice(prs, 1, F.size(syms) - 1)).otherwise(
+            F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        best = (enc_df.select(F.explode(prs).alias("p"), "freq")
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "lhs", "rhs")
+                .limit(1).collect())
+        if not best:
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, int(best[0].cnt)
+        merges.append((step, lhs, rhs, cnt))
+        enc_df = enc_df.withColumn(
+            "enc", F.replace(F.col("enc"), F.lit(f"|{lhs}||{rhs}|"),
+                             F.lit(f"|{lhs}{rhs}|")))
+    return merges
+
+
+def bpe_train_df(spark, df: DataFrame, text_col: str = "text",
+                 n_merges: int = 8) -> DataFrame:
+    """bpe_train as a DataFrame of (step, lhs, rhs, cnt)."""
+    rows = bpe_train(df, text_col=text_col, n_merges=n_merges)
+    return spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, cnt long")

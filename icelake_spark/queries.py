@@ -2543,6 +2543,59 @@ def _semdedup_sql(n_clusters: int = 8, threshold: float = 0.35,
               "ORDER BY vec_id")
 
 
+def bpe_train_q(spark, sf_dir):
+    """BPE tokenizer training (ops/text.py bpe_train): the 8 most
+    frequent adjacent-symbol merges over the documents corpus, learned
+    Sennrich-style on the word-frequency table (corpus is shuffled
+    exactly once; the merge loop runs on the vocab-bounded table).
+    Integer/string arithmetic only, so the DuckDB twin reproduces the
+    merge table exactly."""
+    from .ops.text import bpe_train_df
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train_df(spark, docs, n_merges=8)
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of bpe_train_q: the merge loop UNROLLED as CTE
+    triples (pairs_t → best_t → encoded_{t+1}); the argmax merge joins
+    back in as a one-row scalar, so the whole training run is one
+    relational query."""
+    ctes = [r"""w0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(
+      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w)""",
+            r"""e1 AS (
+  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS enc, freq
+  FROM w0)"""]
+    for t in range(1, n_merges + 1):
+        ctes.append(f"""s{t} AS (
+  SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS syms, freq
+  FROM e{t})""")
+        ctes.append(f"""i{t} AS (
+  SELECT syms, freq,
+         unnest(generate_series(1, len(syms) - 1)) AS i
+  FROM s{t})""")
+        ctes.append(f"""p{t} AS (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(freq) AS cnt
+  FROM i{t} GROUP BY 1, 2)""")
+        ctes.append(f"""b{t} AS (
+  SELECT lhs, rhs, cnt FROM p{t} ORDER BY cnt DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""e{t + 1} AS (
+  SELECT replace(enc, '|' || b.lhs || '||' || b.rhs || '|',
+                 '|' || b.lhs || b.rhs || '|') AS enc, freq
+  FROM e{t} CROSS JOIN b{t} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS step, lhs, rhs, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM b{t}"
+        for t in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT * FROM ({union}) ORDER BY step")
+
+
 def ann_topk_q(spark, sf_dir):
     from .ops.similarity import topk_cosine
 
@@ -3952,6 +4005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     risk block. Queries 51+ were hash-green in the r7 window or the
     local full-registry sweep (tools/check_oracle.py)."""
     return {
+        # -- NEW in round 8
+        "semdedup": semdedup_q,
+        "bpe_train": bpe_train_q,
         # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
@@ -4001,12 +4057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window_builtin": events_session_window_builtin,
         "events_json_extract": events_json_extract,
         "label_centroids": label_centroids_q,
-        "ngram_jaccard_pairs": ngram_jaccard_q,
         "dedup_clusters": dedup_clusters_q,
-        "bm25_topk": bm25_topk_q,
         "pack_documents": pack_documents_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r9 queue head: r6-evidence bench rows sat out this round
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "bm25_topk": bm25_topk_q,
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -4105,6 +4161,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_term_freq": CORPUS_TF_SQL,
         "text_analysis": text_analysis_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
+        "semdedup": _semdedup_sql(),
+        "bpe_train": _bpe_sql(),
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -665,3 +665,68 @@ def test_repetition_metrics_matches_bruteforce(spark):
             assert g.top_bigram_frac == exp_tb
 
     prop()
+
+
+def test_bpe_train_hand_computed(spark):
+    """Sennrich BPE on a corpus small enough to verify by hand: the
+    merge table (pair argmax per step, count-desc/lhs/rhs ties) and
+    the re-encoding between steps."""
+    from icelake_spark.ops.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab"), (2, "ab")], "doc_id long, text string")
+    # words: abab x3, ab x2. pairs: (a,b) = 2*3 + 1*2 = 8; (b,a) = 3.
+    # merge1 = (a,b,8); re-encode: |ab|ab| x3, |ab| x2 ->
+    # pairs: (ab,ab) = 3 -> merge2 = (ab,ab,3)
+    assert bpe_train(docs, n_merges=2) == [
+        (1, "a", "b", 8), (2, "ab", "ab", 3)]
+    # deterministic ties: (x,y) and (y,z) both count 2 -> lhs asc wins
+    docs2 = spark.createDataFrame(
+        [(1, "xy xy yz yz")], "doc_id long, text string")
+    assert bpe_train(docs2, n_merges=1) == [(1, "x", "y", 2)]
+    # overlapping repeats merge greedily left-to-right: aaa -> [aa, a]
+    docs3 = spark.createDataFrame(
+        [(1, "aaa aaa ba")], "doc_id long, text string")
+    m = bpe_train(docs3, n_merges=2)
+    # pairs step1: (a,a) = 2*2 = 4 > (b,a) = 1 -> merge (a,a)
+    # re-encode aaa -> |aa|a|: pairs step2: (aa,a) = 2 > (b,a) = 1
+    assert m == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+    # non-alnum words are excluded from training
+    docs4 = spark.createDataFrame(
+        [(1, "$$$ $$$ $$$ ab ab")], "doc_id long, text string")
+    assert bpe_train(docs4, n_merges=1) == [(1, "a", "b", 2)]
+
+
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup drops the higher-id member of each within-cluster
+    near-duplicate group and keeps cross-cluster items untouched."""
+    from icelake_spark.ops.dedup import semdedup
+
+    import math
+    # two tight groups on orthogonal axes + one isolated vector
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    iso = [0.0, 0.0, 1.0, 0.0]
+    eps = [0.01, 0.0, 0.0, 0.01]
+
+    def jitter(v, k):
+        return [x + k * e for x, e in zip(v, eps)]
+
+    rows = [(1, jitter(base_a, 0)), (2, jitter(base_a, 1)),
+            (3, jitter(base_a, 2)),
+            (10, jitter(base_b, 0)), (11, jitter(base_b, 1)),
+            (20, iso)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, n_clusters=3, threshold=0.99, train_iters=2,
+                   portable=True).collect()
+    kept = sorted(r.vec_id for r in out)
+    # each tight group keeps its lowest id; the isolated vector stays
+    assert kept == [1, 10, 20]
+    # clusters are consistent: survivors of one group share no cluster
+    # with the other group's survivor
+    by_id = {r.vec_id: r.cluster for r in out}
+    assert by_id[1] != by_id[10] and by_id[20] not in (None,)
+    # threshold=1.01 keeps everything (nothing is that similar)
+    all_kept = semdedup(df, n_clusters=3, threshold=1.01,
+                        train_iters=2, portable=True).count()
+    assert all_kept == 6
