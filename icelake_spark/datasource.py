@@ -643,6 +643,55 @@ def _stream_files_between(table, start_seq: int,
     return out
 
 
+def _append_offsets(table) -> list[int]:
+    """Sorted stream offsets of main-ancestry APPEND snapshots — the
+    only snapshots that contribute files to the partition stream."""
+    main_ids = table.metadata.ancestry_ids()
+    return sorted(
+        _stream_offset_of(table, s) for s in table.metadata.snapshots
+        if s.snapshot_id in main_ids
+        and s.summary.get("operation", "append") == "append")
+
+
+def _stream_snapshot_files(table, seq: int,
+                           cache: dict | None = None) -> list[tuple[str, str]]:
+    """Path-SORTED (path, format) files added by the snapshot at stream
+    offset `seq`. The sort makes the file-granular offset coordinate
+    ({"seq": s, "files": k} = first k files of the next append
+    snapshot) deterministic across triggers and restarts. `cache`
+    (reader-held, keyed by offset) avoids re-reading a pending
+    snapshot's manifests on every trigger — snapshots are immutable,
+    so entries never invalidate."""
+    if cache is not None and seq in cache:
+        return cache[seq]
+    files = sorted(_stream_files_between(table, seq - 1, seq))
+    if cache is not None:
+        cache[seq] = files
+    return files
+
+
+def _stream_files_range(table, s1: int, k1: int, s2: int, k2: int,
+                        cache: dict | None = None) -> list[tuple[str, str]]:
+    """Files between composite offsets (s1, k1) and (s2, k2]: offset
+    (s, k) means every snapshot with offset <= s is fully emitted plus
+    the first k path-sorted files of the NEXT append snapshot after s
+    (k = 0 degenerates to the original snapshot-granular offset)."""
+    apps = _append_offsets(table)
+    t1 = next((o for o in apps if o > s1), None)
+    out: list[tuple[str, str]] = []
+    for t in apps:
+        if not (s1 < t <= s2):
+            continue
+        fl = _stream_snapshot_files(table, t, cache)
+        out.extend(fl[k1 if (k1 and t == t1) else 0:])
+    if k2:
+        t_end = next((o for o in apps if o > s2), None)
+        if t_end is not None:
+            fl = _stream_snapshot_files(table, t_end, cache)
+            out.extend(fl[k1 if (k1 and t_end == t1) else 0:k2])
+    return out
+
+
 def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
     """Driver-side changelog planning with STRICTLY LINEAR manifest
     I/O: one walk over the main ancestry reads each manifest list and
@@ -922,7 +971,15 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         # most N sequence numbers, so a backlogged stream catches up in
         # bounded micro-batches instead of one giant one
         self._rate = int(options.get("max_snapshots_per_trigger", 0))
+        # file-granular admission (Iceberg's
+        # streaming-max-files-per-micro-batch analogue): each trigger
+        # emits at most N data FILES, splitting inside a snapshot via
+        # composite offsets {"seq": s, "files": k} (first k path-sorted
+        # files of the next append snapshot after s). Ignored in
+        # changelog mode, where the batch unit is a whole snapshot.
+        self._max_files = int(options.get("max_files_per_trigger", 0))
         self._floor = None  # highest start offset observed (checkpoint)
+        self._sf_cache: dict = {}  # offset -> sorted snapshot file list
         # highest batch START Spark has ever handed to partitions():
         # a batch start equals the previous batch's logged end, so every
         # sequence number at or below it was already planned (and, on a
@@ -939,30 +996,63 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
 
         return IcebergTable.load(self.path)
 
+    @property
+    def _file_rate(self) -> int:
+        return 0 if self._changelog else self._max_files
+
     def initialOffset(self) -> dict:  # noqa: N802
         return {"seq": int(self.options.get("starting_sequence_number", 0))}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        end = _stream_end_offset(self._table())
+        table = self._table()
+        end = _stream_end_offset(table)
+        if self._rate <= 0 and self._file_rate <= 0:
+            return {"seq": end}
+        base = self._floor
+        if base is None:
+            base = (int(self.options.get("starting_sequence_number", 0)), 0)
+        end_seq = end
         if self._rate > 0:
-            base = self._floor
-            if base is None:
-                base = int(self.options.get("starting_sequence_number", 0))
-            capped = min(end, base + self._rate)
-            end = capped
-            self._floor = max(base, capped)
-        return {"seq": end}
+            end_seq = min(end, base[0] + self._rate)
+        if self._file_rate > 0:
+            off = self._walk_file_cap(table, base, end_seq)
+        else:
+            off = (max(base[0], end_seq), 0)
+        self._floor = max(base, off)
+        s, k = self._floor
+        return {"seq": s, "files": k} if self._file_rate > 0 else {"seq": s}
+
+    def _walk_file_cap(self, table, base: tuple, end_seq: int) -> tuple:
+        """Advance from composite offset `base` by at most
+        max_files_per_trigger data files, never past snapshot offset
+        `end_seq`; returns the new composite offset."""
+        s0, k0 = base
+        budget = self._file_rate
+        k = k0
+        for t in _append_offsets(table):
+            if not (s0 < t <= end_seq):
+                continue
+            n = len(_stream_snapshot_files(table, t, self._sf_cache))
+            take = max(0, n - k)
+            if take > budget:
+                return (t - 1, k + budget)
+            budget -= take
+            k = 0
+        return (max(s0, end_seq), 0)
 
     @property
     def _changelog(self) -> bool:
         return self.options.get("changelog", "").lower() in ("true", "1")
 
     def partitions(self, start: dict, end: dict):  # driver-side planning
-        s, e = int(start["seq"]), int(end["seq"])
-        if self._rate > 0:
+        # composite offsets (seq, files) compare lexicographically;
+        # plain {"seq": N} checkpoints read as (N, 0) — back-compatible
+        s = (int(start["seq"]), int(start.get("files", 0)))
+        e = (int(end["seq"]), int(end.get("files", 0)))
+        if self._rate > 0 or self._file_rate > 0:
             # learn the true (checkpointed) start so the rate cap in
             # latestOffset advances from reality after a restart
-            self._floor = max(self._floor or 0, s, e)
+            self._floor = max(self._floor or (0, 0), s, e)
         # Restart duplicate guard (ADVICE r7 medium): after a restart
         # the first capped latestOffset may regress BELOW the
         # checkpointed start (it caps from starting_sequence_number —
@@ -975,7 +1065,7 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
         # because a fresh reader starts with _planned = None.
         if self._planned is not None and s < self._planned:
             s = self._planned
-        self._planned = max(self._planned or 0, s)
+        self._planned = max(self._planned or (0, 0), s)
         if e <= s:
             return []
         table = self._table()
@@ -983,9 +1073,17 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             # one task per DECODABLE snapshot in range; ONE linear walk
             # on the driver reads each manifest exactly once and ships
             # complete task payloads (see _plan_changelog_tasks)
-            return _plan_changelog_tasks(table, s, e)
-        return [_StreamFileTask(path, fmt)
-                for path, fmt in _stream_files_between(table, s, e)]
+            return _plan_changelog_tasks(table, s[0], e[0])
+        if s[1] or e[1]:
+            files = _stream_files_range(table, s[0], s[1], e[0], e[1],
+                                        self._sf_cache)
+        else:  # snapshot-aligned: one linear manifest walk
+            files = _stream_files_between(table, s[0], e[0])
+        # evict fully-drained snapshots so the cache stays bounded by
+        # the pending backlog, not the table's history
+        self._sf_cache = {q: v for q, v in self._sf_cache.items()
+                          if q > s[0]}
+        return [_StreamFileTask(path, fmt) for path, fmt in files]
 
     def read(self, partition):  # executor-side
         import pyarrow as pa

@@ -750,3 +750,62 @@ def test_stream_rate_limit_restart_no_duplicates(spark, warehouse, tmp_path):
     assert sorted(second_run) == list(range(60, 120)), (
         f"restart replayed/lost rows: {len(second_run)} rows, "
         f"dups={len(second_run) - len(set(second_run))}")
+
+
+def test_stream_max_files_per_trigger(spark, warehouse, tmp_path):
+    """File-granular admission control (Iceberg's
+    streaming-max-files-per-micro-batch analogue): each trigger emits
+    at most N data FILES, splitting INSIDE a snapshot via composite
+    offsets {"seq": s, "files": k}; no row lost or duplicated."""
+    from icelake_spark import datasource
+    from icelake_spark.datasource import IcelakePartitionStreamReader
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(60).selectExpr("id", "id % 3 as g")
+    t = warehouse.create_table("db.streamfiles", Schema.from_spark(src.schema))
+    for lo in (0, 30):  # 2 snapshots x 3 data files each
+        t.append(src.where(f"id >= {lo} and id < {lo + 30}"),
+                 max_records_per_file=10)
+        t = t.refresh()
+    n_files = len(t.new_scan().plan_files()[0])
+    assert n_files == 6
+
+    # --- unit-level: the offset walk splits inside snapshots ---------
+    r = IcelakePartitionStreamReader(
+        {"path": t.path, "max_files_per_trigger": "2"},
+        t.schema().to_spark())
+    cur = r.initialOffset()
+    seen_files, rounds = [], 0
+    while rounds < 10:
+        nxt = r.latestOffset()
+        if nxt == cur:
+            break
+        parts = r.partitions(cur, nxt)
+        assert len(parts) <= 2, f"batch exceeded file cap: {len(parts)}"
+        seen_files.extend(p.file_path for p in parts)
+        cur, rounds = nxt, rounds + 1
+    assert rounds == 3 and len(seen_files) == 6
+    assert len(set(seen_files)) == 6  # no file planned twice
+    # final offset is snapshot-aligned (files drained exactly)
+    assert cur["files"] == 0
+
+    # --- end-to-end: exact rows, bounded batches ----------------------
+    batches = []
+    q = (spark.readStream.format("icelake")
+         .option("path", t.path)
+         .option("max_files_per_trigger", "2").load()
+         .writeStream.foreachBatch(
+             lambda df, eid: batches.append(sorted(row.id for row in df.collect())))
+         .option("checkpointLocation", str(tmp_path / "ckpt_files"))
+         .trigger(processingTime="250 milliseconds").start())
+    import time
+    deadline = time.time() + 120
+    while sum(len(b) for b in batches) < 60 and time.time() < deadline:
+        time.sleep(0.4)
+    q.stop()
+    q.awaitTermination(60)
+    got = [i for b in batches for i in b]
+    assert sorted(got) == list(range(60)), (
+        f"{len(got)} rows, dups={len(got) - len(set(got))}")
+    assert len([b for b in batches if b]) >= 3  # 6 files / cap 2

@@ -730,3 +730,54 @@ def test_semdedup_planted_duplicates(spark):
     all_kept = semdedup(df, n_clusters=3, threshold=1.01,
                         train_iters=2, portable=True).count()
     assert all_kept == 6
+
+
+def test_bpe_train_matches_bruteforce(spark):
+    """Property: the distributed BPE trainer equals a reference pure-
+    Python implementation (pair counts weighted by word frequency,
+    argmax ties count-desc/lhs/rhs, greedy left-to-right non-
+    overlapping merges) over random small corpora."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icelake_spark.ops.text import bpe_train
+
+    def ref_bpe(words: list[str], n_merges: int):
+        freq = Counter(w for w in words if w)
+        enc = {w: tuple(w) for w in freq}
+        merges = []
+        for step in range(1, n_merges + 1):
+            pc: Counter = Counter()
+            for w, f in freq.items():
+                s = enc[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            (l, r), cnt = min(pc.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((step, l, r, cnt))
+            for w in enc:
+                s, out, i = enc[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                enc[w] = tuple(out)
+        return merges
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=25), st.integers(1, 4))
+    def prop(words, n_merges):
+        df = spark.createDataFrame([(1, " ".join(words))],
+                                   "doc_id long, text string")
+        assert bpe_train(df, n_merges=n_merges) == ref_bpe(words, n_merges)
+
+    prop()
