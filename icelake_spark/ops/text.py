@@ -713,3 +713,68 @@ def bpe_train_df(spark, df: DataFrame, text_col: str = "text",
     rows = bpe_train(df, text_col=text_col, n_merges=n_merges)
     return spark.createDataFrame(
         rows, "step int, lhs string, rhs string, cnt long")
+
+
+# --------------------------------------------------- LM quality score
+
+
+def lm_bigram_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Language-model familiarity score — the CCNet-style LM quality
+    filter (CCNet scores docs with a KenLM n-gram model; this is the
+    self-trained bigram analogue): train add-one-smoothed bigram
+    conditional probabilities ON the corpus itself, then score each
+    document by its mean conditional probability
+    P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V). Low scores mark
+    gibberish / boilerplate-soup documents whose transitions the
+    corpus LM finds unfamiliar.
+
+    Returns (id_col, n_bigrams, lm_score_micro): each bigram's
+    probability in integer MICRO-units (floor of 1e6 * rational), then
+    the floor-mean over the document — all integer arithmetic, so the
+    DuckDB oracle reproduces values bit-exactly (float probability
+    sums would drift in reduction order). Docs with < 2 words score 0
+    with n_bigrams = 0 (the row is kept: stable row count).
+
+    100 TB shape: the model is two map-side-combined aggregates
+    bounded by vocabulary (unigrams) and bigram-vocabulary size, NOT
+    corpus size; scoring is one shuffle of (w1, w2) occurrence pairs
+    joined against those count tables (Catalyst broadcasts them when
+    small) and one per-doc aggregate. No driver state, no Python UDF.
+    """
+    from .dedup import words_col
+
+    w = words_col(text_col)
+    toks = df.select(F.col(id_col), w.alias("__w"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(F.when(F.size("__w") >= 2,
+                         F.zip_with(F.col("__w"),
+                                    F.slice("__w", 2, 1 << 30),
+                                    lambda a, b: F.struct(
+                                        a.alias("w1"), b.alias("w2"))))
+                  .otherwise(F.array().cast(
+                      "array<struct<w1:string,w2:string>>"))).alias("p"))
+    pairs = pairs.select(id_col, "p.w1", "p.w2").where(
+        F.col("w2").isNotNull())
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = (toks.select(F.explode("__w").alias("t")).where(F.col("t") != "")
+             .agg(F.countDistinct("t").alias("v")))
+    scored = (pairs.join(big, on=["w1", "w2"]).join(uni, on="w1")
+              .crossJoin(F.broadcast(vocab))
+              # integer DIV, not double '/': floor division is exact in
+              # both engines; a double quotient can differ in the last
+              # ulp and flip the truncation
+              .select(F.col(id_col),
+                      F.expr("CAST((cb + 1) * 1000000 AS BIGINT) "
+                             "DIV (cu + v)").alias("__micro")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("SUM(__micro) DIV COUNT(*)").alias("lm_score_micro"))
+    return (df.select(id_col).join(per_doc, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("lm_score_micro", F.lit(0)).cast("long")
+                    .alias("lm_score_micro")))

@@ -2596,6 +2596,48 @@ def _bpe_sql(n_merges: int = 8) -> str:
             + f"\nSELECT * FROM ({union}) ORDER BY step")
 
 
+def lm_bigram_score_q(spark, sf_dir):
+    """CCNet-style LM quality filtering (ops/text.py lm_bigram_score):
+    a corpus-trained add-one-smoothed bigram LM scores each document
+    by its mean conditional probability in integer micro-units —
+    all-integer arithmetic, bit-exact against the DuckDB twin."""
+    from .ops.text import lm_bigram_score
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_bigram_score(docs).orderBy("doc_id")
+
+
+LM_BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                      ' ') AS w
+  FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks)),
+big AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM toks) WHERE t <> ''),
+scored AS (
+  SELECT p.doc_id,
+         CAST((b.cb + 1) * 1000000 AS BIGINT) // (u.cu + vocab.v) AS micro
+  FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1)
+  CROSS JOIN vocab),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(micro) // COUNT(*) AS lm
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.lm, 0) AS BIGINT) AS lm_score_micro
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def ann_topk_q(spark, sf_dir):
     from .ops.similarity import topk_cosine
 
@@ -4008,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 8
         "semdedup": semdedup_q,
         "bpe_train": bpe_train_q,
+        "lm_bigram_score": lm_bigram_score_q,
         # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
@@ -4031,7 +4074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
-        "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
         "ivf_topk": ivf_topk_q,
@@ -4061,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": pack_documents_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r9 queue head: r6-evidence bench rows sat out this round
+        "minhash_lsh_pairs": minhash_lsh_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "bm25_topk": bm25_topk_q,
         "q1_pricing_summary": q1_pricing_summary,
@@ -4163,6 +4206,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "semdedup": _semdedup_sql(),
         "bpe_train": _bpe_sql(),
+        "lm_bigram_score": LM_BIGRAM_SQL,
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -781,3 +781,25 @@ def test_bpe_train_matches_bruteforce(spark):
         assert bpe_train(df, n_merges=n_merges) == ref_bpe(words, n_merges)
 
     prop()
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Add-one-smoothed bigram LM scoring on a corpus small enough to
+    verify by hand, plus stable-row-count edge cases."""
+    from icelake_spark.ops.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string")
+    # corpus bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b)
+    # C(a,b)=3, C(b,a)=1; heads: C(a.)=3, C(b.)=1; vocab {a,b,x} V=3
+    # P(b|a) = (3+1)/(3+3) = 4/6 -> 666666 micro
+    # P(a|b) = (1+1)/(1+3) = 2/4 -> 500000 micro
+    out = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert out[1].n_bigrams == 3
+    assert out[1].lm_score_micro == (666666 + 500000 + 666666) // 3
+    assert out[2].n_bigrams == 1 and out[2].lm_score_micro == 666666
+    # single-word and empty docs keep their rows with zero scores
+    assert out[3].n_bigrams == 0 and out[3].lm_score_micro == 0
+    assert out[4].n_bigrams == 0 and out[4].lm_score_micro == 0
+    assert set(out) == {1, 2, 3, 4}
