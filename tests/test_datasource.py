@@ -809,3 +809,44 @@ def test_stream_max_files_per_trigger(spark, warehouse, tmp_path):
     assert sorted(got) == list(range(60)), (
         f"{len(got)} rows, dups={len(got) - len(set(got))}")
     assert len([b for b in batches if b]) >= 3  # 6 files / cap 2
+
+
+def test_stream_caps_compose_and_walk_invariant(spark, warehouse):
+    """max_snapshots_per_trigger and max_files_per_trigger compose (the
+    snapshot cap bounds how far the file walk may reach), and chaining
+    latestOffset/partitions drains the backlog exactly once whatever
+    the caps."""
+    from icelake_spark.datasource import IcelakePartitionStreamReader
+    from icelake_spark.types import Schema
+
+    src = spark.range(90).selectExpr("id", "id % 3 as g")
+    t = warehouse.create_table("db.streamboth", Schema.from_spark(src.schema))
+    for lo, rpf in ((0, 10), (30, 30), (60, 15)):  # 3, 1, 2 files
+        t.append(src.where(f"id >= {lo} and id < {lo + 30}"),
+                 max_records_per_file=rpf)
+        t = t.refresh()
+
+    def drain(opts):
+        r = IcelakePartitionStreamReader(
+            {"path": t.path, **opts}, t.schema().to_spark())
+        cur, out = r.initialOffset(), []
+        for _ in range(20):
+            nxt = r.latestOffset()
+            if nxt == cur:
+                break
+            out.append([p.file_path for p in r.partitions(cur, nxt)])
+            cur = nxt
+        return out
+
+    # file cap alone: 6 files at <=2 per batch
+    batches = drain({"max_files_per_trigger": "2"})
+    assert [len(b) for b in batches] == [2, 2, 2]
+    flat = [f for b in batches for f in b]
+    assert len(set(flat)) == 6
+    # composed: snapshot cap 1 bounds the walk even when the file cap
+    # would admit more (snapshot 2 has ONE file; a file-cap-only walk
+    # would pull a file of snapshot 3 into the same batch)
+    batches2 = drain({"max_files_per_trigger": "2",
+                      "max_snapshots_per_trigger": "1"})
+    assert [len(b) for b in batches2] == [2, 1, 1, 2]
+    assert set(f for b in batches2 for f in b) == set(flat)
