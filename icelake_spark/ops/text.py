@@ -778,3 +778,32 @@ def lm_bigram_score(df: DataFrame, text_col: str = "text",
                     .alias("n_bigrams"),
                     F.coalesce("lm_score_micro", F.lit(0)).cast("long")
                     .alias("lm_score_micro")))
+
+
+def bpe_encode_counts(df: DataFrame, merges, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned BPE merge table (bpe_train output) and count the
+    resulting tokens per document — the token-budget accounting step a
+    pretraining pipeline runs after tokenizer training.
+
+    The whole normalized document is encoded at once with every
+    character wrapped in pipes ('|h||i|| ||y||o|'); spaces are wrapped
+    too and act as merge BARRIERS (no merge pattern contains a space),
+    so per-word merge semantics hold without exploding words. Each
+    merge is one literal JVM-side replace — the entire encode is a
+    narrow projection, no shuffle, no UDF. Returns
+    (id_col, n_words, n_tokens): n_tokens = wrapped symbols minus
+    space symbols. Exactly reproducible in SQL (same replace chain).
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    enc = F.regexp_replace(norm, "(.)", r"|$1|")
+    for _step, lhs, rhs, _cnt in merges:
+        enc = F.replace(enc, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
+    syms = ((F.length(enc)
+             - F.length(F.replace(enc, F.lit("|"), F.lit("")))) / 2
+            ).cast("long")
+    spaces = occurrences(norm, " ")
+    return df.select(
+        F.col(id_col),
+        word_count(F.col(text_col)).alias("n_words"),
+        (syms - spaces).cast("long").alias("n_tokens"))

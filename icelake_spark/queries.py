@@ -2596,6 +2596,49 @@ def _bpe_sql(n_merges: int = 8) -> str:
             + f"\nSELECT * FROM ({union}) ORDER BY step")
 
 
+def bpe_encode_q(spark, sf_dir):
+    """Train the 8-merge BPE tokenizer on the corpus, then APPLY it:
+    per-document token counts under the learned vocabulary (the
+    token-budget accounting step after tokenizer training). The encode
+    is a chain of literal replaces over the pipe-wrapped normalized
+    text — a narrow JVM projection, no shuffle."""
+    from .ops.text import bpe_encode_counts, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return bpe_encode_counts(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of bpe_encode_q: the bpe training CTEs (argmax
+    merges b1..bN) + the same replace chain over encoded documents."""
+    train = _bpe_sql(n_merges)
+    ctes = train[len("WITH "):train.rindex("\nSELECT * FROM (")]
+    parts = [ctes, r"""d0 AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  FROM documents)""", r"""g0 AS (
+  SELECT doc_id, norm,
+         regexp_replace(norm, '(.)', '|\1|', 'g') AS enc
+  FROM d0)"""]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""g{t} AS (
+  SELECT doc_id, norm,
+         replace(enc, '|' || b.lhs || '||' || b.rhs || '|',
+                 '|' || b.lhs || b.rhs || '|') AS enc
+  FROM g{t - 1} CROSS JOIN b{t} b)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(norm) = 0 THEN 0
+                 ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+            END AS BIGINT) AS n_words,
+       CAST((length(enc) - length(replace(enc, '|', ''))) // 2
+            - (length(norm) - length(replace(norm, ' ', '')))
+            AS BIGINT) AS n_tokens
+FROM g{n_merges}
+ORDER BY doc_id""")
+
+
 def lm_bigram_score_q(spark, sf_dir):
     """CCNet-style LM quality filtering (ops/text.py lm_bigram_score):
     a corpus-trained add-one-smoothed bigram LM scores each document
@@ -4050,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 8
         "semdedup": semdedup_q,
         "bpe_train": bpe_train_q,
+        "bpe_encode": bpe_encode_q,
         "lm_bigram_score": lm_bigram_score_q,
         # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
@@ -4074,7 +4118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
-        "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
         "ivf_topk": ivf_topk_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
@@ -4103,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": pack_documents_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r9 queue head: r6-evidence bench rows sat out this round
+        "simhash_near_pairs": simhash_q,
         "minhash_lsh_pairs": minhash_lsh_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "bm25_topk": bm25_topk_q,
@@ -4206,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "semdedup": _semdedup_sql(),
         "bpe_train": _bpe_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "lm_bigram_score": LM_BIGRAM_SQL,
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -803,3 +803,27 @@ def test_lm_bigram_score_hand_computed(spark):
     assert out[3].n_bigrams == 0 and out[3].lm_score_micro == 0
     assert out[4].n_bigrams == 0 and out[4].lm_score_micro == 0
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    """Applying a merge table reduces token counts exactly; spaces act
+    as merge barriers; empty docs count zero."""
+    from icelake_spark.ops.text import bpe_encode_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab"), (2, "ab"), (3, "")],
+        "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=2)  # (a,b) then (ab,ab)
+    out = {r.doc_id: r for r in bpe_encode_counts(docs, merges).collect()}
+    # doc1: abab -> [abab] after both merges (3 words x 1 token) + ab
+    assert out[1].n_words == 4 and out[1].n_tokens == 4
+    assert out[2].n_words == 1 and out[2].n_tokens == 1
+    assert out[3].n_words == 0 and out[3].n_tokens == 0
+    # zero merges: tokens = characters (spaces excluded)
+    out0 = {r.doc_id: r for r in bpe_encode_counts(docs, []).collect()}
+    assert out0[1].n_tokens == len("ababababababab")
+    # merges never cross a word boundary
+    docs2 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    m2 = [(1, "a", "b", 99)]  # would only apply INSIDE a word
+    got = bpe_encode_counts(docs2, m2).collect()[0]
+    assert got.n_tokens == 2
