@@ -262,3 +262,30 @@ def test_round5_operators_plan_properties(spark):
     pk = _plan(Q.dedup_keep_best_q(spark, sf))
     assert "EvalPython" not in pk
     assert "Window" not in pk
+
+
+def test_round8_operators_plan_properties(spark):
+    """Round-8 operators keep their intended physical shape."""
+    from icelake_spark import queries as Q
+    from icelake_spark.ops.dedup import semdedup
+
+    sf = "/root/testdata/sf0.001"
+    # LM scoring: count-model joins broadcast (vocabulary-bounded
+    # sides), no corpus-wide window, no Python eval
+    p1 = _plan(Q.lm_bigram_score_q(spark, sf))
+    assert "EvalPython" not in p1 and "Window" not in p1
+    assert "BroadcastHashJoin" in p1
+    assert "SortMergeJoin" not in p1
+    # BPE encode: a narrow projection — the only exchange is the
+    # output sort, never a shuffle of document text for the encode
+    p2 = _plan(Q.bpe_encode_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert p2.count("Exchange") <= 1
+    # semdedup: pairwise cosine confined to the cluster-id join; the
+    # drop list anti-joins broadcast; never a cartesian product
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p3 = _plan(semdedup(emb, n_clusters=4, threshold=0.35,
+                        train_iters=1, portable=True))
+    assert "EvalPython" not in p3
+    assert "CartesianProduct" not in p3
+    assert "BroadcastHashJoin" in p3
