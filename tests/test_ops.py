@@ -827,3 +827,44 @@ def test_bpe_encode_counts_hand_computed(spark):
     m2 = [(1, "a", "b", 99)]  # would only apply INSIDE a word
     got = bpe_encode_counts(docs2, m2).collect()[0]
     assert got.n_tokens == 2
+
+
+def test_winnow_fingerprints_semantics(spark):
+    """Winnowing guarantees and determinism: identical normalized text
+    -> identical prints; any shared substring of length >= k + w - 1
+    shares a selected hash; short docs below k yield nothing; docs
+    with fewer than w grams keep one all-gram window."""
+    from icelake_spark.ops.dedup import winnow_candidates, winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),
+         (2, "THE  quick   Brown fox jumps over it"),
+         (3, "a quick brown fox leaps away"),
+         (4, "zzzz"),            # < k chars: no prints
+         (5, "abcdef")],          # 2 grams < w: single window
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=5, w=4).collect()
+    by = {}
+    for r in fp:
+        by.setdefault(r.doc_id, set()).add((r.hash, r.pos))
+    assert by[1] == by[2]                       # normalization-invariant
+    assert 4 not in by
+    assert len(by[5]) == 1                      # all-gram window min
+    # guarantee: docs 1 and 3 share "quick brown fox " (16 >= 5+4-1)
+    assert {h for h, _ in by[1]} & {h for h, _ in by[3]}
+    # brute-force reference on doc 1: window minima, rightmost ties
+    import hashlib
+    norm = "the quick brown fox jumps over it"
+    grams = [norm[i:i + 5] for i in range(len(norm) - 4)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    expected = set()
+    for j in range(len(hs) - 3):
+        win = hs[j:j + 4]
+        m = min(win)
+        p = j + max(i for i, x in enumerate(win) if x == m) + 1
+        expected.add((m, p))
+    assert by[1] == expected
+    # candidate pairs: doc1/doc2 are near-identical
+    cand = {(r.a, r.b): r.n_shared
+            for r in winnow_candidates(docs, min_shared=2).collect()}
+    assert (1, 2) in cand and cand[(1, 2)] == len(by[1])
