@@ -2684,6 +2684,90 @@ SELECT a, b, n_shared FROM pairs WHERE n_shared >= 4 ORDER BY a, b
 """
 
 
+def theta_distinct_q(spark, sf_dir):
+    """Fixed-threshold theta sketch (ops/sketches.py): approximate
+    distinct words per language — deterministic md5 thresholding, so
+    the sketch (and its estimate) is bit-reproducible in SQL."""
+    from .ops.dedup import words_col
+    from .ops.sketches import theta_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(words_col("text")).alias("w"))
+    return theta_distinct(words, col="w", group_col="lang",
+                          sample_den=16).orderBy("lang")
+
+
+THETA_DISTINCT_SQL = r"""
+WITH words AS (
+  SELECT lang, unnest(string_split(
+    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+kept AS (
+  SELECT lang, COUNT(DISTINCT h) AS kept FROM (
+    SELECT lang, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+    FROM words) t
+  WHERE h < 72057594037927936
+  GROUP BY lang)
+SELECT lang, kept, CAST(kept * 16 AS BIGINT) AS est_distinct
+FROM kept ORDER BY lang
+"""
+
+
+_CMS_PROBES = ["value", "data", "the", "zebra", "quantum"]
+
+
+def countmin_freq_q(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over document
+    words with the affine md5 lane family; point estimates for a fixed
+    probe list. The (lane, bucket) table is a 4x1024-cell aggregate —
+    state independent of vocabulary size — and every cell is integer
+    arithmetic the DuckDB twin reproduces exactly."""
+    from .ops.dedup import words_col
+    from .ops.sketches import countmin_estimate, countmin_table
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(words_col("text")).alias("w"))
+    sketch = countmin_table(words, col="w", depth=4, width=1024)
+    return countmin_estimate(sketch, _CMS_PROBES).orderBy("word")
+
+
+def _countmin_sql(depth: int = 4, width: int = 1024) -> str:
+    from .ops.dedup import MINHASH_P
+
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    h0 = "CAST('0x' || substring(md5({c}), 1, 15) AS BIGINT) % {P}"
+    h1 = ("CAST('0x' || substring(md5({c} || '#1'), 1, 15) AS BIGINT)"
+          " % {P} + 1")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(
+    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+hashed AS (
+  SELECT {h0.format(c='w', P=MINHASH_P)} AS h0,
+         {h1.format(c='w', P=MINHASH_P)} AS h1
+  FROM words),
+cells AS (
+  SELECT lane, CAST((h0 + lane * h1) % {MINHASH_P} % {width} AS INTEGER)
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1}))
+                          AS lane) l
+  GROUP BY 1, 2),
+probes AS (SELECT word FROM (VALUES {probes}) p(word)),
+probe_cells AS (
+  SELECT word, lane,
+         CAST(({h0.format(c='word', P=MINHASH_P)}
+               + lane * ({h1.format(c='word', P=MINHASH_P)}))
+              % {MINHASH_P} % {width} AS INTEGER) AS bucket
+  FROM probes CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1}))
+                          AS lane) l)
+SELECT word, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+FROM probe_cells LEFT JOIN cells USING (lane, bucket)
+GROUP BY word ORDER BY word
+"""
+
+
 def lm_bigram_score_q(spark, sf_dir):
     """CCNet-style LM quality filtering (ops/text.py lm_bigram_score):
     a corpus-trained add-one-smoothed bigram LM scores each document
@@ -4141,6 +4225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": bpe_encode_q,
         "lm_bigram_score": lm_bigram_score_q,
         "winnow_candidates": winnow_candidates_q,
+        "theta_distinct": theta_distinct_q,
+        "countmin_freq": countmin_freq_q,
         # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
@@ -4164,8 +4250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
-        "ivf_topk": ivf_topk_q,
-        "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "set_ops_customers": set_ops_customers,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4191,6 +4275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": pack_documents_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r9 queue head: r6-evidence bench rows sat out this round
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
+        "ivf_topk": ivf_topk_q,
         "lsh_cosine_pairs": lsh_cosine_q,
         "simhash_near_pairs": simhash_q,
         "minhash_lsh_pairs": minhash_lsh_q,
@@ -4299,6 +4385,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "lm_bigram_score": LM_BIGRAM_SQL,
         "winnow_candidates": WINNOW_SQL,
+        "theta_distinct": THETA_DISTINCT_SQL,
+        "countmin_freq": _countmin_sql(),
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,

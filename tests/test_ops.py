@@ -868,3 +868,42 @@ def test_winnow_fingerprints_semantics(spark):
     cand = {(r.a, r.b): r.n_shared
             for r in winnow_candidates(docs, min_shared=2).collect()}
     assert (1, 2) in cand and cand[(1, 2)] == len(by[1])
+
+
+def test_sketches_accuracy_and_determinism(spark):
+    """Theta distinct tracks the true distinct count within the
+    expected relative error, count-min never under-estimates and is
+    exact for absent words; both are deterministic across runs and
+    partitionings."""
+    from pyspark.sql import functions as F
+
+    from icelake_spark.ops.sketches import (countmin_estimate,
+                                            countmin_table,
+                                            theta_distinct)
+
+    # 10k values, 2000 distinct per group
+    df = spark.range(10000).selectExpr(
+        "cast(id % 2 as string) as g", "cast(id % 2000 as string) as v")
+    out = {r.g: r for r in
+           theta_distinct(df, col="v", group_col="g", sample_den=8)
+           .collect()}
+    for g in ("0", "1"):
+        true = 1000  # each group sees 1000 distinct v values
+        est = out[g].est_distinct
+        assert abs(est - true) / true < 0.25, (g, est)
+    # determinism under different partitioning
+    out2 = {r.g: r.est_distinct for r in
+            theta_distinct(df.repartition(7), col="v", group_col="g",
+                           sample_den=8).collect()}
+    assert out2 == {g: r.est_distinct for g, r in out.items()}
+
+    words = spark.createDataFrame(
+        [("apple",)] * 50 + [("pear",)] * 7 + [("kiwi",)] * 1,
+        "w string")
+    sk = countmin_table(words, col="w", depth=4, width=256)
+    est = {r.word: r.est_count for r in
+           countmin_estimate(sk, ["apple", "pear", "kiwi", "absent"],
+                             depth=4, width=256).collect()}
+    assert est["apple"] >= 50 and est["pear"] >= 7 and est["kiwi"] >= 1
+    # 58 values in 4x256 cells: collisions are unlikely but bounded
+    assert est["apple"] <= 58 and est["absent"] == 0
