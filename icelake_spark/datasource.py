@@ -644,13 +644,18 @@ def _stream_files_between(table, start_seq: int,
 
 
 def _append_offsets(table) -> list[int]:
-    """Sorted stream offsets of main-ancestry APPEND snapshots — the
-    only snapshots that contribute files to the partition stream."""
+    """Sorted DISTINCT stream offsets of main-ancestry APPEND
+    snapshots — the only snapshots that contribute files to the
+    partition stream. Deduped because v1 offsets are commit
+    timestamps: two appends in the same millisecond share an offset,
+    and _stream_snapshot_files(off) already returns their combined
+    file list — a duplicate offset would emit (and budget) every one
+    of those files twice."""
     main_ids = table.metadata.ancestry_ids()
-    return sorted(
+    return sorted({
         _stream_offset_of(table, s) for s in table.metadata.snapshots
         if s.snapshot_id in main_ids
-        and s.summary.get("operation", "append") == "append")
+        and s.summary.get("operation", "append") == "append"})
 
 
 def _stream_snapshot_files(table, seq: int,

@@ -65,11 +65,14 @@ FROM kept ORDER BY {group_col}
 """
 
 
-def _lane_bucket(h0, h1, lane: int, width: int):
+def _lane_bucket(h0, h1, lane, width: int):
     """Affine lane family bucket: ((h0 + lane*h1) mod P) mod width —
     the portable-minhash construction, one md5 per VALUE for all
-    lanes."""
-    return ((h0 + F.lit(lane) * h1) % MINHASH_P % width).cast("int")
+    lanes. `lane` may be an int literal (probe side) or a Column
+    (sketch-build side); table and estimate MUST share this formula
+    or every estimate breaks."""
+    lane_col = F.lit(lane) if isinstance(lane, int) else lane
+    return ((h0 + lane_col * h1) % MINHASH_P % width).cast("int")
 
 
 def countmin_table(df: DataFrame, col: str, depth: int = 4,
@@ -88,8 +91,8 @@ def countmin_table(df: DataFrame, col: str, depth: int = 4,
         "__h0", "__h1")
     return (lanes.select(
         "lane",
-        ((F.col("__h0") + F.col("lane") * F.col("__h1"))
-         % MINHASH_P % width).cast("int").alias("bucket"))
+        _lane_bucket(F.col("__h0"), F.col("__h1"), F.col("lane"),
+                     width).alias("bucket"))
         .groupBy("lane", "bucket").agg(F.count("*").alias("cnt")))
 
 

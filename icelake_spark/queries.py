@@ -2622,11 +2622,19 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
          regexp_replace(norm, '(.)', '|\1|', 'g') AS enc
   FROM d0)"""]
     for t in range(1, n_merges + 1):
+        # LEFT JOIN, not CROSS: when training dries up before n_merges
+        # (b{t} empty) every document row must SURVIVE with its text
+        # unchanged — a cross join with the empty merge row would wipe
+        # the corpus and return 0 rows while Spark returns all docs.
+        # The COALESCE('') pattern '||||' never occurs in an encoding
+        # (pipe runs are at most 2), so the no-op branch is safe.
         parts.append(f"""g{t} AS (
   SELECT doc_id, norm,
-         replace(enc, '|' || b.lhs || '||' || b.rhs || '|',
-                 '|' || b.lhs || b.rhs || '|') AS enc
-  FROM g{t - 1} CROSS JOIN b{t} b)""")
+         replace(enc, '|' || COALESCE(b.lhs, '') || '||'
+                      || COALESCE(b.rhs, '') || '|',
+                 '|' || COALESCE(b.lhs, '') || COALESCE(b.rhs, '')
+                      || '|') AS enc
+  FROM g{t - 1} LEFT JOIN b{t} b ON TRUE)""")
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT doc_id,
        CAST(CASE WHEN length(norm) = 0 THEN 0
@@ -2697,20 +2705,16 @@ def theta_distinct_q(spark, sf_dir):
                           sample_den=16).orderBy("lang")
 
 
-THETA_DISTINCT_SQL = r"""
-WITH words AS (
-  SELECT lang, unnest(string_split(
-    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
-  FROM documents),
-kept AS (
-  SELECT lang, COUNT(DISTINCT h) AS kept FROM (
-    SELECT lang, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
-    FROM words) t
-  WHERE h < 72057594037927936
-  GROUP BY lang)
-SELECT lang, kept, CAST(kept * 16 AS BIGINT) AS est_distinct
-FROM kept ORDER BY lang
-"""
+def _theta_distinct_oracle() -> str:
+    """Generated from the SAME helper that defines the sketch's hash
+    lane and threshold (ops/sketches.theta_distinct_sql) — one source
+    of truth for the portable construction."""
+    from .ops.sketches import theta_distinct_sql
+
+    words = (r"(SELECT lang, unnest(string_split(regexp_replace("
+             r"trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w "
+             r"FROM documents)")
+    return theta_distinct_sql("w", "lang", words, sample_den=16)
 
 
 _CMS_PROBES = ["value", "data", "the", "zebra", "quantum"]
@@ -4389,7 +4393,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "lm_bigram_score": LM_BIGRAM_SQL,
         "winnow_candidates": WINNOW_SQL,
-        "theta_distinct": THETA_DISTINCT_SQL,
+        "theta_distinct": _theta_distinct_oracle(),
         "countmin_freq": _countmin_sql(),
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

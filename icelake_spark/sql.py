@@ -325,19 +325,24 @@ def _source_only_refs(expr: str, talias: str, salias: str,
             buf.append(expr[i])
             i += 1
     clean = "".join(buf)
+    # Spark resolves identifiers case-insensitively: compare lowercased
+    tl, sl = talias.lower(), salias.lower()
+    tlow = {c.lower() for c in tcols}
+    slow = {c.lower() for c in scols}
     refs = []
     for m in re.finditer(
             r"\b[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*", clean):
         if clean[m.end():].lstrip().startswith("("):
             continue  # function call
         chain = m.group(0)
-        head = chain.split(".", 1)[0].strip()
-        if head.upper() in _EXPR_KEYWORDS or head == talias:
+        head = chain.split(".", 1)[0].strip().lower()
+        if head.upper() in _EXPR_KEYWORDS or head == tl:
             continue
-        if "." in chain:
-            if head == salias and salias not in tcols:
-                refs.append(chain)
-        elif head in scols and head not in tcols:
+        if head == sl and sl not in tlow:
+            refs.append(chain)  # source-alias qualifier (dotted or not)
+        elif head in slow and head not in tlow:
+            # bare source column, or a dotted deref of a source-only
+            # (struct) column — neither resolves on the target frame
             refs.append(chain)
     return refs
 
@@ -399,6 +404,13 @@ def merge_into(spark: SparkSession, statement: str,
         # identically-named alias), then requalify
         tcols = {f.name for f in table.schema().fields}
         scols = set(source.columns)
+        # when the source alias collides with a TARGET column name,
+        # `salias.x` in a BY SOURCE expression is a struct deref of
+        # that target column — requalifying it to the canonical `s.`
+        # would point it at the (absent) source side. Rewrite only the
+        # target alias in that case.
+        s_arg = (talias if salias.lower() in {c.lower() for c in tcols}
+                 else salias)
         requal_by_source = []
         for act, cond, sets in by_source_clauses:
             bad = []
@@ -412,9 +424,9 @@ def merge_into(spark: SparkSession, statement: str,
                     "WHEN NOT MATCHED BY SOURCE may only reference "
                     f"target columns; source-only refs: {bad}")
             if cond:
-                cond = _requalify(cond, talias, salias)
+                cond = _requalify(cond, talias, s_arg)
             if sets:
-                sets = {k: _requalify(v, talias, salias)
+                sets = {k: _requalify(v, talias, s_arg)
                         for k, v in sets.items()}
             requal_by_source.append((act, cond, sets))
         by_source_clauses = requal_by_source

@@ -850,3 +850,29 @@ def test_stream_caps_compose_and_walk_invariant(spark, warehouse):
                       "max_snapshots_per_trigger": "1"})
     assert [len(b) for b in batches2] == [2, 1, 1, 2]
     assert set(f for b in batches2 for f in b) == set(flat)
+
+
+def test_stream_file_walk_dedupes_equal_offsets(spark, warehouse, monkeypatch):
+    """v1 stream offsets are commit timestamps, so two appends in the
+    same millisecond share an offset; the file walk must emit that
+    offset's combined file list ONCE (code-review r8)."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.types import Schema
+
+    src = spark.range(20).selectExpr("id")
+    t = warehouse.create_table("db.sameoff", Schema.from_spark(src.schema))
+    t.append(src.where("id < 10"))
+    t = t.refresh()
+    t.append(src.where("id >= 10"))
+    t = t.refresh()
+
+    monkeypatch.setattr(ds, "_stream_offset_of", lambda table, s: 7)
+    assert ds._append_offsets(t) == [7]
+    files = ds._stream_files_range(t, 0, 0, 7, 0)
+    assert len(files) == len(set(files)) == 2  # both snapshots, once
+    # the capped walk budgets the combined list once as well
+    r = ds.IcelakePartitionStreamReader(
+        {"path": t.path, "max_files_per_trigger": "1"},
+        t.schema().to_spark())
+    off = r._walk_file_cap(t, (0, 0), 7)
+    assert off == (6, 1)  # one file of the shared-offset snapshot pair

@@ -730,3 +730,45 @@ def test_merge_by_source_target_struct_named_s(warehouse, spark):
     rows = sorted((r.id, r.x) for r in
                   cat.load_table("s1.bstruct").to_df(spark).collect())
     assert rows == [(1, 0), (2, 42)]
+
+
+def test_merge_by_source_struct_alias_not_s(warehouse, spark):
+    """The target-struct-deref exemption must hold for ANY source
+    alias that collides with a target column, not just the literal
+    's' — requalifying `src.field` to `s.field` would point it at the
+    absent source side (code-review r8)."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, (7,), 0), (2, (9,), 0)],
+        "id long, src struct<field: long>, x long")
+    t = cat.create_table("s1.bstruct2", Schema.from_spark(df.schema))
+    t.append(df)
+    spark.createDataFrame([(1,)], "id long") \
+        .createOrReplaceTempView("bstruct2_src")
+    merge_into(spark,
+               "MERGE INTO s1.bstruct2 t USING bstruct2_src src "
+               "ON t.id = src.id "
+               "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET x = src.field",
+               catalog=cat)
+    rows = sorted((r.id, r.src.field, r.x) for r in
+                  cat.load_table("s1.bstruct2").to_df(spark).collect())
+    assert rows == [(1, 7, 0), (2, 9, 9)]
+
+
+def test_merge_by_source_dotted_source_struct_rejected(warehouse, spark):
+    """A dotted deref of a SOURCE-ONLY struct column must hit the
+    clean 'target columns' ValueError, not a late AnalysisException
+    (code-review r8); alias comparisons are case-insensitive."""
+    cat = warehouse
+    _mk(cat, spark, "s1.bsv2")
+    spark.createDataFrame([(1, (5,))],
+                          "id long, extra struct<field: long>") \
+        .createOrReplaceTempView("bsv2_src")
+    for stmt in (
+        "MERGE INTO s1.bsv2 t USING bsv2_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND extra.field > 0 THEN DELETE",
+        "MERGE INTO s1.bsv2 t USING bsv2_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND S.value > 0 THEN DELETE",
+    ):
+        with pytest.raises(ValueError, match="target columns"):
+            merge_into(spark, stmt, catalog=cat)

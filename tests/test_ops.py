@@ -907,3 +907,32 @@ def test_sketches_accuracy_and_determinism(spark):
     assert est["apple"] >= 50 and est["pear"] >= 7 and est["kiwi"] >= 1
     # 58 values in 4x256 cells: collisions are unlikely but bounded
     assert est["apple"] <= 58 and est["absent"] == 0
+
+
+def test_bpe_encode_oracle_survives_training_dryup(spark):
+    """When training dries up before n_merges, the DuckDB encode twin
+    must keep every document row (the merge CTEs go empty; a CROSS
+    JOIN there wiped the corpus — code-review r8)."""
+    import duckdb
+
+    from icelake_spark.ops.text import bpe_encode_counts, bpe_train
+    from icelake_spark.queries import _bpe_encode_sql, _bpe_sql
+
+    rows = [(1, "ab ab ab"), (2, "x"), (3, "ab x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # merge 1 = (a,b); afterwards every word is a single symbol ->
+    # training stops at 1 of 8 merges
+    merges = bpe_train(docs, n_merges=8)
+    assert len(merges) == 1
+    got = sorted(tuple(r) for r in
+                 bpe_encode_counts(docs, merges).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                + ") v(doc_id, text)")
+    ora = [tuple(r) for r in con.execute(_bpe_encode_sql(8)).fetchall()]
+    assert got == sorted(ora), (got, ora)
+    # the training twin agrees on the truncated merge table too
+    tr = [tuple(r) for r in con.execute(_bpe_sql(8)).fetchall()]
+    assert [(s, l, r) for s, l, r, _ in tr] == \
+        [(s, l, r) for s, l, r, _ in merges]
