@@ -2692,6 +2692,60 @@ SELECT a, b, n_shared FROM pairs WHERE n_shared >= 4 ORDER BY a, b
 """
 
 
+def pagerank_purchases_q(spark, sf_dir):
+    """Portable PageRank (ops/graph.py) over the customer-supplier
+    purchase graph (distinct orders x lineitem pairs, undirected):
+    3 synchronous iterations in integer rank units with floor
+    division at every step, so the iterative fixpoint is
+    bit-reproducible by the unrolled-CTE DuckDB twin — the same
+    discipline as the portable k-means lane."""
+    from .ops.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (o.join(l, o["o_orderkey"] == l["l_orderkey"])
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+             .distinct())
+    return pagerank(edges, iters=3).orderBy("node")
+
+
+def _pagerank_sql(iters: int = 3, damping_pct: int = 85,
+                  scale: int = 10 ** 12) -> str:
+    """DuckDB twin of pagerank_purchases_q: the iteration unrolled as
+    CTE pairs (contrib_t -> pr_{t+1}), integer floor division at the
+    same points as ops/graph.pagerank."""
+    d, r = damping_pct, 100 - damping_pct
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """und AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0)""",
+        "nodes AS (SELECT DISTINCT a AS node FROM und)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a)",
+        f"""pr0 AS (
+  SELECT node, CAST({scale} // n AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""c{t} AS (
+  SELECT und.b AS node, CAST(pr.rank // deg.deg AS BIGINT) AS c
+  FROM und JOIN pr{t} pr ON und.a = pr.node JOIN deg ON und.a = deg.a)""")
+        ctes.append(f"""s{t} AS (
+  SELECT node, SUM(c) AS s FROM c{t} GROUP BY node)""")
+        ctes.append(f"""pr{t + 1} AS (
+  SELECT nodes.node,
+         CAST(({r} * {scale}) // (100 * nn.n)
+              + ({d} * COALESCE(s{t}.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s{t} ON nodes.node = s{t}.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank FROM pr{iters} ORDER BY node")
+
+
 def theta_distinct_q(spark, sf_dir):
     """Fixed-threshold theta sketch (ops/sketches.py): approximate
     distinct words per language — deterministic md5 thresholding, so
@@ -4235,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_candidates": winnow_candidates_q,
         "theta_distinct": theta_distinct_q,
         "countmin_freq": countmin_freq_q,
+        "pagerank_purchases": pagerank_purchases_q,
         # -- changed in round 8 (merge path, line_dedup, metadata log)
         "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
@@ -4254,7 +4309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_sql_call": iceberg_sql_call,
         "iceberg_incremental_read": iceberg_incremental_read,
         "dedup_keep_best": dedup_keep_best_q,
-        "gopher_rules": gopher_rules_q,
         "iceberg_orc_roundtrip": iceberg_orc_roundtrip,
         "iceberg_avro_roundtrip": iceberg_avro_roundtrip,
         "iceberg_files_meta": iceberg_files_meta,
@@ -4283,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": pack_documents_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r9 queue head: r6-evidence bench rows sat out this round
+        "gopher_rules": gopher_rules_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "ivf_topk": ivf_topk_q,
         "lsh_cosine_pairs": lsh_cosine_q,
@@ -4395,6 +4450,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_candidates": WINNOW_SQL,
         "theta_distinct": _theta_distinct_oracle(),
         "countmin_freq": _countmin_sql(),
+        "pagerank_purchases": _pagerank_sql(),
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,

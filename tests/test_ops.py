@@ -936,3 +936,28 @@ def test_bpe_encode_oracle_survives_training_dryup(spark):
     tr = [tuple(r) for r in con.execute(_bpe_sql(8)).fetchall()]
     assert [(s, l, r) for s, l, r, _ in tr] == \
         [(s, l, r) for s, l, r, _ in merges]
+
+
+def test_pagerank_semantics(spark):
+    """Star-graph sanity: the hub outranks symmetric leaves (which tie
+    exactly), ranks are deterministic under repartitioning, and the
+    total stays within floor-division loss of the scale."""
+    from icelake_spark.ops.graph import RANK_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3")],
+        "src string, dst string")
+    out = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert out["hub"] > out["l1"]
+    assert out["l1"] == out["l2"] == out["l3"]
+    total = sum(out.values())
+    assert RANK_SCALE * 0.99 < total <= RANK_SCALE
+    out2 = {r.node: r.rank for r in
+            pagerank(edges.repartition(5), iters=3).collect()}
+    assert out2 == out
+    # two disconnected components don't leak rank into each other
+    edges2 = edges.union(spark.createDataFrame(
+        [("x", "y")], "src string, dst string"))
+    out3 = {r.node: r.rank for r in pagerank(edges2, iters=3).collect()}
+    assert out3["x"] == out3["y"]
+    assert out3["hub"] > out3["x"]
