@@ -4263,20 +4263,21 @@ GROUP BY priority ORDER BY priority
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-8 rotation. The window holds: (1) the SEVEN new r8 rows
+    Round-8 rotation. The window holds: (1) the EIGHT new r8 rows
     (semdedup, bpe_train, bpe_encode, lm_bigram_score,
-    winnow_candidates, theta_distinct, countmin_freq); (2) the five
+    winnow_candidates, theta_distinct, countmin_freq,
+    pagerank_purchases); (2) the five
     queries whose CODE changed this round (line_dedup — NULL-text
     coalesce; the merge family — BY SOURCE validation against actual
     column sets; iceberg_metadata_tables — previous-versions-max=0
     fix); (3) the eight r4-evidence rows the r7 rotation queued;
-    (4) 30 of the 47 r6-evidence rows. Seventeen r6-evidence rows sit
+    (4) 29 of the 47 r6-evidence rows. Eighteen r6-evidence rows sit
     out for space and MUST lead the r9 window (3 rounds stale by
-    then): ten plain TPC-H bench rows plus the sketch/ANN bench rows
+    then): ten plain TPC-H bench rows, the sketch/ANN bench rows
     (ngram_jaccard, bm25, minhash, simhash, lsh_cosine, ivf_topk,
-    ivf_kmeans_topk) — every one is a bench row whose execution is
-    re-verified each bench run, the documented mitigation when the
-    registry (113) exceeds 2x the window. Queries 51+ were hash-green
+    ivf_kmeans_topk — execution re-verified each bench run, the
+    documented mitigation when the registry (114) exceeds 2x the
+    window) and gopher_rules (pytest-covered). Queries 51+ were hash-green
     in the r7 window or the local full-registry sweep
     (tools/check_oracle.py — 106/106 on the r8 tree before the new
     rows; the new rows were checked individually on registration)."""
