@@ -961,3 +961,50 @@ def test_pagerank_semantics(spark):
     out3 = {r.node: r.rank for r in pagerank(edges2, iters=3).collect()}
     assert out3["x"] == out3["y"]
     assert out3["hub"] > out3["x"]
+
+
+def test_winnow_matches_bruteforce_property(spark):
+    """Property: the Window-based winnowing selection equals a brute-
+    force reference (window minima, rightmost ties) over random short
+    strings, including repeats and all-equal-hash stretches."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icelake_spark.ops.dedup import winnow_fingerprints
+
+    def ref(norm, k=4, w=3):
+        if len(norm) < k:
+            return set()
+        grams = [norm[i:i + k] for i in range(len(norm) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        out = set()
+        if len(hs) < w:
+            m = min(hs)
+            out.add((m, max(i for i, x in enumerate(hs) if x == m) + 1))
+            return out
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            out.add((m, j + max(i for i, x in enumerate(win)
+                                if x == m) + 1))
+        return out
+
+    text = st.text(alphabet="ab ", min_size=0, max_size=30)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=6))
+    def prop(texts):
+        import re
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df, k=4, w=3).collect():
+            got.setdefault(r.doc_id, set()).add((r.hash, r.pos))
+        for i, t in enumerate(texts):
+            norm = re.sub(r"\s+", " ", t.strip().lower())
+            assert got.get(i, set()) == ref(norm), (i, t)
+
+    prop()
