@@ -289,3 +289,15 @@ def test_round8_operators_plan_properties(spark):
     assert "EvalPython" not in p3
     assert "CartesianProduct" not in p3
     assert "BroadcastHashJoin" in p3
+
+
+def test_pagerank_and_curation_v2_plan_properties(spark):
+    """The iterative and composed round-8 queries stay JVM-side with
+    no cartesian blowup; pagerank's per-iteration joins hash-join."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    p1 = _plan(Q.pagerank_purchases_q(spark, sf))
+    assert "EvalPython" not in p1 and "CartesianProduct" not in p1
+    p2 = _plan(Q.curation_v2_q(spark, sf))
+    assert "EvalPython" not in p2 and "CartesianProduct" not in p2
