@@ -388,14 +388,32 @@ class IcelakeReader(DataSourceReader):
             _In = ()
         ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
                LessThan: "<", LessThanOrEqual: "<="}
+
+        def _lit(v) -> str:
+            # repr() of date/datetime/Decimal values contains parens
+            # ("datetime.date(2024, 1, 5)"), which make the DNF parser
+            # bail and silently disable ALL file pruning for the query.
+            # Quoted ISO forms parse back via _parse_literal.
+            import datetime as _dt
+            import decimal as _dec
+
+            if isinstance(v, _dt.datetime):
+                return f"'{v.isoformat(sep=' ')}'"
+            if isinstance(v, _dt.date):
+                return f"'{v.isoformat()}'"
+            if isinstance(v, _dec.Decimal):
+                return str(v)
+            return repr(v)
+
         for f in filters:
             op = next((s for cls, s in ops.items()
                        if isinstance(cls, type) and isinstance(f, cls)), None)
             if op is not None and len(f.attribute) == 1:
-                self.filter_parts.append(f"{f.attribute[0]} {op} {f.value!r}")
+                self.filter_parts.append(
+                    f"{f.attribute[0]} {op} {_lit(f.value)}")
             elif _In and isinstance(f, _In) and len(f.attribute) == 1 \
                     and f.value:
-                vals = ", ".join(repr(v) for v in f.value)
+                vals = ", ".join(_lit(v) for v in f.value)
                 self.filter_parts.append(f"{f.attribute[0]} IN ({vals})")
             yield f  # unsupported → Spark re-applies (safe)
 
@@ -1018,7 +1036,15 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
             base = (int(self.options.get("starting_sequence_number", 0)), 0)
         end_seq = end
         if self._rate > 0:
-            end_seq = min(end, base[0] + self._rate)
+            # cap at the Nth next APPEND snapshot's offset — counting
+            # actual snapshots, not adding N to the offset VALUE:
+            # format-v1 offsets are epoch-millisecond timestamps, where
+            # base+N would advance N milliseconds per trigger and never
+            # reach the data (code-review r8)
+            apps = [o for o in _append_offsets(table)
+                    if base[0] < o <= end]
+            end_seq = apps[self._rate - 1] if len(apps) > self._rate \
+                else end
         if self._file_rate > 0:
             off = self._walk_file_cap(table, base, end_seq)
         else:

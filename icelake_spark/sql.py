@@ -304,6 +304,38 @@ _EXPR_KEYWORDS = frozenset(
     "BETWEEN ASC DESC DISTINCT INTERVAL DIV".split())
 
 
+def _blank_literals(text: str) -> str:
+    """Replace string-literal spans with spaces so regex scans over the
+    statement can never match literal text (offsets preserved)."""
+    buf, i, n = [], 0, len(text)
+    while i < n:
+        if text[i] in "'\"":
+            j = _skip_quoted(text, i)
+            buf.append(" " * (j - i))
+            i = j
+        else:
+            buf.append(text[i])
+            i += 1
+    return "".join(buf)
+
+
+def _sub_outside_quotes(text: str, pattern: str, repl: str) -> str:
+    """re.sub applied only OUTSIDE string literals (literal spans are
+    copied verbatim — the _requalify walk, generalized)."""
+    pat = re.compile(pattern)
+    out, i, start, n = [], 0, 0, len(text)
+    while i < n:
+        if text[i] in "'\"":
+            out.append(pat.sub(repl, text[start:i]))
+            j = _skip_quoted(text, i)
+            out.append(text[i:j])
+            i = start = j
+            continue
+        i += 1
+    out.append(pat.sub(repl, text[start:]))
+    return "".join(out)
+
+
 def _source_only_refs(expr: str, talias: str, salias: str,
                       tcols: set, scols: set) -> list[str]:
     """Column references in `expr` that can only resolve against the
@@ -315,16 +347,7 @@ def _source_only_refs(expr: str, talias: str, salias: str,
     which see only target rows (ADVICE r7: the old textual `s.` match
     false-rejected target struct columns named `s` and missed
     unqualified source refs)."""
-    buf, i, n = [], 0, len(expr)
-    while i < n:  # blank string literals so their text can't match
-        if expr[i] in "'\"":
-            j = _skip_quoted(expr, i)
-            buf.append(" " * (j - i))
-            i = j
-        else:
-            buf.append(expr[i])
-            i += 1
-    clean = "".join(buf)
+    clean = _blank_literals(expr)
     # Spark resolves identifiers case-insensitively: compare lowercased
     tl, sl = talias.lower(), salias.lower()
     tlow = {c.lower() for c in tcols}
@@ -387,11 +410,16 @@ def merge_into(spark: SparkSession, statement: str,
                 # whole-row path: the condition evaluates against the
                 # SOURCE row only (delta.merge contract); allow the source
                 # alias as a qualifier, reject the target's (target
-                # non-key columns are never read on this path)
-                if re.search(rf"\b{re.escape(talias)}\.", cond):
+                # non-key columns are never read on this path). Both the
+                # check and the alias strip are quote-aware: a literal
+                # like 'see tgt.notes' must neither false-reject nor be
+                # rewritten (code-review r8).
+                if re.search(rf"\b{re.escape(talias)}\.",
+                             _blank_literals(cond)):
                     raise ValueError("WHEN MATCHED AND may only reference "
                                      "source columns")
-                cond = re.sub(rf"\b{re.escape(salias)}\.", "", cond).strip()
+                cond = _sub_outside_quotes(
+                    cond, rf"\b{re.escape(salias)}\.", "").strip()
             norm.append((act, cond, None))
         matched_clauses = norm
 
@@ -1226,7 +1254,14 @@ def _load_write_target(ident: str, catalog):
     are refused."""
     try:
         return _load_target(ident, catalog), None
-    except FileNotFoundError:
+    except Exception as e:
+        # does-not-exist only: FileNotFoundError (storage) or HTTP 404
+        # (REST) — the same contract as _resolve_select_ref; any other
+        # load failure propagates
+        resp = getattr(e, "response", None)
+        if not (isinstance(e, FileNotFoundError)
+                or getattr(resp, "status_code", None) == 404):
+            raise
         base, _, last = ident.rpartition(".")
         bm = _REF_SUFFIX_RE.fullmatch(last) if base else None
         if not bm:
@@ -1345,14 +1380,9 @@ def _alter_table(spark: SparkSession, statement: str, catalog=None):
         # semantics — old files keep their spec, resolved per manifest).
         # Split on TOP-LEVEL commas and accept BOTH spellings of the
         # parameterized transforms: our bucket[8](id) and the standard
-        # Spark/Iceberg bucket(8, id) / truncate(4, col).
-        parts = []
-        for x in _split_assignments(sm.group("parts")):
-            m2 = re.match(r"^(bucket|truncate)\s*\(\s*(\d+)\s*,"
-                          r"\s*(\w+)\s*\)$", x, re.IGNORECASE)
-            parts.append(f"{m2.group(1).lower()}[{m2.group(2)}]"
-                         f"({m2.group(3)})" if m2 else x)
-        table.update_spec(*parts)
+        # Spark/Iceberg bucket(8, id) / truncate(4, col) — same
+        # conversion as CREATE TABLE's PARTITIONED BY clause
+        table.update_spec(*_convert_spec_parts(sm.group("parts")))
         return table
     pm = _SET_PROPS_RE.match(rest)
     if pm:

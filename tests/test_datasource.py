@@ -876,3 +876,37 @@ def test_stream_file_walk_dedupes_equal_offsets(spark, warehouse, monkeypatch):
         t.schema().to_spark())
     off = r._walk_file_cap(t, (0, 0), 7)
     assert off == (6, 1)  # one file of the shared-offset snapshot pair
+
+
+def test_stream_rate_limit_v1_timestamp_offsets(spark, warehouse, tmp_path):
+    """Format-v1 stream offsets are commit TIMESTAMPS; the snapshot cap
+    must count actual append snapshots, not add N to the offset value
+    (base+N would advance milliseconds per trigger and hang forever —
+    code-review r8)."""
+    from icelake_spark import datasource
+    from icelake_spark.datasource import IcelakePartitionStreamReader
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.range(60).selectExpr("id")
+    t = warehouse.create_table("db.streamv1", Schema.from_spark(src.schema),
+                               format_version=1)
+    for lo in (0, 30):
+        t.append(src.where(f"id >= {lo} and id < {lo + 30}"))
+        t = t.refresh()
+
+    r = IcelakePartitionStreamReader(
+        {"path": t.path, "max_snapshots_per_trigger": "1"},
+        t.schema().to_spark())
+    cur, batches = r.initialOffset(), []
+    assert cur["seq"] == 0
+    for _ in range(6):
+        nxt = r.latestOffset()
+        if nxt == cur:
+            break
+        batches.append(len(r.partitions(cur, nxt)))
+        cur = nxt
+    # the backlog drains in exactly 2 one-snapshot batches even though
+    # the offsets are ~1.7e12 apart
+    assert batches == [1, 1]
+    assert cur["seq"] > 10 ** 11  # offsets really are timestamps

@@ -772,3 +772,30 @@ def test_merge_by_source_dotted_source_struct_rejected(warehouse, spark):
     ):
         with pytest.raises(ValueError, match="target columns"):
             merge_into(spark, stmt, catalog=cat)
+
+
+def test_merge_whole_row_condition_literals_safe(warehouse, spark):
+    """Whole-row WHEN MATCHED conditions must treat string literals as
+    opaque: alias text inside a literal is neither rewritten nor
+    rejected (code-review r8)."""
+    cat = warehouse
+    df = spark.createDataFrame(
+        [(1, "rev s. 4", 10), (2, "other", 20)],
+        "id long, note string, v long")
+    t = cat.create_table("s1.wrlit", Schema.from_spark(df.schema))
+    t.append(df)
+    spark.createDataFrame(
+        [(1, "rev s. 4", 99), (2, "see tgt.notes", 99)],
+        "id long, note string, v long").createOrReplaceTempView("wrlit_src")
+    # the salias strip must not mangle 'rev s. 4' into 'rev  4'
+    merge_into(spark, """
+        MERGE INTO s1.wrlit AS tgt USING wrlit_src AS s ON tgt.id = s.id
+        WHEN MATCHED AND s.note = 'rev s. 4' THEN DELETE
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.wrlit"), spark) == [(2, "other", 20)]
+    # target-alias text inside a literal must not false-reject
+    merge_into(spark, """
+        MERGE INTO s1.wrlit AS tgt USING wrlit_src AS s ON tgt.id = s.id
+        WHEN MATCHED AND s.note = 'see tgt.notes' THEN DELETE
+    """, catalog=cat)
+    assert _state(cat.load_table("s1.wrlit"), spark) == []
