@@ -532,10 +532,21 @@ class IcelakeReader(DataSourceReader):
             if not partition.sequence_number < dseq:
                 continue
             cols = list(cols)
-            # delete files hold only key cols
+            # delete files hold only key cols — resolve them with the
+            # SAME field-id/rename stack as data columns: after
+            # ALTER TABLE ... RENAME COLUMN the current key name is not
+            # in old delete files, and an all-None pad would resurrect
+            # every deleted row AND spuriously delete NULL-key rows
+            # (code-review r8)
             dt = pq.read_table(self._src(dpath))
-            del_cols = {c: (dt[c].to_pylist() if c in dt.column_names
-                            else [None] * dt.num_rows) for c in cols}
+            id_map_d = _parquet_id_map(
+                dt.schema, _is_foreign_file(self.options["path"], dpath))
+            del_cols = {}
+            for c in cols:
+                arr = _resolve_column(dt, c, self.rename_map,
+                                      self.field_ids.get(c), id_map_d)
+                del_cols[c] = (arr.to_pylist() if arr is not None
+                               else [None] * dt.num_rows)
             deleted = set(zip(*[del_cols[c] for c in cols]))
             key_cols = {}
             for c in cols:  # field-id/rename-aware resolution
@@ -548,40 +559,51 @@ class IcelakeReader(DataSourceReader):
                             type=pa.bool_())
             table = table.filter(mask)
 
-        # project/pad to the requested schema (field-id first, then
-        # current name, then former name); struct members rebind by
-        # their nested file ids (externally-written Iceberg files)
-        from pyspark.sql.pandas.types import to_arrow_type
+        # project/pad to the requested schema — the shared resolution
+        # stack (field-id / rename / struct rebind / spec-physical
+        # normalization / promotion cast; new columns pad as null)
+        yield from _project_table_to_schema(
+            table, self.spark_schema, self.rename_map, self.field_ids,
+            self.ice_fields, foreign).to_batches()
 
-        from .types.datatypes import StructType as _IceStruct
 
-        id_map = _parquet_id_map(table.schema, foreign)
-        names = [f.name for f in self.spark_schema.fields]
-        arrays = []
-        for f in self.spark_schema.fields:
-            n = f.name
-            arr = _resolve_column(table, n, self.rename_map,
-                                  self.field_ids.get(n), id_map)
-            if arr is not None and isinstance(
-                    self.ice_fields.get(n), _IceStruct):
-                arr = _rebind_struct(arr, self.ice_fields[n],
-                                     to_arrow_type(f.dataType))
-            arr = _spec_physical_to_spark(arr, self.ice_fields.get(n))
-            # type promotion (int→long, float→double, decimal widening):
-            # files written before an update_column_type keep their old
-            # physical type; widen to the current read schema per batch
-            if arr is not None:
-                exp = to_arrow_type(f.dataType)
-                if arr.type != exp and (
-                        pa.types.is_integer(exp) or pa.types.is_floating(exp)
-                        or pa.types.is_decimal(exp)):
-                    try:
-                        arr = arr.cast(exp)
-                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                        pass
-            # schema evolution: genuinely new column pads as null
-            arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
-        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+def _project_table_to_schema(table, spark_schema, rename_map, field_ids,
+                             ice_fields, foreign):
+    """Project/pad an Arrow table to the declared Spark schema with the
+    FULL resolution stack every reader must apply identically: field-id
+    first, then current name, then former name; nested struct member
+    rebinding; uuid/time spec-physical normalization; and the type-
+    promotion cast (int→long etc. for files written before
+    ALTER COLUMN TYPE). The streaming runner asserts batches round-trip
+    to exactly the declared schema, so a reader skipping any of these
+    crashes (or mis-types) on evolved tables."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from .types.datatypes import StructType as _IceStruct
+
+    id_map = _parquet_id_map(table.schema, foreign)
+    names = [f.name for f in spark_schema.fields]
+    arrays = []
+    for f in spark_schema.fields:
+        n = f.name
+        arr = _resolve_column(table, n, rename_map, field_ids.get(n),
+                              id_map)
+        if arr is not None and isinstance(ice_fields.get(n), _IceStruct):
+            arr = _rebind_struct(arr, ice_fields[n],
+                                 to_arrow_type(f.dataType))
+        arr = _spec_physical_to_spark(arr, ice_fields.get(n))
+        if arr is not None:
+            exp = to_arrow_type(f.dataType)
+            if arr.type != exp and (
+                    pa.types.is_integer(exp) or pa.types.is_floating(exp)
+                    or pa.types.is_decimal(exp)):
+                try:
+                    arr = arr.cast(exp)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pass
+        arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 def _spec_physical_to_spark(arr, ice_type):
@@ -1136,24 +1158,10 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
                                      self.table_store, self.io)
         else:
             table = pq.read_table(self._src(partition.file_path))
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        from .types.datatypes import StructType as _IceStruct
-
-        id_map = _parquet_id_map(
-            table.schema, _is_foreign_file(self.path, partition.file_path))
-        arrays, names = [], []
-        for f in self.spark_schema.fields:
-            n = f.name
-            arr = _resolve_column(table, n, self.rename_map,
-                                  self.field_ids.get(n), id_map)
-            if arr is not None and isinstance(
-                    self.ice_fields.get(n), _IceStruct):
-                arr = _rebind_struct(arr, self.ice_fields[n],
-                                     to_arrow_type(f.dataType))
-            names.append(n)
-            arrays.append(arr if arr is not None else pa.nulls(table.num_rows))
-        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+        yield from _project_table_to_schema(
+            table, self.spark_schema, self.rename_map, self.field_ids,
+            self.ice_fields,
+            _is_foreign_file(self.path, partition.file_path)).to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -1198,34 +1206,19 @@ class IcelakeStreamReader(SimpleDataSourceStreamReader):
         # pickles the row collection. Size a micro-batch accordingly;
         # the partition-based DataSourceStreamReader is the upgrade path
         # when per-batch volume outgrows the driver.
-        import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        from .types.datatypes import StructType as _IceStruct
 
         src_t = self._table()
         rmap = _rename_map(src_t)
         fids = {f.name: f.field_id for f in src_t.schema().fields}
         ice_fields = {f.name: f.field_type for f in src_t.schema().fields}
         rows: list[tuple] = []
-        names = [f.name for f in self.spark_schema.fields]
         for path in files:
             t = pq.read_table(_arrow_src(path))
-            id_map = _parquet_id_map(t.schema,
-                                     _is_foreign_file(self.path, path))
-            cols = []
-            for f in self.spark_schema.fields:
-                n = f.name
-                arr = _resolve_column(t, n, rmap, fids.get(n), id_map)
-                if arr is not None and isinstance(
-                        ice_fields.get(n), _IceStruct):
-                    arr = _rebind_struct(arr, ice_fields[n],
-                                         to_arrow_type(f.dataType))
-                cols.append(arr if arr is not None else pa.nulls(t.num_rows))
-            rows.extend(tuple(d.values()) for d in
-                        pa.Table.from_arrays(cols, names=names).to_pylist())
+            projected = _project_table_to_schema(
+                t, self.spark_schema, rmap, fids, ice_fields,
+                _is_foreign_file(self.path, path))
+            rows.extend(tuple(d.values()) for d in projected.to_pylist())
         return rows
 
     @property

@@ -1081,10 +1081,31 @@ class TableScan:
                             t.sequence_number) for t in tasks]
             # a key deleted at seq S covers all data with seq < S; keep
             # the max seq per key so one row per key suffices
-            del_df = (spark.read.parquet(*to_spark_paths(
+            # mergeSchema: delete files from BEFORE a RENAME COLUMN
+            # carry the old key name; files after it the new one —
+            # merge both and coalesce new-name-first below (the same
+            # name-mapping rule the data side applies). Without this
+            # the groupBy on the current name fails (or silently keys
+            # on an all-null pad), resurrecting deleted rows.
+            del_df = (spark.read.option("mergeSchema", "true")
+                      .parquet(*to_spark_paths(
                           [t.delete_file.file_path for t in tasks]))
                       .withColumn("__src", canon_data_path_col(
                           F.col("_metadata.file_path"))))
+            import json as _json
+
+            raw_map = self.table.metadata.properties.get(
+                PROP_NAME_MAPPING)
+            mapping = _json.loads(raw_map) if raw_map else {}
+            for c, fid in zip(key_cols, eq_ids):
+                olds = [n for n in mapping.get(str(fid), [])
+                        if n in del_df.columns and n != c]
+                if c in del_df.columns and olds:
+                    del_df = del_df.withColumn(
+                        c, F.coalesce(F.col(c), *[F.col(o) for o in olds]))
+                elif olds:
+                    del_df = del_df.withColumn(
+                        c, F.coalesce(*[F.col(o) for o in olds]))
             del_df = (_attach_seq_map(spark, del_df, eq_seq_rows,
                                       "__src", "__del_seq")
                       .groupBy(*key_cols)

@@ -107,3 +107,62 @@ def test_batch_read_rejects_changelog_option(spark, warehouse):
     with pytest.raises(Exception, match="changelog"):
         (spark.read.format("icelake").option("path", t.path)
          .option("changelog", "true").load().collect())
+
+
+def test_eq_delete_keys_survive_rename(spark, warehouse):
+    """Equality-delete files written before ALTER TABLE RENAME COLUMN
+    keep deleting: their key columns resolve through the same
+    field-id/rename stack as data columns. Before the fix the missing
+    current name padded all-None, resurrecting every deleted row and
+    spuriously deleting NULL-key rows (code-review r8)."""
+    from icelake_spark import datasource
+    from icelake_spark.delta import upsert
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30)], "id long, v long")
+    t = warehouse.create_table("db.eqren", Schema.from_spark(src.schema))
+    t.append(src)
+    # upsert on id -> eq-delete file keyed by column 'id'
+    upsert(t, spark.createDataFrame([(2, 99)], "id long, v long"),
+           key_cols=["id"])
+    t = t.refresh()
+    t.rename_column("id", "user_id")
+    t = t.refresh()
+
+    expect = {(1, 10), (2, 99), (None, 30)}
+    got = {(r.user_id, r.v) for r in t.to_df(spark).collect()}
+    assert got == expect, got
+    # DSv2 lane applies the same resolution
+    df = spark.read.format("icelake").option("path", t.path).load()
+    assert {(r.user_id, r.v) for r in df.collect()} == expect
+
+
+def test_stream_casts_promoted_types(spark, warehouse, tmp_path):
+    """Files written before ALTER COLUMN TYPE stream with the promoted
+    type: the stream readers apply the same projection stack as the
+    batch reader (the runner asserts batches match the declared
+    schema; an int32 batch under a bigint schema crashes the stream —
+    code-review r8)."""
+    from icelake_spark import datasource
+    from icelake_spark.types import Schema
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(1, 5), (2, 6)], "id long, c int")
+    t = warehouse.create_table("db.promstream", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.update_column_type("c", "long")
+    t = t.refresh()
+    t.append(spark.createDataFrame([(3, 7)], "id long, c long"))
+    t = t.refresh()
+
+    q = (spark.readStream.format("icelake").option("path", t.path).load()
+         .writeStream.format("memory").queryName("promstream")
+         .option("checkpointLocation", str(tmp_path / "ckpt_prom"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.id, r.c) for r in spark.sql(
+        "select * from promstream").collect()}
+    assert rows == {(1, 5), (2, 6), (3, 7)}
