@@ -1457,10 +1457,16 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
         import uuid as _uuid
 
+        from .fileio import is_uri, resolve_io
         from .table import IcebergTable
         from .write import _PART_PREFIX, _result_type
 
         self.stage = f"stream-{_uuid.uuid4()}"
+        # FileIO resolved at plan time and SHIPPED to executors (the
+        # same discipline as the readers): a table on a registered
+        # custom scheme or object store must stage its files through
+        # the table's FileIO, not the local filesystem
+        self.io = resolve_io(self.path) if is_uri(self.path) else None
         # capture the partition spec ON THE DRIVER (this object ships
         # pickled to executors): each task computes its rows' transform
         # values and writes one hive-dir file per partition — a single
@@ -1490,12 +1496,14 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
         from .types.transforms import apply_transform_py
         from .write import _PART_PREFIX
 
+        from .fileio import io_join
+
         arrow_schema = to_arrow_schema(self.spark_schema)
         names = [f.name for f in self.spark_schema.fields]
         rows = [tuple(r) for r in iterator]
         if not rows:
             return _WrittenFile(files=[])
-        stage_dir = _os.path.join(self.path, "data", self.stage)
+        stage_dir = io_join(self.path, "data", self.stage)
         buckets: dict[tuple, list[tuple]] = {}
         for r in rows:
             vals = dict(zip(names, r))
@@ -1507,35 +1515,66 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
             subdir = "/".join(
                 f"{_PART_PREFIX}{n}={_hive_value(v)}"
                 for (n, _tr, _src, _st), v in zip(self.part_info, key))
-            d = _os.path.join(stage_dir, subdir) if subdir else stage_dir
-            _os.makedirs(d, exist_ok=True)
-            out = _os.path.join(d, f"{_uuid.uuid4()}.parquet")
+            d = io_join(stage_dir, subdir) if subdir else stage_dir
+            out = io_join(d, f"{_uuid.uuid4()}.parquet")
             table = pa.Table.from_pylist(
                 [dict(zip(names, r)) for r in rws], schema=arrow_schema)
-            pq.write_table(table, out)
+            if self.io is not None:
+                import io as _iomod
+
+                buf = _iomod.BytesIO()
+                pq.write_table(table, buf)
+                self.io.makedirs(d)
+                self.io.write_bytes(out, buf.getvalue())
+            else:
+                _os.makedirs(d, exist_ok=True)
+                pq.write_table(table, out)
             written.append((out, len(rws)))
         return _WrittenFile(files=written)
 
-    def commit(self, messages, batchId) -> None:  # noqa: N802
+    def _discard(self, path: str) -> None:
+        if self.io is not None:
+            self.io.delete_quiet(path)
+            return
         import os as _os
 
+        try:
+            _os.remove(path)
+        except OSError:
+            pass
+
+    @property
+    def _batch_prop(self) -> str:
+        """Per-QUERY exactly-once scope: keyed by the checkpoint
+        location, so a restart from a fresh checkpoint (batchIds reset
+        to 0) or a second query into the same table is not silently
+        discarded by another query's recorded batch id (code-review
+        r8; Iceberg's sink scopes by queryId the same way)."""
+        ck = (self.options.get("checkpointLocation")
+              or self.options.get("checkpointlocation"))
+        if not ck:
+            return PROP_LAST_BATCH
+        import hashlib as _hl
+
+        return f"{PROP_LAST_BATCH}.{_hl.md5(ck.encode()).hexdigest()[:8]}"
+
+    def commit(self, messages, batchId) -> None:  # noqa: N802
         from .table import IcebergTable
         from .transaction import Transaction
         from .write import _build_data_file
 
         t = IcebergTable.load(self.path)
-        last = int(t.metadata.properties.get(PROP_LAST_BATCH, -1))
+        last = int(t.metadata.properties.get(self._batch_prop, -1))
         paths = [p for m in messages if m is not None
                  for (p, n) in m.files if n > 0]
         if batchId <= last or not paths:
             for p in paths:  # replayed epoch: staged output is discarded
-                try:
-                    _os.remove(p)
-                except OSError:
-                    pass
+                self._discard(p)
             return
         schema = t.schema()
-        stage_dir = _os.path.join(self.path, "data", self.stage)
+        from .fileio import io_join
+
+        stage_dir = io_join(self.path, "data", self.stage)
         entries = [_build_data_file(p, stage_dir, schema,
                                     self.result_types, None) for p in paths]
         tx = Transaction(t)
@@ -1544,20 +1583,15 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
         # cannot double-append; via Transaction.set_properties so a
         # conflict-retry (which refreshes the table, discarding any
         # direct metadata mutation) still carries the batch id
-        tx.set_properties({PROP_LAST_BATCH: str(batchId)})
+        tx.set_properties({self._batch_prop: str(batchId)})
         tx.commit("append")
 
     def abort(self, messages, batchId) -> None:  # noqa: N802
-        import os as _os
-
         for m in messages:
             if m is None:
                 continue
             for (p, _n) in m.files:
-                try:
-                    _os.remove(p)
-                except OSError:
-                    pass
+                self._discard(p)
 
 
 def _norm(p: str) -> str:
