@@ -812,9 +812,14 @@ def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
                 older=(tuple((c, p, q) for c, (p, q) in alive.items())
                        if (added_pos or added_eq) else ()),
             ))
-            # eq-dead tracking mirrors _changelog_rows: only in-range
-            # decodable snapshots feed the eq chain
-            eq_acc.extend(added_eq)
+        # eq-dead tracking accumulates over EVERY walked snapshot, not
+        # just in-range ones: an eq-delete committed before this micro-
+        # batch's window must still suppress a later snapshot's repeat
+        # delete of the same (already dead) key, or batch boundaries
+        # change the changelog (phantom duplicate delete events vs the
+        # batch changes() API, which always folds the parent's full
+        # delete set — code-review r8)
+        eq_acc.extend(added_eq)
         pos_acc.extend(p for p, _s in added_pos)
         for status, p, seq, _c in alive_updates:
             if status == STATUS_DELETED:
@@ -1320,6 +1325,37 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                    key=lambda s: s.sequence_number)
     main_ids = table.metadata.ancestry_ids()
     dead_acc: set[tuple[str, int]] = set()  # pos deletes seen so far
+    # eq-delete files from snapshots OUTSIDE the window (e.g. an
+    # earlier micro-batch): a key they killed must not re-emit a
+    # delete event when a later eq delete hits it again — batch
+    # boundaries must not change the changelog (code-review r8)
+    eq_prior: list[tuple[list[int], set, int]] = []
+
+    def fold_eq_prior(s) -> None:
+        from .types.manifest import (MANIFEST_CONTENT_DELETES as _MCD,
+                                     read_manifest as _rm,
+                                     read_manifest_list as _rml)
+
+        for mle in _rml(table._resolve(s.manifest_list)):
+            if (mle.added_snapshot_id != s.snapshot_id
+                    or mle.content != _MCD):
+                continue
+            for e in _rm(table._resolve(mle.manifest_path))[1]:
+                if e.data_file.content != 2 or e.status != STATUS_ADDED:
+                    continue
+                dseq = (e.sequence_number if e.sequence_number is not None
+                        else mle.sequence_number)
+                kt = pq.read_table(table._resolve(e.data_file.file_path))
+                kc = kt.column_names
+                keys = {tuple(kt[c][i].as_py() for c in kc)
+                        for i in range(kt.num_rows)}
+                eq_prior.append(([names.index(c) for c in kc
+                                  if c in names], keys, dseq))
+
+    def dead_by_prior_eq(r: tuple, fseq: int) -> bool:
+        return any(fseq < dseq and tuple(r[j] for j in ki) in keys
+                   for ki, keys, dseq in eq_prior if ki)
+
     for s in snaps:
         if s.snapshot_id not in main_ids:
             continue  # WAP branch-staged snapshot: not published
@@ -1334,9 +1370,10 @@ def _changelog_rows(table, names: list[str], rmap: dict,
         rewrote = int((s.summary or {}).get(
             "deleted-data-files", 0) or 0) > 0
         if not in_range or op == "replace" or rewrote:
-            # still fold this snapshot's pos deletes into the
-            # running dead-set for later snapshots in the range
+            # still fold this snapshot's pos AND eq deletes into the
+            # running dead state for later snapshots in the range
             dead_acc |= snap_pos_deletes(s)
+            fold_eq_prior(s)
             continue
         added_data, added_pos, added_eq = [], [], []
         for mle in read_manifest_list(table._resolve(s.manifest_list)):
@@ -1404,9 +1441,11 @@ def _changelog_rows(table, names: list[str], rmap: dict,
             for src, positions in pos_by_src.items():
                 if src not in older:
                     continue  # same-commit churn already excluded
-                real, _dseq = older[src]
+                real, fseq = older[src]
                 for r in file_rows(real, sorted(positions),
                                    skip=prior_dead):
+                    if dead_by_prior_eq(r, fseq):
+                        continue  # killed before this window
                     rows.append(r + ("delete",))
 
             for p, del_seq in added_eq:
@@ -1421,6 +1460,8 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                     for i, r in enumerate(file_rows(real)):
                         if (ckey, i) in prior_dead or (ckey, i) in eq_dead:
                             continue
+                        if dead_by_prior_eq(r, dseq):
+                            continue  # killed before this window
                         if tuple(r[j] for j in ki) in keys:
                             rows.append(r + ("delete",))
                             # tracked so a later snapshot's eq delete

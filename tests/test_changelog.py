@@ -373,3 +373,57 @@ def test_changelog_stream_deletes_after_snapshot_expiry(spark, warehouse):
     rows = list(reader.read(parts[0]))
     deletes = sorted((r[0], r[1]) for r in rows if r[2] == "delete")
     assert deletes == [(3, "v3"), (7, "v7")], rows
+
+
+def test_changelog_batch_boundaries_no_phantom_deletes(spark, warehouse):
+    """Splitting the changelog stream into micro-batches must not
+    change its content: a key eq-deleted in an earlier batch must not
+    re-emit a delete event when a later batch's eq delete hits the
+    same (already dead) key — both stream decoders gate on the
+    pre-window eq-delete files (code-review r8)."""
+    from pyspark.sql import types as T
+
+    from icelake_spark.datasource import (IcelakePartitionStreamReader,
+                                          IcelakeStreamReader,
+                                          _stream_end_offset)
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.chboundary", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    # two upsert cycles on the SAME key: each adds an eq-delete of id=1
+    for v in ("a2", "a3"):
+        t.upsert(spark.createDataFrame([(1, v)], "id long, v string"),
+                 key_cols=["id"])
+        t = t.refresh()
+    offs = sorted({o for o in (
+        __import__("icelake_spark.datasource", fromlist=["_stream_offset_of"])
+        ._stream_offset_of(t, s) for s in t.metadata.snapshots)})
+    assert len(offs) == 3
+    end = _stream_end_offset(t)
+    schema = T.StructType(list(t.schema().to_spark().fields)
+                          + [T.StructField("_change_type", T.StringType())])
+
+    def run_windows(windows):
+        reader = IcelakePartitionStreamReader(
+            {"path": t.path, "changelog": "true"}, schema)
+        out = []
+        for s_, e_ in windows:
+            for p in reader.partitions({"seq": s_}, {"seq": e_}):
+                out.extend(reader.read(p))
+        return sorted((r[0], r[1], r[2]) for r in out)
+
+    one_batch = run_windows([(0, end)])
+    split = run_windows([(0, offs[1]), (offs[1], end)])
+    assert split == one_batch, (split, one_batch)
+    want = sorted((r.id, r.v, r._change_type)
+                  for r in t.changes(spark).collect())
+    assert one_batch == want
+    # the simple (driver-side) decoder agrees under the same split
+    simple = IcelakeStreamReader({"path": t.path, "changelog": "true"},
+                                 schema)
+    rows1 = simple.readBetweenOffsets({"seq": 0}, {"seq": offs[1]})
+    rows2 = simple.readBetweenOffsets({"seq": offs[1]}, {"seq": end})
+    got = sorted((r[0], r[1], r[2])
+                 for r in list(rows1) + list(rows2))
+    assert got == want
