@@ -347,21 +347,29 @@ class IcebergTable:
 
     # ----------------------------------------------------- refs / evolve
 
-    def _commit_metadata(self, new_metadata: TableMetadata) -> None:
+    def _commit_metadata(self, new_metadata: TableMetadata,
+                         base_metadata: TableMetadata | None = None) -> None:
+        """Shared commit tail (also used by Transaction): metadata-log
+        append, catalog swap (REST diff protocol or storage
+        create-exclusive), version bump. `base_metadata` is the TRUE
+        pre-commit state the REST update diff is computed against —
+        it must never be a partially-staged metadata (the diff would
+        omit the staged schema/spec updates)."""
         from .catalog.storage import (StorageCatalog, commit_metadata,
                                       with_metadata_log)
 
+        base = base_metadata if base_metadata is not None else self.metadata
         if self.catalog is None or isinstance(self.catalog, StorageCatalog):
             # REST catalogs maintain metadata-log server-side; the
             # storage protocol appends the superseded file here so
             # `metadata_log_entries` has a lineage to show
             new_metadata = with_metadata_log(
-                self.path, new_metadata, self.metadata, self.current_version)
+                self.path, new_metadata, base, self.current_version)
         if self.catalog is not None:
             version = self.catalog.update_table(self.path, self.current_version,
                                                 new_metadata,
                                                 identifier=self.identifier,
-                                                base_metadata=self.metadata)
+                                                base_metadata=base)
         else:
             version = commit_metadata(self.path, new_metadata,
                                       self.current_version + 1)
@@ -942,11 +950,52 @@ class TableScan:
         if need_mor:
             df = self._apply_deletes(spark, df, data, pos, eq)
 
+        residual = self._partition_residual(schema)
+        if residual is not None:
+            # partition_filter is EXACT WHERE semantics, not just
+            # pruning: files kept conservatively (older specs lacking
+            # the field, uncoercible values) would otherwise leak
+            # non-matching rows into results after spec evolution
+            # (code-review r8). Catalyst pushes this to the scan, so
+            # exactly-pruned files pay nothing.
+            df = df.where(residual)
         if self.filter:
             df = df.where(self.filter)
         if self.columns:
             df = df.select(*self.columns)
         return df
+
+    def _partition_residual(self, schema: Schema):
+        """Row-level equivalent of partition_filter: for a key naming a
+        partition FIELD, transform(source) == value; for a key naming a
+        SOURCE column, source == value. Unknown keys match the pruning
+        contract (ignored)."""
+        if not self.partition_filter:
+            return None
+        from .types.transforms import transform_column
+
+        meta = self.table.metadata
+        conds = []
+        for key, val in self.partition_filter.items():
+            pf = next(
+                (f for spec in meta.partition_specs for f in spec.fields
+                 if f.name == key), None)
+            if pf is not None:
+                src = schema.field_by_id(pf.source_column_id)
+                if src is None:
+                    continue
+                expr = transform_column(pf.transform, F.col(src.name),
+                                        src.field_type)
+                conds.append(expr.eqNullSafe(F.lit(val)))
+                continue
+            if schema.field_by_name(key) is not None:
+                conds.append(F.col(key).eqNullSafe(F.lit(val)))
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
 
     def _with_name_mapping(self, schema: Schema, spark_schema):
         """(read_schema, {current_name: [old names]}) honoring the
@@ -1075,8 +1124,18 @@ class TableScan:
             groups.setdefault(tuple(task.delete_file.equality_ids or ()), []).append(task)
         for eq_ids, tasks in groups.items():
             key_cols = [schema.name_by_id(fid) for fid in eq_ids]
-            if not key_cols or any(c is None for c in key_cols):
+            if not key_cols:
                 continue
+            if any(c is None for c in key_cols):
+                # a live eq-delete file keyed on a since-DROPPED column
+                # cannot be applied; silently skipping it would
+                # resurrect every row it tombstoned (code-review r8)
+                missing = [fid for fid, c in zip(eq_ids, key_cols)
+                           if c is None]
+                raise ValueError(
+                    f"equality-delete files key on dropped column ids "
+                    f"{missing}; rewrite deletes (rewrite_position_"
+                    f"deletes / compaction) before dropping key columns")
             eq_seq_rows = [(canon_data_path(t.delete_file.file_path),
                             t.sequence_number) for t in tasks]
             # a key deleted at seq S covers all data with seq < S; keep
@@ -1140,13 +1199,26 @@ def _attach_seq_map(spark: SparkSession, df: DataFrame,
     an MoR scan; the join form keeps plans bounded at real file
     counts. Both produce null for unknown paths (left-join
     semantics)."""
-    if len(rows) <= _SEQ_INLINE_MAX:
-        uniq = dict(rows)  # create_map rejects duplicate keys
+    uniq: dict[str, int] = {}
+    for k, v in rows:
+        if k in uniq and uniq[k] != v:
+            # two FILES canonicalized to the same key with different
+            # sequence numbers (e.g. add_files importing a foreign file
+            # whose relative path matches an owned one): the map would
+            # assign one file the other's sequence number and the join
+            # form would duplicate every matching data row
+            raise ValueError(
+                f"canonical data-path collision: {k!r} maps to both "
+                f"seq {uniq[k]} and {v} — imported files must not "
+                f"shadow owned relative paths")
+        uniq[k] = v
+    if len(uniq) <= _SEQ_INLINE_MAX:
         if not uniq:
             return df.withColumn(out_col, F.lit(None).cast("long"))
         m = F.create_map(*[F.lit(x) for kv in uniq.items() for x in kv])
         return df.withColumn(out_col, m[F.col(key_col)].cast("long"))
-    side = spark.createDataFrame(rows, f"{key_col} string, {out_col} long")
+    side = spark.createDataFrame(sorted(uniq.items()),
+                                 f"{key_col} string, {out_col} long")
     return df.join(F.broadcast(side), on=key_col, how="left")
 
 

@@ -56,10 +56,12 @@ class Transaction:
         self._set_props: dict[str, str] = {}
         self._staged_schema = None
         self._staged_spec_parts: list[str] | None = None
-        # base head at transaction start: the conflict-retry validation
-        # walks new-head ancestry back to this id to detect concurrent
-        # file removals that would invalidate this tx's delete files
-        base = table.metadata.current_snapshot()
+        # base head at transaction start ON THE TARGET REF: the
+        # conflict-retry validation walks the refreshed ref head back to
+        # this id to detect concurrent file removals that would
+        # invalidate this tx's delete files (a branch tx must validate
+        # the BRANCH ancestry, not main's — code-review r8)
+        base = self._ref_head(table.metadata)
         self._base_snapshot_id = base.snapshot_id if base else None
 
     # ------------------------------------------------------------- ops
@@ -165,6 +167,12 @@ class Transaction:
     def _commit_once(self, operation: str | None = None) -> Snapshot:
         table = self.table
         metadata = table.metadata
+        # the TRUE base for the commit protocol: `metadata` is rebound
+        # below when a staged schema/spec applies, and diffing against
+        # the staged state would make the REST update body OMIT the
+        # add-schema/add-spec updates entirely — the server would
+        # record a snapshot referencing a schema it never received
+        base_metadata = table.metadata
         meta_dir = io_join(table.path, "metadata")
         resolve_io(table.path).makedirs(meta_dir)
 
@@ -224,6 +232,7 @@ class Transaction:
 
         new_list_entries = []
         removed_count = removed_rows = removed_size = 0
+        rm_del_files = rm_pos_rows = rm_eq_rows = 0
         rewrite = bool(self._remove_all or self._removed_paths
                        or self._removed_delete_paths)
 
@@ -276,6 +285,11 @@ class Transaction:
                         if (norm_path(e.data_file.file_path)
                                 in self._removed_delete_paths):
                             removed_size += e.data_file.file_size_in_bytes
+                            rm_del_files += 1
+                            if e.data_file.content == 1:
+                                rm_pos_rows += e.data_file.record_count
+                            else:
+                                rm_eq_rows += e.data_file.record_count
                         else:
                             dseq = (e.sequence_number
                                     if e.sequence_number is not None
@@ -357,7 +371,9 @@ class Transaction:
                             parent.snapshot_id if parent else None, seq,
                             metadata.format_version)
 
-        summary = self._summary(operation, parent, removed_count, removed_rows, removed_size)
+        summary = self._summary(operation, parent, removed_count,
+                                removed_rows, removed_size,
+                                rm_del_files, rm_pos_rows, rm_eq_rows)
         snapshot = Snapshot(
             snapshot_id=snapshot_id,
             parent_snapshot_id=parent.snapshot_id if parent else None,
@@ -378,27 +394,11 @@ class Transaction:
                 new_metadata,
                 properties={**new_metadata.properties, **self._set_props})
 
-        from .catalog.storage import (StorageCatalog, commit_metadata,
-                                      with_metadata_log)
-
-        if table.catalog is None or isinstance(table.catalog, StorageCatalog):
-            # REST catalogs maintain metadata-log server-side; the
-            # storage protocol appends the superseded file here
-            new_metadata = with_metadata_log(
-                table.path, new_metadata, metadata, table.current_version)
-        if table.catalog is not None:
-            # base_metadata drives the REST diff protocol: without it the
-            # commit body replays the whole table history as updates and
-            # the concurrency requirement degrades to the uuid assertion
-            version = table.catalog.update_table(table.path, table.current_version,
-                                                 new_metadata,
-                                                 identifier=table.identifier,
-                                                 base_metadata=metadata)
-        else:
-            version = commit_metadata(table.path, new_metadata,
-                                      table.current_version + 1)
-        table.metadata = new_metadata
-        table.current_version = version
+        # one shared commit tail (metadata-log append + catalog swap +
+        # version bump) — the same sequence IcebergTable._commit_metadata
+        # runs; two hand-maintained copies had already diverged on
+        # base-metadata semantics (code-review r8)
+        table._commit_metadata(new_metadata, base_metadata=base_metadata)
 
         from .metrics import record_commit
 
@@ -415,7 +415,7 @@ class Transaction:
         trips it, but a dropped DELETE is silent data corruption while
         a spurious CommitConflict is a visible, recomputable error."""
         md = self.table.metadata
-        snap = md.current_snapshot()
+        snap = self._ref_head(md)
         seen = 0
         while snap is not None and snap.snapshot_id != self._base_snapshot_id:
             s = snap.summary or {}
@@ -433,6 +433,18 @@ class Transaction:
                 return True
         return False
 
+    def _ref_head(self, md) -> Snapshot | None:
+        """Head snapshot of this tx's target ref (main or a branch)."""
+        from .types.metadata import MAIN_BRANCH
+
+        if self.branch == MAIN_BRANCH:
+            return md.current_snapshot()
+        ref = md.refs.get(self.branch)
+        if ref is None:
+            # new branch forks from main's head (matching _commit_once)
+            return md.current_snapshot()
+        return md.snapshot_by_id(ref.snapshot_id)
+
     def _table_name(self) -> str:
         ident = getattr(self.table, "identifier", None)
         return str(ident) if ident else basename(self.table.path)
@@ -444,10 +456,17 @@ class Transaction:
             return "overwrite"
         if has_removes:
             return "delete"
+        if self._removed_delete_paths:
+            # delete-FILE removal without data changes is a metadata
+            # rewrite (delete compaction), not an append — Iceberg
+            # labels these 'replace' (code-review r8)
+            return "replace"
         return "append"
 
     def _summary(self, operation: str, parent: Snapshot | None,
-                 removed_count: int, removed_rows: int, removed_size: int) -> dict[str, str]:
+                 removed_count: int, removed_rows: int, removed_size: int,
+                 rm_del_files: int = 0, rm_pos_rows: int = 0,
+                 rm_eq_rows: int = 0) -> dict[str, str]:
         prev = parent.summary if parent else {}
 
         def prev_i(key: str) -> int:
@@ -474,15 +493,18 @@ class Transaction:
             # delete manifest, so totals restart from the added deletes
             # — inheriting the parent's counts would claim delete files
             # the new manifest list no longer contains
+            # removed delete FILES (delete compaction) subtract from
+            # the running totals, or every compaction inflates them
+            # with ghost counts forever (code-review r8)
             "total-delete-files": str(
                 (0 if self._remove_all else prev_i("total-delete-files"))
-                + len(self._added_deletes)),
+                + len(self._added_deletes) - rm_del_files),
             "total-position-deletes": str(
                 (0 if self._remove_all else prev_i("total-position-deletes"))
-                + sum(f.record_count for f in add_pos)),
+                + sum(f.record_count for f in add_pos) - rm_pos_rows),
             "total-equality-deletes": str(
                 (0 if self._remove_all else prev_i("total-equality-deletes"))
-                + sum(f.record_count for f in add_eq)),
+                + sum(f.record_count for f in add_eq) - rm_eq_rows),
         }
         if self._added_deletes:
             s["added-delete-files"] = str(len(self._added_deletes))

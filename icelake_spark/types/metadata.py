@@ -372,10 +372,24 @@ class TableMetadata:
             properties=properties or {},
         )
 
+    def _moved_ref(self, ref_name: str, snapshot_id: int) -> SnapshotReference:
+        """Move a branch ref, PRESERVING its retention knobs (a bare
+        replacement reset min-snapshots-to-keep/age limits on every
+        commit) and refusing to move a tag (tags are immutable — the
+        same guard fast_forward applies; code-review r8)."""
+        prev = self.refs.get(ref_name)
+        if prev is not None:
+            if prev.type == "tag":
+                raise ValueError(
+                    f"cannot commit to tag {ref_name!r} (tags are "
+                    f"immutable; use a branch)")
+            return replace(prev, snapshot_id=snapshot_id)
+        return SnapshotReference(snapshot_id, "branch")
+
     def with_snapshot(self, snapshot: Snapshot, ref_name: str = MAIN_BRANCH) -> "TableMetadata":
         """Append a snapshot and point `ref_name` (and current) at it."""
         refs = dict(self.refs)
-        refs[ref_name] = SnapshotReference(snapshot.snapshot_id, "branch")
+        refs[ref_name] = self._moved_ref(ref_name, snapshot.snapshot_id)
         return replace(
             self,
             snapshots=self.snapshots + (snapshot,),
@@ -393,7 +407,7 @@ class TableMetadata:
         snapshot and the main branch stay where they are (staging commits
         for write-audit-publish)."""
         refs = dict(self.refs)
-        refs[ref_name] = SnapshotReference(snapshot.snapshot_id, "branch")
+        refs[ref_name] = self._moved_ref(ref_name, snapshot.snapshot_id)
         return replace(
             self,
             snapshots=self.snapshots + (snapshot,),

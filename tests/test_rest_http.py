@@ -282,3 +282,30 @@ def test_rest_catalog_over_real_http(spark, rest_server):
     assert cat.load_table("db.prod.orders2").to_df(spark).count() == 150
     cat.drop_table("db.prod.orders2")
     assert cat.list_tables("db.prod") == []
+
+
+def test_rest_staged_schema_commit_ships_schema(spark, rest_server):
+    """REPLACE TABLE through a REST catalog must send the staged
+    schema/spec as add-schema/add-spec updates: diffing against the
+    staged metadata omitted them entirely, committing a snapshot whose
+    schema the server never received (code-review r8)."""
+    from icelake_spark.catalog.rest import RestCatalog
+    from icelake_spark.sql import execute
+
+    uri, state = rest_server
+    cat = RestCatalog(uri)
+    cat.create_namespace("db.rts")
+    src = spark.range(5).selectExpr("id", "cast(id as string) as s")
+    t = cat.create_table("db.rts.r1", Schema.from_spark(src.schema))
+    t.append(src)
+
+    spark.range(3).selectExpr("id", "id * 2 as v2") \
+        .createOrReplaceTempView("rts_src")
+    execute(spark,
+            "CREATE OR REPLACE TABLE db.rts.r1 AS SELECT * FROM rts_src",
+            catalog=cat)
+    # reload purely from the SERVER state: the new schema must be there
+    t2 = cat.load_table("db.rts.r1")
+    assert [f.name for f in t2.schema().fields] == ["id", "v2"]
+    got = sorted((r.id, r.v2) for r in t2.to_df(spark).collect())
+    assert got == [(0, 0), (1, 2), (2, 4)]

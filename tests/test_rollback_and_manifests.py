@@ -406,3 +406,31 @@ def test_rewrite_position_deletes_noop_single_file(spark, warehouse):
     assert rewrite_position_deletes(t, spark) == 1
     t = t.refresh()
     assert len(t.metadata.snapshots) == snaps_before  # no commit
+
+
+def test_delete_compaction_summary_and_classify(spark, warehouse):
+    """rewrite_position_deletes must not inflate the running delete
+    totals, and a remove-only delete-file commit classifies as
+    'replace', not 'append' (code-review r8)."""
+    from icelake_spark.maintenance import rewrite_position_deletes
+
+    src = spark.range(40).selectExpr("id", "id % 4 as g")
+    t = warehouse.create_table("db.cmpsum", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    for k in (1, 2, 3):
+        t.delete_where(spark, f"id = {k}")
+        t = t.refresh()
+    s = t.current_snapshot().summary
+    assert int(s["total-delete-files"]) == 3
+    assert int(s["total-position-deletes"]) == 3
+    n = rewrite_position_deletes(t, spark)
+    assert n == 3
+    t = t.refresh()
+    s2 = t.current_snapshot().summary
+    # 3 old files replaced by 1 merged file carrying the same 3 rows
+    assert int(s2["total-delete-files"]) == 1, s2
+    assert int(s2["total-position-deletes"]) == 3, s2
+    assert s2["operation"] == "replace"
+    # rows unaffected
+    assert t.to_df(spark).count() == 37

@@ -137,3 +137,66 @@ def test_cow_delete_after_upsert_does_not_resurrect(spark, warehouse):
     t.delete_where(spark, "id = 2")
     rows = sorted(tuple(r) for r in t.refresh().to_df(spark).collect())
     assert rows == [(1, 9.0)], rows
+
+
+def test_partition_filter_exact_across_spec_evolution(spark, warehouse):
+    """partition_filter is exact WHERE semantics: files written BEFORE
+    the column became a partition field are kept by pruning (their
+    spec lacks the field) but their non-matching rows must be filtered
+    out by the residual (code-review r8)."""
+    src = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "id long, flag string")
+    t = warehouse.create_table("db.pfres", Schema.from_spark(src.schema))
+    t.append(src)  # unpartitioned file with mixed flags
+    t = t.refresh()
+    t.update_spec("flag")
+    t = t.refresh()
+    t.append(spark.createDataFrame([(4, "A"), (5, "B")],
+                                   "id long, flag string"))
+    t = t.refresh()
+    got = sorted(r.id for r in
+                 t.new_scan(partition_filter={"flag": "A"})
+                 .to_df(spark).collect())
+    assert got == [1, 3, 4], got
+    # transformed partition fields filter exactly too
+    src2 = spark.createDataFrame(
+        [(1, "2024-01-05"), (2, "2024-02-10"), (3, "2024-01-20")],
+        "id long, d string").selectExpr("id", "cast(d as date) as d")
+    t2 = warehouse.create_table("db.pfres2", Schema.from_spark(src2.schema))
+    t2.append(src2)  # one file, unpartitioned
+    t2 = t2.refresh()
+    t2.update_spec("month(d)")
+    t2 = t2.refresh()
+    jan = (2024 - 1970) * 12 + 0
+    got2 = sorted(r.id for r in
+                  t2.new_scan(partition_filter={"d_month": jan})
+                  .to_df(spark).collect())
+    assert got2 == [1, 3], got2
+
+
+def test_branch_commit_preserves_ref_retention_and_refuses_tags(
+        spark, warehouse):
+    """Committing to a branch keeps its retention knobs (a bare ref
+    replacement reset them every commit); committing to a tag raises
+    (code-review r8)."""
+    import pytest
+
+    from icelake_spark.transaction import Transaction
+
+    src = spark.range(5).selectExpr("id")
+    t = warehouse.create_table("db.refkeep", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.create_ref("audit", "branch", min_snapshots_to_keep=10,
+                 max_snapshot_age_ms=12345)
+    t.create_tag("v1")
+    t = t.refresh()
+    t.append(src, branch="audit")
+    t = t.refresh()
+    ref = t.metadata.refs["audit"]
+    assert ref.min_snapshots_to_keep == 10
+    assert ref.max_snapshot_age_ms == 12345
+    with pytest.raises(ValueError, match="tag"):
+        tx = Transaction(t, branch="v1")
+        tx.add_data_files([])
+        tx.commit("append")
