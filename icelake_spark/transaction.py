@@ -316,6 +316,17 @@ class Transaction:
                             MANIFEST_CONTENT_DELETES, sequence_number=seq))
                     continue
                 _, entries = read_manifest(table._resolve(mle.manifest_path))
+                # untouched data manifests carry forward AS-IS (the
+                # same pattern the delete branch uses): rewriting every
+                # manifest made a 1-file delete O(table) in metadata
+                # I/O and collapsed FieldSummary pruning granularity to
+                # one giant manifest per spec (code-review r8)
+                if not self._remove_all and not any(
+                        e.is_alive
+                        and norm_path(table._resolve(e.data_file.file_path))
+                        in self._removed_paths for e in entries):
+                    delete_manifests_kept.append(mle)
+                    continue
                 for e in entries:
                     if not e.is_alive:
                         continue

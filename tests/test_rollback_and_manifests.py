@@ -434,3 +434,45 @@ def test_delete_compaction_summary_and_classify(spark, warehouse):
     assert s2["operation"] == "replace"
     # rows unaffected
     assert t.to_df(spark).count() == 37
+
+
+def test_rewrite_keeps_untouched_data_manifests(spark, warehouse):
+    """A removal commit carries untouched data manifests forward AS-IS
+    instead of rewriting every manifest (O(table) metadata I/O per
+    small delete — code-review r8)."""
+    src = spark.range(40).selectExpr("id", "id % 4 as g")
+    t = warehouse.create_table("db.keepman", Schema.from_spark(src.schema))
+    for lo in (0, 10, 20, 30):  # four appends -> four data manifests
+        t.append(src.where(f"id >= {lo} and id < {lo + 10}"))
+        t = t.refresh()
+    before = read_manifest_list(
+        t._resolve(t.current_snapshot().manifest_list))
+    paths_before = {m.manifest_path for m in before}
+    assert len(before) == 4
+    # CoW-remove ONE file (delete_where with copy-on-write rewrites)
+    victims = [task.data_file.file_path
+               for task in t.new_scan().plan_files()[0]][:1]
+    from icelake_spark.transaction import Transaction
+
+    tx = Transaction(t)
+    tx.remove_data_files(victims)
+    tx.commit("delete")
+    t = t.refresh()
+    after = read_manifest_list(
+        t._resolve(t.current_snapshot().manifest_list))
+    kept = {m.manifest_path for m in after} & paths_before
+    # the three manifests not containing the victim are byte-identical
+    assert len(kept) == 3, (len(kept), len(after))
+    assert t.to_df(spark).count() == 30
+    # delete-file compaction does not touch data manifests at all
+    t.delete_where(spark, "id = 25")
+    t = t.refresh()
+    from icelake_spark.maintenance import rewrite_position_deletes
+
+    before2 = {m.manifest_path for m in read_manifest_list(
+        t._resolve(t.current_snapshot().manifest_list)) if m.content == 0}
+    rewrite_position_deletes(t, spark)
+    t = t.refresh()
+    after2 = {m.manifest_path for m in read_manifest_list(
+        t._resolve(t.current_snapshot().manifest_list)) if m.content == 0}
+    assert after2 == before2
