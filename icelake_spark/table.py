@@ -972,6 +972,7 @@ class TableScan:
         contract (ignored)."""
         if not self.partition_filter:
             return None
+        from .planning import _coerce_filter_value
         from .types.transforms import transform_column
 
         meta = self.table.metadata
@@ -984,11 +985,27 @@ class TableScan:
                 src = schema.field_by_id(pf.source_column_id)
                 if src is None:
                     continue
+                try:
+                    from .types.transforms import transform_result_type
+
+                    val = _coerce_filter_value(
+                        val, transform_result_type(pf.transform,
+                                                   src.field_type))
+                except (ValueError, TypeError):
+                    continue  # unusable value: skip, never crash
                 expr = transform_column(pf.transform, F.col(src.name),
                                         src.field_type)
                 conds.append(expr.eqNullSafe(F.lit(val)))
                 continue
-            if schema.field_by_name(key) is not None:
+            f = schema.field_by_name(key)
+            if f is not None:
+                # same degrade contract as partition_wanted: a value
+                # that cannot coerce to the column type is SKIPPED (no
+                # filtering on that key), never a scan-time cast crash
+                try:
+                    val = _coerce_filter_value(val, f.field_type)
+                except (ValueError, TypeError):
+                    continue
                 conds.append(F.col(key).eqNullSafe(F.lit(val)))
         if not conds:
             return None
