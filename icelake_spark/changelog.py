@@ -188,7 +188,7 @@ def changes(table: IcebergTable, spark: SparkSession,
                     d = parent_scan._apply_deletes(spark, d, pdata, ppos, peq,
                                                    drop_helpers=False)
                 deleted = _semi_join_eq(spark, d, pdata, added_eq,
-                                        _bcast_limit(table))
+                                        _bcast_limit(table), table=table)
                 parts.append(_with_meta(deleted, "delete", snap, order, cols))
 
         # CoW: files removed by this snapshot -> their surviving rows
@@ -266,10 +266,21 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
 
 
 def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
-                  eq: list[DeleteFileTask], limit: int) -> DataFrame:
+                  eq: list[DeleteFileTask], limit: int,
+                  table: "IcebergTable | None" = None) -> DataFrame:
     """Rows of df matched by equality-delete files (strictly-older gate,
-    grouped by key-set: one semi-join per distinct equality_ids)."""
+    grouped by key-set: one semi-join per distinct equality_ids).
+
+    Key columns resolve from the delete files' equality_ids against the
+    CURRENT schema (old names coalesced via the rename name-mapping,
+    same rule as TableScan._apply_deletes): an eq-delete file written
+    before a RENAME COLUMN carries the old key name, and joining df on
+    the file's raw column names either fails analysis or silently keys
+    on an all-null pad — the delete event vanishes from the changelog."""
+    import json as _json
+
     from .planning import canon_data_path
+    from .table import PROP_NAME_MAPPING
 
     if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
         seq_df = spark.createDataFrame(
@@ -282,10 +293,33 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
     groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
     for t in eq:
         groups.setdefault(tuple(t.delete_file.equality_ids or ()), []).append(t)
-    for _ids, tasks in groups.items():
-        keys = spark.read.parquet(
+    for eq_ids, tasks in groups.items():
+        keys = spark.read.option("mergeSchema", "true").parquet(
             *[_spark_path(t.delete_file.file_path) for t in tasks])
-        key_cols = keys.columns
+        if table is not None and eq_ids:
+            schema = table.schema()
+            key_cols = [schema.name_by_id(fid) for fid in eq_ids]
+            if any(c is None for c in key_cols):
+                missing = [fid for fid, c in zip(eq_ids, key_cols)
+                           if c is None]
+                raise ValueError(
+                    f"equality-delete files key on dropped column ids "
+                    f"{missing}; rewrite deletes before dropping key "
+                    f"columns")
+            raw_map = table.metadata.properties.get(PROP_NAME_MAPPING)
+            mapping = _json.loads(raw_map) if raw_map else {}
+            for c, fid in zip(key_cols, eq_ids):
+                olds = [n for n in mapping.get(str(fid), [])
+                        if n in keys.columns and n != c]
+                if c in keys.columns and olds:
+                    keys = keys.withColumn(
+                        c, F.coalesce(F.col(c), *[F.col(o) for o in olds]))
+                elif olds:
+                    keys = keys.withColumn(
+                        c, F.coalesce(*[F.col(o) for o in olds]))
+            keys = keys.select(*key_cols)
+        else:
+            key_cols = keys.columns
         min_seq = min(t.sequence_number for t in tasks)
         # NULL-SAFE key equality, matching the read path's anti-join
         # (table.py eqNullSafe): an eq-delete of a NULL-keyed row must

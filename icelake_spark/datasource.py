@@ -829,6 +829,27 @@ def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
     return out
 
 
+def _eq_key_cols(file_cols, names: list[str], rmap: dict):
+    """Resolve an eq-delete file's column names against the CURRENT
+    schema, rename-aware: a delete file written before a RENAME carries
+    the old column name, which must map to the renamed field's position
+    in `names` (as _make_file_rows does for data files) — indexing
+    `names` directly would either crash (ValueError) or drop the column
+    from the index list while the key tuple kept it, producing
+    length-mismatched tuples that never match (ADVICE r8). Returns
+    (src_cols, ki) aligned: src_cols are the file-side column names to
+    read, ki their row-tuple indexes; unresolvable columns drop from
+    BOTH symmetrically."""
+    src_cols, ki = [], []
+    for c in file_cols:
+        cur = c if c in names else next(
+            (n for n in names if c in rmap.get(n, ())), None)
+        if cur is not None:
+            src_cols.append(c)
+            ki.append(names.index(cur))
+    return src_cols, ki
+
+
 def _make_file_rows(names: list[str], rmap: dict,
                     table_store: str = "", io=None):
     """Rename-aware cached row reader shared by the changelog decoders:
@@ -894,15 +915,15 @@ def _changelog_snapshot_rows(names: list[str], rmap: dict,
     prior_eq: list[tuple[list[int], set, int]] = []
     for p, dseq in task.prior_eq_files:
         kt = pq.read_table(_src(p))
-        kc = kt.column_names
+        kc, ki = _eq_key_cols(kt.column_names, names, rmap)
         keys = {tuple(kt[c][i].as_py() for c in kc)
                 for i in range(kt.num_rows)}
-        prior_eq.append(([names.index(c) for c in kc], keys, dseq))
+        prior_eq.append((ki, keys, dseq))
 
     def dead_by_prior_eq(row: tuple, fseq: int) -> bool:
         # eq deletes kill strictly-older data only (data_seq < del_seq)
         return any(fseq < dseq and tuple(row[j] for j in ki) in keys
-                   for ki, keys, dseq in prior_eq)
+                   for ki, keys, dseq in prior_eq if ki)
 
     same_commit_deleted: set[tuple[str, int]] = set()
     pos_by_src: dict[str, list[int]] = {}
@@ -943,10 +964,11 @@ def _changelog_snapshot_rows(names: list[str], rmap: dict,
         eq_dead_local: set[tuple[str, int]] = set()
         for p, del_seq in added_eq:
             kt = pq.read_table(_src(p))
-            kc = kt.column_names
+            kc, ki = _eq_key_cols(kt.column_names, names, rmap)
+            if not ki:
+                continue
             keys = {tuple(kt[c][i].as_py() for c in kc)
                     for i in range(kt.num_rows)}
-            ki = [names.index(c) for c in kc]
             for ckey, (real, fseq) in older.items():
                 if fseq >= del_seq:
                     continue
@@ -1321,8 +1343,12 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                 and not (skip and (key, i) in skip)]
 
     rows: list[tuple] = []
+    # sort by the STREAM offset (== sequence number on v2; commit
+    # timestamp on v1 where every seq is 0) so the early-exit break
+    # below is safe on both format versions
     snaps = sorted(table.metadata.snapshots,
-                   key=lambda s: s.sequence_number)
+                   key=lambda s: (_stream_offset_of(table, s),
+                                  s.sequence_number))
     main_ids = table.metadata.ancestry_ids()
     dead_acc: set[tuple[str, int]] = set()  # pos deletes seen so far
     # eq-delete files from snapshots OUTSIDE the window (e.g. an
@@ -1346,11 +1372,13 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                 dseq = (e.sequence_number if e.sequence_number is not None
                         else mle.sequence_number)
                 kt = pq.read_table(table._resolve(e.data_file.file_path))
-                kc = kt.column_names
+                # rename-aware key resolution (ADVICE r8): see
+                # _eq_key_cols — old-name columns map to their renamed
+                # field's index, symmetric with the key tuples
+                kc, ki = _eq_key_cols(kt.column_names, names, rmap)
                 keys = {tuple(kt[c][i].as_py() for c in kc)
                         for i in range(kt.num_rows)}
-                eq_prior.append(([names.index(c) for c in kc
-                                  if c in names], keys, dseq))
+                eq_prior.append((ki, keys, dseq))
 
     def dead_by_prior_eq(r: tuple, fseq: int) -> bool:
         return any(fseq < dseq and tuple(r[j] for j in ki) in keys
@@ -1359,6 +1387,12 @@ def _changelog_rows(table, names: list[str], rmap: dict,
     for s in snaps:
         if s.snapshot_id not in main_ids:
             continue  # WAP branch-staged snapshot: not published
+        if _stream_offset_of(table, s) > end_seq:
+            # snaps are offset-sorted: snapshots PAST the window can't
+            # affect it, and folding them would decode every future
+            # snapshot's delete parquet on every micro-batch — wasted
+            # I/O growing with history ahead of the window (ADVICE r8)
+            break
         in_range = start_seq < _stream_offset_of(table, s) <= end_seq
         op = (s.summary or {}).get("operation", "append")
         # a snapshot that REMOVED data files (compaction 'replace',
@@ -1450,10 +1484,11 @@ def _changelog_rows(table, names: list[str], rmap: dict,
 
             for p, del_seq in added_eq:
                 kt = pq.read_table(p)
-                key_cols = kt.column_names
+                key_cols, ki = _eq_key_cols(kt.column_names, names, rmap)
+                if not ki:
+                    continue
                 keys = {tuple(kt[c][i].as_py() for c in key_cols)
                         for i in range(kt.num_rows)}
-                ki = [names.index(c) for c in key_cols]
                 for ckey, (real, dseq) in older.items():
                     if dseq >= del_seq:
                         continue

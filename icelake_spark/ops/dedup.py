@@ -710,7 +710,7 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     the cosine cut exactly reproducible in ANSI SQL (md5-ordered
     k-means init, decimal centroid sums, 6dp-rounded cosines).
     """
-    from .similarity import _nearest_centroid, cosine_sim, train_kmeans
+    from .similarity import cosine_sim, nearest_centroid_col, train_kmeans
     from .util import fanout
 
     cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
@@ -718,8 +718,9 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     v = F.col(vec_col).cast("array<double>")
     assigned = (fanout(df, F.col(id_col))
                 .select(F.col(id_col), v.alias("__v"))
-                .withColumn("__c", _nearest_centroid(
-                    F.col("__v"), list(enumerate(cents))))
+                .withColumn("__c", nearest_centroid_col(
+                    F.col("__v"), list(enumerate(cents)),
+                    portable=portable))
                 .localCheckpoint())  # one assignment pass, reused twice
     a = assigned.select(F.col(id_col).alias("__a"), F.col("__c"),
                         F.col("__v").alias("__va"))

@@ -133,6 +133,56 @@ def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Colu
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+# above this k the literal plan stops being viable: the distance array
+# inlines k·dim F.lit nodes (k=10k, dim=768 → a multi-megabyte Catalyst
+# tree per assignment — codegen/driver killer long before 100 TB).
+# SemDeDup's own prescription is k ~ √n (dedup.py), so the large-k path
+# is the 100 TB default and the literal tree the small-k/oracle lane.
+CENTROID_LITERAL_MAX = 256
+
+
+def _assign_centroids_udf(cents: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment for LARGE k: the k×dim
+    centroid matrix ships ONCE per executor inside the UDF closure
+    (broadcast semantics) and each Arrow batch computes all distances
+    as one numpy GEMM — argmin(||c||² − 2·x·Cᵀ) (the ||x||² term is
+    constant per row and drops out of the argmin). A per-row map pass:
+    no k-fold row inflation, no shuffle, no literal tree. Ties break to
+    the SMALLEST centroid index (np.argmin), matching the literal
+    path's array_position-of-min semantics. NULL vectors assign NULL,
+    matching the literal path's null propagation."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    mat = np.array(cents, dtype=np.float64)          # k × dim
+    cn = (mat * mat).sum(axis=1)                     # ||c||², length k
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=object)
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            x = np.array(vecs[ok].tolist(), dtype=np.float64)
+            d = cn[None, :] - 2.0 * (x @ mat.T)      # rows × k
+            out[ok] = [int(i) for i in np.argmin(d, axis=1)]
+        return pd.Series(out)
+
+    return assign
+
+
+def nearest_centroid_col(vec: Column, cents: list[tuple[int, list[float]]],
+                         portable: bool = False) -> Column:
+    """Route centroid assignment by k: the Catalyst-literal distance
+    array up to CENTROID_LITERAL_MAX centroids (JVM-side, codegen'd,
+    exactly SQL-reproducible — required for the portable oracle lane),
+    the broadcast numpy-GEMM pandas_udf above it. portable=True pins
+    the literal path regardless (the DuckDB twin unrolls the same
+    sequential-sum distances; oracle demos use small k by design)."""
+    if portable or len(cents) <= CENTROID_LITERAL_MAX:
+        return _nearest_centroid(vec, cents)
+    return _assign_centroids_udf([c for _i, c in cents])(vec)
+
+
 def train_kmeans(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", k: int = 16, n_iter: int = 3,
                  seed: int = 42, portable: bool = False) -> list[list[float]]:
@@ -165,7 +215,9 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     base = fanout(df).select(v.alias("__v")).localCheckpoint()
     for _ in range(n_iter):
         assigned = base.withColumn(
-            "__c", _nearest_centroid(F.col("__v"), list(enumerate(cents))))
+            "__c", nearest_centroid_col(F.col("__v"),
+                                        list(enumerate(cents)),
+                                        portable=portable))
         ex = assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
         by_cluster: dict[int, dict[int, float]] = {}
         if portable:
@@ -227,7 +279,8 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     # repartition first so assignment doesn't run in the one-task scan
     assigned = (fanout(df, F.col(id_col))
                 .select(F.col(id_col), v.alias("__v"))
-                .withColumn("__c", _nearest_centroid(F.col("__v"), cents)))
+                .withColumn("__c", nearest_centroid_col(
+                    F.col("__v"), cents, portable=portable)))
     # sequential left-to-right sum, NOT np.sum (pairwise): the SQL twin
     # computes this distance with list_sum, and the probe cut must land
     # on the same side of any near-tie in both engines

@@ -978,9 +978,29 @@ class TableScan:
         meta = self.table.metadata
         conds = []
         for key, val in self.partition_filter.items():
-            pf = next(
-                (f for spec in meta.partition_specs for f in spec.fields
-                 if f.name == key), None)
+            # resolve against the CURRENT default spec first — pruning
+            # resolves per-file spec, so if evolution re-created a
+            # same-named field with a different transform/source, a
+            # first-match-across-history lookup would apply a stale
+            # transform to every row (ADVICE r8). When specs DISAGREE
+            # on the field's (source, transform), skip the residual for
+            # that key entirely (same degrade contract as pruning:
+            # never filter wrong rows).
+            matches = [f for spec in meta.partition_specs
+                       for f in spec.fields if f.name == key]
+            sigs = {(f.source_column_id, f.transform) for f in matches}
+            if len(sigs) > 1:
+                continue
+            try:
+                default = meta.default_spec()
+            except KeyError:
+                default = None
+            pf = None
+            if default is not None:
+                pf = next((f for f in default.fields if f.name == key),
+                          None)
+            if pf is None and matches:
+                pf = matches[0]
             if pf is not None:
                 src = schema.field_by_id(pf.source_column_id)
                 if src is None:

@@ -467,10 +467,14 @@ class Transaction:
             return "overwrite"
         if has_removes:
             return "delete"
-        if self._removed_delete_paths:
-            # delete-FILE removal without data changes is a metadata
+        if self._removed_delete_paths and not self._added_data:
+            # delete-FILE removal without data-file adds is a metadata
             # rewrite (delete compaction), not an append — Iceberg
-            # labels these 'replace' (code-review r8)
+            # labels these 'replace' (code-review r8). A tx that ALSO
+            # adds data files must stay 'append': replace snapshots are
+            # excluded from incremental streams and the changelog, so
+            # labeling it 'replace' would silently hide the appended
+            # rows from every stream consumer (ADVICE r8).
             return "replace"
         return "append"
 

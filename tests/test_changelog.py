@@ -427,3 +427,122 @@ def test_changelog_batch_boundaries_no_phantom_deletes(spark, warehouse):
     got = sorted((r[0], r[1], r[2])
                  for r in list(rows1) + list(rows2))
     assert got == want
+
+
+def _delete_file_paths(t, snapshot):
+    """All delete FILE paths added by one snapshot (resolved)."""
+    from icelake_spark.types.manifest import (MANIFEST_CONTENT_DELETES,
+                                              read_manifest,
+                                              read_manifest_list)
+
+    out = []
+    for mle in read_manifest_list(t._resolve(snapshot.manifest_list)):
+        if mle.content != MANIFEST_CONTENT_DELETES:
+            continue
+        for e in read_manifest(t._resolve(mle.manifest_path))[1]:
+            out.append(t._resolve(e.data_file.file_path))
+    return out
+
+
+def test_changelog_batch_boundary_suppression_survives_rename(
+        spark, warehouse):
+    """fold_eq_prior must resolve delete-file column names through the
+    rename map: an eq-delete file written BEFORE a RENAME of the key
+    column carries the OLD name, and indexing the post-rename schema
+    directly built length-mismatched key tuples that never matched —
+    the prior-eq suppression silently vanished and the second window
+    re-emitted a phantom delete for the already-dead row (ADVICE r8).
+    Both stream decoders must agree with the one-batch result."""
+    from pyspark.sql import types as T
+
+    from icelake_spark.datasource import (IcelakePartitionStreamReader,
+                                          IcelakeStreamReader,
+                                          _stream_end_offset,
+                                          _stream_offset_of)
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.chren2", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(1, "a2")], "id long, v string"),
+             key_cols=["id"])
+    t = t.refresh()
+    t.rename_column("id", "ident")
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(1, "a3")], "ident long, v string"),
+             key_cols=["ident"])
+    t = t.refresh()
+    offs = sorted({_stream_offset_of(t, s) for s in t.metadata.snapshots})
+    end = _stream_end_offset(t)
+    schema = T.StructType(list(t.schema().to_spark().fields)
+                          + [T.StructField("_change_type", T.StringType())])
+    want = sorted((r.ident, r.v, r._change_type)
+                  for r in t.changes(spark).collect())
+    # each kill emits exactly ONE delete event: (1,a) dies in upsert 1,
+    # (1,a2) in upsert 2. The phantom bug re-emitted (1,a,delete) in the
+    # second window because the pre-rename eq file stopped suppressing.
+    assert want.count((1, "a", "delete")) == 1
+    assert want.count((1, "a2", "delete")) == 1
+
+    simple = IcelakeStreamReader({"path": t.path, "changelog": "true"},
+                                 schema)
+    split = sorted(
+        (r[0], r[1], r[2]) for r in
+        list(simple.readBetweenOffsets({"seq": 0}, {"seq": offs[1]}))
+        + list(simple.readBetweenOffsets({"seq": offs[1]}, {"seq": end})))
+    assert split == want, (split, want)
+
+    reader = IcelakePartitionStreamReader(
+        {"path": t.path, "changelog": "true"}, schema)
+    rows = []
+    for s_, e_ in [(0, offs[1]), (offs[1], end)]:
+        for p in reader.partitions({"seq": s_}, {"seq": e_}):
+            rows.extend(reader.read(p))
+    got = sorted((r[0], r[1], r[2]) for r in rows)
+    assert got == want, (got, want)
+
+
+def test_changelog_window_skips_future_snapshot_io(
+        spark, warehouse, monkeypatch):
+    """Reading an EARLY changelog window must not decode delete parquet
+    files of snapshots PAST the window's end — the accumulated-state
+    walk is offset-sorted, so it breaks at end_seq instead of folding
+    every future snapshot's deletes on every micro-batch (ADVICE r8)."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from icelake_spark.datasource import (IcelakeStreamReader,
+                                          _stream_offset_of)
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.chfuture", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    first = t.current_snapshot()
+    for v in ("a2", "a3"):
+        t.upsert(spark.createDataFrame([(1, v)], "id long, v string"),
+                 key_cols=["id"])
+        t = t.refresh()
+    future_deletes = set()
+    for s in t.metadata.snapshots:
+        if s.snapshot_id != first.snapshot_id:
+            future_deletes.update(_delete_file_paths(t, s))
+    assert future_deletes  # the upserts really wrote delete files
+
+    schema = T.StructType(list(t.schema().to_spark().fields)
+                          + [T.StructField("_change_type", T.StringType())])
+    reader = IcelakeStreamReader({"path": t.path, "changelog": "true"},
+                                 schema)
+    seen = []
+    real = _pq.read_table
+
+    def spy(path, *a, **kw):
+        seen.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(_pq, "read_table", spy)
+    off1 = _stream_offset_of(t, first)
+    rows = list(reader.readBetweenOffsets({"seq": 0}, {"seq": off1}))
+    assert sorted(r[0] for r in rows) == [1, 2]
+    touched = {p for p in seen if p in future_deletes}
+    assert not touched, f"future snapshots decoded: {touched}"

@@ -238,3 +238,47 @@ def test_expire_default_keeps_recent_history(spark, warehouse):
     assert expire_snapshots(t) == 0  # everything is younger than 5 days
     t.refresh()
     assert len(t.metadata.snapshots) == n_before
+
+
+def test_add_data_with_delete_file_removal_classifies_append(
+        spark, warehouse):
+    """A transaction that ADDS data files while removing only delete
+    files must classify as 'append', not 'replace': replace snapshots
+    are excluded from incremental streams and the changelog, so the
+    appended rows would silently never surface to stream consumers
+    (ADVICE r8). Pure delete-file churn still classifies 'replace'."""
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.types.manifest import (MANIFEST_CONTENT_DELETES,
+                                              read_manifest,
+                                              read_manifest_list)
+    from icelake_spark.write import write_data_files
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.clsfy", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(1, "a2")], "id long, v string"),
+             key_cols=["id"])
+    t = t.refresh()
+    base = t.current_snapshot().snapshot_id
+    del_paths = []
+    for mle in read_manifest_list(
+            t._resolve(t.current_snapshot().manifest_list)):
+        if mle.content != MANIFEST_CONTENT_DELETES:
+            continue
+        for e in read_manifest(t._resolve(mle.manifest_path))[1]:
+            del_paths.append(e.data_file.file_path)
+    assert del_paths
+
+    files = write_data_files(
+        t, spark.createDataFrame([(9, "z")], "id long, v string"))
+    tx = Transaction(t)
+    tx.add_data_files(files)
+    tx.remove_delete_files(del_paths)
+    tx.commit()
+    t = t.refresh()
+    assert t.current_snapshot().summary["operation"] == "append"
+    # the appended rows surface to the incremental (append-only) stream
+    got = sorted(r.id for r in
+                 t.incremental(spark, from_snapshot_id=base).collect())
+    assert got == [9], got

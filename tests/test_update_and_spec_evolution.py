@@ -200,3 +200,58 @@ def test_branch_commit_preserves_ref_retention_and_refuses_tags(
         tx = Transaction(t, branch="v1")
         tx.add_data_files([])
         tx.commit("append")
+
+
+def test_partition_residual_skips_on_conflicting_spec_transform(
+        spark, warehouse):
+    """Spec evolution can re-create a same-named partition field with a
+    DIFFERENT transform (bucket[4](id) -> bucket[8](id), both named
+    id_bucket). The row-level residual must not apply one spec's
+    transform to every row while pruning resolves per-file spec — that
+    filters WRONG rows from the other spec's files (ADVICE r8). When
+    specs disagree the residual is skipped: pruning stays per-file
+    exact via the recorded partition values."""
+    from icelake_spark.types.transforms import apply_transform_py
+
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                                "id long, v string")
+    t = warehouse.create_table("db.pfconf", Schema.from_spark(src.schema))
+    t.update_spec("bucket[4](id)")
+    t = t.refresh()
+    t.append(src.where("id < 10"))
+    t = t.refresh()
+    t.update_spec("bucket[8](id)")
+    t = t.refresh()
+    t.append(src.where("id >= 10"))
+    t = t.refresh()
+    names = {f.name for spec in t.metadata.partition_specs
+             for f in spec.fields}
+    assert names == {"id_bucket"}  # same name, two transforms
+
+    id_type = t.schema().field_by_name("id").field_type
+    want = sorted(
+        [i for i in range(10)
+         if apply_transform_py("bucket[4]", i, id_type) == 1]
+        + [i for i in range(10, 20)
+           if apply_transform_py("bucket[8]", i, id_type) == 1])
+    got = sorted(r.id for r in
+                 t.new_scan(partition_filter={"id_bucket": 1})
+                 .to_df(spark).collect())
+    assert got == want, (got, want)
+
+    # agreement case still filters row-exact: a field whose (source,
+    # transform) is identical across specs keeps the residual
+    src2 = spark.createDataFrame([(1, "A"), (2, "B"), (3, "A")],
+                                 "id long, flag string")
+    t2 = warehouse.create_table("db.pfsame", Schema.from_spark(src2.schema))
+    t2.append(src2)  # unpartitioned, mixed flags
+    t2 = t2.refresh()
+    t2.update_spec("flag")
+    t2 = t2.refresh()
+    t2.append(spark.createDataFrame([(4, "A"), (5, "B")],
+                                    "id long, flag string"))
+    t2 = t2.refresh()
+    got2 = sorted(r.id for r in
+                  t2.new_scan(partition_filter={"flag": "A"})
+                  .to_df(spark).collect())
+    assert got2 == [1, 3, 4], got2
