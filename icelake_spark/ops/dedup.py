@@ -692,7 +692,8 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score,
 def semdedup(df: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", n_clusters: int = 8,
              threshold: float = 0.95, train_iters: int = 2,
-             seed: int = 42, portable: bool = False) -> DataFrame:
+             seed: int = 42, portable: bool = False,
+             max_cluster: int = 4096) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via embedding clustering. K-means buckets the
     embedding space, then cosine similarity is computed ONLY within
@@ -709,7 +710,20 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     list anti-joined on id. `portable=True` makes the clustering and
     the cosine cut exactly reproducible in ANSI SQL (md5-ordered
     k-means init, decimal centroid sums, 6dp-rounded cosines).
+
+    `max_cluster` is the degenerate-clustering guard: a near-duplicate-
+    heavy crawl can collapse most items into ONE cluster, silently
+    reverting the within-cluster join to n². Clusters above the cap are
+    sub-bucketed by a deterministic md5 hash of the id into
+    ceil(size/max_cluster) buckets and pairs are compared within
+    (cluster, sub-bucket) only — per-task work is bounded by
+    max_cluster² at a recall cost for pairs split across sub-buckets
+    (the same discipline as _drop_hot_grams / the minhash band caps).
+    Cluster sizes are a k-row driver collect; the sub-bucket counts
+    inline as a literal map when few clusters overflow, else broadcast.
     """
+    import math
+
     from .similarity import cosine_sim, nearest_centroid_col, train_kmeans
     from .util import fanout
 
@@ -722,11 +736,36 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
                     F.col("__v"), list(enumerate(cents)),
                     portable=portable))
                 .localCheckpoint())  # one assignment pass, reused twice
-    a = assigned.select(F.col(id_col).alias("__a"), F.col("__c"),
+    over = {int(r["__c"]): int(math.ceil(r["n"] / max_cluster))
+            for r in assigned.groupBy("__c")
+            .agg(F.count("*").alias("n")).collect()
+            if r["n"] > max_cluster and r["__c"] is not None}
+    if over:
+        # md5 lane (not xxhash64): sub-bucketing stays reproducible by
+        # an ANSI-SQL twin should an oracle ever exercise the cap
+        hid = F.conv(F.substring(
+            F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10) \
+            .cast("long")
+        if len(over) <= 200:
+            m = F.create_map(*[F.lit(x) for kv in over.items() for x in kv])
+            nsub = F.coalesce(m[F.col("__c")], F.lit(1))
+        else:
+            nd = df.sparkSession.createDataFrame(
+                list(over.items()), "__c int, __nsub int")
+            assigned = assigned.join(F.broadcast(nd), on="__c", how="left")
+            nsub = F.coalesce(F.col("__nsub"), F.lit(1))
+        assigned = assigned.withColumn(
+            "__s", F.pmod(hid, nsub).cast("int"))
+        if "__nsub" in assigned.columns:
+            assigned = assigned.drop("__nsub")
+    else:
+        assigned = assigned.withColumn("__s", F.lit(0))
+    keys = ["__c", "__s"]
+    a = assigned.select(F.col(id_col).alias("__a"), *keys,
                         F.col("__v").alias("__va"))
-    b = assigned.select(F.col(id_col).alias("__b"), F.col("__c"),
+    b = assigned.select(F.col(id_col).alias("__b"), *keys,
                         F.col("__v").alias("__vb"))
-    dropped = (a.join(b, on="__c")
+    dropped = (a.join(b, on=keys)
                .where(F.col("__a") < F.col("__b"))
                .where(F.round(cosine_sim(F.col("__va"), F.col("__vb")), 6)
                       >= threshold)

@@ -643,27 +643,94 @@ FROM m ORDER BY doc_id
 
 
 def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 8) -> "list[tuple[int, str, str, int]]":
+              n_merges: int = 8,
+              max_vocab: int = 1_000_000) -> "list[tuple[int, str, str, int]]":
     """Byte-pair-encoding merge training (Sennrich et al. 2016): learn
     the `n_merges` most frequent adjacent-symbol merges over the
     corpus. Returns [(step, lhs, rhs, cnt), ...] — the ordered merge
     table a BPE tokenizer is defined by.
 
-    Classic distributed shape: the CORPUS is touched exactly once — a
-    tokenize + groupBy(word) shuffle producing the word-frequency
-    table (vocabulary-bounded, millions of rows at worst, independent
-    of corpus size) — and the merge loop runs entirely on that small
-    table: per iteration one map-side-combined pair count (symbols are
-    pipe-delimited strings; pairs come from a zip_with over the shifted
-    symbol array), one 1-row collect of the argmax pair, and one
-    literal `replace` applying the merge. Ties break deterministically
-    (count desc, lhs asc, rhs asc). Only [a-z0-9]+ words train (the
-    separator '|' can then never collide with a symbol).
+    Distributed shape: the CORPUS is touched exactly ONCE — a tokenize
+    + groupBy(word) shuffle producing the word-frequency table, which
+    is VOCABULARY-bounded (distinct [a-z0-9]+ words; independent of
+    corpus size, capped at max_vocab by frequency with deterministic
+    freq-desc/word-asc selection as real tokenizer trainers do). That
+    table collects to the driver and the whole merge loop runs there
+    with INCREMENTAL pair counts: each merge recounts only the words
+    containing the merged pair (an occurrence index), never the table.
+    This replaces the previous one-aggregate-job + one-collect PER
+    merge — 30k-merge real training was tens of thousands of
+    sequential Spark jobs (hours of pure scheduling); now it is one
+    Spark job + an in-memory loop (n_merges=256 in seconds, measured
+    in BASELINE.md r9).
 
-    Every step is integer/string arithmetic, so a DuckDB twin
-    reproduces the merge table exactly (queries._bpe_sql unrolls the
-    loop as CTEs with the argmax as a scalar cross join).
+    Semantics are bit-identical to the distributed per-merge loop
+    (kept as _bpe_train_spark_loop for the parity test): pair counts
+    weight every adjacent occurrence by word frequency, merges apply
+    left-to-right non-overlapping, ties break (count desc, lhs asc,
+    rhs asc) — ASCII-lexicographic both engines. The DuckDB twin
+    (queries._bpe_sql) unrolls the same loop as CTEs.
     """
+    from .dedup import words_col
+
+    rows = (df.select(F.explode(words_col(text_col)).alias("w"))
+            .where(F.col("w").rlike("^[a-z0-9]+$"))
+            .groupBy("w").agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), "w").limit(max_vocab)
+            .collect())
+    words: list[tuple[list[str], int]] = [
+        (list(r["w"]), int(r["freq"])) for r in rows]
+
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, freq) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + freq
+            occ.setdefault((a, b), set()).add(idx)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(counts.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt <= 0:
+            break
+        merges.append((step, lhs, rhs, cnt))
+        new_sym = lhs + rhs
+        for idx in sorted(occ.get((lhs, rhs), ())):
+            syms, freq = words[idx]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] -= freq
+                s = occ.get((a, b))
+                if s is not None:
+                    s.discard(idx)
+            merged: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    merged.append(new_sym)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[idx] = (merged, freq)
+            for a, b in zip(merged, merged[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+                occ.setdefault((a, b), set()).add(idx)
+        counts = {p: c for p, c in counts.items() if c > 0}
+    return merges
+
+
+def _bpe_train_spark_loop(df: DataFrame, text_col: str = "text",
+                          n_merges: int = 8
+                          ) -> "list[tuple[int, str, str, int]]":
+    """The per-merge distributed loop bpe_train replaced (one
+    aggregate job + one 1-row collect PER merge). Kept as the parity
+    reference: test_ops pins bpe_train == this on a real corpus. Use
+    bpe_train — this exists to prove the driver-side loop computes the
+    identical merge table."""
     from .dedup import words_col
 
     words = (df.select(F.explode(words_col(text_col)).alias("w"))
@@ -672,10 +739,7 @@ def bpe_train(df: DataFrame, text_col: str = "text",
              # '|a||b|' encoding — EVERY symbol wrapped in its own
              # pipes, so adjacent pair patterns ('|x||y|') never share
              # a character and literal replace merges every
-             # non-overlapping occurrence, not just the first (a
-             # shared-separator encoding like '|a|b|' makes back-to-
-             # back pairs overlap on the middle pipe and replace skips
-             # every second merge)
+             # non-overlapping occurrence, not just the first
              .select(F.regexp_replace("w", "(.)", r"|$1|").alias("enc"),
                      "freq")
              .localCheckpoint())  # the merge loop re-reads this, not the corpus

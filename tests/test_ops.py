@@ -1008,3 +1008,130 @@ def test_winnow_matches_bruteforce_property(spark):
             assert got.get(i, set()) == ref(norm), (i, t)
 
     prop()
+
+
+def test_centroid_assignment_broadcast_path_parity(spark):
+    """Large-k centroid assignment routes to the Arrow-batched numpy
+    GEMM (k×dim matrix shipped once per executor) instead of a k·dim
+    Catalyst literal tree — at k=1024/dim=64 the literal tree alone
+    takes ~60 s of driver time to BUILD (measured), a codegen killer
+    at SemDeDup's prescribed k~√n. Assignments must match the literal
+    path exactly (same smallest-index tie-break, same null handling),
+    and the large-k plan must carry no literal distance array."""
+    from pyspark.sql import functions as F
+
+    from icelake_spark.ops.similarity import (CENTROID_LITERAL_MAX,
+                                              _nearest_centroid,
+                                              nearest_centroid_col)
+
+    rng = np.random.default_rng(7)
+    k, dim, n = 1024, 64, 120
+    assert k > CENTROID_LITERAL_MAX
+    cents = rng.standard_normal((k, dim)).round(3).tolist()
+    vecs = rng.standard_normal((n, dim)).round(3).tolist()
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(n, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    routed = df.select("vec_id", nearest_centroid_col(
+        F.col("embedding"), list(enumerate(cents))).alias("c"))
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # no inlined centroid coordinates: a literal plan would carry
+    # thousands of float literals (probe any one centroid coordinate)
+    assert str(cents[500][0]) not in plan
+
+    got = {r.vec_id: r.c for r in routed.collect()}
+    lit = {r.vec_id: r.c for r in df.select("vec_id", _nearest_centroid(
+        F.col("embedding"), list(enumerate(cents))).alias("c")).collect()}
+    assert got == lit
+    assert got[n] is None  # null vector -> null assignment on both paths
+
+    # portable=True pins the literal (SQL-twin-exact) path at small k
+    small = cents[:8]
+    p = df.where("embedding is not null").select(
+        "vec_id", nearest_centroid_col(
+            F.col("embedding"), list(enumerate(small)),
+            portable=True).alias("c"))
+    pplan = p._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in pplan
+
+
+def test_semdedup_large_k_broadcast_assignment(spark):
+    """semdedup/train_kmeans/ivf_topk route through the broadcast
+    assignment above CENTROID_LITERAL_MAX and still produce sane
+    results (planted duplicates dropped)."""
+    from icelake_spark.ops.dedup import semdedup
+    from icelake_spark.ops.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((2000, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # plant near-duplicates of the first 5 vectors. k must stay well
+    # under n: at k≈n each pair member becomes its OWN zero-distance
+    # centroid and the pair splits across clusters (the paper's
+    # recall<1 boundary, not an assignment bug)
+    rows += [(9000 + i, (base[i] + 1e-6).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semdedup(df, n_clusters=280, threshold=0.99, train_iters=0)
+    ids = {r.vec_id for r in kept.collect()}
+    assert all(9000 + i not in ids for i in range(5))
+    assert all(i in ids for i in range(5))
+
+    q = base[0].tolist()
+    got = ivf_topk(df, q, k=5, n_centroids=280, nprobe=40)
+    top = [r.vec_id for r in got.collect()]
+    assert 0 in top  # the query vector itself must surface
+
+
+def test_semdedup_giant_cluster_cap_bounds_pairs(spark):
+    """Degenerate clustering guard: when one cluster holds ~90% of all
+    items (near-duplicate-heavy corpus), the within-cluster all-pairs
+    join must not revert to n² — clusters above max_cluster sub-bucket
+    by an id hash and pairs compare within (cluster, sub) only. With
+    500 identical vectors in one cluster and max_cluster=50, an
+    uncapped run keeps exactly 1 survivor; the capped run keeps one
+    survivor PER sub-bucket (proof the join never crossed sub-bucket
+    boundaries) and never more than ceil(500/50)+pad buckets."""
+    from icelake_spark.ops.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    blob = [1.0] * 8
+    rows = [(i, blob) for i in range(500)]
+    rows += [(10_000 + i, rng.standard_normal(8).tolist())
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = semdedup(df, n_clusters=4, threshold=0.99, train_iters=1,
+                      max_cluster=50)
+    blob_kept = sorted(r.vec_id for r in capped.collect()
+                       if r.vec_id < 500)
+    # sub-bucketed: >1 survivor (uncapped keeps exactly 1), but bounded
+    # by the number of sub-buckets ceil(500/50) = 10
+    assert 1 < len(blob_kept) <= 10, blob_kept
+
+    uncapped = semdedup(df, n_clusters=4, threshold=0.99, train_iters=1)
+    blob_kept_u = sorted(r.vec_id for r in uncapped.collect()
+                         if r.vec_id < 500)
+    assert blob_kept_u == [0], blob_kept_u
+
+
+def test_bpe_driver_loop_matches_distributed_loop(spark, docs):
+    """The driver-side incremental merge loop (one Spark job total)
+    must compute the EXACT merge table of the per-merge distributed
+    loop it replaced (one aggregate + collect per merge): same pair
+    weighting (every adjacent occurrence × word freq), same
+    left-to-right non-overlapping merge application, same
+    (count desc, lhs asc, rhs asc) tie-break."""
+    from icelake_spark.ops.text import _bpe_train_spark_loop, bpe_train
+
+    corpus = docs.limit(200)
+    fast = bpe_train(corpus, n_merges=12)
+    slow = _bpe_train_spark_loop(corpus, n_merges=12)
+    assert fast == slow, (fast[:3], slow[:3])
+    # repeated-symbol words exercise overlap semantics ('aaa' counts
+    # (a,a) twice but merges once, left-to-right)
+    tricky = spark.createDataFrame(
+        [(1, "aaaa aab"), (2, "aaa aa"), (3, "banana bandana")],
+        "doc_id long, text string")
+    assert bpe_train(tricky, n_merges=6) == \
+        _bpe_train_spark_loop(tricky, n_merges=6)
