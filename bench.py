@@ -3,6 +3,19 @@
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 
 Each query is executed to completion (collect) and timed wall-clock.
+
+The 30-query HEADLINE set is frozen (round 1) for cross-round
+comparability: "value"/"queries" cover it exclusively. A second
+EXTENDED section (r9) times the newer pipeline operators (curation_v2,
+semdedup, winnow_candidates, pagerank_purchases) in the same run and
+reports under "extended"/"extended_total" so scale regressions in
+those lanes are caught by numbers, not only plan pins.
+
+Usage:
+    python bench.py                 # headline + extended sections
+    python bench.py --headline-only # the frozen set alone
+    python bench.py NAME [NAME...]  # dedicated runs of named queries
+                                    # (quiet-host drift checks)
 """
 
 from __future__ import annotations
@@ -48,36 +61,18 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+EXTENDED = [
+    "curation_v2",
+    "semdedup",
+    "winnow_candidates",
+    "pagerank_purchases",
+]
 
-    import icelake_spark
-    from icelake_spark.queries import queries
 
-    spark = icelake_spark.default_session("icelake_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
-
-    # JVM/codegen warmup: run every headline query once at sf0.001
-    # (~6k rows) so the timed run measures steady-state execution, not
-    # whole-stage-codegen compilation of each query's unique expression
-    # tree (2-3 s per query on first evaluation)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            try:
-                df = qs[name](spark, warm_dir)
-                df.count() if name == "transforms_projection" else df.collect()
-            except Exception as e:
-                print(f"# warmup {name}: {type(e).__name__}: {str(e)[:80]}",
-                      file=sys.stderr)
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
-
+def _run_set(spark, qs, names, sf_dir) -> tuple[dict[str, float], float]:
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         t0 = time.time()
         try:
@@ -91,14 +86,59 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
-    spark.stop()
-    print(json.dumps({
+    return timings, total
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    args = [a for a in sys.argv[1:] if a != "--headline-only"]
+    headline_only = "--headline-only" in sys.argv[1:]
+
+    import icelake_spark
+    from icelake_spark.queries import queries
+
+    spark = icelake_spark.default_session("icelake_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    if args:  # dedicated runs of explicitly named queries
+        head, ext = [n for n in args if n in qs], []
+        missing = [n for n in args if n not in qs]
+        if missing:
+            print(f"# unknown queries skipped: {missing}", file=sys.stderr)
+    else:
+        head, ext = HEADLINE, ([] if headline_only else EXTENDED)
+
+    # JVM/codegen warmup: run every timed query once at sf0.001
+    # (~6k rows) so the timed run measures steady-state execution, not
+    # whole-stage-codegen compilation of each query's unique expression
+    # tree (2-3 s per query on first evaluation)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in head + ext:
+            try:
+                df = qs[name](spark, warm_dir)
+                df.count() if name == "transforms_projection" else df.collect()
+            except Exception as e:
+                print(f"# warmup {name}: {type(e).__name__}: {str(e)[:80]}",
+                      file=sys.stderr)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
+
+    timings, total = _run_set(spark, qs, head, sf_dir)
+    out = {
         "metric": "headline_queries_total_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if ext:
+        ext_timings, ext_total = _run_set(spark, qs, ext, sf_dir)
+        out["extended"] = ext_timings
+        out["extended_total"] = round(ext_total, 3)
+    spark.stop()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
