@@ -165,11 +165,14 @@ def changes(table: IcebergTable, spark: SparkSession,
             if added_pos:
                 from .planning import canon_data_path
 
-                srcs = {r[0] for t in added_pos
-                        for r in spark.read.parquet(
-                            _spark_path(t.delete_file.file_path))
-                        .select(_canon_col(F.col("file_path")))
-                        .distinct().collect()}
+                # ONE job over all this snapshot's pos-delete files —
+                # a per-file read+collect loop ran N driver round-trips
+                # per MoR commit (code-review r9)
+                srcs = {r[0] for r in spark.read.parquet(
+                    *[_spark_path(t.delete_file.file_path)
+                      for t in added_pos])
+                    .select(_canon_col(F.col("file_path")))
+                    .distinct().collect()}
                 hit = [t for t in pdata
                        if canon_data_path(t.data_file.file_path) in srcs]
                 if hit:
@@ -230,9 +233,14 @@ def _maybe_broadcast(side_df: DataFrame, tasks, limit: int) -> DataFrame:
     """Broadcast a delete side only while its planned file bytes stay
     under the limit (same gate and table property as
     TableScan._apply_deletes): a bulk delete can exceed broadcast
-    limits, where shuffle is the right plan."""
+    limits, where shuffle is the right plan. Over the limit the
+    shuffle-hash hint is REQUIRED, not just omitting the broadcast —
+    Catalyst's own size estimate can undercut autoBroadcastJoinThreshold
+    and re-broadcast the side this gate exists to keep off the driver
+    (code-review r9; same fix table.py carries since r3)."""
     total = sum(t.delete_file.file_size_in_bytes or 0 for t in tasks)
-    return F.broadcast(side_df) if total <= limit else side_df
+    return (F.broadcast(side_df) if total <= limit
+            else side_df.hint("shuffle_hash"))
 
 
 def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
@@ -308,9 +316,16 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
                     f"columns")
             raw_map = table.metadata.properties.get(PROP_NAME_MAPPING)
             mapping = _json.loads(raw_map) if raw_map else {}
+            # a former name REUSED by a different current column must
+            # not coalesce into the key (same guard as _rename_map /
+            # _with_name_mapping): wherever the real key column is
+            # legitimately NULL, the unrelated new column's value would
+            # substitute and corrupt the delete key (code-review r9)
+            current = {f.name for f in schema.fields}
             for c, fid in zip(key_cols, eq_ids):
                 olds = [n for n in mapping.get(str(fid), [])
-                        if n in keys.columns and n != c]
+                        if n in keys.columns and n != c
+                        and n not in current]
                 if c in keys.columns and olds:
                     keys = keys.withColumn(
                         c, F.coalesce(F.col(c), *[F.col(o) for o in olds]))
@@ -387,9 +402,7 @@ def apply_changes(source: IcebergTable, target: IcebergTable,
                     .select(*cols))
         batch = (src.select(*cols).withColumn("_op", F.lit(OP_INSERT))
                  .unionByName(vanished.withColumn("_op", F.lit(OP_DELETE))))
-        n = batch.count()
-        if n:
-            merge_delta(target, batch, key_cols=key_cols, op_col="_op")
+        n = _apply_batch(target, batch, key_cols)
         target.set_properties(
             {SYNC_PROP_PREFIX + sync_id: str(current.snapshot_id)})
         return n
@@ -402,9 +415,24 @@ def apply_changes(source: IcebergTable, target: IcebergTable,
              .select(*cols,
                      F.when(F.col(CHANGE_TYPE) == "insert", OP_INSERT)
                      .otherwise(OP_DELETE).alias("_op")))
-    n = batch.count()
-    if n:
-        merge_delta(target, batch, key_cols=key_cols, op_col="_op")
+    n = _apply_batch(target, batch, key_cols)
     target.set_properties(
         {SYNC_PROP_PREFIX + sync_id: str(current.snapshot_id)})
+    return n
+
+
+def _apply_batch(target, batch: DataFrame, key_cols: list[str]) -> int:
+    """count + merge_delta over ONE materialization: counting the raw
+    plan and then letting merge_delta re-evaluate it executed the whole
+    multi-join changelog reconstruction twice per sync
+    (code-review r9)."""
+    from .delta import merge_delta
+
+    batch = batch.persist()
+    try:
+        n = batch.count()
+        if n:
+            merge_delta(target, batch, key_cols=key_cols, op_col="_op")
+    finally:
+        batch.unpersist()
     return n

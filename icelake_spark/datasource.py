@@ -758,8 +758,12 @@ def _plan_changelog_tasks(table, start_off: int, end_off: int) -> list:
     eq_acc: list[tuple[str, int]] = []
     alive: dict[str, tuple[str, int]] = {}  # canon → (path, seq)
     first_walked = True
+    # sort by the STREAM offset (seq on v2, commit timestamp on v1
+    # where every seq is 0), matching _changelog_rows: the early break
+    # below is only safe when the walk order is the offset order
     for snap in sorted(table.metadata.snapshots,
-                       key=lambda x: x.sequence_number):
+                       key=lambda x: (_stream_offset_of(table, x),
+                                      x.sequence_number)):
         if snap.snapshot_id not in main_ids:
             continue
         off = _stream_offset_of(table, snap)
@@ -838,15 +842,25 @@ def _eq_key_cols(file_cols, names: list[str], rmap: dict):
     from the index list while the key tuple kept it, producing
     length-mismatched tuples that never match (ADVICE r8). Returns
     (src_cols, ki) aligned: src_cols are the file-side column names to
-    read, ki their row-tuple indexes; unresolvable columns drop from
-    BOTH symmetrically."""
+    read, ki their row-tuple indexes.
+
+    An UNRESOLVABLE column (the key column was since DROPPED) fails
+    loudly, matching the batch read path and changes(): silently
+    dropping it from the key would WIDEN the delete match — any row
+    sharing the remaining key values is treated as dead, emitting
+    phantom delete events (code-review r9)."""
     src_cols, ki = [], []
     for c in file_cols:
         cur = c if c in names else next(
             (n for n in names if c in rmap.get(n, ())), None)
-        if cur is not None:
-            src_cols.append(c)
-            ki.append(names.index(cur))
+        if cur is None:
+            raise ValueError(
+                f"equality-delete file keys on column {c!r} which is "
+                f"not in the current schema (dropped?); rewrite "
+                f"deletes (rewrite_position_deletes / compaction) "
+                f"before dropping key columns")
+        src_cols.append(c)
+        ki.append(names.index(cur))
     return src_cols, ki
 
 
@@ -965,8 +979,6 @@ def _changelog_snapshot_rows(names: list[str], rmap: dict,
         for p, del_seq in added_eq:
             kt = pq.read_table(_src(p))
             kc, ki = _eq_key_cols(kt.column_names, names, rmap)
-            if not ki:
-                continue
             keys = {tuple(kt[c][i].as_py() for c in kc)
                     for i in range(kt.num_rows)}
             for ckey, (real, fseq) in older.items():
@@ -1485,8 +1497,6 @@ def _changelog_rows(table, names: list[str], rmap: dict,
             for p, del_seq in added_eq:
                 kt = pq.read_table(p)
                 key_cols, ki = _eq_key_cols(kt.column_names, names, rmap)
-                if not ki:
-                    continue
                 keys = {tuple(kt[c][i].as_py() for c in key_cols)
                         for i in range(kt.num_rows)}
                 for ckey, (real, dseq) in older.items():

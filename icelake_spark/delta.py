@@ -41,18 +41,16 @@ OP_DELETE = 2
 
 
 def _write_small_parquet(table, df: DataFrame, content: int,
-                         equality_ids: list[int] | None = None,
-                         sort_cols: list[str] | None = None) -> list[DataFile]:
-    """Write a delete-file DataFrame under data/ and build its DataFile."""
+                         equality_ids: list[int] | None = None) -> list[DataFile]:
+    """Write a delete-file DataFrame under data/ and build its DataFile.
+    Callers own any spec-mandated ordering (write_position_delete_files
+    sorts by (file_path, pos) before calling)."""
     import pyarrow.parquet as pq
 
     from .fileio import io_join, norm_path, resolve_io
 
     io = resolve_io(table.path)
     stage = io_join(table.path, "data", f"del-{uuid.uuid4().hex[:16]}")
-    if sort_cols:
-        # spec: position deletes must be sorted by (file_path, pos)
-        df = df.sortWithinPartitions(*sort_cols)
     df.write.parquet(io.to_spark_path(stage))
     files = []
     for p, sz in io.list_files(stage):
@@ -168,8 +166,22 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         if head is not None:
             deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
                             .select(*key_cols).dropDuplicates(key_cols))
-            # keys being re-inserted also supersede prior snapshots' rows
-            upserted_keys = inserts.select(*key_cols).dropDuplicates(key_cols)
+            # keys being re-inserted also supersede prior snapshots' rows.
+            # A re-inserted key containing NULL supersedes NOTHING (SQL
+            # semantics: NULL never equals NULL, and Iceberg identifier
+            # fields are non-null by spec) — emitting an eq-delete for
+            # it would make the read path's NULL-SAFE anti-join kill
+            # unrelated NULL-keyed rows, so MERGE's not-matched INSERT
+            # of a NULL key silently deleted the target's existing
+            # NULL-key row (code-review r9). Explicit OP_DELETEs keep
+            # their null-safe reach: a CDC delete OF a NULL-keyed row
+            # stays expressible.
+            non_null = None
+            for c in key_cols:
+                t = F.col(c).isNotNull()
+                non_null = t if non_null is None else (non_null & t)
+            upserted_keys = (inserts.where(non_null)
+                             .select(*key_cols).dropDuplicates(key_cols))
             eq_keys = (deleted_keys.unionByName(upserted_keys)
                        .dropDuplicates(key_cols))
             if eq_keys.take(1):
@@ -202,8 +214,6 @@ def delete_rows(table, spark, condition: str,
     """
     from .transaction import Transaction
 
-    from .table import read_data_files as _rdf
-
     from .planning import canon_data_path
 
     # a branch target reads the BRANCH's visible rows (the branch
@@ -229,8 +239,12 @@ def delete_rows(table, spark, condition: str,
     def _live(tasks_, keep_helpers: bool) -> DataFrame:
         """Read data files with existing pos/eq deletes APPLIED — matching
         against raw files would resurrect rows already deleted or
-        superseded by an upsert (equality-delete) in a prior snapshot."""
-        df_ = _rdf(spark, spark_schema, tasks_, with_position=True)
+        superseded by an upsert (equality-delete) in a prior snapshot.
+        Reads through scan.read_mapped: pre-rename files must resolve
+        their former column names or survivors/updates are rewritten
+        with NULLs in the renamed column (code-review r9)."""
+        df_ = scan.read_mapped(spark, table.schema(), spark_schema,
+                               tasks_, with_position=True)
         if pos_t or eq_t:
             df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
                                       drop_helpers=not keep_helpers)
@@ -309,7 +323,6 @@ def update_rows(table, spark, condition: str,
     in one commit; `copy-on-write` (and always v1, whose manifests
     cannot encode delete files) rewrites affected files in place.
     """
-    from .table import read_data_files as _rdf
     from .transaction import Transaction
     from .write import write_data_files
 
@@ -340,8 +353,10 @@ def update_rows(table, spark, condition: str,
     def _live(tasks_, keep_helpers: bool) -> DataFrame:
         """Read with existing pos/eq deletes applied (see delete_rows):
         matching raw files would update rows that are already deleted or
-        superseded, re-appending them at a new sequence number."""
-        df_ = _rdf(spark, spark_schema, tasks_, with_position=True)
+        superseded, re-appending them at a new sequence number. Reads
+        through scan.read_mapped (rename name-mapping, code-review r9)."""
+        df_ = scan.read_mapped(spark, table.schema(), spark_schema,
+                               tasks_, with_position=True)
         if pos_t or eq_t:
             df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
                                       drop_helpers=not keep_helpers)
@@ -418,6 +433,37 @@ def update_rows(table, spark, condition: str,
     if not has_pos and not non_pq_files:
         return
     tx.commit("overwrite")
+
+
+def _merge_cardinality_check(source: DataFrame, tgt_keys: DataFrame,
+                             on: list[str]) -> None:
+    """SQL MERGE cardinality contract (code-review r9):
+
+    - multiple SOURCE rows matching one target key is an error (Spark
+      raises the same — the clause result would be nondeterministic);
+    - duplicate-key TARGET rows matched by a source row fail loudly:
+      the equality-delete lowering deletes BY KEY and re-inserts one
+      row, silently collapsing duplicates that Spark MERGE would
+      update independently. Until per-row (position-delete) matched
+      updates exist, refusing beats silent row loss.
+
+    Cost: two key-projection aggregates pruned to matched keys (one
+    extra job each, map-side combined). NULL keys never match by SQL
+    semantics and are exempt (the null-unsafe semi-join drops them)."""
+    skeys = source.select(*on)
+    dup_src = (skeys.groupBy(*on).count().where("count > 1")
+               .join(tgt_keys.distinct(), on=on, how="left_semi"))
+    if dup_src.take(1):
+        raise ValueError(
+            "MERGE: multiple source rows match the same target key; "
+            "deduplicate the source on the merge key first")
+    dup_tgt = (tgt_keys.groupBy(*on).count().where("count > 1")
+               .join(skeys.distinct(), on=on, how="left_semi"))
+    if dup_tgt.take(1):
+        raise ValueError(
+            "MERGE: the target holds multiple rows for a matched key; "
+            "the equality-delete lowering would collapse them to one "
+            "row — deduplicate the target (or merge on a unique key)")
 
 
 def merge(table, spark, source: DataFrame, on: list[str],
@@ -509,10 +555,12 @@ def merge(table, spark, source: DataFrame, on: list[str],
                                    matched_clauses, when_not_matched,
                                    insert_cols, by_source_clauses,
                                    branch=branch)
-    existing = table.to_df(spark, **({"ref": branch} if branch else {})) \
-        .select(*on).distinct()
+    tgt_keys = table.to_df(spark, **({"ref": branch} if branch else {})) \
+        .select(*on)
+    existing = tgt_keys.distinct()
     parts = []
     if matched_clauses:
+        _merge_cardinality_check(source, tgt_keys, on)
         matched = source.join(existing, on=on, how="left_semi")
         # first-match-wins: one CASE WHEN picks the clause index per row
         op_of = {"update": OP_INSERT, "delete": OP_DELETE}
@@ -572,6 +620,8 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
         .alias("t")
     parts = []
     if matched_clauses:
+        _merge_cardinality_check(
+            source, tgt.select(*[F.col(f"t.{k}").alias(k) for k in on]), on)
         jcond = None
         for k in on:
             eq = F.col(f"s.{k}") == F.col(f"t.{k}")

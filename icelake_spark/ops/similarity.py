@@ -149,8 +149,10 @@ def _assign_centroids_udf(cents: list[list[float]]):
     constant per row and drops out of the argmin). A per-row map pass:
     no k-fold row inflation, no shuffle, no literal tree. Ties break to
     the SMALLEST centroid index (np.argmin), matching the literal
-    path's array_position-of-min semantics. NULL vectors assign NULL,
-    matching the literal path's null propagation."""
+    path's array_position-of-min semantics. NULL vectors AND vectors
+    containing a NULL element assign NULL, matching the literal path
+    (a null coordinate nulls every distance → null argmin) instead of
+    crashing the task (code-review r9)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
@@ -160,11 +162,23 @@ def _assign_centroids_udf(cents: list[list[float]]):
     @pandas_udf(IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         out = np.empty(len(vecs), dtype=object)
-        ok = vecs.notna().to_numpy()
-        if ok.any():
-            x = np.array(vecs[ok].tolist(), dtype=np.float64)
+        idx, xs = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            # Arrow surfaces null ELEMENTS as NaN in the pandas batch;
+            # either way a missing coordinate makes every distance
+            # undefined → NULL assignment, never a task crash
+            arr = np.asarray(v, dtype=np.float64)
+            if np.isnan(arr).any():
+                continue
+            idx.append(i)
+            xs.append(arr)
+        if idx:
+            x = np.stack(xs)
             d = cn[None, :] - 2.0 * (x @ mat.T)      # rows × k
-            out[ok] = [int(i) for i in np.argmin(d, axis=1)]
+            for i, c in zip(idx, np.argmin(d, axis=1)):
+                out[i] = int(c)
         return pd.Series(out)
 
     return assign

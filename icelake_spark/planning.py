@@ -275,6 +275,30 @@ def _coerce_filter_value(v: Any, t: PrimitiveType) -> Any:
     return v
 
 
+def residual_partition_field(metadata: TableMetadata, key: str):
+    """The partition field a partition_filter key refers to, under
+    DEFAULT-SPEC-FIRST resolution (shared by pruning and the row-level
+    residual so the two can never disagree): the current default
+    spec's field of that name wins; otherwise older specs' fields win
+    only when they all agree on (source, transform). Returns None when
+    the name is absent or historically ambiguous (ADVICE r8 /
+    code-review r9)."""
+    try:
+        default = metadata.default_spec()
+    except KeyError:
+        default = None
+    if default is not None:
+        f = next((f for f in default.fields if f.name == key), None)
+        if f is not None:
+            return f
+    matches = [f for spec in metadata.partition_specs
+               for f in spec.fields if f.name == key]
+    sigs = {(f.source_column_id, f.transform) for f in matches}
+    if len(sigs) == 1:
+        return matches[0]
+    return None
+
+
 def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] | None,
                      ) -> dict[int, dict[str, Any]]:
     """Per-spec expected partition tuple values from a filter keyed by
@@ -282,7 +306,14 @@ def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] |
     instead of per file). Pruning is a pure OPTIMIZATION: a filter value
     that cannot be coerced/transformed for a field is SKIPPED for that
     field (no pruning on it) instead of crashing the scan or silently
-    pruning every file via a type-mismatched comparison."""
+    pruning every file via a type-mismatched comparison.
+
+    Spec-evolution guard: when a spec's same-named field DISAGREES with
+    the filter key's resolved meaning (residual_partition_field —
+    default-spec-first), that spec does NOT prune on the field. Its
+    files scan and the row-level residual (which applies the resolved
+    transform, file-spec-independent) filters exactly — pruning by the
+    stale spec's raw value would drop files containing matching rows."""
     if not partition_filter:
         return {}
     schema = metadata.current_schema()
@@ -291,6 +322,11 @@ def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] |
         want: dict[str, Any] = {}
         for pf in spec.fields:
             if pf.name in partition_filter:
+                ref = residual_partition_field(metadata, pf.name)
+                if ref is not None and (
+                        (pf.source_column_id, pf.transform)
+                        != (ref.source_column_id, ref.transform)):
+                    continue  # residual filters these files' rows
                 want[pf.name] = partition_filter[pf.name]
             else:
                 src = schema.field_by_id(pf.source_column_id)

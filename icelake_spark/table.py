@@ -935,17 +935,8 @@ class TableScan:
             return df.select(*self.columns) if self.columns else df
 
         need_mor = self.apply_deletes and (pos or eq)
-        read_schema, coalesce_map = self._with_name_mapping(schema, spark_schema)
-        df = read_data_files(spark, read_schema, data,
-                             with_position=need_mor)
-        if coalesce_map:
-            keep = [c for c in df.columns
-                    if c in {f.name for f in spark_schema.fields}
-                    or c.startswith("__")]
-            df = df.select(*[
-                F.coalesce(c, *coalesce_map[c]).alias(c)
-                if c in coalesce_map else F.col(c)
-                for c in keep])
+        df = self.read_mapped(spark, schema, spark_schema, data,
+                              with_position=need_mor)
 
         if need_mor:
             df = self._apply_deletes(spark, df, data, pos, eq)
@@ -965,6 +956,31 @@ class TableScan:
             df = df.select(*self.columns)
         return df
 
+    def read_mapped(self, spark: SparkSession, schema: Schema,
+                    spark_schema, tasks, with_position: bool = False
+                    ) -> DataFrame:
+        """Read data-file tasks with the rename name-mapping applied —
+        pre-rename files resolve their former column names and coalesce
+        new-name-first (the read _scan/to_df performs). SHARED with the
+        DML working-set readers (delta.delete_rows/update_rows), which
+        previously read by current name only: a pre-rename file's
+        renamed column arrived NULL and a CoW rewrite / MoR update
+        re-wrote survivors with those NULLs — permanent data loss
+        (code-review r9)."""
+        read_schema, coalesce_map = self._with_name_mapping(
+            schema, spark_schema)
+        df = read_data_files(spark, read_schema, tasks,
+                             with_position=with_position)
+        if coalesce_map:
+            keep = [c for c in df.columns
+                    if c in {f.name for f in spark_schema.fields}
+                    or c.startswith("__")]
+            df = df.select(*[
+                F.coalesce(c, *coalesce_map[c]).alias(c)
+                if c in coalesce_map else F.col(c)
+                for c in keep])
+        return df
+
     def _partition_residual(self, schema: Schema):
         """Row-level equivalent of partition_filter: for a key naming a
         partition FIELD, transform(source) == value; for a key naming a
@@ -972,35 +988,23 @@ class TableScan:
         contract (ignored)."""
         if not self.partition_filter:
             return None
-        from .planning import _coerce_filter_value
+        from .planning import _coerce_filter_value, residual_partition_field
         from .types.transforms import transform_column
 
         meta = self.table.metadata
         conds = []
         for key, val in self.partition_filter.items():
-            # resolve against the CURRENT default spec first — pruning
-            # resolves per-file spec, so if evolution re-created a
-            # same-named field with a different transform/source, a
-            # first-match-across-history lookup would apply a stale
-            # transform to every row (ADVICE r8). When specs DISAGREE
-            # on the field's (source, transform), skip the residual for
-            # that key entirely (same degrade contract as pruning:
-            # never filter wrong rows).
-            matches = [f for spec in meta.partition_specs
-                       for f in spec.fields if f.name == key]
-            sigs = {(f.source_column_id, f.transform) for f in matches}
-            if len(sigs) > 1:
-                continue
-            try:
-                default = meta.default_spec()
-            except KeyError:
-                default = None
-            pf = None
-            if default is not None:
-                pf = next((f for f in default.fields if f.name == key),
-                          None)
-            if pf is None and matches:
-                pf = matches[0]
+            # default-spec-first resolution SHARED with pruning
+            # (planning.residual_partition_field): if spec evolution
+            # re-created a same-named field with a different transform,
+            # the residual applies the DEFAULT spec's transform
+            # row-level (file-spec-independent — exact WHERE semantics)
+            # while pruning skips the disagreeing specs' files, which
+            # this residual then filters (ADVICE r8 / code-review r9).
+            # A name only in disagreeing OLDER specs resolves to None:
+            # genuinely ambiguous, no residual (pruning degrades to
+            # per-spec raw-value matching for it).
+            pf = residual_partition_field(meta, key)
             if pf is not None:
                 src = schema.field_by_id(pf.source_column_id)
                 if src is None:
@@ -1193,9 +1197,17 @@ class TableScan:
             raw_map = self.table.metadata.properties.get(
                 PROP_NAME_MAPPING)
             mapping = _json.loads(raw_map) if raw_map else {}
+            # a former name REUSED by a different current column must
+            # never coalesce into the key: wherever the real key column
+            # is legitimately NULL, the unrelated new column's value
+            # would substitute (code-review r9 — reachable via
+            # delta._live before r9's read_mapped routing; kept as
+            # defense in depth, same guard as _rename_map)
+            current_names = {f.name for f in schema.fields}
             for c, fid in zip(key_cols, eq_ids):
                 olds = [n for n in mapping.get(str(fid), [])
-                        if n in del_df.columns and n != c]
+                        if n in del_df.columns and n != c
+                        and n not in current_names]
                 if c in del_df.columns and olds:
                     del_df = del_df.withColumn(
                         c, F.coalesce(F.col(c), *[F.col(o) for o in olds]))

@@ -546,3 +546,36 @@ def test_changelog_window_skips_future_snapshot_io(
     assert sorted(r[0] for r in rows) == [1, 2]
     touched = {p for p in seen if p in future_deletes}
     assert not touched, f"future snapshots decoded: {touched}"
+
+
+def test_changelog_stream_fails_loud_on_dropped_eq_key_column(
+        spark, warehouse):
+    """An eq-delete file keyed on a since-DROPPED column cannot be
+    applied: silently dropping the column from the key would WIDEN the
+    match (any row sharing the remaining key values treated as dead —
+    phantom delete events). The stream decoders must fail loudly, as
+    the batch read path and changes() already do (code-review r9)."""
+    from pyspark.sql import types as T
+
+    from icelake_spark.datasource import (IcelakeStreamReader,
+                                          _stream_end_offset)
+
+    src = spark.createDataFrame([(1, "a", "eu"), (2, "b", "us")],
+                                "id long, v string, region string")
+    t = warehouse.create_table("db.chdropkey", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(1, "a2", "eu")],
+                                   "id long, v string, region string"),
+             key_cols=["id", "region"])
+    t = t.refresh()
+    t.drop_column("region")
+    t = t.refresh()
+
+    schema = T.StructType(list(t.schema().to_spark().fields)
+                          + [T.StructField("_change_type", T.StringType())])
+    reader = IcelakeStreamReader({"path": t.path, "changelog": "true"},
+                                 schema)
+    end = _stream_end_offset(t)
+    with pytest.raises(ValueError, match="region"):
+        list(reader.readBetweenOffsets({"seq": 0}, {"seq": end}))

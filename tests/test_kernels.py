@@ -404,20 +404,28 @@ def test_bucket_vectorized_speedup():
     n_rows = 1_000_000
     words = pd.Series([f"document-{i % 9973}-{i}" for i in range(n_rows)])
 
-    t0 = time.perf_counter()
     import pyarrow as pa
 
-    arr = pa.array(words)
-    bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    vec = m.hash_bytes_vec(data, offsets[:-1], offsets[1:] - offsets[:-1])
-    t_vec = time.perf_counter() - t0
+    # best-of-3 on BOTH sides: this sandbox's shared CPU can inflate an
+    # identical numpy pass 0.3s -> 7.5s (measured r9); min-of-N is the
+    # kernel's true cost, and taking it for the per-row side too keeps
+    # the comparison honest
+    t_vec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        arr = pa.array(words)
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        vec = m.hash_bytes_vec(data, offsets[:-1], offsets[1:] - offsets[:-1])
+        t_vec = min(t_vec, time.perf_counter() - t0)
 
     sample = words.iloc[:100_000]
-    t0 = time.perf_counter()
-    scal = sample.map(m.hash_str)
-    t_row = (time.perf_counter() - t0) * (n_rows / len(sample))
+    t_row = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scal = sample.map(m.hash_str)
+        t_row = min(t_row, (time.perf_counter() - t0) * (n_rows / len(sample)))
 
     assert (vec[:100_000] == scal.to_numpy(dtype=np.int32)).all()
     assert t_row / t_vec >= 5, f"vectorized {t_vec:.3f}s vs per-row {t_row:.3f}s"

@@ -799,3 +799,88 @@ def test_merge_whole_row_condition_literals_safe(warehouse, spark):
         WHEN MATCHED AND s.note = 'see tgt.notes' THEN DELETE
     """, catalog=cat)
     assert _state(cat.load_table("s1.wrlit"), spark) == []
+
+
+def test_merge_null_key_insert_keeps_target_null_row(warehouse, spark):
+    """SQL MERGE semantics: a NULL join key never matches (NULL !=
+    NULL), so a source NULL-key row inserts via WHEN NOT MATCHED and
+    the target's existing NULL-key row is KEPT. Previously the insert
+    emitted an equality-delete with a NULL key, and the read path's
+    null-safe anti-join silently deleted the target row
+    (code-review r9)."""
+    from icelake_spark.delta import merge, upsert
+
+    cat = warehouse
+    df = spark.createDataFrame([(1, "a"), (None, "tgt-null")],
+                               "id long, v string")
+    t = cat.create_table("s1.nullkey", Schema.from_spark(df.schema))
+    t.append(df)
+    src = spark.createDataFrame([(None, "src-null"), (1, "a2")],
+                                "id long, v string")
+    merge(t, spark, src, on=["id"],
+          when_matched="update", when_not_matched="insert")
+    t = t.refresh()
+    got = sorted(((r.id, r.v) for r in t.to_df(spark).collect()),
+                 key=lambda x: (x[0] is None, x))
+    assert (1, "a2") in got and (None, "tgt-null") in got \
+        and (None, "src-null") in got, got
+    assert len(got) == 3, got
+
+    # upsert of a NULL-key row appends (identifier fields are non-null
+    # by spec; a NULL key supersedes nothing)
+    upsert(t, spark.createDataFrame([(None, "up-null")],
+                                    "id long, v string"), key_cols=["id"])
+    t = t.refresh()
+    vals = sorted(r.v for r in t.to_df(spark).where("id is null").collect())
+    assert vals == ["src-null", "tgt-null", "up-null"], vals
+    # an explicit CDC DELETE of the NULL key still reaches them all
+    from icelake_spark.delta import OP_DELETE, merge_delta
+    merge_delta(t, spark.createDataFrame([(None, "x", OP_DELETE)],
+                                         "id long, v string, _op int"),
+                key_cols=["id"])
+    t = t.refresh()
+    assert t.to_df(spark).where("id is null").count() == 0
+
+
+def test_merge_cardinality_errors(warehouse, spark):
+    """SQL MERGE cardinality contract: multiple source rows matching
+    one target key raise (Spark raises the same); duplicate-key target
+    rows matched by a source row raise instead of being silently
+    collapsed to one row by the equality-delete lowering
+    (code-review r9). Unmatched duplicates stay legal."""
+    from icelake_spark.delta import merge
+
+    cat = warehouse
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = cat.create_table("s1.card", Schema.from_spark(df.schema))
+    t.append(df)
+
+    dup_src = spark.createDataFrame([(1, "x"), (1, "y")],
+                                    "id long, v string")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge(t, spark, dup_src, on=["id"], when_matched="update",
+              when_not_matched="insert")
+
+    # duplicate-key SOURCE rows that match NO target key are fine
+    # (plain inserts; the delta writer's in-batch last-wins applies)
+    ok_src = spark.createDataFrame([(9, "x"), (9, "y")],
+                                   "id long, v string")
+    merge(t, spark, ok_src, on=["id"], when_matched="update",
+          when_not_matched="insert")
+    t = t.refresh()
+    assert t.to_df(spark).where("id = 9").count() == 1
+
+    # duplicate-key TARGET rows hit by a matched clause refuse loudly
+    t.append(spark.createDataFrame([(2, "b2")], "id long, v string"))
+    t = t.refresh()
+    with pytest.raises(ValueError, match="multiple rows for a matched"):
+        merge(t, spark, spark.createDataFrame([(2, "new")],
+                                              "id long, v string"),
+              on=["id"], when_matched="update", when_not_matched="insert")
+    # column-level lowering enforces the same contract
+    with pytest.raises(ValueError, match="multiple rows for a matched"):
+        merge(t, spark, spark.createDataFrame([(2, "new")],
+                                              "id long, v string"),
+              on=["id"],
+              matched_clauses=[("update", None, {"v": "s.v"})],
+              when_not_matched=None)

@@ -1029,7 +1029,10 @@ def test_centroid_assignment_broadcast_path_parity(spark):
     assert k > CENTROID_LITERAL_MAX
     cents = rng.standard_normal((k, dim)).round(3).tolist()
     vecs = rng.standard_normal((n, dim)).round(3).tolist()
-    rows = [(i, v) for i, v in enumerate(vecs)] + [(n, None)]
+    # a NULL vector AND a vector with a NULL element: both must assign
+    # NULL on both paths (a null coordinate nulls every distance)
+    rows = ([(i, v) for i, v in enumerate(vecs)]
+            + [(n, None), (n + 1, [None] + vecs[0][1:])])
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     routed = df.select("vec_id", nearest_centroid_col(
@@ -1045,6 +1048,7 @@ def test_centroid_assignment_broadcast_path_parity(spark):
         F.col("embedding"), list(enumerate(cents))).alias("c")).collect()}
     assert got == lit
     assert got[n] is None  # null vector -> null assignment on both paths
+    assert got[n + 1] is None  # null ELEMENT -> null, not a task crash
 
     # portable=True pins the literal (SQL-twin-exact) path at small k
     small = cents[:8]

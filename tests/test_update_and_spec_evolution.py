@@ -202,15 +202,16 @@ def test_branch_commit_preserves_ref_retention_and_refuses_tags(
         tx.commit("append")
 
 
-def test_partition_residual_skips_on_conflicting_spec_transform(
+def test_partition_residual_default_spec_on_conflicting_transform(
         spark, warehouse):
     """Spec evolution can re-create a same-named partition field with a
-    DIFFERENT transform (bucket[4](id) -> bucket[8](id), both named
-    id_bucket). The row-level residual must not apply one spec's
-    transform to every row while pruning resolves per-file spec — that
-    filters WRONG rows from the other spec's files (ADVICE r8). When
-    specs disagree the residual is skipped: pruning stays per-file
-    exact via the recorded partition values."""
+    DIFFERENT transform (bucket[4](id) -> bucket[3](id), both named
+    id_bucket). The filter key resolves DEFAULT-SPEC-FIRST, shared by
+    pruning and the row-level residual: old-spec files are NOT pruned
+    by their stale raw value (they may hold rows matching the default
+    transform) and the residual applies the default spec's transform
+    to every row — exact WHERE semantics under the current spec's
+    meaning of the name (ADVICE r8 / code-review r9)."""
     from icelake_spark.types.transforms import apply_transform_py
 
     src = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
@@ -220,7 +221,7 @@ def test_partition_residual_skips_on_conflicting_spec_transform(
     t = t.refresh()
     t.append(src.where("id < 10"))
     t = t.refresh()
-    t.update_spec("bucket[8](id)")
+    t.update_spec("bucket[3](id)")
     t = t.refresh()
     t.append(src.where("id >= 10"))
     t = t.refresh()
@@ -229,15 +230,17 @@ def test_partition_residual_skips_on_conflicting_spec_transform(
     assert names == {"id_bucket"}  # same name, two transforms
 
     id_type = t.schema().field_by_name("id").field_type
-    want = sorted(
-        [i for i in range(10)
-         if apply_transform_py("bucket[4]", i, id_type) == 1]
-        + [i for i in range(10, 20)
-           if apply_transform_py("bucket[8]", i, id_type) == 1])
+    want = sorted(i for i in range(20)
+                  if apply_transform_py("bucket[3]", i, id_type) == 1)
     got = sorted(r.id for r in
                  t.new_scan(partition_filter={"id_bucket": 1})
                  .to_df(spark).collect())
     assert got == want, (got, want)
+    # sanity: the conflict case is non-trivial (some matching rows
+    # live in bucket[4]-era files whose raw value != 1)
+    old_era = [i for i in want if i < 10
+               and apply_transform_py("bucket[4]", i, id_type) != 1]
+    assert old_era, "test construction no longer exercises the conflict"
 
     # agreement case still filters row-exact: a field whose (source,
     # transform) is identical across specs keeps the residual
@@ -255,3 +258,49 @@ def test_partition_residual_skips_on_conflicting_spec_transform(
                   t2.new_scan(partition_filter={"flag": "A"})
                   .to_df(spark).collect())
     assert got2 == [1, 3, 4], got2
+
+
+def test_dml_preserves_renamed_columns_in_old_files(spark, warehouse):
+    """delete_rows/update_rows read their working set through the
+    rename name-mapping: files written BEFORE a rename carry the old
+    column name, and a current-name-only read NULL-pads the renamed
+    column — a CoW rewrite (or MoR update re-append) would then
+    permanently wipe its values (code-review r9)."""
+    src = spark.createDataFrame([(1, "x1"), (2, "x2"), (3, "x3")],
+                                "id long, a string")
+    # copy-on-write: the whole affected file is rewritten — any
+    # NULL-padding shows up in EVERY surviving row
+    t = warehouse.create_table(
+        "db.renamedml", Schema.from_spark(src.schema),
+        properties={"write.delete.mode": "copy-on-write",
+                    "write.update.mode": "copy-on-write"})
+    t.append(src.coalesce(1))  # one pre-rename file
+    t = t.refresh()
+    t.rename_column("a", "b")
+    t = t.refresh()
+    from icelake_spark.delta import delete_rows, update_rows
+    delete_rows(t, spark, "id = 2")
+    t = t.refresh()
+    got = sorted(tuple(r) for r in t.to_df(spark).collect())
+    assert got == [(1, "x1"), (3, "x3")], got  # b survived the rewrite
+    update_rows(t, spark, "id = 3", {"id": "30"})
+    t = t.refresh()
+    got = sorted(tuple(r) for r in t.to_df(spark).collect())
+    assert got == [(1, "x1"), (30, "x3")], got
+    # condition ON the renamed column matches pre-rename file contents
+    update_rows(t, spark, "b = 'x1'", {"b": "'X1'"})
+    t = t.refresh()
+    got = sorted(tuple(r) for r in t.to_df(spark).collect())
+    assert got == [(1, "X1"), (30, "x3")], got
+
+    # merge-on-read lane: the updated copy re-appended by update_rows
+    # must carry the old file's renamed-column value, not NULL
+    t2 = warehouse.create_table("db.renamedml2", Schema.from_spark(src.schema))
+    t2.append(src.coalesce(1))
+    t2 = t2.refresh()
+    t2.rename_column("a", "b")
+    t2 = t2.refresh()
+    update_rows(t2, spark, "id = 1", {"id": "10"})
+    t2 = t2.refresh()
+    got2 = sorted(tuple(r) for r in t2.to_df(spark).collect())
+    assert got2 == [(2, "x2"), (3, "x3"), (10, "x1")], got2
