@@ -75,9 +75,15 @@ def _avro_type(t: Any, name_hint: str = "") -> Any:
     if isinstance(t, ListType):
         # element-id annotation: Iceberg readers resolve list elements
         # by id, not position — an un-annotated array column is
-        # unresolvable to a spec-compliant reader
+        # unresolvable to a spec-compliant reader.
+        # OPTIONAL elements (element_required=False — Spark's
+        # containsNull default) need a ["null", item] union or a legal
+        # NULL element crashes the write (code-review r9)
+        items = _avro_type(t.element_type, name_hint)
+        if not t.element_required:
+            items = ["null", items]
         return {"type": "array",
-                "items": _avro_type(t.element_type, name_hint),
+                "items": items,
                 "element-id": t.element_id}
     raise NotImplementedError(f"avro data files: nested type {t!r}")
 
@@ -197,8 +203,21 @@ def _converters(schema: Schema, tz: dt.tzinfo | None = None):
         t = f.field_type
         if isinstance(t, ListType):
             el = t.element_type
-            prims.append((f.name, lambda v, el=el: None if v is None else
-                          [_to_avro_value(x, el, tz) for x in v],
+            # Arrow→pandas surfaces NULL elements of integral arrays as
+            # NaN in a float ndarray; map NaN back to None for every
+            # NON-float element type (where NaN cannot be legal data —
+            # float/double keep their genuine NaNs) or int(NaN) crashes
+            # the write (code-review r9)
+            nan_is_null = el.name not in ("float", "double")
+
+            def _enc_list(v, el=el, nn=nan_is_null):
+                if v is None:
+                    return None
+                return [None if x is None
+                        or (nn and isinstance(x, float) and x != x)
+                        else _to_avro_value(x, el, tz) for x in v]
+
+            prims.append((f.name, _enc_list,
                           lambda v, el=el: None if v is None else
                           [_from_avro_value(x, el, tz) for x in v]))
         else:
@@ -337,9 +356,10 @@ def read_avro_data(spark: SparkSession, spark_schema,
     return pdf.mapInPandas(run, schema=out_schema)
 
 
-def count_avro_records(path: str) -> int:
+def count_avro_records(path: str, io=None) -> int:
     """Record count for add_files stats when spark-avro is unavailable.
     Uses the per-block counts in the container header — no decompression
     or record decoding (the old full read re-processed the entire file
-    right after writing it)."""
-    return avro_io.count_records(path)
+    right after writing it). Pass the shipped FileIO on executors
+    (code-review r9)."""
+    return avro_io.count_records(path, io=io)

@@ -155,12 +155,18 @@ def read_avro(path: str, data: bytes | None = None) -> tuple[dict, list[dict]]:
     return schema, records
 
 
-def count_records(path: str) -> int:
+def count_records(path: str, io=None) -> int:
     """Record count from the container's per-block headers alone: each
     block leads with (count, byte-size), so counting skips the block
     bytes without decompressing or decoding anything — O(#blocks), not
-    O(dataset)."""
-    data = resolve_io(path).read_bytes(path)
+    O(dataset).
+
+    `io`: the planner-resolved FileIO when running on an EXECUTOR —
+    register_io factories only exist on the driver, so re-resolving a
+    custom scheme there falls through to ArrowFileIO and crashes the
+    stats job (code-review r9; same shipped-FileIO contract as
+    _build_data_file's ORC branch)."""
+    data = (io or resolve_io(path)).read_bytes(path)
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro container file")

@@ -243,10 +243,22 @@ def register_views(catalog: "StorageCatalog", spark, namespace: str = "",
     """Expose every table of the warehouse to spark.sql as a temp view
     (`db.t` → view `db_t`). Views are lazy DataFrames over the current
     snapshot — re-register after commits that should become visible.
-    Returns the created view names."""
-    created = []
+    Returns the created view names.
+
+    The dot replacement is lossy ('db_a.t' and 'db.a_t' both map to
+    'db_a_t'), and createOrReplaceTempView would let the second table
+    silently shadow the first — queries would read the wrong table's
+    rows with sort order picking the winner. Collisions fail loudly
+    instead (code-review r9); pass a different replace_dots or register
+    the offending table manually."""
+    created: dict[str, str] = {}
     for ident in catalog.list_tables(namespace):
         view = ident.replace(".", replace_dots)
+        if view in created:
+            raise ValueError(
+                f"register_views: tables {created[view]!r} and "
+                f"{ident!r} both map to view name {view!r} with "
+                f"replace_dots={replace_dots!r}")
         catalog.load_table(ident).to_df(spark).createOrReplaceTempView(view)
-        created.append(view)
-    return created
+        created[view] = ident
+    return list(created)

@@ -431,7 +431,9 @@ class IcelakeReader(DataSourceReader):
             end = self.options.get("end_snapshot_id")
             files = incremental_files(
                 t, int(self.options["start_snapshot_id"]),
-                int(end) if end is not None else None)
+                int(end) if end is not None else None,
+                skip_overwrites=self.options.get(
+                    "skip_overwrite_snapshots", "false").lower() == "true")
             return [_FileTask(p, 0, [], [], resolved_pos=[],
                               file_format=fmt) for p, fmt in files]
         kwargs: dict[str, Any] = {}

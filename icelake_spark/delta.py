@@ -38,6 +38,15 @@ from .types.manifest import (
 
 OP_INSERT = 1
 OP_DELETE = 2
+# insert WITHOUT superseding prior snapshots' rows: no equality-delete
+# is emitted for the key. MERGE's WHEN NOT MATCHED lane uses this — the
+# anti-join already proved the key absent, and for NULL-containing keys
+# an eq-delete would be actively wrong (SQL: NULL never matches, but
+# the read path's NULL-SAFE anti-join would kill the target's unrelated
+# NULL-key rows — code-review r9). OP_INSERT keeps full upsert
+# semantics including null-safe replacement (the rollup refresh's
+# NULL group keys rely on it).
+OP_APPEND = 3
 
 
 def _write_small_parquet(table, df: DataFrame, content: int,
@@ -142,7 +151,7 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         # last event per key within the batch decides survival
         last = df.withColumn("__rn", F.row_number().over(
             w_key.orderBy(F.desc("__seq")))).where(F.col("__rn") == 1)
-        inserts = (last.where(F.col(op_col) == OP_INSERT)
+        inserts = (last.where(F.col(op_col).isin(OP_INSERT, OP_APPEND))
                    .drop("__seq", "__rn", op_col))
 
         # every key that saw a DELETE needs an equality delete against
@@ -166,21 +175,10 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         if head is not None:
             deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
                             .select(*key_cols).dropDuplicates(key_cols))
-            # keys being re-inserted also supersede prior snapshots' rows.
-            # A re-inserted key containing NULL supersedes NOTHING (SQL
-            # semantics: NULL never equals NULL, and Iceberg identifier
-            # fields are non-null by spec) — emitting an eq-delete for
-            # it would make the read path's NULL-SAFE anti-join kill
-            # unrelated NULL-keyed rows, so MERGE's not-matched INSERT
-            # of a NULL key silently deleted the target's existing
-            # NULL-key row (code-review r9). Explicit OP_DELETEs keep
-            # their null-safe reach: a CDC delete OF a NULL-keyed row
-            # stays expressible.
-            non_null = None
-            for c in key_cols:
-                t = F.col(c).isNotNull()
-                non_null = t if non_null is None else (non_null & t)
-            upserted_keys = (inserts.where(non_null)
+            # keys being re-inserted (OP_INSERT) also supersede prior
+            # snapshots' rows; OP_APPEND rows deliberately do not (see
+            # the constant's comment — MERGE's not-matched lane)
+            upserted_keys = (last.where(F.col(op_col) == OP_INSERT)
                              .select(*key_cols).dropDuplicates(key_cols))
             eq_keys = (deleted_keys.unionByName(upserted_keys)
                        .dropDuplicates(key_cols))
@@ -574,8 +572,12 @@ def merge(table, spark, source: DataFrame, on: list[str],
                    .where(F.col("_op").isNotNull()))
         parts.append(matched)
     if when_not_matched == "insert":
+        # OP_APPEND, not OP_INSERT: the anti-join proved the key absent
+        # (no eq-delete needed), and a NULL-containing key must not
+        # emit one (the null-safe read anti-join would delete the
+        # target's unrelated NULL-key rows — code-review r9)
         not_matched = source.join(existing, on=on, how="left_anti")
-        parts.append(not_matched.withColumn("_op", F.lit(OP_INSERT)))
+        parts.append(not_matched.withColumn("_op", F.lit(OP_APPEND)))
     if not parts:
         return
     batch = parts[0]
@@ -681,7 +683,8 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
                  else F.lit(None)).cast(types[f.name]).alias(f.name)
                 for f in spark_schema.fields]
             not_matched = not_matched.select(*proj)
-        parts.append(not_matched.withColumn("_op", F.lit(OP_INSERT)))
+        # OP_APPEND: key proven absent; see merge() (code-review r9)
+        parts.append(not_matched.withColumn("_op", F.lit(OP_APPEND)))
     if by_source_clauses:
         # WHEN NOT MATCHED BY SOURCE: TARGET rows whose key has no
         # source match — an anti-join the other way around. Only the

@@ -138,7 +138,13 @@ def expire_snapshots(table, older_than_ms: int | None = None,
     # remove_orphan_files reclaims.
     to_delete: set[str] = set()
     if delete_files:
-        def reachable(snaps) -> tuple[set, set]:
+        def reachable(snaps, strict: bool) -> tuple[set, set]:
+            """strict=True (the KEPT set): a missing manifest must
+            ABORT — swallowing it mid-iteration truncates the live-file
+            inventory and the difference below would delete data files
+            the current snapshot still references (code-review r9).
+            Expired snapshots stay lenient: their manifests may already
+            be gone, which only shrinks the DEAD set (safe)."""
             manifests, datafiles = set(), set()
             for s in snaps:
                 try:
@@ -152,11 +158,13 @@ def expire_snapshots(table, older_than_ms: int | None = None,
                             datafiles.add(norm_path(
                                 table._resolve(e.data_file.file_path)))
                 except FileNotFoundError:
+                    if strict:
+                        raise
                     continue
             return manifests, datafiles
 
-        live_m, live_d = reachable(kept)
-        dead_m, dead_d = reachable(expired)
+        live_m, live_d = reachable(kept, strict=True)
+        dead_m, dead_d = reachable(expired, strict=False)
         to_delete = (dead_m - live_m) | (dead_d - live_d)
 
     kept_ids = {s.snapshot_id for s in kept}
@@ -223,7 +231,27 @@ def rollback_to(table, snapshot_id: int) -> None:
     current + the main branch at it; no snapshot is deleted, so the
     rolled-past history stays time-travelable until expire_snapshots).
     Mirrors Iceberg's rollback_to_snapshot table update (the reference
-    exposes the refs map and current id, in_memory.rs:2360-2410)."""
+    exposes the refs map and current id, in_memory.rs:2360-2410).
+
+    The target must be on the CURRENT MAIN ANCESTRY, as Iceberg
+    requires: an unrestricted move could silently publish a WAP
+    branch-staged (unaudited) snapshot as current under an operation
+    named 'rollback' (code-review r9). Use set_current_snapshot for
+    the anything-goes ref move."""
+    md = table.metadata
+    md.snapshot_by_id(snapshot_id)  # raises KeyError if unknown
+    if snapshot_id not in md.ancestry_ids():
+        raise ValueError(
+            f"rollback_to: snapshot {snapshot_id} is not an ancestor of "
+            f"the current snapshot (WAP-staged or rolled-past?); use "
+            f"set_current_snapshot to publish arbitrary snapshots")
+    set_current_snapshot(table, snapshot_id)
+
+
+def set_current_snapshot(table, snapshot_id: int) -> None:
+    """Point current + the main branch at ANY known snapshot (Iceberg's
+    set_current_snapshot procedure — rollback_to without the ancestry
+    restriction; the caller owns the audit implications)."""
     import time as _time
     from dataclasses import replace as dc_replace
 
@@ -318,6 +346,34 @@ def cherrypick_snapshot(table, snapshot_id: int) -> None:
     cur = md.current_snapshot()
     if cur is not None and snap.snapshot_id == cur.snapshot_id:
         return  # picking the head is a no-op
+    main_ids = md.ancestry_ids()
+    if snapshot_id in main_ids:
+        # already published on main: re-committing its files would
+        # duplicate every row (the realistic trigger is an at-least-
+        # once publish job retrying a cherrypick whose first attempt
+        # committed). Iceberg raises CherrypickAncestorCommitException
+        # for the same case (code-review r9).
+        raise ValueError(
+            f"cherrypick_snapshot: snapshot {snapshot_id} is already an "
+            f"ancestor of the current snapshot — picking it again would "
+            f"duplicate its rows")
+    # a pick re-commits under a NEW snapshot id, so the ancestor check
+    # alone misses a RETRIED pick of the same staged snapshot; the
+    # publish provenance recorded below closes that window (Iceberg's
+    # DuplicateWAPCommitException discipline)
+    wap_id = (snap.summary or {}).get("wap.id")
+    for s2 in md.snapshots:
+        if s2.snapshot_id not in main_ids:
+            continue
+        s2sum = s2.summary or {}
+        if s2sum.get("source-snapshot-id") == str(snapshot_id):
+            raise ValueError(
+                f"cherrypick_snapshot: snapshot {snapshot_id} was already "
+                f"cherry-picked as snapshot {s2.snapshot_id}")
+        if wap_id is not None and s2sum.get("published-wap-id") == wap_id:
+            raise ValueError(
+                f"cherrypick_snapshot: wap.id {wap_id!r} was already "
+                f"published as snapshot {s2.snapshot_id}")
     op = snap.summary.get("operation", "append")
     if op != "append":
         raise ValueError(
@@ -342,6 +398,11 @@ def cherrypick_snapshot(table, snapshot_id: int) -> None:
         return
     tx = Transaction(table)
     tx.add_data_files(adds)
+    # publish provenance: the duplicate-pick guard above keys on these
+    extras = {"source-snapshot-id": str(snapshot_id)}
+    if wap_id is not None:
+        extras["published-wap-id"] = wap_id
+    tx.set_summary_extras(extras)
     tx.commit("append")
 
 
@@ -592,7 +653,13 @@ def compute_table_stats(table, spark, columns: list[str] | None = None,
     snap = table.metadata.current_snapshot()
     if snap is not None:
         props["stats.snapshot-id"] = str(snap.snapshot_id)
-    table.set_properties(props)
+    # clear stats keys NOT recomputed this run: stats.snapshot-id is
+    # stamped for the whole stats namespace, so leftover numbers from
+    # an earlier ANALYZE (other columns, or a min/max that became
+    # all-NULL) would masquerade as current (code-review r9)
+    stale = {k: None for k in table.metadata.properties
+             if k.startswith("stats.") and k not in props}
+    table.set_properties({**stale, **props})
     return spark.createDataFrame(
         sorted(out), "column string, ndv long, null_count long, "
                      "min string, max string")

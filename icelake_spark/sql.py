@@ -847,10 +847,13 @@ def _call_procedure(spark: SparkSession, statement: str, catalog=None):
         if proc == "cherrypick_snapshot":
             # publish ONE staged append onto main (WAP per-snapshot)
             maintenance.cherrypick_snapshot(table, int(sid))
-        else:
-            # set_current_snapshot is rollback without the "earlier"
-            # connotation — same metadata-only ref move either way
+        elif proc == "rollback_to_snapshot":
+            # ancestry-validated (Iceberg parity): refuses WAP-staged
+            # or rolled-past targets
             maintenance.rollback_to(table, int(sid))
+        else:
+            # set_current_snapshot: the unrestricted ref move
+            maintenance.set_current_snapshot(table, int(sid))
         return table
     if proc == "remove_orphan_files":
         kw = {}

@@ -161,7 +161,8 @@ def stateful_dedup(stream_df: DataFrame, key_cols: list[str],
 
 
 def incremental_files(table, snapshot_id: int | None = None,
-                      to_snapshot_id: int | None = None
+                      to_snapshot_id: int | None = None,
+                      skip_overwrites: bool = False
                       ) -> list[tuple[str, str]]:
     """(resolved path, format) of data files ADDED by append snapshots
     in the ancestry window (snapshot_id, to_snapshot_id] — the shared
@@ -171,9 +172,17 @@ def incremental_files(table, snapshot_id: int | None = None,
     The window is ancestry-based, not a sequence range: every v1
     snapshot carries sequence 0 (a seq window would return empty
     forever — the same trap changelog.py documents), and ancestry also
-    excludes WAP-staged snapshots. Non-append snapshots are skipped:
-    replace/overwrite re-adds rewritten copies of existing rows —
-    emitting them would duplicate the table after every compaction."""
+    excludes WAP-staged snapshots.
+
+    Non-append handling (code-review r9, Iceberg parity): 'replace'
+    (compaction) and 'delete' (MoR delete — adds no data files) skip
+    LOSSLESSLY. An 'overwrite' (upsert/MERGE/CoW rewrite) carries NEW
+    rows interleaved with rewrites of already-streamed ones — silently
+    skipping it loses the new rows, so it RAISES unless
+    skip_overwrites=True (the caller then owns the gap; Iceberg's
+    incremental append scan fails the same way, and its streaming
+    source gates the skip behind streaming-skip-overwrite-snapshots).
+    Row-level completeness across overwrites is changes()' job."""
     from .types.manifest import STATUS_ADDED, read_manifest, read_manifest_list
 
     if table.current_snapshot() is None:
@@ -188,7 +197,15 @@ def incremental_files(table, snapshot_id: int | None = None,
             continue
         if s.snapshot_id not in main_ids:
             continue  # WAP branch-staged snapshot: not published to main
-        if (s.summary or {}).get("operation", "append") != "append":
+        op = (s.summary or {}).get("operation", "append")
+        if op != "append":
+            if op == "overwrite" and not skip_overwrites:
+                raise ValueError(
+                    f"incremental append scan: snapshot {s.snapshot_id} "
+                    f"is an overwrite (upsert/MERGE/CoW) whose new rows "
+                    f"an append-only scan cannot separate from rewrites "
+                    f"— pass skip_overwrites=True to skip such commits, "
+                    f"or use changes() for row-level CDC")
             continue
         for mle in read_manifest_list(table._resolve(s.manifest_list)):
             if mle.added_snapshot_id != s.snapshot_id:
@@ -204,18 +221,27 @@ def incremental_files(table, snapshot_id: int | None = None,
 
 def stream_from_table(spark, table,
                       snapshot_id: int | None = None,
-                      to_snapshot_id: int | None = None) -> DataFrame:
+                      to_snapshot_id: int | None = None,
+                      skip_overwrites: bool = False) -> DataFrame:
     """Incremental read helper: a batch DataFrame of rows added AFTER
     `snapshot_id` (and, when given, up to `to_snapshot_id` inclusive) —
     Iceberg's incremental append scan (the Spark connector's
     start-snapshot-id / end-snapshot-id read options), and the building
     block for table-to-table batch pipelines. (For a continuous source
     use spark.readStream.format("icelake") — datasource.py.)"""
-    new_files = [p for p, _fmt in
-                 incremental_files(table, snapshot_id, to_snapshot_id)]
+    new_files = incremental_files(table, snapshot_id, to_snapshot_id,
+                                  skip_overwrites=skip_overwrites)
     if not new_files:
         return spark.createDataFrame([], table.schema().to_spark())
-    from .fileio import to_spark_paths
+    # format-aware: incremental_files returns (path, fmt) precisely so
+    # ORC/Avro tables stream too — reading everything as parquet
+    # crashed on write.format.default=orc tables (code-review r9).
+    # read_data_files only touches file_path/file_format, so shims
+    # stand in for full FileScanTasks.
+    from types import SimpleNamespace
 
-    return spark.read.schema(table.schema().to_spark()) \
-        .parquet(*to_spark_paths(new_files))
+    from .table import read_data_files
+
+    tasks = [SimpleNamespace(data_file=SimpleNamespace(
+        file_path=p, file_format=fmt)) for p, fmt in new_files]
+    return read_data_files(spark, table.schema().to_spark(), tasks)

@@ -540,10 +540,17 @@ class IcebergTable:
         }
 
     def set_properties(self, props: dict[str, str]) -> None:
+        """Merge properties into the metadata; a None value REMOVES the
+        key (Iceberg's UpdateProperties.remove — needed so ANALYZE can
+        clear stale per-column stats, code-review r9)."""
         from dataclasses import replace as dc_replace
 
         merged = dict(self.metadata.properties)
-        merged.update(props)
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
         self._commit_metadata(dc_replace(self.metadata, properties=merged))
 
     # ------------------------------------------------------------ write
@@ -800,17 +807,21 @@ class IcebergTable:
 
     def incremental(self, spark: SparkSession,
                     from_snapshot_id: int | None = None,
-                    to_snapshot_id: int | None = None) -> DataFrame:
+                    to_snapshot_id: int | None = None,
+                    skip_overwrites: bool = False) -> DataFrame:
         """Incremental APPEND scan: rows added by append snapshots in
         (from, to] on the main ancestry — Iceberg's incremental read
         (the Spark connector's start-snapshot-id / end-snapshot-id).
-        Non-append snapshots (overwrite/replace) are skipped, matching
-        the append-only incremental-read contract; use changes() for
-        row-level CDC including deletes."""
+        'replace' (compaction) and MoR 'delete' snapshots skip
+        losslessly; an 'overwrite' (upsert/MERGE/CoW) RAISES unless
+        skip_overwrites=True — its new rows are invisible to an
+        append-only scan, and skipping silently lost them
+        (code-review r9). Use changes() for row-level CDC."""
         from .streaming import stream_from_table
 
         return stream_from_table(spark, self, snapshot_id=from_snapshot_id,
-                                 to_snapshot_id=to_snapshot_id)
+                                 to_snapshot_id=to_snapshot_id,
+                                 skip_overwrites=skip_overwrites)
 
     def merge_delta(self, df: DataFrame, op_col: str = "_op", **kwargs) -> None:
         from .delta import merge_delta as _md

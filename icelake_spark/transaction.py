@@ -54,6 +54,7 @@ class Transaction:
         self._removed_delete_paths: set[str] = set()
         self._remove_all = False
         self._set_props: dict[str, str] = {}
+        self._summary_extras: dict[str, str] = {}
         self._staged_schema = None
         self._staged_spec_parts: list[str] | None = None
         # base head at transaction start ON THE TARGET REF: the
@@ -118,6 +119,14 @@ class Transaction:
         with the commit. Zero parts stages the unpartitioned spec
         (REPLACE TABLE with no PARTITIONED BY resets partitioning)."""
         self._staged_spec_parts = list(parts)
+        return self
+
+    def set_summary_extras(self, extras: dict[str, str]) -> "Transaction":
+        """Extra snapshot-summary entries recorded on the committed
+        snapshot (e.g. cherrypick's source-snapshot-id /
+        published-wap-id provenance, Iceberg parity). Keys must not
+        collide with the computed metric names."""
+        self._summary_extras.update(extras)
         return self
 
     def set_properties(self, props: dict[str, str]) -> "Transaction":
@@ -529,4 +538,5 @@ class Transaction:
             s["deleted-data-files"] = str(removed_count)
             s["deleted-records"] = str(removed_rows)
             s["removed-files-size"] = str(removed_size)
+        s.update(self._summary_extras)
         return s

@@ -547,7 +547,7 @@ def _build_data_file(path: str, stage: str, schema: Schema,
         else:
             from .avro_data import count_avro_records
 
-            nrows = count_avro_records(path)
+            nrows = count_avro_records(path, io=io)
             fmt = "AVRO"
         return DataFile(
             file_path=norm_path(path),

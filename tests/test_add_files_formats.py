@@ -142,3 +142,57 @@ def test_avro_timestamp_roundtrip(spark, warehouse):
     t.append(src)
     got = t.refresh().to_df(spark).collect()[0]
     assert got.ts == dt.datetime(2024, 3, 1, 12, 30, 0, 250000)
+
+
+def test_avro_null_array_elements_roundtrip(spark, warehouse):
+    """Spark arrays allow NULL elements by default (containsNull=True →
+    element_required=False); the Avro schema must encode items as a
+    ["null", type] union or the write crashes on a legal row
+    (code-review r9). ORC-format incremental reads also go through the
+    format-aware stream_from_table path."""
+    src = spark.createDataFrame(
+        [(1, [1, None, 3]), (2, None), (3, [])],
+        "id long, xs array<long>")
+    t = warehouse.create_table(
+        "db.avnull", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.append(src)
+    t = t.refresh()
+    got = {r.id: r.xs for r in t.to_df(spark).collect()}
+    assert got == {1: [1, None, 3], 2: None, 3: []}, got
+
+
+def test_incremental_read_is_format_aware_and_gates_overwrites(
+        spark, warehouse):
+    """stream_from_table/table.incremental: ORC tables stream through
+    the format-aware reader (the parquet-only read crashed); an
+    OVERWRITE snapshot in the window raises unless skip_overwrites=True
+    (its new rows are invisible to an append-only scan — silently
+    skipping lost them); 'delete'/'replace' still skip losslessly
+    (code-review r9)."""
+    src = spark.range(10).selectExpr("id", "cast(id as string) as v")
+    t = warehouse.create_table(
+        "db.orcinc", Schema.from_spark(src.schema),
+        properties={"write.format.default": "orc"})
+    t.append(src)
+    t = t.refresh()
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.range(10, 15).selectExpr("id", "cast(id as string) as v"))
+    t = t.refresh()
+    got = sorted(r.id for r in
+                 t.incremental(spark, from_snapshot_id=s1).collect())
+    assert got == [10, 11, 12, 13, 14], got
+
+    # an upsert (overwrite) inside the window fails loudly...
+    t.upsert(spark.createDataFrame([(3, "NEW")], "id long, v string"),
+             key_cols=["id"])
+    t = t.refresh()
+    t.append(spark.range(20, 22).selectExpr("id", "cast(id as string) as v"))
+    t = t.refresh()
+    with pytest.raises(ValueError, match="overwrite"):
+        t.incremental(spark, from_snapshot_id=s1).collect()
+    # ...and skip_overwrites=True opts into the documented gap
+    got2 = sorted(r.id for r in
+                  t.incremental(spark, from_snapshot_id=s1,
+                                skip_overwrites=True).collect())
+    assert got2 == [10, 11, 12, 13, 14, 20, 21], got2

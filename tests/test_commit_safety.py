@@ -79,8 +79,8 @@ def test_delete_retry_aborts_after_concurrent_compaction(spark, warehouse):
     target = data[0].data_file.file_path
     pos_df = spark.createDataFrame([(os.path.abspath(target), 0)],
                                    "file_path string, pos long")
-    del_files = _write_small_parquet(t1, pos_df, content=1,
-                                     sort_cols=["file_path", "pos"])
+    del_files = _write_small_parquet(
+        t1, pos_df.sortWithinPartitions("file_path", "pos"), content=1)
     tx = Transaction(t1)
     tx.add_delete_files(del_files)
 

@@ -826,14 +826,14 @@ def test_merge_null_key_insert_keeps_target_null_row(warehouse, spark):
         and (None, "src-null") in got, got
     assert len(got) == 3, got
 
-    # upsert of a NULL-key row appends (identifier fields are non-null
-    # by spec; a NULL key supersedes nothing)
+    # upsert (OP_INSERT) keeps full null-safe replacement semantics —
+    # the rollup refresh's NULL group keys rely on it
     upsert(t, spark.createDataFrame([(None, "up-null")],
                                     "id long, v string"), key_cols=["id"])
     t = t.refresh()
     vals = sorted(r.v for r in t.to_df(spark).where("id is null").collect())
-    assert vals == ["src-null", "tgt-null", "up-null"], vals
-    # an explicit CDC DELETE of the NULL key still reaches them all
+    assert vals == ["up-null"], vals
+    # an explicit CDC DELETE of the NULL key reaches it too
     from icelake_spark.delta import OP_DELETE, merge_delta
     merge_delta(t, spark.createDataFrame([(None, "x", OP_DELETE)],
                                          "id long, v string, _op int"),

@@ -476,3 +476,92 @@ def test_rewrite_keeps_untouched_data_manifests(spark, warehouse):
     after2 = {m.manifest_path for m in read_manifest_list(
         t._resolve(t.current_snapshot().manifest_list)) if m.content == 0}
     assert after2 == before2
+
+
+def test_maintenance_guards_round9(spark, warehouse):
+    """Round-9 maintenance safety guards: cherrypick refuses ancestors
+    AND retried picks of the same staged snapshot (its publish records
+    source-snapshot-id provenance); rollback_to refuses non-ancestors
+    (set_current_snapshot is the unrestricted move); expire_snapshots
+    aborts when a KEPT snapshot's manifest is missing instead of
+    silently shrinking the live-file set before deleting."""
+    import pytest
+
+    from icelake_spark.maintenance import (cherrypick_snapshot,
+                                           expire_snapshots, rollback_to,
+                                           set_current_snapshot)
+    from icelake_spark.types import Schema
+
+    src = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = warehouse.create_table("db.guards", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t = t.refresh()
+
+    # cherrypick of a published main-ancestry snapshot would duplicate rows
+    with pytest.raises(ValueError, match="ancestor"):
+        cherrypick_snapshot(t, s1)
+
+    # staged append on a branch: first pick publishes, retry refuses
+    t.create_branch("wip")
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.write import write_data_files
+    files = write_data_files(
+        t, spark.createDataFrame([(5, "e")], "id long, v string"))
+    tx = Transaction(t, branch="wip")
+    tx.add_data_files(files)
+    staged = tx.commit("append").snapshot_id
+    t = t.refresh()
+    cherrypick_snapshot(t, staged)
+    t = t.refresh()
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 2, 5]
+    with pytest.raises(ValueError, match="already"):
+        cherrypick_snapshot(t, staged)
+
+    # rollback_to: ancestry-validated; set_current_snapshot unrestricted
+    head = t.current_snapshot().snapshot_id
+    rollback_to(t, s1)
+    t = t.refresh()
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1]
+    with pytest.raises(ValueError, match="ancestor"):
+        rollback_to(t, head)  # rolled-past: not an ancestor anymore
+    set_current_snapshot(t, head)
+    t = t.refresh()
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 2, 5]
+
+    # expire_snapshots with a KEPT snapshot's manifest missing: abort
+    import os
+    ml = t.current_snapshot().manifest_list
+    from icelake_spark.types.manifest import read_manifest_list
+    victim = t._resolve(read_manifest_list(t._resolve(ml))[0].manifest_path)
+    os.rename(victim, victim + ".hidden")
+    try:
+        with pytest.raises(FileNotFoundError):
+            expire_snapshots(t, older_than_ms=int(2**53), retain_last=1)
+    finally:
+        os.rename(victim + ".hidden", victim)
+
+
+def test_analyze_clears_stale_stats_properties(spark, warehouse):
+    """Re-running ANALYZE on different columns must clear the previous
+    run's stats.* properties — stats.snapshot-id stamps the whole
+    namespace, so leftovers would masquerade as current
+    (code-review r9)."""
+    from icelake_spark.maintenance import compute_table_stats
+    from icelake_spark.types import Schema
+
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                "id long, v double")
+    t = warehouse.create_table("db.an9", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    compute_table_stats(t, spark, columns=["id"])
+    t = t.refresh()
+    assert "stats.id.ndv" in t.metadata.properties
+    compute_table_stats(t, spark, columns=["v"])
+    t = t.refresh()
+    props = t.metadata.properties
+    assert "stats.v.ndv" in props
+    assert not any(k.startswith("stats.id.") for k in props), props
