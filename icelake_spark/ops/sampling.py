@@ -155,3 +155,151 @@ SELECT doc_id, shard,
        CAST(start % {budget} AS BIGINT) AS offset, n_tokens
 FROM packed ORDER BY doc_id
 """
+
+
+def source_cap(df: DataFrame, source_col: str = "source",
+               order: list | None = None, cap: int = 100,
+               id_col: str = "doc_id", n_salts: int = 16) -> DataFrame:
+    """Per-source document cap (the Common-Crawl per-domain cap: no
+    single domain may dominate the corpus): keep the best `cap` rows
+    per source under a deterministic total order.
+
+    Scale design: a naive row_number window funnels a hot source's
+    entire row set through ONE task. Instead the top-cap is computed in
+    two stages: per (source, salt) candidates first — n_salts parallel
+    tasks per source, each keeping at most cap rows — then the final
+    window sees at most n_salts*cap rows per source. The global
+    top-cap is always a subset of the union of salted top-caps, so the
+    result is EXACTLY the single-window answer (the oracle computes
+    that directly). `order` must be a total order (include the id as a
+    tiebreak) or results are nondeterministic."""
+    from pyspark.sql import Window
+
+    if order is None:
+        order = [F.col(id_col)]
+    cols = df.columns
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                         F.lit(n_salts)))
+    w1 = Window.partitionBy(source_col, "__salt").orderBy(*order)
+    cand = (salted.withColumn("__r", F.row_number().over(w1))
+            .where(F.col("__r") <= cap))
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (cand.withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= cap).select(*cols))
+
+
+def mix_allocation(df: DataFrame, budget: int,
+                   source_col: str = "source",
+                   tokens_col: str | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Data-mixture apportionment: split a token `budget` across
+    sources proportionally to their token counts, with largest-
+    remainder rounding (Hamilton's method) so the allocations are
+    integers that sum EXACTLY to the budget — the bookkeeping step
+    that turns mixture weights into per-source sampling quotas.
+
+    One map-side-combined aggregate over the corpus produces the
+    per-source count table; everything after runs on that table (one
+    row per source — mixture math is bounded by source cardinality,
+    never corpus size). All integer: quota = (tokens*budget) div
+    total, remainders ranked descending with the source name as the
+    deterministic tiebreak. Returns (source, tokens, alloc)."""
+    from pyspark.sql import Window
+
+    from .text import word_count
+
+    tokens = (F.col(tokens_col) if tokens_col
+              else word_count(F.col(text_col))).cast("long")
+    counts = (df.select(F.col(source_col), tokens.alias("__t"))
+              .groupBy(source_col).agg(F.sum("__t").alias("tokens")))
+    wall = Window.partitionBy()
+    base = F.expr(f"tokens * {budget} DIV __total")
+    rem = F.expr(f"tokens * {budget} % __total")
+    ranked = (counts
+              .withColumn("__total", F.sum("tokens").over(wall))
+              .withColumn("__base", base)
+              .withColumn("__rank", F.row_number().over(
+                  Window.partitionBy().orderBy(
+                      rem.desc(), F.col(source_col))))
+              .withColumn("__left",
+                          F.lit(budget) - F.sum("__base").over(wall)))
+    return ranked.select(
+        source_col, "tokens",
+        (F.col("__base") + F.when(F.col("__rank") <= F.col("__left"), 1)
+         .otherwise(0)).cast("long").alias("alloc"))
+
+
+def mix_allocation_sql(budget: int, table: str = "documents") -> str:
+    from .text import word_count_sql
+
+    wc = word_count_sql("text")
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(SUM({wc}) AS BIGINT) AS tokens
+  FROM {table} GROUP BY source),
+totaled AS (
+  SELECT source, tokens, SUM(tokens) OVER () AS total FROM counts),
+ranked AS (
+  SELECT source, tokens,
+         tokens * {budget} // total AS base,
+         ROW_NUMBER() OVER (
+             ORDER BY tokens * {budget} % total DESC, source) AS rnk
+  FROM totaled),
+final AS (
+  SELECT source, tokens, base, rnk,
+         {budget} - SUM(base) OVER () AS leftover
+  FROM ranked)
+SELECT source, tokens,
+       CAST(base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS alloc
+FROM final ORDER BY source
+"""
+
+
+def sequence_chunks(df: DataFrame, size: int = 32, stride: int = 24,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fixed-length training-context windows with overlap: tokenize,
+    then emit chunks of `size` tokens starting every `stride` tokens
+    (stride < size gives the standard overlapping-context training
+    layout; the final chunk may be shorter). Documents with no tokens
+    emit nothing.
+
+    All in-row until the final explode — the token array is built once,
+    chunk starts are a `sequence`, each chunk a `slice` + `array_join`
+    (JVM codegen, no Python). The explode multiplies rows by
+    ~n_tokens/stride, which is the OUTPUT size — no avoidable blowup.
+    Returns (id_col, chunk_id, n_tokens, chunk_text)."""
+    from .dedup import words_col
+
+    words = F.filter(words_col(text_col), lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__w") - 1, F.lit(0)), F.lit(stride))
+    chunked = (base.where(F.size("__w") > 0)
+               .select(id_col, "__w",
+                       F.posexplode(starts).alias("chunk_id", "__s")))
+    chunk = F.slice(F.col("__w"), F.col("__s") + 1, size)
+    return chunked.select(
+        F.col(id_col), F.col("chunk_id").cast("long"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+def sequence_chunks_sql(size: int = 32, stride: int = 24,
+                        table: str = "documents") -> str:
+    words = ("list_filter(string_split(regexp_replace(trim(lower(text)),"
+             " '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {words} AS w FROM {table}),
+starts AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, len(w) - 1, {stride})) AS s
+  FROM toks WHERE len(w) > 0)
+SELECT doc_id, CAST(s // {stride} AS BIGINT) AS chunk_id,
+       CAST(len(w[s + 1 : s + {size}]) AS BIGINT) AS n_tokens,
+       array_to_string(w[s + 1 : s + {size}], ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_id
+"""

@@ -17,6 +17,17 @@ built tomorrow.
   construction the portable minhash uses). The table is a (lane,
   bucket) count aggregate — map-side combined, vocabulary-independent
   state of d*w cells; point estimates take min over lanes.
+- hll_distinct: HyperLogLog (Flajolet et al. 2007) with m=32 registers
+  over the 60-bit md5 hash. The register table is a (group, register)
+  max-aggregate — 32 rows of state per group, union by per-register
+  max — and the harmonic sum is kept as an EXACT int64
+  (sum 2^(56-rho) <= 32*2^56 = 2^61), so the only float op is one
+  final constant*1/S division: bit-reproducible cross-engine.
+- bloom membership: a Bloom filter built as a (bit-position) distinct
+  aggregate over the reference corpus (k affine lanes into m bits —
+  kilobytes of state), probed with a broadcast join. The 100 TB story:
+  dedup-against a curated blocklist without ever shuffling the big
+  side's text — only bit positions move.
 """
 
 from __future__ import annotations
@@ -24,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import MINHASH_P, portable_hash60
+from .dedup import MINHASH_P, PORTABLE_HASH60_SQL, portable_hash60
 
 HASH_SPACE = 1 << 60
 
@@ -120,3 +131,141 @@ def countmin_estimate(sketch: DataFrame, probes: list[str], col_alias:
                         how="left")
     return (joined.groupBy(col_alias)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")))
+
+
+# ---------------------------------------------------------- HyperLogLog
+
+_HLL_M = 32          # registers (p = 5)
+_HLL_WBITS = 55      # hash bits left after the register index
+_HLL_ALPHA = 0.697   # alpha_32 (Flajolet et al. 2007, table for m=32)
+# exact-int harmonic sum scale: each register contributes 2^(SHIFT-rho),
+# rho in [1, WBITS+1]; max total 32*2^56 = 2^61 fits int64
+_HLL_SHIFT = _HLL_WBITS + 1
+
+
+def hll_registers(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """HyperLogLog register table per group: register = h mod 32, rho =
+    leading-zero count of the remaining 55 hash bits + 1, state =
+    max(rho) per (group, register). 32 rows per group, map-side
+    combined; two sketches union by the same max-aggregate."""
+    h = portable_hash60(F.col(col))
+    # exact integer drop of the 5 register bits (h / 32 as double would
+    # round above 2^53); h is non-negative so the arithmetic shift is a
+    # floor division
+    w = F.shiftright(h, 5)
+    # bin() prints w without leading zeros, so bit_length = length(bin);
+    # w = 0 (all 55 bits zero) takes the max rho of WBITS + 1
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)) \
+           .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+    return (df.select(F.col(group_col),
+                      (h % _HLL_M).cast("int").alias("register"),
+                      rho.cast("int").alias("rho"))
+            .groupBy(group_col, "register")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_distinct(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Approximate distinct `col` per `group_col` from the HLL register
+    table. Returns (group_col, zero_registers, sum_scaled,
+    est_distinct).
+
+    Cross-engine determinism: the harmonic sum is the exact integer
+    S = sum over present registers of 2^(56-rho) plus 2^56 per absent
+    register, so the estimate alpha*m^2*2^56 / S involves exactly one
+    int->double conversion and one IEEE division — no order-dependent
+    float accumulation. Small-range correction (linear counting when
+    est <= 2.5m and empty registers exist) matches the reference
+    algorithm."""
+    regs = hll_registers(df, col, group_col)
+    # shiftleft by a COLUMN amount is SQL-only (the pyspark wrapper
+    # takes an int), hence the expr
+    scaled = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - max_rho)")
+    per_group = regs.groupBy(group_col).agg(
+        (F.lit(_HLL_M) - F.count("*")).cast("int").alias("zero_registers"),
+        (F.sum(scaled)
+         + (F.lit(_HLL_M) - F.count("*"))
+         * F.lit(1 << _HLL_SHIFT)).cast("long").alias("sum_scaled"))
+    num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SHIFT)
+    raw = F.lit(num) / F.col("sum_scaled").cast("double")
+    linear = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("zero_registers").cast("double"))
+    est = F.when((F.col("zero_registers") > 0)
+                 & (raw <= F.lit(2.5 * _HLL_M)), linear).otherwise(raw)
+    return per_group.select(group_col, "zero_registers", "sum_scaled",
+                            est.alias("est_distinct"))
+
+
+def hll_distinct_sql(col: str, group_col: str, table: str) -> str:
+    """DuckDB twin of hll_distinct — same md5 lane, same exact-int
+    harmonic sum, same one-division estimate."""
+    h = PORTABLE_HASH60_SQL.format(x=col)
+    num = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SHIFT))
+    return f"""
+WITH hashed AS (
+  SELECT {group_col}, {h} AS h FROM {table}),
+regs AS (
+  SELECT {group_col}, CAST(h % {_HLL_M} AS INTEGER) AS register,
+         MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+             ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M})) END)
+           AS max_rho
+  FROM hashed GROUP BY 1, 2),
+grp AS (
+  SELECT {group_col},
+         CAST({_HLL_M} - COUNT(*) AS INTEGER) AS zero_registers,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - max_rho))
+              + ({_HLL_M} - COUNT(*))
+              * (CAST(1 AS BIGINT) << {_HLL_SHIFT}) AS BIGINT)
+           AS sum_scaled
+  FROM regs GROUP BY 1)
+SELECT {group_col}, zero_registers, sum_scaled,
+       CASE WHEN zero_registers > 0
+                 AND {num} / CAST(sum_scaled AS DOUBLE) <= {2.5 * _HLL_M}
+            THEN {float(_HLL_M)!r}
+                 * ln({float(_HLL_M)!r} / CAST(zero_registers AS DOUBLE))
+            ELSE {num} / CAST(sum_scaled AS DOUBLE) END AS est_distinct
+FROM grp ORDER BY {group_col}
+"""
+
+
+# --------------------------------------------------------- Bloom filter
+
+def bloom_bits(df: DataFrame, col: str, k: int = 4,
+               m: int = 8192) -> DataFrame:
+    """Bit positions set by `col`'s values under k affine md5 lanes
+    into m bits: a one-column (bit) DataFrame of at most m rows — the
+    whole filter is kilobytes regardless of corpus size, and two
+    filters union by DISTINCT."""
+    h0 = (portable_hash60(F.col(col)) % MINHASH_P).alias("__h0")
+    h1 = (F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit("#1"))),
+                             1, 15), 16, 10).cast("long")
+          % MINHASH_P + 1).alias("__h1")
+    hashed = df.select(h0, h1)
+    lanes = hashed.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("lane"),
+        "__h0", "__h1")
+    return (lanes.select(_lane_bucket(F.col("__h0"), F.col("__h1"),
+                                      F.col("lane"), m).alias("bit"))
+            .distinct())
+
+
+def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
+                         k: int = 4, m: int = 8192) -> DataFrame:
+    """Adds `maybe_dup`: true iff ALL k lane bits of `col` are set in
+    `bits`. False positives only (standard Bloom contract), never false
+    negatives. The probe is a broadcast join on bit position — the
+    probed corpus never shuffles."""
+    h0 = portable_hash60(F.col(col)) % MINHASH_P
+    h1 = (F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit("#1"))),
+                             1, 15), 16, 10).cast("long")
+          % MINHASH_P + 1)
+    cols = df.columns
+    probes = df.select(
+        "*",
+        F.explode(F.array(*[
+            _lane_bucket(h0, h1, i, m) for i in range(k)])).alias("bit"))
+    hit = probes.join(F.broadcast(bits.withColumn("__set", F.lit(1))),
+                      on="bit", how="left")
+    return (hit.groupBy(*cols)
+            .agg((F.count("*") == F.sum(F.coalesce("__set", F.lit(0))))
+                 .alias("maybe_dup")))

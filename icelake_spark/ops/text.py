@@ -871,3 +871,75 @@ def bpe_encode_counts(df: DataFrame, merges, text_col: str = "text",
         F.col(id_col),
         word_count(F.col(text_col)).alias("n_words"),
         (syms - spaces).cast("long").alias("n_tokens"))
+
+
+# --------------------------------------- hashed linear quality scorer
+
+
+def _hashed_weight(word, dim: int, seed: str):
+    """Weight of `word` in a frozen hashed linear model: the word is
+    hashed into one of `dim` buckets (the fastText/Vowpal-Wabbit
+    hashing trick) and the bucket's weight is a deterministic integer
+    in [-1000, 1000] milli-units derived from md5(seed#bucket). In
+    production the bucket->weight table comes from a trained model
+    (broadcast or inlined); the frozen derivation keeps the operator
+    engine-portable so the oracle can replay it bit-for-bit."""
+    from .dedup import portable_hash60
+
+    bucket = (portable_hash60(word) % dim).cast("string")
+    return (portable_hash60(F.concat(F.lit(f"{seed}#"), bucket))
+            % 2001 - 1000).cast("long")
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", dim: int = 1024,
+                       threshold_milli: int = 0,
+                       seed: str = "qc0") -> DataFrame:
+    """fastText-style hashed bag-of-words linear quality classifier
+    (the CCNet / LLaMA-pipeline quality-filter shape): score(doc) =
+    sum over tokens of weight[hash(token) mod dim], keep iff the MEAN
+    token weight clears the threshold.
+
+    Scale design: the whole scorer is ONE narrow projection — the
+    token array never explodes, the weight lookup is two in-row md5s
+    inside a `transform` lambda, and the decision is an integer
+    cross-multiplication (margin >= thr * n_terms), so the filter runs
+    at scan speed with zero shuffles and zero Python. Returns
+    (id_col, n_terms, margin_milli, keep)."""
+    from .dedup import words_col
+
+    words = F.filter(words_col(text_col), lambda w: w != "")
+    margin = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + _hashed_weight(w, dim, seed))
+    out = df.select(
+        F.col(id_col), F.size(words).cast("long").alias("n_terms"),
+        margin.alias("margin_milli"))
+    keep = (F.col("n_terms") > 0) & (
+        F.col("margin_milli") >= F.lit(threshold_milli) * F.col("n_terms"))
+    return out.withColumn("keep", keep)
+
+
+def quality_classifier_sql(col: str = "text", dim: int = 1024,
+                           threshold_milli: int = 0,
+                           seed: str = "qc0") -> str:
+    """DuckDB twin: same tokenization, same md5 bucket/weight lanes,
+    same integer cross-multiplied decision."""
+    words = (f"list_filter(string_split(regexp_replace(trim(lower({col}))"
+             f", '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    bucket = ("CAST(CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) "
+              f"% {dim} AS VARCHAR)")
+    weight = (f"CAST('0x' || substring(md5('{seed}#' || {bucket}), 1, 15) "
+              f"AS BIGINT) % 2001 - 1000")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({words}) AS BIGINT) AS n_terms,
+         CAST(COALESCE(list_sum(list_transform({words},
+              w -> {weight})), 0) AS BIGINT) AS margin_milli
+  FROM documents)
+SELECT doc_id, n_terms, margin_milli,
+       (n_terms > 0 AND margin_milli >= {threshold_milli} * n_terms)
+         AS keep
+FROM m ORDER BY doc_id
+"""

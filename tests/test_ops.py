@@ -1139,3 +1139,141 @@ def test_bpe_driver_loop_matches_distributed_loop(spark, docs):
         "doc_id long, text string")
     assert bpe_train(tricky, n_merges=6) == \
         _bpe_train_spark_loop(tricky, n_merges=6)
+
+
+# ------------------------------------------------- round-9 new operators
+
+
+def test_hll_distinct_accuracy_and_union(spark):
+    """HLL estimate within the expected error band (~1.04/sqrt(32) =
+    18% for m=32) on a known-cardinality input, and the register table
+    unions losslessly: max-merging two halves' registers equals the
+    whole corpus' registers."""
+    from icelake_spark.ops.sketches import hll_distinct, hll_registers
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", "g").collect()[0]
+    assert abs(est.est_distinct - n) / n < 0.25, est.est_distinct
+    # union property: per-register max over halves == whole
+    left = hll_registers(df.where(F.col("v") < "v2500"), "v", "g")
+    right = hll_registers(df.where(F.col("v") >= "v2500"), "v", "g")
+    merged = (left.unionByName(right).groupBy("g", "register")
+              .agg(F.max("max_rho").alias("max_rho")))
+    whole = hll_registers(df, "v", "g")
+    assert ({(r.register, r.max_rho) for r in merged.collect()}
+            == {(r.register, r.max_rho) for r in whole.collect()})
+    assert whole.count() <= 32
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinalities hit the linear-counting branch and land very
+    close to truth (raw HLL over-corrects small n)."""
+    from icelake_spark.ops.sketches import hll_distinct
+
+    df = spark.range(5).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v"))
+    row = hll_distinct(df, "v", "g").collect()[0]
+    assert row.zero_registers >= 27
+    assert abs(row.est_distinct - 5) < 2.0, row.est_distinct
+
+
+def test_bloom_no_false_negatives(spark, docs):
+    """Every reference member must flag maybe_dup=true (Bloom filters
+    never produce false negatives); non-members flag at roughly the
+    theoretical false-positive rate."""
+    from icelake_spark.ops.sketches import bloom_bits, bloom_maybe_contains
+
+    keyed = docs.select("doc_id", F.md5(F.col("text")).alias("key"))
+    ref = keyed.where(F.col("doc_id") % 5 == 0)
+    bits = bloom_bits(ref, "key", k=4, m=8192)
+    assert bits.count() <= 8192
+    out = bloom_maybe_contains(keyed, "key", bits, k=4, m=8192)
+    rows = {r.doc_id: r.maybe_dup for r in out.collect()}
+    members = {r.doc_id for r in ref.collect()}
+    assert all(rows[d] for d in members)
+    non = [d for d in rows if d not in members]
+    fp = sum(rows[d] for d in non) / max(len(non), 1)
+    assert fp < 0.05, fp  # (n/m ~ 0.012 at sf0.001, k=4 -> fp ~ 5e-8)
+
+
+def test_quality_classifier_matches_bruteforce(spark, docs):
+    """The in-plan hashed margin equals a Python replay of the same
+    md5 bucket/weight lanes; empty docs never keep."""
+    import hashlib
+
+    from icelake_spark.ops.text import quality_classifier
+
+    sample = docs.limit(10)
+    out = {r.doc_id: r for r in quality_classifier(sample).collect()}
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for row in sample.collect():
+        words = [w for w in row.text.strip().lower().split() if w]
+        margin = sum(h60(f"qc0#{h60(w) % 1024}") % 2001 - 1000
+                     for w in words)
+        got = out[row.doc_id]
+        assert (got.n_terms, got.margin_milli) == (len(words), margin)
+        assert got.keep == (len(words) > 0 and margin >= 0)
+
+    empty = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    row = quality_classifier(empty).collect()[0]
+    assert (row.n_terms, row.keep) == (0, False)
+
+
+def test_source_cap_exact_vs_single_window_and_skew(spark):
+    """The two-stage salted top-N returns EXACTLY the single-window
+    answer, including under pathological skew (one source holding 90%
+    of rows)."""
+    from pyspark.sql import Window
+
+    from icelake_spark.ops.sampling import source_cap
+
+    rows = [(i, "hot" if i % 10 != 0 else f"s{i % 50}", i * 7 % 1000)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, sz long")
+    order = [F.col("sz").desc(), F.col("doc_id")]
+    got = source_cap(df, source_col="source", order=order, cap=15,
+                     id_col="doc_id", n_salts=8)
+    w = Window.partitionBy("source").orderBy(*order)
+    want = (df.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 15).drop("r"))
+    assert ({(r.doc_id, r.source) for r in got.collect()}
+            == {(r.doc_id, r.source) for r in want.collect()})
+
+
+def test_mix_allocation_sums_to_budget(spark, docs):
+    """Largest-remainder apportionment: integer allocations sum EXACTLY
+    to the budget and sit within 1 of the real-valued quota."""
+    from icelake_spark.ops.sampling import mix_allocation
+
+    out = mix_allocation(docs, budget=12345).collect()
+    total_tokens = sum(r.tokens for r in out)
+    assert sum(r.alloc for r in out) == 12345
+    for r in out:
+        exact = r.tokens * 12345 / total_tokens
+        assert exact - 1 < r.alloc < exact + 1, (r, exact)
+
+
+def test_sequence_chunks_layout(spark):
+    """Chunk starts step by stride; every chunk is `size` tokens except
+    a shorter tail; short docs give one chunk; empty docs give none."""
+    from icelake_spark.ops.sampling import sequence_chunks
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "  ")], "doc_id long, text string")
+    rows = sorted(sequence_chunks(df, size=4, stride=3).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+    got = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[1]]
+    assert got == [
+        (0, 4, "t0 t1 t2 t3"), (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"), (3, 1, "t9")]

@@ -301,3 +301,29 @@ def test_pagerank_and_curation_v2_plan_properties(spark):
     assert "EvalPython" not in p1 and "CartesianProduct" not in p1
     p2 = _plan(Q.curation_v2_q(spark, sf))
     assert "EvalPython" not in p2 and "CartesianProduct" not in p2
+
+
+def test_round9_operators_plan_properties(spark):
+    """Round-9 operators keep their intended physical shape."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # quality classifier: ONE narrow projection — no shuffle of text,
+    # no Python, no window (the output orderBy is the single exchange)
+    p1 = _plan(Q.quality_classifier_q(spark, sf))
+    assert "EvalPython" not in p1 and "Window" not in p1
+    assert p1.count("Exchange") <= 1
+    # bloom probe: the bit set joins BROADCAST — the probed corpus
+    # never shuffles on the key, and nothing is cartesian
+    p2 = _plan(Q.bloom_dedup_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+    # HLL: two map-side-combined hash aggregates, no window, no Python
+    p3 = _plan(Q.hll_distinct_q(spark, sf))
+    assert "EvalPython" not in p3 and "Window" not in p3
+    assert "HashAggregate" in p3
+    # sequence chunks: in-row slicing — the only exchange sorts output
+    p4 = _plan(Q.sequence_chunks_q(spark, sf))
+    assert "EvalPython" not in p4
+    assert p4.count("Exchange") <= 1
