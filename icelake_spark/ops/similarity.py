@@ -74,12 +74,27 @@ def _lsh_buckets_udf(all_planes: list[list[list[float]]]):
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)  # rows × dim
-        proj = mat @ full > 0  # rows × (tables*planes) sign bits
-        out = []
-        for r in proj:
-            bits = r.reshape(n_tables, n_planes)
-            out.append((bits @ weights).tolist())
+        # NULL vectors (and vectors with a NULL element, which Arrow
+        # surfaces as NaN) bucket to NULL — the downstream explode then
+        # drops them, so a null embedding pairs with nothing instead of
+        # collapsing the batch to object dtype and crashing the GEMM
+        # (same contract as _assign_centroids_udf)
+        out = np.empty(len(vecs), dtype=object)
+        idx, xs = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if np.isnan(arr).any():
+                continue
+            idx.append(i)
+            xs.append(arr)
+        if idx:
+            mat = np.stack(xs)  # rows × dim
+            proj = mat @ full > 0  # rows × (tables*planes) sign bits
+            for i, r in zip(idx, proj):
+                bits = r.reshape(n_tables, n_planes)
+                out[i] = (bits @ weights).tolist()
         return pd.Series(out)
 
     return buckets
@@ -222,8 +237,13 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                                F.lit(seed)))
              if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
+    # a sampled NULL vector (or one with a NULL element) cannot seed a
+    # centroid — filter BEFORE the sample instead of crashing float(None)
+    sampleable = df.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
     cents = [[float(x) for x in r[0]] for r in
-             df.select(vec_col).orderBy(order).limit(k).collect()]
+             sampleable.select(vec_col).orderBy(order).limit(k).collect()]
     # spread the (often single-file) scan across cores BEFORE
     # checkpointing — every assignment pass iterates on these partitions
     base = fanout(df).select(v.alias("__v")).localCheckpoint()

@@ -1277,3 +1277,29 @@ def test_sequence_chunks_layout(spark):
     assert got == [
         (0, 4, "t0 t1 t2 t3"), (1, 4, "t3 t4 t5 t6"),
         (2, 4, "t6 t7 t8 t9"), (3, 1, "t9")]
+
+
+def test_lsh_and_kmeans_tolerate_null_vectors(spark):
+    """A NULL embedding (or one with a NULL element) must not crash the
+    LSH bucket GEMM or k-means init — null vectors pair with nothing
+    and never seed a centroid (same contract as centroid assignment)."""
+    from icelake_spark.ops.similarity import lsh_cosine_pairs, train_kmeans
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    label = base.select("label").first().label
+    nulled = base.unionByName(spark.createDataFrame(
+        [(900001, None, label), (900002, None, label)], base.schema))
+    # also a vector containing a NULL element
+    withnull = nulled.unionByName(
+        base.limit(1).select(
+            F.lit(900003).alias("vec_id"),
+            F.concat(F.slice("embedding", 1, 63),
+                     F.array(F.lit(None).cast("float"))).alias("embedding"),
+            F.lit(label).alias("label")))
+    pairs = lsh_cosine_pairs(withnull, threshold=0.99)
+    ids = {i for r in pairs.collect() for i in (r.a, r.b)}
+    assert not ids & {900001, 900002, 900003}
+    cents = train_kmeans(withnull, k=4, n_iter=1)
+    assert len(cents) == 4
+    assert all(all(x == x and x is not None for x in c) for c in cents)
