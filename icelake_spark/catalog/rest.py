@@ -198,13 +198,32 @@ class RestCatalog:
         if warehouse:
             self.config["warehouse"] = warehouse
 
-    def _url(self, path: str) -> str:
+    def _url(self, path: str, prefixed: bool = True) -> str:
+        """Route under /v1, honoring the server-assigned `prefix` from
+        the config endpoint (all table/namespace routes are
+        /v1/{prefix}/... on conforming servers — Polaris, Lakekeeper,
+        Tabular all return one; the reference left this as a TODO,
+        rest.rs:271). The config route itself is never prefixed."""
+        prefix = self.config.get("prefix") if prefixed else None
+        if prefix:
+            from urllib.parse import quote
+
+            return f"{self.uri}/v1/{quote(str(prefix), safe='')}/{path}"
         return f"{self.uri}/v1/{path}"
 
     def fetch_config(self) -> dict:
-        r = self.http.get(self._url("config"), params=self.config)
+        """GET /v1/config and merge per the REST spec's precedence:
+        server defaults < client-supplied settings < server overrides.
+        Call once before table operations against servers that assign a
+        route prefix."""
+        r = self.http.get(self._url("config", prefixed=False),
+                          params=self.config)
         r.raise_for_status()
-        self.config.update(r.json().get("overrides", {}))
+        body = r.json()
+        merged = dict(body.get("defaults", {}))
+        merged.update(self.config)
+        merged.update(body.get("overrides", {}))
+        self.config = merged
         return self.config
 
     def load_table(self, identifier: str):

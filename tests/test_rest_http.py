@@ -309,3 +309,56 @@ def test_rest_staged_schema_commit_ships_schema(spark, rest_server):
     assert [f.name for f in t2.schema().fields] == ["id", "v2"]
     got = sorted((r.id, r.v2) for r in t2.to_df(spark).collect())
     assert got == [(0, 0), (1, 2), (2, 4)]
+
+
+def test_rest_prefix_routing_and_config_merge():
+    """Conforming servers assign a route prefix via /v1/config (spec:
+    all table/namespace routes become /v1/{prefix}/...; the config
+    route itself is never prefixed) and config precedence is
+    defaults < client settings < overrides. The reference client left
+    prefix as a TODO (rest.rs:271); real catalogs (Polaris, Lakekeeper)
+    require it."""
+    from icelake_spark.catalog.rest import RestCatalog
+
+    seen: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802
+            path = self.path.split("?")[0]
+            seen.append(path)
+            if path == "/v1/config":
+                return self._send({
+                    "defaults": {"warehouse": "ignored-default",
+                                 "io": "arrow"},
+                    "overrides": {"prefix": "wh%201"}})
+            if path == "/v1/wh%25201/namespaces":
+                return self._send({"namespaces": [["db"]]})
+            return self._send({"error": {"message": "bad path"}}, 404)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.server_port}",
+                          warehouse="client-wh")
+        cfg = cat.fetch_config()
+        # precedence: client warehouse beats the default; override wins
+        assert cfg["warehouse"] == "client-wh"
+        assert cfg["io"] == "arrow"
+        assert cfg["prefix"] == "wh%201"
+        # subsequent routes are prefixed (and the prefix is URL-quoted)
+        assert cat.list_namespaces() == ["db"]
+        assert seen[-1] == "/v1/wh%25201/namespaces"
+    finally:
+        srv.shutdown()
