@@ -66,6 +66,13 @@ EXTENDED = [
     "semdedup",
     "winnow_candidates",
     "pagerank_purchases",
+    # round-9 extension operators
+    "hll_distinct",
+    "bloom_dedup",
+    "quality_classifier",
+    "source_cap",
+    "mix_allocation",
+    "sequence_chunks",
 ]
 
 
