@@ -73,6 +73,8 @@ EXTENDED = [
     "source_cap",
     "mix_allocation",
     "sequence_chunks",
+    "decontaminate_docs",
+    "quantile_sketch",
 ]
 
 

@@ -269,3 +269,74 @@ def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
     return (hit.groupBy(*cols)
             .agg((F.count("*") == F.sum(F.coalesce("__set", F.lit(0))))
                  .alias("maybe_dup")))
+
+
+# ----------------------------------------------------- quantile sketch
+
+def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
+                    id_col: str, quantiles: tuple = (50, 95, 99),
+                    sample_den: int = 16) -> DataFrame:
+    """Deterministic sampled quantiles per group: Bernoulli-sample rows
+    by the md5 hash of their ID (rate 1/sample_den), then take EXACT
+    discrete quantiles of the kept values — value = the element at
+    rank floor(q*(n-1)) of the sorted kept set (no interpolation, so
+    the result is an actual data value and cross-engine exact).
+
+    Why not percentile_approx: its GK sketch is engine-specific and
+    merge-order-dependent — no oracle can replay it. Here determinism
+    comes from the content-addressed sample (same rows kept on any
+    engine/partitioning, new data changes only its own ids — the
+    sample is union-able exactly like the theta sketch's kept set),
+    and exactness from discrete selection over the kept set.
+
+    Shape: one scan-side filter drops (sample_den-1)/sample_den of the
+    corpus before anything shuffles; the quantile is a per-group sort
+    of the SAMPLED values (rank via row_number + count windows).
+    Returns (group_col, n_kept, q<N> per requested quantile).
+    Standard error ~ 1/sqrt(n_kept) quantile-density units."""
+    from pyspark.sql import Window
+
+    thr = HASH_SPACE // sample_den
+    kept = (df.select(F.col(group_col), F.col(value_col).alias("__v"),
+                      portable_hash60(F.col(id_col).cast("string"))
+                      .alias("__h"))
+            .where(F.col("__h") < thr)
+            .where(F.col("__v").isNotNull()))
+    w = Window.partitionBy(group_col).orderBy("__v", "__h")
+    ranked = kept.select(
+        F.col(group_col), F.col("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("__n"))
+    picks = [
+        (F.max(F.when(
+            F.col("__rn") == F.expr(f"({q} * (__n - 1)) DIV 100 + 1"),
+            F.col("__v"))).alias(f"q{q}"))
+        for q in quantiles]
+    return (ranked.groupBy(group_col)
+            .agg(F.max("__n").alias("n_kept"), *picks)
+            .orderBy(group_col))
+
+
+def quantile_sketch_sql(value_col: str, group_col: str, id_col: str,
+                        table: str, quantiles: tuple = (50, 95, 99),
+                        sample_den: int = 16) -> str:
+    thr = HASH_SPACE // sample_den
+    h = PORTABLE_HASH60_SQL.format(
+        x=f"CAST({id_col} AS VARCHAR)")
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = ({q} * (n - 1)) // 100 + 1 THEN v END) AS q{q}"
+        for q in quantiles)
+    return f"""
+WITH kept AS (
+  SELECT {group_col}, {value_col} AS v, {h} AS h
+  FROM {table}
+  WHERE {h} < {thr} AND {value_col} IS NOT NULL),
+ranked AS (
+  SELECT {group_col}, v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY v, h) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM kept)
+SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n_kept,
+       {picks}
+FROM ranked GROUP BY {group_col} ORDER BY {group_col}
+"""

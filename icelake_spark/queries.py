@@ -4498,6 +4498,159 @@ def sequence_chunks_q(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+def decontaminate_docs_q(spark, sf_dir):
+    """Composed eval-decontamination pipeline (the benchmark-leak scan
+    every training corpus runs before release): eval set = every 13th
+    document.
+
+    Three staged signals per training document:
+    1. `maybe_dup` — Bloom pre-screen of the content hash against the
+       eval set's filter (kilobytes broadcast; the corpus text never
+       shuffles). No false negatives, so stage 2 runs on candidates
+       only without losing a single true duplicate.
+    2. `exact_dup` — candidate content hashes semi-joined against the
+       eval hash set (the exact verdict for whole-document leaks).
+    3. `span_hits` / `max_span` — span-level contamination
+       (ops/dedup.py span_contamination): verbatim runs of >= 3
+       consecutive 3-grams shared with a DIFFERENT eval document —
+       catches embedded benchmark questions whole-doc hashing misses.
+
+    `clean` = no exact leak and no foreign span overlap. The Bloom
+    stage is load-bearing in the plan: the exact join's probe side is
+    filtered to maybe_dup candidates first."""
+    from .ops.dedup import span_contamination
+    from .ops.sketches import bloom_bits, bloom_maybe_contains
+    from .ops.text import content_md5
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 13 == 0)
+    keyed = docs.select("doc_id", content_md5(F.col("text")).alias("key"))
+    ev_keys = (keyed.where(F.col("doc_id") % 13 == 0)
+               .select("key").distinct())
+    bits = bloom_bits(ev_keys, "key", k=4, m=8192)
+    screened = bloom_maybe_contains(keyed, "key", bits, k=4, m=8192)
+    exact = (screened.where(F.col("maybe_dup"))
+             .join(ev_keys, on="key", how="left_semi")
+             .select("doc_id", F.lit(True).alias("__exact")))
+    spans = (span_contamination(docs, ev, n=3, min_run=3)
+             .where(F.col("a") != F.col("b"))
+             .groupBy("a")
+             .agg(F.count("*").alias("span_hits"),
+                  F.max("max_span_words").alias("max_span"))
+             .withColumnRenamed("a", "doc_id"))
+    out = (screened.select("doc_id", "maybe_dup")
+           .join(exact, on="doc_id", how="left")
+           .join(spans, on="doc_id", how="left")
+           .select("doc_id", "maybe_dup",
+                   F.coalesce("__exact", F.lit(False)).alias("exact_dup"),
+                   F.coalesce("span_hits", F.lit(0)).cast("long")
+                   .alias("span_hits"),
+                   F.coalesce("max_span", F.lit(0)).cast("long")
+                   .alias("max_span")))
+    clean = ~F.col("exact_dup") & (F.col("span_hits") == 0)
+    return out.withColumn("clean", clean).orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS key
+  FROM documents),
+ev_keys AS (
+  SELECT DISTINCT key FROM keyed WHERE doc_id % 13 = 0),
+ref_hash AS (
+  SELECT CAST('0x' || substring(md5(key), 1, 15) AS BIGINT)
+           % 2147483647 AS h0,
+         CAST('0x' || substring(md5(key || '#1'), 1, 15) AS BIGINT)
+           % 2147483647 + 1 AS h1
+  FROM ev_keys),
+bits AS (
+  SELECT DISTINCT CAST((h0 + lane * h1) % 2147483647 % 8192 AS INTEGER)
+           AS bit
+  FROM ref_hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane) l),
+probe_bits AS (
+  SELECT doc_id, key,
+         CAST((CAST('0x' || substring(md5(key), 1, 15) AS BIGINT)
+               % 2147483647
+               + lane * (CAST('0x' || substring(md5(key || '#1'), 1, 15)
+                              AS BIGINT) % 2147483647 + 1))
+              % 2147483647 % 8192 AS INTEGER) AS bit
+  FROM keyed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane) l),
+screened AS (
+  SELECT p.doc_id, p.key,
+         (COUNT(*) = SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END))
+           AS maybe_dup
+  FROM probe_bits p LEFT JOIN bits b USING (bit)
+  GROUP BY p.doc_id, p.key),
+exact AS (
+  SELECT s.doc_id FROM screened s
+  WHERE s.maybe_dup AND s.key IN (SELECT key FROM ev_keys)),
+words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - 2)) AS pos,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS g
+  FROM words WHERE len(w) >= 3),
+m AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, a.pos - b.pos AS d
+  FROM grams a JOIN grams b ON a.g = b.g
+  WHERE b.doc_id % 13 = 0 AND a.doc_id <> b.doc_id),
+runs AS (
+  SELECT a, b, d, grp, COUNT(*) AS run FROM (
+    SELECT a, b, d, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY a, b, d ORDER BY pa) AS grp
+    FROM m)
+  GROUP BY a, b, d, grp),
+pairs AS (
+  SELECT a, b, CAST(MAX(run) + 2 AS BIGINT) AS max_span_words,
+         COUNT(*) AS n_spans
+  FROM runs WHERE run >= 3 GROUP BY a, b),
+spans AS (
+  SELECT a AS doc_id, COUNT(*) AS span_hits,
+         MAX(max_span_words) AS max_span
+  FROM pairs GROUP BY a)
+SELECT s.doc_id, s.maybe_dup,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       CAST(COALESCE(sp.span_hits, 0) AS BIGINT) AS span_hits,
+       CAST(COALESCE(sp.max_span, 0) AS BIGINT) AS max_span,
+       (e.doc_id IS NULL AND COALESCE(sp.span_hits, 0) = 0) AS clean
+FROM screened s
+LEFT JOIN exact e ON s.doc_id = e.doc_id
+LEFT JOIN spans sp ON s.doc_id = sp.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def quantile_sketch_q(spark, sf_dir):
+    """Deterministic sampled quantiles (ops/sketches.py
+    quantile_sketch): p50/p95/p99 of lineitem extended price per return
+    flag from a content-addressed 1/16 row sample — exact discrete
+    selection over the kept set, so the float quantile values are
+    actual data values the DuckDB twin reproduces bit-for-bit (unlike
+    percentile_approx's engine-specific GK sketch)."""
+    from .ops.sketches import quantile_sketch
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.concat_ws("#", "l_orderkey", "l_linenumber").alias("rid"))
+    return quantile_sketch(li, value_col="price",
+                           group_col="l_returnflag", id_col="rid")
+
+
+def _quantile_sketch_oracle() -> str:
+    from .ops.sketches import quantile_sketch_sql
+
+    table = ("(SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) "
+             "AS price, l_orderkey || '#' || l_linenumber AS rid "
+             "FROM lineitem)")
+    return quantile_sketch_sql("price", "l_returnflag", "rid", table)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4506,10 +4659,10 @@ def sequence_chunks_q(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-9 rotation. The window holds, in order: (1) the SIX
+    Round-9 rotation. The window holds, in order: (1) the EIGHT
     operators NEW this round — hll_distinct, bloom_dedup,
-    quality_classifier, source_cap, mix_allocation, sequence_chunks;
-    (2) the SEVEN rows whose CODE paths changed this round — semdedup
+    quality_classifier, source_cap, mix_allocation, sequence_chunks,
+    decontaminate_docs, quantile_sketch; (2) the SEVEN rows whose CODE paths changed this round — semdedup
     (broadcast-path centroid assignment + per-cluster cap),
     bpe_train/bpe_encode (driver-side batched merge loop),
     iceberg_changelog (_semi_join_eq rename-aware keys; early end_seq
@@ -4518,10 +4671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     iceberg_incremental_read (operation classification feeds the
     append-only stream); (3) the NINETEEN r6-evidence rows the r8
     rotation queued (TPC-H head + sketch/ANN bench rows +
-    gopher_rules/pack_documents — 3 rounds stale); (4) eighteen
+    gopher_rules/pack_documents — 3 rounds stale); (4) sixteen
     r7-evidence rows, bench rows first.
 
-    Twenty-five r7-evidence rows sit out for space and MUST lead the
+    Twenty-seven r7-evidence rows sit out for space and MUST lead the
     r10 window (3 rounds stale by then): duplicate_spans,
     span_contamination, temperature_sample, q17, q19, q18, q12,
     window_functions_suite, grouping_sets_rollup,
@@ -4530,12 +4683,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_against, inverted_index, redact_pii, char_entropy,
     embedding_neardup, iceberg_nested_roundtrip, iceberg_update,
     iceberg_zorder, iceberg_snapshots_meta, iceberg_time_travel,
-    iceberg_bucket_partition. Queries 51+ were hash-green in the r8
+    iceberg_bucket_partition, trigram_familiarity,
+    multimodal_features. Queries 51+ were hash-green in the r8
     window or the local full-registry sweep (tools/check_oracle.py —
     the judge's independent r8 sweep was 115/115)."""
     return {
         # -- operators new in round 9
         "hll_distinct": hll_distinct_q,
+        "decontaminate_docs": decontaminate_docs_q,
+        "quantile_sketch": quantile_sketch_q,
         "bloom_dedup": bloom_dedup_q,
         "quality_classifier": quality_classifier_q,
         "source_cap": source_cap_q,
@@ -4586,10 +4742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
-        "trigram_familiarity": trigram_familiarity_q,
-        "multimodal_features": multimodal_features_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r10 queue head: r7-evidence rows sat out this round
+        "trigram_familiarity": trigram_familiarity_q,
+        "multimodal_features": multimodal_features_q,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_update": iceberg_update,
         "iceberg_zorder": iceberg_zorder,
@@ -4672,6 +4828,8 @@ def oracle_sql() -> dict[str, str]:
     from .ops import text as _text
     return {
         "hll_distinct": _hll_distinct_oracle(),
+        "decontaminate_docs": DECONTAMINATE_SQL,
+        "quantile_sketch": _quantile_sketch_oracle(),
         "bloom_dedup": _BLOOM_SQL,
         "quality_classifier": _text.quality_classifier_sql(),
         "source_cap": SOURCE_CAP_SQL,

@@ -1303,3 +1303,58 @@ def test_lsh_and_kmeans_tolerate_null_vectors(spark):
     cents = train_kmeans(withnull, k=4, n_iter=1)
     assert len(cents) == 4
     assert all(all(x == x and x is not None for x in c) for c in cents)
+
+
+def test_quantile_sketch_accuracy_and_partition_invariance(spark):
+    """Sampled discrete quantiles land near the exact ones, and the
+    result is identical under any input partitioning (content-addressed
+    sample + deterministic rank selection)."""
+    from icelake_spark.ops.sketches import quantile_sketch
+
+    df = spark.range(20000).selectExpr(
+        "cast(id % 3 as string) as g",
+        "cast(id as double) as v",
+        "cast(id as string) as rid")
+    out = {r.g: r for r in quantile_sketch(
+        df, "v", "g", "rid", quantiles=(50, 95)).collect()}
+    for g in ("0", "1", "2"):
+        r = out[g]
+        assert r.n_kept > 200
+        # values 0..20000 uniform: p50 ~ 10000, p95 ~ 19000 (sampled,
+        # so allow a generous band)
+        assert abs(r.q50 - 10000) < 2000, r
+        assert abs(r.q95 - 19000) < 1200, r
+    re = {r.g: r for r in quantile_sketch(
+        df.repartition(7), "v", "g", "rid", quantiles=(50, 95)).collect()}
+    assert {g: (r.n_kept, r.q50, r.q95) for g, r in out.items()} \
+        == {g: (r.n_kept, r.q50, r.q95) for g, r in re.items()}
+
+
+def test_decontaminate_docs_planted_leaks(spark, tmp_path):
+    """The composed decontamination pipeline flags a verbatim eval copy
+    as exact_dup and an embedded eval span as span-contaminated, and
+    leaves an unrelated doc clean."""
+    from icelake_spark.queries import decontaminate_docs_q
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (13, eval_text, "en", "s", len(eval_text)),     # eval member
+        (7, eval_text, "en", "s", len(eval_text)),      # exact leak
+        (5, "intro words here " + eval_text + " closing remarks",
+         "en", "s", 10),                                 # span leak
+        (8, "totally unrelated content about weather and sports today "
+            "nothing shared with the benchmark at all in any way",
+         "en", "s", 10),                                 # clean
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in
+           decontaminate_docs_q(spark, str(tmp_path)).collect()}
+    assert out[7].exact_dup and out[7].maybe_dup and not out[7].clean
+    assert out[5].span_hits >= 1 and not out[5].exact_dup
+    assert not out[5].clean and out[5].max_span >= 10
+    assert out[8].clean and not out[8].maybe_dup
+    # the eval member itself is an exact self-leak by construction
+    assert out[13].exact_dup
