@@ -327,3 +327,21 @@ def test_round9_operators_plan_properties(spark):
     p4 = _plan(Q.sequence_chunks_q(spark, sf))
     assert "EvalPython" not in p4
     assert p4.count("Exchange") <= 1
+
+
+def test_quantile_and_decontaminate_plan_properties(spark):
+    """The newest round-9 queries keep their physical shape."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # quantile sketch: the sample filter sits under the window sort, no
+    # Python, no join
+    p1 = _plan(Q.quantile_sketch_q(spark, sf))
+    assert "EvalPython" not in p1
+    assert "Join" not in p1
+    # decontamination: bloom bits + exact check join broadcast; the
+    # only sort-merge joins are the span self-join's gram joins
+    p2 = _plan(Q.decontaminate_docs_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
