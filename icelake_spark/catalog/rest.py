@@ -203,12 +203,15 @@ class RestCatalog:
         the config endpoint (all table/namespace routes are
         /v1/{prefix}/... on conforming servers — Polaris, Lakekeeper,
         Tabular all return one; the reference left this as a TODO,
-        rest.rs:271). The config route itself is never prefixed."""
+        rest.rs:271). The config route itself is never prefixed.
+
+        The prefix is inserted VERBATIM, matching Java's ResourcePaths
+        and PyIceberg: servers return it in URL form (S3 Tables ARN
+        prefixes arrive pre-percent-encoded) — re-quoting here would
+        double-encode and 404 every call."""
         prefix = self.config.get("prefix") if prefixed else None
         if prefix:
-            from urllib.parse import quote
-
-            return f"{self.uri}/v1/{quote(str(prefix), safe='')}/{path}"
+            return f"{self.uri}/v1/{prefix}/{path}"
         return f"{self.uri}/v1/{path}"
 
     def fetch_config(self) -> dict:

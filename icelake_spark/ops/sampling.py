@@ -211,11 +211,18 @@ def mix_allocation(df: DataFrame, budget: int,
 
     tokens = (F.col(tokens_col) if tokens_col
               else word_count(F.col(text_col))).cast("long")
-    counts = (df.select(F.col(source_col), tokens.alias("__t"))
+    # NULL token counts are 0 tokens (a source of all-NULL texts must
+    # not poison the total into NULL and break the sum-to-budget
+    # invariant), and a zero total allocates 0 everywhere instead of
+    # NULL quotas (Spark) / a division error (the SQL twin)
+    counts = (df.select(F.col(source_col),
+                        F.coalesce(tokens, F.lit(0)).alias("__t"))
               .groupBy(source_col).agg(F.sum("__t").alias("tokens")))
     wall = Window.partitionBy()
-    base = F.expr(f"tokens * {budget} DIV __total")
-    rem = F.expr(f"tokens * {budget} % __total")
+    base = F.expr(f"CASE WHEN __total = 0 THEN 0 "
+                  f"ELSE tokens * {budget} DIV __total END")
+    rem = F.expr(f"CASE WHEN __total = 0 THEN 0 "
+                 f"ELSE tokens * {budget} % __total END")
     ranked = (counts
               .withColumn("__total", F.sum("tokens").over(wall))
               .withColumn("__base", base)
@@ -224,10 +231,11 @@ def mix_allocation(df: DataFrame, budget: int,
                       rem.desc(), F.col(source_col))))
               .withColumn("__left",
                           F.lit(budget) - F.sum("__base").over(wall)))
-    return ranked.select(
-        source_col, "tokens",
-        (F.col("__base") + F.when(F.col("__rank") <= F.col("__left"), 1)
-         .otherwise(0)).cast("long").alias("alloc"))
+    alloc = F.when(F.col("__total") == 0, F.lit(0)).otherwise(
+        F.col("__base") + F.when(F.col("__rank") <= F.col("__left"), 1)
+        .otherwise(0))
+    return ranked.select(source_col, "tokens",
+                         alloc.cast("long").alias("alloc"))
 
 
 def mix_allocation_sql(budget: int, table: str = "documents") -> str:
@@ -236,23 +244,27 @@ def mix_allocation_sql(budget: int, table: str = "documents") -> str:
     wc = word_count_sql("text")
     return f"""
 WITH counts AS (
-  SELECT source, CAST(SUM({wc}) AS BIGINT) AS tokens
+  SELECT source, CAST(SUM(COALESCE({wc}, 0)) AS BIGINT) AS tokens
   FROM {table} GROUP BY source),
 totaled AS (
   SELECT source, tokens, SUM(tokens) OVER () AS total FROM counts),
 ranked AS (
-  SELECT source, tokens,
-         tokens * {budget} // total AS base,
+  SELECT source, tokens, total,
+         CASE WHEN total = 0 THEN 0
+              ELSE tokens * {budget} // total END AS base,
          ROW_NUMBER() OVER (
-             ORDER BY tokens * {budget} % total DESC, source) AS rnk
+             ORDER BY CASE WHEN total = 0 THEN 0
+                           ELSE tokens * {budget} % total END DESC,
+                      source) AS rnk
   FROM totaled),
 final AS (
-  SELECT source, tokens, base, rnk,
+  SELECT source, tokens, total, base, rnk,
          {budget} - SUM(base) OVER () AS leftover
   FROM ranked)
 SELECT source, tokens,
-       CAST(base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
-            AS BIGINT) AS alloc
+       CAST(CASE WHEN total = 0 THEN 0
+            ELSE base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+            END AS BIGINT) AS alloc
 FROM final ORDER BY source
 """
 

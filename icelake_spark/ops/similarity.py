@@ -78,23 +78,19 @@ def _lsh_buckets_udf(all_planes: list[list[list[float]]]):
         # surfaces as NaN) bucket to NULL — the downstream explode then
         # drops them, so a null embedding pairs with nothing instead of
         # collapsing the batch to object dtype and crashing the GEMM
-        # (same contract as _assign_centroids_udf)
+        # (same contract as _assign_centroids_udf). Vectorized: one
+        # notna mask + one matrix build for the whole batch, NaN rows
+        # masked after the fact — no per-row Python on the hot path.
         out = np.empty(len(vecs), dtype=object)
-        idx, xs = [], []
-        for i, v in enumerate(vecs):
-            if v is None:
-                continue
-            arr = np.asarray(v, dtype=np.float64)
-            if np.isnan(arr).any():
-                continue
-            idx.append(i)
-            xs.append(arr)
-        if idx:
-            mat = np.stack(xs)  # rows × dim
-            proj = mat @ full > 0  # rows × (tables*planes) sign bits
-            for i, r in zip(idx, proj):
-                bits = r.reshape(n_tables, n_planes)
-                out[i] = (bits @ weights).tolist()
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            mat = np.array(vecs[mask].tolist(),
+                           dtype=np.float64)  # rows × dim
+            valid = ~np.isnan(mat).any(axis=1)
+            proj = mat[valid] @ full > 0  # rows × (tables*planes) bits
+            allb = proj.reshape(-1, n_tables, n_planes) @ weights
+            for i, b in zip(np.nonzero(mask)[0][valid], allb):
+                out[i] = b.tolist()
         return pd.Series(out)
 
     return buckets

@@ -86,17 +86,26 @@ def _lane_bucket(h0, h1, lane, width: int):
     return ((h0 + lane_col * h1) % MINHASH_P % width).cast("int")
 
 
+def _lane_hashes(col) -> tuple:
+    """The two base hashes of the affine lane family, (h0, h1) with
+    h1 >= 1 — the ONE definition every sketch build AND probe side must
+    share (count-min table/estimate, bloom bits/probe): a drifted copy
+    of this formula silently breaks every membership/frequency answer."""
+    h0 = portable_hash60(col) % MINHASH_P
+    h1 = (F.conv(F.substring(F.md5(F.concat(col, F.lit("#1"))),
+                             1, 15), 16, 10).cast("long")
+          % MINHASH_P + 1)
+    return h0, h1
+
+
 def countmin_table(df: DataFrame, col: str, depth: int = 4,
                    width: int = 1024) -> DataFrame:
     """Build a count-min sketch over `col`: a (lane, bucket, cnt)
     table of depth*width cells. One explode of the lane index and one
     map-side-combined aggregate — sketch state is independent of
     cardinality, and two sketches merge by summing cells."""
-    h0 = (portable_hash60(F.col(col)) % MINHASH_P).alias("__h0")
-    h1 = (F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit("#1"))),
-                             1, 15), 16, 10).cast("long")
-          % MINHASH_P + 1).alias("__h1")
-    hashed = df.select(h0, h1)
+    h0, h1 = _lane_hashes(F.col(col))
+    hashed = df.select(h0.alias("__h0"), h1.alias("__h1"))
     lanes = hashed.select(
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("lane"),
         "__h0", "__h1")
@@ -116,10 +125,7 @@ def countmin_estimate(sketch: DataFrame, probes: list[str], col_alias:
     spark = sketch.sparkSession
     probe_df = spark.createDataFrame([(p,) for p in probes],
                                      f"{col_alias} string")
-    h0 = portable_hash60(F.col(col_alias)) % MINHASH_P
-    h1 = (F.conv(F.substring(F.md5(F.concat(F.col(col_alias),
-                                            F.lit("#1"))), 1, 15),
-                 16, 10).cast("long") % MINHASH_P + 1)
+    h0, h1 = _lane_hashes(F.col(col_alias))
     cells = probe_df.select(
         col_alias,
         F.explode(F.array(*[
@@ -153,6 +159,10 @@ def hll_registers(df: DataFrame, col: str, group_col: str) -> DataFrame:
     # round above 2^53); h is non-negative so the arithmetic shift is a
     # floor division
     w = F.shiftright(h, 5)
+    # NULL values are not elements (COUNT DISTINCT semantics): without
+    # the filter a NULL hash makes a phantom NULL-register row that
+    # undercounts zero_registers and inflates the estimate
+    df = df.where(F.col(col).isNotNull())
     # bin() prints w without leading zeros, so bit_length = length(bin);
     # w = 0 (all 55 bits zero) takes the max rho of WBITS + 1
     rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)) \
@@ -203,7 +213,7 @@ def hll_distinct_sql(col: str, group_col: str, table: str) -> str:
     num = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SHIFT))
     return f"""
 WITH hashed AS (
-  SELECT {group_col}, {h} AS h FROM {table}),
+  SELECT {group_col}, {h} AS h FROM {table} WHERE {col} IS NOT NULL),
 regs AS (
   SELECT {group_col}, CAST(h % {_HLL_M} AS INTEGER) AS register,
          MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
@@ -236,11 +246,8 @@ def bloom_bits(df: DataFrame, col: str, k: int = 4,
     into m bits: a one-column (bit) DataFrame of at most m rows — the
     whole filter is kilobytes regardless of corpus size, and two
     filters union by DISTINCT."""
-    h0 = (portable_hash60(F.col(col)) % MINHASH_P).alias("__h0")
-    h1 = (F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit("#1"))),
-                             1, 15), 16, 10).cast("long")
-          % MINHASH_P + 1).alias("__h1")
-    hashed = df.select(h0, h1)
+    h0, h1 = _lane_hashes(F.col(col))
+    hashed = df.select(h0.alias("__h0"), h1.alias("__h1"))
     lanes = hashed.select(
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("lane"),
         "__h0", "__h1")
@@ -251,24 +258,26 @@ def bloom_bits(df: DataFrame, col: str, k: int = 4,
 
 def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
                          k: int = 4, m: int = 8192) -> DataFrame:
-    """Adds `maybe_dup`: true iff ALL k lane bits of `col` are set in
-    `bits`. False positives only (standard Bloom contract), never false
-    negatives. The probe is a broadcast join on bit position — the
-    probed corpus never shuffles."""
-    h0 = portable_hash60(F.col(col)) % MINHASH_P
-    h1 = (F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit("#1"))),
-                             1, 15), 16, 10).cast("long")
-          % MINHASH_P + 1)
-    cols = df.columns
-    probes = df.select(
-        "*",
-        F.explode(F.array(*[
-            _lane_bucket(h0, h1, i, m) for i in range(k)])).alias("bit"))
-    hit = probes.join(F.broadcast(bits.withColumn("__set", F.lit(1))),
-                      on="bit", how="left")
-    return (hit.groupBy(*cols)
-            .agg((F.count("*") == F.sum(F.coalesce("__set", F.lit(0))))
-                 .alias("maybe_dup")))
+    """Adds `maybe_dup` to every row of df: true iff ALL k lane bits of
+    `col` are set in `bits`. False positives only (standard Bloom
+    contract), never false negatives; a NULL key yields NULL.
+
+    The bit set collapses to a ONE-ROW broadcast map (the
+    encode_documents pattern) and every row checks its k lane buckets
+    with in-row O(1) map lookups — the probed corpus genuinely never
+    shuffles (the previous bit-join + groupBy(all columns) re-shuffled
+    the whole corpus and collapsed duplicate rows; code-review r9d),
+    and duplicate input rows each keep their own output row."""
+    h0, h1 = _lane_hashes(F.col(col))
+    bmap = bits.agg(F.map_from_entries(
+        F.collect_list(F.struct(F.col("bit"), F.lit(True)))).alias("__bm"))
+    checks = None
+    for i in range(k):
+        c = F.element_at(F.col("__bm"), _lane_bucket(h0, h1, i, m))             .isNotNull()
+        checks = c if checks is None else (checks & c)
+    return (df.crossJoin(F.broadcast(bmap))
+            .withColumn("maybe_dup", checks)
+            .drop("__bm"))
 
 
 # ----------------------------------------------------- quantile sketch

@@ -3606,8 +3606,12 @@ def span_contamination_q(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 2 == 0)
     bench = docs.where(F.col("doc_id") % 2 == 1)
-    return span_contamination(train, bench, n=3, min_run=3) \
-        .orderBy("a", "b")
+    # max_df=None: the hot-gram drop (approx_count_distinct) has no SQL
+    # twin — with the default the Spark side would silently shorten
+    # spans once a gram tops max_df docs while the oracle kept them
+    # (latent divergence at sf >= 1; code-review r9d)
+    return span_contamination(train, bench, n=3, min_run=3,
+                              max_df=None).orderBy("a", "b")
 
 
 SPAN_CONTAMINATION_SQL = """
@@ -4420,22 +4424,25 @@ bits AS (
   SELECT DISTINCT CAST((h0 + lane * h1) % 2147483647 % 8192 AS INTEGER)
            AS bit
   FROM ref_hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane) l),
+blist AS (SELECT list(bit) AS bl FROM bits),
 probe AS (
   SELECT doc_id,
          CAST('0x' || substring(md5(key), 1, 15) AS BIGINT)
            % 2147483647 AS h0,
          CAST('0x' || substring(md5(key || '#1'), 1, 15) AS BIGINT)
            % 2147483647 + 1 AS h1
-  FROM keyed),
-probe_bits AS (
-  SELECT doc_id, CAST((h0 + lane * h1) % 2147483647 % 8192 AS INTEGER)
-           AS bit
-  FROM probe CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane) l)
-SELECT p.doc_id,
-       (COUNT(*) = SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END))
+  FROM keyed)
+SELECT doc_id,
+       (COALESCE(list_contains(bl, CAST((h0 + 0 * h1) % 2147483647 % 8192
+                                        AS INTEGER)), false)
+        AND COALESCE(list_contains(bl, CAST((h0 + 1 * h1) % 2147483647
+                                            % 8192 AS INTEGER)), false)
+        AND COALESCE(list_contains(bl, CAST((h0 + 2 * h1) % 2147483647
+                                            % 8192 AS INTEGER)), false)
+        AND COALESCE(list_contains(bl, CAST((h0 + 3 * h1) % 2147483647
+                                            % 8192 AS INTEGER)), false))
          AS maybe_dup
-FROM probe_bits p LEFT JOIN bits b USING (bit)
-GROUP BY p.doc_id ORDER BY p.doc_id
+FROM probe, blist ORDER BY doc_id
 """
 
 
@@ -4532,7 +4539,7 @@ def decontaminate_docs_q(spark, sf_dir):
     exact = (screened.where(F.col("maybe_dup"))
              .join(ev_keys, on="key", how="left_semi")
              .select("doc_id", F.lit(True).alias("__exact")))
-    spans = (span_contamination(docs, ev, n=3, min_run=3)
+    spans = (span_contamination(docs, ev, n=3, min_run=3, max_df=None)
              .where(F.col("a") != F.col("b"))
              .groupBy("a")
              .agg(F.count("*").alias("span_hits"),
@@ -4568,20 +4575,26 @@ bits AS (
   SELECT DISTINCT CAST((h0 + lane * h1) % 2147483647 % 8192 AS INTEGER)
            AS bit
   FROM ref_hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane) l),
-probe_bits AS (
+blist AS (SELECT list(bit) AS bl FROM bits),
+probe AS (
   SELECT doc_id, key,
-         CAST((CAST('0x' || substring(md5(key), 1, 15) AS BIGINT)
-               % 2147483647
-               + lane * (CAST('0x' || substring(md5(key || '#1'), 1, 15)
-                              AS BIGINT) % 2147483647 + 1))
-              % 2147483647 % 8192 AS INTEGER) AS bit
-  FROM keyed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lane) l),
+         CAST('0x' || substring(md5(key), 1, 15) AS BIGINT)
+           % 2147483647 AS h0,
+         CAST('0x' || substring(md5(key || '#1'), 1, 15) AS BIGINT)
+           % 2147483647 + 1 AS h1
+  FROM keyed),
 screened AS (
-  SELECT p.doc_id, p.key,
-         (COUNT(*) = SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END))
+  SELECT doc_id, key,
+         (COALESCE(list_contains(bl, CAST((h0 + 0 * h1) % 2147483647
+                                          % 8192 AS INTEGER)), false)
+          AND COALESCE(list_contains(bl, CAST((h0 + 1 * h1) % 2147483647
+                                              % 8192 AS INTEGER)), false)
+          AND COALESCE(list_contains(bl, CAST((h0 + 2 * h1) % 2147483647
+                                              % 8192 AS INTEGER)), false)
+          AND COALESCE(list_contains(bl, CAST((h0 + 3 * h1) % 2147483647
+                                              % 8192 AS INTEGER)), false))
            AS maybe_dup
-  FROM probe_bits p LEFT JOIN bits b USING (bit)
-  GROUP BY p.doc_id, p.key),
+  FROM probe, blist),
 exact AS (
   SELECT s.doc_id FROM screened s
   WHERE s.maybe_dup AND s.key IN (SELECT key FROM ev_keys)),
@@ -4662,21 +4675,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-9 rotation. The window holds, in order: (1) the EIGHT
     operators NEW this round — hll_distinct, bloom_dedup,
     quality_classifier, source_cap, mix_allocation, sequence_chunks,
-    decontaminate_docs, quantile_sketch; (2) the SEVEN rows whose CODE paths changed this round — semdedup
+    decontaminate_docs, quantile_sketch; (2) the EIGHT rows whose CODE paths changed this round — semdedup
     (broadcast-path centroid assignment + per-cluster cap),
     bpe_train/bpe_encode (driver-side batched merge loop),
     iceberg_changelog (_semi_join_eq rename-aware keys; early end_seq
     break), streaming_ingest (_classify append-with-delete-churn fix),
     iceberg_partition_prune (residual default-spec resolution),
     iceberg_incremental_read (operation classification feeds the
-    append-only stream); (3) the NINETEEN r6-evidence rows the r8
+    append-only stream), span_contamination (max_df=None for the
+    exact-twin contract); (3) the NINETEEN r6-evidence rows the r8
     rotation queued (TPC-H head + sketch/ANN bench rows +
-    gopher_rules/pack_documents — 3 rounds stale); (4) sixteen
+    gopher_rules/pack_documents — 3 rounds stale); (4) fifteen
     r7-evidence rows, bench rows first.
 
     Twenty-seven r7-evidence rows sit out for space and MUST lead the
     r10 window (3 rounds stale by then): duplicate_spans,
-    span_contamination, temperature_sample, q17, q19, q18, q12,
+    iceberg_sql_ddl, temperature_sample, q17, q19, q18, q12,
     window_functions_suite, grouping_sets_rollup,
     semi_anti_join_customers, correlated_subquery,
     continuous_aggregate, pipeline_curation, corpus_term_freq,
@@ -4705,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": streaming_ingest,
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_incremental_read": iceberg_incremental_read,
+        "span_contamination": span_contamination_q,
         # -- r6-evidence rows queued by the r8 rotation (3 rounds stale)
         "gopher_rules": gopher_rules_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
@@ -4741,9 +4756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_compaction": iceberg_delete_compaction,
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
-        "iceberg_sql_ddl": iceberg_sql_ddl,
         # ---- beyond the 50-row window ------------------------------
         # -- r10 queue head: r7-evidence rows sat out this round
+        "iceberg_sql_ddl": iceberg_sql_ddl,
         "trigram_familiarity": trigram_familiarity_q,
         "multimodal_features": multimodal_features_q,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
@@ -4753,7 +4768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_bucket_partition": iceberg_bucket_partition,
         "duplicate_spans": duplicate_spans_q,
-        "span_contamination": span_contamination_q,
         "temperature_sample": temperature_sample_q,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_discounted_revenue": q19_discounted_revenue,

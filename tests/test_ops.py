@@ -1358,3 +1358,55 @@ def test_decontaminate_docs_planted_leaks(spark, tmp_path):
     assert out[8].clean and not out[8].maybe_dup
     # the eval member itself is an exact self-leak by construction
     assert out[13].exact_dup
+
+
+def test_hll_ignores_null_values(spark):
+    """NULL values are not elements (COUNT DISTINCT semantics): a NULL
+    must not create a phantom register or change the estimate."""
+    from icelake_spark.ops.sketches import hll_distinct
+
+    base = spark.range(100).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    with_null = base.unionByName(spark.createDataFrame(
+        [("g", None), ("g", None)], "g string, v string"))
+    a = hll_distinct(base, "v", "g").collect()[0]
+    b = hll_distinct(with_null, "v", "g").collect()[0]
+    assert (a.zero_registers, a.sum_scaled, a.est_distinct) \
+        == (b.zero_registers, b.sum_scaled, b.est_distinct)
+
+
+def test_mix_allocation_zero_total_and_null_texts(spark):
+    """A corpus of NULL/whitespace texts must yield all-zero integer
+    allocations (not NULL quotas), and a NULL-text source must not
+    poison the budget invariant."""
+    from icelake_spark.ops.sampling import mix_allocation
+
+    empty = spark.createDataFrame(
+        [("s1", None), ("s2", "   ")], "source string, text string")
+    out = {r.source: r for r in mix_allocation(empty, budget=100).collect()}
+    assert {r.alloc for r in out.values()} == {0}
+    mixed = spark.createDataFrame(
+        [("s1", None), ("s2", "five words of real text")],
+        "source string, text string")
+    rows = {r.source: r for r in mix_allocation(mixed, budget=100).collect()}
+    assert rows["s1"].alloc == 0 and rows["s2"].alloc == 100
+    assert sum(r.alloc for r in rows.values()) == 100
+
+
+def test_bloom_probe_per_row_no_shuffle(spark, docs):
+    """The bloom probe preserves duplicate input rows (per-row
+    contract) and its plan has no Exchange on the probed side — the
+    bit set rides as a one-row broadcast map."""
+    from icelake_spark.ops.sketches import bloom_bits, bloom_maybe_contains
+
+    keyed = docs.limit(50).select("doc_id", F.md5("text").alias("key"))
+    dup = keyed.unionByName(keyed.limit(5))  # 5 duplicate rows
+    bits = bloom_bits(keyed.limit(10), "key")
+    out = bloom_maybe_contains(dup, "key", bits)
+    assert out.count() == 55  # duplicates preserved, not collapsed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ONLY allowed exchange is the one-row bit-map aggregation;
+    # the probed corpus itself must not shuffle (no hash exchange on
+    # the probe columns, no groupBy of the corpus)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 0

@@ -313,12 +313,16 @@ def test_round9_operators_plan_properties(spark):
     p1 = _plan(Q.quality_classifier_q(spark, sf))
     assert "EvalPython" not in p1 and "Window" not in p1
     assert p1.count("Exchange") <= 1
-    # bloom probe: the bit set joins BROADCAST — the probed corpus
-    # never shuffles on the key, and nothing is cartesian
+    # bloom probe: the bit set rides as a ONE-ROW broadcast map
+    # (BroadcastNestedLoopJoin against a single aggregate row) — the
+    # probed corpus itself never shuffles (the only exchange is the
+    # output sort), and nothing is cartesian
     p2 = _plan(Q.bloom_dedup_q(spark, sf))
     assert "EvalPython" not in p2
-    assert "BroadcastHashJoin" in p2
+    assert "BroadcastNestedLoopJoin" in p2
     assert "CartesianProduct" not in p2
+    assert "Exchange hashpartitioning(doc_id" not in p2
+    assert "SortMergeJoin" not in p2
     # HLL: two map-side-combined hash aggregates, no window, no Python
     p3 = _plan(Q.hll_distinct_q(spark, sf))
     assert "EvalPython" not in p3 and "Window" not in p3

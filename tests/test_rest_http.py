@@ -315,9 +315,11 @@ def test_rest_prefix_routing_and_config_merge():
     """Conforming servers assign a route prefix via /v1/config (spec:
     all table/namespace routes become /v1/{prefix}/...; the config
     route itself is never prefixed) and config precedence is
-    defaults < client settings < overrides. The reference client left
-    prefix as a TODO (rest.rs:271); real catalogs (Polaris, Lakekeeper)
-    require it."""
+    defaults < client settings < overrides. The prefix is inserted
+    VERBATIM (Java ResourcePaths / PyIceberg behavior) — servers send
+    it in URL form, so a pre-encoded prefix like 'ws%2Fcat' must NOT
+    be double-encoded. The reference client left prefix as a TODO
+    (rest.rs:271); real catalogs (Polaris, Lakekeeper) require it."""
     from icelake_spark.catalog.rest import RestCatalog
 
     seen: list[str] = []
@@ -341,8 +343,8 @@ def test_rest_prefix_routing_and_config_merge():
                 return self._send({
                     "defaults": {"warehouse": "ignored-default",
                                  "io": "arrow"},
-                    "overrides": {"prefix": "wh%201"}})
-            if path == "/v1/wh%25201/namespaces":
+                    "overrides": {"prefix": "ws%2Fcat"}})
+            if path == "/v1/ws%2Fcat/namespaces":
                 return self._send({"namespaces": [["db"]]})
             return self._send({"error": {"message": "bad path"}}, 404)
 
@@ -356,9 +358,9 @@ def test_rest_prefix_routing_and_config_merge():
         # precedence: client warehouse beats the default; override wins
         assert cfg["warehouse"] == "client-wh"
         assert cfg["io"] == "arrow"
-        assert cfg["prefix"] == "wh%201"
-        # subsequent routes are prefixed (and the prefix is URL-quoted)
+        assert cfg["prefix"] == "ws%2Fcat"
+        # subsequent routes are prefixed, with the prefix VERBATIM
         assert cat.list_namespaces() == ["db"]
-        assert seen[-1] == "/v1/wh%25201/namespaces"
+        assert seen[-1] == "/v1/ws%2Fcat/namespaces"
     finally:
         srv.shutdown()
