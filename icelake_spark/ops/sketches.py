@@ -301,8 +301,13 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
     Shape: one scan-side filter drops (sample_den-1)/sample_den of the
     corpus before anything shuffles; the quantile is a per-group sort
     of the SAMPLED values (rank via row_number + count windows).
-    Returns (group_col, n_kept, q<N> per requested quantile).
-    Standard error ~ 1/sqrt(n_kept) quantile-density units."""
+    Returns (group_col, n_kept, q<N> per requested quantile) for EVERY
+    group of df — a small group whose rows all miss the 1/sample_den
+    sample still appears, with n_kept = 0 and NULL quantiles (silently
+    vanishing groups would read as 'no data' to a per-group monitor;
+    code-review r9d). Quantiles of groups with n_kept below ~30 are
+    statistically unreliable — the standard error is ~ 1/sqrt(n_kept)
+    quantile-density units."""
     from pyspark.sql import Window
 
     thr = HASH_SPACE // sample_den
@@ -321,8 +326,17 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
             F.col("__rn") == F.expr(f"({q} * (__n - 1)) DIV 100 + 1"),
             F.col("__v"))).alias(f"q{q}"))
         for q in quantiles]
-    return (ranked.groupBy(group_col)
-            .agg(F.max("__n").alias("n_kept"), *picks)
+    sketched = ranked.groupBy(group_col).agg(
+        F.max("__n").alias("n_kept"), *picks)
+    # every group appears: a map-side-combined distinct of the group
+    # column (tiny — bounded by group cardinality) left-joins the
+    # sketch so sample-missed groups surface as (0, NULLs)
+    groups = df.select(group_col).distinct()
+    return (groups.join(sketched, on=group_col, how="left")
+            .select(group_col,
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    *[F.col(f"q{q}") for q in quantiles])
             .orderBy(group_col))
 
 
@@ -344,8 +358,14 @@ ranked AS (
   SELECT {group_col}, v,
          ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY v, h) AS rn,
          COUNT(*) OVER (PARTITION BY {group_col}) AS n
-  FROM kept)
-SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n_kept,
-       {picks}
-FROM ranked GROUP BY {group_col} ORDER BY {group_col}
+  FROM kept),
+sketched AS (
+  SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n_kept,
+         {picks}
+  FROM ranked GROUP BY {group_col}),
+groups AS (SELECT DISTINCT {group_col} FROM {table})
+SELECT g.{group_col}, COALESCE(s.n_kept, 0) AS n_kept,
+       {", ".join(f"s.q{q}" for q in quantiles)}
+FROM groups g LEFT JOIN sketched s USING ({group_col})
+ORDER BY g.{group_col}
 """

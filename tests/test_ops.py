@@ -1410,3 +1410,24 @@ def test_bloom_probe_per_row_no_shuffle(spark, docs):
     # the probe columns, no groupBy of the corpus)
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 0
+
+
+def test_quantile_sketch_keeps_sample_missed_groups(spark):
+    """A group whose rows all miss the hash sample still appears in the
+    output with n_kept = 0 and NULL quantiles."""
+    from icelake_spark.ops.sketches import quantile_sketch
+
+    big = spark.range(5000).selectExpr(
+        "'big' as g", "cast(id as double) as v", "cast(id as string) as rid")
+    # find a single id the sample drops, then make a 1-row group of it
+    import hashlib
+    rid = next(str(i) for i in range(1000)
+               if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+               >= (1 << 60) // 16)
+    tiny = spark.createDataFrame([("tiny", 1.0, rid)],
+                                 "g string, v double, rid string")
+    out = {r.g: r for r in quantile_sketch(
+        big.unionByName(tiny), "v", "g", "rid",
+        quantiles=(50,)).collect()}
+    assert out["tiny"].n_kept == 0 and out["tiny"].q50 is None
+    assert out["big"].n_kept > 0 and out["big"].q50 is not None
