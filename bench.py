@@ -75,6 +75,7 @@ EXTENDED = [
     "sequence_chunks",
     "decontaminate_docs",
     "quantile_sketch",
+    "tfidf_keywords",
 ]
 
 

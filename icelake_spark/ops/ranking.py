@@ -270,3 +270,65 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def tfidf_keywords(df: DataFrame, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF keywords per document — the tagging/topic-signal
+    step curation pipelines run for mixture analysis and routing.
+
+    score(t, d) = tf(t, d) * ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+    (the BM25 idf, one idf definition across the module). Returns
+    (id_col, rank, term, score) with rank 1..k by (score DESC, term).
+
+    Plan shape: one explode + the (doc, term) tf aggregate; document
+    frequency is a second aggregate of that same relation (map-side
+    combined, vocabulary-bounded output) joined back ON TERM — the
+    join key is the term, so hot terms spread over the shuffle, and
+    the final top-k window partitions by document (doc-bounded
+    frames, never a global sort). Cross-engine determinism: scores
+    rounded to 8dp before ranking (ties then break on the term), 6dp
+    in the output — the bm25 discipline."""
+    from pyspark.sql import Window
+
+    tk = (fanout(df, F.col(id_col))
+          .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
+    n_docs = tk.count()
+    tf = (tk.select(F.col(id_col), F.explode("__tk").alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    scored = (tf.join(df_t, on="term")
+              .select(F.col(id_col), "term",
+                      F.round(F.col("tf") * idf, 8).alias("__s")))
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(),
+                                           F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col(id_col), F.col("rank").cast("long"),
+                    "term", F.round("__s", 6).alias("score")))
+
+
+def tfidf_keywords_sql(k: int = 3, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM {table}),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(1.0 + (n.n_docs - dft.df_t + 0.5)
+                          / (dft.df_t + 0.5)), 8) AS s
+  FROM tf JOIN dft USING (term), n),
+ranked AS (
+  SELECT doc_id, term, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+"""

@@ -4664,6 +4664,17 @@ def _quantile_sketch_oracle() -> str:
     return quantile_sketch_sql("price", "l_returnflag", "rid", table)
 
 
+def tfidf_keywords_q(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (ops/ranking.py
+    tfidf_keywords): the tagging/topic-signal pass — one tf aggregate,
+    a vocabulary-bounded df join on the term, doc-bounded top-k
+    window. Same idf definition and rounding discipline as bm25."""
+    from .ops.ranking import tfidf_keywords
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4672,10 +4683,10 @@ def _quantile_sketch_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-9 rotation. The window holds, in order: (1) the EIGHT
+    Round-9 rotation. The window holds, in order: (1) the NINE
     operators NEW this round — hll_distinct, bloom_dedup,
     quality_classifier, source_cap, mix_allocation, sequence_chunks,
-    decontaminate_docs, quantile_sketch; (2) the EIGHT rows whose CODE paths changed this round — semdedup
+    decontaminate_docs, quantile_sketch, tfidf_keywords; (2) the EIGHT rows whose CODE paths changed this round — semdedup
     (broadcast-path centroid assignment + per-cluster cap),
     bpe_train/bpe_encode (driver-side batched merge loop),
     iceberg_changelog (_semi_join_eq rename-aware keys; early end_seq
@@ -4685,12 +4696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     append-only stream), span_contamination (max_df=None for the
     exact-twin contract); (3) the NINETEEN r6-evidence rows the r8
     rotation queued (TPC-H head + sketch/ANN bench rows +
-    gopher_rules/pack_documents — 3 rounds stale); (4) fifteen
+    gopher_rules/pack_documents — 3 rounds stale); (4) fourteen
     r7-evidence rows, bench rows first.
 
-    Twenty-seven r7-evidence rows sit out for space and MUST lead the
+    Twenty-eight r7-evidence rows sit out for space and MUST lead the
     r10 window (3 rounds stale by then): duplicate_spans,
-    iceberg_sql_ddl, temperature_sample, q17, q19, q18, q12,
+    iceberg_sql_select, iceberg_sql_ddl, temperature_sample, q17, q19, q18, q12,
     window_functions_suite, grouping_sets_rollup,
     semi_anti_join_customers, correlated_subquery,
     continuous_aggregate, pipeline_curation, corpus_term_freq,
@@ -4704,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- operators new in round 9
         "hll_distinct": hll_distinct_q,
+        "tfidf_keywords": tfidf_keywords_q,
         "decontaminate_docs": decontaminate_docs_q,
         "quantile_sketch": quantile_sketch_q,
         "bloom_dedup": bloom_dedup_q,
@@ -4755,9 +4767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": q9_product_type_profit,
         "iceberg_delete_compaction": iceberg_delete_compaction,
         "iceberg_sql_ctas": iceberg_sql_ctas,
-        "iceberg_sql_select": iceberg_sql_select,
         # ---- beyond the 50-row window ------------------------------
         # -- r10 queue head: r7-evidence rows sat out this round
+        "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
         "trigram_familiarity": trigram_familiarity_q,
         "multimodal_features": multimodal_features_q,
@@ -4842,6 +4854,7 @@ def oracle_sql() -> dict[str, str]:
     from .ops import text as _text
     return {
         "hll_distinct": _hll_distinct_oracle(),
+        "tfidf_keywords": _ranking.tfidf_keywords_sql(3),
         "decontaminate_docs": DECONTAMINATE_SQL,
         "quantile_sketch": _quantile_sketch_oracle(),
         "bloom_dedup": _BLOOM_SQL,

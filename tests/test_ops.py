@@ -1431,3 +1431,21 @@ def test_quantile_sketch_keeps_sample_missed_groups(spark):
         quantiles=(50,)).collect()}
     assert out["tiny"].n_kept == 0 and out["tiny"].q50 is None
     assert out["big"].n_kept > 0 and out["big"].q50 is not None
+
+
+def test_tfidf_keywords_semantics(spark):
+    """A term unique to one doc outranks corpus-wide common terms, and
+    ranks are contiguous per doc."""
+    from icelake_spark.ops.ranking import tfidf_keywords
+
+    rows = [(1, "common common common zebra zebra unicorn"),
+            (2, "common words about common things"),
+            (3, "common stuff and more common stuff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r.doc_id, r.rank, r.term)
+           for r in tfidf_keywords(df, k=2).orderBy("doc_id", "rank").collect()]
+    d1 = [t for d, _, t in out if d == 1]
+    # 'zebra' (tf=2, df=1) and 'unicorn' (tf=1, df=1) beat 'common' (df=3)
+    assert d1 == ["zebra", "unicorn"]
+    for d in (1, 2, 3):
+        assert [r for dd, r, _ in out if dd == d] == [1, 2]
