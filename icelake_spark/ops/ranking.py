@@ -291,11 +291,11 @@ def tfidf_keywords(df: DataFrame, k: int = 3, text_col: str = "text",
     in the output — the bm25 discipline."""
     from pyspark.sql import Window
 
-    tk = (fanout(df, F.col(id_col))
-          .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
-    n_docs = tk.count()
-    tf = (tk.select(F.col(id_col), F.explode("__tk").alias("term"))
-          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    # N is a plain row count — no fanout/tokenize shuffle for a scalar
+    # (bm25 eagerly aggregates because it also needs avgdl; here the
+    # parquet footer count suffices)
+    n_docs = df.count()
+    tf = doc_terms(fanout(df, F.col(id_col)), text_col, id_col)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
                 / (F.col("df_t") + 0.5))

@@ -330,14 +330,20 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
         F.max("__n").alias("n_kept"), *picks)
     # every group appears: a map-side-combined distinct of the group
     # column (tiny — bounded by group cardinality) left-joins the
-    # sketch so sample-missed groups surface as (0, NULLs)
-    groups = df.select(group_col).distinct()
-    return (groups.join(sketched, on=group_col, how="left")
-            .select(group_col,
+    # sketch so sample-missed groups surface as (0, NULLs). The join
+    # is NULL-SAFE (a NULL group is a real group whose sketched
+    # quantiles a plain equi-join would silently discard) and the
+    # output sorts NULLS LAST to match the SQL twin's default.
+    groups = df.select(group_col).distinct().alias("__g")
+    sk = sketched.alias("__s")
+    return (groups.join(
+                sk, F.col(f"__g.{group_col}")
+                .eqNullSafe(F.col(f"__s.{group_col}")), "left")
+            .select(F.col(f"__g.{group_col}").alias(group_col),
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"),
                     *[F.col(f"q{q}") for q in quantiles])
-            .orderBy(group_col))
+            .orderBy(F.col(group_col).asc_nulls_last()))
 
 
 def quantile_sketch_sql(value_col: str, group_col: str, id_col: str,
@@ -366,6 +372,7 @@ sketched AS (
 groups AS (SELECT DISTINCT {group_col} FROM {table})
 SELECT g.{group_col}, COALESCE(s.n_kept, 0) AS n_kept,
        {", ".join(f"s.q{q}" for q in quantiles)}
-FROM groups g LEFT JOIN sketched s USING ({group_col})
-ORDER BY g.{group_col}
+FROM groups g LEFT JOIN sketched s
+  ON g.{group_col} IS NOT DISTINCT FROM s.{group_col}
+ORDER BY g.{group_col} NULLS LAST
 """

@@ -1449,3 +1449,18 @@ def test_tfidf_keywords_semantics(spark):
     assert d1 == ["zebra", "unicorn"]
     for d in (1, 2, 3):
         assert [r for dd, r, _ in out if dd == d] == [1, 2]
+
+
+def test_quantile_sketch_null_group_key(spark):
+    """A NULL group key is a real group: its sampled quantiles survive
+    the null-safe groups join, and it sorts LAST (matching the SQL
+    twin's default)."""
+    from icelake_spark.ops.sketches import quantile_sketch
+
+    df = spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE NULL END as g",
+        "cast(id as double) as v", "cast(id as string) as rid")
+    rows = quantile_sketch(df, "v", "g", "rid", quantiles=(50,)).collect()
+    assert [r.g for r in rows] == ["a", None]
+    null_row = rows[-1]
+    assert null_row.n_kept > 50 and null_row.q50 is not None

@@ -3,7 +3,6 @@ operators: invariants that must hold for ANY input, not just the gate
 corpus — the same strategy test_avro_property.py applies to the codec."""
 
 import hypothesis.strategies as st
-import pytest
 from hypothesis import HealthCheck, given, settings
 from pyspark.sql import functions as F
 
@@ -11,23 +10,18 @@ _slow = settings(max_examples=12, deadline=None,
                  suppress_health_check=list(HealthCheck))
 
 
-@pytest.fixture(scope="module")
-def sp(spark):
-    return spark
-
-
 @given(counts=st.lists(st.integers(min_value=0, max_value=10_000),
                        min_size=1, max_size=12),
        budget=st.integers(min_value=0, max_value=1_000_000))
 @_slow
-def test_mix_allocation_invariants(sp, counts, budget):
+def test_mix_allocation_invariants(spark, counts, budget):
     """For any token distribution: integer allocs sum EXACTLY to the
     budget (or all-zero when the corpus is empty), and each alloc is
     within 1 of its real-valued quota."""
     from icelake_spark.ops.sampling import mix_allocation
 
     rows = [(f"s{i}", n) for i, n in enumerate(counts)]
-    df = sp.createDataFrame(rows, "source string, toks long")
+    df = spark.createDataFrame(rows, "source string, toks long")
     out = mix_allocation(df, budget=budget, tokens_col="toks").collect()
     total = sum(counts)
     allocs = {r.source: r.alloc for r in out}
@@ -46,18 +40,18 @@ def test_mix_allocation_invariants(sp, counts, budget):
        size=st.integers(min_value=1, max_value=8),
        stride=st.integers(min_value=1, max_value=8))
 @_slow
-def test_sequence_chunks_matches_python_reference(sp, words, size, stride):
+def test_sequence_chunks_matches_python_reference(spark, words, size, stride):
     """Chunking equals the obvious Python slicing for any token count,
     size, and stride."""
     from icelake_spark.ops.sampling import sequence_chunks
 
     toks = [f"w{i}" for i in words]
-    df = sp.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
     got = [(r.chunk_id, r.n_tokens, r.chunk_text)
            for r in sequence_chunks(df, size=size, stride=stride)
            .orderBy("chunk_id").collect()]
     want = [(ci, len(toks[s:s + size]), " ".join(toks[s:s + size]))
-            for ci, s in enumerate(range(0, max(len(toks), 0), stride))]
+            for ci, s in enumerate(range(0, len(toks), stride))]
     assert got == want
 
 
@@ -66,7 +60,7 @@ def test_sequence_chunks_matches_python_reference(sp, words, size, stride):
        cap=st.integers(min_value=1, max_value=10),
        n_sources=st.integers(min_value=1, max_value=4))
 @_slow
-def test_source_cap_equals_single_window(sp, ids, cap, n_sources):
+def test_source_cap_equals_single_window(spark, ids, cap, n_sources):
     """Two-stage salted top-N == the naive single-window top-N for any
     id distribution, cap, and source count."""
     from pyspark.sql import Window
@@ -74,7 +68,7 @@ def test_source_cap_equals_single_window(sp, ids, cap, n_sources):
     from icelake_spark.ops.sampling import source_cap
 
     rows = [(i, f"s{i % n_sources}", (i * 37) % 101) for i in ids]
-    df = sp.createDataFrame(rows, "doc_id long, source string, sz long")
+    df = spark.createDataFrame(rows, "doc_id long, source string, sz long")
     order = [F.col("sz").desc(), F.col("doc_id")]
     got = {(r.doc_id, r.source) for r in source_cap(
         df, source_col="source", order=order, cap=cap,
