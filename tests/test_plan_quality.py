@@ -339,10 +339,12 @@ def test_quantile_and_decontaminate_plan_properties(spark):
 
     sf = "/root/testdata/sf0.001"
     # quantile sketch: the sample filter sits under the window sort, no
-    # Python, no join
+    # Python; the only join is the tiny distinct-groups retention join
+    # (null-safe), never a cartesian
     p1 = _plan(Q.quantile_sketch_q(spark, sf))
     assert "EvalPython" not in p1
-    assert "Join" not in p1
+    assert "CartesianProduct" not in p1
+    assert p1.count("Join") <= 1
     # decontamination: bloom bits + exact check join broadcast; the
     # only sort-merge joins are the span self-join's gram joins
     p2 = _plan(Q.decontaminate_docs_q(spark, sf))
