@@ -37,7 +37,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes = und.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint()
     n = nodes.count()
-    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    # checkpoint: deg sits inside EVERY iteration's join — left lazy,
+    # each iteration re-runs the degree aggregate over the edge set
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n)
     pr = nodes.select("node", F.lit(RANK_SCALE // n).alias("rank"))
     for _ in range(iters):
