@@ -805,9 +805,14 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     grams = F.expr(
         f"transform(sequence(1, length(__norm) - {k - 1}),"
         f" i -> substr(__norm, i, {k}))")
+    # the per-doc gram count is length-derived — carry it through the
+    # explode instead of a second corpus-wide count window (one window
+    # pass saved; the rolling-min window below is the only one left)
     rows = (staged.select(F.col(id_col),
+                          (F.length("__norm") - (k - 1)).alias("__ng"),
                           F.posexplode(grams).alias("__p0", "__g"))
-            .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"),
+            .select(F.col(id_col), "__ng",
+                    (F.col("__p0") + 1).alias("__pos"),
                     F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10)
                     .cast("long").alias("__h")))
     frame = (Window.partitionBy(id_col).orderBy("__pos")
@@ -815,9 +820,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     # min over (hash, -pos) = smallest hash, ties -> LARGEST pos
     sel = F.min(F.struct(F.col("__h").alias("h"),
                          (-F.col("__pos")).alias("np"))).over(frame)
-    ng = F.count("*").over(Window.partitionBy(id_col))
     out = (rows.select(F.col(id_col), F.col("__pos"),
-                       sel.alias("__s"), ng.alias("__ng"))
+                       sel.alias("__s"), F.col("__ng"))
            # full windows only; a doc with fewer than w grams keeps its
            # single all-gram window (pos 1)
            .where(F.col("__pos") <= F.greatest(F.col("__ng") - (w - 1),
