@@ -3568,7 +3568,11 @@ def duplicate_spans_q(spark, sf_dir):
     from .ops.dedup import duplicate_spans
 
     docs = load(spark, sf_dir, "documents")
-    return duplicate_spans(docs, n=3, min_run=3).orderBy("a", "b")
+    # max_df=None: the SQL twin has no hot-gram drop (same exact-twin
+    # contract as span_contamination; the guard stays the documented
+    # scale option)
+    return duplicate_spans(docs, n=3, min_run=3,
+                           max_df=None).orderBy("a", "b")
 
 
 DUPLICATE_SPANS_SQL = """
@@ -4686,21 +4690,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-9 rotation. The window holds, in order: (1) the NINE
     operators NEW this round — hll_distinct, bloom_dedup,
     quality_classifier, source_cap, mix_allocation, sequence_chunks,
-    decontaminate_docs, quantile_sketch, tfidf_keywords; (2) the EIGHT rows whose CODE paths changed this round — semdedup
+    decontaminate_docs, quantile_sketch, tfidf_keywords; (2) the NINE rows whose CODE paths changed this round — semdedup
     (broadcast-path centroid assignment + per-cluster cap),
     bpe_train/bpe_encode (driver-side batched merge loop),
     iceberg_changelog (_semi_join_eq rename-aware keys; early end_seq
     break), streaming_ingest (_classify append-with-delete-churn fix),
     iceberg_partition_prune (residual default-spec resolution),
     iceberg_incremental_read (operation classification feeds the
-    append-only stream), span_contamination (max_df=None for the
-    exact-twin contract); (3) the NINETEEN r6-evidence rows the r8
+    append-only stream), span_contamination and duplicate_spans
+    (max_df=None for the exact-twin contract); (3) the NINETEEN r6-evidence rows the r8
     rotation queued (TPC-H head + sketch/ANN bench rows +
-    gopher_rules/pack_documents — 3 rounds stale); (4) fourteen
+    gopher_rules/pack_documents — 3 rounds stale); (4) thirteen
     r7-evidence rows, bench rows first.
 
     Twenty-eight r7-evidence rows sit out for space and MUST lead the
-    r10 window (3 rounds stale by then): duplicate_spans,
+    r10 window (3 rounds stale by then): iceberg_sql_ctas,
     iceberg_sql_select, iceberg_sql_ddl, temperature_sample, q17, q19, q18, q12,
     window_functions_suite, grouping_sets_rollup,
     semi_anti_join_customers, correlated_subquery,
@@ -4732,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_prune": iceberg_partition_prune,
         "iceberg_incremental_read": iceberg_incremental_read,
         "span_contamination": span_contamination_q,
+        "duplicate_spans": duplicate_spans_q,
         # -- r6-evidence rows queued by the r8 rotation (3 rounds stale)
         "gopher_rules": gopher_rules_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
@@ -4766,9 +4771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q9_product_type_profit": q9_product_type_profit,
         "iceberg_delete_compaction": iceberg_delete_compaction,
-        "iceberg_sql_ctas": iceberg_sql_ctas,
         # ---- beyond the 50-row window ------------------------------
         # -- r10 queue head: r7-evidence rows sat out this round
+        "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
         "trigram_familiarity": trigram_familiarity_q,
@@ -4779,7 +4784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_snapshots_meta": iceberg_snapshots_meta,
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_bucket_partition": iceberg_bucket_partition,
-        "duplicate_spans": duplicate_spans_q,
         "temperature_sample": temperature_sample_q,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_discounted_revenue": q19_discounted_revenue,
