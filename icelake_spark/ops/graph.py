@@ -37,6 +37,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes = und.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        # an empty edge set (a filtered slice with no rows) yields an
+        # empty rank table, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     # checkpoint: deg sits inside EVERY iteration's join — left lazy,
     # each iteration re-runs the degree aggregate over the edge set
     deg = und.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()

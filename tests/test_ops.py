@@ -1464,3 +1464,12 @@ def test_quantile_sketch_null_group_key(spark):
     assert [r.g for r in rows] == ["a", None]
     null_row = rows[-1]
     assert null_row.n_kept > 50 and null_row.q50 is not None
+
+
+def test_pagerank_empty_edges(spark):
+    """An empty edge set yields an empty rank table, not a crash."""
+    from icelake_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges)
+    assert out.collect() == [] and out.columns == ["node", "rank"]

@@ -344,7 +344,9 @@ def test_quantile_and_decontaminate_plan_properties(spark):
     p1 = _plan(Q.quantile_sketch_q(spark, sf))
     assert "EvalPython" not in p1
     assert "CartesianProduct" not in p1
-    assert p1.count("Join") <= 1
+    # exactly one: zero would mean the group-retention join (the fix
+    # for silently-vanishing sample-missed groups) was dropped again
+    assert p1.count("Join") == 1
     # decontamination: bloom bits + exact check join broadcast; the
     # only sort-merge joins are the span self-join's gram joins
     p2 = _plan(Q.decontaminate_docs_q(spark, sf))

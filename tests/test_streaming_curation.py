@@ -48,9 +48,17 @@ def test_streaming_curation_pipeline(spark, warehouse, tmp_path):
         .withColumn("__h", F.md5("text")).schema)
     curated = warehouse.create_table("db.curated_docs", curated_schema)
 
+    def _drain(q):
+        # assert the availableNow drain actually finished (a silent
+        # timeout would read a half-committed table and leave the
+        # query holding the checkpoint when the next one starts)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise AssertionError("stream did not drain in time")
+
     q = write_stream(curated, _curate(spark, raw.path),
                      checkpoint=str(tmp_path / "ck"), mode="append")
-    q.awaitTermination(120)
+    _drain(q)
     got = {r.doc_id for r in
            curated.refresh().to_df(spark).select("doc_id").collect()}
     assert got == set(range(20))
@@ -67,7 +75,7 @@ def test_streaming_curation_pipeline(spark, warehouse, tmp_path):
 
     q2 = write_stream(curated.refresh(), _curate(spark, raw.path),
                       checkpoint=str(tmp_path / "ck"), mode="append")
-    q2.awaitTermination(120)
+    _drain(q2)
     got = sorted(r.doc_id for r in
                  curated.refresh().to_df(spark).select("doc_id").collect())
     # 20 originals + the 3 new good docs; 23-25 carry doc-3-shaped
