@@ -76,6 +76,7 @@ EXTENDED = [
     "decontaminate_docs",
     "quantile_sketch",
     "tfidf_keywords",
+    "nb_quality_score",
 ]
 
 

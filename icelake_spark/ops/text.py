@@ -943,3 +943,115 @@ SELECT doc_id, n_terms, margin_milli,
          AS keep
 FROM m ORDER BY doc_id
 """
+
+
+# ------------------------------ weak-label bootstrapped NB quality model
+
+
+def nb_quality_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     top_k: int = 262144) -> DataFrame:
+    """Classifier bootstrapping, the way production quality filters are
+    actually built: the cheap rule filter (gopher_rules) weak-labels
+    the corpus, a Naive-Bayes-style token model trains on those labels,
+    and every document scores against the trained model — the
+    rule->classifier bootstrap loop of CCNet/RedPajama pipelines, as
+    one declarative plan.
+
+    Deterministic variant: instead of sum-of-log-likelihoods the score
+    is the MEAN per-token posterior ratio in integer micro-units,
+    ratio_micro(w) = ((c_good(w)+1) * (N_bad+V) * 10^6)
+                     DIV ((c_bad(w)+1) * (N_good+V))
+    (add-one smoothing; > 10^6 means the token leans 'good'). All
+    counts, one DIV — bit-exact cross-engine, same discipline as
+    lm_bigram_score. Integer bound: the DIV numerator must stay inside
+    int64, which holds while c(w) * (N+V) < ~9e12 — beyond that,
+    pre-scale the counts (the ratios are scale-invariant).
+
+    Scale shape: ONE corpus tokenize feeds both the weak labels (pure
+    projection) and the count model (explode + two map-side-combined
+    aggregates, vocabulary-bounded output capped at the deterministic
+    top_k by (count DESC, word)); the trained model collapses to a
+    one-row broadcast map and every document scores IN-ROW (the
+    encode_documents pattern — the scoring pass adds zero shuffles).
+    Out-of-vocabulary tokens contribute the neutral ratio 10^6.
+    Returns (id_col, n_terms, nb_score_micro, keep)."""
+    from .dedup import words_col
+
+    labeled = df.select(
+        F.col(id_col), F.col(text_col),
+        F.filter(words_col(text_col), lambda w: w != "").alias("__w"))
+    passes = gopher_rules(df, text_col, id_col).select(id_col, "passes")
+    toks = (labeled.select(id_col, F.explode("__w").alias("w"))
+            .join(passes, on=id_col))
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("cg"),
+        F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("cb"))
+    totals = counts.agg(
+        F.sum("cg").alias("ng"), F.sum("cb").alias("nb"),
+        F.count("*").alias("v")).collect()[0]
+    ng, nb, v = int(totals.ng or 0), int(totals.nb or 0), int(totals.v or 0)
+    ratio = F.expr(
+        f"CAST((cg + 1) * CAST({nb + v} AS BIGINT) * 1000000 AS BIGINT) "
+        f"DIV ((cb + 1) * CAST({ng + v} AS BIGINT))")
+    model = (counts
+             .orderBy((F.col("cg") + F.col("cb")).desc(), F.col("w"))
+             .limit(int(top_k))
+             .select("w", ratio.alias("r")))
+    mmap = model.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "r"))).alias("__m"))
+    score_sum = F.aggregate(
+        "__w", F.lit(0).cast("long"),
+        lambda acc, w: acc + F.coalesce(F.element_at("__m", w),
+                                        F.lit(1_000_000).cast("long")))
+    scored = (labeled.crossJoin(F.broadcast(mmap))
+              .select(F.col(id_col),
+                      F.size("__w").cast("long").alias("n_terms"),
+                      score_sum.alias("__sum"))
+              .withColumn(
+                  "nb_score_micro",
+                  F.when(F.col("n_terms") > 0,
+                         F.expr("__sum DIV n_terms"))
+                  .otherwise(F.lit(None).cast("long"))))
+    keep = (F.col("n_terms") > 0) & (F.col("nb_score_micro") >= 1_000_000)
+    return scored.select(id_col, "n_terms", "nb_score_micro",
+                         keep.alias("keep"))
+
+
+def nb_quality_score_sql(col: str = "text", top_k: int = 262144) -> str:
+    """DuckDB twin: same weak labels (gopher passes), same smoothed
+    integer ratios, same top-k cap and neutral OOV fallback."""
+    words = (f"list_filter(string_split(regexp_replace(trim(lower({col}))"
+             f", '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    gopher = gopher_rules_sql(col)
+    return f"""
+WITH g AS ({gopher}),
+docs_w AS (
+  SELECT doc_id, {words} AS w FROM documents),
+toks AS (
+  SELECT d.doc_id, unnest(d.w) AS w, g.passes
+  FROM docs_w d JOIN g USING (doc_id)),
+counts AS (
+  SELECT w, SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS cg,
+         SUM(CASE WHEN passes THEN 0 ELSE 1 END) AS cb
+  FROM toks GROUP BY w),
+tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb, COUNT(*) AS v FROM counts),
+model AS (
+  SELECT w, CAST((cg + 1) * (tot.nb + tot.v) * 1000000
+                 // ((cb + 1) * (tot.ng + tot.v)) AS BIGINT) AS r
+  FROM counts, tot
+  ORDER BY cg + cb DESC, w LIMIT {top_k}),
+doc_toks AS (
+  SELECT doc_id, unnest(w) AS w FROM docs_w),
+sums AS (
+  SELECT t.doc_id,
+         CAST(SUM(COALESCE(m.r, 1000000)) AS BIGINT) AS s
+  FROM doc_toks t LEFT JOIN model m USING (w)
+  GROUP BY t.doc_id)
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_terms,
+       CASE WHEN len(d.w) > 0 THEN CAST(s // len(d.w) AS BIGINT)
+            ELSE NULL END AS nb_score_micro,
+       (len(d.w) > 0 AND s // len(d.w) >= 1000000) AS keep
+FROM docs_w d LEFT JOIN sums USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -4679,6 +4679,18 @@ def tfidf_keywords_q(spark, sf_dir):
     return tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")
 
 
+def nb_quality_score_q(spark, sf_dir):
+    """Weak-label bootstrapped NB quality scorer (ops/text.py
+    nb_quality_score): gopher rules weak-label the corpus, a smoothed
+    count model trains on the labels, every doc scores in-row against
+    the one-row broadcast model — the rule->classifier bootstrap loop
+    as one declarative, integer-exact plan."""
+    from .ops.text import nb_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return nb_quality_score(docs).orderBy("doc_id")
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4687,10 +4699,10 @@ def tfidf_keywords_q(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-9 rotation. The window holds, in order: (1) the NINE
+    Round-9 rotation. The window holds, in order: (1) the TEN
     operators NEW this round — hll_distinct, bloom_dedup,
     quality_classifier, source_cap, mix_allocation, sequence_chunks,
-    decontaminate_docs, quantile_sketch, tfidf_keywords; (2) the NINE rows whose CODE paths changed this round — semdedup
+    decontaminate_docs, quantile_sketch, tfidf_keywords, nb_quality_score; (2) the NINE rows whose CODE paths changed this round — semdedup
     (broadcast-path centroid assignment + per-cluster cap),
     bpe_train/bpe_encode (driver-side batched merge loop),
     iceberg_changelog (_semi_join_eq rename-aware keys; early end_seq
@@ -4700,11 +4712,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     append-only stream), span_contamination and duplicate_spans
     (max_df=None for the exact-twin contract); (3) the NINETEEN r6-evidence rows the r8
     rotation queued (TPC-H head + sketch/ANN bench rows +
-    gopher_rules/pack_documents — 3 rounds stale); (4) thirteen
+    gopher_rules/pack_documents — 3 rounds stale); (4) twelve
     r7-evidence rows, bench rows first.
 
-    Twenty-eight r7-evidence rows sit out for space and MUST lead the
-    r10 window (3 rounds stale by then): iceberg_sql_ctas,
+    Twenty-nine r7-evidence rows sit out for space and MUST lead the
+    r10 window (3 rounds stale by then): iceberg_delete_compaction,
+    iceberg_sql_ctas,
     iceberg_sql_select, iceberg_sql_ddl, temperature_sample, q17, q19, q18, q12,
     window_functions_suite, grouping_sets_rollup,
     semi_anti_join_customers, correlated_subquery,
@@ -4720,6 +4733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- operators new in round 9
         "hll_distinct": hll_distinct_q,
         "tfidf_keywords": tfidf_keywords_q,
+        "nb_quality_score": nb_quality_score_q,
         "decontaminate_docs": decontaminate_docs_q,
         "quantile_sketch": quantile_sketch_q,
         "bloom_dedup": bloom_dedup_q,
@@ -4770,9 +4784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compaction": iceberg_compaction,
         "q3_shipping_priority": q3_shipping_priority,
         "q9_product_type_profit": q9_product_type_profit,
-        "iceberg_delete_compaction": iceberg_delete_compaction,
         # ---- beyond the 50-row window ------------------------------
         # -- r10 queue head: r7-evidence rows sat out this round
+        "iceberg_delete_compaction": iceberg_delete_compaction,
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
@@ -4859,6 +4873,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hll_distinct": _hll_distinct_oracle(),
         "tfidf_keywords": _ranking.tfidf_keywords_sql(3),
+        "nb_quality_score": _text.nb_quality_score_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,
         "quantile_sketch": _quantile_sketch_oracle(),
         "bloom_dedup": _BLOOM_SQL,

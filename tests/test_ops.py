@@ -1473,3 +1473,28 @@ def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     out = pagerank(edges)
     assert out.collect() == [] and out.columns == ["node", "rank"]
+
+
+def test_nb_quality_score_separates_classes(spark):
+    """Docs sharing vocabulary with rule-passing docs score above the
+    neutral ratio; gibberish sharing vocabulary with rule-failing docs
+    scores below. The model trains on gopher weak labels only."""
+    from icelake_spark.ops.text import nb_quality_score
+
+    good_body = ("it is the kind of useful and well formed text that a "
+                 "corpus of training documents wants to keep for the "
+                 "model to read ") * 5
+    bad_body = "zzz qqq xxx " * 40  # fails alpha/stopword rules
+    rows = [(i, f"doc {i} {good_body}") for i in range(10)]
+    rows += [(100 + i, bad_body) for i in range(10)]
+    # held-out-ish probes: share vocab with one class each, short
+    rows += [(200, "useful well formed text the model wants to read " * 8),
+             (201, "zzz qqq xxx zzz qqq " * 20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in nb_quality_score(df).collect()}
+    assert out[200].nb_score_micro > 1_000_000 and out[200].keep
+    assert out[201].nb_score_micro < 1_000_000 and not out[201].keep
+    # empty doc: no terms, never kept
+    empty = spark.createDataFrame([(1, " ")], "doc_id long, text string")
+    r = nb_quality_score(empty).collect()[0]
+    assert r.n_terms == 0 and r.nb_score_micro is None and not r.keep
