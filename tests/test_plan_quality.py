@@ -353,3 +353,15 @@ def test_quantile_and_decontaminate_plan_properties(spark):
     assert "EvalPython" not in p2
     assert "BroadcastHashJoin" in p2
     assert "CartesianProduct" not in p2
+
+
+def test_nb_quality_score_plan_properties(spark):
+    """NB bootstrap scorer: the trained model rides as a one-row
+    broadcast map (BroadcastNestedLoopJoin) and the scoring pass adds
+    no shuffle of the corpus; no Python anywhere."""
+    from icelake_spark import queries as Q
+
+    p = _plan(Q.nb_quality_score_q(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
