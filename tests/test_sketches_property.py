@@ -1,0 +1,80 @@
+"""Property-based tests for the sketch operators: the DETERMINISTIC
+guarantees (exact sample replay, no false negatives, bounded estimate
+error) must hold for arbitrary inputs, not just the gate corpus."""
+
+import hashlib
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
+
+_slow = settings(max_examples=10, deadline=None,
+                 suppress_health_check=list(HealthCheck))
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=200),
+                     min_size=1, max_size=300),
+       q=st.sampled_from([10, 50, 90]))
+@_slow
+def test_quantile_sketch_matches_python_replay(spark, vals, q):
+    """The sampled discrete quantile equals a pure-Python replay of the
+    SAME hash rule and rank selection — exact, not statistical."""
+    from icelake_spark.ops.sketches import quantile_sketch
+
+    rows = [(f"r{i}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid string, v double") \
+        .withColumn("g", F.lit("g"))
+    got = quantile_sketch(df, "v", "g", "rid", quantiles=(q,),
+                          sample_den=4).collect()[0]
+    thr = (1 << 60) // 4
+    kept = sorted((float(x), _h60(f"r{i}"))
+                  for i, x in enumerate(vals)
+                  if _h60(f"r{i}") < thr)
+    if not kept:
+        assert got.n_kept == 0 and got[2] is None
+        return
+    assert got.n_kept == len(kept)
+    want = kept[(q * (len(kept) - 1)) // 100][0]
+    assert got[2] == want
+
+
+@given(members=st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                        max_size=60, unique=True),
+       probes=st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                       max_size=30, unique=True))
+@_slow
+def test_bloom_never_false_negative_property(spark, members, probes):
+    """For ANY member/probe sets: every member is flagged, and a flag
+    of false proves non-membership (the Bloom contract)."""
+    from icelake_spark.ops.sketches import bloom_bits, bloom_maybe_contains
+
+    mdf = spark.createDataFrame([(m,) for m in members], "key string")
+    pdf = spark.createDataFrame([(p,) for p in set(members) | set(probes)],
+                                "key string")
+    bits = bloom_bits(mdf, "key", k=3, m=2048)
+    out = {r.key: r.maybe_dup for r in
+           bloom_maybe_contains(pdf, "key", bits, k=3, m=2048).collect()}
+    for m in members:
+        assert out[m] is True
+    for p in probes:
+        if out[p] is False:
+            assert p not in members
+
+
+@given(n=st.integers(min_value=100, max_value=20000))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_hll_error_band_property(spark, n):
+    """HLL estimate stays within a generous error band (the theoretical
+    sigma for m=32 is ~18%; allow 4 sigma) for any cardinality."""
+    from icelake_spark.ops.sketches import hll_distinct
+
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("item-"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", "g").collect()[0].est_distinct
+    assert abs(est - n) / n < 0.75, (n, est)
