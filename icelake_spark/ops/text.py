@@ -963,10 +963,11 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
     ratio_micro(w) = ((c_good(w)+1) * (N_bad+V) * 10^6)
                      DIV ((c_bad(w)+1) * (N_good+V))
     (add-one smoothing; > 10^6 means the token leans 'good'). All
-    counts, one DIV — bit-exact cross-engine, same discipline as
-    lm_bigram_score. Integer bound: the DIV numerator must stay inside
-    int64, which holds while c(w) * (N+V) < ~9e12 — beyond that,
-    pre-scale the counts (the ratios are scale-invariant).
+    counts; the DIV runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    so corpus-scale count products never overflow int64, and the ratio
+    is CLAMPED to <= 10^9 (the standard NB log-odds clip) so per-doc
+    sums stay inside int64 even for 10^7-token documents — bit-exact
+    cross-engine, same discipline as lm_bigram_score.
 
     Scale shape: ONE corpus tokenize feeds both the weak labels (pure
     projection) and the count model (explode + two map-side-combined
@@ -979,21 +980,27 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
     from .dedup import words_col
 
     labeled = df.select(
-        F.col(id_col), F.col(text_col),
+        F.col(id_col),
         F.filter(words_col(text_col), lambda w: w != "").alias("__w"))
     passes = gopher_rules(df, text_col, id_col).select(id_col, "passes")
-    toks = (labeled.select(id_col, F.explode("__w").alias("w"))
-            .join(passes, on=id_col))
+    # join the labels at DOC level, explode after: the shuffle carries
+    # |docs| rows, not the full token multiset
+    toks = (labeled.join(passes, on=id_col)
+            .select(F.explode("__w").alias("w"), "passes"))
+    # eager checkpoint: totals (a collect) and the model map both read
+    # the vocabulary-bounded counts — left lazy, the whole tokenize +
+    # label join + groupBy would execute twice
     counts = toks.groupBy("w").agg(
         F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("cg"),
-        F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("cb"))
+        F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("cb"))         .localCheckpoint()
     totals = counts.agg(
         F.sum("cg").alias("ng"), F.sum("cb").alias("nb"),
         F.count("*").alias("v")).collect()[0]
     ng, nb, v = int(totals.ng or 0), int(totals.nb or 0), int(totals.v or 0)
     ratio = F.expr(
-        f"CAST((cg + 1) * CAST({nb + v} AS BIGINT) * 1000000 AS BIGINT) "
-        f"DIV ((cb + 1) * CAST({ng + v} AS BIGINT))")
+        f"CAST(LEAST(CAST((cg + 1) AS DECIMAL(38,0)) * {nb + v} * 1000000 "
+        f"DIV (CAST((cb + 1) AS DECIMAL(38,0)) * {ng + v}), "
+        f"1000000000) AS BIGINT)")
     model = (counts
              .orderBy((F.col("cg") + F.col("cb")).desc(), F.col("w"))
              .limit(int(top_k))
@@ -1037,8 +1044,10 @@ counts AS (
   FROM toks GROUP BY w),
 tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb, COUNT(*) AS v FROM counts),
 model AS (
-  SELECT w, CAST((cg + 1) * (tot.nb + tot.v) * 1000000
-                 // ((cb + 1) * (tot.ng + tot.v)) AS BIGINT) AS r
+  SELECT w, CAST(LEAST((CAST(cg AS HUGEINT) + 1) * (tot.nb + tot.v)
+                       * 1000000
+                       // ((CAST(cb AS HUGEINT) + 1) * (tot.ng + tot.v)),
+                       1000000000) AS BIGINT) AS r
   FROM counts, tot
   ORDER BY cg + cb DESC, w LIMIT {top_k}),
 doc_toks AS (
