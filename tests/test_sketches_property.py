@@ -78,3 +78,41 @@ def test_hll_error_band_property(spark, n):
         F.concat(F.lit("item-"), F.col("id")).alias("v"))
     est = hll_distinct(df, "v", "g").collect()[0].est_distinct
     assert abs(est - n) / n < 0.75, (n, est)
+
+
+@given(words=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff",
+                                       "ggg", "hh", "iii", "jj"]),
+                      min_size=1, max_size=400))
+@_slow
+def test_countmin_never_underestimates(spark, words):
+    """Count-min's defining guarantee for ANY input: every point
+    estimate >= the true count (collisions only inflate)."""
+    from collections import Counter
+
+    from icelake_spark.ops.sketches import countmin_estimate, countmin_table
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sketch = countmin_table(df, "w", depth=3, width=32)  # tiny: force collisions
+    probes = sorted(set(words))
+    est = {r.word: r.est_count for r in
+           countmin_estimate(sketch, probes, depth=3, width=32).collect()}
+    true = Counter(words)
+    for w in probes:
+        assert est[w] >= true[w], (w, est[w], true[w])
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=500),
+                     min_size=1, max_size=200),
+       parts=st.integers(min_value=1, max_value=9))
+@_slow
+def test_theta_partition_invariance(spark, vals, parts):
+    """The theta sketch's kept set is content-addressed: identical
+    estimates under any input partitioning."""
+    from icelake_spark.ops.sketches import theta_distinct
+
+    df = spark.createDataFrame([("g", str(v)) for v in vals],
+                               "g string, v string")
+    a = theta_distinct(df, "v", "g", sample_den=2).collect()
+    b = theta_distinct(df.repartition(parts), "v", "g",
+                       sample_den=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
