@@ -204,7 +204,11 @@ def mix_allocation(df: DataFrame, budget: int,
     row per source — mixture math is bounded by source cardinality,
     never corpus size). All integer: quota = (tokens*budget) div
     total, remainders ranked descending with the source name as the
-    deterministic tiebreak. Returns (source, tokens, alloc)."""
+    deterministic tiebreak. The tokens*budget product runs in
+    DECIMAL(38,0) (HUGEINT in the SQL twin) — at the corpus scales
+    this module advertises the plain BIGINT product wraps silently
+    (the nb_quality_score count-product discipline; ADVICE r9).
+    Returns (source, tokens, alloc)."""
     from pyspark.sql import Window
 
     from .text import word_count
@@ -220,9 +224,11 @@ def mix_allocation(df: DataFrame, budget: int,
               .groupBy(source_col).agg(F.sum("__t").alias("tokens")))
     wall = Window.partitionBy()
     base = F.expr(f"CASE WHEN __total = 0 THEN 0 "
-                  f"ELSE tokens * {budget} DIV __total END")
-    rem = F.expr(f"CASE WHEN __total = 0 THEN 0 "
-                 f"ELSE tokens * {budget} % __total END")
+                  f"ELSE CAST(tokens AS DECIMAL(38,0)) * {budget} "
+                  f"DIV __total END")
+    rem = F.expr(f"CASE WHEN __total = 0 THEN CAST(0 AS DECIMAL(38,0)) "
+                 f"ELSE CAST(tokens AS DECIMAL(38,0)) * {budget} "
+                 f"% __total END")
     ranked = (counts
               .withColumn("__total", F.sum("tokens").over(wall))
               .withColumn("__base", base)
@@ -251,10 +257,11 @@ totaled AS (
 ranked AS (
   SELECT source, tokens, total,
          CASE WHEN total = 0 THEN 0
-              ELSE tokens * {budget} // total END AS base,
+              ELSE CAST(tokens AS HUGEINT) * {budget} // total END AS base,
          ROW_NUMBER() OVER (
-             ORDER BY CASE WHEN total = 0 THEN 0
-                           ELSE tokens * {budget} % total END DESC,
+             ORDER BY CASE WHEN total = 0 THEN CAST(0 AS HUGEINT)
+                           ELSE CAST(tokens AS HUGEINT) * {budget} % total
+                      END DESC,
                       source) AS rnk
   FROM totaled),
 final AS (

@@ -260,7 +260,10 @@ def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
                          k: int = 4, m: int = 8192) -> DataFrame:
     """Adds `maybe_dup` to every row of df: true iff ALL k lane bits of
     `col` are set in `bits`. False positives only (standard Bloom
-    contract), never false negatives; a NULL key yields NULL.
+    contract), never false negatives; a NULL key yields false (its
+    lane buckets are NULL, element_at(map, NULL) is NULL, and
+    isNotNull() folds that to false — the SQL twin COALESCEs to the
+    same answer, so the engines agree: a NULL key is "not present").
 
     The bit set collapses to a ONE-ROW broadcast map (the
     encode_documents pattern) and every row checks its k lane buckets
@@ -273,7 +276,8 @@ def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
         F.collect_list(F.struct(F.col("bit"), F.lit(True)))).alias("__bm"))
     checks = None
     for i in range(k):
-        c = F.element_at(F.col("__bm"), _lane_bucket(h0, h1, i, m))             .isNotNull()
+        c = (F.element_at(F.col("__bm"), _lane_bucket(h0, h1, i, m))
+             .isNotNull())
         checks = c if checks is None else (checks & c)
     return (df.crossJoin(F.broadcast(bmap))
             .withColumn("maybe_dup", checks)

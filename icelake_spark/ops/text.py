@@ -894,25 +894,51 @@ def _hashed_weight(word, dim: int, seed: str):
 def quality_classifier(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", dim: int = 1024,
                        threshold_milli: int = 0,
-                       seed: str = "qc0") -> DataFrame:
+                       seed: str = "qc0",
+                       weights: DataFrame | None = None) -> DataFrame:
     """fastText-style hashed bag-of-words linear quality classifier
     (the CCNet / LLaMA-pipeline quality-filter shape): score(doc) =
     sum over tokens of weight[hash(token) mod dim], keep iff the MEAN
     token weight clears the threshold.
 
+    Weight lanes: by default the bucket weights are the frozen
+    md5-derived demo lane (engine-portable, so the oracle replays the
+    scoring bit-for-bit). A TRAINED model plugs in via `weights` — a
+    (bucket INT, weight_milli LONG) DataFrame, e.g. distilled from
+    nb_quality_score's count model — which collapses to a ONE-ROW
+    broadcast map (the encode_documents pattern); unset buckets score
+    0. Both lanes share the tokenize / bucket / integer-margin path.
+
     Scale design: the whole scorer is ONE narrow projection — the
     token array never explodes, the weight lookup is two in-row md5s
-    inside a `transform` lambda, and the decision is an integer
+    (frozen lane) or one in-row map probe (trained lane) inside an
+    `aggregate` lambda, and the decision is an integer
     cross-multiplication (margin >= thr * n_terms), so the filter runs
-    at scan speed with zero shuffles and zero Python. Returns
-    (id_col, n_terms, margin_milli, keep)."""
-    from .dedup import words_col
+    at scan speed with zero shuffles of the corpus and zero Python.
+    NULL text scores as an empty document — (0, 0, keep=false) — on
+    both engines (ADVICE r9: the twins used to diverge NULL vs 0).
+    Returns (id_col, n_terms, margin_milli, keep)."""
+    from .dedup import portable_hash60, words_col
 
-    words = F.filter(words_col(text_col), lambda w: w != "")
+    words = F.coalesce(
+        F.filter(words_col(text_col), lambda w: w != ""),
+        F.array().cast("array<string>"))
+    if weights is None:
+        lookup = lambda w: _hashed_weight(w, dim, seed)  # noqa: E731
+        scored = df
+    else:
+        wmap = weights.agg(F.map_from_entries(F.collect_list(F.struct(
+            F.col("bucket").cast("int"),
+            F.col("weight_milli").cast("long")))).alias("__wm"))
+        lookup = lambda w: F.coalesce(  # noqa: E731
+            F.element_at(F.col("__wm"),
+                         (portable_hash60(w) % dim).cast("int")),
+            F.lit(0).cast("long"))
+        scored = df.crossJoin(F.broadcast(wmap))
     margin = F.aggregate(
         words, F.lit(0).cast("long"),
-        lambda acc, w: acc + _hashed_weight(w, dim, seed))
-    out = df.select(
+        lambda acc, w: acc + lookup(w))
+    out = scored.select(
         F.col(id_col), F.size(words).cast("long").alias("n_terms"),
         margin.alias("margin_milli"))
     keep = (F.col("n_terms") > 0) & (
@@ -934,7 +960,7 @@ def quality_classifier_sql(col: str = "text", dim: int = 1024,
     return f"""
 WITH m AS (
   SELECT doc_id,
-         CAST(len({words}) AS BIGINT) AS n_terms,
+         CAST(COALESCE(len({words}), 0) AS BIGINT) AS n_terms,
          CAST(COALESCE(list_sum(list_transform({words},
               w -> {weight})), 0) AS BIGINT) AS margin_milli
   FROM documents)
@@ -990,9 +1016,10 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
     # eager checkpoint: totals (a collect) and the model map both read
     # the vocabulary-bounded counts — left lazy, the whole tokenize +
     # label join + groupBy would execute twice
-    counts = toks.groupBy("w").agg(
+    counts = (toks.groupBy("w").agg(
         F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("cg"),
-        F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("cb"))         .localCheckpoint()
+        F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("cb"))
+        .localCheckpoint())
     totals = counts.agg(
         F.sum("cg").alias("ng"), F.sum("cb").alias("nb"),
         F.count("*").alias("v")).collect()[0]

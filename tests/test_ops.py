@@ -1498,3 +1498,86 @@ def test_nb_quality_score_separates_classes(spark):
     empty = spark.createDataFrame([(1, " ")], "doc_id long, text string")
     r = nb_quality_score(empty).collect()[0]
     assert r.n_terms == 0 and r.nb_score_micro is None and not r.keep
+
+
+def test_mix_allocation_survives_int64_overflow_products(spark):
+    """tokens * budget beyond int64: the DECIMAL(38,0) product keeps
+    Hamilton allocations exact (plain BIGINT silently wraps; ADVICE
+    r9). Expected values come from a Python arbitrary-precision
+    replay of the same largest-remainder method."""
+    from icelake_spark.ops.sampling import mix_allocation
+
+    budget = 1_000_000
+    toks = {"a": 3_000_000_000_000_000_000, "b": 2_999_999_999_999_999_999,
+            "c": 1_500_000_000_000_000_003, "d": 7}
+    total = sum(toks.values())
+    assert max(toks.values()) * budget > 2**63  # the product must wrap
+    df = spark.createDataFrame(
+        [(s, t) for s, t in toks.items()], "source string, toks long")
+    got = {r.source: r.alloc
+           for r in mix_allocation(df, budget=budget,
+                                   tokens_col="toks").collect()}
+    base = {s: t * budget // total for s, t in toks.items()}
+    rem = sorted(toks, key=lambda s: (-(toks[s] * budget % total), s))
+    left = budget - sum(base.values())
+    want = {s: base[s] + (1 if rem.index(s) < left else 0) for s in toks}
+    assert got == want and sum(got.values()) == budget
+
+
+def test_quality_classifier_null_text_twins_agree(spark):
+    """NULL text is an empty document on BOTH engines: (n_terms=0,
+    margin_milli=0, keep=false) — the twins used to diverge (Spark
+    NULL vs DuckDB 0; ADVICE r9)."""
+    import duckdb
+
+    from icelake_spark.ops.text import (
+        quality_classifier,
+        quality_classifier_sql,
+    )
+
+    rows = [(1, None), (2, "some ordinary text here"), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_classifier(df).collect()}
+    assert (got[1].n_terms, got[1].margin_milli, got[1].keep) == (0, 0, False)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for o in con.execute(quality_classifier_sql()).fetchall():
+        s = got[o[0]]
+        assert (s.n_terms, s.margin_milli, s.keep) == o[1:], o
+
+
+def test_quality_classifier_trained_weights_lane(spark):
+    """A caller-supplied (bucket, weight_milli) table replaces the
+    frozen md5 weights through the SAME in-row scoring path: margins
+    match a Python replay, unset buckets score 0, and the corpus
+    still never shuffles (one broadcast of the one-row weight map)."""
+    import hashlib
+
+    from icelake_spark.ops.text import quality_classifier
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dim = 64
+    rows = [(1, "alpha beta gamma"), (2, "delta delta unseen"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # a trained-looking table covering only SOME buckets
+    wrows = [(h60(w) % dim, wt) for w, wt in
+             [("alpha", 500), ("beta", -200), ("delta", 250)]]
+    weights = spark.createDataFrame(wrows, "bucket int, weight_milli long")
+    out = quality_classifier(df, dim=dim, weights=weights,
+                             threshold_milli=100)
+    got = {r.doc_id: r for r in out.collect()}
+    wmap = dict(wrows)
+    for doc_id, text in rows:
+        words = [w for w in (text or "").strip().lower().split() if w]
+        margin = sum(wmap.get(h60(w) % dim, 0) for w in words)
+        g = got[doc_id]
+        assert (g.n_terms, g.margin_milli) == (len(words), margin), g
+        assert g.keep == (len(words) > 0 and margin >= 100 * len(words))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
