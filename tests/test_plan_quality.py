@@ -338,15 +338,19 @@ def test_quantile_and_decontaminate_plan_properties(spark):
     from icelake_spark import queries as Q
 
     sf = "/root/testdata/sf0.001"
-    # quantile sketch: the sample filter sits under the window sort, no
-    # Python; the only join is the tiny distinct-groups retention join
-    # (null-safe), never a cartesian
+    # quantile sketch (r10 distributed-selection shape): the rank
+    # window partitions by (range_partition, group) — NEVER by group
+    # alone (the r9 hot-group funnel) — the per-partition offsets ride
+    # back as a BroadcastHashJoin, and nothing is Python or cartesian
     p1 = _plan(Q.quantile_sketch_q(spark, sf))
     assert "EvalPython" not in p1
     assert "CartesianProduct" not in p1
-    # exactly one: zero would mean the group-retention join (the fix
-    # for silently-vanishing sample-missed groups) was dropped again
-    assert p1.count("Join") == 1
+    assert "windowspecdefinition(__pid" in p1
+    assert "BroadcastHashJoin" in p1
+    # exactly two: the broadcast offsets join plus the tiny
+    # distinct-groups retention join (the fix for silently-vanishing
+    # sample-missed groups)
+    assert p1.count("Join") == 2
     # decontamination: bloom bits + exact check join broadcast; the
     # only sort-merge joins are the span self-join's gram joins
     p2 = _plan(Q.decontaminate_docs_q(spark, sf))
