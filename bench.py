@@ -77,6 +77,8 @@ EXTENDED = [
     "quantile_sketch",
     "tfidf_keywords",
     "nb_quality_score",
+    # round-10: the composed cap -> mix -> pack tail
+    "curation_v3",
 ]
 
 

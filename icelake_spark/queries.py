@@ -4691,6 +4691,111 @@ def nb_quality_score_q(spark, sf_dir):
     return nb_quality_score(docs).orderBy("doc_id")
 
 
+def curation_v3_q(spark, sf_dir):
+    """The cap -> mix -> pack tail every pretraining pipeline runs,
+    composed from the round-9 operators end to end:
+    1. source_cap keeps the 15 longest docs per source (two-stage
+       salted top-N — no hot-source funnel);
+    2. mix_allocation apportions an 8k-token budget across the capped
+       sources by Hamilton largest-remainder (one tiny per-source
+       table, DECIMAL-exact products);
+    3. each source fills its quota with the greedy doc_id-ordered
+       prefix — the cumulative-token window partitions by source but
+       is BOUNDED by the cap (<= 15 rows per source by construction,
+       never corpus-sized);
+    4. sequence_chunks lays the selected docs out as overlapping
+       32/24-token training windows, all in-row until the output
+       explode.
+    Every stage is an already-verified operator; the DuckDB twin
+    chains their SQL twins over the same staged CTEs."""
+    from .ops.sampling import mix_allocation, sequence_chunks, source_cap
+    from .ops.text import word_count
+
+    docs = load(spark, sf_dir, "documents")
+    capped = source_cap(docs, source_col="source",
+                        order=[F.col("n_chars").desc(), F.col("doc_id")],
+                        cap=15)
+    alloc = mix_allocation(capped, budget=8_000).select("source", "alloc")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(F.coalesce(word_count(F.col("text")), F.lit(0))).over(w)
+    sel = (capped.join(F.broadcast(alloc), on="source")
+           .withColumn("__cum", cum)
+           .where(F.col("__cum") <= F.col("alloc")))
+    chunks = sequence_chunks(sel, size=32, stride=24)
+    # source rides back on a broadcast of the (tiny, cap-bounded)
+    # selected-doc list, not a reshuffle of the chunk stream
+    out = chunks.join(F.broadcast(sel.select("doc_id", "source")),
+                      on="doc_id")
+    return (out.select("source", "doc_id", "chunk_id", "n_tokens",
+                       "chunk_text")
+            .orderBy("source", "doc_id", "chunk_id"))
+
+
+def _curation_v3_sql() -> str:
+    """Composed twin: source_cap's window CTE, mix_allocation's
+    Hamilton CTEs (HUGEINT products), the quota-prefix window, and
+    sequence_chunks' slice CTEs, chained over the same stages."""
+    from .ops.text import word_count_sql
+
+    wc = word_count_sql("text")
+    words = ("list_filter(string_split(regexp_replace(trim(lower(text)),"
+             " '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    budget = 8_000
+    return f"""
+WITH capped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS r
+    FROM documents) t
+  WHERE r <= 15),
+counts AS (
+  SELECT source, CAST(SUM(COALESCE({wc}, 0)) AS BIGINT) AS tokens
+  FROM capped GROUP BY source),
+totaled AS (
+  SELECT source, tokens, SUM(tokens) OVER () AS total FROM counts),
+ranked AS (
+  SELECT source, tokens, total,
+         CASE WHEN total = 0 THEN 0
+              ELSE CAST(tokens AS HUGEINT) * {budget} // total END AS base,
+         ROW_NUMBER() OVER (
+             ORDER BY CASE WHEN total = 0 THEN CAST(0 AS HUGEINT)
+                           ELSE CAST(tokens AS HUGEINT) * {budget} % total
+                      END DESC,
+                      source) AS rnk
+  FROM totaled),
+final AS (
+  SELECT source, total, base, rnk,
+         {budget} - SUM(base) OVER () AS leftover
+  FROM ranked),
+alloc AS (
+  SELECT source,
+         CAST(CASE WHEN total = 0 THEN 0
+              ELSE base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+              END AS BIGINT) AS alloc
+  FROM final),
+cum AS (
+  SELECT doc_id, source, text,
+         SUM(COALESCE({wc}, 0)) OVER (
+             PARTITION BY source ORDER BY doc_id) AS running
+  FROM capped),
+sel AS (
+  SELECT c.doc_id, c.source, c.text
+  FROM cum c JOIN alloc a USING (source)
+  WHERE c.running <= a.alloc),
+toks AS (
+  SELECT doc_id, source, {words} AS w FROM sel),
+starts AS (
+  SELECT doc_id, source, w,
+         unnest(generate_series(0, len(w) - 1, 24)) AS s
+  FROM toks WHERE len(w) > 0)
+SELECT source, doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+       CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
+FROM starts ORDER BY source, doc_id, chunk_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4815,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": redact_pii_q,
         "char_entropy": char_entropy_q,
         "embedding_neardup": embedding_neardup_q,
+        "curation_v3": curation_v3_q,
         # -- r8-window rows (driver evidence 1 round old)
         "lm_bigram_score": lm_bigram_score_q,
         "winnow_candidates": winnow_candidates_q,
@@ -4923,6 +5029,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_freq": _countmin_sql(),
         "pagerank_purchases": _pagerank_sql(),
         "curation_v2": _curation_v2_sql(),
+        "curation_v3": _curation_v3_sql(),
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -1627,3 +1627,44 @@ def test_quantile_sketch_hot_group_never_funnels_one_task(spark):
              .groupBy(F.spark_partition_id().alias("p")).count()
              .collect())
     assert max(r["count"] for r in sizes) <= n // n_parts * 2, sizes
+
+
+def test_curation_v3_quota_and_cap_invariants(spark):
+    """The composed cap -> mix -> pack tail respects both bounds: no
+    source contributes more than `cap` docs, each source's selected
+    token mass never exceeds its Hamilton quota, and every chunk comes
+    from a selected doc."""
+    from pyspark.sql import Window
+
+    from icelake_spark.ops.sampling import (
+        mix_allocation,
+        sequence_chunks,
+        source_cap,
+    )
+    from icelake_spark.ops.text import word_count
+
+    rows = [(i, f"s{i % 3}", " ".join(f"w{i}_{j}" for j in range(5 + i % 7)),
+             50 + i) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long")
+    capped = source_cap(df, source_col="source",
+                        order=[F.col("n_chars").desc(), F.col("doc_id")],
+                        cap=10)
+    alloc = {r.source: r.alloc
+             for r in mix_allocation(capped, budget=100).collect()}
+    assert sum(alloc.values()) == 100
+    w = Window.partitionBy("source").orderBy("doc_id")
+    adf = spark.createDataFrame(list(alloc.items()),
+                                "source string, alloc long")
+    sel = (capped.join(F.broadcast(adf), on="source")
+           .withColumn("__c", F.sum(word_count(F.col("text"))).over(w))
+           .where(F.col("__c") <= F.col("alloc")))
+    per_src = {r.source: (r.n, r.toks) for r in sel.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(word_count(F.col("text"))).alias("toks")).collect()}
+    for s, (n, toks) in per_src.items():
+        assert n <= 10 and toks <= alloc[s], (s, n, toks, alloc[s])
+    chunks = sequence_chunks(sel, size=6, stride=4)
+    sel_ids = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert {r.doc_id for r in chunks.select("doc_id").collect()} <= sel_ids
+    assert chunks.where(F.col("n_tokens") > 6).count() == 0

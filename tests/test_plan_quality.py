@@ -357,6 +357,14 @@ def test_quantile_and_decontaminate_plan_properties(spark):
     assert "EvalPython" not in p2
     assert "BroadcastHashJoin" in p2
     assert "CartesianProduct" not in p2
+    # curation_v3 (cap -> mix -> pack): Python-free, no cartesian; the
+    # alloc and source tables ride back as broadcasts, never a
+    # corpus-keyed sort-merge join
+    p3 = _plan(Q.curation_v3_q(spark, sf))
+    assert "EvalPython" not in p3
+    assert "CartesianProduct" not in p3
+    assert "BroadcastHashJoin" in p3
+    assert "SortMergeJoin" not in p3
 
 
 def test_nb_quality_score_plan_properties(spark):
