@@ -82,3 +82,62 @@ def test_streaming_curation_pipeline(spark, warehouse, tmp_path):
     # content whose hash the batch-1 state already saw; 26 fails the
     # quality gate
     assert got == list(range(23)), got
+
+
+def test_streaming_hll_register_union_equals_batch_sketch(
+        spark, warehouse, tmp_path):
+    """The HLL register table is MERGEABLE streaming state: a
+    foreachBatch sink maintains per-(group, register) max across
+    micro-batches, and after two incremental drains (second drain
+    admits only the new snapshot — row accounting proves no replay)
+    the accumulated registers equal the batch sketch over the full
+    corpus. The estimate is a pure function of the registers, so
+    estimate parity follows."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.sketches import hll_registers
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    def mk(ids):
+        rows = [(i, f"g{i % 2}", f"value-{i}") for i in ids]
+        return spark.createDataFrame(rows,
+                                     "doc_id long, g string, v string")
+
+    raw = warehouse.create_table("db.hll_raw",
+                                 S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 40)))
+    raw = raw.refresh()
+
+    acc: dict = {}
+    seen_rows = []
+
+    def merge(batch_df, _bid):
+        seen_rows.append(batch_df.count())
+        for r in hll_registers(batch_df, "v", "g").collect():
+            k = (r.g, r.register)
+            acc[k] = max(acc.get(k, 0), r.max_rho)
+
+    ck = str(tmp_path / "hllck")
+
+    def drain(path):
+        q = (spark.readStream.format("icelake")
+             .option("path", path).load()
+             .writeStream.foreachBatch(merge)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(180):
+            q.stop()
+            raise AssertionError("stream did not drain in time")
+
+    drain(raw.path)
+    assert acc, "first drain produced no registers"
+    raw.append(mk(range(40, 80)))
+    raw = raw.refresh()
+    drain(raw.path)
+
+    # no replay: both drains together processed each row exactly once
+    assert sum(seen_rows) == 80, seen_rows
+    full = {(r.g, r.register): r.max_rho
+            for r in hll_registers(mk(range(0, 80)), "v", "g").collect()}
+    assert acc == full
