@@ -802,17 +802,14 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     staged = (df.select(F.col(id_col), norm.alias("__norm"))
               .where(F.length("__norm") >= k))
-    # the gram explode + per-gram md5 below multiplies work
-    # ~n_chars-fold, so upstream parallelism must be at least the
-    # session's shuffle width — a narrow input (one small parquet file
-    # -> one scan task) would otherwise hash EVERY gram of the corpus
-    # in a single task (measured 8 s -> 0.9 s at sf0.1, r10 drift
-    # triage). The keyed repartition moves only (id, norm) rows —
-    # small next to the gram stream the rolling window shuffles anyway
-    # — and is skipped when the scan is already wide.
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if staged.rdd.getNumPartitions() < target:
-        staged = staged.repartition(target, id_col)
+    # fan out BEFORE the gram explode: the per-gram md5 multiplies work
+    # ~n_chars-fold, and on a narrow scan (one small parquet file ->
+    # one task) every gram of the corpus would hash in a single task —
+    # the one gram-hashing operator that missed the minhash/simhash/
+    # ngram fanout discipline (measured 8 s -> 0.9 s at sf0.1, r10
+    # drift triage). Conditional like every fanout: wide inputs pass
+    # through untouched.
+    staged = fanout(staged, id_col)
     grams = F.expr(
         f"transform(sequence(1, length(__norm) - {k - 1}),"
         f" i -> substr(__norm, i, {k}))")
