@@ -351,6 +351,13 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
                       .alias("__h"))
             .where(F.col("__h") < thr)
             .where(F.col("__v").isNotNull()))
+    # pin the kept sample BEFORE the range exchange: the range
+    # partitioner runs a separate boundary-sampling job over its
+    # input, and an unpinned `kept` would re-execute the full corpus
+    # scan + md5 filter for it (measured: the scan+filter pass is a
+    # third of the query at sf0.1). The checkpoint is the SAMPLE —
+    # 1/sample_den of three narrow columns — not the corpus.
+    kept = kept.localCheckpoint()
     # range partitions ascend by (group, v, h) with NULLS FIRST — the
     # same total order the rank window uses, so within a group every
     # row of partition i sorts before every row of partition j > i and
