@@ -273,7 +273,6 @@ def _to_arrow_type_ids(t: Any):
                         metadata={_FIELD_ID_KEY: str(t.element_id).encode()})
         return pa.list_(elem)
     if isinstance(t, MapType):
-        import pyarrow as pa
         key = pa.field("key", _to_arrow_type_ids(t.key_type), nullable=False,
                        metadata={_FIELD_ID_KEY: str(t.key_id).encode()})
         val = pa.field("value", _to_arrow_type_ids(t.value_type),
@@ -342,7 +341,11 @@ def encode_bound(t: PrimitiveType, v: Any) -> bytes:
         return bytes(v)
     if n == "decimal":
         unscaled = int(Decimal(v).scaleb(t.scale).to_integral_value())
-        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        # MINIMUM two's-complement length (Appendix D): the previous
+        # (bit_length+8)//8 over-padded exact negative powers of two
+        # (-128 took 2 bytes, spec-minimal is 1) — decodes the same but
+        # byte-compares different from Java's encoding (review r10)
+        nbytes = (unscaled + (unscaled < 0)).bit_length() // 8 + 1
         return unscaled.to_bytes(nbytes, "big", signed=True)
     raise ValueError(f"cannot encode bound for {t}")
 

@@ -143,6 +143,19 @@ def test_bounds_roundtrip():
         assert dty.decode_bound(t, dty.encode_bound(t, v)) == v
 
 
+def test_decimal_bounds_are_minimal_twos_complement():
+    """Appendix D: decimal bounds use the MINIMUM number of bytes —
+    exact negative powers of two must not carry a redundant sign byte
+    (review r10: -128 encoded as 0xFF80 instead of 0x80)."""
+    t = dty.decimal_type(10, 2)
+    for v, want_hex in [("-1.28", "80"), ("1.27", "7f"), ("1.28", "0080"),
+                        ("0.00", "00"), ("-0.01", "ff"),
+                        ("-327.68", "8000")]:
+        b = dty.encode_bound(t, v)
+        assert b.hex() == want_hex, (v, b.hex())
+        assert dty.decode_bound(t, b) == Decimal(v)
+
+
 def test_bucket_uuid_hashes_16_byte_form():
     # spec Appendix B: uuid f79c3e09-677c-4bbd-a479-3f349cb785e7 hashes
     # as its 16-byte big-endian representation → 1488055340 (not the
