@@ -130,12 +130,10 @@ def _to_avro_value(v: Any, t: PrimitiveType, tz: dt.tzinfo | None = None) -> Any
                          * 1_000_000)
         return int(v)
     if n == "decimal":
+        from .types.datatypes import min_twos_complement
+
         unscaled = int(decimal.Decimal(v).scaleb(t.scale).to_integral_value())
-        if unscaled >= 0:
-            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
-        else:
-            nbytes = max(1, ((~unscaled).bit_length() + 8) // 8)
-        return unscaled.to_bytes(nbytes, "big", signed=True)
+        return min_twos_complement(unscaled)
     if n == "binary":
         return bytes(v)
     if n in ("int", "long", "time"):

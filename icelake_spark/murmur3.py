@@ -76,16 +76,12 @@ def hash_decimal(unscaled: int) -> int:
     16-byte BE encoding; for negative values Java's BigInteger minimal
     encoding keeps leading 0xFF bytes down to the minimal length).
     """
-    # minimal two's-complement length, as Java BigInteger.toByteArray():
-    # for v >= 0, bit_length+1 bits (sign) rounded up; for v < 0 the
-    # exact boundary values (-128, -32768, ...) need no extra sign byte,
-    # so measure (|v|-1) = ~v's bit length instead — max(1,...) covers 0
-    if unscaled >= 0:
-        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
-    else:
-        nbytes = max(1, ((~unscaled).bit_length() + 8) // 8)
-    data = unscaled.to_bytes(nbytes, "big", signed=True)
-    return hash_bytes(data)
+    # minimal two's-complement length, as Java BigInteger.toByteArray()
+    # — the shared definition (bound encoding and Avro decimals use the
+    # same helper; review r10 deduplication)
+    from .types.datatypes import min_twos_complement
+
+    return hash_bytes(min_twos_complement(unscaled))
 
 
 def hash_str(s: str) -> int:

@@ -343,8 +343,13 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
     from pyspark.sql import Window
 
     if n_parts is None:
-        n_parts = int(df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        try:
+            n_parts = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # platforms that set the conf to a non-numeric sentinel
+            # (e.g. 'auto') still get a cluster-scaled width
+            n_parts = df.sparkSession.sparkContext.defaultParallelism
     thr = HASH_SPACE // sample_den
     kept = (df.select(F.col(group_col), F.col(value_col).alias("__v"),
                       portable_hash60(F.col(id_col).cast("string"))
@@ -388,18 +393,25 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
                       (F.col("__r.__lr") + F.col("__o.__off"))
                       .alias("__rn"),
                       F.col("__o.__n").alias("__n")))
-    targets = {q: F.expr(f"({q} * (__n - 1)) DIV 100 + 1")
-               for q in quantiles}
-    is_target = None
-    for q in quantiles:
-        c = F.col("__rn") == targets[q]
-        is_target = c if is_target is None else (is_target | c)
-    picks = [
-        (F.max(F.when(F.col("__rn") == targets[q], F.col("__v")))
-         .alias(f"q{q}"))
-        for q in quantiles]
-    sketched = joined.where(is_target).groupBy(group_col).agg(
-        F.max("__n").alias("n_kept"), *picks)
+    if quantiles:
+        targets = {q: F.expr(f"({q} * (__n - 1)) DIV 100 + 1")
+                   for q in quantiles}
+        is_target = None
+        for q in quantiles:
+            c = F.col("__rn") == targets[q]
+            is_target = c if is_target is None else (is_target | c)
+        picks = [
+            (F.max(F.when(F.col("__rn") == targets[q], F.col("__v")))
+             .alias(f"q{q}"))
+            for q in quantiles]
+        sketched = joined.where(is_target).groupBy(group_col).agg(
+            F.max("__n").alias("n_kept"), *picks)
+    else:
+        # quantiles=() — kept-count-only mode (the old implementation
+        # supported it; review r10): per-group totals come straight
+        # off the tiny per-partition count table
+        sketched = pcounts.groupBy(group_col).agg(
+            F.sum("__c").alias("n_kept"))
     # every group appears: a map-side-combined distinct of the group
     # column (tiny — bounded by group cardinality) left-joins the
     # sketch so sample-missed groups surface as (0, NULLs). The join

@@ -927,9 +927,20 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
         lookup = lambda w: _hashed_weight(w, dim, seed)  # noqa: E731
         scored = df
     else:
-        wmap = weights.agg(F.map_from_entries(F.collect_list(F.struct(
-            F.col("bucket").cast("int"),
-            F.col("weight_milli").cast("long")))).alias("__wm"))
+        # sum per bucket first: a distilled table (e.g. word-level rows
+        # from nb_quality_score's count model, vocab >> dim) carries
+        # DUPLICATE buckets, and map_from_entries under the default
+        # mapKeyDedupPolicy=EXCEPTION would crash the scoring job on
+        # the first action (NULL buckets likewise — dropped; summing
+        # is the hashing-trick semantics: a bucket's weight is the sum
+        # of its colliding words'). Review r10.
+        wmap = (weights
+                .where(F.col("bucket").isNotNull())
+                .groupBy(F.col("bucket").cast("int").alias("bucket"))
+                .agg(F.sum(F.col("weight_milli").cast("long"))
+                     .alias("weight_milli"))
+                .agg(F.map_from_entries(F.collect_list(F.struct(
+                    "bucket", "weight_milli"))).alias("__wm")))
         lookup = lambda w: F.coalesce(  # noqa: E731
             F.element_at(F.col("__wm"),
                          (portable_hash60(w) % dim).cast("int")),

@@ -308,6 +308,17 @@ _EPOCH_DT = datetime(1970, 1, 1)
 _EPOCH_DT_TZ = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
+def min_twos_complement(unscaled: int) -> bytes:
+    """Minimum-length big-endian two's-complement encoding — Java
+    BigInteger.toByteArray(). The ONE definition shared by bound
+    encoding (here), bucket-transform decimal hashing (murmur3), and
+    Avro decimal encoding (avro_data): the three sites must agree or
+    bucket pruning / external readers silently diverge (review r10
+    deduplicated three hand-rolled copies)."""
+    nbytes = (unscaled + (unscaled < 0)).bit_length() // 8 + 1
+    return unscaled.to_bytes(nbytes, "big", signed=True)
+
+
 def encode_bound(t: PrimitiveType, v: Any) -> bytes:
     """Encode one value per Iceberg spec Appendix D ("single-value binary")."""
     n = t.name
@@ -340,13 +351,12 @@ def encode_bound(t: PrimitiveType, v: Any) -> bytes:
     if n in ("binary", "fixed"):
         return bytes(v)
     if n == "decimal":
-        unscaled = int(Decimal(v).scaleb(t.scale).to_integral_value())
         # MINIMUM two's-complement length (Appendix D): the previous
         # (bit_length+8)//8 over-padded exact negative powers of two
         # (-128 took 2 bytes, spec-minimal is 1) — decodes the same but
         # byte-compares different from Java's encoding (review r10)
-        nbytes = (unscaled + (unscaled < 0)).bit_length() // 8 + 1
-        return unscaled.to_bytes(nbytes, "big", signed=True)
+        unscaled = int(Decimal(v).scaleb(t.scale).to_integral_value())
+        return min_twos_complement(unscaled)
     raise ValueError(f"cannot encode bound for {t}")
 
 

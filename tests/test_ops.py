@@ -1668,3 +1668,41 @@ def test_curation_v3_quota_and_cap_invariants(spark):
     sel_ids = {r.doc_id for r in sel.select("doc_id").collect()}
     assert {r.doc_id for r in chunks.select("doc_id").collect()} <= sel_ids
     assert chunks.where(F.col("n_tokens") > 6).count() == 0
+
+
+def test_quality_classifier_weights_with_duplicate_and_null_buckets(spark):
+    """A distilled weight table (word-level rows, vocab >> dim) carries
+    duplicate buckets — they must SUM (hashing-trick semantics), and
+    NULL buckets drop, instead of map_from_entries crashing on
+    DUPLICATE_MAP_KEY / NULL_MAP_KEY (review r10)."""
+    import hashlib
+
+    from icelake_spark.ops.text import quality_classifier
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dim = 32
+    df = spark.createDataFrame([(1, "alpha beta")],
+                               "doc_id long, text string")
+    ba, bb = h60("alpha") % dim, h60("beta") % dim
+    # colliding test buckets would make the expectation ambiguous
+    assert ba != bb, "fixture buckets must differ"
+    weights = spark.createDataFrame(
+        [(ba, 100), (ba, 250), (bb, -30), (None, 999)],
+        "bucket int, weight_milli long")
+    row = quality_classifier(df, dim=dim, weights=weights).collect()[0]
+    assert row.margin_milli == 350 - 30
+
+
+def test_quantile_sketch_empty_quantiles_counts_only(spark):
+    """quantiles=() returns per-group kept counts (plus retention rows)
+    without crashing on an empty target filter (review r10)."""
+    from icelake_spark.ops.sketches import quantile_sketch
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(40)],
+        "rid long, g string, v double")
+    out = {r.g: r.n_kept for r in quantile_sketch(
+        df, "v", "g", "rid", quantiles=(), sample_den=1).collect()}
+    assert out == {"a": 20, "b": 20}
