@@ -4804,105 +4804,42 @@ FROM starts ORDER BY source, doc_id, chunk_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-9 rotation. The window holds, in order: (1) the TEN
-    operators NEW this round — hll_distinct, bloom_dedup,
-    quality_classifier, source_cap, mix_allocation, sequence_chunks,
-    decontaminate_docs, quantile_sketch, tfidf_keywords, nb_quality_score; (2) the NINE rows whose CODE paths changed this round — semdedup
-    (broadcast-path centroid assignment + per-cluster cap),
-    bpe_train/bpe_encode (driver-side batched merge loop),
-    iceberg_changelog (_semi_join_eq rename-aware keys; early end_seq
-    break), streaming_ingest (_classify append-with-delete-churn fix),
-    iceberg_partition_prune (residual default-spec resolution),
-    iceberg_incremental_read (operation classification feeds the
-    append-only stream), span_contamination and duplicate_spans
-    (max_df=None for the exact-twin contract); (3) the NINETEEN r6-evidence rows the r8
-    rotation queued (TPC-H head + sketch/ANN bench rows +
-    gopher_rules/pack_documents — 3 rounds stale); (4) twelve
-    r7-evidence rows, bench rows first.
+    Round-10 rotation. The window holds, in order: (1) the SIX rows
+    whose CODE paths changed this round — curation_v3 (new: the
+    composed cap -> mix -> pack tail), quantile_sketch (distributed
+    range-partitioned exact rank replaced the per-group window
+    funnel), winnow_candidates (pre-explode fanout) and curation_v2
+    (which runs winnowing), quality_classifier (NULL-text contract +
+    trained-weights lane), mix_allocation (DECIMAL-exact products);
+    (2) the TWENTY-NINE r7-evidence rows the r9 rotation queued (3
+    rounds stale — the full list VERDICT r9 #1 holds this round to);
+    (3) fifteen r8-evidence rows, bench + iceberg-merge rows first.
 
-    Twenty-nine r7-evidence rows sit out for space and MUST lead the
-    r10 window (3 rounds stale by then): iceberg_delete_compaction,
-    iceberg_sql_ctas,
-    iceberg_sql_select, iceberg_sql_ddl, temperature_sample, q17, q19, q18, q12,
-    window_functions_suite, grouping_sets_rollup,
-    semi_anti_join_customers, correlated_subquery,
-    continuous_aggregate, pipeline_curation, corpus_term_freq,
-    dedup_against, inverted_index, redact_pii, char_entropy,
-    embedding_neardup, iceberg_nested_roundtrip, iceberg_update,
-    iceberg_zorder, iceberg_snapshots_meta, iceberg_time_travel,
-    iceberg_bucket_partition, trigram_familiarity,
-    multimodal_features. Queries 51+ were hash-green in the r8
-    window or the local full-registry sweep (tools/check_oracle.py —
-    the judge's independent r8 sweep was 115/115)."""
+    Twenty-nine r8-evidence rows sit out for space and MUST lead the
+    r11 window (3 rounds stale by then): percentiles_by_status,
+    train_test_split, iceberg_sql_call, dedup_keep_best,
+    iceberg_orc_roundtrip, iceberg_avro_roundtrip, iceberg_files_meta,
+    set_ops_customers, q7, q8, q22, q2, q4, q11, q13, rollup_pricing,
+    cube_order_stats, set_ops_order_value, q15, q20, stats_aggregates,
+    pivot_returnflag, histogram_totalprice, skew_distinct_parts,
+    events_sliding_windows, events_session_window_builtin,
+    events_json_extract, label_centroids, dedup_clusters. Rows 80+ are
+    the r9 window (driver evidence 1 round old). Queries 51+ were
+    hash-green in their last driver window AND in the local
+    full-registry sweep (tools/check_oracle.py)."""
     return {
-        # -- operators new in round 9
-        "hll_distinct": hll_distinct_q,
-        "tfidf_keywords": tfidf_keywords_q,
-        "nb_quality_score": nb_quality_score_q,
-        "decontaminate_docs": decontaminate_docs_q,
+        # -- code paths changed in round 10
+        "curation_v3": curation_v3_q,
         "quantile_sketch": quantile_sketch_q,
-        "bloom_dedup": bloom_dedup_q,
+        "winnow_candidates": winnow_candidates_q,
         "quality_classifier": quality_classifier_q,
-        "source_cap": source_cap_q,
         "mix_allocation": mix_allocation_q,
-        "sequence_chunks": sequence_chunks_q,
-        # -- code paths changed in round 9
-        "semdedup": semdedup_q,
-        "bpe_train": bpe_train_q,
-        "bpe_encode": bpe_encode_q,
-        "iceberg_changelog": iceberg_changelog,
-        "streaming_ingest": streaming_ingest,
-        "iceberg_partition_prune": iceberg_partition_prune,
-        "iceberg_incremental_read": iceberg_incremental_read,
-        "span_contamination": span_contamination_q,
-        "duplicate_spans": duplicate_spans_q,
-        # -- r6-evidence rows queued by the r8 rotation (3 rounds stale)
-        "gopher_rules": gopher_rules_q,
-        "ivf_kmeans_topk": ivf_kmeans_topk_q,
-        "ivf_topk": ivf_topk_q,
-        "lsh_cosine_pairs": lsh_cosine_q,
-        "simhash_near_pairs": simhash_q,
-        "minhash_lsh_pairs": minhash_lsh_q,
-        "ngram_jaccard_pairs": ngram_jaccard_q,
-        "bm25_topk": bm25_topk_q,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q5_local_supplier": q5_local_supplier,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q16_supplier_relationship": q16_supplier_relationship,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "window_top_customers": window_top_customers,
-        "events_hourly": events_hourly,
-        "asof_join": asof_join_q,
-        "dedup_exact": dedup_exact_q,
-        "pack_documents": pack_documents_q,
-        # -- r7-evidence rows, bench rows first (2 rounds stale)
-        "skew_salted_join": skew_salted_join,
-        "events_sessionize": events_sessionize,
-        "range_join": range_join_q,
-        "iceberg_upsert": iceberg_upsert,
-        "text_analysis": text_analysis,
-        "repetition_metrics": repetition_metrics_q,
-        "encode_documents": encode_documents_q,
-        "quantize_embeddings": quantize_embeddings_q,
-        "transforms_projection": transforms_projection,
-        "iceberg_compaction": iceberg_compaction,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_type_profit": q9_product_type_profit,
-        # ---- beyond the 50-row window ------------------------------
-        # -- r10 queue head: r7-evidence rows sat out this round
+        "curation_v2": curation_v2_q,
+        # -- r7-evidence rows queued by the r9 rotation (3 rounds stale)
         "iceberg_delete_compaction": iceberg_delete_compaction,
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
-        "trigram_familiarity": trigram_familiarity_q,
-        "multimodal_features": multimodal_features_q,
-        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
-        "iceberg_update": iceberg_update,
-        "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_bucket_partition": iceberg_bucket_partition,
         "temperature_sample": temperature_sample_q,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_discounted_revenue": q19_discounted_revenue,
@@ -4920,14 +4857,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": redact_pii_q,
         "char_entropy": char_entropy_q,
         "embedding_neardup": embedding_neardup_q,
-        "curation_v3": curation_v3_q,
-        # -- r8-window rows (driver evidence 1 round old)
+        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
+        "iceberg_update": iceberg_update,
+        "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "trigram_familiarity": trigram_familiarity_q,
+        "multimodal_features": multimodal_features_q,
+        # -- r8-evidence rows, bench + iceberg rows first (2 rounds stale)
         "lm_bigram_score": lm_bigram_score_q,
-        "winnow_candidates": winnow_candidates_q,
         "theta_distinct": theta_distinct_q,
         "countmin_freq": countmin_freq_q,
         "pagerank_purchases": pagerank_purchases_q,
-        "curation_v2": curation_v2_q,
         "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
         "iceberg_merge_multi": iceberg_merge_multi,
@@ -4939,6 +4881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "string_date_functions": string_date_functions,
         "q14_promo_effect": q14_promo_effect,
+        # ---- beyond the 50-row window ------------------------------
+        # -- r11 queue head: r8-evidence rows sat out this round
         "percentiles_by_status": percentiles_by_status,
         "train_test_split": train_test_split,
         "iceberg_sql_call": iceberg_sql_call,
@@ -4968,6 +4912,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract,
         "label_centroids": label_centroids_q,
         "dedup_clusters": dedup_clusters_q,
+        # -- r9-window rows (driver evidence 1 round old)
+        "hll_distinct": hll_distinct_q,
+        "tfidf_keywords": tfidf_keywords_q,
+        "nb_quality_score": nb_quality_score_q,
+        "decontaminate_docs": decontaminate_docs_q,
+        "bloom_dedup": bloom_dedup_q,
+        "source_cap": source_cap_q,
+        "sequence_chunks": sequence_chunks_q,
+        "semdedup": semdedup_q,
+        "bpe_train": bpe_train_q,
+        "bpe_encode": bpe_encode_q,
+        "iceberg_changelog": iceberg_changelog,
+        "streaming_ingest": streaming_ingest,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        "iceberg_incremental_read": iceberg_incremental_read,
+        "span_contamination": span_contamination_q,
+        "duplicate_spans": duplicate_spans_q,
+        "gopher_rules": gopher_rules_q,
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
+        "ivf_topk": ivf_topk_q,
+        "lsh_cosine_pairs": lsh_cosine_q,
+        "simhash_near_pairs": simhash_q,
+        "minhash_lsh_pairs": minhash_lsh_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "bm25_topk": bm25_topk_q,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q16_supplier_relationship": q16_supplier_relationship,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "window_top_customers": window_top_customers,
+        "events_hourly": events_hourly,
+        "asof_join": asof_join_q,
+        "dedup_exact": dedup_exact_q,
+        "pack_documents": pack_documents_q,
+        "skew_salted_join": skew_salted_join,
+        "events_sessionize": events_sessionize,
+        "range_join": range_join_q,
+        "iceberg_upsert": iceberg_upsert,
+        "text_analysis": text_analysis,
+        "repetition_metrics": repetition_metrics_q,
+        "encode_documents": encode_documents_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "transforms_projection": transforms_projection,
+        "iceberg_compaction": iceberg_compaction,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_type_profit": q9_product_type_profit,
     }
 
 
