@@ -113,8 +113,11 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     instead of each inlining the concat/lower/regexp subtree — the
     Catalyst tree (and its codegen time) shrinks ~3×; the fused
     whole-stage-codegen plan is unchanged in shape."""
+    from .util import fanout
+
     c = F.col(text_col)
-    staged = df.select(
+    # 20+ per-row counters: spread narrow scans first (r10 fanout audit)
+    staged = fanout(df).select(
         "doc_id", c.alias("__t"),
         F.concat(F.lit(" "), F.lower(c), F.lit(" ")).alias("__padded"),
         F.regexp_replace(F.trim(c), r"\s+", " ").alias("__norm_ws"),
@@ -457,6 +460,8 @@ def trigram_familiarity(df: DataFrame, text_col: str = "text",
     (floor((sum*1e6)/n) — engine-independent, unlike decimal division
     rounding).
     """
+    from .util import fanout
+
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     tris = F.when(
         F.length("__norm") >= 3,
@@ -464,7 +469,12 @@ def trigram_familiarity(df: DataFrame, text_col: str = "text",
                "i -> substring(__norm, i, 3))")
     ).otherwise(F.array().cast("array<string>"))
 
-    base = df.select(F.col(id_col), norm.alias("__norm")) \
+    # fan out BEFORE building the trigram arrays: both the corpus-count
+    # explode and the CodegenFallback aggregate-scoring pass otherwise
+    # run inside a narrow scan's single task (measured 40.6 s -> 3.0 s
+    # at sf0.1 on a one-file input; r10 fanout audit)
+    base = fanout(df, F.col(id_col)) \
+        .select(F.col(id_col), norm.alias("__norm")) \
         .select(F.col(id_col), tris.alias("__t"))
     counts = (base.select(F.explode("__t").alias("g"))
               .groupBy("g").agg(F.count("*").alias("c")))
@@ -544,6 +554,13 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     JVM expressions (split/filter/length); one projection pass, no
     shuffle, no UDFs — the filter runs at scan speed on 100 TB.
     """
+    from .util import fanout
+
+    # one projection pass, but a compute-dense one (six splits/filters
+    # per row): fan out narrow scans so it doesn't run single-task
+    # (r10 fanout audit); wide inputs pass through, preserving the
+    # no-shuffle scan-speed claim at scale
+    df = fanout(df, F.col(id_col))
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     wc = word_count(F.col(text_col))
     # total word characters = normalized length minus the separators
@@ -919,6 +936,7 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
     both engines (ADVICE r9: the twins used to diverge NULL vs 0).
     Returns (id_col, n_terms, margin_milli, keep)."""
     from .dedup import portable_hash60, words_col
+    from .util import fanout
 
     words = F.coalesce(
         F.filter(words_col(text_col), lambda w: w != ""),
@@ -949,6 +967,10 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
     margin = F.aggregate(
         words, F.lit(0).cast("long"),
         lambda acc, w: acc + lookup(w))
+    # the in-row md5/map scoring is CodegenFallback — fan out narrow
+    # scans so it doesn't run single-task (r10 fanout audit; wide
+    # inputs pass through and the zero-shuffle scale claim holds)
+    scored = fanout(scored, F.col(id_col))
     out = scored.select(
         F.col(id_col), F.size(words).cast("long").alias("n_terms"),
         margin.alias("margin_milli"))
@@ -1015,8 +1037,13 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
     Out-of-vocabulary tokens contribute the neutral ratio 10^6.
     Returns (id_col, n_terms, nb_score_micro, keep)."""
     from .dedup import words_col
+    from .util import fanout
 
-    labeled = df.select(
+    # fan out once at the top: the tokenize feeds BOTH the count model
+    # and the in-row scoring pass (CodegenFallback aggregate over the
+    # broadcast map) — on a narrow scan both would run single-task
+    # (r10 fanout audit, 1.8 -> 1.1 s at sf0.1)
+    labeled = fanout(df, F.col(id_col)).select(
         F.col(id_col),
         F.filter(words_col(text_col), lambda w: w != "").alias("__w"))
     passes = gopher_rules(df, text_col, id_col).select(id_col, "passes")

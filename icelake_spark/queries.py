@@ -4804,26 +4804,30 @@ FROM starts ORDER BY source, doc_id, chunk_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-10 rotation. The window holds, in order: (1) the SIX rows
+    Round-10 rotation. The window holds, in order: (1) the NINE rows
     whose CODE paths changed this round — curation_v3 (new: the
     composed cap -> mix -> pack tail), quantile_sketch (distributed
     range-partitioned exact rank replaced the per-group window
     funnel), winnow_candidates (pre-explode fanout) and curation_v2
     (which runs winnowing), quality_classifier (NULL-text contract +
-    trained-weights lane), mix_allocation (DECIMAL-exact products);
+    trained-weights lane + fanout), mix_allocation (DECIMAL-exact
+    products), plus — at the window tail — nb_quality_score,
+    text_analysis and gopher_rules (r10 fanout audit), with
+    trigram_familiarity (also fanned out) already in the stale set;
     (2) the TWENTY-NINE r7-evidence rows the r9 rotation queued (3
     rounds stale — the full list VERDICT r9 #1 holds this round to);
-    (3) fifteen r8-evidence rows, bench + iceberg-merge rows first.
+    (3) twelve r8-evidence rows, bench + iceberg-merge rows first.
 
-    Twenty-nine r8-evidence rows sit out for space and MUST lead the
-    r11 window (3 rounds stale by then): percentiles_by_status,
+    Thirty-two r8-evidence rows sit out for space and MUST lead the
+    r11 window (3 rounds stale by then): string_date_functions,
+    q14_promo_effect, line_dedup, percentiles_by_status,
     train_test_split, iceberg_sql_call, dedup_keep_best,
     iceberg_orc_roundtrip, iceberg_avro_roundtrip, iceberg_files_meta,
     set_ops_customers, q7, q8, q22, q2, q4, q11, q13, rollup_pricing,
     cube_order_stats, set_ops_order_value, q15, q20, stats_aggregates,
     pivot_returnflag, histogram_totalprice, skew_distinct_parts,
     events_sliding_windows, events_session_window_builtin,
-    events_json_extract, label_centroids, dedup_clusters. Rows 80+ are
+    events_json_extract, label_centroids, dedup_clusters. Rows 83+ are
     the r9 window (driver evidence 1 round old). Queries 51+ were
     hash-green in their last driver window AND in the local
     full-registry sweep (tools/check_oracle.py)."""
@@ -4870,7 +4874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct": theta_distinct_q,
         "countmin_freq": countmin_freq_q,
         "pagerank_purchases": pagerank_purchases_q,
-        "line_dedup": line_dedup_q,
         "iceberg_merge": iceberg_merge,
         "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_merge_cols": iceberg_merge_cols,
@@ -4879,10 +4882,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
         "iceberg_mor_delete": iceberg_mor_delete,
         "curation_pipeline": curation_pipeline_q,
-        "string_date_functions": string_date_functions,
-        "q14_promo_effect": q14_promo_effect,
+        "nb_quality_score": nb_quality_score_q,
+        "text_analysis": text_analysis,
+        "gopher_rules": gopher_rules_q,
         # ---- beyond the 50-row window ------------------------------
         # -- r11 queue head: r8-evidence rows sat out this round
+        "string_date_functions": string_date_functions,
+        "q14_promo_effect": q14_promo_effect,
+        "line_dedup": line_dedup_q,
         "percentiles_by_status": percentiles_by_status,
         "train_test_split": train_test_split,
         "iceberg_sql_call": iceberg_sql_call,
@@ -4915,7 +4922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9-window rows (driver evidence 1 round old)
         "hll_distinct": hll_distinct_q,
         "tfidf_keywords": tfidf_keywords_q,
-        "nb_quality_score": nb_quality_score_q,
         "decontaminate_docs": decontaminate_docs_q,
         "bloom_dedup": bloom_dedup_q,
         "source_cap": source_cap_q,
@@ -4929,7 +4935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental_read": iceberg_incremental_read,
         "span_contamination": span_contamination_q,
         "duplicate_spans": duplicate_spans_q,
-        "gopher_rules": gopher_rules_q,
         "ivf_kmeans_topk": ivf_kmeans_topk_q,
         "ivf_topk": ivf_topk_q,
         "lsh_cosine_pairs": lsh_cosine_q,
@@ -4952,7 +4957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "range_join": range_join_q,
         "iceberg_upsert": iceberg_upsert,
-        "text_analysis": text_analysis,
         "repetition_metrics": repetition_metrics_q,
         "encode_documents": encode_documents_q,
         "quantize_embeddings": quantize_embeddings_q,
