@@ -779,7 +779,7 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        w: int = 4) -> DataFrame:
+                        w: int = 4, fanout_input: bool = True) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
     the MOSS algorithm): hash every character k-gram of the normalized
     text, slide a window of w consecutive hashes, and select each
@@ -807,9 +807,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     # one task) every gram of the corpus would hash in a single task —
     # the one gram-hashing operator that missed the minhash/simhash/
     # ngram fanout discipline (measured 8 s -> 0.9 s at sf0.1, r10
-    # drift triage). Conditional like every fanout: wide inputs pass
-    # through untouched.
-    staged = fanout(staged, id_col)
+    # drift triage). fanout_input=False is for composed pipelines
+    # whose input is already post-shuffle (curation_v2: the probe sees
+    # the static 32-partition shuffle, "widens" it to 64 and pays an
+    # extra exchange for nothing — measured +1 s; same contract as
+    # repetition_metrics / ngram_jaccard).
+    if fanout_input:
+        staged = fanout(staged, id_col)
     grams = F.expr(
         f"transform(sequence(1, length(__norm) - {k - 1}),"
         f" i -> substr(__norm, i, {k}))")
@@ -841,13 +845,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_candidates(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5, w: int = 4,
-                      min_shared: int = 3, max_df: int = 50) -> DataFrame:
+                      min_shared: int = 3, max_df: int = 50,
+                      fanout_input: bool = True) -> DataFrame:
     """Near-duplicate candidates from shared winnowing fingerprints:
     pairs sharing >= min_shared distinct selected hashes. Hashes
     selected in more than max_df documents (boilerplate k-grams) are
     dropped BEFORE the pair join — the standard hot-key guard that
     keeps the self-join sub-quadratic at corpus scale."""
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w) \
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w,
+                             fanout_input=fanout_input) \
         .select(id_col, "hash").distinct()
     hot = (fp.groupBy("hash").agg(F.countDistinct(id_col).alias("__df"))
            .where(F.col("__df") > max_df).select("hash"))

@@ -2708,7 +2708,7 @@ def curation_v2_q(spark, sf_dir):
     gated = docs.join(lm.select("doc_id"), on="doc_id", how="left_semi")
     deduped = dedup_exact(gated)
     drops = (winnow_candidates(deduped, k=5, w=4, min_shared=8,
-                               max_df=50)
+                               max_df=50, fanout_input=False)
              .select(F.col("b").alias("doc_id")).distinct())
     survivors = deduped.join(drops, on="doc_id", how="left_anti")
     return (hash_split(survivors, "doc_id", 0.8)
