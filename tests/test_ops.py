@@ -1580,7 +1580,11 @@ def test_quality_classifier_trained_weights_lane(spark):
         assert g.keep == (len(words) > 0 and margin >= 100 * len(words))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
-    assert "Exchange hashpartitioning(doc_id" not in plan
+    # at most ONE doc_id exchange: the conditional fanout spread on
+    # this tiny narrow input (r10 audit) — never a join-driven corpus
+    # reshuffle
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1
+    assert "SortMergeJoin" not in plan
 
 
 def test_quantile_sketch_hot_group_never_funnels_one_task(spark):
