@@ -116,3 +116,34 @@ def test_theta_partition_invariance(spark, vals, parts):
     b = theta_distinct(df.repartition(parts), "v", "g",
                        sample_den=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+@given(vals=st.lists(st.tuples(st.sampled_from([None, "a", "b", "c"]),
+                               st.integers(min_value=-50, max_value=50)),
+                     min_size=1, max_size=200),
+       n_parts=st.sampled_from([1, 2, 3, 7]))
+@_slow
+def test_quantile_distributed_selection_any_partitioning(spark, vals,
+                                                         n_parts):
+    """The r10 range-partitioned global rank is EXACT for arbitrary
+    group skew (including a NULL group), duplicate values, and any
+    n_parts — every group's discrete quantiles equal a pure-Python
+    replay of the (value, hash) total order, and every group of the
+    input appears."""
+    from icelake_spark.ops.sketches import quantile_sketch
+
+    rows = [(f"r{i}", g, float(v)) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid string, g string, v double")
+    out = {r.g: r for r in quantile_sketch(
+        df, "v", "g", "rid", quantiles=(0, 50, 100), sample_den=1,
+        n_parts=n_parts).collect()}
+    by_g: dict = {}
+    for rid, g, v in rows:
+        by_g.setdefault(g, []).append((v, _h60(rid)))
+    assert set(out) == set(by_g)
+    for g, kept in by_g.items():
+        kept.sort()
+        assert out[g].n_kept == len(kept), g
+        for q in (0, 50, 100):
+            want = kept[(q * (len(kept) - 1)) // 100][0]
+            assert out[g][f"q{q}"] == want, (g, q)
