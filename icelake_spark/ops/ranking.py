@@ -147,22 +147,36 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     df_t stays the TRUE document frequency so scoring stays correct even
     when the list is capped.
 
-    The cap is applied BEFORE the list materializes: a per-term
-    row_number window (sort-based, spills to disk) filters to the lowest
-    `max_postings` ids, and only then does collect_list build the
-    (bounded) array — collect_set-then-slice would buffer a stopword's
-    entire posting list in one aggregation buffer first, the exact OOM
-    the cap exists to prevent.
+    The cap is applied BEFORE the list materializes, in TWO stages
+    (the source_cap salted-top-N discipline): per-(term, salt)
+    candidates first — 16 parallel tasks per term, each keeping at
+    most `max_postings` lowest ids — then the final per-term window
+    sees at most 16*max_postings rows, so even a stopword whose full
+    posting set is corpus-sized never sorts through one task (the
+    lowest-N of a set is always a subset of the union of salted
+    lowest-Ns, so the result is EXACTLY the single-window answer the
+    oracle computes; r10 — the same funnel class the quantile sketch
+    fix closed). Only then does collect_list build the (bounded)
+    array — collect_set-then-slice would buffer a stopword's entire
+    posting list in one aggregation buffer first, the exact OOM the
+    cap exists to prevent.
     """
     from pyspark.sql import Window
 
+    n_salts = 16
     pairs = (fanout(df, F.col(id_col))
              .select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("term"))
              .dropDuplicates(["term", id_col]))
     counts = pairs.groupBy("term").agg(F.count("*").alias("df_t"))
+    salted = pairs.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                         F.lit(n_salts)))
+    w1 = Window.partitionBy("term", "__salt").orderBy(F.col(id_col))
+    cand = (salted.withColumn("__r", F.row_number().over(w1))
+            .where(F.col("__r") <= max_postings))
     w = Window.partitionBy("term").orderBy(F.col(id_col))
-    capped = (pairs.withColumn("__rn", F.row_number().over(w))
+    capped = (cand.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= max_postings))
     postings = (capped.groupBy("term")
                 .agg(F.sort_array(F.collect_list(F.col(id_col)))

@@ -1712,3 +1712,20 @@ def test_quantile_sketch_empty_quantiles_counts_only(spark):
     out = {r.g: r.n_kept for r in quantile_sketch(
         df, "v", "g", "rid", quantiles=(), sample_den=1).collect()}
     assert out == {"a": 20, "b": 20}
+
+
+def test_inverted_index_salted_cap_equals_single_window(spark):
+    """The two-stage salted posting cap returns EXACTLY the
+    single-window lowest-N, including for a hot stopword term present
+    in 95% of documents (the funnel case the salting bounds)."""
+    from icelake_spark.ops.ranking import inverted_index
+
+    rows = [(i, ("the common " if i % 20 != 7 else "odd ")
+             + f"tail{i % 11}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {r.term: r for r in
+           inverted_index(df, min_df=2, max_postings=25).collect()}
+    hot = [i for i in range(400) if i % 20 != 7]
+    assert idx["the"].df_t == len(hot)
+    assert idx["the"].postings == sorted(hot)[:25]
+    assert idx["common"].postings == sorted(hot)[:25]
