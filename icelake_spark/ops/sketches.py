@@ -286,6 +286,123 @@ def bloom_maybe_contains(df: DataFrame, col: str, bits: DataFrame,
 
 # ----------------------------------------------------- quantile sketch
 
+def _resolve_n_parts(df: DataFrame, n_parts: int | None) -> int:
+    if n_parts is not None:
+        return n_parts
+    try:
+        return int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # platforms that set the conf to a non-numeric sentinel
+        # (e.g. 'auto') still get a cluster-scaled width
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _global_ranks(kept: DataFrame, group_col: str,
+                  n_parts: int) -> tuple[DataFrame, DataFrame]:
+    """Distributed exact per-group ranks over a (group, __v, __h)
+    relation — the zipWithIndex decomposition shared by quantile_sketch
+    and percentile_cont: range-partition on (group, v, h) so every
+    group spreads across partitions, rank each slice locally, cumulate
+    per-(partition, group) counts into broadcast offsets, global rank
+    = local rank + offset. Returns (joined, pcounts): `joined` carries
+    (group_col, __v, __rn, __n) for every input row, `pcounts` the
+    tiny per-(partition, group) count table.
+
+    Both checkpoints are deliberate: the first pins `kept` so the
+    range partitioner's boundary-sampling job reads the materialized
+    relation instead of re-running the upstream scan; the second pins
+    spark_partition_id against boundary re-draws between the offset
+    and rank consumers."""
+    from pyspark.sql import Window
+
+    kept = kept.localCheckpoint()
+    # range partitions ascend by (group, v, h) with NULLS FIRST — the
+    # same total order the rank window uses, so within a group every
+    # row of partition i sorts before every row of partition j > i and
+    # rank = offset + local rank is exact
+    part = (kept.repartitionByRange(n_parts, group_col, "__v", "__h")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())
+    w = Window.partitionBy("__pid", group_col).orderBy("__v", "__h")
+    ranked = part.withColumn("__lr", F.row_number().over(w))
+    pcounts = part.groupBy("__pid", group_col).agg(
+        F.count("*").alias("__c"))
+    offsets = (pcounts
+               .withColumn("__off",
+                           F.sum("__c").over(
+                               Window.partitionBy(group_col)
+                               .orderBy("__pid")) - F.col("__c"))
+               .withColumn("__n", F.sum("__c").over(
+                   Window.partitionBy(group_col))))
+    r, o = ranked.alias("__r"), offsets.alias("__o")
+    # group key joins null-safe: a NULL group is a real group, and a
+    # plain equi-join would silently drop its ranks
+    joined = (r.join(F.broadcast(o),
+                     (F.col("__r.__pid") == F.col("__o.__pid"))
+                     & F.col(f"__r.{group_col}")
+                     .eqNullSafe(F.col(f"__o.{group_col}")))
+              .select(F.col(f"__r.{group_col}").alias(group_col),
+                      F.col("__r.__v").alias("__v"),
+                      (F.col("__r.__lr") + F.col("__o.__off"))
+                      .alias("__rn"),
+                      F.col("__o.__n").alias("__n")))
+    return joined, pcounts
+
+
+def percentile_cont_exact(df: DataFrame, value_col: str, group_col: str,
+                          fractions_pct: tuple = (25, 50, 75, 95),
+                          n_parts: int | None = None) -> DataFrame:
+    """Exact interpolated PERCENTILE_CONT per group WITHOUT buffering a
+    group's values in one aggregation state: Spark's built-in
+    percentile aggregate holds every (value, count) of a group in the
+    aggregation buffer — at 100 TB a low-cardinality group key (order
+    status: 3 values) concentrates a third of the table's distinct
+    values into single buffers. Here the _global_ranks machinery
+    spreads each group across range partitions, and only the <= 2
+    boundary rows per requested fraction reach the final aggregate.
+
+    Semantics match SQL PERCENTILE_CONT (and Spark's percentile):
+    pos = 1 + p*(n-1); result = v_lo + (pos - floor(pos))*(v_hi - v_lo)
+    over the NULL-free sorted values. The fractional position is exact
+    integer arithmetic (fractions given in PERCENT; pos_num =
+    100 + k*(n-1) with DIV/% by 100), so both engines select the same
+    boundary rows; the one float op is the final interpolation.
+    Groups whose values are all NULL are omitted (GROUP BY over the
+    NULL-free relation — same as the twin's WHERE v IS NOT NULL).
+    Returns (group_col, p<k> per fraction)."""
+    kept = (df.select(F.col(group_col),
+                      F.col(value_col).cast("double").alias("__v"),
+                      F.lit(0).cast("long").alias("__h"))
+            .where(F.col("__v").isNotNull()))
+    joined, _ = _global_ranks(kept, group_col,
+                              _resolve_n_parts(df, n_parts))
+    is_target = None
+    aggs = []
+    for k in fractions_pct:
+        pos = f"(100 + {k} * (__n - 1))"
+        lo, hi = F.expr(f"{pos} DIV 100"), F.expr(f"({pos} + 99) DIV 100")
+        c = (F.col("__rn") == lo) | (F.col("__rn") == hi)
+        is_target = c if is_target is None else (is_target | c)
+        aggs += [
+            F.max(F.when(F.col("__rn") == lo, F.col("__v")))
+            .alias(f"__lo{k}"),
+            F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+            .alias(f"__hi{k}"),
+            F.max(F.expr(f"{pos} % 100")).alias(f"__f{k}"),
+        ]
+    g = joined.where(is_target).groupBy(group_col).agg(*aggs)
+    outs = [F.col(group_col)]
+    for k in fractions_pct:
+        # Spark Percentile's own formula: lower + (pos - floor(pos)) *
+        # (higher - lower)
+        outs.append((F.col(f"__lo{k}")
+                     + (F.col(f"__f{k}") / F.lit(100.0))
+                     * (F.col(f"__hi{k}") - F.col(f"__lo{k}")))
+                    .alias(f"p{k}"))
+    return g.select(*outs).orderBy(F.col(group_col).asc_nulls_last())
+
+
 def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
                     id_col: str, quantiles: tuple = (50, 95, 99),
                     sample_den: int = 16,
@@ -340,59 +457,14 @@ def quantile_sketch(df: DataFrame, value_col: str, group_col: str,
     code-review r9d). Quantiles of groups with n_kept below ~30 are
     statistically unreliable — the standard error is ~ 1/sqrt(n_kept)
     quantile-density units."""
-    from pyspark.sql import Window
-
-    if n_parts is None:
-        try:
-            n_parts = int(df.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            # platforms that set the conf to a non-numeric sentinel
-            # (e.g. 'auto') still get a cluster-scaled width
-            n_parts = df.sparkSession.sparkContext.defaultParallelism
     thr = HASH_SPACE // sample_den
     kept = (df.select(F.col(group_col), F.col(value_col).alias("__v"),
                       portable_hash60(F.col(id_col).cast("string"))
                       .alias("__h"))
             .where(F.col("__h") < thr)
             .where(F.col("__v").isNotNull()))
-    # pin the kept sample BEFORE the range exchange: the range
-    # partitioner runs a separate boundary-sampling job over its
-    # input, and an unpinned `kept` would re-execute the full corpus
-    # scan + md5 filter for it (measured: the scan+filter pass is a
-    # third of the query at sf0.1). The checkpoint is the SAMPLE —
-    # 1/sample_den of three narrow columns — not the corpus.
-    kept = kept.localCheckpoint()
-    # range partitions ascend by (group, v, h) with NULLS FIRST — the
-    # same total order the rank window uses, so within a group every
-    # row of partition i sorts before every row of partition j > i and
-    # rank = offset + local rank is exact
-    part = (kept.repartitionByRange(n_parts, group_col, "__v", "__h")
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint())
-    w = Window.partitionBy("__pid", group_col).orderBy("__v", "__h")
-    ranked = part.withColumn("__lr", F.row_number().over(w))
-    pcounts = part.groupBy("__pid", group_col).agg(
-        F.count("*").alias("__c"))
-    offsets = (pcounts
-               .withColumn("__off",
-                           F.sum("__c").over(
-                               Window.partitionBy(group_col)
-                               .orderBy("__pid")) - F.col("__c"))
-               .withColumn("__n", F.sum("__c").over(
-                   Window.partitionBy(group_col))))
-    r, o = ranked.alias("__r"), offsets.alias("__o")
-    # group key joins null-safe: a NULL group is a real group, and a
-    # plain equi-join would silently drop its ranks
-    joined = (r.join(F.broadcast(o),
-                     (F.col("__r.__pid") == F.col("__o.__pid"))
-                     & F.col(f"__r.{group_col}")
-                     .eqNullSafe(F.col(f"__o.{group_col}")))
-              .select(F.col(f"__r.{group_col}").alias(group_col),
-                      F.col("__r.__v").alias("__v"),
-                      (F.col("__r.__lr") + F.col("__o.__off"))
-                      .alias("__rn"),
-                      F.col("__o.__n").alias("__n")))
+    joined, pcounts = _global_ranks(kept, group_col,
+                                    _resolve_n_parts(df, n_parts))
     if quantiles:
         targets = {q: F.expr(f"({q} * (__n - 1)) DIV 100 + 1")
                    for q in quantiles}

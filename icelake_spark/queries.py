@@ -1121,20 +1121,24 @@ ORDER BY o_orderstatus
 
 def percentiles_by_status(spark, sf_dir):
     """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics)
-    per order status — quartiles of the order value distribution."""
+    per order status — quartiles of the order value distribution.
+
+    r10: computed by ops/sketches.percentile_cont_exact (distributed
+    range-partitioned rank selection) instead of F.percentile, whose
+    aggregation buffer holds EVERY (value, count) of a group — with 3
+    statuses over a 100 TB orders table that buffer is a third of the
+    table's distinct values in one task. Values are identical (same
+    PERCENTILE_CONT formula, one final float interpolation)."""
+    from .ops.sketches import percentile_cont_exact
+
     o = load(spark, sf_dir, "orders")
-    pcts = (F.percentile("o_totalprice", F.array(
-        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))))
-    # One percentile aggregate computes all four; flattened to scalar
-    # columns (q25..q95) because array-typed result columns are not
-    # hashable by the driver's pandas canonicalizer.
-    return (o.groupBy("o_orderstatus")
-            .agg(pcts.alias("_p"))
-            .select("o_orderstatus",
-                    F.round(F.col("_p")[0], 6).alias("q25"),
-                    F.round(F.col("_p")[1], 6).alias("q50"),
-                    F.round(F.col("_p")[2], 6).alias("q75"),
-                    F.round(F.col("_p")[3], 6).alias("q95"))
+    p = percentile_cont_exact(o, "o_totalprice", "o_orderstatus",
+                              fractions_pct=(25, 50, 75, 95))
+    return (p.select("o_orderstatus",
+                     F.round("p25", 6).alias("q25"),
+                     F.round("p50", 6).alias("q50"),
+                     F.round("p75", 6).alias("q75"),
+                     F.round("p95", 6).alias("q95"))
             .orderBy("o_orderstatus"))
 
 
@@ -4836,9 +4840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewrite.
 
     Thirty-three r8-evidence rows sit out for space and MUST lead the
-    r11 window (3 rounds stale by then): ann_topk, string_date_functions,
-    q14_promo_effect, line_dedup, percentiles_by_status,
-    train_test_split, iceberg_sql_call, dedup_keep_best,
+    r11 window (3 rounds stale by then): ann_topk, countmin_freq, string_date_functions,
+    q14_promo_effect, line_dedup, train_test_split, iceberg_sql_call, dedup_keep_best,
     iceberg_orc_roundtrip, iceberg_avro_roundtrip, iceberg_files_meta,
     set_ops_customers, q7, q8, q22, q2, q4, q11, q13, rollup_pricing,
     cube_order_stats, set_ops_order_value, q15, q20, stats_aggregates,
@@ -4889,7 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r8-evidence rows, bench + iceberg rows first (2 rounds stale)
         "lm_bigram_score": lm_bigram_score_q,
         "theta_distinct": theta_distinct_q,
-        "countmin_freq": countmin_freq_q,
+        "percentiles_by_status": percentiles_by_status,
         "pagerank_purchases": pagerank_purchases_q,
         "iceberg_merge": iceberg_merge,
         "iceberg_merge_multi": iceberg_merge_multi,
@@ -4908,7 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "line_dedup": line_dedup_q,
         "ann_topk": ann_topk_q,
-        "percentiles_by_status": percentiles_by_status,
+        "countmin_freq": countmin_freq_q,
         "train_test_split": train_test_split,
         "iceberg_sql_call": iceberg_sql_call,
         "dedup_keep_best": dedup_keep_best_q,

@@ -1729,3 +1729,26 @@ def test_inverted_index_salted_cap_equals_single_window(spark):
     assert idx["the"].df_t == len(hot)
     assert idx["the"].postings == sorted(hot)[:25]
     assert idx["common"].postings == sorted(hot)[:25]
+
+
+def test_percentile_cont_exact_matches_builtin(spark):
+    """The distributed range-partitioned PERCENTILE_CONT equals
+    Spark's own buffering percentile aggregate on every group,
+    including a skewed group with 90% of the rows and a 1-row group."""
+    from icelake_spark.ops.sketches import percentile_cont_exact
+
+    rows = [(i, "hot" if i % 10 != 9 else f"c{i % 3}",
+             float((i * 37) % 1000) + 0.25) for i in range(3000)]
+    rows.append((99999, "solo", 42.5))
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    got = {r.g: r for r in percentile_cont_exact(
+        df, "v", "g", fractions_pct=(25, 50, 75, 95),
+        n_parts=8).collect()}
+    want = {r.g: r for r in df.groupBy("g").agg(
+        F.percentile("v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75),
+                                  F.lit(0.95))).alias("p")).collect()}
+    assert set(got) == set(want)
+    for g, w in want.items():
+        for i, k in enumerate((25, 50, 75, 95)):
+            assert abs(got[g][f"p{k}"] - w.p[i]) < 1e-9, (g, k)
+    assert got["solo"].p50 == 42.5
