@@ -77,8 +77,9 @@ EXTENDED = [
     "quantile_sketch",
     "tfidf_keywords",
     "nb_quality_score",
-    # round-10: the composed cap -> mix -> pack tail
+    # round-10: the composed cap -> mix -> pack tail; C4 line cleaning
     "curation_v3",
+    "c4_rules",
 ]
 
 

@@ -656,6 +656,93 @@ FROM m ORDER BY doc_id
 """
 
 
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2, the rules the
+    original C4 corpus was built with), the line-level complement to
+    gopher_rules' page-level ratios:
+
+      - a line is KEPT iff it ends in terminal punctuation (. ! ? ")
+        and has at least 5 words;
+      - `text_clean` is the kept lines re-joined;
+      - page-level: n_sentences counts terminal punctuation in the
+        kept text (the >= 3-sentence test), `has_brace` flags '{'
+        (code/templating leak), `has_lorem` flags 'lorem ipsum'
+        placeholder text;
+      - `passes` = n_sentences >= 3 AND no brace AND no lorem.
+
+    Shape: the whole pass is in-row (split / filter / array_join on
+    the line array — JVM lambdas, no explode, no shuffle), so the
+    filter runs at scan speed; narrow scans fan out first (the r10
+    audit discipline). NULL text is an empty page — (0 lines, '',
+    passes=false) — on both engines. Returns (id_col, n_lines,
+    n_kept_lines, n_sentences, has_brace, has_lorem, passes,
+    text_clean)."""
+    from .util import fanout
+
+    df = fanout(df, F.col(id_col))
+    lines = F.coalesce(F.split(F.col(text_col), "\n"),
+                       F.array().cast("array<string>"))
+    line_wc = (lambda l: F.size(F.filter(
+        F.split(F.regexp_replace(F.trim(l), r"\s+", " "), " "),
+        lambda w: w != "")))
+    keep_line = (lambda l: F.rtrim(l).rlike('[.!?"]$')
+                 & (line_wc(l) >= 5))
+    kept = F.filter(lines, keep_line)
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("text_clean"))
+    n_sent = (occurrences(F.col("text_clean"), ".")
+              + occurrences(F.col("text_clean"), "!")
+              + occurrences(F.col("text_clean"), "?")).cast("long")
+    out = (base.withColumn("n_sentences", n_sent)
+           .withColumn("has_brace", F.col("text_clean").contains("{"))
+           .withColumn("has_lorem",
+                       F.lower(F.col("text_clean"))
+                       .contains("lorem ipsum")))
+    passes = ((F.col("n_sentences") >= 3) & ~F.col("has_brace")
+              & ~F.col("has_lorem"))
+    return (out.select(id_col, "n_lines", "n_kept_lines", "n_sentences",
+                       "has_brace", "has_lorem",
+                       passes.alias("passes"), "text_clean")
+            .orderBy(id_col))
+
+
+def c4_rules_sql(col: str = "text") -> str:
+    """DuckDB twin: identical line filter, join, and counts."""
+    lines = f"COALESCE(string_split({col}, chr(10)), [])"
+    lwc = ("len(list_filter(string_split(regexp_replace(trim(l), "
+           "'\\s+', ' ', 'g'), ' '), w -> w <> ''))")
+    keep = (f"l -> regexp_matches(rtrim(l), '[.!?\"]$') "
+            f"AND {lwc} >= 5")
+    dots = occurrences_sql("text_clean", ".")
+    bangs = occurrences_sql("text_clean", "!")
+    qs = occurrences_sql("text_clean", "?")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({lines}) AS BIGINT) AS n_lines,
+         CAST(len(list_filter({lines}, {keep})) AS BIGINT)
+           AS n_kept_lines,
+         COALESCE(array_to_string(list_filter({lines}, {keep}),
+                                  chr(10)), '') AS text_clean
+  FROM documents),
+s AS (
+  SELECT doc_id, n_lines, n_kept_lines,
+         CAST({dots} + {bangs} + {qs} AS BIGINT) AS n_sentences,
+         contains(text_clean, '{{') AS has_brace,
+         contains(lower(text_clean), 'lorem ipsum') AS has_lorem,
+         text_clean
+  FROM m)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_brace, has_lorem,
+       (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS passes,
+       text_clean
+FROM s ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------- BPE training
 
 

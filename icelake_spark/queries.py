@@ -4219,6 +4219,25 @@ def gopher_rules_q(spark, sf_dir):
     return gopher_rules(load(spark, sf_dir, "documents"))
 
 
+def c4_rules_q(spark, sf_dir):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2; ops/text.py
+    c4_rules): terminal-punctuation + >=5-word line filter, kept-text
+    re-join, and the >=3-sentences / no-brace / no-lorem page gate —
+    all in-row.
+
+    The synthetic documents are single-line prose with no terminal
+    punctuation (every C4 stat would be zero), so the query first
+    SENTENCE-IZES deterministically — each ' the ' becomes '.\\n' — a
+    literal replace both engines perform identically; the rules then
+    exercise every branch (variable line lengths, dropped tails,
+    passing and failing pages)."""
+    from .ops.text import c4_rules
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(".\n")))
+    return c4_rules(docs)
+
+
 def trigram_familiarity_q(spark, sf_dir):
     """Char-trigram familiarity quality scoring over the documents
     corpus (ops/text.py:trigram_familiarity): the model-free CCNet-
@@ -4840,7 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewrite.
 
     Thirty-three r8-evidence rows sit out for space and MUST lead the
-    r11 window (3 rounds stale by then): ann_topk, countmin_freq, string_date_functions,
+    r11 window (3 rounds stale by then): ann_topk, theta_distinct, countmin_freq, string_date_functions,
     q14_promo_effect, line_dedup, train_test_split, iceberg_sql_call, dedup_keep_best,
     iceberg_orc_roundtrip, iceberg_avro_roundtrip, iceberg_files_meta,
     set_ops_customers, q7, q8, q22, q2, q4, q11, q13, rollup_pricing,
@@ -4852,7 +4871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-green in their last driver window AND in the local
     full-registry sweep (tools/check_oracle.py)."""
     return {
-        # -- code paths changed in round 10
+        # -- code paths changed in round 10 (c4_rules NEW)
+        "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
         "quantile_sketch": quantile_sketch_q,
         "winnow_candidates": winnow_candidates_q,
@@ -4891,7 +4911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features_q,
         # -- r8-evidence rows, bench + iceberg rows first (2 rounds stale)
         "lm_bigram_score": lm_bigram_score_q,
-        "theta_distinct": theta_distinct_q,
         "percentiles_by_status": percentiles_by_status,
         "pagerank_purchases": pagerank_purchases_q,
         "iceberg_merge": iceberg_merge,
@@ -4911,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "line_dedup": line_dedup_q,
         "ann_topk": ann_topk_q,
+        "theta_distinct": theta_distinct_q,
         "countmin_freq": countmin_freq_q,
         "train_test_split": train_test_split,
         "iceberg_sql_call": iceberg_sql_call,
@@ -5082,6 +5102,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_incremental_read": ICEBERG_INCREMENTAL_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),
         "gopher_rules": _text.gopher_rules_sql(),
+        "c4_rules": _text.c4_rules_sql(
+            "replace(text, ' the ', '.' || chr(10))"),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,
         "temperature_sample": _temperature_sample_sql(),

@@ -1752,3 +1752,43 @@ def test_percentile_cont_exact_matches_builtin(spark):
         for i, k in enumerate((25, 50, 75, 95)):
             assert abs(got[g][f"p{k}"] - w.p[i]) < 1e-9, (g, k)
     assert got["solo"].p50 == 42.5
+
+
+def test_c4_rules_line_filter_and_page_gate(spark):
+    """C4 rules: lines kept only with terminal punctuation AND >=5
+    words; lorem/brace pages fail; NULL text is an empty page; the
+    DuckDB twin agrees cell-for-cell."""
+    import duckdb
+
+    from icelake_spark.ops.text import c4_rules, c4_rules_sql
+
+    good = ("this line has five words.\n"
+            "does this line have six words?\n"
+            'a quoted line with five words"\n'
+            "short line.\n"
+            "no terminal punctuation on this line\n"
+            "another proper sentence with many words!")
+    rows = [(1, good), (2, "lorem ipsum filler text here." + "\n" + good),
+            (3, "code { leaked } here." + "\n" + good),
+            (4, None), (5, "two lines.\nno punct")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_rules(df).collect()}
+    g = got[1]
+    assert g.n_lines == 6 and g.n_kept_lines == 4
+    # the quote-terminated line carries no .!? so it keeps but does
+    # not count as a sentence
+    assert g.n_sentences == 3 and g.passes
+    assert "short line." not in g.text_clean
+    assert "no terminal punctuation" not in g.text_clean
+    assert not got[2].passes and got[2].has_lorem
+    assert not got[3].passes and got[3].has_brace
+    assert (got[4].n_lines, got[4].text_clean, got[4].passes) == (0, "", False)
+    assert got[5].n_kept_lines == 0 and not got[5].passes
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for o in con.execute(c4_rules_sql()).fetchall():
+        s = got[o[0]]
+        assert (s.n_lines, s.n_kept_lines, s.n_sentences, s.has_brace,
+                s.has_lorem, s.passes, s.text_clean) == o[1:], o
