@@ -147,3 +147,30 @@ def test_quantile_distributed_selection_any_partitioning(spark, vals,
         for q in (0, 50, 100):
             want = kept[(q * (len(kept) - 1)) // 100][0]
             assert out[g][f"q{q}"] == want, (g, q)
+
+
+@given(vals=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                               st.floats(min_value=-1e6, max_value=1e6,
+                                         allow_nan=False, width=32)),
+                     min_size=1, max_size=150),
+       n_parts=st.sampled_from([1, 3, 5]))
+@_slow
+def test_percentile_cont_matches_builtin_property(spark, vals, n_parts):
+    """For ANY value distribution and partitioning width, the
+    distributed PERCENTILE_CONT equals Spark's buffering percentile
+    aggregate to within float round-off."""
+    from icelake_spark.ops.sketches import percentile_cont_exact
+
+    rows = [(i, g, float(v)) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    got = {r.g: r for r in percentile_cont_exact(
+        df, "v", "g", fractions_pct=(25, 50, 95),
+        n_parts=n_parts).collect()}
+    want = {r.g: r.p for r in df.groupBy("g").agg(
+        F.percentile("v", F.array(F.lit(0.25), F.lit(0.5),
+                                  F.lit(0.95))).alias("p")).collect()}
+    assert set(got) == set(want)
+    for g, p in want.items():
+        for i, k in enumerate((25, 50, 95)):
+            assert abs(got[g][f"p{k}"] - p[i]) <= 1e-6 * max(
+                1.0, abs(p[i])), (g, k, got[g][f"p{k}"], p[i])
