@@ -77,9 +77,11 @@ EXTENDED = [
     "quantile_sketch",
     "tfidf_keywords",
     "nb_quality_score",
-    # round-10: the composed cap -> mix -> pack tail; C4 line cleaning
+    # round-10: the composed cap -> mix -> pack tail; C4 line cleaning;
+    # full Gopher repetition table
     "curation_v3",
     "c4_rules",
+    "gopher_repetition",
 ]
 
 

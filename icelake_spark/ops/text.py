@@ -307,6 +307,202 @@ ORDER BY words.doc_id
 
 # ---------------------------------------------------------- SQL twins
 
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The FULL Gopher repetition-filter table (Rae et al. 2021 §A1.1,
+    Table A1) — the line- and n-gram-level signals repetition_metrics'
+    word/bigram subset doesn't cover:
+
+      dup_line_micro       repeat line occurrences / lines      <= 0.30
+      dup_line_char_micro  chars in repeat line occurrences
+                           / line chars                         <= 0.20
+      top2_char_micro      max over 2-grams of count*chars
+                           / word chars                         <= 0.20
+      top3_char_micro      same for 3-grams                     <= 0.18
+      top4_char_micro      same for 4-grams                     <= 0.16
+      dup5_char_micro      chars in repeat 5-gram occurrences
+                           / word chars (clamped at 1)          <= 0.15
+
+    All fractions are integer MICRO-units (x*1e6 DIV denominator) so
+    the DuckDB twin reproduces every cell bit-for-bit. "Repeat
+    occurrences" = occurrences after the first (the Dolma accounting);
+    "top n-gram chars" maximizes count*charlen over grams (charlen =
+    gram length minus separators) — deterministic under ties by
+    construction since only the product is reported.
+
+    Plan shape: ZERO shuffles, like repetition_metrics — a document's
+    lines and n-grams all live in its own row, so every count is one
+    sorted-array aggregate() pass (run-length with char accounting);
+    narrow scans fan out first. Returns (id_col, n_words, n_lines,
+    dup_line_micro, dup_line_char_micro, top2_char_micro,
+    top3_char_micro, top4_char_micro, dup5_char_micro, keep)."""
+    from .util import fanout
+
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    # NULL text is an empty page on both engines (the c4_rules/ADVICE
+    # r9 contract): coalesce, or every stat and the keep gate go NULL
+    words = F.coalesce(
+        F.when(F.length(norm) == 0,
+               F.array().cast("array<string>")).otherwise(
+            F.split(norm, " ")),
+        F.array().cast("array<string>"))
+    lines = F.coalesce(F.split(t, "\n"), F.array().cast("array<string>"))
+    base = fanout(df, F.col(id_col)).select(
+        F.col(id_col), words.alias("__w"), lines.alias("__ln"))
+
+    def grams(n: int):
+        return F.expr(
+            f"CASE WHEN size(__w) >= {n} THEN "
+            f"transform(sequence(1, size(__w) - {n - 1}), "
+            f"i -> array_join(slice(__w, i, {n}), ' ')) "
+            f"ELSE array() END")
+
+    def run_char_stats(arr, sep_discount: int):
+        # one pass over the SORTED array: every element equal to its
+        # predecessor is a repeat occurrence (count + chars tallied);
+        # maxchars tracks max over runs of run_length * charlen
+        zero = F.lit(0).cast("long")
+
+        def step(acc, x):
+            same = acc["prev"].eqNullSafe(x)
+            clen = (F.length(x) - F.lit(sep_discount)).cast("long")
+            new_run = F.when(same, acc["run"] + 1) \
+                       .otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"), new_run.alias("run"),
+                F.when(same, acc["dupn"] + 1).otherwise(acc["dupn"])
+                .alias("dupn"),
+                F.when(same, acc["dupchars"] + clen)
+                .otherwise(acc["dupchars"]).alias("dupchars"),
+                F.greatest(acc["maxchars"], new_run * clen)
+                .alias("maxchars"))
+
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(F.lit(None).cast("string").alias("prev"),
+                     zero.alias("run"), zero.alias("dupn"),
+                     zero.alias("dupchars"), zero.alias("maxchars")),
+            step)
+
+    char_sum = (lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x)))
+    sl = run_char_stats(F.col("__ln"), 0)
+    s2, s3, s4 = (run_char_stats(grams(n), n - 1) for n in (2, 3, 4))
+    s5 = run_char_stats(grams(5), 4)
+    stats = base.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_words"),
+        F.size("__ln").cast("long").alias("n_lines"),
+        char_sum(F.col("__w")).alias("__wc"),
+        char_sum(F.col("__ln")).alias("__lc"),
+        sl["dupn"].alias("__dl"), sl["dupchars"].alias("__dlc"),
+        s2["maxchars"].alias("__t2"), s3["maxchars"].alias("__t3"),
+        s4["maxchars"].alias("__t4"), s5["dupchars"].alias("__d5"))
+
+    def micro(num: str, den: str) -> F.Column:
+        return F.expr(f"CASE WHEN {den} > 0 THEN "
+                      f"LEAST(1000000L, {num} * 1000000L DIV {den}) "
+                      f"ELSE 0L END")
+
+    out = stats.select(
+        F.col(id_col), "n_words", "n_lines",
+        micro("__dl", "n_lines").alias("dup_line_micro"),
+        micro("__dlc", "__lc").alias("dup_line_char_micro"),
+        micro("__t2", "__wc").alias("top2_char_micro"),
+        micro("__t3", "__wc").alias("top3_char_micro"),
+        micro("__t4", "__wc").alias("top4_char_micro"),
+        micro("__d5", "__wc").alias("dup5_char_micro"))
+    keep = ((F.col("n_words") > 0)
+            & (F.col("dup_line_micro") <= 300_000)
+            & (F.col("dup_line_char_micro") <= 200_000)
+            & (F.col("top2_char_micro") <= 200_000)
+            & (F.col("top3_char_micro") <= 180_000)
+            & (F.col("top4_char_micro") <= 160_000)
+            & (F.col("dup5_char_micro") <= 150_000))
+    return out.withColumn("keep", keep).orderBy(id_col)
+
+
+def gopher_repetition_sql(col: str = "text") -> str:
+    """DuckDB twin: identical tokenization, repeat-occurrence
+    accounting ((c-1)-weighted group counts), max count*charlen, and
+    micro-unit clamps — computed the explode way, which equals the
+    Spark side's sorted-run accounting exactly."""
+    norm = f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+    words = (f"(CASE WHEN length({norm}) > 0 THEN string_split({norm}, ' ')"
+             f" ELSE [] END)")
+    lines = f"COALESCE(string_split({col}, chr(10)), [])"
+
+    def gram_list(n: int) -> str:
+        return (f"(CASE WHEN len(w) >= {n} THEN "
+                f"[array_to_string(w[i : i + {n - 1}], ' ') "
+                f"for i in generate_series(1, len(w) - {n - 1})] "
+                f"ELSE [] END)")
+
+    def gram_cte(n: int) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id,
+         MAX(c * (length(g) - {n - 1})) AS top{n},
+         SUM(CASE WHEN c > 1 THEN (c - 1) * (length(g) - {n - 1})
+             ELSE 0 END) AS dup{n}
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({gram_list(n)}) AS g
+              FROM base)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id)"""
+
+    def micro(num: str, den: str) -> str:
+        return (f"CAST(CASE WHEN {den} > 0 THEN "
+                f"LEAST(1000000, {num} * 1000000 // {den}) "
+                f"ELSE 0 END AS BIGINT)")
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {words} AS w, {lines} AS ln FROM documents),
+tot AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(ln) AS BIGINT) AS n_lines,
+         COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS wc,
+         COALESCE(list_sum(list_transform(ln, x -> length(x))), 0) AS lc
+  FROM base),
+lg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dl,
+         SUM(CASE WHEN c > 1 THEN (c - 1) * length(line)
+             ELSE 0 END) AS dlc
+  FROM (SELECT doc_id, line, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ln) AS line FROM base)
+        GROUP BY doc_id, line)
+  GROUP BY doc_id),
+{gram_cte(2)},
+{gram_cte(3)},
+{gram_cte(4)},
+{gram_cte(5)},
+m AS (
+  SELECT t.doc_id, t.n_words, t.n_lines,
+         {micro('COALESCE(lg.dl, 0)', 't.n_lines')} AS dup_line_micro,
+         {micro('COALESCE(lg.dlc, 0)', 't.lc')} AS dup_line_char_micro,
+         {micro('COALESCE(g2.top2, 0)', 't.wc')} AS top2_char_micro,
+         {micro('COALESCE(g3.top3, 0)', 't.wc')} AS top3_char_micro,
+         {micro('COALESCE(g4.top4, 0)', 't.wc')} AS top4_char_micro,
+         {micro('COALESCE(g5.dup5, 0)', 't.wc')} AS dup5_char_micro
+  FROM tot t
+  LEFT JOIN lg USING (doc_id) LEFT JOIN g2 USING (doc_id)
+  LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id)
+  LEFT JOIN g5 USING (doc_id))
+SELECT doc_id, n_words, n_lines, dup_line_micro, dup_line_char_micro,
+       top2_char_micro, top3_char_micro, top4_char_micro,
+       dup5_char_micro,
+       (n_words > 0 AND dup_line_micro <= 300000
+        AND dup_line_char_micro <= 200000 AND top2_char_micro <= 200000
+        AND top3_char_micro <= 180000 AND top4_char_micro <= 160000
+        AND dup5_char_micro <= 150000) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def occurrences_sql(expr: str, needle: str) -> str:
     e = needle.replace("'", "''")
     return (f"CAST(FLOOR((length({expr}) - length(replace({expr}, '{e}', ''))) "

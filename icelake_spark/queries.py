@@ -4219,6 +4219,19 @@ def gopher_rules_q(spark, sf_dir):
     return gopher_rules(load(spark, sf_dir, "documents"))
 
 
+def gopher_repetition_q(spark, sf_dir):
+    """Full Gopher repetition table (Rae et al. 2021 Table A1;
+    ops/text.py gopher_repetition): line-duplication and n-gram
+    character-fraction signals in integer micro-units, zero shuffles.
+    The corpus is sentence-ized the same way c4_rules' row is so the
+    line metrics discriminate."""
+    from .ops.text import gopher_repetition
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(".\n")))
+    return gopher_repetition(docs)
+
+
 def c4_rules_q(spark, sf_dir):
     """C4-style line cleaning (Raffel et al. 2020 §2.2; ops/text.py
     c4_rules): terminal-punctuation + >=5-word line filter, kept-text
@@ -4859,7 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewrite.
 
     Thirty-three r8-evidence rows sit out for space and MUST lead the
-    r11 window (3 rounds stale by then): ann_topk, theta_distinct, countmin_freq, string_date_functions,
+    r11 window (3 rounds stale by then): ann_topk, lm_bigram_score, theta_distinct, countmin_freq, string_date_functions,
     q14_promo_effect, line_dedup, train_test_split, iceberg_sql_call, dedup_keep_best,
     iceberg_orc_roundtrip, iceberg_avro_roundtrip, iceberg_files_meta,
     set_ops_customers, q7, q8, q22, q2, q4, q11, q13, rollup_pricing,
@@ -4871,7 +4884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-green in their last driver window AND in the local
     full-registry sweep (tools/check_oracle.py)."""
     return {
-        # -- code paths changed in round 10 (c4_rules NEW)
+        # -- code paths changed in round 10 (c4_rules, gopher_repetition NEW)
+        "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
         "quantile_sketch": quantile_sketch_q,
@@ -4910,7 +4924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_familiarity": trigram_familiarity_q,
         "multimodal_features": multimodal_features_q,
         # -- r8-evidence rows, bench + iceberg rows first (2 rounds stale)
-        "lm_bigram_score": lm_bigram_score_q,
         "percentiles_by_status": percentiles_by_status,
         "pagerank_purchases": pagerank_purchases_q,
         "iceberg_merge": iceberg_merge,
@@ -4930,6 +4943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "line_dedup": line_dedup_q,
         "ann_topk": ann_topk_q,
+        "lm_bigram_score": lm_bigram_score_q,
         "theta_distinct": theta_distinct_q,
         "countmin_freq": countmin_freq_q,
         "train_test_split": train_test_split,
@@ -5103,6 +5117,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_sql(),
         "gopher_rules": _text.gopher_rules_sql(),
         "c4_rules": _text.c4_rules_sql(
+            "replace(text, ' the ', '.' || chr(10))"),
+        "gopher_repetition": _text.gopher_repetition_sql(
             "replace(text, ' the ', '.' || chr(10))"),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "span_contamination": SPAN_CONTAMINATION_SQL,

@@ -1792,3 +1792,45 @@ def test_c4_rules_line_filter_and_page_gate(spark):
         s = got[o[0]]
         assert (s.n_lines, s.n_kept_lines, s.n_sentences, s.has_brace,
                 s.has_lorem, s.passes, s.text_clean) == o[1:], o
+
+
+def test_gopher_repetition_planted_signals(spark):
+    """Planted line dupes and n-gram repetition hit exactly the
+    expected micro-fractions; a clean doc keeps; the DuckDB twin
+    agrees cell-for-cell (in-row sorted-run accounting == explode-side
+    group counts)."""
+    import duckdb
+
+    from icelake_spark.ops.text import (
+        gopher_repetition,
+        gopher_repetition_sql,
+    )
+
+    dup_lines = "same line\nsame line\nother line"      # 1 repeat / 3
+    spammy = "ab cd " * 10                                # one hot 2-gram
+    clean = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, dup_lines), (2, spammy.strip()), (3, clean), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+
+    g1 = got[1]
+    assert g1.n_lines == 3
+    assert g1.dup_line_micro == 1 * 1_000_000 // 3
+    # repeat chars = len("same line") = 9; line chars = 9+9+10 = 28
+    assert g1.dup_line_char_micro == 9 * 1_000_000 // 28
+    g2 = got[2]
+    # "ab cd"*10: 20 words, 19 bigrams; "cd ab" x9, "ab cd" x10 ->
+    # top2 chars = 10 * 4 = 40; word chars = 40
+    assert g2.top2_char_micro == 1_000_000
+    assert not g2.keep
+    g3 = got[3]
+    assert g3.keep and g3.dup5_char_micro == 0 and g3.top3_char_micro < 180_000
+    g4 = got[4]
+    assert (g4.n_words, g4.n_lines, g4.keep) == (0, 0, False)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for o in con.execute(gopher_repetition_sql()).fetchall():
+        s = got[o[0]]
+        assert tuple(s)[1:] == o[1:], (o[0], tuple(s), o)
