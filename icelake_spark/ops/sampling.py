@@ -322,3 +322,137 @@ SELECT doc_id, CAST(s // {stride} AS BIGINT) AS chunk_id,
        array_to_string(w[s + 1 : s + {size}], ' ') AS chunk_text
 FROM starts ORDER BY doc_id, chunk_id
 """
+
+
+# ------------------------------------------------- DSIR importance selection
+
+
+def _hashed_grams(df: DataFrame, n_buckets: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, bkt) — one row per word unigram AND bigram occurrence,
+    hashed into `n_buckets` buckets (the DSIR hashed n-gram feature
+    map). The gram arrays are built in-row (zip_with over a shifted
+    slice, the shingle discipline WITHOUT array_distinct — DSIR counts
+    occurrences) and explode once; the bucket is the portable 60-bit
+    md5 hash mod n_buckets, identical in any engine."""
+    from .dedup import portable_hash60, words_col
+    from .util import fanout
+
+    w = F.filter(words_col(text_col), lambda t: t != "")
+    bi = F.when(F.size("__w") >= 2,
+                F.zip_with(F.col("__w"), F.slice("__w", 2, 1 << 30),
+                           lambda a, b: F.concat_ws(" ", a, b))
+                ).otherwise(F.array().cast("array<string>"))
+    base = (fanout(df, F.col(id_col))
+            .select(F.col(id_col), w.alias("__w")))
+    grams = base.select(
+        id_col, F.explode(F.concat(
+            F.col("__w"),
+            # zip_with pads the shorter side with NULL: concat_ws drops
+            # the NULL half, so slice the bigram array to n-1 entries
+            F.slice(bi, 1, F.greatest(F.size("__w") - 1, F.lit(0)))
+        )).alias("__g"))
+    return grams.select(
+        id_col, (portable_hash60(F.col("__g")) % n_buckets).alias("__b"))
+
+
+def dsir_select(df: DataFrame, target: DataFrame, k: int = 50,
+                n_buckets: int = 4096, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw-corpus document by how much its
+    hashed n-gram feature distribution looks like a TARGET domain
+    sample relative to the raw corpus, and keep the top k.
+
+    Model (the paper's bag-of-hashed-ngrams importance estimator):
+    unigram + bigram occurrences hash into `n_buckets` buckets; each
+    bucket gets a Laplace-smoothed probability under the target and
+    the raw corpus, and a document's importance is its mean per-gram
+    probability ratio p_target(b)/p_raw(b). Engine-exactness trade:
+    the paper sums LOG ratios; floats of ln() may differ in the last
+    ulp between engines, so the per-bucket ratio is floored to integer
+    MICRO-units ratio_micro(b) = (ct+1)(R+B)*1e6 DIV ((cr+1)(T+B))
+    (products in DECIMAL(38,0)/HUGEINT — at 1e13-gram corpora BIGINT
+    wraps) and the document scores the floor-MEAN of its grams'
+    ratios. Selection is deterministic top-k on (score, id) — the
+    paper's Gumbel resampling replaced by its top-k variant (§5.1
+    ablates both) so reruns and engines agree bit-for-bit.
+
+    100 TB shape: two gram scans (raw + target) feed two map-side-
+    combined aggregates BOUNDED by n_buckets, the ratio table is a
+    broadcast of n_buckets rows, scoring is one per-doc aggregate of
+    the gram stream, and the top-k is TakeOrdered (per-partition heads,
+    no global sort materialization). No driver state, no Python.
+    Returns the k rows (id_col, n_grams, dsir_score_micro)."""
+    raw = (_hashed_grams(df, n_buckets, text_col, id_col)
+           .groupBy("__b").agg(F.count("*").alias("__cr")))
+    tgt = (_hashed_grams(target, n_buckets, text_col, id_col)
+           .groupBy("__b").agg(F.count("*").alias("__ct")))
+    totals = (raw.agg(F.sum("__cr").alias("__R"))
+              .crossJoin(tgt.agg(F.sum("__ct").alias("__T"))))
+    ratio = (raw.join(tgt, on="__b", how="full")
+             .select(F.col("__b"),
+                     F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                     F.coalesce("__ct", F.lit(0)).alias("__ct"))
+             .crossJoin(F.broadcast(totals))
+             .select("__b", F.expr(
+                 f"CAST((CAST(__ct AS DECIMAL(38,0)) + 1) * (__R + {n_buckets})"
+                 f" * 1000000 DIV ((CAST(__cr AS DECIMAL(38,0)) + 1)"
+                 f" * (__T + {n_buckets})) AS BIGINT)").alias("__ratio")))
+    scored = (_hashed_grams(df, n_buckets, text_col, id_col)
+              .join(F.broadcast(ratio), on="__b")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_grams"),
+                   # decimal sum: a hot bucket's ratio can reach 1e6*R/T
+                   # micro and a long doc holds 1e5+ grams — the bigint
+                   # sum is fine at test scale but not at the corpus
+                   # scales this module advertises
+                   F.expr("CAST(SUM(CAST(__ratio AS DECIMAL(38,0)))"
+                          " DIV COUNT(*) AS BIGINT)")
+                   .alias("dsir_score_micro")))
+    return (scored.orderBy(F.desc("dsir_score_micro"), F.col(id_col))
+            .limit(k))
+
+
+def dsir_select_sql(k: int = 50, n_buckets: int = 4096,
+                    table: str = "documents",
+                    target_pred: str = "lang = 'en'") -> str:
+    """DuckDB twin of dsir_select with target = `table` WHERE
+    `target_pred` — same gram construction, same floored integer
+    ratio, same top-k tiebreak."""
+    words = ("list_filter(string_split(regexp_replace(trim(lower(text)),"
+             " '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {words} AS w FROM {table}),
+grams AS (
+  SELECT doc_id, lang, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+  FROM (SELECT doc_id, lang, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks)),
+bkts AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+         % {n_buckets} AS b
+  FROM grams),
+raw AS (SELECT b, COUNT(*) AS cr FROM bkts GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM bkts
+        WHERE {target_pred} GROUP BY b),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS R, (SELECT SUM(ct) FROM tgt) AS T),
+ratio AS (
+  SELECT COALESCE(raw.b, tgt.b) AS b,
+         CAST((CAST(COALESCE(ct, 0) AS HUGEINT) + 1) * (R + {n_buckets})
+              * 1000000
+              // ((CAST(COALESCE(cr, 0) AS HUGEINT) + 1)
+                  * (T + {n_buckets})) AS BIGINT) AS ratio_micro
+  FROM raw FULL JOIN tgt ON raw.b = tgt.b, totals)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CAST(ratio_micro AS HUGEINT)) // COUNT(*) AS BIGINT)
+       AS dsir_score_micro
+FROM bkts JOIN ratio USING (b)
+GROUP BY doc_id
+ORDER BY dsir_score_micro DESC, doc_id LIMIT {k}
+"""

@@ -4232,6 +4232,17 @@ def gopher_repetition_q(spark, sf_dir):
     return gopher_repetition(docs)
 
 
+def dsir_select_q(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023;
+    ops/sampling.py dsir_select): the English subset is the target
+    domain sample, the whole corpus is raw; top-50 docs by the
+    integer-exact mean hashed-ngram probability ratio."""
+    from .ops.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.where(F.col("lang") == "en"), k=50)
+
+
 def c4_rules_q(spark, sf_dir):
     """C4-style line cleaning (Raffel et al. 2020 §2.2; ops/text.py
     c4_rules): terminal-punctuation + >=5-word line filter, kept-text
@@ -4884,7 +4895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-green in their last driver window AND in the local
     full-registry sweep (tools/check_oracle.py)."""
     return {
-        # -- code paths changed in round 10 (c4_rules, gopher_repetition NEW)
+        # -- code paths changed in round 10 (dsir_select, c4_rules,
+        #    gopher_repetition NEW)
+        "dsir_select": dsir_select_q,
         "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
@@ -5036,6 +5049,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _text.quality_classifier_sql(),
         "source_cap": SOURCE_CAP_SQL,
         "mix_allocation": _sampling.mix_allocation_sql(100_000),
+        "dsir_select": _sampling.dsir_select_sql(k=50),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

@@ -1834,3 +1834,43 @@ def test_gopher_repetition_planted_signals(spark):
     for o in con.execute(gopher_repetition_sql()).fetchall():
         s = got[o[0]]
         assert tuple(s)[1:] == o[1:], (o[0], tuple(s), o)
+
+
+def test_dsir_select_prefers_target_domain(spark):
+    """DSIR importance selection: docs sharing the target domain's
+    vocabulary outrank off-domain docs; selection is the requested k
+    with the deterministic (score desc, id) tiebreak."""
+    from icelake_spark.ops.sampling import dsir_select
+
+    med = [(i, "patient dose trial clinical outcome measured" * 3)
+           for i in range(10)]
+    web = [(100 + i, "click here buy now best deals free shipping" * 3)
+           for i in range(10)]
+    raw = spark.createDataFrame(med + web, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(900 + i, "patient trial dose outcome clinical") for i in range(5)],
+        "doc_id long, text string")
+    got = dsir_select(raw, target, k=10).collect()
+    assert [r.doc_id for r in got] == list(range(10))
+    # off-domain scores strictly below every selected score
+    allsc = dsir_select(raw, target, k=20).collect()
+    med_min = min(r.dsir_score_micro for r in allsc if r.doc_id < 100)
+    web_max = max(r.dsir_score_micro for r in allsc if r.doc_id >= 100)
+    assert med_min > web_max
+
+
+def test_dsir_select_plan_and_edges(spark):
+    """Plan shape: the n_buckets-bounded ratio table joins broadcast
+    and the selection is TakeOrdered (no global sort materialization).
+    Empty/whitespace docs emit no grams and never reach the top-k."""
+    from icelake_spark.ops.sampling import dsir_select
+
+    rows = [(i, f"alpha beta gamma delta token{i}") for i in range(30)]
+    rows += [(500, ""), (501, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_select(df, df.where("doc_id < 5"), k=40)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan
+    ids = {r.doc_id for r in out.collect()}
+    assert 500 not in ids and 501 not in ids and len(ids) == 30
