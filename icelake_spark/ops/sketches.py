@@ -306,8 +306,10 @@ def _global_ranks(kept: DataFrame, group_col: str,
     group spreads across partitions, rank each slice locally, cumulate
     per-(partition, group) counts into broadcast offsets, global rank
     = local rank + offset. Returns (joined, pcounts): `joined` carries
-    (group_col, __v, __rn, __n) for every input row, `pcounts` the
-    tiny per-(partition, group) count table.
+    (group_col, __v, __h, __rn, __n) for every input row (__h rides
+    through so callers that key it on a row id — ccnet_buckets — can
+    map ranks back to rows), `pcounts` the tiny per-(partition, group)
+    count table.
 
     Both checkpoints are deliberate: the first pins `kept` so the
     range partitioner's boundary-sampling job reads the materialized
@@ -344,6 +346,7 @@ def _global_ranks(kept: DataFrame, group_col: str,
                      .eqNullSafe(F.col(f"__o.{group_col}")))
               .select(F.col(f"__r.{group_col}").alias(group_col),
                       F.col("__r.__v").alias("__v"),
+                      F.col("__r.__h").alias("__h"),
                       (F.col("__r.__lr") + F.col("__o.__off"))
                       .alias("__rn"),
                       F.col("__o.__n").alias("__n")))

@@ -1144,6 +1144,45 @@ def lm_bigram_score(df: DataFrame, text_col: str = "text",
                     .alias("lm_score_micro")))
 
 
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359 §4.4): per language, documents sort by LM
+    familiarity and split into thirds — `head` is the most LM-familiar
+    third (CCNet's lowest-perplexity slice, the part pipelines keep),
+    `tail` the least. The LM is lm_bigram_score's self-trained bigram
+    model (the KenLM stand-in; higher score = lower perplexity).
+
+    Bucket boundaries are EXACT per-language ranks, not a per-language
+    window: at corpus scale one language can hold most of the corpus,
+    and `ROW_NUMBER() OVER (PARTITION BY lang)` would sort it in a
+    single task — the quantile-funnel class this repo ranks with
+    _global_ranks instead (range-spread slices, local rank + broadcast
+    offsets). bucket = head iff 3*rank <= n, middle iff 3*rank <= 2n
+    (floor thirds, deterministic (score DESC, id) tiebreak — ids must
+    be unique; the long cast keeps the tiebreak portable).
+
+    Returns one row per input row: (id_col, lang_col, lm_score_micro,
+    bucket), docs with < 2 words score 0 and land in the tail."""
+    from .sketches import _global_ranks, _resolve_n_parts
+
+    scored = lm_bigram_score(df, text_col=text_col, id_col=id_col)
+    kept = (scored.join(df.select(id_col, lang_col), on=id_col)
+            .select(F.col(lang_col),
+                    (-F.col("lm_score_micro")).alias("__v"),
+                    F.col(id_col).cast("long").alias("__h")))
+    joined, _ = _global_ranks(kept, lang_col, _resolve_n_parts(df, None))
+    bucket = (F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
+              .when(F.col("__rn") * 3 <= F.col("__n") * 2, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (joined.select(
+                F.col("__h").alias(id_col), F.col(lang_col),
+                (-F.col("__v")).cast("long").alias("lm_score_micro"),
+                bucket.alias("bucket"))
+            .orderBy(id_col))
+
+
 def bpe_encode_counts(df: DataFrame, merges, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Apply a learned BPE merge table (bpe_train output) and count the

@@ -4243,6 +4243,36 @@ def dsir_select_q(spark, sf_dir):
     return dsir_select(docs, docs.where(F.col("lang") == "en"), k=50)
 
 
+def ccnet_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing per language
+    (Wenzek et al. 2020; ops/text.py ccnet_buckets): exact per-lang
+    thirds by the self-trained bigram LM score, ranked with the
+    distributed _global_ranks machinery (no per-lang window funnel)."""
+    from .ops.text import ccnet_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    return ccnet_buckets(docs)
+
+
+def _ccnet_buckets_sql() -> str:
+    """Twin: lm_bigram twin as a CTE, per-lang ROW_NUMBER (fine in the
+    oracle — DuckDB runs at test scale), same floor-thirds CASE."""
+    return f"""
+WITH scores AS ({LM_BIGRAM_SQL}),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.lm_score_micro,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.lm_score_micro DESC, s.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM scores s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, lm_score_micro,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
 def c4_rules_q(spark, sf_dir):
     """C4-style line cleaning (Raffel et al. 2020 §2.2; ops/text.py
     c4_rules): terminal-punctuation + >=5-word line filter, kept-text
@@ -4898,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- code paths changed in round 10 (dsir_select, c4_rules,
         #    gopher_repetition NEW)
         "dsir_select": dsir_select_q,
+        "ccnet_buckets": ccnet_buckets_q,
         "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
@@ -5050,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": SOURCE_CAP_SQL,
         "mix_allocation": _sampling.mix_allocation_sql(100_000),
         "dsir_select": _sampling.dsir_select_sql(k=50),
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

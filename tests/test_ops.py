@@ -1874,3 +1874,48 @@ def test_dsir_select_plan_and_edges(spark):
     assert "TakeOrdered" in plan
     ids = {r.doc_id for r in out.collect()}
     assert 500 not in ids and 501 not in ids and len(ids) == 30
+
+
+def test_ccnet_buckets_thirds_and_skew(spark):
+    """CCNet bucketing: per-language floor-thirds with the
+    (score desc, id) tiebreak — equal to the single-window reference
+    even when one language holds 90% of the corpus; gibberish docs
+    (unfamiliar transitions) land in the tail of their language."""
+    from pyspark.sql import Window
+
+    from icelake_spark.ops.text import ccnet_buckets, lm_bigram_score
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common + f" word{i % 3}", "en") for i in range(90)]
+    rows += [(100 + i, f"zxq{i} vbn{i * 7} qqj{i * 13} xwz{i * 29}", "en")
+             for i in range(10)]
+    rows += [(200 + i, common, "fr") for i in range(11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ccnet_buckets(df)
+    rowsout = got.collect()
+    by_lang = {}
+    for r in rowsout:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["en"]) == 100 and len(by_lang["fr"]) == 11
+    # floor thirds: en 33/33/34, fr 3/4/4
+    from collections import Counter
+    c_en = Counter(r.bucket for r in by_lang["en"])
+    c_fr = Counter(r.bucket for r in by_lang["fr"])
+    assert (c_en["head"], c_en["middle"], c_en["tail"]) == (33, 33, 34)
+    assert (c_fr["head"], c_fr["middle"], c_fr["tail"]) == (3, 4, 4)
+    # gibberish docs are all in the en tail
+    assert all(r.bucket == "tail" for r in rowsout if 100 <= r.doc_id < 110)
+    # exact equality with the single-window reference
+    scored = lm_bigram_score(df).join(df.select("doc_id", "lang"),
+                                      on="doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_score_micro"), F.col("doc_id"))
+    ref = (scored
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+           .withColumn("bucket",
+                       F.when(F.col("rn") * 3 <= F.col("n"), "head")
+                       .when(F.col("rn") * 3 <= F.col("n") * 2, "middle")
+                       .otherwise("tail")))
+    want = {(r.doc_id, r.bucket) for r in ref.collect()}
+    assert {(r.doc_id, r.bucket) for r in rowsout} == want
