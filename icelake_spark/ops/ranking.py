@@ -346,3 +346,61 @@ SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
        ROUND(s, 6) AS score
 FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
 """
+
+
+def rrf_fuse(lanes: list[DataFrame], k: int = 10, c: int = 60,
+             id_col: str = "id", score_col: str = "score") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) — the standard hybrid-search combiner: each retrieval lane
+    (BM25, dense ANN, ...) contributes 1/(c + rank) per candidate and
+    candidates sort by the summed contribution. Ranks come from each
+    lane's own (score DESC, id ASC) order, so fusion never compares
+    raw scores across lanes (the whole point of RRF — BM25 logits and
+    cosine similarities are not commensurable).
+
+    Engine exactness: the contribution is integer
+    1e9 DIV (c + rank) NANO-units — 1/(c+r) is not finite-decimal, and
+    a float sum ties differently across engines; floor-div of integers
+    never does. Inputs must be the lanes' ALREADY top-k-bounded
+    outputs with (id_col, score_col) columns — each is k-sized by
+    construction, so the per-lane rank window and the fusion aggregate
+    run on k·lanes rows, never corpus-sized relations (the corpus-
+    scale work lives inside the lanes themselves). Candidates missing
+    from a lane simply get no contribution from it (the paper's
+    convention). Returns top-k (id_col, n_lanes, rrf_nano)."""
+    from pyspark.sql import Window
+
+    ranked = []
+    for lane in lanes:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked.append(lane.select(id_col, score_col)
+                      .withColumn("__rank", F.row_number().over(w))
+                      .select(id_col, F.expr(f"1000000000 DIV ({c} + __rank)")
+                              .alias("__contrib")))
+    pool = ranked[0]
+    for r in ranked[1:]:
+        pool = pool.unionByName(r)
+    return (pool.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_lanes"),
+                 F.sum("__contrib").cast("long").alias("rrf_nano"))
+            .orderBy(F.desc("rrf_nano"), F.col(id_col))
+            .limit(k))
+
+
+def rrf_fuse_sql(lane_sqls: list[str], k: int = 10, c: int = 60) -> str:
+    """DuckDB twin of rrf_fuse: each lane SQL must yield (id, score);
+    same integer contribution, same tiebreaks."""
+    ctes, unions = [], []
+    for i, sql in enumerate(lane_sqls):
+        ctes.append(f"lane{i} AS ({sql})")
+        unions.append(
+            f"SELECT id, 1000000000 // ({c} + ROW_NUMBER() OVER ("
+            f"ORDER BY score DESC, id)) AS contrib FROM lane{i}")
+    return f"""
+WITH {', '.join(ctes)},
+pool AS ({' UNION ALL '.join(unions)})
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lanes,
+       CAST(SUM(contrib) AS BIGINT) AS rrf_nano
+FROM pool GROUP BY id
+ORDER BY rrf_nano DESC, id LIMIT {k}
+"""

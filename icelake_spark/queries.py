@@ -3001,7 +3001,8 @@ def ann_topk_q(spark, sf_dir):
     return topk_cosine(emb, query, k=20)
 
 
-ANN_TOPK_SQL = """
+def _ann_topk_sql(k: int = 20) -> str:
+    return f"""
 WITH q AS (SELECT [CASE WHEN (i % 2) = 0 THEN 1.0 ELSE -0.5 END
                    for i in generate_series(0, 63)] AS qv),
 sims AS (
@@ -3012,8 +3013,39 @@ sims AS (
             * sqrt(list_dot_product(qv, qv))) AS sim
   FROM embeddings, q)
 SELECT vec_id, ROUND(sim, 6) AS cos
-FROM sims ORDER BY cos DESC, vec_id LIMIT 20
+FROM sims ORDER BY cos DESC, vec_id LIMIT {k}
 """
+
+
+ANN_TOPK_SQL = _ann_topk_sql(20)
+
+
+def hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval (ops/ranking.py rrf_fuse): BM25 over the
+    documents corpus and exact cosine top-k over the embeddings table
+    (vec_id aligns with doc_id) fuse by Reciprocal Rank Fusion —
+    integer 1e9 DIV (60 + rank) contributions, top-20."""
+    from .ops.ranking import bm25, rrf_fuse
+    from .ops.similarity import topk_cosine
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    lex = (bm25(docs, BM25_TERMS, k=50)
+           .select(F.col("doc_id").alias("id"), "score"))
+    dense = (topk_cosine(emb, query, k=50)
+             .select(F.col("vec_id").alias("id"),
+                     F.col("cos").alias("score")))
+    return rrf_fuse([lex, dense], k=20)
+
+
+def _hybrid_rrf_sql() -> str:
+    from .ops import ranking as _r
+
+    lex = (f"SELECT doc_id AS id, score "
+           f"FROM ({_r.bm25_sql(BM25_TERMS, k=50)})")
+    dense = f"SELECT vec_id AS id, cos AS score FROM ({_ann_topk_sql(50)})"
+    return _r.rrf_fuse_sql([lex, dense], k=20)
 
 
 def embedding_neardup_q(spark, sf_dir):
@@ -4929,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    gopher_repetition NEW)
         "dsir_select": dsir_select_q,
         "ccnet_buckets": ccnet_buckets_q,
+        "hybrid_rrf": hybrid_rrf_q,
         "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
@@ -5082,6 +5115,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_allocation": _sampling.mix_allocation_sql(100_000),
         "dsir_select": _sampling.dsir_select_sql(k=50),
         "ccnet_buckets": _ccnet_buckets_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

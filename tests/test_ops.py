@@ -1919,3 +1919,26 @@ def test_ccnet_buckets_thirds_and_skew(spark):
                        .otherwise("tail")))
     want = {(r.doc_id, r.bucket) for r in ref.collect()}
     assert {(r.doc_id, r.bucket) for r in rowsout} == want
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a candidate ranked mid-list in BOTH lanes outranks one
+    that tops a single lane (1/(60+1) < 1/(60+3) + 1/(60+3)); missing
+    lanes contribute nothing; integer contributions are exact."""
+    from icelake_spark.ops.ranking import rrf_fuse
+
+    lane_a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 1.0)], "id long, score double")
+    lane_b = spark.createDataFrame(
+        [(5, 0.9), (9, 0.8), (3, 0.7), (2, 0.6)], "id long, score double")
+    got = rrf_fuse([lane_a, lane_b], k=10).collect()
+    by_id = {r.id: r for r in got}
+    # doc 3: rank 3 in both lanes -> 2 * (1e9 // 63)
+    assert by_id[3].n_lanes == 2
+    assert by_id[3].rrf_nano == 2 * (1_000_000_000 // 63)
+    # doc 1: rank 1 in one lane only
+    assert by_id[1].n_lanes == 1
+    assert by_id[1].rrf_nano == 1_000_000_000 // 61
+    # consensus beats single-lane top
+    assert by_id[3].rrf_nano > by_id[1].rrf_nano
+    assert got[0].id in (2, 3)  # both dual-lane ids lead
