@@ -4940,9 +4940,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trigram_familiarity (also fanned out) already in the stale set;
     (2) the TWENTY-NINE r7-evidence rows the r9 rotation queued (3
     rounds stale — the full list VERDICT r9 #1 holds this round to);
-    (3) twelve r8-evidence rows, bench + iceberg-merge rows first,
+    (3) r8-evidence rows, bench + iceberg-merge rows first,
     with window_top_customers swapped in after its r10 salted-top-N
     rewrite.
+
+    Round-10d: three NEW operators (dsir_select, ccnet_buckets,
+    hybrid_rrf) lead the window; to fit, iceberg_roundtrip_agg and
+    iceberg_mor_delete (both run as bench lanes every round — fresh
+    evidence regardless of the window) and curation_pipeline (its
+    stages superseded by the in-window curation_v2/v3 compositions)
+    moved just past the cut, all still green in the local sweep.
 
     Thirty-three r8-evidence rows sit out for space and MUST lead the
     r11 window (3 rounds stale by then): ann_topk, lm_bigram_score, theta_distinct, countmin_freq, string_date_functions,
@@ -5008,13 +5015,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_cols": iceberg_merge_cols,
         "iceberg_metadata_tables": iceberg_metadata_tables,
         "window_top_customers": window_top_customers,
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "curation_pipeline": curation_pipeline_q,
         "nb_quality_score": nb_quality_score_q,
         "text_analysis": text_analysis,
         "gopher_rules": gopher_rules_q,
         # ---- beyond the 50-row window ------------------------------
+        # -- displaced by the three round-10d additions (dsir_select,
+        #    ccnet_buckets, hybrid_rrf): iceberg_roundtrip_agg and
+        #    iceberg_mor_delete run as bench lanes every round (fresh
+        #    evidence regardless of the window) and curation_pipeline's
+        #    stages are superseded by the in-window curation_v2/v3
+        #    compositions; all three stay green in the local sweep
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "curation_pipeline": curation_pipeline_q,
         # -- r11 queue head: r8-evidence rows sat out this round
         "string_date_functions": string_date_functions,
         "q14_promo_effect": q14_promo_effect,
