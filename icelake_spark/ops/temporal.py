@@ -110,3 +110,151 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
     # genuinely duplicate input rows (wrong) while paying a full-width
     # shuffle
     return joined.where(F.abs(dt) <= win).drop("__b")
+
+
+def events_funnel(df: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k at the
+    EARLIEST event of type steps[k] that happens strictly AFTER their
+    step-k-1 time (the standard product-analytics funnel, not a mere
+    per-type existence check — out-of-order events don't count).
+    Returns one row per step: (step_idx, step, users, conv_micro)
+    where conv_micro = users * 1e6 DIV step-1 users (floor micro-units,
+    exact in any engine).
+
+    Scale shape: step k is one filtered min-aggregate of the event
+    stream joined user-keyed against the (user, t_{k-1}) table — every
+    aggregate is map-side combined and BOUNDED per user (a pure MIN,
+    never a collected event list, so a million-event power user costs
+    one accumulator, not one buffer). The k stages share the user-hash
+    partitioning, and the per-step outputs are single-row aggregates
+    unioned on the driver-side plan (k tiny DataFrames, no loop state).
+    """
+    reached = None  # (user, __t): time the user reached the previous step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step)
+        if reached is None:
+            reached = (ev.groupBy(user_col)
+                       .agg(F.min(ts_col).alias("__t")))
+        else:
+            reached = (ev.join(reached, on=user_col)
+                       .where(F.col(ts_col) > F.col("__t"))
+                       .groupBy(user_col)
+                       .agg(F.min(ts_col).alias("__t")))
+        counts.append(reached.agg(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count("*").cast("long").alias("users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # the k-row union is driver-plan-sized; the first-step count rides
+    # a window over it (FIRST_VALUE, same as the twin)
+    first = F.first("users").over(
+        Window.orderBy("step_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+    return (out.withColumn("__u0", first)
+            .withColumn("conv_micro",
+                        F.expr("CASE WHEN __u0 = 0 THEN 0 "
+                               "ELSE users * 1000000 DIV __u0 END"))
+            .select("step_idx", "step", "users", "conv_micro")
+            .orderBy("step_idx"))
+
+
+def events_funnel_sql(steps: list[str], table: str = "events") -> str:
+    """DuckDB twin of events_funnel — the same chained
+    min-after-previous CTEs and floor micro-unit conversion."""
+    ctes = []
+    for i, step in enumerate(steps):
+        s = step.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, MIN(ts) AS t FROM {table} "
+                f"WHERE event_type = '{s}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t "
+                f"FROM {table} e JOIN s{i - 1} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t "
+                f"GROUP BY e.user_id)")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{step.replace(chr(39), chr(39) * 2)}' "
+        f"AS step, (SELECT COUNT(*) FROM s{i}) AS users"
+        for i, step in enumerate(steps))
+    return f"""
+WITH {', '.join(ctes)},
+counts AS ({selects})
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(users AS BIGINT) AS users,
+       CAST(CASE WHEN FIRST_VALUE(users) OVER (ORDER BY step_idx) = 0
+            THEN 0 ELSE users * 1000000
+                 // FIRST_VALUE(users) OVER (ORDER BY step_idx)
+            END AS BIGINT) AS conv_micro
+FROM counts ORDER BY step_idx
+"""
+
+
+def events_retention(df: DataFrame, n_weeks: int = 4,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users cohort by the Monday-start week
+    of their FIRST event; retention at offset w = distinct users of
+    that cohort active during cohort_week + w weeks, as floor
+    micro-units of the cohort size. Returns
+    (cohort_week DATE, week_offset, users, retention_micro).
+
+    Scale shape: one min-aggregate for first-seen (map-side combined),
+    one distinct over (user, week) — the activity relation is bounded
+    by users x weeks, far below event count — then a user-keyed join
+    and a cohort-keyed aggregate. Offsets beyond n_weeks-1 are
+    filtered BEFORE the final aggregate."""
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    first = (df.groupBy(user_col).agg(F.min(ts_col).alias("__f"))
+             .select(user_col, wk(F.col("__f")).alias("cohort_week")))
+    active = (df.select(user_col, wk(F.col(ts_col)).alias("__w"))
+              .distinct())
+    sized = first.groupBy("cohort_week").agg(
+        F.count("*").alias("__size"))
+    joined = (active.join(first, on=user_col)
+              .withColumn("week_offset",
+                          (F.datediff("__w", "cohort_week")
+                           / 7).cast("long"))
+              .where(F.col("week_offset") < n_weeks))
+    got = (joined.groupBy("cohort_week", "week_offset")
+           .agg(F.countDistinct(user_col).cast("long").alias("users")))
+    return (got.join(F.broadcast(sized), on="cohort_week")
+            .select("cohort_week", "week_offset", "users",
+                    F.expr("users * 1000000 DIV __size")
+                    .alias("retention_micro"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+def events_retention_sql(n_weeks: int = 4, table: str = "events") -> str:
+    """DuckDB twin of events_retention — same Monday-start weeks, same
+    floor micro-units."""
+    return f"""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+         AS cohort_week
+  FROM {table} GROUP BY user_id),
+sized AS (
+  SELECT cohort_week, COUNT(*) AS csize FROM first_seen GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM {table}),
+joined AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week, a.w) // 7 AS week_offset,
+         a.user_id
+  FROM active a JOIN first_seen f USING (user_id)
+  WHERE date_diff('day', f.cohort_week, a.w) // 7 < {n_weeks})
+SELECT j.cohort_week, CAST(j.week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS users,
+       CAST(COUNT(DISTINCT j.user_id) * 1000000 // s.csize AS BIGINT)
+       AS retention_micro
+FROM joined j JOIN sized s USING (cohort_week)
+GROUP BY j.cohort_week, j.week_offset, s.csize
+ORDER BY j.cohort_week, j.week_offset
+"""

@@ -1443,6 +1443,28 @@ ORDER BY bucket_start, event_type
 """
 
 
+FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
+
+def events_funnel_q(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> signup -> purchase
+    (ops/temporal.py events_funnel): step k counts users whose
+    earliest step-k event falls strictly after their step-k-1 time;
+    conversion in floor micro-units of the step-0 population."""
+    from .ops.temporal import events_funnel
+
+    return events_funnel(load(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def events_retention_q(spark, sf_dir):
+    """Weekly cohort retention over the events table (ops/temporal.py
+    events_retention): Monday-start first-seen cohorts, distinct-user
+    activity per offset week, floor micro-unit retention."""
+    from .ops.temporal import events_retention
+
+    return events_retention(load(spark, sf_dir, "events"), n_weeks=4)
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     """Gap-based sessionization with window functions (the batch twin of
     a streaming session window)."""
@@ -4944,12 +4966,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with window_top_customers swapped in after its r10 salted-top-N
     rewrite.
 
-    Round-10d: three NEW operators (dsir_select, ccnet_buckets,
-    hybrid_rrf) lead the window; to fit, iceberg_roundtrip_agg and
-    iceberg_mor_delete (both run as bench lanes every round — fresh
-    evidence regardless of the window) and curation_pipeline (its
-    stages superseded by the in-window curation_v2/v3 compositions)
-    moved just past the cut, all still green in the local sweep.
+    Round-10d: five NEW operators (dsir_select, ccnet_buckets,
+    hybrid_rrf, events_funnel, events_retention) lead the window; to
+    fit, iceberg_roundtrip_agg and iceberg_mor_delete (both run as
+    bench lanes every round — fresh evidence regardless of the
+    window), curation_pipeline (its stages superseded by the in-window
+    curation_v2/v3 compositions), and iceberg_merge_multi /
+    iceberg_merge_cols (the EqualityDeltaWriter path stays covered
+    in-window by iceberg_merge) moved just past the cut, all still
+    green in the local sweep.
 
     Thirty-three r8-evidence rows sit out for space and MUST lead the
     r11 window (3 rounds stale by then): ann_topk, lm_bigram_score, theta_distinct, countmin_freq, string_date_functions,
@@ -4969,6 +4994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "ccnet_buckets": ccnet_buckets_q,
         "hybrid_rrf": hybrid_rrf_q,
+        "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
         "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
@@ -5011,8 +5038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_status": percentiles_by_status,
         "pagerank_purchases": pagerank_purchases_q,
         "iceberg_merge": iceberg_merge,
-        "iceberg_merge_multi": iceberg_merge_multi,
-        "iceberg_merge_cols": iceberg_merge_cols,
         "iceberg_metadata_tables": iceberg_metadata_tables,
         "window_top_customers": window_top_customers,
         "nb_quality_score": nb_quality_score_q,
@@ -5028,6 +5053,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
         "iceberg_mor_delete": iceberg_mor_delete,
         "curation_pipeline": curation_pipeline_q,
+        # -- displaced by the round-10d events_funnel/events_retention
+        #    additions: the EqualityDeltaWriter code path keeps
+        #    in-window coverage through iceberg_merge; the _multi and
+        #    _cols clause variants sit just past the cut (green in the
+        #    local sweep, r8 driver evidence)
+        "iceberg_merge_multi": iceberg_merge_multi,
+        "iceberg_merge_cols": iceberg_merge_cols,
         # -- r11 queue head: r8-evidence rows sat out this round
         "string_date_functions": string_date_functions,
         "q14_promo_effect": q14_promo_effect,
@@ -5115,6 +5147,7 @@ def oracle_sql() -> dict[str, str]:
     from .ops import ranking as _ranking
     from .ops import sampling as _sampling
     from .ops import similarity as _similarity
+    from .ops import temporal as _temporal
     from .ops import text as _text
     return {
         "hll_distinct": _hll_distinct_oracle(),
@@ -5129,6 +5162,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _sampling.dsir_select_sql(k=50),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "events_funnel": _temporal.events_funnel_sql(FUNNEL_STEPS),
+        "events_retention": _temporal.events_retention_sql(4),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

@@ -1942,3 +1942,64 @@ def test_rrf_fuse_semantics(spark):
     # consensus beats single-lane top
     assert by_id[3].rrf_nano > by_id[1].rrf_nano
     assert got[0].id in (2, 3)  # both dual-lane ids lead
+
+
+def test_events_funnel_ordering_matters(spark):
+    """Funnel steps must occur IN ORDER: a user whose purchase
+    precedes signup converts through signup but not purchase."""
+    import datetime as dt
+
+    from icelake_spark.ops.temporal import events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, m(0), "view"), (1, m(1), "click"),
+        (1, m(2), "signup"), (1, m(3), "purchase"),
+        # u2: purchase BEFORE signup -> stops at signup
+        (2, m(0), "view"), (2, m(1), "click"),
+        (2, m(3), "signup"), (2, m(2), "purchase"),
+        # u3: no click -> stops at view
+        (3, m(0), "view"), (3, m(5), "signup"), (3, m(6), "purchase"),
+        # u4: never viewed -> not in funnel at all
+        (4, m(0), "click"), (4, m(1), "signup"), (4, m(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: (r.users, r.conv_micro)
+           for r in events_funnel(
+               df, ["view", "click", "signup", "purchase"]).collect()}
+    assert got["view"] == (3, 1_000_000)
+    assert got["click"] == (2, 666_666)
+    assert got["signup"] == (2, 666_666)
+    assert got["purchase"] == (1, 333_333)
+
+
+def test_events_retention_cohorts(spark):
+    """Retention: Monday-start cohorts, distinct-user weekly activity,
+    floor micro-units."""
+    import datetime as dt
+
+    from icelake_spark.ops.temporal import events_retention
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    # cohort A: users 1..4 first seen week 0; 2 return in week 1,
+    # 1 in week 2 (user 1 twice in week 1 — distinct must dedup)
+    for u in (1, 2, 3, 4):
+        rows.append((u, mon + dt.timedelta(hours=u)))
+    rows += [(1, mon + dt.timedelta(days=8)),
+             (1, mon + dt.timedelta(days=9)),
+             (2, mon + dt.timedelta(days=10)),
+             (3, mon + dt.timedelta(days=15))]
+    # cohort B: user 9 first seen week 1 only
+    rows.append((9, mon + dt.timedelta(days=7)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort_week), r.week_offset): (r.users, r.retention_micro)
+           for r in events_retention(df, n_weeks=3).collect()}
+    assert got[("2024-01-01", 0)] == (4, 1_000_000)
+    assert got[("2024-01-01", 1)] == (2, 500_000)
+    assert got[("2024-01-01", 2)] == (1, 250_000)
+    assert got[("2024-01-08", 0)] == (1, 1_000_000)
+    assert ("2024-01-08", 1) not in got
