@@ -82,6 +82,14 @@ EXTENDED = [
     "curation_v3",
     "c4_rules",
     "gopher_repetition",
+    # round-10d: DSIR importance selection (two corpus gram scans),
+    # CCNet perplexity buckets (bigram LM + distributed ranks),
+    # hybrid RRF (BM25 + dense lanes), event funnel/retention
+    "dsir_select",
+    "ccnet_buckets",
+    "hybrid_rrf",
+    "events_funnel",
+    "events_retention",
 ]
 
 
