@@ -131,14 +131,18 @@ def words_col(text_col: str):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def shingles_from_words(w, n: int = 3):
-    """Word n-gram shingle array (distinct) from an ARRAY column —
-    reusable when the caller already tokenized (fused pipelines
-    tokenize once and derive both Gopher metrics and shingles from the
-    same array). Built with zip_with over shifted slices (16x faster
-    than an element_at transform, which falls out of codegen): gram_i =
+def shingles_from_words(w, n: int = 3, distinct: bool = True):
+    """Word n-gram shingle array from an ARRAY column — reusable when
+    the caller already tokenized (fused pipelines tokenize once and
+    derive both Gopher metrics and shingles from the same array).
+    Built with zip_with over shifted slices (16x faster than an
+    element_at transform, which falls out of codegen): gram_i =
     w[i] + ' ' + w[i+1] + ... ; the tail where the shifted slice runs
-    out is cut by the final slice to size(w)-n+1 entries.
+    out is cut by the final slice to size(w)-n+1 entries (zip_with
+    pads the shorter side with NULL and concat_ws drops the NULL half,
+    so the cut is what keeps a trailing partial gram out).
+    distinct=False keeps every occurrence (DSIR-style feature counts);
+    the default dedups for set-similarity use.
     """
     arr = w
     for j in range(1, n):
@@ -147,7 +151,7 @@ def shingles_from_words(w, n: int = 3):
     grams = F.when(F.size(w) >= n,
                    F.slice(arr, 1, F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def shingles(text_col: str = "text", n: int = 3):

@@ -335,22 +335,17 @@ def _hashed_grams(df: DataFrame, n_buckets: int, text_col: str,
     slice, the shingle discipline WITHOUT array_distinct — DSIR counts
     occurrences) and explode once; the bucket is the portable 60-bit
     md5 hash mod n_buckets, identical in any engine."""
-    from .dedup import portable_hash60, words_col
+    from .dedup import portable_hash60, shingles_from_words, words_col
     from .util import fanout
 
     w = F.filter(words_col(text_col), lambda t: t != "")
-    bi = F.when(F.size("__w") >= 2,
-                F.zip_with(F.col("__w"), F.slice("__w", 2, 1 << 30),
-                           lambda a, b: F.concat_ws(" ", a, b))
-                ).otherwise(F.array().cast("array<string>"))
     base = (fanout(df, F.col(id_col))
             .select(F.col(id_col), w.alias("__w")))
     grams = base.select(
-        id_col, F.explode(F.concat(
+        id_col,
+        F.explode(F.concat(
             F.col("__w"),
-            # zip_with pads the shorter side with NULL: concat_ws drops
-            # the NULL half, so slice the bigram array to n-1 entries
-            F.slice(bi, 1, F.greatest(F.size("__w") - 1, F.lit(0)))
+            shingles_from_words(F.col("__w"), 2, distinct=False),
         )).alias("__g"))
     return grams.select(
         id_col, (portable_hash60(F.col("__g")) % n_buckets).alias("__b"))
@@ -373,19 +368,27 @@ def dsir_select(df: DataFrame, target: DataFrame, k: int = 50,
     ulp between engines, so the per-bucket ratio is floored to integer
     MICRO-units ratio_micro(b) = (ct+1)(R+B)*1e6 DIV ((cr+1)(T+B))
     (products in DECIMAL(38,0)/HUGEINT — at 1e13-gram corpora BIGINT
-    wraps) and the document scores the floor-MEAN of its grams'
-    ratios. Selection is deterministic top-k on (score, id) — the
-    paper's Gumbel resampling replaced by its top-k variant (§5.1
+    wraps), SATURATED at 1e15 micro (a 1e9:1 ratio): a rare-in-raw,
+    hot-in-target bucket can push the raw quotient past int64, where
+    Spark's non-ANSI cast nulls while DuckDB raises — the clamp keeps
+    both engines exact and a billion-to-one importance is already
+    decision-saturated. The document scores the floor-MEAN of its
+    grams' ratios. Selection is deterministic top-k on (score, id) —
+    the paper's Gumbel resampling replaced by its top-k variant (§5.1
     ablates both) so reruns and engines agree bit-for-bit.
 
-    100 TB shape: two gram scans (raw + target) feed two map-side-
-    combined aggregates BOUNDED by n_buckets, the ratio table is a
-    broadcast of n_buckets rows, scoring is one per-doc aggregate of
-    the gram stream, and the top-k is TakeOrdered (per-partition heads,
-    no global sort materialization). No driver state, no Python.
-    Returns the k rows (id_col, n_grams, dsir_score_micro)."""
-    raw = (_hashed_grams(df, n_buckets, text_col, id_col)
-           .groupBy("__b").agg(F.count("*").alias("__cr")))
+    100 TB shape: the raw gram stream is localCheckpoint-pinned and
+    feeds BOTH the bucket-count aggregate and the scoring join — one
+    tokenize+md5 pass over the corpus, not two (the pin trades one
+    materialized narrow (id, bucket) relation for the duplicated
+    corpus-scale regex/hash work); the count aggregates are map-side
+    combined and BOUNDED by n_buckets, the ratio table is a broadcast
+    of n_buckets rows, and the top-k is TakeOrdered (per-partition
+    heads, no global sort materialization). No driver state, no
+    Python. Returns the k rows (id_col, n_grams, dsir_score_micro)."""
+    cap = 10 ** 15
+    grams = _hashed_grams(df, n_buckets, text_col, id_col).localCheckpoint()
+    raw = grams.groupBy("__b").agg(F.count("*").alias("__cr"))
     tgt = (_hashed_grams(target, n_buckets, text_col, id_col)
            .groupBy("__b").agg(F.count("*").alias("__ct")))
     totals = (raw.agg(F.sum("__cr").alias("__R"))
@@ -396,10 +399,13 @@ def dsir_select(df: DataFrame, target: DataFrame, k: int = 50,
                      F.coalesce("__ct", F.lit(0)).alias("__ct"))
              .crossJoin(F.broadcast(totals))
              .select("__b", F.expr(
-                 f"CAST((CAST(__ct AS DECIMAL(38,0)) + 1) * (__R + {n_buckets})"
+                 f"CAST(LEAST("
+                 f"(CAST(__ct AS DECIMAL(38,0)) + 1) * (__R + {n_buckets})"
                  f" * 1000000 DIV ((CAST(__cr AS DECIMAL(38,0)) + 1)"
-                 f" * (__T + {n_buckets})) AS BIGINT)").alias("__ratio")))
-    scored = (_hashed_grams(df, n_buckets, text_col, id_col)
+                 f" * (__T + {n_buckets})), "
+                 f"CAST({cap} AS DECIMAL(38,0))) AS BIGINT)")
+                 .alias("__ratio")))
+    scored = (grams
               .join(F.broadcast(ratio), on="__b")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_grams"),
@@ -418,8 +424,8 @@ def dsir_select_sql(k: int = 50, n_buckets: int = 4096,
                     table: str = "documents",
                     target_pred: str = "lang = 'en'") -> str:
     """DuckDB twin of dsir_select with target = `table` WHERE
-    `target_pred` — same gram construction, same floored integer
-    ratio, same top-k tiebreak."""
+    `target_pred` — same gram construction, same floored and
+    1e15-saturated integer ratio, same top-k tiebreak."""
     words = ("list_filter(string_split(regexp_replace(trim(lower(text)),"
              " '\\s+', ' ', 'g'), ' '), w -> w <> '')")
     return f"""
@@ -444,10 +450,11 @@ totals AS (
   SELECT (SELECT SUM(cr) FROM raw) AS R, (SELECT SUM(ct) FROM tgt) AS T),
 ratio AS (
   SELECT COALESCE(raw.b, tgt.b) AS b,
-         CAST((CAST(COALESCE(ct, 0) AS HUGEINT) + 1) * (R + {n_buckets})
-              * 1000000
-              // ((CAST(COALESCE(cr, 0) AS HUGEINT) + 1)
-                  * (T + {n_buckets})) AS BIGINT) AS ratio_micro
+         CAST(LEAST((CAST(COALESCE(ct, 0) AS HUGEINT) + 1)
+                    * (R + {n_buckets}) * 1000000
+                    // ((CAST(COALESCE(cr, 0) AS HUGEINT) + 1)
+                        * (T + {n_buckets})),
+                    CAST({10 ** 15} AS HUGEINT)) AS BIGINT) AS ratio_micro
   FROM raw FULL JOIN tgt ON raw.b = tgt.b, totals)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(SUM(CAST(ratio_micro AS HUGEINT)) // COUNT(*) AS BIGINT)

@@ -131,6 +131,8 @@ def events_funnel(df: DataFrame, steps: list[str],
     partitioning, and the per-step outputs are single-row aggregates
     unioned on the driver-side plan (k tiny DataFrames, no loop state).
     """
+    if not steps:
+        raise ValueError("events_funnel requires at least one step")
     reached = None  # (user, __t): time the user reached the previous step
     counts = []
     for i, step in enumerate(steps):
@@ -166,6 +168,8 @@ def events_funnel(df: DataFrame, steps: list[str],
 def events_funnel_sql(steps: list[str], table: str = "events") -> str:
     """DuckDB twin of events_funnel — the same chained
     min-after-previous CTEs and floor micro-unit conversion."""
+    if not steps:
+        raise ValueError("events_funnel_sql requires at least one step")
     ctes = []
     for i, step in enumerate(steps):
         s = step.replace("'", "''")

@@ -1161,7 +1161,8 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     _global_ranks instead (range-spread slices, local rank + broadcast
     offsets). bucket = head iff 3*rank <= n, middle iff 3*rank <= 2n
     (floor thirds, deterministic (score DESC, id) tiebreak — ids must
-    be unique; the long cast keeps the tiebreak portable).
+    be unique; the id column keeps its own type, so string ids order
+    lexically on both engines instead of nulling out under a cast).
 
     Returns one row per input row: (id_col, lang_col, lm_score_micro,
     bucket), docs with < 2 words score 0 and land in the tail."""
@@ -1171,7 +1172,7 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     kept = (scored.join(df.select(id_col, lang_col), on=id_col)
             .select(F.col(lang_col),
                     (-F.col("lm_score_micro")).alias("__v"),
-                    F.col(id_col).cast("long").alias("__h")))
+                    F.col(id_col).alias("__h")))
     joined, _ = _global_ranks(kept, lang_col, _resolve_n_parts(df, None))
     bucket = (F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
               .when(F.col("__rn") * 3 <= F.col("__n") * 2, F.lit("middle"))

@@ -2003,3 +2003,29 @@ def test_events_retention_cohorts(spark):
     assert got[("2024-01-01", 2)] == (1, 250_000)
     assert got[("2024-01-08", 0)] == (1, 1_000_000)
     assert ("2024-01-08", 1) not in got
+
+
+def test_ccnet_buckets_string_ids(spark):
+    """String doc ids survive ccnet_buckets (review r10d: a long cast
+    used to null them), with lexical tiebreak."""
+    from icelake_spark.ops.text import ccnet_buckets
+
+    rows = [(f"url-{i:03d}", "alpha beta gamma delta epsilon", "en")
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    got = ccnet_buckets(df).collect()
+    assert sorted(r.doc_id for r in got) == [f"url-{i:03d}" for i in range(9)]
+    # all scores equal -> pure id tiebreak: first 3 ids head, last 3 tail
+    by = {r.doc_id: r.bucket for r in got}
+    assert by["url-000"] == "head" and by["url-008"] == "tail"
+
+
+def test_events_funnel_empty_steps_raise(spark):
+    from icelake_spark.ops.temporal import events_funnel, events_funnel_sql
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        events_funnel(df, [])
+    with _pytest.raises(ValueError):
+        events_funnel_sql([])
