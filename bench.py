@@ -90,6 +90,7 @@ EXTENDED = [
     "hybrid_rrf",
     "events_funnel",
     "events_retention",
+    "pq_adc_topk",
 ]
 
 

@@ -419,3 +419,73 @@ SELECT vec_id, array_to_string(q, ',') AS q_csv,
                        for i in generate_series(1, len(e))]), 6) AS recon_err
 FROM q ORDER BY vec_id
 """
+
+
+def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
+                m: int = 8, k_sub: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: int = 42, train_iters: int = 2,
+                portable: bool = False) -> DataFrame:
+    """Product-quantization ANN with Asymmetric Distance Computation
+    (Jegou, Douze & Schmid, TPAMI 2011) — THE memory-bound scale path
+    for vector search: the embedding splits into `m` subspaces, each
+    subspace trains its own `k_sub` Lloyd codebook, every vector
+    compresses to m small codes (m bytes at k_sub<=256 vs 4·dim bytes
+    raw — 32x for dim=64), and a query scores candidates WITHOUT
+    decompression by summing m lookup-table entries
+    lut_j[code_j] = ||q_j - centroid_{j,code_j}||².
+
+    Returns top-k (id_col, adc) by ASCENDING approximate squared
+    distance (6dp, id tiebreak). Approximate by design (quantization
+    error); recall is tested against brute force on planted clusters.
+
+    Scale shape: training is m fixed Lloyd runs over the SLICED
+    corpus (train_kmeans — sample init via TakeOrdered, bounded
+    (cluster, dim) mean aggregates; m is a constant like the iteration
+    count, so this is m·train_iters bounded passes, no funnel); the
+    encode + ADC score is ONE narrow map pass — m in-row argmins
+    against literal sub-codebooks (or the numpy-GEMM lane above
+    CENTROID_LITERAL_MAX) and m in-row array lookups summed
+    left-to-right — and the top-k is TakeOrdered. The per-query work
+    after encode touches only the m·k_sub-entry tables, which is what
+    makes PQ the 100 TB default where raw vectors no longer fit.
+
+    portable=True keeps every step bit-reproducible by the DuckDB twin
+    (md5-ordered init, DECIMAL means, sequential squared-distance sums
+    — the train_kmeans parity contract), including the LUT values
+    (driver-side sequential Python sums equal the twin's list_sum) and
+    the left-to-right ADC addition order."""
+    dim = len(query)
+    if dim % m:
+        raise ValueError(f"query dim {dim} not divisible by m={m}")
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+
+    def _seqdist(c: list[float], q: list[float]) -> float:
+        d = 0.0
+        for a, b in zip(c, q):
+            d += (a - b) * (a - b)
+        return d
+
+    codebooks, luts = [], []
+    for j in range(m):
+        sliced = df.select(F.col(id_col),
+                           F.slice(v, j * sub + 1, sub).alias("__sub"))
+        cents = train_kmeans(sliced, "__sub", id_col, k=k_sub,
+                             n_iter=train_iters, seed=seed,
+                             portable=portable)
+        codebooks.append(cents)
+        qj = query[j * sub:(j + 1) * sub]
+        luts.append([_seqdist(c, qj) for c in cents])
+
+    enc = fanout(df, F.col(id_col)).select(F.col(id_col), v.alias("__v"))
+    adc = None
+    for j, cents in enumerate(codebooks):
+        code = nearest_centroid_col(
+            F.slice(F.col("__v"), j * sub + 1, sub),
+            list(enumerate(cents)), portable=portable)
+        term = F.element_at(
+            F.array(*[F.lit(float(d)) for d in luts[j]]), code + 1)
+        adc = term if adc is None else adc + term  # left-to-right
+    return (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+            .orderBy(F.col("adc"), F.col(id_col)).limit(k))

@@ -2476,7 +2476,9 @@ def ivf_kmeans_topk_q(spark, sf_dir):
 
 
 def _kmeans_af_ctes(n_centroids: int, seed: int, iters: int,
-                    dim: int) -> list[str]:
+                    dim: int, prefix: str = "",
+                    base_e: str = "CAST(embedding AS DOUBLE[])"
+                    ) -> list[str]:
     """Shared CTE chain bit-reproducing train_kmeans(portable=True) +
     the final assignment: v → c0 (md5-hex-ordered init) → unrolled
     Lloyd's iterations (assign_t → means → cents_{t+1}) → `af`
@@ -2485,42 +2487,46 @@ def _kmeans_af_ctes(n_centroids: int, seed: int, iters: int,
     bit-compatible with F.aggregate), per-dim means as
     CAST(SUM(DECIMAL(28,6)) AS DOUBLE)/COUNT (order-independent),
     empty clusters carrying the previous centroid, argmin ties broken
-    by centroid id. Used by the ivf_kmeans_topk AND semdedup twins."""
+    by centroid id. `prefix` namespaces every CTE and `base_e` is the
+    vector expression, so the chain instantiates once per PQ subspace
+    (pq_adc_topk twin: base_e a slice of the embedding) as well as
+    bare for ivf_kmeans_topk and semdedup."""
+    p = prefix
     sqdist = (f"list_sum([({{a}}.e[i] - {{b}}.ce[i]) * ({{a}}.e[i] - {{b}}.ce[i]) "
               f"for i in generate_series(1, {dim})])")
     ctes = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"""c0 AS (
+        f"{p}v AS (SELECT vec_id, {base_e} AS e FROM embeddings)",
+        f"""{p}c0 AS (
   SELECT row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) - 1 AS c,
          e AS ce
-  FROM v
+  FROM {p}v
   QUALIFY row_number() OVER (
             ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) <= {n_centroids})""",
     ]
     for t in range(iters):
-        ctes.append(f"""a{t} AS (
+        ctes.append(f"""{p}a{t} AS (
   SELECT vec_id, e, c FROM (
-    SELECT v.vec_id, v.e, c{t}.c,
-           {sqdist.format(a='v', b=f'c{t}')} AS dd
-    FROM v CROSS JOIN c{t})
+    SELECT {p}v.vec_id, {p}v.e, {p}c{t}.c,
+           {sqdist.format(a=f'{p}v', b=f'{p}c{t}')} AS dd
+    FROM {p}v CROSS JOIN {p}c{t})
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)""")
-        ctes.append(f"""m{t} AS (
+        ctes.append(f"""{p}m{t} AS (
   SELECT c, i AS d,
          CAST(SUM(CAST(ROUND(e[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
          / COUNT(*) AS m
-  FROM a{t} CROSS JOIN generate_series(1, {dim}) t(i)
+  FROM {p}a{t} CROSS JOIN generate_series(1, {dim}) t(i)
   GROUP BY c, i)""")
-        ctes.append(f"""c{t + 1} AS (
-  SELECT c, list(m ORDER BY d) AS ce FROM m{t} GROUP BY c
+        ctes.append(f"""{p}c{t + 1} AS (
+  SELECT c, list(m ORDER BY d) AS ce FROM {p}m{t} GROUP BY c
   UNION ALL
-  SELECT c, ce FROM c{t} WHERE c NOT IN (SELECT c FROM m{t}))""")
-    fin = f"c{iters}"
-    ctes.append(f"""af AS (
+  SELECT c, ce FROM {p}c{t} WHERE c NOT IN (SELECT c FROM {p}m{t}))""")
+    fin = f"{p}c{iters}"
+    ctes.append(f"""{p}af AS (
   SELECT vec_id, e, c FROM (
-    SELECT v.vec_id, v.e, {fin}.c,
-           {sqdist.format(a='v', b=fin)} AS dd
-    FROM v CROSS JOIN {fin})
+    SELECT {p}v.vec_id, {p}v.e, {fin}.c,
+           {sqdist.format(a=f'{p}v', b=fin)} AS dd
+    FROM {p}v CROSS JOIN {fin})
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)""")
     return ctes
 
@@ -2550,6 +2556,50 @@ def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vec_id, cos FROM sims "
               f"ORDER BY cos DESC, vec_id LIMIT {k}")
+
+
+def pq_adc_topk_q(spark, sf_dir):
+    """Product-quantization ANN with ADC lookup tables (Jegou et al.
+    2011; ops/similarity.py pq_adc_topk), PORTABLE mode: 8 subspaces
+    of 8 dims, 16-centroid codebooks Lloyd-trained for 2 iterations,
+    query scored by summed LUT entries — every step bit-reproduced by
+    the per-subspace unrolled k-means CTEs."""
+    from .ops.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return pq_adc_topk(emb, query, k=20, m=8, k_sub=16,
+                       train_iters=2, portable=True)
+
+
+def _pq_adc_sql(k: int = 20, m: int = 8, k_sub: int = 16,
+                seed: int = 42, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of pq_adc_topk_q: one prefixed _kmeans_af_ctes
+    chain per subspace over the SLICED embedding, per-subspace LUT
+    from the trained codebook, ADC as the left-to-right list_sum of
+    the m looked-up entries (the operator's addition order)."""
+    sub = dim // m
+    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
+                         for i in range(dim)) + "]")
+    ctes = [f"q AS (SELECT {q} AS qv)"]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes += _kmeans_af_ctes(
+            k_sub, seed, iters, sub, prefix=f"s{j}_",
+            base_e=f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}]")
+        ctes.append(f"""lut{j} AS (
+  SELECT c, list_sum([(q.qv[{j * sub} + i] - ce[i])
+                      * (q.qv[{j * sub} + i] - ce[i])
+                      for i in generate_series(1, {sub})]) AS d
+  FROM s{j}_c{iters} CROSS JOIN q)""")
+        ctes.append(f"""t{j} AS (
+  SELECT a.vec_id, l.d FROM s{j}_af a JOIN lut{j} l USING (c))""")
+    joins = " ".join(f"JOIN t{j} USING (vec_id)" for j in range(1, m))
+    terms = ", ".join(f"t{j}.d" for j in range(m))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT t0.vec_id, ROUND(list_sum([{terms}]), 6) AS adc
+FROM t0 {joins}
+ORDER BY adc, t0.vec_id LIMIT {k}""")
 
 
 def semdedup_q(spark, sf_dir):
@@ -4996,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": hybrid_rrf_q,
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
+        "pq_adc_topk": pq_adc_topk_q,
         "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
@@ -5036,7 +5087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features_q,
         # -- r8-evidence rows, bench + iceberg rows first (2 rounds stale)
         "percentiles_by_status": percentiles_by_status,
-        "pagerank_purchases": pagerank_purchases_q,
         "iceberg_merge": iceberg_merge,
         "iceberg_metadata_tables": iceberg_metadata_tables,
         "window_top_customers": window_top_customers,
@@ -5060,6 +5110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    local sweep, r8 driver evidence)
         "iceberg_merge_multi": iceberg_merge_multi,
         "iceberg_merge_cols": iceberg_merge_cols,
+        # -- displaced by pq_adc_topk (round-10d): pagerank runs as a
+        #    bench EXTENDED lane every round (fresh scalar evidence)
+        "pagerank_purchases": pagerank_purchases_q,
         # -- r11 queue head: r8-evidence rows sat out this round
         "string_date_functions": string_date_functions,
         "q14_promo_effect": q14_promo_effect,
@@ -5164,6 +5217,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_sql(),
         "events_funnel": _temporal.events_funnel_sql(FUNNEL_STEPS),
         "events_retention": _temporal.events_retention_sql(4),
+        "pq_adc_topk": _pq_adc_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
