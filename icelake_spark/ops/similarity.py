@@ -439,20 +439,27 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     distance (6dp, id tiebreak). Approximate by design (quantization
     error); recall is tested against brute force on planted clusters.
 
-    Scale shape: training is m fixed Lloyd runs over the SLICED
-    corpus (train_kmeans — sample init via TakeOrdered, bounded
-    (cluster, dim) mean aggregates; m is a constant like the iteration
-    count, so this is m·train_iters bounded passes, no funnel); the
-    encode + ADC score is ONE narrow map pass — m in-row argmins
-    against literal sub-codebooks (or the numpy-GEMM lane above
-    CENTROID_LITERAL_MAX) and m in-row array lookups summed
-    left-to-right — and the top-k is TakeOrdered. The per-query work
-    after encode touches only the m·k_sub-entry tables, which is what
-    makes PQ the 100 TB default where raw vectors no longer fit.
+    Scale shape: all m codebooks train FUSED — the md5-ordered init is
+    ONE TakeOrdered collect of k_sub full vectors (every subspace's
+    init is a slice of the same sampled rows, because the sample order
+    depends only on the id), and each Lloyd iteration is ONE job: m
+    in-row argmins, one explode to (subspace, cluster, dim)
+    contributions, one map-side-combined aggregate bounded by
+    m·k_sub·sub_dim groups. So training costs 1 + train_iters jobs
+    total, not m·(1 + 2·train_iters) (the first cut ran per-subspace
+    train_kmeans loops: 21 s at sf0.1 of almost pure job overhead —
+    fused runs the same math in a few). The encode + ADC score is one
+    narrow map pass — m in-row argmins against literal sub-codebooks
+    (or the numpy-GEMM lane above CENTROID_LITERAL_MAX) and m in-row
+    array lookups summed left-to-right — and the top-k is TakeOrdered.
+    The per-query work after encode touches only the m·k_sub-entry
+    tables, which is what makes PQ the 100 TB default where raw
+    vectors no longer fit.
 
     portable=True keeps every step bit-reproducible by the DuckDB twin
     (md5-ordered init, DECIMAL means, sequential squared-distance sums
-    — the train_kmeans parity contract), including the LUT values
+    — the train_kmeans parity contract; fusing changes the job
+    structure, not one bit of the math), including the LUT values
     (driver-side sequential Python sums equal the twin's list_sum) and
     the left-to-right ADC addition order."""
     dim = len(query)
@@ -467,16 +474,47 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
             d += (a - b) * (a - b)
         return d
 
-    codebooks, luts = [], []
-    for j in range(m):
-        sliced = df.select(F.col(id_col),
-                           F.slice(v, j * sub + 1, sub).alias("__sub"))
-        cents = train_kmeans(sliced, "__sub", id_col, k=k_sub,
-                             n_iter=train_iters, seed=seed,
-                             portable=portable)
-        codebooks.append(cents)
-        qj = query[j * sub:(j + 1) * sub]
-        luts.append([_seqdist(c, qj) for c in cents])
+    # ---- fused training -------------------------------------------
+    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                               F.lit(seed)))
+             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
+    sampleable = df.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+    sample = [[float(x) for x in r[0]] for r in
+              sampleable.select(v).orderBy(order).limit(k_sub).collect()]
+    codebooks = [[vec[j * sub:(j + 1) * sub] for vec in sample]
+                 for j in range(m)]
+    base = fanout(df).select(v.alias("__v")).localCheckpoint()
+    for _ in range(train_iters):
+        parts = F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                nearest_centroid_col(F.slice(F.col("__v"), j * sub + 1, sub),
+                                     list(enumerate(codebooks[j])),
+                                     portable=portable).alias("c"),
+                F.slice(F.col("__v"), j * sub + 1, sub).alias("e"))
+            for j in range(m)])
+        ex = (base.select(F.explode(parts).alias("p"))
+              .select("p.j", "p.c", F.posexplode("p.e").alias("d", "x")))
+        if portable:
+            rows = (ex.groupBy("j", "c", "d")
+                    .agg(F.sum(F.round(F.col("x"), 6)
+                               .cast("decimal(28,6)")).alias("s"),
+                         F.count("*").alias("n")).collect())
+            vals = {(r["j"], r["c"], r["d"]): float(r["s"]) / r["n"]
+                    for r in rows}
+        else:
+            rows = (ex.groupBy("j", "c", "d")
+                    .agg(F.avg("x").alias("mn")).collect())
+            vals = {(r["j"], r["c"], r["d"]): r["mn"] for r in rows}
+        codebooks = [
+            [[vals[(j, c, d)] for d in range(sub)]
+             if (j, c, 0) in vals else codebooks[j][c]
+             for c in range(k_sub)]
+            for j in range(m)]
+    luts = [[_seqdist(c, query[j * sub:(j + 1) * sub])
+             for c in codebooks[j]] for j in range(m)]
 
     enc = fanout(df, F.col(id_col)).select(F.col(id_col), v.alias("__v"))
     adc = None
