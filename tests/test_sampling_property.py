@@ -78,3 +78,25 @@ def test_source_cap_equals_single_window(spark, ids, cap, n_sources):
             df.withColumn("r", F.row_number().over(w))
             .where(F.col("r") <= cap).collect()}
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=2, max_size=12),
+    parts=st.integers(min_value=1, max_value=7))
+@_slow
+def test_dsir_select_partition_invariant(spark, texts, parts):
+    """DSIR scores are a pure function of content: repartitioning the
+    input arbitrarily never changes the selected ids or scores, and
+    every score is bounded by the 1e15 saturation ceiling."""
+    from icelake_spark.ops.sampling import dsir_select
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.where(F.col("doc_id") % 2 == 0)
+    a = dsir_select(df, tgt, k=len(rows)).collect()
+    b = dsir_select(df.repartition(parts, "doc_id"), tgt.coalesce(1),
+                    k=len(rows)).collect()
+    assert [(r.doc_id, r.n_grams, r.dsir_score_micro) for r in a] \
+        == [(r.doc_id, r.n_grams, r.dsir_score_micro) for r in b]
+    assert all(0 <= r.dsir_score_micro <= 10 ** 15 for r in a)
