@@ -527,3 +527,43 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
         adc = term if adc is None else adc + term  # left-to-right
     return (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
             .orderBy(F.col("adc"), F.col(id_col)).limit(k))
+
+
+def cluster_balanced_sample(df: DataFrame, cap: int,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            n_centroids: int = 8, train_iters: int = 1,
+                            seed: int = 42,
+                            portable: bool = False) -> DataFrame:
+    """Diversity (density-equalizing) sampling: k-means buckets the
+    embedding space, then every cluster keeps at most `cap` rows under
+    the deterministic md5(id) order — the cluster-balanced selection
+    step curation pipelines run after SemDeDup-style clustering so a
+    dense mode (boilerplate, one dominant style) cannot crowd the
+    sample while sparse modes survive intact (the same density-
+    equalization idea DataComp/SemDeDup apply to web scale).
+
+    Scale shape: one Lloyd training (train_kmeans — bounded
+    aggregates), one in-row assignment pass, then the source_cap
+    two-stage salted top-N keyed on the CLUSTER — a dense cluster
+    holding most of the corpus never funnels through one task.
+    Deterministic and engine-exact: the keep-order is the md5 of the
+    id (content-addressed — stable under corpus growth and identical
+    in any engine, the hash_split discipline). Returns the kept rows
+    as (id_col, cluster).
+    """
+    from .sampling import source_cap
+
+    cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
+                         n_iter=train_iters, seed=seed, portable=portable)
+    v = F.col(vec_col).cast("array<double>")
+    assigned = (fanout(df, F.col(id_col))
+                .select(F.col(id_col),
+                        nearest_centroid_col(v, list(enumerate(cents)),
+                                             portable=portable)
+                        .alias("cluster")))
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    kept = source_cap(assigned, source_col="cluster", order=order,
+                      cap=cap, id_col=id_col)
+    return kept.select(id_col, F.col("cluster").cast("long")) \
+        .orderBy(id_col)

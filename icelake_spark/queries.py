@@ -2602,6 +2602,31 @@ FROM t0 {joins}
 ORDER BY adc, t0.vec_id LIMIT {k}""")
 
 
+def cluster_balanced_sample_q(spark, sf_dir):
+    """Diversity sampling (ops/similarity.py cluster_balanced_sample):
+    one-iteration portable k-means buckets the embeddings, each
+    cluster keeps <=30 rows by md5(id) order via the salted two-stage
+    cap — density equalization, exactly twinned by the unrolled
+    k-means CTEs + a per-cluster QUALIFY."""
+    from .ops.similarity import cluster_balanced_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, cap=30, n_centroids=8,
+                                   train_iters=1, portable=True)
+
+
+def _cluster_balanced_sql(cap: int = 30, n_centroids: int = 8,
+                          seed: int = 42, iters: int = 1,
+                          dim: int = 64) -> str:
+    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, CAST(c AS BIGINT) AS cluster
+FROM af
+QUALIFY row_number() OVER (
+  PARTITION BY c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {cap}
+ORDER BY vec_id""")
+
+
 def semdedup_q(spark, sf_dir):
     """SemDeDup (ops/dedup.py semdedup — Abbas et al. 2023): k-means
     buckets the embedding space, cosine is computed only WITHIN each
@@ -5047,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
         "pq_adc_topk": pq_adc_topk_q,
+        "cluster_balanced_sample": cluster_balanced_sample_q,
         "gopher_repetition": gopher_repetition_q,
         "c4_rules": c4_rules_q,
         "curation_v3": curation_v3_q,
@@ -5088,7 +5114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r8-evidence rows, bench + iceberg rows first (2 rounds stale)
         "percentiles_by_status": percentiles_by_status,
         "iceberg_merge": iceberg_merge,
-        "iceberg_metadata_tables": iceberg_metadata_tables,
         "window_top_customers": window_top_customers,
         "nb_quality_score": nb_quality_score_q,
         "text_analysis": text_analysis,
@@ -5113,6 +5138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- displaced by pq_adc_topk (round-10d): pagerank runs as a
         #    bench EXTENDED lane every round (fresh scalar evidence)
         "pagerank_purchases": pagerank_purchases_q,
+        # -- displaced by cluster_balanced_sample (round-10d): the
+        #    metadata-suffix read path keeps in-window coverage through
+        #    iceberg_snapshots_meta; the 13-suffix sweep sits here
+        "iceberg_metadata_tables": iceberg_metadata_tables,
         # -- r11 queue head: r8-evidence rows sat out this round
         "string_date_functions": string_date_functions,
         "q14_promo_effect": q14_promo_effect,
@@ -5218,6 +5247,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _temporal.events_funnel_sql(FUNNEL_STEPS),
         "events_retention": _temporal.events_retention_sql(4),
         "pq_adc_topk": _pq_adc_sql(),
+        "cluster_balanced_sample": _cluster_balanced_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

