@@ -91,6 +91,7 @@ EXTENDED = [
     "events_funnel",
     "events_retention",
     "pq_adc_topk",
+    "cluster_balanced_sample",
 ]
 
 

@@ -5041,15 +5041,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with window_top_customers swapped in after its r10 salted-top-N
     rewrite.
 
-    Round-10d: five NEW operators (dsir_select, ccnet_buckets,
-    hybrid_rrf, events_funnel, events_retention) lead the window; to
-    fit, iceberg_roundtrip_agg and iceberg_mor_delete (both run as
-    bench lanes every round — fresh evidence regardless of the
-    window), curation_pipeline (its stages superseded by the in-window
-    curation_v2/v3 compositions), and iceberg_merge_multi /
-    iceberg_merge_cols (the EqualityDeltaWriter path stays covered
-    in-window by iceberg_merge) moved just past the cut, all still
-    green in the local sweep.
+    Round-10d: SEVEN NEW operators (dsir_select, ccnet_buckets,
+    hybrid_rrf, events_funnel, events_retention, pq_adc_topk,
+    cluster_balanced_sample) lead the window; to fit,
+    iceberg_roundtrip_agg and iceberg_mor_delete (both run as bench
+    lanes every round — fresh evidence regardless of the window),
+    curation_pipeline (superseded by the in-window curation_v2/v3
+    compositions), iceberg_merge_multi / iceberg_merge_cols (the
+    EqualityDeltaWriter path stays covered in-window by
+    iceberg_merge), pagerank_purchases (bench lane) and
+    iceberg_metadata_tables (suffix read path covered in-window by
+    iceberg_snapshots_meta) moved just past the cut, all still green
+    in the local sweep.
 
     Thirty-three r8-evidence rows sit out for space and MUST lead the
     r11 window (3 rounds stale by then): ann_topk, lm_bigram_score, theta_distinct, countmin_freq, string_date_functions,
