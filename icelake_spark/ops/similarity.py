@@ -208,6 +208,32 @@ def nearest_centroid_col(vec: Column, cents: list[tuple[int, list[float]]],
     return _assign_centroids_udf([c for _i, c in cents])(vec)
 
 
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose vector is non-NULL with no NULL element — the shared
+    predicate for every embedding operator's null contract (a NULL
+    vector cannot seed a centroid, take a code, or join a sample; it
+    must be EXCLUDED, never sorted first or silently bucketed)."""
+    return df.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+
+
+def _sample_init(df: DataFrame, vec_col: str, id_col: str, k: int,
+                 seed: int, portable: bool) -> list[list[float]]:
+    """Deterministic centroid init shared by train_kmeans and
+    pq_adc_topk: hash-ordered sample of up to k valid vectors —
+    md5(id:seed) when portable (identical order in any engine, the
+    DuckDB twins' c0 CTE), xxhash64 otherwise. May return FEWER than k
+    vectors on tiny inputs; callers must size codebooks by the returned
+    length, not k."""
+    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                               F.lit(seed)))
+             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
+    return [[float(x) for x in r[0]] for r in
+            valid_vectors(df, vec_col).select(vec_col)
+            .orderBy(order).limit(k).collect()]
+
+
 def train_kmeans(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", k: int = 16, n_iter: int = 3,
                  seed: int = 42, portable: bool = False) -> list[list[float]]:
@@ -230,16 +256,7 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     centroid bit-identical regardless of partitioning.
     """
     v = F.col(vec_col).cast("array<double>")
-    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                               F.lit(seed)))
-             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
-    # a sampled NULL vector (or one with a NULL element) cannot seed a
-    # centroid — filter BEFORE the sample instead of crashing float(None)
-    sampleable = df.where(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
-    cents = [[float(x) for x in r[0]] for r in
-             sampleable.select(vec_col).orderBy(order).limit(k).collect()]
+    cents = _sample_init(df, vec_col, id_col, k, seed, portable)
     # spread the (often single-file) scan across cores BEFORE
     # checkpointing — every assignment pass iterates on these partitions
     base = fanout(df).select(v.alias("__v")).localCheckpoint()
@@ -475,17 +492,14 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
         return d
 
     # ---- fused training -------------------------------------------
-    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                               F.lit(seed)))
-             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
-    sampleable = df.where(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
-    sample = [[float(x) for x in r[0]] for r in
-              sampleable.select(v).orderBy(order).limit(k_sub).collect()]
-    codebooks = [[vec[j * sub:(j + 1) * sub] for vec in sample]
-                 for j in range(m)]
-    base = fanout(df).select(v.alias("__v")).localCheckpoint()
+    sample = _sample_init(df, vec_col, id_col, k_sub, seed, portable)
+    # tiny inputs seed fewer than k_sub centroids — size the codebooks
+    # by the actual sample, never by k_sub (review r10d: range(k_sub)
+    # over a short codebook crashed the empty-cluster carry)
+    codebooks = [[[float(x) for x in vec[j * sub:(j + 1) * sub]]
+                  for vec in sample] for j in range(m)]
+    base = (fanout(valid_vectors(df, vec_col))
+            .select(v.alias("__v")).localCheckpoint())
     for _ in range(train_iters):
         parts = F.array(*[
             F.struct(
@@ -511,12 +525,16 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
         codebooks = [
             [[vals[(j, c, d)] for d in range(sub)]
              if (j, c, 0) in vals else codebooks[j][c]
-             for c in range(k_sub)]
+             for c in range(len(codebooks[j]))]
             for j in range(m)]
     luts = [[_seqdist(c, query[j * sub:(j + 1) * sub])
              for c in codebooks[j]] for j in range(m)]
 
-    enc = fanout(df, F.col(id_col)).select(F.col(id_col), v.alias("__v"))
+    # NULL embeddings are EXCLUDED from scoring (valid_vectors): a NULL
+    # adc would sort FIRST under the ascending orderBy and displace real
+    # neighbors (review r10d; the twin filters its v CTE the same way)
+    enc = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+           .select(F.col(id_col), v.alias("__v")))
     adc = None
     for j, cents in enumerate(codebooks):
         code = nearest_centroid_col(
@@ -557,7 +575,9 @@ def cluster_balanced_sample(df: DataFrame, cap: int,
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=train_iters, seed=seed, portable=portable)
     v = F.col(vec_col).cast("array<double>")
-    assigned = (fanout(df, F.col(id_col))
+    # NULL embeddings are excluded, not kept as a phantom NULL cluster
+    # (review r10d; the twin filters its v CTE identically)
+    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
                 .select(F.col(id_col),
                         nearest_centroid_col(v, list(enumerate(cents)),
                                              portable=portable)

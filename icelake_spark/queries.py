@@ -2477,8 +2477,8 @@ def ivf_kmeans_topk_q(spark, sf_dir):
 
 def _kmeans_af_ctes(n_centroids: int, seed: int, iters: int,
                     dim: int, prefix: str = "",
-                    base_e: str = "CAST(embedding AS DOUBLE[])"
-                    ) -> list[str]:
+                    base_e: str = "CAST(embedding AS DOUBLE[])",
+                    where: str = "") -> list[str]:
     """Shared CTE chain bit-reproducing train_kmeans(portable=True) +
     the final assignment: v → c0 (md5-hex-ordered init) → unrolled
     Lloyd's iterations (assign_t → means → cents_{t+1}) → `af`
@@ -2490,12 +2490,16 @@ def _kmeans_af_ctes(n_centroids: int, seed: int, iters: int,
     by centroid id. `prefix` namespaces every CTE and `base_e` is the
     vector expression, so the chain instantiates once per PQ subspace
     (pq_adc_topk twin: base_e a slice of the embedding) as well as
-    bare for ivf_kmeans_topk and semdedup."""
+    bare for ivf_kmeans_topk and semdedup; `where` filters the v CTE
+    (the pq/cluster_balanced twins mirror valid_vectors' NULL
+    exclusion — empty default keeps the older twins byte-identical).
+    """
     p = prefix
     sqdist = (f"list_sum([({{a}}.e[i] - {{b}}.ce[i]) * ({{a}}.e[i] - {{b}}.ce[i]) "
               f"for i in generate_series(1, {dim})])")
     ctes = [
-        f"{p}v AS (SELECT vec_id, {base_e} AS e FROM embeddings)",
+        f"{p}v AS (SELECT vec_id, {base_e} AS e FROM embeddings"
+        f"{' WHERE ' + where if where else ''})",
         f"""{p}c0 AS (
   SELECT row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) - 1 AS c,
@@ -2558,6 +2562,12 @@ def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
               f"ORDER BY cos DESC, vec_id LIMIT {k}")
 
 
+# ops/similarity.valid_vectors in SQL: the NULL-embedding exclusion the
+# pq / cluster_balanced twins share with their Spark operators
+_VALID_VEC_WHERE = ("embedding IS NOT NULL AND "
+                    "len(list_filter(embedding, x -> x IS NULL)) = 0")
+
+
 def pq_adc_topk_q(spark, sf_dir):
     """Product-quantization ANN with ADC lookup tables (Jegou et al.
     2011; ops/similarity.py pq_adc_topk), PORTABLE mode: 8 subspaces
@@ -2586,7 +2596,8 @@ def _pq_adc_sql(k: int = 20, m: int = 8, k_sub: int = 16,
         lo, hi = j * sub + 1, (j + 1) * sub
         ctes += _kmeans_af_ctes(
             k_sub, seed, iters, sub, prefix=f"s{j}_",
-            base_e=f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}]")
+            base_e=f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}]",
+            where=_VALID_VEC_WHERE)
         ctes.append(f"""lut{j} AS (
   SELECT c, list_sum([(q.qv[{j * sub} + i] - ce[i])
                       * (q.qv[{j * sub} + i] - ce[i])
@@ -2618,7 +2629,8 @@ def cluster_balanced_sample_q(spark, sf_dir):
 def _cluster_balanced_sql(cap: int = 30, n_centroids: int = 8,
                           seed: int = 42, iters: int = 1,
                           dim: int = 64) -> str:
-    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim)
+    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim,
+                           where=_VALID_VEC_WHERE)
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT vec_id, CAST(c AS BIGINT) AS cluster
 FROM af

@@ -2065,6 +2065,16 @@ def test_pq_adc_topk_recall_planted(spark):
     assert near_max < far_min
     with _pytest.raises(ValueError):
         pq_adc_topk(df, [0.0] * 15, m=4)
+    # review r10d: tables smaller than k_sub must not crash the
+    # empty-cluster carry, and a NULL-embedding row must be excluded
+    # from scoring instead of sorting first with adc NULL
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(5)] + [(99, None)],
+        "vec_id long, embedding array<double>")
+    out = pq_adc_topk(tiny, [0.0] * 16, k=10, m=4, k_sub=16,
+                      train_iters=1, portable=True).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1, 2, 3, 4]
+    assert all(r.adc is not None for r in out)
 
 
 def test_cluster_balanced_sample_density_equalization(spark):
@@ -2082,10 +2092,15 @@ def test_cluster_balanced_sample_density_equalization(spark):
               for i in range(10)]
     df = spark.createDataFrame(dense + sparse,
                                "vec_id long, embedding array<double>")
+    # a NULL-embedding row must be EXCLUDED, not kept as a phantom
+    # NULL cluster (review r10d)
+    df = df.unionByName(spark.createDataFrame(
+        [(9999, None)], "vec_id long, embedding array<double>"))
     got = cluster_balanced_sample(df, cap=20, n_centroids=4,
                                   train_iters=1, portable=True).collect()
+    assert all(r.vec_id != 9999 for r in got)
     n_dense = sum(1 for r in got if r.vec_id < 1000)
-    n_sparse = sum(1 for r in got if r.vec_id >= 1000)
+    n_sparse = sum(1 for r in got if 1000 <= r.vec_id < 9999)
     assert n_sparse == 10            # sparse mode survives whole
     assert n_dense <= 20 * 3         # dense mode capped per cluster
     assert n_dense < 200
@@ -2093,3 +2108,18 @@ def test_cluster_balanced_sample_density_equalization(spark):
     from collections import Counter
     per = Counter(r.cluster for r in got)
     assert all(n <= 20 for n in per.values())
+    # exactness: the keep set equals the single-window reference under
+    # the md5(id) order (the claim the salted two-stage cap must hold)
+    from icelake_spark.ops.similarity import (nearest_centroid_col,
+                                              train_kmeans, valid_vectors)
+    cents = train_kmeans(df, k=4, n_iter=1, portable=True)
+    ref_assigned = valid_vectors(df).select(
+        "vec_id", nearest_centroid_col(
+            F.col("embedding").cast("array<double>"),
+            list(enumerate(cents)), portable=True).alias("cluster"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    ref = (ref_assigned.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 20))
+    assert ({(r.vec_id, r.cluster) for r in got}
+            == {(r.vec_id, r.cluster) for r in ref.collect()})
