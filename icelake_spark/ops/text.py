@@ -1452,3 +1452,63 @@ SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_terms,
 FROM docs_w d LEFT JOIN sums USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def corpus_report(df: DataFrame, source_col: str = "source",
+                  lang_col: str = "lang", text_col: str = "text",
+                  short_words: int = 50) -> DataFrame:
+    """Per-(source, language) corpus accounting — the dashboard row a
+    curation run reports before/after every stage: document and token
+    volumes, mean document length, and the short-document rate.
+    Returns (source, lang, n_docs, total_words, total_chars, avg_words,
+    short_doc_micro, n_empty), NULL-text docs counted as empty with 0
+    words/chars.
+
+    100 TB shape: ONE map-side-combined aggregate over the scan —
+    every metric is a sum/count in integer arithmetic (floor DIV for
+    the mean and micro-rate), the output is bounded by
+    |sources| x |langs|. No window, no join, no Python."""
+    wc = F.coalesce(word_count(F.col(text_col)), F.lit(0))
+    chars = F.coalesce(F.length(text_col), F.lit(0))
+    empty = F.when(F.col(text_col).isNull()
+                   | (F.trim(F.col(text_col)) == ""),
+                   F.lit(1)).otherwise(F.lit(0))
+    short = F.when(wc < short_words, F.lit(1)).otherwise(F.lit(0))
+    return (df.groupBy(source_col, lang_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(wc).cast("long").alias("total_words"),
+                 F.sum(chars).cast("long").alias("total_chars"),
+                 F.sum(short).alias("__short"),
+                 F.sum(empty).cast("long").alias("n_empty"))
+            .select(source_col, lang_col, "n_docs", "total_words",
+                    "total_chars",
+                    F.expr("total_words DIV n_docs").alias("avg_words"),
+                    F.expr("__short * 1000000 DIV n_docs")
+                    .alias("short_doc_micro"),
+                    "n_empty")
+            .orderBy(source_col, lang_col))
+
+
+
+def corpus_report_sql(short_words: int = 50,
+                      table: str = "documents") -> str:
+    """DuckDB twin of corpus_report — same integer floor arithmetic."""
+    wc = word_count_sql("text")
+    return f"""
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(COALESCE({wc}, 0)) AS total_words,
+         SUM(COALESCE(length(text), 0)) AS total_chars,
+         SUM(CASE WHEN COALESCE({wc}, 0) < {short_words}
+             THEN 1 ELSE 0 END) AS short,
+         SUM(CASE WHEN text IS NULL OR trim(text) = ''
+             THEN 1 ELSE 0 END) AS n_empty
+  FROM {table} GROUP BY source, lang)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_words AS BIGINT) AS total_words,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(total_words // n_docs AS BIGINT) AS avg_words,
+       CAST(short * 1000000 // n_docs AS BIGINT) AS short_doc_micro,
+       CAST(n_empty AS BIGINT) AS n_empty
+FROM g ORDER BY source, lang
+"""

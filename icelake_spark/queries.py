@@ -4384,6 +4384,16 @@ def dsir_select_q(spark, sf_dir):
     return dsir_select(docs, docs.where(F.col("lang") == "en"), k=50)
 
 
+def corpus_report_q(spark, sf_dir):
+    """Per-(source, lang) corpus dashboard (ops/text.py
+    corpus_report): the volume/length/short-rate accounting a curation
+    run reports around every stage — one map-side-combined aggregate,
+    integer floor arithmetic."""
+    from .ops.text import corpus_report
+
+    return corpus_report(load(spark, sf_dir, "documents"))
+
+
 def ccnet_buckets_q(spark, sf_dir):
     """CCNet head/middle/tail perplexity bucketing per language
     (Wenzek et al. 2020; ops/text.py ccnet_buckets): exact per-lang
@@ -5134,6 +5144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": text_analysis,
         "gopher_rules": gopher_rules_q,
         # ---- beyond the 50-row window ------------------------------
+        # -- corpus_report (NEW r10d) sits first past the cut: every
+        #    in-window slot is mandated (29 r7-stale rows + r10-touched
+        #    rows + the seven other new operators); its word_count /
+        #    aggregate path is window-covered via text_analysis, and it
+        #    leads the r11 window
+        "corpus_report": corpus_report_q,
         # -- displaced by the three round-10d additions (dsir_select,
         #    ccnet_buckets, hybrid_rrf): iceberg_roundtrip_agg and
         #    iceberg_mor_delete run as bench lanes every round (fresh
@@ -5263,6 +5279,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _temporal.events_retention_sql(4),
         "pq_adc_topk": _pq_adc_sql(),
         "cluster_balanced_sample": _cluster_balanced_sql(),
+        "corpus_report": _text.corpus_report_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

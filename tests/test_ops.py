@@ -2123,3 +2123,31 @@ def test_cluster_balanced_sample_density_equalization(spark):
            .where(F.col("rn") <= 20))
     assert ({(r.vec_id, r.cluster) for r in got}
             == {(r.vec_id, r.cluster) for r in ref.collect()})
+
+
+def test_corpus_report_planted(spark):
+    """Corpus dashboard: exact integer accounting including NULL and
+    whitespace-only texts (counted empty, 0 words/chars... chars count
+    the raw length, so '   ' is 3 chars but still empty)."""
+    from icelake_spark.ops.text import corpus_report
+
+    rows = [
+        (1, "one two three", "en", "web"),
+        (2, "a b c d e f", "en", "web"),
+        (3, None, "en", "web"),
+        (4, "   ", "fr", "web"),
+        (5, "x " * 60, "en", "books"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {(r.source, r.lang): r for r in corpus_report(df).collect()}
+    web_en = got[("web", "en")]
+    assert (web_en.n_docs, web_en.total_words, web_en.n_empty) == (3, 9, 1)
+    assert web_en.avg_words == 3          # 9 DIV 3
+    assert web_en.short_doc_micro == 1_000_000
+    fr = got[("web", "fr")]
+    assert (fr.n_docs, fr.total_words, fr.total_chars,
+            fr.n_empty) == (1, 0, 3, 1)
+    books = got[("books", "en")]
+    assert books.n_docs == 1 and books.total_words == 60
+    assert books.short_doc_micro == 0
