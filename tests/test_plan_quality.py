@@ -378,3 +378,49 @@ def test_nb_quality_score_plan_properties(spark):
     assert "EvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round10d_operators_plan_properties(spark):
+    """The round-10d additions keep their intended physical shape."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # DSIR: ratio table joins BROADCAST, selection is TakeOrdered, no
+    # Python anywhere; the only sort-merge is the n_buckets-BOUNDED
+    # raw-vs-target full-outer count join (full outer cannot broadcast)
+    p1 = _plan(Q.dsir_select_q(spark, sf))
+    assert "EvalPython" not in p1
+    assert "BroadcastHashJoin" in p1 and "TakeOrdered" in p1
+    assert p1.count("SortMergeJoin") <= 1
+    # ccnet buckets: NO corpus window keyed by the language — the rank
+    # window must be keyed by the range-partition id (the _global_ranks
+    # funnel discipline); offsets join broadcast
+    p2 = _plan(Q.ccnet_buckets_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert "windowspecdefinition(__pid" in p2
+    assert "BroadcastHashJoin" in p2
+    # hybrid RRF: both lanes end in their own top-k before fusion, the
+    # fused relation is k-bounded, no sort-merge join anywhere
+    p3 = _plan(Q.hybrid_rrf_q(spark, sf))
+    assert "EvalPython" not in p3
+    assert "SortMergeJoin" not in p3
+    assert "TakeOrdered" in p3
+    # funnel: every stage is a min-aggregate (no collect_list buffers),
+    # no Python
+    p4 = _plan(Q.events_funnel_q(spark, sf))
+    assert "EvalPython" not in p4
+    assert "collect_list" not in p4
+    # retention: the cohort-size table joins broadcast; no Python
+    p5 = _plan(Q.events_retention_q(spark, sf))
+    assert "EvalPython" not in p5
+    assert "BroadcastHashJoin" in p5
+    # PQ encode+score: one narrow pass ending in TakeOrdered — the ADC
+    # lookup is in-row literal arrays, never a join against the corpus
+    p6 = _plan(Q.pq_adc_topk_q(spark, sf))
+    assert "EvalPython" not in p6
+    assert "TakeOrdered" in p6
+    assert "SortMergeJoin" not in p6 and "Join" not in p6
+    # corpus report: ONE hash aggregate, zero joins, zero windows
+    p7 = _plan(Q.corpus_report_q(spark, sf))
+    assert "EvalPython" not in p7 and "Window" not in p7
+    assert "Join" not in p7 and "HashAggregate" in p7
