@@ -141,3 +141,68 @@ def test_streaming_hll_register_union_equals_batch_sketch(
     full = {(r.g, r.register): r.max_rho
             for r in hll_registers(mk(range(0, 80)), "v", "g").collect()}
     assert acc == full
+
+
+def test_streaming_corpus_report_merges_across_batches(
+        spark, warehouse, tmp_path):
+    """corpus_report is MERGEABLE streaming state: every column is a
+    sum/count (the floor-derived columns recompute from the merged
+    sums), so a foreachBatch sink that adds per-batch partials equals
+    the batch report over the full corpus after two incremental
+    drains."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.text import corpus_report
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    def mk(ids):
+        rows = [(i, ("tok " * (i % 7)).strip() if i % 11 else None,
+                 "en" if i % 3 else "fr", f"s{i % 2}") for i in ids]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+
+    raw = warehouse.create_table("db.cr_raw",
+                                 S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 30)))
+    raw = raw.refresh()
+
+    acc: dict = {}
+
+    def merge(batch_df, _bid):
+        for r in corpus_report(batch_df).collect():
+            k = (r.source, r.lang)
+            prev = acc.get(k, (0, 0, 0, 0))
+            # accumulate the pure sums; the floor-derived columns (avg
+            # words, short rate) are functions of sums the sink would
+            # also carry — the assertion below recomputes avg from the
+            # merged sums and checks it against the batch report
+            acc[k] = (prev[0] + r.n_docs, prev[1] + r.total_words,
+                      prev[2] + r.total_chars, prev[3] + r.n_empty)
+
+    ck = str(tmp_path / "crck")
+
+    def drain(path):
+        q = (spark.readStream.format("icelake")
+             .option("path", path).load()
+             .writeStream.foreachBatch(merge)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(180):
+            q.stop()
+            raise AssertionError("stream did not drain in time")
+
+    drain(raw.path)
+    raw.append(mk(range(30, 60)))
+    raw = raw.refresh()
+    drain(raw.path)
+
+    rows = corpus_report(mk(range(0, 60))).collect()
+    full = {(r.source, r.lang): (r.n_docs, r.total_words, r.total_chars,
+                                 r.n_empty)
+            for r in rows}
+    assert acc == full
+    # floor-derived columns recompute exactly from the merged sums
+    for r in rows:
+        n_docs, total_words, _, _ = acc[(r.source, r.lang)]
+        assert total_words // n_docs == r.avg_words
