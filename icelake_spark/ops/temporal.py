@@ -262,3 +262,85 @@ FROM joined j JOIN sized s USING (cohort_week)
 GROUP BY j.cohort_week, j.week_offset, s.csize
 ORDER BY j.cohort_week, j.week_offset
 """
+
+
+def gap_fill_locf(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  bucket_hours: int = 1) -> DataFrame:
+    """Gap-filled per-key time series with last-observation-carried-
+    forward — the hypertable `time_bucket_gapfill + locf` shape: every
+    key gets a dense hourly (or N-hourly) bucket grid spanning the
+    table's GLOBAL time range, observed buckets carry the exact
+    decimal sum of their values, and missing buckets fill from the
+    key's previous observed bucket (NULL before the first one).
+    Returns (key_col, bucket_start, observed, filled, is_gap).
+
+    Scale shape: the observed series is one map-side-combined
+    aggregate; the grid is |keys| x n_buckets rows built by a
+    broadcast range cross join (both sides bounded — keys by the
+    entity universe, buckets by the time WINDOW, never by event
+    count); the LOCF window partitions by KEY and scans only that
+    key's n_buckets grid rows, so a hot key's million events never
+    funnel — they were already collapsed to per-bucket sums. The value
+    sums use the decimal-round trick (order-independent, both engines
+    identical)."""
+    step = bucket_hours * 3600 * 1_000_000  # microseconds
+    b = (F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                 / F.lit(step)) * step).cast("long")
+    observed = (df.select(F.col(key_col), b.alias("__b"),
+                          F.col(value_col).alias("__v"))
+                .groupBy(key_col, "__b")
+                .agg(F.sum(F.round(F.col("__v"), 8)
+                           .cast("decimal(24,8)"))
+                     .cast("double").alias("observed")))
+    rng = df.agg(F.min(b).alias("lo"), F.max(b).alias("hi"))
+    buckets = (rng.select(F.explode(
+        F.sequence(F.col("lo"), F.col("hi"), F.lit(step))).alias("__b")))
+    keys = df.select(key_col).distinct()
+    grid = keys.crossJoin(F.broadcast(buckets))
+    joined = grid.join(observed, on=[key_col, "__b"], how="left")
+    w = (Window.partitionBy(key_col).orderBy("__b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = F.last("observed", ignorenulls=True).over(w)
+    return (joined.select(
+                F.col(key_col),
+                F.timestamp_micros(F.col("__b")).alias("bucket_start"),
+                F.col("observed"),
+                filled.alias("filled"),
+                F.col("observed").isNull().alias("is_gap"))
+            .orderBy(key_col, "bucket_start"))
+
+
+def gap_fill_locf_sql(bucket_hours: int = 1, table: str = "events",
+                      key: str = "user_id", ts: str = "ts",
+                      value: str = "value") -> str:
+    """DuckDB twin of gap_fill_locf — same epoch-micro bucket floor,
+    same decimal sums, same LOCF window."""
+    step = bucket_hours * 3600 * 1_000_000
+    return f"""
+WITH obs AS (
+  SELECT {key} AS k,
+         CAST(FLOOR(epoch_us({ts}) / {step}) * {step} AS BIGINT) AS b,
+         CAST(SUM(CAST(ROUND({value}, 8) AS DECIMAL(24,8))) AS DOUBLE)
+         AS observed
+  FROM {table} GROUP BY 1, 2),
+rng AS (
+  SELECT MIN(CAST(FLOOR(epoch_us({ts}) / {step}) * {step} AS BIGINT))
+         AS lo,
+         MAX(CAST(FLOOR(epoch_us({ts}) / {step}) * {step} AS BIGINT))
+         AS hi
+  FROM {table}),
+buckets AS (
+  SELECT unnest(generate_series(lo, hi, {step})) AS b FROM rng),
+grid AS (
+  SELECT k, b FROM (SELECT DISTINCT {key} AS k FROM {table})
+  CROSS JOIN buckets)
+SELECT g.k AS {key}, make_timestamp(g.b) AS bucket_start,
+       o.observed AS observed,
+       LAST_VALUE(o.observed IGNORE NULLS) OVER (
+         PARTITION BY g.k ORDER BY g.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       o.observed IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b
+ORDER BY g.k, g.b
+"""

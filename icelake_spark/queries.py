@@ -1465,6 +1465,16 @@ def events_retention_q(spark, sf_dir):
     return events_retention(load(spark, sf_dir, "events"), n_weeks=4)
 
 
+def events_gapfill_q(spark, sf_dir):
+    """Gap-filled daily per-user value series with LOCF
+    (ops/temporal.py gap_fill_locf): the hypertable
+    time_bucket_gapfill + locf shape — dense bucket grid over the
+    global range, decimal-exact observed sums, carry-forward fill."""
+    from .ops.temporal import gap_fill_locf
+
+    return gap_fill_locf(load(spark, sf_dir, "events"), bucket_hours=24)
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     """Gap-based sessionization with window functions (the batch twin of
     a streaming session window)."""
@@ -5150,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    aggregate path is window-covered via text_analysis, and it
         #    leads the r11 window
         "corpus_report": corpus_report_q,
+        "events_gapfill": events_gapfill_q,
         # -- displaced by the three round-10d additions (dsir_select,
         #    ccnet_buckets, hybrid_rrf): iceberg_roundtrip_agg and
         #    iceberg_mor_delete run as bench lanes every round (fresh
@@ -5280,6 +5291,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_sql(),
         "cluster_balanced_sample": _cluster_balanced_sql(),
         "corpus_report": _text.corpus_report_sql(),
+        "events_gapfill": _temporal.gap_fill_locf_sql(bucket_hours=24),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

@@ -2151,3 +2151,32 @@ def test_corpus_report_planted(spark):
     books = got[("books", "en")]
     assert books.n_docs == 1 and books.total_words == 60
     assert books.short_doc_micro == 0
+
+
+def test_gap_fill_locf_planted(spark):
+    """Gap filling: every key gets the full global bucket grid, missing
+    buckets carry the previous observed sum forward and stay NULL
+    before the first observation."""
+    import datetime as dt
+
+    from icelake_spark.ops.temporal import gap_fill_locf
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = lambda k: t0 + dt.timedelta(hours=k)  # noqa: E731
+    rows = [
+        (1, h(0), 10.0), (1, h(0), 5.0),   # bucket 0 observed: 15
+        (1, h(3), 7.0),                     # buckets 1-2 are gaps
+        (2, h(2), 1.0),                     # key 2 starts later
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.bucket_start.hour): (r.observed, r.filled, r.is_gap)
+           for r in gap_fill_locf(df, bucket_hours=1).collect()}
+    assert len(got) == 8                       # 2 keys x 4 global buckets
+    assert got[(1, 0)] == (15.0, 15.0, False)
+    assert got[(1, 1)] == (None, 15.0, True)   # LOCF
+    assert got[(1, 2)] == (None, 15.0, True)
+    assert got[(1, 3)] == (7.0, 7.0, False)
+    assert got[(2, 0)] == (None, None, True)   # before first observation
+    assert got[(2, 1)] == (None, None, True)
+    assert got[(2, 2)] == (1.0, 1.0, False)
+    assert got[(2, 3)] == (None, 1.0, True)
