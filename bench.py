@@ -92,6 +92,8 @@ EXTENDED = [
     "events_retention",
     "pq_adc_topk",
     "cluster_balanced_sample",
+    "corpus_report",
+    "events_gapfill",
 ]
 
 
