@@ -100,3 +100,41 @@ def test_dsir_select_partition_invariant(spark, texts, parts):
     assert [(r.doc_id, r.n_grams, r.dsir_score_micro) for r in a] \
         == [(r.doc_id, r.n_grams, r.dsir_score_micro) for r in b]
     assert all(0 <= r.dsir_score_micro <= 10 ** 15 for r in a)
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),      # user
+              st.integers(min_value=0, max_value=100),    # minute
+              st.sampled_from(["a", "b", "c"])),           # type
+    min_size=1, max_size=40))
+@_slow
+def test_events_funnel_matches_python_reference(spark, events):
+    """The distributed funnel equals a sequential per-user reference:
+    step k reached at the earliest step-k event strictly after the
+    user's step-k-1 time."""
+    import datetime as dt
+
+    from icelake_spark.ops.temporal import events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(minutes=m), t) for u, m, t in events]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    steps = ["a", "b", "c"]
+    got = {r.step: r.users for r in events_funnel(df, steps).collect()}
+
+    # sequential reference
+    per_user: dict = {}
+    for u, ts, t in rows:
+        per_user.setdefault(u, []).append((ts, t))
+    counts = [0, 0, 0]
+    for evs in per_user.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [ts for ts, t in evs
+                    if t == step and (prev is None or ts > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    assert [got["a"], got["b"], got["c"]] == counts
