@@ -587,3 +587,47 @@ def cluster_balanced_sample(df: DataFrame, cap: int,
                       cap=cap, id_col=id_col)
     return kept.select(id_col, F.col("cluster").cast("long")) \
         .orderBy(id_col)
+
+
+def kmeans_quality(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", n_centroids: int = 8,
+                   train_iters: int = 1, seed: int = 42,
+                   portable: bool = False) -> DataFrame:
+    """Codebook quality report for the trained k-means index: per
+    cluster, the member count and the inertia (sum of squared
+    distances to the assigned centroid) — the diagnostic every
+    IVF / PQ / SemDeDup deployment reads before trusting its index
+    (a cluster with huge inertia needs a larger k or more
+    iterations; an empty one wasted a centroid).
+
+    Returns (cluster, n, inertia). Engine-exact: the squared distance
+    is the sequential left-to-right sum both engines share (the
+    train_kmeans parity contract), rounded to 6dp per row and summed
+    as DECIMAL(24,6) — order-independent, so the float total is
+    identical under any partitioning. One assignment map pass + one
+    bounded aggregate; empty clusters surface with (n=0, inertia=0)
+    via the static cluster-id frame."""
+    cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
+                         n_iter=train_iters, seed=seed, portable=portable)
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[
+        F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        for c in cents])
+    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+                .select((F.array_position(dists, F.array_min(dists)) - 1)
+                        .cast("int").alias("cluster"),
+                        F.array_min(dists).alias("__dd")))
+    got = (assigned.groupBy("cluster")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("__dd"), 6).cast("decimal(24,6)"))
+                .cast("double").alias("inertia")))
+    spark = df.sparkSession
+    frame = spark.range(len(cents)).select(
+        F.col("id").cast("int").alias("cluster"))
+    return (frame.join(got, on="cluster", how="left")
+            .select("cluster",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.coalesce("inertia", F.lit(0.0)).alias("inertia"))
+            .orderBy("cluster"))

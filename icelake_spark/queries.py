@@ -2649,6 +2649,40 @@ QUALIFY row_number() OVER (
 ORDER BY vec_id""")
 
 
+def kmeans_quality_q(spark, sf_dir):
+    """Codebook quality report (ops/similarity.py kmeans_quality):
+    per-cluster member count and decimal-exact inertia for the trained
+    portable k-means index — the IVF/PQ/SemDeDup index diagnostic."""
+    from .ops.similarity import kmeans_quality
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_quality(emb, n_centroids=8, train_iters=1,
+                          portable=True)
+
+
+def _kmeans_quality_sql(n_centroids: int = 8, seed: int = 42,
+                        iters: int = 1, dim: int = 64) -> str:
+    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim,
+                           where=_VALID_VEC_WHERE)
+    fin = f"c{iters}"
+    return ("WITH " + ",\n".join(ctes) + f""",
+qd AS (
+  SELECT a.c AS cluster,
+         ROUND(list_sum([(a.e[i] - f.ce[i]) * (a.e[i] - f.ce[i])
+                         for i in generate_series(1, {dim})]), 6) AS dd
+  FROM af a JOIN {fin} f ON a.c = f.c),
+agg AS (
+  SELECT cluster, COUNT(*) AS n,
+         CAST(SUM(CAST(dd AS DECIMAL(24,6))) AS DOUBLE) AS inertia
+  FROM qd GROUP BY cluster)
+SELECT CAST(g.cluster AS INT) AS cluster,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
+       COALESCE(agg.inertia, 0.0) AS inertia
+FROM (SELECT unnest(generate_series(0, {n_centroids - 1})) AS cluster) g
+LEFT JOIN agg USING (cluster)
+ORDER BY cluster""")
+
+
 def semdedup_q(spark, sf_dir):
     """SemDeDup (ops/dedup.py semdedup — Abbas et al. 2023): k-means
     buckets the embedding space, cosine is computed only WITHIN each
@@ -5161,6 +5195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    leads the r11 window
         "corpus_report": corpus_report_q,
         "events_gapfill": events_gapfill_q,
+        "kmeans_quality": kmeans_quality_q,
         # -- displaced by the three round-10d additions (dsir_select,
         #    ccnet_buckets, hybrid_rrf): iceberg_roundtrip_agg and
         #    iceberg_mor_delete run as bench lanes every round (fresh
@@ -5292,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": _cluster_balanced_sql(),
         "corpus_report": _text.corpus_report_sql(),
         "events_gapfill": _temporal.gap_fill_locf_sql(bucket_hours=24),
+        "kmeans_quality": _kmeans_quality_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

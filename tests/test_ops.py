@@ -2180,3 +2180,25 @@ def test_gap_fill_locf_planted(spark):
     assert got[(2, 1)] == (None, None, True)
     assert got[(2, 2)] == (1.0, 1.0, False)
     assert got[(2, 3)] == (None, 1.0, True)
+
+
+def test_kmeans_quality_planted(spark):
+    """Index-quality report: two well-separated blobs with k=4 leave
+    two empty clusters (n=0, inertia=0); tight blobs give tiny
+    inertia; member counts cover every input row exactly once."""
+    from icelake_spark.ops.similarity import kmeans_quality
+
+    rng = np.random.default_rng(11)
+    a = [(i, (rng.normal(0, 0.01, 8) + 10.0).tolist()) for i in range(30)]
+    b = [(100 + i, (rng.normal(0, 0.01, 8) - 10.0).tolist())
+         for i in range(30)]
+    df = spark.createDataFrame(a + b, "vec_id long, embedding array<double>")
+    got = kmeans_quality(df, n_centroids=4, train_iters=2,
+                         portable=True).collect()
+    assert [r.cluster for r in got] == [0, 1, 2, 3]
+    assert sum(r.n for r in got) == 60
+    nonempty = [r for r in got if r.n > 0]
+    # converged 2-blob data occupies exactly 2 of the 4 centroids OR
+    # splits a blob — either way every nonempty cluster is tight
+    assert all(r.inertia / r.n < 1.0 for r in nonempty)
+    assert all(r.inertia == 0.0 for r in got if r.n == 0)
