@@ -2649,6 +2649,79 @@ QUALIFY row_number() OVER (
 ORDER BY vec_id""")
 
 
+def ann_recall_q(spark, sf_dir):
+    """Recall evaluation for the ANN ladder: ivf_kmeans top-20 against
+    the exact cosine top-20, and pq_adc top-20 against the exact
+    L2 top-20 (each approximate method measured against ITS metric's
+    ground truth). Returns (method, hits, recall_micro) — the number
+    every index deployment reports before trading exactness for
+    speed. Both lanes and both ground truths are already-verified
+    registry operators; the composition is two k-bounded joins.
+
+    Expected magnitudes on the SYNTHETIC embeddings: ivf ~0.7, pq
+    ~0.1 — the synthetic vectors are i.i.d. noise with no cluster
+    structure, which is PQ's adversarial case (codebooks quantize
+    nothing meaningful and ADC ties collapse); the planted-cluster
+    pytest (test_pq_adc_topk_recall_planted) shows full cluster
+    recall when real structure exists. Surfacing that contrast is
+    this row's job."""
+    from .ops.similarity import pq_adc_topk, topk_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    k = 20
+    from .ops.similarity import ivf_topk
+
+    bc = topk_cosine(emb, query, k=k)
+    ivf = ivf_topk(emb, query, k=k, n_centroids=8, nprobe=3,
+                   train_iters=2, portable=True)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    bl2 = (emb.select("vec_id", F.round(l2, 6).alias("d"))
+           .orderBy("d", "vec_id").limit(k))
+    pq = pq_adc_topk(emb, query, k=k, portable=True)
+    parts = []
+    for name, truth, approx in [("ivf_kmeans", bc, ivf),
+                                ("pq_adc", bl2, pq)]:
+        hits = truth.select("vec_id").join(approx.select("vec_id"),
+                                           on="vec_id")
+        parts.append(hits.agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("long").alias("hits"),
+            F.expr(f"COUNT(*) * 1000000 DIV {k}").alias("recall_micro")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
+
+
+def _ann_recall_sql(k: int = 20, dim: int = 64) -> str:
+    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
+                         for i in range(dim)) + "]")
+    return f"""
+WITH bc AS ({_ann_topk_sql(k)}),
+ivf AS ({_ivf_kmeans_sql(k=k, n_centroids=8, nprobe=3, iters=2)}),
+bl2 AS (
+  SELECT vec_id,
+         ROUND(list_sum([(CAST(embedding AS DOUBLE[])[i] - ({q})[i])
+                         * (CAST(embedding AS DOUBLE[])[i] - ({q})[i])
+                         for i in generate_series(1, {dim})]), 6) AS d
+  FROM embeddings ORDER BY d, vec_id LIMIT {k}),
+pq AS ({_pq_adc_sql(k=k)})
+SELECT 'ivf_kmeans' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(*) * 1000000 // {k} AS BIGINT) AS recall_micro
+FROM bc JOIN ivf USING (vec_id)
+UNION ALL
+SELECT 'pq_adc', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) * 1000000 // {k} AS BIGINT)
+FROM bl2 JOIN pq USING (vec_id)
+ORDER BY method
+"""
+
+
 def kmeans_quality_q(spark, sf_dir):
     """Codebook quality report (ops/similarity.py kmeans_quality):
     per-cluster member count and decimal-exact inertia for the trained
@@ -5196,6 +5269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": corpus_report_q,
         "events_gapfill": events_gapfill_q,
         "kmeans_quality": kmeans_quality_q,
+        "ann_recall": ann_recall_q,
         # -- displaced by the three round-10d additions (dsir_select,
         #    ccnet_buckets, hybrid_rrf): iceberg_roundtrip_agg and
         #    iceberg_mor_delete run as bench lanes every round (fresh
@@ -5328,6 +5402,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _text.corpus_report_sql(),
         "events_gapfill": _temporal.gap_fill_locf_sql(bucket_hours=24),
         "kmeans_quality": _kmeans_quality_sql(),
+        "ann_recall": _ann_recall_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
