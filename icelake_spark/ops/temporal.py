@@ -344,3 +344,87 @@ SELECT g.k AS {key}, make_timestamp(g.b) AS bucket_start,
 FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b
 ORDER BY g.k, g.b
 """
+
+
+def event_associations(df: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """Market-basket association rules over event types: for every
+    DIRECTED pair (antecedent -> consequent) of distinct types,
+    support / confidence / lift in integer micro-units — the
+    classic co-occurrence analytics (which behaviors predict which)
+    computed set-wise per user.
+
+      support    = users(a AND b) * 1e6 DIV users
+      confidence = users(a AND b) * 1e6 DIV users(a)
+      lift       = users(a AND b) * users * 1e6 DIV (users(a)*users(b))
+
+    Scale shape: the per-user distinct-type relation is bounded by
+    |users| x |type vocabulary|; the pair self-join fans each user out
+    to at most |types|^2 rows (the vocabulary is small and fixed — the
+    join never scales with event count); per-type counts broadcast
+    back and the lift product runs in DECIMAL(38,0) (count products
+    wrap int64 at planetary user counts). Returns
+    (antecedent, consequent, n_both, support_micro, confidence_micro,
+    lift_micro) sorted by the pair."""
+    ut = df.select(user_col, type_col).distinct()
+    n_users = ut.select(user_col).distinct().count()
+    if n_users == 0:
+        return (ut.select(
+            F.col(type_col).alias("antecedent"),
+            F.col(type_col).alias("consequent"),
+            F.lit(0).cast("long").alias("n_both"),
+            F.lit(0).cast("long").alias("support_micro"),
+            F.lit(0).cast("long").alias("confidence_micro"),
+            F.lit(0).cast("long").alias("lift_micro")))
+    per_type = ut.groupBy(type_col).agg(F.count("*").alias("__n"))
+    a = ut.select(F.col(user_col).alias("__u"),
+                  F.col(type_col).alias("antecedent"))
+    b = ut.select(F.col(user_col).alias("__u"),
+                  F.col(type_col).alias("consequent"))
+    pairs = (a.join(b, on="__u")
+             .where(F.col("antecedent") != F.col("consequent"))
+             .groupBy("antecedent", "consequent")
+             .agg(F.count("*").alias("n_both")))
+    na = per_type.select(F.col(type_col).alias("antecedent"),
+                         F.col("__n").alias("__na"))
+    nb = per_type.select(F.col(type_col).alias("consequent"),
+                         F.col("__n").alias("__nb"))
+    return (pairs.join(F.broadcast(na), on="antecedent")
+            .join(F.broadcast(nb), on="consequent")
+            .select("antecedent", "consequent",
+                    F.col("n_both").cast("long"),
+                    F.expr(f"n_both * 1000000 DIV {n_users}")
+                    .alias("support_micro"),
+                    F.expr("n_both * 1000000 DIV __na")
+                    .alias("confidence_micro"),
+                    F.expr(f"CAST(CAST(n_both AS DECIMAL(38,0))"
+                           f" * {n_users} * 1000000"
+                           f" DIV (CAST(__na AS DECIMAL(38,0)) * __nb)"
+                           f" AS BIGINT)").alias("lift_micro"))
+            .orderBy("antecedent", "consequent"))
+
+
+def event_associations_sql(table: str = "events") -> str:
+    """DuckDB twin of event_associations — same set-wise counts and
+    floor micro-units."""
+    return f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM {table}),
+n AS (SELECT COUNT(DISTINCT user_id) AS users FROM ut),
+pt AS (SELECT event_type, COUNT(*) AS cnt FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type <> b.event_type
+  GROUP BY 1, 2)
+SELECT p.antecedent, p.consequent, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(p.n_both * 1000000 // n.users AS BIGINT) AS support_micro,
+       CAST(p.n_both * 1000000 // na.cnt AS BIGINT) AS confidence_micro,
+       CAST(CAST(p.n_both AS HUGEINT) * n.users * 1000000
+            // (CAST(na.cnt AS HUGEINT) * nb.cnt) AS BIGINT)
+       AS lift_micro
+FROM pairs p
+JOIN pt na ON na.event_type = p.antecedent
+JOIN pt nb ON nb.event_type = p.consequent, n
+ORDER BY p.antecedent, p.consequent
+"""

@@ -1475,6 +1475,16 @@ def events_gapfill_q(spark, sf_dir):
     return gap_fill_locf(load(spark, sf_dir, "events"), bucket_hours=24)
 
 
+def event_associations_q(spark, sf_dir):
+    """Association rules over event types (ops/temporal.py
+    event_associations): directed support / confidence / lift per
+    type pair in integer micro-units — set-wise per user, the pair
+    join bounded by the type vocabulary."""
+    from .ops.temporal import event_associations
+
+    return event_associations(load(spark, sf_dir, "events"))
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     """Gap-based sessionization with window functions (the batch twin of
     a streaming session window)."""
@@ -5270,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": events_gapfill_q,
         "kmeans_quality": kmeans_quality_q,
         "ann_recall": ann_recall_q,
+        "event_associations": event_associations_q,
         # -- displaced by the three round-10d additions (dsir_select,
         #    ccnet_buckets, hybrid_rrf): iceberg_roundtrip_agg and
         #    iceberg_mor_delete run as bench lanes every round (fresh
@@ -5403,6 +5414,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": _temporal.gap_fill_locf_sql(bucket_hours=24),
         "kmeans_quality": _kmeans_quality_sql(),
         "ann_recall": _ann_recall_sql(),
+        "event_associations": _temporal.event_associations_sql(),
         "sequence_chunks": _sampling.sequence_chunks_sql(32, 24),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

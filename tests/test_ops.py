@@ -2202,3 +2202,29 @@ def test_kmeans_quality_planted(spark):
     # splits a blob — either way every nonempty cluster is tight
     assert all(r.inertia / r.n < 1.0 for r in nonempty)
     assert all(r.inertia == 0.0 for r in got if r.n == 0)
+
+
+def test_event_associations_planted(spark):
+    """Association rules: planted co-occurrence — every 'buy' user
+    also 'view's (confidence 100%), but only half the 'view' users
+    buy; lift reflects the conditional enrichment exactly."""
+    from icelake_spark.ops.temporal import event_associations
+
+    rows = []
+    for u in range(10):
+        rows.append((u, "view"))
+        rows.append((u, "view"))  # duplicates collapse set-wise
+        if u < 5:
+            rows.append((u, "buy"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r.antecedent, r.consequent): r
+           for r in event_associations(df).collect()}
+    bv = got[("buy", "view")]
+    assert (bv.n_both, bv.support_micro, bv.confidence_micro) \
+        == (5, 500_000, 1_000_000)
+    # lift(buy->view) = P(view|buy)/P(view) = 1.0/1.0 = 1
+    assert bv.lift_micro == 1_000_000
+    vb = got[("view", "buy")]
+    assert (vb.n_both, vb.confidence_micro) == (5, 500_000)
+    # lift(view->buy) = 0.5 / 0.5 = 1
+    assert vb.lift_micro == 1_000_000
