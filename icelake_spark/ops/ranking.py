@@ -356,7 +356,11 @@ def rrf_fuse(lanes: list[DataFrame], k: int = 10, c: int = 60,
     candidates sort by the summed contribution. Ranks come from each
     lane's own (score DESC, id ASC) order, so fusion never compares
     raw scores across lanes (the whole point of RRF — BM25 logits and
-    cosine similarities are not commensurable).
+    cosine similarities are not commensurable). Each lane is
+    defensively deduped on id_col first (keep the BEST score): the
+    documented precondition is already-unique top-k outputs, but a
+    lane that emits per-term rows would otherwise inflate n_lanes and
+    double-count its contribution silently (ADVICE r10).
 
     Engine exactness: the contribution is integer
     1e9 DIV (c + rank) NANO-units — 1/(c+r) is not finite-decimal, and
@@ -373,7 +377,9 @@ def rrf_fuse(lanes: list[DataFrame], k: int = 10, c: int = 60,
     ranked = []
     for lane in lanes:
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-        ranked.append(lane.select(id_col, score_col)
+        uniq = (lane.select(id_col, score_col)
+                .groupBy(id_col).agg(F.max(score_col).alias(score_col)))
+        ranked.append(uniq
                       .withColumn("__rank", F.row_number().over(w))
                       .select(id_col, F.expr(f"1000000000 DIV ({c} + __rank)")
                               .alias("__contrib")))
@@ -393,9 +399,12 @@ def rrf_fuse_sql(lane_sqls: list[str], k: int = 10, c: int = 60) -> str:
     ctes, unions = [], []
     for i, sql in enumerate(lane_sqls):
         ctes.append(f"lane{i} AS ({sql})")
+        # same defensive keep-best dedup as the operator
+        ctes.append(f"ulane{i} AS (SELECT id, MAX(score) AS score "
+                    f"FROM lane{i} GROUP BY id)")
         unions.append(
             f"SELECT id, 1000000000 // ({c} + ROW_NUMBER() OVER ("
-            f"ORDER BY score DESC, id)) AS contrib FROM lane{i}")
+            f"ORDER BY score DESC, id)) AS contrib FROM ulane{i}")
     return f"""
 WITH {', '.join(ctes)},
 pool AS ({' UNION ALL '.join(unions)})

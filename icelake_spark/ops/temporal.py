@@ -120,8 +120,10 @@ def events_funnel(df: DataFrame, steps: list[str],
     step-k-1 time (the standard product-analytics funnel, not a mere
     per-type existence check — out-of-order events don't count).
     Returns one row per step: (step_idx, step, users, conv_micro)
-    where conv_micro = users * 1e6 DIV step-1 users (floor micro-units,
-    exact in any engine).
+    where conv_micro = users * 1e6 DIV step-0 users — conversion
+    relative to the funnel's ENTRY population (FIRST_VALUE over
+    step_idx), matching the implementation, the SQL twin and the
+    tests (floor micro-units, exact in any engine; ADVICE r10).
 
     Scale shape: step k is one filtered min-aggregate of the event
     stream joined user-keyed against the (user, t_{k-1}) table — every

@@ -2690,7 +2690,14 @@ def ann_recall_q(spark, sf_dir):
         F.zip_with(F.col("embedding").cast("array<double>"), q,
                    lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x)
-    bl2 = (emb.select("vec_id", F.round(l2, 6).alias("d"))
+    # NULL / NULL-element embeddings are EXCLUDED from the L2 ground
+    # truth (valid_vectors): their distance is NULL and Spark's
+    # ascending orderBy sorts NULLs FIRST, so they would enter the
+    # exact top-k and deflate recall while DuckDB (NULLS LAST) keeps
+    # them out — the same NULL-ordering divergence class pq_adc_topk
+    # and cluster_balanced_sample fixed in r10 (ADVICE r10)
+    from .ops.similarity import valid_vectors
+    bl2 = (valid_vectors(emb).select("vec_id", F.round(l2, 6).alias("d"))
            .orderBy("d", "vec_id").limit(k))
     pq = pq_adc_topk(emb, query, k=k, portable=True)
     parts = []
@@ -2719,7 +2726,8 @@ bl2 AS (
          ROUND(list_sum([(CAST(embedding AS DOUBLE[])[i] - ({q})[i])
                          * (CAST(embedding AS DOUBLE[])[i] - ({q})[i])
                          for i in generate_series(1, {dim})]), 6) AS d
-  FROM embeddings ORDER BY d, vec_id LIMIT {k}),
+  FROM embeddings WHERE {_VALID_VEC_WHERE}
+  ORDER BY d, vec_id LIMIT {k}),
 pq AS ({_pq_adc_sql(k=k)})
 SELECT 'ivf_kmeans' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
        CAST(COUNT(*) * 1000000 // {k} AS BIGINT) AS recall_micro
