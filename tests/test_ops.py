@@ -2228,3 +2228,67 @@ def test_event_associations_planted(spark):
     assert (vb.n_both, vb.confidence_micro) == (5, 500_000)
     # lift(view->buy) = 0.5 / 0.5 = 1
     assert vb.lift_micro == 1_000_000
+
+
+def test_pq_codes_gemm_matches_literal(spark):
+    """The fused GEMM encoder (_pq_assign_codes_udf) and the literal
+    argmin trees produce IDENTICAL codes given the same codebooks —
+    the _assign_centroids_udf parity discipline pinned for the PQ
+    lane (VERDICT r10 #2): same tie-break (smallest code), same NULL
+    contract (null vector / null element → NULL codes, no crash)."""
+    from pyspark.sql import functions as F
+
+    from icelake_spark.ops.similarity import (_pq_assign_codes_udf,
+                                              nearest_centroid_col)
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 16).tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    m, sub = 4, 4
+    cb = [[rng.normal(0, 1, sub).tolist() for _ in range(8)]
+          for _ in range(m)]
+    v = F.col("embedding").cast("array<double>")
+    lit = df.select("vec_id", *[
+        nearest_centroid_col(F.slice(v, j * sub + 1, sub),
+                             list(enumerate(cb[j])),
+                             portable=True).alias(f"c{j}")
+        for j in range(m)]).collect()
+    gem = df.select(
+        "vec_id", _pq_assign_codes_udf(cb)(v).alias("cs")).collect()
+    lmap = {r.vec_id: [r[f"c{j}"] for j in range(m)] for r in lit}
+    gmap = {r.vec_id: list(r.cs) for r in gem}
+    assert lmap == gmap
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, None] + [0.0] * 14), (3, [0.5] * 16)],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cs for r in bad.select(
+        "vec_id", _pq_assign_codes_udf(cb)(
+            F.col("embedding").cast("array<double>")).alias("cs"))
+        .collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] is not None and len(out[3]) == m
+
+
+def test_pq_adc_topk_gemm_lane_planted(spark):
+    """The non-portable (fused-GEMM) PQ lane keeps the cluster-recall
+    contract on planted structure — the end-to-end twin of the
+    portable-lane planted test."""
+    from icelake_spark.ops.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(7)
+    near = [(i, (rng.normal(0, 0.05, 16) + np.r_[[5.0] * 8, [0.0] * 8])
+             .tolist()) for i in range(20)]
+    far = [(100 + i, (rng.normal(0, 0.05, 16) + np.r_[[0.0] * 8,
+            [5.0] * 8]).tolist()) for i in range(20)]
+    df = spark.createDataFrame(near + far,
+                               "vec_id long, embedding array<double>")
+    query = [5.0] * 8 + [0.0] * 8
+    got = pq_adc_topk(df, query, k=10, m=4, k_sub=4, train_iters=2,
+                      portable=False).collect()
+    assert all(r.vec_id < 100 for r in got), got
+    full = pq_adc_topk(df, query, k=40, m=4, k_sub=4, train_iters=2,
+                       portable=False).collect()
+    near_max = max(r.adc for r in full if r.vec_id < 100)
+    far_min = min(r.adc for r in full if r.vec_id >= 100)
+    assert near_max < far_min
