@@ -94,7 +94,42 @@ EXTENDED = [
     "cluster_balanced_sample",
     "corpus_report",
     "events_gapfill",
+    # round-11: IVFADC (coarse k-means routing + PQ on residuals) —
+    # the ANN ladder's top rung; pq_adc_topk itself now encodes via
+    # the fused GEMM codes UDF in this non-portable bench lane
+    "ivf_pq_topk",
 ]
+
+
+def _bench_variants():
+    """Deployment-lane overrides (r11). The oracle registry pins the
+    PQ/IVFADC rows to portable=True — literal argmin trees BY
+    CONSTRUCTION, because that is what a DuckDB twin can bit-reproduce.
+    The bench must time the DEPLOYMENT default instead: the fused
+    Arrow-batched GEMM codes UDF (VERDICT r10 #2 — the literal lane's
+    ~10 s is fixed driver-side codegen, not data-dependent work, and
+    nobody runs the oracle lane in production). Code equality of the
+    two encoders is pinned by pytest
+    (test_pq_codes_gemm_matches_literal); the oracle rows stay
+    portable and hash-green."""
+    from icelake_spark.queries import load
+
+    def pq_gemm(spark, sf_dir):
+        from icelake_spark.ops.similarity import pq_adc_topk
+        emb = load(spark, sf_dir, "embeddings")
+        query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+        return pq_adc_topk(emb, query, k=20, m=8, k_sub=16,
+                           train_iters=2, portable=False)
+
+    def ivfpq_gemm(spark, sf_dir):
+        from icelake_spark.ops.similarity import ivf_pq_topk
+        emb = load(spark, sf_dir, "embeddings")
+        query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+        return ivf_pq_topk(emb, query, k=20, n_centroids=8, nprobe=3,
+                           m=8, k_sub=16, coarse_iters=1, train_iters=1,
+                           portable=False)
+
+    return {"pq_adc_topk": pq_gemm, "ivf_pq_topk": ivfpq_gemm}
 
 
 def _run_set(spark, qs, names, sf_dir) -> tuple[dict[str, float], float]:
@@ -128,7 +163,7 @@ def main() -> None:
 
     spark = icelake_spark.default_session("icelake_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    qs = {**queries(), **_bench_variants()}
     if args:  # dedicated runs of explicitly named queries
         head, ext = [n for n in args if n in qs], []
         missing = [n for n in args if n not in qs]

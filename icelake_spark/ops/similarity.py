@@ -548,16 +548,16 @@ def _train_pq_codebooks(base: DataFrame, sample: list[list[float]],
     return codebooks
 
 
-def _adc_score(enc: DataFrame, codebooks: list[list[list[float]]],
-               luts: list[list[float]], sub: int,
-               portable: bool) -> tuple[DataFrame, Column]:
-    """Shared encode-and-score tail: per-row subspace codes (literal
-    trees when portable, else the fused GEMM UDF) and the ADC as the
-    left-to-right sum of the m looked-up LUT entries. Returns the
-    (possibly code-augmented) frame and the adc column."""
+def _pq_code_cols(enc: DataFrame, codebooks: list[list[list[float]]],
+                  sub: int, portable: bool
+                  ) -> tuple[DataFrame, list[Column]]:
+    """Per-row subspace code columns over `enc.__v`: literal argmin
+    trees when portable (the oracle contract), else ONE fused GEMM
+    pandas_udf materialized as `__cs`. Returns the (possibly
+    code-augmented) frame and the m code columns."""
     m = len(codebooks)
     if portable:
-        code_cols = [
+        cols = [
             nearest_centroid_col(F.slice(F.col("__v"), j * sub + 1, sub),
                                  list(enumerate(codebooks[j])),
                                  portable=True)
@@ -565,9 +565,19 @@ def _adc_score(enc: DataFrame, codebooks: list[list[list[float]]],
     else:
         enc = enc.withColumn(
             "__cs", _pq_assign_codes_udf(codebooks)(F.col("__v")))
-        code_cols = [F.element_at(F.col("__cs"), j + 1) for j in range(m)]
+        cols = [F.element_at(F.col("__cs"), j + 1) for j in range(m)]
+    return enc, cols
+
+
+def _adc_score(enc: DataFrame, codebooks: list[list[list[float]]],
+               luts: list[list[float]], sub: int,
+               portable: bool) -> tuple[DataFrame, Column]:
+    """Shared encode-and-score tail: per-row subspace codes
+    (_pq_code_cols) and the ADC as the left-to-right sum of the m
+    looked-up LUT entries. Returns the frame and the adc column."""
+    enc, code_cols = _pq_code_cols(enc, codebooks, sub, portable)
     adc = None
-    for j in range(m):
+    for j in range(len(codebooks)):
         term = F.element_at(
             F.array(*[F.lit(float(d)) for d in luts[j]]), code_cols[j] + 1)
         adc = term if adc is None else adc + term  # left-to-right
@@ -644,6 +654,97 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     enc = (fanout(valid_vectors(df, vec_col), F.col(id_col))
            .select(F.col(id_col), v.alias("__v")))
     enc, adc = _adc_score(enc, codebooks, luts, sub, portable)
+    return (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+            .orderBy(F.col("adc"), F.col(id_col)).limit(k))
+
+
+def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
+                n_centroids: int = 8, nprobe: int = 3,
+                m: int = 8, k_sub: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: int = 42, coarse_iters: int = 1,
+                train_iters: int = 1,
+                portable: bool = False) -> DataFrame:
+    """IVFADC — the composed top rung of the ANN ladder and the shape
+    actual 100 TB vector-search deployments run (Jegou, Douze & Schmid
+    2011 §IV): a COARSE quantizer (Lloyd k-means, train_kmeans) routes
+    each vector to a cell, product quantization encodes the RESIDUAL
+    v − c_cell (residuals have far less energy than raw vectors, so
+    the same code bytes quantize much finer), and a query scans only
+    the nprobe cells nearest it, scoring codes via per-cell ADC tables
+    lut_cell[j][code] = ||(q − c_cell)_j − centroid_{j,code}||².
+
+    Returns top-k (id_col, adc) ascending approximate squared L2
+    (6dp, id tiebreak), computed over ONLY the probed cells.
+
+    Scale shape: coarse training is train_kmeans (bounded aggregates);
+    the residual pass is one in-row zip_with against the broadcast
+    n_centroids×dim literal table; PQ training reuses the FUSED
+    trainer on residuals (1 job/iteration, m·k_sub·sub_dim-bounded
+    aggregate); encode is the fused GEMM codes UDF (literal trees only
+    when portable); scoring touches ~nprobe/n_centroids of the data
+    (the cell filter prunes before any scoring work), looks up
+    nprobe·m·k_sub literal LUT entries in-row, and the top-k is
+    TakeOrdered. No join against the corpus anywhere; a persisted
+    deployment would partitionBy(cell) so a probe reads only its
+    cells' files.
+
+    portable=True keeps every step bit-reproducible by the DuckDB twin
+    (_ivf_pq_sql): md5-ordered inits, DECIMAL means for both coarse
+    and sub-codebooks, sequential squared-distance sums everywhere
+    (driver-side Python for probe selection and LUTs — identical IEEE
+    ops to the twin's list_sum), left-to-right ADC addition.
+    """
+    dim = len(query)
+    if dim % m:
+        raise ValueError(f"query dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
+                         n_iter=coarse_iters, seed=seed, portable=portable)
+    v = F.col(vec_col).cast("array<double>")
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in cents])
+    # one pass: coarse cell + residual, checkpointed — both PQ training
+    # iterations and the scoring pass reuse it without re-assigning
+    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+            .select(F.col(id_col), v.alias("__fv"))
+            .withColumn("__gc", nearest_centroid_col(
+                F.col("__fv"), list(enumerate(cents)), portable=portable))
+            .withColumn("__v", F.zip_with(
+                F.col("__fv"),
+                F.element_at(cent_arr, F.col("__gc") + 1),
+                lambda x, y: x - y))
+            .drop("__fv")
+            .localCheckpoint())
+    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                               F.lit(seed)))
+             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
+    sample = [[float(x) for x in r[0]] for r in
+              base.orderBy(order).select("__v").limit(k_sub).collect()]
+    codebooks = _train_pq_codebooks(base, sample, m, sub, train_iters,
+                                    portable)
+    # probe selection + per-cell LUTs: driver-side sequential sums over
+    # n_centroids·dim + nprobe·m·k_sub·sub doubles — O(index size), not
+    # data size; ties break by cell id (the twin's ORDER BY dd, c)
+    dists = sorted((_seqdist(c, query), i) for i, c in enumerate(cents))
+    probe = [i for _, i in dists[:nprobe]]
+    luts = {}
+    for cell in probe:
+        qres = [query[i] - cents[cell][i] for i in range(dim)]
+        luts[cell] = [[_seqdist(cb, qres[j * sub:(j + 1) * sub])
+                       for cb in codebooks[j]] for j in range(m)]
+    enc = base.where(F.col("__gc").isin([int(c) for c in probe]))
+    enc, code_cols = _pq_code_cols(enc, codebooks, sub, portable)
+    pos = F.array_position(
+        F.array(*[F.lit(int(c)) for c in probe]), F.col("__gc"))
+    adc = None
+    for j in range(m):
+        lut2d = F.array(*[
+            F.array(*[F.lit(float(d)) for d in luts[cell][j]])
+            for cell in probe])
+        term = F.element_at(F.element_at(lut2d, pos.cast("int")),
+                            code_cols[j] + 1)
+        adc = term if adc is None else adc + term  # left-to-right
     return (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
             .orderBy(F.col("adc"), F.col(id_col)).limit(k))
 

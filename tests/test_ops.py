@@ -2292,3 +2292,68 @@ def test_pq_adc_topk_gemm_lane_planted(spark):
     near_max = max(r.adc for r in full if r.vec_id < 100)
     far_min = min(r.adc for r in full if r.vec_id >= 100)
     assert near_max < far_min
+
+
+def test_ivf_pq_topk_dominates_pq_planted(spark):
+    """IVFADC (ivf_pq_topk) vs PQ-alone at EQUAL code bytes (m=4,
+    k_sub=4) on planted clusters: the coarse quantizer absorbs the
+    between-cluster offsets so the sub-codebooks spend their capacity
+    on WITHIN-cluster detail (Jegou et al. 2011 §IV — PQ on residuals
+    quantizes far finer than PQ on raw vectors). Recall@10 vs the
+    exact L2 top-10 must dominate PQ-alone, and every hit must come
+    from the query's planted cluster."""
+    from icelake_spark.ops.similarity import ivf_pq_topk, pq_adc_topk
+
+    rng = np.random.default_rng(23)
+    centers = [np.r_[[6.0] * 8, [0.0] * 8], np.r_[[0.0] * 8, [6.0] * 8],
+               np.r_[[-6.0] * 8, [0.0] * 8], np.r_[[0.0] * 8, [-6.0] * 8]]
+    # cluster 0 spreads along a line at SHUFFLED ids (so ADC ties that
+    # fall back to the id order cannot fake rank agreement); the other
+    # clusters are blobs. PQ-alone must spend its 4 centroids per
+    # subspace separating clusters 12 units apart, leaving no
+    # within-cluster resolution; IVFADC's sub-codebooks see only the
+    # ~4-unit residual spread.
+    direction = rng.standard_normal(16)
+    direction /= np.linalg.norm(direction)
+    perm = rng.permutation(50)
+    rows = []
+    for ci, c in enumerate(centers):
+        for i in range(50):
+            if ci == 0:
+                vec = (c + direction * (perm[i] * 0.08)
+                       + rng.normal(0, 0.02, 16))
+            else:
+                vec = c + rng.normal(0, 0.3, 16)
+            rows.append((int(ci * 1000 + i), vec.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = (centers[0] - direction * 0.05).tolist()
+    # exact L2 top-10 ground truth
+    import pyspark.sql.functions as F
+    q = F.array(*[F.lit(float(x)) for x in query])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    truth = {r.vec_id for r in
+             df.select("vec_id", l2.alias("d"))
+             .orderBy("d", "vec_id").limit(10).collect()}
+    pq = {r.vec_id for r in pq_adc_topk(
+        df, query, k=10, m=4, k_sub=4, train_iters=2,
+        portable=True).collect()}
+    ivfpq = {r.vec_id for r in ivf_pq_topk(
+        df, query, k=10, n_centroids=4, nprobe=1, m=4, k_sub=4,
+        coarse_iters=2, train_iters=2, portable=True).collect()}
+    r_pq = len(truth & pq) / 10
+    r_ivfpq = len(truth & ivfpq) / 10
+    assert all(v < 1000 for v in ivfpq), ivfpq  # query's cluster only
+    # fully deterministic (seeded fixture + portable lanes): observed
+    # 0.4 vs 0.1 — strict domination at equal code bytes
+    assert r_ivfpq > r_pq, (r_ivfpq, r_pq)
+    assert r_ivfpq >= 0.4, (r_ivfpq, sorted(ivfpq), sorted(truth))
+    # GEMM (non-portable) lane keeps the cluster contract end-to-end
+    g = {r.vec_id for r in ivf_pq_topk(
+        df, query, k=10, n_centroids=4, nprobe=1, m=4, k_sub=4,
+        coarse_iters=2, train_iters=2, portable=False).collect()}
+    assert all(v < 1000 for v in g), g
+    with pytest.raises(ValueError):
+        ivf_pq_topk(df, [0.0] * 15, m=4)
