@@ -206,3 +206,236 @@ def test_streaming_corpus_report_merges_across_batches(
     for r in rows:
         n_docs, total_words, _, _ = acc[(r.source, r.lang)]
         assert total_words // n_docs == r.avg_words
+
+
+def _drain_foreach(spark, path, ck, merge):
+    q = (spark.readStream.format("icelake")
+         .option("path", path).load()
+         .writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(180):
+        q.stop()
+        raise AssertionError("stream did not drain in time")
+
+
+def test_streaming_countmin_cells_sum_equals_batch_sketch(
+        spark, warehouse, tmp_path):
+    """countmin_table is MERGEABLE streaming state by construction:
+    the (lane, bucket, cnt) cell table of two sketches merges by
+    SUMMING cells (VERDICT r10 #7 — the claimed-mergeable sketch not
+    yet covered by a foreachBatch assertion). After two incremental
+    drains the summed cells equal the batch sketch over the full
+    corpus, and point estimates from the merged sketch match."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.sketches import countmin_estimate, countmin_table
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    def mk(ids):
+        rows = [(i, f"w{i % 13}") for i in ids]
+        return spark.createDataFrame(rows, "doc_id long, word string")
+
+    raw = warehouse.create_table("db.cm_raw", S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 50)))
+    raw = raw.refresh()
+
+    acc: dict = {}
+
+    def merge(batch_df, _bid):
+        for r in countmin_table(batch_df, "word", depth=4,
+                                width=64).collect():
+            k = (r.lane, r.bucket)
+            acc[k] = acc.get(k, 0) + r.cnt
+
+    ck = str(tmp_path / "cmck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(range(50, 100)))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    full = {(r.lane, r.bucket): r.cnt
+            for r in countmin_table(mk(range(0, 100)), "word", depth=4,
+                                    width=64).collect()}
+    assert acc == full
+    # estimate parity from the MERGED cells (min over lanes is a pure
+    # function of the cell table)
+    merged_df = spark.createDataFrame(
+        [(l, b, c) for (l, b), c in acc.items()],
+        "lane int, bucket int, cnt long")
+    est_merged = {r.word: r.est_count for r in countmin_estimate(
+        merged_df, ["w0", "w5", "w12"], depth=4, width=64).collect()}
+    est_batch = {r.word: r.est_count for r in countmin_estimate(
+        countmin_table(mk(range(0, 100)), "word", depth=4, width=64),
+        ["w0", "w5", "w12"], depth=4, width=64).collect()}
+    assert est_merged == est_batch
+
+
+def test_streaming_theta_kept_hashes_union_equals_batch(
+        spark, warehouse, tmp_path):
+    """theta_distinct's mergeable state is the per-group SET of kept
+    hashes (KMV family: sketches union by set-union of survivors, the
+    module docstring's claim). A foreachBatch sink that unions each
+    batch's surviving hashes reproduces the batch sketch's (kept,
+    est_distinct) exactly after two incremental drains."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.dedup import portable_hash60
+    from icelake_spark.ops.sketches import HASH_SPACE, theta_distinct
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+    den = 4  # high survival rate so a 120-row corpus keeps hashes
+
+    def mk(ids):
+        rows = [(i, f"g{i % 2}", f"value-{i % 37}") for i in ids]
+        return spark.createDataFrame(rows, "doc_id long, g string, v string")
+
+    raw = warehouse.create_table("db.th_raw", S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 60)))
+    raw = raw.refresh()
+
+    acc: dict = {}
+    thr = HASH_SPACE // den
+
+    def merge(batch_df, _bid):
+        kept = (batch_df.select("g", portable_hash60(F.col("v"))
+                                .alias("h"))
+                .where(F.col("h") < thr).distinct().collect())
+        for r in kept:
+            acc.setdefault(r.g, set()).add(r.h)
+
+    ck = str(tmp_path / "thck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(range(60, 120)))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    got = {g: (len(s), len(s) * den) for g, s in acc.items()}
+    full = {r.g: (r.kept, r.est_distinct) for r in
+            theta_distinct(mk(range(0, 120)), "v", "g",
+                           sample_den=den).collect()}
+    assert got == full
+
+
+def test_streaming_events_funnel_merged_state_equals_batch(
+        spark, warehouse, tmp_path):
+    """events_funnel under foreachBatch (VERDICT r10 #5): the funnel's
+    sufficient statistic is the DISTINCT (user, step-type, ts) set —
+    events of non-funnel types and duplicate timestamps change
+    nothing. That set union-merges across micro-batches; re-running
+    the funnel over the merged state equals the batch answer over the
+    full event log, even though batch 2 delivers EARLIER events than
+    batch 1 for some users (the case where naively merging per-user
+    step TIMES is provably wrong — an early step-0 arrival can
+    re-qualify a step-1 event the first batch discarded, so the
+    per-type time SET, not the resolved chain, is the mergeable
+    state; a production deployment bounds it with a watermark)."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.temporal import events_funnel
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+    steps = ["view", "cart", "buy"]
+
+    # ts rides as epoch-hours LONG: the funnel semantics only need an
+    # orderable ts, and the DSv2 Arrow lane has no nanosecond-timestamp
+    # conversion — longs keep the transport exact
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long")
+
+    t = lambda h: h  # noqa: E731
+    batch1 = [(1, "view", t(10)), (1, "cart", t(8)),   # cart BEFORE view
+              (2, "view", t(1)), (2, "cart", t(2)), (2, "buy", t(3)),
+              (3, "view", t(5)), (3, "noise", t(6))]
+    # batch 2 delivers user 1's EARLIER view -> the t(8) cart becomes
+    # reachable; merging batch-resolved chains would miss it
+    batch2 = [(1, "view", t(4)), (1, "buy", t(9)),
+              (3, "cart", t(7)), (4, "view", t(2))]
+
+    raw = warehouse.create_table("db.fn_raw", S.from_spark(mk(batch1).schema))
+    raw.append(mk(batch1))
+    raw = raw.refresh()
+
+    acc: set = set()
+
+    def merge(batch_df, _bid):
+        kept = (batch_df.where(F.col("event_type").isin(steps))
+                .select("user_id", "event_type", "ts").distinct().collect())
+        acc.update((r.user_id, r.event_type, r.ts) for r in kept)
+
+    ck = str(tmp_path / "fnck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(batch2))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    merged = events_funnel(mk(sorted(acc)), steps).collect()
+    full = events_funnel(mk(batch1 + batch2), steps).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in full]
+    # the planted cross-batch case actually bites: user 1 completes
+    # the full funnel only under the merged state
+    assert [r.users for r in full] == [4, 3, 2]
+
+
+def test_streaming_events_retention_merged_state_equals_batch(
+        spark, warehouse, tmp_path):
+    """events_retention under foreachBatch (VERDICT r10 #5): retention
+    is a pure function of the distinct (user, activity-week) relation
+    — cohort week is each user's MIN active week (week truncation is
+    monotone, so week(min ts) = min week). The relation union-merges
+    across micro-batches (state bounded by users x weeks, far below
+    event count); synthesizing one Monday-start event per merged
+    (user, week) pair and re-running the batch operator equals the
+    batch answer over the full log."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.temporal import events_retention
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    import datetime as dt
+
+    # the icelake transport carries epoch-SECONDS longs (the DSv2
+    # Arrow lane has no nanosecond-timestamp conversion); the batch
+    # operator runs on real timestamps built driver-side
+    def mk_long(rows):
+        return spark.createDataFrame(
+            [(u, int(ts.replace(tzinfo=dt.timezone.utc).timestamp()))
+             for u, ts in rows], "user_id long, ts long")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    day = lambda d, h=9: dt.datetime(2026, 3, d, h)  # noqa: E731
+    batch1 = [(1, day(2)), (1, day(10)), (2, day(9)), (3, day(2)),
+              (3, day(3))]
+    # batch 2 moves user 2's cohort EARLIER (first-seen week changes)
+    batch2 = [(2, day(2)), (1, day(17)), (4, day(16)), (3, day(23))]
+
+    raw = warehouse.create_table("db.rt_raw",
+                                 S.from_spark(mk_long(batch1).schema))
+    raw.append(mk_long(batch1))
+    raw = raw.refresh()
+
+    acc: set = set()
+
+    def merge(batch_df, _bid):
+        wk = F.date_trunc("week", F.to_timestamp(F.col("ts"))).cast("date")
+        for r in batch_df.select("user_id", wk.alias("w")) \
+                .distinct().collect():
+            acc.add((r.user_id, r.w))
+
+    ck = str(tmp_path / "rtck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk_long(batch2))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    synth = mk([(u, dt.datetime(w.year, w.month, w.day))
+                for u, w in sorted(acc)])
+    merged = events_retention(synth, n_weeks=4).collect()
+    full = events_retention(mk(batch1 + batch2), n_weeks=4).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in full]
+    assert len(full) >= 4  # multiple cohorts x offsets exercised
