@@ -253,13 +253,21 @@ def nearest_centroid_col(vec: Column, cents: list[tuple[int, list[float]]],
 
 
 def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Rows whose vector is non-NULL with no NULL element — the shared
-    predicate for every embedding operator's null contract (a NULL
-    vector cannot seed a centroid, take a code, or join a sample; it
-    must be EXCLUDED, never sorted first or silently bucketed)."""
+    """Rows whose vector is non-NULL with no NULL and no NaN element —
+    the shared predicate for every embedding operator's null contract
+    (a NULL vector cannot seed a centroid, take a code, or join a
+    sample; it must be EXCLUDED, never sorted first or silently
+    bucketed). NaN joined the contract in r11 (review): the GEMM
+    encoders mask NaN rows to NULL codes, whose NULL adc would sort
+    FIRST in an ascending top-k — the exact r10d NULL-ordering bug
+    class — while the literal lane would hand the row a
+    garbage-but-finite code; excluding NaN rows up front keeps both
+    lanes identical and both engines honest (the twins filter
+    isnan() in _VALID_VEC_WHERE)."""
     return df.where(
         F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        & ~F.exists(F.col(vec_col),
+                    lambda x: x.isNull() | F.isnan(x.cast("double"))))
 
 
 def _sample_init(df: DataFrame, vec_col: str, id_col: str, k: int,
@@ -301,9 +309,13 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     """
     v = F.col(vec_col).cast("array<double>")
     cents = _sample_init(df, vec_col, id_col, k, seed, portable)
-    # spread the (often single-file) scan across cores BEFORE
-    # checkpointing — every assignment pass iterates on these partitions
-    base = fanout(df).select(v.alias("__v")).localCheckpoint()
+    # train over VALID vectors only (review r11): a NaN coordinate
+    # otherwise NULLs the rounded-decimal sum of any cluster it lands
+    # in (float(None) crash in the portable means), and a NULL/NaN row
+    # cannot meaningfully pull a centroid in any lane; the twins filter
+    # their v CTEs with the same predicate (_VALID_VEC_WHERE)
+    base = (fanout(valid_vectors(df, vec_col))
+            .select(v.alias("__v")).localCheckpoint())
     for _ in range(n_iter):
         assigned = base.withColumn(
             "__c", nearest_centroid_col(F.col("__v"),
@@ -374,14 +386,10 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
                     F.col("__v"), cents, portable=portable)))
     # sequential left-to-right sum, NOT np.sum (pairwise): the SQL twin
     # computes this distance with list_sum, and the probe cut must land
-    # on the same side of any near-tie in both engines
-    def _seqdist(c: list[float]) -> float:
-        d = 0.0
-        for a, b in zip(c, query):
-            d += (a - b) * (a - b)
-        return d
-
-    dists = sorted((_seqdist(c), i) for i, c in cents)
+    # on the same side of any near-tie in both engines — the ONE
+    # module-level _seqdist (review r11: a second copy of the
+    # parity-critical summation rule could desynchronize)
+    dists = sorted((_seqdist(c, query), i) for i, c in cents)
     probe = [i for _, i in dists[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query])
     sim = (dot(F.col("__v"), q) / (norm(F.col("__v")) * norm(q))).cast("double")
@@ -508,6 +516,12 @@ def _train_pq_codebooks(base: DataFrame, sample: list[list[float]],
     sum bit-reproduced by the per-subspace _kmeans_af_ctes twins."""
     codebooks = [[[float(x) for x in vec[j * sub:(j + 1) * sub]]
                   for vec in sample] for j in range(m)]
+    if not sample:
+        # zero valid vectors: nothing to train and nothing to encode —
+        # skip the loop (the GEMM UDF cannot be built over empty
+        # codebooks: numpy axis error on the DRIVER, before the empty
+        # frame would have saved us; review r11)
+        return codebooks
     for _ in range(train_iters):
         if portable:
             src = base
@@ -556,6 +570,12 @@ def _pq_code_cols(enc: DataFrame, codebooks: list[list[list[float]]],
     pandas_udf materialized as `__cs`. Returns the (possibly
     code-augmented) frame and the m code columns."""
     m = len(codebooks)
+    if m and not codebooks[0]:
+        # empty codebooks (zero valid vectors): the frame is empty by
+        # construction, so route through the literal expressions —
+        # they never evaluate, while the GEMM UDF could not even be
+        # BUILT (driver-side numpy axis error; review r11)
+        portable = True
     if portable:
         cols = [
             nearest_centroid_col(F.slice(F.col("__v"), j * sub + 1, sub),
@@ -641,6 +661,14 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     # r10d: range(k_sub) over a short codebook crashed the
     # empty-cluster carry)
     sample = _sample_init(df, vec_col, id_col, k_sub, seed, portable)
+    if not sample:
+        # zero valid vectors: the literal score expressions cannot even
+        # be BUILT over empty codebooks (array_position over an empty
+        # literal array fails analysis) and neither can the GEMM UDF —
+        # return the empty result directly (review r11)
+        return (df.select(F.col(id_col),
+                          F.lit(None).cast("double").alias("adc"))
+                .limit(0))
     base = (fanout(valid_vectors(df, vec_col))
             .select(v.alias("__v")).localCheckpoint())
     codebooks = _train_pq_codebooks(base, sample, m, sub, train_iters,
@@ -701,6 +729,11 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
     sub = dim // m
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=coarse_iters, seed=seed, portable=portable)
+    if not cents:
+        # zero valid vectors (same guard as pq_adc_topk; review r11)
+        return (df.select(F.col(id_col),
+                          F.lit(None).cast("double").alias("adc"))
+                .limit(0))
     v = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                          for c in cents])
@@ -716,11 +749,12 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
                 lambda x, y: x - y))
             .drop("__fv")
             .localCheckpoint())
-    order = (F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                               F.lit(seed)))
-             if portable else F.xxhash64(F.col(id_col), F.lit(seed)))
-    sample = [[float(x) for x in r[0]] for r in
-              base.orderBy(order).select("__v").limit(k_sub).collect()]
+    # the shared init helper (base.__v residuals are valid by
+    # construction, so its valid_vectors wrap is a no-op): ONE
+    # definition of the md5(id:seed) portable ordering the DuckDB c0
+    # CTEs must bit-match (review r11 — an inline copy here could
+    # drift from _sample_init and silently break oracle parity)
+    sample = _sample_init(base, "__v", id_col, k_sub, seed, portable)
     codebooks = _train_pq_codebooks(base, sample, m, sub, train_iters,
                                     portable)
     # probe selection + per-cell LUTs: driver-side sequential sums over

@@ -2565,7 +2565,11 @@ def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
     q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
                          for i in range(dim)) + "]")
     fin = f"c{iters}"
-    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim)
+    # the WHERE mirrors train_kmeans' valid_vectors wrap (r11): on the
+    # NULL/NaN-free gate data it is an identity, and with dirty data
+    # both engines now train over the same population
+    ctes = _kmeans_af_ctes(n_centroids, seed, iters, dim,
+                           where=_VALID_VEC_WHERE)
     ctes.insert(1, f"q AS (SELECT {q} AS qv)")
     ctes.append(f"""probe AS (
   SELECT c FROM (
@@ -2585,10 +2589,13 @@ def _ivf_kmeans_sql(k: int = 20, n_centroids: int = 8, nprobe: int = 3,
               f"ORDER BY cos DESC, vec_id LIMIT {k}")
 
 
-# ops/similarity.valid_vectors in SQL: the NULL-embedding exclusion the
-# pq / cluster_balanced twins share with their Spark operators
-_VALID_VEC_WHERE = ("embedding IS NOT NULL AND "
-                    "len(list_filter(embedding, x -> x IS NULL)) = 0")
+# ops/similarity.valid_vectors in SQL: the NULL/NaN-embedding exclusion
+# the pq / cluster_balanced / ivf_pq twins share with their Spark
+# operators (NaN joined the contract in r11 — see valid_vectors)
+_VALID_VEC_WHERE = (
+    "embedding IS NOT NULL AND "
+    "len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0")
 
 
 def pq_adc_topk_q(spark, sf_dir):
@@ -2883,8 +2890,11 @@ def semdedup_q(spark, sf_dir):
 def _semdedup_sql(n_clusters: int = 8, threshold: float = 0.35,
                   seed: int = 42, iters: int = 2, dim: int = 64) -> str:
     """DuckDB twin of semdedup_q: the shared trained-assignment CTEs
-    (_kmeans_af_ctes) + within-cluster cosine drop set + anti-join."""
-    ctes = _kmeans_af_ctes(n_clusters, seed, iters, dim)
+    (_kmeans_af_ctes) + within-cluster cosine drop set + anti-join.
+    The WHERE mirrors train_kmeans' valid_vectors wrap (r11) — an
+    identity on the NULL/NaN-free gate data."""
+    ctes = _kmeans_af_ctes(n_clusters, seed, iters, dim,
+                           where=_VALID_VEC_WHERE)
     ctes.append(f"""drops AS (
   SELECT DISTINCT b.vec_id AS vid
   FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id

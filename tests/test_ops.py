@@ -2357,3 +2357,37 @@ def test_ivf_pq_topk_dominates_pq_planted(spark):
     assert all(v < 1000 for v in g), g
     with pytest.raises(ValueError):
         ivf_pq_topk(df, [0.0] * 15, m=4)
+
+
+def test_pq_lanes_nan_and_empty_contracts(spark):
+    """Review r11 contracts: (1) a NaN-element embedding is EXCLUDED by
+    valid_vectors — in the GEMM lane its NULL codes would otherwise
+    make a NULL adc that sorts FIRST and displaces real neighbors (the
+    r10d bug class), while the literal lane would hand it a garbage
+    finite code; both lanes must agree it simply doesn't score.
+    (2) A corpus with ZERO valid vectors returns empty from both lanes
+    instead of crashing the GEMM UDF build driver-side."""
+    from icelake_spark.ops.similarity import (ivf_pq_topk, pq_adc_topk,
+                                              valid_vectors)
+
+    good = [(i, [float(i + j) for j in range(16)]) for i in range(6)]
+    bad = [(97, None), (98, [float("nan")] + [0.0] * 15),
+           (99, [1.0, None] + [0.0] * 14)]
+    df = spark.createDataFrame(good + bad,
+                               "vec_id long, embedding array<double>")
+    assert {r.vec_id for r in valid_vectors(df).collect()} == set(range(6))
+    for portable in (True, False):
+        got = pq_adc_topk(df, [0.0] * 16, k=10, m=4, k_sub=4,
+                          train_iters=1, portable=portable).collect()
+        assert sorted(r.vec_id for r in got) == list(range(6)), got
+        assert all(r.adc is not None for r in got)
+        got2 = ivf_pq_topk(df, [0.0] * 16, k=10, n_centroids=2, nprobe=2,
+                           m=4, k_sub=4, coarse_iters=1, train_iters=1,
+                           portable=portable).collect()
+        assert sorted(r.vec_id for r in got2) == list(range(6)), got2
+        assert all(r.adc is not None for r in got2)
+    empty = spark.createDataFrame([(1, None), (2, None)],
+                                  "vec_id long, embedding array<double>")
+    for portable in (True, False):
+        assert pq_adc_topk(empty, [0.0] * 16, k=5, m=4, k_sub=4,
+                           train_iters=1, portable=portable).count() == 0

@@ -424,3 +424,19 @@ def test_round10d_operators_plan_properties(spark):
     p7 = _plan(Q.corpus_report_q(spark, sf))
     assert "EvalPython" not in p7 and "Window" not in p7
     assert "Join" not in p7 and "HashAggregate" in p7
+
+
+def test_ivf_pq_topk_plan_properties(spark):
+    """IVFADC keeps its intended physical shape (review r11: the most
+    complex plan in the similarity module gets a pin like every other
+    nontrivial operator): the probed-cell scoring pass is one narrow
+    in-row scan of the checkpointed residual frame — no Python in the
+    portable lane, no join against the corpus, no sort-merge anywhere,
+    and the top-k is TakeOrdered (never a global sort)."""
+    from icelake_spark import queries as Q
+
+    p = _plan(Q.ivf_pq_topk_q(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in p
+    assert "TakeOrdered" in p
+    assert "SortMergeJoin" not in p and "Join" not in p
+    assert "Exchange" not in p  # cell filter + ADC ride the scan
