@@ -226,10 +226,11 @@ def parse_stats_preds(filter_str: str | None, schema: Schema,
     return branches
 
 
-def _branch_keep(data_file, schema: Schema, preds) -> bool:
-    pred_fids = {fid for fid, _op, _v, _t in preds}
-    lo = data_file.decoded_bounds(schema, "lower", fids=pred_fids)
-    hi = data_file.decoded_bounds(schema, "upper", fids=pred_fids)
+def _branch_keep(data_file, schema: Schema, preds, lo=None, hi=None) -> bool:
+    if lo is None or hi is None:
+        pred_fids = {fid for fid, _op, _v, _t in preds}
+        lo = data_file.decoded_bounds(schema, "lower", fids=pred_fids)
+        hi = data_file.decoded_bounds(schema, "upper", fids=pred_fids)
     for fid, op, val, _ft in preds:
         lo_v, hi_v = lo.get(fid), hi.get(fid)
         if lo_v is None or hi_v is None:
@@ -249,10 +250,17 @@ def _branch_keep(data_file, schema: Schema, preds) -> bool:
 
 def stats_keep(data_file, schema: Schema, dnf) -> bool:
     """Zone-map check over DNF branches: can this file contain rows
-    matching ANY branch's every conjunct?"""
+    matching ANY branch's every conjunct? Bounds decode ONCE per file
+    over the union of all branches' field ids (review r11): a 100-value
+    IN-list parses to 100 branches, and per-branch decoding multiplied
+    the planning hot path's dominant cost by the list size."""
     if not dnf:
         return True
-    return any(_branch_keep(data_file, schema, preds) for preds in dnf)
+    all_fids = {fid for preds in dnf for fid, _op, _v, _t in preds}
+    lo = data_file.decoded_bounds(schema, "lower", fids=all_fids)
+    hi = data_file.decoded_bounds(schema, "upper", fids=all_fids)
+    return any(_branch_keep(data_file, schema, preds, lo=lo, hi=hi)
+               for preds in dnf)
 
 
 def _coerce_filter_value(v: Any, t: PrimitiveType) -> Any:
@@ -327,7 +335,24 @@ def partition_wanted(metadata: TableMetadata, partition_filter: dict[str, Any] |
                         (pf.source_column_id, pf.transform)
                         != (ref.source_column_id, ref.transform)):
                     continue  # residual filters these files' rows
-                want[pf.name] = partition_filter[pf.name]
+                # coerce to the partition field's RESULT type (review
+                # r11): identity partitions share the field name with
+                # the source column, and an uncoerced '2024-01-01'
+                # string never equals the date partition value — the
+                # docstring's skip-don't-mangle promise applied only
+                # to the source-name branch, so a convenience-typed
+                # filter silently pruned every file (or str-vs-date
+                # crashed the FieldSummary compare in prune_manifests)
+                src = schema.field_by_id(pf.source_column_id)
+                rt = transform_result_type(
+                    pf.transform, src.field_type if src else None)
+                val = partition_filter[pf.name]
+                if val is not None and isinstance(rt, PrimitiveType):
+                    try:
+                        val = _coerce_filter_value(val, rt)
+                    except (ValueError, TypeError):
+                        continue  # unusable filter value: skip field
+                want[pf.name] = val
             else:
                 src = schema.field_by_id(pf.source_column_id)
                 if src and src.name in partition_filter:

@@ -5,7 +5,7 @@ Read lifecycle parity (/root/reference/icelake/src/table.rs:247-304,
 io/scan.rs:60-194): catalog resolve → snapshot → manifest list →
 manifests → live DataFiles → pruned, projected Parquet scan. Planning is
 driver-side Python while manifests are few; above
-`read.plan.distributed-threshold` manifests (default 64) planning itself
+`read.plan.distributed-threshold` manifests (default 512) planning itself
 becomes a Spark job (see planning.py) so huge tables never bottleneck on
 the driver. The scan itself is Spark's vectorized Parquet reader.
 
@@ -393,6 +393,17 @@ class IcebergTable:
             raise ValueError("table has no snapshot to reference")
         self.metadata.snapshot_by_id(sid)  # validate
         refs = dict(self.metadata.refs)
+        existing = refs.get(name)
+        if existing is not None and (existing.type == "tag"
+                                     or existing.type != ref_type):
+            # the same guard every other ref mutator enforces
+            # (commit-time _moved_ref, fast_forward): a tag is
+            # immutable and a ref never silently changes TYPE —
+            # create_ref was the one door left open (review r11)
+            raise ValueError(
+                f"ref '{name}' already exists as a {existing.type}; "
+                "tags are immutable and refs cannot change type "
+                "(drop_ref first)")
         refs[name] = SnapshotReference(
             sid, ref_type, min_snapshots_to_keep=min_snapshots_to_keep,
             max_snapshot_age_ms=max_snapshot_age_ms,
@@ -950,7 +961,8 @@ class TableScan:
                               with_position=need_mor)
 
         if need_mor:
-            df = self._apply_deletes(spark, df, data, pos, eq)
+            df = self._apply_deletes(spark, df, data, pos, eq,
+                                     read_schema=schema)
 
         residual = self._partition_residual(schema)
         if residual is not None:
@@ -1096,7 +1108,8 @@ class TableScan:
     def _apply_deletes(self, spark: SparkSession, df: DataFrame,
                        data: list[FileScanTask], pos: list[DeleteFileTask],
                        eq: list[DeleteFileTask],
-                       drop_helpers: bool = True) -> DataFrame:
+                       drop_helpers: bool = True,
+                       read_schema=None) -> DataFrame:
         """MoR: anti-join out deleted rows.
 
         - position deletes (J4): (file_path, pos) pairs, applied to data
@@ -1169,8 +1182,14 @@ class TableScan:
 
         # group equality-delete files by key-set: ONE anti-join per
         # distinct equality_ids instead of one per delete file (a table
-        # with N upsert commits would otherwise chain N joins)
-        schema = self.table.schema()
+        # with N upsert commits would otherwise chain N joins).
+        # Key names resolve against the schema the DataFrame was READ
+        # with: a time-travel scan across a rename builds df under the
+        # snapshot's schema, where the key column still has its old
+        # name — resolving against the current schema found only the
+        # new name and crashed the join (review r11)
+        schema = read_schema if read_schema is not None \
+            else self.table.schema()
         groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
         for task in eq:
             groups.setdefault(tuple(task.delete_file.equality_ids or ()), []).append(task)
@@ -1350,7 +1369,16 @@ def _parse_literal(lit: str, t: PrimitiveType) -> Any:
     import datetime as dt
     from decimal import Decimal as _D
 
-    lit = lit.strip().strip("'\"")
+    lit = lit.strip()
+    if len(lit) >= 2 and lit[0] == lit[-1] and lit[0] in "'\"":
+        # strip ONE pair of outer quotes and unescape SQL doubled
+        # quotes of that style: the old strip("'\"") kept the doubled
+        # inner quotes, so filter="name = 'it''s'" pruned against
+        # "it''s" and zone-maps dropped the file that really holds
+        # "it's" — silent missing rows, since pruning must be a pure
+        # optimization (review r11)
+        q = lit[0]
+        lit = lit[1:-1].replace(q * 2, q)
     try:
         n = t.name
         if n in ("int", "long"):

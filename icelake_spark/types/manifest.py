@@ -144,14 +144,21 @@ def partition_avro_type(spec: PartitionSpec, schema: Schema) -> dict:
             rt = STRING
         fields.append({
             "name": pf.name,
-            "type": _opt(_iceberg_prim_to_avro(rt)),
+            "type": _opt(_iceberg_prim_to_avro(
+                rt, name_suffix=f"_{pf.partition_field_id}")),
             "field-id": pf.partition_field_id,
             "default": None,
         })
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def _iceberg_prim_to_avro(t: PrimitiveType) -> Any:
+def _iceberg_prim_to_avro(t: PrimitiveType, name_suffix: str = "") -> Any:
+    """`name_suffix` uniquifies Avro NAMED types (fixed/uuid) per
+    partition field: two same-length fixed fields (or two uuid fields
+    sharing the singleton UUID type instance) would otherwise fully
+    define the same Avro name twice in one record, which strict
+    parsers (Java Avro Schema.Parser) reject with "Can't redefine"
+    even though the in-repo reader tolerates it (review r11)."""
     n = t.name
     if n == "boolean":
         return "boolean"
@@ -174,11 +181,13 @@ def _iceberg_prim_to_avro(t: PrimitiveType) -> Any:
     if n == "string":
         return "string"
     if n == "uuid":
-        return {"type": "fixed", "name": f"uuid_{id(t)}", "size": 16, "logicalType": "uuid"}
+        return {"type": "fixed", "name": f"uuid{name_suffix or '_0'}",
+                "size": 16, "logicalType": "uuid"}
     if n == "binary":
         return "bytes"
     if n == "fixed":
-        return {"type": "fixed", "name": f"fixed_{t.length}", "size": t.length}
+        return {"type": "fixed", "name": f"fixed_{t.length}{name_suffix}",
+                "size": t.length}
     if n == "decimal":
         size = (t.precision // 2) + 1  # generous; avro decimal as bytes
         return {"type": "bytes", "logicalType": "decimal",
@@ -317,6 +326,12 @@ def _pv_to_avro(v: Any, t: PrimitiveType) -> Any:
         import uuid as _u
 
         return _u.UUID(str(v)).bytes if not isinstance(v, bytes) else v
+    if n == "string" and not isinstance(v, str):
+        # dropped-source degrade path (see _partition_result_types):
+        # the declared Avro type is optional string, so a surviving
+        # int/date value must ride as its string form, not crash the
+        # encoder with a type mismatch
+        return str(v)
     return v
 
 
@@ -345,12 +360,24 @@ def _pv_from_avro(v: Any, t: PrimitiveType) -> Any:
 
 
 def _partition_result_types(spec: PartitionSpec, schema: Schema) -> dict[str, PrimitiveType]:
+    from .datatypes import STRING
     from .transforms import transform_result_type
 
     out = {}
     for pf in spec.fields:
         src = schema.field_by_id(pf.source_column_id)
-        out[pf.name] = transform_result_type(pf.transform, src.field_type if src else None)
+        rt = transform_result_type(pf.transform, src.field_type if src else None)
+        if rt is None:
+            # source column dropped after the spec was written: the
+            # Avro type degrades to optional string (partition_avro_type)
+            # and the VALUE conversion must degrade with it — a None
+            # here crashed _pv_to_avro/_pv_from_avro on `t.name` the
+            # moment an old-spec manifest with real partition values
+            # was rewritten (review r11; the earlier guard fixed only
+            # the schema side "rather than crashing the maintenance
+            # commit", not the values in it)
+            rt = STRING
+        out[pf.name] = rt
     return out
 
 
