@@ -98,6 +98,13 @@ EXTENDED = [
     # the ANN ladder's top rung; pq_adc_topk itself now encodes via
     # the fused GEMM codes UDF in this non-portable bench lane
     "ivf_pq_topk",
+    # round-11 pipeline additions: journey transitions, sketch-gated
+    # exact heavy hitters, covariance via the per-batch Gram GEMM
+    # deployment lane, leakage-safe grouped split
+    "event_paths",
+    "heavy_hitters",
+    "embedding_covariance",
+    "split_by_group",
 ]
 
 
@@ -129,7 +136,13 @@ def _bench_variants():
                            m=8, k_sub=16, coarse_iters=1, train_iters=1,
                            portable=False)
 
-    return {"pq_adc_topk": pq_gemm, "ivf_pq_topk": ivfpq_gemm}
+    def cov_gemm(spark, sf_dir):
+        from icelake_spark.ops.similarity import embedding_covariance
+        emb = load(spark, sf_dir, "embeddings")
+        return embedding_covariance(emb, dim=64, portable=False)
+
+    return {"pq_adc_topk": pq_gemm, "ivf_pq_topk": ivfpq_gemm,
+            "embedding_covariance": cov_gemm}
 
 
 def _run_set(spark, qs, names, sf_dir) -> tuple[dict[str, float], float]:

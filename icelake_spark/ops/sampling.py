@@ -20,9 +20,39 @@ _BUCKETS = 16 ** _PREFIX
 
 def split_bucket(col) -> "F.Column":
     """Deterministic bucket in [0, 65536) from the md5 of the column's
-    string form — identical in Spark and any SQL engine with md5/conv."""
-    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _PREFIX),
+    string form — identical in Spark and any SQL engine with md5/conv.
+    Accepts a column name or a Column (split_by_group passes a
+    NULL-coalesced expression)."""
+    from pyspark.sql import Column
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, _PREFIX),
                   16, 10).cast("int")
+
+
+def split_by_group(df: DataFrame, group_col: str,
+                   train_frac: float = 0.8,
+                   split_col: str = "split") -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the split key is the GROUP, so
+    every row of a near-dup cluster / source / domain lands on the
+    same side. Splitting i.i.d. by document id puts one copy of a
+    duplicated page in train and its twin in eval — the eval set then
+    leaks answers and measured loss improves for free (the
+    contamination inflation Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", quantify); keying the hash on
+    the duplicate-cluster / domain id is the standard defense. NULL
+    groups coalesce to one '__null__' sentinel group (co-located, not
+    scattered by NULL-hash semantics).
+
+    Scale shape: a pure in-row projection — zero shuffles, zero state;
+    composes directly after dedup_clusters / connected components
+    (group_col = the cluster id) at any corpus size. Deterministic,
+    content-addressed, engine-portable (the module contract)."""
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    cut = int(_BUCKETS * train_frac)
+    return df.withColumn(
+        split_col, F.when(split_bucket(key) < cut, "train")
+        .otherwise("eval"))
 
 
 def hash_split(df: DataFrame, key_col: str,

@@ -867,3 +867,106 @@ def kmeans_quality(df: DataFrame, vec_col: str = "embedding",
                     F.coalesce("n", F.lit(0)).cast("long").alias("n"),
                     F.coalesce("inertia", F.lit(0.0)).alias("inertia"))
             .orderBy("cluster"))
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
+                         dim: int = 64,
+                         portable: bool = False) -> DataFrame:
+    """Covariance matrix of the embedding distribution — the statistic
+    behind PCA / whitening transforms, anisotropy diagnostics, and
+    embedding-drift monitors (two corpus snapshots with diverging
+    covariance mean the encoder or the data moved). Returns the upper
+    triangle as (i, j, cov) with 1-based dims, i <= j, ordered (i, j);
+    cov is the population covariance (sxy − sx·sy/n)/n rounded to 6dp.
+    NULL/NaN vectors are excluded (valid_vectors).
+
+    Scale shape, deployment lane (portable=False): mapInPandas
+    accumulates one dim×dim numpy Gram matrix PER ARROW BATCH (one
+    GEMM — corpus bytes never inflate) and emits only the
+    dim·(dim+1)/2 partial cells + per-dim sums per batch; the final
+    aggregate is bounded by dim², independent of corpus size.
+
+    Oracle lane (portable=True): the per-row pair products explode
+    in-row (corpus × dim²/2 rows — fine at gate scale, NOT the 100 TB
+    plan) and sum as ROUND(·,6) DECIMALs, order-independent and
+    bit-reproduced by the DuckDB twin; the final covariance is the
+    same fixed-shape double expression in both engines."""
+    base = (fanout(valid_vectors(df, vec_col))
+            .select(F.col(vec_col).cast("array<double>").alias("__v")))
+    if portable:
+        pairs = (base.select(F.explode(F.expr(
+            f"flatten(transform(sequence(1, {dim}), i -> "
+            f"transform(sequence(i, {dim}), j -> "
+            f"struct(i as i, j as j, __v[i-1] * __v[j-1] as xy))))"))
+            .alias("p")).select("p.*"))
+        sums = (pairs.groupBy("i", "j")
+                .agg(F.sum(F.round("xy", 6).cast("decimal(30,6)"))
+                     .alias("sxy"),
+                     F.count("*").alias("n")))
+        dims = (base.select(F.posexplode("__v").alias("__d", "__x"))
+                .select((F.col("__d") + 1).alias("d"), "__x")
+                .groupBy("d")
+                .agg(F.sum(F.round("__x", 6).cast("decimal(28,6)"))
+                     .alias("sx")))
+        d1 = dims.select(F.col("d").alias("i"), F.col("sx").alias("__sxi"))
+        d2 = dims.select(F.col("d").alias("j"), F.col("sx").alias("__sxj"))
+        joined = (sums.join(F.broadcast(d1), on="i")
+                  .join(F.broadcast(d2), on="j"))
+        cov = ((F.col("sxy").cast("double")
+                - F.col("__sxi").cast("double")
+                * F.col("__sxj").cast("double") / F.col("n"))
+               / F.col("n"))
+        # + 0.0 normalizes IEEE signed zero: a tiny negative
+        # covariance rounds to -0.0 in DuckDB but 0.0 in Spark, and
+        # the value-hash gate tells them apart (-0.0 + 0.0 = +0.0)
+        return (joined.select(F.col("i").cast("int"),
+                              F.col("j").cast("int"),
+                              (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+                .orderBy("i", "j"))
+
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    def gram(batches):
+        for pdf in batches:
+            rows = [v for v in pdf["__v"]
+                    if v is not None]
+            if not rows:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in rows])
+            ok = ~np.isnan(mat).any(axis=1)
+            mat = mat[ok]
+            if not mat.shape[0]:
+                continue
+            g = mat.T @ mat
+            sx = mat.sum(axis=0)
+            out_i, out_j, out_v = [], [], []
+            for i in range(dim):
+                out_i.append(i + 1)
+                out_j.append(0)          # j=0 marks a per-dim sum row
+                out_v.append(float(sx[i]))
+                for j in range(i, dim):
+                    out_i.append(i + 1)
+                    out_j.append(j + 1)
+                    out_v.append(float(g[i, j]))
+            out_i.append(0)              # (0,0) marks the row count
+            out_j.append(0)
+            out_v.append(float(mat.shape[0]))
+            yield pd.DataFrame({"i": out_i, "j": out_j, "val": out_v})
+
+    partials = base.mapInPandas(gram, "i int, j int, val double")
+    sums = partials.groupBy("i", "j").agg(F.sum("val").alias("s"))
+    n = sums.where((F.col("i") == 0) & (F.col("j") == 0)) \
+        .select(F.col("s").cast("long").alias("n"))
+    dims = sums.where((F.col("i") > 0) & (F.col("j") == 0)) \
+        .select("i", F.col("s").alias("sx"))
+    pairs = sums.where(F.col("j") > 0)
+    d1 = dims.select(F.col("i"), F.col("sx").alias("__sxi"))
+    d2 = dims.select(F.col("i").alias("j"), F.col("sx").alias("__sxj"))
+    joined = (pairs.join(F.broadcast(d1), on="i")
+              .join(F.broadcast(d2), on="j")
+              .crossJoin(F.broadcast(n)))
+    cov = (F.col("s") - F.col("__sxi") * F.col("__sxj") / F.col("n")) \
+        / F.col("n")
+    return (joined.select(F.col("i").cast("int"), F.col("j").cast("int"),
+                          (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+            .orderBy("i", "j"))

@@ -139,6 +139,49 @@ def countmin_estimate(sketch: DataFrame, probes: list[str], col_alias:
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")))
 
 
+def heavy_hitters(df: DataFrame, col: str, threshold_den: int = 200,
+                  depth: int = 4, width: int = 1024) -> DataFrame:
+    """Exact heavy hitters with the count-min upper bound surfaced:
+    items whose exact count n satisfies n * threshold_den >= total
+    (i.e. frequency >= 1/threshold_den — the integer-exact form, no
+    float threshold), returned as (col, n, est_count, freq_micro)
+    ordered by (n DESC, item). est_count is the item's count-min
+    estimate from the SAME corpus — an upper bound that never
+    under-counts (est >= n always, the Cormode-Muthukrishnan
+    guarantee, pytest-pinned), which is what makes the sketch a safe
+    GATE: filtering on the estimate provably loses no heavy item.
+
+    Scale shape: one map-side-combined exact count (the shuffle
+    carries one row per distinct item per task), a one-row total
+    broadcast, and the d*w-cell sketch joined BROADCAST against the
+    threshold survivors only. When the distinct-item universe outgrows
+    the exact aggregate (billions of tails), the deployment composes
+    the other way around: broadcast the d*w sketch cells, gate items
+    map-side on est_count BEFORE the shuffle, and run the exact count
+    over gate survivors only — the guarantee above is exactly what
+    makes that rewrite lossless."""
+    counts = df.groupBy(col).agg(F.count("*").cast("long").alias("n"))
+    tot = df.agg(F.count("*").alias("__t"))
+    heavy = (counts.crossJoin(F.broadcast(tot))
+             .where(F.col("n") * threshold_den >= F.col("__t")))
+    sketch = countmin_table(df, col, depth=depth, width=width)
+    h0, h1 = _lane_hashes(F.col(col))
+    cells = (heavy.select(
+        col, "n", "__t",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("lane"),
+                     _lane_bucket(h0, h1, i, width).alias("bucket"))
+            for i in range(depth)])).alias("c"))
+        .select(col, "n", "__t", "c.lane", "c.bucket")
+        .join(F.broadcast(sketch), on=["lane", "bucket"], how="left"))
+    return (cells.groupBy(col, "n", "__t")
+            .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                 .cast("long").alias("est_count"))
+            .select(col, "n", "est_count",
+                    F.expr("n * 1000000 DIV __t").alias("freq_micro"))
+            .orderBy(F.desc("n"), col))
+
+
 # ---------------------------------------------------------- HyperLogLog
 
 _HLL_M = 32          # registers (p = 5)

@@ -430,3 +430,63 @@ JOIN pt na ON na.event_type = p.antecedent
 JOIN pt nb ON nb.event_type = p.consequent, n
 ORDER BY p.antecedent, p.consequent
 """
+
+
+def event_paths(df: DataFrame, k: int = 20,
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type") -> DataFrame:
+    """Top-k user-journey transitions: for each user, order events by
+    (ts, type) and count consecutive (prev_type -> type) pairs, with a
+    synthetic '__start__' before each user's first event — the Sankey /
+    path-analysis aggregation product analytics runs on every event
+    log. Returns (prev_type, event_type, n, share_micro) where
+    share_micro is the transition's floor micro-share of ALL
+    transitions, ordered by (n DESC, prev_type, event_type) LIMIT k.
+
+    Scale shape: ONE window partitioned BY USER (per-partition state
+    bounded by a single user's events — a power user is one task's
+    sort, never a global one), one map-side-combined pair count
+    bounded by the type-vocabulary squared, and a one-row total
+    broadcast for the share. The tie order inside the lag window is
+    pinned (ts, type, event id is absent from the contract) so the
+    transition multiset — though not which row carries it — is
+    deterministic; counts are engine-exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(type_col))
+    pairs = (df.select(F.col(user_col), F.col(ts_col),
+                       F.col(type_col).alias("event_type"))
+             .withColumn("prev_type",
+                         F.coalesce(F.lag("event_type").over(w),
+                                    F.lit("__start__")))
+             .groupBy("prev_type", "event_type")
+             .agg(F.count("*").cast("long").alias("n")))
+    total = pairs.agg(F.sum("n").alias("__t"))
+    return (pairs.crossJoin(F.broadcast(total))
+            .select("prev_type", "event_type", "n",
+                    F.expr("n * 1000000 DIV __t").alias("share_micro"))
+            .orderBy(F.desc("n"), "prev_type", "event_type")
+            .limit(k))
+
+
+def event_paths_sql(k: int = 20, table: str = "events") -> str:
+    """DuckDB twin of event_paths — same lag window, same tie order,
+    same floor micro-shares."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         COALESCE(LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_type),
+           '__start__') AS prev_type
+  FROM {table}),
+pairs AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq GROUP BY prev_type, event_type),
+tot AS (SELECT SUM(n) AS t FROM pairs)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // tot.t AS BIGINT) AS share_micro
+FROM pairs CROSS JOIN tot
+ORDER BY n DESC, prev_type, event_type LIMIT {k}
+"""

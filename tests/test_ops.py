@@ -2391,3 +2391,98 @@ def test_pq_lanes_nan_and_empty_contracts(spark):
     for portable in (True, False):
         assert pq_adc_topk(empty, [0.0] * 16, k=5, m=4, k_sub=4,
                            train_iters=1, portable=portable).count() == 0
+
+
+def test_event_paths_planted_journeys(spark):
+    """event_paths counts planted transitions: every user contributes
+    a __start__ -> first-event edge, consecutive pairs count once, and
+    shares are floor micro-units of the transition total."""
+    import datetime as dt
+
+    from icelake_spark.ops.temporal import event_paths
+
+    t = lambda h: dt.datetime(2026, 3, 2, h)  # noqa: E731
+    rows = []
+    for u in range(4):
+        rows += [(u, "view", t(1)), (u, "cart", t(2)), (u, "buy", t(3))]
+    rows += [(9, "view", t(1)), (9, "view", t(2))]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, ts timestamp")
+    got = {(r.prev_type, r.event_type): (r.n, r.share_micro)
+           for r in event_paths(df, k=10).collect()}
+    total = 4 * 3 + 2
+    assert got[("__start__", "view")] == (5, 5 * 1_000_000 // total)
+    assert got[("view", "cart")] == (4, 4 * 1_000_000 // total)
+    assert got[("cart", "buy")] == (4, 4 * 1_000_000 // total)
+    assert got[("view", "view")] == (1, 1 * 1_000_000 // total)
+    assert sum(n for n, _ in got.values()) == total
+
+
+def test_heavy_hitters_exact_with_sketch_upper_bound(spark):
+    """heavy_hitters: exact counts above the integer threshold, and
+    est_count >= n for every returned item (the count-min never-
+    undercount guarantee that makes sketch-gating lossless)."""
+    from icelake_spark.ops.sketches import heavy_hitters
+
+    rows = [("hot",)] * 50 + [("warm",)] * 10 + \
+        [(f"cold{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "w string")
+    got = {r.w: r for r in heavy_hitters(df, "w", threshold_den=10).collect()}
+    # total=100, threshold n*10 >= 100 -> n >= 10
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"].n == 50 and got["warm"].n == 10
+    assert all(r.est_count >= r.n for r in got.values())
+    assert got["hot"].freq_micro == 500_000
+    assert got["warm"].freq_micro == 100_000
+
+
+def test_embedding_covariance_lanes_and_contracts(spark):
+    """embedding_covariance: exact population covariance on planted
+    2-dim structure (checked against numpy), deployment (Gram GEMM)
+    lane equals the portable lane to float tolerance, NULL/NaN vectors
+    excluded."""
+    from icelake_spark.ops.similarity import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    xs = rng.normal(0, 1, 200)
+    vecs = [[float(x), float(2 * x), float(rng.normal())] for x in xs]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    rows += [(900, None), (901, [1.0, None, 0.0]),
+             (902, [float("nan"), 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    port = {(r.i, r.j): r.cov for r in
+            embedding_covariance(df, dim=3, portable=True).collect()}
+    assert len(port) == 6
+    mat = np.array(vecs)
+    want = np.cov(mat, rowvar=False, bias=True)  # population covariance
+    for (i, j), v in port.items():
+        assert abs(v - want[i - 1][j - 1]) < 1e-3, ((i, j), v)
+    # cov(x, 2x) = 2 var(x): the planted correlation shows up
+    assert abs(port[(1, 2)] - 2 * port[(1, 1)]) < 1e-3
+    dep = {(r.i, r.j): r.cov for r in
+           embedding_covariance(df, dim=3, portable=False).collect()}
+    assert set(dep) == set(port)
+    assert all(abs(dep[k] - port[k]) < 1e-4 for k in port)
+
+
+def test_split_by_group_keeps_groups_intact(spark):
+    """split_by_group: every group lands entirely on one side (the
+    leakage-safety contract), NULL groups co-locate, and the split is
+    deterministic across invocations."""
+    from icelake_spark.ops.sampling import split_by_group
+
+    rows = [(i, f"g{i % 17}" if i % 5 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = split_by_group(df, "grp", train_frac=0.5)
+    sides = (out.groupBy("grp")
+             .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in sides)
+    null_sides = {r.split for r in out.where(F.col("grp").isNull())
+                  .select("split").distinct().collect()}
+    assert len(null_sides) == 1
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in
+               split_by_group(df, "grp", train_frac=0.5).collect())
+    assert a == b
+    both = {r.split for r in out.select("split").distinct().collect()}
+    assert both == {"train", "eval"}  # 17 groups land on both sides

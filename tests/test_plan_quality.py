@@ -440,3 +440,34 @@ def test_ivf_pq_topk_plan_properties(spark):
     assert "TakeOrdered" in p
     assert "SortMergeJoin" not in p and "Join" not in p
     assert "Exchange" not in p  # cell filter + ADC ride the scan
+
+
+def test_r11_new_operators_plan_properties(spark):
+    """Round-11 operator additions keep their intended shapes."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # event_paths: the lag window is partitioned BY USER (a power user
+    # is one task, never a global sort), pair counts hash-aggregate,
+    # top-k is TakeOrdered; no Python
+    p1 = _plan(Q.event_paths_q(spark, sf))
+    assert "EvalPython" not in p1
+    assert "windowspecdefinition(user_id" in p1
+    assert "TakeOrdered" in p1
+    # heavy_hitters: the d*w sketch and the one-row total join
+    # BROADCAST against the threshold survivors; no sort-merge join
+    p2 = _plan(Q.heavy_hitters_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert "BroadcastHashJoin" in p2 or "BroadcastNestedLoopJoin" in p2
+    assert "SortMergeJoin" not in p2
+    # embedding_covariance portable lane: pure JVM (the explode +
+    # decimal aggregate), dim-bounded broadcast joins
+    p3 = _plan(Q.embedding_covariance_q(spark, sf))
+    assert "EvalPython" not in p3
+    assert "BroadcastHashJoin" in p3
+    # split_by_group: the split itself is a pure projection — the
+    # summary's single aggregate is the only exchange pair, no joins,
+    # no windows, no Python
+    p4 = _plan(Q.split_by_group_q(spark, sf))
+    assert "EvalPython" not in p4 and "Join" not in p4
+    assert "Window" not in p4
