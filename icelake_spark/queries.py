@@ -584,8 +584,15 @@ def q22_idle_customers(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = (load(spark, sf_dir, "orders")
          .where(F.col("o_totalprice") > 300000).select("o_custkey"))
+    # the threshold average follows the module's exact-decimal-sum
+    # convention (review r11): a plain F.avg is a tree-merged double
+    # sum whose last ulps depend on partitioning, and a customer whose
+    # balance sits in that jitter band flips in/out of the aggregate —
+    # the decimal sum / count is order-independent and the division is
+    # one IEEE op from identical doubles in both engines
     avg_bal = (c.where(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal").alias("_avg_bal")))
+               .agg((F.sum(F.round("c_acctbal", 8).cast("decimal(24,8)"))
+                     .cast("double") / F.count("*")).alias("_avg_bal")))
     return (c.join(F.broadcast(avg_bal))
             .where(F.col("c_acctbal") > F.col("_avg_bal"))
             .join(o, c.c_custkey == o.o_custkey, "left_anti")
@@ -600,7 +607,10 @@ SELECT CAST(c_nationkey AS INT) AS nationkey,
        COUNT(*) AS n_custs,
        {dsum_sql('c_acctbal', 'total_bal')}
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c_acctbal, 8)
+                                        AS DECIMAL(24,8))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_nationkey
