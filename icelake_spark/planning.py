@@ -510,6 +510,45 @@ def canonical_partition(partition: dict | None) -> str:
     return str(sorted((partition or {}).items()))
 
 
+def _distributed_manifest_df(spark, mles: list[ManifestListEntry],
+                             ctx_obj: tuple, schema: str, build):
+    """Shared executor-side scaffolding for the manifest-walking
+    DataFrame producers (plan_files_df / manifest_entries_df — review
+    r11: the two previously duplicated this verbatim, so a fix to the
+    partitioning or pickle protocol had to be remembered twice): each
+    manifest-list entry ships as one pickled task row, fans out to
+    <=256 partitions, and mapInPandas reads + transforms each manifest
+    executor-side. `ctx_obj` is any picklable tuple whose FIRST
+    element is the table path; `build(ctx_obj, mi, mle, entries,
+    cols)` appends one manifest's rows to the per-batch column lists
+    (keys = the schema's field names). Nothing is ever collected to
+    the driver."""
+    import pandas as pd
+
+    blobs = [(i, pickle.dumps(mle)) for i, mle in enumerate(mles)]
+    if not blobs:
+        return spark.createDataFrame([], schema)
+    ctx = pickle.dumps(ctx_obj)
+    names = [part.strip().split()[0] for part in schema.split(",")]
+
+    def run(batches):
+        c = pickle.loads(ctx)
+        tpath = c[0]
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in names}
+            for i, blob in zip(pdf["i"], pdf["task"]):
+                mle = pickle.loads(bytes(blob))
+                _, entries = read_manifest(
+                    resolve_path(tpath, mle.manifest_path))
+                build(c, int(i), mle, entries, cols)
+            yield pd.DataFrame(cols)
+
+    n_parts = max(1, min(len(blobs), 256))
+    src = spark.createDataFrame(blobs, "i int, task binary") \
+        .repartition(n_parts)
+    return src.mapInPandas(run, schema=schema)
+
+
 def plan_files_df(spark, table_path: str, metadata: TableMetadata,
                   mles: list[ManifestListEntry],
                   wanted: dict[int, dict[str, Any]] | None = None,
@@ -524,47 +563,25 @@ def plan_files_df(spark, table_path: str, metadata: TableMetadata,
     with toLocalIterator — the driver never holds every DataFile at
     once. `mi` is the manifest-list position for deterministic ordering.
     """
-    import pandas as pd
+    def build(c, mi, mle, entries, cols):
+        tpath, meta, want, prs = c
+        for fi, (content, dfile, seq, spec_id) in enumerate(
+                assemble_manifest(tpath, meta, mle, entries, want, prs)):
+            cols["mi"].append(mi)
+            cols["fi"].append(fi)
+            cols["content"].append(int(content))
+            cols["file_path"].append(dfile.file_path)
+            cols["seq"].append(int(seq) if seq is not None else 0)
+            cols["spec_id"].append(int(spec_id))
+            cols["record_count"].append(int(dfile.record_count or 0))
+            cols["file_size"].append(int(dfile.file_size_in_bytes or 0))
+            cols["file_format"].append(dfile.file_format or "PARQUET")
+            cols["partition"].append(canonical_partition(dfile.partition))
+            cols["task"].append(pickle.dumps(dfile))
 
-    wanted = wanted or {}
-    preds = preds or []
-    blobs = [(i, pickle.dumps(mle)) for i, mle in enumerate(mles)]
-    ctx = pickle.dumps((table_path, metadata, wanted, preds))
-
-    def run(batches):
-        tpath, meta, want, prs = pickle.loads(ctx)
-        for pdf in batches:
-            cols: dict[str, list] = {k: [] for k in (
-                "mi", "fi", "content", "file_path", "seq", "spec_id",
-                "record_count", "file_size", "file_format", "partition",
-                "task")}
-            for i, blob in zip(pdf["i"], pdf["task"]):
-                mle = pickle.loads(bytes(blob))
-                _, entries = read_manifest(
-                    resolve_path(tpath, mle.manifest_path))
-                for fi, (content, dfile, seq, spec_id) in enumerate(
-                        assemble_manifest(
-                            tpath, meta, mle, entries, want, prs)):
-                    cols["mi"].append(int(i))
-                    cols["fi"].append(fi)
-                    cols["content"].append(int(content))
-                    cols["file_path"].append(dfile.file_path)
-                    cols["seq"].append(int(seq) if seq is not None else 0)
-                    cols["spec_id"].append(int(spec_id))
-                    cols["record_count"].append(int(dfile.record_count or 0))
-                    cols["file_size"].append(
-                        int(dfile.file_size_in_bytes or 0))
-                    cols["file_format"].append(dfile.file_format or "PARQUET")
-                    cols["partition"].append(
-                        canonical_partition(dfile.partition))
-                    cols["task"].append(pickle.dumps(dfile))
-            yield pd.DataFrame(cols)
-
-    if not blobs:
-        return spark.createDataFrame([], PLAN_DF_SCHEMA)
-    n_parts = max(1, min(len(blobs), 256))
-    src = spark.createDataFrame(blobs, "i int, task binary").repartition(n_parts)
-    return src.mapInPandas(run, schema=PLAN_DF_SCHEMA)
+    return _distributed_manifest_df(
+        spark, mles, (table_path, metadata, wanted or {}, preds or []),
+        PLAN_DF_SCHEMA, build)
 
 
 def plan_serial(table_path: str, metadata: TableMetadata,
@@ -623,57 +640,37 @@ def manifest_entries_df(spark, table_path: str,
     """`entries` metadata table as a distributed Spark job: one row per
     manifest entry INCLUDING status=deleted tombstones (which
     plan_files_df deliberately drops), with inherited sequence numbers
-    materialized. Same executor-side shape as plan_files_df — at a
-    million entries nothing is collected to the driver (parity surface:
-    Iceberg's `SELECT * FROM t.entries`; the reference walks the same
-    entries driver-side in table.rs:281-304)."""
-    import pandas as pd
+    materialized. Same executor-side shape as plan_files_df (shared
+    _distributed_manifest_df scaffolding) — at a million entries
+    nothing is collected to the driver (parity surface: Iceberg's
+    `SELECT * FROM t.entries`; the reference walks the same entries
+    driver-side in table.rs:281-304)."""
+    def build(c, mi, mle, entries, cols):
+        for fi, e in enumerate(entries):
+            d = e.data_file
+            # spec: ADDED entries inherit the manifest-list seq when
+            # their own field is null; DELETED/EXISTING carry explicit
+            # values (written by our own manifest writer) or inherit
+            # likewise
+            seq = (e.sequence_number if e.sequence_number
+                   is not None else mle.sequence_number)
+            fseq = (e.file_sequence_number
+                    if e.file_sequence_number is not None else seq)
+            cols["mi"].append(mi)
+            cols["fi"].append(fi)
+            cols["status"].append(int(e.status))
+            cols["snapshot_id"].append(
+                int(e.snapshot_id if e.snapshot_id is not None
+                    else mle.added_snapshot_id))
+            cols["sequence_number"].append(int(seq))
+            cols["file_sequence_number"].append(int(fseq))
+            cols["content"].append(int(mle.content))
+            cols["file_path"].append(d.file_path)
+            cols["file_format"].append(d.file_format or "PARQUET")
+            cols["record_count"].append(int(d.record_count or 0))
+            cols["file_size_in_bytes"].append(
+                int(d.file_size_in_bytes or 0))
+            cols["partition"].append(canonical_partition(d.partition))
 
-    blobs = [(i, pickle.dumps(mle)) for i, mle in enumerate(mles)]
-    ctx = pickle.dumps(table_path)
-
-    def run(batches):
-        tpath = pickle.loads(ctx)
-        for pdf in batches:
-            cols: dict[str, list] = {k: [] for k in (
-                "mi", "fi", "status", "snapshot_id", "sequence_number",
-                "file_sequence_number", "content", "file_path",
-                "file_format", "record_count", "file_size_in_bytes",
-                "partition")}
-            for i, blob in zip(pdf["i"], pdf["task"]):
-                mle = pickle.loads(bytes(blob))
-                _, entries = read_manifest(
-                    resolve_path(tpath, mle.manifest_path))
-                for fi, e in enumerate(entries):
-                    d = e.data_file
-                    # spec: ADDED entries inherit the manifest-list seq
-                    # when their own field is null; DELETED/EXISTING
-                    # carry explicit values (written by our own
-                    # manifest writer) or inherit likewise
-                    seq = (e.sequence_number if e.sequence_number
-                           is not None else mle.sequence_number)
-                    fseq = (e.file_sequence_number
-                            if e.file_sequence_number is not None else seq)
-                    cols["mi"].append(int(i))
-                    cols["fi"].append(fi)
-                    cols["status"].append(int(e.status))
-                    cols["snapshot_id"].append(
-                        int(e.snapshot_id if e.snapshot_id is not None
-                            else mle.added_snapshot_id))
-                    cols["sequence_number"].append(int(seq))
-                    cols["file_sequence_number"].append(int(fseq))
-                    cols["content"].append(int(mle.content))
-                    cols["file_path"].append(d.file_path)
-                    cols["file_format"].append(d.file_format or "PARQUET")
-                    cols["record_count"].append(int(d.record_count or 0))
-                    cols["file_size_in_bytes"].append(
-                        int(d.file_size_in_bytes or 0))
-                    cols["partition"].append(
-                        canonical_partition(d.partition))
-            yield pd.DataFrame(cols)
-
-    if not blobs:
-        return spark.createDataFrame([], ENTRIES_DF_SCHEMA)
-    n_parts = max(1, min(len(blobs), 256))
-    src = spark.createDataFrame(blobs, "i int, task binary").repartition(n_parts)
-    return src.mapInPandas(run, schema=ENTRIES_DF_SCHEMA)
+    return _distributed_manifest_df(spark, mles, (table_path,),
+                                    ENTRIES_DF_SCHEMA, build)
