@@ -105,6 +105,8 @@ EXTENDED = [
     "heavy_hitters",
     "embedding_covariance",
     "split_by_group",
+    "histogram_quantiles",
+    "hard_negatives",
 ]
 
 

@@ -970,3 +970,62 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
     return (joined.select(F.col("i").cast("int"), F.col("j").cast("int"),
                           (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
             .orderBy("i", "j"))
+
+
+def hard_negatives(df: DataFrame, n_anchors: int = 8, n_neg: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label",
+                   seed: int = 42) -> DataFrame:
+    """Contrastive-pair mining over a labeled embedding corpus: for
+    each of `n_anchors` deterministically sampled anchors, the top-1
+    SAME-label neighbor (the positive) and the `n_neg` most-similar
+    DIFFERENT-label rows (the HARD negatives — random negatives are
+    trivially separable; the near-miss wrong-label examples are what
+    a contrastive/metric objective actually learns from). Returns
+    (anchor_id, role 'pos'|'neg', rank, vec_id, cos) ordered by
+    (anchor_id, role, rank).
+
+    Deterministic and engine-exact: anchors are the md5(id:seed)-
+    ordered sample (the shared init-ordering contract), similarity is
+    the rounded-6dp cosine, and all ranking orders by (cos DESC, id).
+    NULL/NaN vectors are excluded (valid_vectors); NULL-label rows
+    can be neither positives nor negatives (both comparisons are
+    NULL-strict).
+
+    Scale shape: the n_anchors anchor rows join BROADCAST against one
+    corpus scan (n_anchors·corpus similarity rows, each a narrow
+    in-row zip_with — no corpus self-join), and the per-anchor top-k
+    windows run over per-anchor partitions. At deployment scale the
+    candidate set per anchor is first restricted by the ANN ladder
+    (ivf/ivf_pq route) instead of the full scan; the ranking tail is
+    identical."""
+    v = F.col(vec_col).cast("array<double>")
+    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+            .select(F.col(id_col), F.col(label_col).alias("__lbl"),
+                    v.alias("__e")))
+    order = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(seed)))
+    anchors = (base.orderBy(order).limit(n_anchors)
+               .select(F.col(id_col).alias("anchor_id"),
+                       F.col("__lbl").alias("__albl"),
+                       F.col("__e").alias("__ae")))
+    cos = (dot(F.col("__ae"), F.col("__e"))
+           / (norm(F.col("__ae")) * norm(F.col("__e")))).cast("double")
+    pairs = (base.join(F.broadcast(anchors),
+                       F.col(id_col) != F.col("anchor_id"))
+             .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"),
+                                                F.col(id_col))
+    pos = (pairs.where(F.col("__lbl") == F.col("__albl"))
+           .withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= 1)
+           .select("anchor_id", F.lit("pos").alias("role"),
+                   F.col("__rn").cast("long").alias("rank"),
+                   F.col(id_col), "cos"))
+    neg = (pairs.where(F.col("__lbl") != F.col("__albl"))
+           .withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= n_neg)
+           .select("anchor_id", F.lit("neg").alias("role"),
+                   F.col("__rn").cast("long").alias("rank"),
+                   F.col(id_col), "cos"))
+    return pos.unionByName(neg).orderBy("anchor_id", "role", "rank")

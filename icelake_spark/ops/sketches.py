@@ -578,3 +578,100 @@ FROM groups g LEFT JOIN sketched s
   ON g.{group_col} IS NOT DISTINCT FROM s.{group_col}
 ORDER BY g.{group_col} NULLS LAST
 """
+
+
+def histogram_bins(df: DataFrame, value_col: str, group_col: str,
+                   bin_width: float) -> DataFrame:
+    """The MERGEABLE state behind histogram_quantiles: per-group
+    fixed-width bin counts (group, bin, cnt), bin = floor(v /
+    bin_width) — one IEEE division + floor, identical in any engine,
+    negative values floor toward -inf in both. Two histograms merge by
+    cell-wise SUM (the foreachBatch composition; split-drain tested),
+    state is bounded by the VALUE RANGE / bin_width per group —
+    independent of row count. NULL values are excluded."""
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
+    return (df.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(group_col), b.cast("long").alias("bin"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, group_col: str,
+                        bin_width: float,
+                        qs: list[float] | None = None) -> DataFrame:
+    """MERGEABLE approximate quantiles from a fixed-width histogram —
+    the streaming-composable complement to the exact (batch-only)
+    quantile_sketch: per group and requested quantile q, the LOWER
+    EDGE of the first bin whose cumulative count reaches
+    ceil(q * n) (integer rank arithmetic in micro-units — no float
+    rank ties). The estimate's error is bounded by bin_width
+    (pytest-pinned against exact quantiles), and because the bin
+    table merges by SUM, a foreachBatch sink can maintain it
+    incrementally and re-derive quantiles at any point — what the
+    exact rank-selection operators fundamentally cannot do.
+
+    Returns (group_col, q_micro, est, n) ordered by (group, q_micro).
+
+    Scale shape: one map-side-combined bin count (state = value range
+    / bin_width per group), a per-group window over BIN rows only
+    (bounded by bin count, never row count), and a broadcast per-group
+    total join. Engine-exact: bin = floor(v / w) is one IEEE op; the
+    edge est = bin * w is one IEEE product; ranks are integers."""
+    qs = qs if qs is not None else [0.5, 0.95, 0.99]
+    from pyspark.sql import Window
+
+    bins = histogram_bins(df, value_col, group_col, bin_width)
+    totals = bins.groupBy(group_col).agg(F.sum("cnt").alias("__n"))
+    w = (Window.partitionBy(group_col).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (bins.withColumn("__cum", F.sum("cnt").over(w))
+           .join(F.broadcast(totals), on=group_col))
+    outs = []
+    for q in qs:
+        q_micro = int(round(q * 1_000_000))
+        # ceil(q * n) in integer micro-units
+        target = F.expr(f"CAST(((__n * {q_micro}) + 999999) "
+                        f"DIV 1000000 AS BIGINT)")
+        hit = (cum.where(F.col("__cum") >= target)
+               .groupBy(group_col, "__n")
+               .agg(F.min("bin").alias("__bin")))
+        outs.append(hit.select(
+            F.col(group_col),
+            F.lit(q_micro).cast("long").alias("q_micro"),
+            (F.col("__bin") * F.lit(float(bin_width))).alias("est"),
+            F.col("__n").cast("long").alias("n")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(group_col, "q_micro")
+
+
+def histogram_quantiles_sql(value_col: str, group_col: str,
+                            bin_width: float,
+                            qs: list[float] | None = None,
+                            table: str = "orders") -> str:
+    """DuckDB twin of histogram_quantiles — same floor binning,
+    integer ceil ranks, first-bin-at-or-past-target selection."""
+    qs = qs if qs is not None else [0.5, 0.95, 0.99]
+    q_rows = ", ".join(f"({int(round(q * 1_000_000))})" for q in qs)
+    return f"""
+WITH bins AS (
+  SELECT {group_col} AS g,
+         CAST(FLOOR(CAST({value_col} AS DOUBLE) / {float(bin_width)})
+              AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1, 2),
+cum AS (
+  SELECT g, bin, SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS c,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM bins),
+quants AS (SELECT q_micro FROM (VALUES {q_rows}) q(q_micro)),
+hit AS (
+  SELECT g, q_micro, MIN(bin) AS bin, n
+  FROM cum CROSS JOIN quants
+  WHERE c >= (n * q_micro + 999999) // 1000000
+  GROUP BY g, q_micro, n)
+SELECT g AS {group_col}, CAST(q_micro AS BIGINT) AS q_micro,
+       bin * {float(bin_width)} AS est, CAST(n AS BIGINT) AS n
+FROM hit ORDER BY {group_col}, q_micro
+"""

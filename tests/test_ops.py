@@ -2486,3 +2486,70 @@ def test_split_by_group_keeps_groups_intact(spark):
     assert a == b
     both = {r.split for r in out.select("split").distinct().collect()}
     assert both == {"train", "eval"}  # 17 groups land on both sides
+
+
+def test_histogram_quantiles_error_bound_and_ranks(spark):
+    """histogram_quantiles: every estimate sits within bin_width of
+    the exact quantile (the sketch's error contract), ranks are
+    integer-exact (p100 = last bin edge at-or-below max), n matches."""
+    from icelake_spark.ops.sketches import histogram_quantiles
+
+    vals = [float(x) for x in range(1, 1001)]  # 1..1000, uniform
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v double")
+    got = {r.q_micro: r for r in histogram_quantiles(
+        df, "v", "g", bin_width=10.0,
+        qs=[0.5, 0.95, 0.99]).collect()}
+    exact = {500000: 500.5, 950000: 950.05, 990000: 990.01}
+    for qm, r in got.items():
+        assert r.n == 1000
+        assert abs(r.est - exact[qm]) <= 10.0, (qm, r.est)
+    # NULLs excluded
+    df2 = df.unionByName(spark.createDataFrame(
+        [("g", None)], "g string, v double"))
+    got2 = {r.q_micro: r.n for r in histogram_quantiles(
+        df2, "v", "g", bin_width=10.0, qs=[0.5]).collect()}
+    assert got2[500000] == 1000
+
+
+def test_hard_negatives_planted_labels(spark):
+    """hard_negatives on planted label clusters: each anchor's
+    positive shares its label, every negative differs, negatives come
+    ranked by descending similarity, and the hard negative (the
+    wrong-label point planted NEAR the anchor cluster) outranks the
+    far ones."""
+    from icelake_spark.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # label 0 cluster at +e1, label 1 cluster at -e1, plus one label-1
+    # point placed close to the label-0 cluster (the hard negative)
+    for i in range(10):
+        rows.append((i, (rng.normal(0, 0.05, 8) + np.r_[[4.0], [0.0] * 7])
+                     .tolist(), 0))
+    for i in range(10, 20):
+        rows.append((i, (rng.normal(0, 0.05, 8) - np.r_[[4.0], [0.0] * 7])
+                     .tolist(), 1))
+    rows.append((99, (np.r_[[3.5], [0.3] * 7]).tolist(), 1))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>, "
+                               "label int")
+    out = hard_negatives(df, n_anchors=4, n_neg=3).collect()
+    by_anchor: dict = {}
+    lbl = {r[0]: r[2] for r in rows}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert len(by_anchor) == 4
+    for aid, rs in by_anchor.items():
+        poss = [r for r in rs if r.role == "pos"]
+        negs = sorted([r for r in rs if r.role == "neg"],
+                      key=lambda r: r.rank)
+        assert len(poss) == 1 and len(negs) == 3
+        assert lbl[poss[0].vec_id] == lbl[aid]
+        assert all(lbl[r.vec_id] != lbl[aid] for r in negs)
+        assert all(negs[i].cos >= negs[i + 1].cos
+                   for i in range(len(negs) - 1))
+        if lbl[aid] == 0:
+            # the planted near-miss wrong-label point is the #1 hard
+            # negative for label-0 anchors
+            assert negs[0].vec_id == 99, negs

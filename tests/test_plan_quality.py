@@ -471,3 +471,22 @@ def test_r11_new_operators_plan_properties(spark):
     p4 = _plan(Q.split_by_group_q(spark, sf))
     assert "EvalPython" not in p4 and "Join" not in p4
     assert "Window" not in p4
+
+
+def test_histogram_and_hard_negatives_plan_properties(spark):
+    """The r11 tail additions keep their shapes: histogram quantile
+    selection windows over BIN rows only (partitioned by the group —
+    never a corpus-row window), hard_negatives joins its anchors
+    broadcast and ranks per-anchor partitions; no Python in either."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    p1 = _plan(Q.histogram_quantiles_q(spark, sf))
+    assert "EvalPython" not in p1
+    assert "windowspecdefinition(o_orderstatus" in p1
+    assert "BroadcastHashJoin" in p1
+    p2 = _plan(Q.hard_negatives_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert "BroadcastNestedLoopJoin" in p2 or "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2
+    assert "windowspecdefinition(anchor_id" in p2

@@ -439,3 +439,53 @@ def test_streaming_events_retention_merged_state_equals_batch(
     full = events_retention(mk(batch1 + batch2), n_weeks=4).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in full]
     assert len(full) >= 4  # multiple cohorts x offsets exercised
+
+
+def test_streaming_histogram_bins_sum_equals_batch_quantiles(
+        spark, warehouse, tmp_path):
+    """histogram_bins is MERGEABLE streaming state (cell-wise SUM) and
+    histogram_quantiles is a pure function of the merged bins: after
+    two incremental drains, quantiles re-derived from the accumulated
+    bin counts equal the batch operator over the full corpus — the
+    streaming-composable quantile path the exact rank operators can't
+    offer."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.sketches import histogram_bins, histogram_quantiles
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    def mk(ids):
+        rows = [(i, f"g{i % 2}", float((i * 37) % 500)) for i in ids]
+        return spark.createDataFrame(rows, "id long, g string, v double")
+
+    raw = warehouse.create_table("db.hq_raw", S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 80)))
+    raw = raw.refresh()
+
+    acc: dict = {}
+
+    def merge(batch_df, _bid):
+        for r in histogram_bins(batch_df, "v", "g", 25.0).collect():
+            k = (r.g, r.bin)
+            acc[k] = acc.get(k, 0) + r.cnt
+
+    ck = str(tmp_path / "hqck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(range(80, 160)))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    merged_bins = spark.createDataFrame(
+        [(g, b, c) for (g, b), c in acc.items()],
+        "g string, bin long, cnt long")
+    # re-derive quantiles from the MERGED state: feed the bins through
+    # the same selection tail by synthesizing cnt rows per bin edge
+    synth = merged_bins.selectExpr(
+        "g", "bin * 25.0 as v", "cnt").selectExpr(
+        "g", "explode(array_repeat(v, cast(cnt as int))) as v")
+    got = {(r.g, r.q_micro): (r.est, r.n) for r in histogram_quantiles(
+        synth, "v", "g", 25.0).collect()}
+    want = {(r.g, r.q_micro): (r.est, r.n) for r in histogram_quantiles(
+        mk(range(0, 160)), "v", "g", 25.0).collect()}
+    assert got == want
