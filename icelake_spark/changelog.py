@@ -190,6 +190,15 @@ def changes(table: IcebergTable, spark: SparkSession,
                 if ppos or peq:
                     d = parent_scan._apply_deletes(spark, d, pdata, ppos, peq,
                                                    drop_helpers=False)
+                if added_pos:
+                    # one commit may legally carry a pos delete AND an
+                    # eq delete covering the same physical row
+                    # (external writers mix them); the pos lane above
+                    # already emitted those rows' delete events, so
+                    # the eq lane excludes them (review r11)
+                    d = _semi_join_pos(spark, d, pdata, added_pos,
+                                       _bcast_limit(table),
+                                       how="left_anti")
                 deleted = _semi_join_eq(spark, d, pdata, added_eq,
                                         _bcast_limit(table), table=table)
                 parts.append(_with_meta(deleted, "delete", snap, order, cols))
@@ -244,9 +253,12 @@ def _maybe_broadcast(side_df: DataFrame, tasks, limit: int) -> DataFrame:
 
 
 def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
-                   pos: list[DeleteFileTask], limit: int) -> DataFrame:
+                   pos: list[DeleteFileTask], limit: int,
+                   how: str = "left_semi") -> DataFrame:
     """Rows of df matched by the position-delete files (the inverse of
-    TableScan._apply_deletes' anti-join, same sequence gate)."""
+    TableScan._apply_deletes' anti-join, same sequence gate).
+    how="left_anti" inverts the selection (the eq lane uses it to
+    exclude rows the SAME commit already pos-deleted — review r11)."""
     from .planning import canon_data_path
 
     if "__data_seq" not in df.columns:  # _apply_deletes may have joined it
@@ -270,7 +282,7 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
             & (df["__pos"] == pos_df["__del_pos"])
             & (df["__data_seq"] <= pos_df["__del_seq"]))
     return df.join(_maybe_broadcast(pos_df, pos, limit), on=cond,
-                   how="left_semi")
+                   how=how)
 
 
 def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],

@@ -987,7 +987,15 @@ def _changelog_snapshot_rows(names: list[str], rmap: dict,
                 if fseq >= del_seq:
                     continue
                 for i, r in enumerate(file_rows(real)):
-                    if (ckey, i) in prior_dead or (ckey, i) in eq_dead_local:
+                    # same_commit_deleted: a commit may legally carry a
+                    # POSITION delete and an EQUALITY delete covering
+                    # the same physical row (external writers mix
+                    # them); the pos branch above already emitted that
+                    # row's delete event, so the eq branch must not
+                    # emit a second one (review r11)
+                    if (ckey, i) in prior_dead \
+                            or (ckey, i) in eq_dead_local \
+                            or (ckey, i) in same_commit_deleted:
                         continue
                     if dead_by_prior_eq(r, fseq):
                         continue
@@ -1505,7 +1513,15 @@ def _changelog_rows(table, names: list[str], rmap: dict,
                     if dseq >= del_seq:
                         continue
                     for i, r in enumerate(file_rows(real)):
-                        if (ckey, i) in prior_dead or (ckey, i) in eq_dead:
+                        # same_commit_deleted: the pos branch above
+                        # already emitted this row's delete when the
+                        # SAME commit carries a pos delete and an eq
+                        # delete covering one physical row (legal for
+                        # external writers) — don't emit it twice
+                        # (review r11; mirrors _changelog_snapshot_rows)
+                        if (ckey, i) in prior_dead \
+                                or (ckey, i) in eq_dead \
+                                or (ckey, i) in same_commit_deleted:
                             continue
                         if dead_by_prior_eq(r, dseq):
                             continue  # killed before this window

@@ -199,6 +199,39 @@ def upsert(table, df: DataFrame, key_cols: list[str] | None = None,
                 **write_kwargs)
 
 
+def _dml_scan_helpers(table, spark, scan, data, pos_t, eq_t,
+                      spark_schema):
+    """Shared DELETE/UPDATE scan scaffolding (review r11 — delete_rows
+    and update_rows previously copy-pasted this block, so a fix to one
+    had to be remembered in the other): `_recorded` maps Spark's JVM
+    path spelling (file:/..., s3a://) back to the manifest-recorded
+    path via the location-independent canon form; `_live` reads tasks
+    with existing pos/eq deletes APPLIED through the rename-safe
+    read_mapped (matching raw files would resurrect rows already
+    deleted or superseded by an upsert in a prior snapshot, and
+    pre-rename files must resolve their former column names —
+    code-review r9)."""
+    from .planning import canon_data_path
+
+    canon_to_recorded = {canon_data_path(t.data_file.file_path):
+                         t.data_file.file_path for t in data}
+
+    def _recorded(f: str) -> str:
+        return canon_to_recorded.get(canon_data_path(f), f)
+
+    def _live(tasks_, keep_helpers: bool) -> DataFrame:
+        df_ = scan.read_mapped(spark, table.schema(), spark_schema,
+                               tasks_, with_position=True)
+        if pos_t or eq_t:
+            df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
+                                      drop_helpers=not keep_helpers)
+        elif not keep_helpers:
+            df_ = df_.drop("__file", "__pos")
+        return df_
+
+    return _recorded, _live
+
+
 def delete_rows(table, spark, condition: str,
                 branch: str | None = None) -> None:
     """Row-level DELETE WHERE.
@@ -223,34 +256,14 @@ def delete_rows(table, spark, condition: str,
     if not data:
         return
     spark_schema = table.schema().to_spark()
-
-    # Spark's __file column carries the JVM spelling (file:/..., s3a://)
-    # while manifests record the table-scheme path (s3://, mock://) —
-    # map back through the location-independent canon form, or CoW
-    # rewrites on URI tables would match zero planned tasks
-    _canon_to_recorded = {canon_data_path(t.data_file.file_path):
-                          t.data_file.file_path for t in data}
-
-    def _recorded(f: str) -> str:
-        return _canon_to_recorded.get(canon_data_path(f), f)
-
-    def _live(tasks_, keep_helpers: bool) -> DataFrame:
-        """Read data files with existing pos/eq deletes APPLIED — matching
-        against raw files would resurrect rows already deleted or
-        superseded by an upsert (equality-delete) in a prior snapshot.
-        Reads through scan.read_mapped: pre-rename files must resolve
-        their former column names or survivors/updates are rewritten
-        with NULLs in the renamed column (code-review r9)."""
-        df_ = scan.read_mapped(spark, table.schema(), spark_schema,
-                               tasks_, with_position=True)
-        if pos_t or eq_t:
-            df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
-                                      drop_helpers=not keep_helpers)
-        elif not keep_helpers:
-            df_ = df_.drop("__file", "__pos")
-        return df_
-
-    raw = _live(data, keep_helpers=True)
+    _recorded, _live = _dml_scan_helpers(table, spark, scan, data,
+                                         pos_t, eq_t, spark_schema)
+    # persist: the MoR working set feeds several jobs (match probe,
+    # pos-delete write, CoW fallback collects) — each would otherwise
+    # re-read every data file and re-apply deletes, and a
+    # non-deterministic condition could delete one row set while a
+    # sibling job sees another (the merge_delta precedent; review r11)
+    raw = _live(data, keep_helpers=True).persist()
 
     def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
         """Rewrite `affected` files without the matching rows."""
@@ -272,15 +285,19 @@ def delete_rows(table, spark, condition: str,
 
     mode = table.metadata.properties.get("write.delete.mode", "merge-on-read")
     if table.metadata.format_version == 1 or mode == "copy-on-write":
-        affected = [_recorded(r.f) for r in (raw.where(condition)
-                                             .select(F.col("__file").alias("f"))
-                                             .distinct().collect())]
-        if not affected:
+        try:
+            affected = [_recorded(r.f) for r in
+                        (raw.where(condition)
+                         .select(F.col("__file").alias("f"))
+                         .distinct().collect())]
+            if not affected:
+                return
+            tx = Transaction(table, branch=branch)
+            _cow_rewrite(tx, affected)
+            tx.commit("overwrite")
             return
-        tx = Transaction(table, branch=branch)
-        _cow_rewrite(tx, affected)
-        tx.commit("overwrite")
-        return
+        finally:
+            raw.unpersist()
 
     # merge-on-read: position deletes for parquet files; non-parquet
     # files (no row_index in Spark) fall back to copy-on-write in the
@@ -291,20 +308,24 @@ def delete_rows(table, spark, condition: str,
         # spec's optional row payload (CDC replay / audit readers)
         sel.append(F.struct(
             *[f.name for f in spark_schema.fields]).alias("row"))
-    matched = raw.where(condition).select(*sel)
-    pq_matches = matched.where(F.col("pos").isNotNull())
-    non_pq_files = [_recorded(r.file_path)
-                    for r in matched.where(F.col("pos").isNull())
-                    .select("file_path").distinct().collect()]
-    tx = Transaction(table, branch=branch)
-    has_pos = bool(pq_matches.take(1))
-    if has_pos:
-        tx.add_delete_files(write_position_delete_files(table, pq_matches))
-    if non_pq_files:
-        _cow_rewrite(tx, non_pq_files)
-    if not has_pos and not non_pq_files:
-        return
-    tx.commit("overwrite" if non_pq_files else "delete")
+    try:
+        matched = raw.where(condition).select(*sel)
+        pq_matches = matched.where(F.col("pos").isNotNull())
+        non_pq_files = [_recorded(r.file_path)
+                        for r in matched.where(F.col("pos").isNull())
+                        .select("file_path").distinct().collect()]
+        tx = Transaction(table, branch=branch)
+        has_pos = bool(pq_matches.take(1))
+        if has_pos:
+            tx.add_delete_files(
+                write_position_delete_files(table, pq_matches))
+        if non_pq_files:
+            _cow_rewrite(tx, non_pq_files)
+        if not has_pos and not non_pq_files:
+            return
+        tx.commit("overwrite" if non_pq_files else "delete")
+    finally:
+        raw.unpersist()
 
 
 def update_rows(table, spark, condition: str,
@@ -340,27 +361,8 @@ def update_rows(table, spark, condition: str,
         return
     spark_schema = table.schema().to_spark()
     types = {f.name: f.dataType for f in spark_schema.fields}
-
-    # see delete_rows: __file (JVM spelling) → recorded manifest path
-    _canon_to_recorded = {canon_data_path(t.data_file.file_path):
-                          t.data_file.file_path for t in data}
-
-    def _recorded(f: str) -> str:
-        return _canon_to_recorded.get(canon_data_path(f), f)
-
-    def _live(tasks_, keep_helpers: bool) -> DataFrame:
-        """Read with existing pos/eq deletes applied (see delete_rows):
-        matching raw files would update rows that are already deleted or
-        superseded, re-appending them at a new sequence number. Reads
-        through scan.read_mapped (rename name-mapping, code-review r9)."""
-        df_ = scan.read_mapped(spark, table.schema(), spark_schema,
-                               tasks_, with_position=True)
-        if pos_t or eq_t:
-            df_ = scan._apply_deletes(spark, df_, tasks_, pos_t, eq_t,
-                                      drop_helpers=not keep_helpers)
-        elif not keep_helpers:
-            df_ = df_.drop("__file", "__pos")
-        return df_
+    _recorded, _live = _dml_scan_helpers(table, spark, scan, data,
+                                         pos_t, eq_t, spark_schema)
 
     def _apply_set(df: DataFrame, only_matching: bool) -> DataFrame:
         """Project the SET expressions over old values; when rewriting a
@@ -376,7 +378,11 @@ def update_rows(table, spark, condition: str,
                 cols.append(F.col(f.name))
         return df.select(*cols)
 
-    raw = _live(data, keep_helpers=True)
+    # persist: see delete_rows — and here a non-deterministic
+    # condition is actively dangerous, because the pos-delete write
+    # and the updated-copy write would evaluate it independently
+    # (delete one row set, append a different one; review r11)
+    raw = _live(data, keep_helpers=True).persist()
 
     def _cow_rewrite(tx: Transaction, affected: list[str]) -> None:
         from .fileio import norm_path
@@ -392,15 +398,33 @@ def update_rows(table, spark, condition: str,
 
     mode = table.metadata.properties.get("write.update.mode", "merge-on-read")
     if table.metadata.format_version == 1 or mode == "copy-on-write":
-        affected = [_recorded(r.f) for r in (raw.where(condition)
-                                             .select(F.col("__file").alias("f"))
-                                             .distinct().collect())]
-        if not affected:
+        try:
+            affected = [_recorded(r.f) for r in
+                        (raw.where(condition)
+                         .select(F.col("__file").alias("f"))
+                         .distinct().collect())]
+            if not affected:
+                return
+            tx = Transaction(table, branch=branch)
+            _cow_rewrite(tx, affected)
+            tx.commit("overwrite")
             return
-        tx = Transaction(table, branch=branch)
-        _cow_rewrite(tx, affected)
-        tx.commit("overwrite")
-        return
+        finally:
+            raw.unpersist()
+
+    try:
+        _update_mor(table, spark, condition, branch, raw, spark_schema,
+                    _recorded, _apply_set, _cow_rewrite)
+    finally:
+        raw.unpersist()
+
+
+def _update_mor(table, spark, condition, branch, raw, spark_schema,
+                _recorded, _apply_set, _cow_rewrite):
+    """update_rows' merge-on-read tail (split out so the persist/
+    unpersist wrapper stays flat)."""
+    from .transaction import Transaction
+    from .write import write_data_files
 
     matched = raw.where(condition)
     pq_matches = matched.where(F.col("__pos").isNotNull())
@@ -553,8 +577,7 @@ def merge(table, spark, source: DataFrame, on: list[str],
                                    matched_clauses, when_not_matched,
                                    insert_cols, by_source_clauses,
                                    branch=branch)
-    tgt_keys = table.to_df(spark, **({"ref": branch} if branch else {})) \
-        .select(*on)
+    tgt_keys = _merge_target_df(table, spark, branch).select(*on)
     existing = tgt_keys.distinct()
     parts = []
     if matched_clauses:
@@ -584,6 +607,22 @@ def merge(table, spark, source: DataFrame, on: list[str],
     for p in parts[1:]:
         batch = batch.unionByName(p)
     merge_delta(table, batch, key_cols=on, op_col="_op", branch=branch)
+
+
+def _merge_target_df(table, spark, branch: str | None):
+    """Target frame for MERGE semantics: the branch head when the
+    branch exists, else the CURRENT state — merge_delta/Transaction
+    document that a missing branch FORKS FROM CURRENT at commit, so
+    the matched/not-matched classification must read the same fork
+    point; before r11 a MERGE into a not-yet-created branch (the WAP
+    staging pattern that upsert/append already support) died with a
+    raw KeyError from the ref lookup (review r11)."""
+    if branch:
+        try:
+            return table.to_df(spark, ref=branch)
+        except KeyError:
+            pass
+    return table.to_df(spark)
 
 
 def _merge_column_level(table, spark, source: DataFrame, on: list[str],
@@ -618,8 +657,7 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
             raise ValueError(
                 f"cannot UPDATE SET a merge key column: {sorted(key_sets)}")
     src = source.alias("s")
-    tgt = table.to_df(spark, **({"ref": branch} if branch else {})) \
-        .alias("t")
+    tgt = _merge_target_df(table, spark, branch).alias("t")
     parts = []
     if matched_clauses:
         _merge_cardinality_check(

@@ -123,11 +123,18 @@ def _top_level_positions(text: str, kw: str) -> list[int]:
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif _kw_at(i, "CASE"):
+        elif _kw_at(i, "CASE") and (i == 0 or text[i - 1] != "."):
             depth += 1
             i += 4
             continue
-        elif _kw_at(i, "END"):
+        elif _kw_at(i, "END") and depth > 0 \
+                and (i == 0 or text[i - 1] != "."):
+            # a qualified identifier `s.end` (or `s.case` above) is a
+            # COLUMN, not the keyword, and END at depth 0 cannot close
+            # anything — without both guards one column named `end`
+            # drove the depth negative and every later top-level
+            # WHEN/THEN went unseen, rejecting legal MERGE statements
+            # (review r11)
             depth -= 1
             i += 3
             continue
@@ -921,8 +928,16 @@ def _call_procedure(spark: SparkSession, statement: str, catalog=None):
         fio = resolve_io(src)
         if any(c in src for c in "*?["):
             base = dirname(src)
+            # list_files is RECURSIVE, and fnmatch's '*' happily
+            # crosses '/' — without the slash-count gate a glob like
+            # /dir/*.parquet would register files from nested
+            # subtrees (an aborted write's _temporary/, another
+            # dataset under /dir) as committed table data (review
+            # r11). Real glob semantics: a wildcard never descends.
+            depth_slashes = src.count("/")
             paths = [p for p, _ in fio.list_files(base)
-                     if fnmatch(p, src)]
+                     if p.count("/") == depth_slashes
+                     and fnmatch(p, src)]
         else:
             try:
                 listed = fio.list_files(src)

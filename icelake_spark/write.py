@@ -279,21 +279,29 @@ def write_data_files(
     # inventory written files (parquet/orc commit via Spark's committer,
     # so the stage walk only ever sees complete files; the python-worker
     # lanes use the task-returned path list instead)
+    known_sizes: dict[str, int] = {}
     if task_paths is not None:
         paths = list(task_paths)
     else:
-        paths = [f for f, _sz in io.list_files(stage)
-                 if f.endswith((".parquet", ".orc"))]
+        listed = [(f, sz) for f, sz in io.list_files(stage)
+                  if f.endswith((".parquet", ".orc"))]
+        paths = [f for f, _sz in listed]
+        # reuse the sizes the listing already returned: re-statting
+        # every file in _build_data_file is one extra HEAD request per
+        # written file per commit on an object store (review r11)
+        known_sizes = dict(listed)
     result_types = {
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
     }
     if len(paths) > DISTRIBUTED_STATS_THRESHOLD:
         return _build_data_files_distributed(
-            table, paths, stage, schema, result_types, sort_order_id, io)
+            table, paths, stage, schema, result_types, sort_order_id, io,
+            known_sizes=known_sizes)
     with ThreadPoolExecutor(max_workers=16) as pool:
         out = list(pool.map(
             lambda p: _build_data_file(p, stage, schema, result_types,
-                                       sort_order_id, io), paths))
+                                       sort_order_id, io,
+                                       size=known_sizes.get(p)), paths))
     return out
 
 
@@ -452,7 +460,9 @@ def _coalesce_to_target(df: DataFrame, props, target_file_size):
 
 
 def _build_data_files_distributed(table, paths, stage, schema, result_types,
-                                  sort_order_id, io: FileIO) -> list[DataFile]:
+                                  sort_order_id, io: FileIO,
+                                  known_sizes: dict[str, int] | None = None,
+                                  ) -> list[DataFile]:
     """Footer-stat collection as a Spark job: executors read parquet
     footers with pyarrow and return pickled DataFile entries. Keeps the
     driver's work at O(#files) metadata assembly only."""
@@ -460,28 +470,33 @@ def _build_data_files_distributed(table, paths, stage, schema, result_types,
 
     from pyspark.sql import SparkSession
 
+    known_sizes = known_sizes or {}
     spark = SparkSession.getActiveSession()
     if spark is None:
         # no session to distribute over; fall back to driver threads
         with ThreadPoolExecutor(max_workers=16) as pool:
             return list(pool.map(
                 lambda p: _build_data_file(p, stage, schema, result_types,
-                                           sort_order_id, io), paths))
+                                           sort_order_id, io,
+                                           size=known_sizes.get(p)),
+                paths))
 
     import pandas as pd
 
     def run(batches):
         for pdf in batches:
             out = []
-            for p in pdf["path"]:
-                df_entry = _build_data_file(p, stage, schema, result_types,
-                                            sort_order_id, io)
+            for p, sz in zip(pdf["path"], pdf["size"]):
+                df_entry = _build_data_file(
+                    p, stage, schema, result_types, sort_order_id, io,
+                    size=None if sz < 0 else int(sz))
                 out.append(pickle.dumps(df_entry))
             yield pd.DataFrame({"blob": out})
 
     n_parts = max(1, min(len(paths) // 64, 256))
-    files_df = spark.createDataFrame([(p,) for p in paths], "path string") \
-        .repartition(n_parts)
+    files_df = spark.createDataFrame(
+        [(p, known_sizes.get(p, -1)) for p in paths],
+        "path string, size long").repartition(n_parts)
     blobs = files_df.mapInPandas(run, schema="blob binary").collect()
     return [pickle.loads(bytes(r.blob)) for r in blobs]
 
@@ -518,7 +533,8 @@ def _parse_hive_value(raw: str, t: PrimitiveType) -> Any:
 def _build_data_file(path: str, stage: str, schema: Schema,
                      result_types: dict[str, tuple[str, PrimitiveType]],
                      sort_order_id: int | None = None,
-                     io: FileIO | None = None) -> DataFile:
+                     io: FileIO | None = None,
+                     size: int | None = None) -> DataFile:
     import pyarrow.parquet as pq
 
     if io is None:
@@ -554,7 +570,7 @@ def _build_data_file(path: str, stage: str, schema: Schema,
             file_format=fmt,
             partition=partition,
             record_count=nrows,
-            file_size_in_bytes=io.size(path),
+            file_size_in_bytes=size if size is not None else io.size(path),
             content=CONTENT_DATA,
             sort_order_id=sort_order_id,
         )
@@ -590,7 +606,8 @@ def _build_data_file(path: str, stage: str, schema: Schema,
                 continue
             if st.null_count is not None:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
-            if st.has_min_max and "." not in col.path_in_schema:
+            # (dotted nested-leaf paths were already skipped above)
+            if st.has_min_max:
                 try:
                     # pyarrow cannot decode stats for every logical type
                     # (e.g. int64-backed DECIMAL raises NotImplemented);
@@ -627,7 +644,7 @@ def _build_data_file(path: str, stage: str, schema: Schema,
         file_format="PARQUET",
         partition=partition,
         record_count=md.num_rows,
-        file_size_in_bytes=io.size(path),
+        file_size_in_bytes=size if size is not None else io.size(path),
         content=CONTENT_DATA,
         column_sizes=col_sizes or None,
         value_counts=value_counts or None,

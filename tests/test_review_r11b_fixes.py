@@ -1,0 +1,157 @@
+"""Regression tests for the round-11 second module sweep
+(sql.py / delta.py / datasource.py / changelog.py / write.py):
+glob directory boundaries in add_files, MERGE into a not-yet-created
+branch, columns named `end`/`case` in MERGE clauses, and the
+same-commit pos+eq duplicate CDC delete."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from icelake_spark.types import Schema
+
+
+def _schema(spark, ddl):
+    return Schema.from_spark(spark.createDataFrame([], ddl).schema)
+
+
+def test_add_files_glob_stays_in_its_directory(spark, warehouse, tmp_path):
+    """CALL add_files with /dir/*.parquet must register only /dir's own
+    files: the listing is recursive and fnmatch's '*' crosses '/', so
+    an aborted write's _temporary/ subtree (or a nested dataset) was
+    silently registered as table data (review r11)."""
+    from icelake_spark.sql import execute
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    top = tmp_path / "ext"
+    src.coalesce(1).write.parquet(str(top / "good"))
+    # simulate an aborted write's leftovers nested under the glob dir
+    spark.createDataFrame([(99, "junk")], "id long, v string") \
+        .coalesce(1).write.parquet(str(top / "good" / "_temporary" / "0"))
+    t = warehouse.create_table("db.globbed",
+                               _schema(spark, "id long, v string"))
+    execute(spark, f"CALL system.add_files(table => 'db.globbed', "
+                   f"source => '{top}/good/*.parquet')",
+            catalog=warehouse)
+    t = t.refresh()
+    got = sorted((r.id, r.v) for r in t.to_df(spark).collect())
+    assert got == [(1, "a"), (2, "b")], got
+
+
+def test_merge_into_missing_branch_forks_from_current(spark, warehouse):
+    """MERGE into a branch that does not exist yet forks from current
+    (the documented merge_delta/Transaction contract that upsert and
+    append already follow) instead of dying with a raw KeyError
+    (review r11) — the WAP staging pattern."""
+    from icelake_spark.delta import merge
+
+    t = warehouse.create_table("db.wapmerge",
+                               _schema(spark, "id long, v long"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    t = t.refresh()
+    merge(t, spark, spark.createDataFrame([(2, 99), (3, 30)],
+                                          "id long, v long"),
+          on=["id"], branch="audit")
+    t = t.refresh()
+    # main unchanged; the branch holds the merged state
+    assert sorted((r.id, r.v) for r in t.to_df(spark).collect()) \
+        == [(1, 10), (2, 20)]
+    got = sorted((r.id, r.v) for r in
+                 t.to_df(spark, ref="audit").collect())
+    assert got == [(1, 10), (2, 99), (3, 30)], got
+    # column-level lowering takes the same fork path
+    merge(t, spark, spark.createDataFrame([(1, 77)], "id long, v long"),
+          on=["id"],
+          matched_clauses=[("update", None, {"v": "s.v"})],
+          when_not_matched=None, branch="audit2")
+    t = t.refresh()
+    got2 = sorted((r.id, r.v) for r in
+                  t.to_df(spark, ref="audit2").collect())
+    assert got2 == [(1, 77), (2, 20)], got2
+
+
+def test_merge_parses_columns_named_end_and_case(spark, warehouse):
+    """A column literally named `end` (interval/date-range tables) or
+    `case` must not be mistaken for the CASE/END keywords: one
+    qualified `s.end` drove the clause scanner's depth negative and
+    every later top-level WHEN/THEN went unseen (review r11)."""
+    from icelake_spark.sql import execute
+
+    t = warehouse.create_table(
+        "db.endcol", _schema(spark, "id long, end long, v long"))
+    t.append(spark.createDataFrame([(1, 5, 10), (2, 0, 20)],
+                                   "id long, end long, v long"))
+    t = t.refresh()
+    sdf = spark.createDataFrame([(1, 9, 11), (3, 7, 30)],
+                                "id long, end long, v long")
+    sdf.createOrReplaceTempView("src_endcol")
+    execute(spark,
+            "MERGE INTO db.endcol t USING src_endcol s ON t.id = s.id "
+            "WHEN MATCHED AND s.end > 0 THEN UPDATE SET end = s.end, "
+            "v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *",
+            catalog=warehouse)
+    t = t.refresh()
+    got = sorted(tuple(r) for r in t.to_df(spark).collect())
+    assert got == [(1, 9, 11), (2, 0, 20), (3, 7, 30)], got
+
+
+def test_changelog_same_commit_pos_and_eq_delete_one_event(
+        spark, warehouse):
+    """One commit carrying a POSITION delete and an EQUALITY delete
+    that cover the same physical row (legal for external writers)
+    must emit exactly ONE delete event per row in the changelog —
+    both the batch decoder and the streaming decoder previously
+    emitted two (review r11)."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.delta import (write_equality_delete_files,
+                                     write_position_delete_files)
+    from icelake_spark.planning import canon_data_path
+    from icelake_spark.transaction import Transaction
+
+    t = warehouse.create_table("db.dupdel",
+                               _schema(spark, "id long, v long"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                   "id long, v long").coalesce(1))
+    t = t.refresh()
+    base = t.current_snapshot().snapshot_id
+    # the physical position of id=2 in its (single) data file
+    data, _, _ = t.new_scan().plan_files(spark)
+    assert len(data) == 1
+    fpath = data[0].data_file.file_path
+    from icelake_spark.fileio import resolve_io
+    io = resolve_io(t.path)
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(io.open_input(fpath))
+    ids = tbl["id"].to_pylist()
+    pos2 = ids.index(2)
+    pos_files = write_position_delete_files(
+        t, spark.createDataFrame([(canon_data_path(fpath), pos2)],
+                                 "file_path string, pos long"))
+    eq_files = write_equality_delete_files(
+        t, spark.createDataFrame([(2,)], "id long"), ["id"])
+    tx = Transaction(t)
+    tx.add_delete_files(pos_files + eq_files)
+    tx.commit("delete")
+    t = t.refresh()
+    # read path: the row is gone (once)
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 3]
+    # batch changelog: exactly ONE delete event for id=2
+    ch = t.changes(spark, from_snapshot_id=base)
+    dels = [r.id for r in ch.where("_change_type = 'delete'").collect()]
+    assert dels == [2], dels
+    # streaming changelog lane agrees (the per-snapshot decoder)
+    ds.register(spark)
+    seen: list = []
+
+    def sink(bdf, _bid):
+        seen.extend((r.id, r._change_type) for r in bdf.collect())
+
+    import tempfile
+    q = (spark.readStream.format("icelake").option("path", t.path)
+         .option("changelog", "true").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not drain"
+    sdels = sorted(i for i, c in seen if c == "delete")
+    assert sdels == [2], seen
