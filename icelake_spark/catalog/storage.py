@@ -130,6 +130,20 @@ class StorageCatalog:
 
     def rename_table(self, src: str, dst: str) -> None:
         dst_path = self.table_path(dst)
+        # catalog-level destination guard (review r11): some backends'
+        # rename silently MERGES trees into an existing destination
+        # (MemoryFileIO builds moved{new: old} with no collision
+        # check), leaving a table whose max-version metadata belongs
+        # to one table and whose data dir holds both tables' files —
+        # silent corruption instead of an error
+        try:
+            load_metadata(dst_path)
+        except FileNotFoundError:
+            pass
+        else:
+            raise FileExistsError(
+                f"rename_table: destination table {dst!r} already "
+                f"exists at {dst_path}")
         self.io.makedirs(dirname(dst_path))
         self.io.rename(self.table_path(src), dst_path)
 

@@ -641,7 +641,11 @@ def compute_table_stats(table, spark, columns: list[str] | None = None,
     row = df.agg(*aggs).collect()[0].asDict()  # bounded: ONE row
     props, out = {}, []
     for c in cols:
-        ndv, nul = int(row[f"__ndv_{c}"]), int(row[f"__nul_{c}"])
+        # a ZERO-ROW table returns NULL for the sum aggregates (Spark
+        # SUM over no rows) — report zero-row stats, don't crash
+        # ANALYZE TABLE with int(None) (review r11)
+        ndv = int(row[f"__ndv_{c}"] or 0)
+        nul = int(row[f"__nul_{c}"] or 0)
         mn, mx = row[f"__min_{c}"], row[f"__max_{c}"]
         out.append((c, ndv, nul, mn, mx))
         props[f"stats.{c}.ndv"] = str(ndv)

@@ -41,8 +41,14 @@ def create_rollup(catalog, source_table, identifier: str, spark: SparkSession,
         "rollup.group-cols": ",".join(group_cols),
         "rollup.value-col": value_col or "",
     })
-    if agg_df.take(1):
-        t.append(agg_df)
+    # persist: take(1) + append would otherwise run the full source
+    # aggregation twice (review r11)
+    agg_df = agg_df.persist()
+    try:
+        if agg_df.take(1):
+            t.append(agg_df)
+    finally:
+        agg_df.unpersist()
     return t
 
 
@@ -90,6 +96,12 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
         # old + new data) — recompute only those buckets from the source
         touched = (_aggregate(inc, ts_col, bucket, group_cols, value_col)
                    .select("bucket_start").distinct())
+    # persist the touched-bucket set: it feeds TWO broadcast joins
+    # (refreshed + existing), and in the incremental branch its lineage
+    # is the full changelog reconstruction — manifest decoding,
+    # delete-file reads, anti-joins — which would otherwise run once
+    # per join on top of the inc.take(1) probe (review r11)
+    touched = touched.persist()
     refreshed = full.join(F.broadcast(touched), on="bucket_start",
                           how="left_semi")
     keys = ["bucket_start"] + group_cols
@@ -121,6 +133,7 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
         merge_delta(rollup_table, batch, key_cols=keys, op_col="_op")
     finally:
         batch.unpersist()
+        touched.unpersist()
     rollup_table.set_properties({
         PROP_SOURCE_SNAPSHOT: str(source_table.current_snapshot().snapshot_id)})
     return n

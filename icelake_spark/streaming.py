@@ -67,8 +67,14 @@ def write_stream(
             last = int(table.metadata.properties.get(epoch_prop, -1))
             if batch_id <= last:
                 return  # replayed epoch already committed
-            _append(table, batch_df,
-                    properties={epoch_prop: str(batch_id)}, **write_kwargs)
+            # merge a caller-supplied properties= into the epoch
+            # marker instead of passing both (append() would raise
+            # "multiple values for keyword argument" on every batch —
+            # review r11)
+            extra = dict(write_kwargs)
+            props = dict(extra.pop("properties", {}) or {})
+            props[epoch_prop] = str(batch_id)
+            _append(table, batch_df, properties=props, **extra)
         elif mode == "upsert":
             _upsert(table, batch_df, key_cols=key_cols, **write_kwargs)
         elif mode == "merge":
@@ -187,6 +193,20 @@ def incremental_files(table, snapshot_id: int | None = None,
 
     if table.current_snapshot() is None:
         return []
+    known = {s.snapshot_id for s in table.metadata.snapshots}
+    # an EXPIRED/unknown boundary must fail loudly (Iceberg parity:
+    # "starting snapshot not found"): ancestry_ids of an unknown id is
+    # an empty set, which silently re-returned the table's ENTIRE
+    # history — a consumer whose start snapshot expired would
+    # re-ingest everything as duplicates (review r11; refresh_rollup
+    # already guards this exact case before calling)
+    if snapshot_id is not None and snapshot_id not in known:
+        raise ValueError(
+            f"incremental scan: start snapshot {snapshot_id} not found "
+            f"(expired?) — re-sync from scratch or pick a live snapshot")
+    if to_snapshot_id is not None and to_snapshot_id not in known:
+        raise ValueError(
+            f"incremental scan: end snapshot {to_snapshot_id} not found")
     main_ids = table.metadata.ancestry_ids(to_snapshot_id) \
         if to_snapshot_id is not None else table.metadata.ancestry_ids()
     base_ids = (table.metadata.ancestry_ids(snapshot_id)

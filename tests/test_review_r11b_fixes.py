@@ -1,8 +1,11 @@
-"""Regression tests for the round-11 second module sweep
-(sql.py / delta.py / datasource.py / changelog.py / write.py):
+"""Regression tests for the round-11 second and third module sweeps
+(sql.py / delta.py / datasource.py / changelog.py / write.py, then
+fileio.py / maintenance.py / rollup.py / streaming.py / storage.py):
 glob directory boundaries in add_files, MERGE into a not-yet-created
-branch, columns named `end`/`case` in MERGE clauses, and the
-same-commit pos+eq duplicate CDC delete."""
+branch, columns named `end`/`case` in MERGE clauses, the same-commit
+pos+eq duplicate CDC delete, zero-row ANALYZE, expired incremental
+start snapshots, rename-destination collisions, and write_stream
+caller properties."""
 
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
@@ -155,3 +158,76 @@ def test_changelog_same_commit_pos_and_eq_delete_one_event(
     assert q.awaitTermination(180), "stream did not drain"
     sdels = sorted(i for i, c in seen if c == "delete")
     assert sdels == [2], seen
+
+
+def test_analyze_empty_table_reports_zero_stats(spark, warehouse):
+    """ANALYZE over a zero-row table reports zero stats instead of
+    crashing on int(None) (Spark SUM over no rows is NULL; review
+    r11)."""
+    from icelake_spark.maintenance import compute_table_stats
+
+    t = warehouse.create_table("db.emptystats",
+                               _schema(spark, "id long, v string"))
+    t = t.refresh()
+    out = compute_table_stats(t, spark, columns=["id", "v"]).collect()
+    assert len(out) == 2
+    assert all(r.ndv == 0 and r.null_count == 0 for r in out), out
+
+
+def test_incremental_unknown_start_snapshot_raises(spark, warehouse):
+    """An expired/unknown incremental start snapshot fails loudly
+    (Iceberg parity) instead of silently re-returning the table's
+    entire history as duplicates (review r11)."""
+    from icelake_spark.streaming import incremental_files
+
+    t = warehouse.create_table("db.incexp", _schema(spark, "id long"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    t = t.refresh()
+    with pytest.raises(ValueError, match="not found"):
+        incremental_files(t, snapshot_id=999999)
+    with pytest.raises(ValueError, match="not found"):
+        incremental_files(t, to_snapshot_id=999999)
+    # a live boundary still works
+    s = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t = t.refresh()
+    assert len(incremental_files(t, snapshot_id=s)) >= 1
+
+
+def test_rename_table_refuses_existing_destination(spark, warehouse):
+    """rename_table onto an existing table raises instead of silently
+    merging the two trees (MemoryFileIO's rename has no collision
+    check; the guard lives at the catalog level; review r11)."""
+    a = warehouse.create_table("db.rn_a", _schema(spark, "id long"))
+    a.append(spark.createDataFrame([(1,)], "id long"))
+    warehouse.create_table("db.rn_b", _schema(spark, "id long"))
+    with pytest.raises(FileExistsError, match="already exists"):
+        warehouse.rename_table("db.rn_a", "db.rn_b")
+    # the free name still works
+    warehouse.rename_table("db.rn_a", "db.rn_c")
+    from icelake_spark import IcebergTable
+    got = [r.id for r in IcebergTable.load(
+        warehouse.table_path("db.rn_c")).to_df(spark).collect()]
+    assert got == [1]
+
+
+def test_write_stream_merges_caller_properties(spark, warehouse, tmp_path):
+    """write_stream append mode combines a caller-supplied properties=
+    with the epoch marker instead of crashing every micro-batch with
+    'multiple values for keyword argument' (review r11)."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.streaming import write_stream
+
+    ds.register(spark)
+    src_t = warehouse.create_table("db.wsrc", _schema(spark, "id long"))
+    src_t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    src_t = src_t.refresh()
+    dst = warehouse.create_table("db.wdst", _schema(spark, "id long"))
+    stream = (spark.readStream.format("icelake")
+              .option("path", src_t.path).load())
+    q = write_stream(dst, stream, checkpoint=str(tmp_path / "wck"),
+                     mode="append", properties={"owner": "pipeline"})
+    assert q.awaitTermination(180), "stream did not drain"
+    dst = dst.refresh()
+    assert sorted(r.id for r in dst.to_df(spark).collect()) == [1, 2]
+    assert dst.metadata.properties.get("owner") == "pipeline"
