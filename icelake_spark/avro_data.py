@@ -88,10 +88,25 @@ def _avro_type(t: Any, name_hint: str = "") -> Any:
     raise NotImplementedError(f"avro data files: nested type {t!r}")
 
 
+_AVRO_NAME_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def table_avro_schema(schema: Schema, name: str = "table") -> dict:
-    """Iceberg table schema -> field-id-annotated Avro record schema."""
+    """Iceberg table schema -> field-id-annotated Avro record schema.
+
+    Column names must be legal Avro names ([A-Za-z_][A-Za-z0-9_]*):
+    the in-repo reader never validates, so a column like `sum(x)` or
+    `col-1` would self-roundtrip while producing a file every strict
+    external parser (Java Avro, fastavro, spark-avro) rejects at
+    schema parse — fail LOUDLY at write time instead of shipping an
+    unreadable file (review r11)."""
     fields = []
     for f in schema.fields:
+        if not _AVRO_NAME_RE.match(f.name):
+            raise ValueError(
+                f"avro data files: column name {f.name!r} is not a "
+                f"legal Avro name ([A-Za-z_][A-Za-z0-9_]*) — rename "
+                f"the column or use parquet/orc for this table")
         at = _avro_type(f.field_type, name_hint=f.name)
         fields.append({
             "name": f.name,
@@ -115,19 +130,26 @@ def _to_avro_value(v: Any, t: PrimitiveType, tz: dt.tzinfo | None = None) -> Any
         return int(v)
     if n in ("timestamp", "timestamptz"):
         if isinstance(v, dt.datetime):
+            # exact INTEGER micros via timedelta floor-division — the
+            # encode_bound idiom. The old float path
+            # (total_seconds()/timestamp() * 1e6) drifts +-1us beyond
+            # ~year 2100, silently disagreeing with bounds computed by
+            # the exact arithmetic (review r11)
+            us = dt.timedelta(microseconds=1)
             if v.tzinfo is not None:
                 # aware: true epoch micros (anchoring the epoch at the
                 # value's OWN offset would shift the instant by it)
-                return round(v.timestamp() * 1_000_000)
+                epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                return (v - epoch) // us
             if n == "timestamptz" and tz is not None:
                 # mapInPandas hands timestamptz values over as SESSION-
                 # timezone-naive stamps; the iceberg spec stores UTC
                 # micros, so localize to the session zone first (treating
                 # naive as UTC silently shifts every instant when
                 # spark.sql.session.timeZone != UTC)
-                return round(v.replace(tzinfo=tz).timestamp() * 1_000_000)
-            return round((v - dt.datetime(1970, 1, 1)).total_seconds()
-                         * 1_000_000)
+                epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                return (v.replace(tzinfo=tz) - epoch) // us
+            return (v - dt.datetime(1970, 1, 1)) // us
         return int(v)
     if n == "decimal":
         from .types.datatypes import min_twos_complement
@@ -255,9 +277,12 @@ def write_avro_data(df: DataFrame, stage: str, schema: Schema,
     attempt per partition — losers' orphan files stay in the temp stage
     dir but are never registered as table data.
 
-    `partition_cols` are hive-dir columns (not written into the files,
-    mirroring DataFrameWriter.partitionBy); `max_records_per_file`
-    rolls output files like Spark's maxRecordsPerFile."""
+    `partition_cols` choose the hive output DIRECTORY per row; their
+    values are ALSO written into the files (read_avro_data never
+    parses hive dirs, so the read path depends on them being present
+    — unlike DataFrameWriter.partitionBy, which drops them);
+    `max_records_per_file` rolls output files like Spark's
+    maxRecordsPerFile."""
     import pandas as pd
 
     avro_schema = table_avro_schema(schema)
@@ -329,10 +354,23 @@ def read_avro_data(spark: SparkSession, spark_schema,
     decoded with avro_io and yielded as Arrow batches. Emits a `__file`
     column for the MoR position plumbing (always-null positions — Avro
     rows have no stable row_index, so deletes against them go
-    copy-on-write, same as ORC)."""
+    copy-on-write, same as ORC).
+
+    `paths` are the RAW manifest-recorded paths (NOT
+    to_spark_paths-translated): each file's bytes are read through a
+    DRIVER-resolved FileIO shipped in the closure — executor workers
+    can't see register_io factories and pyarrow rejects JVM-scheme
+    URIs like s3a:// (the r9 write/count-lane fix, applied to the read
+    twin; review r11). `__file` carries the normalized raw path — the
+    old os.path.abspath mangled URI forms into
+    '/cwd/file:/x/...'-shaped nonsense."""
     import pandas as pd
     from pyspark.sql import types as T
 
+    from .fileio import norm_path, resolve_io
+
+    ios = {p: resolve_io(p) for p in paths}       # driver-side
+    norms = {p: norm_path(p) for p in paths}
     conv = _converters(Schema.from_spark(spark_schema), _session_tz(spark))
     names = [f.name for f in spark_schema.fields]
     out_schema = T.StructType(
@@ -341,12 +379,13 @@ def read_avro_data(spark: SparkSession, spark_schema,
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for p in pdf["p"]:
-                _schema, records = avro_io.read_avro(p)
+                data = ios[p].open_input(p).read()
+                _schema, records = avro_io.read_avro(p, data=data)
                 cols: dict[str, list] = {n: [] for n in names}
                 for rec in records:
                     for name, _enc, dec in conv:
                         cols[name].append(dec(rec.get(name)))
-                cols["__file"] = [os.path.abspath(p)] * len(records)
+                cols["__file"] = [norms[p]] * len(records)
                 yield pd.DataFrame(cols, columns=names + ["__file"])
 
     pdf = spark.createDataFrame([(p,) for p in paths], "p string") \

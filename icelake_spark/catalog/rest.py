@@ -27,6 +27,20 @@ except ImportError:  # pragma: no cover
 # ----------------------------------------------------- protocol bodies
 
 
+def _split_identifier(identifier: str) -> tuple[str, str]:
+    """(namespace, name) — fails LOUDLY on a single-part identifier:
+    every table route requires a namespace, and an empty one produced
+    the malformed 'namespaces//tables/<name>' URL a conforming server
+    404s confusingly instead of a clear client-side error (review
+    r11)."""
+    ns, _, name = identifier.rpartition(".")
+    if not ns:
+        raise ValueError(
+            f"REST catalog identifiers need a namespace: got "
+            f"{identifier!r} (use 'db.{identifier}'-style names)")
+    return ns, name
+
+
 def namespace_path(namespace: str) -> str:
     """Multi-level namespaces are unit-separated (0x1F) in REST paths."""
     return "\x1f".join(namespace.split("."))
@@ -141,9 +155,26 @@ def build_commit_updates(base: TableMetadata | None,
 
     requirements = [assert_uuid_requirement(new.table_uuid)]
     if base is not None:
-        main = base.refs.get("main")
-        requirements.append(assert_ref_requirement(
-            "main", main.snapshot_id if main else base.current_snapshot_id))
+        # assert EVERY ref this diff moves or removes, at its BASE
+        # position (review r11): asserting only main let two
+        # concurrent writers to branch 'dev' both pass — the server
+        # applied both set-snapshot-ref updates last-wins and the
+        # first commit silently vanished from the branch; conversely
+        # a pure branch commit would spuriously 409 on any unrelated
+        # main movement if main alone were asserted
+        moved = {name for name, r in new.refs.items()
+                 if (b_refs.get(name) is None
+                     or b_refs[name].snapshot_id != r.snapshot_id
+                     or b_refs[name].type != r.type)}
+        moved |= {name for name in b_refs if name not in new.refs}
+        moved.add("main")  # snapshot lineage always anchors at main
+        for name in sorted(moved):
+            old_ref = b_refs.get(name)
+            requirements.append(assert_ref_requirement(
+                name,
+                old_ref.snapshot_id if old_ref is not None
+                else (base.current_snapshot_id if name == "main"
+                      else None)))
     return updates, requirements
 
 
@@ -161,7 +192,7 @@ def rename_table_body(source: str, destination: str) -> dict:
     """POST /v1/tables/rename body (rest.rs rename_table shape)."""
 
     def ident(identifier: str) -> dict:
-        ns, _, name = identifier.rpartition(".")
+        ns, name = _split_identifier(identifier)
         return {"namespace": ns.split(".") if ns else [], "name": name}
 
     return {"source": ident(source), "destination": ident(destination)}
@@ -232,7 +263,7 @@ class RestCatalog:
     def load_table(self, identifier: str):
         from ..table import IcebergTable
 
-        ns, _, name = identifier.rpartition(".")
+        ns, name = _split_identifier(identifier)
         r = self.http.get(self._url(
             f"namespaces/{namespace_path(ns)}/tables/{name}"))
         r.raise_for_status()
@@ -245,7 +276,7 @@ class RestCatalog:
                      properties=None, format_version: int = 2):
         from ..table import IcebergTable
 
-        ns, _, name = identifier.rpartition(".")
+        ns, name = _split_identifier(identifier)
         metadata = TableMetadata.new("", schema, spec, properties,
                                      format_version=format_version)
         r = self.http.post(
@@ -268,10 +299,15 @@ class RestCatalog:
         the requirement degrades to the uuid assertion alone."""
         updates, requirements = build_commit_updates(base_metadata,
                                                      new_metadata)
-        ns, _, name = identifier.rpartition(".")
+        ns, name = _split_identifier(identifier)
+        # the ONE commit-body builder (review r11: a hand-rolled dict
+        # here could drift from the tested commit_table_body shape)
+        body = commit_table_body(identifier, updates, requirements)
         r = self.http.post(
             self._url(f"namespaces/{namespace_path(ns)}/tables/{name}"),
-            json={"updates": updates, "requirements": requirements})
+            json={"updates": body["updates"],
+                  "requirements": body["requirements"],
+                  "identifier": body["identifier"]})
         if r.status_code == 409:
             # requirement failure: surface as a typed, retryable error
             # instead of a bare HTTPError (rest.rs maps 409 the same way)
@@ -286,7 +322,7 @@ class RestCatalog:
         return base_version + 1
 
     def drop_table(self, identifier: str) -> None:
-        ns, _, name = identifier.rpartition(".")
+        ns, name = _split_identifier(identifier)
         r = self.http.delete(self._url(
             f"namespaces/{namespace_path(ns)}/tables/{name}"))
         r.raise_for_status()

@@ -1312,11 +1312,11 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
     """
     from .fileio import to_spark_paths
 
-    by_fmt: dict[str, list[str]] = {}
+    raw_by_fmt: dict[str, list[str]] = {}
     for t in tasks:
-        by_fmt.setdefault((t.data_file.file_format or "PARQUET").upper(),
-                          []).append(t.data_file.file_path)
-    by_fmt = {fmt: to_spark_paths(paths) for fmt, paths in by_fmt.items()}
+        raw_by_fmt.setdefault((t.data_file.file_format or "PARQUET").upper(),
+                              []).append(t.data_file.file_path)
+    by_fmt = {fmt: to_spark_paths(paths) for fmt, paths in raw_by_fmt.items()}
     parts = []
     for fmt, paths in by_fmt.items():
         reader = spark.read.schema(spark_schema)
@@ -1340,7 +1340,11 @@ def read_data_files(spark: SparkSession, spark_schema, tasks: list[FileScanTask]
                 # (avro_data.py); it attaches __file itself
                 from .avro_data import read_avro_data
 
-                part = read_avro_data(spark, spark_schema, paths)
+                # RAW paths, not the to_spark_paths translation: the
+                # pure-Python lane reads through a driver-resolved
+                # FileIO and pyarrow rejects JVM schemes (review r11)
+                part = read_avro_data(spark, spark_schema,
+                                      raw_by_fmt["AVRO"])
                 file_col = F.col("__file")
         else:
             raise ValueError(f"unsupported data file format {fmt}")

@@ -231,3 +231,64 @@ def test_write_stream_merges_caller_properties(spark, warehouse, tmp_path):
     dst = dst.refresh()
     assert sorted(r.id for r in dst.to_df(spark).collect()) == [1, 2]
     assert dst.metadata.properties.get("owner") == "pipeline"
+
+
+def test_avro_lane_contracts(spark):
+    """avro_data contracts hardened in the r11 third sweep: exact
+    integer timestamp micros (the float path drifted +-1us beyond
+    ~2100, disagreeing with encode_bound), and illegal Avro column
+    names fail loudly at write instead of emitting files strict
+    parsers reject."""
+    import datetime as dt
+
+    from icelake_spark.avro_data import _to_avro_value, table_avro_schema
+    from icelake_spark.types.datatypes import (NestedField, Schema as S2,
+                                               TIMESTAMP)
+
+    far = dt.datetime(2260, 1, 1, 0, 0, 0, 1)
+    want = (far - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+    assert _to_avro_value(far, TIMESTAMP) == want
+    aware = dt.datetime(2260, 1, 1, 0, 0, 0, 1, tzinfo=dt.timezone.utc)
+    assert _to_avro_value(aware, TIMESTAMP) == want
+
+    from icelake_spark.types.datatypes import LONG, StructType
+    bad = S2(StructType((NestedField(1, "sum(x)", LONG,
+                                     required=False),)))
+    with pytest.raises(ValueError, match="legal Avro name"):
+        table_avro_schema(bad)
+
+
+def test_rest_commit_asserts_every_moved_ref(spark):
+    """build_commit_updates asserts EVERY ref the diff moves at its
+    base position, not only main: two concurrent branch writers would
+    otherwise both pass the server's checks and the first commit
+    silently vanish from the branch (review r11)."""
+    from dataclasses import replace as dc_replace
+
+    from icelake_spark.catalog.rest import (RestCatalog,  # noqa: F401
+                                            build_commit_updates)
+    from icelake_spark.types.metadata import (SnapshotReference,
+                                              TableMetadata)
+
+    base = TableMetadata.new("file:///tmp/t", __import__(
+        "icelake_spark").types.Schema.from_spark(
+        spark.createDataFrame([], "id long").schema))
+    snap_a, snap_b = 111, 222
+    base = dc_replace(base, refs={
+        "main": SnapshotReference(snap_a, "branch"),
+        "dev": SnapshotReference(snap_a, "branch")})
+    new = dc_replace(base, refs={
+        "main": SnapshotReference(snap_a, "branch"),
+        "dev": SnapshotReference(snap_b, "branch")})
+    _updates, reqs = build_commit_updates(base, new)
+    by_ref = {r["ref"]: r["snapshot-id"] for r in reqs
+              if r.get("type") == "assert-ref-snapshot-id"}
+    assert by_ref.get("dev") == snap_a, reqs
+    assert "main" in by_ref
+    # single-part identifiers fail loudly client-side
+    import pytest as _p
+
+    from icelake_spark.catalog.rest import _split_identifier
+    with _p.raises(ValueError, match="namespace"):
+        _split_identifier("tbl")
+    assert _split_identifier("db.tbl") == ("db", "tbl")
