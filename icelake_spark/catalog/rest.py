@@ -189,10 +189,14 @@ def commit_table_body(identifier: str, updates: list[dict],
 
 
 def rename_table_body(source: str, destination: str) -> dict:
-    """POST /v1/tables/rename body (rest.rs rename_table shape)."""
+    """POST /v1/tables/rename body (rest.rs rename_table shape).
+    Single-part names stay legal HERE: the spec's identifier object
+    allows an empty namespace array in bodies — only the URL-building
+    client methods need _split_identifier's guard (a bare name there
+    makes a malformed 'namespaces//tables/x' route)."""
 
     def ident(identifier: str) -> dict:
-        ns, name = _split_identifier(identifier)
+        ns, _, name = identifier.rpartition(".")
         return {"namespace": ns.split(".") if ns else [], "name": name}
 
     return {"source": ident(source), "destination": ident(destination)}
