@@ -107,6 +107,8 @@ EXTENDED = [
     "split_by_group",
     "histogram_quantiles",
     "hard_negatives",
+    "ngram_novelty",
+    "embedding_outliers",
 ]
 
 

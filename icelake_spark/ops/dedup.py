@@ -867,3 +867,51 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
     return (a.join(b, on="hash").where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    floor micro-fraction of the document's DISTINCT word n-grams that
+    appear NOWHERE in the reference — the memorization/overlap
+    diagnostic (low novelty vs the training set flags memorized or
+    boilerplate text; high novelty vs a trusted reference flags
+    distribution drift). Returns
+    (id_col, total_grams, novel_grams, novelty_micro) for EVERY input
+    row; documents with fewer than n words have zero grams and report
+    (0, 0, 0).
+
+    Scale shape: only md5 gram HASHES ever shuffle (text bytes stay in
+    the scan), the reference side dedups to its gram VOCABULARY before
+    the join, per-document distinct/count aggregates are map-side
+    combined, and novelty rides ONE left join + null-count — never an
+    anti-join followed by a second count pass. Engine-exact: the
+    shared shingle construction + portable_hash60 + integer floor
+    micro-units."""
+    def gram_hashes(frame):
+        w = words_col(text_col)
+        sh = shingles_from_words(w, n=n)
+        return (frame.select(F.col(id_col), F.explode(sh).alias("__g"))
+                .select(id_col, portable_hash60(F.col("__g")).alias("__gh"))
+                .distinct())
+
+    doc_grams = gram_hashes(df)
+    ref_vocab = (gram_hashes(reference).select("__gh").distinct()
+                 .withColumn("__hit", F.lit(1)))
+    per_doc = (doc_grams.join(ref_vocab, on="__gh", how="left")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("total_grams"),
+                    F.sum(F.when(F.col("__hit").isNull(), 1)
+                          .otherwise(0)).cast("long").alias("novel_grams")))
+    return (df.select(id_col).distinct()
+            .join(per_doc, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("total_grams", F.lit(0)).cast("long")
+                    .alias("total_grams"),
+                    F.coalesce("novel_grams", F.lit(0)).cast("long")
+                    .alias("novel_grams"),
+                    F.expr("CASE WHEN coalesce(total_grams, 0) = 0 THEN 0 "
+                           "ELSE novel_grams * 1000000 DIV total_grams "
+                           "END").cast("long").alias("novelty_micro"))
+            .orderBy(id_col))

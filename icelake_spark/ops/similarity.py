@@ -1029,3 +1029,41 @@ def hard_negatives(df: DataFrame, n_anchors: int = 8, n_neg: int = 5,
                    F.col("__rn").cast("long").alias("rank"),
                    F.col(id_col), "cos"))
     return pos.unionByName(neg).orderBy("anchor_id", "role", "rank")
+
+
+def embedding_outliers(df: DataFrame, k: int = 20,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id", n_centroids: int = 8,
+                       train_iters: int = 1, seed: int = 42,
+                       portable: bool = False) -> DataFrame:
+    """Embedding OUTLIERS: the k rows farthest from their assigned
+    k-means centroid — the anomaly sweep curation pipelines run to
+    surface mislabeled, corrupted, or off-distribution embeddings
+    before they poison retrieval indexes or contrastive batches.
+    Returns top-k (id_col, cluster, dist) by DESCENDING squared
+    distance (6dp, id tiebreak).
+
+    Scale shape: one Lloyd training (bounded aggregates), one in-row
+    assignment + distance pass over the literal centroid table, and a
+    TakeOrdered top-k — no joins against the corpus, no global sort.
+    Engine-exact in portable mode: the sequential squared-distance
+    sum and DECIMAL-mean training the kmeans twins bit-reproduce."""
+    cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
+                         n_iter=train_iters, seed=seed, portable=portable)
+    if not cents:
+        return (df.select(F.col(id_col),
+                          F.lit(None).cast("int").alias("cluster"),
+                          F.lit(None).cast("double").alias("dist"))
+                .limit(0))
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[
+        F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        for c in cents])
+    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+                .select(F.col(id_col),
+                        (F.array_position(dists, F.array_min(dists)) - 1)
+                        .cast("int").alias("cluster"),
+                        F.round(F.array_min(dists), 6).alias("dist")))
+    return (assigned.orderBy(F.desc("dist"), F.col(id_col)).limit(k))

@@ -2553,3 +2553,53 @@ def test_hard_negatives_planted_labels(spark):
             # the planted near-miss wrong-label point is the #1 hard
             # negative for label-0 anchors
             assert negs[0].vec_id == 99, negs
+
+
+def test_ngram_novelty_planted_overlap(spark):
+    """ngram_novelty on planted structure: a doc copied verbatim from
+    the reference scores 0 novelty, a doc sharing nothing scores 1e6,
+    a half-overlapping doc lands in between, and gram-less docs
+    report (0, 0, 0)."""
+    from icelake_spark.ops.dedup import ngram_novelty
+
+    ref_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([
+        (1, ref_text),                                   # verbatim copy
+        (2, "one two three four five six seven eight"),  # disjoint
+        (3, "alpha beta gamma delta nine ten eleven twelve"),  # partial
+        (4, "too short"),                                # < n words
+        (5, None),                                       # NULL text
+    ], "doc_id long, text string")
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert len(got) == 5
+    assert got[1].novelty_micro == 0 and got[1].novel_grams == 0
+    assert got[2].novelty_micro == 1_000_000
+    assert 0 < got[3].novelty_micro < 1_000_000
+    # doc 3: grams 1-2 (alpha beta gamma, beta gamma delta) shared,
+    # the other 4 novel -> 4/6
+    assert (got[3].total_grams, got[3].novel_grams) == (6, 4)
+    assert got[3].novelty_micro == 4 * 1_000_000 // 6
+    assert tuple(got[4])[1:] == (0, 0, 0)
+    assert tuple(got[5])[1:] == (0, 0, 0)
+
+
+def test_embedding_outliers_planted(spark):
+    """embedding_outliers surfaces the planted far-out rows: a tight
+    cluster plus three points pushed far away — the three must lead
+    the ranking, ordered by descending distance."""
+    from icelake_spark.ops.similarity import embedding_outliers
+
+    rng = np.random.default_rng(9)
+    rows = [(i, (rng.normal(0, 0.1, 8)).tolist()) for i in range(40)]
+    rows += [(100, [9.0] * 8), (101, [7.0] * 8), (102, [5.0] * 8)]
+    rows += [(900, None), (901, [float("nan")] * 8)]  # excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_centroids=1: a global-mean anomaly sweep — with more centroids
+    # a tight GROUP of far points can capture its own centroid and
+    # vanish from the ranking (the documented k << modes contract)
+    got = embedding_outliers(df, k=3, n_centroids=1, train_iters=2,
+                             portable=True).collect()
+    assert [r.vec_id for r in got] == [100, 101, 102], got
+    assert got[0].dist > got[1].dist > got[2].dist
+    assert all(r.dist is not None for r in got)

@@ -490,3 +490,21 @@ def test_histogram_and_hard_negatives_plan_properties(spark):
     assert "BroadcastNestedLoopJoin" in p2 or "BroadcastHashJoin" in p2
     assert "SortMergeJoin" not in p2
     assert "windowspecdefinition(anchor_id" in p2
+
+
+def test_novelty_and_outliers_plan_properties(spark):
+    """ngram_novelty: only gram hashes shuffle (text stays in the
+    scan), one left join, no Python; embedding_outliers: in-row
+    assignment + TakeOrdered, no joins, no Python."""
+    from icelake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    p1 = _plan(Q.ngram_novelty_q(spark, sf))
+    assert "EvalPython" not in p1
+    p2 = _plan(Q.embedding_outliers_q(spark, sf))
+    assert "EvalPython" not in p2
+    assert "TakeOrdered" in p2
+    assert "Join" not in p2
+    # one exchange only: the fanout repartition (assignment must not
+    # run inside a one-task scan); no shuffle for the top-k
+    assert p2.count("Exchange") <= 2  # fanout + AQE final stage

@@ -171,3 +171,34 @@ def test_time_travel_eq_deletes_across_rename(spark, warehouse):
     # current read keeps working under the new name
     cur = sorted((r.user_id, r.v) for r in t.to_df(spark).collect())
     assert cur == [(1, 10), (2, 99)], cur
+
+
+def test_partition_avro_type_unique_named_types():
+    """Two same-length fixed partition fields (or shared-singleton
+    uuid fields) must not fully define the same Avro named type twice
+    — strict parsers (Java Avro) reject 'Can't redefine' (review
+    r11)."""
+    import json
+
+    from icelake_spark.types.datatypes import (NestedField, Schema,
+                                               StructType, fixed_type)
+    from icelake_spark.types.manifest import partition_avro_type
+    from icelake_spark.types.metadata import PartitionField, PartitionSpec
+
+    schema = Schema(StructType((
+        NestedField(1, "a", fixed_type(16), required=False),
+        NestedField(2, "b", fixed_type(16), required=False))))
+    spec = PartitionSpec(0, (
+        PartitionField(source_column_id=1, partition_field_id=1000,
+                       transform="identity", name="a"),
+        PartitionField(source_column_id=2, partition_field_id=1001,
+                       transform="identity", name="b")))
+    rec = partition_avro_type(spec, schema)
+    names = []
+    for f in rec["fields"]:
+        t = f["type"]
+        for part in (t if isinstance(t, list) else [t]):
+            if isinstance(part, dict) and "name" in part:
+                names.append(part["name"])
+    assert len(names) == 2 and len(set(names)) == 2, names
+    json.dumps(rec)  # serializable schema

@@ -489,3 +489,45 @@ def test_streaming_histogram_bins_sum_equals_batch_quantiles(
     want = {(r.g, r.q_micro): (r.est, r.n) for r in histogram_quantiles(
         mk(range(0, 160)), "v", "g", 25.0).collect()}
     assert got == want
+
+
+def test_streaming_bloom_bits_union_equals_batch_filter(
+        spark, warehouse, tmp_path):
+    """bloom_bits is MERGEABLE streaming state by construction (bit
+    positions union by DISTINCT) — upgraded from 'by construction' to
+    TESTED: two incremental drains' unioned bits equal the batch
+    filter, and membership probes against the merged filter match."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.sketches import bloom_bits, bloom_maybe_contains
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    def mk(ids):
+        rows = [(i, f"key-{i}") for i in ids]
+        return spark.createDataFrame(rows, "id long, k string")
+
+    raw = warehouse.create_table("db.bb_raw", S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 40)))
+    raw = raw.refresh()
+
+    acc: set = set()
+
+    def merge(batch_df, _bid):
+        acc.update(r.bit for r in bloom_bits(batch_df, "k").collect())
+
+    ck = str(tmp_path / "bbck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(range(40, 80)))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    full = {r.bit for r in bloom_bits(mk(range(0, 80)), "k").collect()}
+    assert acc == full
+    merged = spark.createDataFrame([(b,) for b in sorted(acc)], "bit int")
+    probes = spark.createDataFrame(
+        [(1, "key-7"), (2, "key-79"), (3, "fresh-unseen-xyz")],
+        "pid long, k string")
+    got = {r.pid: r.maybe_dup for r in
+           bloom_maybe_contains(probes, "k", merged).collect()}
+    assert got[1] is True and got[2] is True  # no false negatives ever
