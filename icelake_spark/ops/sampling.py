@@ -58,10 +58,15 @@ def split_by_group(df: DataFrame, group_col: str,
 def hash_split(df: DataFrame, key_col: str,
                train_frac: float = 0.8) -> DataFrame:
     """Adds a `split` column ('train' / 'eval') keyed on content hash.
-    Rows keep their split under corpus growth and engine changes."""
+    Rows keep their split under corpus growth and engine changes.
+    NULL keys coalesce to one '__null__' sentinel bucket (review r11:
+    md5(NULL) is NULL, so every NULL-key row silently fell through to
+    'eval' regardless of train_frac — deterministically skewing the
+    eval distribution)."""
     cut = int(_BUCKETS * train_frac)
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
     return df.withColumn(
-        "split", F.when(split_bucket(key_col) < cut, "train")
+        "split", F.when(split_bucket(key) < cut, "train")
         .otherwise("eval"))
 
 
@@ -112,7 +117,13 @@ def temperature_sample(df: DataFrame, source_col: str = "source",
                          F.floor(rate * F.lit(_BUCKETS)).cast("int"))
              .select(source_col, "__cut"))
     cols = df.columns
-    return (df.join(F.broadcast(rates), on=source_col)
+    # NULL-SAFE source join (review r11): the plain equi-join silently
+    # dropped every NULL-source row even though the NULL group's count
+    # participated in the weight sum (consuming budget share) — NULL
+    # sources are a real group and sample at their own rate
+    r2 = rates.withColumnRenamed(source_col, "__src_r")
+    jcond = F.col(source_col).eqNullSafe(F.col("__src_r"))
+    return (df.join(F.broadcast(r2), on=jcond)
             .where(split_bucket(id_col) < F.col("__cut"))
             .select(*cols))
 

@@ -46,18 +46,26 @@ def theta_distinct(df: DataFrame, col: str, group_col: str,
     theta sketch: hash values to [0, 2^60), keep those below
     2^60/sample_den, estimate = kept_distinct * sample_den.
 
-    Returns (group_col, kept, est_distinct). Deterministic: the same
-    values always survive, so the estimate is reproducible and the
-    oracle can recompute it exactly. Standard error ~ 1/sqrt(kept)."""
+    Returns (group_col, kept, est_distinct) for EVERY group present
+    in the input — a group whose few values ALL hash above the keep
+    threshold surfaces as (0, 0) instead of vanishing (review r11:
+    the same vanishing-groups defect quantile_sketch fixed in r9d —
+    a per-group monitor reading the output must see "~0 distinct",
+    never "no data"). Deterministic: the same values always survive,
+    so the estimate is reproducible and the oracle can recompute it
+    exactly. Standard error ~ 1/sqrt(kept)."""
     thr = HASH_SPACE // sample_den
     kept = (df.select(F.col(group_col),
                       portable_hash60(F.col(col)).alias("__h"))
             .where(F.col("__h") < thr)
             .groupBy(group_col)
             .agg(F.countDistinct("__h").alias("kept")))
-    return kept.select(
-        group_col, "kept",
-        (F.col("kept") * sample_den).cast("long").alias("est_distinct"))
+    groups = df.select(group_col).distinct()
+    return (groups.join(kept, on=group_col, how="left")
+            .select(group_col,
+                    F.coalesce("kept", F.lit(0)).cast("long").alias("kept"),
+                    (F.coalesce("kept", F.lit(0)) * sample_den)
+                    .cast("long").alias("est_distinct")))
 
 
 def theta_distinct_sql(col: str, group_col: str, table: str,
@@ -70,9 +78,11 @@ WITH kept AS (
     SELECT {group_col}, {h} AS h FROM {table}) t
   WHERE h < {thr}
   GROUP BY {group_col})
-SELECT {group_col}, kept,
-       CAST(kept * {sample_den} AS BIGINT) AS est_distinct
-FROM kept ORDER BY {group_col}
+SELECT g.{group_col}, CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept,
+       CAST(COALESCE(k.kept, 0) * {sample_den} AS BIGINT) AS est_distinct
+FROM (SELECT DISTINCT {group_col} FROM {table}) g
+LEFT JOIN kept k USING ({group_col})
+ORDER BY g.{group_col}
 """
 
 
@@ -159,7 +169,13 @@ def heavy_hitters(df: DataFrame, col: str, threshold_den: int = 200,
     the other way around: broadcast the d*w sketch cells, gate items
     map-side on est_count BEFORE the shuffle, and run the exact count
     over gate survivors only — the guarantee above is exactly what
-    makes that rewrite lossless."""
+    makes that rewrite lossless.
+
+    NULL values are EXCLUDED (from both the counts and the total): a
+    NULL "item" hashes to NULL lanes, so the sketch cannot see it and
+    its estimate would read 0 < n — silently breaking the est >= n
+    guarantee the gate depends on (review r11)."""
+    df = df.where(F.col(col).isNotNull())
     counts = df.groupBy(col).agg(F.count("*").cast("long").alias("n"))
     tot = df.agg(F.count("*").alias("__t"))
     heavy = (counts.crossJoin(F.broadcast(tot))

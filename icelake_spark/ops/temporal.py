@@ -367,17 +367,18 @@ def event_associations(df: DataFrame, user_col: str = "user_id",
     back and the lift product runs in DECIMAL(38,0) (count products
     wrap int64 at planetary user counts). Returns
     (antecedent, consequent, n_both, support_micro, confidence_micro,
-    lift_micro) sorted by the pair."""
-    ut = df.select(user_col, type_col).distinct()
-    n_users = ut.select(user_col).distinct().count()
-    if n_users == 0:
-        return (ut.select(
-            F.col(type_col).alias("antecedent"),
-            F.col(type_col).alias("consequent"),
-            F.lit(0).cast("long").alias("n_both"),
-            F.lit(0).cast("long").alias("support_micro"),
-            F.lit(0).cast("long").alias("confidence_micro"),
-            F.lit(0).cast("long").alias("lift_micro")))
+    lift_micro) sorted by the pair.
+
+    NULL users are excluded (matching the twin's COUNT(DISTINCT
+    user_id), which never counts NULL — review r11: Spark's
+    distinct().count() counted the NULL-user row, so every
+    denominator diverged cross-engine on dirty data), and the user
+    total rides IN-PLAN as a broadcast one-row frame — no eager
+    .count() action at plan-construction time (the event_paths
+    pattern: no extra full scan, no frozen stale literal)."""
+    ut = (df.where(F.col(user_col).isNotNull())
+          .select(user_col, type_col).distinct())
+    tot = ut.agg(F.countDistinct(user_col).alias("__users"))
     per_type = ut.groupBy(type_col).agg(F.count("*").alias("__n"))
     a = ut.select(F.col(user_col).alias("__u"),
                   F.col(type_col).alias("antecedent"))
@@ -393,16 +394,17 @@ def event_associations(df: DataFrame, user_col: str = "user_id",
                          F.col("__n").alias("__nb"))
     return (pairs.join(F.broadcast(na), on="antecedent")
             .join(F.broadcast(nb), on="consequent")
+            .crossJoin(F.broadcast(tot))
             .select("antecedent", "consequent",
                     F.col("n_both").cast("long"),
-                    F.expr(f"n_both * 1000000 DIV {n_users}")
+                    F.expr("n_both * 1000000 DIV __users")
                     .alias("support_micro"),
                     F.expr("n_both * 1000000 DIV __na")
                     .alias("confidence_micro"),
-                    F.expr(f"CAST(CAST(n_both AS DECIMAL(38,0))"
-                           f" * {n_users} * 1000000"
-                           f" DIV (CAST(__na AS DECIMAL(38,0)) * __nb)"
-                           f" AS BIGINT)").alias("lift_micro"))
+                    F.expr("CAST(CAST(n_both AS DECIMAL(38,0))"
+                           " * __users * 1000000"
+                           " DIV (CAST(__na AS DECIMAL(38,0)) * __nb)"
+                           " AS BIGINT)").alias("lift_micro"))
             .orderBy("antecedent", "consequent"))
 
 

@@ -14,6 +14,7 @@ All driver-side: manifests are KB-scale Avro; no Spark job involved.
 from __future__ import annotations
 
 import time
+import itertools
 import uuid
 
 from .fileio import basename, io_join, norm_path, resolve_io
@@ -235,6 +236,16 @@ class Transaction:
                     default_spec_id=spec.spec_id,
                     last_partition_id=next_fid)
         commit_uuid = str(uuid.uuid4())
+        # ONE monotone counter for every manifest filename this commit
+        # writes (review r11): the delete-manifest rewrite loop used
+        # len(new_list_entries), which stays 0 until AFTER the loop —
+        # a commit rewriting two delete manifests wrote both to
+        # '<uuid>-m0.avro', the second silently overwriting the first
+        # (surviving deletes vanished; deleted rows resurrected)
+        _m_counter = itertools.count()
+
+        def _next_m_path():
+            return io_join(meta_dir, f"{commit_uuid}-m{next(_m_counter)}.avro")
 
         if operation is None:
             operation = self._classify()
@@ -316,9 +327,7 @@ class Transaction:
                             d_spec = metadata.spec_by_id(mle.partition_spec_id)
                         except KeyError:
                             d_spec = spec
-                        m_path = io_join(
-                            meta_dir,
-                            f"{commit_uuid}-m{len(new_list_entries)}.avro")
+                        m_path = _next_m_path()
                         delete_manifests_kept.append(write_manifest(
                             m_path, keep, d_spec, schema, snapshot_id,
                             metadata.format_version,
@@ -359,7 +368,7 @@ class Transaction:
                     surv_spec = metadata.spec_by_id(spec_id)
                 except KeyError:
                     surv_spec = spec
-                m_path = io_join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+                m_path = _next_m_path()
                 mle = write_manifest(m_path, survivors, surv_spec, schema, snapshot_id,
                                      metadata.format_version, MANIFEST_CONTENT_DATA,
                                      sequence_number=seq)
@@ -369,7 +378,7 @@ class Transaction:
         if self._added_data:
             entries = [ManifestEntry(STATUS_ADDED, f, snapshot_id, seq)
                        for f in self._added_data]
-            m_path = io_join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+            m_path = _next_m_path()
             mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
                                  metadata.format_version, MANIFEST_CONTENT_DATA,
                                  sequence_number=seq)
@@ -379,7 +388,7 @@ class Transaction:
         if self._added_deletes:
             entries = [ManifestEntry(STATUS_ADDED, f, snapshot_id, seq)
                        for f in self._added_deletes]
-            m_path = io_join(meta_dir, f"{commit_uuid}-m{len(new_list_entries)}.avro")
+            m_path = _next_m_path()
             mle = write_manifest(m_path, entries, spec, schema, snapshot_id,
                                  metadata.format_version, MANIFEST_CONTENT_DELETES,
                                  sequence_number=seq)
@@ -443,7 +452,13 @@ class Transaction:
                     or int(s.get("deleted-data-files", 0) or 0) > 0):
                 return True
             if snap.parent_snapshot_id is None:
-                break
+                # walked to the ROOT without meeting the tx's base: a
+                # concurrent rollback/history rewrite moved the branch
+                # off our lineage entirely — the base's files may no
+                # longer exist, so fail CONSERVATIVELY like the
+                # expired-ancestry path instead of vacuously passing
+                # (review r11: the break returned False = "validated")
+                return True
             try:
                 snap = md.snapshot_by_id(snap.parent_snapshot_id)
             except KeyError:
@@ -499,7 +514,7 @@ class Transaction:
             except (TypeError, ValueError):
                 return 0
 
-        add_data = [f for f in self._added_data]
+        add_data = self._added_data
         add_pos = [f for f in self._added_deletes if f.content == CONTENT_POSITION_DELETES]
         add_eq = [f for f in self._added_deletes if f.content == CONTENT_EQUALITY_DELETES]
         added_records = sum(f.record_count for f in add_data)

@@ -377,6 +377,13 @@ def apply_transform_py(transform: str, value: Any, source_type: PrimitiveType) -
             return Decimal(trunc).scaleb(-source_type.scale)
         if source_type.name == "string":
             return str(value)[:param]
+        if source_type.name in ("binary", "fixed"):
+            # spec: truncate over binary keeps the first W bytes — the
+            # Catalyst path (truncate_column) already supported it, but
+            # the Python writer's per-row twin raised, failing every
+            # write to a truncate[W]-over-binary partitioned table
+            # (review r11)
+            return bytes(value)[:param]
         raise ValueError(f"truncate over {source_type}")
     # temporal: the write path derives year/month/day/hour from the UTC
     # instant, so an AWARE filter value must be converted to UTC first

@@ -292,3 +292,104 @@ def test_rest_commit_asserts_every_moved_ref(spark):
     with _p.raises(ValueError, match="namespace"):
         _split_identifier("tbl")
     assert _split_identifier("db.tbl") == ("db", "tbl")
+
+
+def test_rewrite_two_delete_manifests_no_filename_collision(
+        spark, warehouse):
+    """A commit that rewrites TWO delete manifests must write them to
+    distinct files: the filename counter previously froze at 0 inside
+    the rewrite loop, so the second manifest overwrote the first —
+    its surviving equality deletes vanished and deleted rows
+    resurrected (review r11, corruption-class)."""
+    import pyarrow.parquet as pq
+
+    from icelake_spark.delta import (write_equality_delete_files,
+                                     write_position_delete_files)
+    from icelake_spark.fileio import resolve_io
+    from icelake_spark.planning import canon_data_path
+    from icelake_spark.transaction import Transaction
+
+    t = warehouse.create_table("db.twodm", _schema(spark, "id long, v long"))
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(1, 7)],
+                                   "id long, v long").coalesce(1))
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files(spark)
+    fpath = data[0].data_file.file_path
+    io = resolve_io(t.path)
+    ids = pq.read_table(io.open_input(fpath))["id"].to_pylist()
+
+    # two commits, each ONE delete manifest holding a pos + an eq file
+    for pos_id, eq_id in [(1, 2), (3, 4)]:
+        pos_files = write_position_delete_files(
+            t, spark.createDataFrame(
+                [(canon_data_path(fpath), ids.index(pos_id))],
+                "file_path string, pos long"))
+        eq_files = write_equality_delete_files(
+            t, spark.createDataFrame([(eq_id,)], "id long"), ["id"])
+        tx = Transaction(t)
+        tx.add_delete_files(pos_files + eq_files)
+        tx.commit("delete")
+        t = t.refresh()
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [5, 6]
+
+    # compaction removes both POS files -> BOTH delete manifests
+    # rewrite in one commit, each keeping its eq entry
+    from icelake_spark.maintenance import rewrite_position_deletes
+    n = rewrite_position_deletes(t, spark)
+    t = t.refresh()
+    got = sorted(r.id for r in t.to_df(spark).collect())
+    # with the collision, one commit's eq delete vanished -> id 2 or 4
+    # resurrected
+    assert got == [5, 6], (n, got)
+
+
+def test_event_associations_null_users_and_empty(spark):
+    """event_associations excludes NULL users from every denominator
+    (matching COUNT(DISTINCT) in the twin) and returns an empty,
+    correctly-shaped frame on empty input (review r11)."""
+    from icelake_spark.ops.temporal import event_associations
+
+    df = spark.createDataFrame([(None, "a"), (1, "a"), (1, "b")],
+                               "user_id long, event_type string")
+    got = {(r.antecedent, r.consequent): r.support_micro
+           for r in event_associations(df).collect()}
+    # one REAL user -> support 1.0, not 0.5
+    assert got[("a", "b")] == 1_000_000
+    empty = spark.createDataFrame([], "user_id long, event_type string")
+    out = event_associations(empty)
+    assert out.count() == 0 and "lift_micro" in out.columns
+
+
+def test_null_contract_fixes_sampling_and_sketches(spark):
+    """r11 sweep-5 NULL contracts: hash_split keeps NULL keys in a
+    deterministic sentinel bucket (not always-eval), temperature_sample
+    keeps NULL-source rows sampling at their own rate, heavy_hitters
+    excludes NULL items (est >= n holds for every returned row), and
+    theta_distinct surfaces all-hashed-out groups as zero instead of
+    dropping them."""
+    from icelake_spark.ops.sampling import hash_split, temperature_sample
+    from icelake_spark.ops.sketches import heavy_hitters, theta_distinct
+
+    df = spark.createDataFrame(
+        [(None,)] * 10 + [(f"k{i}",) for i in range(10)], "k string")
+    splits = {r.split for r in
+              hash_split(df, "k", train_frac=1.0).collect()}
+    assert splits == {"train"}  # NULLs no longer forced to eval
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "srcA") for i in range(200)],
+        "doc_id long, source string")
+    kept = temperature_sample(docs, budget_frac=0.5).collect()
+    assert any(r.source is None for r in kept), "NULL source never sampled"
+
+    hh = spark.createDataFrame([(None,)] * 50 + [("w",)] * 50, "w string")
+    got = heavy_hitters(hh, "w", threshold_den=2).collect()
+    assert [r.w for r in got] == ["w"]
+    assert got[0].est_count >= got[0].n
+
+    td = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(200)] + [("g2", "only")],
+        "g string, v string")
+    rows = {r.g: r.est_distinct for r in
+            theta_distinct(td, "v", "g", sample_den=16).collect()}
+    assert set(rows) == {"g1", "g2"}  # g2 surfaces even if hashed out
