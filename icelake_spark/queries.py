@@ -5652,6 +5652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    lanes of their own
         "iceberg_merge_multi": iceberg_merge_multi,
         # ---- beyond the 50-row window ------------------------------
+        # -- temperature_sample's code was touched by the r11 fifth
+        #    sweep (null-safe source join — an identity on the
+        #    NULL-free gate data, oracle re-verified) but every
+        #    in-window slot is VERDICT-mandated; it leads the past-cut
+        #    queue and the r12 window
+        "temperature_sample": temperature_sample_q,
         # -- ngram_novelty + embedding_outliers landed past this
         #    round's cut (every in-window slot is VERDICT-mandated:
         #    10 touched/new + 35 r8-stale + 4 registry-tail +
@@ -5737,7 +5743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_sql_ctas": iceberg_sql_ctas,
         "iceberg_sql_select": iceberg_sql_select,
         "iceberg_sql_ddl": iceberg_sql_ddl,
-        "temperature_sample": temperature_sample_q,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_discounted_revenue": q19_discounted_revenue,
         "q18_large_orders": q18_large_orders,
