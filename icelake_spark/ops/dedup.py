@@ -681,11 +681,17 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score,
               .join(clustered, on=id_col))
     # min_by over (-score, id): lexicographic min gives max score,
     # ties to the LOWEST id — and the id stays its native type (a
-    # negated STRING id would cast to null and break determinism)
+    # negated STRING id would cast to null and break determinism).
+    # A NULL score coalesces to +inf negscore so the unscored copy
+    # LOSES to any scored one (review r11: Spark's struct ordering
+    # sorts a NULL first field BEFORE every value, so a NULL-scored
+    # doc unconditionally won its cluster — inverting the retention
+    # policy; the twin's ORDER BY q DESC already put NULLs last)
     winners = scored.groupBy("cluster_id").agg(
         F.min_by(F.col(id_col),
-                 F.struct((-F.col("__score").cast("double"))
-                          .alias("__negscore"),
+                 F.struct(F.coalesce(
+                     (-F.col("__score").cast("double")),
+                     F.lit(float("inf"))).alias("__negscore"),
                           F.col(id_col))).alias(id_col))
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 

@@ -757,6 +757,12 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     # (r10 fanout audit); wide inputs pass through, preserving the
     # no-shuffle scan-speed claim at scale
     df = fanout(df, F.col(id_col))
+    # NULL text is an empty page (the family contract gopher_repetition
+    # / c4_rules / quality_classifier already implement — review r11:
+    # this was the one operator in the family without the coalesce, so
+    # a NULL-text row's `passes` went NULL and vanished from BOTH
+    # where(passes) and where(~passes) under three-valued logic)
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     wc = word_count(F.col(text_col))
     # total word characters = normalized length minus the separators
@@ -807,7 +813,9 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
 
 def gopher_rules_sql(col: str = "text") -> str:
     """DuckDB twin: identical splits and integer cross-multiplied
-    ratio tests."""
+    ratio tests. NULL text coalesces to the empty page (the operator's
+    family contract)."""
+    col = f"COALESCE({col}, '')"
     wc = word_count_sql(col)
     norm = f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"
     tc = f"(CASE WHEN {wc} > 0 THEN length({norm}) - {wc} + 1 ELSE 0 END)"
@@ -1199,7 +1207,16 @@ def bpe_encode_counts(df: DataFrame, merges, text_col: str = "text",
     (id_col, n_words, n_tokens): n_tokens = wrapped symbols minus
     space symbols. Exactly reproducible in SQL (same replace chain).
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # literal '|' is the encoder's INTERNAL symbol separator: a pipe
+    # in the text wrapped to '|||' and inflated the symbol count by
+    # floor(k/2) per k-pipe run (review r11 — 'a || b' counted 5
+    # tokens instead of 4, and the twin shared the flaw so the oracle
+    # couldn't see it). Pipes are stripped BEFORE whitespace
+    # normalization in both engines; n_words derives from the same
+    # cleaned norm so the two columns stay consistent (the twin's
+    # formula).
+    cleaned = F.replace(F.col(text_col), F.lit("|"), F.lit(""))
+    norm = F.regexp_replace(F.trim(F.lower(cleaned)), r"\s+", " ")
     enc = F.regexp_replace(norm, "(.)", r"|$1|")
     for _step, lhs, rhs, _cnt in merges:
         enc = F.replace(enc, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
@@ -1207,9 +1224,11 @@ def bpe_encode_counts(df: DataFrame, merges, text_col: str = "text",
              - F.length(F.replace(enc, F.lit("|"), F.lit("")))) / 2
             ).cast("long")
     spaces = occurrences(norm, " ")
+    n_words = F.when(F.length(norm) == 0, F.lit(0)) \
+        .otherwise(spaces + 1).cast("long")
     return df.select(
         F.col(id_col),
-        word_count(F.col(text_col)).alias("n_words"),
+        n_words.alias("n_words"),
         (syms - spaces).cast("long").alias("n_tokens"))
 
 

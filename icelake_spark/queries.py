@@ -2140,7 +2140,8 @@ clustered AS (
 winners AS (
   SELECT doc_id FROM (
     SELECT doc_id, ROW_NUMBER() OVER (
-      PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+      PARTITION BY cluster_id ORDER BY q DESC NULLS LAST, doc_id ASC)
+      AS rn
     FROM clustered)
   WHERE rn = 1)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -2990,7 +2991,8 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
     ctes = train[len("WITH "):train.rindex("\nSELECT * FROM (")]
     parts = [ctes, r"""d0 AS (
   SELECT doc_id,
-         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+         regexp_replace(trim(lower(replace(text, '|', ''))),
+                        '\s+', ' ', 'g') AS norm
   FROM documents)""", r"""g0 AS (
   SELECT doc_id, norm,
          regexp_replace(norm, '(.)', '|\1|', 'g') AS enc
