@@ -167,7 +167,20 @@ def build_commit_updates(base: TableMetadata | None,
                      or b_refs[name].snapshot_id != r.snapshot_id
                      or b_refs[name].type != r.type)}
         moved |= {name for name in b_refs if name not in new.refs}
-        moved.add("main")  # snapshot lineage always anchors at main
+        # assert 'main' ONLY when this commit moves main or a newly
+        # added snapshot's parent is main's base head (a branch forked
+        # off main in this commit — its lineage genuinely depends on
+        # where main stood). Unconditionally asserting main made every
+        # pure branch commit 409 on unrelated main movement — exactly
+        # the false conflict the comment above promises to avoid
+        # (ADVICE r11; retryable, so liveness not corruption).
+        main_head = (b_refs["main"].snapshot_id if "main" in b_refs
+                     else base.current_snapshot_id)
+        if main_head is not None and any(
+                s.snapshot_id not in b_snap_ids
+                and s.parent_snapshot_id == main_head
+                for s in new.snapshots):
+            moved.add("main")
         for name in sorted(moved):
             old_ref = b_refs.get(name)
             requirements.append(assert_ref_requirement(

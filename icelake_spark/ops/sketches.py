@@ -53,7 +53,13 @@ def theta_distinct(df: DataFrame, col: str, group_col: str,
     a per-group monitor reading the output must see "~0 distinct",
     never "no data"). Deterministic: the same values always survive,
     so the estimate is reproducible and the oracle can recompute it
-    exactly. Standard error ~ 1/sqrt(kept)."""
+    exactly. Standard error ~ 1/sqrt(kept).
+
+    The restore join is NULL-SAFE (eqNullSafe / IS NOT DISTINCT FROM,
+    the module's null contract — hll_distinct set it): a null-strict
+    equi-join would report kept=0 for a NULL group whose values
+    actually survived the threshold AND silently drop its real kept
+    row (ADVICE r11)."""
     thr = HASH_SPACE // sample_den
     kept = (df.select(F.col(group_col),
                       portable_hash60(F.col(col)).alias("__h"))
@@ -61,8 +67,11 @@ def theta_distinct(df: DataFrame, col: str, group_col: str,
             .groupBy(group_col)
             .agg(F.countDistinct("__h").alias("kept")))
     groups = df.select(group_col).distinct()
-    return (groups.join(kept, on=group_col, how="left")
-            .select(group_col,
+    return (groups.alias("__g")
+            .join(kept.alias("__k"),
+                  F.col(f"__g.{group_col}")
+                  .eqNullSafe(F.col(f"__k.{group_col}")), "left")
+            .select(F.col(f"__g.{group_col}").alias(group_col),
                     F.coalesce("kept", F.lit(0)).cast("long").alias("kept"),
                     (F.coalesce("kept", F.lit(0)) * sample_den)
                     .cast("long").alias("est_distinct")))
@@ -81,7 +90,7 @@ WITH kept AS (
 SELECT g.{group_col}, CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept,
        CAST(COALESCE(k.kept, 0) * {sample_den} AS BIGINT) AS est_distinct
 FROM (SELECT DISTINCT {group_col} FROM {table}) g
-LEFT JOIN kept k USING ({group_col})
+LEFT JOIN kept k ON g.{group_col} IS NOT DISTINCT FROM k.{group_col}
 ORDER BY g.{group_col}
 """
 
@@ -625,22 +634,30 @@ def histogram_quantiles(df: DataFrame, value_col: str, group_col: str,
     incrementally and re-derive quantiles at any point — what the
     exact rank-selection operators fundamentally cannot do.
 
-    Returns (group_col, q_micro, est, n) ordered by (group, q_micro).
+    Returns (group_col, q_micro, est, n) ordered by (group, q_micro)
+    — one row per (group, q) for EVERY group present in the input: a
+    group whose values are ALL NULL surfaces as (est NULL, n 0)
+    instead of vanishing (ADVICE r11 — the same vanishing-groups
+    defect class theta_distinct/quantile_sketch already guard; a
+    per-group monitor must see "no data points", never "no group").
 
     Scale shape: one map-side-combined bin count (state = value range
-    / bin_width per group), a per-group window over BIN rows only
-    (bounded by bin count, never row count), and a broadcast per-group
-    total join. Engine-exact: bin = floor(v / w) is one IEEE op; the
-    edge est = bin * w is one IEEE product; ranks are integers."""
+    / bin_width per group), per-group windows over BIN rows only
+    (bounded by bin count, never row count — the total is a window
+    too, NULL-group-safe where a join key is not), and a final
+    null-safe restore join against the distinct-groups × quantiles
+    frame (groups-sized, not row-sized). Engine-exact: bin =
+    floor(v / w) is one IEEE op; the edge est = bin * w is one IEEE
+    product; ranks are integers."""
     qs = qs if qs is not None else [0.5, 0.95, 0.99]
     from pyspark.sql import Window
 
     bins = histogram_bins(df, value_col, group_col, bin_width)
-    totals = bins.groupBy(group_col).agg(F.sum("cnt").alias("__n"))
     w = (Window.partitionBy(group_col).orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (bins.withColumn("__cum", F.sum("cnt").over(w))
-           .join(F.broadcast(totals), on=group_col))
+           .withColumn("__n", F.sum("cnt")
+                       .over(Window.partitionBy(group_col))))
     outs = []
     for q in qs:
         q_micro = int(round(q * 1_000_000))
@@ -658,7 +675,22 @@ def histogram_quantiles(df: DataFrame, value_col: str, group_col: str,
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy(group_col, "q_micro")
+    quants = F.array(*[F.lit(int(round(q * 1_000_000))) for q in qs])
+    gq = (df.select(group_col).distinct()
+          .select(F.col(group_col), F.explode(quants).alias("__q"))
+          .select(F.col(group_col),
+                  F.col("__q").cast("long").alias("q_micro")))
+    return (gq.alias("__g")
+            .join(out.alias("__h"),
+                  F.col(f"__g.{group_col}")
+                  .eqNullSafe(F.col(f"__h.{group_col}"))
+                  & (F.col("__g.q_micro") == F.col("__h.q_micro")),
+                  "left")
+            .select(F.col(f"__g.{group_col}").alias(group_col),
+                    F.col("__g.q_micro").alias("q_micro"),
+                    F.col("est"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+            .orderBy(F.col(group_col).asc_nulls_last(), "q_micro"))
 
 
 def histogram_quantiles_sql(value_col: str, group_col: str,
@@ -666,7 +698,9 @@ def histogram_quantiles_sql(value_col: str, group_col: str,
                             qs: list[float] | None = None,
                             table: str = "orders") -> str:
     """DuckDB twin of histogram_quantiles — same floor binning,
-    integer ceil ranks, first-bin-at-or-past-target selection."""
+    integer ceil ranks, first-bin-at-or-past-target selection, and
+    the same null-safe all-groups restore (ADVICE r11: a group whose
+    values are all NULL emits (est NULL, n 0), never vanishes)."""
     qs = qs if qs is not None else [0.5, 0.95, 0.99]
     q_rows = ", ".join(f"({int(round(q * 1_000_000))})" for q in qs)
     return f"""
@@ -686,8 +720,14 @@ hit AS (
   SELECT g, q_micro, MIN(bin) AS bin, n
   FROM cum CROSS JOIN quants
   WHERE c >= (n * q_micro + 999999) // 1000000
-  GROUP BY g, q_micro, n)
-SELECT g AS {group_col}, CAST(q_micro AS BIGINT) AS q_micro,
-       bin * {float(bin_width)} AS est, CAST(n AS BIGINT) AS n
-FROM hit ORDER BY {group_col}, q_micro
+  GROUP BY g, q_micro, n),
+gq AS (
+  SELECT g, q_micro
+  FROM (SELECT DISTINCT {group_col} AS g FROM {table}) CROSS JOIN quants)
+SELECT gq.g AS {group_col}, CAST(gq.q_micro AS BIGINT) AS q_micro,
+       h.bin * {float(bin_width)} AS est,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+FROM gq LEFT JOIN hit h
+  ON gq.g IS NOT DISTINCT FROM h.g AND gq.q_micro = h.q_micro
+ORDER BY gq.g NULLS LAST, gq.q_micro
 """

@@ -262,29 +262,53 @@ def test_rest_commit_asserts_every_moved_ref(spark):
     """build_commit_updates asserts EVERY ref the diff moves at its
     base position, not only main: two concurrent branch writers would
     otherwise both pass the server's checks and the first commit
-    silently vanish from the branch (review r11)."""
+    silently vanish from the branch (review r11). Conversely a PURE
+    branch commit must NOT assert main — that 409s on any unrelated
+    main movement, the exact false conflict the code comments promise
+    to avoid (ADVICE r11) — unless the commit's new snapshot forks
+    off main's head, where the lineage genuinely depends on it."""
     from dataclasses import replace as dc_replace
 
     from icelake_spark.catalog.rest import (RestCatalog,  # noqa: F401
                                             build_commit_updates)
-    from icelake_spark.types.metadata import (SnapshotReference,
+    from icelake_spark.types.metadata import (Snapshot, SnapshotReference,
                                               TableMetadata)
 
     base = TableMetadata.new("file:///tmp/t", __import__(
         "icelake_spark").types.Schema.from_spark(
         spark.createDataFrame([], "id long").schema))
     snap_a, snap_b = 111, 222
+    base = base.with_snapshot(Snapshot(snap_a, 500, "/ml1.avro",
+                                       {"operation": "append"},
+                                       sequence_number=1))
     base = dc_replace(base, refs={
         "main": SnapshotReference(snap_a, "branch"),
         "dev": SnapshotReference(snap_a, "branch")})
-    new = dc_replace(base, refs={
-        "main": SnapshotReference(snap_a, "branch"),
-        "dev": SnapshotReference(snap_b, "branch")})
+    # pure branch move continuing dev's own lineage (parent = dev head)
+    new = base.with_branch_snapshot(
+        Snapshot(snap_b, 1000, "/ml2.avro", {"operation": "append"},
+                 parent_snapshot_id=snap_a, sequence_number=2), "dev")
     _updates, reqs = build_commit_updates(base, new)
     by_ref = {r["ref"]: r["snapshot-id"] for r in reqs
               if r.get("type") == "assert-ref-snapshot-id"}
     assert by_ref.get("dev") == snap_a, reqs
-    assert "main" in by_ref
+    # ... with parent == main's head too (dev == main here), the fork
+    # anchors at main so main IS asserted at its base position
+    assert by_ref.get("main") == snap_a, reqs
+
+    # now main and dev diverge; continuing dev does NOT touch main
+    base2 = dc_replace(new, refs={
+        "main": SnapshotReference(snap_a, "branch"),
+        "dev": SnapshotReference(snap_b, "branch")},
+        current_snapshot_id=snap_a)
+    new2 = base2.with_branch_snapshot(
+        Snapshot(333, 2000, "/ml3.avro", {"operation": "append"},
+                 parent_snapshot_id=snap_b, sequence_number=3), "dev")
+    _u2, reqs2 = build_commit_updates(base2, new2)
+    by_ref2 = {r["ref"]: r["snapshot-id"] for r in reqs2
+               if r.get("type") == "assert-ref-snapshot-id"}
+    assert by_ref2.get("dev") == snap_b, reqs2
+    assert "main" not in by_ref2, reqs2
     # single-part identifiers fail loudly client-side
     import pytest as _p
 

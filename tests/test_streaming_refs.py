@@ -443,24 +443,27 @@ def test_build_commit_updates_diffs_metadata():
                                        {"operation": "append"},
                                        sequence_number=2))
 
-    # property-only commit
+    # property-only commit: no ref moves, no snapshot lineage — only
+    # the uuid requirement (asserting main here would 409 against any
+    # unrelated concurrent append; ADVICE r11)
     new = dc_replace(base, properties={**base.properties, "k": "v"})
     ups, reqs = rest.build_commit_updates(base, new)
     actions = [u["action"] for u in ups]
     assert actions == ["set-properties"]
-    # requirement asserts the base's CURRENT head (7), not max(ids)=11
-    ref_req = next(r for r in reqs if r["type"] == "assert-ref-snapshot-id")
-    assert ref_req["snapshot-id"] == 7
+    assert [r["type"] for r in reqs] == ["assert-table-uuid"], reqs
 
-    # new snapshot commit
+    # new snapshot commit: moves main, which must be asserted at the
+    # base's CURRENT head (7), not max(ids)=11 (review r3)
     new2 = base.with_snapshot(Snapshot(3, 7, "/ml3.avro",
                                        {"operation": "append"},
                                        sequence_number=3))
-    ups2, _ = rest.build_commit_updates(base, new2)
+    ups2, reqs2 = rest.build_commit_updates(base, new2)
     a2 = [u["action"] for u in ups2]
     assert "add-snapshot" in a2 and "set-snapshot-ref" in a2
     assert all(u["snapshot"]["snapshot-id"] == 3 for u in ups2
                if u["action"] == "add-snapshot")
+    ref_req = next(r for r in reqs2 if r["type"] == "assert-ref-snapshot-id")
+    assert ref_req["ref"] == "main" and ref_req["snapshot-id"] == 7, reqs2
 
     # rollback: ref moves, no snapshot added
     rolled = dc_replace(base, current_snapshot_id=11, refs={
