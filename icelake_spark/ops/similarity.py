@@ -994,10 +994,18 @@ def hard_negatives(df: DataFrame, n_anchors: int = 8, n_neg: int = 5,
 
     Scale shape: the n_anchors anchor rows join BROADCAST against one
     corpus scan (n_anchors·corpus similarity rows, each a narrow
-    in-row zip_with — no corpus self-join), and the per-anchor top-k
-    windows run over per-anchor partitions. At deployment scale the
-    candidate set per anchor is first restricted by the ANN ladder
-    (ivf/ivf_pq route) instead of the full scan; the ranking tail is
+    in-row zip_with — no corpus self-join), and the top-k ranking is
+    the repo's salted TWO-STAGE top-N (the source_cap/inverted_index
+    discipline, VERDICT r11): stage one ranks within (anchor_id,
+    __salt) — n_salts parallel tasks per anchor, each keeping at most
+    k rows — and only then does a per-anchor window run, over at most
+    n_salts·k survivors. A single-stage window partitioned by
+    anchor_id alone funnels corpus/n_anchors rows into ONE task's
+    sort; the global top-k is always a subset of the union of salted
+    top-ks, so the two-stage answer is EXACTLY the single-window
+    answer (pytest-pinned on a 90%-one-anchor corpus). At deployment
+    scale the candidate set per anchor is additionally restricted by
+    the ANN ladder (ivf/ivf_pq route) before ranking; the tail is
     identical."""
     v = F.col(vec_col).cast("array<double>")
     base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
@@ -1011,23 +1019,30 @@ def hard_negatives(df: DataFrame, n_anchors: int = 8, n_neg: int = 5,
                        F.col("__e").alias("__ae")))
     cos = (dot(F.col("__ae"), F.col("__e"))
            / (norm(F.col("__ae")) * norm(F.col("__e")))).cast("double")
+    n_salts = 16
     pairs = (base.join(F.broadcast(anchors),
                        F.col(id_col) != F.col("anchor_id"))
-             .withColumn("cos", F.round(cos, 6)))
+             .withColumn("cos", F.round(cos, 6))
+             .withColumn("__salt",
+                         F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                                F.lit(n_salts))))
+    w1 = Window.partitionBy("anchor_id", "__salt").orderBy(
+        F.desc("cos"), F.col(id_col))
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"),
                                                 F.col(id_col))
-    pos = (pairs.where(F.col("__lbl") == F.col("__albl"))
-           .withColumn("__rn", F.row_number().over(w))
-           .where(F.col("__rn") <= 1)
-           .select("anchor_id", F.lit("pos").alias("role"),
-                   F.col("__rn").cast("long").alias("rank"),
-                   F.col(id_col), "cos"))
-    neg = (pairs.where(F.col("__lbl") != F.col("__albl"))
-           .withColumn("__rn", F.row_number().over(w))
-           .where(F.col("__rn") <= n_neg)
-           .select("anchor_id", F.lit("neg").alias("role"),
-                   F.col("__rn").cast("long").alias("rank"),
-                   F.col(id_col), "cos"))
+
+    def _topk(cand, k: int, role: str):
+        return (cand.withColumn("__r1", F.row_number().over(w1))
+                .where(F.col("__r1") <= k)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k)
+                .select("anchor_id", F.lit(role).alias("role"),
+                        F.col("__rn").cast("long").alias("rank"),
+                        F.col(id_col), "cos"))
+
+    pos = _topk(pairs.where(F.col("__lbl") == F.col("__albl")), 1, "pos")
+    neg = _topk(pairs.where(F.col("__lbl") != F.col("__albl")),
+                n_neg, "neg")
     return pos.unionByName(neg).orderBy("anchor_id", "role", "rank")
 
 

@@ -2555,6 +2555,59 @@ def test_hard_negatives_planted_labels(spark):
             assert negs[0].vec_id == 99, negs
 
 
+def test_hard_negatives_salted_twostage_equals_single_window(spark):
+    """The salted two-stage top-N (VERDICT r11 de-funnel) is EXACTLY
+    the single-window answer on a 90%-one-label corpus — the skew
+    shape where one anchor's pos candidates are nearly the whole
+    corpus and a single per-anchor window would sort it in one task.
+    The reference here is the plain one-window ranking computed
+    inline (the pre-r12 operator body)."""
+    from pyspark.sql import Window
+
+    from icelake_spark.ops.similarity import (dot, fanout, hard_negatives,
+                                              norm, valid_vectors)
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(0, 1.0, 6).tolist(),
+             0 if i % 10 != 0 else 1)  # 90% label 0
+            for i in range(120)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>, "
+                               "label int")
+    got = [tuple(r) for r in hard_negatives(df, n_anchors=5,
+                                            n_neg=4).collect()]
+
+    # single-window reference (ranking semantics only, no salting)
+    v = F.col("embedding").cast("array<double>")
+    base = (fanout(valid_vectors(df, "embedding"), F.col("vec_id"))
+            .select("vec_id", F.col("label").alias("__lbl"),
+                    v.alias("__e")))
+    order = F.md5(F.concat_ws(":", F.col("vec_id").cast("string"),
+                              F.lit(42)))
+    anchors = (base.orderBy(order).limit(5)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("__lbl").alias("__albl"),
+                       F.col("__e").alias("__ae")))
+    cos = (dot(F.col("__ae"), F.col("__e"))
+           / (norm(F.col("__ae")) * norm(F.col("__e")))).cast("double")
+    pairs = (base.join(F.broadcast(anchors),
+                       F.col("vec_id") != F.col("anchor_id"))
+             .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"),
+                                                F.col("vec_id"))
+    want = []
+    for role, k, cond in (("pos", 1, F.col("__lbl") == F.col("__albl")),
+                          ("neg", 4, F.col("__lbl") != F.col("__albl"))):
+        want += [tuple(r) for r in
+                 (pairs.where(cond)
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") <= k)
+                  .select("anchor_id", F.lit(role).alias("role"),
+                          F.col("__rn").cast("long").alias("rank"),
+                          F.col("vec_id"), "cos")).collect()]
+    assert sorted(got) == sorted(want)
+
+
 def test_ngram_novelty_planted_overlap(spark):
     """ngram_novelty on planted structure: a doc copied verbatim from
     the reference scores 0 novelty, a doc sharing nothing scores 1e6,

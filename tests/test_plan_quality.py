@@ -489,7 +489,17 @@ def test_histogram_and_hard_negatives_plan_properties(spark):
     assert "EvalPython" not in p2
     assert "BroadcastNestedLoopJoin" in p2 or "BroadcastHashJoin" in p2
     assert "SortMergeJoin" not in p2
+    # the salted two-stage top-N (VERDICT r11): stage one MUST rank
+    # within (anchor_id, __salt) — a window partitioned by anchor_id
+    # alone funnels corpus/n_anchors rows into one task — and the
+    # final per-anchor window exists too (over <= n_salts*k survivors)
     assert "windowspecdefinition(anchor_id" in p2
+    specs = [seg.split(" DESC", 1)[0]
+             for seg in p2.split("windowspecdefinition(anchor_id#")[1:]]
+    assert any("__salt" in s for s in specs), \
+        "no (anchor_id, __salt)-partitioned stage-one window"
+    assert any("__salt" not in s for s in specs), \
+        "final per-anchor window missing"
 
 
 def test_novelty_and_outliers_plan_properties(spark):
