@@ -109,6 +109,9 @@ EXTENDED = [
     "hard_negatives",
     "ngram_novelty",
     "embedding_outliers",
+    # round-12: IVFADC + exact re-rank (Jegou §V two-stage) — the
+    # deployment GEMM lane with a 60-id shortlist re-scored exactly
+    "ivf_pq_rerank",
 ]
 
 
@@ -140,12 +143,21 @@ def _bench_variants():
                            m=8, k_sub=16, coarse_iters=1, train_iters=1,
                            portable=False)
 
+    def ivfpq_rerank_gemm(spark, sf_dir):
+        from icelake_spark.ops.similarity import ivf_pq_topk
+        emb = load(spark, sf_dir, "embeddings")
+        query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+        return ivf_pq_topk(emb, query, k=20, n_centroids=8, nprobe=3,
+                           m=8, k_sub=16, coarse_iters=1, train_iters=1,
+                           rerank=60, portable=False)
+
     def cov_gemm(spark, sf_dir):
         from icelake_spark.ops.similarity import embedding_covariance
         emb = load(spark, sf_dir, "embeddings")
         return embedding_covariance(emb, dim=64, portable=False)
 
     return {"pq_adc_topk": pq_gemm, "ivf_pq_topk": ivfpq_gemm,
+            "ivf_pq_rerank": ivfpq_rerank_gemm,
             "embedding_covariance": cov_gemm}
 
 

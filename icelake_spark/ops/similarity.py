@@ -692,6 +692,7 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 seed: int = 42, coarse_iters: int = 1,
                 train_iters: int = 1,
+                rerank: int | None = None,
                 portable: bool = False) -> DataFrame:
     """IVFADC — the composed top rung of the ANN ladder and the shape
     actual 100 TB vector-search deployments run (Jegou, Douze & Schmid
@@ -704,6 +705,17 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
 
     Returns top-k (id_col, adc) ascending approximate squared L2
     (6dp, id tiebreak), computed over ONLY the probed cells.
+
+    `rerank=k'` (k' >= k) adds the standard two-stage search (Jegou
+    2011 §V): the ADC ranking produces a SHORTLIST of size k' instead
+    of k, the raw vectors of only those k' ids are fetched back (one
+    broadcast join of a k'-row frame against the corpus scan — the
+    deployment analogue is a k'-bounded point-fetch from the vector
+    store), and the final answer is the top-k by EXACT sequential-sum
+    squared L2 over the shortlist, returned as (id_col, dist). ADC
+    quantization error then only matters at the shortlist BOUNDARY,
+    so a small k'/k multiple recovers most of the recall gap to exact
+    search at a constant extra cost (planted-fixture pytest-pinned).
 
     Scale shape: coarse training is train_kmeans (bounded aggregates);
     the residual pass is one in-row zip_with against the broadcast
@@ -779,8 +791,21 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
         term = F.element_at(F.element_at(lut2d, pos.cast("int")),
                             code_cols[j] + 1)
         adc = term if adc is None else adc + term  # left-to-right
-    return (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
-            .orderBy(F.col("adc"), F.col(id_col)).limit(k))
+    ranked = (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+              .orderBy(F.col("adc"), F.col(id_col)))
+    if rerank is None:
+        return ranked.limit(k)
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    shortlist = ranked.limit(rerank).select(id_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    ev = F.col(vec_col).cast("array<double>")
+    l2 = F.aggregate(F.zip_with(ev, qarr, lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return (valid_vectors(df, vec_col)
+            .join(F.broadcast(shortlist), on=id_col)
+            .select(F.col(id_col), F.round(l2, 6).alias("dist"))
+            .orderBy(F.col("dist"), F.col(id_col)).limit(k))
 
 
 def cluster_balanced_sample(df: DataFrame, cap: int,

@@ -2729,6 +2729,40 @@ FROM t0 {joins}
 ORDER BY adc, t0.vec_id LIMIT {k}""")
 
 
+def ivf_pq_rerank_q(spark, sf_dir):
+    """IVFADC + exact re-rank (Jegou et al. 2011 §V;
+    ops/similarity.py ivf_pq_topk rerank=): the ADC pass produces a
+    60-id shortlist, raw vectors for ONLY those ids come back via one
+    broadcast k'-bounded join, and the answer is the exact
+    sequential-sum squared-L2 top-20 over the shortlist — the
+    standard two-stage search every deployed IVFADC index runs."""
+    from .ops.similarity import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return ivf_pq_topk(emb, query, k=20, n_centroids=8, nprobe=3,
+                       m=8, k_sub=16, coarse_iters=1, train_iters=1,
+                       rerank=60, portable=True)
+
+
+def _ivf_pq_rerank_sql(k: int = 20, kp: int = 60,
+                       dim: int = 64) -> str:
+    """DuckDB twin of ivf_pq_rerank_q: the full _ivf_pq_sql pipeline
+    cut at k' as the shortlist CTE, then the exact left-to-right
+    list_sum L2 on the joined raw embeddings, top-k."""
+    q = ("[" + ", ".join("1.0" if i % 2 == 0 else "-0.5"
+                         for i in range(dim)) + "]")
+    return f"""
+WITH sl AS ({_ivf_pq_sql(k=kp)})
+SELECT e.vec_id,
+       ROUND(list_sum([(CAST(e.embedding AS DOUBLE[])[i] - ({q})[i])
+                       * (CAST(e.embedding AS DOUBLE[])[i] - ({q})[i])
+                       for i in generate_series(1, {dim})]), 6) AS dist
+FROM embeddings e JOIN sl USING (vec_id)
+ORDER BY dist, e.vec_id LIMIT {k}
+"""
+
+
 def cluster_balanced_sample_q(spark, sf_dir):
     """Diversity sampling (ops/similarity.py cluster_balanced_sample):
     one-iteration portable k-means buckets the embeddings, each
@@ -2803,9 +2837,16 @@ def ann_recall_q(spark, sf_dir):
     ivfpq = ivf_pq_topk(emb, query, k=k, n_centroids=8, nprobe=3,
                         m=8, k_sub=16, coarse_iters=1, train_iters=1,
                         portable=True)
+    # the §V two-stage: exact re-rank of the 60-id ADC shortlist —
+    # recall is bounded below by plain ivf_pq's (rerank only reorders
+    # a superset of its answer by the truth's own metric)
+    ivfpq_rr = ivf_pq_topk(emb, query, k=k, n_centroids=8, nprobe=3,
+                           m=8, k_sub=16, coarse_iters=1,
+                           train_iters=1, rerank=60, portable=True)
     parts = []
     for name, truth, approx in [("ivf_kmeans", bc, ivf),
                                 ("ivf_pq", bl2, ivfpq),
+                                ("ivf_pq_rerank", bl2, ivfpq_rr),
                                 ("pq_adc", bl2, pq)]:
         hits = truth.select("vec_id").join(approx.select("vec_id"),
                                            on="vec_id")
@@ -2833,7 +2874,8 @@ bl2 AS (
   FROM embeddings WHERE {_VALID_VEC_WHERE}
   ORDER BY d, vec_id LIMIT {k}),
 pq AS ({_pq_adc_sql(k=k)}),
-ivfpq AS ({_ivf_pq_sql(k=k)})
+ivfpq AS ({_ivf_pq_sql(k=k)}),
+ivfpqrr AS ({_ivf_pq_rerank_sql(k=k, kp=60)})
 SELECT 'ivf_kmeans' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
        CAST(COUNT(*) * 1000000 // {k} AS BIGINT) AS recall_micro
 FROM bc JOIN ivf USING (vec_id)
@@ -2841,6 +2883,10 @@ UNION ALL
 SELECT 'ivf_pq', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) * 1000000 // {k} AS BIGINT)
 FROM bl2 JOIN ivfpq USING (vec_id)
+UNION ALL
+SELECT 'ivf_pq_rerank', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) * 1000000 // {k} AS BIGINT)
+FROM bl2 JOIN ivfpqrr USING (vec_id)
 UNION ALL
 SELECT 'pq_adc', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) * 1000000 // {k} AS BIGINT)
@@ -5600,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    IVFADC; event_paths, heavy_hitters, embedding_covariance,
         #    split_by_group are the r11 operator additions)
         "ivf_pq_topk": ivf_pq_topk_q,
+        "ivf_pq_rerank": ivf_pq_rerank_q,
         "event_paths": event_paths_q,
         "histogram_quantiles": histogram_quantiles_q,
         "hard_negatives": hard_negatives_q,
@@ -5807,6 +5854,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _temporal.events_retention_sql(4),
         "pq_adc_topk": _pq_adc_sql(),
         "ivf_pq_topk": _ivf_pq_sql(),
+        "ivf_pq_rerank": _ivf_pq_rerank_sql(),
         "event_paths": _temporal.event_paths_sql(25),
         "histogram_quantiles": _sketches_hist_sql(),
         "hard_negatives": _hard_negatives_sql(),

@@ -440,6 +440,14 @@ def test_ivf_pq_topk_plan_properties(spark):
     assert "TakeOrdered" in p
     assert "SortMergeJoin" not in p and "Join" not in p
     assert "Exchange" not in p  # cell filter + ADC ride the scan
+    # §V re-rank: the k'-row shortlist joins BROADCAST against the
+    # corpus scan (a k'-bounded point-fetch, never a shuffle join),
+    # and both stages' top-k/top-k' are TakeOrdered
+    pr = _plan(Q.ivf_pq_rerank_q(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in pr
+    assert "BroadcastHashJoin" in pr
+    assert "SortMergeJoin" not in pr
+    assert "TakeOrdered" in pr
 
 
 def test_r11_new_operators_plan_properties(spark):
