@@ -2459,6 +2459,59 @@ def test_heavy_hitters_exact_with_sketch_upper_bound(spark):
     assert got["warm"].freq_micro == 100_000
 
 
+def test_heavy_hitters_sketch_gate_rewrite_is_lossless(spark):
+    """The documented billion-item-universe rewrite (heavy_hitters
+    docstring; VERDICT r11 #5), actually composed: broadcast the d*w
+    count-min cells, gate every ROW map-side on its item's sketch
+    estimate BEFORE any exact shuffle, then run the exact count +
+    threshold over gate survivors only. Because est >= n always
+    (Cormode-Muthukrishnan), no true heavy item can fail the gate —
+    on a planted heavy/tail corpus (tiny 2x16 sketch, so tail
+    collisions DO inflate estimates) the composition's output is
+    row-identical to the direct operator's."""
+    from icelake_spark.ops.sketches import (_lane_bucket, _lane_hashes,
+                                            countmin_table, heavy_hitters)
+
+    depth, width, den = 2, 16, 8
+    rows = [("hot",)] * 30 + [("warm",)] * 12 + \
+        [(f"tail{i}",) for i in range(54)]  # total=96, heavy: n >= 12
+    df = spark.createDataFrame(rows, "w string")
+
+    sketch = countmin_table(df, "w", depth=depth, width=width)
+    total = df.where(F.col("w").isNotNull()).count()
+    # map-side gate: each row computes its d cells IN-ROW and joins
+    # the broadcast sketch; min(cnt) is the item's estimate
+    h0, h1 = _lane_hashes(F.col("w"))
+    est = F.array_min(F.array(*[
+        F.coalesce(F.element_at(
+            F.col("__cells"),
+            (F.lit(i) * width + _lane_bucket(h0, h1, i, width) + 1)
+            .cast("int")), F.lit(0))
+        for i in range(depth)]))
+    # flatten the sketch to one broadcastable depth*width literal-free
+    # array column: cell (lane, bucket) at index lane*width+bucket+1
+    flat = [0] * (depth * width)
+    for r in sketch.collect():
+        flat[r.lane * width + r.bucket] = r.cnt
+    cells = F.array(*[F.lit(int(c)) for c in flat])
+    gated = (df.where(F.col("w").isNotNull())
+             .withColumn("__cells", cells)
+             .where(est * den >= F.lit(total))   # map-side, pre-shuffle
+             .drop("__cells"))
+    exact = (gated.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+             .where(F.col("n") * den >= F.lit(total)))
+    composed = {(r.w, r.n, r.n * 1_000_000 // total)
+                for r in exact.collect()}
+    direct = {(r.w, r.n, r.freq_micro) for r in
+              heavy_hitters(df, "w", threshold_den=den, depth=depth,
+                            width=width)
+              .select("w", "n", "freq_micro").collect()}
+    assert composed == direct, (composed, direct)
+    # and the gate is genuinely selective: most of the tail fell
+    # before the exact shuffle ever saw it
+    assert gated.count() < len(rows)
+
+
 def test_embedding_covariance_lanes_and_contracts(spark):
     """embedding_covariance: exact population covariance on planted
     2-dim structure (checked against numpy), deployment (Gram GEMM)

@@ -531,3 +531,135 @@ def test_streaming_bloom_bits_union_equals_batch_filter(
     got = {r.pid: r.maybe_dup for r in
            bloom_maybe_contains(probes, "k", merged).collect()}
     assert got[1] is True and got[2] is True  # no false negatives ever
+
+
+def test_streaming_event_paths_pair_counts_sum_equals_batch(
+        spark, warehouse, tmp_path):
+    """event_paths under foreachBatch (VERDICT r11 #5): the mergeable
+    state is the SUM-mergeable (prev_type, event_type) pair-count
+    table PLUS the per-user LAST event carried between batches —
+    each arriving event resolves its prev against that carry (the
+    '__start__' synthetic fires only on a user's true first event,
+    never at a batch boundary), and pair counts simply SUM. Valid
+    under the watermarked ingest contract: batches deliver each
+    user's events in event-time order (here a time-split), the same
+    ordering assumption every lag-window stream makes. Re-deriving
+    the top-k over the merged counts equals the batch answer over
+    the full log, including a user whose journey SPANS the split."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.temporal import event_paths
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long")
+
+    # user 1's journey spans the split at ts=10: the view(9)->cart(11)
+    # transition exists ONLY if batch 2 resolves prev from the carry
+    batch1 = [(1, "view", 2), (1, "view", 9),
+              (2, "view", 1), (2, "cart", 3), (2, "buy", 5),
+              (3, "view", 4), (3, "view", 8)]
+    batch2 = [(1, "cart", 11), (1, "buy", 12),
+              (3, "cart", 13), (4, "view", 14)]
+
+    raw = warehouse.create_table("db.ep_raw", S.from_spark(mk(batch1).schema))
+    raw.append(mk(batch1))
+    raw = raw.refresh()
+
+    counts: dict = {}
+    last: dict = {}
+
+    def merge(batch_df, _bid):
+        rows = sorted(((r.user_id, r.ts, r.event_type)
+                       for r in batch_df.collect()))
+        for u, _ts, ty in rows:  # per-user event-time walk
+            prev = last.get(u, "__start__")
+            counts[(prev, ty)] = counts.get((prev, ty), 0) + 1
+            last[u] = ty
+
+    ck = str(tmp_path / "epck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(batch2))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    total = sum(counts.values())
+    merged = sorted(((prev, ty, n, n * 1_000_000 // total)
+                     for (prev, ty), n in counts.items()),
+                    key=lambda t: (-t[2], t[0], t[1]))[:20]
+    full = [tuple(r) for r in
+            event_paths(mk(batch1 + batch2), k=20).collect()]
+    assert merged == full
+    # the planted cross-batch transition is present with the right n
+    assert ("view", "cart") in counts and counts[("view", "cart")] == 3
+
+
+def test_streaming_heavy_hitters_summed_state_equals_batch(
+        spark, warehouse, tmp_path):
+    """heavy_hitters under foreachBatch (VERDICT r11 #5): ALL three
+    state components SUM-merge — exact per-item counts, the corpus
+    total, and the count-min cells (already split-drain proven for
+    countmin_table). Re-deriving (item, n, est_count, freq_micro)
+    from the merged state equals the batch operator over the full
+    corpus, including an item that is heavy ONLY after both batches
+    combine."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.sketches import (countmin_estimate,
+                                            countmin_table, heavy_hitters)
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+    depth, width, den = 4, 64, 5  # heavy = freq >= 1/5
+
+    def mk(rows):
+        return spark.createDataFrame([(i, w) for i, w in enumerate(rows)],
+                                     "id long, w string")
+
+    # hot: 12/40 in batch1, 4/40 in batch2 -> 16/80 heavy overall;
+    # late: 2/40 then 14/40 -> heavy ONLY merged; tail never
+    b1 = ["hot"] * 12 + ["late"] * 2 + [f"t{i}" for i in range(26)]
+    b2 = ["hot"] * 4 + ["late"] * 14 + [f"u{i}" for i in range(22)]
+
+    raw = warehouse.create_table("db.hh_raw", S.from_spark(mk(b1).schema))
+    raw.append(mk(b1))
+    raw = raw.refresh()
+
+    counts: dict = {}
+    cells: dict = {}
+    tot = 0
+
+    def merge(batch_df, _bid):
+        nonlocal tot
+        batch_df = batch_df.where(F.col("w").isNotNull())
+        for r in batch_df.groupBy("w").count().collect():
+            counts[r.w] = counts.get(r.w, 0) + r["count"]
+        tot += batch_df.count()
+        for r in countmin_table(batch_df, "w", depth=depth,
+                                width=width).collect():
+            cells[(r.lane, r.bucket)] = \
+                cells.get((r.lane, r.bucket), 0) + r.cnt
+
+    ck = str(tmp_path / "hhck")
+    _drain_foreach(spark, raw.path, ck, merge)
+    raw.append(mk(b2))
+    raw = raw.refresh()
+    _drain_foreach(spark, raw.path, ck, merge)
+
+    heavy = sorted(w for w, n in counts.items() if n * den >= tot)
+    sketch = spark.createDataFrame(
+        [(l, b, c) for (l, b), c in cells.items()],
+        "lane int, bucket int, cnt long")
+    est = {r.word: r.est_count for r in
+           countmin_estimate(sketch, heavy, depth=depth,
+                             width=width).collect()}
+    merged = sorted(((w, counts[w], est[w], counts[w] * 1_000_000 // tot)
+                     for w in heavy), key=lambda t: (-t[1], t[0]))
+    full = [tuple(r) for r in
+            heavy_hitters(mk(b1 + b2), "w", threshold_den=den,
+                          depth=depth, width=width).collect()]
+    assert merged == full
+    assert any(w == "late" for w, *_ in merged)  # cross-batch heavy
+    for w, n, e, _f in merged:
+        assert e >= n  # the guarantee that makes sketch-gating safe
