@@ -85,9 +85,13 @@ def _read(spark, table, spark_schema, tasks, with_position=False) -> DataFrame:
 
 def _with_meta(df: DataFrame, change: str, snap, order: int,
                cols: list[str]) -> DataFrame:
+    # snapshot id lit MUST cast long: this repo's sequential ids fit
+    # int, so the schema would flip int/bigint between empty and
+    # non-empty results (and vs external 64-bit ids) — review r12
     return df.select(*cols,
                      F.lit(change).alias(CHANGE_TYPE),
-                     F.lit(snap.snapshot_id).alias(COMMIT_SNAPSHOT),
+                     F.lit(snap.snapshot_id).cast("long")
+                     .alias(COMMIT_SNAPSHOT),
                      F.lit(order).alias(COMMIT_ORDER))
 
 
@@ -128,6 +132,18 @@ def changes(table: IcebergTable, spark: SparkSession,
         chain.append(s)
         sid = s.parent_snapshot_id
     chain.reverse()  # oldest -> newest, deterministic commit order
+    if from_snapshot_id is not None \
+            and from_snapshot_id not in {s.snapshot_id for s in chain}:
+        # expired or on another branch: ancestry_ids(from) would be
+        # empty/disjoint, exclude nothing, and silently REPLAY the
+        # full retained history as if new — duplicate downstream
+        # effects for every incremental consumer (review r12; Iceberg's
+        # changelog read errors here too). apply_changes guards its
+        # sync point before calling and full-resyncs instead.
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} is not an ancestor "
+            f"of the changelog head {head_id} (expired or on another "
+            f"branch); the incremental window is unreconstructable")
     exclude = (meta.ancestry_ids(from_snapshot_id)
                if from_snapshot_id is not None else set())
 
@@ -157,22 +173,32 @@ def changes(table: IcebergTable, spark: SparkSession,
                                           added_pos, [])
             parts.append(_with_meta(ins, "insert", snap, order, cols))
 
+        # ONE parent manifest planning per snapshot, shared by the MoR
+        # delete lanes and the CoW lane below (review r12: a commit
+        # with both added delete files and a CoW-qualifying op planned
+        # the identical parent scan twice — a full distributed
+        # manifest walk each time)
+        pdata = ppos = peq = None
+        if parent_scan is not None and (
+                added_pos or added_eq or op in ("delete", "overwrite")):
+            pdata, ppos, peq = parent_scan.plan_files(spark)
+
         # deletes via added delete files, applied to pre-snapshot data.
         # Parent-era deletes are anti-joined out FIRST so a row deleted
         # by an earlier snapshot can never re-surface as a new delete.
         if (added_pos or added_eq) and parent_scan is not None:
-            pdata, ppos, peq = parent_scan.plan_files(spark)
+            # ONE pos-delete frame per commit: the srcs inventory and
+            # both pos semi/anti joins share its plan — a per-file
+            # read+collect loop ran N driver round-trips (review r9),
+            # and srcs building its own scan tripled the parquet reads
+            # (review r12)
+            pos_df = (_pos_delete_df(spark, added_pos)
+                      if added_pos else None)
             if added_pos:
                 from .planning import canon_data_path
 
-                # ONE job over all this snapshot's pos-delete files —
-                # a per-file read+collect loop ran N driver round-trips
-                # per MoR commit (code-review r9)
-                srcs = {r[0] for r in spark.read.parquet(
-                    *[_spark_path(t.delete_file.file_path)
-                      for t in added_pos])
-                    .select(_canon_col(F.col("file_path")))
-                    .distinct().collect()}
+                srcs = {r[0] for r in pos_df.select("__del_file")
+                        .distinct().collect()}
                 hit = [t for t in pdata
                        if canon_data_path(t.data_file.file_path) in srcs]
                 if hit:
@@ -182,7 +208,8 @@ def changes(table: IcebergTable, spark: SparkSession,
                         d = parent_scan._apply_deletes(spark, d, hit, ppos, peq,
                                                        drop_helpers=False)
                     deleted = _semi_join_pos(spark, d, hit, added_pos,
-                                             _bcast_limit(table))
+                                             _bcast_limit(table),
+                                             pos_df=pos_df)
                     parts.append(_with_meta(deleted, "delete", snap, order, cols))
             if added_eq and pdata:  # empty parent: nothing to delete from
                 d = _read(spark, table, spark_schema, pdata,
@@ -198,14 +225,13 @@ def changes(table: IcebergTable, spark: SparkSession,
                     # the eq lane excludes them (review r11)
                     d = _semi_join_pos(spark, d, pdata, added_pos,
                                        _bcast_limit(table),
-                                       how="left_anti")
+                                       how="left_anti", pos_df=pos_df)
                 deleted = _semi_join_eq(spark, d, pdata, added_eq,
                                         _bcast_limit(table), table=table)
                 parts.append(_with_meta(deleted, "delete", snap, order, cols))
 
         # CoW: files removed by this snapshot -> their surviving rows
         if parent_scan is not None and op in ("delete", "overwrite"):
-            pdata, ppos, peq = parent_scan.plan_files(spark)
             live_now = {t.data_file.file_path
                         for t in TableScan(table, snapshot_id=snap.snapshot_id)
                         .plan_files(spark)[0]}
@@ -252,9 +278,29 @@ def _maybe_broadcast(side_df: DataFrame, tasks, limit: int) -> DataFrame:
             else side_df.hint("shuffle_hash"))
 
 
+def _pos_delete_df(spark, pos: list[DeleteFileTask]) -> DataFrame:
+    """One frame over a commit's position-delete files:
+    (__del_file, __del_pos, __del_seq) with canon'd paths and each
+    file's sequence number joined in — built once per commit and
+    shared by the srcs inventory and both pos joins (review r12)."""
+    from .planning import canon_data_path
+
+    pseq = spark.createDataFrame(
+        [(canon_data_path(t.delete_file.file_path), t.sequence_number)
+         for t in pos],
+        "__src string, __del_seq long")
+    return (spark.read.parquet(
+        *[_spark_path(t.delete_file.file_path) for t in pos])
+        .withColumn("__src", _canon_col(F.col("_metadata.file_path")))
+        .select(_canon_col(F.col("file_path")).alias("__del_file"),
+                F.col("pos").alias("__del_pos"), "__src")
+        .join(F.broadcast(pseq), on="__src", how="left"))
+
+
 def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
                    pos: list[DeleteFileTask], limit: int,
-                   how: str = "left_semi") -> DataFrame:
+                   how: str = "left_semi",
+                   pos_df: DataFrame | None = None) -> DataFrame:
     """Rows of df matched by the position-delete files (the inverse of
     TableScan._apply_deletes' anti-join, same sequence gate).
     how="left_anti" inverts the selection (the eq lane uses it to
@@ -268,16 +314,8 @@ def _semi_join_pos(spark, df: DataFrame, data: list[FileScanTask],
             "__file_c string, __data_seq long")
         df = df.withColumn("__file_c", _canon_col(F.col("__file"))) \
                .join(F.broadcast(seq_df), on="__file_c", how="left")
-    pseq = spark.createDataFrame(
-        [(canon_data_path(t.delete_file.file_path), t.sequence_number)
-         for t in pos],
-        "__src string, __del_seq long")
-    pos_df = (spark.read.parquet(
-        *[_spark_path(t.delete_file.file_path) for t in pos])
-              .withColumn("__src", _canon_col(F.col("_metadata.file_path")))
-              .select(_canon_col(F.col("file_path")).alias("__del_file"),
-                      F.col("pos").alias("__del_pos"), "__src")
-              .join(F.broadcast(pseq), on="__src", how="left"))
+    if pos_df is None:
+        pos_df = _pos_delete_df(spark, pos)
     cond = ((df["__file_c"] == pos_df["__del_file"])
             & (df["__pos"] == pos_df["__del_pos"])
             & (df["__data_seq"] <= pos_df["__del_seq"]))
@@ -363,7 +401,19 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
         matched = (df.where(F.col("__data_seq") < F.lit(min_seq))
                    .join(rhs, on=cond, how="left_semi"))
         out = matched if out is None else out.unionByName(matched)
-    return out if out is not None else df.limit(0)
+    if out is None:
+        return df.limit(0)
+    if len(groups) > 1:
+        # one physical row may match eq-delete files of MORE THAN ONE
+        # equality_ids group (legal for external writers mixing key
+        # sets); the per-group semi-joins each emit it, so the union
+        # must dedup on physical row identity or the changelog carries
+        # duplicate delete events for the same row (review r12 — the
+        # group-vs-group twin of the r11 pos-vs-eq dedup)
+        ident = (["__file_c", "__pos"] if "__pos" in out.columns
+                 else out.columns)
+        out = out.dropDuplicates(ident)
+    return out
 
 
 # ------------------------------------------------------- CDC replication
@@ -396,13 +446,32 @@ def apply_changes(source: IcebergTable, target: IcebergTable,
         return 0
     cols = [f.name for f in source.schema().to_spark().fields]
     known = {s.snapshot_id for s in source.metadata.snapshots}
-    if last is not None and last not in known:
-        # the recorded sync point was expired from the source
-        # (expire_snapshots): the changelog from there is gone. Full
-        # resync instead of wedging forever on snapshot_by_id(last):
-        # upsert every current source row, delete target keys that no
-        # longer exist in the source (null-safe key comparison, same as
-        # the rollup's vanished-row rule).
+    # ancestry of the head, NOT just membership in metadata.snapshots:
+    # after a source ROLLBACK the recorded sync point still exists in
+    # metadata but is no longer an ancestor — changes() now rejects it
+    # (review r12), and the right recovery is the same full resync as
+    # the expired case
+    on_ancestry = (last is not None
+                   and last in source.metadata.ancestry_ids(
+                       current.snapshot_id))
+    # first sync against a source whose retained history is TRUNCATED
+    # (the oldest retained snapshot has an expired parent): changes()
+    # can only replay the retained chain's adds, so live rows written
+    # by expired snapshots would be missing from the replica FOREVER
+    # (review r12) — detectable, so full-resync instead
+    truncated_first = False
+    if last is None:
+        sid, oldest = current.snapshot_id, None
+        while sid is not None and sid in known:
+            oldest = source.metadata.snapshot_by_id(sid)
+            sid = oldest.parent_snapshot_id
+        truncated_first = sid is not None  # parent exists but expired
+    if (last is not None and not on_ancestry) or truncated_first:
+        # the changelog window is gone (expired sync point, rollback)
+        # or incomplete (truncated first sync). Full resync: upsert
+        # every current source row, delete target keys that no longer
+        # exist in the source (null-safe key comparison, same as the
+        # rollup's vanished-row rule).
         src = source.to_df(spark)
         tgt = target.to_df(spark).alias("__t")
         src_k = src.select(*key_cols).alias("__s")

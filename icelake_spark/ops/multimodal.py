@@ -131,9 +131,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     frames = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
                         F.lit(every_ms))
     # NULL duration → no frames (greatest() skips NULLs, so without the
-    # filter an unknown-duration video fabricated a phantom ts-0 frame)
+    # filter an unknown-duration video fabricated a phantom ts-0 frame);
+    # duration 0 → no frames too (the greatest() clamp that keeps
+    # sequence's bounds legal would otherwise emit a phantom frame at
+    # ts 0 for a video with no content — review r12)
     return (df.where((F.col("kind") == "video")
-                     & F.col("duration_ms").isNotNull())
+                     & (F.col("duration_ms") > 0))
             .select("media_id", F.explode(frames).alias("frame_ts_ms")))
 
 

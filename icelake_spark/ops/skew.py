@@ -30,9 +30,14 @@ _SALTABLE = {"inner", "left", "left_outer", "leftouter",
 def heavy_hitters(df: DataFrame, cols: list[str], top: int = 20) -> DataFrame:
     """Key-frequency diagnostic: the `top` most frequent key tuples with
     their share of all rows — decide whether a join needs salting."""
-    total = df.count()
-    return (df.groupBy(*cols).agg(F.count("*").alias("n"))
-            .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+    counts = df.groupBy(*cols).agg(F.count("*").alias("n"))
+    # ONE scan: the total re-aggregates counts' shuffle output (tiny,
+    # and Spark reuses the shuffle files), not the input (review r12 —
+    # df.count() was a second full-scan job)
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("share", F.round(F.col("n") / F.col("__t"), 6))
+            .drop("__t")
             .orderBy(F.desc("n"), *cols)
             .limit(top))
 
@@ -55,13 +60,19 @@ def salted_join(probe: DataFrame, build: DataFrame, on: list[str],
 
     # salt correctness is distribution-only (the build side carries every
     # salt value, so any row joins correctly whatever salt it gets) —
-    # mix in a per-row id so byte-identical duplicate rows of a hot key
-    # still spread, and skip map-typed columns (xxhash64 rejects maps)
+    # but it must be DETERMINISTIC under task retry: a salt mixing
+    # monotonically_increasing_id changes on recomputation after a
+    # fetch failure and re-routes rows across already-consumed shuffle
+    # partitions (the SPARK-23207 lost/duplicated-row class; review
+    # r12 — the module docstring's own invariant). Content-only
+    # hashing is retry-stable; the cost is that byte-identical
+    # duplicate rows share a salt (only degenerate all-duplicate hot
+    # keys lose spread). Map-typed columns are skipped (xxhash64
+    # rejects maps).
     hashable = [F.col(f.name) for f in probe.schema.fields
                 if not isinstance(f.dataType, MapType)]
-    probe_salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *hashable),
-        F.lit(salts)).cast("int")
+    probe_salt = (F.pmod(F.xxhash64(*hashable), F.lit(salts)).cast("int")
+                  if hashable else F.lit(0))
     p = probe.withColumn(_SALT, probe_salt)
     b = build.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salts)])))
@@ -113,14 +124,14 @@ def skew_aware_join(probe: DataFrame, build: DataFrame, on: list[str],
 
     from pyspark.sql.types import MapType
 
-    # same salt rules as salted_join: per-row id spreads identical
-    # duplicate rows; map columns are not hashable
+    # same salt rules as salted_join: retry-deterministic content
+    # hash only (review r12), map columns are not hashable
     hashable = [F.col(f.name) for f in probe.schema.fields
                 if not isinstance(f.dataType, MapType)]
+    salt_expr = (F.pmod(F.xxhash64(*hashable), F.lit(salts)).cast("int")
+                 if hashable else F.lit(0))
     p = probe.withColumn(_SALT, F.when(
-        _is_hot(probe),
-        F.pmod(F.xxhash64(F.monotonically_increasing_id(), *hashable),
-               F.lit(salts)).cast("int")).otherwise(F.lit(0)))
+        _is_hot(probe), salt_expr).otherwise(F.lit(0)))
     b = build.withColumn(_SALT, F.explode(F.when(
         _is_hot(build),
         F.array(*[F.lit(i) for i in range(salts)]))
