@@ -330,10 +330,13 @@ def semi_anti_join_customers(spark, sf_dir):
 SEMI_ANTI_SQL = """
 SELECT kind, c_mktsegment, COUNT(*) AS n FROM (
   SELECT c_mktsegment, 'with_orders' AS kind FROM customer
-  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
   UNION ALL
+  -- NOT EXISTS, never NOT IN: one NULL o_custkey would empty the NOT
+  -- IN result while Spark's left_anti keeps non-matching rows
+  -- (review r12; the NULL-contract mirroring idiom)
   SELECT c_mktsegment, 'no_orders' AS kind FROM customer
-  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ) GROUP BY kind, c_mktsegment ORDER BY kind, c_mktsegment
 """
 
@@ -968,7 +971,9 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#5'
   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  -- NOT EXISTS mirrors the Spark side's left_anti NULL contract
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
@@ -1114,7 +1119,11 @@ def stats_aggregates(spark, sf_dir):
                  # square the identical 4dp sd, so the match is exact
                  F.round(F.pow(F.round(F.stddev_samp("o_totalprice"), 4),
                                2), 2).alias("var_price"),
-                 F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("corr_pc"))
+                 # + 0.0 normalizes IEEE signed zero: DuckDB ROUND of a
+                 # tiny negative gives -0.0, Spark gives 0.0 (review r12;
+                 # the embedding_covariance r11 idiom)
+                 (F.round(F.corr("o_totalprice", "o_custkey"), 4)
+                  + F.lit(0.0)).alias("corr_pc"))
             .orderBy("o_orderstatus"))
 
 
@@ -1122,7 +1131,7 @@ STATS_AGG_SQL = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
        ROUND(POWER(ROUND(stddev_samp(o_totalprice), 4), 2), 2) AS var_price,
-       ROUND(corr(o_totalprice, o_custkey), 4) AS corr_pc
+       ROUND(corr(o_totalprice, o_custkey), 4) + 0.0 AS corr_pc
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -1345,12 +1354,20 @@ def train_test_split(spark, sf_dir):
             .orderBy("split", "lang"))
 
 
-TRAIN_TEST_SQL = """
+def _train_test_sql() -> str:
+    """Built FROM split_bucket_sql so the bucket formula cannot drift
+    from the operator's, and mirroring hash_split's NULL-key
+    '__null__' sentinel (review r12: this twin hand-duplicated the
+    bucket SQL and omitted the r11 NULL coalesce — a NULL doc_id fell
+    through to 'eval' in the oracle while Spark bucketed it)."""
+    from .ops.sampling import _BUCKETS, split_bucket_sql
+    bucket = split_bucket_sql("COALESCE(CAST(doc_id AS VARCHAR), "
+                              "'__null__')")
+    cut = int(_BUCKETS * 0.8)
+    return f"""
 WITH s AS (
   SELECT lang, text,
-         CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                   AS INT) < CAST(FLOOR(65536 * 0.8) AS INT)
-              THEN 'train' ELSE 'eval' END AS split
+         CASE WHEN {bucket} < {cut} THEN 'train' ELSE 'eval' END AS split
   FROM documents)
 SELECT split, lang, COUNT(*) AS n_docs,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
@@ -1422,7 +1439,7 @@ def continuous_aggregate(spark, sf_dir):
     return the final rollup — which must equal a fresh aggregation of
     the remaining source rows (the oracle)."""
     from .rollup import create_rollup, refresh_rollup
-    from .types import Schema  # noqa: F401 (rollup builds its own schema)
+    from .types import Schema
 
     e = (load(spark, sf_dir, "events")
          .where(F.col("ts") < "2024-01-08")  # one-week slice keeps the gate fast
@@ -1495,15 +1512,25 @@ def event_associations_q(spark, sf_dir):
     return event_associations(load(spark, sf_dir, "events"))
 
 
-def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
+# ONE definition of the session gap, shared by events_sessionize and
+# its oracle twin (review r12: the function took a gap_minutes
+# parameter while the twin hardcoded 30 — a non-default call silently
+# diverged from its paired oracle; the FUNNEL_STEPS shared-constant
+# pattern)
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(spark, sf_dir):
     """Gap-based sessionization with window functions (the batch twin of
-    a streaming session window)."""
+    a streaming session window); the gap is the shared
+    SESSION_GAP_MIN constant the oracle twin derives from too."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = micros - F.lag(micros).over(w)
     sess = (e.withColumn("new_sess",
-                         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+                         F.when(gap.isNull()
+                                | (gap > SESSION_GAP_MIN * 60 * 1_000_000),
                                 1).otherwise(0))
             .withColumn("session_id", F.sum("new_sess").over(
                 w.rowsBetween(Window.unboundedPreceding, 0))))
@@ -1520,7 +1547,7 @@ EVENTS_SESSION_SQL = f"""
 WITH g AS (
   SELECT user_id, event_id, value, ts,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                  (PARTITION BY user_id ORDER BY ts, event_id) > {30 * 60 * 1_000_000}
+                  (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_MIN * 60 * 1_000_000}
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events),
@@ -1614,20 +1641,25 @@ def _cleanup_tmp_warehouses() -> None:
     _TMP_WAREHOUSES.clear()
 
 
+def _track_tmp(d: str) -> str:
+    """Register a tempdir for exit-time removal (first call installs
+    the atexit hook)."""
+    import atexit
+
+    if not _TMP_WAREHOUSES:
+        atexit.register(_cleanup_tmp_warehouses)
+    _TMP_WAREHOUSES.append(d)
+    return d
+
+
 def _tmp_catalog():
     """Throwaway warehouse for the iceberg_* queries. Every invocation
     writes a full copy of its source table, so the dirs are removed at
     process exit — repeated bench/gate rounds in one machine session
     must not fill /tmp with dead table data."""
-    import atexit
-
     from .catalog.storage import StorageCatalog
 
-    d = tempfile.mkdtemp(prefix="icelake_q_")
-    if not _TMP_WAREHOUSES:
-        atexit.register(_cleanup_tmp_warehouses)
-    _TMP_WAREHOUSES.append(d)
-    return StorageCatalog(d)
+    return StorageCatalog(_track_tmp(tempfile.mkdtemp(prefix="icelake_q_")))
 
 
 def iceberg_roundtrip_agg(spark, sf_dir):
@@ -1892,6 +1924,11 @@ def streaming_ingest(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     src_dir = tempfile.mkdtemp(prefix="icelake_stream_src_")
     ckpt = tempfile.mkdtemp(prefix="icelake_stream_ckpt_")
+    # same exit-time cleanup as _tmp_catalog warehouses (review r12:
+    # these two dirs leaked a full events copy + checkpoint state per
+    # gate/bench round — the exact /tmp fill _tmp_catalog prevents)
+    _track_tmp(src_dir)
+    _track_tmp(ckpt)
     e.write.mode("overwrite").parquet(src_dir)
     t = _tmp_catalog().create_table("q.events_stream", Schema.from_spark(e.schema))
     stream = spark.readStream.schema(e.schema).parquet(src_dir)
@@ -5854,7 +5891,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": Q18_SQL,
         "q12_priority_shipping": Q12_SQL,
         "percentiles_by_status": PERCENTILES_SQL,
-        "train_test_split": TRAIN_TEST_SQL,
+        "train_test_split": _train_test_sql(),
         "window_functions_suite": WINDOW_SUITE_SQL,
         "grouping_sets_rollup": ROLLUP_SQL,
         "semi_anti_join_customers": SEMI_ANTI_SQL,
