@@ -72,7 +72,13 @@ def bm25(df: DataFrame, query_terms: list[str], k: int = 10,
     # regex tokenizer would run inside the (often single-file,
     # single-task) scan stage; above it, every core tokenizes.
     tk = (fanout(df, F.col(id_col))
-          .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
+          .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+          # pin the tokenized stream: the stats collect below is its
+          # own job, and without the checkpoint the regex+tokenize of
+          # the WHOLE corpus re-runs under the tf aggregation — the
+          # most expensive stage, paid twice (review r12; the
+          # dsir_select localCheckpoint pattern)
+          .localCheckpoint())
     # ONE scalar job for both corpus stats (instead of count + avg)
     stats = tk.agg(F.count("*").alias("n"),
                    F.avg(F.size("__tk")).alias("avgdl")).collect()[0]
@@ -110,6 +116,10 @@ def bm25_sql(query_terms: list[str], k: int = 10, k1: float = 1.2,
     """DuckDB twin of bm25() — same staging, same rounding."""
     qlist = ", ".join("'" + t.replace("'", "''") + "'"
                       for t in sorted(set(query_terms)))
+    # empty term list: `IN ()` is a DuckDB syntax error while the
+    # operator's isin([]) gracefully yields no rows — emit the same
+    # empty result (review r12)
+    term_filter = f"term IN ({qlist})" if qlist else "FALSE"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
@@ -120,7 +130,7 @@ stats AS (
          (SELECT AVG(dl) FROM dl) AS avgdl),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term IN ({qlist}) GROUP BY doc_id, term),
+  WHERE {term_filter} GROUP BY doc_id, term),
 dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
 per_term AS (
   SELECT tf.doc_id,
@@ -374,6 +384,11 @@ def rrf_fuse(lanes: list[DataFrame], k: int = 10, c: int = 60,
     convention). Returns top-k (id_col, n_lanes, rrf_nano)."""
     from pyspark.sql import Window
 
+    if not lanes:
+        # the house empty-contract pattern (events_funnel's steps
+        # check): a clear error instead of a bare IndexError from
+        # ranked[0] (review r12)
+        raise ValueError("rrf_fuse requires at least one lane")
     ranked = []
     for lane in lanes:
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))

@@ -273,9 +273,13 @@ def mix_allocation(df: DataFrame, budget: int,
     ranked = (counts
               .withColumn("__total", F.sum("tokens").over(wall))
               .withColumn("__base", base)
+              # NULLS LAST explicitly: Spark's bare ASC tiebreak puts
+              # a NULL source FIRST while DuckDB puts it LAST, so the
+              # +1 leftover unit could land on different sources
+              # (review r12)
               .withColumn("__rank", F.row_number().over(
                   Window.partitionBy().orderBy(
-                      rem.desc(), F.col(source_col))))
+                      rem.desc(), F.col(source_col).asc_nulls_last())))
               .withColumn("__left",
                           F.lit(budget) - F.sum("__base").over(wall)))
     alloc = F.when(F.col("__total") == 0, F.lit(0)).otherwise(
@@ -303,7 +307,7 @@ ranked AS (
              ORDER BY CASE WHEN total = 0 THEN CAST(0 AS HUGEINT)
                            ELSE CAST(tokens AS HUGEINT) * {budget} % total
                       END DESC,
-                      source) AS rnk
+                      source NULLS LAST) AS rnk
   FROM totaled),
 final AS (
   SELECT source, tokens, total, base, rnk,

@@ -39,6 +39,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     the time axis) for distributed execution.
     """
     by = by or []
+    # a NULL-timestamp right row can satisfy no "right.ts <= left.ts"
+    # contract — but under ASC NULLS FIRST it sorts to the HEAD of
+    # every partition and last(ignorenulls) would hand its payload to
+    # every left row with no genuine predecessor (review r12; the
+    # DuckDB ASOF oracle never matches a NULL ts)
+    right = right.where(F.col(on).isNotNull())
     r_payload = [c for c in right.columns if c not in by]
     l_side = left.select(
         *by,
@@ -102,14 +108,29 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
         )).alias("__b"),
     )
     joined = l2.join(r2, on=by + ["__b"])
-    dt = (F.col(on).cast("double")
-          - F.col(f"{right_prefix}{on}").cast("double"))
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(left.schema[on].dataType, TimestampType):
+        # EXACT integer-microsecond window test (the micro-units
+        # idiom, review r12): epoch doubles near 1.7e9 s carry ~2.4e-7
+        # s rounding, so a float |dt| <= win flips pairs sitting
+        # exactly ON the window boundary while the oracle's integer
+        # epoch_us comparison keeps them. The double bucketing above
+        # is unaffected — boundary-adjacent bucket drift is covered by
+        # the +/-1 band.
+        dt = (F.unix_micros(F.col(on))
+              - F.unix_micros(F.col(f"{right_prefix}{on}")))
+        bound = F.lit(int(round(win * 1_000_000)))
+    else:
+        dt = (F.col(on).cast("double")
+              - F.col(f"{right_prefix}{on}").cast("double"))
+        bound = F.lit(win)
     # no dedup needed: the non-exploded side has ONE bucket and the
     # exploded side's three buckets are distinct, so an (l, r) pair can
     # match at most once — a dropDuplicates here would only collapse
     # genuinely duplicate input rows (wrong) while paying a full-width
     # shuffle
-    return joined.where(F.abs(dt) <= win).drop("__b")
+    return joined.where(F.abs(dt) <= bound).drop("__b")
 
 
 def events_funnel(df: DataFrame, steps: list[str],
@@ -215,8 +236,15 @@ def events_retention(df: DataFrame, n_weeks: int = 4,
     one distinct over (user, week) — the activity relation is bounded
     by users x weeks, far below event count — then a user-keyed join
     and a cohort-keyed aggregate. Offsets beyond n_weeks-1 are
-    filtered BEFORE the final aggregate."""
+    filtered BEFORE the final aggregate.
+
+    NULL users are EXCLUDED up front (review r12, matching
+    event_associations' r11 contract): the NULL "user" would size its
+    cohort but never match the user-keyed activity join, deflating
+    even week-0 retention below 100%% — a cohort denominator must
+    count only joinable users. The SQL twin filters identically."""
     wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    df = df.where(F.col(user_col).isNotNull())
     first = (df.groupBy(user_col).agg(F.min(ts_col).alias("__f"))
              .select(user_col, wk(F.col("__f")).alias("cohort_week")))
     active = (df.select(user_col, wk(F.col(ts_col)).alias("__w"))
@@ -241,15 +269,16 @@ def events_retention_sql(n_weeks: int = 4, table: str = "events") -> str:
     """DuckDB twin of events_retention — same Monday-start weeks, same
     floor micro-units."""
     return f"""
-WITH first_seen AS (
+WITH ev AS (SELECT * FROM {table} WHERE user_id IS NOT NULL),
+first_seen AS (
   SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
          AS cohort_week
-  FROM {table} GROUP BY user_id),
+  FROM ev GROUP BY user_id),
 sized AS (
   SELECT cohort_week, COUNT(*) AS csize FROM first_seen GROUP BY 1),
 active AS (
   SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
-  FROM {table}),
+  FROM ev),
 joined AS (
   SELECT f.cohort_week,
          date_diff('day', f.cohort_week, a.w) // 7 AS week_offset,
@@ -456,8 +485,11 @@ def event_paths(df: DataFrame, k: int = 20,
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
-                                             F.col(type_col))
+    # EXPLICIT NULLS LAST: Spark's bare ASC sorts NULLs first, DuckDB
+    # last — on a NULL ts or type the transition multiset itself would
+    # diverge cross-engine (review r12)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(type_col).asc_nulls_last())
     pairs = (df.select(F.col(user_col), F.col(ts_col),
                        F.col(type_col).alias("event_type"))
              .withColumn("prev_type",
@@ -480,7 +512,8 @@ def event_paths_sql(k: int = 20, table: str = "events") -> str:
 WITH seq AS (
   SELECT user_id, event_type,
          COALESCE(LAG(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_type),
+             PARTITION BY user_id ORDER BY ts NULLS LAST,
+                 event_type NULLS LAST),
            '__start__') AS prev_type
   FROM {table}),
 pairs AS (

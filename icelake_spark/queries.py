@@ -3529,8 +3529,14 @@ WITH clicks AS (
   SELECT event_id, user_id, ts, ROUND(value, 6) AS click_value
   FROM events WHERE event_type = 'click'),
 views AS (
+  -- dedup tied (user, ts) rows to the MAX value BEFORE the ASOF:
+  -- DuckDB ASOF returns an arbitrary one of tied right rows while
+  -- the operator deterministically resolves ties max-struct-wins —
+  -- a latent oracle flake on duplicate view timestamps (review r12)
   SELECT user_id, ts, ROUND(value, 6) AS view_value
-  FROM events WHERE event_type = 'view')
+  FROM events WHERE event_type = 'view'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                             ORDER BY view_value DESC) = 1)
 SELECT c.event_id, c.user_id, c.click_value, v.view_value
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
@@ -4166,7 +4172,11 @@ rates AS (
              * 65536) AS INT) AS cut
   FROM w, tot),
 kept AS (
-  SELECT d.* FROM documents d JOIN rates r USING (source)
+  -- IS NOT DISTINCT FROM mirrors the operator's eqNullSafe source
+  -- join (r11 fix, never mirrored here — review r12): a NULL-source
+  -- group is sampled at its computed rate, not silently dropped
+  SELECT d.* FROM documents d JOIN rates r
+    ON d.source IS NOT DISTINCT FROM r.source
   WHERE {split_bucket_sql('d.doc_id')} < r.cut)
 SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM kept GROUP BY source ORDER BY source

@@ -154,3 +154,143 @@ def test_salted_join_salt_is_retry_deterministic(spark):
         got = sorted((r.k, r.pv, r.bv) for r in out.collect())
         want = sorted((k % 3, f"p{k}", f"b{k % 3}") for k in range(60))
         assert got == want, fn.__name__
+
+
+def test_asof_join_null_ts_right_row_is_not_a_fallback_match(spark):
+    """A NULL-timestamp right row sorts NULLS FIRST in the as-of window
+    and previously became a universal fallback match for every left
+    row with no genuine predecessor (review r12); it must match
+    nothing, like the DuckDB ASOF oracle."""
+    from datetime import datetime
+
+    from icelake_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 10)),
+         (2, 100, datetime(2024, 1, 1, 12))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, None, 999.0),
+         (100, datetime(2024, 1, 1, 11), 5.0)],
+        "user_id long, ts timestamp, value double")
+    got = {r.event_id: r.r_value for r in
+           asof_join(left, right, on="ts", by=["user_id"]).collect()}
+    assert got[1] is None, got   # nothing precedes 10:00
+    assert got[2] == 5.0, got    # the 11:00 row, never the NULL one
+
+
+def test_range_join_boundary_pair_included_exact_micros(spark):
+    """A pair exactly window_seconds apart (with sub-second micros in
+    play) is INCLUDED: the exact filter now compares integer epoch
+    microseconds, the micro-units idiom, instead of double seconds
+    (review r12)."""
+    from datetime import datetime, timezone
+
+    from icelake_spark.ops.temporal import range_join
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0, 300000, tzinfo=timezone.utc)
+    t1 = datetime(2024, 1, 1, 10, 30, 0, 300000, tzinfo=timezone.utc)
+    t2 = datetime(2024, 1, 1, 10, 30, 0, 300001, tzinfo=timezone.utc)
+    left = spark.createDataFrame([(1, 7, t0)],
+                                 "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 7, t1), (11, 7, t2)],
+        "rid long, user_id long, ts timestamp")
+    got = sorted(r.r_rid for r in
+                 range_join(left, right, on="ts", by=["user_id"],
+                            window_seconds=1800.0).collect())
+    assert got == [10], got  # exactly 1800s in; 1800.000001s out
+
+
+def test_event_paths_null_ts_orders_last_both_engines(spark):
+    """A NULL-ts event sorts LAST in the journey in BOTH engines
+    (Spark's bare ASC put it first, DuckDB last — the transition
+    multiset diverged on dirty data; review r12)."""
+    import duckdb
+
+    from icelake_spark.ops.temporal import event_paths, event_paths_sql
+
+    rows = [(1, "a", 1), (1, "b", 2), (1, "z", None)]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, ts long")
+    got = sorted((r.prev_type, r.event_type, r.n) for r in
+                 event_paths(df, k=10).collect())
+    assert ("b", "z", 1) in got and ("__start__", "a", 1) in got
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT * FROM (VALUES "
+                "(1, 'a', 1), (1, 'b', 2), (1, 'z', NULL)) "
+                "v(user_id, event_type, ts)")
+    ora = sorted((r[0], r[1], r[2]) for r in
+                 con.execute(event_paths_sql(k=10)).fetchall())
+    assert ora == got, (ora, got)
+
+
+def test_events_retention_excludes_null_users(spark):
+    """NULL users are excluded from cohorts entirely: they sized the
+    cohort but could never match the user-keyed activity join, so
+    even week-0 retention read below 100% (review r12)."""
+    from datetime import datetime
+
+    from icelake_spark.ops.temporal import events_retention
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 2)),
+         (None, datetime(2024, 1, 3))],
+        "user_id long, ts timestamp")
+    got = {(str(r.cohort_week), r.week_offset): (r.users, r.retention_micro)
+           for r in events_retention(df, n_weeks=2).collect()}
+    assert got == {("2024-01-01", 0): (2, 1_000_000)}, got
+
+
+def test_temperature_sample_twin_keeps_null_source(spark):
+    """The oracle twin's rates join is IS NOT DISTINCT FROM, mirroring
+    the operator's r11 eqNullSafe fix: a NULL-source group samples at
+    its computed rate in BOTH engines (review r12)."""
+    import duckdb
+
+    from icelake_spark.ops.sampling import temperature_sample
+
+    rows = [(i, "web" if i % 2 else None, f"text {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(((r.source, r.n) for r in
+                  temperature_sample(df, budget_frac=0.5)
+                  .groupBy("source").agg(F.count("*").alias("n"))
+                  .collect()), key=lambda t: (t[0] or "",))
+    assert any(s is None for s, _n in got), got  # NULL source sampled
+    # and the registered twin agrees on the same corpus shape
+    from icelake_spark.queries import _temperature_sample_sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(
+                    f"({i}, {'NULL' if s is None else repr(s)}, "
+                    f"'text {i}', {len(t)})"
+                    for i, s, t in rows)
+                + ") v(doc_id, source, text, n_chars)")
+    ora = {r[0]: r[1] for r in
+           con.execute(_temperature_sample_sql()).fetchall()}
+    spark_rows = {r.source: r.n for r in
+                  temperature_sample(df, budget_frac=0.5)
+                  .groupBy("source").agg(F.count("*").alias("n"))
+                  .collect()}
+    assert ora == spark_rows, (ora, spark_rows)
+
+
+def test_rrf_and_bm25_empty_input_contracts(spark):
+    """rrf_fuse([]) raises a clear ValueError (not IndexError); the
+    bm25 twin with an empty term list parses and returns no rows, like
+    the operator's isin([]) (review r12)."""
+    import duckdb
+
+    import pytest as _p
+
+    from icelake_spark.ops.ranking import bm25, bm25_sql, rrf_fuse
+
+    with _p.raises(ValueError, match="at least one lane"):
+        rrf_fuse([])
+    docs = spark.createDataFrame([(1, "alpha beta")],
+                                 "doc_id long, text string")
+    assert bm25(docs, []).count() == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, "
+                "'alpha beta' AS text")
+    assert con.execute(bm25_sql([])).fetchall() == []
