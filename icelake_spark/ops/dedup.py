@@ -316,31 +316,45 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3,
                        max_bucket: int = 1000, portable: bool = False) -> DataFrame:
-    """Pairs with hamming(simhash) <= k via 4-block LSH (a pair within
-    hamming 3 of 64 bits must agree exactly on >= one 16-bit block).
+    """Pairs with hamming(simhash) <= k via (k+1)-block LSH: k
+    differing bits spread over k+1 blocks leave >= one block CLEAN
+    (pigeonhole), so agreeing exactly on some block is guaranteed for
+    every true pair. The block COUNT derives from max_hamming (review
+    r12: a fixed 4-block split silently missed pairs whose 4 diffs
+    fell one per block at max_hamming=4 — a recall hole neither
+    engine could see because the twin replicated it); the last block
+    absorbs the remainder bits when the width does not divide evenly.
 
     `max_bucket` caps a pathological block value (same skew guard as
     minhash_lsh_pairs): near-identical corpora put thousands of docs in
-    one 16-bit block bucket, and the per-bucket join is quadratic —
-    uncapped, one hot bucket serializes a reducer at corpus scale.
+    one block bucket, and the per-bucket join is quadratic — uncapped,
+    one hot bucket serializes a reducer at corpus scale.
 
-    portable=True uses the 60-bit md5 word hash (4 blocks of 15 bits)
-    so a DuckDB oracle recomputes identical sketches and pairs.
+    portable=True uses the 60-bit md5 word hash so a DuckDB oracle
+    recomputes identical sketches and pairs.
     """
-    if portable:
-        s = simhash(df, text_col, id_col, bits=60, portable=True)
-        blocks = [(F.shiftright(F.col("simhash"), 15 * i)
-                   .bitwiseAND(F.lit(0x7FFF))).alias(f"blk{i}")
-                  for i in range(4)]
-    else:
-        s = simhash(df, text_col, id_col)
-        blocks = [(F.shiftright(F.col("simhash"), 16 * i)
-                   .bitwiseAND(F.lit(0xFFFF))).alias(f"blk{i}")
-                  for i in range(4)]
+    n_blocks = max_hamming + 1
+    bits = 60 if portable else 64
+    width = bits // n_blocks
+    if width == 0:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks "
+                         f"than {bits} hash bits can provide")
+    widths = [width] * (n_blocks - 1) + [bits - width * (n_blocks - 1)]
+    s = (simhash(df, text_col, id_col, bits=60, portable=True)
+         if portable else simhash(df, text_col, id_col))
+
+    def _blk(i):
+        shifted = F.shiftright(F.col("simhash"), width * i)
+        if widths[i] >= 63:  # mask would overflow int64; shift is enough
+            return shifted.alias(f"blk{i}")
+        return shifted.bitwiseAND(
+            F.lit((1 << widths[i]) - 1)).alias(f"blk{i}")
+
+    blocks = [_blk(i) for i in range(n_blocks)]
     b = s.select(id_col, "simhash", *blocks)
     buckets = b.select(id_col, "simhash", F.explode(F.array(
         *[F.struct(F.lit(i).alias("i"), F.col(f"blk{i}").alias("v"))
-          for i in range(4)])).alias("bk"))
+          for i in range(n_blocks)])).alias("bk"))
     w = Window.partitionBy("bk").orderBy(id_col)
     buckets = buckets.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") <= max_bucket).drop("__rn")
@@ -403,16 +417,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def positional_shingles(w, n: int = 3):
-    """Word n-gram shingle array WITH positions preserved (no distinct)
-    — same shifted-slice zip_with construction as shingles_from_words;
-    element i is the gram starting at word i."""
-    arr = w
-    for j in range(1, n):
-        shifted = F.slice(w, j + 1, 1 << 30)
-        arr = F.zip_with(arr, shifted, lambda xy, z: F.concat_ws(" ", xy, z))
-    return F.when(F.size(w) >= n,
-                  F.slice(arr, 1, F.size(w) - (n - 1))).otherwise(
-        F.array().cast("array<string>"))
+    """Word n-gram shingle array WITH positions preserved (no
+    distinct); element i is the gram starting at word i. Pure
+    delegation (review r12: this was a line-for-line copy of the
+    shifted-slice builder — any fix to the gram construction must land
+    in exactly one place)."""
+    return shingles_from_words(w, n, distinct=False)
 
 
 def _gram_side(frame: DataFrame, text_col: str, id_col: str, n: int,
@@ -737,10 +747,17 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     from .similarity import cosine_sim, nearest_centroid_col, train_kmeans
     from .util import fanout
 
+    from .similarity import valid_vectors
+
     cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
                          n_iter=train_iters, seed=seed, portable=portable)
     v = F.col(vec_col).cast("array<double>")
-    assigned = (fanout(df, F.col(id_col))
+    # the shared embedding null contract (review r12): training already
+    # filtered through valid_vectors but the ASSIGNMENT pass did not —
+    # a NaN-element vector took cluster 0 from the literal argmin and
+    # a NULL vector rode along with a NULL cluster, while the SQL
+    # twin's _VALID_VEC_WHERE excluded both rows entirely
+    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
                 .select(F.col(id_col), v.alias("__v"))
                 .withColumn("__c", nearest_centroid_col(
                     F.col("__v"), list(enumerate(cents)),
@@ -753,9 +770,7 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     if over:
         # md5 lane (not xxhash64): sub-bucketing stays reproducible by
         # an ANSI-SQL twin should an oracle ever exercise the cap
-        hid = F.conv(F.substring(
-            F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10) \
-            .cast("long")
+        hid = portable_hash60(F.col(id_col).cast("string"))
         if len(over) <= 200:
             m = F.create_map(*[F.lit(x) for kv in over.items() for x in kv])
             nsub = F.coalesce(m[F.col("__c")], F.lit(1))
@@ -835,8 +850,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                           F.posexplode(grams).alias("__p0", "__g"))
             .select(F.col(id_col), "__ng",
                     (F.col("__p0") + 1).alias("__pos"),
-                    F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10)
-                    .cast("long").alias("__h")))
+                    portable_hash60(F.col("__g")).alias("__h")))
     frame = (Window.partitionBy(id_col).orderBy("__pos")
              .rowsBetween(0, w - 1))
     # min over (hash, -pos) = smallest hash, ties -> LARGEST pos
@@ -876,7 +890,7 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
 
 
 def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
-                  text_col: str = "text",
+                  text_col: str = "text", sort: bool = True,
                   id_col: str = "doc_id") -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus: the
     floor micro-fraction of the document's DISTINCT word n-grams that
@@ -910,14 +924,17 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
                .agg(F.count("*").cast("long").alias("total_grams"),
                     F.sum(F.when(F.col("__hit").isNull(), 1)
                           .otherwise(0)).cast("long").alias("novel_grams")))
-    return (df.select(id_col).distinct()
-            .join(per_doc, on=id_col, how="left")
-            .select(F.col(id_col),
-                    F.coalesce("total_grams", F.lit(0)).cast("long")
-                    .alias("total_grams"),
-                    F.coalesce("novel_grams", F.lit(0)).cast("long")
-                    .alias("novel_grams"),
-                    F.expr("CASE WHEN coalesce(total_grams, 0) = 0 THEN 0 "
-                           "ELSE novel_grams * 1000000 DIV total_grams "
-                           "END").cast("long").alias("novelty_micro"))
-            .orderBy(id_col))
+    out = (df.select(id_col).distinct()
+           .join(per_doc, on=id_col, how="left")
+           .select(F.col(id_col),
+                   F.coalesce("total_grams", F.lit(0)).cast("long")
+                   .alias("total_grams"),
+                   F.coalesce("novel_grams", F.lit(0)).cast("long")
+                   .alias("novel_grams"),
+                   F.expr("CASE WHEN coalesce(total_grams, 0) = 0 THEN 0 "
+                          "ELSE novel_grams * 1000000 DIV total_grams "
+                          "END").cast("long").alias("novelty_micro")))
+    # the optional small-output determinism sort; scale callers pass
+    # sort=False and skip the corpus-wide range exchange (review r12,
+    # the repetition_metrics escape pattern applied family-wide)
+    return out.orderBy(id_col) if sort else out

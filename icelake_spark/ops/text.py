@@ -185,7 +185,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         # fused path: the caller already tokenized (same normalize+split)
         w = F.col(words_col_name)
     else:
-        t = F.col(text_col)
+        # NULL text is an empty page (family contract; review r12 —
+        # this and nb_quality_score were the last two family members
+        # whose keep gate went NULL under three-valued logic, so the
+        # row vanished from BOTH where(keep) and where(~keep))
+        t = F.coalesce(F.col(text_col), F.lit(""))
         norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
         # split('') yields [''] — treat a whitespace-only doc as ZERO
         # words, not one empty word (the SQL twin mirrors this)
@@ -266,9 +270,11 @@ def repetition_metrics_sql(col: str = "text") -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN length(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')) = 0
+         CASE WHEN length(regexp_replace(trim(lower(COALESCE({col}, ''))),
+                          '\\s+', ' ', 'g')) = 0
               THEN CAST([] AS VARCHAR[])
-              ELSE string_split(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'), ' ')
+              ELSE string_split(regexp_replace(trim(lower(COALESCE({col}, ''))),
+                                '\\s+', ' ', 'g'), ' ')
          END AS w
   FROM documents),
 words AS (SELECT doc_id, len(w) AS n_words, w FROM base),
@@ -308,6 +314,7 @@ ORDER BY words.doc_id
 # ---------------------------------------------------------- SQL twins
 
 def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      sort: bool = True,
                       id_col: str = "doc_id") -> DataFrame:
     """The FULL Gopher repetition-filter table (Rae et al. 2021 §A1.1,
     Table A1) — the line- and n-gram-level signals repetition_metrics'
@@ -421,7 +428,8 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
             & (F.col("top3_char_micro") <= 180_000)
             & (F.col("top4_char_micro") <= 160_000)
             & (F.col("dup5_char_micro") <= 150_000))
-    return out.withColumn("keep", keep).orderBy(id_col)
+    out = out.withColumn("keep", keep)
+    return out.orderBy(id_col) if sort else out
 
 
 def gopher_repetition_sql(col: str = "text") -> str:
@@ -632,6 +640,7 @@ def char_entropy_sql(col: str = "text") -> str:
 
 
 def trigram_familiarity(df: DataFrame, text_col: str = "text",
+                        sort: bool = True,
                         id_col: str = "doc_id",
                         top_k: int = 262144) -> DataFrame:
     """(doc_id, n_trigrams, familiarity_sum, familiarity): per-document
@@ -687,16 +696,21 @@ def trigram_familiarity(df: DataFrame, text_col: str = "text",
         "__t", F.lit(0).cast("long"),
         lambda acc, t: acc + F.coalesce(F.element_at("__cmap", t),
                                         F.lit(0).cast("long")))
-    return (base.crossJoin(F.broadcast(cmap))
-            .select(F.col(id_col),
-                    F.size("__t").cast("long").alias("n_trigrams"),
-                    fam.alias("familiarity_sum"))
+    out = (base.crossJoin(F.broadcast(cmap))
+           .select(F.col(id_col),
+                   F.size("__t").cast("long").alias("n_trigrams"),
+                   fam.alias("familiarity_sum"))
             .withColumn(
                 "familiarity_micro",
+                # DECIMAL(38,0) widening: familiarity_sum is a sum of
+                # corpus-scale gram counts, so *1e6 can pass int64 and
+                # ANSI Spark throws / DuckDB errors (review r12 — the
+                # products-of-counts idiom nb_quality_score follows)
                 F.when(F.col("n_trigrams") > 0,
-                       F.expr("(familiarity_sum * 1000000L) DIV n_trigrams"))
-                .otherwise(F.lit(None).cast("long")))
-            .orderBy(id_col))
+                       F.expr("CAST((CAST(familiarity_sum AS DECIMAL(38,0))"
+                              " * 1000000) DIV n_trigrams AS BIGINT)"))
+                .otherwise(F.lit(None).cast("long"))))
+    return out.orderBy(id_col) if sort else out
 
 
 def trigram_familiarity_sql(col: str = "text", top_k: int = 262144) -> str:
@@ -722,7 +736,8 @@ SELECT norm.doc_id,
        COALESCE(scored.n_trigrams, 0) AS n_trigrams,
        COALESCE(scored.familiarity_sum, 0) AS familiarity_sum,
        CASE WHEN scored.n_trigrams > 0
-            THEN CAST((scored.familiarity_sum * 1000000) // scored.n_trigrams
+            THEN CAST((CAST(scored.familiarity_sum AS HUGEINT) * 1000000)
+                      // scored.n_trigrams
                       AS BIGINT)
             ELSE NULL END AS familiarity_micro
 FROM norm LEFT JOIN scored USING (doc_id)
@@ -731,6 +746,7 @@ ORDER BY doc_id
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
+                 sort: bool = True,
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document Gopher-style quality rules (the published
     rule-filter family of Rae et al. 2021 §A1.1, as popularized by the
@@ -808,7 +824,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     passes = None
     for n in rules:
         passes = F.col(n) if passes is None else passes & F.col(n)
-    return out.withColumn("passes", passes).orderBy(id_col)
+    out = out.withColumn("passes", passes)
+    return out.orderBy(id_col) if sort else out
 
 
 def gopher_rules_sql(col: str = "text") -> str:
@@ -861,6 +878,7 @@ FROM m ORDER BY doc_id
 
 
 def c4_rules(df: DataFrame, text_col: str = "text",
+             sort: bool = True,
              id_col: str = "doc_id") -> DataFrame:
     """C4-style page cleaning (Raffel et al. 2020 §2.2, the rules the
     original C4 corpus was built with), the line-level complement to
@@ -908,10 +926,10 @@ def c4_rules(df: DataFrame, text_col: str = "text",
                        .contains("lorem ipsum")))
     passes = ((F.col("n_sentences") >= 3) & ~F.col("has_brace")
               & ~F.col("has_lorem"))
-    return (out.select(id_col, "n_lines", "n_kept_lines", "n_sentences",
-                       "has_brace", "has_lorem",
-                       passes.alias("passes"), "text_clean")
-            .orderBy(id_col))
+    out = out.select(id_col, "n_lines", "n_kept_lines", "n_sentences",
+                     "has_brace", "has_lorem",
+                     passes.alias("passes"), "text_clean")
+    return out.orderBy(id_col) if sort else out
 
 
 def c4_rules_sql(col: str = "text") -> str:
@@ -1153,6 +1171,7 @@ def lm_bigram_score(df: DataFrame, text_col: str = "text",
 
 
 def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  sort: bool = True,
                   id_col: str = "doc_id",
                   lang_col: str = "lang") -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
@@ -1185,11 +1204,11 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     bucket = (F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
               .when(F.col("__rn") * 3 <= F.col("__n") * 2, F.lit("middle"))
               .otherwise(F.lit("tail")))
-    return (joined.select(
-                F.col("__h").alias(id_col), F.col(lang_col),
-                (-F.col("__v")).cast("long").alias("lm_score_micro"),
-                bucket.alias("bucket"))
-            .orderBy(id_col))
+    out = joined.select(
+        F.col("__h").alias(id_col), F.col(lang_col),
+        (-F.col("__v")).cast("long").alias("lm_score_micro"),
+        bucket.alias("bucket"))
+    return out.orderBy(id_col) if sort else out
 
 
 def bpe_encode_counts(df: DataFrame, merges, text_col: str = "text",
@@ -1326,8 +1345,9 @@ def quality_classifier_sql(col: str = "text", dim: int = 1024,
                            seed: str = "qc0") -> str:
     """DuckDB twin: same tokenization, same md5 bucket/weight lanes,
     same integer cross-multiplied decision."""
-    words = (f"list_filter(string_split(regexp_replace(trim(lower({col}))"
-             f", '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    words = (f"list_filter(string_split(regexp_replace("
+             f"trim(lower(COALESCE({col}, ''))), '\\s+', ' ', 'g'), ' '), "
+             f"w -> w <> '')")
     bucket = ("CAST(CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) "
               f"% {dim} AS VARCHAR)")
     weight = (f"CAST('0x' || substring(md5('{seed}#' || {bucket}), 1, 15) "
@@ -1387,7 +1407,10 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
     # (r10 fanout audit, 1.8 -> 1.1 s at sf0.1)
     labeled = fanout(df, F.col(id_col)).select(
         F.col(id_col),
-        F.filter(words_col(text_col), lambda w: w != "").alias("__w"))
+        # NULL text -> ZERO terms, the family's empty-page contract
+        # (review r12: split(NULL) is NULL and keep went NULL)
+        F.coalesce(F.filter(words_col(text_col), lambda w: w != ""),
+                   F.array().cast("array<string>")).alias("__w"))
     passes = gopher_rules(df, text_col, id_col).select(id_col, "passes")
     # join the labels at DOC level, explode after: the shuffle carries
     # |docs| rows, not the full token multiset
@@ -1435,8 +1458,9 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
 def nb_quality_score_sql(col: str = "text", top_k: int = 262144) -> str:
     """DuckDB twin: same weak labels (gopher passes), same smoothed
     integer ratios, same top-k cap and neutral OOV fallback."""
-    words = (f"list_filter(string_split(regexp_replace(trim(lower({col}))"
-             f", '\\s+', ' ', 'g'), ' '), w -> w <> '')")
+    words = (f"list_filter(string_split(regexp_replace("
+             f"trim(lower(COALESCE({col}, ''))), '\\s+', ' ', 'g'), ' '), "
+             f"w -> w <> '')")
     gopher = gopher_rules_sql(col)
     return f"""
 WITH g AS ({gopher}),
@@ -1505,7 +1529,10 @@ def corpus_report(df: DataFrame, source_col: str = "source",
                     F.expr("__short * 1000000 DIV n_docs")
                     .alias("short_doc_micro"),
                     "n_empty")
-            .orderBy(source_col, lang_col))
+            # NULLS LAST explicitly in both engines (review r12 — the
+            # Spark-first/DuckDB-last ASC default divergence class)
+            .orderBy(F.col(source_col).asc_nulls_last(),
+                     F.col(lang_col).asc_nulls_last()))
 
 
 
@@ -1529,5 +1556,5 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(total_words // n_docs AS BIGINT) AS avg_words,
        CAST(short * 1000000 // n_docs AS BIGINT) AS short_doc_micro,
        CAST(n_empty AS BIGINT) AS n_empty
-FROM g ORDER BY source, lang
+FROM g ORDER BY source NULLS LAST, lang NULLS LAST
 """

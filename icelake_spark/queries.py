@@ -3020,12 +3020,17 @@ def _bpe_sql(n_merges: int = 8) -> str:
     back in as a one-row scalar, so the whole training run is one
     relational query."""
     ctes = [r"""w0 AS (
-  SELECT w, COUNT(*) AS freq FROM (
-    SELECT unnest(string_split(
-      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
-    FROM documents)
-  WHERE regexp_matches(w, '^[a-z0-9]+$')
-  GROUP BY w)""",
+  -- the operator's max_vocab frequency cap, mirrored (review r12:
+  -- without it the twin trained on the FULL vocabulary and the merge
+  -- argmax could diverge once distinct words exceed the cap)
+  SELECT w, freq FROM (
+    SELECT w, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(
+        regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents)
+    WHERE regexp_matches(w, '^[a-z0-9]+$')
+    GROUP BY w)
+  ORDER BY freq DESC, w LIMIT 1000000)""",
             r"""e1 AS (
   SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS enc, freq
   FROM w0)"""]
@@ -3741,7 +3746,12 @@ def simhash_q(spark, sf_dir):
 
 
 def _simhash_sql(max_hamming: int = 4, max_bucket: int = 1000) -> str:
-    """DuckDB twin of simhash_q: same word hash, votes, block buckets."""
+    """DuckDB twin of simhash_q: same word hash, votes, and the same
+    (max_hamming+1)-block LSH split (review r12 — block count derives
+    from k in BOTH engines; the last block absorbs remainder bits)."""
+    n_blocks = max_hamming + 1
+    width = 60 // n_blocks
+    last_w = 60 - width * (n_blocks - 1)
     return f"""
 WITH words AS (
   SELECT doc_id,
@@ -3761,8 +3771,11 @@ sh AS (
               AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id),
 blk AS (
-  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
-  FROM sh, generate_series(0, 3) t(b)),
+  SELECT doc_id, simhash, b,
+         (simhash >> ({width} * b))
+         & (CASE WHEN b = {n_blocks - 1} THEN {(1 << last_w) - 1}
+                 ELSE {(1 << width) - 1} END) AS bv
+  FROM sh, generate_series(0, {n_blocks - 1}) t(b)),
 capped AS (
   SELECT * FROM blk
   QUALIFY row_number() OVER (PARTITION BY b, bv ORDER BY doc_id) <= {max_bucket}),

@@ -294,3 +294,69 @@ def test_rrf_and_bm25_empty_input_contracts(spark):
     con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, "
                 "'alpha beta' AS text")
     assert con.execute(bm25_sql([])).fetchall() == []
+
+
+def test_simhash_block_count_guarantees_max_hamming(spark):
+    """(k+1)-block LSH completeness (review r12): EVERY pair within
+    max_hamming=4 appears — the fixed 4-block split missed pairs
+    whose 4 differing bits fell one per block. Brute-force hamming
+    over the sketches is the ground truth."""
+    from icelake_spark.ops.dedup import simhash, simhash_near_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows, rid = [], 0
+    for i in range(len(base)):
+        for rep in ("one", "two"):
+            w = list(base)
+            w[i] = rep
+            rows.append((rid, " ".join(w)))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = {r.doc_id: r.simhash for r in
+          simhash(df, bits=60, portable=True).collect()}
+    want = {(a, b) for a in sk for b in sk if a < b
+            and bin(sk[a] ^ sk[b]).count("1") <= 4}
+    assert want, "fixture produced no close pairs"
+    got = {(r.a, r.b) for r in
+           simhash_near_pairs(df, max_hamming=4, portable=True).collect()}
+    assert want <= got, sorted(want - got)[:10]
+
+
+def test_semdedup_excludes_invalid_vectors(spark):
+    """semdedup applies the shared valid_vectors contract in its
+    ASSIGNMENT pass (review r12): a NaN-element vector previously took
+    cluster 0 from the literal argmin and a NULL vector rode along
+    with a NULL cluster, while the SQL twin excluded both rows."""
+    import numpy as np
+
+    from icelake_spark.ops.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(20)]
+    rows += [(97, None), (98, [float("nan")] + [0.0] * 7),
+             (99, [1.0, None] + [0.0] * 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in
+            semdedup(df, n_clusters=2, portable=True).collect()}
+    assert kept <= set(range(20)), kept  # invalid rows never surface
+    assert len(kept) == 20  # random vectors: nothing near-dup
+
+
+def test_null_text_is_empty_page_family_complete(spark):
+    """repetition_metrics and nb_quality_score were the last two
+    family members whose keep gate went NULL on NULL text (review
+    r12): the row then vanished from BOTH where(keep) and where(~keep)
+    under three-valued logic. NULL text now gates as an empty page
+    (keep = False), like gopher/c4/quality_classifier."""
+    from icelake_spark.ops.text import nb_quality_score, repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day"),
+         (2, None)],
+        "doc_id long, text string")
+    rm = {r.doc_id: r.keep for r in repetition_metrics(df).collect()}
+    assert rm[2] is False and len(rm) == 2, rm
+    nb = {r.doc_id: (r.n_terms, r.keep) for r in
+          nb_quality_score(df).collect()}
+    assert nb[2] == (0, False), nb
