@@ -167,20 +167,26 @@ def build_commit_updates(base: TableMetadata | None,
                      or b_refs[name].snapshot_id != r.snapshot_id
                      or b_refs[name].type != r.type)}
         moved |= {name for name in b_refs if name not in new.refs}
-        # assert 'main' ONLY when this commit moves main or a newly
-        # added snapshot's parent is main's base head (a branch forked
-        # off main in this commit — its lineage genuinely depends on
-        # where main stood). Unconditionally asserting main made every
-        # pure branch commit 409 on unrelated main movement — exactly
-        # the false conflict the comment above promises to avoid
-        # (ADVICE r11; retryable, so liveness not corruption).
+        # assert 'main' ONLY when this commit moves main, or when a
+        # ref CREATED by this commit has its new head parented at
+        # main's base head — i.e. the commit publishes a fork whose
+        # "branch from current main" intent genuinely depends on where
+        # main stands. Unconditionally asserting main made every pure
+        # branch commit 409 on unrelated main movement (ADVICE r11);
+        # and an EXISTING branch extending from a snapshot that merely
+        # equals main's head must not re-assert main either — parent
+        # linkage is by snapshot id, not by where the main ref points
+        # (review r12: the first append after a fork spuriously
+        # conflicted with concurrent main appends).
         main_head = (b_refs["main"].snapshot_id if "main" in b_refs
                      else base.current_snapshot_id)
-        if main_head is not None and any(
-                s.snapshot_id not in b_snap_ids
-                and s.parent_snapshot_id == main_head
-                for s in new.snapshots):
-            moved.add("main")
+        if main_head is not None:
+            new_snap_ids = {s.snapshot_id for s in new.snapshots
+                            if s.snapshot_id not in b_snap_ids
+                            and s.parent_snapshot_id == main_head}
+            if any(name not in b_refs and r.snapshot_id in new_snap_ids
+                   for name, r in new.refs.items()):
+                moved.add("main")
         for name in sorted(moved):
             old_ref = b_refs.get(name)
             requirements.append(assert_ref_requirement(

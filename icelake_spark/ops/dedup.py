@@ -890,8 +890,8 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
 
 
 def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
-                  text_col: str = "text", sort: bool = True,
-                  id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  sort: bool = True) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus: the
     floor micro-fraction of the document's DISTINCT word n-grams that
     appear NOWHERE in the reference — the memorization/overlap

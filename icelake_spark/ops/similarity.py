@@ -738,13 +738,18 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
     dim = len(query)
     if dim % m:
         raise ValueError(f"query dim {dim} not divisible by m={m}")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
     sub = dim // m
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=coarse_iters, seed=seed, portable=portable)
     if not cents:
-        # zero valid vectors (same guard as pq_adc_topk; review r11)
+        # zero valid vectors (same guard as pq_adc_topk; review r11);
+        # the empty frame's schema must match the MODE — rerank mode
+        # promises (id, dist), ADC mode (id, adc) (review r12)
+        out_col = "dist" if rerank is not None else "adc"
         return (df.select(F.col(id_col),
-                          F.lit(None).cast("double").alias("adc"))
+                          F.lit(None).cast("double").alias(out_col))
                 .limit(0))
     v = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
@@ -795,8 +800,6 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
               .orderBy(F.col("adc"), F.col(id_col)))
     if rerank is None:
         return ranked.limit(k)
-    if rerank < k:
-        raise ValueError(f"rerank={rerank} must be >= k={k}")
     shortlist = ranked.limit(rerank).select(id_col)
     qarr = F.array(*[F.lit(float(x)) for x in query])
     ev = F.col(vec_col).cast("array<double>")

@@ -52,6 +52,15 @@ def salted_join(probe: DataFrame, build: DataFrame, on: list[str],
     hot key across `salts` reducers at the cost of a `salts`× larger
     build shuffle — the right trade when |build| ≪ |probe| but build is
     too large (or the planner declines) to broadcast.
+
+    CAVEAT (content-salt limit): rows of a hot key that are
+    BYTE-IDENTICAL across every hashable column share one salt — a
+    key-only projection (e.g. probe.select("k")) gets no spread at
+    all. That is the price of retry-determinism (a per-row id salt
+    re-routes rows on task recomputation — the SPARK-23207
+    lost/duplicated-row class). If your probe is a pure-duplicate
+    projection, keep a distinguishing column in it (any unique id) or
+    pre-aggregate the duplicates before joining.
     """
     if how.lower() not in _SALTABLE:
         raise ValueError(f"salted_join cannot preserve '{how}' semantics; "

@@ -314,8 +314,8 @@ ORDER BY words.doc_id
 # ---------------------------------------------------------- SQL twins
 
 def gopher_repetition(df: DataFrame, text_col: str = "text",
-                      sort: bool = True,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      sort: bool = True) -> DataFrame:
     """The FULL Gopher repetition-filter table (Rae et al. 2021 §A1.1,
     Table A1) — the line- and n-gram-level signals repetition_metrics'
     word/bigram subset doesn't cover:
@@ -640,9 +640,9 @@ def char_entropy_sql(col: str = "text") -> str:
 
 
 def trigram_familiarity(df: DataFrame, text_col: str = "text",
-                        sort: bool = True,
                         id_col: str = "doc_id",
-                        top_k: int = 262144) -> DataFrame:
+                        top_k: int = 262144,
+                        sort: bool = True) -> DataFrame:
     """(doc_id, n_trigrams, familiarity_sum, familiarity): per-document
     character-trigram familiarity against the corpus — the model-free
     CCNet-style quality signal (a char-LM's log-likelihood is a
@@ -746,8 +746,8 @@ ORDER BY doc_id
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
-                 sort: bool = True,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 sort: bool = True) -> DataFrame:
     """Per-document Gopher-style quality rules (the published
     rule-filter family of Rae et al. 2021 §A1.1, as popularized by the
     Gopher/MassiveText and RedPajama/Dolma pipelines):
@@ -878,8 +878,8 @@ FROM m ORDER BY doc_id
 
 
 def c4_rules(df: DataFrame, text_col: str = "text",
-             sort: bool = True,
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id",
+             sort: bool = True) -> DataFrame:
     """C4-style page cleaning (Raffel et al. 2020 §2.2, the rules the
     original C4 corpus was built with), the line-level complement to
     gopher_rules' page-level ratios:
@@ -1171,9 +1171,9 @@ def lm_bigram_score(df: DataFrame, text_col: str = "text",
 
 
 def ccnet_buckets(df: DataFrame, text_col: str = "text",
-                  sort: bool = True,
                   id_col: str = "doc_id",
-                  lang_col: str = "lang") -> DataFrame:
+                  lang_col: str = "lang",
+                  sort: bool = True) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
     2020, arXiv:1911.00359 §4.4): per language, documents sort by LM
     familiarity and split into thirds — `head` is the most LM-familiar

@@ -282,33 +282,47 @@ def test_rest_commit_asserts_every_moved_ref(spark):
                                        {"operation": "append"},
                                        sequence_number=1))
     base = dc_replace(base, refs={
-        "main": SnapshotReference(snap_a, "branch"),
-        "dev": SnapshotReference(snap_a, "branch")})
-    # pure branch move continuing dev's own lineage (parent = dev head)
+        "main": SnapshotReference(snap_a, "branch")})
+    # commit that CREATES dev forked from main's head: "branch from
+    # current main" genuinely depends on where main stands -> main IS
+    # asserted at its base position
     new = base.with_branch_snapshot(
         Snapshot(snap_b, 1000, "/ml2.avro", {"operation": "append"},
                  parent_snapshot_id=snap_a, sequence_number=2), "dev")
     _updates, reqs = build_commit_updates(base, new)
     by_ref = {r["ref"]: r["snapshot-id"] for r in reqs
               if r.get("type") == "assert-ref-snapshot-id"}
-    assert by_ref.get("dev") == snap_a, reqs
-    # ... with parent == main's head too (dev == main here), the fork
-    # anchors at main so main IS asserted at its base position
+    assert "dev" in by_ref and by_ref["dev"] is None, reqs
     assert by_ref.get("main") == snap_a, reqs
 
-    # now main and dev diverge; continuing dev does NOT touch main
-    base2 = dc_replace(new, refs={
+    # EXISTING branch extended — even though the new snapshot's parent
+    # happens to equal main's head, parent linkage is by snapshot id,
+    # not by where main points: main must NOT be asserted (review r12)
+    base2 = dc_replace(base, refs={
         "main": SnapshotReference(snap_a, "branch"),
-        "dev": SnapshotReference(snap_b, "branch")},
-        current_snapshot_id=snap_a)
+        "dev": SnapshotReference(snap_a, "branch")})
     new2 = base2.with_branch_snapshot(
-        Snapshot(333, 2000, "/ml3.avro", {"operation": "append"},
-                 parent_snapshot_id=snap_b, sequence_number=3), "dev")
+        Snapshot(snap_b, 1000, "/ml2.avro", {"operation": "append"},
+                 parent_snapshot_id=snap_a, sequence_number=2), "dev")
     _u2, reqs2 = build_commit_updates(base2, new2)
     by_ref2 = {r["ref"]: r["snapshot-id"] for r in reqs2
                if r.get("type") == "assert-ref-snapshot-id"}
-    assert by_ref2.get("dev") == snap_b, reqs2
+    assert by_ref2.get("dev") == snap_a, reqs2
     assert "main" not in by_ref2, reqs2
+
+    # diverged branches: continuing dev never touches main
+    base3 = dc_replace(new2, refs={
+        "main": SnapshotReference(snap_a, "branch"),
+        "dev": SnapshotReference(snap_b, "branch")},
+        current_snapshot_id=snap_a)
+    new3 = base3.with_branch_snapshot(
+        Snapshot(333, 2000, "/ml3.avro", {"operation": "append"},
+                 parent_snapshot_id=snap_b, sequence_number=3), "dev")
+    _u3, reqs3 = build_commit_updates(base3, new3)
+    by_ref3 = {r["ref"]: r["snapshot-id"] for r in reqs3
+               if r.get("type") == "assert-ref-snapshot-id"}
+    assert by_ref3.get("dev") == snap_b, reqs3
+    assert "main" not in by_ref3, reqs3
     # single-part identifiers fail loudly client-side
     import pytest as _p
 
