@@ -181,6 +181,10 @@ def _run_set(spark, qs, names, sf_dir) -> tuple[dict[str, float], float]:
     return timings, total
 
 
+def _failed(timings: dict[str, float]) -> list[str]:
+    return sorted(n for n, v in timings.items() if v < 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -232,8 +236,16 @@ def main() -> None:
         ext_timings, ext_total = _run_set(spark, qs, ext, sf_dir)
         out["extended"] = ext_timings
         out["extended_total"] = round(ext_total, 3)
+    # a crashed query must not read as a FASTER run: its cost silently
+    # vanished from the total (review r12) — surface the failures in
+    # the JSON and exit nonzero so tooling gates on it
+    failed = _failed(timings) + _failed(out.get("extended", {}))
+    if failed:
+        out["failed"] = failed
     spark.stop()
     print(json.dumps(out))
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -42,10 +42,16 @@ def topk_cosine(df: DataFrame, query: list[float], k: int = 10,
 
     One scan + one global top-k (Spark's TakeOrderedAndProject — no full
     sort, each partition keeps k candidates).
+
+    valid_vectors applies (review r12): a NaN-element embedding makes
+    cos NaN, which Spark's DESC ordering ranks ABOVE every real value —
+    a corrupt vector would sit at #1 of the "exact baseline" and
+    deflate every recall number measured against it.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
     sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
-    return (df.select(F.col(id_col), F.round(sim, 6).alias("cos"))
+    return (valid_vectors(df, vec_col)
+            .select(F.col(id_col), F.round(sim, 6).alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col))
             .limit(k))
 
@@ -239,6 +245,47 @@ def _pq_assign_codes_udf(codebooks: list[list[list[float]]]):
     return assign
 
 
+def _assign_with_dist_udf(cents: list[list[float]]):
+    """Arrow-batched (cluster, squared-distance) assignment for LARGE
+    k — the distance-bearing sibling of _assign_centroids_udf (review
+    r12: kmeans_quality and embedding_outliers always built the k·dim
+    literal distance ARRAY, the exact Catalyst-tree blowup
+    CENTROID_LITERAL_MAX exists to prevent, even when training had
+    already routed through the GEMM lane). One numpy GEMM per Arrow
+    batch: d = ‖x‖² − 2·x·Cᵀ + ‖c‖², argmin + min together; NULL/NaN
+    vectors yield NULL struct fields (the shared null contract);
+    near-zero negative distances clamp to 0.0."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    mat = np.array(cents, dtype=np.float64)
+    cn = (mat * mat).sum(axis=1)
+
+    @pandas_udf(StructType([StructField("c", IntegerType()),
+                            StructField("d", DoubleType())]))
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        cs = np.full(n, None, dtype=object)
+        ds = np.full(n, None, dtype=object)
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            m2 = np.array(vecs[mask].tolist(), dtype=np.float64)
+            valid = ~np.isnan(m2).any(axis=1)
+            rows = m2[valid]
+            if rows.shape[0]:
+                d = ((rows * rows).sum(axis=1)[:, None]
+                     - 2.0 * (rows @ mat.T) + cn[None, :])
+                am = np.argmin(d, axis=1)
+                dm = d[np.arange(rows.shape[0]), am]
+                for i, c, dd in zip(np.nonzero(mask)[0][valid], am, dm):
+                    cs[i] = int(c)
+                    ds[i] = float(max(dd, 0.0))
+        return pd.DataFrame({"c": cs, "d": ds})
+
+    return assign
+
+
 def nearest_centroid_col(vec: Column, cents: list[tuple[int, list[float]]],
                          portable: bool = False) -> Column:
     """Route centroid assignment by k: the Catalyst-literal distance
@@ -366,21 +413,24 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
                                portable=portable)
         cents = list(enumerate(trained))
     else:
-        # sample ordering via md5 hex (portable_hash ordering): identical
-        # in DuckDB, so the sampled-centroid index is oracle-checkable —
-        # xxhash64 would be equally good but engine-specific
-        sample = [r[0] for r in
-                  df.select(vec_col)
-                  .orderBy(F.md5(F.concat_ws(
-                      ":", F.col(id_col).cast("string"), F.lit(seed))))
-                  .limit(n_centroids).collect()]
-        cents = [(i, [float(x) for x in c]) for i, c in enumerate(sample)]
+        # the ONE shared sampler (review r12): this was an inline copy
+        # of _sample_init that skipped valid_vectors, so a NULL
+        # embedding whose md5(id:seed) sorted into the first
+        # n_centroids crashed the driver (float(None)) and a
+        # NaN-element one silently became a garbage centroid.
+        # _sample_init is portable-ordered (md5) and filters invalids.
+        sample = _sample_init(df, vec_col, id_col, n_centroids, seed,
+                              portable=True)
+        cents = list(enumerate(sample))
 
     v = F.col(vec_col).cast("array<double>")
     # materialize the distance array via an intermediate column so
     # array_min/array_position don't re-evaluate 16 aggregates each;
-    # repartition first so assignment doesn't run in the one-task scan
-    assigned = (fanout(df, F.col(id_col))
+    # repartition first so assignment doesn't run in the one-task scan.
+    # valid_vectors applies here too (review r12): a NaN-element
+    # vector's NaN cos sorts FIRST under DESC and displaced real
+    # neighbors from the probed-cell ranking.
+    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
                 .select(F.col(id_col), v.alias("__v"))
                 .withColumn("__c", nearest_centroid_col(
                     F.col("__v"), cents, portable=portable)))
@@ -459,6 +509,12 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     per-element math is one F.transform (JVM-side, no shuffle at all);
     FLOOR before the int cast keeps Spark and DuckDB identical (their
     float→int casts round differently).
+
+    valid_vectors applies (review r12): for a NaN element Spark's
+    null-skipping floor/greatest silently emitted code 0 with a NaN
+    recon_err while the DuckDB twin ERRORED on CAST(FLOOR(nan) AS
+    INT) — a structural engine divergence; the r11 contract says
+    invalid vectors are excluded, not half-encoded.
     """
     step = (hi - lo) / 256.0
     v = F.col(vec_col).cast("array<double>")
@@ -468,7 +524,8 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         lambda c: c.cast("double") * step + (lo + step / 2.0))
     err = F.round(F.array_max(F.zip_with(
         F.col("__v"), recon, lambda x, r: F.abs(x - r))), 6)
-    return (df.select(F.col(id_col), v.alias("__v"))
+    return (valid_vectors(df, vec_col)
+            .select(F.col(id_col), v.alias("__v"))
             .withColumn("q", q)
             .select(F.col(id_col), "q", err.alias("recon_err"))
             .orderBy(id_col))
@@ -477,7 +534,9 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
 def quantize_embeddings_sql(lo: float = -4.0, hi: float = 4.0) -> str:
     step = (hi - lo) / 256.0
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+                 x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0),
 q AS (
   SELECT vec_id, e,
          [LEAST(255, GREATEST(0, CAST(FLOOR((x - ({lo})) / {step}) AS INT)))
@@ -874,15 +933,24 @@ def kmeans_quality(df: DataFrame, vec_col: str = "embedding",
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=train_iters, seed=seed, portable=portable)
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[
-        F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x)
-        for c in cents])
-    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-                .select((F.array_position(dists, F.array_min(dists)) - 1)
-                        .cast("int").alias("cluster"),
-                        F.array_min(dists).alias("__dd")))
+    base = fanout(valid_vectors(df, vec_col), F.col(id_col))
+    if not portable and len(cents) > CENTROID_LITERAL_MAX:
+        # GEMM (cluster, distance) lane — the k·dim literal array below
+        # is the Catalyst-tree blowup CENTROID_LITERAL_MAX guards
+        assigned = (base.select(_assign_with_dist_udf(cents)(v)
+                                .alias("__cd"))
+                    .select(F.col("__cd.c").alias("cluster"),
+                            F.col("__cd.d").alias("__dd")))
+    else:
+        dists = F.array(*[
+            F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            for c in cents])
+        assigned = (base
+                    .select((F.array_position(dists, F.array_min(dists)) - 1)
+                            .cast("int").alias("cluster"),
+                            F.array_min(dists).alias("__dd")))
     got = (assigned.groupBy("cluster")
            .agg(F.count("*").cast("long").alias("n"),
                 F.sum(F.round(F.col("__dd"), 6).cast("decimal(24,6)"))
@@ -1099,14 +1167,23 @@ def embedding_outliers(df: DataFrame, k: int = 20,
                           F.lit(None).cast("double").alias("dist"))
                 .limit(0))
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[
-        F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x)
-        for c in cents])
-    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-                .select(F.col(id_col),
-                        (F.array_position(dists, F.array_min(dists)) - 1)
-                        .cast("int").alias("cluster"),
-                        F.round(F.array_min(dists), 6).alias("dist")))
+    base = fanout(valid_vectors(df, vec_col), F.col(id_col))
+    if not portable and len(cents) > CENTROID_LITERAL_MAX:
+        assigned = (base.select(F.col(id_col),
+                                _assign_with_dist_udf(cents)(v)
+                                .alias("__cd"))
+                    .select(F.col(id_col),
+                            F.col("__cd.c").alias("cluster"),
+                            F.round(F.col("__cd.d"), 6).alias("dist")))
+    else:
+        dists = F.array(*[
+            F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            for c in cents])
+        assigned = (base
+                    .select(F.col(id_col),
+                            (F.array_position(dists, F.array_min(dists)) - 1)
+                            .cast("int").alias("cluster"),
+                            F.round(F.array_min(dists), 6).alias("dist")))
     return (assigned.orderBy(F.desc("dist"), F.col(id_col)).limit(k))

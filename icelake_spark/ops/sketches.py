@@ -80,7 +80,9 @@ def theta_distinct(df: DataFrame, col: str, group_col: str,
 def theta_distinct_sql(col: str, group_col: str, table: str,
                        sample_den: int = 16) -> str:
     thr = HASH_SPACE // sample_den
-    h = f"CAST('0x' || substring(md5({col}), 1, 15) AS BIGINT)"
+    # the ONE shared hash constant — an inline copy here is exactly
+    # the drift _lane_hashes' docstring warns about (review r12)
+    h = PORTABLE_HASH60_SQL.format(x=col)
     return f"""
 WITH kept AS (
   SELECT {group_col}, COUNT(DISTINCT h) AS kept FROM (
@@ -253,7 +255,14 @@ def hll_distinct(df: DataFrame, col: str, group_col: str) -> DataFrame:
     int->double conversion and one IEEE division — no order-dependent
     float accumulation. Small-range correction (linear counting when
     est <= 2.5m and empty registers exist) matches the reference
-    algorithm."""
+    algorithm.
+
+    Returns a row for EVERY group present in the input: a group whose
+    values are all NULL surfaces as the EMPTY sketch (32 zero
+    registers, the empty harmonic sum, est 0.0) instead of vanishing
+    (review r12 — the same vanishing-groups contract theta_distinct /
+    quantile_sketch / histogram_quantiles carry; a per-group monitor
+    must read "~0 distinct", never "no group")."""
     regs = hll_registers(df, col, group_col)
     # shiftleft by a COLUMN amount is SQL-only (the pyspark wrapper
     # takes an int), hence the expr
@@ -270,8 +279,22 @@ def hll_distinct(df: DataFrame, col: str, group_col: str) -> DataFrame:
         F.lit(float(_HLL_M)) / F.col("zero_registers").cast("double"))
     est = F.when((F.col("zero_registers") > 0)
                  & (raw <= F.lit(2.5 * _HLL_M)), linear).otherwise(raw)
-    return per_group.select(group_col, "zero_registers", "sum_scaled",
-                            est.alias("est_distinct"))
+    out = per_group.select(group_col, "zero_registers", "sum_scaled",
+                          est.alias("est_distinct"))
+    groups = df.select(group_col).distinct()
+    empty_sum = _HLL_M * (1 << _HLL_SHIFT)
+    return (groups.alias("__g")
+            .join(out.alias("__o"),
+                  F.col(f"__g.{group_col}")
+                  .eqNullSafe(F.col(f"__o.{group_col}")), "left")
+            .select(F.col(f"__g.{group_col}").alias(group_col),
+                    F.coalesce("zero_registers", F.lit(_HLL_M))
+                    .cast("int").alias("zero_registers"),
+                    F.coalesce("sum_scaled", F.lit(empty_sum))
+                    .cast("long").alias("sum_scaled"),
+                    # empty sketch -> linear count of 32 zero regs = 0.0
+                    F.coalesce("est_distinct", F.lit(0.0))
+                    .alias("est_distinct")))
 
 
 def hll_distinct_sql(col: str, group_col: str, table: str) -> str:
@@ -295,14 +318,25 @@ grp AS (
               + ({_HLL_M} - COUNT(*))
               * (CAST(1 AS BIGINT) << {_HLL_SHIFT}) AS BIGINT)
            AS sum_scaled
-  FROM regs GROUP BY 1)
-SELECT {group_col}, zero_registers, sum_scaled,
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT {group_col}, zero_registers, sum_scaled,
        CASE WHEN zero_registers > 0
                  AND {num} / CAST(sum_scaled AS DOUBLE) <= {2.5 * _HLL_M}
             THEN {float(_HLL_M)!r}
                  * ln({float(_HLL_M)!r} / CAST(zero_registers AS DOUBLE))
             ELSE {num} / CAST(sum_scaled AS DOUBLE) END AS est_distinct
-FROM grp ORDER BY {group_col}
+  FROM grp)
+SELECT g.{group_col},
+       CAST(COALESCE(e.zero_registers, {_HLL_M}) AS INTEGER)
+         AS zero_registers,
+       CAST(COALESCE(e.sum_scaled,
+                     CAST({_HLL_M} AS BIGINT) << {_HLL_SHIFT}) AS BIGINT)
+         AS sum_scaled,
+       COALESCE(e.est_distinct, 0.0) AS est_distinct
+FROM (SELECT DISTINCT {group_col} FROM {table}) g
+LEFT JOIN est e ON g.{group_col} IS NOT DISTINCT FROM e.{group_col}
+ORDER BY g.{group_col}
 """
 
 
@@ -313,9 +347,16 @@ def bloom_bits(df: DataFrame, col: str, k: int = 4,
     """Bit positions set by `col`'s values under k affine md5 lanes
     into m bits: a one-column (bit) DataFrame of at most m rows — the
     whole filter is kilobytes regardless of corpus size, and two
-    filters union by DISTINCT."""
+    filters union by DISTINCT.
+
+    NULL values are EXCLUDED (review r12): a NULL key hashes to NULL
+    lanes and the resulting NULL bit would crash
+    bloom_maybe_contains' map build ("Cannot use null as map key") —
+    and the documented probe contract is already NULL-is-not-present,
+    so a NULL can never need a bit."""
     h0, h1 = _lane_hashes(F.col(col))
-    hashed = df.select(h0.alias("__h0"), h1.alias("__h1"))
+    hashed = df.where(F.col(col).isNotNull()) \
+        .select(h0.alias("__h0"), h1.alias("__h1"))
     lanes = hashed.select(
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("lane"),
         "__h0", "__h1")

@@ -3451,12 +3451,16 @@ def _ann_topk_sql(k: int = 20) -> str:
 WITH q AS (SELECT [CASE WHEN (i % 2) = 0 THEN 1.0 ELSE -0.5 END
                    for i in generate_series(0, 63)] AS qv),
 sims AS (
+  -- valid_vectors mirror (review r12): a NaN-element vector's NaN cos
+  -- sorts FIRST under DESC in both engines and would displace real
+  -- neighbors from the exact baseline
   SELECT vec_id,
          list_dot_product(CAST(embedding AS DOUBLE[]), qv)
          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[])))
             * sqrt(list_dot_product(qv, qv))) AS sim
-  FROM embeddings, q)
+  FROM embeddings, q
+  WHERE {_VALID_VEC_WHERE})
 SELECT vec_id, ROUND(sim, 6) AS cos
 FROM sims ORDER BY cos DESC, vec_id LIMIT {k}
 """

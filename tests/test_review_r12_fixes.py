@@ -360,3 +360,90 @@ def test_null_text_is_empty_page_family_complete(spark):
     nb = {r.doc_id: (r.n_terms, r.keep) for r in
           nb_quality_score(df).collect()}
     assert nb[2] == (0, False), nb
+
+
+def test_sketch_lanes_null_value_contracts(spark):
+    """bloom_bits excludes NULL values (a NULL bit crashed
+    bloom_maybe_contains' map build with 'null as map key');
+    hll_distinct restores all-NULL-value groups as the EMPTY sketch
+    (32 zero registers, est 0.0) instead of vanishing them — and the
+    DuckDB twin agrees (review r12)."""
+    import duckdb
+
+    from icelake_spark.ops.sketches import (bloom_bits, bloom_maybe_contains,
+                                            hll_distinct, hll_distinct_sql)
+
+    ref = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    bits = bloom_bits(ref, "k")
+    probes = spark.createDataFrame([(1, "a"), (2, None), (3, "zz")],
+                                   "pid long, k string")
+    got = {r.pid: r.maybe_dup for r in
+           bloom_maybe_contains(probes, "k", bits).collect()}
+    assert got[1] is True and got[2] is False, got
+
+    df = spark.createDataFrame(
+        [("live", "x"), ("live", "y"), ("dead", None), (None, "z")],
+        "g string, v string")
+    rows = {r.g: (r.zero_registers, r.est_distinct) for r in
+            hll_distinct(df, "v", "g").collect()}
+    assert set(rows) == {"live", "dead", None}, rows
+    assert rows["dead"] == (32, 0.0), rows
+    assert rows["live"][1] > 0 and rows[None][1] > 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "('live','x'),('live','y'),('dead',NULL),(NULL,'z')) "
+                "v(g, v)")
+    ora = {r[0]: (r[1], r[3]) for r in
+           con.execute(hll_distinct_sql("v", "g", "t")).fetchall()}
+    assert ora == rows, (ora, rows)
+
+
+def test_embedding_lanes_exclude_invalid_vectors(spark):
+    """topk_cosine, quantize_embeddings, and ivf_topk's untrained
+    sampler all honor the valid_vectors contract (review r12): a NaN
+    cos no longer ranks #1 of the exact baseline, quantize neither
+    half-encodes NaN nor structurally diverges from its twin, and a
+    NULL embedding in the md5-sample window no longer crashes the
+    driver."""
+    from icelake_spark.ops.similarity import (ivf_topk, quantize_embeddings,
+                                              topk_cosine)
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(12)]
+    rows += [(90, None), (91, [float("nan")] + [0.0] * 7),
+             (92, [None, 1.0] + [0.0] * 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0] * 8
+    top = [r.vec_id for r in topk_cosine(df, q, k=5).collect()]
+    assert set(top) <= set(range(12)), top
+    qz = {r.vec_id for r in quantize_embeddings(df).collect()}
+    assert qz == set(range(12)), qz
+    # untrained (train_iters=0) sampler: ids 90-92 hash wherever md5
+    # puts them; the sample must skip them instead of float(None)
+    got = ivf_topk(df, q, k=3, n_centroids=4, nprobe=4,
+                   train_iters=0).collect()
+    assert len(got) == 3 and all(r.vec_id < 90 for r in got), got
+
+
+def test_assign_with_dist_gemm_matches_literal(spark):
+    """The new distance-bearing GEMM assigner equals the literal
+    distance-array lane exactly on integer-valued vectors (both
+    formulations are exact in float64), including NULL/NaN rows
+    yielding NULL fields — so kmeans_quality / embedding_outliers can
+    route k > CENTROID_LITERAL_MAX without the Catalyst literal-tree
+    blowup (review r12)."""
+    from icelake_spark.ops.similarity import _assign_with_dist_udf
+
+    cents = [[0.0, 0.0, 0.0], [10.0, 0.0, -3.0], [-5.0, 2.0, 7.0]]
+    rows = [(i, [float((i * 7) % 11 - 5), float(i % 4), float(-i % 6)])
+            for i in range(30)]
+    rows += [(90, None), (91, [float("nan"), 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st = _assign_with_dist_udf(cents)(F.col("embedding")).alias("cd")
+    got = {r.vec_id: (r["cd"]["c"], r["cd"]["d"]) for r in
+           df.select("vec_id", st).collect()}
+    for i, v in rows[:30]:
+        ds = [sum((x - c) * (x - c) for x, c in zip(v, cc))
+              for cc in cents]
+        want = (ds.index(min(ds)), min(ds))
+        assert got[i] == want, (i, got[i], want)
+    assert got[90] == (None, None) and got[91] == (None, None)

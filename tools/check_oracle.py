@@ -35,13 +35,23 @@ def norm_cell(v) -> str:
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        # length-prefixed elements: an unescaped "," join would hash
+        # ['a,b'] and ['a','b'] identically (review r12)
+        return "[" + ",".join(f"{len(c)}:{c}"
+                              for c in (norm_cell(x) for x in v)) + "]"
     return str(v)
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    """Order-insensitive multiset hash. Cells are LENGTH-PREFIXED
+    before joining (review r12): with a bare "|" join, rows
+    ('a|b','c') and ('a','b|c') — or a newline inside a string cell —
+    serialized identically and a real divergence could hash OK."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "|".join(f"{len(c)}:{c}"
+                 for c in (norm_cell(r[i]) for i in order))
+        for r in rows)
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -64,6 +74,11 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = queries(), oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must FAIL, not silently check nothing (r12)
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
