@@ -110,8 +110,10 @@ EXTENDED = [
     "ngram_novelty",
     "embedding_outliers",
     # round-12: IVFADC + exact re-rank (Jegou §V two-stage) — the
-    # deployment GEMM lane with a 60-id shortlist re-scored exactly
+    # deployment GEMM lane with a 60-id shortlist re-scored exactly —
+    # and last-touch attribution (one per-user window + bounded agg)
     "ivf_pq_rerank",
+    "event_attribution",
 ]
 
 

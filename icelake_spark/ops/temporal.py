@@ -525,3 +525,108 @@ SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
 FROM pairs CROSS JOIN tot
 ORDER BY n DESC, prev_type, event_type LIMIT {k}
 """
+
+
+def event_attribution(df: DataFrame, conversion: str = "purchase",
+                      touches: list[str] | None = None,
+                      lookback_hours: int = 72,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """LAST-TOUCH attribution: for every conversion event, the most
+    recent touch event (type in `touches`) by the SAME user at or
+    before the conversion and within `lookback_hours`; conversions
+    with no qualifying touch attribute to 'organic'. Returns
+    (touch_type, n_conversions, share_micro) ordered by
+    (n DESC, touch_type) — the channel-credit report every
+    product/marketing analytics deployment runs on its event log.
+
+    Semantics and engine exactness: the per-user timeline orders by
+    (ts NULLS LAST, is-conversion, type, event_id) — a touch at the
+    conversion's exact timestamp COUNTS (<= semantics, touches sort
+    before conversions at equal ts), ties among simultaneous touches
+    resolve deterministically by (type, event_id), the lookback test
+    is EXACT integer microseconds (the micro-units idiom), and
+    share_micro is the floor micro-share of ALL conversions.
+    NULL-timestamp touches cannot attribute (excluded up front);
+    NULL-timestamp conversions have no age and report 'organic'.
+
+    Scale shape: ONE window partitioned by user (a power user is one
+    task's sort, never a global one — the event_paths/sessionize
+    shape), then a touch-vocabulary-bounded aggregate and a one-row
+    broadcast total. No joins against the corpus."""
+    from pyspark.sql import Window
+
+    touches = touches if touches is not None else ["view", "click"]
+    ev = df.where(
+        (F.col(type_col) == conversion)
+        | (F.col(type_col).isin(touches) & F.col(ts_col).isNotNull()))
+    is_conv = (F.col(type_col) == conversion).cast("int")
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc_nulls_last(), is_conv.asc(),
+                  F.col(type_col), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    touch = F.when(
+        F.col(type_col).isin(touches),
+        F.struct(F.col(ts_col).alias("t"),
+                 F.col(type_col).alias("ty")))
+    tagged = (ev.withColumn("__last", F.last(touch, ignorenulls=True)
+                            .over(w))
+              .where(F.col(type_col) == conversion))
+    # cast NTZ -> timestamp for unix_micros (UTC session, the
+    # events_sessionize precedent — exact integer microseconds)
+    age_us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+              - F.unix_micros(F.col("__last.t").cast("timestamp")))
+    bound = int(lookback_hours) * 3600 * 1_000_000
+    attributed = F.when(
+        F.col("__last").isNotNull() & (age_us <= F.lit(bound)),
+        F.col("__last.ty")).otherwise(F.lit("organic"))
+    counts = (tagged.select(attributed.alias("touch_type"))
+              .groupBy("touch_type")
+              .agg(F.count("*").cast("long").alias("n_conversions")))
+    total = counts.agg(F.sum("n_conversions").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("touch_type", "n_conversions",
+                    F.expr("n_conversions * 1000000 DIV __t")
+                    .alias("share_micro"))
+            .orderBy(F.desc("n_conversions"), "touch_type"))
+
+
+def event_attribution_sql(conversion: str = "purchase",
+                          touches: list[str] | None = None,
+                          lookback_hours: int = 72,
+                          table: str = "events") -> str:
+    """DuckDB twin of event_attribution — same timeline order, same
+    integer-microsecond lookback, same floor micro-shares."""
+    touches = touches if touches is not None else ["view", "click"]
+    tl = ", ".join(f"'{t}'" for t in touches)
+    bound = int(lookback_hours) * 3600 * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN event_type = '{conversion}' THEN 1 ELSE 0 END
+           AS is_conv
+  FROM {table}
+  WHERE event_type = '{conversion}'
+     OR (event_type IN ({tl}) AND ts IS NOT NULL)),
+tagged AS (
+  SELECT user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type IN ({tl})
+                         THEN struct_pack(t := ts, ty := event_type)
+                    END IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts NULLS LAST, is_conv, event_type, event_id
+             ROWS UNBOUNDED PRECEDING) AS last_touch
+  FROM ev),
+conv AS (
+  SELECT CASE WHEN last_touch IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(last_touch.t) <= {bound}
+              THEN last_touch.ty ELSE 'organic' END AS touch_type
+  FROM tagged WHERE event_type = '{conversion}'),
+counts AS (
+  SELECT touch_type, COUNT(*) AS n FROM conv GROUP BY touch_type),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT touch_type, CAST(n AS BIGINT) AS n_conversions,
+       CAST(n * 1000000 // tot.t AS BIGINT) AS share_micro
+FROM counts CROSS JOIN tot
+ORDER BY n_conversions DESC, touch_type
+"""

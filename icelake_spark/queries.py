@@ -5411,6 +5411,18 @@ def event_paths_q(spark, sf_dir):
     return event_paths(load(spark, sf_dir, "events"), k=25)
 
 
+def event_attribution_q(spark, sf_dir):
+    """LAST-TOUCH attribution (ops/temporal.py event_attribution):
+    every purchase credits the most recent view/click by the same user
+    within 72 h (exact integer-microsecond lookback, deterministic
+    (ts, is-conv, type, id) tie order); no qualifying touch ->
+    'organic'. One per-user window + a vocabulary-bounded aggregate —
+    the channel-credit report of every product-analytics deployment."""
+    from .ops.temporal import event_attribution
+
+    return event_attribution(load(spark, sf_dir, "events"))
+
+
 def heavy_hitters_q(spark, sf_dir):
     """Exact heavy hitters over document words with the count-min
     upper bound surfaced (ops/sketches.py heavy_hitters): words at
@@ -5765,9 +5777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-row window ------------------------------
         # -- r12 additions/touches leading the r13 window (accepted
         #    pattern; see docstring): the NEW ivf_pq_rerank row (its code
-        #    path is in-window via ann_recall's rerank lane), then the
-        #    three output-identity r12 touches, all sweep-green
+        #    path is in-window via ann_recall's rerank lane) and the NEW
+        #    event_attribution row (last-touch channel credit — planted
+        #    pytest + split-drain mergeability proof + full-sweep green),
+        #    then the three output-identity r12 touches, all sweep-green
         "ivf_pq_rerank": ivf_pq_rerank_q,
+        "event_attribution": event_attribution_q,
         "ivf_pq_topk": ivf_pq_topk_q,
         "theta_distinct": theta_distinct_q,
         "histogram_quantiles": histogram_quantiles_q,
@@ -5897,6 +5912,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_sql(),
         "ivf_pq_topk": _ivf_pq_sql(),
         "ivf_pq_rerank": _ivf_pq_rerank_sql(),
+        "event_attribution": _temporal.event_attribution_sql(),
         "event_paths": _temporal.event_paths_sql(25),
         "histogram_quantiles": _sketches_hist_sql(),
         "hard_negatives": _hard_negatives_sql(),

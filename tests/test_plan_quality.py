@@ -526,3 +526,16 @@ def test_novelty_and_outliers_plan_properties(spark):
     # one exchange only: the fanout repartition (assignment must not
     # run inside a one-task scan); no shuffle for the top-k
     assert p2.count("Exchange") <= 2  # fanout + AQE final stage
+
+
+def test_event_attribution_plan_properties(spark):
+    """event_attribution keeps its shape: one per-user window (no
+    corpus-wide window partition), a broadcast one-row total, no
+    Python, no sort-merge join."""
+    from icelake_spark import queries as Q
+
+    p = _plan(Q.event_attribution_q(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "windowspecdefinition(user_id" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

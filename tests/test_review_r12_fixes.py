@@ -447,3 +447,115 @@ def test_assign_with_dist_gemm_matches_literal(spark):
         want = (ds.index(min(ds)), min(ds))
         assert got[i] == want, (i, got[i], want)
     assert got[90] == (None, None) and got[91] == (None, None)
+
+
+def test_event_attribution_semantics(spark):
+    """event_attribution planted cases: last touch wins over earlier
+    ones, the lookback expires exactly at the boundary (integer
+    microseconds — at 72h it still counts, past it it does not),
+    same-timestamp touches count (<= semantics), cross-user touches
+    never bleed, no-touch conversions are 'organic', and a NULL-ts
+    touch cannot attribute."""
+    from datetime import datetime, timedelta
+
+    from icelake_spark.ops.temporal import event_attribution
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: view then click then purchase -> click (last touch)
+        (1, 1, "view", t0), (2, 1, "click", t0 + h),
+        (3, 1, "purchase", t0 + 2 * h),
+        # user 2: touch exactly 72h before -> still counts
+        (4, 2, "view", t0), (5, 2, "purchase", t0 + 72 * h),
+        # user 3: touch 72h + 1us before -> organic
+        (6, 3, "view", t0),
+        (7, 3, "purchase", t0 + 72 * h + timedelta(microseconds=1)),
+        # user 4: touch at the SAME timestamp as the purchase -> counts
+        (8, 4, "click", t0), (9, 4, "purchase", t0),
+        # user 5: no touches at all -> organic
+        (10, 5, "purchase", t0),
+        # user 6: only a NULL-ts touch -> organic
+        (11, 6, "view", None), (12, 6, "purchase", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    got = {r.touch_type: r.n_conversions for r in
+           event_attribution(df).collect()}
+    assert got == {"click": 2, "view": 1, "organic": 3}, got
+    shares = {r.touch_type: r.share_micro for r in
+              event_attribution(df).collect()}
+    assert shares["click"] == 2 * 1_000_000 // 6
+
+
+def test_streaming_event_attribution_counts_sum_equals_batch(
+        spark, warehouse, tmp_path):
+    """event_attribution is streaming-mergeable by the event_paths
+    carry argument: per-user LAST-TOUCH state carries across batches,
+    credited counts SUM — valid under in-order per-user delivery. A
+    conversion whose touch arrived in the PREVIOUS batch attributes
+    correctly only through the carry."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.temporal import event_attribution
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+
+    # ts rides as epoch-SECONDS LONG through the DSv2 Arrow lane (the
+    # events_funnel test precedent: no nanosecond-timestamp transport)
+    # and converts to a real timestamp only for the batch operator
+    def mk_long(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts long")
+
+    def mk_ts(rows):
+        return mk_long(rows).withColumn(
+            "ts", F.to_timestamp(F.col("ts")))
+
+    base = 1_709_290_000
+    t = lambda m: base + 60 * m  # noqa: E731
+    b1 = [(1, 1, "view", t(0)), (2, 1, "purchase", t(5)),
+          (3, 2, "click", t(7))]
+    b2 = [(4, 2, "purchase", t(11)),      # touch came in batch 1
+          (5, 3, "purchase", t(12))]      # organic
+
+    raw = warehouse.create_table("db.attr_raw",
+                                 S.from_spark(mk_long(b1).schema))
+    raw.append(mk_long(b1))
+    raw = raw.refresh()
+
+    counts: dict = {}
+    last: dict = {}
+    bound = 72 * 3600
+
+    def merge(batch_df, _bid):
+        rows = sorted(((r.user_id, r.ts, r.event_type)
+                       for r in batch_df.collect()),
+                      key=lambda x: (x[0], x[1]))
+        for u, ts, ty in rows:
+            if ty in ("view", "click") and ts is not None:
+                last[u] = (ts, ty)
+            elif ty == "purchase":
+                lt = last.get(u)
+                key = (lt[1] if lt and ts is not None
+                       and ts - lt[0] <= bound else "organic")
+                counts[key] = counts.get(key, 0) + 1
+
+    ck = str(tmp_path / "attrck")
+    _drain = __import__("tests.test_streaming_curation",
+                        fromlist=["_drain_foreach"])._drain_foreach
+    _drain(spark, raw.path, ck, merge)
+    raw.append(mk_long(b2))
+    raw = raw.refresh()
+    _drain(spark, raw.path, ck, merge)
+
+    total = sum(counts.values())
+    merged = sorted(((k, n, n * 1_000_000 // total)
+                     for k, n in counts.items()),
+                    key=lambda x: (-x[1], x[0]))
+    full = [tuple(r) for r in
+            event_attribution(mk_ts(b1 + b2)).collect()]
+    assert merged == full, (merged, full)
+    assert counts.get("click") == 1  # the cross-batch attribution
