@@ -348,10 +348,19 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
         df = df.withColumn("__file_c", _canon_col(F.col("__file"))) \
                .join(F.broadcast(seq_df), on="__file_c", how="left")
     out = None
-    groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
+    # group by key-set AND the delete file's partition tuple — the
+    # same spec scoping the read path applies (review r12): a
+    # partitioned eq-delete file tombstones only its own partition's
+    # data files, so its delete EVENTS must not claim same-keyed rows
+    # elsewhere either
+    from .planning import canonical_partition
+
+    groups: dict[tuple, list[DeleteFileTask]] = {}
     for t in eq:
-        groups.setdefault(tuple(t.delete_file.equality_ids or ()), []).append(t)
-    for eq_ids, tasks in groups.items():
+        gk = (tuple(t.delete_file.equality_ids or ()),
+              canonical_partition(t.delete_file.partition or None))
+        groups.setdefault(gk, []).append(t)
+    for (eq_ids, part_key), tasks in groups.items():
         keys = spark.read.option("mergeSchema", "true").parquet(
             *[_spark_path(t.delete_file.file_path) for t in tasks])
         if table is not None and eq_ids:
@@ -398,7 +407,16 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
         for c in key_cols:
             term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
             cond = term if cond is None else (cond & term)
-        matched = (df.where(F.col("__data_seq") < F.lit(min_seq))
+        scoped_df = df
+        if part_key != canonical_partition(None):
+            from .planning import canon_data_path as _cdp
+            scoped = [_cdp(t.data_file.file_path) for t in data
+                      if canonical_partition(t.data_file.partition
+                                             or None) == part_key]
+            if not scoped:
+                continue
+            scoped_df = df.where(F.col("__file_c").isin(scoped))
+        matched = (scoped_df.where(F.col("__data_seq") < F.lit(min_seq))
                    .join(rhs, on=cond, how="left_semi"))
         out = matched if out is None else out.unionByName(matched)
     if out is None:

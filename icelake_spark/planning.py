@@ -119,10 +119,12 @@ def resolve_path(table_path: str, path: str) -> str:
 # ------------------------------------------------------------- predicates
 
 
-#  '==' must precede '=' in the alternation: with '=' first, a
-# no-space "a=='x'" parses as op '=' with literal "='x'" and the
-# corrupted literal PRUNES files that match (silent data loss)
-_OP_RE = re.compile(r"^(\w+)\s*(<=|>=|!=|==|=|<|>)\s*(.+)$")
+#  '==' must precede '=' and '<>' must precede '<' in the alternation:
+# with '=' first, a no-space "a=='x'" parses as op '=' with literal
+# "='x'"; with '<' first, "a<>'x'" parses as op '<' with literal
+# ">'x'" — either corrupted literal PRUNES files that match (silent
+# data loss; review r12 added the '<>' spelling)
+_OP_RE = re.compile(r"^(\w+)\s*(<=|>=|!=|<>|==|=|<|>)\s*(.+)$")
 
 
 def _split_top_level(text: str, word: str) -> list[str]:
@@ -208,10 +210,22 @@ def parse_stats_preds(filter_str: str | None, schema: Schema,
             m = _OP_RE.match(c.strip())
             if not m:
                 continue
-            col, op, lit = (m.group(1), m.group(2).replace("==", "="),
+            col, op, lit = (m.group(1),
+                            m.group(2).replace("==", "=")
+                            .replace("<>", "!="),
                             m.group(3).strip())
-            if re.search(r"\s", lit.strip("'\"")) \
-                    and not lit.startswith(("'", '"')):
+            if lit.startswith(("'", '"')):
+                # a quoted literal must be EXACTLY one clean quoted
+                # string ('' doubling allowed, no backslash escapes —
+                # the quote trackers don't unescape those): anything
+                # trailing (absorbed AND clauses, || concats) or
+                # backslash-bearing is unparseable and must NOT become
+                # a pruning predicate (review r12 — corrupt string
+                # preds silently dropped matching files)
+                q = lit[0]
+                if not re.match(rf"^{q}(?:[^{q}\\]|{q}{q})*{q}$", lit):
+                    continue
+            elif re.search(r"\s", lit):
                 continue  # trailing junk — not a simple conjunct
             f = schema.field_by_name(col)
             if f is None or not isinstance(f.field_type, PrimitiveType):
@@ -275,11 +289,22 @@ def _coerce_filter_value(v: Any, t: PrimitiveType) -> Any:
     if n == "date":
         return dt.date.fromisoformat(v)
     if n in ("timestamp", "timestamptz"):
-        return dt.datetime.fromisoformat(v)
+        out = dt.datetime.fromisoformat(v)
+        if n == "timestamptz" and out.tzinfo is None:
+            # match _parse_literal: decoded tz bounds are UTC-AWARE,
+            # and a naive!=aware compare either crashes pruning or
+            # silently prunes every file (review r12)
+            out = out.replace(tzinfo=dt.timezone.utc)
+        return out
     if n in ("int", "long"):
         return int(v)
     if n in ("float", "double"):
         return float(v)
+    if n == "decimal":
+        from decimal import Decimal
+        return Decimal(v)
+    if n == "boolean":
+        return v.lower() == "true"
     return v
 
 
@@ -416,9 +441,14 @@ def prune_manifests(mles: list[ManifestListEntry], metadata: TableMetadata,
                 continue
             try:
                 lo, hi = decode_bound(t, bytes(lo_b)), decode_bound(t, bytes(hi_b))
+                drop = v < lo or v > hi
             except Exception:
+                # decode failure OR a type-mismatched comparison (the
+                # compare sat OUTSIDE this try and crashed planning on
+                # e.g. naive-vs-aware datetimes; review r12): bounds
+                # unusable -> manifest kept
                 continue
-            if v < lo or v > hi:
+            if drop:
                 keep = False
                 break
         if keep:
@@ -488,18 +518,29 @@ def canon_data_path(p: str) -> str:
     backups) resolves its PLANNED paths to the new root, so comparing
     raw absolute paths silently stops applying deletes. Both sides of
     every delete match must go through this form (Spark twin:
-    `canon_data_path_col`)."""
+    `canon_data_path_col`). The fallback normalizes the cloud scheme
+    to the JVM connector spelling (s3 -> s3a, the to_spark_paths map;
+    review r12): an add_files-imported s3:// path with no /data/
+    segment kept its python-side spelling while Spark's
+    _metadata.file_path reads s3a:// — the seq map and every delete
+    join silently missed those files."""
     p = _strip_file_scheme(p)
     i = p.rfind("/data/")
-    return p[i + len("/data/"):] if i >= 0 else p
+    if i >= 0:
+        return p[i + len("/data/"):]
+    if p.startswith("s3://"):
+        return "s3a://" + p[len("s3://"):]
+    return p
 
 
 def canon_data_path_col(c):
     """Spark Column twin of canon_data_path (greedy ^.*/data/ strips
-    through the LAST /data/; no-op when absent)."""
+    through the LAST /data/; no-op when absent; same s3 -> s3a scheme
+    normalization on the no-/data/ fallback)."""
     from pyspark.sql import functions as F
 
     normalized = F.regexp_replace(c, r"^file:/*", "/")
+    normalized = F.regexp_replace(normalized, r"^s3://", "s3a://")
     return F.regexp_replace(normalized, r"^.*/data/", "")
 
 

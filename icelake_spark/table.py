@@ -110,6 +110,13 @@ class IcebergTable:
         if ref is not None:
             s = self.metadata.snapshot_by_ref(ref)
             if s is None:
+                if ref == "main":
+                    # the spec allows metadata to OMIT the main ref
+                    # entry (older v1 / external writers): the implied
+                    # main branch is current-snapshot-id (review r12 —
+                    # ref='main' crashed on tables current_snapshot()
+                    # reads fine)
+                    return self.current_snapshot()
                 raise KeyError(f"ref {ref!r} not found")
             return s
         return self.current_snapshot()
@@ -1153,6 +1160,7 @@ class TableScan:
         # whole query at few-file scale (the bench's single-file MoR
         # cycle spent ~0.3 s per exchange); big scans keep the broadcast
         # join (a million-entry literal would bloat the plan instead)
+        _check_canon_collisions(data)
         seq_rows = [(canon_data_path(t.data_file.file_path),
                      t.sequence_number) for t in data]
         df = _attach_seq_map(spark, df, seq_rows, "__file_c", "__data_seq")
@@ -1190,10 +1198,20 @@ class TableScan:
         # new name and crashed the join (review r11)
         schema = read_schema if read_schema is not None \
             else self.table.schema()
-        groups: dict[tuple[int, ...], list[DeleteFileTask]] = {}
+        # ... and by the delete file's PARTITION tuple: the spec scopes
+        # a partitioned equality-delete file to data files of its own
+        # partition — applying it globally deleted same-keyed rows in
+        # OTHER partitions of spec-compliant external tables (review
+        # r12). Deletes written with an empty partition (this repo's
+        # own writer, unpartitioned specs) stay global.
+        from .planning import canonical_partition
+
+        groups: dict[tuple, list[DeleteFileTask]] = {}
         for task in eq:
-            groups.setdefault(tuple(task.delete_file.equality_ids or ()), []).append(task)
-        for eq_ids, tasks in groups.items():
+            gk = (tuple(task.delete_file.equality_ids or ()),
+                  canonical_partition(task.delete_file.partition or None))
+            groups.setdefault(gk, []).append(task)
+        for (eq_ids, part_key), tasks in groups.items():
             key_cols = [schema.name_by_id(fid) for fid in eq_ids]
             if not key_cols:
                 continue
@@ -1255,12 +1273,41 @@ class TableScan:
                 clause = df[c].eqNullSafe(renamed[f"__eq_{c}"])
                 cond = clause if cond is None else (cond & clause)
             cond = cond & (df["__data_seq"] < renamed["__del_seq"])
+            if part_key != canonical_partition(None):
+                # partition-scoped group: rows may only match if their
+                # file lives in the delete's partition
+                scoped = [canon_data_path(t.data_file.file_path)
+                          for t in data
+                          if canonical_partition(t.data_file.partition
+                                                 or None) == part_key]
+                if not scoped:
+                    continue
+                cond = cond & df["__file_c"].isin(scoped)
             df = df.join(_maybe_broadcast(renamed, tasks), on=cond,
                          how="left_anti")
 
         if drop_helpers:
             return df.drop("__file", "__pos", "__data_seq", "__file_c")
         return df  # changelog semi-joins still need __file*/__pos/__data_seq
+
+
+def _check_canon_collisions(data: "list[FileScanTask]") -> None:
+    """Reject canon collisions between DISTINCT full paths even at the
+    SAME sequence number (review r12: _attach_seq_map's seq-value
+    guard passed same-commit imports whose relative path shadows an
+    owned file, and a position delete for one then anti-joined rows
+    out of BOTH)."""
+    from .planning import canon_data_path
+
+    by_canon: dict[str, str] = {}
+    for t in data:
+        k = canon_data_path(t.data_file.file_path)
+        full = t.data_file.file_path
+        if by_canon.setdefault(k, full) != full:
+            raise ValueError(
+                f"canonical data-path collision: {k!r} names both "
+                f"{by_canon[k]!r} and {full!r} — imported files "
+                f"must not shadow owned relative paths")
 
 
 # at or below this entry count a path→seq lookup inlines as a literal

