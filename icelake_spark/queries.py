@@ -5715,7 +5715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows last (their scalar evidence refreshes every round). Every
     row 51+ was hash-green in its last driver window AND in the r11
     judge's independent 149/149 sweep; the full local sweep
-    (tools/check_oracle.py) re-verified all 150 rows this round."""
+    (tools/check_oracle.py) re-verified all rows this round
+    (registry 151 after the r12 ivf_pq_rerank + event_attribution
+    additions)."""
     return {
         # -- (1) first driver checks / r11-touched (led the past-cut
         #    queue all r11; VERDICT r11 #2 puts them first)
