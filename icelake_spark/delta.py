@@ -148,11 +148,18 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
     try:
         w_key = Window.partitionBy(*key_cols)
 
-        # last event per key within the batch decides survival
+        # last event per key within the batch decides survival —
+        # for the KEYED ops. OP_APPEND rows carry NO key discipline
+        # (MERGE's not-matched lane proved the key absent): ALL of
+        # them append, including duplicate-key source rows, exactly
+        # as Spark SQL MERGE inserts every unmatched source row
+        # (review r12 — the dedup window silently collapsed them)
         last = df.withColumn("__rn", F.row_number().over(
             w_key.orderBy(F.desc("__seq")))).where(F.col("__rn") == 1)
-        inserts = (last.where(F.col(op_col).isin(OP_INSERT, OP_APPEND))
-                   .drop("__seq", "__rn", op_col))
+        inserts = (last.where(F.col(op_col) == OP_INSERT)
+                   .drop("__seq", "__rn", op_col)
+                   .unionByName(df.where(F.col(op_col) == OP_APPEND)
+                                .drop("__seq", op_col)))
 
         # every key that saw a DELETE needs an equality delete against
         # prior snapshots (J3; same-sequence data is unaffected by spec
@@ -211,13 +218,43 @@ def _dml_scan_helpers(table, spark, scan, data, pos_t, eq_t,
     deleted or superseded by an upsert in a prior snapshot, and
     pre-rename files must resolve their former column names —
     code-review r9)."""
-    from .planning import canon_data_path
+    from .planning import canon_data_path, canon_data_path_col
+    from .table import _check_canon_collisions
 
+    # reject canon collisions up front (review r12): with no existing
+    # delete files the read path's guard never runs in the DML plane,
+    # and a last-entry-wins canon_to_recorded dict silently mapped
+    # matching rows from one file onto ANOTHER file — an incomplete
+    # CoW DELETE or ambiguous MoR position deletes
+    _check_canon_collisions(data)
     canon_to_recorded = {canon_data_path(t.data_file.file_path):
                          t.data_file.file_path for t in data}
 
     def _recorded(f: str) -> str:
         return canon_to_recorded.get(canon_data_path(f), f)
+
+    def _recorded_paths(df_, path_col: str):
+        """Map a path COLUMN from Spark's JVM spelling back to the
+        manifest-recorded spelling (review r12): position-delete file
+        CONTENT must record the data file's exact manifest path — a
+        spec-exact external reader compares verbatim, and file:/ or
+        s3a:// spellings would leave its deletes silently unapplied."""
+        m = canon_to_recorded
+        if not m:
+            return df_
+        if len(m) <= 200:
+            mp = F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
+            return df_.withColumn(path_col, F.coalesce(
+                mp[canon_data_path_col(F.col(path_col))],
+                F.col(path_col)))
+        side = spark.createDataFrame(
+            sorted(m.items()), "__ck string, __rec string")
+        return (df_.withColumn("__ck",
+                               canon_data_path_col(F.col(path_col)))
+                .join(F.broadcast(side), on="__ck", how="left")
+                .withColumn(path_col,
+                            F.coalesce("__rec", F.col(path_col)))
+                .drop("__ck", "__rec"))
 
     def _live(tasks_, keep_helpers: bool) -> DataFrame:
         df_ = scan.read_mapped(spark, table.schema(), spark_schema,
@@ -229,7 +266,7 @@ def _dml_scan_helpers(table, spark, scan, data, pos_t, eq_t,
             df_ = df_.drop("__file", "__pos")
         return df_
 
-    return _recorded, _live
+    return _recorded, _live, _recorded_paths
 
 
 def delete_rows(table, spark, condition: str,
@@ -256,7 +293,8 @@ def delete_rows(table, spark, condition: str,
     if not data:
         return
     spark_schema = table.schema().to_spark()
-    _recorded, _live = _dml_scan_helpers(table, spark, scan, data,
+    _recorded, _live, _recorded_paths = _dml_scan_helpers(
+        table, spark, scan, data,
                                          pos_t, eq_t, spark_schema)
     # persist: the MoR working set feeds several jobs (match probe,
     # pos-delete write, CoW fallback collects) — each would otherwise
@@ -309,7 +347,8 @@ def delete_rows(table, spark, condition: str,
         sel.append(F.struct(
             *[f.name for f in spark_schema.fields]).alias("row"))
     try:
-        matched = raw.where(condition).select(*sel)
+        matched = _recorded_paths(raw.where(condition).select(*sel),
+                                  "file_path")
         pq_matches = matched.where(F.col("pos").isNotNull())
         non_pq_files = [_recorded(r.file_path)
                         for r in matched.where(F.col("pos").isNull())
@@ -361,7 +400,8 @@ def update_rows(table, spark, condition: str,
         return
     spark_schema = table.schema().to_spark()
     types = {f.name: f.dataType for f in spark_schema.fields}
-    _recorded, _live = _dml_scan_helpers(table, spark, scan, data,
+    _recorded, _live, _recorded_paths = _dml_scan_helpers(
+        table, spark, scan, data,
                                          pos_t, eq_t, spark_schema)
 
     def _apply_set(df: DataFrame, only_matching: bool) -> DataFrame:
@@ -414,13 +454,14 @@ def update_rows(table, spark, condition: str,
 
     try:
         _update_mor(table, spark, condition, branch, raw, spark_schema,
+                    _recorded_paths,
                     _recorded, _apply_set, _cow_rewrite)
     finally:
         raw.unpersist()
 
 
 def _update_mor(table, spark, condition, branch, raw, spark_schema,
-                _recorded, _apply_set, _cow_rewrite):
+                _recorded_paths, _recorded, _apply_set, _cow_rewrite):
     """update_rows' merge-on-read tail (split out so the persist/
     unpersist wrapper stays flat)."""
     from .transaction import Transaction
@@ -446,7 +487,8 @@ def _update_mor(table, spark, condition, branch, raw, spark_schema,
             del_sel.append(F.struct(
                 *[f.name for f in spark_schema.fields]).alias("row"))
         tx.add_delete_files(write_position_delete_files(
-            table, pq_matches.select(*del_sel)))
+            table, _recorded_paths(pq_matches.select(*del_sel),
+                                   "file_path")))
         updated = _apply_set(pq_matches.drop("__file", "__pos"),
                              only_matching=True)
         tx.add_data_files(write_data_files(table, updated))
@@ -742,8 +784,27 @@ def _merge_column_level(table, spark, source: DataFrame, on: list[str],
             c = F.expr(cond) if cond is not None else F.lit(True)
             idx = (F.when(c, F.lit(i)) if idx is None
                    else idx.when(c, F.lit(i)))
-        unmatched = (unmatched.withColumn("__clause", idx)
-                     .where(F.col("__clause").isNotNull()))
+        unmatched = unmatched.withColumn("__clause", idx)
+        # cardinality guard, the BY SOURCE twin of
+        # _merge_cardinality_check (review r12): the eq-delete
+        # lowering deletes BY KEY, so a clause hitting ANY row of a
+        # duplicate-key (or multi-NULL-key) target group would kill
+        # the whole group and re-insert only clause winners — silent
+        # row loss. Window grouping is NULL-safe by construction.
+        wk = Window.partitionBy(*on)
+        dup_hit = (unmatched
+                   .withColumn("__kn", F.count("*").over(wk))
+                   .withColumn("__hit", F.max(
+                       F.when(F.col("__clause").isNotNull(), 1)
+                       .otherwise(0)).over(wk))
+                   .where((F.col("__kn") > 1) & (F.col("__hit") == 1)))
+        if dup_hit.take(1):
+            raise ValueError(
+                "MERGE: a WHEN NOT MATCHED BY SOURCE clause matches a "
+                "key with multiple target rows; the equality-delete "
+                "lowering would collapse them — deduplicate the "
+                "target keys first")
+        unmatched = unmatched.where(F.col("__clause").isNotNull())
         op = None
         op_of = {"update": OP_INSERT, "delete": OP_DELETE}
         for i, (action, _cond, _sets) in enumerate(by_source_clauses):

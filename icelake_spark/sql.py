@@ -1183,7 +1183,13 @@ def _replace_table(table, st, spec_parts, props, df):
             current_schema_id=sid,
             partition_specs=meta.partition_specs + (staged_spec,),
             default_spec_id=staged_spec.spec_id,
-            last_partition_id=next_fid)
+            last_partition_id=next_fid,
+            # the statement's OWN write must honor the properties it
+            # declares (review r12: write_data_files read the staged
+            # metadata's properties, so a RTAS declaring e.g.
+            # write.format.default=orc wrote its replacement data as
+            # the OLD table's parquet while future writes got orc)
+            properties={**meta.properties, **(props or {})})
         tx.add_data_files(write_data_files(staged, df))
     tx.commit("replace")
     return table

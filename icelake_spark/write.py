@@ -196,7 +196,22 @@ def write_data_files(
     if not spec.is_unpartitioned:
         pcols = partition_columns(spec, schema)
         pnames = [_PART_PREFIX + pf.name for pf in spec.fields]
-        writer_df = df.withColumns(dict(zip(pnames, pcols)))
+        # empty-string partition values must stay distinguishable from
+        # NULL: Spark's partitionBy writes BOTH as
+        # __HIVE_DEFAULT_PARTITION__, so the manifest recorded NULL
+        # for '' rows and a partition_filter={'c': ''} scan silently
+        # pruned them (review r12). Encode '' (and prefix-escape a
+        # literal marker) in the LAYOUT column only; _parse_hive_value
+        # decodes it back — data-file contents are untouched.
+        enc = []
+        for pf, c in zip(spec.fields, pcols):
+            if _result_type(pf, schema).name == "string":
+                c = (F.when(c == "", F.lit(_EMPTY_PART))
+                     .when(c.startswith(_EMPTY_PART),
+                           F.concat(F.lit(_EMPTY_PART), c))
+                     .otherwise(c)).alias(_PART_PREFIX + pf.name)
+            enc.append(c)
+        writer_df = df.withColumns(dict(zip(pnames, enc)))
     if not preserve_distribution and dist_mode != "none":
         if dist_mode == "range" and sort_cols:
             range_keys = [F.col(p) for p in pnames] + list(sort_cols)
@@ -215,9 +230,15 @@ def write_data_files(
                 writer_df = writer_df.repartition(*pnames)
 
     # the sort order executes within each output task; a distribution-
-    # preserving caller's own sort wins instead
+    # preserving caller's own sort wins instead — and then the files
+    # are NOT sorted by the table's declared order, so the manifest
+    # must not claim they are (review r12: a z-order rewrite's files
+    # were stamped sort_order_id of the suppressed table sort, and
+    # any reader trusting it would merge-sort unsorted files)
     if sort_cols and not preserve_distribution:
         writer_df = writer_df.sortWithinPartitions(*sort_cols)
+    elif preserve_distribution:
+        sort_order_id = None
 
     w = writer_df.write.mode("errorifexists")
     if pnames:
@@ -506,11 +527,20 @@ def _result_type(pf, schema: Schema) -> PrimitiveType:
     return transform_result_type(pf.transform, src.field_type if src else None)
 
 
+_EMPTY_PART = "__EMPTY_STRING__"
+
+
 def _parse_hive_value(raw: str, t: PrimitiveType) -> Any:
     """Parse a hive-style partition-dir value into a python value."""
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     s = urllib.parse.unquote(raw)
+    if t.name == "string":
+        # decode the write side's ''-vs-NULL layout encoding
+        if s == _EMPTY_PART:
+            return ""
+        if s.startswith(_EMPTY_PART):
+            return s[len(_EMPTY_PART):]
     n = t.name
     if n in ("int", "long"):
         return int(s)

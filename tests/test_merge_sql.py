@@ -861,14 +861,16 @@ def test_merge_cardinality_errors(warehouse, spark):
         merge(t, spark, dup_src, on=["id"], when_matched="update",
               when_not_matched="insert")
 
-    # duplicate-key SOURCE rows that match NO target key are fine
-    # (plain inserts; the delta writer's in-batch last-wins applies)
+    # duplicate-key SOURCE rows that match NO target key insert ALL
+    # rows — Spark SQL MERGE's NOT MATCHED lane has no cardinality
+    # constraint (review r12: the delta writer's last-wins window
+    # silently collapsed them to one)
     ok_src = spark.createDataFrame([(9, "x"), (9, "y")],
                                    "id long, v string")
     merge(t, spark, ok_src, on=["id"], when_matched="update",
           when_not_matched="insert")
     t = t.refresh()
-    assert t.to_df(spark).where("id = 9").count() == 1
+    assert t.to_df(spark).where("id = 9").count() == 2
 
     # duplicate-key TARGET rows hit by a matched clause refuse loudly
     t.append(spark.createDataFrame([(2, "b2")], "id long, v string"))

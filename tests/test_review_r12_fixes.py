@@ -718,3 +718,160 @@ def test_main_ref_fallback_when_refs_omit_main(spark, warehouse):
     assert t.snapshot(ref="main").snapshot_id \
         == t.current_snapshot().snapshot_id
     assert [r.id for r in t.to_df(spark, ref="main").collect()] == [1]
+
+
+def test_merge_not_matched_inserts_all_duplicate_source_rows(
+        spark, warehouse):
+    """Spark SQL MERGE's NOT MATCHED lane inserts EVERY unmatched
+    source row — duplicate keys included (review r12: merge_delta's
+    last-wins window silently collapsed OP_APPEND rows to one)."""
+    from icelake_spark.delta import merge
+
+    t = warehouse.create_table("db.dupins",
+                               _schema(spark, "id long, v string"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t = t.refresh()
+    merge(t, spark, spark.createDataFrame(
+        [(9, "x"), (9, "y"), (1, "a2")], "id long, v string"),
+        on=["id"], when_matched="update", when_not_matched="insert")
+    t = t.refresh()
+    got = sorted((r.id, r.v) for r in t.to_df(spark).collect())
+    assert got == [(1, "a2"), (9, "x"), (9, "y")], got
+
+
+def test_merge_by_source_duplicate_target_keys_raise(spark, warehouse):
+    """A WHEN NOT MATCHED BY SOURCE clause hitting a key with multiple
+    target rows raises instead of collapsing the group: the
+    equality-delete lowering deletes BY KEY, so the clause would kill
+    every row of the group and re-insert only winners (review r12 —
+    the BY SOURCE twin of the matched-lane cardinality guard)."""
+    import pytest as _p
+
+    from icelake_spark.delta import merge
+
+    t = warehouse.create_table("db.bysrcdup",
+                               _schema(spark, "id long, v string"))
+    t.append(spark.createDataFrame(
+        [(1, "stale"), (1, "fresh"), (2, "keep")], "id long, v string"))
+    t = t.refresh()
+    src = spark.createDataFrame([(2, "keep")], "id long, v string")
+    with _p.raises(ValueError, match="BY SOURCE"):
+        merge(t, spark, src, on=["id"], when_matched=None,
+              when_not_matched=None,
+              by_source_clauses=[("delete", "t.v = 'stale'", None)])
+    # unique-key BY SOURCE still works
+    t2 = warehouse.create_table("db.bysrcok",
+                                _schema(spark, "id long, v string"))
+    t2.append(spark.createDataFrame(
+        [(1, "stale"), (2, "keep")], "id long, v string"))
+    t2 = t2.refresh()
+    merge(t2, spark, src, on=["id"], when_matched=None,
+          when_not_matched=None,
+          by_source_clauses=[("delete", "t.v = 'stale'", None)])
+    t2 = t2.refresh()
+    got = sorted((r.id, r.v) for r in t2.to_df(spark).collect())
+    assert got == [(2, "keep")], got
+
+
+def test_empty_string_partition_roundtrips(spark, warehouse):
+    """An identity string partition with '' values must NOT conflate
+    with NULL: Spark's hive layout writes both as the default
+    partition dir, so '' rows recorded a NULL partition tuple and a
+    partition_filter={'c': ''} scan silently pruned them (review
+    r12). The layout column now encodes '' distinctly."""
+    from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+    src = spark.createDataFrame(
+        [(1, ""), (2, "eu"), (3, None)], "id long, region string")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("region").field_id, 1001, "identity",
+        "region"),))
+    t = warehouse.create_table("db.emptypart", schema, spec=spec)
+    t.append(src)
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files(spark)
+    parts = sorted(str(d.data_file.partition.get("region"))
+                   for d in data)
+    assert parts == ["", "None", "eu"], parts
+    got = sorted(r.id for r in t.new_scan(
+        partition_filter={"region": ""}).to_df(spark).collect())
+    assert got == [1], got
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 2, 3]
+
+
+def test_pos_delete_content_records_manifest_spelling(spark, warehouse):
+    """MoR position-delete file CONTENT records the data file's
+    manifest path verbatim (spec exact-match contract): Spark's
+    file:/ spelling would leave a spec-exact external reader's
+    deletes silently unapplied (review r12)."""
+    import pyarrow.parquet as pq
+
+    from icelake_spark.fileio import resolve_io
+
+    t = warehouse.create_table("db.posspell",
+                               _schema(spark, "id long, v string"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id long, v string").coalesce(1))
+    t = t.refresh()
+    recorded = {d.data_file.file_path
+                for d in t.new_scan().plan_files(spark)[0]}
+    t.delete_where(spark, "id = 1")
+    t = t.refresh()
+    _, pos, _ = t.new_scan().plan_files(spark)
+    assert pos, "expected a MoR position delete"
+    io = resolve_io(t.path)
+    content = set()
+    for p in pos:
+        tbl = pq.read_table(io.open_input(p.delete_file.file_path))
+        content.update(tbl["file_path"].to_pylist())
+    assert content <= recorded, (content, recorded)
+    assert all(not c.startswith("file:") for c in content), content
+
+
+def test_zorder_rewrite_does_not_claim_table_sort_order(
+        spark, warehouse):
+    """Files written with preserve_distribution=True (z-order rewrites)
+    must not be stamped with the table's declared sort_order_id — the
+    table sort was suppressed, so any reader trusting the stamp would
+    merge-sort unsorted files (review r12)."""
+    from icelake_spark.write import write_data_files
+
+    t = warehouse.create_table("db.zsort",
+                               _schema(spark, "id long, v string"))
+    from dataclasses import replace as dc_replace
+
+    from icelake_spark.types.metadata import SortField, SortOrder
+    so = SortOrder(order_id=1, fields=(SortField(
+        source_column_id=t.schema().field_by_name("id").field_id,
+        transform="identity", direction="asc",
+        null_order="nulls-first"),))
+    t.metadata = dc_replace(t.metadata, sort_orders=t.metadata.sort_orders
+                            + (so,), default_sort_order_id=1)
+    df = spark.createDataFrame([(3, "c"), (1, "a")], "id long, v string")
+    sorted_files = write_data_files(t, df)
+    assert all(f.sort_order_id == 1 for f in sorted_files)
+    unsorted_files = write_data_files(t, df, preserve_distribution=True)
+    assert all(f.sort_order_id in (None, 0) for f in unsorted_files)
+
+
+def test_rtas_writes_under_declared_properties(spark, warehouse):
+    """CREATE OR REPLACE TABLE ... TBLPROPERTIES (...) AS SELECT must
+    write its replacement data under the DECLARED properties, not the
+    old table's (review r12: a RTAS declaring orc wrote parquet while
+    the committed metadata claimed orc for future writes)."""
+    from icelake_spark.sql import execute
+
+    t = warehouse.create_table("db.rtasprops",
+                               _schema(spark, "id long, v string"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    execute(spark,
+            "CREATE OR REPLACE TABLE db.rtasprops "
+            "TBLPROPERTIES ('write.format.default'='orc') "
+            "AS SELECT CAST(5 AS BIGINT) AS id, 'z' AS v",
+            catalog=warehouse)
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files(spark)
+    fmts = {d.data_file.file_format.lower() for d in data}
+    assert fmts == {"orc"}, fmts
+    assert [(r.id, r.v) for r in t.to_df(spark).collect()] == [(5, "z")]
