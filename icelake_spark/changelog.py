@@ -353,12 +353,12 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
     # partitioned eq-delete file tombstones only its own partition's
     # data files, so its delete EVENTS must not claim same-keyed rows
     # elsewhere either
-    from .planning import canonical_partition
+    from .planning import canonical_partition, scoped_partition_key
 
     groups: dict[tuple, list[DeleteFileTask]] = {}
     for t in eq:
         gk = (tuple(t.delete_file.equality_ids or ()),
-              canonical_partition(t.delete_file.partition or None))
+              scoped_partition_key(t.delete_file.partition))
         groups.setdefault(gk, []).append(t)
     for (eq_ids, part_key), tasks in groups.items():
         keys = spark.read.option("mergeSchema", "true").parquet(
@@ -408,7 +408,7 @@ def _semi_join_eq(spark, df: DataFrame, data: list[FileScanTask],
             term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
             cond = term if cond is None else (cond & term)
         scoped_df = df
-        if part_key != canonical_partition(None):
+        if part_key is not None:
             from .planning import canon_data_path as _cdp
             scoped = [_cdp(t.data_file.file_path) for t in data
                       if canonical_partition(t.data_file.partition

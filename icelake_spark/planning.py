@@ -544,6 +544,24 @@ def canon_data_path_col(c):
     return F.regexp_replace(normalized, r"^.*/data/", "")
 
 
+def scoped_partition_key(partition: dict | None) -> str | None:
+    """The eq-delete scoping key: None when the delete file is GLOBAL.
+    An empty partition tuple is global by the spec; an ALL-None tuple
+    is treated global too because this repo's own global deletes
+    round-trip through the partitioned manifest Avro schema as
+    all-None (the record type has the spec's fields, so {} reads back
+    as {field: None} — review r12 follow-up: the first scoping cut
+    read those as "scoped to the NULL partition" and silently stopped
+    applying every upsert's deletes on partitioned tables). Caveat,
+    documented: an external delete file genuinely scoped to an
+    all-NULL partition tuple is applied globally — indistinguishable
+    at the manifest level here, and global application errs toward
+    the pre-scoping behavior."""
+    if not partition or all(v is None for v in partition.values()):
+        return None
+    return canonical_partition(partition)
+
+
 def canonical_partition(partition: dict | None) -> str:
     """Stable string form of a partition tuple (sorted by field name) —
     groupable/joinable in the plan DataFrame without a struct schema

@@ -1204,12 +1204,12 @@ class TableScan:
         # OTHER partitions of spec-compliant external tables (review
         # r12). Deletes written with an empty partition (this repo's
         # own writer, unpartitioned specs) stay global.
-        from .planning import canonical_partition
+        from .planning import canonical_partition, scoped_partition_key
 
         groups: dict[tuple, list[DeleteFileTask]] = {}
         for task in eq:
             gk = (tuple(task.delete_file.equality_ids or ()),
-                  canonical_partition(task.delete_file.partition or None))
+                  scoped_partition_key(task.delete_file.partition))
             groups.setdefault(gk, []).append(task)
         for (eq_ids, part_key), tasks in groups.items():
             key_cols = [schema.name_by_id(fid) for fid in eq_ids]
@@ -1273,7 +1273,7 @@ class TableScan:
                 clause = df[c].eqNullSafe(renamed[f"__eq_{c}"])
                 cond = clause if cond is None else (cond & clause)
             cond = cond & (df["__data_seq"] < renamed["__del_seq"])
-            if part_key != canonical_partition(None):
+            if part_key is not None:
                 # partition-scoped group: rows may only match if their
                 # file lives in the delete's partition
                 scoped = [canon_data_path(t.data_file.file_path)
