@@ -448,13 +448,27 @@ class IcelakeReader(DataSourceReader):
         scan = t.new_scan(**kwargs)
         data, pos, eq = scan.plan_files()
         schema = t.schema()
+        from .planning import canonical_partition, scoped_partition_key
+
         pos_list = [(p.delete_file.file_path, p.sequence_number) for p in pos]
-        eq_list = []
+        eq_entries = []
         for e in eq:
             cols = tuple(schema.name_by_id(fid) or ""
                          for fid in (e.delete_file.equality_ids or ()))
             if cols and all(cols):
-                eq_list.append((e.delete_file.file_path, cols, e.sequence_number))
+                eq_entries.append((e.delete_file.file_path, cols,
+                                   e.sequence_number,
+                                   scoped_partition_key(
+                                       e.delete_file.partition)))
+
+        def _eq_for(d):
+            # partition-scoped eq deletes ship only to data files of
+            # their own partition — the same spec scoping the native
+            # read path applies (review r12); global deletes (empty /
+            # all-None tuples) ship everywhere
+            dk = canonical_partition(d.data_file.partition or None)
+            return [(p, c, s) for p, c, s, k in eq_entries
+                    if k is None or k == dk]
         # small delete sets: group (pos, seq) by target file ONCE on the
         # driver so each task ships/reads only its own deletes; big sets
         # keep the lazy per-task path (driver memory stays bounded).
@@ -476,7 +490,8 @@ class IcelakeReader(DataSourceReader):
                     pos_map.setdefault(_norm(src), []).append(
                         (ps, p.sequence_number))
         return [_FileTask(d.data_file.file_path, d.sequence_number,
-                          [] if pos_map is not None else pos_list, eq_list,
+                          [] if pos_map is not None else pos_list,
+                          _eq_for(d),
                           resolved_pos=(pos_map.get(
                               _norm(d.data_file.file_path), [])
                               if pos_map is not None else None),

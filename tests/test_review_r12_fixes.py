@@ -875,3 +875,39 @@ def test_rtas_writes_under_declared_properties(spark, warehouse):
     fmts = {d.data_file.file_format.lower() for d in data}
     assert fmts == {"orc"}, fmts
     assert [(r.id, r.v) for r in t.to_df(spark).collect()] == [(5, "z")]
+
+
+def test_dsv2_eq_delete_partition_scoping_matches_native(
+        spark, warehouse):
+    """The DSv2 reader applies partition-scoped equality deletes with
+    the same spec scoping as the native read path (review r12: it
+    shipped every eq delete to every data file — the two readers
+    diverged on scoped deletes)."""
+    from icelake_spark import datasource as ds
+    from icelake_spark.delta import write_equality_delete_files
+    from icelake_spark.transaction import Transaction
+    from icelake_spark.types import PartitionField, PartitionSpec, Schema
+
+    ds.register(spark)
+    src = spark.createDataFrame(
+        [(7, "eu"), (7, "us"), (8, "eu")], "id long, region string")
+    schema = Schema.from_spark(src.schema)
+    spec = PartitionSpec(0, (PartitionField(
+        schema.field_by_name("region").field_id, 1001, "identity",
+        "region"),))
+    t = warehouse.create_table("db.dsv2scope", schema, spec=spec)
+    t.append(src)
+    t = t.refresh()
+    files = write_equality_delete_files(
+        t, spark.createDataFrame([(7,)], "id long"), ["id"])
+    for f in files:
+        f.partition = {"region": "eu"}
+    tx = Transaction(t)
+    tx.add_delete_files(files)
+    tx.commit("delete")
+    t = t.refresh()
+    native = sorted((r.id, r.region) for r in t.to_df(spark).collect())
+    dsv2 = sorted((r.id, r.region) for r in
+                  spark.read.format("icelake").option("path", t.path)
+                  .load().collect())
+    assert native == dsv2 == [(7, "us"), (8, "eu")], (native, dsv2)
