@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import content_md5, sum_cols
-from .util import fanout
+from .util import fanout, salted_first_n
 
 
 def portable_hash60(col) -> "F.Column":
@@ -252,10 +252,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         id_col, "sig",
         F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("v"))
                             for b in range(bands)])).alias("bk"))
-    # skew guard: cap pathological buckets
-    w = Window.partitionBy("bk").orderBy(id_col)
-    buckets = buckets.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= max_bucket).drop("__rn")
+    # skew guard: cap pathological buckets — salted two-stage first-N
+    # (bit-identical to a single per-bk window; the hot bucket never
+    # sorts through one task, see util.salted_first_n / VERDICT r12)
+    buckets = salted_first_n(buckets, "bk", id_col, max_bucket)
     left = buckets.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "bk")
     right = buckets.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "bk")
     cand = (left.join(right, on="bk").where(F.col("a") < F.col("b"))
@@ -355,9 +355,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     buckets = b.select(id_col, "simhash", F.explode(F.array(
         *[F.struct(F.lit(i).alias("i"), F.col(f"blk{i}").alias("v"))
           for i in range(n_blocks)])).alias("bk"))
-    w = Window.partitionBy("bk").orderBy(id_col)
-    buckets = buckets.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= max_bucket).drop("__rn")
+    # salted two-stage cap (bit-identical; no hot-bucket funnel)
+    buckets = salted_first_n(buckets, "bk", id_col, max_bucket)
     left = buckets.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "bk")
     right = buckets.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "bk")
     cand = (left.join(right, on="bk").where(F.col("a") < F.col("b")))

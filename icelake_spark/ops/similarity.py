@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import fanout
+from .util import fanout, salted_first_n
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -120,9 +120,9 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
         F.col(id_col), F.col("__v"),
         F.explode(F.expr(
             "transform(__bs, (b, i) -> struct(i as t, b as b))")).alias("bk"))
-    w = Window.partitionBy("bk").orderBy(id_col)
-    bucketed = bucketed.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= max_bucket).drop("__rn")
+    # salted two-stage cap (bit-identical; the hot bucket — rows carry
+    # the FULL embedding vector here — never sorts through one task)
+    bucketed = salted_first_n(bucketed, "bk", id_col, max_bucket)
     a = bucketed.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "bk")
     b = bucketed.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "bk")
     sim = (dot(F.col("va"), F.col("vb"))

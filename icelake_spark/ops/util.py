@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:
@@ -44,3 +45,39 @@ def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:
     if cols:
         return df.repartition(n, *cols)
     return df.repartition(n)
+
+
+def salted_first_n(df: DataFrame, bucket_col: str, id_col: str, n: int,
+                   n_salts: int = 16) -> DataFrame:
+    """Skew-safe first-N-by-id per bucket: the two-stage salted cap.
+
+    A single `row_number().over(partitionBy(bucket).orderBy(id))` window
+    funnels the HOT bucket — the one the cap exists to defuse (a
+    boilerplate-heavy corpus collapsing millions of docs into one LSH
+    band value) — into ONE task, which must sort the entire bucket
+    (rows carrying a 64-long signature or a full embedding vector)
+    before discarding all but `n` rows. At 100x scale that is a
+    multi-gigabyte single-task sort exactly when the guard matters.
+
+    Stage one ranks within (bucket, __salt) — `n_salts` parallel tasks
+    per bucket, each keeping at most `n` lowest ids — so the final
+    per-bucket window sees at most n_salts*n survivors. First-N-by-id
+    is subset-stable under salting (the global first-N of a set is
+    always a subset of the union of per-salt first-Ns), so the output
+    is BIT-IDENTICAL to the single-window shape the oracle computes.
+    The salt derives from the id (xxhash64 mod n_salts), never from
+    monotonically_increasing_id — deterministic under task retry.
+
+    Same discipline as inverted_index's posting cap (ranking.py) and
+    hard_negatives' per-anchor top-k (similarity.py); this helper is
+    the shared form for the LSH-bucket cap sites (VERDICT r12).
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(bucket_col, "__salt").orderBy(F.col(id_col))
+    w2 = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
+    return (df.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= n)
+            .withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= n)
+            .drop("__salt", "__r1", "__rn"))
