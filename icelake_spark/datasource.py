@@ -159,13 +159,25 @@ def _rename_map(table) -> dict[str, list[str]]:
 
 
 def _read_avro_arrow(spark_schema, file_path: str,
-                     table_store: str = "", io=None):
+                     table_store: str = "", io=None,
+                     field_ids: dict[str, int] | None = None,
+                     rename_map: dict[str, list[str]] | None = None,
+                     foreign: bool = False):
     """Decode one avro data file into an Arrow table matching
     `spark_schema` (pure-python codec; shared by the batch and stream
     DSv2 readers). Bytes resolve like _arrow_src: through the SHIPPED
     FileIO when the file lives on the table's store — executor workers
     never see register_io factories, so a custom-scheme table's avro
-    files are unreadable there without the pickled instance."""
+    files are unreadable there without the pickled instance.
+
+    Columns resolve with the SAME identity stack as the parquet path
+    (review r13 — pure name binding resurrected dropped-and-readded
+    columns' stale values): field-id first via the avro schema's
+    `field-id` annotations (a recorded-but-unmatched id pads NULL —
+    the physical column belongs to a dropped field's id), then current
+    name, then former names from the rename mapping; `foreign`
+    (add_files import) disables id resolution — the file's ids belong
+    to another table's id space."""
     import pyarrow as pa
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -186,14 +198,39 @@ def _read_avro_arrow(spark_schema, file_path: str,
         data = io.read_bytes(file_path)
     else:
         data = resolve_io(file_path).read_bytes(file_path)
-    _schema, records = avro_io.read_avro(file_path, data=data)
-    present = [n for n in arrow_schema.names
-               if records and n in records[0]]
-    return pa.table({
-        n: pa.array([decoders[n](rec.get(n)) for rec in records],
-                    type=arrow_schema.field(n).type)
-        for n in present} if present else
-        {f.name: pa.nulls(0, type=f.type) for f in arrow_schema})
+    wschema, records = avro_io.read_avro(file_path, data=data)
+    afields = (wschema.get("fields", [])
+               if isinstance(wschema, dict) else [])
+    id_to_name = {f["field-id"]: f["name"] for f in afields
+                  if isinstance(f, dict) and "field-id" in f}
+    in_file = ({f["name"] for f in afields if isinstance(f, dict)}
+               or ({n for n in records[0]} if records else set()))
+
+    def _src_name(n: str) -> str | None:
+        fid = (field_ids or {}).get(n)
+        if not foreign and id_to_name and fid is not None:
+            # file RECORDS ids: the id is the identity — an unmatched
+            # id means the column did not exist at write time (or was
+            # dropped and re-added under a new id); NULL, never a
+            # same-named physical column's stale values
+            return id_to_name.get(fid)
+        if n in in_file:
+            return n
+        for old in (rename_map or {}).get(n, ()):
+            if old in in_file:
+                return old
+        return None
+
+    cols = {}
+    for f in arrow_schema:
+        src = _src_name(f.name)
+        if src is None:
+            cols[f.name] = pa.nulls(len(records), type=f.type)
+        else:
+            cols[f.name] = pa.array(
+                [decoders[f.name](rec.get(src)) for rec in records],
+                type=f.type)
+    return pa.table(cols)
 
 
 def _store_of(path: str) -> str:
@@ -453,9 +490,20 @@ class IcelakeReader(DataSourceReader):
         pos_list = [(p.delete_file.file_path, p.sequence_number) for p in pos]
         eq_entries = []
         for e in eq:
-            cols = tuple(schema.name_by_id(fid) or ""
-                         for fid in (e.delete_file.equality_ids or ()))
-            if cols and all(cols):
+            eq_ids = tuple(e.delete_file.equality_ids or ())
+            cols = tuple(schema.name_by_id(fid) or "" for fid in eq_ids)
+            if cols and not all(cols):
+                # a live eq-delete file keyed on a since-DROPPED column
+                # cannot be applied; silently skipping it (the pre-r13
+                # behavior) resurrected every row it tombstoned — the
+                # native path raises the same error (table.py
+                # _apply_deletes; code-review r8)
+                missing = [fid for fid, c in zip(eq_ids, cols) if not c]
+                raise ValueError(
+                    f"equality-delete files key on dropped column ids "
+                    f"{missing}; rewrite deletes (rewrite_position_"
+                    f"deletes / compaction) before dropping key columns")
+            if cols:
                 eq_entries.append((e.delete_file.file_path, cols,
                                    e.sequence_number,
                                    scoped_partition_key(
@@ -508,13 +556,16 @@ class IcelakeReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         fmt = (partition.file_format or "PARQUET").upper()
+        foreign = _is_foreign_file(self.options["path"], partition.file_path)
         if fmt == "ORC":
             from pyarrow import orc as pa_orc
 
             table = pa_orc.ORCFile(self._src(partition.file_path)).read()
         elif fmt == "AVRO":
             table = _read_avro_arrow(self.spark_schema, partition.file_path,
-                                     self.table_store, self.io)
+                                     self.table_store, self.io,
+                                     self.field_ids, self.rename_map,
+                                     foreign)
         else:
             table = pq.read_table(self._src(partition.file_path))
 
@@ -543,7 +594,6 @@ class IcelakeReader(DataSourceReader):
         # from an old file reads as NULL — it must MATCH AS NULL, not be
         # dropped from the key (narrowing the key over-deletes: every
         # row sharing the present columns would match).
-        foreign = _is_foreign_file(self.options["path"], partition.file_path)
         id_map_k = _parquet_id_map(table.schema, foreign)  # loop-invariant
         for dpath, cols, dseq in partition.eq_deletes:
             if not partition.sequence_number < dseq:
@@ -1213,19 +1263,21 @@ class IcelakePartitionStreamReader(DataSourceStreamReader):
                                                 partition,
                                                 self.table_store, self.io)
             return
+        foreign = _is_foreign_file(self.path, partition.file_path)
         if partition.file_format == "ORC":
             from pyarrow import orc as pa_orc
 
             table = pa_orc.ORCFile(self._src(partition.file_path)).read()
         elif partition.file_format == "AVRO":
             table = _read_avro_arrow(self.spark_schema, partition.file_path,
-                                     self.table_store, self.io)
+                                     self.table_store, self.io,
+                                     self.field_ids, self.rename_map,
+                                     foreign)
         else:
             table = pq.read_table(self._src(partition.file_path))
         yield from _project_table_to_schema(
             table, self.spark_schema, self.rename_map, self.field_ids,
-            self.ice_fields,
-            _is_foreign_file(self.path, partition.file_path)).to_batches()
+            self.ice_fields, foreign).to_batches()
 
     def commit(self, end: dict) -> None:
         pass

@@ -972,3 +972,50 @@ def test_stream_sink_writes_through_fileio(spark, tmp_path):
         assert t.refresh().to_df(spark).count() == 5
     finally:
         unregister_io("mock")
+
+
+def test_dsv2_eq_delete_on_dropped_key_raises(spark, warehouse):
+    """An eq-delete file keyed on a since-DROPPED column cannot be
+    applied; the DSv2 reader must raise like the native path
+    (table.py _apply_deletes) — silently skipping the file (the
+    pre-r13 behavior) resurrected every row it tombstoned."""
+    from icelake_spark import datasource
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(i, i % 3, i * 10) for i in range(12)],
+                                "id long, key long, v long")
+    t = warehouse.create_table("db.dropkey", Schema.from_spark(src.schema))
+    t.append(src)
+    t = t.refresh()
+    t.upsert(spark.createDataFrame([(100, 0, 999)],
+                                   "id long, key long, v long"),
+             key_cols=["key"])
+    t = t.refresh()
+    t.drop_column("key")
+    with pytest.raises(Exception, match="dropped column ids"):
+        (spark.read.format("icelake").option("path", t.path)
+         .load().collect())
+
+
+def test_dsv2_avro_file_with_no_schema_overlap_pads_rows(spark, warehouse):
+    """An avro data file whose EVERY recorded column was since dropped
+    and re-added has no name overlap with the requested schema: the
+    reader must still yield the file's ROW COUNT as all-NULL rows —
+    the pre-r13 0-row return silently dropped them from the scan."""
+    from icelake_spark import datasource
+
+    datasource.register(spark)
+    src = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")],
+                                "a long, b string")
+    t = warehouse.create_table(
+        "db.avdrop", Schema.from_spark(src.schema),
+        properties={"write.format.default": "avro"})
+    t.append(src)
+    t.add_column("keep", "long")
+    t.drop_column("a")
+    t.drop_column("b")
+    t.add_column("a", "long")
+    t.add_column("b", "string")
+    rows = [tuple(r) for r in spark.read.format("icelake")
+            .option("path", t.path).load().collect()]
+    assert rows == [(None, None, None)] * 3, rows
