@@ -888,9 +888,27 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
             .where(F.col("n_shared") >= min_shared))
 
 
-def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
+def ngram_vocabulary(reference: DataFrame, n: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """The reference corpus's DISTINCT gram-hash vocabulary (one
+    `__gh` long column) — the streaming-mergeable state behind
+    ngram_novelty: maintain it incrementally by UNION + distinct over
+    per-batch vocabularies (set union is associative/commutative, so
+    drain order never matters), then score any document batch against
+    the standing vocabulary via ngram_novelty(df, vocab=...). The
+    split-drain proof lives in tests/test_streaming_curation.py."""
+    w = words_col(text_col)
+    sh = shingles_from_words(w, n=n)
+    return (reference.select(F.explode(sh).alias("__g"))
+            .select(portable_hash60(F.col("__g")).alias("__gh"))
+            .distinct())
+
+
+def ngram_novelty(df: DataFrame, reference: DataFrame | None = None,
+                  n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  sort: bool = True) -> DataFrame:
+                  sort: bool = True,
+                  vocab: DataFrame | None = None) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus: the
     floor micro-fraction of the document's DISTINCT word n-grams that
     appear NOWHERE in the reference — the memorization/overlap
@@ -908,6 +926,12 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
     anti-join followed by a second count pass. Engine-exact: the
     shared shingle construction + portable_hash60 + integer floor
     micro-units."""
+    if (reference is None) == (vocab is None):
+        raise ValueError(
+            "ngram_novelty: pass exactly one of reference= (a corpus "
+            "to derive the vocabulary from) or vocab= (a maintained "
+            "ngram_vocabulary state)")
+
     def gram_hashes(frame):
         w = words_col(text_col)
         sh = shingles_from_words(w, n=n)
@@ -916,7 +940,8 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
                 .distinct())
 
     doc_grams = gram_hashes(df)
-    ref_vocab = (gram_hashes(reference).select("__gh").distinct()
+    ref_vocab = ((vocab.select("__gh").distinct() if vocab is not None
+                  else ngram_vocabulary(reference, n=n, text_col=text_col))
                  .withColumn("__hit", F.lit(1)))
     per_doc = (doc_grams.join(ref_vocab, on="__gh", how="left")
                .groupBy(id_col)
