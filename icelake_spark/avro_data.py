@@ -250,6 +250,21 @@ def _converters(schema: Schema, tz: dt.tzinfo | None = None):
 # --------------------------------------------------------------- write
 
 
+_EMPTY_PART = "__EMPTY_STRING__"
+
+
+def _esc_empty(v: Any) -> Any:
+    """The ''-vs-NULL layout marker for STRING partition values —
+    the python twin of write.py's layout-column encoding (review r12).
+    Lanes that build hive dirs from RAW row values (the streaming sink)
+    must apply it before _hive_value, or a literal "__EMPTY_STRING__"
+    value decodes back as '' (review r13); lanes fed by
+    write_data_files' writer_df already arrive encoded."""
+    if isinstance(v, str) and (v == "" or v.startswith(_EMPTY_PART)):
+        return _EMPTY_PART + v
+    return v
+
+
 def _hive_value(v: Any) -> str:
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"

@@ -1682,9 +1682,14 @@ class IcelakeStreamWriter(DataSourceStreamWriter):
                         for (_n, tr, src, st) in self.part_info)
             buckets.setdefault(key, []).append(r)
         written: list[tuple[str, int]] = []
+        from .avro_data import _esc_empty
+
         for key, rws in buckets.items():
+            # _esc_empty: this lane builds dirs from RAW transform
+            # values (no writer_df layout encoding), so ''-vs-NULL and
+            # the literal marker need the escape here (review r13)
             subdir = "/".join(
-                f"{_PART_PREFIX}{n}={_hive_value(v)}"
+                f"{_PART_PREFIX}{n}={_hive_value(_esc_empty(v))}"
                 for (n, _tr, _src, _st), v in zip(self.part_info, key))
             d = io_join(stage_dir, subdir) if subdir else stage_dir
             out = io_join(d, f"{_uuid.uuid4()}.parquet")

@@ -68,8 +68,6 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
     group_cols = [c for c in props.get("rollup.group-cols", "").split(",") if c]
     value_col = props.get("rollup.value-col") or None
 
-    full = _aggregate(source_table.to_df(spark), ts_col, bucket,
-                      group_cols, value_col)
     known = {s.snapshot_id for s in source_table.metadata.snapshots}
     # full-resync triggers: the sync point was EXPIRED from the source,
     # OR the source was ROLLED BACK past it (still in metadata.snapshots
@@ -85,6 +83,8 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
         # buckets too: a bucket whose source rows were all deleted is
         # absent from `full`, and skipping it would leave its stale
         # rollup row alive forever.
+        full = _aggregate(source_table.to_df(spark), ts_col, bucket,
+                          group_cols, value_col)
         touched = (full.select("bucket_start")
                    .union(rollup_table.to_df(spark).select("bucket_start"))
                    .distinct())
@@ -96,11 +96,57 @@ def refresh_rollup(rollup_table, source_table, spark: SparkSession) -> int:
         # old + new data) — recompute only those buckets from the source
         touched = (_aggregate(inc, ts_col, bucket, group_cols, value_col)
                    .select("bucket_start").distinct())
-    # persist the touched-bucket set: it feeds TWO broadcast joins
-    # (refreshed + existing), and in the incremental branch its lineage
-    # is the full changelog reconstruction — manifest decoding,
-    # delete-file reads, anti-joins — which would otherwise run once
-    # per join on top of the inc.take(1) probe (review r11)
+        # Bound the source re-aggregation to the touched ts RANGE. The
+        # touched set is broadcast-small by construction (it feeds two
+        # broadcast joins below), so collecting it is bounded; the
+        # resulting ts predicate reaches the parquet zone maps and the
+        # refresh scans O(affected buckets) — the module's contract.
+        # Without it the semi-join sat ABOVE the aggregation, which
+        # Catalyst cannot push through a groupBy, so every refresh
+        # rescanned and re-aggregated the FULL source (review r13).
+        # Gap-safety: rows between non-contiguous touched buckets pass
+        # the range filter but are discarded by the bucket_start
+        # semi-join below. NULL-ts rows form the NULL bucket and fail
+        # every range comparison, so they are admitted explicitly
+        # whenever the NULL bucket was touched.
+        schema = touched.schema
+        starts = [r[0] for r in touched.collect()]
+        # rebuild the touched set as a LOCAL DataFrame: the two
+        # broadcast joins below then carry no changelog lineage at all
+        # (pre-r13 that lineage — manifest decoding, delete-file reads,
+        # anti-joins — was persisted to avoid re-running per join;
+        # collecting once replaces the cache outright)
+        touched = spark.createDataFrame([(s,) for s in starts], schema)
+        non_null = [s for s in starts if s is not None]
+        src_kwargs = {}
+        if non_null and len(non_null) == len(starts):
+            # ... and as a PLANNER filter too, so zone-map FILE pruning
+            # drops untouched-history files from the scan list outright
+            # (the .where alone reaches only parquet row-group stats —
+            # every file's footer would still be opened). Skipped when
+            # the NULL bucket is touched: NULL-ts rows carry no ts
+            # bounds for the pruner to reason about.
+            hi = spark.range(1).select(
+                (F.lit(max(non_null))
+                 + F.expr(f"INTERVAL {bucket}")).alias("h")).first()["h"]
+            lo_iso = min(non_null).isoformat(sep=" ")
+            src_kwargs["filter"] = (f"{ts_col} >= '{lo_iso}' AND "
+                                    f"{ts_col} < '{hi.isoformat(sep=' ')}'")
+        src = source_table.to_df(spark, **src_kwargs)
+        if non_null:
+            in_range = ((F.col(ts_col) >= F.lit(min(non_null))) &
+                        (F.col(ts_col) < F.lit(max(non_null))
+                         + F.expr(f"INTERVAL {bucket}")))
+            cond = (in_range | F.col(ts_col).isNull()
+                    if len(non_null) < len(starts) else in_range)
+        else:  # only the NULL bucket was touched
+            cond = F.col(ts_col).isNull()
+        full = _aggregate(src.where(cond), ts_col, bucket,
+                          group_cols, value_col)
+    # persist the touched-bucket set: in the FALLBACK branch its lineage
+    # is the full source aggregation union the rollup read, which feeds
+    # TWO broadcast joins (refreshed + existing) and would otherwise run
+    # once per join (review r11; the incremental branch is a local DF)
     touched = touched.persist()
     refreshed = full.join(F.broadcast(touched), on="bucket_start",
                           how="left_semi")

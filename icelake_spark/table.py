@@ -959,6 +959,14 @@ class TableScan:
                 except KeyError:
                     pass
         spark_schema = schema.to_spark()
+        # zero-row files (empty output tasks committed by pre-r13
+        # writers, or external writers) contribute nothing, and having
+        # no column stats they survive every zone-map prune — skip them
+        # so a fully-pruned scan never opens one. The files metadata
+        # table intentionally still lists them (metadata fidelity).
+        data = [t for t in data
+                if (t.data_file.record_count is None
+                    or t.data_file.record_count > 0)]
         if not data:
             df = spark.createDataFrame([], spark_schema)
             return df.select(*self.columns) if self.columns else df

@@ -292,7 +292,22 @@ def write_data_files(
             if k.startswith(PROP_BLOOM_PREFIX) and v.lower() == "true":
                 col = k[len(PROP_BLOOM_PREFIX):]
                 w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
-        w.parquet(io.to_spark_path(stage))
+        # int64 micros per the Iceberg spec; Spark's INT96 default also
+        # writes NO parquet column statistics, silently stripping every
+        # timestamp column's zone-map bounds (review r13). Set/restore
+        # is safe here: .parquet() executes eagerly. default_session
+        # sets it globally; this covers foreign sessions.
+        _sess = writer_df.sparkSession
+        _TT = "spark.sql.parquet.outputTimestampType"
+        _prev_tt = _sess.conf.get(_TT, None)
+        _sess.conf.set(_TT, "TIMESTAMP_MICROS")
+        try:
+            w.parquet(io.to_spark_path(stage))
+        finally:
+            if _prev_tt is None:
+                _sess.conf.unset(_TT)
+            else:
+                _sess.conf.set(_TT, _prev_tt)
     else:
         raise ValueError(f"unsupported {PROP_FORMAT}={file_format} "
                          "(parquet|orc|avro)")
@@ -315,15 +330,26 @@ def write_data_files(
         _PART_PREFIX + pf.name: (pf.name, _result_type(pf, schema)) for pf in spec.fields
     }
     if len(paths) > DISTRIBUTED_STATS_THRESHOLD:
-        return _build_data_files_distributed(
+        out = _build_data_files_distributed(
             table, paths, stage, schema, result_types, sort_order_id, io,
             known_sizes=known_sizes)
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        out = list(pool.map(
-            lambda p: _build_data_file(p, stage, schema, result_types,
-                                       sort_order_id, io,
-                                       size=known_sizes.get(p)), paths))
-    return out
+    else:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            out = list(pool.map(
+                lambda p: _build_data_file(p, stage, schema, result_types,
+                                           sort_order_id, io,
+                                           size=known_sizes.get(p)), paths))
+    # Spark's committer leaves ZERO-ROW part files for output tasks that
+    # received no rows; committing them bloats manifests forever, and —
+    # carrying no column stats — they survive every zone-map prune, so
+    # a fully-pruned time-range scan still opened them (review r13).
+    # Drop them from the commit and reclaim the bytes.
+    live = [d for d in out if (d.record_count or 0) > 0]
+    if len(live) != len(out):
+        for d in out:
+            if (d.record_count or 0) == 0:
+                io.delete_quiet(d.file_path)
+    return live
 
 
 def write_parquet_arrow(df: DataFrame, stage: str, schema: Schema,
@@ -527,7 +553,7 @@ def _result_type(pf, schema: Schema) -> PrimitiveType:
     return transform_result_type(pf.transform, src.field_type if src else None)
 
 
-_EMPTY_PART = "__EMPTY_STRING__"
+from .avro_data import _EMPTY_PART  # one marker shared by every lane
 
 
 def _parse_hive_value(raw: str, t: PrimitiveType) -> Any:

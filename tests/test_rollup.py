@@ -163,3 +163,50 @@ def test_rollup_full_resync_after_source_rollback(spark, warehouse):
     roll = IcebergTable.load(roll.path)
     got = [(r.bucket_start, r.n) for r in roll.to_df(spark).collect()]
     assert len(got) == 1 and got[0][1] == 1  # stale 02:00 bucket removed
+
+
+def test_refresh_prunes_untouched_source_files(spark, warehouse):
+    """An incremental refresh must scan O(affected buckets), not the
+    full source: the touched ts range goes to the PLANNER as a filter,
+    so zone-map pruning drops untouched-history files from the file
+    list outright. Proved end-to-end by corrupting the old batch's
+    parquet bytes — a refresh that still opened that file would crash,
+    one that prunes it succeeds and stays correct."""
+    import glob
+    import os
+
+    rows1 = [(i, f"2024-01-01 0{i % 3}:10:00", "a", 1.0) for i in range(30)]
+    rows2 = [(100 + i, f"2024-02-05 12:{i % 50 + 10}:00", "b", 2.0)
+             for i in range(20)]
+
+    def mk(rows):
+        return (spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    src = warehouse.create_table("db.prune_src",
+                                 Schema.from_spark(mk(rows1).schema))
+    src.append(mk(rows1))
+    roll = create_rollup(warehouse, src, "db.prune_roll", spark,
+                         ts_col="ts", bucket="1 hour",
+                         group_cols=["event_type"], value_col="value")
+    jan_files = sorted(glob.glob(os.path.join(src.path, "data", "**",
+                                              "*.parquet"), recursive=True))
+    assert jan_files
+    src.append(mk(rows2))
+
+    # corrupt every January data file: still listed in the manifests,
+    # unreadable if opened — the refresh must never open them
+    for p in jan_files:
+        with open(p, "wb") as f:
+            f.write(b"not a parquet file")
+    n = refresh_rollup(roll, src, spark)
+    assert n > 0
+    feb = {(r.bucket_start.isoformat(), r.event_type, r.n)
+           for r in roll.to_df(spark).collect()
+           if r.bucket_start.month == 2}
+    assert feb == {("2024-02-05T12:00:00", "b", 20)}
+    # January rollup rows from the backfill survive untouched
+    jan = [r for r in roll.to_df(spark).collect()
+           if r.bucket_start.month == 1]
+    assert sum(r.n for r in jan) == 30

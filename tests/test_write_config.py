@@ -338,3 +338,49 @@ def test_arrow_field_id_mode_partitioned(spark, warehouse):
     assert len(pruned) < len(files)
     assert t.to_df(spark, filter="g = 1").count() == 100
     assert t.to_df(spark).count() == 300
+
+
+def test_timestamp_zone_map_bounds_recorded_and_prune(spark, warehouse):
+    """Timestamp columns must carry zone-map bounds: Spark's INT96
+    parquet default records NO column statistics, so every time-range
+    predicate scanned the full table (review r13). The writer forces
+    int64 micros (also the Iceberg-spec encoding) and the planner then
+    prunes files by ts bounds."""
+    from pyspark.sql import functions as F
+
+    from icelake_spark.types import Schema
+
+    df = (spark.createDataFrame(
+        [(i, f"2024-0{1 + i // 50}-01 00:{i % 50 + 10}:00") for i in range(100)],
+        "id long, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    t = warehouse.create_table("db.tsbounds", Schema.from_spark(df.schema))
+    t.append(df.where("id < 50"))    # January file(s)
+    t = t.refresh()
+    t.append(df.where("id >= 50"))   # February file(s)
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files(spark)
+    fid = t.schema().field_by_name("ts").field_id
+    assert all(d.data_file.lower_bounds and fid in d.data_file.lower_bounds
+               for d in data), "timestamp bounds missing from manifests"
+    flt = "ts >= '2024-02-01 00:00:00'"
+    pruned, _, _ = t.new_scan(filter=flt).plan_files(spark)
+    assert 0 < len(pruned) < len(data)
+    assert t.to_df(spark, filter=flt).count() == 50
+
+
+def test_zero_row_part_files_not_committed(spark, warehouse):
+    """Spark's committer leaves empty part files when output tasks get
+    no rows (e.g. 3 rows across 32 partitions): they must not reach the
+    manifests — they bloat metadata forever and, carrying no stats,
+    survive every zone-map prune (review r13)."""
+    from icelake_spark.types import Schema
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    t = warehouse.create_table("db.nozero", Schema.from_spark(df.schema))
+    t.append(df.repartition(16))  # forces many empty output tasks
+    t = t.refresh()
+    data, _, _ = t.new_scan().plan_files(spark)
+    assert data, "no files committed"
+    assert all(d.data_file.record_count > 0 for d in data)
+    assert t.to_df(spark).count() == 3
