@@ -318,10 +318,14 @@ def _pv_to_avro(v: Any, t: PrimitiveType) -> Any:
             # aware values anchor at the UTC epoch: anchoring at the
             # value's OWN tzinfo shifts the stored micros by the UTC
             # offset (the same bug apply_transform_py fixed), making the
-            # partition tuple disagree with its own FieldSummary bounds
+            # partition tuple disagree with its own FieldSummary bounds.
+            # Exact INTEGER micros via timedelta floor-division — the
+            # encode_bound idiom; total_seconds()*1e6 drifts +-1us
+            # beyond ~year 2100 (review r13, the r11 avro_data fix
+            # applied to this last float site)
             epoch = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
                      if v.tzinfo else dt.datetime(1970, 1, 1))
-            return round((v - epoch).total_seconds() * 1_000_000)
+            return (v - epoch) // dt.timedelta(microseconds=1)
         return int(v)
     if n == "decimal":
         unscaled = int(Decimal(v).scaleb(t.scale).to_integral_value())

@@ -84,3 +84,23 @@ def test_stream_sink_empty_string_partition_distinct(spark, warehouse,
     got = {r.id for r in sink_t.to_df(
         spark, partition_filter={"c": ""}).collect()}
     assert got == {1}
+
+
+def test_pv_to_avro_timestamp_exact_micros():
+    """Partition-tuple timestamps encode with exact integer micros —
+    the float total_seconds() path drifted +-1us for far-future
+    instants, making the manifest partition value disagree with bounds
+    computed by the exact encode_bound arithmetic (review r13)."""
+    import datetime as dt
+
+    from icelake_spark.types.datatypes import (TIMESTAMP, TIMESTAMPTZ,
+                                               encode_bound, decode_bound)
+    from icelake_spark.types.manifest import _pv_to_avro
+
+    far = dt.datetime(2243, 10, 17, 1, 2, 3, 654321)
+    for t, v in ((TIMESTAMP, far),
+                 (TIMESTAMPTZ, far.replace(tzinfo=dt.timezone.utc))):
+        micros = _pv_to_avro(v, t)
+        # agrees bit-for-bit with the bounds encoder
+        assert decode_bound(t, encode_bound(t, v)) == v
+        assert encode_bound(t, micros) == encode_bound(t, v), (t.name, micros)
