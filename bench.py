@@ -114,6 +114,10 @@ EXTENDED = [
     # and last-touch attribution (one per-user window + bounded agg)
     "ivf_pq_rerank",
     "event_attribution",
+    # round-13: asymmetric n-gram containment (quote/subset detection
+    # — the directed dedup arrow Jaccard misses when the container is
+    # much larger than the contained doc)
+    "containment_pairs",
 ]
 
 

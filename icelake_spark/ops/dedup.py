@@ -415,6 +415,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.8,
+                      fanout_input: bool = True) -> DataFrame:
+    """Exact ASYMMETRIC n-gram containment: C(a→b) = |grams(a) ∩
+    grams(b)| / |grams(a)| — the quote/subset detector Jaccard misses.
+    A short document fully embedded in a much larger one has near-1.0
+    containment but tiny Jaccard (the union is dominated by the big
+    doc), so near-dup symmetric measures keep BOTH copies; training
+    corpora drop the contained one (Lee et al. 2022's substring-dedup
+    motivation, set-granular). Returns every DIRECTED pair
+    (a=contained, b=container, containment ≥ threshold), a ≠ b.
+
+    Scale shape = ngram_jaccard_pairs': explode + 8-byte gram-hash
+    self-join distributes pair generation; the provable prune runs
+    BEFORE the aggregation — common ≤ nb, so C(a→b) = common/na ≥ t
+    requires nb ≥ t·na, cutting candidates where the container is too
+    small long before the groupBy. Only gram hashes and two counts
+    shuffle; text bytes never leave the scan."""
+    src = fanout(df, F.col(id_col)) if fanout_input else df
+    with_g = src.select(F.col(id_col), shingles(text_col, n).alias("gs"))
+    g = (with_g.select(F.col(id_col), F.explode("gs").alias("__g"),
+                       F.size("gs").alias("n_g"))
+         .select(F.col(id_col), F.xxhash64("__g").alias("g"), "n_g"))
+    a = g.select(F.col(id_col).alias("a"), "g", F.col("n_g").alias("na"))
+    b = g.select(F.col(id_col).alias("b"), "g", F.col("n_g").alias("nb"))
+    inter = (a.join(b, on="g").where(F.col("a") != F.col("b"))
+             .where(F.col("nb") >= threshold * F.col("na"))
+             .groupBy("a", "b", "na").agg(F.count("*").alias("common")))
+    cont = (F.col("common") / F.col("na")).cast("double")
+    return (inter.withColumn("containment", cont)
+            .where(F.col("containment") >= threshold)
+            .select("a", "b", F.round("containment", 6).alias("containment")))
+
+
 def positional_shingles(w, n: int = 3):
     """Word n-gram shingle array WITH positions preserved (no
     distinct); element i is the gram starting at word i. Pure

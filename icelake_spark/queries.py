@@ -2114,6 +2114,39 @@ ORDER BY a, b
 """
 
 
+def containment_pairs_q(spark, sf_dir):
+    """Asymmetric n-gram containment (quote/subset detection): every
+    directed pair where ≥ 60% of the contained doc's distinct trigram
+    set appears in the container — the duplication Jaccard misses when
+    the container is much larger. ops/dedup.py:containment_pairs."""
+    from .ops.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return (containment_pairs(docs, n=3, threshold=0.6)
+            .orderBy("a", "b"))
+
+
+CONTAINMENT_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3)
+SELECT a, b, ROUND(CAST(common AS DOUBLE) / na, 6) AS containment
+FROM inter
+WHERE CAST(common AS DOUBLE) / na >= 0.6
+ORDER BY a, b
+"""
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Corpus-level fuzzy dedup: transitive closure of the n-gram
     Jaccard near-dup pairs; every document gets the min doc_id of its
@@ -5696,7 +5729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r10-checked rows are a round STALER than the r11 window
     (aggregating CORRECTNESS_r01-r12: 47 rows' latest check is r10 vs
     48 at r11), so oldest-first puts them ahead; they enter in their
-    r10 window order. 2+3+4+3+38 = the 50-row window.
+    r10 window order — 37 after containment_pairs (NEW in r13,
+    never checked — outranks every stale row) took a slot and
+    iceberg_time_travel rotated to the r14 queue head.
+    2+3+4+3+1+37 = the 50-row window.
 
     Just past the cut, leading the r14 queue with the accepted
     justification pattern (every in-window slot above is mandated or
@@ -5724,6 +5760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_q,
         "simhash_near_pairs": simhash_q,
         "lsh_cosine_pairs": lsh_cosine_q,
+        # -- (4b) NEW in r13, never driver-checked (outranks stale)
+        "containment_pairs": containment_pairs_q,
         # -- (5) 38 of the 47 r10-stale rows (3 rounds stale — older
         #    than the r11-window rows VERDICT names; oldest-first), in
         #    their r10 window order
@@ -5764,9 +5802,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_update": iceberg_update,
         "iceberg_zorder": iceberg_zorder,
         "iceberg_snapshots_meta": iceberg_snapshots_meta,
-        "iceberg_time_travel": iceberg_time_travel,
         # ---- beyond the 50-row window ------------------------------
-        # -- the 9 r10-stale rows that did not fit lead the r14 queue
+        # -- iceberg_time_travel rotated out to make room for the
+        #    never-checked containment_pairs (r13 addition); it joins
+        # -- the now-10 r10-stale rows that did not fit, leading the
+        #    r14 queue (same justification pattern: every in-window
+        #    slot above is mandated, never-checked, or staler)
+        "iceberg_time_travel": iceberg_time_travel,
         #    (same justification pattern: every in-window slot above
         #    is mandated or staler), then r11-window rows (2 rounds
         #    stale) in r11 order, then r12-window rows (freshest)
@@ -5959,6 +6001,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_v3": _curation_v3_sql(),
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+        "containment_pairs": CONTAINMENT_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "bm25_topk": _ranking.bm25_sql(BM25_TERMS, k=20),
         "dedup_against": DEDUP_AGAINST_SQL,

@@ -2732,3 +2732,47 @@ def test_embedding_outliers_planted(spark):
     assert [r.vec_id for r in got] == [100, 101, 102], got
     assert got[0].dist > got[1].dist > got[2].dist
     assert all(r.dist is not None for r in got)
+
+
+def test_containment_pairs_planted_asymmetry(spark):
+    """containment_pairs on planted structure: a short doc fully
+    embedded in a 5x-larger one reads containment 1.0 in the
+    contained->container direction (while its Jaccard is far below
+    any near-dup threshold), the reverse direction fails the
+    threshold, and disjoint docs never pair."""
+    from icelake_spark.ops.dedup import containment_pairs, ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = (small + " zeta eta theta iota kappa lam mu nu xi omicron "
+           "pi rho sigma tau upsilon phi chi psi omega one two")
+    docs = spark.createDataFrame([
+        (1, small),                                    # contained in 2
+        (2, big),                                      # the container
+        (3, "sun moon star cloud rain snow wind fog"),  # disjoint
+    ], "doc_id long, text string")
+    got = {(r.a, r.b): r.containment
+           for r in containment_pairs(docs, n=3, threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}, got
+    # the symmetric measure misses it: jaccard = 3/25 grams
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []
+    # direction matters: lowering the threshold still only emits the
+    # contained->container arrow plus the (weak) reverse, never 3
+    lo = {(r.a, r.b) for r in
+          containment_pairs(docs, n=3, threshold=0.05).collect()}
+    assert (1, 2) in lo and (2, 1) in lo
+    assert not any(3 in p for p in lo)
+
+
+def test_containment_pairs_null_and_short_docs(spark):
+    """Docs with NULL text or fewer than n words produce no grams and
+    therefore no pairs — and never crash the explode path."""
+    from icelake_spark.ops.dedup import containment_pairs
+
+    docs = spark.createDataFrame([
+        (1, None), (2, "two words"), (3, "alpha beta gamma delta"),
+        (4, "alpha beta gamma delta"),
+    ], "doc_id long, text string")
+    got = {(r.a, r.b): r.containment
+           for r in containment_pairs(docs, n=3, threshold=0.5).collect()}
+    assert got == {(3, 4): 1.0, (4, 3): 1.0}

@@ -539,3 +539,24 @@ def test_event_attribution_plan_properties(spark):
     assert "SortMergeJoin" not in p
     assert "windowspecdefinition(user_id" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_containment_pairs_plan_properties(spark):
+    """containment_pairs mirrors the jaccard lane's scale shape: text
+    bytes never shuffle (the exchange carries 8-byte gram hashes +
+    counts only), no Python anywhere, and the provable nb >= t*na
+    prune sits BELOW the aggregation so it cuts candidates before the
+    groupBy, not after."""
+    from icelake_spark import queries as Q
+
+    p = _plan(Q.containment_pairs_q(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in p
+    o = _optimized(Q.containment_pairs_q(spark, "/root/testdata/sf0.001"))
+    # Catalyst folds the nb >= t*na prune INTO the join condition (the
+    # best placement: rows die during the probe, before the groupBy);
+    # pin that it stays there and never floats above the Aggregate
+    join_pos = o.find("Join Inner")
+    assert join_pos > 0
+    join_line = o[join_pos:o.index("\n", join_pos)]
+    assert "* 0.6" in join_line, join_line
+    assert o.find("Aggregate") < join_pos  # agg above, prune below
