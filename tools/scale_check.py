@@ -67,6 +67,7 @@ DEFAULT_LANES = [
     "simhash_near_pairs",
     "lsh_cosine_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "dedup_exact",
     "ivf_pq_topk",
     "pagerank_purchases",
