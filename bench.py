@@ -118,6 +118,7 @@ EXTENDED = [
     # — the directed dedup arrow Jaccard misses when the container is
     # much larger than the contained doc)
     "containment_pairs",
+    "dedup_contained",
 ]
 
 

@@ -418,7 +418,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.8,
-                      fanout_input: bool = True) -> DataFrame:
+                      fanout_input: bool = True,
+                      include_sizes: bool = False) -> DataFrame:
     """Exact ASYMMETRIC n-gram containment: C(a→b) = |grams(a) ∩
     grams(b)| / |grams(a)| — the quote/subset detector Jaccard misses.
     A short document fully embedded in a much larger one has near-1.0
@@ -433,7 +434,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     BEFORE the aggregation — common ≤ nb, so C(a→b) = common/na ≥ t
     requires nb ≥ t·na, cutting candidates where the container is too
     small long before the groupBy. Only gram hashes and two counts
-    shuffle; text bytes never leave the scan."""
+    shuffle; text bytes never leave the scan. `include_sizes` appends
+    the (na, nb) gram counts for policy layers (dedup_contained)."""
     src = fanout(df, F.col(id_col)) if fanout_input else df
     with_g = src.select(F.col(id_col), shingles(text_col, n).alias("gs"))
     g = (with_g.select(F.col(id_col), F.explode("gs").alias("__g"),
@@ -443,11 +445,42 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     b = g.select(F.col(id_col).alias("b"), "g", F.col("n_g").alias("nb"))
     inter = (a.join(b, on="g").where(F.col("a") != F.col("b"))
              .where(F.col("nb") >= threshold * F.col("na"))
-             .groupBy("a", "b", "na").agg(F.count("*").alias("common")))
+             .groupBy("a", "b", "na", "nb")
+             .agg(F.count("*").alias("common")))
     cont = (F.col("common") / F.col("na")).cast("double")
-    return (inter.withColumn("containment", cont)
-            .where(F.col("containment") >= threshold)
-            .select("a", "b", F.round("containment", 6).alias("containment")))
+    out = (inter.withColumn("containment", cont)
+           .where(F.col("containment") >= threshold))
+    cols = ["a", "b", F.round("containment", 6).alias("containment")]
+    if include_sizes:
+        cols += [F.col("na").cast("long").alias("na"),
+                 F.col("nb").cast("long").alias("nb")]
+    return out.select(*cols)
+
+
+def dedup_contained(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3,
+                    threshold: float = 0.8,
+                    fanout_input: bool = True) -> DataFrame:
+    """Containment DEDUP policy: drop every document whose distinct
+    gram set is ≥ threshold contained in a doc with MORE grams (ties
+    break to the lower id) — the keep-the-container rule. One pass,
+    deterministic: a quote keeps its source article, a partial scrape
+    keeps the full page. Chains (A⊂B⊂C) drop every non-maximal layer
+    in the same pass because each is contained in its own container.
+    Returns the surviving rows of `df` (all original columns).
+
+    Scale shape: containment_pairs' bounded pair plan + ONE broadcast-
+    able anti-join on the (small) dropped-id set; text bytes never
+    shuffle."""
+    pairs = containment_pairs(df, text_col=text_col, id_col=id_col, n=n,
+                              threshold=threshold,
+                              fanout_input=fanout_input,
+                              include_sizes=True)
+    dropped = (pairs.where((F.col("na") < F.col("nb"))
+                           | ((F.col("na") == F.col("nb"))
+                              & (F.col("a") > F.col("b"))))
+               .select(F.col("a").alias(id_col)).distinct())
+    return df.join(dropped, on=id_col, how="left_anti")
 
 
 def positional_shingles(w, n: int = 3):

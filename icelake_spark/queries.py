@@ -2147,6 +2147,42 @@ ORDER BY a, b
 """
 
 
+def dedup_contained_q(spark, sf_dir):
+    """Containment dedup policy (keep the container): documents ≥ 60%
+    gram-contained in a strictly larger doc (ties to the lower id) are
+    dropped; survivors keep all columns.
+    ops/dedup.py:dedup_contained."""
+    from .ops.dedup import dedup_contained
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_contained(docs, n=3, threshold=0.6).orderBy("doc_id")
+
+
+DEDUP_CONTAINED_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gs
+  FROM words WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(gs) AS g, len(gs) AS n_g FROM grams),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS common
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3, 4),
+dropped AS (
+  SELECT DISTINCT a FROM inter
+  WHERE CAST(common AS DOUBLE) / na >= 0.6
+    AND (na < nb OR (na = nb AND a > b)))
+SELECT d.* FROM documents d
+WHERE doc_id NOT IN (SELECT a FROM dropped)
+ORDER BY doc_id
+"""
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Corpus-level fuzzy dedup: transitive closure of the n-gram
     Jaccard near-dup pairs; every document gets the min doc_id of its
@@ -5729,10 +5765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r10-checked rows are a round STALER than the r11 window
     (aggregating CORRECTNESS_r01-r12: 47 rows' latest check is r10 vs
     48 at r11), so oldest-first puts them ahead; they enter in their
-    r10 window order — 37 after containment_pairs (NEW in r13,
-    never checked — outranks every stale row) took a slot and
+    r10 window order — 36 after the two NEW r13 rows
+    (containment_pairs, dedup_contained — never checked, so they
+    outrank every stale row) took slots and iceberg_snapshots_meta +
     iceberg_time_travel rotated to the r14 queue head.
-    2+3+4+3+1+37 = the 50-row window.
+    2+3+4+3+2+36 = the 50-row window.
 
     Just past the cut, leading the r14 queue with the accepted
     justification pattern (every in-window slot above is mandated or
@@ -5762,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_pairs": lsh_cosine_q,
         # -- (4b) NEW in r13, never driver-checked (outranks stale)
         "containment_pairs": containment_pairs_q,
+        "dedup_contained": dedup_contained_q,
         # -- (5) 38 of the 47 r10-stale rows (3 rounds stale — older
         #    than the r11-window rows VERDICT names; oldest-first), in
         #    their r10 window order
@@ -5801,13 +5839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_update": iceberg_update,
         "iceberg_zorder": iceberg_zorder,
-        "iceberg_snapshots_meta": iceberg_snapshots_meta,
         # ---- beyond the 50-row window ------------------------------
-        # -- iceberg_time_travel rotated out to make room for the
-        #    never-checked containment_pairs (r13 addition); it joins
-        # -- the now-10 r10-stale rows that did not fit, leading the
-        #    r14 queue (same justification pattern: every in-window
-        #    slot above is mandated, never-checked, or staler)
+        # -- iceberg_snapshots_meta + iceberg_time_travel rotated out
+        #    to make room for the never-checked r13 additions
+        #    (containment_pairs, dedup_contained); they join the
+        # -- now-11 r10-stale rows that did not fit, leading the r14
+        #    queue (same justification pattern: every in-window slot
+        #    above is mandated, never-checked, or staler)
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
         "iceberg_time_travel": iceberg_time_travel,
         #    (same justification pattern: every in-window slot above
         #    is mandated or staler), then r11-window rows (2 rounds
@@ -6002,6 +6041,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": LINE_DEDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "containment_pairs": CONTAINMENT_SQL,
+        "dedup_contained": DEDUP_CONTAINED_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "bm25_topk": _ranking.bm25_sql(BM25_TERMS, k=20),
         "dedup_against": DEDUP_AGAINST_SQL,

@@ -2776,3 +2776,23 @@ def test_containment_pairs_null_and_short_docs(spark):
     got = {(r.a, r.b): r.containment
            for r in containment_pairs(docs, n=3, threshold=0.5).collect()}
     assert got == {(3, 4): 1.0, (4, 3): 1.0}
+
+
+def test_dedup_contained_keep_container_rule(spark):
+    """dedup_contained drops the contained/smaller side only: in an
+    A⊂B chain the container survives, equal-gram mutual containment
+    keeps the LOWER id, and disjoint docs always survive."""
+    from icelake_spark.ops.dedup import dedup_contained
+
+    small = "alpha beta gamma delta epsilon"
+    big = (small + " zeta eta theta iota kappa lam mu nu xi omicron")
+    docs = spark.createDataFrame([
+        (1, small),      # contained in 2 -> dropped
+        (2, big),        # container -> kept
+        (3, "sun moon star cloud rain snow wind fog"),  # disjoint -> kept
+        (4, "one two three four five"),   # equal twins: lower id kept
+        (5, "one two three four five"),
+    ], "doc_id long, text string")
+    got = sorted(r.doc_id for r in
+                 dedup_contained(docs, n=3, threshold=0.8).collect())
+    assert got == [2, 3, 4], got
