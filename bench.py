@@ -119,6 +119,7 @@ EXTENDED = [
     # much larger than the contained doc)
     "containment_pairs",
     "dedup_contained",
+    "pca_projection",
 ]
 
 
@@ -163,9 +164,18 @@ def _bench_variants():
         emb = load(spark, sf_dir, "embeddings")
         return embedding_covariance(emb, dim=64, portable=False)
 
+    def pca_gemm(spark, sf_dir):
+        # deployment lane: GEMM covariance + numpy eigh direction (the
+        # portable integer-power lane is the oracle's, pinned equal in
+        # direction by test_pca_projection_planted_dominant_axis)
+        from icelake_spark.ops.similarity import pca_project
+        emb = load(spark, sf_dir, "embeddings")
+        return pca_project(emb, dim=64, k=20, portable=False)
+
     return {"pq_adc_topk": pq_gemm, "ivf_pq_topk": ivfpq_gemm,
             "ivf_pq_rerank": ivfpq_rerank_gemm,
-            "embedding_covariance": cov_gemm}
+            "embedding_covariance": cov_gemm,
+            "pca_projection": pca_gemm}
 
 
 def _run_set(spark, qs, names, sf_dir) -> tuple[dict[str, float], float]:

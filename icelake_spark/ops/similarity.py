@@ -15,6 +15,8 @@ no Python UDFs anywhere on the hot path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1187,3 +1189,98 @@ def embedding_outliers(df: DataFrame, k: int = 20,
                             .cast("int").alias("cluster"),
                             F.round(F.array_min(dists), 6).alias("dist")))
     return (assigned.orderBy(F.desc("dist"), F.col(id_col)).limit(k))
+
+
+# ------------------------------------------------------ PCA projection
+
+PCA_UNIT = 10 ** 6  # integer micro-units for the portable iteration
+
+
+def _tdiv(a: int, s: int) -> int:
+    """Integer division TRUNCATING toward zero — DuckDB's `//` (and
+    Spark's DIV) semantics; python's // floors, which differs on
+    negatives and would silently desync the two engines' iterations."""
+    return a // s if a >= 0 else -((-a) // s)
+
+
+def pca_power_direction(cov_rows: list[tuple[int, int, float]],
+                        dim: int, iters: int = 6) -> list[int]:
+    """Principal eigenvector direction from an upper-triangle (i, j,
+    cov) list via POWER ITERATION in pure integer arithmetic — the
+    pagerank discipline applied to eigenvectors: covariance cells
+    quantize to micro-units, v starts at all-ones, each step computes
+    w = C·v exactly in integers and rescales by the truncating
+    division w // max(1, max|w| // PCA_UNIT), so the fixpoint is
+    bit-identical on any engine and a DuckDB twin can unroll the loop
+    as CTEs. Runs on the DRIVER over the dim·(dim+1)/2 collected
+    cells (bounded by dim², never by corpus size). Returns v as a
+    micro-unit integer vector (sign as the iteration lands — both
+    engines land identically)."""
+    C = [[0] * dim for _ in range(dim)]
+    for i, j, cov in cov_rows:
+        c = int(math.floor(cov * PCA_UNIT + 0.5))
+        C[i - 1][j - 1] = c
+        C[j - 1][i - 1] = c
+    v = [PCA_UNIT] * dim
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        s = max(1, max(abs(x) for x in w) // PCA_UNIT)
+        v = [_tdiv(x, s) for x in w]
+    return v
+
+
+def pca_project(df: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id", dim: int = 64, k: int = 20,
+                iters: int = 6, portable: bool = False) -> DataFrame:
+    """Documents most EXTREME along the corpus's principal component —
+    the embedding-drift / dominant-axis diagnostic that closes the
+    covariance story (embedding_covariance measures anisotropy; this
+    names the rows that carry it). Returns the top-k rows by |score|
+    (ties to the lower id) as (rank, vec_id, score) where score is the
+    integer micro-unit dot product of the row's quantized embedding
+    with the principal direction.
+
+    Portable lane: covariance via embedding_covariance(portable=True)
+    (DECIMAL-exact both engines), direction via pca_power_direction's
+    integer power iteration, projection as an in-row integer
+    aggregate; every step is bit-reproduced by the unrolled-CTE DuckDB
+    twin. Deployment lane (portable=False): the GEMM covariance +
+    numpy eigh direction — same plan shape, float math; a parity
+    pytest pins |cos| between the two directions.
+
+    Scale shape: ONE bounded covariance aggregate (dim² cells
+    collected to the driver — never corpus-sized), the iteration on
+    the driver, then a shuffle-free in-row projection + TakeOrdered
+    top-k. NULL/NaN vectors are excluded (valid_vectors)."""
+    cov_df = embedding_covariance(df, vec_col=vec_col, dim=dim,
+                                  portable=portable)
+    if portable:
+        rows = [(r["i"], r["j"], r["cov"]) for r in cov_df.collect()]
+        v = pca_power_direction(rows, dim, iters=iters)
+    else:
+        import numpy as np
+
+        C = np.zeros((dim, dim))
+        for r in cov_df.collect():
+            C[r["i"] - 1, r["j"] - 1] = r["cov"]
+            C[r["j"] - 1, r["i"] - 1] = r["cov"]
+        vals, vecs = np.linalg.eigh(C)
+        top = vecs[:, int(np.argmax(vals))]
+        v = [int(math.floor(x * PCA_UNIT + 0.5)) for x in top]
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    base = (valid_vectors(df, vec_col)
+            .select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
+    # quantize each component exactly like the twin (FLOOR(x*1e6+0.5)),
+    # then the dot product is a pure integer fold — order-independent
+    score = F.aggregate(
+        F.zip_with(vlit, F.col("__v"),
+                   lambda a, b: a * F.floor(b * F.lit(float(PCA_UNIT))
+                                            + F.lit(0.5)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = base.select(id_col, score.alias("score"))
+    w = Window.orderBy(F.abs(F.col("score")).desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("rank").cast("long"), id_col, "score")
+            .orderBy("rank"))

@@ -5583,6 +5583,73 @@ ORDER BY i, j
 """
 
 
+def pca_projection_q(spark, sf_dir):
+    """Top-20 documents most extreme along the corpus's principal
+    embedding axis — portable lane: DECIMAL-exact covariance, integer
+    power iteration (6 steps) on the driver, in-row integer
+    projection. The DuckDB twin unrolls the identical iteration as
+    CTEs (the pagerank discipline applied to eigenvectors).
+    ops/similarity.py:pca_project."""
+    from .ops.similarity import pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_project(emb, dim=64, k=20, iters=6, portable=True)
+
+
+def _pca_projection_sql(dim: int = 64, k: int = 20, iters: int = 6) -> str:
+    """Twin of pca_projection_q: covariance CTEs (the
+    _embedding_covariance_sql body), cell quantization
+    FLOOR(cov*1e6 + 0.5), then the power iteration unrolled — w = C·v
+    and the TRUNCATING rescale w // max(1, max|w| // 1e6) per step
+    (DuckDB's `//` truncates toward zero; ops/similarity._tdiv matches
+    it exactly), then the integer projection and |score| top-k."""
+    unit = 10 ** 6
+    ctes = [f"""v AS (SELECT CAST(embedding AS DOUBLE[]) AS e,
+           vec_id FROM embeddings WHERE {_VALID_VEC_WHERE}),
+pairs AS (
+  SELECT i, j, SUM(CAST(ROUND(e[i] * e[j], 6) AS DECIMAL(30,6))) AS sxy,
+         COUNT(*) AS n
+  FROM v, generate_series(1, {dim}) s(i), generate_series(1, {dim}) s2(j)
+  WHERE j >= i GROUP BY i, j),
+dims AS (
+  SELECT i, SUM(CAST(ROUND(e[i], 6) AS DECIMAL(28,6))) AS sx
+  FROM v, generate_series(1, {dim}) s(i) GROUP BY i),
+cov AS (
+  SELECT p.i AS i, p.j AS j,
+         ROUND((CAST(p.sxy AS DOUBLE)
+                - CAST(d1.sx AS DOUBLE) * CAST(d2.sx AS DOUBLE) / p.n)
+               / p.n, 6) + 0.0 AS cov
+  FROM pairs p JOIN dims d1 ON d1.i = p.i JOIN dims d2 ON d2.i = p.j),
+cells AS (
+  SELECT i, j, CAST(FLOOR(cov * {unit} + 0.5) AS BIGINT) AS c FROM cov
+  UNION ALL
+  SELECT j, i, CAST(FLOOR(cov * {unit} + 0.5) AS BIGINT) FROM cov
+  WHERE i <> j),
+pv0 AS (SELECT i, CAST({unit} AS BIGINT) AS pv
+        FROM generate_series(1, {dim}) s(i))"""]
+    for t in range(iters):
+        ctes.append(f"""w{t} AS (
+  SELECT c.i AS i, SUM(c.c * p.pv) AS w
+  FROM cells c JOIN pv{t} p ON p.i = c.j GROUP BY c.i),
+s{t} AS (SELECT GREATEST(1, MAX(ABS(w)) // {unit}) AS s FROM w{t}),
+pv{t + 1} AS (SELECT i, w // s AS pv FROM w{t}, s{t})""")
+    ctes.append(f"""q AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(e[i] * {unit} + 0.5) AS BIGINT) AS qe
+  FROM v, generate_series(1, {dim}) s(i)),
+scored AS (
+  SELECT q.vec_id, SUM(p.pv * q.qe) AS score
+  FROM q JOIN pv{iters} p ON p.i = q.i GROUP BY q.vec_id),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ABS(score) DESC, vec_id ASC)
+           AS rank, vec_id, score
+  FROM scored)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {k} ORDER BY rank
+""")
+
+
 def split_by_group_q(spark, sf_dir):
     """Leakage-safe grouped split (ops/sampling.py split_by_group):
     the split key is the SOURCE, so every document of a source lands
@@ -5765,11 +5832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r10-checked rows are a round STALER than the r11 window
     (aggregating CORRECTNESS_r01-r12: 47 rows' latest check is r10 vs
     48 at r11), so oldest-first puts them ahead; they enter in their
-    r10 window order — 36 after the two NEW r13 rows
-    (containment_pairs, dedup_contained — never checked, so they
-    outrank every stale row) took slots and iceberg_snapshots_meta +
-    iceberg_time_travel rotated to the r14 queue head.
-    2+3+4+3+2+36 = the 50-row window.
+    r10 window order — 35 after the three NEW r13 rows
+    (containment_pairs, dedup_contained, pca_projection — never
+    checked, so they outrank every stale row) took slots and
+    iceberg_zorder + iceberg_snapshots_meta + iceberg_time_travel
+    rotated to the r14 queue head.
+    2+3+4+3+3+35 = the 50-row window.
 
     Just past the cut, leading the r14 queue with the accepted
     justification pattern (every in-window slot above is mandated or
@@ -5800,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (4b) NEW in r13, never driver-checked (outranks stale)
         "containment_pairs": containment_pairs_q,
         "dedup_contained": dedup_contained_q,
+        "pca_projection": pca_projection_q,
         # -- (5) 38 of the 47 r10-stale rows (3 rounds stale — older
         #    than the r11-window rows VERDICT names; oldest-first), in
         #    their r10 window order
@@ -5838,14 +5907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup_q,
         "iceberg_nested_roundtrip": iceberg_nested_roundtrip,
         "iceberg_update": iceberg_update,
-        "iceberg_zorder": iceberg_zorder,
         # ---- beyond the 50-row window ------------------------------
-        # -- iceberg_snapshots_meta + iceberg_time_travel rotated out
-        #    to make room for the never-checked r13 additions
-        #    (containment_pairs, dedup_contained); they join the
-        # -- now-11 r10-stale rows that did not fit, leading the r14
+        # -- iceberg_zorder + iceberg_snapshots_meta +
+        #    iceberg_time_travel rotated out to make room for the
+        #    never-checked r13 additions (containment_pairs,
+        #    dedup_contained, pca_projection); they join the
+        # -- now-12 r10-stale rows that did not fit, leading the r14
         #    queue (same justification pattern: every in-window slot
         #    above is mandated, never-checked, or staler)
+        "iceberg_zorder": iceberg_zorder,
         "iceberg_snapshots_meta": iceberg_snapshots_meta,
         "iceberg_time_travel": iceberg_time_travel,
         #    (same justification pattern: every in-window slot above
@@ -6042,6 +6112,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "containment_pairs": CONTAINMENT_SQL,
         "dedup_contained": DEDUP_CONTAINED_SQL,
+        "pca_projection": _pca_projection_sql(),
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "bm25_topk": _ranking.bm25_sql(BM25_TERMS, k=20),
         "dedup_against": DEDUP_AGAINST_SQL,

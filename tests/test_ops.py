@@ -2796,3 +2796,59 @@ def test_dedup_contained_keep_container_rule(spark):
     got = sorted(r.doc_id for r in
                  dedup_contained(docs, n=3, threshold=0.8).collect())
     assert got == [2, 3, 4], got
+
+
+def test_pca_projection_planted_dominant_axis(spark):
+    """pca_project on planted anisotropy: vectors spread +-t along ONE
+    axis (plus per-dim noise) — the portable integer power iteration
+    must rank the axis extremes first, and the deployment (numpy eigh)
+    direction must agree with the portable direction up to sign."""
+    import math
+
+    from icelake_spark.ops.similarity import (PCA_UNIT, pca_power_direction,
+                                              pca_project)
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        t = (i - 20) / 4.0           # dominant axis 2 spread
+        vec = [0.01 * ((i * 7 + j) % 5 - 2) for j in range(dim)]
+        vec[2] += t
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pca_project(df, dim=dim, k=4, iters=8, portable=True).collect()
+    # extremes of the planted axis: ids 0,39 (|t| = 5, 4.75) lead
+    assert {r.vec_id for r in got[:2]} == {0, 39}, got
+    assert got[0].rank == 1 and abs(got[0].score) > abs(got[3].score)
+
+    # deployment-vs-portable direction parity (|cos| >= 0.99)
+    from icelake_spark.ops.similarity import embedding_covariance
+
+    cov = [(r.i, r.j, r.cov) for r in
+           embedding_covariance(df, dim=dim, portable=True).collect()]
+    v_port = pca_power_direction(cov, dim, iters=8)
+    import numpy as np
+
+    C = np.zeros((dim, dim))
+    for i, j, c in cov:
+        C[i - 1, j - 1] = C[j - 1, i - 1] = c
+    vals, vecs = np.linalg.eigh(C)
+    v_eigh = vecs[:, int(np.argmax(vals))]
+    vp = np.array(v_port, dtype=float)
+    cos = abs(float(vp @ v_eigh) / (np.linalg.norm(vp)
+                                    * np.linalg.norm(v_eigh)))
+    assert cos >= 0.99, cos
+
+
+def test_pca_tdiv_matches_duckdb_truncation():
+    """_tdiv truncates toward zero exactly like DuckDB's `//` (python's
+    // floors — a silent one-off on any negative intermediate would
+    desync the two engines' iterations)."""
+    import duckdb
+
+    from icelake_spark.ops.similarity import _tdiv
+
+    for a in (-7, -6, -1, 0, 1, 6, 7, -1_000_001, 999_999):
+        for s in (1, 2, 3, 10 ** 6):
+            want = duckdb.sql(f"SELECT {a} // {s}").fetchone()[0]
+            assert _tdiv(a, s) == want, (a, s)

@@ -560,3 +560,21 @@ def test_containment_pairs_plan_properties(spark):
     join_line = o[join_pos:o.index("\n", join_pos)]
     assert "* 0.6" in join_line, join_line
     assert o.find("Aggregate") < join_pos  # agg above, prune below
+
+
+def test_pca_projection_plan_properties(spark):
+    """pca_project's distributed footprint: the projection is an
+    in-row integer fold with the direction as a LITERAL array (no join
+    against a direction table), the top-k is one window over scored
+    ids (8-byte scores — embeddings dropped before the sort), and no
+    Python runs anywhere in the portable lane."""
+    from icelake_spark import queries as Q
+
+    df = Q.pca_projection_q(spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    assert "EvalPython" not in p
+    # the scored relation carries (vec_id, score) only — the embedding
+    # array must not survive into the window exchange
+    import re as _re
+    win = p[p.find("Window"):]
+    assert "embedding" not in win.split("\n")[0]
