@@ -728,3 +728,83 @@ def test_streaming_ngram_vocabulary_merges_across_batches(
     nov = {t[0]: t[3] for t in via_state}
     assert any(v == 0 for v in nov.values())
     assert any(v > 0 for v in nov.values())
+
+
+def test_streaming_embedding_covariance_merges_across_batches(
+        spark, warehouse, tmp_path):
+    """embedding_covariance is MERGEABLE streaming state: the portable
+    lane's sufficient statistics (per-pair DECIMAL sums sxy, per-dim
+    sums sx, count n) are pure SUMS, so two incremental drains' merged
+    partials re-derive the exact batch covariance — the final
+    (sxy - sx_i*sx_j/n)/n is a function of the merged sums alone."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from icelake_spark import datasource as ds
+    from icelake_spark.ops.dedup import fanout  # noqa: F401 (import check)
+    from icelake_spark.ops.similarity import embedding_covariance
+    from icelake_spark.types import Schema as S
+
+    ds.register(spark)
+    dim = 4
+
+    def mk(ids):
+        rows = [(i, [float(((i * 5 + j * 3) % 11) - 5) / 3.0
+                     for j in range(dim)]) for i in ids]
+        return spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+
+    raw = warehouse.create_table("db.cov_raw", S.from_spark(mk([0]).schema))
+    raw.append(mk(range(0, 12)))
+    raw = raw.refresh()
+
+    # standing state: (i, j) -> [sxy, n] plus i -> sx
+    sxy: dict = {}
+    sx: dict = {}
+
+    def merge(batch_df, _bid):
+        b = batch_df.select(
+            F.col("embedding").cast("array<double>").alias("__v"))
+        pairs = (b.select(F.explode(F.expr(
+            f"flatten(transform(sequence(1, {dim}), i -> "
+            f"transform(sequence(i, {dim}), j -> "
+            f"struct(i as i, j as j, __v[i-1] * __v[j-1] as xy))))"))
+            .alias("p")).select("p.*")
+            .groupBy("i", "j")
+            .agg(F.sum(F.round("xy", 6).cast("decimal(30,6)")).alias("sxy"),
+                 F.count("*").alias("n")))
+        for r in pairs.collect():
+            cur = sxy.get((r.i, r.j), [Decimal(0), 0])
+            sxy[(r.i, r.j)] = [cur[0] + r.sxy, cur[1] + r.n]
+        dims = (b.select(F.posexplode("__v").alias("d0", "x"))
+                .groupBy("d0")
+                .agg(F.sum(F.round("x", 6).cast("decimal(28,6)"))
+                     .alias("sx")))
+        for r in dims.collect():
+            sx[r.d0 + 1] = sx.get(r.d0 + 1, Decimal(0)) + r.sx
+
+    ck = str(tmp_path / "covck")
+
+    def drain(path):
+        q = (spark.readStream.format("icelake")
+             .option("path", path).load()
+             .writeStream.foreachBatch(merge)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(180):
+            q.stop()
+            raise AssertionError("stream did not drain in time")
+
+    drain(raw.path)
+    raw.append(mk(range(12, 30)))
+    raw = raw.refresh()
+    drain(raw.path)
+
+    batch = {(r.i, r.j): r.cov for r in
+             embedding_covariance(mk(range(0, 30)), dim=dim,
+                                  portable=True).collect()}
+    for (i, j), (s, n) in sxy.items():
+        cov = (float(s) - float(sx[i]) * float(sx[j]) / n) / n
+        assert abs(round(cov, 6) - batch[(i, j)]) < 1e-9, (i, j)
+    assert set(sxy) == set(batch)
