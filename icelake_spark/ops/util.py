@@ -47,6 +47,32 @@ def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:
     return df.repartition(n)
 
 
+def pin_filter(df: DataFrame, cond) -> DataFrame:
+    """Filter that predicate pushdown cannot migrate below an exchange.
+
+    Catalyst pushes deterministic predicates through repartition, so an
+    expensive gate placed after fanout() (the whole point: run the
+    regex/tokenize work on every core) silently slides back into the
+    single-split scan stage and serializes (measured: curation_pipeline
+    paid a 1.3 s one-task stage for its quality gate at sf0.1).
+    XOR-ing the condition with a nondeterministic always-false term
+    makes the predicate nondeterministic — un-pushable and un-splittable
+    (a plain AND conjunct would be split and its deterministic half
+    pushed anyway) — without changing its value: cond != FALSE == cond,
+    and a NULL cond stays NULL (row dropped) in both forms. The term is
+    `spark_partition_id() < 0` (always false, costless, retry-safe —
+    the value never matters): rand()-based terms do NOT survive, the
+    optimizer folds comparisons of rand against out-of-range literals.
+
+    At scale fanout() passes wide inputs through untouched, there is no
+    exchange to cross, and the pinned filter runs exactly where the
+    plain one would — the barrier only matters in the
+    narrow-input-many-cores regime it exists for. Use it ONLY for
+    expensive compute gates: a cheap pushable predicate (partition or
+    zone-map prunable) must stay pushable."""
+    return df.where(cond != (F.spark_partition_id() < F.lit(0)))
+
+
 def salted_first_n(df: DataFrame, bucket_col: str, id_col: str, n: int,
                    n_salts: int = 16) -> DataFrame:
     """Skew-safe first-N-by-id per bucket: the two-stage salted cap.

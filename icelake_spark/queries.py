@@ -2414,14 +2414,17 @@ def curation_pipeline_q(spark, sf_dir):
     from .ops.dedup import connected_components, ngram_jaccard_pairs
     from .ops.sampling import hash_split
     from .ops.text import quality_score, repetition_metrics
-    from .ops.util import fanout
+    from .ops.util import fanout, pin_filter
 
     # the quality gate is a pure projection predicate — applied as a
     # narrow filter (no join, no shuffle) BEFORE any tokenization, so
-    # downstream stages only ever see quality-passing docs
-    q_ok = (fanout(load(spark, sf_dir, "documents"))
-            .select("doc_id", "text")
-            .where(quality_score(F.col("text")) >= 0.5))
+    # downstream stages only ever see quality-passing docs. pin_filter
+    # keeps the ~10-regex gate ABOVE the fanout exchange: pushdown
+    # otherwise drags it into the single-split scan stage and the whole
+    # corpus gates in one task (r13, measured 1.3 s serialized at sf0.1)
+    q_ok = pin_filter(fanout(load(spark, sf_dir, "documents"))
+                      .select("doc_id", "text"),
+                      quality_score(F.col("text")) >= 0.5)
     # tokenize the survivors ONCE and checkpoint: the Gopher repetition
     # metrics, the exact-dedup content hash, the n-gram shingles, and
     # the final word totals all derive from this one pass — round 2
