@@ -25,30 +25,59 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deterministic and engine-portable (float contribution sums depend
     on reduction order; integer sums cannot). Returns (node, rank).
 
-    100 TB shape: per iteration one shuffle keyed by the edge endpoint
-    (join pr to edges) and one map-side-combined sum keyed by node;
-    degree and node tables are computed once. The only driver values
-    are the node COUNT (one scalar) and the loop counter."""
+    100 TB shape (r13 restructure — measured, see OPTIMIZATION_r13.md):
+    the undirected edge set is repartitioned BY THE JOIN KEY `a` before
+    its one materialization, and the per-node degree is pre-joined into
+    it ONCE, so the loop-invariant edge relation is never shuffled and
+    never re-joined inside the loop — each iteration exchanges only the
+    n-row rank table (join to edges) and the map-side-combined
+    contribution sums (groupBy node). The old shape shuffled the edge
+    set AND re-joined deg every iteration: 2 extra corpus-sized
+    exchanges per iteration. Node table and count both derive from deg
+    (every node of the undirected set appears as `a`), removing a
+    distinct + checkpoint + count pass over the edges. The only driver
+    values are the node COUNT (one scalar) and the loop counter."""
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # partition by the loop's join key BEFORE materializing: an
+    # InMemoryRelation PRESERVES its child's hashpartitioning (a
+    # localCheckpoint does NOT — its LogicalRDD reports
+    # UnknownPartitioning, so every iteration re-exchanged the edge
+    # set; measured r13), so the per-iteration join reuses the cached
+    # layout instead of re-shuffling the corpus-sized relation. persist
+    # spills to disk gracefully at scale — the standard loop-invariant
+    # edge-set idiom.
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
                                F.col(src).alias("b")))
            .distinct()
-           .localCheckpoint())
-    nodes = und.select(F.col("a").alias("node")).distinct() \
-        .localCheckpoint()
-    n = nodes.count()
+           .repartition(n_part, "a")
+           .persist())
+    # deg groups by the cached partitioning key — no exchange — and
+    # doubles as the node table: the undirected union has every node
+    # as `a`, so the old separate distinct + checkpoint + count pass
+    # over the edges is gone
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")).persist()
+    n = deg.count()
     if n == 0:
         # an empty edge set (a filtered slice with no rows) yields an
         # empty rank table, not a ZeroDivisionError
-        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
-    # checkpoint: deg sits inside EVERY iteration's join — left lazy,
-    # each iteration re-runs the degree aggregate over the edge set
-    deg = und.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
+        return deg.select(F.col("a").alias("node"),
+                          F.lit(0).cast("long").alias("rank"))
+    # pre-join the degree into the edge set ONCE (both sides cached
+    # partitioned by a — no exchange); the loop then needs one join,
+    # not two. deg rides each edge row (one long), traded against an
+    # n_edges-row join per iteration.
+    und_deg = (und.join(deg, on="a")
+               .select("a", "b", "deg")
+               .persist())
+    und_deg.count()  # materialize, then release the raw edge cache
+    und.unpersist()
+    nodes = deg.select(F.col("a").alias("node"))
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n)
     pr = nodes.select("node", F.lit(RANK_SCALE // n).alias("rank"))
     for _ in range(iters):
-        contrib = (und.join(pr, und["a"] == pr["node"])
-                   .join(deg, on="a")
+        contrib = (und_deg.join(pr, und_deg["a"] == pr["node"])
                    .select(F.col("b").alias("node"),
                            F.expr("rank DIV deg").alias("c")))
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
