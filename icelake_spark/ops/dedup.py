@@ -872,6 +872,15 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         w: int = 4, fanout_input: bool = True) -> DataFrame:
+    """Public (id_col, hash, pos) winnowing fingerprints, deduplicated
+    per document — see _winnow_selected for the algorithm."""
+    return _winnow_selected(df, text_col, id_col, k=k, w=w,
+                            fanout_input=fanout_input).distinct()
+
+
+def _winnow_selected(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 5,
+                     w: int = 4, fanout_input: bool = True) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
     the MOSS algorithm): hash every character k-gram of the normalized
     text, slide a window of w consecutive hashes, and select each
@@ -929,9 +938,11 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
            # single all-gram window (pos 1)
            .where(F.col("__pos") <= F.greatest(F.col("__ng") - (w - 1),
                                                F.lit(1))))
-    return (out.select(F.col(id_col), F.col("__s.h").alias("hash"),
-                       (-F.col("__s.np")).cast("long").alias("pos"))
-            .distinct())
+    # returned PRE-distinct so callers that immediately re-project can
+    # dedup once instead of twice (winnow_candidates, r13): the public
+    # winnow_fingerprints wraps this with the positional distinct
+    return out.select(F.col(id_col), F.col("__s.h").alias("hash"),
+                      (-F.col("__s.np")).cast("long").alias("pos"))
 
 
 def winnow_candidates(df: DataFrame, text_col: str = "text",
@@ -943,8 +954,13 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
     selected in more than max_df documents (boilerplate k-grams) are
     dropped BEFORE the pair join — the standard hot-key guard that
     keeps the self-join sub-quadratic at corpus scale."""
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w,
-                             fanout_input=fanout_input) \
+    # _winnow_selected (pre-distinct): the positional dedup inside
+    # winnow_fingerprints would be a full extra exchange of the
+    # fingerprint relation only for this (id, hash) projection to dedup
+    # AGAIN — distinct once over the projection is the same set (r13:
+    # one exchange removed, ~1 s at sf0.1)
+    fp = _winnow_selected(df, text_col, id_col, k=k, w=w,
+                          fanout_input=fanout_input) \
         .select(id_col, "hash").distinct()
     hot = (fp.groupBy("hash").agg(F.countDistinct(id_col).alias("__df"))
            .where(F.col("__df") > max_df).select("hash"))

@@ -3240,9 +3240,18 @@ def curation_v2_q(spark, sf_dir):
     from .ops.text import lm_bigram_score, word_count
 
     docs = load(spark, sf_dir, "documents")
+    # checkpoint the NARROW id set of each expensive stage (r13): the
+    # lazy chain re-evaluated the whole bigram-LM gate under every
+    # downstream reference (dedup_exact references gated twice, winnow
+    # and the anti-join reference deduped again — a 674-node plan with
+    # the LM aggregations duplicated 4x). Ids are bytes-per-row, so the
+    # checkpoint is tiny at any scale; the corpus re-reads behind the
+    # semi-joins are plain scans, not recomputed aggregates.
     lm = lm_bigram_score(docs).where(F.col("lm_score_micro") >= 34000)
-    gated = docs.join(lm.select("doc_id"), on="doc_id", how="left_semi")
-    deduped = dedup_exact(gated)
+    gate_ids = lm.select("doc_id").localCheckpoint()
+    gated = docs.join(gate_ids, on="doc_id", how="left_semi")
+    dedup_ids = dedup_exact(gated).select("doc_id").localCheckpoint()
+    deduped = gated.join(dedup_ids, on="doc_id", how="left_semi")
     drops = (winnow_candidates(deduped, k=5, w=4, min_shared=8,
                                max_df=50, fanout_input=False)
              .select(F.col("b").alias("doc_id")).distinct())
