@@ -354,13 +354,17 @@ def delete_rows(table, spark, condition: str,
                         for r in matched.where(F.col("pos").isNull())
                         .select("file_path").distinct().collect()]
         tx = Transaction(table, branch=branch)
-        has_pos = bool(pq_matches.take(1))
-        if has_pos:
-            tx.add_delete_files(
-                write_position_delete_files(table, pq_matches))
+        # the write itself is the emptiness probe (r13): zero-row
+        # outputs are dropped by _write_small_parquet, so an empty
+        # match yields [] — the old take(1) pre-probe was a full extra
+        # pass over the matched set just to learn what the write pass
+        # discovers anyway
+        pos_files = write_position_delete_files(table, pq_matches)
+        if pos_files:
+            tx.add_delete_files(pos_files)
         if non_pq_files:
             _cow_rewrite(tx, non_pq_files)
-        if not has_pos and not non_pq_files:
+        if not pos_files and not non_pq_files:
             return
         tx.commit("overwrite" if non_pq_files else "delete")
     finally:
