@@ -337,7 +337,8 @@ def _sample_init(df: DataFrame, vec_col: str, id_col: str, k: int,
 
 def train_kmeans(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", k: int = 16, n_iter: int = 3,
-                 seed: int = 42, portable: bool = False) -> list[list[float]]:
+                 seed: int = 42, portable: bool = False,
+                 base: DataFrame | None = None) -> list[list[float]]:
     """Lloyd's k-means over an embedding column; returns k centroids.
 
     This is the IVF training step (a sampled-centroid index has poor
@@ -356,15 +357,22 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
     near a tie would flip the assignment. Exact decimal sums make the
     centroid bit-identical regardless of partitioning.
     """
-    v = F.col(vec_col).cast("array<double>")
-    cents = _sample_init(df, vec_col, id_col, k, seed, portable)
-    # train over VALID vectors only (review r11): a NaN coordinate
-    # otherwise NULLs the rounded-decimal sum of any cluster it lands
-    # in (float(None) crash in the portable means), and a NULL/NaN row
-    # cannot meaningfully pull a centroid in any lane; the twins filter
-    # their v CTEs with the same predicate (_VALID_VEC_WHERE)
-    base = (fanout(valid_vectors(df, vec_col))
-            .select(v.alias("__v")).localCheckpoint())
+    if base is None:
+        # train over VALID vectors only (review r11): a NaN coordinate
+        # otherwise NULLs the rounded-decimal sum of any cluster it
+        # lands in (float(None) crash in the portable means), and a
+        # NULL/NaN row cannot meaningfully pull a centroid in any lane;
+        # the twins filter their v CTEs with the same predicate
+        # (_VALID_VEC_WHERE)
+        v = F.col(vec_col).cast("array<double>")
+        base = (fanout(valid_vectors(df, vec_col))
+                .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+    # the init sample reads the MATERIALIZED base (valid by
+    # construction, so _sample_init's valid_vectors wrap is a no-op and
+    # the md5(id:seed) order is identical to sampling the raw input —
+    # r13: callers that already hold a checkpointed (id, __v) base pass
+    # it in and skip a full raw-scan + checkpoint pass per training run)
+    cents = _sample_init(base, "__v", id_col, k, seed, portable)
     for _ in range(n_iter):
         assigned = base.withColumn(
             "__c", nearest_centroid_col(F.col("__v"),
@@ -721,7 +729,15 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     # sizes the codebooks by the actual sample, never by k_sub (review
     # r10d: range(k_sub) over a short codebook crashed the
     # empty-cluster carry)
-    sample = _sample_init(df, vec_col, id_col, k_sub, seed, portable)
+    # ONE checkpointed (id, __v) base feeds the init sample, the fused
+    # trainer AND the encode/score pass (r13: the old shape ran three
+    # separate valid+fanout passes over the raw input). NULL embeddings
+    # are EXCLUDED throughout (valid_vectors): a NULL adc would sort
+    # FIRST under the ascending orderBy and displace real neighbors
+    # (review r10d; the twin filters its v CTE the same way)
+    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+            .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+    sample = _sample_init(base, "__v", id_col, k_sub, seed, portable)
     if not sample:
         # zero valid vectors: the literal score expressions cannot even
         # be BUILT over empty codebooks (array_position over an empty
@@ -730,18 +746,12 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
         return (df.select(F.col(id_col),
                           F.lit(None).cast("double").alias("adc"))
                 .limit(0))
-    base = (fanout(valid_vectors(df, vec_col))
-            .select(v.alias("__v")).localCheckpoint())
-    codebooks = _train_pq_codebooks(base, sample, m, sub, train_iters,
-                                    portable)
+    codebooks = _train_pq_codebooks(base.select("__v"), sample, m, sub,
+                                    train_iters, portable)
     luts = [[_seqdist(c, query[j * sub:(j + 1) * sub])
              for c in codebooks[j]] for j in range(m)]
 
-    # NULL embeddings are EXCLUDED from scoring (valid_vectors): a NULL
-    # adc would sort FIRST under the ascending orderBy and displace real
-    # neighbors (review r10d; the twin filters its v CTE the same way)
-    enc = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-           .select(F.col(id_col), v.alias("__v")))
+    enc = base
     enc, adc = _adc_score(enc, codebooks, luts, sub, portable)
     return (enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
             .orderBy(F.col("adc"), F.col(id_col)).limit(k))
@@ -802,8 +812,17 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank={rerank} must be >= k={k}")
     sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    # ONE checkpointed (id, raw-vector) base feeds the coarse-training
+    # sample+iterations AND the assign/residual pass below (r13: the
+    # old shape scanned+checkpointed the raw input separately inside
+    # train_kmeans and again for the residual base — two full
+    # valid+fanout passes over the corpus per query)
+    raw_base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+                .select(F.col(id_col), v.alias("__v")).localCheckpoint())
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
-                         n_iter=coarse_iters, seed=seed, portable=portable)
+                         n_iter=coarse_iters, seed=seed, portable=portable,
+                         base=raw_base)
     if not cents:
         # zero valid vectors (same guard as pq_adc_topk; review r11);
         # the empty frame's schema must match the MODE — rerank mode
@@ -812,13 +831,12 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
         return (df.select(F.col(id_col),
                           F.lit(None).cast("double").alias(out_col))
                 .limit(0))
-    v = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                          for c in cents])
     # one pass: coarse cell + residual, checkpointed — both PQ training
     # iterations and the scoring pass reuse it without re-assigning
-    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__fv"))
+    base = (raw_base
+            .select(F.col(id_col), F.col("__v").alias("__fv"))
             .withColumn("__gc", nearest_centroid_col(
                 F.col("__fv"), list(enumerate(cents)), portable=portable))
             .withColumn("__v", F.zip_with(
