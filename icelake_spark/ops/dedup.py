@@ -816,16 +816,20 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
 
     from .similarity import valid_vectors
 
-    cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
-                         n_iter=train_iters, seed=seed, portable=portable)
     v = F.col(vec_col).cast("array<double>")
-    # the shared embedding null contract (review r12): training already
-    # filtered through valid_vectors but the ASSIGNMENT pass did not —
-    # a NaN-element vector took cluster 0 from the literal argmin and
-    # a NULL vector rode along with a NULL cluster, while the SQL
-    # twin's _VALID_VEC_WHERE excluded both rows entirely
-    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-                .select(F.col(id_col), v.alias("__v"))
+    # ONE checkpointed (id, __v) base feeds training AND assignment
+    # (r13: train_kmeans otherwise scans+checkpoints the raw input
+    # again internally). The shared embedding null contract (review
+    # r12) holds: valid_vectors filters BOTH passes — a NaN-element
+    # vector took cluster 0 from the literal argmin and a NULL vector
+    # rode along with a NULL cluster, while the SQL twin's
+    # _VALID_VEC_WHERE excluded both rows entirely.
+    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+            .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+    cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
+                         n_iter=train_iters, seed=seed, portable=portable,
+                         base=base)
+    assigned = (base
                 .withColumn("__c", nearest_centroid_col(
                     F.col("__v"), list(enumerate(cents)),
                     portable=portable))

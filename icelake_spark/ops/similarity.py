@@ -915,14 +915,19 @@ def cluster_balanced_sample(df: DataFrame, cap: int,
     """
     from .sampling import source_cap
 
-    cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
-                         n_iter=train_iters, seed=seed, portable=portable)
     v = F.col(vec_col).cast("array<double>")
-    # NULL embeddings are excluded, not kept as a phantom NULL cluster
-    # (review r10d; the twin filters its v CTE identically)
-    assigned = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+    # ONE checkpointed (id, __v) base feeds training AND assignment
+    # (r13). NULL embeddings are excluded, not kept as a phantom NULL
+    # cluster (review r10d; the twin filters its v CTE identically)
+    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
+            .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+    cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
+                         n_iter=train_iters, seed=seed, portable=portable,
+                         base=base)
+    assigned = (base
                 .select(F.col(id_col),
-                        nearest_centroid_col(v, list(enumerate(cents)),
+                        nearest_centroid_col(F.col("__v"),
+                                             list(enumerate(cents)),
                                              portable=portable)
                         .alias("cluster")))
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
