@@ -177,8 +177,13 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         else:
             head = table.current_snapshot()
         tx = Transaction(table, branch=branch)
-        if inserts.take(1):
-            tx.add_data_files(write_data_files(table, inserts, **write_kwargs))
+        # the write pass is its own emptiness probe (r13, the MoR
+        # delete_rows pattern): zero-row outputs are dropped and return
+        # [] — each old take(1) pre-probe was a full extra evaluation
+        # of the keyed window over the batch
+        ins_files = write_data_files(table, inserts, **write_kwargs)
+        if ins_files:
+            tx.add_data_files(ins_files)
         if head is not None:
             deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
                             .select(*key_cols).dropDuplicates(key_cols))
@@ -189,9 +194,10 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
                              .select(*key_cols).dropDuplicates(key_cols))
             eq_keys = (deleted_keys.unionByName(upserted_keys)
                        .dropDuplicates(key_cols))
-            if eq_keys.take(1):
-                tx.add_delete_files(
-                    write_equality_delete_files(table, eq_keys, key_cols))
+            del_files = write_equality_delete_files(table, eq_keys,
+                                                    key_cols)
+            if del_files:
+                tx.add_delete_files(del_files)
         tx.commit("overwrite" if head is not None else "append")
     finally:
         df.unpersist()
