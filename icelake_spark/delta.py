@@ -484,27 +484,29 @@ def _update_mor(table, spark, condition, branch, raw, spark_schema,
                     .select(F.col("__file").alias("file_path"))
                     .distinct().collect()]
     tx = Transaction(table, branch=branch)
-    has_pos = bool(pq_matches.take(1))
-    if has_pos:
-        # honor the same spec-optional deleted-row payload delete_rows
-        # writes (write.position-delete.include-row): UPDATE's position
-        # deletes carry the PRE-image so audit/CDC readers see old
-        # values for updates too, not only for deletes
-        del_sel = [F.col("__file").alias("file_path"),
-                   F.col("__pos").alias("pos")]
-        if table.metadata.properties.get(
-                "write.position-delete.include-row", "false") == "true":
-            del_sel.append(F.struct(
-                *[f.name for f in spark_schema.fields]).alias("row"))
-        tx.add_delete_files(write_position_delete_files(
-            table, _recorded_paths(pq_matches.select(*del_sel),
-                                   "file_path")))
+    # the delete write IS the emptiness probe (r13, the delete_rows
+    # pattern): zero-row outputs return [], replacing the old take(1)
+    # full extra pass over the matched set
+    # honor the same spec-optional deleted-row payload delete_rows
+    # writes (write.position-delete.include-row): UPDATE's position
+    # deletes carry the PRE-image so audit/CDC readers see old
+    # values for updates too, not only for deletes
+    del_sel = [F.col("__file").alias("file_path"),
+               F.col("__pos").alias("pos")]
+    if table.metadata.properties.get(
+            "write.position-delete.include-row", "false") == "true":
+        del_sel.append(F.struct(
+            *[f.name for f in spark_schema.fields]).alias("row"))
+    pos_files = write_position_delete_files(
+        table, _recorded_paths(pq_matches.select(*del_sel), "file_path"))
+    if pos_files:
+        tx.add_delete_files(pos_files)
         updated = _apply_set(pq_matches.drop("__file", "__pos"),
                              only_matching=True)
         tx.add_data_files(write_data_files(table, updated))
     if non_pq_files:
         _cow_rewrite(tx, non_pq_files)
-    if not has_pos and not non_pq_files:
+    if not pos_files and not non_pq_files:
         return
     tx.commit("overwrite")
 
