@@ -881,10 +881,14 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
         return ranked.limit(k)
     shortlist = ranked.limit(rerank).select(id_col)
     qarr = F.array(*[F.lit(float(x)) for x in query])
-    ev = F.col(vec_col).cast("array<double>")
-    l2 = F.aggregate(F.zip_with(ev, qarr, lambda x, y: (x - y) * (x - y)),
+    # exact re-score reads the CHECKPOINTED raw base (raw_base.__v is
+    # the same cast, valid-filtered vector the old raw re-scan
+    # produced — r13: one corpus scan + validity pass fewer; the
+    # deployment analogue is a k'-bounded point-fetch either way)
+    l2 = F.aggregate(F.zip_with(F.col("__v"), qarr,
+                                lambda x, y: (x - y) * (x - y)),
                      F.lit(0.0), lambda acc, x: acc + x)
-    return (valid_vectors(df, vec_col)
+    return (raw_base
             .join(F.broadcast(shortlist), on=id_col)
             .select(F.col(id_col), F.round(l2, 6).alias("dist"))
             .orderBy(F.col("dist"), F.col(id_col)).limit(k))
