@@ -1028,11 +1028,18 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
                 .agg(F.sum(F.round("xy", 6).cast("decimal(30,6)"))
                      .alias("sxy"),
                      F.count("*").alias("n")))
+        # localCheckpoint the dim-row aggregate: d1 AND d2 broadcast
+        # from it, and each BroadcastExchange otherwise re-evaluates
+        # the whole corpus posexplode pass (no exchange reuse across
+        # broadcast builds — measured in the r13 plan dumps). DECIMAL
+        # sums are order-independent, so materializing one evaluation
+        # changes nothing in the values (guide §3.3).
         dims = (base.select(F.posexplode("__v").alias("__d", "__x"))
                 .select((F.col("__d") + 1).alias("d"), "__x")
                 .groupBy("d")
                 .agg(F.sum(F.round("__x", 6).cast("decimal(28,6)"))
-                     .alias("sx")))
+                     .alias("sx"))
+                .localCheckpoint())
         d1 = dims.select(F.col("d").alias("i"), F.col("sx").alias("__sxi"))
         d2 = dims.select(F.col("d").alias("j"), F.col("sx").alias("__sxj"))
         joined = (sums.join(F.broadcast(d1), on="i")
@@ -1079,7 +1086,14 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
             yield pd.DataFrame({"i": out_i, "j": out_j, "val": out_v})
 
     partials = base.mapInPandas(gram, "i int, j int, val double")
-    sums = partials.groupBy("i", "j").agg(F.sum("val").alias("s"))
+    # localCheckpoint the bounded aggregate (≤ dim·(dim+3)/2 + 1 rows):
+    # n, dims and pairs all filter this relation, and the two broadcast
+    # builds plus the main branch otherwise each re-run the FULL corpus
+    # GEMM pass — the r13 plan dump shows the Scan→Exchange→MapInPandas
+    # subtree FOUR times with zero exchange reuse. One Gram pass total
+    # after the cut (guide §3.3).
+    sums = (partials.groupBy("i", "j").agg(F.sum("val").alias("s"))
+            .localCheckpoint())
     n = sums.where((F.col("i") == 0) & (F.col("j") == 0)) \
         .select(F.col("s").cast("long").alias("n"))
     dims = sums.where((F.col("i") > 0) & (F.col("j") == 0)) \
