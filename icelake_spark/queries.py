@@ -88,10 +88,19 @@ def dsum_sql(expr: str, alias: str) -> str:
 
 
 def q1_pricing_summary(spark, sf_dir):
+    from .ops.util import fanout
+
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # fanout before the aggregate (r13): the input is one row group, so
+    # the fused scan+partial-agg stage runs ONE task and the DECIMAL
+    # sums serialize on it (measured 1.78 -> 1.0 s; the exchange
+    # carries only the 7 pruned columns). Decimal sums are
+    # order-independent, so the result is bit-identical; at scale the
+    # conditional fanout is a pass-through (input already wide).
+    return (fanout(li.where(F.col("l_shipdate") <= F.lit("1998-09-02")),
+                   F.col("l_orderkey"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(dsum(F.col("l_quantity"), "sum_qty"),
                  dsum(F.col("l_extendedprice"), "sum_base_price"),
@@ -1230,11 +1239,18 @@ def skew_salted_join(spark, sf_dir):
     replication for no benefit. The oracle is the plain join: skew
     handling must be semantically invisible."""
     from .ops.skew import skew_aware_join
+    from .ops.util import fanout
 
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = skew_aware_join(li.withColumn("o_orderkey", F.col("l_orderkey")),
+    # fanout on the join key (r13): the probe side is one row group, so
+    # the broadcast join + DECIMAL partial agg fused into the scan
+    # stage ran effectively one task; hash-keyed fanout spreads it
+    # without the keyless-repartition local sort. Pass-through at scale.
+    joined = skew_aware_join(fanout(li.withColumn("o_orderkey",
+                                                  F.col("l_orderkey")),
+                                    F.col("o_orderkey")),
                              o, on=["o_orderkey"], salts=8)
     return (joined.groupBy("o_orderpriority")
             .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines"))
@@ -1524,7 +1540,16 @@ def events_sessionize(spark, sf_dir):
     """Gap-based sessionization with window functions (the batch twin of
     a streaming session window); the gap is the shared
     SESSION_GAP_MIN constant the oracle twin derives from too."""
-    e = load(spark, sf_dir, "events")
+    from .ops.util import fanout
+
+    # fanout keyed on the window partition key (r13): the 2 MB input
+    # exchange otherwise coalesces to 2 AQE partitions and the whole
+    # lag/sum window chain serializes on them; an explicit
+    # hashpartitioning(user_id, 64) satisfies the window AND both
+    # downstream group-bys (subset clustering), so the plan still has
+    # exactly one exchange before the final sort. Per-user windows and
+    # DECIMAL sums make the result partitioning-independent.
+    e = fanout(load(spark, sf_dir, "events"), F.col("user_id"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = micros - F.lag(micros).over(w)
