@@ -604,12 +604,22 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     hyperplane LSH buckets make the join sub-quadratic; this exact
     variant is the correctness baseline.
     """
-    from .similarity import cosine_sim
+    from .similarity import dot, norm
 
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # per-ROW norms, computed once before the pair join (the join would
+    # otherwise re-run the O(dim) fold per pair per side). The RAW
+    # column feeds norm() exactly as cosine_sim did (no added cast —
+    # the stored element type stays float, so per-element arithmetic
+    # is unchanged); same fold on the same array -> same double, and
+    # dot/(na*nb) is exactly what cosine_sim expands to, so the
+    # rounded cosine is bit-identical (r13)
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                  norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                  norm(F.col(vec_col)).alias("__nb"))
     pairs = a.join(b, F.col("a") < F.col("b"))
-    sim = cosine_sim(F.col("va"), F.col("vb"))
+    sim = (dot(F.col("va"), F.col("vb"))
+           / (F.col("__na") * F.col("__nb"))).cast("double")
     return (pairs.withColumn("cos", F.round(sim, 6))
             .where(F.col("cos") >= threshold)
             .select("a", "b", "cos"))
@@ -811,7 +821,7 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     """
     import math
 
-    from .similarity import cosine_sim, nearest_centroid_col, train_kmeans
+    from .similarity import dot, nearest_centroid_col, norm, train_kmeans
     from .util import fanout
 
     from .similarity import valid_vectors
@@ -829,10 +839,17 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
                          n_iter=train_iters, seed=seed, portable=portable,
                          base=base)
+    # __n precomputed ONCE per row in the same assignment pass: the
+    # pair join below otherwise re-runs the O(dim) norm fold once per
+    # PAIR per side (pairs >> rows inside a cluster). norm() on the
+    # same array is the same sequential fold -> the same double, and
+    # dot/(na*nb) is the exact operand sequence cosine_sim expands to,
+    # so the 6dp-rounded cosine is bit-identical (r13).
     assigned = (base
                 .withColumn("__c", nearest_centroid_col(
                     F.col("__v"), list(enumerate(cents)),
                     portable=portable))
+                .withColumn("__n", norm(F.col("__v")))
                 .localCheckpoint())  # one assignment pass, reused twice
     over = {int(r["__c"]): int(math.ceil(r["n"] / max_cluster))
             for r in assigned.groupBy("__c")
@@ -858,13 +875,16 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
         assigned = assigned.withColumn("__s", F.lit(0))
     keys = ["__c", "__s"]
     a = assigned.select(F.col(id_col).alias("__a"), *keys,
-                        F.col("__v").alias("__va"))
+                        F.col("__v").alias("__va"),
+                        F.col("__n").alias("__na"))
     b = assigned.select(F.col(id_col).alias("__b"), *keys,
-                        F.col("__v").alias("__vb"))
+                        F.col("__v").alias("__vb"),
+                        F.col("__n").alias("__nb"))
+    sim = (dot(F.col("__va"), F.col("__vb"))
+           / (F.col("__na") * F.col("__nb"))).cast("double")
     dropped = (a.join(b, on=keys)
                .where(F.col("__a") < F.col("__b"))
-               .where(F.round(cosine_sim(F.col("__va"), F.col("__vb")), 6)
-                      >= threshold)
+               .where(F.round(sim, 6) >= threshold)
                .select(F.col("__b").alias(id_col)).distinct())
     return (assigned.join(dropped, on=id_col, how="left_anti")
             .select(F.col(id_col), F.col("__c").alias("cluster")))

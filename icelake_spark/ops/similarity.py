@@ -116,19 +116,28 @@ def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     udf = _lsh_buckets_udf(all_planes)
     # repartition raw vectors first: below the exchange the bucket GEMM
     # would run inside the single-task scan stage of a one-file table
+    # __n once per ROW in the same projection as the bucket GEMM: the
+    # verify join otherwise re-runs the O(dim) norm fold once per PAIR
+    # per side (a row in a hot bucket pairs max_bucket times). Same
+    # fold on the same array -> same double; dot/(na*nb) is the exact
+    # operand sequence the inline form expanded to, so the 6dp cosine
+    # is bit-identical (r13)
     with_b = (fanout(df, F.col(id_col))
-              .select(F.col(id_col), v.alias("__v"), udf(v).alias("__bs")))
+              .select(F.col(id_col), v.alias("__v"), udf(v).alias("__bs"),
+                      norm(v).alias("__n")))
     bucketed = with_b.select(
-        F.col(id_col), F.col("__v"),
+        F.col(id_col), F.col("__v"), F.col("__n"),
         F.explode(F.expr(
             "transform(__bs, (b, i) -> struct(i as t, b as b))")).alias("bk"))
     # salted two-stage cap (bit-identical; the hot bucket — rows carry
     # the FULL embedding vector here — never sorts through one task)
     bucketed = salted_first_n(bucketed, "bk", id_col, max_bucket)
-    a = bucketed.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "bk")
-    b = bucketed.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "bk")
+    a = bucketed.select(F.col(id_col).alias("a"), F.col("__v").alias("va"),
+                        F.col("__n").alias("na"), "bk")
+    b = bucketed.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"),
+                        F.col("__n").alias("nb"), "bk")
     sim = (dot(F.col("va"), F.col("vb"))
-           / (norm(F.col("va")) * norm(F.col("vb")))).cast("double")
+           / (F.col("na") * F.col("nb"))).cast("double")
     # cosine + threshold BEFORE the (a,b) dedup: a pair colliding in k
     # tables recomputes 64 mult-adds k times, but the dedup exchange
     # then moves 24-byte (a,b,cos) rows instead of both raw vectors
@@ -1147,17 +1156,23 @@ def hard_negatives(df: DataFrame, n_anchors: int = 8, n_neg: int = 5,
     the ANN ladder (ivf/ivf_pq route) before ranking; the tail is
     identical."""
     v = F.col(vec_col).cast("array<double>")
+    # __n once per ROW: the anchor cross-scoring otherwise re-runs the
+    # O(dim) norm fold n_anchors times per row (and once per candidate
+    # for the anchor side). Same fold on the same array -> the same
+    # double, and dot/(an*n) is the exact operand sequence the inline
+    # form expanded to, so the 6dp cosine is bit-identical (r13)
     base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
             .select(F.col(id_col), F.col(label_col).alias("__lbl"),
-                    v.alias("__e")))
+                    v.alias("__e"), norm(v).alias("__n")))
     order = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                               F.lit(seed)))
     anchors = (base.orderBy(order).limit(n_anchors)
                .select(F.col(id_col).alias("anchor_id"),
                        F.col("__lbl").alias("__albl"),
-                       F.col("__e").alias("__ae")))
+                       F.col("__e").alias("__ae"),
+                       F.col("__n").alias("__an")))
     cos = (dot(F.col("__ae"), F.col("__e"))
-           / (norm(F.col("__ae")) * norm(F.col("__e")))).cast("double")
+           / (F.col("__an") * F.col("__n"))).cast("double")
     n_salts = 16
     pairs = (base.join(F.broadcast(anchors),
                        F.col(id_col) != F.col("anchor_id"))
