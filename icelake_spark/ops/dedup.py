@@ -834,8 +834,11 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     # vector took cluster 0 from the literal argmin and a NULL vector
     # rode along with a NULL cluster, while the SQL twin's
     # _VALID_VEC_WHERE excluded both rows entirely.
+    # eager=False: train_kmeans's init sample (full-scan TakeOrdered)
+    # materializes the cache in the same job (r13 opt)
     base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+            .select(F.col(id_col), v.alias("__v"))
+            .localCheckpoint(eager=False))
     cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
                          n_iter=train_iters, seed=seed, portable=portable,
                          base=base)
@@ -850,7 +853,11 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
                     F.col("__v"), list(enumerate(cents)),
                     portable=portable))
                 .withColumn("__n", norm(F.col("__v")))
-                .localCheckpoint())  # one assignment pass, reused twice
+                # eager=False: the over-count groupBy collect right
+                # below scans every partition and materializes the
+                # cache in the same job (r13 opt); still ONE
+                # assignment pass, reused twice
+                .localCheckpoint(eager=False))
     over = {int(r["__c"]): int(math.ceil(r["n"] / max_cluster))
             for r in assigned.groupBy("__c")
             .agg(F.count("*").alias("n")).collect()

@@ -374,8 +374,13 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
         # the twins filter their v CTEs with the same predicate
         # (_VALID_VEC_WHERE)
         v = F.col(vec_col).cast("array<double>")
+        # eager=False: the init sample's TakeOrdered below scans every
+        # partition anyway, so it materializes the checkpoint cache in
+        # the SAME job — the dedicated eager pass was a full extra
+        # read (r13 opt; same RDD, so values are untouched)
         base = (fanout(valid_vectors(df, vec_col))
-                .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+                .select(F.col(id_col), v.alias("__v"))
+                .localCheckpoint(eager=False))
     # the init sample reads the MATERIALIZED base (valid by
     # construction, so _sample_init's valid_vectors wrap is a no-op and
     # the md5(id:seed) order is identical to sampling the raw input —
@@ -744,8 +749,11 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     # are EXCLUDED throughout (valid_vectors): a NULL adc would sort
     # FIRST under the ascending orderBy and displace real neighbors
     # (review r10d; the twin filters its v CTE the same way)
+    # eager=False: the init sample's full-scan TakeOrdered materializes
+    # the cache in the same job — no dedicated checkpoint pass (r13 opt)
     base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+            .select(F.col(id_col), v.alias("__v"))
+            .localCheckpoint(eager=False))
     sample = _sample_init(base, "__v", id_col, k_sub, seed, portable)
     if not sample:
         # zero valid vectors: the literal score expressions cannot even
@@ -827,8 +835,13 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
     # old shape scanned+checkpointed the raw input separately inside
     # train_kmeans and again for the residual base — two full
     # valid+fanout passes over the corpus per query)
+    # eager=False on both checkpoints here: the next action after each
+    # (the coarse init sample / the PQ init sample — full-scan
+    # TakeOrdereds) materializes the cache in the same job, so neither
+    # pays a dedicated materialization pass (r13 opt)
     raw_base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-                .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+                .select(F.col(id_col), v.alias("__v"))
+                .localCheckpoint(eager=False))
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=coarse_iters, seed=seed, portable=portable,
                          base=raw_base)
@@ -853,7 +866,7 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
                 F.element_at(cent_arr, F.col("__gc") + 1),
                 lambda x, y: x - y))
             .drop("__fv")
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     # the shared init helper (base.__v residuals are valid by
     # construction, so its valid_vectors wrap is a no-op): ONE
     # definition of the md5(id:seed) portable ordering the DuckDB c0
@@ -932,8 +945,11 @@ def cluster_balanced_sample(df: DataFrame, cap: int,
     # ONE checkpointed (id, __v) base feeds training AND assignment
     # (r13). NULL embeddings are excluded, not kept as a phantom NULL
     # cluster (review r10d; the twin filters its v CTE identically)
+    # eager=False: train_kmeans's init sample (full-scan TakeOrdered)
+    # materializes the cache in the same job (r13 opt)
     base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__v")).localCheckpoint())
+            .select(F.col(id_col), v.alias("__v"))
+            .localCheckpoint(eager=False))
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=train_iters, seed=seed, portable=portable,
                          base=base)
@@ -1048,6 +1064,10 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
                 .groupBy("d")
                 .agg(F.sum(F.round("__x", 6).cast("decimal(28,6)"))
                      .alias("sx"))
+                # stays EAGER: the first consumer is a BroadcastExchange
+                # build — a lazy cut would run the full corpus pass
+                # inside the 300s broadcastTimeout window at scale
+                # (guide §7.4: compute/cache the small side FIRST)
                 .localCheckpoint())
         d1 = dims.select(F.col("d").alias("i"), F.col("sx").alias("__sxi"))
         d2 = dims.select(F.col("d").alias("j"), F.col("sx").alias("__sxj"))
@@ -1102,6 +1122,10 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
     # subtree FOUR times with zero exchange reuse. One Gram pass total
     # after the cut (guide §3.3).
     sums = (partials.groupBy("i", "j").agg(F.sum("val").alias("s"))
+            # stays EAGER: the first consumer is a BroadcastExchange
+            # build — a lazy cut would run the full corpus Gram pass
+            # inside the 300s broadcastTimeout window at scale
+            # (guide §7.4: compute/cache the small side FIRST)
             .localCheckpoint())
     n = sums.where((F.col("i") == 0) & (F.col("j") == 0)) \
         .select(F.col("s").cast("long").alias("n"))
