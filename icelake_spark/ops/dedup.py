@@ -651,7 +651,10 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     # ids and silently drop every edge (dedup becomes a no-op)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # eager=False: the threshold count right below is a full scan and
+    # materializes the cache in the same job (r13 opt)
+    e = (e.where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=False))
     # near-dup pair sets are usually a tiny fraction of the corpus; below
     # the threshold a driver-side union-find replaces 3+ rounds of
     # join/checkpoint fixed overhead (each ~1 s of scheduling even on 256
@@ -687,8 +690,12 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         out_schema = StructType([StructField("node", id_type),
                                  StructField("component", id_type)])
         return spark.createDataFrame(rows, out_schema)
+    # eager=False on the loop relations: each round's changed-count is
+    # a full scan that materializes the round's cache in the same job;
+    # the checkpoint still truncates lineage identically (r13 opt)
     labels = (e.select("u").distinct()
-              .select("u", F.col("u").alias("label")).localCheckpoint())
+              .select("u", F.col("u").alias("label"))
+              .localCheckpoint(eager=False))
     for _ in range(max_iter):
         nbr_min = (e.join(labels.withColumnRenamed("u", "v"), on="v")
                    .groupBy("u").agg(F.min("label").alias("nbr")))
@@ -701,7 +708,7 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                              F.col("label").alias("root"))
         new_labels = (stepped.join(ptr, on="label", how="left")
                       .select("u", F.coalesce("root", "label").alias("label"))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
                                    on="u")
                    .where(F.col("label") != F.col("old")).count())

@@ -73,12 +73,13 @@ def bm25(df: DataFrame, query_terms: list[str], k: int = 10,
     # single-task) scan stage; above it, every core tokenizes.
     tk = (fanout(df, F.col(id_col))
           .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
-          # pin the tokenized stream: the stats collect below is its
-          # own job, and without the checkpoint the regex+tokenize of
-          # the WHOLE corpus re-runs under the tf aggregation — the
-          # most expensive stage, paid twice (review r12; the
-          # dsir_select localCheckpoint pattern)
-          .localCheckpoint())
+          # pin the tokenized stream: without the checkpoint the
+          # regex+tokenize of the WHOLE corpus re-runs under the tf
+          # aggregation — the most expensive stage, paid twice (review
+          # r12; the dsir_select localCheckpoint pattern). eager=False:
+          # the stats collect right below is a full scan and
+          # materializes the cache in the same job (r13 opt)
+          .localCheckpoint(eager=False))
     # ONE scalar job for both corpus stats (instead of count + avg)
     stats = tk.agg(F.count("*").alias("n"),
                    F.avg(F.size("__tk")).alias("avgdl")).collect()[0]

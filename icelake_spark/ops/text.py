@@ -1416,13 +1416,15 @@ def nb_quality_score(df: DataFrame, text_col: str = "text",
     # |docs| rows, not the full token multiset
     toks = (labeled.join(passes, on=id_col)
             .select(F.explode("__w").alias("w"), "passes"))
-    # eager checkpoint: totals (a collect) and the model map both read
-    # the vocabulary-bounded counts — left lazy, the whole tokenize +
-    # label join + groupBy would execute twice
+    # checkpoint: totals (a collect) and the model map both read the
+    # vocabulary-bounded counts — UNcheckpointed, the whole tokenize +
+    # label join + groupBy would execute twice. eager=False: the
+    # totals collect right below is a full scan and materializes the
+    # cache in the same job (r13 opt)
     counts = (toks.groupBy("w").agg(
         F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("cg"),
         F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("cb"))
-        .localCheckpoint())
+        .localCheckpoint(eager=False))
     totals = counts.agg(
         F.sum("cg").alias("ng"), F.sum("cb").alias("nb"),
         F.count("*").alias("v")).collect()[0]

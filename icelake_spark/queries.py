@@ -2465,7 +2465,10 @@ def curation_pipeline_q(spark, sf_dir):
         F.split(norm, " "))
     tok = (q_ok.select("doc_id", F.md5(norm).alias("__ch"),
                        words.alias("__w"))
-           .localCheckpoint())
+           # eager=False: the first consumer stage (keepers'/winners'
+           # shuffle maps — plain full scans) materializes the cache in
+           # the same job; no dedicated checkpoint pass (r13 opt)
+           .localCheckpoint(eager=False))
     # the metrics CARRY the content hash and token array through, so
     # gating is a plain filter (no join back to tok). Exact dedup keeps
     # dedup_exact's groupBy(min)+semi-join shape on purpose: the
@@ -2483,7 +2486,7 @@ def curation_pipeline_q(spark, sf_dir):
                .select("doc_id"))
     deduped = (keepers.join(winners, "doc_id", "left_semi")
                .select("doc_id", "__w")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     pairs = ngram_jaccard_pairs(deduped, n=3, threshold=0.2,
                                 fanout_input=False, words_col_name="__w")
     # fuzzy dedup = drop non-root members of each near-dup cluster: one
@@ -3272,10 +3275,15 @@ def curation_v2_q(spark, sf_dir):
     # the LM aggregations duplicated 4x). Ids are bytes-per-row, so the
     # checkpoint is tiny at any scale; the corpus re-reads behind the
     # semi-joins are plain scans, not recomputed aggregates.
+    # eager=False (r13 opt): both id sets root at LogicalRDDs with
+    # unknown stats, so the planner shuffles them (no direct broadcast
+    # build over the lazy cache) and the first semi-join's shuffle-map
+    # stage — a plain full scan — materializes each in the same job
     lm = lm_bigram_score(docs).where(F.col("lm_score_micro") >= 34000)
-    gate_ids = lm.select("doc_id").localCheckpoint()
+    gate_ids = lm.select("doc_id").localCheckpoint(eager=False)
     gated = docs.join(gate_ids, on="doc_id", how="left_semi")
-    dedup_ids = dedup_exact(gated).select("doc_id").localCheckpoint()
+    dedup_ids = (dedup_exact(gated).select("doc_id")
+                 .localCheckpoint(eager=False))
     deduped = gated.join(dedup_ids, on="doc_id", how="left_semi")
     drops = (winnow_candidates(deduped, k=5, w=4, min_shared=8,
                                max_df=50, fanout_input=False)
