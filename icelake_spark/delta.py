@@ -67,6 +67,13 @@ def _write_small_parquet(table, df: DataFrame, content: int,
             continue
         md = pq.read_metadata(io.open_input(p))
         if md.num_rows == 0:
+            # the committer leaves zero-row part files for output tasks
+            # that received no rows; no manifest ever tracks them, so —
+            # now that the write itself is the empty-match probe (r13) —
+            # each no-match DML would otherwise accumulate an orphan
+            # under data/ forever. Reclaim them, the same policy as
+            # write_data_files' zero-row drop.
+            io.delete_quiet(p)
             continue
         files.append(DataFile(
             file_path=norm_path(p),
@@ -76,6 +83,11 @@ def _write_small_parquet(table, df: DataFrame, content: int,
             content=content,
             equality_ids=equality_ids,
         ))
+    if not files:
+        # fully-empty stage (the no-match case): reclaim the committer
+        # markers (_SUCCESS) too, leaving nothing behind
+        for p, _ in io.list_files(stage):
+            io.delete_quiet(p)
     return files
 
 

@@ -828,24 +828,17 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     """
     import math
 
-    from .similarity import dot, nearest_centroid_col, norm, train_kmeans
-    from .util import fanout
+    from .similarity import (dot, nearest_centroid_col, norm,
+                             train_kmeans, vector_base)
 
-    from .similarity import valid_vectors
-
-    v = F.col(vec_col).cast("array<double>")
     # ONE checkpointed (id, __v) base feeds training AND assignment
     # (r13: train_kmeans otherwise scans+checkpoints the raw input
     # again internally). The shared embedding null contract (review
-    # r12) holds: valid_vectors filters BOTH passes — a NaN-element
+    # r12) holds: vector_base filters BOTH passes — a NaN-element
     # vector took cluster 0 from the literal argmin and a NULL vector
     # rode along with a NULL cluster, while the SQL twin's
     # _VALID_VEC_WHERE excluded both rows entirely.
-    # eager=False: train_kmeans's init sample (full-scan TakeOrdered)
-    # materializes the cache in the same job (r13 opt)
-    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__v"))
-            .localCheckpoint(eager=False))
+    base = vector_base(df, vec_col, id_col)
     cents = train_kmeans(df, vec_col, id_col, k=n_clusters,
                          n_iter=train_iters, seed=seed, portable=portable,
                          base=base)

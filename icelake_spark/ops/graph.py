@@ -36,7 +36,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     exchanges per iteration. Node table and count both derive from deg
     (every node of the undirected set appears as `a`), removing a
     distinct + checkpoint + count pass over the edges. The only driver
-    values are the node COUNT (one scalar) and the loop counter."""
+    values are the node COUNT (one scalar) and the loop counter.
+
+    Cache lifecycle: the returned frame still READS the persisted
+    edge/degree relations, so they cannot be unpersisted here — they
+    stay in the session's CacheManager until evicted (LRU, spillable)
+    or the caller runs `spark.catalog.clearCache()`. One cached edge
+    set per pagerank call; callers looping over many graphs in one
+    session should clear between calls."""
     spark = edges.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     # partition by the loop's join key BEFORE materializing: an
@@ -76,7 +83,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes = deg.select(F.col("a").alias("node"))
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n)
     pr = nodes.select("node", F.lit(RANK_SCALE // n).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (und_deg.join(pr, und_deg["a"] == pr["node"])
                    .select(F.col("b").alias("node"),
                            F.expr("rank DIV deg").alias("c")))
@@ -86,4 +93,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       (F.lit(base)
                        + F.expr(f"({damping_pct} * COALESCE(s, 0)) "
                                 f"DIV 100")).cast("long").alias("rank")))
+        # bound the analyzed-plan size: without a lineage cut the rank
+        # table's plan embeds one join+agg+join layer per iteration
+        # and Catalyst cost grows superlinearly in `iters` (the
+        # connected_components round-20 driver-OOM failure mode). Cut
+        # every 4th iteration — the n-row rank table is bytes per node,
+        # values are integer arithmetic (partitioning-independent), and
+        # the DEFAULT iters=3 never reaches the cut so the common path
+        # is unchanged. eager=False: the next iteration's join
+        # materializes it in its own job.
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint(eager=False)
     return pr

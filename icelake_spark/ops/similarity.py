@@ -328,6 +328,25 @@ def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                     lambda x: x.isNull() | F.isnan(x.cast("double"))))
 
 
+def vector_base(df: DataFrame, vec_col: str, id_col: str,
+                keyed: bool = True) -> DataFrame:
+    """The ONE checkpointed (id, __v) valid-vector relation the
+    training/assignment family shares (review r13 — five sites
+    restated this 3-line shape): valid rows only (the r12 null
+    contract), fanned out so downstream compute runs on every core
+    (hash-keyed by id unless keyed=False — train_kmeans's internal
+    base keeps the unkeyed round-robin fanout so its float-mean
+    reduction order is byte-for-byte what it always was), vector cast
+    to array<double>, and lazily localCheckpoint-ed so the first
+    consumer's full scan materializes the cache inside its own job
+    instead of a dedicated pass (r13 opt)."""
+    src = valid_vectors(df, vec_col)
+    src = fanout(src, F.col(id_col)) if keyed else fanout(src)
+    return (src.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("__v"))
+            .localCheckpoint(eager=False))
+
+
 def _sample_init(df: DataFrame, vec_col: str, id_col: str, k: int,
                  seed: int, portable: bool) -> list[list[float]]:
     """Deterministic centroid init shared by train_kmeans and
@@ -373,14 +392,10 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
         # NULL/NaN row cannot meaningfully pull a centroid in any lane;
         # the twins filter their v CTEs with the same predicate
         # (_VALID_VEC_WHERE)
-        v = F.col(vec_col).cast("array<double>")
-        # eager=False: the init sample's TakeOrdered below scans every
-        # partition anyway, so it materializes the checkpoint cache in
-        # the SAME job — the dedicated eager pass was a full extra
-        # read (r13 opt; same RDD, so values are untouched)
-        base = (fanout(valid_vectors(df, vec_col))
-                .select(F.col(id_col), v.alias("__v"))
-                .localCheckpoint(eager=False))
+        # keyed=False: this base keeps the unkeyed round-robin fanout
+        # it always had — a keyed shuffle would change the float-mean
+        # reduction order of the non-portable means
+        base = vector_base(df, vec_col, id_col, keyed=False)
     # the init sample reads the MATERIALIZED base (valid by
     # construction, so _sample_init's valid_vectors wrap is a no-op and
     # the md5(id:seed) order is identical to sampling the raw input —
@@ -736,7 +751,6 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     if dim % m:
         raise ValueError(f"query dim {dim} not divisible by m={m}")
     sub = dim // m
-    v = F.col(vec_col).cast("array<double>")
 
     # ---- fused training -------------------------------------------
     # tiny inputs seed fewer than k_sub centroids — _train_pq_codebooks
@@ -751,9 +765,7 @@ def pq_adc_topk(df: DataFrame, query: list[float], k: int = 10,
     # (review r10d; the twin filters its v CTE the same way)
     # eager=False: the init sample's full-scan TakeOrdered materializes
     # the cache in the same job — no dedicated checkpoint pass (r13 opt)
-    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__v"))
-            .localCheckpoint(eager=False))
+    base = vector_base(df, vec_col, id_col)
     sample = _sample_init(base, "__v", id_col, k_sub, seed, portable)
     if not sample:
         # zero valid vectors: the literal score expressions cannot even
@@ -829,7 +841,6 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank={rerank} must be >= k={k}")
     sub = dim // m
-    v = F.col(vec_col).cast("array<double>")
     # ONE checkpointed (id, raw-vector) base feeds the coarse-training
     # sample+iterations AND the assign/residual pass below (r13: the
     # old shape scanned+checkpointed the raw input separately inside
@@ -839,9 +850,7 @@ def ivf_pq_topk(df: DataFrame, query: list[float], k: int = 10,
     # (the coarse init sample / the PQ init sample — full-scan
     # TakeOrdereds) materializes the cache in the same job, so neither
     # pays a dedicated materialization pass (r13 opt)
-    raw_base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-                .select(F.col(id_col), v.alias("__v"))
-                .localCheckpoint(eager=False))
+    raw_base = vector_base(df, vec_col, id_col)
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=coarse_iters, seed=seed, portable=portable,
                          base=raw_base)
@@ -941,15 +950,12 @@ def cluster_balanced_sample(df: DataFrame, cap: int,
     """
     from .sampling import source_cap
 
-    v = F.col(vec_col).cast("array<double>")
     # ONE checkpointed (id, __v) base feeds training AND assignment
     # (r13). NULL embeddings are excluded, not kept as a phantom NULL
     # cluster (review r10d; the twin filters its v CTE identically)
     # eager=False: train_kmeans's init sample (full-scan TakeOrdered)
     # materializes the cache in the same job (r13 opt)
-    base = (fanout(valid_vectors(df, vec_col), F.col(id_col))
-            .select(F.col(id_col), v.alias("__v"))
-            .localCheckpoint(eager=False))
+    base = vector_base(df, vec_col, id_col)
     cents = train_kmeans(df, vec_col, id_col, k=n_centroids,
                          n_iter=train_iters, seed=seed, portable=portable,
                          base=base)

@@ -349,6 +349,12 @@ def write_data_files(
         for d in out:
             if (d.record_count or 0) == 0:
                 io.delete_quiet(d.file_path)
+    if not live:
+        # fully-empty write (the no-match DML probe case, r13): reclaim
+        # the committer markers (_SUCCESS) too — no manifest will ever
+        # reference this stage, so anything left is an orphan
+        for p, _ in io.list_files(stage):
+            io.delete_quiet(p)
     return live
 
 

@@ -282,3 +282,37 @@ def test_add_data_with_delete_file_removal_classifies_append(
     got = sorted(r.id for r in
                  t.incremental(spark, from_snapshot_id=base).collect())
     assert got == [9], got
+
+
+def test_no_match_dml_leaves_no_orphan_files(spark, warehouse):
+    """Since the write became the empty-match probe (r13), a no-match
+    DELETE/MERGE runs the delete-file write job before discovering the
+    match set is empty. The committer's zero-row part files (and the
+    stage's _SUCCESS marker) are tracked by no manifest, so they must
+    be reclaimed — otherwise every no-op DML grows data/ forever."""
+    from icelake_spark.delta import OP_DELETE, delete_rows, merge_delta
+    from icelake_spark.fileio import resolve_io
+
+    src = spark.createDataFrame([(i, f"r{i}") for i in range(10)],
+                                "id long, v string")
+    t = warehouse.create_table("db.no_match_orphans",
+                               _schema(spark, "id long, v string"))
+    t.append(src)
+    io = resolve_io(t.path)
+    before = {p for p, _ in io.list_files(t.path)}
+    snap_before = t.current_snapshot().snapshot_id
+
+    delete_rows(t, spark, "id = -1")  # matches nothing
+    t = t.refresh()
+    # the no-match delete early-returns: no snapshot, no files
+    assert t.current_snapshot().snapshot_id == snap_before
+    # an all-empty CDC batch (merge_delta commits an empty snapshot by
+    # long-standing semantics — only the FILES must not leak)
+    merge_delta(t, spark.createDataFrame(
+        [(100, "new", OP_DELETE)], "id long, v string, _op int")
+        .where("id < 0"), key_cols=["id"])
+
+    t = t.refresh()
+    after = {p for p, _ in io.list_files(t.path)}
+    orphans = {p for p in after - before if "/data/" in p}
+    assert not orphans, sorted(orphans)

@@ -963,6 +963,31 @@ def test_pagerank_semantics(spark):
     assert out3["hub"] > out3["x"]
 
 
+def test_pagerank_high_iters_matches_python_reference(spark):
+    """iters past the every-4th-iteration lineage cut (r13: bounds the
+    analyzed-plan growth) must stay bit-identical to the unrolled
+    integer recurrence — the cut is a plan boundary, not a math change."""
+    from icelake_spark.ops.graph import RANK_SCALE, pagerank
+
+    raw = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+
+    und = {(s, d) for s, d in raw} | {(d, s) for s, d in raw}
+    nodes = sorted({a for a, _ in und})
+    deg = {v: sum(1 for a, _ in und if a == v) for v in nodes}
+    n, iters, damping = len(nodes), 6, 85
+    base = ((100 - damping) * RANK_SCALE) // (100 * n)
+    pr = {v: RANK_SCALE // n for v in nodes}
+    for _ in range(iters):
+        sums = {v: 0 for v in nodes}
+        for a, b in und:
+            sums[b] += pr[a] // deg[a]
+        pr = {v: base + (damping * sums[v]) // 100 for v in nodes}
+
+    got = {r.node: r.rank for r in pagerank(edges, iters=iters).collect()}
+    assert got == pr
+
+
 def test_winnow_matches_bruteforce_property(spark):
     """Property: the Window-based winnowing selection equals a brute-
     force reference (window minima, rightmost ties) over random short

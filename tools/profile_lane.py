@@ -24,8 +24,6 @@ EVDIR = "/tmp/icelake_spark_eventlogs"
 
 
 def _session():
-    import os
-
     from pyspark.sql import SparkSession
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     os.makedirs(EVDIR, exist_ok=True)
@@ -110,25 +108,23 @@ def main() -> None:
         with open(p) as f:
             lines.extend(f)
     stages = []
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
+    for line in lines:
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            if sub is None or comp is None:
                 continue
-            if ev.get("Event") == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                if sub is None or comp is None:
-                    continue
-                stages.append({
-                    "id": si["Stage ID"],
-                    "name": si.get("Stage Name", ""),
-                    "details": si.get("Details", "")[:0],
-                    "sub": sub, "comp": comp,
-                    "tasks": si.get("Number of Tasks", 0),
-                })
+            stages.append({
+                "id": si["Stage ID"],
+                "name": si.get("Stage Name", ""),
+                "sub": sub, "comp": comp,
+                "tasks": si.get("Number of Tasks", 0),
+            })
 
     for name, ts, tb, te in marks:
         mine = [s for s in stages if ts <= s["sub"] < te]
