@@ -56,7 +56,8 @@ def _write_small_parquet(table, df: DataFrame, content: int,
     sorts by (file_path, pos) before calling)."""
     import pyarrow.parquet as pq
 
-    from .fileio import io_join, norm_path, resolve_io
+    from .fileio import (delete_crc_sidecar as _delete_crc_sidecar,
+                         io_join, norm_path, resolve_io)
 
     io = resolve_io(table.path)
     stage = io_join(table.path, "data", f"del-{uuid.uuid4().hex[:16]}")
@@ -72,8 +73,10 @@ def _write_small_parquet(table, df: DataFrame, content: int,
             # now that the write itself is the empty-match probe (r13) —
             # each no-match DML would otherwise accumulate an orphan
             # under data/ forever. Reclaim them, the same policy as
-            # write_data_files' zero-row drop.
+            # write_data_files' zero-row drop — including the Hadoop
+            # checksum sidecar (.part-*.crc on local FS; ADVICE r13)
             io.delete_quiet(p)
+            _delete_crc_sidecar(io, p)
             continue
         files.append(DataFile(
             file_path=norm_path(p),
@@ -85,9 +88,11 @@ def _write_small_parquet(table, df: DataFrame, content: int,
         ))
     if not files:
         # fully-empty stage (the no-match case): reclaim the committer
-        # markers (_SUCCESS) too, leaving nothing behind
-        for p, _ in io.list_files(stage):
-            io.delete_quiet(p)
+        # markers (_SUCCESS) AND the stage directory itself — list_files
+        # returns files only, so file-wise deletion left one empty
+        # data/del-* dir behind per no-match DML on local FS
+        # (ADVICE r13; object-store backends treat dirs as virtual)
+        io.remove_tree(stage)
     return files
 
 

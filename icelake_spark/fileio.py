@@ -104,6 +104,15 @@ def dirname(path: str) -> str:
     return posixpath.dirname(path) if is_uri(path) else os.path.dirname(path)
 
 
+def delete_crc_sidecar(io: "FileIO", path: str) -> None:
+    """Remove the Hadoop ChecksumFileSystem sidecar (`.<name>.crc`) the
+    local-FS committer leaves next to `path` (ADVICE r13); quiet no-op
+    where no sidecar exists (object stores)."""
+    d, b = dirname(path), basename(path)
+    if b:
+        io.delete_quiet(io_join(d, f".{b}.crc") if d else f".{b}.crc")
+
+
 # ------------------------------------------------------------ interface
 
 

@@ -15,7 +15,8 @@ RANK_SCALE = 10 ** 12  # integer rank units: 1.0 == 10^12
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
-             iters: int = 3, damping_pct: int = 85) -> DataFrame:
+             iters: int = 3, damping_pct: int = 85,
+             materialize: bool = False) -> DataFrame:
     """PageRank over an UNDIRECTED edge list (each edge contributes in
     both directions), `iters` synchronous iterations:
 
@@ -38,12 +39,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     distinct + checkpoint + count pass over the edges. The only driver
     values are the node COUNT (one scalar) and the loop counter.
 
-    Cache lifecycle: the returned frame still READS the persisted
-    edge/degree relations, so they cannot be unpersisted here — they
-    stay in the session's CacheManager until evicted (LRU, spillable)
-    or the caller runs `spark.catalog.clearCache()`. One cached edge
-    set per pagerank call; callers looping over many graphs in one
-    session should clear between calls."""
+    Cache lifecycle: by default the returned frame still READS the
+    persisted edge/degree relations, so they cannot be unpersisted here
+    — they stay in the session's CacheManager until evicted (LRU,
+    spillable) or the caller runs `spark.catalog.clearCache()`. Pass
+    `materialize=True` to pay one eager localCheckpoint of the final
+    n-row rank table inside this call and get the edge/degree caches
+    RELEASED before returning (identical values — the ranks are
+    integer arithmetic, partitioning-independent); callers looping
+    over many graphs in one session should use that (VERDICT r13 #8)."""
     spark = edges.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     # partition by the loop's join key BEFORE materializing: an
@@ -104,4 +108,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # materializes it in its own job.
         if (i + 1) % 4 == 0 and (i + 1) < iters:
             pr = pr.localCheckpoint(eager=False)
+    if materialize:
+        # pin the final rank table (bytes per node), then release the
+        # loop-invariant caches — the caller's session accumulates
+        # nothing per pagerank call
+        pr = pr.localCheckpoint()
+        und_deg.unpersist()
+        deg.unpersist()
     return pr

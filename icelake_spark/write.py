@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .fileio import (
     FileIO,
+    delete_crc_sidecar,
     dirname,
     io_join,
     norm_path,
@@ -349,12 +350,14 @@ def write_data_files(
         for d in out:
             if (d.record_count or 0) == 0:
                 io.delete_quiet(d.file_path)
+                # and the local-FS checksum sidecar (ADVICE r13)
+                delete_crc_sidecar(io, d.file_path)
     if not live:
         # fully-empty write (the no-match DML probe case, r13): reclaim
-        # the committer markers (_SUCCESS) too — no manifest will ever
-        # reference this stage, so anything left is an orphan
-        for p, _ in io.list_files(stage):
-            io.delete_quiet(p)
+        # the committer markers (_SUCCESS) AND the stage directory —
+        # file-wise deletion left an empty uuid stage dir (plus any
+        # partition subdirs) behind per no-match DML (ADVICE r13)
+        io.remove_tree(stage)
     return live
 
 

@@ -316,3 +316,31 @@ def test_no_match_dml_leaves_no_orphan_files(spark, warehouse):
     after = {p for p, _ in io.list_files(t.path)}
     orphans = {p for p in after - before if "/data/" in p}
     assert not orphans, sorted(orphans)
+    # ADVICE r13: the empty del-*/uuid stage DIRECTORIES must be
+    # reclaimed too (list_files-driven deletion left one empty dir per
+    # no-match DML on local FS)
+    import os
+    data_dir = os.path.join(t.path, "data")
+    empty_dirs = [os.path.join(r, d)
+                  for r, ds, _ in os.walk(data_dir) for d in ds
+                  if not os.listdir(os.path.join(r, d))]
+    assert not empty_dirs, empty_dirs
+
+
+def test_zero_row_crc_sidecar_reclaimed(tmp_path):
+    """ADVICE r13: deleting a zero-row part file must also remove its
+    Hadoop ChecksumFileSystem sidecar (.part-*.crc on local FS)."""
+    from icelake_spark.fileio import delete_crc_sidecar, resolve_io
+
+    d = tmp_path / "stage"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    crc = d / ".part-00000.parquet.crc"
+    part.write_bytes(b"x")
+    crc.write_bytes(b"y")
+    io = resolve_io(str(tmp_path))
+    io.delete_quiet(str(part))
+    delete_crc_sidecar(io, str(part))
+    assert not part.exists() and not crc.exists()
+    # quiet no-op when no sidecar exists
+    delete_crc_sidecar(io, str(d / "part-00001.parquet"))
