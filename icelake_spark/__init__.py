@@ -33,13 +33,17 @@ def default_session(app_name: str = "icelake_spark", cpus: str | int = "*",
         # runtime skew-join splitting is the first line of defense for
         # hot join keys at scale; ops.skew handles what AQE can't
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # allow shuffled-hash join when its size conditions hold (guide
-        # §3.1/§9): SMJ pays two sorts per join that SHJ skips; the
-        # planner only picks SHJ when the build side is provably small
-        # per partition, and AQE's OOM-safe fallbacks stay active.
-        # Measured r13: minhash self-join 4.5->2.5 s, events_sessionize
-        # 1.6->1.0 s, q21 1.8->1.4 s at sf0.1; results identical.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its DEFAULT (true). r13 flipped
+        # it to false (guide §3.1's SHJ option); the r14 dedicated
+        # toggle A/B mandated by VERDICT r13 #4 (5 reps per mode, both
+        # orderings, 12 join-heavy lanes, quiet host) read the flip
+        # NEGATIVE: SMJ wins min-of-5 on 10/12 lanes — events_sessionize
+        # 1.21x, minhash 1.20x, range_join 1.16x, asof_join 1.13x,
+        # skew_salted_join 1.07x (1.35x median) — and is a wash on the
+        # AQE-broadcast TPC-H joins. Reverted; SHJ remains available
+        # per-join via the SHUFFLE_HASH hint where a build side is
+        # provably small, without the session-global estimated-size OOM
+        # risk. (OPTIMIZATION_r14.md Task 2 has the table.)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # int64 micros is the Iceberg-spec timestamp encoding; Spark's
