@@ -135,6 +135,23 @@ def write_equality_delete_files(table, keys: DataFrame,
                                 equality_ids=eq_ids)
 
 
+def _overlap(*thunks):
+    """Run independent Spark write/collect actions from driver threads
+    (guide §2.6): actions are only sequential because the driver calls
+    them sequentially, so the second job's tasks back-fill executors
+    freed by the first job's straggler tail instead of waiting for it.
+    Returns results in argument order; exceptions propagate. Safe for
+    sibling jobs over one persisted frame: concurrent first-computation
+    of a cached partition yields identical block values (the cached
+    child plan is fixed at persist time and its row order is
+    deterministic per partition), and the BlockManager stores one copy."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
                 op_col: str = "_op", branch: str | None = None,
                 **write_kwargs) -> None:
@@ -194,14 +211,17 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
         else:
             head = table.current_snapshot()
         tx = Transaction(table, branch=branch)
+
         # the write pass is its own emptiness probe (r13, the MoR
         # delete_rows pattern): zero-row outputs are dropped and return
         # [] — each old take(1) pre-probe was a full extra evaluation
         # of the keyed window over the batch
-        ins_files = write_data_files(table, inserts, **write_kwargs)
-        if ins_files:
-            tx.add_data_files(ins_files)
-        if head is not None:
+        def _write_inserts():
+            return write_data_files(table, inserts, **write_kwargs)
+
+        def _write_eq_deletes():
+            if head is None:
+                return []
             deleted_keys = (df.where(F.col(op_col) == OP_DELETE)
                             .select(*key_cols).dropDuplicates(key_cols))
             # keys being re-inserted (OP_INSERT) also supersede prior
@@ -211,10 +231,16 @@ def merge_delta(table, df: DataFrame, key_cols: list[str] | None = None,
                              .select(*key_cols).dropDuplicates(key_cols))
             eq_keys = (deleted_keys.unionByName(upserted_keys)
                        .dropDuplicates(key_cols))
-            del_files = write_equality_delete_files(table, eq_keys,
-                                                    key_cols)
-            if del_files:
-                tx.add_delete_files(del_files)
+            return write_equality_delete_files(table, eq_keys, key_cols)
+
+        # the two write jobs are independent (separate stage dirs,
+        # both over the persisted batch) — overlap them (guide §2.6,
+        # VERDICT r13 #3) instead of paying two serial job rounds
+        ins_files, del_files = _overlap(_write_inserts, _write_eq_deletes)
+        if ins_files:
+            tx.add_data_files(ins_files)
+        if del_files:
+            tx.add_delete_files(del_files)
         tx.commit("overwrite" if head is not None else "append")
     finally:
         df.unpersist()
@@ -373,16 +399,19 @@ def delete_rows(table, spark, condition: str,
         matched = _recorded_paths(raw.where(condition).select(*sel),
                                   "file_path")
         pq_matches = matched.where(F.col("pos").isNotNull())
-        non_pq_files = [_recorded(r.file_path)
-                        for r in matched.where(F.col("pos").isNull())
-                        .select("file_path").distinct().collect()]
         tx = Transaction(table, branch=branch)
         # the write itself is the emptiness probe (r13): zero-row
         # outputs are dropped by _write_small_parquet, so an empty
         # match yields [] — the old take(1) pre-probe was a full extra
         # pass over the matched set just to learn what the write pass
-        # discovers anyway
-        pos_files = write_position_delete_files(table, pq_matches)
+        # discovers anyway. The pos-delete write and the non-parquet
+        # fallback collect are independent jobs over the persisted
+        # matched set — overlap them (guide §2.6, VERDICT r13 #3)
+        pos_files, non_pq_files = _overlap(
+            lambda: write_position_delete_files(table, pq_matches),
+            lambda: [_recorded(r.file_path)
+                     for r in matched.where(F.col("pos").isNull())
+                     .select("file_path").distinct().collect()])
         if pos_files:
             tx.add_delete_files(pos_files)
         if non_pq_files:
@@ -496,10 +525,6 @@ def _update_mor(table, spark, condition, branch, raw, spark_schema,
 
     matched = raw.where(condition)
     pq_matches = matched.where(F.col("__pos").isNotNull())
-    non_pq_files = [_recorded(r.file_path)
-                    for r in matched.where(F.col("__pos").isNull())
-                    .select(F.col("__file").alias("file_path"))
-                    .distinct().collect()]
     tx = Transaction(table, branch=branch)
     # the delete write IS the emptiness probe (r13, the delete_rows
     # pattern): zero-row outputs return [], replacing the old take(1)
@@ -514,13 +539,24 @@ def _update_mor(table, spark, condition, branch, raw, spark_schema,
             "write.position-delete.include-row", "false") == "true":
         del_sel.append(F.struct(
             *[f.name for f in spark_schema.fields]).alias("row"))
-    pos_files = write_position_delete_files(
-        table, _recorded_paths(pq_matches.select(*del_sel), "file_path"))
+    # three independent jobs over the persisted matched set: the
+    # pos-delete write, the updated-rows data write (empty match →
+    # zero-row outputs dropped → []), and the non-parquet fallback
+    # collect — overlap them (guide §2.6, VERDICT r13 #3)
+    updated = _apply_set(pq_matches.drop("__file", "__pos"),
+                         only_matching=True)
+    pos_files, upd_files, non_pq_files = _overlap(
+        lambda: write_position_delete_files(
+            table, _recorded_paths(pq_matches.select(*del_sel),
+                                   "file_path")),
+        lambda: write_data_files(table, updated),
+        lambda: [_recorded(r.file_path)
+                 for r in matched.where(F.col("__pos").isNull())
+                 .select(F.col("__file").alias("file_path"))
+                 .distinct().collect()])
     if pos_files:
         tx.add_delete_files(pos_files)
-        updated = _apply_set(pq_matches.drop("__file", "__pos"),
-                             only_matching=True)
-        tx.add_data_files(write_data_files(table, updated))
+        tx.add_data_files(upd_files)
     if non_pq_files:
         _cow_rewrite(tx, non_pq_files)
     if not pos_files and not non_pq_files:

@@ -409,11 +409,23 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
                                         portable=portable))
         ex = assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
         by_cluster: dict[int, dict[int, float]] = {}
+        # AQE off around the EAGER iteration collect (VERDICT r13 #5):
+        # the aggregate is bounded by k·dim groups, so the re-plan
+        # round per exchange buys nothing; portable means are exact
+        # DECIMAL sums (order-independent) and float partial-merge
+        # order was never deterministic, so results are unchanged
+        from .util import scoped_conf
+        with scoped_conf(ex.sparkSession, "spark.sql.adaptive.enabled",
+                         "false"):
+            if portable:
+                means = (ex.groupBy("__c", "__d")
+                         .agg(F.sum(F.round(F.col("__x"), 6)
+                                    .cast("decimal(28,6)")).alias("s"),
+                              F.count("*").alias("n")).collect())
+            else:
+                means = (ex.groupBy("__c", "__d")
+                         .agg(F.avg("__x").alias("m")).collect())
         if portable:
-            means = (ex.groupBy("__c", "__d")
-                     .agg(F.sum(F.round(F.col("__x"), 6)
-                                .cast("decimal(28,6)")).alias("s"),
-                          F.count("*").alias("n")).collect())
             for r in means:
                 # float(Decimal) and DuckDB's CAST(DECIMAL AS DOUBLE)
                 # both take the nearest double of the same exact sum;
@@ -421,8 +433,6 @@ def train_kmeans(df: DataFrame, vec_col: str = "embedding",
                 by_cluster.setdefault(r["__c"], {})[r["__d"]] = (
                     float(r["s"]) / r["n"])
         else:
-            means = (ex.groupBy("__c", "__d").agg(F.avg("__x").alias("m"))
-                     .collect())
             for r in means:
                 by_cluster.setdefault(r["__c"], {})[r["__d"]] = r["m"]
         cents = [
@@ -641,17 +651,22 @@ def _train_pq_codebooks(base: DataFrame, sample: list[list[float]],
             for j in range(m)])
         ex = (src.select(F.explode(parts).alias("p"))
               .select("p.j", "p.c", F.posexplode("p.e").alias("d", "x")))
-        if portable:
-            rows = (ex.groupBy("j", "c", "d")
-                    .agg(F.sum(F.round(F.col("x"), 6)
-                               .cast("decimal(28,6)")).alias("s"),
-                         F.count("*").alias("n")).collect())
-            vals = {(r["j"], r["c"], r["d"]): float(r["s"]) / r["n"]
-                    for r in rows}
-        else:
-            rows = (ex.groupBy("j", "c", "d")
-                    .agg(F.avg("x").alias("mn")).collect())
-            vals = {(r["j"], r["c"], r["d"]): r["mn"] for r in rows}
+        # AQE off around the EAGER iteration collect (VERDICT r13 #5):
+        # bounded m·k_sub·sub_dim groups; see train_kmeans note
+        from .util import scoped_conf
+        with scoped_conf(ex.sparkSession, "spark.sql.adaptive.enabled",
+                         "false"):
+            if portable:
+                rows = (ex.groupBy("j", "c", "d")
+                        .agg(F.sum(F.round(F.col("x"), 6)
+                                   .cast("decimal(28,6)")).alias("s"),
+                             F.count("*").alias("n")).collect())
+                vals = {(r["j"], r["c"], r["d"]): float(r["s"]) / r["n"]
+                        for r in rows}
+            else:
+                rows = (ex.groupBy("j", "c", "d")
+                        .agg(F.avg("x").alias("mn")).collect())
+                vals = {(r["j"], r["c"], r["d"]): r["mn"] for r in rows}
         codebooks = [
             [[vals[(j, c, d)] for d in range(sub)]
              if (j, c, 0) in vals else codebooks[j][c]

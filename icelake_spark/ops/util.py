@@ -2,8 +2,34 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_conf(spark, key: str, value: str):
+    """Set a runtime SQL conf around an EAGER action and restore it on
+    exit. Used to scope spark.sql.adaptive.enabled=false around the
+    bounded training aggregates (VERDICT r13 #5): each Lloyd-iteration
+    collect is a 2-stage job whose reduce side is a few hundred groups,
+    so AQE's per-exchange re-plan round is pure latency there — while
+    AQE must stay ON for everything data-dependent. No-op when the conf
+    already holds the value. NOT for lazy frames returned to callers:
+    the conf must be active when the job RUNS, not when it is built."""
+    prev = spark.conf.get(key, None)
+    if prev == value:
+        yield
+        return
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def fanout(df: DataFrame, *cols, factor: int = 2) -> DataFrame:

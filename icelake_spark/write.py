@@ -301,14 +301,21 @@ def write_data_files(
         _sess = writer_df.sparkSession
         _TT = "spark.sql.parquet.outputTimestampType"
         _prev_tt = _sess.conf.get(_TT, None)
-        _sess.conf.set(_TT, "TIMESTAMP_MICROS")
-        try:
+        if _prev_tt == "TIMESTAMP_MICROS":
+            # already the session default (default_session sets it):
+            # skip the set/restore — also keeps this safe when DML
+            # overlaps two writes on driver threads (guide §2.6), since
+            # the conf is session-global, not thread-local
             w.parquet(io.to_spark_path(stage))
-        finally:
-            if _prev_tt is None:
-                _sess.conf.unset(_TT)
-            else:
-                _sess.conf.set(_TT, _prev_tt)
+        else:
+            _sess.conf.set(_TT, "TIMESTAMP_MICROS")
+            try:
+                w.parquet(io.to_spark_path(stage))
+            finally:
+                if _prev_tt is None:
+                    _sess.conf.unset(_TT)
+                else:
+                    _sess.conf.set(_TT, _prev_tt)
     else:
         raise ValueError(f"unsupported {PROP_FORMAT}={file_format} "
                          "(parquet|orc|avro)")
