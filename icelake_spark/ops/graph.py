@@ -58,11 +58,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # layout instead of re-shuffling the corpus-sized relation. persist
     # spills to disk gracefully at scale — the standard loop-invariant
     # edge-set idiom.
+    # ONE exchange, not two (guide §2.4, r14): repartition by the
+    # loop's join key FIRST, then dedup — hashpartitioning(a) satisfies
+    # the (a, b) aggregate's clustering requirement (same-key rows
+    # share a partition), so dropDuplicates adds NO exchange, where the
+    # old distinct().repartition(n, "a") shuffled the edge set by
+    # (a, b) and then AGAIN by a. The dedup output keeps the a-layout
+    # the cache and the per-iteration join reuse. Set semantics make
+    # the result identical either way.
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
                                F.col(src).alias("b")))
-           .distinct()
            .repartition(n_part, "a")
+           .dropDuplicates(["a", "b"])
            .persist())
     # deg groups by the cached partitioning key — no exchange — and
     # doubles as the node table: the undirected union has every node

@@ -16,6 +16,14 @@ def spark():
 
     s = icelake_spark.default_session("icelake_spark_tests")
     s.sparkContext.setLogLevel("ERROR")
+    # test-session-only runtime conf overrides (ICELAKE_TEST_CONF=
+    # "k=v;k=v"): used to measure/set suite-latency knobs without
+    # touching default_session — production/bench sessions never read
+    # this
+    for kv in os.environ.get("ICELAKE_TEST_CONF", "").split(";"):
+        if kv:
+            k, v = kv.split("=", 1)
+            s.conf.set(k, v)
     yield s
     s.stop()
 
