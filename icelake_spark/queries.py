@@ -5864,8 +5864,69 @@ def _sketches_hist_sql() -> str:
                                    10000.0, table="orders")
 
 
+# Round-14 correctness window (the driver checks the FIRST 50 of
+# queries()): continues the stalest-evidence-first rotation policy
+# (VERDICT r12 #2, executed r13). Composition, in order:
+#   (1) the 18 lanes whose EXECUTION PATH round 14 changed — the DML
+#       plane (driver-thread overlap of independent write jobs:
+#       upsert/mor_delete/update/changelog/merge family/
+#       delete_compaction), the k-means/PQ training plane (AQE scoped
+#       off around the bounded Lloyd collects: pq/ivf family,
+#       kmeans_quality, semdedup, cluster_balanced_sample, ann_recall,
+#       embedding_outliers), and pagerank (edge-set exchange removal +
+#       materialize) — every one argued bit-identical and locally
+#       oracle-green, and the driver must confirm (the r13 precedent:
+#       touched rows outrank stale rows);
+#   (2) the 11 remaining rows whose last driver hash check is round 10
+#       (iceberg_zorder .. gopher_rules) — the stalest evidence in the
+#       registry (aggregating CORRECTNESS_r01–r13: 12 rows' latest
+#       check is r10, one of which — iceberg_merge — is already in (1));
+#   (3) 21 of the 45 r11-checked rows (3 rounds stale), in their
+#       standing registry order, skipping (1)'s members.
+# 18 + 11 + 21 = 50. Just past the cut, leading the r15 queue: the 20
+# remaining r11-checked rows (q2_min_cost_supplier ..
+# event_associations, registry order), then the r12-window rows, then
+# the r13-window rows — every row 51+ was hash-green in its most
+# recent driver window.
+_R14_WINDOW = [
+    # (1) r14-touched lanes
+    "pagerank_purchases", "iceberg_upsert", "iceberg_mor_delete",
+    "iceberg_update", "iceberg_changelog", "iceberg_merge",
+    "iceberg_merge_multi", "iceberg_merge_cols",
+    "iceberg_delete_compaction", "pq_adc_topk", "ivf_pq_topk",
+    "ivf_pq_rerank", "ivf_kmeans_topk", "kmeans_quality", "semdedup",
+    "cluster_balanced_sample", "ann_recall", "embedding_outliers",
+    # (2) the r10-stale rows
+    "iceberg_zorder", "iceberg_snapshots_meta", "iceberg_time_travel",
+    "iceberg_bucket_partition", "trigram_familiarity",
+    "multimodal_features", "percentiles_by_status",
+    "window_top_customers", "nb_quality_score", "text_analysis",
+    "gopher_rules",
+    # (3) r11-stale rows in standing order
+    "event_paths", "heavy_hitters", "embedding_covariance",
+    "split_by_group", "hybrid_rrf", "string_date_functions",
+    "q14_promo_effect", "line_dedup", "ann_topk", "lm_bigram_score",
+    "countmin_freq", "train_test_split", "iceberg_sql_call",
+    "dedup_keep_best", "iceberg_orc_roundtrip", "iceberg_avro_roundtrip",
+    "iceberg_files_meta", "set_ops_customers", "q7_volume_shipping",
+    "q8_market_share", "q22_idle_customers",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order IS the driver's correctness window (first 50).
+    """Registry order IS the driver's correctness window (first 50):
+    the r14 window in _R14_WINDOW (rotation rationale there) followed
+    by every other query in its r13 standing order."""
+    base = _queries_catalog()
+    out = {n: base[n] for n in _R14_WINDOW}
+    out.update({n: f for n, f in base.items() if n not in out})
+    assert len(_R14_WINDOW) == 50 and len(out) == len(base)
+    return out
+
+
+def _queries_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The r13-rotation ordering, kept as the stable catalog (rows past
+    the r14 window inherit this order).
 
     Round-13 rotation (executes VERDICT r12 #2, refined by measured
     evidence age). The window holds, in order: (1) ivf_pq_rerank +

@@ -14,18 +14,48 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def spark():
     import icelake_spark
 
-    s = icelake_spark.default_session("icelake_spark_tests")
+    # The suite is a CORRECTNESS gate over tiny (≤ sf0.001) inputs, and
+    # at that size every job is pure fixed overhead: whole-stage-codegen
+    # compiles each unique plan (~0.1-0.3 s of janino per query, paid
+    # once since tests never re-run a plan), AQE adds a re-plan round
+    # per exchange, and 32-way task dispatch costs more than the work.
+    # 8 cores + interpreted expressions + AQE off measured 1.9x faster
+    # on representative modules (OPTIMIZATION_r14.md Task 5) with
+    # identical results. Production/bench sessions are untouched —
+    # default_session keeps codegen+AQE on; modules that ASSERT
+    # codegen/AQE plan shapes re-enable them via the _prod_plan_conf
+    # fixture below. ICELAKE_TEST_CPUS / ICELAKE_TEST_CONF override.
+    prev = os.environ.get("SPARK_GRAFT_CPUS")
+    os.environ["SPARK_GRAFT_CPUS"] = os.environ.get("ICELAKE_TEST_CPUS", "8")
+    try:
+        s = icelake_spark.default_session("icelake_spark_tests")
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_CPUS", None)
+        else:
+            os.environ["SPARK_GRAFT_CPUS"] = prev
     s.sparkContext.setLogLevel("ERROR")
-    # test-session-only runtime conf overrides (ICELAKE_TEST_CONF=
-    # "k=v;k=v"): used to measure/set suite-latency knobs without
-    # touching default_session — production/bench sessions never read
-    # this
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     for kv in os.environ.get("ICELAKE_TEST_CONF", "").split(";"):
         if kv:
             k, v = kv.split("=", 1)
             s.conf.set(k, v)
     yield s
     s.stop()
+
+
+@pytest.fixture()
+def prod_plan_conf(spark):
+    """Restore production plan behavior (codegen + AQE on) for tests
+    that assert plan shapes the suite-latency defaults would change."""
+    prev_ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.codegen.wholeStage", prev_ws)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 @pytest.fixture()

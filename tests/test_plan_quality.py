@@ -3,9 +3,18 @@ must be visible in the physical plan — filter/projection pushdown into
 the parquet scan, broadcast of small dimensions, zone-map file skipping,
 and no Python evaluation in JVM-expressible operators."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from icelake_spark.types import Schema
+
+
+@pytest.fixture(autouse=True)
+def _prod_plans(prod_plan_conf):
+    """This module asserts PRODUCTION plan shapes (codegen spans, AQE
+    final plans, broadcast conversion) — run it under production conf,
+    not the suite-latency defaults (conftest)."""
+    yield
 
 
 def _plan(df) -> str:
