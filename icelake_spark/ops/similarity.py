@@ -1219,30 +1219,39 @@ def hard_negatives(df: DataFrame, n_anchors: int = 8, n_neg: int = 5,
     cos = (dot(F.col("__ae"), F.col("__e"))
            / (F.col("__an") * F.col("__n"))).cast("double")
     n_salts = 16
+    # ONE similarity pass (r14, guide §1.2): pos and neg previously ran
+    # as two branches over the same broadcast join, and each branch
+    # re-evaluated the n_anchors x corpus cosine compute — the lane's
+    # dominant cost — plus its own window pair. Both roles differ only
+    # in the label predicate and k, so rank them together: __pos joins
+    # the window partition keys (the windows then run over exactly the
+    # row subsets the two branches saw) and k becomes per-role. Rows
+    # where either label is NULL were excluded by BOTH branches (== and
+    # != are NULL-strict) — the isNotNull filter reproduces that.
+    is_pos = F.col("__lbl") == F.col("__albl")
     pairs = (base.join(F.broadcast(anchors),
                        F.col(id_col) != F.col("anchor_id"))
+             .where(is_pos.isNotNull())
+             .withColumn("__pos", is_pos)
              .withColumn("cos", F.round(cos, 6))
              .withColumn("__salt",
                          F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                                 F.lit(n_salts))))
-    w1 = Window.partitionBy("anchor_id", "__salt").orderBy(
+    w1 = Window.partitionBy("anchor_id", "__pos", "__salt").orderBy(
         F.desc("cos"), F.col(id_col))
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"),
-                                                F.col(id_col))
-
-    def _topk(cand, k: int, role: str):
-        return (cand.withColumn("__r1", F.row_number().over(w1))
-                .where(F.col("__r1") <= k)
-                .withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") <= k)
-                .select("anchor_id", F.lit(role).alias("role"),
-                        F.col("__rn").cast("long").alias("rank"),
-                        F.col(id_col), "cos"))
-
-    pos = _topk(pairs.where(F.col("__lbl") == F.col("__albl")), 1, "pos")
-    neg = _topk(pairs.where(F.col("__lbl") != F.col("__albl")),
-                n_neg, "neg")
-    return pos.unionByName(neg).orderBy("anchor_id", "role", "rank")
+    w = Window.partitionBy("anchor_id", "__pos").orderBy(F.desc("cos"),
+                                                         F.col(id_col))
+    k_col = F.when(F.col("__pos"), F.lit(1)).otherwise(F.lit(n_neg))
+    return (pairs.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k_col)
+            .select("anchor_id",
+                    F.when(F.col("__pos"), F.lit("pos"))
+                    .otherwise(F.lit("neg")).alias("role"),
+                    F.col("__rn").cast("long").alias("rank"),
+                    F.col(id_col), "cos")
+            .orderBy("anchor_id", "role", "rank"))
 
 
 def embedding_outliers(df: DataFrame, k: int = 20,

@@ -156,6 +156,19 @@ def events_funnel(df: DataFrame, steps: list[str],
     """
     if not steps:
         raise ValueError("events_funnel requires at least one step")
+    # NOTE (r14, measured negative — do not re-litigate): step k's
+    # (user, t) table is consumed twice (its own count AND step k+1),
+    # so the chain re-evaluates per consumer — k(k+1)/2 pushed-down
+    # parquet scans for k steps. BOTH checkpoint remedies measured
+    # SLOWER at sf0.1 in dedicated 3-rep alternating A/Bs: pinning the
+    # funnel-step event rows (one corpus scan total) lost the scan's
+    # column pruning + type-predicate pushdown to a corpus-sized
+    # materialization (min 2.52 -> 3.52 s), and pinning only the
+    # bounded per-step (user, t) tables still paid more persist/read
+    # overhead than the re-scans cost (pairwise +~1 s on every rep).
+    # At this shape each re-scan reads two pruned columns of one step
+    # type — re-evaluation IS the cheap path until the event volume
+    # per step dwarfs checkpoint I/O.
     reached = None  # (user, __t): time the user reached the previous step
     counts = []
     for i, step in enumerate(steps):

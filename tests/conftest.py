@@ -37,6 +37,14 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     s.conf.set("spark.sql.codegen.wholeStage", "false")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    # With AQE off, every exchange runs at the session's 32 shuffle
+    # partitions — 4x more tasks than cores, pure dispatch latency at
+    # sf0.001. Match the test core count (measured r14: ctas+kernels
+    # subset 82.9 -> 54.1 s solo; codegen ON was re-measured and LOSES
+    # on the same subset, 108 s — janino per unique plan dominates at
+    # test scale, so it stays off).
+    s.conf.set("spark.sql.shuffle.partitions",
+               os.environ.get("ICELAKE_TEST_CPUS", "8"))
     for kv in os.environ.get("ICELAKE_TEST_CONF", "").split(";"):
         if kv:
             k, v = kv.split("=", 1)

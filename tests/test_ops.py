@@ -1069,11 +1069,38 @@ def test_centroid_assignment_broadcast_path_parity(spark):
     assert str(cents[500][0]) not in plan
 
     got = {r.vec_id: r.c for r in routed.collect()}
-    lit = {r.vec_id: r.c for r in df.select("vec_id", _nearest_centroid(
-        F.col("embedding"), list(enumerate(cents))).alias("c")).collect()}
-    assert got == lit
-    assert got[n] is None  # null vector -> null assignment on both paths
+    assert got[n] is None  # null vector -> null assignment on GEMM path
     assert got[n + 1] is None  # null ELEMENT -> null, not a task crash
+
+    # GEMM == literal parity, checked at the SMALLEST k that still
+    # routes to the GEMM path and at a narrow dim (r14 suite-latency
+    # fix: the k=1024·dim=64 literal tree alone costs ~60 s of driver
+    # Catalyst time — the docstring's own number — and the parity
+    # property (argmin equivalence, smallest-index tie-break, null
+    # handling) is dim- and k-count-independent above the threshold;
+    # the k=1024/dim=64 GEMM plan + null checks above keep covering
+    # the large-k regime)
+    # 30 probe vectors: the interpreted (test-session) evaluation of a
+    # 257-wide literal least() tree costs ~90 ms/row — parity over 30
+    # random probes + both null shapes checks the same argmin/tie-break
+    # logic as 120 did at a quarter of the wall
+    kp, pdim, pn = CENTROID_LITERAL_MAX + 1, 8, 30
+    pcents = list(enumerate(
+        rng.standard_normal((kp, pdim)).round(3).tolist()))
+    pvecs = rng.standard_normal((pn, pdim)).round(3).tolist()
+    prows = ([(i, v) for i, v in enumerate(pvecs)]
+             + [(n, None), (n + 1, [None] + pvecs[0][1:])])
+    pdf = spark.createDataFrame(
+        prows, "vec_id long, embedding array<double>")
+    par = pdf.select(
+        "vec_id", nearest_centroid_col(F.col("embedding"), pcents).alias("c"))
+    assert "ArrowEvalPython" in \
+        par._jdf.queryExecution().executedPlan().toString()
+    gotp = {r.vec_id: r.c for r in par.collect()}
+    litp = {r.vec_id: r.c for r in pdf.select("vec_id", _nearest_centroid(
+        F.col("embedding"), pcents).alias("c")).collect()}
+    assert gotp == litp
+    assert gotp[n] is None and gotp[n + 1] is None
 
     # portable=True pins the literal (SQL-twin-exact) path at small k
     small = cents[:8]
