@@ -5876,18 +5876,21 @@ def _sketches_hist_sql() -> str:
 #       embedding_outliers), and pagerank (edge-set exchange removal +
 #       materialize) — every one argued bit-identical and locally
 #       oracle-green, and the driver must confirm (the r13 precedent:
-#       touched rows outrank stale rows);
+#       touched rows outrank stale rows) — plus hard_negatives (1b),
+#       touched late in the round (single-pass pos+neg rewrite);
 #   (2) the 11 remaining rows whose last driver hash check is round 10
 #       (iceberg_zorder .. gopher_rules) — the stalest evidence in the
 #       registry (aggregating CORRECTNESS_r01–r13: 12 rows' latest
 #       check is r10, one of which — iceberg_merge — is already in (1));
-#   (3) 21 of the 45 r11-checked rows (3 rounds stale), in their
-#       standing registry order, skipping (1)'s members.
-# 18 + 11 + 21 = 50. Just past the cut, leading the r15 queue: the 20
-# remaining r11-checked rows (q2_min_cost_supplier ..
-# event_associations, registry order), then the r12-window rows, then
-# the r13-window rows — every row 51+ was hash-green in its most
-# recent driver window.
+#   (3) 20 of the 45 r11-checked rows (3 rounds stale), in their
+#       standing registry order, skipping (1)'s members
+#       (q22_idle_customers was the youngest-evidence row here and
+#       made room for the late-touched hard_negatives).
+# 19 + 11 + 20 = 50. Just past the cut, leading the r15 queue:
+# q22_idle_customers and the 20 remaining r11-checked rows
+# (q2_min_cost_supplier .. event_associations, registry order), then
+# the r12-window rows, then the r13-window rows — every row 51+ was
+# hash-green in its most recent driver window.
 _R14_WINDOW = [
     # (1) r14-touched lanes
     "pagerank_purchases", "iceberg_upsert", "iceberg_mor_delete",
@@ -5896,6 +5899,10 @@ _R14_WINDOW = [
     "iceberg_delete_compaction", "pq_adc_topk", "ivf_pq_topk",
     "ivf_pq_rerank", "ivf_kmeans_topk", "kmeans_quality", "semdedup",
     "cluster_balanced_sample", "ann_recall", "embedding_outliers",
+    # (1b) touched late in r14 (single-pass pos+neg rewrite) — entered
+    # the window displacing the youngest-evidence stale row
+    # (q22_idle_customers, r11-checked, now first in the r15 queue)
+    "hard_negatives",
     # (2) the r10-stale rows
     "iceberg_zorder", "iceberg_snapshots_meta", "iceberg_time_travel",
     "iceberg_bucket_partition", "trigram_familiarity",
@@ -5909,7 +5916,7 @@ _R14_WINDOW = [
     "countmin_freq", "train_test_split", "iceberg_sql_call",
     "dedup_keep_best", "iceberg_orc_roundtrip", "iceberg_avro_roundtrip",
     "iceberg_files_meta", "set_ops_customers", "q7_volume_shipping",
-    "q8_market_share", "q22_idle_customers",
+    "q8_market_share",
 ]
 
 

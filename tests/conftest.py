@@ -20,7 +20,7 @@ def spark():
     # once since tests never re-run a plan), AQE adds a re-plan round
     # per exchange, and 32-way task dispatch costs more than the work.
     # 8 cores + interpreted expressions + AQE off measured 1.9x faster
-    # on representative modules (OPTIMIZATION_r14.md Task 5) with
+    # on representative modules (OPTIMIZATION_r14.md Task 6) with
     # identical results. Production/bench sessions are untouched —
     # default_session keeps codegen+AQE on; modules that ASSERT
     # codegen/AQE plan shapes re-enable them via the _prod_plan_conf
