@@ -54,6 +54,24 @@ def spark():
 
 
 @pytest.fixture()
+def kernel_codegen(spark):
+    """Re-enable whole-stage codegen for expression-KERNEL-bound tests
+    (minhash/sketch/similarity folds): the test session's default
+    interpreted mode is faster suite-wide (janino per unique plan
+    dominates at sf0.001) but loses badly where a test evaluates a
+    wide hash/fold kernel per row — measured r14: sketches-property
+    module 196.5 -> 106.3 s, sampling+lane-parity+lsh-defunnel
+    254.9 -> 191.2 s, minhash+simhash planted pair 63.3 -> 37.9 s
+    with codegen back on. Function-scoped (a runtime-conf toggle is
+    a couple of py4j calls) so a module can opt in per test or via
+    pytestmark without leaking codegen into neighboring tests."""
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    yield spark
+    spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+
+@pytest.fixture()
 def prod_plan_conf(spark):
     """Restore production plan behavior (codegen + AQE on) for tests
     that assert plan shapes the suite-latency defaults would change."""

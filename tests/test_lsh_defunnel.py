@@ -12,6 +12,8 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.usefixtures("kernel_codegen")  # r14: see conftest
+
 
 def _single_window_cap(df, bucket_col, id_col, n, n_salts=16):
     """The pre-r13 single-stage shape, reproduced for parity checks."""

@@ -26,6 +26,7 @@ def test_dedup_exact_planted(spark, docs):
     assert len(ids) == 20 and all(i < 100000 for i in ids)
 
 
+@pytest.mark.usefixtures("kernel_codegen")  # r14: interpreted 64-hash fold is the cost
 def test_minhash_finds_planted_neardups(spark, docs):
     from icelake_spark.ops.dedup import minhash_lsh_pairs
 
@@ -44,6 +45,7 @@ def test_minhash_finds_planted_neardups(spark, docs):
     assert recall >= 0.8, f"minhash recall {recall}: {sorted(found)[:5]}"
 
 
+@pytest.mark.usefixtures("kernel_codegen")  # r14: see conftest
 def test_simhash_semantics(spark, docs):
     """Exact clones hash identically (hamming 0, recall 1.0); lightly
     perturbed clones sit measurably below random-pair hamming. (Short

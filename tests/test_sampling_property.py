@@ -4,7 +4,10 @@ corpus — the same strategy test_avro_property.py applies to the codec."""
 
 import hypothesis.strategies as st
 from hypothesis import HealthCheck, given, settings
+import pytest
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("kernel_codegen")  # r14: see conftest
 
 _slow = settings(max_examples=12, deadline=None,
                  suppress_health_check=list(HealthCheck))

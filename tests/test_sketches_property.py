@@ -6,7 +6,10 @@ import hashlib
 
 import hypothesis.strategies as st
 from hypothesis import HealthCheck, given, settings
+import pytest
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("kernel_codegen")  # r14: see conftest
 
 _slow = settings(max_examples=10, deadline=None,
                  suppress_health_check=list(HealthCheck))
